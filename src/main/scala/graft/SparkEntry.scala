@@ -1,13 +1,234 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator family from SURVEY.md §2
+  * (reference citation in the ops Scaladoc) or one training-data-pipeline
+  * operator (dedup / similarity / text analysis). Column names are aligned
+  * 1:1 with `oracleSql` (the driver sorts columns by name before hashing).
+  * Doubles are rounded on both sides for cross-engine float stability.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship is streaming word count
+    * (SocketTextStreamWordCount.scala:59-63) — here over the documents table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Core.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+
+  private type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map(
+    // ---- core transforms & keyed aggregation (§2.3-2.4) ----
+    "q_keyed_count" -> ((s, d) => Core.keyedCount(Tables.events(s, d), "user_id")),
+    "q_keyed_sum" -> ((s, d) => Core.keyedSum(Tables.events(s, d), "user_id", "value")),
+    "q_fizzbuzz" -> ((s, _) => Core.fizzbuzz(s, 100)),
+    "q_map_dup_even" -> ((s, _) => Core.mapDuplicateFilterEven(s, 4)),
+    "q_word_count" -> ((s, d) => Core.wordCount(Tables.documents(s, d), "text")),
+    "q_expand_qty" -> ((s, d) => Core.expandByQuantity(Tables.lineitem(s, d), "l_returnflag", "l_linenumber")),
+    "q_pricing_summary" -> ((s, d) => Core.pricingSummary(Tables.lineitem(s, d))),
+    "q_charge" -> ((s, d) => Core.chargePerLine(Tables.lineitem(s, d))),
+    // ---- event-time windows (§2.5-2.6) ----
+    "q_window_tumbling" -> ((s, d) =>
+      Windowing.tumblingCount(Tables.events(s, d), "ts", "1 hour", col("event_type"))),
+    "q_window_sliding" -> ((s, d) =>
+      Windowing.slidingCount(Tables.events(s, d), "ts", "1 hour", "15 minutes")),
+    "q_window_session" -> ((s, d) =>
+      Windowing.sessionAgg(Tables.events(s, d), "ts", "30 minutes", "user_id")),
+    "q_window_topk" -> ((s, d) =>
+      Windowing.busiestWindow(Tables.events(s, d), "ts", "1 hour", "15 minutes",
+        col("event_type") === "click")),
+    // ---- multi-stream: union / window join / interval join (§2.8) ----
+    "q_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Joins.unionCounts(
+        ev.where(col("event_type") === "click").select("user_id", "event_type"),
+        ev.where(col("event_type") === "purchase").select("user_id", "event_type"),
+        "event_type")
+    }),
+    "q_window_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Joins.windowJoinCount(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        "user_id", "ts", "1 hour")
+    }),
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Joins.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "error"),
+        "user_id", "ts", "event_id", "2 MINUTES")
+    }),
+    "q_join_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      // dims are broadcast: only lineitem⋈orders shuffles at scale
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    // ---- evictor + keyed-state batch analogues (§2.7 G6, §2.10 X2/X3) ----
+    "q_keep_last3" -> ((s, d) =>
+      Evictors.keepLastN(Tables.events(s, d), "user_id", "ts", "event_id", 3)),
+    "q_list_state" -> ((s, d) =>
+      Evictors.listStatePerKey(Tables.events(s, d), "user_id", "event_id")),
+    "q_map_state" -> ((s, d) =>
+      Evictors.mapStatePerKey(Tables.events(s, d), "user_id", "event_type")),
+    // ---- dedup (exact + sketch-based) ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedupStats(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2)),
+    "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    // ---- text analysis ----
+    "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // ---- similarity search ----
+    "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
+    "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
+    "q_lsh_pairs" -> ((s, d) =>
+      Similarity.lshCandidatePairs(Tables.embeddings(s, d), dim = 64, minCos = -1.0)),
+  )
+
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_keyed_count" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "q_keyed_sum" ->
+      "SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY user_id",
+    "q_fizzbuzz" ->
+      ("SELECT n, CASE WHEN n % 15 = 0 THEN 'fizzbuzz' WHEN n % 3 = 0 THEN 'fizz' " +
+        "WHEN n % 5 = 0 THEN 'buzz' ELSE CAST(n AS VARCHAR) END AS output " +
+        "FROM range(1, 101) t(n)"),
+    "q_map_dup_even" ->
+      ("SELECT x FROM (SELECT n * 10 AS x FROM range(1, 5) t(n)), " +
+        "(VALUES (1), (2)) dup(i) WHERE x % 2 = 0"),
+    "q_word_count" ->
+      (s"SELECT word, count(*) AS cnt FROM (SELECT unnest($TOKS) AS word " +
+        "FROM documents) GROUP BY word"),
+    "q_expand_qty" ->
+      ("SELECT l_returnflag AS item, CAST(sum(l_linenumber) AS BIGINT) AS cnt " +
+        "FROM lineitem GROUP BY 1"),
+    "q_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus"),
+    "q_charge" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'"),
+    "q_window_tumbling" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, " +
+        "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end, " +
+        "event_type, count(*) AS cnt FROM events GROUP BY 1, 2, 3"),
+    "q_window_sliding" ->
+      ("SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start, " +
+        "time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS w_end, " +
+        "count(*) AS cnt FROM events, range(4) t(k) GROUP BY 1, 2"),
+    "q_window_session" ->
+      ("WITH m AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess " +
+        "FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end, " +
+        "count(*) AS cnt FROM s GROUP BY user_id, sess"),
+    "q_window_topk" ->
+      ("WITH w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start, " +
+        "count(*) AS cnt FROM events, range(4) t(k) WHERE event_type = 'click' GROUP BY 1) " +
+        "SELECT w_start, cnt FROM w ORDER BY cnt DESC, w_start ASC LIMIT 1"),
+    "q_union" ->
+      ("SELECT event_type, count(*) AS cnt FROM (" +
+        "SELECT user_id, event_type FROM events WHERE event_type = 'click' " +
+        "UNION ALL SELECT user_id, event_type FROM events WHERE event_type = 'purchase') " +
+        "GROUP BY event_type"),
+    "q_window_join" ->
+      ("WITH a AS (SELECT user_id AS k, time_bucket(INTERVAL '1 hour', ts) AS w_start " +
+        "FROM events WHERE event_type = 'view'), " +
+        "b AS (SELECT user_id AS k, time_bucket(INTERVAL '1 hour', ts) AS w_start " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT w_start, count(*) AS cnt FROM a JOIN b USING (k, w_start) GROUP BY 1"),
+    "q_interval_join" ->
+      ("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'error' " +
+        "AND b.ts > a.ts - INTERVAL '2 minutes' AND b.ts < a.ts + INTERVAL '2 minutes'"),
+    "q_join_revenue" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q_keep_last3" ->
+      ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn " +
+        "FROM events) WHERE rn <= 3"),
+    "q_list_state" ->
+      "SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) AS ids FROM events GROUP BY user_id",
+    "q_map_state" ->
+      "SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type",
+    "q_dedup_exact" ->
+      (s"SELECT lang, count(DISTINCT md5(array_to_string($TOKS, ' '))) AS n_unique, " +
+        "count(*) AS n_docs FROM documents GROUP BY lang"),
+    "q_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
+    "q_token_stats" ->
+      (s"WITH t AS (SELECT lang, len($TOKS) AS n_tokens FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "round(avg(n_tokens), 4) AS avg_tokens FROM t GROUP BY lang"),
+    "q_quality" ->
+      (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents) " +
+        "SELECT doc_id, len(toks) AS n_tokens, " +
+        "round(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1), 4) AS avg_token_len, " +
+        "round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1), 4) AS stopword_ratio, " +
+        "round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) / " +
+        "greatest(length(text), 1), 4) AS non_alnum_ratio FROM t"),
+    "q_lang_id" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
+        "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
+        "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t) " +
+        "SELECT doc_id, CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
+        "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
+        "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
+        "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
+        "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
+        "ELSE 'und' END AS pred_lang FROM s"),
+    "q_cosine" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
+        "FROM e, q WHERE vec_id <> 0"),
+    "q_nn" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_cosine_similarity(a.emb, b.emb) AS cos FROM e a JOIN e b ON a.vec_id <> b.vec_id) " +
+        "SELECT a_id, b_id AS nn_id, round(cos, 4) AS cos FROM (" +
+        "SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn " +
+        "FROM p) WHERE rn = 1"),
+    // q_minhash_lsh / q_simhash / q_lsh_pairs: sketch internals (xxhash64 /
+    // seeded projections) are not reproducible in DuckDB → rows-only check.
+  )
 }

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed for 100 TB: every variant reduces
+  * documents to small fixed-size keys (16-byte md5, k×8-byte minhash,
+  * 8-byte simhash) *before* any shuffle, so the expensive join/groupBy moves
+  * hashes, never documents.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per normalized-content fingerprint.
+    * groupBy on the 16-byte fingerprint — single shuffle of keys.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-language unique/total counts — the summary form of exact dedup. */
+  def exactDedupStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("lang")
+      .agg(countDistinct("fp").as("n_unique"), count(lit(1)).as("n_docs"))
+
+  /** Word k-shingles of a document as a deduplicated array column. */
+  private def shingles(k: Int) = {
+    val t = Core.tokens(col("text"))
+    array_distinct(
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => array_join(slice(t, i + 1, lit(k)), " ")))
+        .otherwise(array(array_join(t, " "))))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * `(a_i * h + b_i) mod p` over 64-bit shingle hashes (xxhash64).
+    * Deterministic seeds → reproducible across runs and cluster sizes.
+    * Output: doc_id, sig ARRAY<BIGINT>(numHashes).
+    */
+  def minHashSignatures(docs: DataFrame, shingleK: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    // p > 2^32 prime; coefficients < 2^30 keep a*h + b < 2^63 (no overflow)
+    val p = 4294967311L
+    val rnd = new scala.util.Random(42)
+    val coef = Seq.fill(numHashes)(
+      (rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
+    val hashed = docs.select(col("doc_id"),
+      transform(shingles(shingleK), s => pmod(xxhash64(s), lit(p))).as("hs"))
+    hashed.select(col("doc_id"),
+      array(coef.map { case (a, b) =>
+        array_min(transform(col("hs"),
+          h => pmod(h * lit(a) + lit(b), lit(p))))
+      }: _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand),
+    * bucket-join on (band index, band hash), estimate Jaccard from full
+    * signatures. The join key is a 16-byte hash — at 100 TB this is the
+    * standard near-dup pipeline (shingle → minhash → band → bucket join).
+    */
+  def minHashLshPairs(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(docs, shingleK, numHashes)
+    val bandHashes = array((0 until bands).map { b =>
+      md5(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+        .cast("array<string>"), ","))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have
+    * small Hamming distance. Pure expressions: token → xxhash64 → per-bit
+    * ±1 votes → sign. One pass, no shuffle.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      transform(Core.tokens(col("text")), tok => xxhash64(tok)).as("hs"))
+    val votes = (0 until 64).map { bit =>
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+    }
+    val sig = votes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, bit)) =>
+      acc.bitwiseOR(when(v > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+    }
+    hashed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
+    * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
+    */
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame, shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(shingleK).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          greatest(size(array_union(col("a_sh"), col("b_sh"))), lit(1)), 4)
+          .as("jaccard"))
+  }
+}

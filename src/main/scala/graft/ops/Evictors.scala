@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evictor + batch analogues of keyed state (SURVEY.md §2.7 G6, §2.10 X2/X3).
+  *
+  * Flink's `MyCountEvictor` (keep last N per window) becomes a rank-filter
+  * over a Spark window function — one shuffle on the partition key, no
+  * per-element state. ListState/MapState batch analogues are collect_list /
+  * per-(key,field) counts; the streaming stateful twins live in
+  * graft.streaming.Stateful.
+  */
+object Evictors {
+
+  /** Keep the most recent `n` rows per key (G6,
+    * reference TriggersAndEvictors.scala:245-290). Deterministic tie-break on
+    * `idCol` so results are stable across engines and runs.
+    * Scale: `row_number` needs a per-key sort, but partial top-n pushdown
+    * (rank limit) keeps state bounded; skewed keys are handled by AQE.
+    */
+  def keepLastN(df: DataFrame, key: String, tsCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol).desc, col(idCol).desc)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col(key), col(idCol), col("rn"))
+  }
+
+  /** ListState batch analogue (X2, reference KeyedState.scala:159-193):
+    * accumulate all element ids per key. Emitted as a sorted comma-joined
+    * string — deterministic and engine-portable (array ordering from
+    * collect_list is not).
+    */
+  def listStatePerKey(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(array_join(sort_array(collect_list(col(idCol))).cast("array<string>"), ",")
+        .as("ids"))
+
+  /** MapState batch analogue (X3/A8, reference KeyedState.scala:225-256,
+    * 391-439): per-key per-event-type counters. The map shape
+    * (`Map[String, Long]` per key) flattens to (key, field, count) rows —
+    * the relational normal form of MapState.
+    */
+  def mapStatePerKey(df: DataFrame, key: String, field: String): DataFrame =
+    df.groupBy(col(key), col(field)).count().withColumnRenamed("count", "cnt")
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All pure Catalyst
+  * expressions (split / higher-order functions / md5) — no UDFs, so every
+  * operator stays in WholeStageCodegen and runs embarrassingly parallel
+  * (zero shuffles except final aggregations).
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = Core.tokens(text)
+
+  /** Per-document token count + per-language aggregate. Whitespace/regex
+    * tokenization per Core.tokens.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(toks(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+
+  /** Per-document quality score: token count, mean token length, stopword
+    * ratio, non-alphanumeric (punctuation/whitespace) character ratio.
+    * These are the standard cheap quality filters (length / punct /
+    * stopword heuristics) applied before LLM training.
+    */
+  def qualityScores(docs: DataFrame, stopwords: Seq[String] =
+      Seq("the", "a", "of", "and", "to", "in", "is", "on")): DataFrame = {
+    val t = toks(col("text"))
+    val stops = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(t), lit(1)), 4).as("avg_token_len"),
+      round(size(filter(t, x => array_contains(stops, x))).cast("double") /
+        greatest(size(t), lit(1)), 4).as("stopword_ratio"),
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-z0-9]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
+  }
+
+  /** Language-ID heuristic: count marker-word hits per language and take the
+    * argmax (deterministic tie-break by marker order). A real system uses
+    * char-n-gram profiles; the marker form is the SQL-portable core of the
+    * same idea and is exactly reproducible in the DuckDB oracle.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "und", "die", "ist"),
+      "es" -> Seq("el", "los", "es", "y"),
+      "fr" -> Seq("le", "et", "les", "est"))
+    val scored = docs.select(
+      (col("doc_id") +: markers.map { case (lang, ws) =>
+        size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
+          .as(s"score_$lang")
+      }): _*)
+    val mx = greatest(markers.map(m => col(s"score_${m._1}")): _*)
+    // first language reaching the max wins ties (deterministic, SQL-portable)
+    val best = markers.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, _)) =>
+      acc.when(col(s"score_$lang") === mx, lang)
+    }.otherwise("und")
+    scored.select(col("doc_id"), best.as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 over the normalized token stream. Exact-dup
+    * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
+    * keys instead of full documents.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(toks(text), " "))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}
