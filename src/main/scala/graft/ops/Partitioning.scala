@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical distribution operators (SURVEY.md §2.9, reference
+  * Partitions.scala).
+  *
+  * Flink's `partitionCustom`/`shuffle`/`setParallelism` map to Spark's
+  * repartition family. Operator chaining (`startNewChain`/`disableChaining`,
+  * reference Partitions.scala:175-206) is intentionally dropped:
+  * WholeStageCodegen fuses narrow chains automatically (SURVEY.md §4).
+  */
+object Partitioning {
+
+  /** P1: hash-partition by key (`partitionCustom(hashCode % n)`,
+    * reference Partitions.scala:67-81).
+    */
+  def hashPartition(df: DataFrame, n: Int, key: Column): DataFrame =
+    df.repartition(n, key)
+
+  /** P2: the degenerate all-to-one-partition skew demonstration
+    * (reference Partitions.scala:104-116) — everything hashes to one
+    * partition. Kept as the negative exemplar; AQE's skew handling is the
+    * production answer (SURVEY.md §4).
+    */
+  def skewToOne(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n, lit(0))
+
+  /** P3: `.shuffle` — random (round-robin) redistribution
+    * (reference Partitions.scala:156).
+    */
+  def rebalance(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n)
+
+  /** P4: sink parallelism 1 → single output file
+    * (reference BuiltIn.scala:104-123).
+    */
+  def singleFile(df: DataFrame): DataFrame =
+    df.coalesce(1)
+
+  /** Partition sizes as (partitionId, rows) — the verification device the
+    * reference uses by printing subtask indices
+    * (reference Partitions.scala:85-100).
+    */
+  def partitionSizes(df: DataFrame): DataFrame =
+    df.select(spark_partition_id().as("pid"))
+      .groupBy("pid").count().withColumnRenamed("count", "rows")
+}

@@ -41,7 +41,7 @@ object TextAnalysis {
       round(size(filter(t, x => array_contains(stops, x))).cast("double") /
         greatest(size(t), lit(1)), 4).as("stopword_ratio"),
       round((length(col("text")) -
-        length(regexp_replace(col("text"), "[^a-z0-9]", ""))).cast("double") /
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
   }
 

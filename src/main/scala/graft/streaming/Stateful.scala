@@ -1,0 +1,238 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Keyed-state toolkit: the Spark-first home of everything the reference
+  * does with `KeyedProcessFunction`/state/timers/triggers
+  * (SURVEY.md §2.7 G1-G5, §2.10 X1-X9, §2.5 W4).
+  *
+  * Design: each Flink pattern is one `flatMapGroupsWithState` shape.
+  * State lives in the executor's state store partitioned by key (same
+  * hash-exchange boundary as Flink's `keyBy`, reference KeyedState.scala:
+  * 57-59), checkpointed per micro-batch — the analogue of the reference's
+  * "state restored after redeployment" (reference KeyedState.scala:70-73).
+  * All functions work identically on batch KeyValueGroupedDatasets (state
+  * starts empty, one invocation per key) and streaming ones (state evolves
+  * across micro-batches) — tests exercise both.
+  *
+  * Scale: state per key is O(1) scalars/counters except where the operator
+  * is defined to buffer (list state, count triggers); those document their
+  * bound. Keys distribute across the cluster; no operator below requires a
+  * single partition except the explicitly-degenerate connect exemplar (X9),
+  * which the reference itself forces to parallelism 1
+  * (reference HandlingMultipleStreams.scala:246-247).
+  */
+object Stateful {
+
+  /** X1: per-key running event counter — `ValueState[Long]` +
+    * `processElement` (reference KeyedState.scala:65-118). Emits the
+    * updated count for each arriving batch of events per key.
+    */
+  def runningCount[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T])(
+      implicit e0: Encoder[Long], e: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[Long]) =>
+        val c = state.getOption.getOrElse(0L) + it.size
+        state.update(c)
+        Iterator(key -> c)
+    }
+
+  /** X4: running counter that clears state every `resetEvery` events
+    * (`state.clear()`, reference KeyedState.scala:350-360). Emits the
+    * count after each element, resetting at the threshold — output per
+    * key is 1,2,…,n-1,0,1,… exactly as the reference's sample output
+    * (reference KeyedState.scala:365-384).
+    */
+  def countWithReset[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
+      resetEvery: Int)(implicit e0: Encoder[Long], e: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[Long]) =>
+        var c = state.getOption.getOrElse(0L)
+        val out = it.map { _ =>
+          c += 1
+          val emitted = c
+          if (c >= resetEvery) c = 0L // state.clear() on hitting the threshold
+          key -> emitted
+        }.toVector
+        if (c == 0L) state.remove() else state.update(c)
+        out.iterator
+    }
+
+  /** X2: ListState — accumulate all element ids per key
+    * (`ListState.add/get`, reference KeyedState.scala:159-193). Emits the
+    * full accumulated list after each batch. State grows with the key's
+    * history — bounded in practice by TTL (see [[countWithTtl]]) or by
+    * the caller windowing the input first.
+    */
+  def accumulateList[K: Encoder, T, V: Encoder](grouped: KeyValueGroupedDataset[K, T],
+      f: T => V)(implicit e1: Encoder[List[V]], e2: Encoder[(K, List[V])]): Dataset[(K, List[V])] =
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[List[V]]) =>
+        val acc = state.getOption.getOrElse(Nil) ++ it.map(f)
+        state.update(acc)
+        Iterator(key -> acc)
+    }
+
+  /** X3: MapState — per-key per-field counters
+    * (`MapState.put/get/entries`, reference KeyedState.scala:225-256).
+    */
+  def countByField[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
+      field: T => String)(implicit e1: Encoder[Map[String, Long]],
+      e2: Encoder[(K, Map[String, Long])]): Dataset[(K, Map[String, Long])] =
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[Map[String, Long]]) =>
+        var m = state.getOption.getOrElse(Map.empty[String, Long])
+        it.foreach { t => val f = field(t); m = m.updated(f, m.getOrElse(f, 0L) + 1L) }
+        state.update(m)
+        Iterator(key -> m)
+    }
+
+  /** X5: state TTL (`StateTtlConfig` 1h / OnCreateAndWrite /
+    * ReturnExpiredIfNotCleanedUp, reference KeyedState.scala:331-348).
+    * GroupState has no declarative TTL, so the state value carries its
+    * last-write timestamp and expires on access — exactly the documented
+    * divergence (SURVEY.md §7.4.5). `clock` is injectable for
+    * deterministic tests; production passes `System.currentTimeMillis`.
+    */
+  def countWithTtl[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
+      ttlMs: Long, clock: () => Long)(implicit e1: Encoder[(Long, Long)],
+      e2: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[(Long, Long)]) =>
+        val now = clock()
+        val prev = state.getOption match {
+          case Some((c, lastWrite)) if now - lastWrite < ttlMs => c
+          case _ => 0L // expired (or absent) — OnCreateAndWrite semantics
+        }
+        val c = prev + it.size
+        state.update((c, now))
+        Iterator(key -> c)
+    }
+
+  /** G1: non-purging count trigger — fire the (cumulative) window count
+    * every `n` elements (reference WindowAssignersAndTriggers.scala:44-90:
+    * outputs 10,20,30,… per window). State: (total, sinceLastFire).
+    */
+  def countTrigger[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T], n: Int)(
+      implicit e1: Encoder[(Long, Long)], e2: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[(Long, Long)]) =>
+        var (total, since) = state.getOption.getOrElse((0L, 0L))
+        val fires = Vector.newBuilder[(K, Long)]
+        it.foreach { _ =>
+          total += 1; since += 1
+          if (since >= n) { fires += (key -> total); since = 0 }
+        }
+        state.update((total, since))
+        fires.result().iterator
+    }
+
+  /** G2: purging count trigger — fire and clear every `n` elements
+    * (`PurgingTrigger.of(CountTrigger.of(n))`,
+    * reference WindowAssignersAndTriggers.scala:92-116: outputs n,n,n,…).
+    */
+  def purgingCountTrigger[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T], n: Int)(
+      implicit e1: Encoder[Long], e2: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[Long]) =>
+        var buffered = state.getOption.getOrElse(0L)
+        val fires = Vector.newBuilder[(K, Long)]
+        it.foreach { _ =>
+          buffered += 1
+          if (buffered >= n) { fires += (key -> buffered); buffered = 0 } // FIRE_AND_PURGE
+        }
+        if (buffered == 0L) state.remove() else state.update(buffered)
+        fires.result().iterator
+    }
+
+  /** W4: global window + count trigger — single infinite window released
+    * every `n` elements (reference Windows.scala:349-365). The global
+    * window is the degenerate single-key case of [[purgingCountTrigger]];
+    * key by a constant to reproduce it, or by a real key to shard it.
+    */
+  def globalCountWindow[T](ds: Dataset[T], n: Int)(
+      implicit e0: Encoder[Int], e1: Encoder[Long],
+      e2: Encoder[(Int, Long)]): Dataset[(Int, Long)] =
+    purgingCountTrigger(ds.groupByKey(_ => 0), n)
+
+  /** G3/G5/X7: count-or-processing-timeout trigger
+    * (`TimedOutCountTrigger(maxCount, timeoutMillis)`,
+    * reference WindowAssignersAndTriggers.scala:118-245): fire when the
+    * buffer reaches `maxCount` OR when the key has been idle `timeoutMs`.
+    * Uses `GroupStateTimeout.ProcessingTimeTimeout` — the timeout callback
+    * is the `onTimer` flush. The reference's own implementation is
+    * acknowledged buggy ("losing events",
+    * reference WindowAssignersAndTriggers.scala:295); we implement the
+    * specified semantics, not the bug.
+    */
+  def countOrTimeoutTrigger[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
+      maxCount: Int, timeoutMs: Long)(implicit e1: Encoder[Long],
+      e2: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          val buffered = state.getOption.getOrElse(0L)
+          state.remove()
+          if (buffered > 0) Iterator(key -> buffered) else Iterator.empty
+        } else {
+          var buffered = state.getOption.getOrElse(0L)
+          val fires = Vector.newBuilder[(K, Long)]
+          it.foreach { _ =>
+            buffered += 1
+            if (buffered >= maxCount) { fires += (key -> buffered); buffered = 0 }
+          }
+          state.update(buffered)
+          state.setTimeoutDuration(timeoutMs) // re-armed per batch (G5 idle-flush)
+          fires.result().iterator
+        }
+    }
+
+  /** X6: event-time timer — "count events in the 10s window opened by the
+    * first event, then flush and reset" (reference KeyedState.scala:480-528:
+    * `registerEventTimeTimer(ts + 10s)` + `onTimer`).
+    * `EventTimeTimeout` + `setTimeoutTimestamp(firstTs + windowMs)`; the
+    * timeout invocation is `onTimer`. Requires `withWatermark` upstream —
+    * the watermark passing the deadline triggers the flush, exactly
+    * Flink's event-time-timer firing rule.
+    * Emits (key, windowStart, count).
+    */
+  def countFromFirstEvent[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
+      eventTimeMs: T => Long, windowMs: Long)(implicit e1: Encoder[(Long, Long)],
+      e2: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] =
+    grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, it: Iterator[T], state: GroupState[(Long, Long)]) =>
+        if (state.hasTimedOut) {
+          val (start, count) = state.get
+          state.remove()
+          Iterator((key, start, count))
+        } else {
+          val times = it.map(eventTimeMs).toVector
+          val (start, count) = state.getOption match {
+            case Some((s, c)) => (s, c + times.size)
+            case None =>
+              val s = times.min
+              state.setTimeoutTimestamp(s + windowMs) // the event-time timer
+              (s, times.size.toLong)
+          }
+          state.update((start, count))
+          Iterator.empty
+        }
+    }
+
+  /** J4/X9: `connect` + `CoProcessFunction` with a shared counter across
+    * two differently-typed inputs
+    * (reference HandlingMultipleStreams.scala:212-280). Spark-first
+    * decomposition: tag each side into a common envelope, union, then
+    * keyed state over the envelope. The reference forces parallelism 1
+    * for its global counter; keying by a constant reproduces that, keying
+    * by a real field shards it (the scalable form).
+    */
+  def connectCount[A, B, K: Encoder](a: Dataset[A], b: Dataset[B], keyA: A => K,
+      keyB: B => K)(implicit eEnv: Encoder[(K, Boolean)],
+      e1: Encoder[Long], e2: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    val left = a.map(x => (keyA(x), true))(eEnv)
+    val right = b.map(x => (keyB(x), false))(eEnv)
+    runningCount(left.union(right).groupByKey(_._1))
+  }
+}

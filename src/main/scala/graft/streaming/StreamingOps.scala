@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the batch windowing/aggregation operators
+  * (SURVEY.md §2.5-2.6): identical `window()`/`session_window()` Catalyst
+  * expressions over a streaming Dataset, with `withWatermark` supplying the
+  * reference's bounded-out-of-orderness watermark strategy
+  * (M1, reference Windows.scala:71-80 — max-seen − delay, windows finalize
+  * when the watermark passes their end; mechanics narrated at
+  * reference TimeBasedTransformations.scala:213-233).
+  *
+  * Running these in append mode WITHOUT a watermark is rejected by Spark's
+  * analyzer — the engine-enforced form of the reference's own negative
+  * tests (M3/M4: no watermark ⇒ no window ever fires,
+  * reference TimeBasedTransformations.scala:313-350, Windows.scala:183-185).
+  */
+object StreamingOps {
+
+  /** M1+W1: watermarked tumbling window count (append mode — rows emitted
+    * once, when the watermark finalizes the window).
+    */
+  def tumblingCount(stream: DataFrame, tsCol: String, delay: String, size: String,
+      keys: String*): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy((window(col(tsCol), size) +: keys.map(col)): _*)
+      .count()
+      .select((Seq(col("window.start").as("w_start")) ++ keys.map(col) :+
+        col("count").as("cnt")): _*)
+
+  /** M1+W2: watermarked sliding window count. */
+  def slidingCount(stream: DataFrame, tsCol: String, delay: String, size: String,
+      slide: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide))
+      .count()
+      .select(col("window.start").as("w_start"), col("count").as("cnt"))
+
+  /** M1+W3: watermarked session window (gap-merged, per key). */
+  def sessionCount(stream: DataFrame, tsCol: String, delay: String, gap: String,
+      key: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(key))
+      .count()
+      .select(col(key), col("session_window.start").as("sess_start"),
+        col("count").as("cnt"))
+
+  /** A4 streaming: running word/key count in update mode — emits the
+    * updated count per key on every arrival, the reference's
+    * `keyBy(0).sum(1)` observable (reference
+    * SocketTextStreamWordCount.scala:62-63).
+    */
+  def runningCount(stream: DataFrame, key: String): DataFrame =
+    stream.groupBy(col(key)).count().withColumnRenamed("count", "cnt")
+
+  /** The reference's flagship: streaming word count over a line stream
+    * (reference SocketTextStreamWordCount.scala:59-63). Pair with
+    * `Generators.socketLines` for the socket form.
+    */
+  def wordCount(lines: DataFrame, lineCol: String = "value"): DataFrame =
+    runningCount(
+      lines.select(explode(graft.ops.Core.tokens(col(lineCol))).as("word")), "word")
+}

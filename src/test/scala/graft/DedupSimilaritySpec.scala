@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "en"),   // near dup of 1
+    (4L, "completely different content about spark engines", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps lowest doc_id per fingerprint") {
+    val got = Dedup.exactDedup(docs).as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => keep -> n }.toMap
+    assert(got(1L) == 2L) // docs 1+2 collapse, keeper is 1
+    assert(got(3L) == 1L && got(4L) == 1L)
+  }
+
+  test("minhash estimates jaccard 1.0 for identical docs, high for near-dups") {
+    // 1-row bands → candidate iff ANY minhash agrees: the high-recall
+    // configuration; coarser bands trade recall for fewer candidates
+    val pairs = Dedup.minHashLshPairs(docs, bands = 32, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.getOrElse((1L, 3L), 0.0) > 0.2) // true shingle jaccard = 0.4
+    assert(pairs.getOrElse((1L, 4L), 0.0) < 0.2) // unrelated docs
+  }
+
+  test("simhash: identical docs agree, different docs differ") {
+    val sigs = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    // near-dup has small hamming distance
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham <= 16, s"hamming $ham")
+  }
+
+  test("exact n-gram jaccard over candidate pairs") {
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("a_id", "b_id")
+    val got = Dedup.ngramJaccard(docs, cands).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 4L)) == 0.0)
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.0f, 1.0f, 0.0f), 0),
+    (2L, Array(1.0f, 0.0f, 0.0f), 0),    // identical to 0
+    (3L, Array(0.9f, 0.1f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine to query vector (brute force baseline)") {
+    val got = Similarity.cosineToQuery(vecs, 0L).as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 1.0)
+    assert(got(3L) > 0.99)
+  }
+
+  test("top-k nearest neighbours ordered, deterministic ties") {
+    val got = Similarity.topKForQuery(vecs, 0L, 2).as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 3L))
+  }
+
+  test("all-vectors nearest neighbour argmax") {
+    val got = Similarity.nearestNeighbour(vecs).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(got(0L) == 2L) // exact twin wins
+    assert(got(2L) == 0L) // symmetric, lowest-id tie-break
+    assert(got(3L) == 0L || got(3L) == 2L)
+  }
+
+  test("LSH buckets put identical vectors in the same bucket") {
+    val pairs = Similarity.lshCandidatePairs(vecs, dim = 3, minCos = -1.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 2L)) == 1.0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Double) = new Timestamp(Math.round(s * 1000))
+
+  test("union merges same-typed streams (HandlingMultipleStreams.scala:49-85)") {
+    val a = Seq(("Bob", "add"), ("Alice", "add")).toDF("user_id", "event_type")
+    val b = Seq(("Bob", "add")).toDF("user_id", "event_type")
+    val got = Joins.unionCounts(a, b, "user_id").as[(String, Long)].collect().toMap
+    assert(got == Map("Bob" -> 2L, "Alice" -> 1L))
+  }
+
+  test("window join pairs same key in same tumbling bucket " +
+      "(HandlingMultipleStreams.scala:87-129)") {
+    val cart = Seq(("Bob", ts(1)), ("Bob", ts(11)), ("Alice", ts(2)))
+      .toDF("user_id", "time")
+    val catalog = Seq(("Bob", ts(5)), ("Alice", ts(15)), ("Tom", ts(5)))
+      .toDF("user_id", "time")
+    val got = Joins.windowJoinCount(cart, catalog, "user_id", "time", "10 seconds")
+      .as[(Timestamp, Long)].collect().toMap
+    // only Bob@1s × Bob@5s share bucket [0,10); Alice's events are in
+    // different buckets; Tom has no cart event
+    assert(got == Map(ts(0) -> 1L))
+  }
+
+  test("interval join: exclusive ±2s bounds (HandlingMultipleStreams.scala:131-210)") {
+    val a = Seq((1L, "Bob", ts(10))).toDF("event_id", "user_id", "time")
+    val b = Seq(
+      (20L, "Bob", ts(8)),     // == lower bound → excluded (exclusive)
+      (21L, "Bob", ts(8.001)), // just inside
+      (22L, "Bob", ts(11.5)),  // inside
+      (23L, "Bob", ts(12)),    // == upper bound → excluded
+      (24L, "Tom", ts(10))     // wrong key
+    ).toDF("event_id", "user_id", "time")
+    val got = Joins.intervalJoin(a, b, "user_id", "time", "event_id", "2 SECONDS")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 21L), (1L, 22L)))
+  }
+
+  test("connect via per-side map + union (HandlingMultipleStreams.scala:288-305)") {
+    val carts = Seq(("Bob", 2)).toDF("user_id", "qty")
+    val views = Seq(("Alice", "p1"), ("Bob", "p2")).toDF("user_id", "product")
+    val got = Joins.coMap(
+        carts, _.selectExpr("user_id", "'cart' AS src"),
+        views, _.selectExpr("user_id", "'view' AS src"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("Bob", "cart"), ("Alice", "view"), ("Bob", "view")))
+  }
+}

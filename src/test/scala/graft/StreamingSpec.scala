@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{Stateful, StreamingOps}
+
+/** Streaming semantics: cross-micro-batch state evolution, watermark-driven
+  * window finalization, late-data drop, event-time timers — the scenarios
+  * the reference hand-traces (SURVEY.md §2.6-2.7, §2.10).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Double) = new Timestamp((s * 1000).toLong)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("X1 running count evolves across micro-batches (KeyedState.scala:65-118)") {
+    val in = MemoryStream[(String, Int)](1, spark, None)
+    val counts = Stateful.runningCount(in.toDS().groupByKey(_._1))
+    val q = counts.writeStream.format("memory").queryName("x1").outputMode("update").start()
+    withQuery(q) {
+      in.addData(("a", 1), ("a", 2), ("b", 3)); q.processAllAvailable()
+      in.addData(("a", 4)); q.processAllAvailable()
+      val rows = spark.table("x1").as[(String, Long)].collect().toSeq
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
+      assert(rows.contains(("a", 3L))) // state carried into batch 2
+    }
+  }
+
+  test("G1 count trigger fires cumulatively across batches " +
+      "(WindowAssignersAndTriggers.scala:55-90)") {
+    val in = MemoryStream[(String, Int)](2, spark, None)
+    val fires = Stateful.countTrigger(in.toDS().groupByKey(_._1), 3)
+    val q = fires.writeStream.format("memory").queryName("g1").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Seq.fill(4)(("k", 1)): _*); q.processAllAvailable()
+      in.addData(Seq.fill(5)(("k", 1)): _*); q.processAllAvailable()
+      val got = spark.table("g1").as[(String, Long)].collect().map(_._2).sorted.toSeq
+      assert(got == Seq(3L, 6L, 9L)) // cumulative window contents per fire
+    }
+  }
+
+  test("G2 purging trigger emits n,n,n across batches " +
+      "(TriggersAndEvictors.scala:85-102)") {
+    val in = MemoryStream[(String, Int)](3, spark, None)
+    val fires = Stateful.purgingCountTrigger(in.toDS().groupByKey(_._1), 3)
+    val q = fires.writeStream.format("memory").queryName("g2").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Seq.fill(4)(("k", 1)): _*); q.processAllAvailable()
+      in.addData(Seq.fill(5)(("k", 1)): _*); q.processAllAvailable()
+      val got = spark.table("g2").as[(String, Long)].collect().map(_._2).toSeq
+      assert(got == Seq(3L, 3L, 3L)) // 9 elements → three purged fires
+    }
+  }
+
+  test("M1 watermark finalizes tumbling windows; late data dropped " +
+      "(Windows.scala:71-80, TimeBasedTransformations.scala:204-233)") {
+    val in = MemoryStream[(String, Timestamp)](4, spark, None)
+    val agg = StreamingOps.tumblingCount(in.toDF().toDF("k", "time"),
+      "time", "0 seconds", "10 seconds", "k")
+    val q = agg.writeStream.format("memory").queryName("m1").outputMode("append").start()
+    withQuery(q) {
+      in.addData(("a", ts(1)), ("a", ts(2))); q.processAllAvailable()
+      in.addData(("a", ts(25))); q.processAllAvailable() // advances watermark past 10
+      in.addData(("a", ts(26))); q.processAllAvailable() // extra batch to emit finalized
+      val got = spark.table("m1").as[(Timestamp, String, Long)].collect().toSeq
+      assert(got.contains((ts(0), "a", 2L))) // window [0,10) finalized with 2 events
+      // late event for the closed [0,10) window: silently dropped
+      in.addData(("a", ts(3))); q.processAllAvailable()
+      in.addData(("a", ts(40))); q.processAllAvailable()
+      in.addData(("a", ts(41))); q.processAllAvailable()
+      val after = spark.table("m1").as[(Timestamp, String, Long)].collect().toSeq
+      assert(after.count(_._1 == ts(0)) == 1) // still exactly one [0,10) row, cnt 2
+    }
+  }
+
+  test("M3/M4 negative: append-mode windowed agg without watermark is rejected " +
+      "(TimeBasedTransformations.scala:313-350, Windows.scala:183-185)") {
+    val in = MemoryStream[(String, Timestamp)](5, spark, None)
+    val agg = in.toDF().toDF("k", "time")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("time"), "10 seconds"))
+      .count()
+    assertThrows[AnalysisException] {
+      agg.writeStream.format("memory").queryName("m3").outputMode("append").start()
+    }
+  }
+
+  test("X5 TTL: expired state is recreated, live state retained " +
+      "(KeyedState.scala:331-348)") {
+    // ttl=0 → always expired on next access: each batch counts only itself
+    val in = MemoryStream[(String, Int)](6, spark, None)
+    val counts = Stateful.countWithTtl(in.toDS().groupByKey(_._1), 0L,
+      () => System.currentTimeMillis())
+    val q = counts.writeStream.format("memory").queryName("x5a").outputMode("update").start()
+    withQuery(q) {
+      in.addData(("a", 1), ("a", 2)); q.processAllAvailable()
+      in.addData(("a", 3)); q.processAllAvailable()
+      val got = spark.table("x5a").as[(String, Long)].collect().map(_._2).toSeq
+      assert(got == Seq(2L, 1L)) // second batch restarted from expired state
+    }
+    // large ttl → state survives across batches
+    val in2 = MemoryStream[(String, Int)](7, spark, None)
+    val counts2 = Stateful.countWithTtl(in2.toDS().groupByKey(_._1), 3600000L,
+      () => System.currentTimeMillis())
+    val q2 = counts2.writeStream.format("memory").queryName("x5b").outputMode("update").start()
+    withQuery(q2) {
+      in2.addData(("a", 1), ("a", 2)); q2.processAllAvailable()
+      in2.addData(("a", 3)); q2.processAllAvailable()
+      val got = spark.table("x5b").as[(String, Long)].collect().map(_._2).toSeq
+      assert(got == Seq(2L, 3L))
+    }
+  }
+
+  test("X6 event-time timer flushes when watermark passes deadline " +
+      "(KeyedState.scala:480-528)") {
+    val in = MemoryStream[(String, Timestamp)](8, spark, None)
+    val flushed = Stateful.countFromFirstEvent(
+      in.toDS().toDF("k", "time").withWatermark("time", "0 seconds")
+        .as[(String, Timestamp)].groupByKey(_._1),
+      (t: (String, Timestamp)) => t._2.getTime, 10000L)
+    val q = flushed.writeStream.format("memory").queryName("x6").outputMode("append").start()
+    withQuery(q) {
+      in.addData(("a", ts(1)), ("a", ts(2))); q.processAllAvailable()
+      in.addData(("z", ts(30))); q.processAllAvailable() // watermark → 30s
+      in.addData(("z", ts(31))); q.processAllAvailable() // timeout callback fires
+      val got = spark.table("x6").as[(String, Long, Long)].collect().toSeq
+      assert(got.contains(("a", 1000L, 2L))) // window opened at first event, count 2
+    }
+  }
+
+  test("A4 streaming running word count in update mode " +
+      "(SocketTextStreamWordCount.scala:59-63)") {
+    val in = MemoryStream[String](9, spark, None)
+    val wc = StreamingOps.wordCount(in.toDF())
+    val q = wc.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    withQuery(q) {
+      in.addData("to be or not"); q.processAllAvailable()
+      in.addData("to be"); q.processAllAvailable()
+      val rows = spark.table("wc").as[(String, Long)].collect().toSeq
+      assert(rows.contains(("to", 1L)) && rows.contains(("to", 2L)))
+      assert(rows.contains(("be", 2L)))
+    }
+  }
+}
