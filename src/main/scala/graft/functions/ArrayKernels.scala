@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot array kernels.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`/`zip_with`)
+  * are evaluated interpreted — fine for occasional use, but a dot product
+  * executed 4M times per stage or a 32-hash MinHash over every shingle of
+  * every document is exactly the hot path WholeStageCodegen exists for.
+  * Each kernel here has a tight `doGenCode` loop (plus an interpreted
+  * `eval` for fallback paths), turning per-pair work from dozens of
+  * allocated lambda frames into a primitive `for` loop over `ArrayData`.
+  */
+object ArrayKernels {
+
+  /** `array_dot(a, b)` — Σ aᵢ·bᵢ over two ARRAY<DOUBLE> columns. */
+  case class ArrayDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** `minhash_sig(tokenHashes, shingleK)` — k-permutation MinHash signature
+    * computed directly from an ARRAY<BIGINT> of token hashes: each length-K
+    * token window is combined into a shingle hash with a rolling polynomial
+    * (no shingle strings are ever materialized), then sigᵢ = min over
+    * shingles of (aᵢ·h + bᵢ) mod p. One codegen'd pass. Duplicate shingles
+    * need no dedup: duplicates never change a min.
+    */
+  case class MinHashSignature(child: Expression, shingleK: Int, a: Array[Long],
+      b: Array[Long], p: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def k = a.length
+    override def nullSafeEval(in: Any): Any = {
+      val hs = in.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      val nShingles = math.max(n - shingleK + 1, if (n > 0) 1 else 0)
+      var j = 0
+      while (j < nShingles) {
+        var sh = 0L
+        var t = 0
+        while (t < shingleK && j + t < n) { sh = sh * 1000003L ^ hs.getLong(j + t); t += 1 }
+        val h = java.lang.Math.floorMod(sh, p)
+        var i = 0
+        while (i < k) {
+          val v = java.lang.Math.floorMod(a(i) * h + b(i), p)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+      nullSafeCodeGen(ctx, ev, in => {
+        val mins = ctx.freshName("mins")
+        val n = ctx.freshName("n")
+        val nSh = ctx.freshName("nSh")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val t = ctx.freshName("t")
+        val sh = ctx.freshName("sh")
+        val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $mins = new long[$k];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |int $nSh = java.lang.Math.max($n - $shingleK + 1, $n > 0 ? 1 : 0);
+           |for (int $j = 0; $j < $nSh; $j++) {
+           |  long $sh = 0L;
+           |  for (int $t = 0; $t < $shingleK && $j + $t < $n; $t++) {
+           |    $sh = $sh * 1000003L ^ $in.getLong($j + $t);
+           |  }
+           |  long $h = java.lang.Math.floorMod($sh, ${p}L);
+           |  for (int $i = 0; $i < $k; $i++) {
+           |    long $v = java.lang.Math.floorMod($aRef[$i] * $h + $bRef[$i], ${p}L);
+           |    if ($v < $mins[$i]) $mins[$i] = $v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array_eq_count(a, b)` — number of positions where two ARRAY<BIGINT>
+    * agree; the MinHash similarity estimate numerator, codegen'd.
+    */
+  case class ArrayEqCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** `simhash64(hashes)` — 64-bit SimHash from an ARRAY<BIGINT> of token
+    * hashes: per-bit ±1 votes, sign → bit. The codegen'd form of 64×
+    * `aggregate(...)` bit-vote expressions.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(in: Any): Any = {
+      val hs = in.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var bit = 0
+      while (bit < 64) { if (votes(bit) > 0) sig |= (1L << bit); bit += 1 }
+      sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val votes = ctx.freshName("votes")
+        val n = ctx.freshName("n")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val bit = ctx.freshName("bit")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $n = $in.numElements();
+           |int[] $votes = new int[64];
+           |for (int $j = 0; $j < $n; $j++) {
+           |  long $h = $in.getLong($j);
+           |  for (int $bit = 0; $bit < 64; $bit++) {
+           |    if ((($h >>> $bit) & 1L) == 1L) $votes[$bit]++; else $votes[$bit]--;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $bit = 0; $bit < 64; $bit++) {
+           |  if ($votes[$bit] > 0) $sig |= (1L << $bit);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-level API ----
+
+  def array_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(ArrayDotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def minhash_sig(tokenHashes: Column, shingleK: Int, a: Array[Long],
+      b: Array[Long], p: Long): Column =
+    GraftSqlBridge.column(MinHashSignature(
+      GraftSqlBridge.expression(tokenHashes), shingleK, a, b, p))
+
+  def array_eq_count(a: Column, b: Column): Column =
+    GraftSqlBridge.column(ArrayEqCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def simhash64(hashes: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(hashes)))
+}

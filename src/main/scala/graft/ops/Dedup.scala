@@ -45,15 +45,17 @@ object Dedup {
     // p > 2^32 prime; coefficients < 2^30 keep a*h + b < 2^63 (no overflow)
     val p = 4294967311L
     val rnd = new scala.util.Random(42)
-    val coef = Seq.fill(numHashes)(
-      (rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
-    val hashed = docs.select(col("doc_id"),
-      transform(shingles(shingleK), s => pmod(xxhash64(s), lit(p))).as("hs"))
-    hashed.select(col("doc_id"),
-      array(coef.map { case (a, b) =>
-        array_min(transform(col("hs"),
-          h => pmod(h * lit(a) + lit(b), lit(p))))
-      }: _*).as("sig"))
+    val (as, bs) = (0 until numHashes).map { _ =>
+      (rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong)
+    }.unzip
+    // token hashes only — the kernel rolls length-k windows into shingle
+    // hashes itself (no shingle strings, no array_distinct: a multiset min
+    // equals the set min) and computes all lanes in one codegen'd pass
+    docs.select(col("doc_id"),
+        transform(Core.tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.ArrayKernels.minhash_sig(col("th"), shingleK,
+          as.toArray, bs.toArray, p).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand),
@@ -64,9 +66,12 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(docs, shingleK, numHashes)
+    // materialize signatures once: they are tiny (k longs per doc) and both
+    // sides of the bucket self-join need them — without this the whole
+    // shingle→hash pipeline runs twice (and at 100 TB, twice over the corpus)
+    val sigs = minHashSignatures(docs, shingleK, numHashes).localCheckpoint()
     val bandHashes = array((0 until bands).map { b =>
-      md5(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         .cast("array<string>"), ","))
     }: _*)
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
@@ -76,7 +81,7 @@ object Dedup {
     l.join(r, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+        (graft.functions.ArrayKernels.array_eq_count(col("a_sig"), col("b_sig"))
           .cast("double") / numHashes).as("est_jaccard"))
       .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
@@ -86,19 +91,10 @@ object Dedup {
     * small Hamming distance. Pure expressions: token → xxhash64 → per-bit
     * ±1 votes → sign. One pass, no shuffle.
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      transform(Core.tokens(col("text")), tok => xxhash64(tok)).as("hs"))
-    val votes = (0 until 64).map { bit =>
-      aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-    }
-    val sig = votes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, bit)) =>
-      acc.bitwiseOR(when(v > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-    }
-    hashed.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ArrayKernels.simhash64(
+        transform(Core.tokens(col("text")), tok => xxhash64(tok))).as("simhash"))
 
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.util.LongAccumulator
+
+import graft.ops.Rich
+import graft.sources.Sinks
+
+/** Sinks (SURVEY.md §2.2 K1-K6) + rich lifecycle (T3/X8). */
+class SinksRichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("K1 writeAsText (BuiltIn.scala:72-75)") {
+    val dir = tmp("k1")
+    Sinks.writeText(Seq("alpha", "beta").toDF("value"), dir)
+    val back = spark.read.text(dir).as[String].collect().sorted.toSeq
+    assert(back == Seq("alpha", "beta"))
+  }
+
+  test("K2 writeAsCsv with overwrite (BuiltIn.scala:173-177)") {
+    val dir = tmp("k2")
+    Sinks.writeCsv(Seq((1, "a"), (2, "b")).toDF("n", "s"), dir)
+    Sinks.writeCsv(Seq((3, "c")).toDF("n", "s"), dir) // OVERWRITE semantics
+    val back = spark.read.csv(dir).collect()
+    assert(back.length == 1 && back.head.getString(0) == "3")
+  }
+
+  test("K4 foreach sink side effect (BuiltIn.scala:196)") {
+    val acc: LongAccumulator = spark.sparkContext.longAccumulator("seen")
+    Sinks.foreachSink(Seq(1, 2, 3).toDS())(v => acc.add(v))
+    assert(acc.value == 6L)
+  }
+
+  test("K6 executeAndCollect (BuiltIn.scala:322-324)") {
+    val rows = Sinks.collectRows(Seq((1, "x")).toDF("a", "b"))
+    assert(rows.length == 1 && rows.head.getInt(0) == 1)
+  }
+
+  test("K5 checkpointed rolling file sink is exactly-once per micro-batch " +
+      "(BuiltIn.scala:200-226)") {
+    val dir = tmp("k5out")
+    val ckpt = tmp("k5ckpt")
+    val in = MemoryStream[String](20, spark, None)
+    val q = Sinks.rollingFileSink(in.toDF(), dir, ckpt).start()
+    try {
+      in.addData("r1", "r2"); q.processAllAvailable()
+      in.addData("r3"); q.processAllAvailable()
+      val back = spark.read.text(dir).as[String].collect().sorted.toSeq
+      assert(back == Seq("r1", "r2", "r3"))
+    } finally q.stop()
+  }
+
+  test("T3/X8 rich lifecycle: open/close once per partition " +
+      "(RichFunctions.scala:91-157)") {
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val ds = spark.createDataset(1 to 8).repartition(2)
+    val out = Rich.mapWithLifecycle(ds)(
+      _ => opens.add(1), v => v * 10, _ => closes.add(1))
+    assert(out.collect().sorted.toSeq == (1 to 8).map(_ * 10))
+    assert(opens.value == 2L) // once per parallel instance, as the
+    assert(closes.value == 2L) // reference demonstrates for parallelism 2
+  }
+}
