@@ -96,6 +96,22 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // ---- JSON column extraction (§1.3: props via from_json) ----
+    "q_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 4).as("avg_k"))),
+    // ---- multimodal: binary blobs + stubbed decode + real byte features ----
+    "q_media_features" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("lang").as("kind"),
+        col("text").cast("binary").as("blob"),
+        struct(col("n_chars").cast("int").as("width"),
+          lit(0).as("height"), lit(0).as("sample_rate")).as("meta"))
+      Multimodal.mediaFeatures(media)
+    }),
     // ---- similarity search ----
     "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
@@ -216,6 +232,10 @@ object SparkEntry {
         "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
         "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
         "ELSE 'und' END AS pred_lang FROM s"),
+    "q_json_props" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)), 4) AS avg_k " +
+        "FROM events GROUP BY event_type"),
     "q_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +

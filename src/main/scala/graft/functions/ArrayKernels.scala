@@ -206,6 +206,38 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `byte_histogram(blob, bins)` — histogram of byte values over a BINARY
+    * column, `bins` equal-width buckets of the 0..255 range. The canonical
+    * cheap per-media feature vector; codegen'd single pass.
+    */
+  case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val bytes = in.asInstanceOf[Array[Byte]]
+      val hist = new Array[Int](bins)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) * bins / 256) += 1
+        i += 1
+      }
+      new GenericArrayData(hist)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val hist = ctx.freshName("hist")
+        val i = ctx.freshName("i")
+        s"""
+           |int[] $hist = new int[$bins];
+           |for (int $i = 0; $i < $in.length; $i++) {
+           |  $hist[(($in[$i]) & 0xff) * $bins / 256]++;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($hist);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -223,4 +255,7 @@ object ArrayKernels {
 
   def simhash64(hashes: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(hashes)))
+
+  def byte_histogram(blob: Column, bins: Int): Column =
+    GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(blob), bins))
 }
