@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import ArrayKernels._
+
+/** Registers the custom kernels as SQL functions so
+  * `spark.sql("SELECT array_dot(a, b) ...")` works.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *    `builder().withExtensions(new GraftExtensions)`) at session build time;
+  *  - `GraftExtensions.install(spark)` on an already-running session.
+  */
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(ArrayKernels.getClass.getName, null, name, usage, "")
+
+  private[functions] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("array_dot",
+      info("array_dot", "array_dot(a, b) - dot product of two ARRAY<DOUBLE>"),
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))),
+    ("simhash64",
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of ARRAY<BIGINT>"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    ("byte_histogram",
+      info("byte_histogram", "byte_histogram(blob, bins) - byte-value histogram of BINARY"),
+      (exprs: Seq[Expression]) => ByteHistogram(exprs(0),
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])),
+    ("array_eq_count",
+      info("array_eq_count", "array_eq_count(a, b) - positions where two ARRAY<BIGINT> agree"),
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
+
+  /** Register into a live session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (n, i, b) =>
+      GraftSqlBridge.registerFunction(spark, n, i, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (n, i, b) =>
+      e.injectFunction((FunctionIdentifier(n), i, b))
+    }
+}

@@ -46,4 +46,20 @@ object Partitioning {
   def partitionSizes(df: DataFrame): DataFrame =
     df.select(spark_partition_id().as("pid"))
       .groupBy("pid").count().withColumnRenamed("count", "rows")
+
+  /** Salted join — the skew tool for the case AQE can't fix (one hot key
+    * flooding a reducer in a shuffle join): the fact side gets a uniform
+    * salt, the (small-ish) dim side is replicated `salts`×, and the join key
+    * becomes (key, salt) so the hot key spreads over `salts` reducers.
+    * Result is exactly the unsalted inner join. The skew the reference
+    * *demonstrates* (P2, reference Partitions.scala:104-129) is what this
+    * repairs.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }
