@@ -96,6 +96,23 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // ---- OLAP extras: percentiles, rollup subtotals, running windows ----
+    "q_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("cnt"))),
+    "q_running_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 4).as("running"))
+    }),
     // ---- JSON column extraction (§1.3: props via from_json) ----
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
@@ -232,6 +249,15 @@ object SparkEntry {
         "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
         "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
         "ELSE 'und' END AS pred_lang FROM s"),
+    "q_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS total, " +
+        "count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_running_sum" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running FROM events"),
     "q_json_props" ->
       ("SELECT event_type, count(*) AS cnt, " +
         "round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)), 4) AS avg_k " +

@@ -135,6 +135,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("W3 streaming session window merges within gap and finalizes on watermark") {
+    val in = MemoryStream[(String, Timestamp)](10, spark, None)
+    val agg = StreamingOps.sessionCount(in.toDF().toDF("k", "time"),
+      "time", "0 seconds", "5 seconds", "k")
+    val q = agg.writeStream.format("memory").queryName("w3").outputMode("append").start()
+    withQuery(q) {
+      in.addData(("a", ts(1)), ("a", ts(3)), ("a", ts(20))); q.processAllAvailable()
+      in.addData(("a", ts(60))); q.processAllAvailable() // watermark passes both sessions
+      in.addData(("a", ts(61))); q.processAllAvailable()
+      val got = spark.table("w3").as[(String, Timestamp, Long)].collect().toSet
+      assert(got.contains(("a", ts(1), 2L)))  // [1,3] merged (gap 2s < 5s)
+      assert(got.contains(("a", ts(20), 1L))) // 20 is its own session
+    }
+  }
+
   test("A4 streaming running word count in update mode " +
       "(SocketTextStreamWordCount.scala:59-63)") {
     val in = MemoryStream[String](9, spark, None)
