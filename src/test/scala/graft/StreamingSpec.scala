@@ -150,6 +150,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state survives query restart from checkpoint " +
+      "(KeyedState.scala:70-73: 'state will be restored')") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val in = MemoryStream[(String, Int)](11, spark, None)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def start() =
+      Stateful.runningCount(in.toDS().groupByKey(_._1))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          ds.collect().foreach(seen.add)
+        }.start()
+    val q1 = start()
+    in.addData(("a", 1), ("a", 2)); q1.processAllAvailable()
+    assert(seen.contains(("a", 2L)))
+    q1.stop() // "node crash" — redeploy below restores from the checkpoint
+    in.addData(("a", 3))
+    val q2 = start()
+    withQuery(q2) {
+      q2.processAllAvailable()
+      assert(seen.contains(("a", 3L))) // 2 restored + 1 new, not restarted at 1
+    }
+  }
+
   test("A4 streaming running word count in update mode " +
       "(SocketTextStreamWordCount.scala:59-63)") {
     val in = MemoryStream[String](9, spark, None)
