@@ -1,0 +1,28 @@
+import org.apache.spark.sql.functions._
+def time[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime(); val r = f
+  println(f"TIME $label ${(System.nanoTime()-t0)/1e9}%.2f s: $r"); r
+}
+val d = "/root/testdata/sf0.1"
+// 10x events (1M rows): shift copies in time and id-space
+val ev = graft.Tables.events(spark, d)
+val evX = (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+  .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))).reduce(_ union _)
+evX.write.mode("overwrite").parquet("/tmp/stress/events.parquet")
+// 10x documents (50k) and embeddings (20k)
+val docs = spark.read.parquet(d + "/documents.parquet")
+(0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+  .reduce(_ union _).write.mode("overwrite").parquet("/tmp/stress/documents.parquet")
+val emb = spark.read.parquet(d + "/embeddings.parquet")
+(0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+  .reduce(_ union _).write.mode("overwrite").parquet("/tmp/stress/embeddings.parquet")
+val s = "/tmp/stress"
+time("1M-window-sliding")(graft.SparkEntry.queries("q_window_sliding")(spark, s).count())
+time("1M-window-session")(graft.SparkEntry.queries("q_window_session")(spark, s).count())
+time("1M-interval-join")(graft.SparkEntry.queries("q_interval_join")(spark, s).count())
+time("1M-keep-last3")(graft.SparkEntry.queries("q_keep_last3")(spark, s).count())
+time("50k-minhash-lsh")(graft.SparkEntry.queries("q_minhash_lsh")(spark, s).count())
+time("50k-word-count")(graft.SparkEntry.queries("q_word_count")(spark, s).count())
+time("20k-lsh-pairs")(graft.SparkEntry.queries("q_lsh_pairs")(spark, s).count())
+time("20k-nn-bruteforce")(graft.SparkEntry.queries("q_nn")(spark, s).count())
+sys.exit(0)
