@@ -134,6 +134,12 @@ object SparkEntry {
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
     "q_lsh_pairs" -> ((s, d) =>
       Similarity.lshCandidatePairs(Tables.embeddings(s, d), dim = 64, minCos = -1.0)),
+    "q_ivf_topk" -> ((s, d) => {
+      // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
+      // the oracle then validates the whole index pipeline end-to-end
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, 0L, 10, Similarity.ivfCentroids(emb, 16), nprobe = 16)
+    }),
   )
 
   private val TOKS =
@@ -274,6 +280,11 @@ object SparkEntry {
         "SELECT a_id, b_id AS nn_id, round(cos, 4) AS cos FROM (" +
         "SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn " +
         "FROM p) WHERE rn = 1"),
+    "q_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
+        "FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs: sketch internals (xxhash64 /
     // seeded projections) are not reproducible in DuckDB → rows-only check.
   )

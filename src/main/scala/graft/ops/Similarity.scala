@@ -80,6 +80,86 @@ object Similarity {
         round(col("best.cos"), 4).as("cos"))
   }
 
+  /** IVF coarse quantizer: deterministic k-means over a driver-side sample.
+    * Sampling a bounded set (here: lowest-xxhash vec_ids) and training the
+    * small centroid table on the driver is the standard IVF recipe — at
+    * 100 TB you sample ~100k vectors; the corpus itself never leaves the
+    * executors. Returns k unit-normalized centroids.
+    */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample = unitVecs(emb, "vec_id", "e")
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(sampleSize)
+      .select("e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var centroids = sample.take(k)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.MinValue
+        for (c <- centroids.indices) {
+          var dp = 0.0
+          var i = 0
+          while (i < v.length) { dp += v(i) * centroids(c)(i); i += 1 }
+          if (dp > bestDot) { bestDot = dp; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** Assign every vector to its nearest centroid cell. The per-vector cost
+    * is k dot products through the codegen kernel; output carries only
+    * (vec_id, cell, unit vector), so downstream probes shuffle ids+vecs,
+    * never recompute assignments.
+    */
+  def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val u = unitVecs(emb, "vec_id", "e")
+    // argmax over k cells via struct-max: (dot, -cell) → best dot, lowest id
+    val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
+    }: _*)
+    u.select(col("vec_id"), col("e"), (-best.getField("neg_cell")).as("cell"))
+  }
+
+  /** IVF top-k for one query: probe the `nprobe` cells whose centroids are
+    * closest to the query and scan only those cells — the ANN scale path
+    * (brute force over ~nprobe/k of the corpus). Exact within the probed
+    * cells; recall is tunable via nprobe.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, centroids).localCheckpoint()
+    val q = assigned.where(col("vec_id") === queryId)
+      .select(col("e").as("q_e")).collect().head.getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(q).map { case (x, y) => x * y }.sum, i)
+    }.sortBy(-_._1).take(nprobe).map(_._2)
+    assigned
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(dot(col("e"), centroidLit(q)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of
     * `numPlanes` fixed random projections. Vectors in the same bucket are
     * near-duplicate candidates; at 100 TB candidate generation becomes a

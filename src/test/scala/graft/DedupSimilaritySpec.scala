@@ -73,6 +73,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0L || got(3L) == 2L)
   }
 
+  test("IVF with nprobe=k reproduces exact top-k; nprobe=1 finds the home cluster") {
+    // three tight clusters around orthogonal axes
+    val rnd = new scala.util.Random(7)
+    def cl(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(axis) = 1.0f
+      (base + i, v, axis)
+    }
+    val vecs = (cl(0, 20, 0L) ++ cl(1, 20, 100L) ++ cl(2, 20, 200L))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroids(vecs, k = 3, iters = 5)
+    val exact = Similarity.topKForQuery(vecs, 0L, 5).as[(Long, Double)].collect().map(_._1).toSeq
+    val full = Similarity.ivfTopK(vecs, 0L, 5, cents, nprobe = 3)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(full == exact) // probing every cell ≡ brute force
+    val probe1 = Similarity.ivfTopK(vecs, 0L, 5, cents, nprobe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(probe1.forall(id => id < 100L)) // home cluster only
+    assert(probe1.size == 5)
+  }
+
   test("LSH buckets put identical vectors in the same bucket") {
     val pairs = Similarity.lshCandidatePairs(vecs, dim = 3, minCos = -1.0)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
