@@ -82,6 +82,8 @@ object SparkEntry {
     // ---- evictor + keyed-state batch analogues (§2.7 G6, §2.10 X2/X3) ----
     "q_keep_last3" -> ((s, d) =>
       Evictors.keepLastN(Tables.events(s, d), "user_id", "ts", "event_id", 3)),
+    "q_topn_per_key" -> ((s, d) =>
+      Evictors.topNPerKey(Tables.events(s, d), "user_id", "value", "event_id", 2)),
     "q_list_state" -> ((s, d) =>
       Evictors.listStatePerKey(Tables.events(s, d), "user_id", "event_id")),
     "q_map_state" -> ((s, d) =>
@@ -220,6 +222,10 @@ object SparkEntry {
       ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn " +
         "FROM events) WHERE rn <= 3"),
+    "q_topn_per_key" ->
+      ("SELECT user_id, event_id, value, rn FROM (SELECT user_id, event_id, value, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rn " +
+        "FROM events) WHERE rn <= 2"),
     "q_list_state" ->
       "SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) AS ids FROM events GROUP BY user_id",
     "q_map_state" ->

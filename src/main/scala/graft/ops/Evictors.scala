@@ -28,6 +28,20 @@ object Evictors {
       .select(col(key), col(idCol), col("rn"))
   }
 
+  /** General top-N per key by an arbitrary ordering column — the
+    * rank-filter generalization of [[keepLastN]] (and the distributed form
+    * of the reference's driver-side `maxBy`, reference Windows.scala:390).
+    * Spark plans a per-key partial top-N (WindowGroupLimit pushdown) before
+    * the shuffle, so state per partition is O(keys × n).
+    */
+  def topNPerKey(df: DataFrame, key: String, orderCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col(key), col(idCol), col(orderCol), col("rn"))
+  }
+
   /** ListState batch analogue (X2, reference KeyedState.scala:159-193):
     * accumulate all element ids per key. Emitted as a sorted comma-joined
     * string — deterministic and engine-portable (array ordering from
