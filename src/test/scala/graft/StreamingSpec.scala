@@ -150,6 +150,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates, " +
+      "evicts state for old keys") {
+    val in = MemoryStream[(Long, Timestamp)](12, spark, None)
+    val deduped = in.toDF().toDF("id", "time")
+      .withWatermark("time", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(3))); q.processAllAvailable()
+      in.addData((1L, ts(4))); q.processAllAvailable() // cross-batch duplicate
+      in.addData((9L, ts(100))); q.processAllAvailable() // advances watermark far
+      in.addData((1L, ts(101))); q.processAllAvailable() // id 1 state evicted → re-emitted
+      val ids = spark.table("sdd").as[(Long, Timestamp)].collect().map(_._1).toSeq
+      assert(ids.count(_ == 1L) == 2) // once early, once after eviction
+      assert(ids.count(_ == 2L) == 1)
+    }
+  }
+
   test("state survives query restart from checkpoint " +
       "(KeyedState.scala:70-73: 'state will be restored')") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
