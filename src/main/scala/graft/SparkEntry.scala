@@ -98,6 +98,14 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // ---- custom Aggregator through the SQL-visible udaf() path (§2.11 A5) ----
+    "q_custom_agg" -> ((s, d) => {
+      val mean = udaf(new graft.agg.Aggregators.MeanAggregator[Double](identity),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.events(s, d).groupBy("event_type")
+        .agg(round(mean(col("value")), 4).as("mean_v"),
+          count(lit(1)).as("cnt"))
+    }),
     // ---- OLAP extras: percentiles, rollup subtotals, running windows ----
     "q_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type").agg(
@@ -261,6 +269,9 @@ object SparkEntry {
         "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
         "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
         "ELSE 'und' END AS pred_lang FROM s"),
+    "q_custom_agg" ->
+      ("SELECT event_type, round(avg(value), 4) AS mean_v, count(*) AS cnt " +
+        "FROM events GROUP BY event_type"),
     "q_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median, " +
         "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),

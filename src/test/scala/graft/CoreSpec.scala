@@ -42,6 +42,24 @@ class CoreSpec extends SparkSpec {
     assert(got == Map("a" -> 3.5, "b" -> 4.0))
   }
 
+  test("typed Dataset pipeline over the deterministic generator (S5-S7)") {
+    import graft.model.ShoppingCartEvent
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val events = graft.sources.Generators
+      .shoppingCartEvents(100, base, seed = 42L, generateRemoved = true)
+    val again = graft.sources.Generators
+      .shoppingCartEvents(100, base, seed = 42L, generateRemoved = true)
+    assert(events == again) // seeded generator is reproducible
+    val ds: org.apache.spark.sql.Dataset[ShoppingCartEvent] = spark.createDataset(events)
+    val totals = ds.filter(_.eventType == "add")
+      .groupByKey(_.userId)
+      .mapGroups((u, it) => (u, it.map(_.quantity).sum))
+      .collect().toMap
+    val expected = events.filter(_.eventType == "add")
+      .groupBy(_.userId).map { case (u, es) => u -> es.map(_.quantity).sum }
+    assert(totals == expected)
+  }
+
   test("custom Aggregator maps AggregateFunction 1:1 (Windows.scala:165-180)") {
     val counter = new Aggregators.CountAggregator[(String, Int)]
     val mean = new Aggregators.MeanAggregator[(String, Int)](_._2.toDouble)
