@@ -94,6 +94,14 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2)),
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => {
+      // deterministic candidate set: all pairs among the 20 lowest doc_ids
+      val small = Tables.documents(s, d).where(col("doc_id") < 20)
+      val ids = small.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .join(ids.select(col("doc_id").as("b_id")), col("a_id") < col("b_id"))
+      Dedup.ngramJaccard(small, pairs)
+    }),
     // ---- text analysis ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -243,6 +251,14 @@ object SparkEntry {
         "count(*) AS n_docs FROM documents GROUP BY lang"),
     "q_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
+    "q_ngram_jaccard" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2), " +
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id"),
     "q_token_stats" ->
       (s"WITH t AS (SELECT lang, len($TOKS) AS n_tokens FROM documents) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
