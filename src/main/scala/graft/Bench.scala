@@ -1,6 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+  /** Force full materialization of every output column: a bare count()
+    * lets Catalyst prune projection-only work (the kernels being measured)
+    * down to a column-less scan. Hashing all columns into an aggregate
+    * keeps the whole plan live while returning one row to the driver.
+    */
+  private def exercise(df: DataFrame): Unit = {
+    // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,16 +27,18 @@ object Bench {
     // per-query times measure the query, not first-use JIT.
     try {
       SparkEntry.entry(spark).count()
-      SparkEntry.queries.get("q_cosine").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_cosine").foreach(fn => exercise(fn(spark, sfDir)))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 marks a failed query so regressions are visible in the JSON
+      val secs = try { exercise(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

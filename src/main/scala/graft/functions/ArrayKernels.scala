@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -23,6 +24,13 @@ object ArrayKernels {
   case class ArrayDotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"array_dot requires two ARRAY<DOUBLE>, got ${l.catalogString} and ${r.catalogString}")
+      }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -60,6 +68,13 @@ object ArrayKernels {
   case class MinHashSignature(child: Expression, shingleK: Int, a: Array[Long],
       b: Array[Long], p: Long) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires ARRAY<BIGINT>, got ${other.catalogString}")
+      }
+
     private def k = a.length
     override def nullSafeEval(in: Any): Any = {
       val hs = in.asInstanceOf[ArrayData]
@@ -125,6 +140,13 @@ object ArrayKernels {
   case class ArrayEqCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"array_eq_count requires two ARRAY<BIGINT>, got ${l.catalogString} and ${r.catalogString}")
+      }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -159,6 +181,13 @@ object ArrayKernels {
   case class SimHash64(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires ARRAY<BIGINT>, got ${other.catalogString}")
+      }
+
     override def nullSafeEval(in: Any): Any = {
       val hs = in.asInstanceOf[ArrayData]
       val n = hs.numElements()
@@ -212,6 +241,12 @@ object ArrayKernels {
     */
   case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"byte_histogram requires BINARY, got ${other.catalogString}")
+      }
     override def nullSafeEval(in: Any): Any = {
       val bytes = in.asInstanceOf[Array[Byte]]
       val hist = new Array[Int](bins)

@@ -28,8 +28,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     ("byte_histogram",
       info("byte_histogram", "byte_histogram(blob, bins) - byte-value histogram of BINARY"),
-      (exprs: Seq[Expression]) => ByteHistogram(exprs(0),
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])),
+      (exprs: Seq[Expression]) => ByteHistogram(exprs(0), exprs(1) match {
+        case Literal(i: Int, _) => i
+        case Literal(l: Long, _) => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"byte_histogram(blob, bins): bins must be an integer literal, got $other")
+      })),
     ("array_eq_count",
       info("array_eq_count", "array_eq_count(a, b) - positions where two ARRAY<BIGINT> agree"),
       (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))

@@ -25,14 +25,19 @@ object Dedup {
       .groupBy("lang")
       .agg(countDistinct("fp").as("n_unique"), count(lit(1)).as("n_docs"))
 
-  /** Word k-shingles of a document as a deduplicated array column. */
+  /** Word k-shingles of a document as a deduplicated array column.
+    * Documents with fewer than k tokens yield an EMPTY shingle set (same
+    * convention as the DuckDB oracle's `range(len-k+1)` — keeping a
+    * whole-text fallback here would silently diverge from the oracle on
+    * short documents).
+    */
   private def shingles(k: Int) = {
     val t = Core.tokens(col("text"))
     array_distinct(
       when(size(t) >= k,
         transform(sequence(lit(0), size(t) - k),
           i => array_join(slice(t, i + 1, lit(k)), " ")))
-        .otherwise(array(array_join(t, " "))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** MinHash signatures: k independent permutations approximated by

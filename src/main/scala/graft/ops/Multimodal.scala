@@ -55,12 +55,13 @@ object Multimodal {
     * Pure `substring` arithmetic; stays narrow.
     */
   def frameSample(blob: Column, frameBytes: Int, stride: Int): Column =
-    filter(
-      transform(
-        sequence(lit(0), ((length(blob) - lit(1)) / lit(frameBytes)).cast("int")),
-        i => when(pmod(i, lit(stride)) === 0,
-          substring(blob, (i * frameBytes + 1).cast("int"), lit(frameBytes)))),
-      f => f.isNotNull)
+    when(length(blob) === 0, array().cast("array<binary>")).otherwise(
+      filter(
+        transform(
+          sequence(lit(0), ((length(blob) - lit(1)) / lit(frameBytes)).cast("int")),
+          i => when(pmod(i, lit(stride)) === 0,
+            substring(blob, (i * frameBytes + 1).cast("int"), lit(frameBytes)))),
+        f => f.isNotNull))
 
   /** Feature extraction (REAL, not stubbed): 16-bin byte histogram over the
     * blob — the shape of any per-media feature vector computation.

@@ -22,11 +22,16 @@ object Rich {
     ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       open(pid)
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; close(pid) }
+      // guarantee close() even when the consumer stops early (limit/take)
+      // or the task fails — exhaustion alone is not a reliable signal
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[U] {
-        private var closed = false
         override def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h && !closed) { closed = true; close(pid) }
+          if (!h) closeOnce()
           h
         }
         override def next(): U = f(it.next())

@@ -93,6 +93,8 @@ object Similarity {
       .orderBy("h").limit(sampleSize)
       .select("e").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"ivfCentroids: need at least k=$k vectors to train, got ${sample.length}")
     var centroids = sample.take(k)
     for (_ <- 1 to iters) {
       val sums = Array.fill(k)(new Array[Double](centroids(0).length))

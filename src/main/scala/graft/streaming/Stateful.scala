@@ -40,9 +40,9 @@ object Stateful {
 
   /** X4: running counter that clears state every `resetEvery` events
     * (`state.clear()`, reference KeyedState.scala:350-360). Emits the
-    * count after each element, resetting at the threshold — output per
-    * key is 1,2,…,n-1,0,1,… exactly as the reference's sample output
-    * (reference KeyedState.scala:365-384).
+    * count after each element and resets AFTER emitting the threshold —
+    * output per key is 1,2,…,n,1,2,…,n,…, matching the reference's sample
+    * output (reference KeyedState.scala:365-384).
     */
   def countWithReset[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
       resetEvery: Int)(implicit e0: Encoder[Long], e: Encoder[(K, Long)]): Dataset[(K, Long)] =
@@ -210,12 +210,16 @@ object Stateful {
           val times = it.map(eventTimeMs).toVector
           val (start, count) = state.getOption match {
             case Some((s, c)) => (s, c + times.size)
-            case None =>
-              val s = times.min
-              state.setTimeoutTimestamp(s + windowMs) // the event-time timer
-              (s, times.size.toLong)
+            case None => (times.min, times.size.toLong)
           }
           state.update((start, count))
+          // re-arm the timer on EVERY invocation: Spark clears the stored
+          // timeout each time the function is called for a key, so setting
+          // it only on the first batch would lose the timer (and leak the
+          // state) for any key spanning multiple micro-batches. Clamp above
+          // the current watermark as Spark requires.
+          state.setTimeoutTimestamp(
+            math.max(start + windowMs, state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         }
     }

@@ -150,6 +150,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("X6 event-time timer survives a key spanning multiple micro-batches " +
+      "(Spark clears stored timeouts per invocation — must re-arm)") {
+    val in = MemoryStream[(String, Timestamp)](13, spark, None)
+    val flushed = Stateful.countFromFirstEvent(
+      in.toDS().toDF("k", "time").withWatermark("time", "0 seconds")
+        .as[(String, Timestamp)].groupByKey(_._1),
+      (t: (String, Timestamp)) => t._2.getTime, 10000L)
+    val q = flushed.writeStream.format("memory").queryName("x6b").outputMode("append").start()
+    withQuery(q) {
+      in.addData(("a", ts(1))); q.processAllAvailable()
+      in.addData(("a", ts(3))); q.processAllAvailable() // second batch, same key
+      in.addData(("z", ts(30))); q.processAllAvailable() // watermark past deadline
+      in.addData(("z", ts(31))); q.processAllAvailable() // timeout must still fire
+      val got = spark.table("x6b").as[(String, Long, Long)].collect().toSeq
+      assert(got.contains(("a", 1000L, 2L)),
+        s"timer lost after multi-batch key: $got")
+    }
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates, " +
       "evicts state for old keys") {
     val in = MemoryStream[(Long, Timestamp)](12, spark, None)
