@@ -106,6 +106,13 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)),
+    // k-means cell occupancy over the IVF quantizer (clustering summary)
+    "q_cluster_sizes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb, 16))
+        .groupBy("cell").count().withColumnRenamed("count", "cnt")
+    }),
     // ---- custom Aggregator through the SQL-visible udaf() path (§2.11 A5) ----
     "q_custom_agg" -> ((s, d) => {
       val mean = udaf(new graft.agg.Aggregators.MeanAggregator[Double](identity),
@@ -288,6 +295,16 @@ object SparkEntry {
     "q_custom_agg" ->
       ("SELECT event_type, round(avg(value), 4) AS mean_v, count(*) AS cnt " +
         "FROM events GROUP BY event_type"),
+    "q_tfidf" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM terms GROUP BY word), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, tf.word AS word, tf, " +
+        "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.word ASC) AS INT) AS rk " +
+        "FROM tf, df, n WHERE tf.word = df.word) " +
+        "SELECT doc_id, word, tfidf, rk FROM scored WHERE rk <= 3"),
     "q_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median, " +
         "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),

@@ -70,6 +70,32 @@ object TextAnalysis {
     scored.select(col("doc_id"), best.as("pred_lang"))
   }
 
+  /** TF-IDF top terms per document — the classic keyword-extraction /
+    * feature-weighting operator. tf = in-document term count,
+    * idf = ln(N / df); top `n` terms per doc with deterministic tie-break.
+    * Scale: two aggregations (term counts, document frequencies) + one
+    * broadcast-able join on the term dictionary; the corpus text itself is
+    * exploded once and never shuffled again.
+    */
+  def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    // rank on the RAW score (the oracle does too): ranking on the rounded
+    // value would order near-ties differently across engines
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("tfidf_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .select(col("doc_id"), col("word"), round(col("tfidf_raw"), 4).as("tfidf"),
+        col("rk"))
+  }
+
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
     * keys instead of full documents.
