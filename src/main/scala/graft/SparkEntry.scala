@@ -79,6 +79,21 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
     }),
+    // ---- semi/anti joins and pivot (OLAP breadth; Catalyst-native) ----
+    "q_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "q_anti_join" -> ((s, d) =>
+      // customers with no high-value order (non-empty at every SF)
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)),
     // ---- evictor + keyed-state batch analogues (§2.7 G6, §2.10 X2/X3) ----
     "q_keep_last3" -> ((s, d) =>
       Evictors.keepLastN(Tables.events(s, d), "user_id", "ts", "event_id", 3)),
@@ -245,6 +260,20 @@ object SparkEntry {
       ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn " +
         "FROM events) WHERE rn <= 3"),
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id"),
     "q_topn_per_key" ->
       ("SELECT user_id, event_id, value, rn FROM (SELECT user_id, event_id, value, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rn " +
