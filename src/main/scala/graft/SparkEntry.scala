@@ -226,8 +226,10 @@ object SparkEntry {
         "time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS w_end, " +
         "count(*) AS cnt FROM events, range(4) t(k) GROUP BY 1, 2"),
     "q_window_session" ->
+      // strict '<': Spark session_window starts a NEW session for events
+      // exactly gap apart (merge requires gap strictly less than the gap)
       ("WITH m AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
-        "(PARTITION BY user_id ORDER BY ts) <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess " +
+        "(PARTITION BY user_id ORDER BY ts) < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess " +
         "FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER " +
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
         "SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end, " +

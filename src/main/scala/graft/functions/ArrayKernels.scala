@@ -80,7 +80,10 @@ object ArrayKernels {
       val hs = in.asInstanceOf[ArrayData]
       val n = hs.numElements()
       val mins = Array.fill(k)(Long.MaxValue)
-      val nShingles = math.max(n - shingleK + 1, if (n > 0) 1 else 0)
+      // docs with fewer than shingleK tokens have an EMPTY shingle set:
+      // the all-MaxValue signature is the empty-set marker (callers filter
+      // it before LSH banding — empty sets have no meaningful similarity)
+      val nShingles = math.max(n - shingleK + 1, 0)
       var j = 0
       while (j < nShingles) {
         var sh = 0L
@@ -114,7 +117,7 @@ object ArrayKernels {
            |int $n = $in.numElements();
            |long[] $mins = new long[$k];
            |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-           |int $nSh = java.lang.Math.max($n - $shingleK + 1, $n > 0 ? 1 : 0);
+           |int $nSh = java.lang.Math.max($n - $shingleK + 1, 0);
            |for (int $j = 0; $j < $nSh; $j++) {
            |  long $sh = 0L;
            |  for (int $t = 0; $t < $shingleK && $j + $t < $n; $t++) {
@@ -240,6 +243,7 @@ object ArrayKernels {
     * cheap per-media feature vector; codegen'd single pass.
     */
   case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+    require(bins > 0 && bins <= 256, s"byte_histogram: bins must be in 1..256, got $bins")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {

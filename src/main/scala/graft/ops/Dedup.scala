@@ -70,11 +70,17 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"minHashLshPairs: bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     // materialize signatures once: they are tiny (k longs per doc) and both
     // sides of the bucket self-join need them — without this the whole
     // shingle→hash pipeline runs twice (and at 100 TB, twice over the corpus)
-    val sigs = minHashSignatures(docs, shingleK, numHashes).localCheckpoint()
+    // drop empty-shingle-set docs (all-MaxValue marker sigs): they carry no
+    // similarity signal and would otherwise all collide into one bucket
+    val sigs = minHashSignatures(docs, shingleK, numHashes)
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .localCheckpoint()
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         .cast("array<string>"), ","))

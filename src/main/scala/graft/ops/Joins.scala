@@ -20,7 +20,9 @@ object Joins {
     * plan node; any downstream agg shuffles once.
     */
   def unionCounts(a: DataFrame, b: DataFrame, key: String): DataFrame =
-    a.union(b).groupBy(col(key)).count().withColumnRenamed("count", "cnt")
+    // by name, not position: positional union silently mis-associates
+    // columns when the two sides list the same fields in different order
+    a.unionByName(b).groupBy(col(key)).count().withColumnRenamed("count", "cnt")
 
   /** Windowed equi-join (J2, reference HandlingMultipleStreams.scala:87-129):
     * pairs of events from both sides with the same key inside the same
@@ -61,5 +63,5 @@ object Joins {
     */
   def coMap(a: DataFrame, fa: DataFrame => DataFrame,
       b: DataFrame, fb: DataFrame => DataFrame): DataFrame =
-    fa(a).union(fb(b))
+    fa(a).unionByName(fb(b))
 }

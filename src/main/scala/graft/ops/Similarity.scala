@@ -40,6 +40,9 @@ object Similarity {
   private def unitVecs(emb: DataFrame, idAs: String, embAs: String): DataFrame =
     emb.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("e"),
         l2norm(asDouble(col("embedding"))).as("nrm"))
+      // zero-norm vectors have no direction: excluded rather than silently
+      // divided into NULLs (which the dot kernel would read as 0.0)
+      .where(col("nrm") > 0)
       .select(col(idAs), transform(col("e"), x => x / col("nrm")).as(embAs))
 
   /** Cosine similarity of every corpus vector against one query vector

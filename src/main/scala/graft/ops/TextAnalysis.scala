@@ -78,11 +78,13 @@ object TextAnalysis {
     * exploded once and never shuffled again.
     */
   def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
-    val nDocs = docs.count()
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    // one corpus scan: tf is materialized (small: distinct doc-word pairs)
+    // and both df and the doc count derive from it
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val nDocs = tf.select("doc_id").distinct().count()
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // rank on the RAW score (the oracle does too): ranking on the rounded
     // value would order near-ties differently across engines
     val w = org.apache.spark.sql.expressions.Window

@@ -70,10 +70,10 @@ object Generators {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
-  /** Streaming twin of S5-S8: a rate-source-driven shopping cart stream —
-    * maps the monotonically increasing `value` to the same deterministic
-    * event the batch generator yields. Use for demos; tests prefer
-    * MemoryStream for exact control.
+  /** Streaming twin of S5-S8: a rate-source-driven shopping cart stream.
+    * Events are derived arithmetically from the rate source's `value`
+    * (NOT the same sequence as the seeded batch generator — same shape,
+    * different draw). Use for demos; tests prefer MemoryStream.
     */
   def shoppingCartStream(spark: SparkSession, base: Instant, rowsPerSecond: Int = 10) = {
     import spark.implicits._

@@ -217,9 +217,10 @@ object Stateful {
           // timeout each time the function is called for a key, so setting
           // it only on the first batch would lose the timer (and leak the
           // state) for any key spanning multiple micro-batches. Clamp above
-          // the current watermark as Spark requires.
-          state.setTimeoutTimestamp(
-            math.max(start + windowMs, state.getCurrentWatermarkMs() + 1))
+          // the current watermark as Spark requires; batch execution has no
+          // watermark (getCurrentWatermarkMs throws) and no firing timers.
+          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => Long.MinValue }
+          state.setTimeoutTimestamp(math.max(start + windowMs, wm + 1))
           Iterator.empty
         }
     }

@@ -26,8 +26,8 @@ object StreamingOps {
     stream.withWatermark(tsCol, delay)
       .groupBy((window(col(tsCol), size) +: keys.map(col)): _*)
       .count()
-      .select((Seq(col("window.start").as("w_start")) ++ keys.map(col) :+
-        col("count").as("cnt")): _*)
+      .select((Seq(col("window.start").as("w_start"), col("window.end").as("w_end")) ++
+        keys.map(col) :+ col("count").as("cnt")): _*)
 
   /** M1+W2: watermarked sliding window count. */
   def slidingCount(stream: DataFrame, tsCol: String, delay: String, size: String,
@@ -35,7 +35,8 @@ object StreamingOps {
     stream.withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), size, slide))
       .count()
-      .select(col("window.start").as("w_start"), col("count").as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("count").as("cnt"))
 
   /** M1+W3: watermarked session window (gap-merged, per key). */
   def sessionCount(stream: DataFrame, tsCol: String, delay: String, gap: String,
@@ -44,7 +45,7 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(key))
       .count()
       .select(col(key), col("session_window.start").as("sess_start"),
-        col("count").as("cnt"))
+        col("session_window.end").as("sess_end"), col("count").as("cnt"))
 
   /** A4 streaming: running word/key count in update mode — emits the
     * updated count per key on every arrival, the reference's

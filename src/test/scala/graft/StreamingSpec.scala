@@ -69,13 +69,13 @@ class StreamingSpec extends SparkSpec {
       in.addData(("a", ts(1)), ("a", ts(2))); q.processAllAvailable()
       in.addData(("a", ts(25))); q.processAllAvailable() // advances watermark past 10
       in.addData(("a", ts(26))); q.processAllAvailable() // extra batch to emit finalized
-      val got = spark.table("m1").as[(Timestamp, String, Long)].collect().toSeq
-      assert(got.contains((ts(0), "a", 2L))) // window [0,10) finalized with 2 events
+      val got = spark.table("m1").as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+      assert(got.contains((ts(0), ts(10), "a", 2L))) // window [0,10) finalized, 2 events
       // late event for the closed [0,10) window: silently dropped
       in.addData(("a", ts(3))); q.processAllAvailable()
       in.addData(("a", ts(40))); q.processAllAvailable()
       in.addData(("a", ts(41))); q.processAllAvailable()
-      val after = spark.table("m1").as[(Timestamp, String, Long)].collect().toSeq
+      val after = spark.table("m1").as[(Timestamp, Timestamp, String, Long)].collect().toSeq
       assert(after.count(_._1 == ts(0)) == 1) // still exactly one [0,10) row, cnt 2
     }
   }
@@ -144,9 +144,9 @@ class StreamingSpec extends SparkSpec {
       in.addData(("a", ts(1)), ("a", ts(3)), ("a", ts(20))); q.processAllAvailable()
       in.addData(("a", ts(60))); q.processAllAvailable() // watermark passes both sessions
       in.addData(("a", ts(61))); q.processAllAvailable()
-      val got = spark.table("w3").as[(String, Timestamp, Long)].collect().toSet
-      assert(got.contains(("a", ts(1), 2L)))  // [1,3] merged (gap 2s < 5s)
-      assert(got.contains(("a", ts(20), 1L))) // 20 is its own session
+      val got = spark.table("w3").as[(String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got.contains(("a", ts(1), ts(8), 2L)))   // [1,3] merged, end = last + gap
+      assert(got.contains(("a", ts(20), ts(25), 1L))) // 20 is its own session
     }
   }
 
