@@ -9,7 +9,7 @@ object Bench {
     */
   private def exercise(df: DataFrame): Unit = {
     // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
       .agg(expr("bit_xor(h)")).collect()
     ()
   }

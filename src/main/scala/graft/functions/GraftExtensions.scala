@@ -17,7 +17,7 @@ import ArrayKernels._
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(ArrayKernels.getClass.getName, null, name, usage, "")
+    new ExpressionInfo(ArrayKernels.getClass.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   private[functions] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("array_dot",

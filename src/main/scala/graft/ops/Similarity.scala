@@ -127,7 +127,7 @@ object Similarity {
     centroids
   }
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+  private def centroidLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
   /** Assign every vector to its nearest centroid cell. The per-vector cost
     * is k dot products through the codegen kernel; output carries only
@@ -137,7 +137,7 @@ object Similarity {
   def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val u = unitVecs(emb, "vec_id", "e")
     // argmax over k cells via struct-max: (dot, -cell) → best dot, lowest id
-    val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
+    val best = greatest(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dot(col("e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
     }: _*)
     u.select(col("vec_id"), col("e"), (-best.getField("neg_cell")).as("cell"))
@@ -157,7 +157,7 @@ object Similarity {
       (c.zip(q).map { case (x, y) => x * y }.sum, i)
     }.sortBy(-_._1).take(nprobe).map(_._2)
     assigned
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) &&
+      .where(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryId)
       .select(col("vec_id"),
         round(dot(col("e"), centroidLit(q)), 4).as("cos"))
@@ -174,7 +174,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val proj = dot(emb, array(plane.map(v => lit(v)): _*))
+      val proj = dot(emb, array(plane.toIndexedSeq.map(v => lit(v)): _*))
       acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
     }
   }
