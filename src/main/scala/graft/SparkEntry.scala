@@ -109,6 +109,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2)),
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    "q_sorted_dedup" -> ((s, d) =>
+      Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)),
     "q_ngram_jaccard" -> ((s, d) => {
       // deterministic candidate set: all pairs among the 20 lowest doc_ids
       val small = Tables.documents(s, d).where(col("doc_id") < 20)
@@ -289,6 +291,17 @@ object SparkEntry {
         "count(*) AS n_docs FROM documents GROUP BY lang"),
     "q_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
+    "q_sorted_dedup" ->
+      (s"WITH k AS (SELECT doc_id, list_distinct(toks) AS tset, " +
+        "array_to_string(toks[1:3], ' ') AS blk, toks[1] AS blk_head " +
+        s"FROM (SELECT doc_id, $TOKS AS toks FROM documents)), " +
+        "p AS (SELECT doc_id, tset, lag(doc_id) OVER w AS prev_id, lag(tset) OVER w AS prev_tset " +
+        "FROM k WINDOW w AS (PARTITION BY blk_head ORDER BY blk, doc_id)), " +
+        "j AS (SELECT least(prev_id, doc_id) AS a_id, greatest(prev_id, doc_id) AS b_id, " +
+        "round(CAST(len(list_intersect(tset, prev_tset)) AS DOUBLE) / " +
+        "greatest(len(list_distinct(tset || prev_tset)), 1), 4) AS jaccard " +
+        "FROM p WHERE prev_id IS NOT NULL) " +
+        "SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9"),
     "q_ngram_jaccard" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2), " +

@@ -107,6 +107,36 @@ object Dedup {
       graft.functions.ArrayKernels.simhash64(
         transform(Core.tokens(col("text")), tok => xxhash64(tok))).as("simhash"))
 
+  /** Sorted-neighborhood dedup (SNM): sort by a blocking key (here the
+    * normalized token prefix), compare each doc to its sort-neighbor with
+    * token-set Jaccard. The sort-based alternative to LSH candidate
+    * generation — one global sort instead of a bucket self-join; near-dups
+    * share prefixes and land adjacent. Deterministic via (key, doc_id)
+    * ordering.
+    */
+  def sortedNeighborPairs(docs: DataFrame, prefixTokens: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val t = Core.tokens(col("text"))
+    val keyed = docs.select(col("doc_id"), array_distinct(t).as("tset"),
+      array_join(slice(t, 1, prefixTokens), " ").as("blk"),
+      // partition by the first blocking token: keeps the sort distributed
+      // (a global Window.orderBy would collapse to one partition); docs in
+      // different head groups share no prefix and are not near-dup-adjacent
+      get(t, lit(0)).as("blk_head"))
+    val w = Window.partitionBy(col("blk_head")).orderBy(col("blk"), col("doc_id"))
+    keyed
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_tset", lag(col("tset"), 1).over(w))
+      .where(col("prev_id").isNotNull)
+      .select(
+        least(col("prev_id"), col("doc_id")).as("a_id"),
+        greatest(col("prev_id"), col("doc_id")).as("b_id"),
+        round(size(array_intersect(col("tset"), col("prev_tset"))).cast("double") /
+          greatest(size(array_union(col("tset"), col("prev_tset"))), lit(1)), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */
