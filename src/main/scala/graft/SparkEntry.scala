@@ -293,10 +293,10 @@ object SparkEntry {
       s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
     "q_sorted_dedup" ->
       (s"WITH k AS (SELECT doc_id, list_distinct(toks) AS tset, " +
-        "array_to_string(toks[1:3], ' ') AS blk, toks[1] AS blk_head " +
+        "array_to_string(toks[1:3], ' ') AS blk, array_to_string(toks[1:2], ' ') AS blk_pfx " +
         s"FROM (SELECT doc_id, $TOKS AS toks FROM documents)), " +
         "p AS (SELECT doc_id, tset, lag(doc_id) OVER w AS prev_id, lag(tset) OVER w AS prev_tset " +
-        "FROM k WINDOW w AS (PARTITION BY blk_head ORDER BY blk, doc_id)), " +
+        "FROM k WINDOW w AS (PARTITION BY blk_pfx ORDER BY blk, doc_id)), " +
         "j AS (SELECT least(prev_id, doc_id) AS a_id, greatest(prev_id, doc_id) AS b_id, " +
         "round(CAST(len(list_intersect(tset, prev_tset)) AS DOUBLE) / " +
         "greatest(len(list_distinct(tset || prev_tset)), 1), 4) AS jaccard " +

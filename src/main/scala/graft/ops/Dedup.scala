@@ -115,15 +115,20 @@ object Dedup {
     * ordering.
     */
   def sortedNeighborPairs(docs: DataFrame, prefixTokens: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, blockTokens: Int = 2): DataFrame = {
     val t = Core.tokens(col("text"))
     val keyed = docs.select(col("doc_id"), array_distinct(t).as("tset"),
       array_join(slice(t, 1, prefixTokens), " ").as("blk"),
-      // partition by the first blocking token: keeps the sort distributed
-      // (a global Window.orderBy would collapse to one partition); docs in
-      // different head groups share no prefix and are not near-dup-adjacent
-      get(t, lit(0)).as("blk_head"))
-    val w = Window.partitionBy(col("blk_head")).orderBy(col("blk"), col("doc_id"))
+      // partition by a `blockTokens`-token prefix: keeps the sort distributed
+      // (a global Window.orderBy would collapse to one partition) AND avoids
+      // head-token skew — on natural text a huge share of documents starts
+      // with the same word ("the", "a", …), so a 1-token block would make one
+      // partition absorb most of the corpus; a 2-token prefix has
+      // quadratically more distinct values and Spark hash-distributes the
+      // high-cardinality key across shuffle partitions. Docs in different
+      // blocks share <blockTokens prefix tokens and are not SNM-adjacent.
+      array_join(slice(t, 1, blockTokens), " ").as("blk_pfx"))
+    val w = Window.partitionBy(col("blk_pfx")).orderBy(col("blk"), col("doc_id"))
     keyed
       .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
       .withColumn("prev_tset", lag(col("tset"), 1).over(w))

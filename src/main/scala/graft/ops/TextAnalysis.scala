@@ -79,11 +79,15 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
-    // one corpus scan: tf is materialized (small: distinct doc-word pairs)
-    // and both df and the doc count derive from it
+    // N is the full corpus size (docs WITH ZERO TOKENS included — idf must
+    // not shift when empty documents exist), computed from the parquet
+    // row-group metadata, not from a corpus-sized materialization
+    val nDocs = docs.count()
+    // tf and df are two independent aggregations over the same narrow
+    // explode; re-running the explode is cheaper at scale than pinning a
+    // corpus-sized intermediate in executor storage (lineage stays
+    // recomputable after executor loss, unlike localCheckpoint)
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val nDocs = tf.select("doc_id").distinct().count()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // rank on the RAW score (the oracle does too): ranking on the rounded
     // value would order near-ties differently across engines

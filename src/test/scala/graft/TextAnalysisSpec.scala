@@ -40,6 +40,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("tfidf: empty documents count toward N but emit no terms") {
+    // 4 docs, one token-less: idf = ln(4/df), NOT ln(3/df) — an engine that
+    // derives N from the exploded term table silently shifts every score
+    val docs = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "alpha gamma", "en"),
+      (3L, "beta gamma", "en"),
+      (4L, "!!! ...", "en") // zero tokens after normalization
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tfIdfTopTerms(docs, 2)
+      .as[(Long, String, Double, Int)].collect()
+    assert(!got.exists(_._1 == 4L)) // no rows for the empty doc
+    // every term appears in 2 of 4 docs: tfidf = 1 * ln(4/2) = 0.6931
+    assert(got.forall(_._3 == 0.6931), got.mkString(", "))
+    assert(got.count(_._1 == 1L) == 2)
+  }
+
   test("token stats per language") {
     val docs = Seq(
       (1L, "one two three", "en"),

@@ -25,4 +25,23 @@ time("50k-minhash-lsh")(graft.SparkEntry.queries("q_minhash_lsh")(spark, s).coun
 time("50k-word-count")(graft.SparkEntry.queries("q_word_count")(spark, s).count())
 time("20k-lsh-pairs")(graft.SparkEntry.queries("q_lsh_pairs")(spark, s).count())
 time("20k-nn-bruteforce")(graft.SparkEntry.queries("q_nn")(spark, s).count())
+// SNM skew stress: 1M synthetic docs, 30% sharing the head token "the" —
+// the case where 1-token blocking collapses 300k docs into one partition.
+// 2-token-prefix blocking must spread them (near-dup neighbors still share
+// the full prefix, so recall within blocks is unaffected).
+val skew = spark.range(1000000L).select(col("id").as("doc_id"),
+  concat(
+    when(col("id") % 10 < 3, lit("the")).otherwise(concat(lit("w"), pmod(col("id"), lit(5000)))),
+    lit(" tok"), pmod(col("id"), lit(40000)),
+    lit(" body x"), pmod(col("id"), lit(97)), lit(" y"), pmod(col("id"), lit(89))
+  ).as("text"), lit("en").as("lang"))
+skew.write.mode("overwrite").parquet("/tmp/stress/skewdocs.parquet")
+val sd = spark.read.parquet("/tmp/stress/skewdocs.parquet")
+time("1M-sorted-dedup-skew")(graft.ops.Dedup.sortedNeighborPairs(sd, threshold = 0.5).count())
+// straggler check: rows per hashed blk_pfx shuffle target — max should sit
+// near avg (1-token blocking would put ~300k rows in the "the" partition)
+val blkPfx = expr("array_join(slice(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''), 1, 2), ' ')")
+val skewStats = sd.select(pmod(hash(blkPfx), lit(32)).as("p")).groupBy("p").count()
+  .agg(max("count").as("mx"), avg("count").as("av")).collect()(0)
+println(s"SKEW blk_pfx partitions: max=${skewStats.getLong(0)} avg=${skewStats.getDouble(1)}")
 sys.exit(0)
