@@ -107,7 +107,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedupStats(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2)),
+      Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2,
+        indexName = Some(IndexTables.ident("minhash", d)))),
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "q_sorted_dedup" -> ((s, d) =>
       Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)),
@@ -124,11 +125,14 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)),
-    // k-means cell occupancy over the IVF quantizer (clustering summary)
+    // k-means cell occupancy over the IVF quantizer (clustering summary);
+    // probes the SAME persisted index as q_ivf_topk — centroids trained and
+    // assignment written once, and the groupBy("cell") rides the bucketing
+    // (no Exchange)
     "q_cluster_sizes" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb, 16))
-        .groupBy("cell").count().withColumnRenamed("count", "cnt")
+      val (_, assigned) = Similarity.ivfIndex(Tables.embeddings(s, d), 16,
+        IndexTables.ident("ivf", d))
+      assigned.groupBy("cell").count().withColumnRenamed("count", "cnt")
     }),
     // ---- custom Aggregator through the SQL-visible udaf() path (§2.11 A5) ----
     "q_custom_agg" -> ((s, d) => {
@@ -175,12 +179,21 @@ object SparkEntry {
     "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
     "q_lsh_pairs" -> ((s, d) =>
-      Similarity.lshCandidatePairs(Tables.embeddings(s, d), dim = 64, minCos = -1.0)),
+      Similarity.lshCandidatePairs(
+        Similarity.lshIndex(Tables.embeddings(s, d), dim = 64,
+          IndexTables.ident("lsh", d)), minCos = -1.0)),
+    // scale-path NN default: LSH candidates → exact rescore → argmax.
+    // q_nn stays as the exact O(N²) verifier; DedupSimilaritySpec asserts
+    // recall ≥ 0.95 of this path against it.
+    "q_nn_lsh" -> ((s, d) =>
+      Similarity.lshNearestNeighbour(Tables.embeddings(s, d), dim = 64,
+        indexName = Some(IndexTables.ident("lsh_nn", d)))),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, 0L, 10, Similarity.ivfCentroids(emb, 16), nprobe = 16)
+      val (cents, assigned) = Similarity.ivfIndex(Tables.embeddings(s, d), 16,
+        IndexTables.ident("ivf", d))
+      Similarity.ivfTopK(assigned, 0L, 10, cents, nprobe = 16)
     }),
   )
 

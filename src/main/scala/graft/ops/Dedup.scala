@@ -69,7 +69,8 @@ object Dedup {
     * standard near-dup pipeline (shingle → minhash → band → bucket join).
     */
   def minHashLshPairs(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.5,
+      indexName: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"minHashLshPairs: bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
@@ -78,9 +79,16 @@ object Dedup {
     // shingle→hash pipeline runs twice (and at 100 TB, twice over the corpus)
     // drop empty-shingle-set docs (all-MaxValue marker sigs): they carry no
     // similarity signal and would otherwise all collide into one bucket
-    val sigs = minHashSignatures(docs, shingleK, numHashes)
+    val rawSigs = minHashSignatures(docs, shingleK, numHashes)
       .where(element_at(col("sig"), 1) =!= Long.MaxValue)
-      .localCheckpoint()
+    // with indexName: a persisted signature table (build-once, survives
+    // executor loss, shared across queries) — the 100 TB path; otherwise a
+    // localCheckpoint for one-off/test corpora
+    val sigs = indexName match {
+      case Some(n) =>
+        IndexTables.plain(docs.sparkSession, s"${n}_h${numHashes}_k$shingleK")(rawSigs)
+      case None => rawSigs.localCheckpoint()
+    }
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         .cast("array<string>"), ","))

@@ -129,6 +129,39 @@ object Similarity {
 
   private def centroidLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
+  /** Memoized centroid load per index name — q_ivf_topk and
+    * q_cluster_sizes probe the SAME quantizer instead of each re-running
+    * k-means (the index, not the query, owns the centroids).
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** IVF index: train the coarse quantizer once, persist it (the quantizer
+    * is part of the index — FAISS-style — so a fresh process LOADS the k
+    * tiny centroid rows instead of retraining), and persist the cell
+    * assignment (vec_id, e, cell) as a parquet table bucketed by `cell` —
+    * built once, probed by every ANN/clustering query. At 100 TB this is
+    * the difference between an index (amortized across the workload) and a
+    * per-query full-corpus pass; bucketing by cell also means cell-local
+    * aggregations/joins need no Exchange.
+    * Returns (centroids, assignment scan).
+    */
+  def ivfIndex(emb: DataFrame, k: Int, name: String,
+      nBuckets: Int = 8): (Array[Array[Double]], DataFrame) = {
+    val spark = emb.sparkSession
+    val cents = centroidCache.getOrElseUpdate(s"$name-$k", {
+      import spark.implicits._
+      val stored = IndexTables.plain(spark, s"${name}_${k}_centroids")(
+        ivfCentroids(emb, k).zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
+      stored.orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+    })
+    val assigned = IndexTables.bucketed(spark, s"${name}_$k",
+      nBuckets, Seq("cell"), Seq("cell", "vec_id"))(ivfAssign(emb, cents))
+    (cents, assigned)
+  }
+
   /** Assign every vector to its nearest centroid cell. The per-vector cost
     * is k dot products through the codegen kernel; output carries only
     * (vec_id, cell, unit vector), so downstream probes shuffle ids+vecs,
@@ -147,10 +180,14 @@ object Similarity {
     * closest to the query and scan only those cells — the ANN scale path
     * (brute force over ~nprobe/k of the corpus). Exact within the probed
     * cells; recall is tunable via nprobe.
+    *
+    * `assigned` is the (vec_id, e, cell) assignment — normally the bucketed
+    * index table from [[ivfIndex]] (build-once; probing is a pushed-down
+    * cell filter + TakeOrdered, no Exchange anywhere), or a raw
+    * [[ivfAssign]] result for one-off/test use.
     */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, centroids: Array[Array[Double]],
+  def ivfTopK(assigned: DataFrame, queryId: Long, k: Int, centroids: Array[Array[Double]],
       nprobe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, centroids).localCheckpoint()
     val q = assigned.where(col("vec_id") === queryId)
       .select(col("e").as("q_e")).collect().head.getSeq[Double](0).toArray
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
@@ -179,16 +216,76 @@ object Similarity {
     }
   }
 
-  /** LSH-bucketed near-neighbour candidate pairs with exact cosine —
-    * the scale path: only intra-bucket pairs are scored. Buckets + unit
-    * vectors are materialized once (tiny: id, bucket, unit vec) so the
-    * projection pipeline doesn't run on both sides of the self-join.
+  /** (vec_id, e, bucket) for one hyperplane-LSH table — the raw form of the
+    * LSH index; persist via [[lshIndex]] for probing at scale.
     */
-  def lshCandidatePairs(emb: DataFrame, dim: Int, numPlanes: Int = 8,
-      minCos: Double = 0.0): DataFrame = {
-    val bucketed = unitVecs(emb, "vec_id", "e")
-      .select(col("vec_id"), col("e"), lshBucket(col("e"), dim, numPlanes).as("bucket"))
-      .localCheckpoint()
+  def lshAssign(emb: DataFrame, dim: Int, numPlanes: Int = 8,
+      seed: Long = 42L): DataFrame =
+    unitVecs(emb, "vec_id", "e")
+      .select(col("vec_id"), col("e"),
+        lshBucket(col("e"), dim, numPlanes, seed).as("bucket"))
+
+  /** LSH index: persist (vec_id, e, bucket) as a parquet table bucketed by
+    * `bucket` — the self-join in [[lshCandidatePairs]] then co-locates by
+    * bucketing metadata alone (no Exchange; asserted in
+    * DedupSimilaritySpec).
+    */
+  def lshIndex(emb: DataFrame, dim: Int, name: String, numPlanes: Int = 8,
+      seed: Long = 42L, nBuckets: Int = 8): DataFrame =
+    IndexTables.bucketed(emb.sparkSession, s"${name}_p${numPlanes}_s$seed",
+      nBuckets, Seq("bucket"), Seq("bucket", "vec_id"))(
+      lshAssign(emb, dim, numPlanes, seed))
+
+  /** LSH-bucketed near-neighbour candidate pairs with exact cosine —
+    * the scale path: only intra-bucket pairs are scored. `bucketed` is the
+    * (vec_id, e, bucket) assignment — normally the [[lshIndex]] table, so
+    * the projection pipeline runs once at index build and the self-join
+    * shuffles nothing.
+    */
+  /** Approximate nearest neighbour for EVERY vector — the benched scale
+    * path replacing the O(N²) [[nearestNeighbour]] (which stays as the
+    * exact verifier; DedupSimilaritySpec measures recall against it).
+    *
+    * `numTables` independent hyperplane-LSH tables each bucket the corpus;
+    * intra-bucket pairs (both directions) are exactly rescored and a
+    * per-vector struct-max argmax keeps the best. Candidate work is
+    * Σ bucket², not N² — at 100× the corpus this grows ~linearly for fixed
+    * bucket occupancy (add planes as N grows). Duplicate candidates from
+    * multi-table collisions need no dedup pass: argmax is idempotent, and
+    * skipping the dedup avoids a shuffle that would carry vectors.
+    * Vectors isolated in every table emit no row (recall/coverage rises
+    * with numTables).
+    */
+  def lshNearestNeighbour(emb: DataFrame, dim: Int, numPlanes: Int = 6,
+      numTables: Int = 4, indexName: Option[String] = None): DataFrame = {
+    val u = unitVecs(emb, "vec_id", "e")
+    val buckets = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("e"), dim, numPlanes, seed = 42L + t).as("b"))
+    }: _*)
+    val raw = u.select(col("vec_id"), col("e"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("e"), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+    // the (tbl, bucket) assignment is the index: persisted + bucketed on the
+    // join key when named (self-join then shuffles nothing), checkpointed
+    // for one-off/test corpora
+    val assigned = indexName match {
+      case Some(n) => IndexTables.bucketed(emb.sparkSession,
+        s"${n}_p${numPlanes}_t$numTables", 8,
+        Seq("tbl", "bucket"), Seq("tbl", "bucket", "vec_id"))(raw)
+      case None => raw.localCheckpoint()
+    }
+    val l = assigned.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"), col("e").as("a_e"))
+    val r = assigned.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"), col("e").as("b_e"))
+    l.join(r, Seq("tbl", "bucket"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), dot(col("a_e"), col("b_e")).as("cos"))
+      .groupBy(col("a_id"))
+      .agg(max(struct(col("cos"), (-col("b_id")).as("neg_id"))).as("best"))
+      .select(col("a_id"), (-col("best.neg_id")).cast("long").as("nn_id"),
+        round(col("best.cos"), 4).as("cos"))
+  }
+
+  def lshCandidatePairs(bucketed: DataFrame, minCos: Double = 0.0): DataFrame = {
     val l = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("e").as("b_e"))
     l.join(r, Seq("bucket"))

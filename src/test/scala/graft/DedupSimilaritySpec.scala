@@ -109,18 +109,76 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cents = Similarity.ivfCentroids(vecs, k = 3, iters = 5)
     val exact = Similarity.topKForQuery(vecs, 0L, 5).as[(Long, Double)].collect().map(_._1).toSeq
-    val full = Similarity.ivfTopK(vecs, 0L, 5, cents, nprobe = 3)
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    val full = Similarity.ivfTopK(assigned, 0L, 5, cents, nprobe = 3)
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(full == exact) // probing every cell ≡ brute force
-    val probe1 = Similarity.ivfTopK(vecs, 0L, 5, cents, nprobe = 1)
+    val probe1 = Similarity.ivfTopK(assigned, 0L, 5, cents, nprobe = 1)
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(probe1.forall(id => id < 100L)) // home cluster only
     assert(probe1.size == 5)
   }
 
   test("LSH buckets put identical vectors in the same bucket") {
-    val pairs = Similarity.lshCandidatePairs(vecs, dim = 3, minCos = -1.0)
+    val pairs = Similarity.lshCandidatePairs(Similarity.lshAssign(vecs, dim = 3),
+      minCos = -1.0)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs((0L, 2L)) == 1.0)
+  }
+
+  test("LSH nearest-neighbour recall >= 0.95 vs exact baseline") {
+    // the dedup-shaped workload LSH-NN exists for: each base vector has a
+    // small-angle near-duplicate twin as its true NN
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 100).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+      Seq((i.toLong, v.map(_.toFloat), 0), (i + 1000L, twin, 0))
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.nearestNeighbour(vecs)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val approx = Similarity.lshNearestNeighbour(vecs, dim = 16)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val hits = exact.keys.count(id => approx.get(id).contains(exact(id)))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall (${hits}/${exact.size})")
+  }
+
+  test("LSH index table: candidate self-join probes with no shuffle exchange") {
+    val rnd = new scala.util.Random(3)
+    val many = (0L until 64L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Similarity.lshIndex(many, dim = 8, name = "lsh_probe_test",
+      numPlanes = 4, nBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Similarity.lshCandidatePairs(idx, minCos = -1.0)
+      val plan = pairs.queryExecution.executedPlan.toString
+      // bucketing supplies the hash distribution on both self-join sides
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(pairs.count() > 0)
+      // second request hits the catalog, not a rebuild
+      val again = Similarity.lshIndex(many, dim = 8, name = "lsh_probe_test",
+        numPlanes = 4, nBuckets = 4)
+      assert(again.count() == idx.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF index table: cell-size aggregation rides the bucketing (no exchange)") {
+    val rnd = new scala.util.Random(5)
+    val many = (0L until 64L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (cents, assigned) = Similarity.ivfIndex(many, 4, "ivf_probe_test", nBuckets = 4)
+    val sizes = assigned.groupBy("cell").count()
+    val plan = sizes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(sizes.as[(Int, Long)].collect().map(_._2).sum == 64L)
+    // probing is filter + TakeOrdered over the index — also exchange-free
+    val topk = Similarity.ivfTopK(assigned, 0L, 3, cents, nprobe = 2)
+    val probePlan = topk.queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange"), s"unexpected shuffle:\n$probePlan")
   }
 }
