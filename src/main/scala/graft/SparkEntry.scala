@@ -142,6 +142,20 @@ object SparkEntry {
         .agg(round(mean(col("value")), 4).as("mean_v"),
           count(lit(1)).as("cnt"))
     }),
+    // ---- sketches: mergeable approx aggregates (the 100 TB form of
+    // distinct-count / quantiles — fixed-size state, one pass, map-side
+    // combinable; SketchSpec asserts accuracy vs the exact aggregates).
+    // Sketch internals aren't bit-reproducible in DuckDB → rows-only.
+    "q_hll" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt"))),
+    "q_quantile_sketch" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1), 4).as("p50"),
+          round(element_at(col("qs"), 2), 4).as("p90"))),
     // ---- OLAP extras: percentiles, rollup subtotals, running windows ----
     "q_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type").agg(
@@ -362,6 +376,11 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.word ASC) AS INT) AS rk " +
         "FROM tf, df, n WHERE tf.word = df.word) " +
         "SELECT doc_id, word, tfidf, rk FROM scored WHERE rk <= 3"),
+    // valid while per-group n < accuracy=10000 (true at the sf0.01 gate):
+    // the sketch is then lossless and equals the exact discrete quantile
+    "q_quantile_sketch" ->
+      ("SELECT event_type, round(quantile_disc(value, 0.5), 4) AS p50, " +
+        "round(quantile_disc(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),
     "q_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median, " +
         "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),
@@ -392,7 +411,9 @@ object SparkEntry {
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
         "FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10"),
-    // q_minhash_lsh / q_simhash / q_lsh_pairs: sketch internals (xxhash64 /
-    // seeded projections) are not reproducible in DuckDB → rows-only check.
+    // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
+    // internals (xxhash64 / seeded projections / HLL++ registers) are not
+    // reproducible in DuckDB → rows-only check; accuracy asserted in
+    // SketchSpec / DedupSimilaritySpec instead.
   )
 }

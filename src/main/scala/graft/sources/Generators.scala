@@ -70,6 +70,60 @@ object Generators {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
+  /** Kafka source twin (BASELINE's north star names "Kafka/socket sources";
+    * the reference itself has no Kafka — this is the contract's gap).
+    * Standard Structured Streaming Kafka reader; value payloads are
+    * JSON-projected to typed cart events by [[kafkaValueToCartEvents]].
+    *
+    * At scale: one Spark input partition per Kafka topic-partition, offsets
+    * tracked in the checkpoint (exactly-once with idempotent/transactional
+    * sinks) — all handled by the connector; nothing here collects or
+    * re-shuffles the stream.
+    *
+    * Sandbox limit: no spark-sql-kafka connector jar ships in this
+    * environment, so `.load()` here fails with "Failed to find data
+    * source: kafka" (asserted as the documented negative test); the
+    * projection — the part that is ours — is unit-tested against a
+    * MemoryStream carrying the exact Kafka wire schema, and the socket
+    * source test stands in as the live-transport representative.
+    */
+  def kafkaCartEvents(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "earliest"): Dataset[ShoppingCartEvent] =
+    kafkaValueToCartEvents(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
+  /** Projection from the Kafka source wire schema (key, value, topic,
+    * partition, offset, timestamp, timestampType) to typed cart events:
+    * JSON-decode the value, event time from the payload with the broker
+    * ingestion timestamp as fallback. Pure column expressions — stays in
+    * codegen, no UDFs.
+    */
+  def kafkaValueToCartEvents(
+      kafka: org.apache.spark.sql.DataFrame): Dataset[ShoppingCartEvent] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val enc: org.apache.spark.sql.Encoder[ShoppingCartEvent] =
+      org.apache.spark.sql.Encoders.product[ShoppingCartEvent]
+    val payload = StructType(Seq(
+      StructField("eventType", StringType), StructField("userId", StringType),
+      StructField("sku", StringType), StructField("quantity", IntegerType),
+      StructField("time", TimestampType)))
+    kafka
+      .select(from_json(col("value").cast("string"), payload).as("j"),
+        col("timestamp"))
+      .select(
+        coalesce(col("j.eventType"), lit("add")).as("eventType"),
+        col("j.userId").as("userId"),
+        col("j.sku").as("sku"),
+        coalesce(col("j.quantity"), lit(0)).as("quantity"),
+        coalesce(col("j.time"), col("timestamp")).as("time"))
+      .as[ShoppingCartEvent]
+  }
+
   /** Streaming twin of S5-S8: a rate-source-driven shopping cart stream.
     * Events are derived arithmetically from the rate source's `value`
     * (NOT the same sequence as the seeded batch generator — same shape,

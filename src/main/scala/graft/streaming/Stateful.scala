@@ -128,6 +128,25 @@ object Stateful {
         fires.result().iterator
     }
 
+  /** G1 scoped per tumbling event-time window — the reference's actual
+    * composite (`CountTrigger.of(n)` INSIDE `TumblingEventTimeWindows`,
+    * reference WindowAssignersAndTriggers.scala:44-53): every (key, window)
+    * pair runs an independent count-trigger state machine, firing its
+    * cumulative in-window count at n, 2n, … elements. Keying by the
+    * composite (key, windowStart) is exactly how Flink scopes trigger state
+    * to a window: per-open-window state stays O(1) and windows hash-
+    * distribute across the cluster like any other key.
+    * Emits (key, windowStartMs, cumulativeInWindowCount).
+    */
+  def windowedCountTrigger[K, T](ds: Dataset[T], key: T => K,
+      eventTimeMs: T => Long, windowMs: Long, n: Int)(
+      implicit eK: Encoder[(K, Long)], e1: Encoder[(Long, Long)],
+      e2: Encoder[((K, Long), Long)],
+      e3: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] =
+    countTrigger(ds.groupByKey(t =>
+        (key(t), Math.floorDiv(eventTimeMs(t), windowMs) * windowMs)), n)
+      .map { case ((k, w), c) => (k, w, c) }
+
   /** G2: purging count trigger — fire and clear every `n` elements
     * (`PurgingTrigger.of(CountTrigger.of(n))`,
     * reference WindowAssignersAndTriggers.scala:92-116: outputs n,n,n,…).
@@ -218,8 +237,11 @@ object Stateful {
           // it only on the first batch would lose the timer (and leak the
           // state) for any key spanning multiple micro-batches. Clamp above
           // the current watermark as Spark requires; batch execution has no
-          // watermark (getCurrentWatermarkMs throws) and no firing timers.
-          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => Long.MinValue }
+          // watermark (getCurrentWatermarkMs throws UnsupportedOperation-
+          // Exception — caught specifically so real errors still surface)
+          // and no firing timers.
+          val wm = try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => Long.MinValue }
           state.setTimeoutTimestamp(math.max(start + windowMs, wm + 1))
           Iterator.empty
         }

@@ -47,6 +47,26 @@ object StreamingOps {
       .select(col(key), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("count").as("cnt"))
 
+  /** W5: TRUE processing-time tumbling window
+    * (`TumblingProcessingTimeWindows`,
+    * reference TimeBasedTransformations.scala:69,104-107): every row is
+    * stamped with the wall clock AT INGESTION (`current_timestamp()` — in
+    * a streaming query this is the micro-batch timestamp, Spark's
+    * processing-time notion) and windowed on that stamp. Inherently
+    * nondeterministic across runs, exactly as the reference demonstrates
+    * by printing different window contents per execution — hence
+    * test-smoke only; the oracled pipelines recast W5 over event time
+    * (SURVEY §7.4.2).
+    */
+  def processingTimeTumblingCount(stream: DataFrame, size: String,
+      keys: String*): DataFrame =
+    stream.withColumn("proc_time", current_timestamp())
+      .withWatermark("proc_time", "0 seconds")
+      .groupBy((window(col("proc_time"), size) +: keys.map(col)): _*)
+      .count()
+      .select((Seq(col("window.start").as("w_start"), col("window.end").as("w_end")) ++
+        keys.map(col) :+ col("count").as("cnt")): _*)
+
   /** A4 streaming: running word/key count in update mode — emits the
     * updated count per key on every arrival, the reference's
     * `keyBy(0).sum(1)` observable (reference

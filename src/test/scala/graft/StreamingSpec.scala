@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("G1-in-W1 count trigger scoped per 3s tumbling window fires 10,20,… " +
+      "independently per window (WindowAssignersAndTriggers.scala:44-53)") {
+    val in = MemoryStream[(String, Timestamp)](40, spark, None)
+    val fires = Stateful.windowedCountTrigger(in.toDS(),
+      (t: (String, Timestamp)) => t._1, (t: (String, Timestamp)) => t._2.getTime,
+      windowMs = 3000L, n = 10)
+    val q = fires.writeStream.format("memory").queryName("g1w").outputMode("append").start()
+    withQuery(q) {
+      // window [0,3s): 25 events arriving across two micro-batches
+      in.addData((1 to 7).map(i => ("u", ts(0.1 * i))): _*); q.processAllAvailable()
+      in.addData((8 to 25).map(i => ("u", ts(0.1 * i))): _*); q.processAllAvailable()
+      // window [3s,6s): 12 events — its own firing sequence restarts at 10
+      in.addData((1 to 12).map(i => ("u", ts(3.0 + 0.1 * i))): _*); q.processAllAvailable()
+      val got = spark.table("g1w").as[(String, Long, Long)].collect().sorted.toSeq
+      // reference output shape: each window emits 10, 20, … for ITS elements
+      assert(got == Seq(("u", 0L, 10L), ("u", 0L, 20L), ("u", 3000L, 10L)), got.toString)
+    }
+  }
+
   test("G2 purging trigger emits n,n,n across batches " +
       "(TriggersAndEvictors.scala:85-102)") {
     val in = MemoryStream[(String, Int)](3, spark, None)
@@ -56,6 +75,24 @@ class StreamingSpec extends SparkSpec {
       in.addData(Seq.fill(5)(("k", 1)): _*); q.processAllAvailable()
       val got = spark.table("g2").as[(String, Long)].collect().map(_._2).toSeq
       assert(got == Seq(3L, 3L, 3L)) // 9 elements → three purged fires
+    }
+  }
+
+  test("W5 true processing-time tumbling window: rows bucket by wall-clock " +
+      "ingestion stamp (TimeBasedTransformations.scala:69,104-107)") {
+    val in = MemoryStream[String](41, spark, None)
+    val agg = StreamingOps.processingTimeTumblingCount(in.toDF(), "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("w5").outputMode("update").start()
+    withQuery(q) {
+      val t0 = System.currentTimeMillis()
+      in.addData("a", "b", "c"); q.processAllAvailable()
+      val got = spark.table("w5").collect()
+      assert(got.map(_.getLong(2)).sum == 3L) // all rows landed in some window
+      // the stamp is processing time, not any payload field: window bounds
+      // straddle the wall clock at ingestion (generous slack — the exact
+      // window is nondeterministic, as the reference itself demonstrates)
+      val starts = got.map(_.getTimestamp(0).getTime)
+      assert(starts.forall(s => s >= t0 - 60000 && s <= t0 + 60000))
     }
   }
 
