@@ -142,6 +142,23 @@ object SparkEntry {
         .agg(round(mean(col("value")), 4).as("mean_v"),
           count(lit(1)).as("cnt"))
     }),
+    // ---- deterministic sampling (hash-based: retry-stable, engine-
+    // reproducible, pushed down to the scan — no RNG state) ----
+    "q_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.1)
+        .select("doc_id", "lang")),
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.05)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))),
+    "q_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id", 0.8, 0.1)
+        .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    // near-dup clusters: connected components over the sorted-neighborhood
+    // candidate pairs (oracled via DuckDB's recursive CTE)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9))),
     // ---- sketches: mergeable approx aggregates (the 100 TB form of
     // distinct-count / quantiles — fixed-size state, one pass, map-side
     // combinable; SketchSpec asserts accuracy vs the exact aggregates).
@@ -213,6 +230,25 @@ object SparkEntry {
 
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 5-digit hex. */
+  private val HASHKEY =
+    "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  /** Shared CTE chain producing the sorted-neighborhood pair table `j` —
+    * used by both q_sorted_dedup and (as the edge source, under WITH
+    * RECURSIVE) q_dedup_clusters.
+    */
+  private val SORTED_CTES =
+    (s"k AS (SELECT doc_id, list_distinct(toks) AS tset, " +
+      "array_to_string(toks[1:3], ' ') AS blk, array_to_string(toks[1:2], ' ') AS blk_pfx " +
+      s"FROM (SELECT doc_id, $TOKS AS toks FROM documents)), " +
+      "p AS (SELECT doc_id, tset, lag(doc_id) OVER w AS prev_id, lag(tset) OVER w AS prev_tset " +
+      "FROM k WINDOW w AS (PARTITION BY blk_pfx ORDER BY blk, doc_id)), " +
+      "j AS (SELECT least(prev_id, doc_id) AS a_id, greatest(prev_id, doc_id) AS b_id, " +
+      "round(CAST(len(list_intersect(tset, prev_tset)) AS DOUBLE) / " +
+      "greatest(len(list_distinct(tset || prev_tset)), 1), 4) AS jaccard " +
+      "FROM p WHERE prev_id IS NOT NULL)")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -319,16 +355,28 @@ object SparkEntry {
     "q_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
     "q_sorted_dedup" ->
-      (s"WITH k AS (SELECT doc_id, list_distinct(toks) AS tset, " +
-        "array_to_string(toks[1:3], ' ') AS blk, array_to_string(toks[1:2], ' ') AS blk_pfx " +
-        s"FROM (SELECT doc_id, $TOKS AS toks FROM documents)), " +
-        "p AS (SELECT doc_id, tset, lag(doc_id) OVER w AS prev_id, lag(tset) OVER w AS prev_tset " +
-        "FROM k WINDOW w AS (PARTITION BY blk_pfx ORDER BY blk, doc_id)), " +
-        "j AS (SELECT least(prev_id, doc_id) AS a_id, greatest(prev_id, doc_id) AS b_id, " +
-        "round(CAST(len(list_intersect(tset, prev_tset)) AS DOUBLE) / " +
-        "greatest(len(list_distinct(tset || prev_tset)), 1), 4) AS jaccard " +
-        "FROM p WHERE prev_id IS NOT NULL) " +
-        "SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9"),
+      s"WITH $SORTED_CTES SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9",
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $SORTED_CTES, " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "UNION SELECT b_id, a_id FROM prs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id"),
+    "q_hash_sample" ->
+      (s"SELECT doc_id, lang FROM documents WHERE $HASHKEY < " +
+        s"'${ops.Sampling.hexThreshold(0.1)}'"),
+    "q_stratified_sample" ->
+      (s"SELECT lang, count(*) AS cnt FROM documents WHERE $HASHKEY < " +
+        s"CASE WHEN lang = 'en' THEN '${ops.Sampling.hexThreshold(0.5)}' " +
+        s"WHEN lang = 'de' THEN '${ops.Sampling.hexThreshold(0.25)}' " +
+        s"ELSE '${ops.Sampling.hexThreshold(0.05)}' END GROUP BY lang"),
+    "q_hash_split" ->
+      (s"WITH h AS (SELECT $HASHKEY AS k FROM documents) " +
+        s"SELECT CASE WHEN k < '${ops.Sampling.hexThreshold(0.8)}' THEN 'train' " +
+        s"WHEN k < '${ops.Sampling.hexThreshold(0.8 + 0.1)}' THEN 'valid' " +
+        "ELSE 'test' END AS split, count(*) AS cnt FROM h GROUP BY 1"),
     "q_ngram_jaccard" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2), " +

@@ -150,6 +150,51 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate clusters: connected components over a candidate-pair
+    * edge set (MinHash-LSH or sorted-neighborhood output), labelling every
+    * member with the minimum doc_id of its component — the step that turns
+    * pairwise candidates into a dedup decision ("keep cluster_id, drop the
+    * rest").
+    *
+    * Iterative min-label propagation run to the exact fixpoint (which is
+    * unique regardless of schedule — results are deterministic): each
+    * iteration is one join + min-aggregation over the EDGE SET, never the
+    * corpus. The label table is bounded by the candidate set, and near-dup
+    * components are shallow, so the iteration count is the component
+    * diameter — small in practice. Per-iteration localCheckpoint truncates
+    * the growing loop lineage; unlike the corpus-sized checkpoints this
+    * repo removed, this state is candidate-set-sized by construction.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // labels only ever decrease, so an unchanged label-sum witnesses the
+    // fixpoint — one tiny aggregation per iteration instead of an
+    // anti-join-shaped change scan
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = labels.isEmpty
+    while (iter < maxIter && !done) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */

@@ -70,6 +70,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got((1L, 4L)) == 0.0)
   }
 
+  test("near-dup clusters: connected components label by min id") {
+    // components: {1,2,3,9} (chain), {5,6}, singletons not in pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("near-dup clusters converge on a long chain (diameter > 1 iteration)") {
+    // path graph 0-1-2-…-19: worst case for label propagation
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect()
+    assert(got.length == 20 && got.forall(_._2 == 0L), got.mkString(","))
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.0f, 1.0f, 0.0f), 0),

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Sampling
+
+/** Deterministic hash sampling: the retry-stable, engine-reproducible
+  * replacement for RNG sampling in corpus curation.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.range(10000).toDF("doc_id")
+    .selectExpr("doc_id", "CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+
+  test("hash sample hits the target rate and is exactly repeatable") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.1).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b) // identical set, not just same size — no RNG state
+    assert(math.abs(a.size - 1000.0) / 1000.0 < 0.1, s"got ${a.size}")
+  }
+
+  test("sample is stable under repartitioning (task layout independence)") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // df.sample() fails this: its draw depends on layout
+  }
+
+  test("nested samples: lower rate is a subset of higher rate (same salt)") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.05).select("doc_id")
+      .as[Long].collect().toSet
+    val big = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(big)) // thresholds nest — scale samples up/down
+  }
+
+  test("salts decorrelate samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5, salt = "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.5, salt = "s2")
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / 5000.0
+    assert(overlap > 0.4 && overlap < 0.6, s"overlap=$overlap") // ≈ rate
+  }
+
+  test("rate 0 and 1 are exact") {
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == 10000L)
+  }
+
+  test("stratified rates apply per stratum") {
+    val got = Sampling.stratifiedHashSample(docs, "lang", "doc_id",
+        Map("en" -> 0.4), defaultRate = 0.1)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("en") - 2000.0) / 2000.0 < 0.15, got.toString)
+    assert(math.abs(got("de") - 500.0) / 500.0 < 0.25, got.toString)
+  }
+
+  test("hash split is disjoint, exhaustive, and roughly proportioned") {
+    val got = Sampling.hashSplit(docs, "doc_id", 0.8, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.values.sum == 10000L) // exhaustive by construction
+    assert(math.abs(got("train") - 8000.0) / 8000.0 < 0.05, got.toString)
+    assert(got.keySet == Set("train", "valid", "test"))
+  }
+}
