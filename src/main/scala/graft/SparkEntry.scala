@@ -122,6 +122,7 @@ object SparkEntry {
     }),
     // ---- text analysis ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)),
@@ -159,6 +160,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(
         Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9))),
+    // training-shard assembly: greedy per-partition token-budget packing
+    // (deterministic for fixed parts; shard layout is partition-local so
+    // not SQL-mirrorable → rows-only)
+    "q_pack_shards" -> ((s, d) =>
+      Packing.packByTokenBudget(Tables.documents(s, d), budget = 4096, parts = 8)),
     // ---- sketches: mergeable approx aggregates (the 100 TB form of
     // distinct-count / quantiles — fixed-size state, one pass, map-side
     // combinable; SketchSpec asserts accuracy vs the exact aggregates).
@@ -389,6 +395,11 @@ object SparkEntry {
       (s"WITH t AS (SELECT lang, len($TOKS) AS n_tokens FROM documents) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
         "round(avg(n_tokens), 4) AS avg_tokens FROM t GROUP BY lang"),
+    "q_bpe_stats" ->
+      (s"WITH t AS (SELECT lang, len(regexp_extract_all(lower(text), " +
+        s"'${ops.TextAnalysis.bpePatternSql}')) AS n FROM documents) " +
+        "SELECT lang, CAST(sum(n) AS BIGINT) AS total_bpe, " +
+        "round(avg(n), 4) AS avg_bpe FROM t GROUP BY lang"),
     "q_quality" ->
       (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents) " +
         "SELECT doc_id, len(toks) AS n_tokens, " +

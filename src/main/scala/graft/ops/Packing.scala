@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard assembly: greedy token-budget packing.
+  *
+  * A training pipeline's last step groups documents into fixed-token-budget
+  * shards (sequence-packing units / data files). The global bin-packing
+  * optimum is NP-hard and needs global state; the scalable form packs
+  * GREEDILY WITHIN PARTITIONS: hash-repartition docs for even spread, sort
+  * within each partition for determinism, then one sequential pass per
+  * partition assigns shard ids. Zero driver involvement, zero cross-
+  * partition coordination — shard ids are (partition, local-sequence)
+  * pairs, unique by construction. Waste vs the global optimum is bounded by
+  * one underfull shard per partition, negligible when partitions hold many
+  * budgets' worth of tokens (always true at scale).
+  *
+  * This is the one operator family where an imperative per-partition pass
+  * (`mapPartitions`) genuinely beats expressing the logic relationally:
+  * running-sum-with-reset-on-threshold has no shuffle-free SQL form.
+  */
+object Packing {
+
+  /** Assign every document to a shard such that no shard exceeds `budget`
+    * tokens (an oversized single document gets a shard to itself).
+    * Deterministic for fixed `parts`: murmur3 hash repartitioning and the
+    * in-partition doc_id sort don't depend on cluster layout or retries.
+    * Returns (doc_id, n_tokens, shard_id).
+    */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+      parts: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        size(Core.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        var shard = 0L
+        var used = 0L
+        it.map { case (id, n) =>
+          if (used > 0 && used + n > budget) { shard += 1; used = 0L }
+          used += n
+          (id, n, (pid << 32) | shard)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard_id")
+  }
+}

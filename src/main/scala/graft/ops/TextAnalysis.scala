@@ -102,6 +102,32 @@ object TextAnalysis {
         col("rk"))
   }
 
+  /** BPE-style pre-tokenization (the GPT-2 pattern family, simplified to
+    * the RE2/Java common subset): contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs. Counting THESE tokens — not
+    * whitespace words — is how training pipelines budget corpus size,
+    * because it tracks what a subword tokenizer will emit (~1 BPE merge per
+    * pre-token for common words). Pure regexp_extract_all: codegen'd, zero
+    * shuffle, and exactly reproducible in the DuckDB oracle.
+    */
+  private val BPE_PATTERN =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BPE_PATTERN), lit(0))
+
+  /** Per-language BPE-token statistics — the corpus-budget aggregate. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(bpeTokens(col("text"))).as("n_bpe"))
+      .groupBy("lang")
+      .agg(sum(col("n_bpe")).as("total_bpe"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe"))
+
+  /** [[BPE_PATTERN]] as a SQL string literal body (quotes doubled) for
+    * oracle construction — same pattern text, no hand-duplication.
+    */
+  private[graft] def bpePatternSql: String = BPE_PATTERN.replace("'", "''")
+
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
     * keys instead of full documents.

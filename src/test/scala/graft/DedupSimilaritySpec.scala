@@ -159,6 +159,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall (${hits}/${exact.size})")
   }
 
+  test("embedding near-dup pipeline: LSH candidates → connected components") {
+    // twins of a base vector cluster together; unrelated vectors don't
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 30).map(_ => Array.fill(12)(rnd.nextGaussian()))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong, v.map(_.toFloat), 0), (i + 1000L, twin, 0))
+    }.toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.lshCandidatePairs(
+        Similarity.lshAssign(vecs, dim = 12, numPlanes = 4), minCos = 0.99)
+      .select("a_id", "b_id")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // every clustered twin pair maps to the base id
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (id, label) =>
+      assert(label == (id % 1000L) || label == id, s"$id -> $label")
+    }
+  }
+
   test("LSH index table: candidate self-join probes with no shuffle exchange") {
     val rnd = new scala.util.Random(3)
     val many = (0L until 64L).map { i =>

@@ -16,6 +16,25 @@ class JoinsSpec extends SparkSpec {
     assert(got == Map("Bob" -> 2L, "Alice" -> 1L))
   }
 
+  test("salted join: identical result to unsalted, hot key spread over salts") {
+    // 'hot' carries 90% of the fact side — the single-reducer straggler shape
+    val fact = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key").select("key", "v", "attr")
+      .as[(String, Int, Int)].collect().toSet
+    val salted = Joins.saltedJoin(fact, dim, "key", parts = 8)
+      .select("key", "v", "attr").as[(String, Int, Int)].collect().toSet
+    assert(salted == plain) // result-set equality
+    // and the hot key's rows really spread: >1 distinct salt in use
+    import org.apache.spark.sql.functions._
+    val salts = fact.where(col("key") === "hot")
+      .select(pmod(xxhash64(struct(col("key"), col("v"))), lit(8)))
+      .distinct().count()
+    assert(salts > 4, s"hot key used only $salts salt values")
+  }
+
   test("window join pairs same key in same tumbling bucket " +
       "(HandlingMultipleStreams.scala:87-129)") {
     val cart = Seq(("Bob", ts(1)), ("Bob", ts(11)), ("Alice", ts(2)))
