@@ -84,6 +84,29 @@ class SinksRichSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 3L)
   }
 
+  test("foreachBatch fans one stream out to multiple sinks exactly once") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("fb-out")
+    val ckpt = tmp("fb-ckpt")
+    val in = MemoryStream[String](23, spark, None)
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val q = in.toDF().writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist() // one upstream computation feeds both sinks
+        batch.write.mode("append").parquet(dir)
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+        batch.unpersist()
+        ()
+      }.start()
+    try {
+      in.addData("a", "b"); q.processAllAvailable()
+      in.addData("c"); q.processAllAvailable()
+      assert(seen.asScala.sorted == Seq("a", "b", "c"))
+      assert(spark.read.parquet(dir).as[String].collect().sorted.toSeq ==
+        Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains all pending input then terminates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmp("anow-out")

@@ -78,6 +78,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL sketch: approx distinct count evolves across batches " +
+      "in update mode (mergeable sketch state per key)") {
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, Long)](42, spark, None)
+    val agg = in.toDF().toDF("k", "uid")
+      .groupBy("k").agg(approx_count_distinct(col("uid")).as("nd"))
+    val q = agg.writeStream.format("memory").queryName("shll")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData((1L to 50L).map(("a", _)): _*); q.processAllAvailable()
+      // overlapping + new uids: sketch state merges across micro-batches
+      in.addData((26L to 100L).map(("a", _)): _*); q.processAllAvailable()
+      val latest = spark.table("shll").as[(String, Long)].collect().last._2
+      assert(math.abs(latest - 100.0) / 100.0 < 0.1, s"approx=$latest")
+    }
+  }
+
   test("W5 true processing-time tumbling window: rows bucket by wall-clock " +
       "ingestion stamp (TimeBasedTransformations.scala:69,104-107)") {
     val in = MemoryStream[String](41, spark, None)
