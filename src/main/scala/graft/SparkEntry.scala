@@ -160,6 +160,13 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(
         Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9))),
+    // the full dedup decision: candidates → components → keep lowest id
+    // per cluster + all unpaired docs; per-language survivor counts
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupCorpus(docs, Dedup.sortedNeighborPairs(docs, threshold = 0.9))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    }),
     // training-shard assembly: greedy per-partition token-budget packing
     // (deterministic for fixed parts; shard layout is partition-local so
     // not SQL-mirrorable → rows-only)
@@ -370,6 +377,16 @@ object SparkEntry {
         "reach(id, lbl) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id"),
+    "q_dedup_keep" ->
+      (s"WITH RECURSIVE $SORTED_CTES, " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "UNION SELECT b_id, a_id FROM prs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id) " +
+        "SELECT lang, count(*) AS n_kept FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang"),
     "q_hash_sample" ->
       (s"SELECT doc_id, lang FROM documents WHERE $HASHKEY < " +
         s"'${ops.Sampling.hexThreshold(0.1)}'"),

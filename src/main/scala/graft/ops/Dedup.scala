@@ -195,6 +195,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end corpus dedup decision: given candidate near-dup pairs
+    * (from LSH, SNM, or embedding buckets), keep exactly one document per
+    * connected component (the lowest doc_id) plus every unpaired document.
+    * The drop-list is cluster-members-minus-canonicals — a LEFT ANTI join
+    * against ids only, so the corpus text shuffles nowhere.
+    */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropList = nearDupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(dropList, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */

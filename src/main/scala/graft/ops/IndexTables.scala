@@ -66,6 +66,32 @@ object IndexTables {
       })
   }
 
+  /** Incremental maintenance for a growing corpus: append rows to an
+    * existing bucketed index table. insertInto honors the catalog's bucket
+    * spec — appended files carry bucket suffixes like the originals — so
+    * probes keep their no-Exchange property and readers see the union
+    * (asserted in DedupSimilaritySpec). Each append adds one file set per
+    * bucket; rebuild (overwrite) periodically if appends accumulate.
+    * `name` is the FULL table name as returned by `bucketed`'s catalog
+    * entry (including the `_b<n>` suffix).
+    */
+  def append(spark: SparkSession, name: String, rows: DataFrame): Unit =
+    synchronized { rows.write.mode("append").insertInto(name) }
+
+  /** Drop an index: catalog entry AND on-disk files (so the next `bucketed`
+    * call rebuilds instead of re-registering). The rebuild half of the
+    * append-then-compact maintenance cycle. `name` is the full table name.
+    */
+  def drop(spark: SparkSession, name: String): Unit = synchronized {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(s"$baseDir/$name")
+    if (dir.exists) rm(dir)
+  }
+
   /** Un-bucketed variant for indexes whose probe key is derived downstream
     * (e.g. MinHash band hashes, computed after an explode of the stored
     * signature): materialization still buys build-once + failure-safety.

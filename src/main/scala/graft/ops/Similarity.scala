@@ -256,8 +256,16 @@ object Similarity {
     * Vectors isolated in every table emit no row (recall/coverage rises
     * with numTables).
     */
+  /** `multiProbe`: additionally probe every bucket at Hamming distance 1
+    * from each vector's own bucket (flip each sign bit once). A near pair
+    * separated by exactly one hyperplane is still found, so one table with
+    * multi-probe reaches the recall of several tables — ×(numPlanes+1)
+    * probe fan-out on ONE join side instead of ×numTables index storage
+    * (the standard storage/compute trade of multi-probe LSH).
+    */
   def lshNearestNeighbour(emb: DataFrame, dim: Int, numPlanes: Int = 6,
-      numTables: Int = 4, indexName: Option[String] = None): DataFrame = {
+      numTables: Int = 4, indexName: Option[String] = None,
+      multiProbe: Boolean = false): DataFrame = {
     val u = unitVecs(emb, "vec_id", "e")
     val buckets = array((0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
@@ -274,7 +282,15 @@ object Similarity {
         Seq("tbl", "bucket"), Seq("tbl", "bucket", "vec_id"))(raw)
       case None => raw.localCheckpoint()
     }
-    val l = assigned.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"), col("e").as("a_e"))
+    val l =
+      if (!multiProbe)
+        assigned.select(col("tbl"), col("bucket"),
+          col("vec_id").as("a_id"), col("e").as("a_e"))
+      else
+        assigned.select(col("tbl"),
+          explode(array((col("bucket") +: (0 until numPlanes).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"),
+          col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = assigned.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"), col("e").as("b_e"))
     l.join(r, Seq("tbl", "bucket"))
       .where(col("a_id") =!= col("b_id"))

@@ -201,6 +201,49 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("multi-probe LSH: one table + Hamming-1 probes reaches multi-table recall") {
+    val rnd = new scala.util.Random(19)
+    val base = (0 until 100).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+      Seq((i.toLong, v.map(_.toFloat), 0), (i + 1000L, twin, 0))
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.nearestNeighbour(vecs)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val approx = Similarity.lshNearestNeighbour(vecs, dim = 16,
+        numTables = 1, multiProbe = true)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val recall = exact.keys.count(id => approx.get(id).contains(exact(id))).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall") // 1 table ≈ 4 tables (storage↓)
+  }
+
+  test("bucketed index append: new rows visible, probe stays exchange-free") {
+    import graft.ops.IndexTables
+    val rnd = new scala.util.Random(23)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // a previous run's on-disk index would otherwise be re-registered
+    IndexTables.drop(spark, "lsh_append_test_p4_s42_b4")
+    val idx = Similarity.lshIndex(mk(0 until 32), dim = 8,
+      name = "lsh_append_test", numPlanes = 4, nBuckets = 4)
+    assert(idx.count() == 32L)
+    // growing corpus: append the new vectors' assignments to the SAME table
+    IndexTables.append(spark, "lsh_append_test_p4_s42_b4",
+      Similarity.lshAssign(mk(100 until 116), dim = 8, numPlanes = 4))
+    val after = spark.table("lsh_append_test_p4_s42_b4")
+    assert(after.count() == 48L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Similarity.lshCandidatePairs(after, minCos = -1.0)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // old and new vectors co-bucket: some pair spans the append boundary
+      assert(pairs.where($"b_id" >= 100L && $"a_id" < 100L).count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF index table: cell-size aggregation rides the bucketing (no exchange)") {
     val rnd = new scala.util.Random(5)
     val many = (0L until 64L).map { i =>
