@@ -160,6 +160,9 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(
         Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9))),
+    // C4-style cleaning pipeline: quality filters → exact dedup → report
+    "q_clean_corpus" -> ((s, d) =>
+      Curation.cleanCorpusStats(Tables.documents(s, d))),
     // the full dedup decision: candidates → components → keep lowest id
     // per cluster + all unpaired docs; per-language survivor counts
     "q_dedup_keep" -> ((s, d) => {
@@ -377,6 +380,18 @@ object SparkEntry {
         "reach(id, lbl) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id"),
+    "q_clean_corpus" ->
+      (s"WITH passed AS (SELECT doc_id, lang, source, text FROM " +
+        s"(SELECT *, $TOKS AS toks FROM documents) " +
+        "WHERE len(toks) >= 10 " +
+        "AND CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1) <= 0.35 " +
+        "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) <= 0.7), " +
+        s"keep AS (SELECT min(doc_id) AS doc_id FROM " +
+        s"(SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM passed) GROUP BY fp) " +
+        "SELECT lang, source, count(*) AS n_kept FROM passed " +
+        "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the C4-style cleaning pipeline — cheap
+  * quality filters, then exact dedup — composed from this library's
+  * operators as ONE lazy plan.
+  *
+  * Shape at 100 TB: the quality metrics are pure expressions computed in
+  * the scan stage (no join against a metrics table — recomputing the
+  * tokenizer beats shuffling the corpus to meet its own metrics), the
+  * filter drops most rows BEFORE anything shuffles, and the dedup decision
+  * shuffles only (16-byte fingerprint, doc_id) pairs. The corpus text
+  * itself never moves: survivors are selected by a final id semi-join.
+  */
+object Curation {
+
+  /** Documents surviving quality filtering + exact dedup (lowest doc_id per
+    * normalized-content fingerprint survives). Returns the surviving rows
+    * of `docs` unchanged.
+    */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
+    val t = Core.tokens(col("text"))
+    val passed = docs.where(
+      size(t) >= minTokens &&
+      (length(col("text")) -
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)) <= maxNonAlnum &&
+      size(filter(t, x => array_contains(
+        array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*), x)))
+        .cast("double") / greatest(size(t), lit(1)) <= maxStopword)
+    // keeper ids: one shuffle of (md5, id); then an id-only semi-join —
+    // the full rows are filtered in place, never re-shuffled
+    val keepers = passed
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    passed.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** The curation summary: per-(lang, source) survivor counts — the report
+    * a data team reads after a cleaning run.
+    */
+  def cleanCorpusStats(docs: DataFrame, minTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
+    cleanCorpus(docs, minTokens, maxNonAlnum, maxStopword)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
+}

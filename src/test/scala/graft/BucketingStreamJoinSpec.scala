@@ -59,6 +59,22 @@ class BucketingStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: broadcast dim against a stream") {
+    val in = MemoryStream[(String, Long)](34, spark, None)
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("et", "kind")
+    val enriched = in.toDF().toDF("et", "v")
+      .join(broadcast(dim), "et") // dim broadcast: no stream-side shuffle
+      .groupBy("kind").count()
+    val q = enriched.writeStream.format("memory").queryName("ssenrich")
+      .outputMode("complete").start()
+    try {
+      in.addData(("click", 1L), ("view", 2L), ("click", 3L), ("scroll", 4L))
+      q.processAllAvailable()
+      val got = spark.table("ssenrich").as[(String, Long)].collect().toMap
+      assert(got == Map("interactive" -> 2L, "passive" -> 1L)) // scroll: no dim row
+    } finally q.stop()
+  }
+
   test("J2 streaming windowed equi-join: both sides bucketed to the same window") {
     val left = MemoryStream[(String, Timestamp)](32, spark, None)
     val right = MemoryStream[(String, Timestamp)](33, spark, None)

@@ -57,6 +57,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 2)
   }
 
+  test("cleanCorpus: quality gates then exact dedup, text never re-shuffled") {
+    import graft.ops.Curation
+    val long = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en", "s0"),                    // survivor
+      (2L, long, "en", "s1"),                    // exact dup of 1 → dropped
+      (3L, "too short", "en", "s0"),             // < minTokens
+      (4L, "!!! ??? *** $$$ %%% ^^^ &&& ((( ))) === +++ ~~~", "en", "s0"), // punct
+      (5L, long + " extra", "de", "s2")          // survivor
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = Curation.cleanCorpus(docs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L))
+    val stats = Curation.cleanCorpusStats(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(stats == Set(("en", "s0", 1L), ("de", "s2", 1L)))
+  }
+
   test("token stats per language") {
     val docs = Seq(
       (1L, "one two three", "en"),
