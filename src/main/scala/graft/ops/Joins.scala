@@ -56,28 +56,6 @@ object Joins {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Skew-salted inner equi-join — the manual fix for a hot key that would
-    * otherwise serialize one reducer at 100 TB (AQE's skewJoin rebalances
-    * sort-merge joins post-hoc; salting is the explicit, always-works
-    * form, and the only one available to hash-partitioned stateful ops).
-    *
-    * The skewed (fact) side gets a DETERMINISTIC salt derived from row
-    * content — `xxhash64(whole row) % parts` — never `rand()`, which breaks
-    * retry idempotence; the other (dim-ish but too big to broadcast) side
-    * is replicated `parts`× so every salted partition finds its match.
-    * Join key becomes (key, salt): the hot key's rows spread over `parts`
-    * reducers. Result set is identical to the unsalted join (asserted in
-    * JoinsSpec).
-    */
-  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-      parts: Int): DataFrame = {
-    val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(parts)))
-    val replicated = other.withColumn("_salt",
-      explode(sequence(lit(0L), lit(parts - 1L))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
-  }
-
   /** connect + CoMapFunction (J5/J6,
     * reference HandlingMultipleStreams.scala:288-327): per-side transform to
     * a common shape, then union — the Spark-first decomposition of

@@ -51,13 +51,20 @@ object Partitioning {
     * flooding a reducer in a shuffle join): the fact side gets a uniform
     * salt, the (small-ish) dim side is replicated `salts`×, and the join key
     * becomes (key, salt) so the hot key spreads over `salts` reducers.
-    * Result is exactly the unsalted inner join. The skew the reference
-    * *demonstrates* (P2, reference Partitions.scala:104-129) is what this
-    * repairs.
+    * Result is exactly the unsalted inner join (asserted in JoinsSpec). The
+    * skew the reference *demonstrates* (P2, reference
+    * Partitions.scala:104-129) is what this repairs.
+    *
+    * The salt is a DETERMINISTIC function of row content — never `rand()`
+    * or `monotonically_increasing_id()`, whose draws depend on partition
+    * layout and break retry idempotence (a re-executed task would re-salt
+    * differently, and a stateful consumer downstream would see different
+    * partitioning across attempts).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts))
+        .cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -24,7 +24,7 @@ class JoinsSpec extends SparkSpec {
       .toDF("key", "attr")
     val plain = fact.join(dim, "key").select("key", "v", "attr")
       .as[(String, Int, Int)].collect().toSet
-    val salted = Joins.saltedJoin(fact, dim, "key", parts = 8)
+    val salted = graft.ops.Partitioning.saltedJoin(fact, dim, "key", salts = 8)
       .select("key", "v", "attr").as[(String, Int, Int)].collect().toSet
     assert(salted == plain) // result-set equality
     // and the hot key's rows really spread: >1 distinct salt in use
