@@ -173,25 +173,41 @@ object Dedup {
       .select(col("id"), col("id").as("label")).localCheckpoint()
     // labels only ever decrease, so an unchanged label-sum witnesses the
     // fixpoint — one tiny aggregation per iteration instead of an
-    // anti-join-shaped change scan
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head().getLong(0)
+    // anti-join-shaped change scan. sum() over zero rows is NULL → 0.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var done = labels.isEmpty
     while (iter < maxIter && !done) {
+      // step 1: adjacency — take the min label among direct neighbors
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // step 2: pointer doubling — follow label→label(label), halving the
+      // remaining propagation distance; with step 1 this converges in
+      // O(log diameter) iterations, so a 30-iteration bound covers any
+      // realistic component (a path of 2^30 nodes) instead of silently
+      // under-propagating on long duplicate chains
+      labels = viaNbr
+        .join(viaNbr.select(col("id").as("lbl_id"), col("label").as("lbl_lbl")),
+          col("label") === col("lbl_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("lbl_lbl"), col("label"))).as("label"))
         .localCheckpoint()
       val s = labelSum(labels)
       done = s == prevSum
       prevSum = s
       iter += 1
     }
+    require(done,
+      s"nearDupClusters did not converge in $maxIter iterations — " +
+        "raise maxIter (component diameter exceeds 2^maxIter)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -60,6 +60,13 @@ object Partitioning {
     * layout and break retry idempotence (a re-executed task would re-salt
     * differently, and a stateful consumer downstream would see different
     * partitioning across attempts).
+    *
+    * Limit of determinism: BYTE-IDENTICAL duplicate rows necessarily share
+    * a salt (any pure function of content does), so a hot key consisting
+    * of millions of identical rows still skews — deduplicate (or count-
+    * compress) identical rows first; that is cheaper than joining them
+    * anyway. Content salting fixes the common case: one key, many distinct
+    * rows.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",

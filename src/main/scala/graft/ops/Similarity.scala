@@ -129,13 +129,6 @@ object Similarity {
 
   private def centroidLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
-  /** Memoized centroid load per index name — q_ivf_topk and
-    * q_cluster_sizes probe the SAME quantizer instead of each re-running
-    * k-means (the index, not the query, owns the centroids).
-    */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-
   /** IVF index: train the coarse quantizer once, persist it (the quantizer
     * is part of the index — FAISS-style — so a fresh process LOADS the k
     * tiny centroid rows instead of retraining), and persist the cell
@@ -144,19 +137,23 @@ object Similarity {
     * the difference between an index (amortized across the workload) and a
     * per-query full-corpus pass; bucketing by cell also means cell-local
     * aggregations/joins need no Exchange.
+    *
+    * The centroid table IS the cache (k tiny rows; re-collecting them per
+    * call is noise) — a JVM-side memo would serve stale quantizers after
+    * an IndexTables.drop-and-rebuild on changed data.
     * Returns (centroids, assignment scan).
     */
   def ivfIndex(emb: DataFrame, k: Int, name: String,
       nBuckets: Int = 8): (Array[Array[Double]], DataFrame) = {
     val spark = emb.sparkSession
-    val cents = centroidCache.getOrElseUpdate(s"$name-$k", {
+    val cents = {
       import spark.implicits._
       val stored = IndexTables.plain(spark, s"${name}_${k}_centroids")(
         ivfCentroids(emb, k).zipWithIndex
           .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
       stored.orderBy("cell").collect()
         .map(_.getSeq[Double](1).toArray)
-    })
+    }
     val assigned = IndexTables.bucketed(spark, s"${name}_$k",
       nBuckets, Seq("cell"), Seq("cell", "vec_id"))(ivfAssign(emb, cents))
     (cents, assigned)
@@ -236,12 +233,6 @@ object Similarity {
       nBuckets, Seq("bucket"), Seq("bucket", "vec_id"))(
       lshAssign(emb, dim, numPlanes, seed))
 
-  /** LSH-bucketed near-neighbour candidate pairs with exact cosine —
-    * the scale path: only intra-bucket pairs are scored. `bucketed` is the
-    * (vec_id, e, bucket) assignment — normally the [[lshIndex]] table, so
-    * the projection pipeline runs once at index build and the self-join
-    * shuffles nothing.
-    */
   /** Approximate nearest neighbour for EVERY vector — the benched scale
     * path replacing the O(N²) [[nearestNeighbour]] (which stays as the
     * exact verifier; DedupSimilaritySpec measures recall against it).
@@ -255,8 +246,8 @@ object Similarity {
     * skipping the dedup avoids a shuffle that would carry vectors.
     * Vectors isolated in every table emit no row (recall/coverage rises
     * with numTables).
-    */
-  /** `multiProbe`: additionally probe every bucket at Hamming distance 1
+    *
+    * `multiProbe`: additionally probe every bucket at Hamming distance 1
     * from each vector's own bucket (flip each sign bit once). A near pair
     * separated by exactly one hyperplane is still found, so one table with
     * multi-probe reaches the recall of several tables — ×(numPlanes+1)
@@ -301,6 +292,12 @@ object Similarity {
         round(col("best.cos"), 4).as("cos"))
   }
 
+  /** LSH-bucketed near-neighbour candidate pairs with exact cosine —
+    * the scale path: only intra-bucket pairs are scored. `bucketed` is the
+    * (vec_id, e, bucket) assignment — normally the [[lshIndex]] table, so
+    * the projection pipeline runs once at index build and the self-join
+    * shuffles nothing.
+    */
   def lshCandidatePairs(bucketed: DataFrame, minCos: Double = 0.0): DataFrame = {
     val l = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("e").as("b_e"))

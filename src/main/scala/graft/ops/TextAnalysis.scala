@@ -80,9 +80,11 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
     // N is the full corpus size (docs WITH ZERO TOKENS included — idf must
-    // not shift when empty documents exist), computed from the parquet
-    // row-group metadata, not from a corpus-sized materialization
-    val nDocs = docs.count()
+    // not shift when empty documents exist), as a broadcast one-row
+    // aggregate: the plan stays LAZY (no count job fired at construction
+    // time) and N is evaluated against the same snapshot as the rest of
+    // the query
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // tf and df are two independent aggregations over the same narrow
     // explode; re-running the explode is cheaper at scale than pinning a
     // corpus-sized intermediate in executor storage (lineage stays
@@ -95,7 +97,8 @@ object TextAnalysis {
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("word").asc)
     tf.join(broadcast(df), "word")
-      .withColumn("tfidf_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= n)
       .select(col("doc_id"), col("word"), round(col("tfidf_raw"), 4).as("tfidf"),

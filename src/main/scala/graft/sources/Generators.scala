@@ -115,6 +115,12 @@ object Generators {
     kafka
       .select(from_json(col("value").cast("string"), payload).as("j"),
         col("timestamp"))
+      // malformed / non-JSON / schema-mismatched payloads parse to a null
+      // struct (or one with no identifying fields): DROP them rather than
+      // fabricating phantom ("add", null, null, 0) events that would
+      // silently pollute downstream aggregations with a null key
+      .where(col("j").isNotNull && col("j.userId").isNotNull &&
+        col("j.sku").isNotNull)
       .select(
         coalesce(col("j.eventType"), lit("add")).as("eventType"),
         col("j.userId").as("userId"),

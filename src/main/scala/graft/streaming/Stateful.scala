@@ -136,6 +136,14 @@ object Stateful {
     * composite (key, windowStart) is exactly how Flink scopes trigger state
     * to a window: per-open-window state stays O(1) and windows hash-
     * distribute across the cluster like any other key.
+    *
+    * State lifecycle: when the input carries a watermark, each window's
+    * state registers an event-time timeout at its end and is REMOVED once
+    * the watermark passes it (Flink's window GC; a partial count below `n`
+    * is discarded exactly as a never-fired CountTrigger discards it) —
+    * without this, one state entry per elapsed (key, window) would
+    * accumulate forever. Batch execution and watermark-less streams skip
+    * the timer (nothing fires it) and rely on the run being finite.
     * Emits (key, windowStartMs, cumulativeInWindowCount).
     */
   def windowedCountTrigger[K, T](ds: Dataset[T], key: T => K,
@@ -143,9 +151,28 @@ object Stateful {
       implicit eK: Encoder[(K, Long)], e1: Encoder[(Long, Long)],
       e2: Encoder[((K, Long), Long)],
       e3: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] =
-    countTrigger(ds.groupByKey(t =>
-        (key(t), Math.floorDiv(eventTimeMs(t), windowMs) * windowMs)), n)
-      .map { case ((k, w), c) => (k, w, c) }
+    ds.groupByKey(t =>
+        (key(t), Math.floorDiv(eventTimeMs(t), windowMs) * windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (kw: (K, Long), it: Iterator[T], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed window end: GC, no emission
+            Iterator.empty
+          } else {
+            var (total, since) = state.getOption.getOrElse((0L, 0L))
+            val fires = Vector.newBuilder[(K, Long, Long)]
+            it.foreach { _ =>
+              total += 1; since += 1
+              if (since >= n) { fires += ((kw._1, kw._2, total)); since = 0 }
+            }
+            state.update((total, since))
+            val wm = try Some(state.getCurrentWatermarkMs())
+              catch { case _: UnsupportedOperationException => None }
+            wm.foreach(w =>
+              state.setTimeoutTimestamp(math.max(kw._2 + windowMs, w + 1)))
+            fires.result().iterator
+          }
+      }
 
   /** G2: purging count trigger — fire and clear every `n` elements
     * (`PurgingTrigger.of(CountTrigger.of(n))`,

@@ -78,6 +78,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("near-dup clusters: empty candidate set yields empty output") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.nearDupClusters(pairs).count() == 0L) // no NPE on null sum
+    val docs2 = Seq((1L, "alpha beta gamma delta", "en")).toDF("doc_id", "text", "lang")
+    assert(Dedup.dedupCorpus(docs2, pairs).count() == 1L) // clean corpus kept
+  }
+
   test("near-dup clusters converge on a long chain (diameter > 1 iteration)") {
     // path graph 0-1-2-…-19: worst case for label propagation
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("a_id", "b_id")

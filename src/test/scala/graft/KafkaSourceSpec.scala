@@ -30,10 +30,14 @@ class KafkaSourceSpec extends SparkSpec {
     val rows = Seq(
       wireRow("""{"eventType":"add","userId":"alice","sku":"s1","quantity":2,"time":"2022-02-02T00:00:01Z"}""", ts),
       // sparse payload: type/quantity default, event time falls back to broker ts
-      wireRow("""{"userId":"bob","sku":"s2"}""", ts))
+      wireRow("""{"userId":"bob","sku":"s2"}""", ts),
+      // malformed payloads: dropped, never fabricated into phantom events
+      wireRow("not json at all", ts),
+      wireRow("""{"quantity":9}""", ts))
     val kafka = rows.toDF(wireCols: _*)
     val got = Generators.kafkaValueToCartEvents(kafka).collect()
       .map(e => (e.eventType, e.userId, e.sku, e.quantity, e.time)).toSeq
+    assert(got.size == 2, got.toString)
     assert(got.contains(("add", "alice", "s1", 2,
       java.time.Instant.parse("2022-02-02T00:00:01Z"))))
     assert(got.contains(("add", "bob", "s2", 0, ts.toInstant)))

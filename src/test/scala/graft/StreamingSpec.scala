@@ -49,7 +49,8 @@ class StreamingSpec extends SparkSpec {
   test("G1-in-W1 count trigger scoped per 3s tumbling window fires 10,20,… " +
       "independently per window (WindowAssignersAndTriggers.scala:44-53)") {
     val in = MemoryStream[(String, Timestamp)](40, spark, None)
-    val fires = Stateful.windowedCountTrigger(in.toDS(),
+    // watermark enables window-state GC (event-time timeout at window end)
+    val fires = Stateful.windowedCountTrigger(in.toDS().withWatermark("_2", "0 seconds"),
       (t: (String, Timestamp)) => t._1, (t: (String, Timestamp)) => t._2.getTime,
       windowMs = 3000L, n = 10)
     val q = fires.writeStream.format("memory").queryName("g1w").outputMode("append").start()
