@@ -183,9 +183,12 @@ object SparkEntry {
       Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("cnt"))),
+    // accuracy 50k keeps the sketch lossless (= exact discrete quantile)
+    // through sf0.1's ~20k-row groups while staying O(accuracy) in memory;
+    // beyond that it degrades gracefully to the rank-error guarantee
     "q_quantile_sketch" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("qs"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 50000)").as("qs"))
         .select(col("event_type"),
           round(element_at(col("qs"), 1), 4).as("p50"),
           round(element_at(col("qs"), 2), 4).as("p90"))),
@@ -467,7 +470,7 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.word ASC) AS INT) AS rk " +
         "FROM tf, df, n WHERE tf.word = df.word) " +
         "SELECT doc_id, word, tfidf, rk FROM scored WHERE rk <= 3"),
-    // valid while per-group n < accuracy=10000 (true at the sf0.01 gate):
+    // valid while per-group n < accuracy=50000 (true through sf0.1):
     // the sketch is then lossless and equals the exact discrete quantile
     "q_quantile_sketch" ->
       ("SELECT event_type, round(quantile_disc(value, 0.5), 4) AS p50, " +
