@@ -165,12 +165,22 @@ object Dedup {
     * the growing loop lineage; unlike the corpus-sized checkpoints this
     * repo removed, this state is candidate-set-sized by construction.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // localCheckpoint truncates LINEAGE but INHERITS the plan's estimated
+    // sizeInBytes — and join estimation multiplies child sizes. Feeding one
+    // iteration's inflated estimate into the next compounds the BigInt
+    // exponentially (by ~iteration 6 Catalyst multiplies 100k-digit numbers
+    // inside the stats visitor and the driver livelocks — observed on the
+    // 50k-doc stress corpus). Re-wrapping the checkpointed RDD resets the
+    // stats each iteration; the RDD itself is not recomputed.
+    def pinned(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    val edges = pinned(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = pinned(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     // labels only ever decrease, so an unchanged label-sum witnesses the
     // fixpoint — one tiny aggregation per iteration instead of an
     // anti-join-shaped change scan. sum() over zero rows is NULL → 0.
@@ -189,17 +199,22 @@ object Dedup {
       val viaNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // step 2: pointer doubling — follow label→label(label), halving the
-      // remaining propagation distance; with step 1 this converges in
-      // O(log diameter) iterations, so a 30-iteration bound covers any
-      // realistic component (a path of 2^30 nodes) instead of silently
-      // under-propagating on long duplicate chains
-      labels = viaNbr
-        .join(viaNbr.select(col("id").as("lbl_id"), col("label").as("lbl_lbl")),
-          col("label") === col("lbl_id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("lbl_lbl"), col("label"))).as("label"))
-        .localCheckpoint()
+      // step 2: pointer jumping — follow label→label(label), compressing
+      // the remaining propagation distance. One jump per iteration can
+      // stall into linear progress when a node's label points at a local
+      // minimum whose own label is only one hop better (observed on the
+      // 50k stress corpus: SNM adjacency builds thousand-node paths), so
+      // run THREE pinned jump rounds per adjacency step — each round
+      // compresses the pointer chains built so far, giving the multi-hop
+      // shortcutting that keeps total iterations logarithmic.
+      var cur = pinned(viaNbr)
+      for (_ <- 1 to 3)
+        cur = pinned(cur
+          .join(cur.select(col("id").as("lbl_id"), col("label").as("lbl_lbl")),
+            col("label") === col("lbl_id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("lbl_lbl"), col("label"))).as("label")))
+      labels = cur
       val s = labelSum(labels)
       done = s == prevSum
       prevSum = s

@@ -25,6 +25,10 @@ time("50k-minhash-lsh")(graft.SparkEntry.queries("q_minhash_lsh")(spark, s).coun
 time("50k-word-count")(graft.SparkEntry.queries("q_word_count")(spark, s).count())
 time("20k-lsh-pairs")(graft.SparkEntry.queries("q_lsh_pairs")(spark, s).count())
 time("20k-nn-bruteforce")(graft.SparkEntry.queries("q_nn")(spark, s).count())
+time("50k-clean-corpus")(graft.SparkEntry.queries("q_clean_corpus")(spark, s).count())
+time("50k-dedup-keep")(graft.SparkEntry.queries("q_dedup_keep")(spark, s).count())
+time("50k-pack-shards")(graft.SparkEntry.queries("q_pack_shards")(spark, s).count())
+time("20k-nn-lsh")(graft.SparkEntry.queries("q_nn_lsh")(spark, s).count())
 // SNM skew stress: 1M synthetic docs, 30% sharing the head token "the" —
 // the case where 1-token blocking collapses 300k docs into one partition.
 // 2-token-prefix blocking must spread them (near-dup neighbors still share
