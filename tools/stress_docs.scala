@@ -1,3 +1,7 @@
+// Run with: spark-shell --master 'local[8]' --driver-memory 6g \
+//   --driver-class-path target/scala-2.13/classes -I tools/stress_docs.scala
+// (default 1g driver heap OOMs on the 50k-doc window sorts; local mode
+// shares the heap between driver and all executor threads)
 import org.apache.spark.sql.functions._
 def time[T](label: String)(f: => T): T = {
   val t0 = System.nanoTime(); val r = f
