@@ -23,6 +23,15 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Sorted-neighborhood near-dup clusters for `d`, persisted build-once
+    * (threshold baked into the name) and shared by q_dedup_clusters and
+    * q_dedup_keep.
+    */
+  private def snmClusters(s: SparkSession, d: String): DataFrame =
+    IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d))(
+      Dedup.nearDupClusters(
+        Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map(
     // ---- core transforms & keyed aggregation (§2.3-2.4) ----
@@ -156,20 +165,21 @@ object SparkEntry {
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", 0.8, 0.1)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
     // near-dup clusters: connected components over the sorted-neighborhood
-    // candidate pairs (oracled via DuckDB's recursive CTE)
-    "q_dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupClusters(
-        Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9))),
+    // candidate pairs (oracled via DuckDB's recursive CTE). Persisted like
+    // any index — a dedup DECISION is a reusable artifact in a real
+    // pipeline — and probed by q_dedup_keep instead of re-running
+    // candidate generation + clustering.
+    "q_dedup_clusters" -> ((s, d) => snmClusters(s, d)),
     // C4-style cleaning pipeline: quality filters → exact dedup → report
     "q_clean_corpus" -> ((s, d) =>
       Curation.cleanCorpusStats(Tables.documents(s, d))),
-    // the full dedup decision: candidates → components → keep lowest id
-    // per cluster + all unpaired docs; per-language survivor counts
-    "q_dedup_keep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.dedupCorpus(docs, Dedup.sortedNeighborPairs(docs, threshold = 0.9))
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-    }),
+    // the full dedup decision: clusters → keep lowest id per cluster +
+    // all unpaired docs; per-language survivor counts
+    "q_dedup_keep" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(snmClusters(s, d).where(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
     // training-shard assembly: greedy per-partition token-budget packing
     // (deterministic for fixed parts; shard layout is partition-local so
     // not SQL-mirrorable → rows-only)
