@@ -248,6 +248,16 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
       // old and new vectors co-bucket: some pair spans the append boundary
       assert(pairs.where($"b_id" >= 100L && $"a_id" < 100L).count() > 0)
+      val pairsBefore = pairs.as[(Long, Long, Double)].collect().toSet
+      // compact: the appended file sets collapse to one; same rows, same
+      // bucket spec, probe still exchange-free
+      IndexTables.compact(spark, "lsh_append_test_p4_s42_b4", 4,
+        Seq("bucket"), Seq("bucket", "vec_id"))
+      val compacted = spark.table("lsh_append_test_p4_s42_b4")
+      assert(compacted.count() == 48L)
+      val pairsAfter = Similarity.lshCandidatePairs(compacted, minCos = -1.0)
+      assert(!pairsAfter.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(pairsAfter.as[(Long, Long, Double)].collect().toSet == pairsBefore)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
