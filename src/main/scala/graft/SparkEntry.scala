@@ -88,6 +88,32 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
     }),
+    // TPC-H Q5-shaped: revenue by supplier nation within one region, the
+    // classic snowflake join — every dimension (region→nation→supplier)
+    // broadcasts; only lineitem⋈orders shuffles at scale
+    "q_local_supplier_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    // part-dimension stats (TPC-H Q16 family): distinct suppliers per
+    // brand/type bucket via the part⋈lineitem bridge
+    "q_parts_by_brand" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))),
     // ---- semi/anti joins and pivot (OLAP breadth; Catalyst-native) ----
     "q_semi_join" -> ((s, d) =>
       Tables.customer(s, d)
@@ -352,6 +378,17 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q_local_supplier_volume" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
+    "q_parts_by_brand" ->
+      ("SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, " +
+        "round(sum(l_quantity), 2) AS total_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
     "q_keep_last3" ->
       ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn " +
