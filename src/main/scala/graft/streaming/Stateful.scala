@@ -174,6 +174,59 @@ object Stateful {
           }
       }
 
+  /** Streaming windowed approximate distinct count — HyperLogLog registers
+    * as custom keyed state. Per (key, tumbling window) the state is a
+    * FIXED 2^p-byte register array regardless of cardinality (the whole
+    * point of the sketch: state for a billion distinct values is the same
+    * 64 bytes as for ten), updated per element with max(leading-zero
+    * rank), merged trivially across micro-batches by the same max. The
+    * update-mode estimate after each batch uses the standard HLL harmonic
+    * formula with linear-counting small-range correction. Window state is
+    * GC'd by the same watermark-timeout rule as [[windowedCountTrigger]].
+    * Emits (key, windowStartMs, estimate) per batch.
+    */
+  def windowedApproxDistinct[K, T](ds: Dataset[T], key: T => K,
+      eventTimeMs: T => Long, value: T => Any, windowMs: Long, p: Int = 6)(
+      implicit eK: Encoder[(K, Long)], e1: Encoder[Array[Byte]],
+      e2: Encoder[((K, Long), Long)],
+      e3: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] = {
+    require(p >= 4 && p <= 12, s"p must be in [4,12], got $p")
+    val m = 1 << p
+    ds.groupByKey(t =>
+        (key(t), Math.floorDiv(eventTimeMs(t), windowMs) * windowMs))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (kw: (K, Long), it: Iterator[T], state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val regs = state.getOption.getOrElse(new Array[Byte](m))
+            it.foreach { t =>
+              // 64-bit avalanche hash of the value's string form: p index
+              // bits, leading-zero rank of the rest (Murmur-style mixer)
+              var h = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(value(t))).toLong & 0xffffffffL
+              h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+              h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
+              h = h ^ (h >>> 33)
+              val idx = (h & (m - 1)).toInt
+              val rank = (java.lang.Long.numberOfLeadingZeros(h | m) + 1).min(64)
+              if (rank > regs(idx)) regs(idx) = rank.toByte
+            }
+            state.update(regs)
+            val wm = try Some(state.getCurrentWatermarkMs())
+              catch { case _: UnsupportedOperationException => None }
+            wm.foreach(w =>
+              state.setTimeoutTimestamp(math.max(kw._2 + windowMs, w + 1)))
+            val alpha = 0.7213 / (1.0 + 1.079 / m)
+            val harm = regs.foldLeft(0.0)((acc, r) => acc + math.pow(2.0, -r))
+            val raw = alpha * m * m / harm
+            val zeros = regs.count(_ == 0)
+            val est = // linear counting below the standard small-range cut
+              if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+              else raw
+            Iterator((kw._1, kw._2, math.round(est)))
+          }
+      }
+  }
+
   /** G2: purging count trigger — fire and clear every `n` elements
     * (`PurgingTrigger.of(CountTrigger.of(n))`,
     * reference WindowAssignersAndTriggers.scala:92-116: outputs n,n,n,…).

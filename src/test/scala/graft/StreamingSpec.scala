@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed HLL state: per-window approx distinct with fixed-size " +
+      "registers, merged across batches") {
+    val in = MemoryStream[(String, Timestamp, Long)](43, spark, None)
+    val est = Stateful.windowedApproxDistinct(
+      in.toDS().withWatermark("_2", "0 seconds"),
+      (t: (String, Timestamp, Long)) => t._1,
+      (t: (String, Timestamp, Long)) => t._2.getTime,
+      (t: (String, Timestamp, Long)) => t._3,
+      windowMs = 10000L, p = 8)
+    val q = est.writeStream.format("memory").queryName("whll")
+      .outputMode("update").start()
+    withQuery(q) {
+      // window [0,10s): 300 distinct uids split across two batches with
+      // overlap — register merge must not double-count
+      in.addData((1L to 200L).map(u => ("k", ts(1), u)): _*); q.processAllAvailable()
+      in.addData((150L to 300L).map(u => ("k", ts(2), u)): _*); q.processAllAvailable()
+      // window [10s,20s): 50 distinct
+      in.addData((1L to 50L).map(u => ("k", ts(11), u)): _*); q.processAllAvailable()
+      val rows = spark.table("whll").as[(String, Long, Long)].collect()
+      val w0 = rows.filter(_._2 == 0L).map(_._3)
+      val w1 = rows.filter(_._2 == 10000L).map(_._3)
+      assert(math.abs(w0.last - 300.0) / 300.0 < 0.15, s"w0=${w0.toSeq}")
+      assert(w0.head < w0.last) // estimate grew as the second batch merged
+      assert(math.abs(w1.last - 50.0) / 50.0 < 0.15, s"w1=${w1.toSeq}")
+    }
+  }
+
   test("streaming HLL sketch: approx distinct count evolves across batches " +
       "in update mode (mergeable sketch state per key)") {
     import org.apache.spark.sql.functions._
