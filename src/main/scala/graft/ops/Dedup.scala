@@ -81,20 +81,28 @@ object Dedup {
     // similarity signal and would otherwise all collide into one bucket
     val rawSigs = minHashSignatures(docs, shingleK, numHashes)
       .where(element_at(col("sig"), 1) =!= Long.MaxValue)
-    // with indexName: a persisted signature table (build-once, survives
-    // executor loss, shared across queries) — the 100 TB path; otherwise a
-    // localCheckpoint for one-off/test corpora
-    val sigs = indexName match {
-      case Some(n) =>
-        IndexTables.plain(docs.sparkSession, s"${n}_h${numHashes}_k$shingleK")(rawSigs)
-      case None => rawSigs.localCheckpoint()
-    }
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         .cast("array<string>"), ","))
     }: _*)
-    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    def explodeBands(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // with indexName: persist the BANDED table bucketed on the join key —
+    // the self-join below then co-locates from bucketing metadata alone
+    // (no Exchange on either side; only the pair-dedup aggregation
+    // shuffles). Storage is bands× the signature table — the standard
+    // space-for-shuffle trade of a reusable LSH index. Without a name:
+    // localCheckpoint the signatures for one-off/test corpora (the join
+    // then shuffles, which is fine once).
+    val banded = indexName match {
+      case Some(n) =>
+        IndexTables.bucketed(docs.sparkSession,
+          s"${n}_h${numHashes}_k${shingleK}_b$bands", 8,
+          Seq("band", "bucket"), Seq("band", "bucket", "doc_id"))(
+          explodeBands(rawSigs))
+      case None => explodeBands(rawSigs.localCheckpoint())
+    }
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
     l.join(r, Seq("band", "bucket"))

@@ -53,6 +53,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(errs.sum / errs.size < 0.15, s"errors=$errs")
   }
 
+  test("minhash banded index: candidate self-join rides the bucketing " +
+      "(one Exchange total, for the pair-dedup agg)") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "mh_idx_test_h32_k3_b8_b8")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Dedup.minHashLshPairs(docs, bands = 8, threshold = 0.0,
+        indexName = Some("mh_idx_test"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
+      // and results match the un-indexed path exactly
+      val direct = Dedup.minHashLshPairs(docs, bands = 8, threshold = 0.0)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs.as[(Long, Long, Double)].collect().toSet == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash: identical docs agree, different docs differ") {
     val sigs = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
