@@ -25,12 +25,18 @@ object SparkEntry {
 
   /** Sorted-neighborhood near-dup clusters for `d`, persisted build-once
     * (threshold baked into the name) and shared by q_dedup_clusters and
-    * q_dedup_keep.
+    * q_dedup_keep. The corpus row count — a parquet-metadata-only read —
+    * is baked into the name as a content witness, so regenerating the
+    * data in place invalidates the persisted clusters instead of serving
+    * stale ones to the oracle gate; a same-count in-place edit
+    * additionally requires IndexTables.drop.
     */
-  private def snmClusters(s: SparkSession, d: String): DataFrame =
-    IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d))(
+  private def snmClusters(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d, n.toString))(
       Dedup.nearDupClusters(
         Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map(

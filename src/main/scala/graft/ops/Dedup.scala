@@ -212,20 +212,30 @@ object Dedup {
       // stall into linear progress when a node's label points at a local
       // minimum whose own label is only one hop better (observed on the
       // 50k stress corpus: SNM adjacency builds thousand-node paths), so
-      // run THREE pinned jump rounds per adjacency step — each round
+      // run up to three pinned jump rounds per adjacency step — each round
       // compresses the pointer chains built so far, giving the multi-hop
-      // shortcutting that keeps total iterations logarithmic.
+      // shortcutting that keeps total iterations logarithmic. Rounds stop
+      // as soon as one makes no progress (the label sum is the witness),
+      // so shallow components — the common case — pay for one jump, not
+      // three.
       var cur = pinned(viaNbr)
-      for (_ <- 1 to 3)
+      var curSum = labelSum(cur)
+      var jumping = true
+      var j = 0
+      while (j < 3 && jumping) {
         cur = pinned(cur
           .join(cur.select(col("id").as("lbl_id"), col("label").as("lbl_lbl")),
             col("label") === col("lbl_id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("lbl_lbl"), col("label"))).as("label")))
+        val nsum = labelSum(cur)
+        jumping = nsum != curSum
+        curSum = nsum
+        j += 1
+      }
       labels = cur
-      val s = labelSum(labels)
-      done = s == prevSum
-      prevSum = s
+      done = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     require(done,

@@ -186,7 +186,7 @@ object Stateful {
     * Emits (key, windowStartMs, estimate) per batch.
     */
   def windowedApproxDistinct[K, T](ds: Dataset[T], key: T => K,
-      eventTimeMs: T => Long, value: T => Any, windowMs: Long, p: Int = 6)(
+      eventTimeMs: T => Long, value: T => String, windowMs: Long, p: Int = 6)(
       implicit eK: Encoder[(K, Long)], e1: Encoder[Array[Byte]],
       e2: Encoder[((K, Long), Long)],
       e3: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] = {
@@ -200,9 +200,18 @@ object Stateful {
           else {
             val regs = state.getOption.getOrElse(new Array[Byte](m))
             it.foreach { t =>
-              // 64-bit avalanche hash of the value's string form: p index
-              // bits, leading-zero rank of the rest (Murmur-style mixer)
-              var h = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(value(t))).toLong & 0xffffffffL
+              // 64 bits of genuine hash entropy: two independently-seeded
+              // 32-bit murmurs concatenated, then avalanche-mixed. (A
+              // single 32-bit hash through a 64-bit mixer stays a 2^32-
+              // point set — bijections add no entropy — and birthday
+              // collisions would bias the estimate low at high
+              // cardinality.) `value` returns String so equality is value
+              // equality — arrays via identity toString would count every
+              // element distinct.
+              val s = value(t)
+              val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+              val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+              var h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
               h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
               h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
               h = h ^ (h >>> 33)

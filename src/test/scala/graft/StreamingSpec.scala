@@ -86,7 +86,7 @@ class StreamingSpec extends SparkSpec {
       in.toDS().withWatermark("_2", "0 seconds"),
       (t: (String, Timestamp, Long)) => t._1,
       (t: (String, Timestamp, Long)) => t._2.getTime,
-      (t: (String, Timestamp, Long)) => t._3,
+      (t: (String, Timestamp, Long)) => t._3.toString,
       windowMs = 10000L, p = 8)
     val q = est.writeStream.format("memory").queryName("whll")
       .outputMode("update").start()
