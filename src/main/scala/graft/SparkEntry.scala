@@ -166,6 +166,8 @@ object SparkEntry {
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)),
     // k-means cell occupancy over the IVF quantizer (clustering summary);
     // probes the SAME persisted index as q_ivf_topk — centroids trained and
@@ -295,6 +297,25 @@ object SparkEntry {
   /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 5-digit hex. */
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  /** Shared CTE chain scoring language markers and predicting a language
+    * per document — q_lang_id reads the prediction, q_lang_confusion
+    * aggregates it against the label.
+    */
+  private val LANGID_CTES =
+    (s"t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents), " +
+      "s AS (SELECT doc_id, lang, " +
+      "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
+      "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
+      "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
+      "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t), " +
+      "pred AS (SELECT doc_id, lang, " +
+      "CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
+      "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
+      "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
+      "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
+      "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
+      "ELSE 'und' END AS pred_lang FROM s)")
 
   /** Shared CTE chain producing the sorted-neighborhood pair table `j` —
     * used by both q_sorted_dedup and (as the edge source, under WITH
@@ -497,19 +518,10 @@ object SparkEntry {
         "greatest(len(toks), 1), 4) AS stopword_ratio, " +
         "round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) / " +
         "greatest(length(text), 1), 4) AS non_alnum_ratio FROM t"),
-    "q_lang_id" ->
-      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "s AS (SELECT doc_id, " +
-        "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
-        "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
-        "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
-        "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t) " +
-        "SELECT doc_id, CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
-        "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
-        "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
-        "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
-        "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
-        "ELSE 'und' END AS pred_lang FROM s"),
+    "q_lang_id" -> s"WITH $LANGID_CTES SELECT doc_id, pred_lang FROM pred",
+    "q_lang_confusion" ->
+      (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +
+        "FROM pred GROUP BY lang, pred_lang"),
     "q_custom_agg" ->
       ("SELECT event_type, round(avg(value), 4) AS mean_v, count(*) AS cnt " +
         "FROM events GROUP BY event_type"),

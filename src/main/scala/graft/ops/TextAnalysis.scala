@@ -50,7 +50,7 @@ object TextAnalysis {
     * char-n-gram profiles; the marker form is the SQL-portable core of the
     * same idea and is exactly reproducible in the DuckDB oracle.
     */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val t = toks(col("text"))
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "is"),
@@ -58,17 +58,27 @@ object TextAnalysis {
       "es" -> Seq("el", "los", "es", "y"),
       "fr" -> Seq("le", "et", "les", "est"))
     val scored = docs.select(
-      (col("doc_id") +: markers.map { case (lang, ws) =>
+      (col("doc_id") +: carry.map(col)) ++ markers.map { case (lang, ws) =>
         size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
           .as(s"score_$lang")
-      }): _*)
+      }: _*)
     val mx = greatest(markers.map(m => col(s"score_${m._1}")): _*)
     // first language reaching the max wins ties (deterministic, SQL-portable)
     val best = markers.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, _)) =>
       acc.when(col(s"score_$lang") === mx, lang)
     }.otherwise("und")
-    scored.select(col("doc_id"), best.as("pred_lang"))
+    scored.select(col("doc_id") +: carry.map(col) :+ best.as("pred_lang"): _*)
   }
+
+  /** Language-ID quality report: predicted vs labeled confusion counts —
+    * the QA readout for the classifier over a labeled corpus. Labels are
+    * carried through the scoring projection (zero extra shuffle; joining
+    * predictions back to the corpus would re-shuffle it for a column it
+    * already had).
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs, carry = Seq("lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
 
   /** TF-IDF top terms per document — the classic keyword-extraction /
     * feature-weighting operator. tf = in-document term count,
