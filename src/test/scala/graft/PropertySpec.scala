@@ -65,4 +65,78 @@ class PropertySpec extends SparkSpec {
       ab == ba
     })
   }
+
+  // ---- round-2 operators ----
+
+  private val idsGen: Gen[List[Long]] =
+    Gen.listOfN(60, Gen.choose(0L, 100000L)).map(_.distinct)
+
+  private def idDf(ids: List[Long]) = ids.toDF("doc_id")
+
+  test("hash samples nest across any rate pair (same salt)") {
+    check(Prop.forAll(idsGen, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      (ids, r1, r2) =>
+        ids.isEmpty || {
+          val lo = math.min(r1, r2); val hi = math.max(r1, r2)
+          val small = graft.ops.Sampling.hashSample(idDf(ids), "doc_id", lo)
+            .as[Long].collect().toSet
+          val big = graft.ops.Sampling.hashSample(idDf(ids), "doc_id", hi)
+            .as[Long].collect().toSet
+          small.subsetOf(big)
+        }
+    })
+  }
+
+  test("hash split partitions every row into exactly one split for any rates") {
+    check(Prop.forAll(idsGen, Gen.choose(0.0, 0.9)) { (ids, train) =>
+      ids.isEmpty || {
+        val valid = (1.0 - train) / 2
+        val got = graft.ops.Sampling.hashSplit(idDf(ids), "doc_id", train, valid)
+        got.count() == ids.size.toLong &&
+          got.groupBy("doc_id").count().where($"count" > 1).isEmpty
+      }
+    })
+  }
+
+  test("near-dup clusters: every member maps to the component minimum") {
+    val pairsGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L))).map(_.filter(p => p._1 != p._2))
+    check(Prop.forAll(pairsGen) { ps =>
+      ps.isEmpty || {
+        val got = graft.ops.Dedup.nearDupClusters(
+            ps.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap
+        // reference fixpoint via driver-side union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        ps.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map(k => k -> find(k)).toMap
+        got == expect
+      }
+    })
+  }
+
+  test("token-budget packing conserves docs and respects the budget") {
+    val docsGen = Gen.listOfN(30, Gen.choose(1, 15))
+    check(Prop.forAll(docsGen, Gen.choose(10L, 60L)) { (lens, budget) =>
+      lens.isEmpty || {
+        val docs = lens.zipWithIndex.map { case (n, i) =>
+          (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), "x")
+        }.toDF("doc_id", "text", "lang")
+        val got = graft.ops.Packing.packByTokenBudget(docs, budget, parts = 3)
+          .as[(Long, Long, Long)].collect()
+        val conserved = got.map(_._1).sorted.toSeq == lens.indices.map(_.toLong)
+        val bounded = got.groupBy(_._3).values.forall { shard =>
+          shard.map(_._2).sum <= budget || shard.length == 1
+        }
+        conserved && bounded
+      }
+    })
+  }
 }
