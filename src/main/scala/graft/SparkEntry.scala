@@ -31,9 +31,17 @@ object SparkEntry {
     * stale ones to the oracle gate; a same-count in-place edit
     * additionally requires IndexTables.drop.
     */
+  /** Row count as a content witness for persisted index names — a parquet-
+    * metadata-only read. Every index ident below includes it so regenerating
+    * the data in place invalidates the persisted index instead of silently
+    * serving stale tables to queries and the oracle gate; a same-count
+    * in-place edit additionally requires IndexTables.drop.
+    */
+  private def witness(df: DataFrame): String = df.count().toString
+
   private def snmClusters(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.documents(s, d).count()
-    IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d, n.toString))(
+    val n = witness(Tables.documents(s, d))
+    IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d, n))(
       Dedup.nearDupClusters(
         Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)))
   }
@@ -149,7 +157,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2,
-        indexName = Some(IndexTables.ident("minhash", d)))),
+        indexName = Some(IndexTables.ident("minhash", d,
+          witness(Tables.documents(s, d)))))),
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "q_sorted_dedup" -> ((s, d) =>
       Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)),
@@ -174,8 +183,9 @@ object SparkEntry {
     // assignment written once, and the groupBy("cell") rides the bucketing
     // (no Exchange)
     "q_cluster_sizes" -> ((s, d) => {
-      val (_, assigned) = Similarity.ivfIndex(Tables.embeddings(s, d), 16,
-        IndexTables.ident("ivf", d))
+      val emb = Tables.embeddings(s, d)
+      val (_, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
       assigned.groupBy("cell").count().withColumnRenamed("count", "cnt")
     }),
     // ---- custom Aggregator through the SQL-visible udaf() path (§2.11 A5) ----
@@ -272,21 +282,26 @@ object SparkEntry {
     // ---- similarity search ----
     "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
-    "q_lsh_pairs" -> ((s, d) =>
+    "q_lsh_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       Similarity.lshCandidatePairs(
-        Similarity.lshIndex(Tables.embeddings(s, d), dim = 64,
-          IndexTables.ident("lsh", d)), minCos = -1.0)),
+        Similarity.lshIndex(emb, dim = 64,
+          IndexTables.ident("lsh", d, witness(emb))), minCos = -1.0)
+    }),
     // scale-path NN default: LSH candidates → exact rescore → argmax.
     // q_nn stays as the exact O(N²) verifier; DedupSimilaritySpec asserts
     // recall ≥ 0.95 of this path against it.
-    "q_nn_lsh" -> ((s, d) =>
-      Similarity.lshNearestNeighbour(Tables.embeddings(s, d), dim = 64,
-        indexName = Some(IndexTables.ident("lsh_nn", d)))),
+    "q_nn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshNearestNeighbour(emb, dim = 64,
+        indexName = Some(IndexTables.ident("lsh_nn", d, witness(emb))))
+    }),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
-      val (cents, assigned) = Similarity.ivfIndex(Tables.embeddings(s, d), 16,
-        IndexTables.ident("ivf", d))
+      val emb = Tables.embeddings(s, d)
+      val (cents, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
       Similarity.ivfTopK(assigned, 0L, 10, cents, nprobe = 16)
     }),
   )

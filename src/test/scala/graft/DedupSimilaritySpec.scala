@@ -279,6 +279,68 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ident: pinned digest (NUL separator as \\u0000 escape, not a raw byte)") {
+    import graft.ops.IndexTables
+    // pinned against round-2 output: the separator byte changed from a raw
+    // 0x00 in source to the " " escape — the STRING is identical, so
+    // every persisted index name (and on-disk dir) must remain reachable
+    assert(IndexTables.ident("a", "b") == "graft_idx_a_b_70350f60")
+    // and distinct raw keys with colliding sanitized forms still differ
+    assert(IndexTables.ident("a_b") != IndexTables.ident("a", "b"))
+  }
+
+  test("interrupted compact swap is finished by a plain index access, not rebuilt over") {
+    import graft.ops.IndexTables
+    import org.apache.hadoop.fs.Path
+    val rnd = new scala.util.Random(29)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val full = "lsh_recover_test_p4_s42_b4"
+    IndexTables.drop(spark, full)
+    Similarity.lshIndex(mk(0 until 32), dim = 8,
+      name = "lsh_recover_test", numPlanes = 4, nBuckets = 4)
+    // appended rows exist ONLY in the table (no rebuild can reproduce them)
+    IndexTables.append(spark, full,
+      Similarity.lshAssign(mk(100 until 116), dim = 8, numPlanes = 4))
+    // simulate a compact that died between delete(main) and rename(tmp,main):
+    // catalog entry gone, main path gone, tmp path holds the only full copy
+    val baseDir = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-index")
+    val fs = new Path(baseDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE IF EXISTS $full")
+    assert(fs.rename(new Path(s"$baseDir/$full"), new Path(s"$baseDir/${full}_compacting")))
+    // a plain re-request must finish the swap (48 rows incl. appends), not
+    // fall through to the build thunk (32 rows, appends silently lost)
+    val recovered = Similarity.lshIndex(mk(0 until 32), dim = 8,
+      name = "lsh_recover_test", numPlanes = 4, nBuckets = 4)
+    assert(recovered.count() == 48L)
+  }
+
+  test("cross-process build fence: a _building marker refuses a concurrent build") {
+    import graft.ops.IndexTables
+    import org.apache.hadoop.fs.Path
+    val name = "graft_idx_fence_test"
+    IndexTables.drop(spark, name)
+    val baseDir = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-index")
+    val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(baseDir))
+    val marker = new Path(s"$baseDir/$name._building")
+    fs.createNewFile(marker)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IndexTables.plain(spark, name)(Seq((1L, "x")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("in progress"))
+    } finally { fs.delete(marker, false); () }
+    // marker gone → build proceeds, and releases its own marker afterwards
+    assert(IndexTables.plain(spark, name)(Seq((1L, "x")).toDF("id", "v")).count() == 1L)
+    assert(!fs.exists(marker))
+    IndexTables.drop(spark, name)
+  }
+
   test("IVF index table: cell-size aggregation rides the bucketing (no exchange)") {
     val rnd = new scala.util.Random(5)
     val many = (0L until 64L).map { i =>
