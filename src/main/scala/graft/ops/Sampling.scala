@@ -17,23 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform hash of `id` into 16 bits as a fixed-width (5-digit,
+  /** Uniform hash of `id` into 32 bits as a fixed-width (9-digit,
     * '0'-padded) lowercase-hex string. Fixed width means lexicographic
     * comparison ≡ numeric comparison — including against the rate=1.0
-    * threshold "10000" — which keeps the predicate expressible identically
-    * in any engine with md5 (the DuckDB oracles mirror it verbatim).
-    * `salt` decorrelates independent samples drawn from the same ids.
+    * threshold "100000000" — which keeps the predicate expressible
+    * identically in any engine with md5 (the DuckDB oracles mirror it
+    * verbatim). 32 bits quantize rates to 1/2^32 ≈ 2.3e-10, so even a
+    * 0.0001 % sample of a 100 TB corpus is reachable (16 bits capped out
+    * at ~1.5e-5). `salt` decorrelates independent samples from the same
+    * ids.
     */
   private def hashKey(id: Column, salt: String): Column =
-    concat(lit("0"), substring(md5(concat(lit(salt), id.cast("string"))), 1, 4))
+    concat(lit("0"), substring(md5(concat(lit(salt), id.cast("string"))), 1, 8))
 
-  /** 5-digit hex threshold selecting `rate` of the 16-bit hash space.
+  /** 9-digit hex threshold selecting `rate` of the 32-bit hash space.
     * `private[graft]` so SparkEntry's DuckDB oracle strings interpolate the
     * same constants instead of hand-duplicating them.
     */
   private[graft] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.round(rate * 65536).min(65536).toInt}%05x"
+    f"${math.round(rate * 4294967296L.toDouble).min(4294967296L)}%09x"
   }
 
   /** Deterministic `rate`-fraction sample of rows by hashed id. The filter

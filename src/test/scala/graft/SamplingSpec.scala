@@ -45,6 +45,16 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.4 && overlap < 0.6, s"overlap=$overlap") // ≈ rate
   }
 
+  test("tiny rates are reachable (32-bit hash: no 1/65536 quantum)") {
+    // 16-bit hashing rounded 1e-5 down to an unreachable 0; 32 bits make a
+    // 0.001% sample of a large corpus a real request
+    assert(Sampling.hexThreshold(1e-5) != Sampling.hexThreshold(0.0))
+    val big = spark.range(2000000).toDF("doc_id")
+    val n = Sampling.hashSample(big, "doc_id", 1e-5).count()
+    // Binomial(2e6, ~1e-5): mean ≈ 20 (threshold rounds to 43/2^32 ≈ 1.0e-5)
+    assert(n > 0 && n < 100, s"got $n rows at rate 1e-5")
+  }
+
   test("rate 0 and 1 are exact") {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
     assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == 10000L)
