@@ -309,9 +309,9 @@ object SparkEntry {
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 5-digit hex. */
+  /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 9-digit hex. */
   private val HASHKEY =
-    "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
 
   /** Shared CTE chain scoring language markers and predicting a language
     * per document — q_lang_id reads the prediction, q_lang_confusion

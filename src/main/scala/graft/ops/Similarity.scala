@@ -67,11 +67,23 @@ object Similarity {
       .limit(k)
 
   /** For every vector: its nearest neighbour (excluding itself) among the
-    * corpus — all-pairs via a single broadcast self-join; suitable as the
-    * exact baseline at moderate corpus sizes and as the verifier for the
-    * LSH path. Ties broken by lowest neighbour id via struct max ordering.
+    * corpus — all-pairs via a single broadcast self-join. This is the exact
+    * O(N²) VERIFIER for the LSH/IVF paths, deliberately NOT a production
+    * operator: at 100× the corpus it is 10,000× the pairs plus a broadcast
+    * of the full vector table. The `maxRows` fence makes that explicit —
+    * it cannot be lifted into a scale pipeline by copy-paste without a
+    * deliberate override. Scale path: [[lshNearestNeighbour]]; bounded
+    * verification: feed a [[Sampling.hashSample]] subset.
+    * Ties broken by lowest neighbour id via struct max ordering.
     */
-  def nearestNeighbour(emb: DataFrame): DataFrame = {
+  def nearestNeighbour(emb: DataFrame, maxRows: Long = 65536): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"nearestNeighbour is the exact O(N^2) verifier: $n vectors = " +
+        s"${n * n} pairs, which must not run at corpus scale. Use " +
+        "lshNearestNeighbour as the production path, or verify on a " +
+        "bounded Sampling.hashSample subset (raising maxRows is a " +
+        "deliberate offline-only choice).")
     val a = unitVecs(emb, "a_id", "a_emb")
     val b = unitVecs(emb, "b_id", "b_emb")
     a.join(broadcast(b), col("a_id") =!= col("b_id"))

@@ -279,6 +279,15 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("exact NN verifier refuses to run above its row fence") {
+    val vecs = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearestNeighbour(vecs, maxRows = 5)
+    }
+    assert(e.getMessage.contains("O(N^2)"))
+  }
+
   test("ident: pinned digest (NUL separator as \\u0000 escape, not a raw byte)") {
     import graft.ops.IndexTables
     // pinned against round-2 output: the separator byte changed from a raw
