@@ -217,6 +217,11 @@ object SparkEntry {
     // C4-style cleaning pipeline: quality filters → exact dedup → report
     "q_clean_corpus" -> ((s, d) =>
       Curation.cleanCorpusStats(Tables.documents(s, d))),
+    // sub-document span dedup: remove k-token spans duplicated across (or
+    // within) documents, keeping the lowest (doc_id, offset) owner, and
+    // reconstruct each document's surviving text
+    "q_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), spanTokens = 20)),
     // the full dedup decision: clusters → keep lowest id per cluster +
     // all unpaired docs; per-language survivor counts
     "q_dedup_keep" -> ((s, d) =>
@@ -484,6 +489,20 @@ object SparkEntry {
         s"(SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM passed) GROUP BY fp) " +
         "SELECT lang, source, count(*) AS n_kept FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
+    "q_span_dedup" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "sp0 AS (SELECT doc_id, toks, " +
+        "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM t), " +
+        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
+        "own AS (SELECT doc_id, span_idx, span, " +
+        "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp), " +
+        "k AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+        "string_agg(span, ' ' ORDER BY span_idx) AS text " +
+        "FROM own WHERE rn = 1 GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(ceil(len(t.toks) / 20.0) AS INT) AS n_spans, " +
+        "coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text, '') AS text " +
+        "FROM t LEFT JOIN k USING (doc_id)"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +

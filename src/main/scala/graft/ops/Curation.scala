@@ -40,6 +40,18 @@ object Curation {
     passed.join(keepers, Seq("doc_id"), "left_semi")
   }
 
+  /** [[cleanCorpus]] followed by sub-document span dedup — the full
+    * C4-style recipe: quality gates, whole-document dedup, then removal of
+    * boilerplate spans duplicated ACROSS the surviving documents (the step
+    * document-level dedup cannot see). Output: every surviving document
+    * with its reconstructed text plus span-retention counts.
+    */
+  def cleanCorpusSpans(docs: DataFrame, minTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7,
+      spanTokens: Int = 20): DataFrame =
+    Dedup.spanDedup(cleanCorpus(docs, minTokens, maxNonAlnum, maxStopword),
+      spanTokens, carry = Seq("lang", "source"))
+
   /** The curation summary: per-(lang, source) survivor counts — the report
     * a data team reads after a cleaning run.
     */

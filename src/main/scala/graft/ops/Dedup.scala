@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,65 @@ object Dedup {
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.join(dropList, Seq("doc_id"), "left_anti")
+  }
+
+  /** 0-based indices of the non-overlapping `k`-token spans of token array
+    * `t`: ceil(len/k) spans, last one partial. Guarded for len=0 (Spark's
+    * `sequence(0, -1)` would DESCEND, not return empty).
+    */
+  private def spanIndices(t: Column, k: Int): Column =
+    when(size(t) > 0,
+      sequence(lit(0), floor((size(t) - 1).cast("double") / k).cast("int")))
+      .otherwise(array().cast("array<int>"))
+
+  /** (doc_id, span_idx, fp): the md5 fingerprint of every non-overlapping
+    * `spanTokens`-token span of every document. The exploded rows carry
+    * 16-byte hashes + ids only — span TEXT never leaves the scan stage.
+    */
+  def spanFingerprints(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs.select(col("doc_id"), Core.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(spanIndices(col("t"), spanTokens)).as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        md5(array_join(slice(col("t"), col("span_idx") * spanTokens + 1,
+          lit(spanTokens)), " ")).as("fp"))
+
+  /** Sub-document (span-level) dedup — the C4-recipe step whole-document
+    * dedup misses: boilerplate paragraphs repeated ACROSS surviving
+    * documents. Every `spanTokens`-token span is fingerprinted; per
+    * fingerprint the lowest (doc_id, span_idx) occurrence is the owner and
+    * every other occurrence (including intra-document repeats) is removed;
+    * each document's surviving text is reconstructed in span order.
+    * Returns every input document: (doc_id, n_spans, n_kept, text) with
+    * text possibly empty when a document was entirely duplicated spans.
+    *
+    * Scale shape: ownership is one groupBy over (fp, ids) — 16-byte keys,
+    * like [[exactDedup]] — and keep-lists are (doc_id, ARRAY<int>), so
+    * everything up to reconstruction shuffles hashes and ids only (span
+    * TEXT is re-derived by re-tokenizing in place: recomputing the
+    * tokenizer beats moving 100 TB of text, the same trade
+    * [[graft.ops.TextAnalysis.tfIdfTopTerms]] makes). The one corpus-sized
+    * movement is the final docs⋈keep-lists id-equi-join; bucket the corpus
+    * table by doc_id and that join rides the bucketing with no text
+    * Exchange.
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 20,
+      carry: Seq[String] = Nil): DataFrame = {
+    val k = spanTokens
+    val owners = spanFingerprints(docs, k)
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("own"))
+    val keeps = owners
+      .select(col("own.doc_id").as("doc_id"), col("own.span_idx").as("span_idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("span_idx"))).as("keep"))
+    val t = Core.tokens(col("text"))
+    docs.join(keeps, Seq("doc_id"), "left")
+      .select(col("doc_id") +: carry.map(col) :+
+        size(spanIndices(t, k)).as("n_spans") :+
+        size(coalesce(col("keep"), array().cast("array<int>"))).as("n_kept") :+
+        array_join(transform(coalesce(col("keep"), array().cast("array<int>")),
+          i => array_join(slice(t, i * k + 1, lit(k)), " ")), " ").as("text"): _*)
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the

@@ -279,6 +279,53 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("span dedup: cross-document duplicate spans keep the lowest (doc_id, offset) owner") {
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
+    val docs = Seq(
+      (1L, s"$A $B"), // owns both of its spans
+      (2L, s"$B $C"), // loses B to doc 1, keeps C
+      (3L, A)         // loses its only span → empty text, still listed
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 4).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 2, 2, s"$A $B")))
+    assert(out(1) == ((2L, 2, 1, C)))
+    assert(out(2) == ((3L, 1, 0, "")))
+  }
+
+  test("span dedup: intra-document repeats removed, partial tail span kept") {
+    val docs = Seq((1L, "x1 x2 x3 x4 x1 x2 x3 x4 tail")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 4)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 3, 2, "x1 x2 x3 x4 tail")))
+  }
+
+  test("span dedup: zero-token document yields zero spans, not a descending sequence") {
+    val docs = Seq((1L, "..."), (2L, "one two")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 4).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 0, 0, "")))
+    assert(out(1) == ((2L, 1, 1, "one two")))
+  }
+
+  test("cleanCorpusSpans composes quality gates, doc dedup, and span dedup") {
+    val good = (0 until 12).map(i => s"w$i x$i the of").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "web", good),              // survives, owns its spans
+      (2L, "en", "web", good),              // exact duplicate → dropped by doc dedup
+      (3L, "en", "web", good + " unique tail span here"), // near-dup: shares leading spans
+      (4L, "en", "web", "too short")        // fails minTokens
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = graft.ops.Curation.cleanCorpusSpans(docs, spanTokens = 20)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Int, Int, String)].collect()
+    val ids = out.map(_._1)
+    assert(ids.toSeq == Seq(1L, 3L)) // 2 deduped, 4 filtered
+    assert(out(0)._5 == out(0)._4)  // doc 1 keeps all its spans
+    assert(out(1)._5 < out(1)._4)   // doc 3 lost its duplicated leading spans
+    assert(out(1)._6.contains("unique tail span here"))
+  }
+
   test("exact NN verifier refuses to run above its row fence") {
     val vecs = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat), 0))
       .toDF("vec_id", "embedding", "label")

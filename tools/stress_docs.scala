@@ -32,6 +32,9 @@ time("20k-nn-bruteforce")(graft.SparkEntry.queries("q_nn")(spark, s).count())
 time("50k-clean-corpus")(graft.SparkEntry.queries("q_clean_corpus")(spark, s).count())
 time("50k-dedup-keep")(graft.SparkEntry.queries("q_dedup_keep")(spark, s).count())
 time("50k-pack-shards")(graft.SparkEntry.queries("q_pack_shards")(spark, s).count())
+// span dedup at 10x: the x10 doc copies make every span of 9/10 docs a
+// cross-document duplicate — the worst case for the ownership aggregation
+time("50k-span-dedup")(graft.SparkEntry.queries("q_span_dedup")(spark, s).count())
 time("20k-nn-lsh")(graft.SparkEntry.queries("q_nn_lsh")(spark, s).count())
 // SNM skew stress: 1M synthetic docs, 30% sharing the head token "the" —
 // the case where 1-token blocking collapses 300k docs into one partition.
