@@ -146,6 +146,11 @@ object SparkEntry {
     // ---- evictor + keyed-state batch analogues (§2.7 G6, §2.10 X2/X3) ----
     "q_keep_last3" -> ((s, d) =>
       Evictors.keepLastN(Tables.events(s, d), "user_id", "ts", "event_id", 3)),
+    // count-evictor in Flink's evictBefore position: the window function
+    // only sees the surviving (last 3) elements per window
+    "q_evict_before" -> ((s, d) =>
+      Evictors.windowCountWithEvictor(Tables.events(s, d), "ts", "event_id",
+        "1 hour", 3, evictBefore = true)),
     "q_topn_per_key" -> ((s, d) =>
       Evictors.topNPerKey(Tables.events(s, d), "user_id", "value", "event_id", 2)),
     "q_list_state" -> ((s, d) =>
@@ -173,6 +178,7 @@ object SparkEntry {
     // ---- text analysis ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
+    "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
@@ -217,6 +223,11 @@ object SparkEntry {
     // C4-style cleaning pipeline: quality filters → exact dedup → report
     "q_clean_corpus" -> ((s, d) =>
       Curation.cleanCorpusStats(Tables.documents(s, d))),
+    // v2: per-source length thresholds + language-agreement gate (drop
+    // docs whose predicted language disagrees with the label)
+    "q_clean_corpus_v2" -> ((s, d) =>
+      Curation.cleanCorpusV2Stats(Tables.documents(s, d),
+        minTokensBySource = Map("src0" -> 60, "src1" -> 40))),
     // sub-document span dedup: remove k-token spans duplicated across (or
     // within) documents, keeping the lowest (doc_id, offset) owner, and
     // reconstruct each document's surviving text
@@ -440,6 +451,10 @@ object SparkEntry {
       ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn " +
         "FROM events) WHERE rn <= 3"),
+    "q_evict_before" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, " +
+        "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end, " +
+        "least(count(*), 3) AS cnt FROM events GROUP BY 1, 2"),
     "q_semi_join" ->
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
@@ -487,6 +502,34 @@ object SparkEntry {
         "/ greatest(len(toks), 1) <= 0.7), " +
         s"keep AS (SELECT min(doc_id) AS doc_id FROM " +
         s"(SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM passed) GROUP BY fp) " +
+        "SELECT lang, source, count(*) AS n_kept FROM passed " +
+        "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
+    // v2: v1's chain + per-source min-token CASE + pred_lang = lang gate
+    // (the language scoring CTEs mirror LANGID_CTES with source/toks carried)
+    "q_clean_corpus_v2" ->
+      (s"WITH t AS (SELECT doc_id, lang, source, text, $TOKS AS toks FROM documents), " +
+        "s AS (SELECT *, " +
+        "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
+        "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
+        "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t), " +
+        "pred AS (SELECT *, " +
+        "CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
+        "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
+        "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
+        "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
+        "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
+        "ELSE 'und' END AS pred_lang FROM s), " +
+        "passed AS (SELECT doc_id, lang, source, toks FROM pred " +
+        "WHERE len(toks) >= CASE WHEN source = 'src0' THEN 60 " +
+        "WHEN source = 'src1' THEN 40 ELSE 10 END " +
+        "AND CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1) <= 0.35 " +
+        "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) <= 0.7 " +
+        "AND pred_lang = lang), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM " +
+        "(SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp) " +
         "SELECT lang, source, count(*) AS n_kept FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
     "q_span_dedup" ->
@@ -543,6 +586,26 @@ object SparkEntry {
         s"'${ops.TextAnalysis.bpePatternSql}')) AS n FROM documents) " +
         "SELECT lang, CAST(sum(n) AS BIGINT) AS total_bpe, " +
         "round(avg(n), 4) AS avg_bpe FROM t GROUP BY lang"),
+    // greedy longest-match segmentation over the distinct word vocabulary
+    // (the Spark side's fold over character positions = this recursion)
+    "q_bpe_exact" ->
+      (s"WITH RECURSIVE t AS (SELECT lang, unnest($TOKS) AS word FROM documents), " +
+        "g AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word), " +
+        "words AS (SELECT DISTINCT word FROM g), " +
+        "seg(word, pos, cnt) AS (SELECT word, 1, 0 FROM words " +
+        "UNION ALL SELECT word, pos + coalesce(list_max(list_transform(" +
+        s"${ops.TextAnalysis.bpeVocabSql}, " +
+        "v -> CASE WHEN substring(word, pos, length(v)) = v THEN length(v) END)), 1), " +
+        "cnt + 1 FROM seg WHERE pos <= length(word)), " +
+        "sc AS (SELECT word, max(cnt) AS seg FROM seg GROUP BY word), " +
+        "exact AS (SELECT lang, CAST(sum(g.cnt * sc.seg) AS BIGINT) AS total_exact " +
+        "FROM g JOIN sc USING (word) GROUP BY lang), " +
+        "proxy AS (SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), " +
+        s"'${ops.TextAnalysis.bpePatternSql}'))) AS BIGINT) AS total_proxy " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT lang, total_exact, total_proxy, " +
+        "round(CAST(total_exact AS DOUBLE) / total_proxy, 4) AS drift " +
+        "FROM exact JOIN proxy USING (lang)"),
     "q_quality" ->
       (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents) " +
         "SELECT doc_id, len(toks) AS n_tokens, " +

@@ -59,4 +59,56 @@ object Curation {
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
     cleanCorpus(docs, minTokens, maxNonAlnum, maxStopword)
       .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
+
+  /** [[cleanCorpus]] v2 — the production knobs real curation runs need on
+    * a multi-source crawl:
+    *   - per-SOURCE minimum-length thresholds (a trusted source keeps short
+    *     documents; a noisy crawl needs a higher bar), falling back to
+    *     `defaultMinTokens`;
+    *   - a language-agreement gate: drop documents whose predicted language
+    *     ([[TextAnalysis.predLang]], same classifier as q_lang_id) disagrees
+    *     with the source-provided label — the standard mislabeled-document
+    *     filter.
+    *
+    * Both are pure scan-stage expressions (the threshold lookup is a
+    * broadcast-free CASE over the tiny source map; the prediction is inline
+    * — no join of the corpus against its own metadata), so everything still
+    * filters BEFORE the dedup shuffle, exactly like v1.
+    */
+  def cleanCorpusV2(docs: DataFrame,
+      minTokensBySource: Map[String, Int],
+      defaultMinTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
+    val t = Core.tokens(col("text"))
+    val minTok = minTokensBySource.toSeq match {
+      case Seq() => lit(defaultMinTokens)
+      case (src0, n0) +: rest =>
+        rest.foldLeft(when(col("source") === src0, lit(n0))) {
+          case (acc, (src, n)) => acc.when(col("source") === src, lit(n))
+        }.otherwise(lit(defaultMinTokens))
+    }
+    val passed = docs.where(
+      size(t) >= minTok &&
+      (length(col("text")) -
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)) <= maxNonAlnum &&
+      size(filter(t, x => array_contains(
+        array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*), x)))
+        .cast("double") / greatest(size(t), lit(1)) <= maxStopword &&
+      TextAnalysis.predLang(col("text")) === col("lang"))
+    val keepers = passed
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    passed.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** Per-(lang, source) survivor counts for [[cleanCorpusV2]]. */
+  def cleanCorpusV2Stats(docs: DataFrame,
+      minTokensBySource: Map[String, Int],
+      defaultMinTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
+    cleanCorpusV2(docs, minTokensBySource, defaultMinTokens, maxNonAlnum,
+      maxStopword)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
 }

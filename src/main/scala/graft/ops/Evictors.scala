@@ -42,6 +42,35 @@ object Evictors {
       .select(col(key), col(idCol), col(orderCol), col("rn"))
   }
 
+  /** Windowed count with a count-evictor in BOTH of Flink's eviction
+    * positions (reference TriggersAndEvictors.scala:245-290, MyCountEvictor
+    * with its `runBefore` flag):
+    *   - `evictBefore = true`: all but the last `maxSize` elements are
+    *     removed BEFORE the window function runs, so the fired result
+    *     counts survivors only — the reference's golden output keeps 3 per
+    *     window ("(TimeWindow{...},3)").
+    *   - `evictBefore = false`: the window function sees every element and
+    *     eviction happens AFTER it — at the terminal fire of each window
+    *     (the batch analogue of window close) eviction is then unobservable
+    *     in the output, exactly Flink's semantics.
+    * Eviction order is oldest-first (the reference walks the iterator from
+    * the head); `idCol` breaks timestamp ties deterministically.
+    */
+  def windowCountWithEvictor(df: DataFrame, tsCol: String, idCol: String,
+      winDur: String, maxSize: Int, evictBefore: Boolean): DataFrame = {
+    val win = window(col(tsCol), winDur)
+    val rows = df.select(col(tsCol), col(idCol),
+      win.getField("start").as("w_start"), win.getField("end").as("w_end"))
+    val survivors =
+      if (!evictBefore) rows
+      else {
+        val w = Window.partitionBy(col("w_start"))
+          .orderBy(col(tsCol).desc, col(idCol).desc)
+        rows.withColumn("rn", row_number().over(w)).where(col("rn") <= maxSize)
+      }
+    survivors.groupBy("w_start", "w_end").agg(count(lit(1)).as("cnt"))
+  }
+
   /** ListState batch analogue (X2, reference KeyedState.scala:159-193):
     * accumulate all element ids per key. Emitted as a sorted comma-joined
     * string — deterministic and engine-portable (array ordering from

@@ -11,19 +11,35 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * once-per-parallel-instance contract as Flink's rich lifecycle, which the
   * reference demonstrates prints once per subtask,
   * reference RichFunctions.scala:135-152). The runtime-context jobId the
-  * reference reads (reference RichFunctions.scala:118-133) is
-  * `SparkEnv`/`TaskContext` territory; expose the partition id, the closest
-  * per-subtask analogue.
+  * reference reads (reference RichFunctions.scala:118-133) maps to the
+  * Spark application id, exposed via [[RuntimeInfo]] in
+  * [[Rich.mapWithRuntimeContext]].
   */
 object Rich {
 
+  /** What Flink's `getRuntimeContext` exposes inside a rich function,
+    * Spark-side: the job identity (applicationId — readable on executors
+    * through the task-local SparkEnv) and the parallel-subtask analogue
+    * (partition id). Reference RichFunctions.scala:118-133 prints exactly
+    * these two from `open()`.
+    */
+  final case class RuntimeInfo(appId: String, partitionId: Int)
+
   def mapWithLifecycle[T, U: Encoder](ds: Dataset[T])(
       open: Int => Unit, f: T => U, close: Int => Unit): Dataset[U] =
+    mapWithRuntimeContext(ds)(
+      ctx => open(ctx.partitionId), (_, t) => f(t), ctx => close(ctx.partitionId))
+
+  def mapWithRuntimeContext[T, U: Encoder](ds: Dataset[T])(
+      open: RuntimeInfo => Unit, f: (RuntimeInfo, T) => U,
+      close: RuntimeInfo => Unit): Dataset[U] =
     ds.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      open(pid)
+      val ctx = RuntimeInfo(
+        org.apache.spark.SparkEnv.get.conf.getAppId,
+        org.apache.spark.TaskContext.getPartitionId())
+      open(ctx)
       var closed = false
-      def closeOnce(): Unit = if (!closed) { closed = true; close(pid) }
+      def closeOnce(): Unit = if (!closed) { closed = true; close(ctx) }
       // guarantee close() even when the consumer stops early (limit/take)
       // or the task fails — exhaustion alone is not a reliable signal
       Option(org.apache.spark.TaskContext.get())
@@ -34,7 +50,7 @@ object Rich {
           if (!h) closeOnce()
           h
         }
-        override def next(): U = f(it.next())
+        override def next(): U = f(ctx, it.next())
       }
     }
 }

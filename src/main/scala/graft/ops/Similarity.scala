@@ -265,10 +265,18 @@ object Similarity {
     * multi-probe reaches the recall of several tables — ×(numPlanes+1)
     * probe fan-out on ONE join side instead of ×numTables index storage
     * (the standard storage/compute trade of multi-probe LSH).
+    *
+    * Default = 2 tables WITH multi-probe: the measured Pareto point on the
+    * sf0.1 corpus (graft.tools.MeasureLsh — recall 0.47 vs 0.23 for the
+    * old 4-table/no-probe config, fastest of the sweep, half the index
+    * storage, and 1.0 recall on the cos≥0.6 pairs a dedup pipeline acts
+    * on; the old default found NONE of those). On quasi-orthogonal
+    * vectors overall NN recall is geometry-bounded for ANY bucketing
+    * scheme — raise tables/probes only for genuinely clustered corpora.
     */
   def lshNearestNeighbour(emb: DataFrame, dim: Int, numPlanes: Int = 6,
-      numTables: Int = 4, indexName: Option[String] = None,
-      multiProbe: Boolean = false): DataFrame = {
+      numTables: Int = 2, indexName: Option[String] = None,
+      multiProbe: Boolean = true): DataFrame = {
     val u = unitVecs(emb, "vec_id", "e")
     val buckets = array((0 until numTables).map { t =>
       struct(lit(t).as("tbl"),

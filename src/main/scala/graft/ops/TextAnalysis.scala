@@ -50,13 +50,32 @@ object TextAnalysis {
     * char-n-gram profiles; the marker form is the SQL-portable core of the
     * same idea and is exactly reproducible in the DuckDB oracle.
     */
+  private[graft] val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "es", "y"),
+    "fr" -> Seq("le", "et", "les", "est"))
+
+  /** The language prediction as ONE expression over a text column — for
+    * use inside a filter (e.g. the curation agreement gate) where a
+    * projection + re-join would shuffle the corpus to meet its own
+    * metadata. Identical semantics to [[langId]] (same markers, same
+    * deterministic tie-break).
+    */
+  def predLang(text: Column): Column = {
+    val t = toks(text)
+    val scores = LANG_MARKERS.map { case (lang, ws) =>
+      lang -> size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === mx, lang)
+    }.otherwise("und")
+  }
+
   def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val t = toks(col("text"))
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is"),
-      "de" -> Seq("der", "und", "die", "ist"),
-      "es" -> Seq("el", "los", "es", "y"),
-      "fr" -> Seq("le", "et", "les", "est"))
+    val markers = LANG_MARKERS
     val scored = docs.select(
       (col("doc_id") +: carry.map(col)) ++ markers.map { case (lang, ws) =>
         size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
@@ -140,6 +159,75 @@ object TextAnalysis {
     * oracle construction — same pattern text, no hand-duplication.
     */
   private[graft] def bpePatternSql: String = BPE_PATTERN.replace("'", "''")
+
+  /** Subword vocabulary for merge-based token counting: the multi-char
+    * units a small BPE training run converges to on mixed en/de/es/fr text
+    * (common suffixes/digraphs + frequent whole words). Single characters
+    * are the implicit byte-fallback — any position no unit matches costs
+    * one token. Longest-match only ever compares lengths, so list order is
+    * irrelevant (duplicates would be too, but the list is distinct).
+    */
+  private[graft] val BPE_VOCAB: Seq[String] = Seq(
+    "tion", "ing", "ent", "ter", "ver", "der", "und", "die", "ist",
+    "the", "and", "for", "est", "les", "los",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "ed",
+    "es", "or", "ar", "al", "st", "it", "le", "is", "ou", "of",
+    "to", "el", "et", "la", "de")
+
+  /** [[BPE_VOCAB]] as a DuckDB list literal for oracle construction. */
+  private[graft] def bpeVocabSql: String =
+    BPE_VOCAB.map(v => s"'${v.replace("'", "''")}'").mkString("[", ",", "]")
+
+  /** Exact subword count for one word under greedy longest-match
+    * segmentation against `vocab` (unmatched position ⇒ 1-char fallback
+    * token) — the deterministic, engine-portable core of BPE/WordPiece
+    * token counting. A single codegen'd fold over character positions:
+    * state (pos, cnt) advances pos by the longest matching unit; positions
+    * already consumed are skipped without evaluating the vocab probe
+    * (`when` short-circuits in generated code).
+    */
+  def bpeSegmentCount(word: Column, vocab: Seq[String] = BPE_VOCAB): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), lit(0).as("cnt")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val best = coalesce(
+          greatest(vocab.map(v =>
+            when(word.substr(pos, lit(v.length)) === v, lit(v.length))): _*),
+          lit(1))
+        when(i < pos, st).otherwise(
+          struct((pos + best).as("pos"), (st.getField("cnt") + 1).as("cnt")))
+      },
+      st => st.getField("cnt"))
+
+  /** Per-language EXACT merge-based token totals vs the pre-tokenizer
+    * proxy ([[bpeTokens]]), with the drift ratio between them — the
+    * calibration report for corpus budgeting (how far off the cheap count
+    * is from what the subword tokenizer will actually emit).
+    *
+    * Scale shape: segmentation runs on the DISTINCT (lang, word)
+    * vocabulary, not per token instance — Heaps'-law sized (millions of
+    * rows at 100 TB, vs trillions of tokens), reached by one (lang, word)
+    * shuffle of counts; the corpus text is scanned once per side and never
+    * shuffled. Languages with no latin-script tokens have no exact-side
+    * rows and drop out via the inner join (both engines agree).
+    */
+  def bpeExactStats(docs: DataFrame, vocab: Seq[String] = BPE_VOCAB): DataFrame = {
+    val byWord = docs
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val exact = byWord
+      .withColumn("seg", bpeSegmentCount(col("word"), vocab))
+      .groupBy("lang").agg(sum(col("cnt") * col("seg")).as("total_exact"))
+    val proxy = docs
+      .select(col("lang"), size(bpeTokens(col("text"))).as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("total_proxy"))
+    exact.join(proxy, "lang")
+      .select(col("lang"), col("total_exact"), col("total_proxy"),
+        round(col("total_exact").cast("double") / col("total_proxy"), 4)
+          .as("drift"))
+  }
 
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte

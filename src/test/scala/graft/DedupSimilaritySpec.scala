@@ -338,7 +338,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("ident: pinned digest (NUL separator as \\u0000 escape, not a raw byte)") {
     import graft.ops.IndexTables
     // pinned against round-2 output: the separator byte changed from a raw
-    // 0x00 in source to the " " escape — the STRING is identical, so
+    // 0x00 in source to the "\u0000" escape — the STRING is identical, so
     // every persisted index name (and on-disk dir) must remain reachable
     assert(IndexTables.ident("a", "b") == "graft_idx_a_b_70350f60")
     // and distinct raw keys with colliding sanitized forms still differ

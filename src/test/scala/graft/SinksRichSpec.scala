@@ -131,4 +131,18 @@ class SinksRichSpec extends SparkSpec {
     assert(opens.value == 2L) // once per parallel instance, as the
     assert(closes.value == 2L) // reference demonstrates for parallelism 2
   }
+
+  test("runtime context exposes the job id (RichFunctions.scala:118-133)") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 4).repartition(2)
+    // the reference's open() prints (jobId, subtask index); here every
+    // record carries what its task's RuntimeInfo reported
+    val seen = Rich.mapWithRuntimeContext(ds)(
+      _ => (), (ctx, v) => (ctx.appId, ctx.partitionId, v), _ => ())
+      .collect()
+    val appId = spark.sparkContext.applicationId
+    assert(seen.map(_._1).distinct.toSeq == Seq(appId))
+    assert(seen.map(_._2).distinct.sorted.toSeq == Seq(0, 1))
+    assert(seen.map(_._3).sorted.toSeq == (1 to 4))
+  }
 }

@@ -85,4 +85,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("en") == ("en", 1L, 3L, 3.0))
     assert(got("es") == ("es", 1L, 2L, 2.0))
   }
+
+  test("bpeSegmentCount: greedy longest-match goldens") {
+    // the=the(1); thering=the+r+ing(3); understanding=und+er+st+and+ing(5);
+    // xyz has no vocab unit → 3 single-char fallbacks
+    val words = Seq("the", "thering", "understanding", "xyz").toDF("word")
+    val got = words
+      .select($"word", TextAnalysis.bpeSegmentCount($"word").as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("the" -> 1, "thering" -> 3, "understanding" -> 5,
+      "xyz" -> 3))
+  }
+
+  test("bpeExactStats: exact totals + bounded drift vs the pre-token proxy") {
+    val docs = Seq(
+      (1L, "the thering understanding", "en"),
+      (2L, "understanding the", "en"),
+      (3L, "der ist und", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeExactStats(docs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // en: (1+3+5) + (5+1) = 15 exact; proxy = 5 pre-tokens
+    assert(got("en")._2 == 15L && got("en")._3 == 5L && got("en")._4 == 3.0)
+    // de: der(1) + ist(1) + und(1) = 3 exact; proxy = 3 pre-tokens
+    assert(got("de")._2 == 3L && got("de")._4 == 1.0)
+    // calibration claim: on word-like text the proxy is within a small
+    // constant factor of the exact subword count (here ≤ 3×)
+    got.values.foreach { case (_, _, _, drift) =>
+      assert(drift >= 1.0 && drift <= 3.0, s"drift out of bound: $drift")
+    }
+  }
+
+  test("cleanCorpusV2: per-source thresholds + language-agreement gate") {
+    import graft.ops.Curation
+    val en8 = "the cat and the dog is on mats" // 8 tokens, pred=en
+    val en12 = "the cat and the dog is on mats with more fur now" // 12 tokens
+    val docs = Seq(
+      (1L, en12, "en", "strict"), // 12 < 15 → dropped by source threshold
+      (2L, en12, "en", "lax"),    // kept (12 >= default 10)
+      (3L, en8, "en", "lax"),     // dropped: 8 < 10 default
+      (4L, en12, "de", "lax"),    // dropped: pred en ≠ label de (gate)
+      (5L, en12, "en", "lax")     // exact dup of 2 → deduped (min doc_id kept)
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = Curation.cleanCorpusV2(docs, Map("strict" -> 15))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L))
+    val stats = Curation.cleanCorpusV2Stats(docs, Map("strict" -> 15))
+      .as[(String, String, Long)].collect().toSet
+    assert(stats == Set(("en", "lax", 1L)))
+  }
 }

@@ -61,4 +61,23 @@ class WindowingSpec extends SparkSpec {
       .as[(java.sql.Timestamp, Long)].collect().toSeq
     assert(got.map { case (w, c) => (offs(w), c) } == Seq((10L, 3L)))
   }
+
+  test("count evictor evictBefore vs evictAfter " +
+      "(TriggersAndEvictors.scala:245-290 golden: first window partial, then 3s)") {
+    // the reference's setup: one event every 500 ms, 10 s tumbling windows,
+    // MyCountEvictor(3, runBefore) — golden output (…,2) (…,3) (…,3) (…,3):
+    // the first window is partially filled, every later one evicts to 3
+    val evs = ((18 to 19) ++ (20 to 79)).zipWithIndex.map { case (halfSec, i) =>
+      (i.toLong, new java.sql.Timestamp(start.toEpochMilli + halfSec * 500L))
+    }.toDF("event_id", "ts")
+    def counts(evictBefore: Boolean): Seq[Long] =
+      graft.ops.Evictors
+        .windowCountWithEvictor(evs, "ts", "event_id", "10 seconds", 3, evictBefore)
+        .orderBy("w_start").select("cnt").as[Long].collect().toSeq
+    // evictBefore: the window function sees only the 3 survivors
+    assert(counts(evictBefore = true) == Seq(2L, 3L, 3L, 3L))
+    // evictAfter: the window function already saw every element; at the
+    // terminal fire eviction is unobservable (Flink's semantics)
+    assert(counts(evictBefore = false) == Seq(2L, 20L, 20L, 20L))
+  }
 }
