@@ -89,6 +89,18 @@ object SparkEntry {
         ev.where(col("event_type") === "error"),
         "user_id", "ts", "event_id", "2 MINUTES")
     }),
+    // as-of join: each purchase attributed to the user's most recent view
+    // at-or-before it (right side pre-aggregated per (user, ts) so the
+    // boundary match is deterministic in both engines)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("v_id"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      Joins.asofJoin(p, v, "user_id", "ts", "p_id", "v_id")
+        .select("p_id", "v_id")
+    }),
     "q_join_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -312,6 +324,20 @@ object SparkEntry {
       Similarity.lshNearestNeighbour(emb, dim = 64,
         indexName = Some(IndexTables.ident("lsh_nn", d, witness(emb))))
     }),
+    // embedding-cosine near-dup dedup decision: LSH bucket candidates at
+    // cos >= 0.99 → connected components → keep lowest id per cluster.
+    // Probes the same persisted LSH index as q_lsh_pairs. Bucket
+    // membership rides seeded gaussian projections → rows-only (the
+    // clustering algebra itself is oracled via q_dedup_clusters).
+    "q_embed_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.lshIndex(emb, dim = 64,
+        IndexTables.ident("lsh", d, witness(emb)))
+      val pairs = Similarity.lshCandidatePairs(idx, minCos = 0.99)
+        .select("a_id", "b_id")
+      Dedup.dedupCorpus(emb.select(col("vec_id").as("doc_id")), pairs)
+        .agg(count(lit(1)).as("n_kept"))
+    }),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
@@ -431,6 +457,13 @@ object SparkEntry {
       ("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b " +
         "ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'error' " +
         "AND b.ts > a.ts - INTERVAL '2 minutes' AND b.ts < a.ts + INTERVAL '2 minutes'"),
+    "q_asof_join" ->
+      ("WITH v AS (SELECT user_id, ts, max(event_id) AS v_id FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id, ts), " +
+        "p AS (SELECT user_id, ts, event_id AS p_id FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.p_id, v.v_id FROM p ASOF JOIN v " +
+        "ON p.user_id = v.user_id AND v.ts <= p.ts"),
     "q_join_revenue" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the C4-style cleaning pipeline — cheap
@@ -20,24 +20,41 @@ object Curation {
     * normalized-content fingerprint survives). Returns the surviving rows
     * of `docs` unchanged.
     */
-  def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
-      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
-    val t = Core.tokens(col("text"))
-    val passed = docs.where(
-      size(t) >= minTokens &&
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality predicate over a PRE-TOKENIZED column. The token array is
+    * materialized once in a projection before filtering: higher-order
+    * functions are interpreted (no codegen CSE), so referencing
+    * `Core.tokens(text)` in every conjunct would re-run the split regex
+    * per conjunct per row — measurable at corpus scale.
+    */
+  private def qualityPred(t: Column, minTokens: Column, maxNonAlnum: Double,
+      maxStopword: Double): Column =
+    size(t) >= minTokens &&
       (length(col("text")) -
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
         greatest(length(col("text")), lit(1)) <= maxNonAlnum &&
-      size(filter(t, x => array_contains(
-        array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*), x)))
-        .cast("double") / greatest(size(t), lit(1)) <= maxStopword)
-    // keeper ids: one shuffle of (md5, id); then an id-only semi-join —
-    // the full rows are filtered in place, never re-shuffled
+      size(filter(t, x => array_contains(array(STOPWORDS.map(lit): _*), x)))
+        .cast("double") / greatest(size(t), lit(1)) <= maxStopword
+
+  /** Survivor selection shared by v1/v2: exact dedup over the passed rows
+    * (lowest doc_id per fingerprint wins), applied as an id-only semi-join.
+    * One shuffle of (md5, id) pairs; the full rows are filtered in place
+    * and the corpus text never moves.
+    */
+  private def dedupSurvivors(passed: DataFrame): DataFrame = {
     val keepers = passed
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), md5(array_join(col("_toks"), " ")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    passed.join(keepers, Seq("doc_id"), "left_semi")
+    passed.join(keepers, Seq("doc_id"), "left_semi").drop("_toks")
+  }
+
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
+    val passed = docs.withColumn("_toks", Core.tokens(col("text")))
+      .where(qualityPred(col("_toks"), lit(minTokens), maxNonAlnum, maxStopword))
+    dedupSurvivors(passed)
   }
 
   /** [[cleanCorpus]] followed by sub-document span dedup — the full
@@ -79,7 +96,6 @@ object Curation {
       minTokensBySource: Map[String, Int],
       defaultMinTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
-    val t = Core.tokens(col("text"))
     val minTok = minTokensBySource.toSeq match {
       case Seq() => lit(defaultMinTokens)
       case (src0, n0) +: rest =>
@@ -87,20 +103,10 @@ object Curation {
           case (acc, (src, n)) => acc.when(col("source") === src, lit(n))
         }.otherwise(lit(defaultMinTokens))
     }
-    val passed = docs.where(
-      size(t) >= minTok &&
-      (length(col("text")) -
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
-        greatest(length(col("text")), lit(1)) <= maxNonAlnum &&
-      size(filter(t, x => array_contains(
-        array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*), x)))
-        .cast("double") / greatest(size(t), lit(1)) <= maxStopword &&
-      TextAnalysis.predLang(col("text")) === col("lang"))
-    val keepers = passed
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    passed.join(keepers, Seq("doc_id"), "left_semi")
+    val passed = docs.withColumn("_toks", Core.tokens(col("text")))
+      .where(qualityPred(col("_toks"), minTok, maxNonAlnum, maxStopword) &&
+        TextAnalysis.predLangFromTokens(col("_toks")) === col("lang"))
+    dedupSurvivors(passed)
   }
 
   /** Per-(lang, source) survivor counts for [[cleanCorpusV2]]. */

@@ -56,6 +56,41 @@ object Joins {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** As-of join: for every left row, the single most recent right row with
+    * the same key and timestamp at-or-before the left row's — the "latest
+    * value as of time t" join of feature stores, market data, and
+    * session attribution. Spark has no native ASOF JOIN; the scale-right
+    * distributed form is NOT a range join (which explodes to a
+    * near-cartesian per key) but the union + keyed running-last trick:
+    * tag both sides, sort within each key by (ts, right-before-left), and
+    * carry the last non-null right payload forward with a running window —
+    * ONE shuffle on the key, linear work, no pair blow-up. Inner
+    * semantics: left rows with no prior right row are dropped.
+    *
+    * Equal timestamps on the right side are the caller's to disambiguate
+    * (pre-aggregate per (key, ts)); rows at the same (key, ts, side) have
+    * no defined winner, matching native ASOF implementations.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      leftId: String, rightVal: String): DataFrame = {
+    val lidT = left.schema(leftId).dataType
+    val rvalT = right.schema(rightVal).dataType
+    val l = left.select(col(key), col(tsCol),
+      col(leftId).as("_lid"), lit(null).cast(rvalT).as("_rval"), lit(0).as("_side"))
+    val r = right.select(col(key), col(tsCol),
+      lit(null).cast(lidT).as("_lid"), col(rightVal).as("_rval"), lit(1).as("_side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      // at equal ts the right row sorts first: "at-or-before" includes it
+      .orderBy(col(tsCol).asc, col("_side").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_rval"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0 && col("_asof").isNotNull)
+      .select(col(key), col(tsCol), col("_lid").as(leftId),
+        col("_asof").as(rightVal))
+  }
+
   /** connect + CoMapFunction (J5/J6,
     * reference HandlingMultipleStreams.scala:288-327): per-side transform to
     * a common shape, then union — the Spark-first decomposition of

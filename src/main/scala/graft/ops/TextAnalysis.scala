@@ -62,8 +62,15 @@ object TextAnalysis {
     * metadata. Identical semantics to [[langId]] (same markers, same
     * deterministic tie-break).
     */
-  def predLang(text: Column): Column = {
-    val t = toks(text)
+  def predLang(text: Column): Column = predLangFromTokens(toks(text))
+
+  /** [[predLang]] over an already-tokenized array column — callers that
+    * have materialized the token array once (e.g. the curation pipeline's
+    * single-projection form) avoid re-running the tokenizer per score
+    * (higher-order functions are interpreted, so Catalyst does not CSE the
+    * repeated split across them).
+    */
+  def predLangFromTokens(t: Column): Column = {
     val scores = LANG_MARKERS.map { case (lang, ws) =>
       lang -> size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
     }

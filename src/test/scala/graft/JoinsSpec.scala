@@ -62,6 +62,21 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set((1L, 21L), (1L, 22L)))
   }
 
+  test("as-of join: latest right value at-or-before each left row") {
+    val left = Seq(
+      (1L, 1L, "L0"), // before any right row → dropped (inner semantics)
+      (1L, 3L, "L1"), // equal ts: the t=3 right row itself matches
+      (1L, 5L, "L2"), // latest right at-or-before t=5 is t=4
+      (2L, 4L, "L3")  // key 2's only right row is later → dropped
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "C"), (2L, 9L, "D")
+    ).toDF("k", "t", "rv")
+    val got = Joins.asofJoin(left, right, "k", "t", "lid", "rv")
+      .select("lid", "rv").as[(String, String)].collect().toMap
+    assert(got == Map("L1" -> "B", "L2" -> "C"))
+  }
+
   test("connect via per-side map + union (HandlingMultipleStreams.scala:288-305)") {
     val carts = Seq(("Bob", 2)).toDF("user_id", "qty")
     val views = Seq(("Alice", "p1"), ("Bob", "p2")).toDF("user_id", "product")
