@@ -192,6 +192,7 @@ object SparkEntry {
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -648,6 +649,18 @@ object SparkEntry {
         "greatest(len(toks), 1), 4) AS stopword_ratio, " +
         "round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) / " +
         "greatest(length(text), 1), 4) AS non_alnum_ratio FROM t"),
+    "q_repetition" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "r AS (SELECT doc_id, toks, " +
+        "CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2), " +
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) " +
+        "ELSE [] END AS sh FROM t) " +
+        "SELECT doc_id, " +
+        "round(CAST(coalesce(list_max(list_transform(list_distinct(toks), " +
+        "x -> len(list_filter(toks, y -> y = x)))), 0) AS DOUBLE) " +
+        "/ greatest(len(toks), 1), 4) AS top_tok_frac, " +
+        "round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) " +
+        "/ greatest(len(sh), 1), 4) AS dup_3gram_frac FROM r"),
     "q_lang_id" -> s"WITH $LANGID_CTES SELECT doc_id, pred_lang FROM pred",
     "q_lang_confusion" ->
       (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +

@@ -236,6 +236,35 @@ object TextAnalysis {
           .as("drift"))
   }
 
+  /** Gopher/MassiveText-style repetition signals per document — the
+    * standard "degenerate text" filters applied before LLM training:
+    * the fraction of tokens taken by the single most frequent token, and
+    * the fraction of duplicated 3-gram shingles. Both are pure array
+    * expressions over one tokenization: zero shuffle, embarrassingly
+    * parallel. Per-doc cost is O(len × distinct) for the top-token scan —
+    * fine for document-sized arrays; a corpus of book-length texts would
+    * switch to the explode + count form (one extra shuffle) instead.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    docs.select(col("doc_id"), t.as("_t"))
+      .withColumn("_sh",
+        when(size(col("_t")) >= 3,
+          transform(sequence(lit(0), size(col("_t")) - 3), i => concat_ws(" ",
+            element_at(col("_t"), i + 1), element_at(col("_t"), i + 2),
+            element_at(col("_t"), i + 3))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        round(coalesce(
+            array_max(transform(array_distinct(col("_t")),
+              x => size(filter(col("_t"), y => y === x)))), lit(0))
+          .cast("double") / greatest(size(col("_t")), lit(1)), 4)
+          .as("top_tok_frac"),
+        round((size(col("_sh")) - size(array_distinct(col("_sh")))).cast("double") /
+          greatest(size(col("_sh")), lit(1)), 4).as("dup_3gram_frac"))
+  }
+
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
     * keys instead of full documents.

@@ -116,6 +116,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition scores: top-token fraction + duplicated 3-gram fraction") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ok", "en"),  // 4/5 top token
+      (2L, "a b c a b c a b c", "en"),       // cyclic: 7 shingles, 3 distinct
+      (3L, "all distinct words here", "en"), // no repetition
+      (4L, "xy zz", "en")                    // <3 tokens → no shingles
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.repetitionScores(docs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0.8, 0.3333))    // 3 shingles, 2 distinct → 1/3 dup
+    assert(got(2L) == (0.3333, 0.5714)) // 7 shingles, 3 distinct → 4/7 dup
+    assert(got(3L) == (0.25, 0.0))
+    assert(got(4L) == (0.5, 0.0))
+  }
+
   test("cleanCorpusV2: per-source thresholds + language-agreement gate") {
     import graft.ops.Curation
     val en8 = "the cat and the dog is on mats" // 8 tokens, pred=en
