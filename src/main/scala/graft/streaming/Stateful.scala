@@ -336,6 +336,41 @@ object Stateful {
         }
     }
 
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.ops.Joins.asofJoin]] and the Spark-first form of a temporal
+    * table join (enrich a fact stream with the latest version of a keyed
+    * value known at-or-before each fact). State per key is ONE (ts, value)
+    * pair — O(1), no buffering. Within a micro-batch both sides are
+    * processed in event-time order (right before left at equal ts);
+    * across micro-batches matching follows arrival order, the same
+    * contract as a processing-time temporal join (event-time disorder
+    * beyond batch boundaries is the watermarked interval join's domain).
+    * Left rows with no right version yet emit nothing (inner semantics).
+    */
+  def asofEnrich[K, V](left: Dataset[(K, Long, Long)],
+      right: Dataset[(K, Long, V)])(implicit
+      kEnc: Encoder[K],
+      envEnc: Encoder[(K, Long, Long, Option[V])],
+      stEnc: Encoder[(Long, V)]): Dataset[(Long, V)] = {
+    val l = left.map { case (k, ts, id) => (k, ts, id, None: Option[V]) }
+    val r = right.map { case (k, ts, v) => (k, ts, 0L, Some(v): Option[V]) }
+    l.union(r).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[(K, Long, Long, Option[V])],
+            state: GroupState[(Long, V)]) =>
+          var latest = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, V)]
+          // event-time order inside the batch; right rows first at ties so
+          // "at-or-before" includes the same-timestamp version
+          rows.toSeq.sortBy(t => (t._2, t._4.isEmpty)).foreach {
+            case (_, ts, _, Some(v)) => latest = Some((ts, v))
+            case (_, _, id, None)    => latest.foreach { case (_, v) => out += ((id, v)) }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** J4/X9: `connect` + `CoProcessFunction` with a shared counter across
     * two differently-typed inputs
     * (reference HandlingMultipleStreams.scala:212-280). Spark-first

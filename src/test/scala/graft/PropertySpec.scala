@@ -139,4 +139,29 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("as-of join matches the brute-force latest-at-or-before per key") {
+    // right rows get unique ts per key (the documented determinism
+    // precondition — callers pre-aggregate ties)
+    val sidesGen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 60))),
+      Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 60))))
+    check(Prop.forAll(sidesGen) { case (ls, rsRaw) =>
+      val rs = rsRaw.distinct.groupBy(_._1).toList.flatMap { case (k, es) =>
+        es.map(_._2).distinct.map(k -> _)
+      }
+      ls.isEmpty || rs.isEmpty || {
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (k, t.toLong, i.toLong) }.toDF("k", "t", "lid")
+        val right = rs.map { case (k, t) => (k, t.toLong, s"$k@$t") }.toDF("k", "t", "rv")
+        val got = Joins.asofJoin(left, right, "k", "t", "lid", "rv")
+          .select("lid", "rv").as[(Long, String)].collect().toMap
+        val expected = ls.zipWithIndex.flatMap { case ((k, t), i) =>
+          rs.filter { case (rk, rt) => rk == k && rt <= t }
+            .sortBy(_._2).lastOption.map { case (rk, rt) => i.toLong -> s"$rk@$rt" }
+        }.toMap
+        got == expected
+      }
+    })
+  }
 }

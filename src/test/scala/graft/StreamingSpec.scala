@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("as-of enrichment: latest right version per key across micro-batches") {
+    val lefts = MemoryStream[(String, Long, Long)](71, spark, None)
+    val rights = MemoryStream[(String, Long, String)](72, spark, None)
+    val out = Stateful.asofEnrich(lefts.toDS(), rights.toDS())
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    withQuery(q) {
+      // batch 1: versions v1@10 for key a, v9@10 for key b; left a@12
+      rights.addData(("a", 10L, "v1"), ("b", 10L, "v9"))
+      lefts.addData(("a", 12L, 100L)); q.processAllAvailable()
+      // batch 2: a upgrades to v2@20; lefts a@25 (sees v2) and the
+      // no-version key c@5 (emits nothing)
+      rights.addData(("a", 20L, "v2"))
+      lefts.addData(("a", 25L, 101L), ("c", 5L, 102L)); q.processAllAvailable()
+      // batch 3: same-batch, same-ts tie — right first at equal ts
+      rights.addData(("b", 30L, "v10"))
+      lefts.addData(("b", 30L, 103L)); q.processAllAvailable()
+      val got = spark.table("asof").as[(Long, String)].collect().toMap
+      assert(got == Map(100L -> "v1", 101L -> "v2", 103L -> "v10"))
+    }
+  }
+
   test("G1 count trigger fires cumulatively across batches " +
       "(WindowAssignersAndTriggers.scala:55-90)") {
     val in = MemoryStream[(String, Int)](2, spark, None)

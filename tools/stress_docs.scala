@@ -55,4 +55,7 @@ val blkPfx = expr("array_join(slice(filter(split(lower(text), '[^a-z0-9]+'), x -
 val skewStats = sd.select(pmod(hash(blkPfx), lit(32)).as("p")).groupBy("p").count()
   .agg(max("count").as("mx"), avg("count").as("av")).collect()(0)
 println(s"SKEW blk_pfx partitions: max=${skewStats.getLong(0)} avg=${skewStats.getDouble(1)}")
+time("50k-repetition")(graft.SparkEntry.queries("q_repetition")(spark, s).count())
+time("50k-bpe-exact")(graft.SparkEntry.queries("q_bpe_exact")(spark, s).count())
+time("50k-clean-corpus-v2")(graft.SparkEntry.queries("q_clean_corpus_v2")(spark, s).count())
 sys.exit(0)

@@ -17,4 +17,6 @@ time("1M-interval-join")(graft.SparkEntry.queries("q_interval_join")(spark, s).c
 time("1M-keep-last3")(graft.SparkEntry.queries("q_keep_last3")(spark, s).count())
 time("1M-running-sum")(graft.SparkEntry.queries("q_running_sum")(spark, s).count())
 time("1M-window-join")(graft.SparkEntry.queries("q_window_join")(spark, s).count())
+time("1M-asof-join")(graft.SparkEntry.queries("q_asof_join")(spark, s).count())
+time("1M-evict-before")(graft.SparkEntry.queries("q_evict_before")(spark, s).count())
 sys.exit(0)
