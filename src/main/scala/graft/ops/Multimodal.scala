@@ -9,18 +9,24 @@ import graft.functions.ArrayKernels
   * opaque BINARY columns + typed metadata struct, with decode / feature-
   * extract / resize / frame-sample stages.
   *
-  * The decode step is a clearly-marked STUB (this environment has no
-  * image/audio codecs): it derives deterministic fake dimensions from the
-  * blob header bytes. Everything around it — the schema, the binary column
-  * plumbing, partition-friendly batched execution, the real byte-level
-  * feature kernels — is real and tested, so swapping the stub for a JNI/
-  * codec call changes one function.
+  * Decode is two-tier: [[Multimodal.decodeHeaders]] REALLY parses the
+  * codec-free container formats whose layout is pure bytes (PPM images,
+  * BMP images, canonical WAV audio) with Catalyst expressions alone —
+  * exact dimensions/channels/sample-rate, no library needed. Compressed
+  * codecs (JPEG/PNG/MP3/H.264) need a decoder library this environment
+  * lacks; for those [[Multimodal.decodeStub]] remains a clearly-marked
+  * STUB fallback deriving deterministic fake dimensions, so swapping it
+  * for a JNI/codec call changes one function.
   *
   * Scale: blobs never shuffle (all stages are narrow maps over the scan);
   * aggregations run on extracted small features. This mirrors the
   * mapInPandas batch shape: per-partition batches of rows, vectorized body.
   */
 object Multimodal {
+
+  /** The decoded-media schema shared by the real and stub decoders. */
+  private val DEC_T =
+    "struct<dec_width:int,dec_height:int,channels:int,sample_rate:int,codec:string>"
 
   /** media(media_id, kind, blob, meta{width,height,sample_rate}) — the
     * canonical multimodal schema. Synthetic deterministic blobs (seeded by
@@ -40,6 +46,50 @@ object Multimodal {
           (pmod(col("media_id"), lit(3)) * 120 + 240).cast("int").as("height"),
           lit(16000).as("sample_rate")).as("meta"))
 
+  /** Little-endian unsigned integer read from `nBytes` at 1-based byte
+    * offset `pos` — byte access via substring + hex, so the whole read is
+    * codegen'd string/number expressions (no UDF).
+    */
+  private def leUInt(blob: Column, pos: Int, nBytes: Int): Column =
+    conv(concat((0 until nBytes).reverse.map(i =>
+      lpad(hex(substring(blob, pos + i, 1)), 2, "0")): _*), 16, 10).cast("long")
+
+  /** REAL decode for codec-free container formats — exact header parsing
+    * as pure Catalyst expressions:
+    *   - PPM (P6): ASCII header `P6 <width> <height> <maxval>`;
+    *   - BMP: little-endian int32 width/height at byte offsets 18/22
+    *     (signed height: top-down bitmaps store it negative);
+    *   - WAV (canonical RIFF layout): channels at offset 22 (uint16),
+    *     sample rate at offset 24 (uint32).
+    * Returns NULL for unrecognized blobs (i.e. compressed codecs) — the
+    * honest signal; callers choose the fallback (see [[mediaFeatures]]).
+    */
+  def decodeHeaders(blob: Column): Column = {
+    val ppmHead = substring(blob, 1, 32).cast("string")
+    val ppmRe = "^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)"
+    val isPpm = regexp_extract(ppmHead, ppmRe, 1) =!= ""
+    val isBmp = hex(substring(blob, 1, 2)) === "424D" // "BM"
+    val isWav = substring(blob, 1, 4).cast("string") === "RIFF" &&
+      substring(blob, 9, 7).cast("string") === "WAVEfmt"
+    val bmpHRaw = leUInt(blob, 23, 4)
+    val bmpH = abs(when(bmpHRaw > Int.MaxValue, bmpHRaw - 4294967296L)
+      .otherwise(bmpHRaw))
+    val nullInt = lit(null).cast("int")
+    when(isPpm, struct(
+        regexp_extract(ppmHead, ppmRe, 1).cast("int").as("dec_width"),
+        regexp_extract(ppmHead, ppmRe, 2).cast("int").as("dec_height"),
+        lit(3).as("channels"), nullInt.as("sample_rate"), lit("ppm").as("codec")))
+      .when(isBmp, struct(
+        leUInt(blob, 19, 4).cast("int").as("dec_width"),
+        bmpH.cast("int").as("dec_height"),
+        lit(3).as("channels"), nullInt.as("sample_rate"), lit("bmp").as("codec")))
+      .when(isWav, struct(
+        nullInt.as("dec_width"), nullInt.as("dec_height"),
+        leUInt(blob, 23, 2).cast("int").as("channels"),
+        leUInt(blob, 25, 4).cast("int").as("sample_rate"), lit("wav").as("codec")))
+      .otherwise(lit(null).cast(DEC_T))
+  }
+
   /** STUB decode: real systems call an image codec here (e.g. via JNI or a
     * Python mapInPandas worker). Deterministic fake: dimensions derived
     * from the first blob bytes. Signature and plumbing are production-real.
@@ -48,7 +98,9 @@ object Multimodal {
     struct(
       (pmod(xxhash64(blob, lit(1)), lit(1024)) + 64).cast("int").as("dec_width"),
       (pmod(xxhash64(blob, lit(2)), lit(768)) + 64).cast("int").as("dec_height"),
-      lit(3).as("channels"))
+      lit(3).as("channels"),
+      lit(null).cast("int").as("sample_rate"),
+      lit("stub").as("codec"))
 
   /** Frame sampling: cut the blob into fixed-size frames and keep every
     * `stride`-th — the binary-plumbing form of video frame-sampling.
@@ -68,15 +120,16 @@ object Multimodal {
     */
   def byteHistogram(blob: Column): Column = ArrayKernels.byte_histogram(blob, 16)
 
-  /** Full pipeline over a media table: decode (stub) → per-kind feature
-    * aggregation. Blobs stay in the scan stage; only 16-int features and
-    * small metadata cross the (single) shuffle.
+  /** Full pipeline over a media table: decode (real header parse when the
+    * format is recognized, stub fallback for compressed codecs) → per-kind
+    * feature aggregation. Blobs stay in the scan stage; only 16-int
+    * features and small metadata cross the (single) shuffle.
     */
   def mediaFeatures(media: DataFrame): DataFrame =
     media.select(
         col("media_id"), col("kind"),
         col("meta.width").as("width"),
-        decodeStub(col("blob")).as("dec"),
+        coalesce(decodeHeaders(col("blob")), decodeStub(col("blob"))).as("dec"),
         byteHistogram(col("blob")).as("hist"))
       .groupBy(col("kind"))
       .agg(

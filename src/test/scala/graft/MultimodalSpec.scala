@@ -54,4 +54,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.map(_.getAs[Long]("n_media")).sum == 30L)
   }
+
+  test("decodeHeaders REALLY parses PPM/BMP/WAV headers (no codec library)") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    // P6 PPM, 640×480, maxval 255, followed by (truncated) RGB payload
+    val ppm = "P6\n640 480\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    // BMP: "BM" + size + reserved + offset, then BITMAPINFOHEADER with
+    // width 1920 at offset 18 and TOP-DOWN (negative) height -1080 at 22
+    val bmp = "BM".getBytes("US-ASCII") ++ le(146, 4) ++ le(0, 4) ++ le(54, 4) ++
+      le(40, 4) ++ le(1920, 4) ++ le(-1080L & 0xffffffffL, 4) ++ Array.fill(8)(0.toByte)
+    // canonical WAV: RIFF size WAVE "fmt " 16 pcm=1 channels=2 rate=44100 …
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(36, 4) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(176400, 4) ++ le(4, 2) ++ le(16, 2)
+    // a JPEG-ish blob no header parser recognizes → NULL (stub territory)
+    val jpg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ Array.fill(12)(1.toByte)
+    val df = Seq(("ppm", ppm), ("bmp", bmp), ("wav", wav), ("jpg", jpg))
+      .toDF("name", "blob")
+      .select($"name", Multimodal.decodeHeaders($"blob").as("d"))
+      .select($"name", $"d.dec_width", $"d.dec_height", $"d.channels",
+        $"d.sample_rate", $"d.codec")
+      .as[(String, Option[Int], Option[Int], Option[Int], Option[Int], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(df("ppm") == (("ppm", Some(640), Some(480), Some(3), None, Some("ppm"))))
+    assert(df("bmp") == (("bmp", Some(1920), Some(1080), Some(3), None, Some("bmp"))))
+    assert(df("wav") == (("wav", None, None, Some(2), Some(44100), Some("wav"))))
+    assert(df("jpg") == (("jpg", None, None, None, None, None))) // honest NULL
+  }
 }
