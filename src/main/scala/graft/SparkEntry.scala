@@ -356,24 +356,31 @@ object SparkEntry {
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
 
+  /** Language-scoring SQL GENERATED from [[ops.TextAnalysis.LANG_MARKERS]]
+    * — the same constant the Spark side scores with, so the marker lists
+    * and tie-break order cannot drift between engine and oracle (they
+    * previously existed as three hand-synced copies).
+    */
+  private val LANG_SCORE_COLS = ops.TextAnalysis.LANG_MARKERS.map { case (l, ws) =>
+    s"len(list_filter(toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS score_$l"
+  }.mkString(", ")
+
+  private val LANG_PRED_CASE = {
+    val g = s"greatest(${ops.TextAnalysis.LANG_MARKERS.map("score_" + _._1).mkString(", ")})"
+    s"CASE WHEN $g <= 0 THEN 'und' " +
+      ops.TextAnalysis.LANG_MARKERS.map { case (l, _) =>
+        s"WHEN score_$l = $g THEN '$l' "
+      }.mkString + "ELSE 'und' END"
+  }
+
   /** Shared CTE chain scoring language markers and predicting a language
     * per document — q_lang_id reads the prediction, q_lang_confusion
     * aggregates it against the label.
     */
   private val LANGID_CTES =
     (s"t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents), " +
-      "s AS (SELECT doc_id, lang, " +
-      "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
-      "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
-      "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
-      "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t), " +
-      "pred AS (SELECT doc_id, lang, " +
-      "CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
-      "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
-      "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
-      "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
-      "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
-      "ELSE 'und' END AS pred_lang FROM s)")
+      s"s AS (SELECT doc_id, lang, $LANG_SCORE_COLS FROM t), " +
+      s"pred AS (SELECT doc_id, lang, $LANG_PRED_CASE AS pred_lang FROM s)")
 
   /** Shared CTE chain producing the sorted-neighborhood pair table `j` —
     * used by both q_sorted_dedup and (as the edge source, under WITH
@@ -539,21 +546,12 @@ object SparkEntry {
         "SELECT lang, source, count(*) AS n_kept FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
     // v2: v1's chain + per-source min-token CASE + pred_lang = lang gate
-    // (the language scoring CTEs mirror LANGID_CTES with source/toks carried)
+    // (scoring/prediction SQL generated from the same LANG_MARKERS the
+    // Spark side uses — see LANG_SCORE_COLS/LANG_PRED_CASE)
     "q_clean_corpus_v2" ->
       (s"WITH t AS (SELECT doc_id, lang, source, text, $TOKS AS toks FROM documents), " +
-        "s AS (SELECT *, " +
-        "len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en, " +
-        "len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS score_de, " +
-        "len(list_filter(toks, x -> list_contains(['el','los','es','y'], x))) AS score_es, " +
-        "len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr FROM t), " +
-        "pred AS (SELECT *, " +
-        "CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und' " +
-        "WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en' " +
-        "WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de' " +
-        "WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es' " +
-        "WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr' " +
-        "ELSE 'und' END AS pred_lang FROM s), " +
+        s"s AS (SELECT *, $LANG_SCORE_COLS FROM t), " +
+        s"pred AS (SELECT *, $LANG_PRED_CASE AS pred_lang FROM s), " +
         "passed AS (SELECT doc_id, lang, source, toks FROM pred " +
         "WHERE len(toks) >= CASE WHEN source = 'src0' THEN 60 " +
         "WHEN source = 'src1' THEN 40 ELSE 10 END " +

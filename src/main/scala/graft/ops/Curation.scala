@@ -20,23 +20,6 @@ object Curation {
     * normalized-content fingerprint survives). Returns the surviving rows
     * of `docs` unchanged.
     */
-  private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-
-  /** Quality predicate over a PRE-TOKENIZED column. The token array is
-    * materialized once in a projection before filtering: higher-order
-    * functions are interpreted (no codegen CSE), so referencing
-    * `Core.tokens(text)` in every conjunct would re-run the split regex
-    * per conjunct per row — measurable at corpus scale.
-    */
-  private def qualityPred(t: Column, minTokens: Column, maxNonAlnum: Double,
-      maxStopword: Double): Column =
-    size(t) >= minTokens &&
-      (length(col("text")) -
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
-        greatest(length(col("text")), lit(1)) <= maxNonAlnum &&
-      size(filter(t, x => array_contains(array(STOPWORDS.map(lit): _*), x)))
-        .cast("double") / greatest(size(t), lit(1)) <= maxStopword
-
   /** Survivor selection shared by v1/v2: exact dedup over the passed rows
     * (lowest doc_id per fingerprint wins), applied as an id-only semi-join.
     * One shuffle of (md5, id) pairs; the full rows are filtered in place
@@ -44,18 +27,16 @@ object Curation {
     */
   private def dedupSurvivors(passed: DataFrame): DataFrame = {
     val keepers = passed
-      .select(col("doc_id"), md5(array_join(col("_toks"), " ")).as("fp"))
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    passed.join(keepers, Seq("doc_id"), "left_semi").drop("_toks")
+    passed.join(keepers, Seq("doc_id"), "left_semi")
   }
 
   def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
-      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame = {
-    val passed = docs.withColumn("_toks", Core.tokens(col("text")))
-      .where(qualityPred(col("_toks"), lit(minTokens), maxNonAlnum, maxStopword))
-    dedupSurvivors(passed)
-  }
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
+    dedupSurvivors(docs.where(TextAnalysis.curationGate(col("text"),
+      lit(minTokens), maxNonAlnum, maxStopword, langLabel = None)))
 
   /** [[cleanCorpus]] followed by sub-document span dedup — the full
     * C4-style recipe: quality gates, whole-document dedup, then removal of
@@ -103,10 +84,8 @@ object Curation {
           case (acc, (src, n)) => acc.when(col("source") === src, lit(n))
         }.otherwise(lit(defaultMinTokens))
     }
-    val passed = docs.withColumn("_toks", Core.tokens(col("text")))
-      .where(qualityPred(col("_toks"), minTok, maxNonAlnum, maxStopword) &&
-        TextAnalysis.predLangFromTokens(col("_toks")) === col("lang"))
-    dedupSurvivors(passed)
+    dedupSurvivors(docs.where(TextAnalysis.curationGate(col("text"),
+      minTok, maxNonAlnum, maxStopword, langLabel = Some(col("lang")))))
   }
 
   /** Per-(lang, source) survivor counts for [[cleanCorpusV2]]. */

@@ -307,8 +307,14 @@ object Dedup {
       .select(col("own.doc_id").as("doc_id"), col("own.span_idx").as("span_idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("span_idx"))).as("keep"))
-    val t = Core.tokens(col("text"))
+    // tokens materialized as their own projection: referenced from inside
+    // the transform lambda below, an inline Core.tokens(text) would re-run
+    // the split regex once PER KEPT SPAN (interpreted HOF bodies re-evaluate
+    // per element); CollapseProject keeps the projection separate because
+    // the alias is non-cheap and multiply-referenced
+    val t = col("_t")
     docs.join(keeps, Seq("doc_id"), "left")
+      .withColumn("_t", Core.tokens(col("text")))
       .select(col("doc_id") +: carry.map(col) :+
         size(spanIndices(t, k)).as("n_spans") :+
         size(coalesce(col("keep"), array().cast("array<int>"))).as("n_kept") :+

@@ -204,9 +204,14 @@ object IndexTables {
     */
   def drop(spark: SparkSession, name: String): Unit = synchronized {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$name")
     val f = fs(spark)
+    val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$name")
     if (f.exists(dir)) { f.delete(dir, true); () }
+    // a build that died mid-flight leaves its fence behind (the marker is a
+    // SIBLING of the table dir) — drop's contract is "the next call
+    // rebuilds", so clear it too or that rebuild is refused forever
+    val marker = new org.apache.hadoop.fs.Path(s"$baseDir/$name._building")
+    if (f.exists(marker)) { f.delete(marker, false); () }
   }
 
   /** Un-bucketed variant for indexes whose probe key is derived downstream

@@ -70,6 +70,12 @@ object Joins {
     * Equal timestamps on the right side are the caller's to disambiguate
     * (pre-aggregate per (key, ts)); rows at the same (key, ts, side) have
     * no defined winner, matching native ASOF implementations.
+    *
+    * `rightVal` must be non-null: NULL is the internal "this is a left
+    * row" sentinel, so a genuinely-null right payload would be skipped by
+    * the running `last(ignoreNulls)` and an OLDER version matched instead
+    * (native ASOF would match the null-valued row). Wrap nullable payloads
+    * in a struct before joining.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       leftId: String, rightVal: String): DataFrame = {

@@ -68,7 +68,12 @@ object Multimodal {
     val ppmHead = substring(blob, 1, 32).cast("string")
     val ppmRe = "^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)"
     val isPpm = regexp_extract(ppmHead, ppmRe, 1) =!= ""
-    val isBmp = hex(substring(blob, 1, 2)) === "424D" // "BM"
+    // two magic bytes alone would false-positive on arbitrary binaries (or
+    // text cast to binary) starting with "BM" — require the fixed
+    // BITMAPINFOHEADER size field (40 at offset 14) as a second witness,
+    // as the WAV branch does with "WAVEfmt"
+    val isBmp = hex(substring(blob, 1, 2)) === "424D" &&
+      leUInt(blob, 15, 4) === 40
     val isWav = substring(blob, 1, 4).cast("string") === "RIFF" &&
       substring(blob, 9, 7).cast("string") === "WAVEfmt"
     val bmpHRaw = leUInt(blob, 23, 4)

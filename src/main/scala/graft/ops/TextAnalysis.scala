@@ -80,6 +80,59 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  /** The ENTIRE curation gate (length, stopword ratio, non-alnum ratio,
+    * optional language-agreement) as ONE boolean expression that tokenizes
+    * the text exactly once.
+    *
+    * Why one expression: Catalyst's filter pushdown substitutes projected
+    * aliases back into every predicate conjunct (PushPredicateThroughNonJoin
+    * has no cost guard), so "materialize the token array in a projection,
+    * filter on it" silently re-plants the split regex in each conjunct —
+    * the optimized v2 plan carried 55 split() instances that way. Inside a
+    * single `aggregate`, per-token counters accumulate in one fold and the
+    * `finish` lambda's state variable is BOUND, not substituted, so every
+    * threshold test reads the counters for free.
+    */
+  private[graft] def curationGate(text: Column, minTokens: Column,
+      maxNonAlnum: Double, maxStopword: Double,
+      langLabel: Option[Column],
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")): Column = {
+    val stopLit = array(stopwords.map(lit): _*)
+    val hit = (ws: Seq[String], x: Column) =>
+      when(array_contains(array(ws.map(lit): _*), x), 1).otherwise(0)
+    // language counters only accumulate when the gate actually reads them
+    val markers = if (langLabel.isDefined) LANG_MARKERS else Nil
+    val counters = aggregate(
+      Core.tokens(text),
+      struct((Seq("n", "stop") ++ markers.map(_._1))
+        .map(f => lit(0).as(f)): _*),
+      (st, x) => struct(
+        (st.getField("n") + 1).as("n") +:
+        (st.getField("stop") + when(array_contains(stopLit, x), 1).otherwise(0)).as("stop") +:
+        markers.map { case (l, ws) =>
+          (st.getField(l) + hit(ws, x)).as(l)
+        }: _*),
+      st => {
+        val n = st.getField("n")
+        val pass = n >= minTokens &&
+          st.getField("stop").cast("double") / greatest(n, lit(1)) <= maxStopword
+        langLabel match {
+          case None => pass
+          case Some(label) =>
+            val scores = markers.map { case (l, _) => l -> st.getField(l) }
+            val mx = greatest(scores.map(_._2): _*)
+            val pred = scores.foldLeft(when(mx <= 0, "und")) {
+              case (acc, (l, sc)) => acc.when(sc === mx, l)
+            }.otherwise("und")
+            pass && pred === label
+        }
+      })
+    counters &&
+      (length(text) -
+        length(regexp_replace(lower(text), "[^a-z0-9]", ""))).cast("double") /
+        greatest(length(text), lit(1)) <= maxNonAlnum
+  }
+
   def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val t = toks(col("text"))
     val markers = LANG_MARKERS
@@ -194,7 +247,9 @@ object TextAnalysis {
     * (`when` short-circuits in generated code).
     */
   def bpeSegmentCount(word: Column, vocab: Seq[String] = BPE_VOCAB): Column =
-    aggregate(
+    // empty-word guard: sequence(1, 0) DESCENDS (yielding [1, 0] and one
+    // spurious fold step), it does not return an empty array
+    when(length(word) === 0, lit(0)).otherwise(aggregate(
       sequence(lit(1), length(word)),
       struct(lit(1).as("pos"), lit(0).as("cnt")),
       (st, i) => {
@@ -206,7 +261,7 @@ object TextAnalysis {
         when(i < pos, st).otherwise(
           struct((pos + best).as("pos"), (st.getField("cnt") + 1).as("cnt")))
       },
-      st => st.getField("cnt"))
+      st => st.getField("cnt")))
 
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the

@@ -363,7 +363,11 @@ object Stateful {
           // event-time order inside the batch; right rows first at ties so
           // "at-or-before" includes the same-timestamp version
           rows.toSeq.sortBy(t => (t._2, t._4.isEmpty)).foreach {
-            case (_, ts, _, Some(v)) => latest = Some((ts, v))
+            case (_, ts, _, Some(v)) =>
+              // a late right version (older event time than the stored
+              // one) must not clobber newer state across micro-batches —
+              // the cross-batch twin of the in-batch event-time sort
+              if (latest.forall(_._1 <= ts)) latest = Some((ts, v))
             case (_, _, id, None)    => latest.foreach { case (_, v) => out += ((id, v)) }
           }
           latest.foreach(state.update)
