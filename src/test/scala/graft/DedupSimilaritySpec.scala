@@ -394,6 +394,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // marker gone → build proceeds, and releases its own marker afterwards
     assert(IndexTables.plain(spark, name)(Seq((1L, "x")).toDF("id", "v")).count() == 1L)
     assert(!fs.exists(marker))
+    // a crashed build's stale marker is cleared by drop (drop's contract is
+    // "the next call rebuilds" — the fence must not survive it)
+    fs.createNewFile(marker)
+    IndexTables.drop(spark, name)
+    assert(!fs.exists(marker))
+    assert(IndexTables.plain(spark, name)(Seq((2L, "y")).toDF("id", "v")).count() == 1L)
     IndexTables.drop(spark, name)
   }
 

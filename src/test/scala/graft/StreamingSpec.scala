@@ -50,8 +50,13 @@ class StreamingSpec extends SparkSpec {
       // batch 3: same-batch, same-ts tie — right first at equal ts
       rights.addData(("b", 30L, "v10"))
       lefts.addData(("b", 30L, 103L)); q.processAllAvailable()
+      // batch 4: a LATE right version (ts=15 < stored ts=20) must not
+      // clobber the newer state — left a@26 still sees v2
+      rights.addData(("a", 15L, "v1.5"))
+      lefts.addData(("a", 26L, 104L)); q.processAllAvailable()
       val got = spark.table("asof").as[(Long, String)].collect().toMap
-      assert(got == Map(100L -> "v1", 101L -> "v2", 103L -> "v10"))
+      assert(got == Map(100L -> "v1", 101L -> "v2", 103L -> "v10",
+        104L -> "v2"))
     }
   }
 

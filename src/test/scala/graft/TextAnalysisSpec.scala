@@ -88,13 +88,14 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("bpeSegmentCount: greedy longest-match goldens") {
     // the=the(1); thering=the+r+ing(3); understanding=und+er+st+and+ing(5);
-    // xyz has no vocab unit → 3 single-char fallbacks
-    val words = Seq("the", "thering", "understanding", "xyz").toDF("word")
+    // xyz has no vocab unit → 3 single-char fallbacks; "" must be 0 (the
+    // raw fold would see sequence(1,0) DESCEND and count 1)
+    val words = Seq("the", "thering", "understanding", "xyz", "").toDF("word")
     val got = words
       .select($"word", TextAnalysis.bpeSegmentCount($"word").as("n"))
       .as[(String, Int)].collect().toMap
     assert(got == Map("the" -> 1, "thering" -> 3, "understanding" -> 5,
-      "xyz" -> 3))
+      "xyz" -> 3, "" -> 0))
   }
 
   test("bpeExactStats: exact totals + bounded drift vs the pre-token proxy") {
