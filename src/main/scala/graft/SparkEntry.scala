@@ -258,6 +258,12 @@ object SparkEntry {
     // not SQL-mirrorable → rows-only)
     "q_pack_shards" -> ((s, d) =>
       Packing.packByTokenBudget(Tables.documents(s, d), budget = 4096, parts = 8)),
+    // single-stream twin of q_pack_shards: parts=1 makes the greedy pass a
+    // global doc_id-ordered scan, which a DuckDB recursive CTE reproduces
+    // row for row — the VALIDATION variant for the packing algebra (the
+    // partition-local parts=8 form above stays the production query)
+    "q_pack_sorted" -> ((s, d) =>
+      Packing.packByTokenBudget(Tables.documents(s, d), budget = 4096, parts = 1)),
     // ---- sketches: mergeable approx aggregates (the 100 TB form of
     // distinct-count / quantiles — fixed-size state, one pass, map-side
     // combinable; SketchSpec asserts accuracy vs the exact aggregates).
@@ -588,6 +594,19 @@ object SparkEntry {
         "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id) " +
         "SELECT lang, count(*) AS n_kept FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang"),
+    // sequential greedy packing as linear recursion: row rn folds (shard,
+    // used) exactly like the Spark partition pass (used>0 guard included:
+    // an oversized document keeps its own shard)
+    "q_pack_sorted" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n FROM documents), " +
+        "o AS (SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM t), " +
+        "g(rn, doc_id, n, shard, used) AS (" +
+        "SELECT rn, doc_id, n, CAST(0 AS BIGINT), n FROM o WHERE rn = 1 " +
+        "UNION ALL SELECT o.rn, o.doc_id, o.n, " +
+        "CASE WHEN g.used > 0 AND g.used + o.n > 4096 THEN g.shard + 1 ELSE g.shard END, " +
+        "CASE WHEN g.used > 0 AND g.used + o.n > 4096 THEN o.n ELSE g.used + o.n END " +
+        "FROM g JOIN o ON o.rn = g.rn + 1) " +
+        "SELECT doc_id, n AS n_tokens, shard AS shard_id FROM g"),
     "q_hash_sample" ->
       (s"SELECT doc_id, lang FROM documents WHERE $HASHKEY < " +
         s"'${ops.Sampling.hexThreshold(0.1)}'"),
