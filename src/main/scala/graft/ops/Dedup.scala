@@ -173,7 +173,8 @@ object Dedup {
     * the growing loop lineage; unlike the corpus-sized checkpoints this
     * repo removed, this state is candidate-set-sized by construction.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50,
+      driverFastPathEdges: Long = 1L << 20): DataFrame = {
     // localCheckpoint truncates LINEAGE but INHERITS the plan's estimated
     // sizeInBytes — and join estimation multiplies child sizes. Feeding one
     // iteration's inflated estimate into the next compounds the BigInt
@@ -185,8 +186,37 @@ object Dedup {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    val edges = pinned(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    // small-graph fast path: label propagation costs ~4 Spark jobs PER
+    // ITERATION in fixed overhead; when the edge set fits comfortably on
+    // the driver (16 bytes/edge → default fence 1M edges ≈ 16 MB), a local
+    // union-find computes the identical min-label fixpoint in milliseconds.
+    // Same driver-side-tiny-by-design contract as the IVF centroid sample;
+    // the distributed iteration below IS the 100 TB path (edge sets from a
+    // corpus-scale LSH pass exceed any driver).
+    val distinctPairs = pinned(pairs.select(col("a_id"), col("b_id")))
+    if (distinctPairs.count() <= driverFastPathEdges) {
+      val es = distinctPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root wins
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_id")
+    }
+    val edges = pinned(
+      distinctPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(distinctPairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = pinned(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     // labels only ever decrease, so an unchanged label-sum witnesses the

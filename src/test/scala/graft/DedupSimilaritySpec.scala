@@ -94,6 +94,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("a_id", "b_id")
     val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the driver fast path and the distributed propagation must agree
+    val dist = Dedup.nearDupClusters(pairs, driverFastPathEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
   }
 
   test("near-dup clusters: empty candidate set yields empty output") {
@@ -104,9 +108,11 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("near-dup clusters converge on a long chain (diameter > 1 iteration)") {
-    // path graph 0-1-2-…-19: worst case for label propagation
+    // path graph 0-1-2-…-19: worst case for label propagation — force the
+    // DISTRIBUTED path (the fence would route this to the driver)
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect()
+    val got = Dedup.nearDupClusters(pairs, driverFastPathEdges = 0)
+      .as[(Long, Long)].collect()
     assert(got.length == 20 && got.forall(_._2 == 0L), got.mkString(","))
   }
 

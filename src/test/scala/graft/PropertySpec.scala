@@ -103,8 +103,11 @@ class PropertySpec extends SparkSpec {
       Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L))).map(_.filter(p => p._1 != p._2))
     check(Prop.forAll(pairsGen) { ps =>
       ps.isEmpty || {
+        // force the DISTRIBUTED path: the reference below is itself a
+        // union-find, so routing through the driver fast path would make
+        // this test vacuous
         val got = graft.ops.Dedup.nearDupClusters(
-            ps.toDF("a_id", "b_id"))
+            ps.toDF("a_id", "b_id"), driverFastPathEdges = 0)
           .as[(Long, Long)].collect().toMap
         // reference fixpoint via driver-side union-find
         val parent = scala.collection.mutable.Map[Long, Long]()
