@@ -29,6 +29,25 @@ object StreamingOps {
       .select((Seq(col("window.start").as("w_start"), col("window.end").as("w_end")) ++
         keys.map(col) :+ col("count").as("cnt")): _*)
 
+  /** Streaming exact dedup — the streaming twin of the batch cleaning
+    * pipeline's fingerprint dedup ([[graft.ops.Curation.cleanCorpus]]):
+    * keep the FIRST document per content fingerprint, where "first" is
+    * arrival order within the watermark horizon. `dropDuplicates` keys
+    * state by the 16-byte fingerprint only (never the text), and
+    * `withWatermark` bounds that state: fingerprints older than the delay
+    * are evicted, so state is O(unique docs per horizon) — the standard
+    * shape for deduping an unbounded crawl feed at ingest.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, delay: String,
+      textCol: String = "text"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .withColumn("_fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      // dedup on the fingerprint ALONE while still evicting state by
+      // watermark (plain dropDuplicates would need the ts column in the
+      // key for cleanup, missing same-content-different-ts duplicates)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** M1+W2: watermarked sliding window count. */
   def slidingCount(stream: DataFrame, tsCol: String, delay: String, size: String,
       slide: String): DataFrame =

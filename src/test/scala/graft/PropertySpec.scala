@@ -143,6 +143,57 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bpeSegmentCount matches a plain-Scala greedy longest-match") {
+    import graft.ops.TextAnalysis
+    val vocab = TextAnalysis.BPE_VOCAB
+    def ref(w: String): Int = {
+      var pos = 0; var cnt = 0
+      while (pos < w.length) {
+        val best = vocab.filter(v => w.startsWith(v, pos)).map(_.length)
+          .maxOption.getOrElse(1)
+        pos += best; cnt += 1
+      }
+      cnt
+    }
+    val wordGen = Gen.listOfN(30,
+      Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)))
+    check(Prop.forAll(wordGen) { ws =>
+      ws.isEmpty || {
+        val got = ws.distinct.toDF("word")
+          .select($"word", TextAnalysis.bpeSegmentCount($"word").as("n"))
+          .as[(String, Int)].collect().toMap
+        ws.distinct.forall(w => got(w) == ref(w))
+      }
+    })
+  }
+
+  test("repetition scores match plain-Scala token statistics") {
+    import graft.ops.TextAnalysis
+    // Spark's round() is HALF_UP; math.rint would be HALF_EVEN
+    def round4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val textGen = Gen.listOfN(20, Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+    check(Prop.forAll(textGen) { texts =>
+      texts.isEmpty || {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "x") }
+          .toDF("doc_id", "text", "lang")
+        val got = TextAnalysis.repetitionScores(docs)
+          .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+          val top = if (toks.isEmpty) 0.0
+            else toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+          val sh = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+          val dup = if (sh.isEmpty) 0.0
+            else (sh.size - sh.distinct.size).toDouble / sh.size
+          got(i.toLong) == ((round4(top), round4(dup)))
+        }
+      }
+    })
+  }
+
   test("as-of join matches the brute-force latest-at-or-before per key") {
     // right rows get unique ts per key (the documented determinism
     // precondition — callers pre-aggregate ties)

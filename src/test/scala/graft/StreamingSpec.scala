@@ -60,6 +60,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup keeps the first arrival per content fingerprint") {
+    val in = MemoryStream[(Long, Timestamp, String)](73, spark, None)
+    val out = StreamingOps.streamingDedup(
+      in.toDS().toDF("doc_id", "ts", "text"), "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    withQuery(q) {
+      // same normalized content under different surface forms + timestamps
+      in.addData((1L, ts(1), "Hello,  World!"), (2L, ts(2), "hello world"),
+        (3L, ts(3), "different text")); q.processAllAvailable()
+      // a later batch re-sends the same content within the horizon
+      in.addData((4L, ts(5), "HELLO world")); q.processAllAvailable()
+      val kept = spark.table("sdedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L)) // one survivor per fingerprint
+    }
+  }
+
   test("G1 count trigger fires cumulatively across batches " +
       "(WindowAssignersAndTriggers.scala:55-90)") {
     val in = MemoryStream[(String, Int)](2, spark, None)
