@@ -16,10 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Documents surviving quality filtering + exact dedup (lowest doc_id per
-    * normalized-content fingerprint survives). Returns the surviving rows
-    * of `docs` unchanged.
-    */
   /** Survivor selection shared by v1/v2: exact dedup over the passed rows
     * (lowest doc_id per fingerprint wins), applied as an id-only semi-join.
     * One shuffle of (md5, id) pairs; the full rows are filtered in place
@@ -33,6 +29,10 @@ object Curation {
     passed.join(keepers, Seq("doc_id"), "left_semi")
   }
 
+  /** Documents surviving quality filtering + exact dedup (lowest doc_id per
+    * normalized-content fingerprint survives). Returns the surviving rows
+    * of `docs` unchanged.
+    */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
     dedupSurvivors(docs.where(TextAnalysis.curationGate(col("text"),

@@ -174,7 +174,7 @@ object Dedup {
     * repo removed, this state is candidate-set-sized by construction.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 50,
-      driverFastPathEdges: Long = 1L << 20): DataFrame = {
+      driverFastPathEdges: Long = 1L << 18): DataFrame = {
     // localCheckpoint truncates LINEAGE but INHERITS the plan's estimated
     // sizeInBytes — and join estimation multiplies child sizes. Feeding one
     // iteration's inflated estimate into the next compounds the BigInt
@@ -188,14 +188,19 @@ object Dedup {
     }
     // small-graph fast path: label propagation costs ~4 Spark jobs PER
     // ITERATION in fixed overhead; when the edge set fits comfortably on
-    // the driver (16 bytes/edge → default fence 1M edges ≈ 16 MB), a local
-    // union-find computes the identical min-label fixpoint in milliseconds.
-    // Same driver-side-tiny-by-design contract as the IVF centroid sample;
-    // the distributed iteration below IS the 100 TB path (edge sets from a
-    // corpus-scale LSH pass exceed any driver).
-    val distinctPairs = pinned(pairs.select(col("a_id"), col("b_id")))
-    if (distinctPairs.count() <= driverFastPathEdges) {
-      val es = distinctPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the driver (default fence 2^18 edges — collected Rows + a boxed-Long
+    // union-find map land in the tens of MB), a local union-find computes
+    // the identical min-label fixpoint in milliseconds. Same driver-side-
+    // tiny-by-design contract as the IVF centroid sample; the distributed
+    // iteration below IS the 100 TB path (edge sets from a corpus-scale
+    // LSH pass exceed any driver). Ids normalize to long up front so both
+    // paths share one schema (and the fast path can't miscast); null ids
+    // are dropped exactly as the propagation joins would drop them.
+    val pinnedPairs = pinned(pairs
+      .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
+      .where(col("a_id").isNotNull && col("b_id").isNotNull))
+    if (pinnedPairs.count() <= driverFastPathEdges) {
+      val es = pinnedPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -214,9 +219,12 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("doc_id", "cluster_id")
     }
+    // edges derive from the already-materialized pair checkpoint, so the
+    // symmetrization union reads it instead of re-running the candidate
+    // lineage twice (one branch per union side)
     val edges = pinned(
-      distinctPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(distinctPairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+      pinnedPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pinnedPairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = pinned(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     // labels only ever decrease, so an unchanged label-sum witnesses the

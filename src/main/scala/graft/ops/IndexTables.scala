@@ -209,7 +209,11 @@ object IndexTables {
     if (f.exists(dir)) { f.delete(dir, true); () }
     // a build that died mid-flight leaves its fence behind (the marker is a
     // SIBLING of the table dir) — drop's contract is "the next call
-    // rebuilds", so clear it too or that rebuild is refused forever
+    // rebuilds", so clear it too or that rebuild is refused forever.
+    // Corollary: drop is an administrative operation that must NOT race a
+    // live build — it force-clears a live build's fence just the same (a
+    // marker file cannot distinguish crashed from alive; callers that need
+    // that distinction should wait for the builder or check marker mtime).
     val marker = new org.apache.hadoop.fs.Path(s"$baseDir/$name._building")
     if (f.exists(marker)) { f.delete(marker, false); () }
   }

@@ -69,11 +69,12 @@ object Multimodal {
     val ppmRe = "^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)"
     val isPpm = regexp_extract(ppmHead, ppmRe, 1) =!= ""
     // two magic bytes alone would false-positive on arbitrary binaries (or
-    // text cast to binary) starting with "BM" — require the fixed
-    // BITMAPINFOHEADER size field (40 at offset 14) as a second witness,
-    // as the WAV branch does with "WAVEfmt"
+    // text cast to binary) starting with "BM" — require a known DIB header
+    // size at offset 14 as a second witness, as the WAV branch does with
+    // "WAVEfmt". All BITMAPINFO* variants (40/52/56 core, 108 V4, 124 V5)
+    // keep width/height at offsets 18/22
     val isBmp = hex(substring(blob, 1, 2)) === "424D" &&
-      leUInt(blob, 15, 4) === 40
+      leUInt(blob, 15, 4).isin(40L, 52L, 56L, 108L, 124L)
     val isWav = substring(blob, 1, 4).cast("string") === "RIFF" &&
       substring(blob, 9, 7).cast("string") === "WAVEfmt"
     val bmpHRaw = leUInt(blob, 23, 4)

@@ -64,21 +64,29 @@ object TextAnalysis {
     */
   def predLang(text: Column): Column = predLangFromTokens(toks(text))
 
+  /** Deterministic language argmax shared by every prediction site
+    * ([[predLangFromTokens]], [[langId]], [[curationGate]]) — the SQL twin
+    * is generated as LANG_PRED_CASE in SparkEntry, so the tie-break rule
+    * (first marker language reaching the max; 'und' when no marker hits)
+    * lives in exactly one Scala place and one generated-SQL place.
+    */
+  private def langArgmax(scores: Seq[(String, Column)]): Column = {
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === mx, lang)
+    }.otherwise("und")
+  }
+
   /** [[predLang]] over an already-tokenized array column — callers that
     * have materialized the token array once (e.g. the curation pipeline's
     * single-projection form) avoid re-running the tokenizer per score
     * (higher-order functions are interpreted, so Catalyst does not CSE the
     * repeated split across them).
     */
-  def predLangFromTokens(t: Column): Column = {
-    val scores = LANG_MARKERS.map { case (lang, ws) =>
+  def predLangFromTokens(t: Column): Column =
+    langArgmax(LANG_MARKERS.map { case (lang, ws) =>
       lang -> size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
-    }
-    val mx = greatest(scores.map(_._2): _*)
-    scores.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, sc)) =>
-      acc.when(sc === mx, lang)
-    }.otherwise("und")
-  }
+    })
 
   /** The ENTIRE curation gate (length, stopword ratio, non-alnum ratio,
     * optional language-agreement) as ONE boolean expression that tokenizes
@@ -119,12 +127,9 @@ object TextAnalysis {
         langLabel match {
           case None => pass
           case Some(label) =>
-            val scores = markers.map { case (l, _) => l -> st.getField(l) }
-            val mx = greatest(scores.map(_._2): _*)
-            val pred = scores.foldLeft(when(mx <= 0, "und")) {
-              case (acc, (l, sc)) => acc.when(sc === mx, l)
-            }.otherwise("und")
-            pass && pred === label
+            pass && langArgmax(markers.map { case (l, _) =>
+              l -> st.getField(l)
+            }) === label
         }
       })
     counters &&
@@ -141,11 +146,10 @@ object TextAnalysis {
         size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
           .as(s"score_$lang")
       }: _*)
-    val mx = greatest(markers.map(m => col(s"score_${m._1}")): _*)
     // first language reaching the max wins ties (deterministic, SQL-portable)
-    val best = markers.foldLeft(when(mx <= 0, "und")) { case (acc, (lang, _)) =>
-      acc.when(col(s"score_$lang") === mx, lang)
-    }.otherwise("und")
+    val best = langArgmax(markers.map { case (lang, _) =>
+      lang -> col(s"score_$lang")
+    })
     scored.select(col("doc_id") +: carry.map(col) :+ best.as("pred_lang"): _*)
   }
 
