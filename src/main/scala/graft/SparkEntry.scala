@@ -193,6 +193,9 @@ object SparkEntry {
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
+    // DEFLATE is not available in DuckDB SQL → rows-only; accuracy asserted
+    // against known-compressibility fixtures in TextAnalysisSpec
+    "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),

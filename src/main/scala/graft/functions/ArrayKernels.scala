@@ -277,6 +277,55 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** Static helper for [[DeflateRatio]] (called from generated code via the
+    * object's static forwarder). Raw DEFLATE (nowrap — no zlib envelope
+    * skewing short inputs), level 6; the output buffer is reused because
+    * only the compressed LENGTH matters.
+    */
+  def deflateRatio(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  /** `deflate_ratio(text|binary)` — compressed/raw size under DEFLATE: the
+    * language-agnostic repetitiveness signal (Gopher/MassiveText filter
+    * boilerplate and degenerate text on exactly this — highly repetitive
+    * documents compress far below natural text). Runs once per document
+    * (not per pair), so the generated code just calls the static helper.
+    */
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"deflate_ratio requires STRING or BINARY, got ${other.catalogString}")
+      }
+    private def toBytes(in: Any): Array[Byte] = child.dataType match {
+      case StringType => in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      case _ => in.asInstanceOf[Array[Byte]]
+    }
+    override def nullSafeEval(in: Any): Any = deflateRatio(toBytes(in))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val bytes = child.dataType match {
+          case StringType => s"$in.getBytes()"
+          case _ => in
+        }
+        s"${ev.value} = graft.functions.ArrayKernels.deflateRatio($bytes);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -297,4 +346,7 @@ object ArrayKernels {
 
   def byte_histogram(blob: Column, bins: Int): Column =
     GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(blob), bins))
+
+  def deflate_ratio(textOrBlob: Column): Column =
+    GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(textOrBlob)))
 }

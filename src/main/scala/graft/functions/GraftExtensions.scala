@@ -36,7 +36,10 @@ object GraftExtensions {
       })),
     ("array_eq_count",
       info("array_eq_count", "array_eq_count(a, b) - positions where two ARRAY<BIGINT> agree"),
-      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))),
+    ("deflate_ratio",
+      info("deflate_ratio", "deflate_ratio(text) - DEFLATE compressed/raw size ratio of STRING or BINARY"),
+      (exprs: Seq[Expression]) => DeflateRatio(exprs.head)))
 
   /** Register into a live session. */
   def install(spark: SparkSession): Unit =

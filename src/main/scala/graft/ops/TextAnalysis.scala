@@ -324,6 +324,18 @@ object TextAnalysis {
           greatest(size(col("_sh")), lit(1)), 4).as("dup_3gram_frac"))
   }
 
+  /** DEFLATE compression ratio per document (compressed/raw bytes) — the
+    * language-agnostic degenerate-text signal (Gopher's compressibility
+    * filter): boilerplate and repeated spans compress far below natural
+    * text. Backed by the codegen'd
+    * [[graft.functions.ArrayKernels.DeflateRatio]] kernel (JDK Deflater,
+    * once per document).
+    */
+  def compressionScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      round(graft.functions.ArrayKernels.deflate_ratio(col("text")), 4)
+        .as("deflate_ratio"))
+
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
     * keys instead of full documents.

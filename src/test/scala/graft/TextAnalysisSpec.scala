@@ -132,6 +132,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == (0.5, 0.0))
   }
 
+  test("compression ratio separates degenerate from natural text") {
+    val degenerate = "spam " * 200
+    val natural = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "curious owls examine quaint bridges spanning frozen rivers near old " +
+      "villages whose inhabitants weave colorful fabrics during long winters"
+    val docs = Seq((1L, degenerate, "en"), (2L, natural, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.compressionScores(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.1, s"degenerate ratio ${got(1L)}") // collapses
+    assert(got(2L) > 0.3, s"natural ratio ${got(2L)}")    // mostly survives
+    assert(got(1L) < got(2L) / 3) // the filterable gap
+    // the kernel is registered as a SQL function too
+    graft.functions.GraftExtensions.install(spark)
+    val viaSql = docs.createOrReplaceTempView("cmp_docs")
+    val sqlGot = spark.sql(
+      "SELECT doc_id, round(deflate_ratio(text), 4) AS r FROM cmp_docs")
+      .as[(Long, Double)].collect().toMap
+    assert(sqlGot == got)
+  }
+
   test("cleanCorpusV2: per-source thresholds + language-agreement gate") {
     import graft.ops.Curation
     val en8 = "the cat and the dog is on mats" // 8 tokens, pred=en
