@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: quality gate + dedup compose on an unbounded feed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val in = MemoryStream[(Long, Timestamp, String)](74, spark, None)
+    // the BATCH gate expression runs on the stream unchanged — Catalyst
+    // expressions are execution-mode-agnostic, so the curation pipeline
+    // needs no streaming rewrite of its filters
+    val gated = in.toDS().toDF("doc_id", "ts", "text")
+      .where(graft.ops.TextAnalysis.curationGate(col("text"), lit(4), 0.35,
+        0.7, langLabel = None))
+    val out = StreamingOps.streamingDedup(gated, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        (1L, ts(1), "the quick brown fox jumps over the dog"),
+        (2L, ts(2), "no"),                                       // too short
+        (3L, ts(3), "the quick brown fox JUMPS over the dog"));  // dup of 1
+      q.processAllAvailable()
+      in.addData((4L, ts(5), "a completely different clean document here"))
+      q.processAllAvailable()
+      val kept = spark.table("scur").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 4L))
+    }
+  }
+
   test("G1 count trigger fires cumulatively across batches " +
       "(WindowAssignersAndTriggers.scala:55-90)") {
     val in = MemoryStream[(String, Int)](2, spark, None)

@@ -58,4 +58,5 @@ println(s"SKEW blk_pfx partitions: max=${skewStats.getLong(0)} avg=${skewStats.g
 time("50k-repetition")(graft.SparkEntry.queries("q_repetition")(spark, s).count())
 time("50k-bpe-exact")(graft.SparkEntry.queries("q_bpe_exact")(spark, s).count())
 time("50k-clean-corpus-v2")(graft.SparkEntry.queries("q_clean_corpus_v2")(spark, s).count())
+time("50k-compression")(graft.SparkEntry.queries("q_compression")(spark, s).count())
 sys.exit(0)
