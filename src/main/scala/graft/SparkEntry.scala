@@ -196,6 +196,7 @@ object SparkEntry {
     // DEFLATE is not available in DuckDB SQL → rows-only; accuracy asserted
     // against known-compressibility fixtures in TextAnalysisSpec
     "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
+    "q_surprisal" -> ((s, d) => TextAnalysis.surprisalScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -681,6 +682,13 @@ object SparkEntry {
         "/ greatest(len(toks), 1), 4) AS top_tok_frac, " +
         "round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) " +
         "/ greatest(len(sh), 1), 4) AS dup_3gram_frac FROM r"),
+    "q_surprisal" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "tf AS (SELECT word, count(*) AS cnt FROM terms GROUP BY word), " +
+        "n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
+        "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
     "q_lang_id" -> s"WITH $LANGID_CTES SELECT doc_id, pred_lang FROM pred",
     "q_lang_confusion" ->
       (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +

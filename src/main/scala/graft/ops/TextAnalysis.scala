@@ -324,6 +324,27 @@ object TextAnalysis {
           greatest(size(col("_sh")), lit(1)), 4).as("dup_3gram_frac"))
   }
 
+  /** CCNet-style unigram surprisal per document: avg −ln p(token) under
+    * the corpus's own unigram distribution — the SQL-expressible core of
+    * LM-perplexity quality filtering (documents of improbable tokens score
+    * high; formulaic boilerplate scores low). Same scale shape as
+    * [[tfIdfTopTerms]]: one explode, one word-count aggregation, a
+    * broadcast-able frequency dictionary (Heaps-law sized) joined back,
+    * one per-doc aggregation; the corpus text never shuffles. Documents
+    * with zero tokens have no rows to score and drop out (both engines
+    * agree via inner-join semantics).
+    */
+  def surprisalScores(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = terms.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").cast("double").as("n_total"))
+    terms.join(broadcast(tf), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_surprisal"))
+  }
+
   /** DEFLATE compression ratio per document (compressed/raw bytes) — the
     * language-agnostic degenerate-text signal (Gopher's compressibility
     * filter): boilerplate and repeated spans compress far below natural

@@ -132,6 +132,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == (0.5, 0.0))
   }
 
+  test("surprisal: rare tokens score higher than common ones") {
+    // "common" appears 8x across the corpus, "rare" once each
+    val docs = Seq(
+      (1L, "common common common common", "en"),
+      (2L, "common common common common", "en"),
+      (3L, "rarest unique singular words", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.surprisalScores(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // p(common) = 8/12 → surprisal ln(12/8); p(rare) = 1/12 → ln(12)
+    assert(got(1L)._3 == got(2L)._3)
+    assert(got(3L)._3 > got(1L)._3 * 3)
+    assert(math.abs(got(1L)._3 - math.log(12.0 / 8)) < 1e-3)
+    assert(math.abs(got(3L)._3 - math.log(12.0)) < 1e-3)
+  }
+
   test("compression ratio separates degenerate from natural text") {
     val degenerate = "spam " * 200
     val natural = "the quick brown fox jumps over a lazy dog while seventeen " +
