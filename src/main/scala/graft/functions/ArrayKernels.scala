@@ -277,22 +277,32 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** Per-thread Deflater + scratch buffer: one native zlib stream per
+    * executor thread instead of one malloc/free per ROW (at corpus scale
+    * that overhead dominates the compression itself). reset() between
+    * rows; only the compressed LENGTH is read, so the scratch buffer's
+    * contents are never kept.
+    */
+  private val deflaters =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(6, true), new Array[Byte](8192)))
+
   /** Static helper for [[DeflateRatio]] (called from generated code via the
     * object's static forwarder). Raw DEFLATE (nowrap — no zlib envelope
-    * skewing short inputs), level 6; the output buffer is reused because
-    * only the compressed LENGTH matters.
+    * skewing short inputs), level 6. Empty input returns 1.0 by convention
+    * ("no compression possible") — empty/degenerate-short documents are the
+    * length filters' job, not this signal's; callers relying on a low-ratio
+    * cut must gate on length first.
     */
   def deflateRatio(bytes: Array[Byte]): Double = {
     if (bytes.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val (d, buf) = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 
   /** `deflate_ratio(text|binary)` — compressed/raw size under DEFLATE: the

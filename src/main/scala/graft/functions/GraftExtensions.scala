@@ -39,7 +39,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))),
     ("deflate_ratio",
       info("deflate_ratio", "deflate_ratio(text) - DEFLATE compressed/raw size ratio of STRING or BINARY"),
-      (exprs: Seq[Expression]) => DeflateRatio(exprs.head)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(e) => DeflateRatio(e)
+        case other => throw new IllegalArgumentException(
+          s"deflate_ratio(text) takes exactly 1 argument, got ${other.length}")
+      }))
 
   /** Register into a live session. */
   def install(spark: SparkSession): Unit =

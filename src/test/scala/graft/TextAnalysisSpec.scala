@@ -160,6 +160,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) < 0.1, s"degenerate ratio ${got(1L)}") // collapses
     assert(got(2L) > 0.3, s"natural ratio ${got(2L)}")    // mostly survives
     assert(got(1L) < got(2L) / 3) // the filterable gap
+    // empty input: documented 1.0 convention (length filters own that case)
+    val empty = Seq((9L, "", "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.compressionScores(empty)
+      .as[(Long, Double)].collect().head._2 == 1.0)
     // the kernel is registered as a SQL function too
     graft.functions.GraftExtensions.install(spark)
     val viaSql = docs.createOrReplaceTempView("cmp_docs")
