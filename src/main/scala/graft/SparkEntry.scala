@@ -359,8 +359,31 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
+    * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
+    */
   private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '')"
+
+  /** DuckDB mirror of Core.tokens — the reference-fidelity ASCII form,
+    * used only by the word-count oracle.
+    */
+  private val TOKS_ASCII =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB mirror of TextAnalysis.fingerprint incl. the zero-token guard
+    * (`raw:`-prefixed md5 of the raw text — untokenizable documents never
+    * share a fingerprint unless byte-identical). `toksExpr` must be
+    * evaluated in a scope where `text` is also in scope.
+    */
+  private def fpSql(toksExpr: String): String =
+    s"CASE WHEN len($toksExpr) > 0 THEN md5(array_to_string($toksExpr, ' ')) " +
+      "ELSE 'raw:' || md5(text) END"
+
+  /** DuckDB mirror of TextAnalysis.NON_ALNUM_RE (same literal — RE2 and
+    * Java agree on these Unicode categories).
+    */
+  private val NON_ALNUM_SQL = ops.TextAnalysis.NON_ALNUM_RE
 
   /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 9-digit hex. */
   private val HASHKEY =
@@ -423,7 +446,7 @@ object SparkEntry {
       ("SELECT x FROM (SELECT n * 10 AS x FROM range(1, 5) t(n)), " +
         "(VALUES (1), (2)) dup(i) WHERE x % 2 = 0"),
     "q_word_count" ->
-      (s"SELECT word, count(*) AS cnt FROM (SELECT unnest($TOKS) AS word " +
+      (s"SELECT word, count(*) AS cnt FROM (SELECT unnest($TOKS_ASCII) AS word " +
         "FROM documents) GROUP BY word"),
     "q_expand_qty" ->
       ("SELECT l_returnflag AS item, CAST(sum(l_linenumber) AS BIGINT) AS cnt " +
@@ -529,10 +552,10 @@ object SparkEntry {
     "q_map_state" ->
       "SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type",
     "q_dedup_exact" ->
-      (s"SELECT lang, count(DISTINCT md5(array_to_string($TOKS, ' '))) AS n_unique, " +
+      (s"SELECT lang, count(DISTINCT ${fpSql(TOKS)}) AS n_unique, " +
         "count(*) AS n_docs FROM documents GROUP BY lang"),
     "q_fingerprint" ->
-      s"SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM documents",
+      s"SELECT doc_id, ${fpSql(TOKS)} AS fp FROM documents",
     "q_sorted_dedup" ->
       s"WITH $SORTED_CTES SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9",
     "q_dedup_clusters" ->

@@ -38,13 +38,28 @@ object Core {
       .select(explode(array_repeat(col("x"), 2)).as("x"))
       .where(col("x") % 2 === 0)
 
-  /** Tokenize text into lowercase word tokens. Reference tokenization:
+  /** ASCII tokenization — the reference's exact form:
     * `toLowerCase.split("\\W+")` + nonEmpty —
     * reference SocketTextStreamWordCount.scala:60, Playground.scala:17 (T10).
+    * Kept verbatim for the reference-fidelity word count; every
+    * LLM-pipeline operator uses [[tokensUni]] instead (this form yields an
+    * EMPTY token array for any non-Latin-script document).
     * Returns an `array<string>` column expression (codegen'd, no UDF).
     */
   def tokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Script-aware tokenization: split on runs of anything that is not a
+    * Unicode letter or decimal digit (`\p{L}` / `\p{Nd}`), after Unicode
+    * lowercasing. CJK/Cyrillic/Arabic/Greek text tokenizes into real tokens
+    * instead of the ASCII form's empty array — the difference between a
+    * multilingual 100 TB corpus being curated and being silently destroyed
+    * (an empty token array fingerprints every non-Latin document to the
+    * same md5). Java's `\p{L}` and DuckDB/RE2's `\p{L}` agree on these
+    * categories, so the DuckDB oracle mirrors this with the same class.
+    */
+  def tokensUni(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => t =!= "")
 
   /** Word count — the reference's flagship query
     * (SocketTextStreamWordCount.scala:59-63, Playground.scala:11-22).

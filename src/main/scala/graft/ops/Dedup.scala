@@ -32,7 +32,7 @@ object Dedup {
     * short documents).
     */
   private def shingles(k: Int) = {
-    val t = Core.tokens(col("text"))
+    val t = Core.tokensUni(col("text"))
     array_distinct(
       when(size(t) >= k,
         transform(sequence(lit(0), size(t) - k),
@@ -57,7 +57,7 @@ object Dedup {
     // hashes itself (no shingle strings, no array_distinct: a multiset min
     // equals the set min) and computes all lanes in one codegen'd pass
     docs.select(col("doc_id"),
-        transform(Core.tokens(col("text")), t => xxhash64(t)).as("th"))
+        transform(Core.tokensUni(col("text")), t => xxhash64(t)).as("th"))
       .select(col("doc_id"),
         graft.functions.ArrayKernels.minhash_sig(col("th"), shingleK,
           as.toArray, bs.toArray, p).as("sig"))
@@ -121,7 +121,7 @@ object Dedup {
   def simHash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.ArrayKernels.simhash64(
-        transform(Core.tokens(col("text")), tok => xxhash64(tok))).as("simhash"))
+        transform(Core.tokensUni(col("text")), tok => xxhash64(tok))).as("simhash"))
 
   /** Sorted-neighborhood dedup (SNM): sort by a blocking key (here the
     * normalized token prefix), compare each doc to its sort-neighbor with
@@ -132,7 +132,7 @@ object Dedup {
     */
   def sortedNeighborPairs(docs: DataFrame, prefixTokens: Int = 3,
       threshold: Double = 0.5, blockTokens: Int = 2): DataFrame = {
-    val t = Core.tokens(col("text"))
+    val t = Core.tokensUni(col("text"))
     val keyed = docs.select(col("doc_id"), array_distinct(t).as("tset"),
       array_join(slice(t, 1, prefixTokens), " ").as("blk"),
       // partition by a `blockTokens`-token prefix: keeps the sort distributed
@@ -309,7 +309,7 @@ object Dedup {
     * 16-byte hashes + ids only — span TEXT never leaves the scan stage.
     */
   def spanFingerprints(docs: DataFrame, spanTokens: Int): DataFrame =
-    docs.select(col("doc_id"), Core.tokens(col("text")).as("t"))
+    docs.select(col("doc_id"), Core.tokensUni(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(spanIndices(col("t"), spanTokens)).as("span_idx"))
       .select(col("doc_id"), col("span_idx"),
@@ -352,7 +352,7 @@ object Dedup {
     // the alias is non-cheap and multiply-referenced
     val t = col("_t")
     docs.join(keeps, Seq("doc_id"), "left")
-      .withColumn("_t", Core.tokens(col("text")))
+      .withColumn("_t", Core.tokensUni(col("text")))
       .select(col("doc_id") +: carry.map(col) :+
         size(spanIndices(t, k)).as("n_spans") :+
         size(coalesce(col("keep"), array().cast("array<int>"))).as("n_kept") :+

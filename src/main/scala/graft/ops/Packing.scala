@@ -35,7 +35,7 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"),
-        size(Core.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(Core.tokensUni(col("text"))).cast("long").as("n_tokens"))
       .repartition(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]

@@ -11,7 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def toks(text: Column): Column = Core.tokens(text)
+  /** Script-aware tokenization ([[Core.tokensUni]]) — every operator here
+    * must see real tokens for non-Latin-script documents; the ASCII form is
+    * reserved for the reference-fidelity word count.
+    */
+  private def toks(text: Column): Column = Core.tokensUni(text)
+
+  /** Unicode complement of letters/digits — the non-alphanumeric character
+    * class shared by the quality ratio and the curation gate (the ASCII
+    * `[^a-z0-9]` form would score every CJK/Cyrillic document as 100 %
+    * punctuation and gate it out). Mirrored verbatim in the DuckDB oracles.
+    */
+  private[graft] val NON_ALNUM_RE = "[^\\p{L}\\p{Nd}]"
 
   /** Per-document token count + per-language aggregate. Whitespace/regex
     * tokenization per Core.tokens.
@@ -41,7 +52,7 @@ object TextAnalysis {
       round(size(filter(t, x => array_contains(stops, x))).cast("double") /
         greatest(size(t), lit(1)), 4).as("stopword_ratio"),
       round((length(col("text")) -
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).cast("double") /
+        length(regexp_replace(lower(col("text")), NON_ALNUM_RE, ""))).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
   }
 
@@ -111,7 +122,7 @@ object TextAnalysis {
     // language counters only accumulate when the gate actually reads them
     val markers = if (langLabel.isDefined) LANG_MARKERS else Nil
     val counters = aggregate(
-      Core.tokens(text),
+      Core.tokensUni(text),
       struct((Seq("n", "stop") ++ markers.map(_._1))
         .map(f => lit(0).as(f)): _*),
       (st, x) => struct(
@@ -134,7 +145,7 @@ object TextAnalysis {
       })
     counters &&
       (length(text) -
-        length(regexp_replace(lower(text), "[^a-z0-9]", ""))).cast("double") /
+        length(regexp_replace(lower(text), NON_ALNUM_RE, ""))).cast("double") /
         greatest(length(text), lit(1)) <= maxNonAlnum
   }
 
@@ -360,9 +371,21 @@ object TextAnalysis {
   /** Document fingerprint: md5 over the normalized token stream. Exact-dup
     * detection at 100 TB = groupBy(fingerprint) — a single shuffle of 16-byte
     * keys instead of full documents.
+    *
+    * Zero-token guard: a document that tokenizes to NOTHING (punctuation- or
+    * symbol-only text; any script the tokenizer can't segment) must NOT
+    * fingerprint to md5("") — that single value would make exactDedup's
+    * keep-lowest-id rule silently collapse every such document into one
+    * survivor. Those documents fall back to a `raw:`-prefixed md5 of the
+    * raw text: byte-identical documents still dedup, merely-untokenizable
+    * ones never do. The prefix keeps the fallback disjoint from every
+    * token-stream md5 (no 32-hex collision between the two regimes).
     */
-  def fingerprint(text: Column): Column =
-    md5(array_join(toks(text), " "))
+  def fingerprint(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) > 0, md5(array_join(t, " ")))
+      .otherwise(concat(lit("raw:"), md5(text)))
+  }
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
