@@ -39,7 +39,31 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Baseline accounting: the 2× perf gate is anchored to round 1's
+    // 44-query bench, but the query set grows every round — comparing the
+    // headline total against the round-1 total would flag a phantom
+    // regression once enough NEW queries accumulate (~1.7× by round 4 with
+    // same-query perf flat at 1.03×). So compare like with like: the
+    // subtotal over the queries PRESENT IN BOTH runs, emitted per bench run
+    // as baseline_ratio. See BASELINE.md "Gate evaluation".
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    val baseline: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(baselinePath)
+      // the driver wraps the bench JSON line in a log-tail string with
+      // escaped quotes; unescape before scanning for "q_*":secs pairs
+      val txt = try src.mkString.replace("\\\"", "\"") finally src.close()
+      """"(q_\w+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val shared = results.collect {
+      case (k, v) if v >= 0 && baseline.get(k).exists(_ >= 0) => (v, baseline(k))
+    }
+    val curShared = shared.map(_._1).sum
+    val baseShared = shared.map(_._2).sum
+    val ratio = if (baseShared > 0) curShared / baseShared else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shared_with_baseline":${shared.size},"shared_total":$curShared,""" +
+      s""""baseline_shared_total":$baseShared,"baseline_ratio":$ratio,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -336,6 +336,97 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** Decoded-media struct type shared with [[graft.ops.Multimodal]]. */
+  private[graft] val MEDIA_HEADER_T = StructType(Seq(
+    StructField("dec_width", IntegerType),
+    StructField("dec_height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("codec", StringType)))
+
+  private val PPM_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("ppm")
+  private val BMP_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("bmp")
+  private val WAV_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("wav")
+
+  private def leUInt(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Static helper for [[MediaHeader]]: parse the codec-free container
+    * headers (PPM / BMP / canonical-RIFF WAV) straight off the bytes.
+    * Returns null for unrecognized blobs — compressed codecs, truncated
+    * headers, arbitrary binaries. Semantics match the retired
+    * string-expression decoder: BMP requires the "BM" magic AND a known
+    * BITMAPINFO* DIB size at offset 14 (40/52/56/108/124 — all keep
+    * width/height at 18/22, height signed for top-down bitmaps); WAV
+    * requires "RIFF"+"WAVEfmt"; PPM is `P6 <w> <h> <maxval>` in the first
+    * 32 bytes.
+    */
+  def parseMediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    if (b == null) return null
+    if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+      // ASCII header: three whitespace-separated decimal ints after "P6",
+      // all within the first 32 bytes (the old regex's search window)
+      val lim = math.min(b.length, 32)
+      val vals = new Array[Int](3)
+      var i = 2
+      var f = 0
+      while (f < 3 && i < lim) {
+        while (i < lim && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+        if (i >= lim || b(i) < '0' || b(i) > '9') return null
+        var v = 0
+        while (i < lim && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+        vals(f) = v
+        f += 1
+      }
+      if (f < 3) return null
+      new GenericInternalRow(Array[Any](vals(0), vals(1), 3, null, PPM_CODEC))
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        (leUInt(b, 14, 4) match {
+          case 40L | 52L | 56L | 108L | 124L => true
+          case _ => false
+        })) {
+      val w = leUInt(b, 18, 4).toInt
+      val h = math.abs(leUInt(b, 22, 4).toInt)
+      new GenericInternalRow(Array[Any](w, h, 3, null, BMP_CODEC))
+    } else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't') {
+      new GenericInternalRow(Array[Any](null, null,
+        leUInt(b, 22, 2).toInt, leUInt(b, 24, 4).toInt, WAV_CODEC))
+    } else null
+  }
+
+  /** `media_header(blob)` — header sniffing for the codec-free media
+    * containers as ONE kernel call per blob, replacing the retired
+    * substring→hex→lpad→conv expression tree (~12 string ops per 4-byte
+    * read, three reads per blob). The parse is a static helper over the
+    * raw byte[]; generated code is a single call + null check.
+    */
+  case class MediaHeader(child: Expression) extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = MEDIA_HEADER_T
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"media_header requires BINARY, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      parseMediaHeader(in.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => s"""
+        |${ev.value} = graft.functions.ArrayKernels.parseMediaHeader($in);
+        |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -359,4 +450,7 @@ object ArrayKernels {
 
   def deflate_ratio(textOrBlob: Column): Column =
     GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(textOrBlob)))
+
+  def media_header(blob: Column): Column =
+    GraftSqlBridge.column(MediaHeader(GraftSqlBridge.expression(blob)))
 }

@@ -24,10 +24,6 @@ import graft.functions.ArrayKernels
   */
 object Multimodal {
 
-  /** The decoded-media schema shared by the real and stub decoders. */
-  private val DEC_T =
-    "struct<dec_width:int,dec_height:int,channels:int,sample_rate:int,codec:string>"
-
   /** media(media_id, kind, blob, meta{width,height,sample_rate}) — the
     * canonical multimodal schema. Synthetic deterministic blobs (seeded by
     * id) stand in for real encoded media.
@@ -46,55 +42,21 @@ object Multimodal {
           (pmod(col("media_id"), lit(3)) * 120 + 240).cast("int").as("height"),
           lit(16000).as("sample_rate")).as("meta"))
 
-  /** Little-endian unsigned integer read from `nBytes` at 1-based byte
-    * offset `pos` — byte access via substring + hex, so the whole read is
-    * codegen'd string/number expressions (no UDF).
-    */
-  private def leUInt(blob: Column, pos: Int, nBytes: Int): Column =
-    conv(concat((0 until nBytes).reverse.map(i =>
-      lpad(hex(substring(blob, pos + i, 1)), 2, "0")): _*), 16, 10).cast("long")
-
   /** REAL decode for codec-free container formats — exact header parsing
-    * as pure Catalyst expressions:
+    * as ONE codegen'd kernel call per blob
+    * ([[ArrayKernels.MediaHeader]]: direct byte access, replacing the
+    * earlier substring→hex→lpad→conv string-expression tree that cost 2×):
     *   - PPM (P6): ASCII header `P6 <width> <height> <maxval>`;
-    *   - BMP: little-endian int32 width/height at byte offsets 18/22
-    *     (signed height: top-down bitmaps store it negative);
-    *   - WAV (canonical RIFF layout): channels at offset 22 (uint16),
-    *     sample rate at offset 24 (uint32).
+    *   - BMP ("BM" magic + a known BITMAPINFO* DIB size at offset 14 as a
+    *     second witness against false positives): little-endian int32
+    *     width/height at byte offsets 18/22 (signed height: top-down
+    *     bitmaps store it negative);
+    *   - WAV (canonical RIFF layout, "RIFF"+"WAVEfmt" witnesses): channels
+    *     at offset 22 (uint16), sample rate at offset 24 (uint32).
     * Returns NULL for unrecognized blobs (i.e. compressed codecs) — the
     * honest signal; callers choose the fallback (see [[mediaFeatures]]).
     */
-  def decodeHeaders(blob: Column): Column = {
-    val ppmHead = substring(blob, 1, 32).cast("string")
-    val ppmRe = "^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)"
-    val isPpm = regexp_extract(ppmHead, ppmRe, 1) =!= ""
-    // two magic bytes alone would false-positive on arbitrary binaries (or
-    // text cast to binary) starting with "BM" — require a known DIB header
-    // size at offset 14 as a second witness, as the WAV branch does with
-    // "WAVEfmt". All BITMAPINFO* variants (40/52/56 core, 108 V4, 124 V5)
-    // keep width/height at offsets 18/22
-    val isBmp = hex(substring(blob, 1, 2)) === "424D" &&
-      leUInt(blob, 15, 4).isin(40L, 52L, 56L, 108L, 124L)
-    val isWav = substring(blob, 1, 4).cast("string") === "RIFF" &&
-      substring(blob, 9, 7).cast("string") === "WAVEfmt"
-    val bmpHRaw = leUInt(blob, 23, 4)
-    val bmpH = abs(when(bmpHRaw > Int.MaxValue, bmpHRaw - 4294967296L)
-      .otherwise(bmpHRaw))
-    val nullInt = lit(null).cast("int")
-    when(isPpm, struct(
-        regexp_extract(ppmHead, ppmRe, 1).cast("int").as("dec_width"),
-        regexp_extract(ppmHead, ppmRe, 2).cast("int").as("dec_height"),
-        lit(3).as("channels"), nullInt.as("sample_rate"), lit("ppm").as("codec")))
-      .when(isBmp, struct(
-        leUInt(blob, 19, 4).cast("int").as("dec_width"),
-        bmpH.cast("int").as("dec_height"),
-        lit(3).as("channels"), nullInt.as("sample_rate"), lit("bmp").as("codec")))
-      .when(isWav, struct(
-        nullInt.as("dec_width"), nullInt.as("dec_height"),
-        leUInt(blob, 23, 2).cast("int").as("channels"),
-        leUInt(blob, 25, 4).cast("int").as("sample_rate"), lit("wav").as("codec")))
-      .otherwise(lit(null).cast(DEC_T))
-  }
+  def decodeHeaders(blob: Column): Column = ArrayKernels.media_header(blob)
 
   /** STUB decode: real systems call an image codec here (e.g. via JNI or a
     * Python mapInPandas worker). Deterministic fake: dimensions derived

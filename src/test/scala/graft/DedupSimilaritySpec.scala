@@ -409,6 +409,40 @@ class DedupSimilaritySpec extends SparkSpec {
     IndexTables.drop(spark, name)
   }
 
+  test("non-Latin and punctuation-only docs survive exact dedup (empty-token guard)") {
+    // the round-3 verdict's top hazard: with ASCII-only tokenization every
+    // non-Latin document fingerprinted to md5("") and exactDedup collapsed
+    // ALL of them into one survivor. Guarded two ways — tokensUni sees real
+    // tokens for any script, and zero-token (punctuation-only) docs fall
+    // back to a `raw:`-prefixed md5 of the raw text, so they dedup only
+    // when byte-identical
+    val multi = Seq(
+      (1L, "机器学习模型需要大量训练数据", "zh"),
+      (2L, "机器学习模型需要大量训练数据", "zh"), // byte-identical dup of 1
+      (3L, "深度神经网络的参数优化方法", "zh"),
+      (4L, "модели машинного обучения", "ru"),
+      (5L, "نماذج التعلم الآلي", "ar"),
+      (6L, "!!! ... ???", "x"), // zero tokens under ANY tokenizer
+      (7L, "*** --- :::", "x"), // zero tokens, different bytes
+      (8L, "!!! ... ???", "x")  // byte-identical dup of 6
+    ).toDF("doc_id", "text", "lang")
+    val clusters = Dedup.exactDedup(multi).as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => keep -> n }.toMap
+    // 8 docs → 6 distinct fingerprints: {1,2} {3} {4} {5} {6,8} {7}
+    assert(clusters == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 1L))
+    // the script-aware tokenizer really produces tokens for every script
+    import org.apache.spark.sql.functions.col
+    val toks = multi.where(col("doc_id") <= 5)
+      .select(graft.ops.Core.tokensUni(col("text"))).as[Seq[String]].collect()
+    assert(toks.forall(_.nonEmpty))
+    // zero-token docs live in the disjoint raw: fingerprint regime
+    val fps = graft.ops.TextAnalysis.fingerprints(multi)
+      .as[(Long, String)].collect().toMap
+    assert(fps(6L).startsWith("raw:") && fps(7L).startsWith("raw:"))
+    assert(!fps(1L).startsWith("raw:"))
+  }
+
   test("IVF index table: cell-size aggregation rides the bucketing (no exchange)") {
     val rnd = new scala.util.Random(5)
     val many = (0L until 64L).map { i =>
