@@ -197,6 +197,7 @@ object SparkEntry {
     // against known-compressibility fixtures in TextAnalysisSpec
     "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.surprisalScores(Tables.documents(s, d))),
+    "q_surprisal2" -> ((s, d) => TextAnalysis.surprisalScoresBigram(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -712,6 +713,15 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
+    "q_surprisal2" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, " +
+        "unnest(toks[2:len(toks)]) AS word FROM t WHERE len(toks) >= 2), " +
+        "c2 AS (SELECT prev, word, count(*) AS cnt2 FROM p GROUP BY prev, word), " +
+        "c1 AS (SELECT prev, sum(cnt2) AS cnt1 FROM c2 GROUP BY prev) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(-ln(CAST(cnt2 AS DOUBLE) / cnt1)), 4) AS avg_surprisal2 " +
+        "FROM p JOIN c2 USING (prev, word) JOIN c1 USING (prev) GROUP BY doc_id"),
     "q_lang_id" -> s"WITH $LANGID_CTES SELECT doc_id, pred_lang FROM pred",
     "q_lang_confusion" ->
       (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +

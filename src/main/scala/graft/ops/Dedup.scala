@@ -45,8 +45,13 @@ object Dedup {
     * Deterministic seeds → reproducible across runs and cluster sizes.
     * Output: doc_id, sig ARRAY<BIGINT>(numHashes).
     */
-  def minHashSignatures(docs: DataFrame, shingleK: Int = 3,
-      numHashes: Int = 32): DataFrame = {
+  /** The MinHash signature as a reusable column expression over a text
+    * column — shared by the batch pipeline and the streaming near-dup
+    * twin ([[graft.streaming.StreamingOps.streamingNearDedup]]), so both
+    * produce bit-identical signatures (fixed seeds).
+    */
+  def minhashSigExpr(text: Column, shingleK: Int = 3,
+      numHashes: Int = 32): Column = {
     // p > 2^32 prime; coefficients < 2^30 keep a*h + b < 2^63 (no overflow)
     val p = 4294967311L
     val rnd = new scala.util.Random(42)
@@ -56,12 +61,15 @@ object Dedup {
     // token hashes only — the kernel rolls length-k windows into shingle
     // hashes itself (no shingle strings, no array_distinct: a multiset min
     // equals the set min) and computes all lanes in one codegen'd pass
-    docs.select(col("doc_id"),
-        transform(Core.tokensUni(col("text")), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"),
-        graft.functions.ArrayKernels.minhash_sig(col("th"), shingleK,
-          as.toArray, bs.toArray, p).as("sig"))
+    graft.functions.ArrayKernels.minhash_sig(
+      transform(Core.tokensUni(text), t => xxhash64(t)), shingleK,
+      as.toArray, bs.toArray, p)
   }
+
+  def minHashSignatures(docs: DataFrame, shingleK: Int = 3,
+      numHashes: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      minhashSigExpr(col("text"), shingleK, numHashes).as("sig"))
 
   /** MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand),
     * bucket-join on (band index, band hash), estimate Jaccard from full

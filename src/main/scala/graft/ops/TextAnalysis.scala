@@ -356,6 +356,42 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_surprisal"))
   }
 
+  /** Bigram surprisal per document: avg −ln p(wᵢ | wᵢ₋₁) under the
+    * corpus's own bigram LM, p(w|prev) = C(prev,w) / C(prev,·) with
+    * C(prev,·) summed over observed continuations. One step up the
+    * n-gram ladder from [[surprisalScores]] toward the LM-perplexity
+    * filters real curation stacks run; formulaic boilerplate (always the
+    * same continuation) scores near zero, incoherent text scores high.
+    *
+    * Scale shape: bigrams come from zipping the token array with its own
+    * tail — no window function, no per-doc shuffle; then one explode, one
+    * (prev,word) count aggregation, a context-count rollup (unigram-sized,
+    * broadcast), and a join back. The bigram dictionary grows faster than
+    * Heaps' law, so unlike the unigram path the (prev,word) join is left
+    * unhinted — AQE broadcasts it while it fits and falls back to a
+    * sort-merge join on the 16-byte-ish keys at corpus scale. Documents
+    * with < 2 tokens have no bigrams and drop out (inner-join semantics,
+    * both engines agree).
+    */
+  def surprisalScoresBigram(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val pairs = docs
+      .select(col("doc_id"), t.as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("_t"), lit(1), size(col("_t")) - 1).as("prev"),
+          slice(col("_t"), lit(2), size(col("_t")) - 1).as("word"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word"))
+    val c2 = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
+    val c1 = c2.groupBy("prev").agg(sum("cnt2").as("cnt1"))
+    pairs.join(c2.join(broadcast(c1), "prev"), Seq("prev", "word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("cnt2").cast("double") / col("cnt1"))), 4)
+          .as("avg_surprisal2"))
+  }
+
   /** DEFLATE compression ratio per document (compressed/raw bytes) — the
     * language-agnostic degenerate-text signal (Gopher's compressibility
     * filter): boilerplate and repeated spans compress far below natural

@@ -48,6 +48,90 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming NEAR-dup dedup — the streaming twin of the batch
+    * MinHash+LSH pipeline ([[graft.ops.Dedup.minHashLshPairs]]): documents
+    * whose estimated Jaccard (fraction of agreeing MinHash lanes, same
+    * fixed-seed signature as batch) reaches `threshold` against an
+    * earlier-arriving document are flagged as duplicates, first arrival
+    * wins. Emits one verdict row per document: (doc_id, kept, dup_of).
+    *
+    * Shape: one `flatMapGroupsWithState`, keyed by the document's FIRST
+    * LSH band (`bandRows` leading signature lanes rolled into one hash).
+    * Per-bucket state is the (tsMs, doc_id, signature) list of survivors —
+    * never the text — capped at `maxPerBucket` and watermark-GC'd like
+    * [[graft.streaming.Stateful.windowedApproxDistinct]]: entries behind
+    * the watermark are dropped each invocation and the bucket times out
+    * (EventTimeTimeout) once the watermark passes its newest entry, so
+    * state is O(survivors per band-bucket per horizon).
+    *
+    * Recall is the single-band collision probability s^bandRows (s = true
+    * Jaccard) — e.g. 0.90 for s≈0.95, bandRows=2 — deliberately ONE
+    * stateful operator: this is the ingest-time pre-filter; the batch LSH
+    * pass with b bands remains the full-recall path. Zero-shingle
+    * documents (< shingleK tokens: the kernel's all-MaxValue marker) are
+    * never duplicates and never stored — the streaming analogue of the
+    * batch empty-token fingerprint guard.
+    */
+  def streamingNearDedup(stream: DataFrame, tsCol: String, delay: String,
+      textCol: String = "text", shingleK: Int = 3, numHashes: Int = 32,
+      bandRows: Int = 2, threshold: Double = 0.8,
+      maxPerBucket: Int = 128): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def estSim(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      if (n == 0) 0.0 else eq.toDouble / n
+    }
+    stream.withWatermark(tsCol, delay)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("_ts"),
+        graft.ops.Dedup.minhashSigExpr(col(textCol), shingleK, numHashes)
+          .as("sig"))
+      .as[(Long, java.sql.Timestamp, Seq[Long])]
+      .groupByKey { case (_, _, sig) =>
+        sig.take(bandRows).foldLeft(0L)((acc, x) => acc * 1000003L ^ x)
+      }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[(Long, java.sql.Timestamp, Seq[Long])],
+            state: org.apache.spark.sql.streaming.GroupState[
+              List[(Long, Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => 0L }
+            // per-entry horizon eviction, then first-arrival-wins in
+            // deterministic (event-time, doc_id) order within the batch
+            var entries = state.getOption.getOrElse(Nil).filter(_._1 >= wm)
+            val out = List.newBuilder[(Long, Boolean, Option[Long])]
+            it.toSeq.sortBy(t => (t._2.getTime, t._1)).foreach {
+              case (id, t, sig) =>
+                if (sig.headOption.contains(Long.MaxValue)) {
+                  out += ((id, true, None)) // zero-shingle doc: never a dup
+                } else entries.find(e => estSim(e._3, sig) >= threshold) match {
+                  case Some((_, ownerId, _)) => out += ((id, false, Some(ownerId)))
+                  case None =>
+                    if (entries.size < maxPerBucket)
+                      entries = (t.getTime, id, sig) :: entries
+                    out += ((id, true, None))
+                }
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(entries)
+              state.setTimeoutTimestamp(
+                math.max(entries.map(_._1).max, wm) + 1)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF("doc_id", "kept", "dup_of")
+  }
+
   /** M1+W2: watermarked sliding window count. */
   def slidingCount(stream: DataFrame, tsCol: String, delay: String, size: String,
       slide: String): DataFrame =
