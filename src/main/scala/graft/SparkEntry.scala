@@ -390,29 +390,38 @@ object SparkEntry {
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
 
-  /** Language-scoring SQL GENERATED from [[ops.TextAnalysis.LANG_MARKERS]]
-    * — the same constant the Spark side scores with, so the marker lists
-    * and tie-break order cannot drift between engine and oracle (they
-    * previously existed as three hand-synced copies).
+  /** Language-scoring SQL GENERATED from [[ops.TextAnalysis.LANG_PROFILES]]
+    * — the same char-n-gram constant the Spark side scores with, so the
+    * profiles and tie-break order cannot drift between engine and oracle.
+    * Occurrence counting is the identical replace-length arithmetic over
+    * the padded lowercased text (`pad` must be in scope); `//` is DuckDB's
+    * integer division (the char-diff is always a multiple of the gram
+    * length, matching the Spark side's lossless int cast).
     */
-  private val LANG_SCORE_COLS = ops.TextAnalysis.LANG_MARKERS.map { case (l, ws) =>
-    s"len(list_filter(toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS score_$l"
+  private val LANG_SCORE_COLS = ops.TextAnalysis.LANG_PROFILES.map { case (l, gs) =>
+    gs.map { g =>
+      val e = g.replace("'", "''")
+      s"(length(pad) - length(replace(pad, '$e', ''))) // ${g.length}"
+    }.mkString("(", " + ", s") AS score_$l")
   }.mkString(", ")
 
   private val LANG_PRED_CASE = {
-    val g = s"greatest(${ops.TextAnalysis.LANG_MARKERS.map("score_" + _._1).mkString(", ")})"
+    val g = s"greatest(${ops.TextAnalysis.LANG_PROFILES.map("score_" + _._1).mkString(", ")})"
     s"CASE WHEN $g <= 0 THEN 'und' " +
-      ops.TextAnalysis.LANG_MARKERS.map { case (l, _) =>
+      ops.TextAnalysis.LANG_PROFILES.map { case (l, _) =>
         s"WHEN score_$l = $g THEN '$l' "
       }.mkString + "ELSE 'und' END"
   }
 
-  /** Shared CTE chain scoring language markers and predicting a language
+  /** DuckDB mirror of TextAnalysis.langPad — the scoring surface. */
+  private val LANG_PAD = "' ' || lower(text) || ' '"
+
+  /** Shared CTE chain scoring language profiles and predicting a language
     * per document — q_lang_id reads the prediction, q_lang_confusion
     * aggregates it against the label.
     */
   private val LANGID_CTES =
-    (s"t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents), " +
+    (s"t AS (SELECT doc_id, lang, $LANG_PAD AS pad FROM documents), " +
       s"s AS (SELECT doc_id, lang, $LANG_SCORE_COLS FROM t), " +
       s"pred AS (SELECT doc_id, lang, $LANG_PRED_CASE AS pred_lang FROM s)")
 
@@ -580,10 +589,11 @@ object SparkEntry {
         "SELECT lang, source, count(*) AS n_kept FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
     // v2: v1's chain + per-source min-token CASE + pred_lang = lang gate
-    // (scoring/prediction SQL generated from the same LANG_MARKERS the
+    // (scoring/prediction SQL generated from the same LANG_PROFILES the
     // Spark side uses — see LANG_SCORE_COLS/LANG_PRED_CASE)
     "q_clean_corpus_v2" ->
-      (s"WITH t AS (SELECT doc_id, lang, source, text, $TOKS AS toks FROM documents), " +
+      (s"WITH t AS (SELECT doc_id, lang, source, text, $TOKS AS toks, " +
+        s"$LANG_PAD AS pad FROM documents), " +
         s"s AS (SELECT *, $LANG_SCORE_COLS FROM t), " +
         s"pred AS (SELECT *, $LANG_PRED_CASE AS pred_lang FROM s), " +
         "passed AS (SELECT doc_id, lang, source, toks FROM pred " +

@@ -56,29 +56,67 @@ object TextAnalysis {
         greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
   }
 
-  /** Language-ID heuristic: count marker-word hits per language and take the
-    * argmax (deterministic tie-break by marker order). A real system uses
-    * char-n-gram profiles; the marker form is the SQL-portable core of the
-    * same idea and is exactly reproducible in the DuckDB oracle.
+  /** Language-ID: character-n-gram profiles (Cavnar–Trenkle family) for 11
+    * languages across 5 scripts, scored by profile-gram occurrence counts
+    * and resolved by deterministic argmax. Char n-grams — not marker words —
+    * are what real identifiers (fastText, CLD) reduce to, and they are the
+    * only form that works on scripts the whitespace tokenizer can't segment:
+    * unspaced CJK text has ~1 "token" per punctuation run, but its
+    * characteristic characters (的/は/을) still count.
+    *
+    * Each gram is a plain substring (space = word boundary against the
+    * padded text), so counting is `(len(s) - len(replace(s, g))) / len(g)` —
+    * pure codegen'd string arithmetic, zero regex, and character-identical
+    * in the DuckDB oracle (the SQL twin is generated from this same
+    * constant in SparkEntry). Grams shared across related languages
+    * (" de" in de/fr/pt) are fine: scores are sums, argmax disambiguates.
     */
-  private[graft] val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is"),
-    "de" -> Seq("der", "und", "die", "ist"),
-    "es" -> Seq("el", "los", "es", "y"),
-    "fr" -> Seq("le", "et", "les", "est"))
+  private[graft] val LANG_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "nd ", " of", "ing", " to", " is", "ion", " an"),
+    "de" -> Seq(" de", "der", "ein", "sch", "ich", "nde", "die", "und", "ung", "cht"),
+    "es" -> Seq(" la", "os ", " es", "el ", "ión", "ado", "que", " qu", "nte", " co"),
+    "fr" -> Seq(" le", " de", "es ", "ent", "que", "eur", "ait", "ons", " la", "oir"),
+    "it" -> Seq(" di", "to ", "la ", "che", "zio", "gli", "re ", "ell", " co", "ona"),
+    "pt" -> Seq(" de", "ão ", "os ", "ção", "da ", "em ", "ara", " qu", "nto", " se"),
+    "ru" -> Seq(" и ", "ого", " не", "ать", "ост", "ние", "что", " по", "ств", "его"),
+    "ar" -> Seq("ال", " في", " من", "ات ", "ين ", " وا", "ها ", " عل"),
+    "zh" -> Seq("的", "是", "了", "在", "一", "不", "有", "人", "我", "中"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "て", "し", "です", "ます"),
+    "ko" -> Seq("이", "는", "을", "다 ", "하", "에", "니다", "가 "))
+
+  /** `' ' + lower(text) + ' '` — the scoring surface: padding lets grams
+    * with leading/trailing spaces match word boundaries at text edges.
+    */
+  private def langPad(text: Column): Column =
+    concat(lit(" "), lower(text), lit(" "))
+
+  /** Occurrence count of one profile gram in the padded text — replace-
+    * length arithmetic, no regex. Exact: the char-diff is always a multiple
+    * of the gram length, so the division (double in both engines) is exact
+    * and the int cast lossless.
+    */
+  private def gramCount(pad: Column, g: String): Column =
+    ((length(pad) - length(replace(pad, lit(g), lit("")))) / lit(g.length))
+      .cast("int")
+
+  /** Per-language profile scores over an already-padded text column. */
+  private def langScores(pad: Column): Seq[(String, Column)] =
+    LANG_PROFILES.map { case (lang, gs) =>
+      lang -> gs.map(gramCount(pad, _)).reduce(_ + _)
+    }
 
   /** The language prediction as ONE expression over a text column — for
     * use inside a filter (e.g. the curation agreement gate) where a
     * projection + re-join would shuffle the corpus to meet its own
-    * metadata. Identical semantics to [[langId]] (same markers, same
+    * metadata. Identical semantics to [[langId]] (same profiles, same
     * deterministic tie-break).
     */
-  def predLang(text: Column): Column = predLangFromTokens(toks(text))
+  def predLang(text: Column): Column = langArgmax(langScores(langPad(text)))
 
   /** Deterministic language argmax shared by every prediction site
-    * ([[predLangFromTokens]], [[langId]], [[curationGate]]) — the SQL twin
-    * is generated as LANG_PRED_CASE in SparkEntry, so the tie-break rule
-    * (first marker language reaching the max; 'und' when no marker hits)
+    * ([[predLang]], [[langId]], [[curationGate]]) — the SQL twin is
+    * generated as LANG_PRED_CASE in SparkEntry, so the tie-break rule
+    * (first profile language reaching the max; 'und' when no gram hits)
     * lives in exactly one Scala place and one generated-SQL place.
     */
   private def langArgmax(scores: Seq[(String, Column)]): Column = {
@@ -87,17 +125,6 @@ object TextAnalysis {
       acc.when(sc === mx, lang)
     }.otherwise("und")
   }
-
-  /** [[predLang]] over an already-tokenized array column — callers that
-    * have materialized the token array once (e.g. the curation pipeline's
-    * single-projection form) avoid re-running the tokenizer per score
-    * (higher-order functions are interpreted, so Catalyst does not CSE the
-    * repeated split across them).
-    */
-  def predLangFromTokens(t: Column): Column =
-    langArgmax(LANG_MARKERS.map { case (lang, ws) =>
-      lang -> size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
-    })
 
   /** The ENTIRE curation gate (length, stopword ratio, non-alnum ratio,
     * optional language-agreement) as ONE boolean expression that tokenizes
@@ -117,48 +144,39 @@ object TextAnalysis {
       langLabel: Option[Column],
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")): Column = {
     val stopLit = array(stopwords.map(lit): _*)
-    val hit = (ws: Seq[String], x: Column) =>
-      when(array_contains(array(ws.map(lit): _*), x), 1).otherwise(0)
-    // language counters only accumulate when the gate actually reads them
-    val markers = if (langLabel.isDefined) LANG_MARKERS else Nil
     val counters = aggregate(
       Core.tokensUni(text),
-      struct((Seq("n", "stop") ++ markers.map(_._1))
-        .map(f => lit(0).as(f)): _*),
+      struct(lit(0).as("n"), lit(0).as("stop")),
       (st, x) => struct(
-        (st.getField("n") + 1).as("n") +:
-        (st.getField("stop") + when(array_contains(stopLit, x), 1).otherwise(0)).as("stop") +:
-        markers.map { case (l, ws) =>
-          (st.getField(l) + hit(ws, x)).as(l)
-        }: _*),
+        (st.getField("n") + 1).as("n"),
+        (st.getField("stop") + when(array_contains(stopLit, x), 1).otherwise(0)).as("stop")),
       st => {
         val n = st.getField("n")
-        val pass = n >= minTokens &&
+        n >= minTokens &&
           st.getField("stop").cast("double") / greatest(n, lit(1)) <= maxStopword
-        langLabel match {
-          case None => pass
-          case Some(label) =>
-            pass && langArgmax(markers.map { case (l, _) =>
-              l -> st.getField(l)
-            }) === label
-        }
       })
-    counters &&
+    val base = counters &&
       (length(text) -
         length(regexp_replace(lower(text), NON_ALNUM_RE, ""))).cast("double") /
         greatest(length(text), lit(1)) <= maxNonAlnum
+    // the language-agreement gate is CHAR-level ([[predLang]] profile
+    // scoring over the raw text), not token-level, so it joins the
+    // non-alnum ratio outside the token fold — one extra conjunct, still a
+    // scan-stage expression with no tokenizer re-run
+    langLabel match {
+      case None        => base
+      case Some(label) => base && predLang(text) === label
+    }
   }
 
   def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val t = toks(col("text"))
-    val markers = LANG_MARKERS
     val scored = docs.select(
-      (col("doc_id") +: carry.map(col)) ++ markers.map { case (lang, ws) =>
-        size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
-          .as(s"score_$lang")
-      }: _*)
+      (col("doc_id") +: carry.map(col)) ++
+        langScores(langPad(col("text"))).map { case (lang, sc) =>
+          sc.as(s"score_$lang")
+        }: _*)
     // first language reaching the max wins ties (deterministic, SQL-portable)
-    val best = langArgmax(markers.map { case (lang, _) =>
+    val best = langArgmax(LANG_PROFILES.map { case (lang, _) =>
       lang -> col(s"score_$lang")
     })
     scored.select(col("doc_id") +: carry.map(col) :+ best.as("pred_lang"): _*)
