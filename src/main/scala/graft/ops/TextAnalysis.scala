@@ -218,7 +218,16 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
+    // the df dictionary join is deliberately UNHINTED: a web corpus's token
+    // vocabulary is Heaps-law sized but still hundreds of millions of
+    // entries at 100 TB — gigabytes that a broadcast() hint would force
+    // onto the driver and every executor regardless of
+    // autoBroadcastJoinThreshold. AQE broadcasts it while it measures
+    // small and falls back to a sort-merge join on the word keys when it
+    // doesn't (same treatment as the bigram dictionary in
+    // [[surprisalScoresBigram]]). Only the ONE-ROW nDocs aggregate keeps
+    // the hint.
+    tf.join(df, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rk", row_number().over(w))
@@ -367,7 +376,10 @@ object TextAnalysis {
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
     val tf = terms.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum("cnt").cast("double").as("n_total"))
-    terms.join(broadcast(tf), "word")
+    // tf dictionary join left UNHINTED for the same reason as the tfidf df
+    // join above: Heaps-law sized is not broadcast-sized at 100 TB; AQE
+    // picks broadcast while it fits. Only the one-row total keeps the hint.
+    terms.join(tf, "word")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

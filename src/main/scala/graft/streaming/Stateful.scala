@@ -94,20 +94,45 @@ object Stateful {
     * last-write timestamp and expires on access — exactly the documented
     * divergence (SURVEY.md §7.4.5). `clock` is injectable for
     * deterministic tests; production passes `System.currentTimeMillis`.
+    *
+    * Idle-key GC: read-side expiry alone leaks state — a key never seen
+    * again holds its entry forever, which on unbounded key-churn streams
+    * (session ids, request ids) grows the store without bound; Flink's TTL
+    * eventually cleans such entries in the background. A processing-time
+    * timeout re-armed to `ttlMs` on every write does the same here: when a
+    * key stays idle past its ttl, the next micro-batch invokes this
+    * function with `hasTimedOut` and the entry is removed. Read semantics
+    * are unchanged (the value still expires by the `clock` check, so an
+    * access just before GC still sees ReturnExpiredIfNotCleanedUp
+    * behavior); GC emits nothing.
+    *
+    * Scheduling note: with `noDataMicroBatches` enabled (the default) the
+    * engine keeps constructing micro-batches while processing-time timers
+    * exist, so idle keys GC at ~ttl even on a quiet stream — but
+    * `processAllAvailable()` then never observes quiescence (tests disable
+    * no-data batches and drive GC with the next data batch instead).
     */
   def countWithTtl[K: Encoder, T](grouped: KeyValueGroupedDataset[K, T],
       ttlMs: Long, clock: () => Long)(implicit e1: Encoder[(Long, Long)],
       e2: Encoder[(K, Long)]): Dataset[(K, Long)] =
-    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
       (key: K, it: Iterator[T], state: GroupState[(Long, Long)]) =>
-        val now = clock()
-        val prev = state.getOption match {
-          case Some((c, lastWrite)) if now - lastWrite < ttlMs => c
-          case _ => 0L // expired (or absent) — OnCreateAndWrite semantics
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val now = clock()
+          val prev = state.getOption match {
+            case Some((c, lastWrite)) if now - lastWrite < ttlMs => c
+            case _ => 0L // expired (or absent) — OnCreateAndWrite semantics
+          }
+          val c = prev + it.size
+          state.update((c, now))
+          // ttl=0 means "expired on next access"; the timeout API requires
+          // a positive duration, so arm the earliest possible timer
+          state.setTimeoutDuration(math.max(ttlMs, 1L))
+          Iterator(key -> c)
         }
-        val c = prev + it.size
-        state.update((c, now))
-        Iterator(key -> c)
     }
 
   /** G1: non-purging count trigger — fire the (cumulative) window count

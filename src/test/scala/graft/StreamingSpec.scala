@@ -20,6 +20,24 @@ class StreamingSpec extends SparkSpec {
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  /** Queries using ProcessingTimeTimeout make `shouldRunAnotherBatch`
+    * always-true, so with the default continuous trigger the engine
+    * constructs no-data micro-batches forever and `processAllAvailable`
+    * never observes quiescence. Disabling no-data batches (snapshotted at
+    * query START) restores data-driven batches for the test; expired
+    * timers still fire inside every data-carrying batch.
+    */
+  private def withNoDataBatchesDisabled[T](body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("X1 running count evolves across micro-batches (KeyedState.scala:65-118)") {
     val in = MemoryStream[(String, Int)](1, spark, None)
     val counts = Stateful.runningCount(in.toDS().groupByKey(_._1))
@@ -250,7 +268,9 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(String, Int)](6, spark, None)
     val counts = Stateful.countWithTtl(in.toDS().groupByKey(_._1), 0L,
       () => System.currentTimeMillis())
-    val q = counts.writeStream.format("memory").queryName("x5a").outputMode("update").start()
+    val q = withNoDataBatchesDisabled {
+      counts.writeStream.format("memory").queryName("x5a").outputMode("update").start()
+    }
     withQuery(q) {
       in.addData(("a", 1), ("a", 2)); q.processAllAvailable()
       in.addData(("a", 3)); q.processAllAvailable()
@@ -261,12 +281,37 @@ class StreamingSpec extends SparkSpec {
     val in2 = MemoryStream[(String, Int)](7, spark, None)
     val counts2 = Stateful.countWithTtl(in2.toDS().groupByKey(_._1), 3600000L,
       () => System.currentTimeMillis())
-    val q2 = counts2.writeStream.format("memory").queryName("x5b").outputMode("update").start()
+    val q2 = withNoDataBatchesDisabled {
+      counts2.writeStream.format("memory").queryName("x5b").outputMode("update").start()
+    }
     withQuery(q2) {
       in2.addData(("a", 1), ("a", 2)); q2.processAllAvailable()
       in2.addData(("a", 3)); q2.processAllAvailable()
       val got = spark.table("x5b").as[(String, Long)].collect().map(_._2).toSeq
       assert(got == Seq(2L, 3L))
+    }
+  }
+
+  test("X5 TTL: idle keys are GC'd from the state store at ~ttl") {
+    // read-side expiry alone would leak: a key never accessed again holds
+    // its entry forever. The re-armed processing-time timeout must remove
+    // it, observable as numRowsTotal dropping in the state operator.
+    val in = MemoryStream[(String, Int)](60, spark, None)
+    val counts = Stateful.countWithTtl(in.toDS().groupByKey(_._1), 200L,
+      () => System.currentTimeMillis())
+    val q = withNoDataBatchesDisabled {
+      counts.writeStream.format("memory").queryName("x5gc").outputMode("update").start()
+    }
+    withQuery(q) {
+      in.addData(("idle", 1)); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
+      Thread.sleep(1000) // let idle's timer (armed at +200ms) expire
+      in.addData(("fresh", 1)); q.processAllAvailable()
+      // the batch that processed "fresh" also fired idle's timeout → only
+      // fresh's entry remains, and the GC emitted no row for idle
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
+      val got = spark.table("x5gc").as[(String, Long)].collect().toSeq
+      assert(got == Seq(("idle", 1L), ("fresh", 1L)))
     }
   }
 

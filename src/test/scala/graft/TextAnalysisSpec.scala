@@ -201,6 +201,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats == Set(("en", "lax", 1L)))
   }
 
+  test("tfidf/surprisal dictionary joins are unhinted; AQE still broadcasts small ones") {
+    // the dictionary (df / tf) joins must NOT carry a broadcast() hint — a
+    // hint ships the Heaps-law vocabulary to the driver unconditionally at
+    // 100 TB. Proof of no perf loss at small scale: AQE's final plan still
+    // picks a BroadcastHashJoin on the word keys when the dictionary
+    // measures small.
+    val docs = Seq.tabulate(64) { i =>
+      (i.toLong, s"alpha beta gamma tok$i the quick brown fox jumps", "en")
+    }.toDF("doc_id", "text", "lang")
+    for (q <- Seq(TextAnalysis.tfIdfTopTerms(docs, 2),
+        TextAnalysis.surprisalScores(docs))) {
+      // exactly ONE hint in the logical plan: the one-row aggregate
+      // (nDocs / total); zero on the dictionary side
+      val hints = q.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.size == 1, s"expected only the one-row hint, got:\n$hints")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    }
+  }
+
   test("cleanCorpusV2 keeps non-Latin documents whose label agrees") {
     // the round-5 verdict's top finding: a marker-word classifier returned
     // 'und' for every non-Latin script, so the v2 agreement gate silently
