@@ -358,6 +358,16 @@ object SparkEntry {
         IndexTables.ident("ivf", d, witness(emb)))
       Similarity.ivfTopK(assigned, 0L, 10, cents, nprobe = 16)
     }),
+    // batch-of-queries ANN: 100 query vectors probed in ONE plan against
+    // the same persisted IVF index (nprobe = all cells ⇒ exact, so DuckDB
+    // reproduces every per-query top-10 row)
+    "q_ivf_topk_multi" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
+      Similarity.ivfTopKAll(assigned, emb.where(col("vec_id") < 100), 10,
+        cents, nprobe = 16)
+    }),
   )
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
@@ -784,6 +794,14 @@ object SparkEntry {
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
         "FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10"),
+    "q_ivf_topk_multi" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 100), " +
+        "p AS (SELECT q_id, vec_id, list_cosine_similarity(emb, q_emb) AS c, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY list_cosine_similarity(emb, q_emb) DESC, vec_id ASC) AS INT) AS rk " +
+        "FROM e, q WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, round(c, 4) AS cos, rk FROM p WHERE rk <= 10"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

@@ -211,6 +211,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF top-k for a whole BATCH of queries — the production form of
+    * [[ivfTopK]] (a real retrieval/dedup pipeline probes thousands of
+    * queries per run; the single-query form is this operator's limit
+    * case). Plan shape at 100 TB:
+    *
+    *  1. per-query probe cells computed IN the query rows (k centroid dot
+    *     products as one sorted-array expression — no driver round-trip,
+    *     no per-query job);
+    *  2. probes ⋈ assignment on `cell`: the corpus side is the
+    *     cell-bucketed index table, so it is never exchanged — the
+    *     (queries × nprobe) probe side broadcasts while small and shuffles
+    *     INTO the bucketing when not;
+    *  3. per-query top-k over candidate rows only (queries × probed-cell
+    *     occupancy, not the corpus) — the single hash exchange.
+    *
+    * `queries` is a raw (vec_id, embedding) table; vectors are
+    * unit-normalized here, zero-norm queries dropped like corpus rows.
+    * Exact within probed cells: nprobe = k(centroids) reproduces exact
+    * per-query top-k (the oracle regime for q_ivf_topk_multi).
+    */
+  def ivfTopKAll(assigned: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val q = unitVecs(queries, "q_id", "q_e")
+    // (dot, -cell) struct array sorted desc = highest dot first, lowest
+    // cell on ties — the same deterministic order ivfTopK's driver-side
+    // sortBy produces
+    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("q_e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
+    }: _*)
+    val probes = q.select(col("q_id"), col("q_e"),
+        explode(slice(sort_array(cellScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_e"), (-col("pc.neg_cell")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("vec_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot(col("e"), col("q_e")).as("cos_raw"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos_raw"), 4).as("cos"), col("rk"))
+  }
+
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of
     * `numPlanes` fixed random projections. Vectors in the same bucket are
     * near-duplicate candidates; at 100 TB candidate generation becomes a

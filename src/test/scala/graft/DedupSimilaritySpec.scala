@@ -458,4 +458,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val probePlan = topk.queryExecution.executedPlan.toString
     assert(!probePlan.contains("Exchange"), s"unexpected shuffle:\n$probePlan")
   }
+
+  test("ivfTopKAll: batch probe equals per-query ivfTopK; index never exchanged") {
+    val rnd = new scala.util.Random(11)
+    val many = (0L until 64L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (cents, assigned) = Similarity.ivfIndex(many, 4, "ivf_multi_test", nBuckets = 4)
+    val queries = many.where(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val all = Similarity.ivfTopKAll(assigned, queries, 3, cents, nprobe = 4)
+    val got = all.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(got.keySet == (0L until 8L).toSet)
+    // nprobe = all cells ⇒ every query's rows equal its single-query probe
+    for (qid <- 0L until 8L) {
+      val single = Similarity.ivfTopK(assigned, qid, 3, cents, nprobe = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) == single, s"query $qid: ${got(qid)} vs $single")
+    }
+    // scale shape: the bucketed index side is never hash-exchanged — the
+    // only shuffle is the per-query top-k over candidate rows
+    val plan = all.queryExecution.executedPlan.toString
+    val shuffles = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected only the per-query top-k shuffle:\n$plan")
+  }
 }
