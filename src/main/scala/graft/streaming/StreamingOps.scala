@@ -87,8 +87,11 @@ object StreamingOps {
       if (n == 0) 0.0 else eq.toDouble / n
     }
     stream.withWatermark(tsCol, delay)
+      // the watermarked column must pass through as a bare alias: wrapping
+      // it in a cast strips the watermark metadata and the analyzer then
+      // rejects the EventTimeTimeout ("watermark must be specified")
       .select(col("doc_id").cast("long").as("doc_id"),
-        col(tsCol).cast("timestamp").as("_ts"),
+        col(tsCol).as("_ts"),
         graft.ops.Dedup.minhashSigExpr(col(textCol), shingleK, numHashes)
           .as("sig"))
       .as[(Long, java.sql.Timestamp, Seq[Long])]

@@ -385,6 +385,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup dedup: exact and near dups flagged, distinct kept") {
+    import graft.tools.MeasureStreamDedup
+    val t1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val t3 = t1 + " extra trailing tokens"
+    val docs = Seq(
+      (1L, t1),  // first arrival → kept, becomes the bucket owner
+      (2L, t1),  // exact dup of 1 (cross-batch) → flagged
+      (3L, t3),  // near dup of 1 (3 appended tokens, s ≈ 0.95) → flagged
+      (4L, (1 to 60).map(i => s"other$i").mkString(" ")), // distinct → kept
+      (5L, "ab") // < shingleK tokens: zero-shingle guard → kept, never stored
+    )
+    val m = MeasureStreamDedup.replay(spark, docs, threshold = 0.8, batchSize = 2)
+      .map(v => v._1 -> v).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(m(1L)._2 && m(4L)._2 && m(5L)._2, m)
+    assert(!m(2L)._2 && m(2L)._3.contains(1L), m)
+    assert(!m(3L)._2 && m(3L)._3.contains(1L), m)
+  }
+
+  test("streaming near-dup recall meets the documented single-band bound " +
+      "vs the batch LSH decision at equal threshold") {
+    import graft.tools.MeasureStreamDedup
+    // 40 near-dup pairs: variant drops 1 of 40 tokens (shingle Jaccard
+    // ≈ 0.88); cross-pairs are unrelated. Fixed seed → deterministic.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(40)("w" + rnd.nextInt(5000)).mkString(" "))
+    }
+    val variants = base.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      (id + 1000L, (toks.take(20) ++ toks.drop(21)).mkString(" "))
+    }
+    val docs = base ++ variants
+    val batchDups = MeasureStreamDedup.batchDupIds(docs.toDF("doc_id", "text"), 0.8)
+    val streamDups = MeasureStreamDedup.replay(spark, docs, 0.8, batchSize = 20)
+      .filter(!_._2).map(_._1).toSet
+    assert(batchDups.nonEmpty && batchDups.forall(_ >= 1000L))
+    val recall = (batchDups & streamDups).size.toDouble / batchDups.size
+    // documented single-band pre-filter bound: s^bandRows at the
+    // threshold = 0.8² = 0.64 (measured: see NOTES.md, ~0.9 on this corpus)
+    assert(recall >= 0.64, s"recall=$recall batch=${batchDups.size} " +
+      s"stream=${streamDups.size}")
+  }
+
   test("state survives query restart from checkpoint " +
       "(KeyedState.scala:70-73: 'state will be restored')") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
