@@ -246,6 +246,11 @@ object SparkEntry {
     "q_clean_corpus_v2" -> ((s, d) =>
       Curation.cleanCorpusV2Stats(Tables.documents(s, d),
         minTokensBySource = Map("src0" -> 60, "src1" -> 40))),
+    // v3: the COMPLETE C4 recipe — quality gates → exact dedup → SNM
+    // near-dup cluster drop → span dedup — reported as the per-stage
+    // attrition counts a data team reads after a cleaning run
+    "q_clean_corpus_v3" -> ((s, d) =>
+      Curation.cleanCorpusV3Stats(Tables.documents(s, d))),
     // sub-document span dedup: remove k-token spans duplicated across (or
     // within) documents, keeping the lowest (doc_id, offset) owner, and
     // reconstruct each document's surviving text
@@ -436,19 +441,22 @@ object SparkEntry {
       s"pred AS (SELECT doc_id, lang, $LANG_PRED_CASE AS pred_lang FROM s)")
 
   /** Shared CTE chain producing the sorted-neighborhood pair table `j` —
-    * used by both q_sorted_dedup and (as the edge source, under WITH
-    * RECURSIVE) q_dedup_clusters.
+    * used by q_sorted_dedup, (as the edge source, under WITH RECURSIVE)
+    * q_dedup_clusters, and — parameterized over its source relation —
+    * q_clean_corpus_v3 (pairs over the exact-dedup survivors).
     */
-  private val SORTED_CTES =
+  private def sortedCtes(src: String): String =
     (s"k AS (SELECT doc_id, list_distinct(toks) AS tset, " +
       "array_to_string(toks[1:3], ' ') AS blk, array_to_string(toks[1:2], ' ') AS blk_pfx " +
-      s"FROM (SELECT doc_id, $TOKS AS toks FROM documents)), " +
+      s"FROM (SELECT doc_id, $TOKS AS toks FROM $src)), " +
       "p AS (SELECT doc_id, tset, lag(doc_id) OVER w AS prev_id, lag(tset) OVER w AS prev_tset " +
       "FROM k WINDOW w AS (PARTITION BY blk_pfx ORDER BY blk, doc_id)), " +
       "j AS (SELECT least(prev_id, doc_id) AS a_id, greatest(prev_id, doc_id) AS b_id, " +
       "round(CAST(len(list_intersect(tset, prev_tset)) AS DOUBLE) / " +
       "greatest(len(list_distinct(tset || prev_tset)), 1), 4) AS jaccard " +
       "FROM p WHERE prev_id IS NOT NULL)")
+
+  private val SORTED_CTES = sortedCtes("documents")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -618,6 +626,41 @@ object SparkEntry {
         "(SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp) " +
         "SELECT lang, source, count(*) AS n_kept FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY lang, source"),
+    // v3: quality CTE (as v1) → exact-dedup winners → sorted-neighborhood
+    // pairs OVER THE SURVIVORS (sortedCtes parameterized source) →
+    // recursive-CTE components → span ownership; one count per stage
+    "q_clean_corpus_v3" ->
+      (s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+        s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1) <= 0.35 " +
+        "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) <= 0.7), " +
+        "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+        "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
+        "exact AS (SELECT doc_id, text, toks FROM passed " +
+        "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
+        sortedCtes("exact") + ", " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "UNION SELECT b_id, a_id FROM prs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
+        "near AS (SELECT doc_id, toks FROM exact " +
+        "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
+        "sp0 AS (SELECT doc_id, toks, " +
+        "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM near), " +
+        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
+        "own AS (SELECT doc_id, span_idx, " +
+        "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
+        "SELECT 's1_raw' AS stage, count(*) AS n FROM documents " +
+        "UNION ALL SELECT 's2_quality', count(*) FROM passed " +
+        "UNION ALL SELECT 's3_exact_dedup', count(*) FROM exact " +
+        "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
+        "UNION ALL SELECT 's5_spans_total', count(*) FROM sp " +
+        "UNION ALL SELECT 's5_spans_kept', count(*) FROM own WHERE rn = 1"),
     "q_span_dedup" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "sp0 AS (SELECT doc_id, toks, " +

@@ -427,6 +427,81 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `lang_predict(paddedText)` — char-n-gram language ID in ONE codegen'd
+    * pass: per profile gram, count non-overlapping left-to-right
+    * occurrences in the (already padded+lowercased) text; per language,
+    * sum the counts; return the argmax language (ties → first profile;
+    * zero hits → "und").
+    *
+    * Exists because the pure-expression form (one `replace` + two
+    * `length`s per gram) allocates a fresh copy of the text for every one
+    * of the ~100 grams on every row — measured 2.4× slower on the sf0.1
+    * curation gate. Counting here is an allocation-free byte scan.
+    *
+    * Semantics are EXACTLY the replace-length arithmetic the DuckDB oracle
+    * uses (`(len(s) - len(replace(s, g, ''))) // len(g)`): non-overlapping
+    * left-to-right occurrence counting — after a match the scan resumes
+    * PAST the matched bytes ("aaaa" contains "aa" twice, not three times).
+    * Byte-level search equals character-level search on valid UTF-8: a
+    * gram's first byte is never a continuation byte, so a whole-gram byte
+    * match cannot start mid-character. Parity with the expression form is
+    * pinned in TextAnalysisSpec.
+    */
+  case class LangPredict(child: Expression,
+      profiles: Seq[(String, Seq[String])]) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"lang_predict requires STRING, got ${t.catalogString}")
+    }
+
+    @transient private lazy val gramBytes: Array[Array[Array[Byte]]] =
+      profiles.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+    @transient private lazy val names
+        : Array[org.apache.spark.unsafe.types.UTF8String] =
+      profiles.map(p =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray
+    @transient private lazy val und =
+      org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+    def predict(s: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val hay = s.getBytes
+      var bestScore = 0
+      var bestIdx = -1
+      var li = 0
+      while (li < gramBytes.length) {
+        val grams = gramBytes(li)
+        var score = 0
+        var gi = 0
+        while (gi < grams.length) {
+          val g = grams(gi)
+          val last = hay.length - g.length
+          var i = 0
+          while (i <= last) {
+            var j = 0
+            while (j < g.length && hay(i + j) == g(j)) j += 1
+            if (j == g.length) { score += 1; i += g.length } else i += 1
+          }
+          gi += 1
+        }
+        if (score > bestScore) { bestScore = score; bestIdx = li }
+        li += 1
+      }
+      if (bestScore <= 0) und else names(bestIdx)
+    }
+
+    override def nullSafeEval(x: Any): Any =
+      predict(x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langPredict", this, classOf[LangPredict].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.predict($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -453,4 +528,9 @@ object ArrayKernels {
 
   def media_header(blob: Column): Column =
     GraftSqlBridge.column(MediaHeader(GraftSqlBridge.expression(blob)))
+
+  def lang_predict(paddedText: Column,
+      profiles: Seq[(String, Seq[String])]): Column =
+    GraftSqlBridge.column(LangPredict(
+      GraftSqlBridge.expression(paddedText), profiles))
 }

@@ -96,4 +96,37 @@ object Curation {
     cleanCorpusV2(docs, minTokensBySource, defaultMinTokens, maxNonAlnum,
       maxStopword)
       .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
+
+  /** v3 — the FULL C4-style recipe with its per-stage attrition report:
+    * quality gates → exact dedup → sorted-neighborhood NEAR-dup cluster
+    * drop (the stage v1/v2 stop short of) → sub-document span dedup over
+    * the survivors. Output: one (stage, n) row per stage — document counts
+    * for s1-s4, span counts for s5 — the drop-rate readout a data team
+    * inspects after a cleaning run.
+    *
+    * Scale shape: each stage composes operators that individually carry
+    * their 100 TB contract (scan-stage gates, fingerprint-only and
+    * candidate-set-only shuffles, span text never moving); the counts are
+    * one aggregate per stage over the lazily-shared plan prefix.
+    */
+  def cleanCorpusV3Stats(docs: DataFrame, minTokens: Int = 10,
+      maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7,
+      snmThreshold: Double = 0.9, spanTokens: Int = 20): DataFrame = {
+    val quality = docs.where(TextAnalysis.curationGate(col("text"),
+      lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
+    val exact = dedupSurvivors(quality)
+    val near = Dedup.dedupCorpus(exact,
+      Dedup.sortedNeighborPairs(exact, threshold = snmThreshold))
+    val spans = Dedup.spanDedup(near, spanTokens)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("s1_raw", docs)
+      .unionByName(stage("s2_quality", quality))
+      .unionByName(stage("s3_exact_dedup", exact))
+      .unionByName(stage("s4_near_dedup", near))
+      .unionByName(spans.agg(sum(col("n_spans")).cast("long").as("n"))
+        .select(lit("s5_spans_total").as("stage"), col("n")))
+      .unionByName(spans.agg(sum(col("n_kept")).cast("long").as("n"))
+        .select(lit("s5_spans_kept").as("stage"), col("n")))
+  }
 }

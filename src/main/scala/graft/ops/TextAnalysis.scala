@@ -93,14 +93,18 @@ object TextAnalysis {
   /** Occurrence count of one profile gram in the padded text — replace-
     * length arithmetic, no regex. Exact: the char-diff is always a multiple
     * of the gram length, so the division (double in both engines) is exact
-    * and the int cast lossless.
+    * and the int cast lossless. This is the REFERENCE form: it is what the
+    * generated DuckDB oracle computes, and TextAnalysisSpec pins the
+    * [[graft.functions.ArrayKernels.LangPredict]] production kernel
+    * against it; the kernel (one allocation-free pass) is what queries
+    * actually run.
     */
   private def gramCount(pad: Column, g: String): Column =
     ((length(pad) - length(replace(pad, lit(g), lit("")))) / lit(g.length))
       .cast("int")
 
-  /** Per-language profile scores over an already-padded text column. */
-  private def langScores(pad: Column): Seq[(String, Column)] =
+  /** Per-language reference scores over an already-padded text column. */
+  private[graft] def langScoresRef(pad: Column): Seq[(String, Column)] =
     LANG_PROFILES.map { case (lang, gs) =>
       lang -> gs.map(gramCount(pad, _)).reduce(_ + _)
     }
@@ -110,14 +114,25 @@ object TextAnalysis {
     * projection + re-join would shuffle the corpus to meet its own
     * metadata. Identical semantics to [[langId]] (same profiles, same
     * deterministic tie-break).
+    *
+    * Backed by the [[graft.functions.ArrayKernels.LangPredict]] codegen
+    * kernel — ONE allocation-free byte scan per row. The pure-expression
+    * form ([[langScoresRef]], kept as the spec-parity reference) pays one
+    * `replace` ALLOCATION of the text per gram per row, and in predicate
+    * position Catalyst's filter pushdown additionally substitutes the
+    * argmax's repeated score references wholesale (measured 6.5× slower on
+    * q_clean_corpus_v2 at sf0.1); the kernel is one opaque call, immune to
+    * both. Count semantics are byte-identical to the generated oracle SQL
+    * (non-overlapping replace-length arithmetic; see the kernel Scaladoc).
     */
-  def predLang(text: Column): Column = langArgmax(langScores(langPad(text)))
+  def predLang(text: Column): Column =
+    graft.functions.ArrayKernels.lang_predict(langPad(text), LANG_PROFILES)
 
-  /** Deterministic language argmax shared by every prediction site
-    * ([[predLang]], [[langId]], [[curationGate]]) — the SQL twin is
-    * generated as LANG_PRED_CASE in SparkEntry, so the tie-break rule
-    * (first profile language reaching the max; 'und' when no gram hits)
-    * lives in exactly one Scala place and one generated-SQL place.
+  /** Deterministic language argmax over reference score columns — the SQL
+    * twin is generated as LANG_PRED_CASE in SparkEntry, so the tie-break
+    * rule (first profile language reaching the max; 'und' when no gram
+    * hits) lives in one Scala place and one generated-SQL place; the
+    * production kernel implements the same rule (spec-pinned).
     */
   private def langArgmax(scores: Seq[(String, Column)]): Column = {
     val mx = greatest(scores.map(_._2): _*)
@@ -125,6 +140,13 @@ object TextAnalysis {
       acc.when(sc === mx, lang)
     }.otherwise("und")
   }
+
+  /** Reference-form prediction (expression scoring + when-chain argmax) —
+    * the spec-parity twin of [[predLang]]; NOT for hot paths (see
+    * [[predLang]]'s Scaladoc for why).
+    */
+  private[graft] def predLangRef(text: Column): Column =
+    langArgmax(langScoresRef(langPad(text)))
 
   /** The ENTIRE curation gate (length, stopword ratio, non-alnum ratio,
     * optional language-agreement) as ONE boolean expression that tokenizes
@@ -169,18 +191,9 @@ object TextAnalysis {
     }
   }
 
-  def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val scored = docs.select(
-      (col("doc_id") +: carry.map(col)) ++
-        langScores(langPad(col("text"))).map { case (lang, sc) =>
-          sc.as(s"score_$lang")
-        }: _*)
-    // first language reaching the max wins ties (deterministic, SQL-portable)
-    val best = langArgmax(LANG_PROFILES.map { case (lang, _) =>
-      lang -> col(s"score_$lang")
-    })
-    scored.select(col("doc_id") +: carry.map(col) :+ best.as("pred_lang"): _*)
-  }
+  def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: carry.map(col) :+
+      predLang(col("text")).as("pred_lang"): _*)
 
   /** Language-ID quality report: predicted vs labeled confusion counts —
     * the QA readout for the classifier over a labeled corpus. Labels are

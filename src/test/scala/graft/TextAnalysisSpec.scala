@@ -201,6 +201,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats == Set(("en", "lax", 1L)))
   }
 
+  test("LangPredict kernel matches the replace-arithmetic reference form") {
+    // the kernel is what queries run; the expression form is what the
+    // generated DuckDB oracle computes — they must agree everywhere,
+    // including non-overlapping counting ("aaaa" contains "aa" twice) and
+    // multi-byte grams matched at byte level
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the cat and the dog is here", "der hund und die katze ist da",
+      "el gato que está en la casa", "le chien est dans le jardin",
+      "это не просто что и как надо", "这是一个不重要的测试我们在这里有很多人",
+      "これはテストです。わたしたちは", "이것은 테스트입니다 우리는",
+      "هذا اختبار في اللغة من فضلك", "xyzzy qwerty", "",
+      "aaaa nd nd nd the the信息的的的一一", "ist ist ist und und der die das"
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      TextAnalysis.predLang(col("text")).as("kernel"),
+      TextAnalysis.predLangRef(col("text")).as("ref"))
+      .as[(Long, String, String)].collect()
+    both.foreach { case (id, k, r) =>
+      assert(k == r, s"doc $id: kernel=$k ref=$r (${texts(id.toInt)})")
+    }
+    // and over a corpus-shaped sample: every prediction identical
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = corpus.select(
+      TextAnalysis.predLang(col("text")).as("kernel"),
+      TextAnalysis.predLangRef(col("text")).as("ref"))
+      .where(col("kernel") =!= col("ref")).count()
+    assert(diff == 0L)
+  }
+
   test("tfidf/surprisal dictionary joins are unhinted; AQE still broadcasts small ones") {
     // the dictionary (df / tf) joins must NOT carry a broadcast() hint — a
     // hint ships the Heaps-law vocabulary to the driver unconditionally at
@@ -222,6 +254,28 @@ class TextAnalysisSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     }
+  }
+
+  test("cleanCorpusV3Stats: per-stage attrition through the full recipe") {
+    import graft.ops.Curation
+    // 24 tokens so the doc splits into two 20-token spans (second partial);
+    // near-dup pair 1/2 share their token-set prefix (SNM-adjacent)
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s0"),               // survives everything
+      (2L, base + " tail", "en", "s0"),     // near dup of 1 (jaccard 24/25) → s4 drop
+      (3L, base, "en", "s1"),               // exact dup of 1 → s3 drop
+      (4L, "too short", "en", "s0"),        // quality drop (< 10 tokens)
+      (5L, (30 to 60).map(i => s"w$i").mkString(" "), "en", "s0") // distinct survivor
+    ).toDF("doc_id", "text", "lang", "source")
+    val stats = Curation.cleanCorpusV3Stats(docs)
+      .as[(String, Long)].collect().toMap
+    assert(stats("s1_raw") == 5L)
+    assert(stats("s2_quality") == 4L)      // doc 4 gated
+    assert(stats("s3_exact_dedup") == 3L)  // doc 3 deduped
+    assert(stats("s4_near_dedup") == 2L)   // doc 2 dropped by SNM cluster
+    assert(stats("s5_spans_total") == 4L)  // docs 1 and 5: 2 spans each
+    assert(stats("s5_spans_kept") == 4L)   // no cross-doc span dups remain
   }
 
   test("cleanCorpusV2 keeps non-Latin documents whose label agrees") {
