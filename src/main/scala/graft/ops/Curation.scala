@@ -112,18 +112,32 @@ object Curation {
   def cleanCorpusV3Stats(docs: DataFrame, minTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7,
       snmThreshold: Double = 0.9, spanTokens: Int = 20): DataFrame = {
+    // Each stage's DECISION is materialized as an id-only set
+    // (localCheckpoint): six stage counts over a lazily-shared plan would
+    // otherwise recompute the whole upstream chain per count — the span
+    // aggregates alone re-ran gate+fingerprint+SNM twice each (measured
+    // 2× end-to-end at sf0.1). Ids-and-booleans are decision-sized, not
+    // corpus-sized — the same contract as nearDupClusters' checkpointed
+    // label table; the corpus TEXT is still scanned exactly once per stage
+    // that derives from it (gate, fingerprints, SNM tokens, spans) and
+    // never shuffled.
+    def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
     val quality = docs.where(TextAnalysis.curationGate(col("text"),
       lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
-    val exact = dedupSurvivors(quality)
-    val near = Dedup.dedupCorpus(exact,
-      Dedup.sortedNeighborPairs(exact, threshold = snmThreshold))
-    val spans = Dedup.spanDedup(near, spanTokens)
+    val qualityIds = ids(quality)
+    val qualityDocs = docs.join(qualityIds, Seq("doc_id"), "left_semi")
+    val exactIds = ids(dedupSurvivors(qualityDocs))
+    val exactDocs = docs.join(exactIds, Seq("doc_id"), "left_semi")
+    val nearIds = ids(Dedup.dedupCorpus(exactIds,
+      Dedup.sortedNeighborPairs(exactDocs, threshold = snmThreshold)))
+    val spans = Dedup.spanDedup(docs.join(nearIds, Seq("doc_id"), "left_semi"),
+      spanTokens)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
     stage("s1_raw", docs)
-      .unionByName(stage("s2_quality", quality))
-      .unionByName(stage("s3_exact_dedup", exact))
-      .unionByName(stage("s4_near_dedup", near))
+      .unionByName(stage("s2_quality", qualityIds))
+      .unionByName(stage("s3_exact_dedup", exactIds))
+      .unionByName(stage("s4_near_dedup", nearIds))
       .unionByName(spans.agg(sum(col("n_spans")).cast("long").as("n"))
         .select(lit("s5_spans_total").as("stage"), col("n")))
       .unionByName(spans.agg(sum(col("n_kept")).cast("long").as("n"))
