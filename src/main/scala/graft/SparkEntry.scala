@@ -840,11 +840,11 @@ object SparkEntry {
     "q_ivf_topk_multi" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 100), " +
-        "p AS (SELECT q_id, vec_id, list_cosine_similarity(emb, q_emb) AS c, " +
+        "p AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS c, " +
         "CAST(row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY list_cosine_similarity(emb, q_emb) DESC, vec_id ASC) AS INT) AS rk " +
+        "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
         "FROM e, q WHERE vec_id <> q_id) " +
-        "SELECT q_id, vec_id, round(c, 4) AS cos, rk FROM p WHERE rk <= 10"),
+        "SELECT q_id, vec_id, c AS cos, rk FROM p WHERE rk <= 10"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

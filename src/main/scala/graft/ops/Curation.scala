@@ -138,9 +138,11 @@ object Curation {
       .unionByName(stage("s2_quality", qualityIds))
       .unionByName(stage("s3_exact_dedup", exactIds))
       .unionByName(stage("s4_near_dedup", nearIds))
-      .unionByName(spans.agg(sum(col("n_spans")).cast("long").as("n"))
+      // coalesce: sum over zero surviving documents is NULL, the oracle's
+      // count(*) over zero span rows is 0 — report 0
+      .unionByName(spans.agg(coalesce(sum(col("n_spans")), lit(0)).cast("long").as("n"))
         .select(lit("s5_spans_total").as("stage"), col("n")))
-      .unionByName(spans.agg(sum(col("n_kept")).cast("long").as("n"))
+      .unionByName(spans.agg(coalesce(sum(col("n_kept")), lit(0)).cast("long").as("n"))
         .select(lit("s5_spans_kept").as("stage"), col("n")))
   }
 }

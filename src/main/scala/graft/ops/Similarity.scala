@@ -243,15 +243,17 @@ object Similarity {
     val probes = q.select(col("q_id"), col("q_e"),
         explode(slice(sort_array(cellScores, asc = false), 1, nprobe)).as("pc"))
       .select(col("q_id"), col("q_e"), (-col("pc.neg_cell")).as("cell"))
+    // rank on the ROUNDED cosine (then vec_id) — the same order ivfTopK's
+    // orderBy uses, so batch and single-query results agree even when two
+    // candidates at the top-k boundary round to the same 4-decimal value
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), dot(col("e"), col("q_e")).as("cos_raw"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("q_e")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"),
-        round(col("cos_raw"), 4).as("cos"), col("rk"))
   }
 
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of

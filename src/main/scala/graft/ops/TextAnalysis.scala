@@ -126,7 +126,11 @@ object TextAnalysis {
     * (non-overlapping replace-length arithmetic; see the kernel Scaladoc).
     */
   def predLang(text: Column): Column =
-    graft.functions.ArrayKernels.lang_predict(langPad(text), LANG_PROFILES)
+    // NULL text → 'und', matching the reference when-chain's .otherwise
+    // and the oracle CASE's ELSE (the kernel itself null-propagates)
+    coalesce(
+      graft.functions.ArrayKernels.lang_predict(langPad(text), LANG_PROFILES),
+      lit("und"))
 
   /** Deterministic language argmax over reference score columns — the SQL
     * twin is generated as LANG_PRED_CASE in SparkEntry, so the tie-break

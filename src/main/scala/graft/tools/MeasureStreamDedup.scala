@@ -30,9 +30,9 @@ object MeasureStreamDedup {
   def replay(spark: SparkSession, docs: Seq[(Long, String)], threshold: Double,
       batchSize: Int, bandRows: Int = 2): Seq[(Long, Boolean, Option[Long])] = {
     import spark.implicits._
-    val in = MemoryStream[(Long, Timestamp, String)](
-      streamIds.incrementAndGet(), spark, None)
-    val name = s"msd_${streamIds.get()}"
+    val id = streamIds.incrementAndGet()
+    val in = MemoryStream[(Long, Timestamp, String)](id, spark, None)
+    val name = s"msd_$id"
     val out = StreamingOps.streamingNearDedup(
       in.toDF().toDF("doc_id", "ts", "text"), "ts", "1 hour",
       threshold = threshold, bandRows = bandRows)
@@ -76,8 +76,9 @@ object MeasureStreamDedup {
     val rows = corpus.as[(Long, String)].collect().toSeq
     println(s"corpus=${rows.size} docs (${rows.size / 2} near-dup pairs)")
 
-    for (threshold <- Seq(0.7, 0.8); bandRows <- Seq(1, 2)) {
-      val batchDups = batchDupIds(corpus, threshold)
+    for (threshold <- Seq(0.7, 0.8)) {
+      val batchDups = batchDupIds(corpus, threshold) // per threshold, not per config
+      for (bandRows <- Seq(1, 2)) {
       val verdicts = replay(spark, rows, threshold, batchSize = 500,
         bandRows = bandRows)
       val streamDups = verdicts.filter(!_._2).map(_._1).toSet
@@ -87,6 +88,7 @@ object MeasureStreamDedup {
         f"batchDups=${batchDups.size} streamDups=${streamDups.size} " +
         f"recall=${if (batchDups.isEmpty) 1.0 else hits.toDouble / batchDups.size}%.4f " +
         f"extra=$extra bound(t^r)=${math.pow(threshold, bandRows)}%.3f")
+      }
     }
     spark.stop()
   }
