@@ -26,6 +26,29 @@ class PropertySpec extends SparkSpec {
   private def toDf(evs: List[(String, Int)]) =
     evs.map { case (k, s) => (k, new Timestamp(s * 1000L)) }.toDF("k", "ts")
 
+  test("LangPredict kernel equals the replace-arithmetic reference on random text") {
+    // random strings over a mixed alphabet that includes profile-gram
+    // characters from five scripts, whitespace runs, and overlap-prone
+    // repetitions — the kernel's non-overlapping byte counting must agree
+    // with the expression form (and therefore the generated oracle SQL)
+    // on every input, not just curated fixtures
+    import org.apache.spark.sql.functions.col
+    val alphabet = "abcdefgh ueio .,!的是一不了ですはにのが이는다 иочтне الفيمن tThHeE"
+    val textGen: Gen[String] =
+      Gen.chooseNum(0, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(alphabet.toSeq)).map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(30, textGen)) { texts =>
+      texts.isEmpty || {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        docs.select(
+          graft.ops.TextAnalysis.predLang(col("text")).as("k"),
+          graft.ops.TextAnalysis.predLangRef(col("text")).as("r"))
+          .where(col("k") =!= col("r")).count() == 0L
+      }
+    })
+  }
+
   test("tumbling windows conserve the event count") {
     check(Prop.forAll(eventsGen) { evs =>
       evs.isEmpty || {

@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation v2: the language-agreement gate (codegen kernel) " +
+      "runs inside a micro-batch plan") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val in = MemoryStream[(Long, Timestamp, String, String)](75, spark, None)
+    val gated = in.toDS().toDF("doc_id", "ts", "text", "lang")
+      .where(graft.ops.TextAnalysis.curationGate(col("text"), lit(4), 0.35,
+        0.7, langLabel = Some(col("lang"))))
+    val q = gated.select("doc_id").writeStream.format("memory")
+      .queryName("scur2").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        (1L, ts(1), "the cat and the dog is here with more", "en"), // agrees
+        (2L, ts(2), "the cat and the dog is here with more", "de"), // label disagrees
+        (3L, ts(3), "это не просто что и как надо было тут", "ru")) // non-Latin agrees
+      q.processAllAvailable()
+      val kept = spark.table("scur2").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L))
+    }
+  }
+
   test("G1 count trigger fires cumulatively across batches " +
       "(WindowAssignersAndTriggers.scala:55-90)") {
     val in = MemoryStream[(String, Int)](2, spark, None)
