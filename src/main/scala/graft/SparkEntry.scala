@@ -373,6 +373,17 @@ object SparkEntry {
       Similarity.ivfTopKAll(assigned, emb.where(col("vec_id") < 100), 10,
         cents, nprobe = 16)
     }),
+    // benchmark decontamination: eval set = every 97th doc_id (a stand-in
+    // for a held-out benchmark table); n=3 because the synthetic corpus
+    // vocabulary is ~30 words (n=13, the production default, finds zero
+    // overlap here — measured)
+    "q_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.contaminationCounts(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
   )
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
@@ -845,6 +856,17 @@ object SparkEntry {
         "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
         "FROM e, q WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, c AS cos, rk FROM p WHERE rk <= 10"),
+    "q_decontam" ->
+      (s"WITH tr AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 97 <> 0), " +
+        s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
+        "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
+        "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
+        "tri AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM tr), " +
+        "trg AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM tri), " +
+        "m AS (SELECT doc_id, count(DISTINCT g) AS nc FROM trg JOIN evg USING (g) GROUP BY doc_id) " +
+        "SELECT tr.doc_id, coalesce(m.nc, 0) AS n_contam, " +
+        "CAST(coalesce(m.nc, 0) > 0 AS INT) AS contaminated " +
+        "FROM tr LEFT JOIN m USING (doc_id)"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

@@ -502,6 +502,103 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `token_ngrams(toks, n, distinct)` — space-joined token n-grams of an
+    * ARRAY<STRING>, optionally deduplicated per document (insertion
+    * order), in one codegen pass. The composed form
+    * (`transform(sequence(...), i -> array_join(slice(...)))` +
+    * `array_distinct`) evaluates interpreted — higher-order functions have
+    * no codegen — and re-slices the token array per gram; measured 4.4 s
+    * for gram generation alone on the sf0.1 bench corpus vs one tight
+    * loop here. Documents with fewer than `n` tokens yield an empty array.
+    */
+  case class TokenNgrams(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"token_ngrams requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+
+    private val SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(in: Any): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks = in.asInstanceOf[ArrayData]
+      val cnt = math.max(toks.numElements() - n + 1, 0)
+      val buf = new Array[UTF8String](n)
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var j = 0
+        while (j < cnt) {
+          var t = 0
+          while (t < n) { buf(t) = toks.getUTF8String(j + t); t += 1 }
+          seen.add(UTF8String.concatWs(SEP, buf: _*))
+          j += 1
+        }
+        new GenericArrayData(seen.toArray)
+      } else {
+        val out = new Array[Any](cnt)
+        var j = 0
+        while (j < cnt) {
+          var t = 0
+          while (t < n) { buf(t) = toks.getUTF8String(j + t); t += 1 }
+          out(j) = UTF8String.concatWs(SEP, buf: _*)
+          j += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sepRef = ctx.addReferenceObj("ngramSep", SEP,
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, in => {
+        val cnt = ctx.freshName("cnt")
+        val buf = ctx.freshName("buf")
+        val j = ctx.freshName("j")
+        val t = ctx.freshName("t")
+        val u8 = "org.apache.spark.unsafe.types.UTF8String"
+        val fill =
+          s"""
+             |for (int $t = 0; $t < $n; $t++) {
+             |  $buf[$t] = $in.getUTF8String($j + $t);
+             |}
+           """.stripMargin
+        val body = if (distinct) {
+          val seen = ctx.freshName("seen")
+          s"""
+             |java.util.LinkedHashSet $seen = new java.util.LinkedHashSet();
+             |for (int $j = 0; $j < $cnt; $j++) {
+             |  $fill
+             |  $seen.add($u8.concatWs($sepRef, $buf));
+             |}
+             |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($seen.toArray());
+           """.stripMargin
+        } else {
+          val out = ctx.freshName("out")
+          s"""
+             |Object[] $out = new Object[$cnt];
+             |for (int $j = 0; $j < $cnt; $j++) {
+             |  $fill
+             |  $out[$j] = $u8.concatWs($sepRef, $buf);
+             |}
+             |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           """.stripMargin
+        }
+        s"""
+           |int $cnt = java.lang.Math.max($in.numElements() - $n + 1, 0);
+           |$u8[] $buf = new $u8[$n];
+           |$body
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -533,4 +630,8 @@ object ArrayKernels {
       profiles: Seq[(String, Seq[String])]): Column =
     GraftSqlBridge.column(LangPredict(
       GraftSqlBridge.expression(paddedText), profiles))
+
+  def token_ngrams(toks: Column, n: Int, distinct: Boolean = false): Column =
+    GraftSqlBridge.column(TokenNgrams(
+      GraftSqlBridge.expression(toks), n, distinct))
 }

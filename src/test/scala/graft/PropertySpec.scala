@@ -49,6 +49,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("TokenNgrams kernel: codegen and interpreted parity with the HOF form") {
+    import org.apache.spark.sql.functions._
+    val tokGen: Gen[List[String]] =
+      Gen.chooseNum(0, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d")))
+    check(Prop.forAll(Gen.listOfN(20, tokGen), Gen.chooseNum(1, 4)) { (docs, n) =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "toks")
+        val hof = when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+        df.select(
+          graft.functions.ArrayKernels.token_ngrams(col("toks"), n).as("k"),
+          hof.as("h"),
+          graft.functions.ArrayKernels.token_ngrams(col("toks"), n,
+            distinct = true).as("kd"),
+          array_distinct(hof).as("hd"))
+          .where(col("k") =!= col("h") || col("kd") =!= col("hd"))
+          .count() == 0L
+      }
+    })
+    // interpreted eval — the non-codegen fallback path the DataFrame run
+    // above never exercises
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val in = Literal.create(Seq("x", "y", "x", "y"), ArrayType(StringType))
+    def got(distinct: Boolean): Seq[String] =
+      graft.functions.ArrayKernels.TokenNgrams(in, 2, distinct).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+    assert(got(distinct = false) == Seq("x y", "y x", "x y"))
+    assert(got(distinct = true) == Seq("x y", "y x"))
+    assert(graft.functions.ArrayKernels.TokenNgrams(
+      Literal.create(Seq("x"), ArrayType(StringType)), 2, false).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
+
   test("tumbling windows conserve the event count") {
     check(Prop.forAll(eventsGen) { evs =>
       evs.isEmpty || {
