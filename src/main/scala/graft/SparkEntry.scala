@@ -384,6 +384,23 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 3)
     }),
+    // PII scrubbing: the synthetic corpus contains no PII-shaped strings
+    // (measured — zero '@', zero digit runs), so every 7th document gets a
+    // deterministic email+IP+phone suffix injected IN the query, mirrored
+    // in the oracle SQL — the redaction path is then hash-validated on
+    // real data, not just spec fixtures
+    "q_pii_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 call +1 415 550 0"), (col("doc_id") % 10).cast("string"),
+            lit("99")))
+          .otherwise(col("text")).as("text"))
+      Scrub.scrubPii(injected)
+    }),
   )
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
@@ -867,6 +884,21 @@ object SparkEntry {
         "SELECT tr.doc_id, coalesce(m.nc, 0) AS n_contam, " +
         "CAST(coalesce(m.nc, 0) > 0 AS INT) AS contaminated " +
         "FROM tr LEFT JOIN m USING (doc_id)"),
+    // regexes interpolated from the same Scrub constants the Spark side
+    // compiles — the patterns stay in the Java/RE2 agreement subset
+    "q_pii_scrub" ->
+      ("WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
+        "' contact user' || doc_id || '@example.com or 10.' || (doc_id % 256) || " +
+        "'.0.1 call +1 415 550 0' || (doc_id % 10) || '99' ELSE text END AS t0 " +
+        "FROM documents), " +
+        s"s1 AS (SELECT doc_id, t0, regexp_replace(t0, '${Scrub.EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM inj), " +
+        s"s2 AS (SELECT *, regexp_replace(t1, '${Scrub.IPV4_RE}', '<IP>', 'g') AS t2 FROM s1), " +
+        s"s3 AS (SELECT *, regexp_replace(t2, '${Scrub.PHONE_RE}', '<PHONE>', 'g') AS t3 FROM s2) " +
+        "SELECT doc_id, t3 AS text, " +
+        s"CAST(len(regexp_extract_all(t0, '${Scrub.EMAIL_RE}')) AS INT) AS n_email, " +
+        s"CAST(len(regexp_extract_all(t1, '${Scrub.IPV4_RE}')) AS INT) AS n_ip, " +
+        s"CAST(len(regexp_extract_all(t2, '${Scrub.PHONE_RE}')) AS INT) AS n_phone " +
+        "FROM s3"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing — redact emails, IPv4 addresses, and international phone
+  * numbers from a text column, with per-document redaction counts. A core
+  * compliance pass in every web-scale training-data pipeline (C4 and
+  * derivatives scrub or drop PII-bearing lines before training).
+  *
+  * The patterns deliberately stay inside the syntax subset where Java's
+  * regex engine (Spark) and RE2 (the DuckDB oracle) agree: character
+  * classes, bounded repetition, `\b` — no alternation, backreferences, or
+  * lookaround, so leftmost-greedy matching is identical in both engines
+  * and the oracle validates the scrub byte-for-byte.
+  *
+  * Passes run in a fixed order (email → IPv4 → phone), each counting on
+  * the PREVIOUS pass's output: an already-redacted `<EMAIL>` token can't
+  * be re-matched as a phone number, and the order is part of the operator
+  * contract (mirrored in the oracle SQL).
+  *
+  * 100 TB scale shape: three codegen'd regexp_replace/regexp_count chains
+  * per row in the scan stage — zero shuffle, trivially parallel, and the
+  * text never leaves its input partition.
+  */
+object Scrub {
+
+  private[graft] val EMAIL_RE =
+    "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+  private[graft] val IPV4_RE =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** Leading '+' required: without it the pattern would eat arbitrary long
+    * digit runs (ids, timestamps) — the high-precision form of phone
+    * scrubbing. 7..20 total digits/separators after the '+'.
+    */
+  private[graft] val PHONE_RE =
+    "\\+[0-9][0-9 ()\\-]{5,18}[0-9]"
+
+  /** Redact PII from `textCol`; returns `idCol`, the scrubbed text, and
+    * int counts of redactions per category.
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    val t2 = regexp_replace(t1, IPV4_RE, "<IP>")
+    val t3 = regexp_replace(t2, PHONE_RE, "<PHONE>")
+    docs.select(
+      col(idCol),
+      t3.as(textCol),
+      regexp_count(t0, lit(EMAIL_RE)).cast("int").as("n_email"),
+      regexp_count(t1, lit(IPV4_RE)).cast("int").as("n_ip"),
+      regexp_count(t2, lit(PHONE_RE)).cast("int").as("n_phone"))
+  }
+
+  /** The filtering form: drop documents whose PII density is above
+    * `maxPerKChars` redactions per 1000 characters (a document that is
+    * mostly contact records is usually a directory page, not prose worth
+    * training on); scrub the survivors.
+    */
+  def scrubAndFilter(docs: DataFrame, maxPerKChars: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scrubPii(docs, idCol, textCol)
+      .where((col("n_email") + col("n_ip") + col("n_phone")).cast("double") * 1000.0
+        / greatest(length(col(textCol)), lit(1)) <= maxPerKChars)
+}

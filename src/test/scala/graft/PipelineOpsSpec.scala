@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Core, Decontam}
+import graft.ops.{Core, Decontam, Scrub}
 
 /** Training-pipeline operators added in round 6: benchmark decontamination
   * (PII scrubbing and token-budget mixing specs live here too).
@@ -60,5 +60,46 @@ class PipelineOpsSpec extends SparkSpec {
       .contaminationCounts(train, eval, "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("scrubPii redacts emails, IPv4, phones with exact counts") {
+    val docs = Seq(
+      (1L, "mail alice.smith+x@sub.example.org and bob@y.co now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1 415 555 0100 or +44 (20) 7946-0958 today"),
+      (4L, "no pii here at all"),
+      // a bare long digit run must NOT be scrubbed (no leading '+')
+      (5L, "order 123456789012 shipped"),
+      // version strings must NOT match IPv4 (only 3 dots exactly... 1.2.3.4.5
+      // DOES contain a 4-octet prefix — documented greedy behavior)
+      (6L, "see 1.2.3.4.5")
+    ).toDF("doc_id", "text")
+    val got = Scrub.scrubPii(docs).as[(Long, String, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "mail <EMAIL> and <EMAIL> now")
+    assert(got(1L)._3 == 2 && got(1L)._4 == 0 && got(1L)._5 == 0)
+    assert(got(2L)._2 == "server at <IP> and <IP> up")
+    assert(got(2L)._4 == 2)
+    assert(got(3L)._2 == "call <PHONE> or <PHONE> today")
+    assert(got(3L)._5 == 2)
+    assert(got(4L) == ((4L, "no pii here at all", 0, 0, 0)))
+    assert(got(5L) == ((5L, "order 123456789012 shipped", 0, 0, 0)))
+    assert(got(6L)._4 == 1) // greedy 4-octet prefix of a 5-part version
+  }
+
+  test("scrub order: redacted emails are not re-counted as phones; density filter") {
+    // the digits inside an email must not survive into the phone pass
+    val docs = Seq((1L, "write +15551234567@relay.example.com ok"))
+      .toDF("doc_id", "text")
+    val r = Scrub.scrubPii(docs).as[(Long, String, Int, Int, Int)].head()
+    assert(r._2 == "write <EMAIL> ok" && r._3 == 1 && r._5 == 0)
+
+    val dense = Seq(
+      (1L, "a@b.co c@d.co e@f.co"), // directory-page density
+      (2L, "one contact a@b.co in a long enough prose paragraph that stays")
+    ).toDF("doc_id", "text")
+    val kept = Scrub.scrubAndFilter(dense, maxPerKChars = 60.0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L), kept)
   }
 }
