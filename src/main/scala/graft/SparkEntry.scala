@@ -401,6 +401,14 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    // domain mixing to per-source token budgets: prefilter rate 0.6 keeps
+    // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
+    // token budgets, so the exact-trim window runs over a budget-sized set
+    // (the 100 TB contract) while still exercising the budget boundary
+    "q_domain_mix" -> ((s, d) =>
+      Sampling.tokenBudgetMix(Tables.documents(s, d), "source", "doc_id",
+        budgets = Map("src0" -> 500L, "src1" -> 100L), defaultBudget = 300L,
+        prefilterRates = Map.empty, defaultPrefilterRate = 0.6)),
   )
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
@@ -899,6 +907,18 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(t1, '${Scrub.IPV4_RE}')) AS INT) AS n_ip, " +
         s"CAST(len(regexp_extract_all(t2, '${Scrub.PHONE_RE}')) AS INT) AS n_phone " +
         "FROM s3"),
+    // thresholds/budgets interpolated from the same constants as the
+    // Spark query; explicit ROWS frame on both sides
+    "q_domain_mix" ->
+      (s"WITH f AS (SELECT doc_id, source, text FROM documents " +
+        s"WHERE $HASHKEY < '${ops.Sampling.hexThreshold(0.6)}'), " +
+        s"t AS (SELECT doc_id, source, len($TOKS) AS n, $HASHKEY AS hk FROM f), " +
+        "c AS (SELECT doc_id, source, n, CAST(sum(n) OVER (PARTITION BY source " +
+        "ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum FROM t) " +
+        "SELECT source, doc_id, CAST(n AS INT) AS n_tokens, cum AS cum_tokens " +
+        "FROM c WHERE cum <= CASE WHEN source = 'src0' THEN 500 " +
+        "WHEN source = 'src1' THEN 100 ELSE 300 END"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

@@ -61,6 +61,57 @@ object Sampling {
     df.where(hashKey(col(idCol), salt) < threshold)
   }
 
+  /** Domain/source mixing to per-stratum TOKEN budgets — the operator that
+    * turns "40 % web, 30 % code, 30 % books, N tokens total" into a
+    * concrete document set. Each stratum keeps the greedy prefix of its
+    * documents in deterministic hash order until the token budget fills:
+    * reproducible across runs and engines, stable under appends (new
+    * documents land at hash positions that don't reshuffle the prefix
+    * decision of existing ones below the boundary).
+    *
+    * 100 TB scale shape — two phases:
+    * 1. A `prefilterRates` stratified hash sample (a pushed-down scan
+    *    filter, no shuffle) bounds each stratum's candidate set to
+    *    ~rate·stratum before anything shuffles. Callers size the rate from
+    *    known stratum totals (≈ margin·budget/total): the per-stratum
+    *    window input is then budget-sized REGARDLESS of corpus size — a
+    *    10 TB source costs the same as a 10 GB one past the scan.
+    * 2. The exact trim: a per-stratum running token sum over (hash, id)
+    *    order keeps rows while the cumulative count fits the budget. Only
+    *    (stratum, id, n_tokens, hash) tuples shuffle — never text.
+    * With the default `prefilterRates` (keep everything) phase 2 sees the
+    * whole stratum — correct at any scale, but the single-partition sort
+    * makes it a small-corpus/test configuration only.
+    *
+    * The prefix property (phase 2 orders by the SAME hash phase 1
+    * thresholds on) means the two-phase result equals the unfiltered
+    * greedy prefix whenever the prefilter admits at least the budget's
+    * worth of tokens; an undersized rate caps the stratum below budget —
+    * the documented margin tradeoff.
+    */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String, idCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      textCol: String = "text",
+      prefilterRates: Map[String, Double] = Map.empty,
+      defaultPrefilterRate: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = stratifiedHashSample(docs, strataCol, idCol,
+      prefilterRates, defaultPrefilterRate, salt)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre
+      .select(col(strataCol), col(idCol),
+        size(graft.ops.Core.tokensUni(col(textCol))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic train/validation/test split: assigns each row a split
     * label by hash position — disjoint, exhaustive, and stable under
     * re-runs (no row ever migrates between splits when data is appended,

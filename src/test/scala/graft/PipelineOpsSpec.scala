@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Core, Decontam, Scrub}
+import graft.ops.{Core, Decontam, Sampling, Scrub}
 
 /** Training-pipeline operators added in round 6: benchmark decontamination
   * (PII scrubbing and token-budget mixing specs live here too).
@@ -101,5 +101,64 @@ class PipelineOpsSpec extends SparkSpec {
     val kept = Scrub.scrubAndFilter(dense, maxPerKChars = 60.0)
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(2L), kept)
+  }
+
+  /** Plain-Scala twin of Sampling.hashKey (salt ""). */
+  private def hk(id: Long): String =
+    "0" + java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  private val mixDocs = (0L until 30L).map { i =>
+    (i, if (i % 2 == 0) "web" else "code", Seq.fill((i % 5).toInt + 1)("tok").mkString(" "))
+  }
+
+  test("tokenBudgetMix keeps the greedy hash-order prefix within each budget") {
+    val docs = mixDocs.toDF("doc_id", "source", "text")
+    val budgets = Map("web" -> 12L)
+    val got = Sampling.tokenBudgetMix(docs, "source", "doc_id",
+      budgets, defaultBudget = 7L)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._4).toSeq }
+
+    // reference model: per source, hash-order greedy prefix under budget
+    val expected = mixDocs.groupBy(_._2).map { case (s, ds) =>
+      val budget = budgets.getOrElse(s, 7L)
+      val ordered = ds.sortBy { case (id, _, _) => (hk(id), id) }
+      var cum = 0L
+      val keep = ordered.takeWhile { case (id, _, t) =>
+        cum += t.split(" ").length; cum <= budget
+      }
+      s -> keep.map(_._1)
+    }
+    for ((s, ids) <- expected) {
+      assert(got.getOrElse(s, Nil).map(_._2) == ids, s"source $s")
+      val cums = got(s).map(_._4)
+      assert(cums == cums.sorted && cums.forall(_ <= budgets.getOrElse(s, 7L)))
+    }
+    // determinism across runs
+    val again = Sampling.tokenBudgetMix(docs, "source", "doc_id",
+      budgets, defaultBudget = 7L).collect().toSet
+    assert(again == Sampling.tokenBudgetMix(docs, "source", "doc_id",
+      budgets, defaultBudget = 7L).collect().toSet)
+  }
+
+  test("tokenBudgetMix prefilter is transparent when it admits the budget prefix") {
+    val docs = mixDocs.toDF("doc_id", "source", "text")
+    // precondition: the 0.5-rate admitted set must itself carry more
+    // tokens than any budget, else the comparison below is vacuous
+    val thr = "0" + f"${math.round(0.5 * 4294967296L.toDouble)}%08x"
+    val admitted = mixDocs.filter { case (id, _, _) => hk(id) < thr }
+      .groupBy(_._2).map { case (s, ds) => s -> ds.map(_._3.split(" ").length).sum }
+    assert(admitted.values.forall(_ > 12), admitted)
+
+    def run(rate: Double) = Sampling.tokenBudgetMix(docs, "source", "doc_id",
+      Map("web" -> 12L), defaultBudget = 7L,
+      defaultPrefilterRate = rate).collect().toSet
+    // the prefilter thresholds the SAME hash the trim orders by, so the
+    // admitted set is exactly the hash-order prefix — phase 1 cannot
+    // change the result while it admits at least the budget's worth
+    assert(run(0.5) == run(1.0))
   }
 }
