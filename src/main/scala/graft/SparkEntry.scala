@@ -401,6 +401,15 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    // v4 full recipe: v3's chain + benchmark decontamination (same
+    // eval-set convention as q_decontam) between near-dup and span stages
+    "q_clean_corpus_v4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.cleanCorpusV4Stats(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        contamN = 3)
+    }),
     // domain mixing to per-source token budgets: prefilter rate 0.6 keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
     // token budgets, so the exact-trim window runs over a budget-sized set
@@ -697,6 +706,51 @@ object SparkEntry {
         "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
         "UNION ALL SELECT 's5_spans_total', count(*) FROM sp " +
         "UNION ALL SELECT 's5_spans_kept', count(*) FROM own WHERE rn = 1"),
+    // v4: the v3 chain restricted to the train split, plus a decontam CTE
+    // block (trigram overlap vs the doc_id % 97 = 0 eval set, matching
+    // q_decontam) between near-dup and span stages
+    "q_clean_corpus_v4" ->
+      (s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks " +
+        "FROM documents WHERE doc_id % 97 <> 0), " +
+        "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+        s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1) <= 0.35 " +
+        "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) <= 0.7), " +
+        "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+        "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
+        "exact AS (SELECT doc_id, text, toks FROM passed " +
+        "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
+        sortedCtes("exact") + ", " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "UNION SELECT b_id, a_id FROM prs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
+        "near AS (SELECT doc_id, toks FROM exact " +
+        "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
+        s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
+        "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
+        "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
+        "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
+        "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
+        "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
+        "dec AS (SELECT doc_id, toks FROM near " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+        "sp0 AS (SELECT doc_id, toks, " +
+        "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM dec), " +
+        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
+        "own AS (SELECT doc_id, span_idx, " +
+        "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
+        "SELECT 's1_raw' AS stage, count(*) AS n FROM t0 " +
+        "UNION ALL SELECT 's2_quality', count(*) FROM passed " +
+        "UNION ALL SELECT 's3_exact_dedup', count(*) FROM exact " +
+        "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
+        "UNION ALL SELECT 's5_decontam', count(*) FROM dec " +
+        "UNION ALL SELECT 's6_spans_total', count(*) FROM sp " +
+        "UNION ALL SELECT 's6_spans_kept', count(*) FROM own WHERE rn = 1"),
     "q_span_dedup" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "sp0 AS (SELECT doc_id, toks, " +

@@ -111,7 +111,31 @@ object Curation {
     */
   def cleanCorpusV3Stats(docs: DataFrame, minTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7,
-      snmThreshold: Double = 0.9, spanTokens: Int = 20): DataFrame = {
+      snmThreshold: Double = 0.9, spanTokens: Int = 20): DataFrame =
+    recipeStats(docs, None, minTokens, maxNonAlnum, maxStopword,
+      snmThreshold, spanTokens)
+
+  /** v4 — v3 plus benchmark decontamination between near-dup removal and
+    * span dedup: documents sharing token n-grams with `evalSet` are dropped
+    * ([[Decontam.decontaminate]]) so a model trained on the output can't
+    * memorize its own eval. Decontamination runs AFTER dedup (the standard
+    * order: dedup first shrinks the gram-generation input; contamination is
+    * per-document, so removing duplicates first can't change any surviving
+    * document's verdict) and before span rewriting (grams must be matched
+    * against ORIGINAL text, not span-reconstructed text). Adds one
+    * `s5_decontam` stage row; span rows become s6.
+    */
+  def cleanCorpusV4Stats(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      spanTokens: Int = 20, contamN: Int = 13): DataFrame =
+    recipeStats(docs, Some((evalSet, contamN)), minTokens, maxNonAlnum,
+      maxStopword, snmThreshold, spanTokens)
+
+  private def recipeStats(docs: DataFrame,
+      decontam: Option[(DataFrame, Int)], minTokens: Int,
+      maxNonAlnum: Double, maxStopword: Double,
+      snmThreshold: Double, spanTokens: Int): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -130,19 +154,39 @@ object Curation {
     val exactDocs = docs.join(exactIds, Seq("doc_id"), "left_semi")
     val nearIds = ids(Dedup.dedupCorpus(exactIds,
       Dedup.sortedNeighborPairs(exactDocs, threshold = snmThreshold)))
-    val spans = Dedup.spanDedup(docs.join(nearIds, Seq("doc_id"), "left_semi"),
+    // optional decontamination stage (v4): id-only decision like every
+    // other stage — gram generation runs over the near-dedup SURVIVORS
+    // only, and the eval gram set broadcasts (bounded benchmark)
+    val lastIds = decontam match {
+      case None => nearIds
+      case Some((evalSet, n)) =>
+        ids(Decontam.decontaminate(
+          docs.join(nearIds, Seq("doc_id"), "left_semi")
+            .select("doc_id", "text"),
+          evalSet, "doc_id", "text", n))
+    }
+    val spanPrefix = if (decontam.isDefined) "s6" else "s5"
+    val spans = Dedup.spanDedup(docs.join(lastIds, Seq("doc_id"), "left_semi"),
       spanTokens)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    stage("s1_raw", docs)
+    // ONE aggregate for both span sums, stacked into two rows: two
+    // separate .agg calls over the lazy `spans` frame re-ran the whole
+    // span-dedup pass (gate-survivor scan + span fingerprint shuffle)
+    // twice — measured ~1 s of the sf0.1 bench time.
+    // coalesce: sum over zero surviving documents is NULL, the oracle's
+    // count(*) over zero span rows is 0 — report 0
+    val spanStages = spans
+      .agg(coalesce(sum(col("n_spans")), lit(0)).cast("long").as("total"),
+        coalesce(sum(col("n_kept")), lit(0)).cast("long").as("kept"))
+      .select(expr(s"stack(2, '${spanPrefix}_spans_total', total, " +
+        s"'${spanPrefix}_spans_kept', kept) AS (stage, n)"))
+    val base = stage("s1_raw", docs)
       .unionByName(stage("s2_quality", qualityIds))
       .unionByName(stage("s3_exact_dedup", exactIds))
       .unionByName(stage("s4_near_dedup", nearIds))
-      // coalesce: sum over zero surviving documents is NULL, the oracle's
-      // count(*) over zero span rows is 0 — report 0
-      .unionByName(spans.agg(coalesce(sum(col("n_spans")), lit(0)).cast("long").as("n"))
-        .select(lit("s5_spans_total").as("stage"), col("n")))
-      .unionByName(spans.agg(coalesce(sum(col("n_kept")), lit(0)).cast("long").as("n"))
-        .select(lit("s5_spans_kept").as("stage"), col("n")))
+    (if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
+     else base)
+      .unionByName(spanStages)
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Core, Decontam, Sampling, Scrub}
+import graft.ops.{Core, Curation, Decontam, Sampling, Scrub}
 
 /** Training-pipeline operators added in round 6: benchmark decontamination
   * (PII scrubbing and token-budget mixing specs live here too).
@@ -160,5 +160,28 @@ class PipelineOpsSpec extends SparkSpec {
     // admitted set is exactly the hash-order prefix — phase 1 cannot
     // change the result while it admits at least the budget's worth
     assert(run(0.5) == run(1.0))
+  }
+
+  test("cleanCorpusV4Stats: every stage drops its designated document") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ") // 20 distinct tokens
+    val nearDup = ((1 to 19).map(i => s"w$i") :+ "zz").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "srcA"),               // survives everything
+      (2L, base, "en", "srcA"),               // exact dup of 1 → s3
+      (3L, nearDup, "en", "srcA"),            // jaccard 19/21 ≈ 0.905 → s4
+      (4L, "mu nu xi plus other totally unrelated content words here now",
+        "en", "srcA"),                        // shares eval trigram → s5
+      (5L, "tiny", "en", "srcA")              // < 10 tokens → s2
+    ).toDF("doc_id", "text", "lang", "source")
+    val evalSet = Seq((100L, "mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    val got = Curation.cleanCorpusV4Stats(docs, evalSet, contamN = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "s1_raw" -> 5L, "s2_quality" -> 4L, "s3_exact_dedup" -> 3L,
+      "s4_near_dedup" -> 2L, "s5_decontam" -> 1L,
+      "s6_spans_total" -> 1L, "s6_spans_kept" -> 1L), got)
+    // v3 on the same fixture: no decontam stage, doc 4 reaches the spans
+    val v3 = Curation.cleanCorpusV3Stats(docs).as[(String, Long)].collect().toMap
+    assert(v3("s4_near_dedup") == 2L && v3("s5_spans_total") == 2L, v3)
   }
 }
