@@ -401,6 +401,10 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    // exact heavy hitters (the Space-Saving sketch's oracle twin —
+    // SketchSpec validates the sketch against this form)
+    "q_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), phi = 0.02)),
     // v4 full recipe: v3's chain + benchmark decontamination (same
     // eval-set convention as q_decontam) between near-dup and span stages
     "q_clean_corpus_v4" -> ((s, d) => {
@@ -946,6 +950,11 @@ object SparkEntry {
         "SELECT tr.doc_id, coalesce(m.nc, 0) AS n_contam, " +
         "CAST(coalesce(m.nc, 0) > 0 AS INT) AS contaminated " +
         "FROM tr LEFT JOIN m USING (doc_id)"),
+    "q_heavy_hitters" ->
+      (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
+        "wc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token), " +
+        "t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc) " +
+        "SELECT token, cnt FROM wc, t WHERE CAST(cnt AS DOUBLE) > total * 0.02"),
     // regexes interpolated from the same Scrub constants the Spark side
     // compiles — the patterns stay in the Java/RE2 agreement subset
     "q_pii_scrub" ->

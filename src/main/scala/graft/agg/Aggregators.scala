@@ -39,4 +39,67 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Space-Saving frequent-items sketch (Metwally et al.; merge rule from
+    * Agarwal et al., "Mergeable Summaries"): at most `k` (item, est, err)
+    * entries of state no matter how many distinct items stream through —
+    * the fixed-memory scale path for heavy hitters, next to HLL
+    * (distincts) and the quantile sketch. Guarantees, preserved under
+    * partial+final merge: every item with true count > N/k is present,
+    * and for present items est − err ≤ true ≤ est. The exact
+    * threshold form ([[graft.ops.TextAnalysis.heavyHitters]], oracled as
+    * q_heavy_hitters) is the small-scale twin this sketch is validated
+    * against in SketchSpec.
+    *
+    * State is a k-entry map: reduce is O(1) amortized (O(k) on eviction),
+    * merge O(k). k is tens-to-thousands — driver- and executor-trivial.
+    */
+  class SpaceSavingAggregator(k: Int)
+      extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    override def reduce(acc: Map[String, (Long, Long)],
+        item: String): Map[String, (Long, Long)] =
+      acc.get(item) match {
+        case Some((c, e)) => acc.updated(item, (c + 1, e))
+        case None if acc.size < k => acc.updated(item, (1L, 0L))
+        case None =>
+          // evict the min-estimate entry (key tiebreak for determinism);
+          // the newcomer inherits its count as the overestimate error
+          val (evicted, (minC, _)) = acc.minBy { case (i, (c, _)) => (c, i) }
+          (acc - evicted).updated(item, (minC + 1, minC))
+      }
+
+    /** An item absent from a FULL sketch has true count ≤ the sketch's
+      * minimum estimate; absent from an under-full sketch, exactly 0.
+      */
+    private def floor(m: Map[String, (Long, Long)]): Long =
+      if (m.size < k) 0L else m.values.iterator.map(_._1).min
+
+    override def merge(a: Map[String, (Long, Long)],
+        b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      val fa = floor(a)
+      val fb = floor(b)
+      val combined = (a.keySet ++ b.keySet).iterator.map { item =>
+        val (ca, ea) = a.getOrElse(item, (fa, fa))
+        val (cb, eb) = b.getOrElse(item, (fb, fb))
+        item -> ((ca + cb, ea + eb))
+      }.toMap
+      if (combined.size <= k) combined
+      else combined.toSeq
+        .sortBy { case (i, (c, _)) => (-c, i) }.take(k).toMap
+    }
+
+    /** Entries sorted by estimate desc (key tiebreak): (item, est, err). */
+    override def finish(acc: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+      acc.toSeq.map { case (i, (c, e)) => (i, c, e) }
+        .sortBy { case (i, c, _) => (-c, i) }
+
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      Encoders.kryo[Map[String, (Long, Long)]]
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      Encoders.kryo[Seq[(String, Long, Long)]]
+  }
 }

@@ -34,6 +34,26 @@ object TextAnalysis {
         sum(col("n_tokens")).as("total_tokens"),
         round(avg(col("n_tokens")), 4).as("avg_tokens"))
 
+  /** Exact heavy hitters: tokens whose corpus frequency exceeds
+    * `phi`·total — the vocabulary-pruning / stopword-discovery primitive.
+    * Two aggregations (per-token counts with map-side partials, then the
+    * one-row total broadcast back over the counts — the hint is on a
+    * single row, never a dictionary), so the only corpus-sized shuffle is
+    * the token count itself. The fixed-memory streaming/sketch twin is
+    * [[graft.agg.Aggregators.SpaceSavingAggregator]] (validated against
+    * this exact form in SketchSpec).
+    */
+  def heavyHitters(docs: DataFrame, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    val counts = docs
+      .select(explode(Core.tokensUni(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("cnt").cast("double") > col("total").cast("double") * phi)
+      .select("token", "cnt")
+  }
+
   /** Per-document quality score: token count, mean token length, stopword
     * ratio, non-alphanumeric (punctuation/whitespace) character ratio.
     * These are the standard cheap quality filters (length / punct /

@@ -12,6 +12,48 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Space-Saving sketch: heavy hitters survive partitioned merges within bounds") {
+    // known multiset: 2 true heavies, a 200-item tail. N = 800 + 300 +
+    // 200*10 = 3100; with k = 10 the guarantee threshold is N/k = 310 —
+    // h1 (800) and h2 (320) MUST be present after any merge order.
+    val tokens = Seq.fill(800)("h1") ++ Seq.fill(320)("h2") ++
+      (1 to 200).flatMap(i => Seq.fill(10)(s"t$i"))
+    val trueCounts = tokens.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val ds = scala.util.Random.shuffle(tokens).toDS().repartition(8) // force merge path
+    val agg = new graft.agg.Aggregators.SpaceSavingAggregator(10)
+    val sketch = ds.select(agg.toColumn).head()
+    assert(sketch.size <= 10)
+    val byItem = sketch.map { case (i, c, e) => i -> ((c, e)) }.toMap
+    for (h <- Seq("h1", "h2")) {
+      assert(byItem.contains(h), s"$h missing: $sketch")
+      val (est, err) = byItem(h)
+      val truth = trueCounts(h)
+      assert(est >= truth && est - err <= truth,
+        s"$h est=$est err=$err true=$truth")
+    }
+    // every estimate over-approximates its true count (SS invariant)
+    for ((i, c, e) <- sketch)
+      assert(c >= trueCounts.getOrElse(i, 0L) && c - e <= trueCounts.getOrElse(i, 0L))
+  }
+
+  test("Space-Saving contains every exact phi-heavy hitter (twin validation)") {
+    // zipf-ish corpus; exact twin = TextAnalysis.heavyHitters's semantics
+    // computed in plain Scala on the same multiset
+    val tokens = (1 to 60).flatMap(r => Seq.fill(1200 / r)(s"w$r"))
+    val n = tokens.size.toLong
+    val phi = 0.02
+    val exactHeavy = tokens.groupBy(identity).collect {
+      case (t, v) if v.size > n * phi => t
+    }.toSet
+    assert(exactHeavy.nonEmpty)
+    val k = 60 // 1/k < phi ⇒ the sketch must retain every phi-heavy item
+    val sketch = scala.util.Random.shuffle(tokens).toDS().repartition(8)
+      .select(new graft.agg.Aggregators.SpaceSavingAggregator(k).toColumn)
+      .head()
+    val kept = sketch.map(_._1).toSet
+    assert(exactHeavy.subsetOf(kept), s"missing: ${exactHeavy -- kept}")
+  }
+
   test("HLL approx_count_distinct within 5% of exact at 10k distinct keys") {
     // 10k distinct users, skew-free; default rsd = 0.05
     val df = spark.range(100000).select((col("id") % 10000).as("user"))
