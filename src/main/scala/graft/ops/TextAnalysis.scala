@@ -48,7 +48,15 @@ object TextAnalysis {
     val counts = docs
       .select(explode(Core.tokensUni(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
+    // the total comes from a per-document size() sum — a scan-stage
+    // aggregate with NO token shuffle — not from summing `counts`:
+    // referencing the counts subtree twice re-ran the whole explode +
+    // token-key Exchange on both crossJoin sides (no ReusedExchange
+    // across the aggregate; observed in the executed plan). Tokenizing
+    // the scan twice is the cheap side of that trade.
+    val total = docs
+      .select(size(Core.tokensUni(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .where(col("cnt").cast("double") > col("total").cast("double") * phi)
       .select("token", "cnt")
