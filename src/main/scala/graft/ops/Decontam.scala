@@ -69,6 +69,28 @@ object Decontam {
         (coalesce(col("n_contam"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Per-row contamination predicate against a FIXED eval gram list — the
+    * streaming form. The batch anti-join is self-referential (the
+    * contaminated-id set derives from the same frame), which append-mode
+    * streams can't express; a per-row `arrays_overlap` against the gram
+    * list can run on any stream (or batch frame) as a stateless
+    * scan-stage expression. The caller collects the grams once from the
+    * benchmark table (`evalGrams(...).as[String].collect()` — bounded by
+    * the same argument that justifies the broadcast); Spark ships the
+    * literal array with the plan exactly like a broadcast value.
+    */
+  def contaminatedFlag(textCol: Column, grams: Seq[String], n: Int): Column =
+    arrays_overlap(
+      graft.functions.ArrayKernels.token_ngrams(
+        Core.tokensUni(textCol), n, distinct = true),
+      lit(grams.toArray))
+
+  /** Eval-side gram list for [[contaminatedFlag]], driver-collected. */
+  def collectEvalGrams(evalSet: DataFrame, textCol: String, n: Int): Seq[String] = {
+    import evalSet.sparkSession.implicits._
+    evalGrams(evalSet, textCol, n).as[String].collect().toSeq
+  }
+
   /** The filtering form: training rows with NO n-gram overlap with the eval
     * set, all columns preserved. Contaminated ids are collected as an
     * id-only anti-join side (matched grams only — tiny), never the text.

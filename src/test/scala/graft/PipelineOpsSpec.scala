@@ -184,4 +184,44 @@ class PipelineOpsSpec extends SparkSpec {
     val v3 = Curation.cleanCorpusV3Stats(docs).as[(String, Long)].collect().toMap
     assert(v3("s4_near_dedup") == 2L && v3("s5_spans_total") == 2L, v3)
   }
+
+  test("PII scrub and the contamination flag run unchanged on a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val grams = Decontam.collectEvalGrams(evalSet, "text", 3)
+    assert(grams.sorted == Seq("brown fox jumps", "quick brown fox", "the quick brown"))
+
+    val rows = Seq(
+      (1L, "we saw the quick brown fox cross a@b.co today"), // contaminated + email
+      (2L, "server 10.0.0.1 says hello world"),              // clean + ip
+      (3L, "nothing special at all here"))                   // clean
+    val in = MemoryStream[(Long, String)](90, spark, None)
+    val docs = in.toDS().toDF("doc_id", "text")
+    val scrubQ = Scrub.scrubPii(docs).writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    val flagQ = docs.select(col("doc_id"),
+        Decontam.contaminatedFlag(col("text"), grams, 3).cast("int").as("contaminated"))
+      .writeStream.format("memory").queryName("flag_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2): _*); scrubQ.processAllAvailable(); flagQ.processAllAvailable()
+      in.addData(rows.drop(2): _*); scrubQ.processAllAvailable(); flagQ.processAllAvailable()
+
+      // streamed result == the batch operator on the same rows, bit for bit
+      val batchScrub = Scrub.scrubPii(rows.toDF("doc_id", "text"))
+        .as[(Long, String, Int, Int, Int)].collect().toSet
+      val gotScrub = spark.table("pii_stream")
+        .as[(Long, String, Int, Int, Int)].collect().toSet
+      assert(gotScrub == batchScrub, gotScrub)
+      assert(gotScrub.find(_._1 == 1L).get._2.endsWith("<EMAIL> today"))
+
+      val gotFlag = spark.table("flag_stream").as[(Long, Int)].collect().toMap
+      assert(gotFlag == Map(1L -> 1, 2L -> 0, 3L -> 0), gotFlag)
+      // ...and the flag agrees with the batch anti-join survivors
+      val batchSurvivors = Decontam.decontaminate(
+        rows.toDF("doc_id", "text"), evalSet, "doc_id", "text", 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchSurvivors == gotFlag.collect { case (id, 0) => id }.toSet)
+    } finally { scrubQ.stop(); flagQ.stop() }
+  }
 }
