@@ -192,6 +192,8 @@ object SparkEntry {
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "q_quality_model" -> ((s, d) =>
+      TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     // DEFLATE is not available in DuckDB SQL → rows-only; accuracy asserted
     // against known-compressibility fixtures in TextAnalysisSpec
@@ -851,6 +853,23 @@ object SparkEntry {
         "greatest(len(toks), 1), 4) AS stopword_ratio, " +
         "round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) / " +
         "greatest(length(text), 1), 4) AS non_alnum_ratio FROM t"),
+    // weights interpolated from the same QUALITY_W constant the Spark
+    // side compiles; round(4) absorbs libm exp/ln ulp differences
+    "q_quality_model" -> {
+      val (bias, wLog, wAvg, wStop, wNon, keepT) = ops.TextAnalysis.QUALITY_W
+      s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "f AS (SELECT doc_id, len(toks) AS n, " +
+        "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1) AS avg_len, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1) AS stop_r, " +
+        s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+        "greatest(length(text), 1) AS non_al FROM t), " +
+        s"z AS (SELECT doc_id, ($bias) + ($wLog) * ln(1 + n) + ($wAvg) * avg_len + " +
+        s"($wStop) * stop_r + ($wNon) * non_al AS z FROM f) " +
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score, " +
+        s"CAST(1.0 / (1.0 + exp(-z)) >= $keepT AS INT) AS keep FROM z"
+    },
     "q_repetition" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "r AS (SELECT doc_id, toks, " +

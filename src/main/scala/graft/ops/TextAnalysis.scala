@@ -84,6 +84,44 @@ object TextAnalysis {
         greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
   }
 
+  /** Default weights for [[qualityClassifierScore]] — stand-ins for an
+    * offline-trained model, `private[graft]` so the DuckDB oracle SQL
+    * interpolates the SAME constants (the LANG_PROFILES pattern).
+    * (bias, w·ln(1+tokens), w·avgTokenLen, w·stopwordRatio,
+    * w·nonAlnumRatio, keep threshold).
+    */
+  private[graft] val QUALITY_W: (Double, Double, Double, Double, Double, Double) =
+    (-3.0, 0.6, 0.3, -2.0, -4.0, 0.3)
+
+  /** Model-based quality scoring — the fastText-classifier-shaped pass
+    * (DCLM / FineWeb-Edu style) reduced to its deployment form: a fixed
+    * linear model over cheap text features with a sigmoid score and a
+    * keep decision. Training happens offline; at 100 TB what runs is
+    * exactly this — one scan-stage expression per document, the model
+    * riding the plan as constants, zero shuffle, corpus never moving.
+    * Features are the [[qualityScores]] metrics (unrounded) plus
+    * ln(1+tokens) for scale-free length.
+    */
+  def qualityClassifierScore(docs: DataFrame, stopwords: Seq[String] =
+      Seq("the", "a", "of", "and", "to", "in", "is", "on")): DataFrame = {
+    val (bias, wLog, wAvg, wStop, wNon, keepT) = QUALITY_W
+    val t = toks(col("text"))
+    val n = greatest(size(t), lit(1))
+    val stops = array(stopwords.map(lit): _*)
+    val avgLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n
+    val stopR = size(filter(t, x => array_contains(stops, x))).cast("double") / n
+    val nonAl = (length(col("text")) -
+      length(regexp_replace(lower(col("text")), NON_ALNUM_RE, ""))).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val z = lit(bias) + lit(wLog) * log1p(size(t).cast("double")) +
+      lit(wAvg) * avgLen + lit(wStop) * stopR + lit(wNon) * nonAl
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    docs.select(col("doc_id"),
+      round(score, 4).as("quality_score"),
+      (score >= keepT).cast("int").as("keep"))
+  }
+
   /** Language-ID: character-n-gram profiles (Cavnar–Trenkle family) for 11
     * languages across 5 scripts, scored by profile-gram occurrence counts
     * and resolved by deterministic argmax. Char n-grams — not marker words —

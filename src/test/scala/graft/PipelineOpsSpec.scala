@@ -103,6 +103,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Seq(2L), kept)
   }
 
+  test("quality classifier matches the closed-form logistic score") {
+    import graft.ops.TextAnalysis
+    val text = "The cat sat on the mat today again and again"
+    val docs = Seq((1L, text), (2L, "x!!!")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifierScore(docs)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    // plain-Scala model on doc 1: 10 tokens, 35 letter chars, stopwords
+    // {the, on, the, and} = 4, non-alnum = 9 spaces of 44 chars
+    val (bias, wLog, wAvg, wStop, wNon, keepT) = TextAnalysis.QUALITY_W
+    val z = bias + wLog * math.log1p(10) + wAvg * (35.0 / 10) +
+      wStop * (4.0 / 10) + wNon * (9.0 / 44)
+    val score = 1.0 / (1.0 + math.exp(-z))
+    val rounded = BigDecimal(score)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == rounded, s"${got(1L)} vs $score")
+    assert(got(1L)._3 == (if (score >= keepT) 1 else 0))
+    // a punctuation-heavy near-empty doc must score lower and be dropped
+    assert(got(2L)._2 < got(1L)._2 && got(2L)._3 == 0, got(2L))
+  }
+
   /** Plain-Scala twin of Sampling.hashKey (salt ""). */
   private def hk(id: Long): String =
     "0" + java.security.MessageDigest.getInstance("MD5")
