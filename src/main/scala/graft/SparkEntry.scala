@@ -406,7 +406,7 @@ object SparkEntry {
     // exact heavy hitters (the Space-Saving sketch's oracle twin —
     // SketchSpec validates the sketch against this form)
     "q_heavy_hitters" -> ((s, d) =>
-      TextAnalysis.heavyHitters(Tables.documents(s, d), phi = 0.02)),
+      TextAnalysis.heavyHitters(Tables.documents(s, d), HH_PHI)),
     // v4 full recipe: v3's chain + benchmark decontamination (same
     // eval-set convention as q_decontam) between near-dup and span stages
     "q_clean_corpus_v4" -> ((s, d) => {
@@ -416,15 +416,24 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         contamN = 3)
     }),
-    // domain mixing to per-source token budgets: prefilter rate 0.6 keeps
+    // domain mixing to per-source token budgets: the prefilter rate keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
     // token budgets, so the exact-trim window runs over a budget-sized set
     // (the 100 TB contract) while still exercising the budget boundary
     "q_domain_mix" -> ((s, d) =>
       Sampling.tokenBudgetMix(Tables.documents(s, d), "source", "doc_id",
-        budgets = Map("src0" -> 500L, "src1" -> 100L), defaultBudget = 300L,
-        prefilterRates = Map.empty, defaultPrefilterRate = 0.6)),
+        budgets = MIX_BUDGETS, defaultBudget = MIX_DEFAULT_BUDGET,
+        prefilterRates = Map.empty, defaultPrefilterRate = MIX_RATE)),
   )
+
+  /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
+    * oracle SQL below interpolates exactly what the Spark entries run
+    * (the QUALITY_W / LANG_PROFILES convention).
+    */
+  private val MIX_BUDGETS = Map("src0" -> 500L, "src1" -> 100L)
+  private val MIX_DEFAULT_BUDGET = 300L
+  private val MIX_RATE = 0.6
+  private val HH_PHI = 0.02
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
     * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
@@ -973,7 +982,7 @@ object SparkEntry {
       (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
         "wc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token), " +
         "t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc) " +
-        "SELECT token, cnt FROM wc, t WHERE CAST(cnt AS DOUBLE) > total * 0.02"),
+        s"SELECT token, cnt FROM wc, t WHERE CAST(cnt AS DOUBLE) > total * $HH_PHI"),
     // regexes interpolated from the same Scrub constants the Spark side
     // compiles — the patterns stay in the Java/RE2 agreement subset
     "q_pii_scrub" ->
@@ -993,14 +1002,17 @@ object SparkEntry {
     // Spark query; explicit ROWS frame on both sides
     "q_domain_mix" ->
       (s"WITH f AS (SELECT doc_id, source, text FROM documents " +
-        s"WHERE $HASHKEY < '${ops.Sampling.hexThreshold(0.6)}'), " +
+        s"WHERE $HASHKEY < '${ops.Sampling.hexThreshold(MIX_RATE)}'), " +
         s"t AS (SELECT doc_id, source, len($TOKS) AS n, $HASHKEY AS hk FROM f), " +
         "c AS (SELECT doc_id, source, n, CAST(sum(n) OVER (PARTITION BY source " +
         "ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS BIGINT) AS cum FROM t) " +
         "SELECT source, doc_id, CAST(n AS INT) AS n_tokens, cum AS cum_tokens " +
-        "FROM c WHERE cum <= CASE WHEN source = 'src0' THEN 500 " +
-        "WHEN source = 'src1' THEN 100 ELSE 300 END"),
+        "FROM c WHERE cum <= CASE " +
+        MIX_BUDGETS.map { case (src, b) =>
+          s"WHEN source = '$src' THEN $b "
+        }.mkString +
+        s"ELSE $MIX_DEFAULT_BUDGET END"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

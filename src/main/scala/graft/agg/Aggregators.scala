@@ -51,8 +51,14 @@ object Aggregators {
     * q_heavy_hitters) is the small-scale twin this sketch is validated
     * against in SketchSpec.
     *
-    * State is a k-entry map: reduce is O(1) amortized (O(k) on eviction),
-    * merge O(k). k is tens-to-thousands — driver- and executor-trivial.
+    * State is a k-entry map: reduce is O(1) for tracked items, but every
+    * UNSEEN item once the map is full pays an O(k) min-scan eviction — on
+    * a heavy-tailed stream that is most items past the head, so worst
+    * case is O(N·k) long-comparisons. At the k this library targets
+    * (tens-to-thousands) that is executor-trivial next to tokenization;
+    * a corpus needing k in the millions wants the Stream-Summary
+    * bucket-list structure instead (O(1) eviction) — documented here so
+    * nobody scales k by 1000× on this implementation unawares.
     */
   class SpaceSavingAggregator(k: Int)
       extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {

@@ -529,12 +529,21 @@ object ArrayKernels {
       val toks = in.asInstanceOf[ArrayData]
       val cnt = math.max(toks.numElements() - n + 1, 0)
       val buf = new Array[UTF8String](n)
+      // null tokens read as EMPTY (never produced by tokensUni, but the
+      // input type admits containsNull=true): pinned here AND in codegen —
+      // concatWs SKIPS nulls while UnsafeArrayData's zeroed null slot
+      // reads as "", so leaving nulls unnormalized would make the two
+      // paths return different grams for the same row
+      def tok(i: Int): UTF8String = {
+        val s = toks.getUTF8String(i)
+        if (s == null) UTF8String.EMPTY_UTF8 else s
+      }
       if (distinct) {
         val seen = new java.util.LinkedHashSet[UTF8String]()
         var j = 0
         while (j < cnt) {
           var t = 0
-          while (t < n) { buf(t) = toks.getUTF8String(j + t); t += 1 }
+          while (t < n) { buf(t) = tok(j + t); t += 1 }
           seen.add(UTF8String.concatWs(SEP, buf: _*))
           j += 1
         }
@@ -544,7 +553,7 @@ object ArrayKernels {
         var j = 0
         while (j < cnt) {
           var t = 0
-          while (t < n) { buf(t) = toks.getUTF8String(j + t); t += 1 }
+          while (t < n) { buf(t) = tok(j + t); t += 1 }
           out(j) = UTF8String.concatWs(SEP, buf: _*)
           j += 1
         }
@@ -564,7 +573,8 @@ object ArrayKernels {
         val fill =
           s"""
              |for (int $t = 0; $t < $n; $t++) {
-             |  $buf[$t] = $in.getUTF8String($j + $t);
+             |  $buf[$t] = $in.isNullAt($j + $t)
+             |    ? $u8.EMPTY_UTF8 : $in.getUTF8String($j + $t);
              |}
            """.stripMargin
         val body = if (distinct) {

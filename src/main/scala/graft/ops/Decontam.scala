@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Token n-grams of a token-array column as space-joined strings; empty
-    * array when the document has fewer than `n` tokens. A codegen kernel
+  /** Token n-grams of a token-array column as space-joined strings
+    * (optionally deduped per document); empty array when the document has
+    * fewer than `n` tokens. A codegen kernel
     * ([[graft.functions.ArrayKernels.TokenNgrams]]): the composed HOF form
     * (`transform(sequence, i -> array_join(slice))`) evaluates interpreted
     * and re-slices the array per gram — measured 4.4 s of the original
     * 6.2 s q_decontam bench time before the kernel.
     */
-  def ngrams(toks: Column, n: Int): Column =
-    graft.functions.ArrayKernels.token_ngrams(toks, n)
+  def ngrams(toks: Column, n: Int, distinct: Boolean = false): Column =
+    graft.functions.ArrayKernels.token_ngrams(toks, n, distinct)
 
   /** Distinct n-grams of the eval set — the broadcast side. Distinct
     * before the broadcast so repeated benchmark phrasing doesn't inflate
@@ -40,6 +41,22 @@ object Decontam {
       .select(explode(ngrams(Core.tokensUni(col(textCol)), n)).as("g"))
       .distinct()
 
+  /** The shared match core: (idCol, g) rows of `train` whose gram hits the
+    * eval set — distinct grams per document (INSIDE the kernel, before
+    * exploding, so (id, gram) is unique and downstream aggregates are
+    * plain counts/distincts, never count_distinct over per-key hash sets;
+    * the dense tiny-vocab bench corpus made the count_distinct form
+    * pathological), inner-joined against the broadcast eval grams. Both
+    * public operators derive from this one definition so their verdicts
+    * cannot drift.
+    */
+  private def matchedGrams(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    train
+      .select(col(idCol),
+        explode(ngrams(Core.tokensUni(col(textCol)), n, distinct = true)).as("g"))
+      .join(broadcast(evalGrams(evalSet, textCol, n)), "g")
+
   /** Per-training-document contamination counts: for every row of `train`,
     * the number of DISTINCT token n-grams it shares with `evalSet`, plus an
     * int 0/1 flag. Returns one row per training document (zero-overlap
@@ -47,18 +64,7 @@ object Decontam {
     */
   def contaminationCounts(train: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    // distinct INSIDE the kernel, before exploding: (id, gram) is then
-    // unique, so the post-join aggregate is a plain count, not a
-    // count_distinct — the distinct work happens narrowly per document in
-    // the scan stage instead of as per-key distinct sets in the
-    // aggregation hash map (the dense tiny-vocab bench corpus made the
-    // count_distinct form pathological).
-    val trainGrams = train.select(
-      col(idCol),
-      explode(graft.functions.ArrayKernels.token_ngrams(
-        Core.tokensUni(col(textCol)), n, distinct = true)).as("g"))
-    val matched = trainGrams
-      .join(broadcast(evalGrams(evalSet, textCol, n)), "g")
+    val matched = matchedGrams(train, evalSet, idCol, textCol, n)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_contam"))
     train.select(col(idCol))
@@ -81,8 +87,7 @@ object Decontam {
     */
   def contaminatedFlag(textCol: Column, grams: Seq[String], n: Int): Column =
     arrays_overlap(
-      graft.functions.ArrayKernels.token_ngrams(
-        Core.tokensUni(textCol), n, distinct = true),
+      ngrams(Core.tokensUni(textCol), n, distinct = true),
       lit(grams.toArray))
 
   /** Eval-side gram list for [[contaminatedFlag]], driver-collected. */
@@ -97,11 +102,7 @@ object Decontam {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val contaminatedIds = train
-      .select(col(idCol),
-        explode(graft.functions.ArrayKernels.token_ngrams(
-          Core.tokensUni(col(textCol)), n, distinct = true)).as("g"))
-      .join(broadcast(evalGrams(evalSet, textCol, n)), "g")
+    val contaminatedIds = matchedGrams(train, evalSet, idCol, textCol, n)
       .select(col(idCol))
       .distinct()
     train.join(contaminatedIds, Seq(idCol), "left_anti")

@@ -54,13 +54,23 @@ object Scrub {
   }
 
   /** The filtering form: drop documents whose PII density is above
-    * `maxPerKChars` redactions per 1000 characters (a document that is
-    * mostly contact records is usually a directory page, not prose worth
-    * training on); scrub the survivors.
+    * `maxPerKChars` redactions per 1000 characters OF THE ORIGINAL text (a
+    * document that is mostly contact records is usually a directory page,
+    * not prose worth training on); scrub the survivors. Density is
+    * measured before redaction — measuring against the scrubbed length
+    * would make the threshold depend on how much shorter `<EMAIL>` is
+    * than the emails it replaced.
     */
   def scrubAndFilter(docs: DataFrame, maxPerKChars: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    scrubPii(docs, idCol, textCol)
-      .where((col("n_email") + col("n_ip") + col("n_phone")).cast("double") * 1000.0
-        / greatest(length(col(textCol)), lit(1)) <= maxPerKChars)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    val t2 = regexp_replace(t1, IPV4_RE, "<IP>")
+    val nPii = regexp_count(t0, lit(EMAIL_RE)) +
+      regexp_count(t1, lit(IPV4_RE)) + regexp_count(t2, lit(PHONE_RE))
+    scrubPii(
+      docs.where(nPii.cast("double") * 1000.0 /
+        greatest(length(t0), lit(1)) <= maxPerKChars),
+      idCol, textCol)
+  }
 }
