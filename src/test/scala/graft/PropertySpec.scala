@@ -87,6 +87,16 @@ class PropertySpec extends SparkSpec {
       Literal.create(Seq("x"), ArrayType(StringType)), 2, false).eval()
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .numElements() == 0)
+    // null array elements read as "" on BOTH paths (concatWs would skip
+    // them interpreted; a zeroed UnsafeArrayData slot reads "" codegen'd)
+    val withNull = Literal.create(Seq("a", null, "b"), ArrayType(StringType))
+    assert(graft.functions.ArrayKernels.TokenNgrams(withNull, 2, false).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(StringType).map(String.valueOf).toSeq == Seq("a ", " b"))
+    val dfNull = Seq((1L, Seq("a", null, "b"))).toDF("id", "toks")
+    assert(dfNull.select(
+      graft.functions.ArrayKernels.token_ngrams(col("toks"), 2).as("g"))
+      .as[Seq[String]].head() == Seq("a ", " b")) // codegen path agrees
   }
 
   test("tumbling windows conserve the event count") {
