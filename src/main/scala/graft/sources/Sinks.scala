@@ -44,4 +44,29 @@ object Sinks {
   /** Streaming memory sink for tests (`executeAndCollect` streaming twin). */
   def memorySink(df: DataFrame, name: String): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name)
+
+  /** Range-clustered parquet write — the layout-management half of a
+    * 100 TB pipeline. `repartitionByRange` gives every output file a
+    * DISJOINT value range on the cluster keys and `sortWithinPartitions`
+    * orders rows inside each file, so parquet min/max statistics let any
+    * downstream range or point predicate skip whole files and row groups
+    * instead of scanning the corpus (beyond what predicate pushdown alone
+    * buys on a randomly-laid-out table). Range boundaries come from a
+    * reservoir sample of the keys (Spark's range partitioner), so skew
+    * surfaces as uneven file sizes, not failures. The sort also
+    * maximizes parquet RLE/dictionary efficiency on the cluster keys —
+    * clustered tables are usually smaller, not just faster to probe.
+    * One shuffle, executed once at write time, amortized over every
+    * future scan: the write-side complement of [[graft.ops.IndexTables]]
+    * (which buys hash-bucketed JOIN locality; this buys range-scan
+    * pruning).
+    */
+  def writeRangeClustered(df: DataFrame, path: String, nFiles: Int,
+      clusterCols: Seq[String]): Unit = {
+    require(clusterCols.nonEmpty, "at least one cluster column required")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

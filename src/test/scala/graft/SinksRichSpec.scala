@@ -145,4 +145,35 @@ class SinksRichSpec extends SparkSpec {
     assert(seen.map(_._2).distinct.sorted.toSeq == Seq(0, 1))
     assert(seen.map(_._3).sorted.toSeq == (1 to 4))
   }
+
+  test("writeRangeClustered: per-file key ranges are disjoint and sorted") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("clustered")
+    // adversarial input layout: keys round-robined across partitions so a
+    // naive write would give every file the full [0, 4000) range
+    val df = spark.range(4000).select(
+      (col("id") * 2654435761L % 4000).as("k"), col("id").as("v"))
+      .repartition(8)
+    Sinks.writeRangeClustered(df, dir, nFiles = 4, clusterCols = Seq("k"))
+    val files = spark.read.parquet(dir).inputFiles.toSeq
+    assert(files.size == 4, files)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k"), count(lit(1)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    assert(ranges.map(_._3).sum == 4000L) // nothing lost
+    // disjoint: every file's max < the next file's min ⇒ a range predicate
+    // touches only the files whose [min, max] straddles it
+    ranges.sliding(2).foreach {
+      case Seq((_, max1, _), (min2, _, _)) => assert(max1 < min2, ranges)
+      case _ => ()
+    }
+    // rows inside each file are sorted on the cluster key (row-group
+    // min/max stats are then tight, not whole-file-wide)
+    for (f <- files) {
+      val ks = spark.read.parquet(f).select("k").as[Long].collect().toSeq
+      assert(ks == ks.sorted, f)
+    }
+  }
 }
