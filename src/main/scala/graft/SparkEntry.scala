@@ -194,6 +194,18 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_quality_model" -> ((s, d) =>
       TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
+    // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
+    // identity), so every 13th doc gets a decomposed-accent + double-space
+    // suffix injected IN the query (chr() codepoints in the oracle SQL) —
+    // the composition path is then hash-validated, not just spec'd
+    "q_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" café Åbc  end")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.normalizeText(injected)
+    }),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     // DEFLATE is not available in DuckDB SQL → rows-only; accuracy asserted
     // against known-compressibility fixtures in TextAnalysisSpec
@@ -862,6 +874,18 @@ object SparkEntry {
         "greatest(len(toks), 1), 4) AS stopword_ratio, " +
         "round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) / " +
         "greatest(length(text), 1), 4) AS non_alnum_ratio FROM t"),
+    // fixture injected via chr() codepoints (769 = U+0301 combining
+    // acute, 778 = U+030A combining ring) so the SQL carries no raw
+    // combining bytes; DuckDB's nfc_normalize (utf8proc) and Java's
+    // Normalizer implement the same Unicode NFC
+    "q_normalize" ->
+      ("WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || " +
+        "' cafe' || chr(769) || ' A' || chr(778) || 'bc  end' " +
+        "ELSE text END AS t0 FROM documents), " +
+        "n AS (SELECT doc_id, t0, trim(regexp_replace(nfc_normalize(t0), " +
+        "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS t1 FROM inj) " +
+        "SELECT doc_id, t1 AS text, CAST(length(t0) AS INT) AS orig_len, " +
+        "CAST(length(t1) AS INT) AS norm_len FROM n"),
     // weights interpolated from the same QUALITY_W constant the Spark
     // side compiles; round(4) absorbs libm exp/ln ulp differences
     "q_quality_model" -> {

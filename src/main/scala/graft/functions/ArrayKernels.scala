@@ -609,6 +609,41 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** Static helper for [[NfcNormalize]]: Unicode NFC via
+    * `java.text.Normalizer` (the same normalization DuckDB's
+    * `nfc_normalize`/utf8proc implements — the oracle mirrors it
+    * directly). Fast path: NFC is the identity on pure-ASCII text, and a
+    * web corpus is majority ASCII — `numBytes == numChars` detects it
+    * without materializing a java.lang.String.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s.numBytes == s.numChars) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** `nfc_normalize(text)` — Unicode NFC composition. The canonicalization
+    * pass that must run BEFORE fingerprinting on real crawl data: "café"
+    * composed and decomposed are different byte strings (different md5,
+    * different shingles) for identical rendered text, so un-normalized
+    * corpora under-deduplicate.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize requires STRING, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      nfcNormalize(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.ArrayKernels.nfcNormalize($in);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -644,4 +679,7 @@ object ArrayKernels {
   def token_ngrams(toks: Column, n: Int, distinct: Boolean = false): Column =
     GraftSqlBridge.column(TokenNgrams(
       GraftSqlBridge.expression(toks), n, distinct))
+
+  def nfc_normalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 }

@@ -84,6 +84,26 @@ object TextAnalysis {
         greatest(length(col("text")), lit(1)), 4).as("non_alnum_ratio"))
   }
 
+  /** Text canonicalization — Unicode NFC composition + whitespace-run
+    * collapse + trim: the pass that must run BEFORE fingerprinting/
+    * shingling on real crawl data ("café" composed vs decomposed are
+    * different byte strings — different md5, different MinHash — for
+    * identical rendered text, so un-normalized corpora silently
+    * under-deduplicate). Pure scan-stage expressions (the NFC kernel has
+    * an ASCII fast path; the whitespace class is spelled explicitly
+    * because Java's `\s` includes U+000B and RE2's does not). Returns the
+    * id, the canonical text, and before/after char counts.
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      graft.functions.ArrayKernels.nfc_normalize(col(textCol)),
+      "[ \\t\\n\\r\\f]+", " "))
+    docs.select(col(idCol), norm.as(textCol),
+      length(col(textCol)).cast("int").as("orig_len"),
+      length(norm).cast("int").as("norm_len"))
+  }
+
   /** Default weights for [[qualityClassifierScore]] — stand-ins for an
     * offline-trained model, `private[graft]` so the DuckDB oracle SQL
     * interpolates the SAME constants (the LANG_PROFILES pattern).

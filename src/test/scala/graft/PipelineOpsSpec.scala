@@ -103,6 +103,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Seq(2L), kept)
   }
 
+  test("normalizeText composes NFC and collapses whitespace") {
+    import graft.ops.TextAnalysis
+    val decomposedCafe = "café"   // e + combining acute
+    val composedCafe = "café"      // precomposed é
+    val docs = Seq(
+      (1L, s"a  $decomposedCafe\tb "),  // decomposed + tab + trailing space
+      (2L, s"a $composedCafe b"),       // already canonical
+      (3L, "plain ascii text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(docs)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // both spellings canonicalize to the SAME string — the property that
+    // makes fingerprint-dedup see them as duplicates
+    assert(got(1L)._2 == s"a $composedCafe b")
+    assert(got(1L)._2 == got(2L)._2)
+    assert(got(1L)._3 == 11 && got(1L)._4 == 8) // 5-char cafe -> 4-char café
+    assert(got(3L) == ((3L, "plain ascii text", 16, 16))) // ASCII fast path
+    // fingerprints agree after normalization, differ before
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("raw"))
+      .join(TextAnalysis.normalizeText(docs).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("norm")), "doc_id")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(fps(1L)._2 != fps(2L)._2) // un-normalized: spuriously distinct
+    assert(fps(1L)._3 == fps(2L)._3) // normalized: duplicates found
+  }
+
   test("quality classifier matches the closed-form logistic score") {
     import graft.ops.TextAnalysis
     val text = "The cat sat on the mat today again and again"
