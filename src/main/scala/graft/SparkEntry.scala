@@ -202,7 +202,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val injected = docs.select(col("doc_id"),
         when(col("doc_id") % 13 === 0,
-          concat(col("text"), lit(" café Åbc  end")))
+          concat(col("text"), lit(" cafe\u0301 A\u030Abc  end")))
           .otherwise(col("text")).as("text"))
       TextAnalysis.normalizeText(injected)
     }),
@@ -883,7 +883,7 @@ object SparkEntry {
         "' cafe' || chr(769) || ' A' || chr(778) || 'bc  end' " +
         "ELSE text END AS t0 FROM documents), " +
         "n AS (SELECT doc_id, t0, trim(regexp_replace(nfc_normalize(t0), " +
-        "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS t1 FROM inj) " +
+        s"'${ops.TextAnalysis.WS_RUN_RE}', ' ', 'g')) AS t1 FROM inj) " +
         "SELECT doc_id, t1 AS text, CAST(length(t0) AS INT) AS orig_len, " +
         "CAST(length(t1) AS INT) AS norm_len FROM n"),
     // weights interpolated from the same QUALITY_W constant the Spark

@@ -618,8 +618,15 @@ object ArrayKernels {
     */
   def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
     if (s.numBytes == s.numChars) s
-    else org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+    else {
+      // non-ASCII web text is overwhelmingly ALREADY composed — check
+      // before normalizing so the common case pays one quick-check scan,
+      // not a rebuild + UTF-8 re-encode of an identical string
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
 
   /** `nfc_normalize(text)` — Unicode NFC composition. The canonicalization
     * pass that must run BEFORE fingerprinting on real crawl data: "café"

@@ -94,11 +94,18 @@ object TextAnalysis {
     * because Java's `\s` includes U+000B and RE2's does not). Returns the
     * id, the canonical text, and before/after char counts.
     */
+  /** Whitespace-run class shared with the q_normalize oracle SQL (the
+    * NON_ALNUM_RE convention): spelled explicitly because Java's `\s`
+    * includes U+000B and RE2's does not — editing this in one place
+    * cannot desync engine and oracle.
+    */
+  private[graft] val WS_RUN_RE = "[ \\t\\n\\r\\f]+"
+
   def normalizeText(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val norm = trim(regexp_replace(
       graft.functions.ArrayKernels.nfc_normalize(col(textCol)),
-      "[ \\t\\n\\r\\f]+", " "))
+      WS_RUN_RE, " "))
     docs.select(col(idCol), norm.as(textCol),
       length(col(textCol)).cast("int").as("orig_len"),
       length(norm).cast("int").as("norm_len"))

@@ -105,8 +105,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("normalizeText composes NFC and collapses whitespace") {
     import graft.ops.TextAnalysis
-    val decomposedCafe = "café"   // e + combining acute
-    val composedCafe = "café"      // precomposed é
+    val decomposedCafe = "cafe\u0301"   // e + combining acute
+    val composedCafe = "caf\u00e9"      // precomposed é
     val docs = Seq(
       (1L, s"a  $decomposedCafe\tb "),  // decomposed + tab + trailing space
       (2L, s"a $composedCafe b"),       // already canonical
