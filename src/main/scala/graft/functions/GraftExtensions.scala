@@ -43,6 +43,30 @@ object GraftExtensions {
         case Seq(e) => DeflateRatio(e)
         case other => throw new IllegalArgumentException(
           s"deflate_ratio(text) takes exactly 1 argument, got ${other.length}")
+      }),
+    ("token_ngrams",
+      info("token_ngrams",
+        "token_ngrams(toks, n[, distinct]) - space-joined token n-grams of ARRAY<STRING>"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, _) => i
+          case Literal(l: Long, _) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"token_ngrams: $what must be an integer literal, got $other")
+        }
+        exprs match {
+          case Seq(toks, n) => TokenNgrams(toks, intLit(n, "n"), distinct = false)
+          case Seq(toks, n, Literal(d: Boolean, _)) => TokenNgrams(toks, intLit(n, "n"), d)
+          case other => throw new IllegalArgumentException(
+            s"token_ngrams(toks, n[, distinct]) takes 2-3 arguments, got ${other.length}")
+        }
+      }),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC composition of STRING"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(e) => NfcNormalize(e)
+        case other => throw new IllegalArgumentException(
+          s"nfc_normalize(text) takes exactly 1 argument, got ${other.length}")
       }))
 
   /** Register into a live session. */

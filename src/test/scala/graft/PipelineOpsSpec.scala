@@ -130,6 +130,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(1L)._3 == fps(2L)._3) // normalized: duplicates found
   }
 
+  test("token_ngrams and nfc_normalize are registered as SQL functions") {
+    graft.functions.GraftExtensions.install(spark)
+    // decomposed e + U+0301 in the view; nfc_normalize must compose it
+    Seq((1L, "a  cafe\u0301 b")).toDF("doc_id", "text")
+      .createOrReplaceTempView("norm_docs")
+    val got = spark.sql(
+      "SELECT nfc_normalize(text) AS t, " +
+        "token_ngrams(split(trim(nfc_normalize(text)), ' +'), 2) AS g2, " +
+        "token_ngrams(array('x', 'y', 'x', 'y'), 2, true) AS gd " +
+        "FROM norm_docs")
+      .as[(String, Seq[String], Seq[String])].head()
+    assert(got._1 == "a  caf\u00e9 b")
+    assert(got._2 == Seq("a caf\u00e9", "caf\u00e9 b"))
+    assert(got._3 == Seq("x y", "y x"))
+  }
+
   test("quality classifier matches the closed-form logistic score") {
     import graft.ops.TextAnalysis
     val text = "The cat sat on the mat today again and again"
