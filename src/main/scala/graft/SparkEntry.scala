@@ -415,6 +415,8 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    "q_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     // exact heavy hitters (the Space-Saving sketch's oracle twin —
     // SketchSpec validates the sketch against this form)
     "q_heavy_hitters" -> ((s, d) =>
@@ -1002,6 +1004,20 @@ object SparkEntry {
         "SELECT tr.doc_id, coalesce(m.nc, 0) AS n_contam, " +
         "CAST(coalesce(m.nc, 0) > 0 AS INT) AS contaminated " +
         "FROM tr LEFT JOIN m USING (doc_id)"),
+    // quantizer = floor(x/scale + 0.5), deliberately not round(): engine
+    // round() tie rules differ, floor is bit-identical everywhere
+    "q_quantize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e), " +
+        "s AS (SELECT vec_id, v, ma / 127.0 AS sc FROM m WHERE ma > 0), " +
+        "q AS (SELECT vec_id, sc, v, " +
+        "list_transform(v, x -> floor(x / sc + 0.5) * sc) AS r FROM s), " +
+        "er AS (SELECT vec_id, sc, " +
+        "list_max(list_transform(range(len(v)), i -> abs(v[i+1] - r[i+1]))) AS mx, " +
+        "list_sum(list_transform(range(len(v)), i -> (v[i+1] - r[i+1]) * (v[i+1] - r[i+1]))) " +
+        "/ len(v) AS ms FROM q) " +
+        "SELECT vec_id, round(sc, 6) AS scale, round(mx, 6) AS max_err, " +
+        "round(sqrt(ms), 6) AS rmse FROM er"),
     "q_heavy_hitters" ->
       (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
         "wc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token), " +

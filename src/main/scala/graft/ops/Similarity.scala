@@ -45,6 +45,40 @@ object Similarity {
       .where(col("nrm") > 0)
       .select(col(idAs), transform(col("e"), x => x / col("nrm")).as(embAs))
 
+  /** Scalar int8 quantization quality report — the 4× storage cut every
+    * large embedding store takes before ANN indexing. Per-vector symmetric
+    * scale (`maxAbs/127`); the quantizer is `floor(x/scale + 0.5)` —
+    * explicit floor-of-shifted, NOT an engine `round()`, because engines
+    * disagree on tie behavior (HALF_UP vs half-even) and this form is
+    * bit-identical everywhere, which is what lets DuckDB oracle the whole
+    * computation. Zero vectors carry no direction and are excluded (the
+    * [[unitVecs]] convention). Returns per-vector scale and reconstruction
+    * error (max abs + RMSE) — the go/no-go readout for whether int8 is
+    * safe for a given embedding family. Zero shuffle; one scan. (HOF
+    * expressions, not a kernel: this runs once per corpus build, not per
+    * query.)
+    */
+  def quantizeInt8Stats(emb: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = col("ma") / 127.0
+    val recon = transform(col("v"), x => floor(x / col("sc") + lit(0.5)) * col("sc"))
+    emb
+      .select(col("vec_id"), v.as("v"), maxAbs.as("ma"))
+      .where(col("ma") > 0)
+      .withColumn("sc", scale)
+      .withColumn("r", recon)
+      .select(col("vec_id"), col("sc"), col("v"), col("r"),
+        zip_with(col("v"), col("r"), (a, b) => abs(a - b)).as("err"))
+      .select(
+        col("vec_id"),
+        round(col("sc"), 6).as("scale"),
+        round(array_max(col("err")), 6).as("max_err"),
+        round(sqrt(aggregate(zip_with(col("v"), col("r"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+          / size(col("v"))), 6).as("rmse"))
+  }
+
   /** Cosine similarity of every corpus vector against one query vector
     * (`queryId`). Broadcast-join of the single-row query side — zero
     * shuffle of the corpus; the filter/projection stays on the scan.

@@ -146,6 +146,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._3 == Seq("x y", "y x"))
   }
 
+  test("int8 quantization: error bounded by scale/2, exact golden, zero-vec excluded") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (1L, Seq(127.0f, -127.0f, 63.5f, 0.0f)), // scale 1: representable exactly except 63.5
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector: excluded
+      (3L, Seq(0.02f, -0.013f, 0.007f, 0.001f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8Stats(emb)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L)) // no direction, no quantization row
+    // vec 1: scale = 1.0; 63.5 -> floor(64.0) = 64 -> err 0.5 = scale/2
+    assert(got(1L)._2 == 1.0 && got(1L)._3 == 0.5, got(1L))
+    // quantization error can never exceed half a step (scale/2), and the
+    // RMSE never exceeds the max
+    for ((_, scale, maxErr, rmse) <- got.values) {
+      assert(maxErr <= scale / 2 + 1e-9, got)
+      assert(rmse <= maxErr + 1e-9, got)
+    }
+  }
+
   test("quality classifier matches the closed-form logistic score") {
     import graft.ops.TextAnalysis
     val text = "The cat sat on the mat today again and again"
