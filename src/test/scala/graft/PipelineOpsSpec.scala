@@ -131,19 +131,19 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("token_ngrams and nfc_normalize are registered as SQL functions") {
-    graft.functions.GraftExtensions.install(spark)
-    // decomposed e + U+0301 in the view; nfc_normalize must compose it
-    Seq((1L, "a  cafe\u0301 b")).toDF("doc_id", "text")
-      .createOrReplaceTempView("norm_docs")
-    val got = spark.sql(
-      "SELECT nfc_normalize(text) AS t, " +
-        "token_ngrams(split(trim(nfc_normalize(text)), ' +'), 2) AS g2, " +
+    // isolated session: SocketExtensionsSpec asserts the SHARED session's
+    // registry stays untouched (session-scoped registration contract)
+    val s2 = spark.newSession()
+    graft.functions.GraftExtensions.install(s2)
+    // decomposed e + U+0301 inlined in the SQL; nfc_normalize must compose
+    val row = s2.sql(
+      "SELECT nfc_normalize(t) AS t, " +
+        "token_ngrams(split(trim(nfc_normalize(t)), ' +'), 2) AS g2, " +
         "token_ngrams(array('x', 'y', 'x', 'y'), 2, true) AS gd " +
-        "FROM norm_docs")
-      .as[(String, Seq[String], Seq[String])].head()
-    assert(got._1 == "a  caf\u00e9 b")
-    assert(got._2 == Seq("a caf\u00e9", "caf\u00e9 b"))
-    assert(got._3 == Seq("x y", "y x"))
+        "FROM (SELECT 'a  cafe\u0301 b' AS t)").collect().head
+    assert(row.getString(0) == "a  caf\u00e9 b")
+    assert(row.getSeq[String](1) == Seq("a caf\u00e9", "caf\u00e9 b"))
+    assert(row.getSeq[String](2) == Seq("x y", "y x"))
   }
 
   test("int8 quantization: error bounded by scale/2, exact golden, zero-vec excluded") {
