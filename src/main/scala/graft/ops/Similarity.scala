@@ -79,6 +79,24 @@ object Similarity {
           / size(col("v"))), 6).as("rmse"))
   }
 
+  /** The stored artifact form of [[quantizeInt8Stats]]: per-vector scale
+    * plus the int8 codes (as ARRAY<INT> in [-127, 127] — parquet stores
+    * them as one byte each after dictionary/bit-packing). Reconstruct
+    * with `transform(q, c -> c * scale)`. PipelineOpsSpec proves top-k
+    * neighbor recall survives the round-trip.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    emb
+      .select(col("vec_id"), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("ma"))
+      .where(col("ma") > 0)
+      .withColumn("sc", col("ma") / 127.0)
+      .select(col("vec_id"), col("sc").as("scale"),
+        transform(col("v"), x =>
+          floor(x / col("sc") + lit(0.5)).cast("int")).as("q"))
+  }
+
   /** Cosine similarity of every corpus vector against one query vector
     * (`queryId`). Broadcast-join of the single-row query side — zero
     * shuffle of the corpus; the filter/projection stays on the scan.

@@ -166,6 +166,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 round-trip preserves top-k neighbors on seeded random vectors") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"), col("q"))
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (id, sc, codes) => id -> codes.map(_ * sc) }.toMap
+    assert(q.values.forall(_.size == 16))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def top5(space: Map[Long, Seq[Double]], qid: Long): Seq[Long] =
+      space.toSeq.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-cos(space(qid), v), id) }
+        .take(5).map(_._1)
+    // per-vector scale keeps quantization error ~0.4 % of the range; the
+    // neighbor ranking should be nearly untouched
+    val overlaps = (0L until 10L).map { qid =>
+      top5(exact, qid).toSet.intersect(top5(q, qid).toSet).size
+    }
+    assert(overlaps.sum >= 45, overlaps) // >= 4.5/5 mean recall@5
+  }
+
   test("quality classifier matches the closed-form logistic score") {
     import graft.ops.TextAnalysis
     val text = "The cat sat on the mat today again and again"
