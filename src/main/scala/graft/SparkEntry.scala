@@ -438,6 +438,18 @@ object SparkEntry {
       Sampling.tokenBudgetMix(Tables.documents(s, d), "source", "doc_id",
         budgets = MIX_BUDGETS, defaultBudget = MIX_DEFAULT_BUDGET,
         prefilterRates = Map.empty, defaultPrefilterRate = MIX_RATE)),
+    // incremental snapshot dedup: an "incoming crawl" (doc_id >= 200)
+    // overlapping the "previous snapshot" (doc_id < 300) — keep incoming
+    // docs whose content fingerprint is absent from the snapshot, via the
+    // bloom-prefiltered exact anti-join, so only bloom-flagged rows (the
+    // 100 re-crawled docs + ~fpp false positives) reach the join's shuffle
+    "q_incr_dedup" -> ((s, d) => {
+      val fps = TextAnalysis.fingerprints(Tables.documents(s, d))
+      BloomJoin.bloomAntiJoin(
+        fps.where(col("doc_id") >= 200),
+        fps.where(col("doc_id") < 300).select("fp"),
+        "fp")
+    }),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1053,6 +1065,12 @@ object SparkEntry {
           s"WHEN source = '$src' THEN $b "
         }.mkString +
         s"ELSE $MIX_DEFAULT_BUDGET END"),
+    // the bloom prefilter is invisible to the oracle by design: the
+    // operator's contract is exact equality with the plain anti-join
+    "q_incr_dedup" ->
+      (s"WITH f AS (SELECT doc_id, ${fpSql(TOKS)} AS fp FROM documents) " +
+        "SELECT doc_id, fp FROM f WHERE doc_id >= 200 " +
+        "AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 300)"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in
