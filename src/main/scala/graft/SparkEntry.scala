@@ -450,6 +450,9 @@ object SparkEntry {
         fps.where(col("doc_id") < 300).select("fp"),
         "fp")
     }),
+    // sliding-window sequence prep: 16-token chunks every 8 tokens
+    "q_doc_chunks" -> ((s, d) =>
+      Packing.chunkTokens(Tables.documents(s, d), chunkSize = 16, stride = 8)),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1071,6 +1074,17 @@ object SparkEntry {
       (s"WITH f AS (SELECT doc_id, ${fpSql(TOKS)} AS fp FROM documents) " +
         "SELECT doc_id, fp FROM f WHERE doc_id >= 200 " +
         "AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 300)"),
+    // chunk grid: starts 0, 8, 16, … up to len-16+8-1 inclusive (the last
+    // start that still contributes new tokens); final partial chunk kept
+    "q_doc_chunks" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, greatest(len(toks) - 16 + 7, 0), 8)) AS st " +
+        "FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(st // 8 AS INT) AS chunk_idx, " +
+        "CAST(st AS INT) AS chunk_start, " +
+        "CAST(least(16, len(toks) - st) AS INT) AS n_tokens, " +
+        "array_to_string(toks[st + 1 : st + 16], ' ') AS chunk_text FROM s"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

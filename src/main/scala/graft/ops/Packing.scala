@@ -51,4 +51,39 @@ object Packing {
       }
       .toDF("doc_id", "n_tokens", "shard_id")
   }
+
+  /** Sliding-window token chunking — the sequence-prep step that splits
+    * each document into `chunkSize`-token windows every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping context windows, the usual LLM
+    * pretraining shape). The final partial window is kept; windows that
+    * would add no new tokens (start ≥ len − chunkSize + stride) are not
+    * emitted, so coverage is exact with no redundant suffix chunks.
+    * Untokenizable documents emit nothing.
+    *
+    * Scale shape: `sequence` + `explode` is a narrow per-row expansion in
+    * the scan stage — no shuffle anywhere, output rows ≈ tokens/stride.
+    * Returns (doc_id, chunk_idx, chunk_start, n_tokens, chunk_text).
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val len = size(col("toks"))
+    docs
+      .select(col(idCol), Core.tokensUni(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          greatest(len - chunkSize + (stride - 1), lit(0)),
+          lit(stride))).as("chunk_start"))
+      .select(
+        col(idCol),
+        (col("chunk_start") / stride).cast("int").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(chunkSize), size(col("toks")) - col("chunk_start"))
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("chunk_start") + 1, lit(chunkSize)),
+          " ").as("chunk_text"))
+  }
 }

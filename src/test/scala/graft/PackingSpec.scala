@@ -43,4 +43,42 @@ class PackingSpec extends SparkSpec {
     val underfull = fills.count(_ < 30L)
     assert(underfull <= 4, s"fills=$fills") // ≤ one tail shard per partition
   }
+
+  test("chunkTokens covers every token exactly, with the stated overlap") {
+    // 10 tokens, size 8, stride 4 → starts 0 and 4 only (a start at 8
+    // would add no new tokens and must not be emitted)
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkTokens(doc, chunkSize = 8, stride = 4)
+      .select("chunk_idx", "chunk_start", "n_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 0, 8, (0 until 8).map(i => s"t$i").mkString(" ")),
+      (1, 4, 6, (4 until 10).map(i => s"t$i").mkString(" "))))
+  }
+
+  test("chunkTokens: short doc yields one partial chunk, empty doc none") {
+    val docs = Seq((1L, "a b c"), (2L, "!!! ???")).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, chunkSize = 8, stride = 4)
+      .select("doc_id", "n_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 3, "a b c")))
+  }
+
+  test("chunkTokens: non-overlapping when stride == chunkSize") {
+    val doc = Seq((1L, (0 until 9).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkTokens(doc, chunkSize = 4, stride = 4)
+      .select("chunk_start", "n_tokens").as[(Int, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0, 4), (4, 4), (8, 1)))
+    // exact coverage: token counts sum to the document length
+    assert(got.map(_._2).sum == 9)
+  }
+
+  test("chunkTokens plan is shuffle-free") {
+    val doc = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Packing.chunkTokens(doc, 4, 2).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
