@@ -453,6 +453,10 @@ object SparkEntry {
     // sliding-window sequence prep: 16-token chunks every 8 tokens
     "q_doc_chunks" -> ((s, d) =>
       Packing.chunkTokens(Tables.documents(s, d), chunkSize = 16, stride = 8)),
+    // temperature-flattened domain mixture (alpha = 0.5 over source counts)
+    "q_temp_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
+        alpha = TEMP_ALPHA, totalRows = TEMP_TOTAL)),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -463,6 +467,8 @@ object SparkEntry {
   private val MIX_DEFAULT_BUDGET = 300L
   private val MIX_RATE = 0.6
   private val HH_PHI = 0.02
+  private val TEMP_ALPHA = 0.5
+  private val TEMP_TOTAL = 200L
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
     * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
@@ -1085,6 +1091,20 @@ object SparkEntry {
         "CAST(st AS INT) AS chunk_start, " +
         "CAST(least(16, len(toks) - st) AS INT) AS n_tokens, " +
         "array_to_string(toks[st + 1 : st + 16], ' ') AS chunk_text FROM s"),
+    // weight rounded to 6 decimals BEFORE the target arithmetic on both
+    // sides: pow is the one step IEEE doesn't require exactly rounded
+    "q_temp_mix" ->
+      (s"WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source), " +
+        s"p AS (SELECT source, c, pow(c, $TEMP_ALPHA) AS pw FROM c), " +
+        "t AS (SELECT sum(pw) AS tot FROM p), " +
+        "g AS (SELECT source, c, round(pw / tot, 6) AS weight FROM p, t), " +
+        "n AS (SELECT source, weight, least(c, " +
+        s"CAST(floor(weight * $TEMP_TOTAL + 0.5) AS BIGINT)) AS n_target FROM g), " +
+        "r AS (SELECT source, doc_id, CAST(row_number() OVER " +
+        s"(PARTITION BY source ORDER BY $HASHKEY, doc_id) AS INT) AS rk " +
+        "FROM documents) " +
+        "SELECT r.source, r.doc_id, rk, n.weight, n.n_target " +
+        "FROM r JOIN n USING (source) WHERE rk <= n_target"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

@@ -112,6 +112,54 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** Temperature-based domain re-mixing: sample stratum `s` in proportion
+    * to `c_s^alpha / Σ_t c_t^alpha` (the standard multilingual /
+    * multi-domain rebalancing — alpha = 1 keeps natural proportions,
+    * alpha → 0 approaches uniform over strata, 0.3–0.7 are the usual
+    * pretraining settings). `totalRows` scales the mixture to a concrete
+    * target; each stratum keeps its first `min(c_s, ⌊totalRows·q_s + ½⌋)`
+    * rows in deterministic (hash, id) order, so the selection is a stable
+    * prefix per stratum — re-runs, retries, and engine ports agree.
+    *
+    * The mixture weight is rounded to 6 decimals before the target-count
+    * arithmetic: `pow` is the one step IEEE 754 does not require exactly
+    * rounded, so an unrounded weight could differ in the last ulp across
+    * engines and flip a ⌊·+½⌋ boundary; after round(·,6) both engines
+    * compute identical counts (the repo's round-aggregates-only rule).
+    *
+    * 100 TB scale shape: the stratum-count aggregate is map-side-combined
+    * (one long per stratum per task); the weights table is strata-sized
+    * (unhinted join — AQE broadcasts it while it fits); per-stratum
+    * selection is a window over (hash, id) with only (stratum, id, hash)
+    * tuples in the sort, never text. Heavily skewed mixtures should
+    * pre-bound hot strata with [[stratifiedHashSample]] first, exactly as
+    * [[tokenBudgetMix]]'s prefilter does.
+    */
+  def temperatureMix(docs: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, totalRows: Long, salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(totalRows > 0, s"totalRows must be positive, got $totalRows")
+    import org.apache.spark.sql.expressions.Window
+    val pw = docs.groupBy(strataCol)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pw", pow(col("c"), lit(alpha)))
+    val targets = pw
+      .crossJoin(broadcast(pw.agg(sum("pw").as("tot"))))
+      .select(col(strataCol),
+        round(col("pw") / col("tot"), 6).as("weight"),
+        least(col("c"),
+          floor(round(col("pw") / col("tot"), 6) * totalRows + 0.5)
+            .cast("long")).as("n_target"))
+    val rk = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    docs.select(col(strataCol), col(idCol))
+      .withColumn("rk", row_number().over(rk))
+      .join(targets, Seq(strataCol))
+      .where(col("rk") <= col("n_target"))
+      .select(col(strataCol), col(idCol), col("rk"),
+        col("weight"), col("n_target"))
+  }
+
   /** Deterministic train/validation/test split: assigns each row a split
     * label by hash position — disjoint, exhaustive, and stable under
     * re-runs (no row ever migrates between splits when data is appended,

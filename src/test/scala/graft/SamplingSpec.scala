@@ -75,4 +75,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("train") - 8000.0) / 8000.0 < 0.05, got.toString)
     assert(got.keySet == Set("train", "valid", "test"))
   }
+
+  // 9:1 skewed two-source corpus for the temperature-mix tests
+  private def skewed = spark.range(10000).toDF("doc_id")
+    .selectExpr("doc_id",
+      "CASE WHEN doc_id % 10 = 0 THEN 'rare' ELSE 'web' END AS source")
+
+  test("temperatureMix: alpha=1 recovers natural proportions") {
+    val got = Sampling.temperatureMix(skewed, "source", "doc_id", 1.0, 1000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("web") == 900L && got("rare") == 100L, got.toString)
+  }
+
+  test("temperatureMix: alpha<1 flattens toward uniform") {
+    val got = Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, 1000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // sqrt weights: 9000→94.87, 1000→31.62 ⇒ web 750, rare 250
+    assert(got("web") == 750L && got("rare") == 250L, got.toString)
+    assert(got.values.sum == 1000L)
+  }
+
+  test("temperatureMix: target above a stratum's size caps at the stratum") {
+    val got = Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, 5000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("rare") == 1000L, got.toString) // only 1000 rare docs exist
+  }
+
+  test("temperatureMix: selection is a stable per-stratum prefix") {
+    def ids(total: Long): Set[Long] =
+      Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, total)
+        .select("doc_id").as[Long].collect().toSet
+    val small = ids(400)
+    val big = ids(1200)
+    assert(small.subsetOf(big)) // scaling the mixture keeps prior picks
+    val relay = Sampling.temperatureMix(skewed.repartition(13), "source",
+      "doc_id", 0.5, 400).select("doc_id").as[Long].collect().toSet
+    assert(relay == small) // layout-independent
+  }
 }
