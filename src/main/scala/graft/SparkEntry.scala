@@ -457,6 +457,10 @@ object SparkEntry {
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
         alpha = TEMP_ALPHA, totalRows = TEMP_TOTAL)),
+    // per-source percentile quality gate: keep each source's best 40 %
+    "q_quality_rank" -> ((s, d) =>
+      TextAnalysis.qualityPercentile(Tables.documents(s, d), "source",
+        keepFrac = QRANK_KEEP)),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -469,6 +473,7 @@ object SparkEntry {
   private val HH_PHI = 0.02
   private val TEMP_ALPHA = 0.5
   private val TEMP_TOTAL = 200L
+  private val QRANK_KEEP = 0.4
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
     * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
@@ -1105,6 +1110,27 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT r.source, r.doc_id, rk, n.weight, n.n_target " +
         "FROM r JOIN n USING (source) WHERE rk <= n_target"),
+    // rank on the raw logit (monotone in the score but never saturates to
+    // a tie the way sigmoid's double rounding can); percent_rank is an
+    // exact rational so the keep boundary agrees across engines
+    "q_quality_rank" -> {
+      val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
+      s"WITH t AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents), " +
+        "f AS (SELECT doc_id, source, len(toks) AS n, " +
+        "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1) AS avg_len, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1) AS stop_r, " +
+        s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+        "greatest(length(text), 1) AS non_al FROM t), " +
+        s"z AS (SELECT doc_id, source, ($bias) + ($wLog) * ln(1 + n) + " +
+        s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+        "p AS (SELECT doc_id, source, z, percent_rank() OVER " +
+        "(PARTITION BY source ORDER BY z) AS pr FROM z) " +
+        "SELECT doc_id, source, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score, " +
+        "round(pr, 6) AS pr, " +
+        s"CAST(pr >= 1.0 - $QRANK_KEEP AS INT) AS keep FROM p"
+    },
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

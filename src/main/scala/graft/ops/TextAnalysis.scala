@@ -131,22 +131,64 @@ object TextAnalysis {
     */
   def qualityClassifierScore(docs: DataFrame, stopwords: Seq[String] =
       Seq("the", "a", "of", "and", "to", "in", "is", "on")): DataFrame = {
-    val (bias, wLog, wAvg, wStop, wNon, keepT) = QUALITY_W
-    val t = toks(col("text"))
+    val keepT = QUALITY_W._6
+    val score = sigmoid(qualityLogit(col("text"), stopwords))
+    docs.select(col("doc_id"),
+      round(score, 4).as("quality_score"),
+      (score >= keepT).cast("int").as("keep"))
+  }
+
+  /** Raw linear-model logit over the [[qualityScores]] features — the
+    * pre-sigmoid form, monotonic in the quality score but free of the
+    * sigmoid's double saturation (distinct long documents can share a
+    * quality_score of exactly 1.0, but never a logit), so it is the
+    * correct RANKING key (the rank-on-raw-never-rounded rule).
+    */
+  private[graft] def qualityLogit(text: Column,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "and", "to", "in", "is", "on")): Column = {
+    val (bias, wLog, wAvg, wStop, wNon, _) = QUALITY_W
+    val t = toks(text)
     val n = greatest(size(t), lit(1))
     val stops = array(stopwords.map(lit): _*)
     val avgLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
       .cast("double") / n
     val stopR = size(filter(t, x => array_contains(stops, x))).cast("double") / n
-    val nonAl = (length(col("text")) -
-      length(regexp_replace(lower(col("text")), NON_ALNUM_RE, ""))).cast("double") /
-      greatest(length(col("text")), lit(1))
-    val z = lit(bias) + lit(wLog) * log1p(size(t).cast("double")) +
+    val nonAl = (length(text) -
+      length(regexp_replace(lower(text), NON_ALNUM_RE, ""))).cast("double") /
+      greatest(length(text), lit(1))
+    lit(bias) + lit(wLog) * log1p(size(t).cast("double")) +
       lit(wAvg) * avgLen + lit(wStop) * stopR + lit(wNon) * nonAl
-    val score = lit(1.0) / (lit(1.0) + exp(-z))
-    docs.select(col("doc_id"),
-      round(score, 4).as("quality_score"),
-      (score >= keepT).cast("int").as("keep"))
+  }
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Per-stratum percentile gate over the model quality score: keep the
+    * top `keepFrac` of each stratum (source/domain/language) by
+    * `percent_rank`, so a uniformly weaker domain is trimmed against
+    * ITSELF rather than wholesale-deleted by one global threshold — the
+    * production form of "keep the best 30 % of every source".
+    *
+    * Ranking is on the raw logit (see [[qualityLogit]]); tie groups are
+    * identical feature vectors on both engines, so percent_rank — an
+    * exact rational in the row counts — agrees cross-engine. Scale shape:
+    * one window over (stratum → logit) moving only (id, stratum, logit)
+    * tuples; the text never shuffles.
+    */
+  def qualityPercentile(docs: DataFrame, strataCol: String = "source",
+      keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_z"))
+    docs
+      .select(col("doc_id"), col(strataCol),
+        qualityLogit(col("text")).as("_z"))
+      .withColumn("_pr", percent_rank().over(w))
+      .select(col("doc_id"), col(strataCol),
+        round(sigmoid(col("_z")), 4).as("quality_score"),
+        round(col("_pr"), 6).as("pr"),
+        (col("_pr") >= 1.0 - keepFrac).cast("int").as("keep"))
   }
 
   /** Language-ID: character-n-gram profiles (Cavnar–Trenkle family) for 11

@@ -194,6 +194,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(overlaps.sum >= 45, overlaps) // >= 4.5/5 mean recall@5
   }
 
+  test("qualityPercentile keeps the top fraction within each stratum") {
+    import graft.ops.TextAnalysis
+    // srcA: clean prose of growing length (longer → higher logit);
+    // srcB: all punctuation junk except one clean doc
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, ("the quick brown fox jumps " * i).trim, "srcA")) ++
+      (11 to 14).map(i => (i.toLong, "!!! ??? *** !!!", "srcB")) ++
+      Seq((15L, "a clear and useful sentence of text", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityPercentile(docs, "source", keepFrac = 0.3)
+      .select("doc_id", "source", "keep").as[(Long, String, Int)]
+      .collect()
+    val keptA = got.filter(r => r._2 == "srcA" && r._3 == 1).map(_._1).toSet
+    // percent_rank >= 0.7 over 10 rows keeps ranks 8,9,10 → longest docs
+    assert(keptA == Set(8L, 9L, 10L), keptA.toString)
+    // the one clean srcB doc must be kept — trimmed against its own
+    // stratum, not srcA's distribution
+    val keptB = got.filter(r => r._2 == "srcB" && r._3 == 1).map(_._1).toSet
+    assert(keptB.contains(15L), keptB.toString)
+  }
+
+  test("qualityPercentile: identical docs tie and share the keep verdict") {
+    import graft.ops.TextAnalysis
+    val docs = (1 to 4).map(i => (i.toLong, "same text here", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityPercentile(docs, "source", 0.5)
+      .select("pr", "keep").as[(Double, Int)].collect().toSeq
+    assert(got.toSet.size == 1, got.toString) // one tie group, one verdict
+  }
+
   test("quality classifier matches the closed-form logistic score") {
     import graft.ops.TextAnalysis
     val text = "The cat sat on the mat today again and again"
