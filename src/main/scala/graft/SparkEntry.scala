@@ -461,6 +461,9 @@ object SparkEntry {
     "q_quality_rank" -> ((s, d) =>
       TextAnalysis.qualityPercentile(Tables.documents(s, d), "source",
         keepFrac = QRANK_KEEP)),
+    // reproducible training-order shuffle into 16 hash-range shards
+    "q_shuffle_order" -> ((s, d) =>
+      Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1131,6 +1134,14 @@ object SparkEntry {
         "round(pr, 6) AS pr, " +
         s"CAST(pr >= 1.0 - $QRANK_KEEP AS INT) AS keep FROM p"
     },
+    // shard = leading hash hex digit ⇒ (shard, pos) replays exact global
+    // hash order without a global window
+    "q_shuffle_order" ->
+      (s"WITH h AS (SELECT doc_id, $HASHKEY AS hk FROM documents), " +
+        "s AS (SELECT doc_id, hk, CAST(strpos('0123456789abcdef', " +
+        "substring(hk, 2, 1)) - 1 AS INT) AS shard FROM h) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

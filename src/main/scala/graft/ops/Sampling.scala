@@ -160,6 +160,40 @@ object Sampling {
         col("weight"), col("n_target"))
   }
 
+  /** Deterministic global corpus shuffle into `16^shardHexDigits` training
+    * shards — the "randomize training order reproducibly" op. Reading
+    * shards in shard order, rows in `pos` order, replays the corpus in
+    * EXACTLY ascending hash order: the shard id is the hash's leading hex
+    * digit(s), so shards are contiguous ranges of the hash space and
+    * (shard, pos) is a globally consistent random permutation — computed
+    * without any global window.
+    *
+    * Scale shape: one hash-partitioned window per shard moving (id, hash)
+    * pairs only; shard count picks parallelism (4 digits = 65 536 shards
+    * for a 1000-executor sort). Retry/layout/engine independent like every
+    * hash op here. If the corpus is ALSO hash-sampled, use different
+    * `salt`s for sample and shuffle — with the same salt the sample is a
+    * hash-space prefix, i.e. exactly the first shards.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+      shardHexDigits: Int = 1, salt: String = ""): DataFrame = {
+    require(shardHexDigits >= 1 && shardHexDigits <= 4,
+      s"shardHexDigits must be in [1,4], got $shardHexDigits")
+    import org.apache.spark.sql.expressions.Window
+    val hk = hashKey(col(idCol), salt)
+    // hex digit i of the hash (hash chars start at position 2 after the
+    // fixed '0' pad) → int, composed most-significant-first
+    val shard = (0 until shardHexDigits).map { i =>
+      (expr(s"locate(substring(_hk, ${2 + i}, 1), '0123456789abcdef')") - 1) *
+        (1 << (4 * (shardHexDigits - 1 - i)))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("shard")).orderBy(col("_hk"), col(idCol))
+    docs.select(col(idCol), hk.as("_hk"))
+      .withColumn("shard", shard.cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic train/validation/test split: assigns each row a split
     * label by hash position — disjoint, exhaustive, and stable under
     * re-runs (no row ever migrates between splits when data is appended,

@@ -112,4 +112,36 @@ class SamplingSpec extends SparkSpec {
       "doc_id", 0.5, 400).select("doc_id").as[Long].collect().toSet
     assert(relay == small) // layout-independent
   }
+
+  test("deterministicShuffle is a permutation with dense per-shard positions") {
+    val got = Sampling.deterministicShuffle(docs, "doc_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got.map(_._1).toSet.size == 10000) // every row exactly once
+    assert(got.forall(r => r._2 >= 0 && r._2 < 16))
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size), s"shard $shard")
+    }
+    // shards split the hash space evenly: 625 expected per shard
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(sizes.forall(s => s > 400 && s < 850), sizes.toString)
+  }
+
+  test("deterministicShuffle (shard, pos) order replays global hash order") {
+    val small = Sampling.deterministicShuffle(docs.limit(500), "doc_id")
+    val byShard = small.orderBy("shard", "pos").select("doc_id")
+      .as[Long].collect().toSeq
+    // the global hash order, computed independently
+    val want = Sampling.hashSplit(docs.limit(500), "doc_id", 0.0, 0.0)
+      .selectExpr("doc_id", "concat('0', substring(md5(cast(doc_id as string)), 1, 8)) AS hk")
+      .orderBy("hk", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(byShard == want)
+  }
+
+  test("deterministicShuffle: 2 hex digits give 256 shards, same order") {
+    val a = Sampling.deterministicShuffle(docs, "doc_id", shardHexDigits = 1)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.deterministicShuffle(docs, "doc_id", shardHexDigits = 2)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(a == b) // refining the sharding never changes the global order
+  }
 }
