@@ -464,6 +464,10 @@ object SparkEntry {
     // reproducible training-order shuffle into 16 hash-range shards
     "q_shuffle_order" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    // per-label class centroids: element-wise mean pooling of embeddings
+    "q_embed_pool" -> ((s, d) =>
+      Similarity.meanPool(Tables.embeddings(s, d), col("label"))
+        .withColumnRenamed("grp", "label")),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1142,6 +1146,14 @@ object SparkEntry {
         "substring(hk, 2, 1)) - 1 AS INT) AS shard FROM h) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
+    // element-wise mean via aligned unnest/subscripts; means rounded to 6
+    // decimals (cross-engine sum order)
+    "q_embed_pool" ->
+      ("WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "a AS (SELECT label, i, avg(x) AS m, count(*) AS n FROM e GROUP BY label, i) " +
+        "SELECT label, max(n) AS n, list(round(m, 6) ORDER BY i) AS centroid " +
+        "FROM a GROUP BY label"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

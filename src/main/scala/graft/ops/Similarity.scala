@@ -97,6 +97,72 @@ object Similarity {
           floor(x / col("sc") + lit(0.5)).cast("int")).as("q"))
   }
 
+  /** Element-wise mean of embedding vectors per group — class centroids,
+    * cluster centroids, user/session embedding pooling. Relational form:
+    * `posexplode` to (grp, dim-index, value), one hash aggregation with
+    * map-side partial sums (k·dim running sums per task, independent of
+    * corpus size), then per-group reassembly of the dim-sorted means.
+    * Only (grp, i, partial-sum) triples shuffle — never vectors.
+    * Returns (grp, n, centroid) with means rounded to 6 decimals (sum
+    * order differs across engines/partitionings).
+    */
+  def meanPool(emb: DataFrame, groupCol: Column,
+      embCol: Column = col("embedding")): DataFrame =
+    emb.select(groupCol.as("grp"), posexplode(asDouble(embCol)).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(avg("x").as("m"), count(lit(1)).as("n"))
+      .groupBy("grp")
+      .agg(max("n").as("n"),
+        transform(sort_array(collect_list(struct(col("i"), col("m")))),
+          s => round(s.getField("m"), 6)).as("centroid"))
+
+  /** Mean quantization error `avg(1 − max_c ⟨v, c⟩)` of unit vectors
+    * against their nearest centroid — the (cosine-space) k-means inertia,
+    * computed corpus-wide in one scan-stage pass.
+    */
+  def quantizerInertia(emb: DataFrame, centroids: Array[Array[Double]]): Double =
+    unitVecs(emb, "vec_id", "e")
+      .select(greatest(centroids.toIndexedSeq.map(c =>
+        dot(col("e"), centroidLit(c))): _*).as("d"))
+      .agg(avg(lit(1.0) - col("d"))).head().getDouble(0)
+
+  /** Distributed Lloyd refinement of an IVF coarse quantizer: re-assign
+    * EVERY corpus vector to its nearest centroid and recompute centroids
+    * as unit-normalized per-cell means, `iters` times. The driver-sample
+    * training in [[ivfCentroids]] sees ~100k vectors; this pass corrects
+    * the quantizer against the FULL distribution (tail cells the sample
+    * missed) at the cost of `iters` corpus scans — the standard index
+    * build/refresh trade. Per iteration only k·dim aggregated sums reach
+    * the driver (centroid-sized, same contract as the trainer); empty
+    * cells keep their previous centroid.
+    */
+  def refineCentroids(emb: DataFrame, centroids: Array[Array[Double]],
+      iters: Int = 2): Array[Array[Double]] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var cents = centroids
+    val dim = cents(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      ivfAssign(emb, cents)
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect().foreach { r =>
+          val cell = r.getInt(0)
+          sums(cell)(r.getInt(1)) = r.getDouble(2)
+          counts(cell) = r.getLong(3)
+        }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) cents(c) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    cents
+  }
+
   /** Cosine similarity of every corpus vector against one query vector
     * (`queryId`). Broadcast-join of the single-row query side — zero
     * shuffle of the corpus; the filter/projection stays on the scan.

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions.col
 
 class DedupSimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -482,5 +483,51 @@ class DedupSimilaritySpec extends SparkSpec {
     val shuffles = plan.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning")
     assert(shuffles == 1, s"expected only the per-query top-k shuffle:\n$plan")
+  }
+
+  test("meanPool computes element-wise group means") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 4.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 0.0f, -2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.meanPool(emb, col("label"))
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 2L, Seq(2.0, 3.0, 4.0)),
+      (1, 1L, Seq(10.0, 0.0, -2.0))))
+  }
+
+  // three well-separated unit-vector clusters in 8 dims, 60 vectors each
+  private def clustered3 = {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0),
+      Array(0, 0, 0, 0, 0, 1.0, 0, 0))
+    (0 until 180).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(_ + rnd.nextGaussian() * 0.05)
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("refineCentroids lowers inertia monotonically on the full corpus") {
+    // deliberately bad start: three near-identical centroids inside one
+    // cluster — the regime where sample-only training failed
+    val start = Array(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0.01),
+      Array(1.0, 0, 0, 0, 0.01, 0, 0, 0),
+      Array(1.0, 0.01, 0, 0, 0, 0, 0, 0)).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val emb = clustered3
+    val i0 = Similarity.quantizerInertia(emb, start)
+    val r1 = Similarity.refineCentroids(emb, start, iters = 1)
+    val i1 = Similarity.quantizerInertia(emb, r1)
+    val r3 = Similarity.refineCentroids(emb, r1, iters = 2)
+    val i3 = Similarity.quantizerInertia(emb, r3)
+    assert(i1 <= i0 + 1e-12 && i3 <= i1 + 1e-12, s"$i0 -> $i1 -> $i3")
+    assert(i3 < 0.02, s"refined quantizer should fit the clusters: $i3")
   }
 }
