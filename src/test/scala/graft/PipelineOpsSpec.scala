@@ -194,6 +194,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(overlaps.sum >= 45, overlaps) // >= 4.5/5 mean recall@5
   }
 
+  test("chunkTokens and the bloom prefilter run unchanged on a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{BloomJoin, Packing}
+    val blocklist = Seq("known bad doc text", "another listed doc")
+      .toDF("text")
+    val bloom = BloomJoin.buildBloom(blocklist, col("text"))
+
+    val rows = Seq(
+      (1L, "known bad doc text"),
+      (2L, "a fresh document with enough tokens to chunk twice over"))
+    val in = MemoryStream[(Long, String)](91, spark, None)
+    val docs = in.toDS().toDF("doc_id", "text")
+    val chunkQ = Packing.chunkTokens(docs, chunkSize = 4, stride = 4)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    val flagQ = docs.select(col("doc_id"),
+        BloomJoin.mightContain(bloom, col("text")).cast("int").as("listed"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      chunkQ.processAllAvailable(); flagQ.processAllAvailable()
+      val batchChunks = Packing.chunkTokens(rows.toDF("doc_id", "text"), 4, 4)
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      val gotChunks = spark.table("chunk_stream")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(gotChunks == batchChunks && gotChunks.size == 4, gotChunks)
+      val gotFlags = spark.table("bloom_stream").as[(Long, Int)]
+        .collect().toMap
+      assert(gotFlags == Map(1L -> 1, 2L -> 0), gotFlags)
+    } finally { chunkQ.stop(); flagQ.stop() }
+  }
+
   test("qualityPercentile keeps the top fraction within each stratum") {
     import graft.ops.TextAnalysis
     // srcA: clean prose of growing length (longer → higher logit);
