@@ -464,10 +464,14 @@ object SparkEntry {
     // reproducible training-order shuffle into 16 hash-range shards
     "q_shuffle_order" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
-    // per-label class centroids: element-wise mean pooling of embeddings
+    // per-label class centroids: element-wise mean pooling of embeddings,
+    // flattened to (label, n, dim, m) rows — the compare gate hashes
+    // scalar columns only (array cells aren't hashable in the harness)
     "q_embed_pool" -> ((s, d) =>
       Similarity.meanPool(Tables.embeddings(s, d), col("label"))
-        .withColumnRenamed("grp", "label")),
+        .withColumnRenamed("grp", "label")
+        .select(col("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1147,13 +1151,13 @@ object SparkEntry {
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
     // element-wise mean via aligned unnest/subscripts; means rounded to 6
-    // decimals (cross-engine sum order)
+    // decimals (cross-engine sum order); long format — one row per
+    // (label, dim) — because the compare gate hashes scalar cells only
     "q_embed_pool" ->
       ("WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
-        "generate_subscripts(embedding, 1) AS i FROM embeddings), " +
-        "a AS (SELECT label, i, avg(x) AS m, count(*) AS n FROM e GROUP BY label, i) " +
-        "SELECT label, max(n) AS n, list(round(m, 6) ORDER BY i) AS centroid " +
-        "FROM a GROUP BY label"),
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+        "SELECT label, count(*) AS n, CAST(i - 1 AS INT) AS dim, " +
+        "round(avg(x), 6) AS m FROM e GROUP BY label, i"),
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in
