@@ -464,6 +464,12 @@ object SparkEntry {
     // reproducible training-order shuffle into 16 hash-range shards
     "q_shuffle_order" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    // conjunctive posting-list search over the query terms only
+    "q_search" -> ((s, d) =>
+      Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
+    // BM25 ranking of any-term matches (Robertson/Lucene idf form)
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), BM25_TERMS)),
     // per-label class centroids: element-wise mean pooling of embeddings,
     // flattened to (label, n, dim, m) rows — the compare gate hashes
     // scalar columns only (array cells aren't hashable in the harness)
@@ -485,6 +491,8 @@ object SparkEntry {
   private val TEMP_ALPHA = 0.5
   private val TEMP_TOTAL = 200L
   private val QRANK_KEEP = 0.4
+  private val SEARCH_TERMS = Seq("stream", "join", "filter")
+  private val BM25_TERMS = Seq("stream", "join")
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
     * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
@@ -1150,6 +1158,31 @@ object SparkEntry {
         "substring(hk, 2, 1)) - 1 AS INT) AS shard FROM h) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
+    "q_search" -> {
+      val termList = SEARCH_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        s"tp AS (SELECT doc_id, unnest(list_intersect(toks, $termList)) AS token FROM t) " +
+        "SELECT doc_id FROM tp GROUP BY doc_id " +
+        s"HAVING count(DISTINCT token) = ${SEARCH_TERMS.size}"
+    },
+    // every intermediate CAST AS DOUBLE: DuckDB decimal/decimal division
+    // truncates scale, doubles match Spark bit-for-bit pre-round
+    "q_bm25" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        s"tp AS (SELECT doc_id, unnest(list_intersect(toks, $termList)) AS token, toks FROM t), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl FROM tp), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token) " +
+        "SELECT doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token), stats GROUP BY doc_id"
+    },
     // element-wise mean via aligned unnest/subscripts; means rounded to 6
     // decimals (cross-engine sum order); long format — one row per
     // (label, dim) — because the compare gate hashes scalar cells only

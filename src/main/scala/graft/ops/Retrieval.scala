@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index retrieval over the corpus: posting lists, boolean
+  * search, and BM25 ranking — the search-side complement of the dedup /
+  * curation operators (a training-data engine also serves "find the
+  * documents about X" over its own corpus).
+  *
+  * 100 TB scale shape: the query's terms are extracted from each
+  * document IN THE SCAN STAGE (an `array_intersect` against the bounded
+  * term list riding the plan as a literal — same argument as the
+  * decontam eval set), so only (doc_id, term, tf) postings for matching
+  * documents ever reach a shuffle; the corpus text never moves. Corpus
+  * statistics (N, avgdl) are one-row aggregates broadcast into the
+  * scoring join; per-term document frequencies are a terms-sized table.
+  * For a standing index, persist `postings` via [[IndexTables.bucketed]]
+  * on `token` — point lookups then ride the bucketing with no Exchange,
+  * exactly like the LSH/IVF index tables.
+  */
+object Retrieval {
+
+  /** Full posting-list table (token, doc_id, tf). Built with one explode
+    * + one map-side-combined aggregation; this is the thing to persist
+    * bucketed-by-token for a standing index.
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(Core.tokensUni(col(textCol))).as("token"))
+      .groupBy("token", idCol).agg(count(lit(1)).as("tf"))
+
+  /** Per-document (term, tf) pairs restricted to `terms` — the scan-stage
+    * form used by search/scoring: no full-vocabulary explode, no shuffle
+    * of non-matching rows.
+    */
+  private def termPostings(docs: DataFrame, terms: Seq[String],
+      idCol: String, textCol: String): DataFrame = {
+    val termsArr = lit(terms.toArray)
+    docs
+      .select(col(idCol), Core.tokensUni(col(textCol)).as("toks"))
+      .select(col(idCol),
+        explode(array_intersect(col("toks"), termsArr)).as("token"),
+        col("toks"))
+      .select(col(idCol), col("token"),
+        size(filter(col("toks"), t => t === col("token"))).cast("long").as("tf"),
+        size(col("toks")).cast("long").as("dl"))
+  }
+
+  /** Conjunctive (AND) boolean search: ids of documents containing every
+    * term in `terms`. One shuffle of (doc_id, term) matches only.
+    */
+  def searchAll(docs: DataFrame, terms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "searchAll: empty term list")
+    termPostings(docs, terms.distinct, idCol, textCol)
+      .groupBy(idCol)
+      .agg(countDistinct("token").as("n_terms"))
+      .where(col("n_terms") === terms.distinct.size)
+      .select(idCol)
+  }
+
+  /** BM25 ranking (Robertson/Lucene form) of all documents matching ANY
+    * query term:
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`. Returns
+    * (doc_id, n_terms, score); score rounded to 4 decimals (term-sum
+    * order differs across engines).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term list")
+    val tp = termPostings(docs, terms.distinct, idCol, textCol)
+    // one-row corpus stats (N, avgdl) — broadcast into every posting row
+    val stats = docs
+      .select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("_dl").as("avgdl"))
+    // terms-sized df table: documents containing each term
+    val dfs = tp.groupBy("token").agg(countDistinct(idCol).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tp.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("token"), (idf * tfNorm).as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))
+  }
+}

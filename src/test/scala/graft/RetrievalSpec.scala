@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark streams join fast joins spark spark"),
+    (2L, "flink streams windows"),
+    (3L, "spark joins tables"),
+    (4L, "completely unrelated text"))
+    .toDF("doc_id", "text")
+
+  test("postings: one row per (token, doc) with exact term frequency") {
+    val got = Retrieval.postings(docs)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got.contains(("spark", 1L, 3L))) // tf counts repeats
+    assert(got.contains(("joins", 3L, 1L)))
+    assert(!got.exists(_._1 == "")) // tokenizer never emits empties
+  }
+
+  test("searchAll returns exactly the docs containing every term") {
+    val got = Retrieval.searchAll(docs, Seq("spark", "joins"))
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    // a term nobody has ⇒ empty, not error
+    assert(Retrieval.searchAll(docs, Seq("spark", "nosuch")).count() == 0L)
+  }
+
+  test("bm25 matches the hand-computed Robertson score") {
+    val got = Retrieval.bm25(docs, Seq("spark"), k1 = 1.2, b = 0.75)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // corpus stats: N=4, dl = (7,3,3,3), avgdl = 4.0; df(spark)=2
+    val idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 4.0))
+    assert(got.keySet == Set(1L, 3L))
+    assert(math.abs(got(1L) - s(3, 7)) < 1e-3, got.toString)
+    assert(math.abs(got(3L) - s(1, 3)) < 1e-3, got.toString)
+    // higher tf at comparable length ranks higher
+    assert(got(1L) > got(3L))
+  }
+
+  test("bm25: rarer terms contribute more (idf ordering)") {
+    val corpus = (1L to 20L).map { i =>
+      val rare = if (i == 1) " needle" else ""
+      (i, s"common words everywhere$rare")
+    }.toDF("doc_id", "text")
+    val gotRare = Retrieval.bm25(corpus, Seq("needle"))
+      .as[(Long, Long, Double)].collect().head._3
+    val gotCommon = Retrieval.bm25(corpus, Seq("common"))
+      .as[(Long, Long, Double)].collect().map(_._3).max
+    assert(gotRare > gotCommon, s"$gotRare vs $gotCommon")
+  }
+
+  test("bm25 plan: df and stats broadcast; no corpus text in any exchange") {
+    val plan = Retrieval.bm25(docs, Seq("spark", "joins"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.toLowerCase.contains("exchange hashpartitioning(text"),
+      plan)
+  }
+}
