@@ -71,6 +71,19 @@ object Dedup {
     docs.select(col("doc_id"),
       minhashSigExpr(col("text"), shingleK, numHashes).as("sig"))
 
+  /** Per-band bucket hashes of a minhash signature (the LSH join keys):
+    * band b's rows joined into one 64-bit hash, seeded by b so identical
+    * row-slices in different bands never collide.
+    */
+  private[graft] def bandHashes(sig: Column, numHashes: Int,
+      bands: Int): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand)
+        .cast("array<string>"), ","))
+    }: _*)
+  }
+
   /** MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand),
     * bucket-join on (band index, band hash), estimate Jaccard from full
     * signatures. The join key is a 16-byte hash — at 100 TB this is the
@@ -81,7 +94,6 @@ object Dedup {
       indexName: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"minHashLshPairs: bands=$bands must divide numHashes=$numHashes")
-    val rowsPerBand = numHashes / bands
     // materialize signatures once: they are tiny (k longs per doc) and both
     // sides of the bucket self-join need them — without this the whole
     // shingle→hash pipeline runs twice (and at 100 TB, twice over the corpus)
@@ -89,12 +101,9 @@ object Dedup {
     // similarity signal and would otherwise all collide into one bucket
     val rawSigs = minHashSignatures(docs, shingleK, numHashes)
       .where(element_at(col("sig"), 1) =!= Long.MaxValue)
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-        .cast("array<string>"), ","))
-    }: _*)
     def explodeBands(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+      sigs.select(col("doc_id"), col("sig"),
+          posexplode(bandHashes(col("sig"), numHashes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // with indexName: persist the BANDED table bucketed on the join key —
     // the self-join below then co-locates from bucketing metadata alone
@@ -104,11 +113,7 @@ object Dedup {
     // localCheckpoint the signatures for one-off/test corpora (the join
     // then shuffles, which is fine once).
     val banded = indexName match {
-      case Some(n) =>
-        IndexTables.bucketed(docs.sparkSession,
-          s"${n}_h${numHashes}_k${shingleK}_b$bands", 8,
-          Seq("band", "bucket"), Seq("band", "bucket", "doc_id"))(
-          explodeBands(rawSigs))
+      case Some(n) => bandedIndex(docs, n, shingleK, numHashes, bands)
       case None => explodeBands(rawSigs.localCheckpoint())
     }
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
@@ -120,6 +125,82 @@ object Dedup {
           .cast("double") / numHashes).as("est_jaccard"))
       .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Build (or load, if already persisted) the banded minhash index of a
+    * corpus: (doc_id, sig, band, bucket) bucketed on the LSH join key.
+    * This is the standing artifact both [[minHashLshPairs]] (self-join
+    * dedup) and [[minHashLshAgainst]] (incremental dedup) probe; the
+    * parameters are baked into the table name, so mismatched probes can't
+    * silently read an incompatible index.
+    */
+  def bandedIndex(docs: DataFrame, name: String, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bandedIndex: bands=$bands must divide numHashes=$numHashes")
+    IndexTables.bucketed(docs.sparkSession,
+      s"${name}_h${numHashes}_k${shingleK}_b$bands", nBuckets,
+      Seq("band", "bucket"), Seq("band", "bucket", "doc_id"))(
+      minHashSignatures(docs, shingleK, numHashes)
+        .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+        .select(col("doc_id"), col("sig"),
+          posexplode(bandHashes(col("sig"), numHashes, bands)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+  }
+
+  /** Near-dup candidates of `incoming` AGAINST a persisted snapshot band
+    * index — incremental crawl dedup: the snapshot index (built once by
+    * [[bandedIndex]] / [[minHashLshPairs]] with `indexName`, i.e. the
+    * (doc_id, sig, band,
+    * bucket) table bucketed on the join key) is probed by the increment's
+    * bands, so each crawl pays only increment-sized work instead of
+    * re-deduping the union corpus. `shingleK`/`numHashes`/`bands` MUST
+    * match the index build — the deterministic seeds then make signatures
+    * comparable across runs. Returns (new_id, snap_id, est_jaccard) pairs
+    * at or above `threshold`.
+    *
+    * Scale shape: increment signatures are k longs per doc
+    * (localCheckpoint'd once, like the self-join path); the join
+    * hash-exchanges ONLY the increment side into the snapshot's
+    * bucketing; snapshot text is never read — the index carries
+    * signatures, not documents.
+    */
+  def minHashLshAgainst(incoming: DataFrame, snapshotBanded: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"minHashLshAgainst: bands=$bands must divide numHashes=$numHashes")
+    val incSigs = minHashSignatures(incoming, shingleK, numHashes)
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .localCheckpoint()
+    val probes = incSigs
+      .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
+        posexplode(bandHashes(col("sig"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    probes
+      .join(snapshotBanded.select(col("band"), col("bucket"),
+        col("doc_id").as("snap_id"), col("sig").as("snap_sig")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("snap_id"),
+        (graft.functions.ArrayKernels.array_eq_count(col("new_sig"), col("snap_sig"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("new_id", "snap_id").agg(max("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** The decision form: `incoming` rows with NO near-dup in the snapshot
+    * index (id-only anti-join on the flagged increment ids — increment
+    * text never shuffles). Compose with [[graft.ops.BloomJoin.bloomAntiJoin]]
+    * over content fingerprints for the exact-dup pass of the same
+    * incremental pipeline.
+    */
+  def dedupAgainstSnapshot(incoming: DataFrame, snapshotBanded: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val dupIds = minHashLshAgainst(incoming, snapshotBanded, shingleK,
+      numHashes, bands, threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    incoming.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have

@@ -485,6 +485,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shuffles == 1, s"expected only the per-query top-k shuffle:\n$plan")
   }
 
+  test("incremental near-dup: increment probes the snapshot index; " +
+      "pairs match the union self-join's cross pairs") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "snap_incr_test_h32_k3_b8")
+    val snapshot = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "an entirely different snapshot document about batch engines"),
+      (3L, "rows columns tables scans everywhere in the warehouse"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonight today"), // near-dup of 1
+      (12L, "fresh unseen content nothing like the snapshot at all ok"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.bandedIndex(snapshot, "snap_incr_test")
+    val got = Dedup.minHashLshAgainst(incoming, idx, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((11L, 1L)), got.toString)
+
+    // parity: the union self-join's cross-corpus pairs are exactly these
+    val cross = Dedup.minHashLshPairs(snapshot.union(incoming), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 <= 3L && p._2 >= 11L).toSeq
+    assert(cross.map(p => (p._2, p._1, p._3)).sorted == got.sorted)
+
+    // decision form keeps only the fresh doc, full row preserved
+    val kept = Dedup.dedupAgainstSnapshot(incoming, idx)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(12L))
+
+    // scale shape: the snapshot side reads from the bucketed index —
+    // the only hash exchanges are the increment probe side + pair agg
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.minHashLshAgainst(incoming, idx, threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
+        s"snapshot side must ride its bucketing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("meanPool computes element-wise group means") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f), 0),
