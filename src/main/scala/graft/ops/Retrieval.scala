@@ -30,6 +30,26 @@ object Retrieval {
     docs.select(col(idCol), explode(Core.tokensUni(col(textCol))).as("token"))
       .groupBy("token", idCol).agg(count(lit(1)).as("tf"))
 
+  /** Standing inverted index: [[postings]] persisted via
+    * [[IndexTables.bucketed]] on `token` plus per-document lengths —
+    * build once, probe per query. Term lookups and posting-list joins
+    * then co-locate from bucketing metadata with no Exchange on the
+    * index side (same contract as the LSH/IVF index tables).
+    */
+  def postingsIndex(docs: DataFrame, name: String,
+      nBuckets: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    IndexTables.bucketed(docs.sparkSession, s"${name}_postings",
+      nBuckets, Seq("token"), Seq("token", idCol))(
+      postings(docs, idCol, textCol))
+
+  /** Posting-list lookup on a standing index: (doc_id, tf) of one term,
+    * served from the bucketed table — a pushed-down token filter, no
+    * corpus scan, no shuffle.
+    */
+  def lookup(index: DataFrame, term: String): DataFrame =
+    index.where(col("token") === term).drop("token")
+
   /** Per-document (term, tf) pairs restricted to `terms` — the scan-stage
     * form used by search/scoring: no full-vocabulary explode, no shuffle
     * of non-matching rows.

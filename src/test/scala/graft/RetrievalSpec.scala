@@ -54,6 +54,19 @@ class RetrievalSpec extends SparkSpec {
     assert(gotRare > gotCommon, s"$gotRare vs $gotCommon")
   }
 
+  test("standing postings index: lookup is a bucketed read, no exchange") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_idx_test_postings")
+    val idx = Retrieval.postingsIndex(docs, "ret_idx_test")
+    val got = Retrieval.lookup(idx, "spark")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L))
+    // token-grouped aggregation rides the bucketing — no Exchange
+    val dfAgg = idx.groupBy("token").count()
+    val plan = dfAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("bm25 plan: df and stats broadcast; no corpus text in any exchange") {
     val plan = Retrieval.bm25(docs, Seq("spark", "joins"))
       .queryExecution.executedPlan.toString
