@@ -464,6 +464,9 @@ object SparkEntry {
     // reproducible training-order shuffle into 16 hash-range shards
     "q_shuffle_order" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
+    "q_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -1158,6 +1161,18 @@ object SparkEntry {
         "substring(hk, 2, 1)) - 1 AS INT) AS shard FROM h) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
+    // relational replay of the array-expression winnowing: window-min
+    // over gram hashes with a truncated final frame; md5-prefix string
+    // hashes make min() engine-identical (binary order on [0-9a-f])
+    "q_winnow" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
+        "FROM t WHERE len(toks) >= 3), " +
+        "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
+        "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
+        "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
+        "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g) " +
+        "SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0)"),
     "q_search" -> {
       val termList = SEARCH_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
       s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

@@ -203,6 +203,41 @@ object Dedup {
     incoming.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every token k-gram, slide a w-window over the hash
+    * sequence, keep each window's minimum — guaranteeing any shared run
+    * of ≥ w+k−1 tokens between two documents shares at least one selected
+    * fingerprint, at ~1/w the storage of full k-gram sets. The robust
+    * span-level dedup/contamination detector (fixed-stride span md5
+    * misses shifted copies; winnowing is shift-invariant by
+    * construction). Tie rule: window minimum by hash value (leftmost on
+    * equal hashes — any consistent rule preserves the guarantee).
+    *
+    * Hashes are md5-prefix STRINGS, not xxhash64, precisely so the
+    * selection is engine-reproducible (the DuckDB oracle replays it with
+    * a relational window-min). Documents shorter than k tokens emit
+    * nothing; with fewer than w k-grams, one window over all grams.
+    *
+    * Scale shape: the entire selection is array expressions in the scan
+    * stage — gram hashes never leave their document row, ZERO shuffle;
+    * only the selected (doc_id, fp) fingerprints (≈ grams/w rows) reach
+    * downstream joins. Returns distinct (doc_id, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k=$k and w=$w must be >= 1")
+    val grams = graft.functions.ArrayKernels.token_ngrams(
+      Core.tokensUni(col(textCol)), k, distinct = false)
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    val starts = sequence(lit(0), greatest(size(col("_h")) - w, lit(0)))
+    docs
+      .select(col(idCol), hashes.as("_h"))
+      .where(size(col("_h")) > 0)
+      .select(col(idCol),
+        explode(array_distinct(transform(starts,
+          s => array_min(slice(col("_h"), s + 1, lit(w)))))).as("fp"))
+  }
+
   /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have
     * small Hamming distance. Pure expressions: token → xxhash64 → per-bit
     * ±1 votes → sign. One pass, no shuffle.

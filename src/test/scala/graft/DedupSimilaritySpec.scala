@@ -526,6 +526,42 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; " +
+      "selection is shift-invariant; plan has zero shuffles") {
+    // doc 2 embeds doc 1's 10-token run at a DIFFERENT offset (the case
+    // fixed-stride span md5 misses); doc 3 is unrelated
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$run tail words here"),
+      (2L, s"completely new prefix goes first then $run"),
+      (3L, "nothing in common with the others at all whatsoever"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared 10-token run >= w+k-1 = 6 tokens ⇒ overlap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert((fps(2L) & fps(3L)).isEmpty)
+    // density: ~1/w of the grams get selected, never zero, never all
+    assert(fps(1L).size < 13 && fps(1L).nonEmpty, fps(1L).size.toString)
+    // scale shape: selection is entirely scan-stage
+    val plan = Dedup.winnowFingerprints(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("winnowing: short docs get one all-gram window; sub-k docs drop") {
+    val docs = Seq(
+      (1L, "just four tokens here"), // 2 grams < w=4 → one window
+      (2L, "two tok"))               // < k tokens → no grams
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, String)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L))
+    assert(got.size == 1) // min of the 2 grams, once
+  }
+
   test("meanPool computes element-wise group means") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f), 0),
