@@ -467,6 +467,10 @@ object SparkEntry {
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
+    // the MOSS match step: doc pairs sharing >= 2 winnowed fingerprints
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), k = 3, w = 4,
+        minShared = 2, maxDocsPerFp = 64)),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -1173,6 +1177,22 @@ object SparkEntry {
         "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
         "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g) " +
         "SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0)"),
+    // MOSS match step over the same winnow CTE: per-fp postings capped at
+    // 64 docs (hot-fingerprint guardrail, mirrored in the Spark side)
+    "q_winnow_pairs" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
+        "FROM t WHERE len(toks) >= 3), " +
+        "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
+        "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
+        "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
+        "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), " +
+        "fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0)), " +
+        "capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) WHERE rn <= 64) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "q_search" -> {
       val termList = SEARCH_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
       s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

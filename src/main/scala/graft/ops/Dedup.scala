@@ -238,6 +238,31 @@ object Dedup {
           s => array_min(slice(col("_h"), s + 1, lit(w)))))).as("fp"))
   }
 
+  /** Cross-document span-match candidates from winnowing fingerprints:
+    * pairs of documents sharing at least `minShared` selected
+    * fingerprints — the MOSS match step, and the shift-invariant
+    * complement of the fixed-stride [[spanDedup]]. Only the winnowed
+    * (doc_id, fp) rows (≈ grams/w per doc) are joined; hot fingerprints
+    * (boilerplate shared by thousands of documents) are capped at
+    * `maxDocsPerFp` postings to keep the per-key self-join quadratic
+    * blow-up bounded, the same guardrail as LSH bucket caps — capped
+    * fingerprints still contribute their first `maxDocsPerFp` documents.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDocsPerFp: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val capped = fps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") <= maxDocsPerFp)
+      .drop("rn")
+    capped.as("a").join(capped.as("b"), Seq("fp"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have
     * small Hamming distance. Pure expressions: token → xxhash64 → per-bit
     * ±1 votes → sign. One pass, no shuffle.

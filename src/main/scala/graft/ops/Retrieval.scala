@@ -91,7 +91,12 @@ object Retrieval {
       b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25: empty term list")
+    // materialize the matching postings once: both the df aggregate and
+    // the scoring join need them, and they are matches-only-sized —
+    // without this the corpus is tokenized twice (the minhash-signature
+    // materialization argument, one operator over)
     val tp = termPostings(docs, terms.distinct, idCol, textCol)
+      .localCheckpoint()
     // one-row corpus stats (N, avgdl) — broadcast into every posting row
     val stats = docs
       .select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))

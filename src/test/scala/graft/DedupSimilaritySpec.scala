@@ -551,6 +551,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowPairs finds shifted span copies and ignores unrelated docs") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$run tail words here"),
+      (2L, s"completely new prefix goes first then $run"),
+      (3L, "nothing in common with the others at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), got.toString)
+    // the hot-fp cap keeps the per-key join bounded: with cap 1 each fp
+    // has one posting, so no pairs survive
+    assert(Dedup.winnowPairs(docs, minShared = 1, maxDocsPerFp = 1)
+      .count() == 0L)
+  }
+
   test("winnowing: short docs get one all-gram window; sub-k docs drop") {
     val docs = Seq(
       (1L, "just four tokens here"), // 2 grams < w=4 → one window
