@@ -477,14 +477,13 @@ object SparkEntry {
     // BM25 ranking of any-term matches (Robertson/Lucene idf form)
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25(Tables.documents(s, d), BM25_TERMS)),
-    // per-label class centroids: element-wise mean pooling of embeddings,
-    // flattened to (label, n, dim, m) rows — the compare gate hashes
-    // scalar columns only (array cells aren't hashable in the harness)
+    // per-label class centroids: element-wise mean pooling of embeddings
+    // in long (label, n, dim, m) format — the compare gate hashes scalar
+    // columns only, and the long form skips the array-reassembly shuffle
     "q_embed_pool" -> ((s, d) =>
-      Similarity.meanPool(Tables.embeddings(s, d), col("label"))
-        .withColumnRenamed("grp", "label")
-        .select(col("label"), col("n"),
-          posexplode(col("centroid")).as(Seq("dim", "m")))),
+      Similarity.meanPoolLong(Tables.embeddings(s, d), col("label"))
+        .select(col("grp").as("label"), col("n"),
+          col("i").as("dim"), round(col("m"), 6).as("m"))),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -583,6 +582,21 @@ object SparkEntry {
       "FROM p WHERE prev_id IS NOT NULL)")
 
   private val SORTED_CTES = sortedCtes("documents")
+
+  /** Shared winnowing CTE chain (k=3, w=4 — must track the q_winnow* Spark
+    * entries): gram md5-prefix hashes → window-min selection → distinct
+    * (doc_id, fp) in `fps`. One definition so the fingerprint query and
+    * the pair query cannot drift.
+    */
+  private val WINNOW_CTES =
+    s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
+      "FROM t WHERE len(toks) >= 3), " +
+      "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
+      "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
+      "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
+      "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), " +
+      "fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1137,8 +1151,9 @@ object SparkEntry {
         "SELECT r.source, r.doc_id, rk, n.weight, n.n_target " +
         "FROM r JOIN n USING (source) WHERE rk <= n_target"),
     // rank on the raw logit (monotone in the score but never saturates to
-    // a tie the way sigmoid's double rounding can); percent_rank is an
-    // exact rational so the keep boundary agrees across engines
+    // a tie the way sigmoid's double rounding can); cume_dist — not
+    // percent_rank, which zeroes single-doc strata — is an exact rational
+    // so the keep boundary agrees across engines
     "q_quality_rank" -> {
       val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
       s"WITH t AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents), " +
@@ -1151,11 +1166,11 @@ object SparkEntry {
         "greatest(length(text), 1) AS non_al FROM t), " +
         s"z AS (SELECT doc_id, source, ($bias) + ($wLog) * ln(1 + n) + " +
         s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
-        "p AS (SELECT doc_id, source, z, percent_rank() OVER " +
-        "(PARTITION BY source ORDER BY z) AS pr FROM z) " +
+        "p AS (SELECT doc_id, source, z, cume_dist() OVER " +
+        "(PARTITION BY source ORDER BY z) AS cd FROM z) " +
         "SELECT doc_id, source, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score, " +
-        "round(pr, 6) AS pr, " +
-        s"CAST(pr >= 1.0 - $QRANK_KEEP AS INT) AS keep FROM p"
+        "round(cd, 6) AS pctl, " +
+        s"CAST(cd > 1.0 - $QRANK_KEEP AS INT) AS keep FROM p"
     },
     // shard = leading hash hex digit ⇒ (shard, pos) replays exact global
     // hash order without a global window
@@ -1169,25 +1184,11 @@ object SparkEntry {
     // over gram hashes with a truncated final frame; md5-prefix string
     // hashes make min() engine-identical (binary order on [0-9a-f])
     "q_winnow" ->
-      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
-        "FROM t WHERE len(toks) >= 3), " +
-        "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
-        "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
-        "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
-        "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g) " +
-        "SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0)"),
-    // MOSS match step over the same winnow CTE: per-fp postings capped at
-    // 64 docs (hot-fingerprint guardrail, mirrored in the Spark side)
+      s"WITH $WINNOW_CTES SELECT doc_id, fp FROM fps",
+    // MOSS match step over the same winnow CTE chain: per-fp postings
+    // capped at 64 docs (hot-fingerprint guardrail, mirrored Spark-side)
     "q_winnow_pairs" ->
-      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
-        "FROM t WHERE len(toks) >= 3), " +
-        "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
-        "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
-        "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
-        "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), " +
-        "fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0)), " +
+      (s"WITH $WINNOW_CTES, " +
         "capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
         "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) WHERE rn <= 64) " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +

@@ -67,16 +67,27 @@ object Retrieval {
         size(col("toks")).cast("long").as("dl"))
   }
 
+  /** Query terms pushed through the SAME normalization as the index side
+    * (`Core.tokensUni`: Unicode lowercase, split on non-letter/digit runs)
+    * — a raw "Spark" or "don't" would otherwise silently match nothing
+    * against the normalized token stream.
+    */
+  private def normTerms(terms: Seq[String]): Seq[String] =
+    terms.flatMap(_.toLowerCase.split("[^\\p{L}\\p{Nd}]+"))
+      .filter(_.nonEmpty).distinct
+
   /** Conjunctive (AND) boolean search: ids of documents containing every
-    * term in `terms`. One shuffle of (doc_id, term) matches only.
+    * term in `terms` (terms normalized like the corpus tokens). One
+    * shuffle of (doc_id, term) matches only.
     */
   def searchAll(docs: DataFrame, terms: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(terms.nonEmpty, "searchAll: empty term list")
-    termPostings(docs, terms.distinct, idCol, textCol)
+    val ts = normTerms(terms)
+    require(ts.nonEmpty, "searchAll: no usable terms after normalization")
+    termPostings(docs, ts, idCol, textCol)
       .groupBy(idCol)
       .agg(countDistinct("token").as("n_terms"))
-      .where(col("n_terms") === terms.distinct.size)
+      .where(col("n_terms") === ts.size)
       .select(idCol)
   }
 
@@ -90,12 +101,13 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(terms.nonEmpty, "bm25: empty term list")
+    val ts = normTerms(terms)
+    require(ts.nonEmpty, "bm25: no usable terms after normalization")
     // materialize the matching postings once: both the df aggregate and
     // the scoring join need them, and they are matches-only-sized —
     // without this the corpus is tokenized twice (the minhash-signature
     // materialization argument, one operator over)
-    val tp = termPostings(docs, terms.distinct, idCol, textCol)
+    val tp = termPostings(docs, ts, idCol, textCol)
       .localCheckpoint()
     // one-row corpus stats (N, avgdl) — broadcast into every posting row
     val stats = docs

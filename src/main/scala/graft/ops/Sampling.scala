@@ -140,9 +140,14 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(totalRows > 0, s"totalRows must be positive, got $totalRows")
     import org.apache.spark.sql.expressions.Window
+    // materialize the strata-sized count table: it feeds both the weights
+    // and the Σc^α total, and referencing the aggregate subtree twice on
+    // crossJoin sides re-runs the corpus count on both (the q_heavy_hitters
+    // lesson — no ReusedExchange across an aggregate)
     val pw = docs.groupBy(strataCol)
       .agg(count(lit(1)).as("c"))
       .withColumn("pw", pow(col("c"), lit(alpha)))
+      .localCheckpoint()
     val targets = pw
       .crossJoin(broadcast(pw.agg(sum("pw").as("tot"))))
       .select(col(strataCol),

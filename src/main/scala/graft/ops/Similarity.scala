@@ -82,7 +82,11 @@ object Similarity {
   /** The stored artifact form of [[quantizeInt8Stats]]: per-vector scale
     * plus the int8 codes (as ARRAY<INT> in [-127, 127] — parquet stores
     * them as one byte each after dictionary/bit-packing). Reconstruct
-    * with `transform(q, c -> c * scale)`. PipelineOpsSpec proves top-k
+    * with `transform(q, c -> c * scale)`. Unlike the stats REPORT (which
+    * may skip degenerate rows), the artifact keeps EVERY input vector —
+    * a stored table that silently loses vec_ids corrupts any downstream
+    * join: zero/non-finite-max vectors get scale 0 and all-zero codes
+    * (reconstructing to the zero vector). PipelineOpsSpec proves top-k
     * neighbor recall survives the round-trip.
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
@@ -90,11 +94,12 @@ object Similarity {
     emb
       .select(col("vec_id"), v.as("v"),
         array_max(transform(v, x => abs(x))).as("ma"))
-      .where(col("ma") > 0)
-      .withColumn("sc", col("ma") / 127.0)
-      .select(col("vec_id"), col("sc").as("scale"),
-        transform(col("v"), x =>
-          floor(x / col("sc") + lit(0.5)).cast("int")).as("q"))
+      .select(col("vec_id"),
+        when(col("ma") > 0, col("ma") / 127.0).otherwise(0.0).as("scale"),
+        when(col("ma") > 0,
+          transform(col("v"), x =>
+            floor(x / (col("ma") / 127.0) + lit(0.5)).cast("int")))
+          .otherwise(transform(col("v"), _ => lit(0))).as("q"))
   }
 
   /** Element-wise mean of embedding vectors per group — class centroids,
@@ -108,12 +113,21 @@ object Similarity {
     */
   def meanPool(emb: DataFrame, groupCol: Column,
       embCol: Column = col("embedding")): DataFrame =
-    emb.select(groupCol.as("grp"), posexplode(asDouble(embCol)).as(Seq("i", "x")))
-      .groupBy("grp", "i").agg(avg("x").as("m"), count(lit(1)).as("n"))
+    meanPoolLong(emb, groupCol, embCol)
       .groupBy("grp")
       .agg(max("n").as("n"),
         transform(sort_array(collect_list(struct(col("i"), col("m")))),
           s => round(s.getField("m"), 6)).as("centroid"))
+
+  /** [[meanPool]] before array reassembly: one row per (grp, dim) with
+    * the unrounded mean — consumers that want long format (or feed the
+    * means onward) should use this and skip the collect_list shuffle +
+    * re-explode entirely.
+    */
+  def meanPoolLong(emb: DataFrame, groupCol: Column,
+      embCol: Column = col("embedding")): DataFrame =
+    emb.select(groupCol.as("grp"), posexplode(asDouble(embCol)).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(avg("x").as("m"), count(lit(1)).as("n"))
 
   /** Mean quantization error `avg(1 − max_c ⟨v, c⟩)` of unit vectors
     * against their nearest centroid — the (cosine-space) k-means inertia,

@@ -170,10 +170,14 @@ object TextAnalysis {
     * production form of "keep the best 30 % of every source".
     *
     * Ranking is on the raw logit (see [[qualityLogit]]); tie groups are
-    * identical feature vectors on both engines, so percent_rank — an
-    * exact rational in the row counts — agrees cross-engine. Scale shape:
-    * one window over (stratum → logit) moving only (id, stratum, logit)
-    * tuples; the text never shuffles.
+    * identical feature vectors on both engines, so `cume_dist` — an exact
+    * rational in the row counts — agrees cross-engine. `cume_dist`, not
+    * `percent_rank`: a single-document stratum has percent_rank 0 and
+    * would be wholesale-deleted by any keepFrac < 1 — the exact failure
+    * this per-stratum gate exists to prevent; its cume_dist is 1, so it
+    * is kept at any keepFrac. Ties share a cume_dist and therefore share
+    * the verdict. Scale shape: one window over (stratum → logit) moving
+    * only (id, stratum, logit) tuples; the text never shuffles.
     */
   def qualityPercentile(docs: DataFrame, strataCol: String = "source",
       keepFrac: Double = 0.5): DataFrame = {
@@ -184,11 +188,11 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), col(strataCol),
         qualityLogit(col("text")).as("_z"))
-      .withColumn("_pr", percent_rank().over(w))
+      .withColumn("_cd", cume_dist().over(w))
       .select(col("doc_id"), col(strataCol),
         round(sigmoid(col("_z")), 4).as("quality_score"),
-        round(col("_pr"), 6).as("pr"),
-        (col("_pr") >= 1.0 - keepFrac).cast("int").as("keep"))
+        round(col("_cd"), 6).as("pctl"),
+        (col("_cd") > 1.0 - keepFrac).cast("int").as("keep"))
   }
 
   /** Language-ID: character-n-gram profiles (Cavnar–Trenkle family) for 11

@@ -166,6 +166,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 artifact keeps every vec_id; zero vectors round-trip to zero") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb)
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // a stored table must not lose rows
+    assert(got(1)._2 == 0.0 && got(1)._3 == Seq(0, 0))
+    assert(got(0)._3 == Seq(64, -127))
+  }
+
   test("int8 round-trip preserves top-k neighbors on seeded random vectors") {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(7)
@@ -240,7 +253,7 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "source", "keep").as[(Long, String, Int)]
       .collect()
     val keptA = got.filter(r => r._2 == "srcA" && r._3 == 1).map(_._1).toSet
-    // percent_rank >= 0.7 over 10 rows keeps ranks 8,9,10 → longest docs
+    // cume_dist > 0.7 over 10 rows keeps ranks 8,9,10 → longest docs
     assert(keptA == Set(8L, 9L, 10L), keptA.toString)
     // the one clean srcB doc must be kept — trimmed against its own
     // stratum, not srcA's distribution
@@ -253,8 +266,23 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = (1 to 4).map(i => (i.toLong, "same text here", "s"))
       .toDF("doc_id", "text", "source")
     val got = TextAnalysis.qualityPercentile(docs, "source", 0.5)
-      .select("pr", "keep").as[(Double, Int)].collect().toSeq
+      .select("pctl", "keep").as[(Double, Int)].collect().toSeq
     assert(got.toSet.size == 1, got.toString) // one tie group, one verdict
+    assert(got.head._2 == 1) // the whole tie group IS the top, so kept
+  }
+
+  test("qualityPercentile never wholesale-deletes a single-doc stratum") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "a perfectly reasonable document from a small source", "tiny"),
+      (2L, "big source doc one with useful words", "big"),
+      (3L, "big source doc two with more useful words in it", "big"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityPercentile(docs, "source", keepFrac = 0.5)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    // percent_rank-based gates give the lone doc rank 0 and delete it;
+    // cume_dist gives it 1.0 — kept at any keepFrac
+    assert(got(1L) == 1, got.toString)
   }
 
   test("quality classifier matches the closed-form logistic score") {

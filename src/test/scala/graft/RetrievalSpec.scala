@@ -26,6 +26,11 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
     // a term nobody has ⇒ empty, not error
     assert(Retrieval.searchAll(docs, Seq("spark", "nosuch")).count() == 0L)
+    // raw user input is normalized like the corpus tokens — capitalized
+    // or punctuated queries must not silently match nothing
+    val raw = Retrieval.searchAll(docs, Seq("Spark, JOINS!"))
+      .as[Long].collect().toSet
+    assert(raw == Set(1L, 3L), raw.toString)
   }
 
   test("bm25 matches the hand-computed Robertson score") {
