@@ -84,9 +84,12 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ts = normTerms(terms)
     require(ts.nonEmpty, "searchAll: no usable terms after normalization")
+    // plain count, not countDistinct: array_intersect already emits each
+    // matched term once per document, and the distinct-agg's second
+    // exchange is pure waste over pre-distinct rows
     termPostings(docs, ts, idCol, textCol)
       .groupBy(idCol)
-      .agg(countDistinct("token").as("n_terms"))
+      .agg(count(lit(1)).as("n_terms"))
       .where(col("n_terms") === ts.size)
       .select(idCol)
   }
@@ -113,8 +116,9 @@ object Retrieval {
     val stats = docs
       .select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), avg("_dl").as("avgdl"))
-    // terms-sized df table: documents containing each term
-    val dfs = tp.groupBy("token").agg(countDistinct(idCol).as("df"))
+    // terms-sized df table: documents containing each term (plain count —
+    // tp is one row per (doc, matched term) by construction)
+    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1) /
