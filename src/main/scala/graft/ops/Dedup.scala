@@ -252,13 +252,18 @@ object Dedup {
       minShared: Int = 2, maxDocsPerFp: Int = 64): DataFrame = {
     // posting lists per fingerprint instead of a fp-keyed self-join: the
     // winnow selection is computed ONCE, the capped groupBy reuses the
-    // same fp partitioning, and the ≤ cap² ordered pairs expand in-row —
-    // one exchange fewer and no double scan (the self-join form computed
-    // the fingerprints on both sides)
+    // window's fp partitioning, and the ≤ cap² ordered pairs expand
+    // in-row — one exchange fewer and no double scan (the self-join form
+    // computed the fingerprints on both sides). The row_number cap runs
+    // BEFORE collect_list so a hot fingerprint's aggregation buffer is
+    // bounded at maxDocsPerFp ids (the window sort spills; an uncapped
+    // million-doc collect_list buffer would not)
     val lists = winnowFingerprints(docs, k, w)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") <= maxDocsPerFp)
       .groupBy("fp")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxDocsPerFp)
-        .as("ids"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, lit(maxDocsPerFp)),
         b => struct(a.as("a_id"), b.as("b_id")))))

@@ -84,12 +84,15 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ts = normTerms(terms)
     require(ts.nonEmpty, "searchAll: no usable terms after normalization")
-    // plain count, not countDistinct: array_intersect already emits each
-    // matched term once per document, and the distinct-agg's second
-    // exchange is pure waste over pre-distinct rows
+    // countDistinct, deliberately: per-ROW the matched terms are already
+    // distinct (array_intersect), but a corpus with duplicate doc_id rows
+    // (overlapping shards, pre-dedup input) would double-count with a
+    // plain count and silently FAIL the equality — dropping matching
+    // documents. The distinct-agg's extra exchange is the price of not
+    // corrupting results on dirty input.
     termPostings(docs, ts, idCol, textCol)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_terms"))
+      .agg(countDistinct("token").as("n_terms"))
       .where(col("n_terms") === ts.size)
       .select(idCol)
   }
@@ -116,9 +119,10 @@ object Retrieval {
     val stats = docs
       .select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), avg("_dl").as("avgdl"))
-    // terms-sized df table: documents containing each term (plain count —
-    // tp is one row per (doc, matched term) by construction)
-    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    // terms-sized df table: countDistinct so duplicate doc_id input rows
+    // don't inflate df (and deflate idf); tp is checkpointed and
+    // matches-only-sized, so the distinct agg is cheap here
+    val dfs = tp.groupBy("token").agg(countDistinct(idCol).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1) /
