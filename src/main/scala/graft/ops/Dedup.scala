@@ -274,6 +274,42 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-row winnow-overlap predicate against a FIXED fingerprint set —
+    * the streaming form of winnow-based contamination/span-dup detection
+    * (the batch [[winnowPairs]] is self-referential; append-mode streams
+    * need a stateless per-row test, the same decomposition as
+    * [[graft.ops.Decontam.contaminatedFlag]]). The reference set — a
+    * benchmark's or blocklist corpus's winnowed fingerprints, collected
+    * once via [[collectWinnowFingerprints]] — rides the plan as a
+    * literal array; the winnow selection on the streaming row is pure
+    * array expressions, so this runs identically on batch frames.
+    */
+  def winnowOverlapFlag(textCol: Column, fps: Seq[String], k: Int = 3,
+      w: Int = 4): Column = {
+    val grams = graft.functions.ArrayKernels.token_ngrams(
+      Core.tokensUni(textCol), k, distinct = false)
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    val starts = sequence(lit(0), greatest(size(hashes) - w, lit(0)))
+    // zero-gram docs flag false, not null (array_min of an empty slice is
+    // null, and arrays_overlap propagates null elements as null)
+    when(size(hashes) > 0,
+      arrays_overlap(
+        transform(starts, s => array_min(slice(hashes, s + 1, lit(w)))),
+        lit(fps.toArray)))
+      .otherwise(lit(false))
+  }
+
+  /** Reference-side fingerprint list for [[winnowOverlapFlag]],
+    * driver-collected (bounded by the same benchmark-is-small argument
+    * as the decontam eval grams).
+    */
+  def collectWinnowFingerprints(refSet: DataFrame, k: Int = 3,
+      w: Int = 4): Seq[String] = {
+    import refSet.sparkSession.implicits._
+    winnowFingerprints(refSet, k, w).select("fp").as[String]
+      .collect().toSeq.distinct
+  }
+
   /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have
     * small Hamming distance. Pure expressions: token → xxhash64 → per-bit
     * ±1 votes → sign. One pass, no shuffle.

@@ -240,6 +240,33 @@ class PipelineOpsSpec extends SparkSpec {
     } finally { chunkQ.stop(); flagQ.stop() }
   }
 
+  test("winnowOverlapFlag: streaming twin agrees with batch winnowPairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Dedup
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val refSet = Seq((100L, s"reference doc holding $run verbatim"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.collectWinnowFingerprints(refSet)
+    assert(fps.nonEmpty)
+
+    val rows = Seq(
+      (1L, s"prefix words then $run appears shifted here"), // overlaps ref
+      (2L, "entirely unrelated content with no shared spans"),
+      (3L, "!!! ???")) // zero grams → false, not null
+    val in = MemoryStream[(Long, String)](92, spark, None)
+    val q = in.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.winnowOverlapFlag(col("text"), fps).cast("int").as("flagged"))
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream").as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0), got.toString)
+    } finally q.stop()
+  }
+
   test("qualityPercentile keeps the top fraction within each stratum") {
     import graft.ops.TextAnalysis
     // srcA: clean prose of growing length (longer → higher logit);
