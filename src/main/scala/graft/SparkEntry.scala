@@ -453,6 +453,12 @@ object SparkEntry {
     // sliding-window sequence prep: 16-token chunks every 8 tokens
     "q_doc_chunks" -> ((s, d) =>
       Packing.chunkTokens(Tables.documents(s, d), chunkSize = 16, stride = 8)),
+    // pack-then-chunk at parts=1: the oracle twin of the partition-local
+    // production form (the q_pack_sorted convention — same algebra, one
+    // partition, so DuckDB can replay the global concatenation)
+    "q_pack_seq" -> ((s, d) =>
+      Packing.packedSequences(Tables.documents(s, d), seqLen = 128,
+        parts = 1)),
     // temperature-flattened domain mixture (alpha = 0.5 over source counts)
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
@@ -1136,6 +1142,16 @@ object SparkEntry {
         "CAST(st AS INT) AS chunk_start, " +
         "CAST(least(16, len(toks) - st) AS INT) AS n_tokens, " +
         "array_to_string(toks[st + 1 : st + 16], ' ') AS chunk_text FROM s"),
+    // global doc_id-ordered concatenation cut into 128-token sequences;
+    // seq_id = chunk ordinal (partition 0 at parts=1)
+    "q_pack_seq" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "a AS (SELECT flatten(list(toks ORDER BY doc_id)) AS ts FROM t), " +
+        "s AS (SELECT ts, unnest(generate_series(0, greatest(len(ts) - 1, 0), 128)) AS st " +
+        "FROM a WHERE len(ts) > 0) " +
+        "SELECT st // 128 AS seq_id, " +
+        "CAST(least(128, len(ts) - st) AS INT) AS n_tokens, " +
+        "array_to_string(ts[st + 1 : st + 128], ' ') AS text FROM s"),
     // weight rounded to 6 decimals BEFORE the target arithmetic on both
     // sides: pow is the one step IEEE doesn't require exactly rounded
     "q_temp_mix" ->

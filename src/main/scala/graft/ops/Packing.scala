@@ -52,6 +52,58 @@ object Packing {
       .toDF("doc_id", "n_tokens", "shard_id")
   }
 
+  /** Pack-then-chunk sequence assembly — the actual pretraining form:
+    * concatenate documents' token streams (deterministic doc_id order
+    * within hash-assigned partitions) and cut exact `seqLen`-token
+    * training sequences ACROSS document boundaries, so no padding is
+    * wasted ([[chunkTokens]] is the per-document form; this is the
+    * corpus-level one). Every sequence is exactly `seqLen` tokens except
+    * at most one final partial per partition. seq_id = (partition ≪ 32) |
+    * local index — unique and retry-stable by the same argument as
+    * [[packByTokenBudget]].
+    *
+    * Scale shape: one hash exchange of (id, tokens), then a single
+    * sequential pass per partition with an O(seqLen)-bounded carry
+    * buffer; no driver involvement, no global coordination.
+    */
+  def packedSequences(docs: DataFrame, seqLen: Int, parts: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(parts > 0, s"parts must be positive, got $parts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol), Core.tokensUni(col(textCol)).as("toks"))
+      .repartition(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+      .select(col("toks")).as[Seq[String]]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        var idx = 0L
+        val buf = new scala.collection.mutable.ArrayBuffer[String]()
+        var off = 0
+        def emit(n: Int): (Long, Int, String) = {
+          val s = buf.slice(off, off + n).mkString(" ")
+          off += n
+          if (off > (1 << 16)) { buf.remove(0, off); off = 0 }
+          val r = ((pid << 32) | idx, n, s)
+          idx += 1
+          r
+        }
+        val full = it.flatMap { toks =>
+          buf ++= toks
+          Iterator.continually(())
+            .takeWhile(_ => buf.length - off >= seqLen)
+            .map(_ => emit(seqLen))
+        }
+        // the trailing partial materializes only after `full` is drained
+        full ++ Iterator.unfold(()) { _ =>
+          if (buf.length - off > 0) Some((emit(buf.length - off), ()))
+          else None
+        }.take(1)
+      }
+      .toDF("seq_id", "n_tokens", "text")
+  }
+
   /** Sliding-window token chunking — the sequence-prep step that splits
     * each document into `chunkSize`-token windows every `stride` tokens
     * (stride < chunkSize ⇒ overlapping context windows, the usual LLM

@@ -75,6 +75,36 @@ class PackingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 9)
   }
 
+  test("packedSequences: exact-length sequences, token stream preserved") {
+    val fixture = Seq(
+      (1L, "a b c d e"), (2L, "f g"), (3L, "h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val got = Packing.packedSequences(fixture, seqLen = 4, parts = 1)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    // 16 tokens total → 4 full sequences of 4, no partial
+    assert(got.map(_._2) == Seq(4, 4, 4, 4))
+    // concatenation order is doc_id order; boundaries crossed
+    assert(got.map(_._3).mkString(" ") ==
+      "a b c d e f g h i j k l m n o p")
+  }
+
+  test("packedSequences: one trailing partial per partition, never more") {
+    val docs = (1L to 40L).map(i => (i, s"t${i}a t${i}b t${i}c"))
+      .toDF("doc_id", "text") // 120 tokens
+    val got = Packing.packedSequences(docs, seqLen = 7, parts = 4)
+      .as[(Long, Int, String)].collect().toSeq
+    val byPart = got.groupBy(_._1 >> 32)
+    byPart.foreach { case (p, seqs) =>
+      assert(seqs.count(_._2 < 7) <= 1, s"partition $p: $seqs")
+    }
+    // token conservation across the whole corpus
+    assert(got.map(_._2).sum == 120)
+    // retry/layout stability
+    val again = Packing.packedSequences(docs.repartition(13), 7, parts = 4)
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(again == got.sortBy(_._1))
+  }
+
   test("chunkTokens plan is shuffle-free") {
     val doc = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = Packing.chunkTokens(doc, 4, 2).queryExecution
