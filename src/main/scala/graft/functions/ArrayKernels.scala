@@ -355,6 +355,73 @@ object ArrayKernels {
     v
   }
 
+  /** Static helper for [[WavFrameRms]]: per-frame RMS energy over a
+    * canonical PCM16 RIFF WAV (the REAL audio feature-extraction path —
+    * compressed codecs fall through to null like [[parseMediaHeader]]).
+    * Layout requirements, each a witness against misparsing arbitrary
+    * bytes: "RIFF"+"WAVEfmt " header, audio format 1 (PCM) at offset 20,
+    * 16 bits/sample at offset 34, canonical "data" chunk at offset 36
+    * with samples from 44. Interleaved channels are treated as one
+    * linear sample stream (frame = `frameSamples` successive samples).
+    */
+  def wavFrameRms(b: Array[Byte], frameSamples: Int): ArrayData = {
+    if (b == null || b.length < 46) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't')) return null
+    if (leUInt(b, 20, 2) != 1L || leUInt(b, 34, 2) != 16L) return null
+    if (!(b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a')) return null
+    val declared = leUInt(b, 40, 4)
+    val avail = (b.length - 44).toLong
+    val nSamples = (math.min(declared, avail) / 2L).toInt
+    if (nSamples <= 0) return new GenericArrayData(new Array[Double](0))
+    val nFrames = (nSamples + frameSamples - 1) / frameSamples
+    val out = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * frameSamples
+      val end = math.min(start + frameSamples, nSamples)
+      var ss = 0.0
+      var s = start
+      while (s < end) {
+        val off = 44 + s * 2
+        val v = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toDouble
+        ss += v * v
+        s += 1
+      }
+      out(f) = math.sqrt(ss / (end - start))
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `wav_frame_rms(blob, frameSamples)` — per-frame RMS over PCM16 WAV
+    * bytes as one codegen'd kernel call (see [[wavFrameRms]]); null for
+    * anything that is not canonical PCM16 WAV.
+    */
+  case class WavFrameRms(child: Expression, frameSamples: Int)
+      extends UnaryExpression {
+    require(frameSamples > 0,
+      s"wav_frame_rms: frameSamples must be positive, got $frameSamples")
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"wav_frame_rms requires BINARY, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      wavFrameRms(in.asInstanceOf[Array[Byte]], frameSamples)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => s"""
+        |${ev.value} = graft.functions.ArrayKernels.wavFrameRms($in, $frameSamples);
+        |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Static helper for [[MediaHeader]]: parse the codec-free container
     * headers (PPM / BMP / canonical-RIFF WAV) straight off the bytes.
     * Returns null for unrecognized blobs — compressed codecs, truncated
@@ -677,6 +744,9 @@ object ArrayKernels {
 
   def media_header(blob: Column): Column =
     GraftSqlBridge.column(MediaHeader(GraftSqlBridge.expression(blob)))
+
+  def wav_frame_rms(blob: Column, frameSamples: Int): Column =
+    GraftSqlBridge.column(WavFrameRms(GraftSqlBridge.expression(blob), frameSamples))
 
   def lang_predict(paddedText: Column,
       profiles: Seq[(String, Seq[String])]): Column =

@@ -88,6 +88,15 @@ object Multimodal {
     */
   def byteHistogram(blob: Column): Column = ArrayKernels.byte_histogram(blob, 16)
 
+  /** REAL audio feature extraction for canonical PCM16 WAV blobs: RMS
+    * energy per `frameSamples`-sample frame (the VAD / silence-trim /
+    * loudness-normalization primitive), as one codegen'd byte kernel —
+    * no decode library, no sample array materialized. NULL for
+    * compressed codecs, like [[decodeHeaders]].
+    */
+  def audioFrameEnergy(blob: Column, frameSamples: Int = 400): Column =
+    ArrayKernels.wav_frame_rms(blob, frameSamples)
+
   /** Full pipeline over a media table: decode (real header parse when the
     * format is recognized, stub fallback for compressed codecs) → per-kind
     * feature aggregation. Blobs stay in the scan stage; only 16-int

@@ -82,4 +82,29 @@ class MultimodalSpec extends SparkSpec {
     assert(df("wav") == (("wav", None, None, Some(2), Some(44100), Some("wav"))))
     assert(df("jpg") == (("jpg", None, None, None, None, None))) // honest NULL
   }
+
+  test("audioFrameEnergy computes exact per-frame RMS from PCM16 bytes") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    // canonical PCM16 mono WAV, 3 frames of 4 samples: constant +1000,
+    // silence, then one max-negative sample (tests sign handling + the
+    // partial final frame)
+    val samples: Array[Short] =
+      Array[Short](1000, 1000, 1000, 1000, 0, 0, 0, 0, Short.MinValue)
+    val data = samples.flatMap(s => le(s.toLong & 0xffffL, 2))
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(36 + data.length, 4) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(16000, 4) ++ le(32000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes("US-ASCII") ++ le(data.length, 4) ++ data
+    val mp3 = Array(0xff, 0xfb).map(_.toByte) ++ Array.fill(40)(3.toByte)
+    val got = Seq(("wav", wav), ("mp3", mp3)).toDF("name", "blob")
+      .select($"name", Multimodal.audioFrameEnergy($"blob", 4).as("rms"))
+      .as[(String, Option[Seq[Double]])].collect().toMap
+    assert(got("mp3").isEmpty) // honest NULL for compressed codecs
+    val rms = got("wav").get
+    assert(rms.size == 3)
+    assert(rms(0) == 1000.0) // constant amplitude → RMS is the amplitude
+    assert(rms(1) == 0.0)
+    assert(rms(2) == 32768.0) // |Short.MinValue|, single-sample frame
+  }
 }
