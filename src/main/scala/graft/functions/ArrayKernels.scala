@@ -395,6 +395,95 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Static helper for [[PpmPatchMeans]]: ViT-style patch grid over a raw
+    * P6 PPM (binary RGB, the one image container whose pixels are pure
+    * bytes): per `patch`×`patch` cell, the mean R/G/B over its pixels
+    * (ragged edge cells average their actual pixels). Null unless the
+    * header parses, maxval ≤ 255, and the payload holds ALL w·h·3 bytes —
+    * a truncated image yields null, not silently wrong means.
+    */
+  def ppmPatchMeans(b: Array[Byte], patch: Int): ArrayData = {
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
+    // header: three ASCII ints (w, h, maxval), then ONE whitespace byte
+    val vals = new Array[Int](3)
+    var i = 2
+    var f = 0
+    while (f < 3) {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+      if (i >= b.length || b(i) < '0' || b(i) > '9') return null
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      vals(f) = v
+      f += 1
+    }
+    if (i >= b.length) return null
+    i += 1 // the single whitespace after maxval
+    val (w, h, maxval) = (vals(0), vals(1), vals(2))
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
+    if (b.length - i < w.toLong * h * 3) return null
+    val cols = (w + patch - 1) / patch
+    val rows = (h + patch - 1) / patch
+    val out = new Array[Any](rows * cols)
+    var pr = 0
+    while (pr < rows) {
+      var pc = 0
+      while (pc < cols) {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val y0 = pr * patch; val y1 = math.min(y0 + patch, h)
+        val x0 = pc * patch; val x1 = math.min(x0 + patch, w)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          var off = i + (y.toLong * w + x).toInt * 3
+          while (x < x1) {
+            sr += b(off) & 0xff; sg += b(off + 1) & 0xff; sb += b(off + 2) & 0xff
+            off += 3
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toDouble * (x1 - x0)
+        out(pr * cols + pc) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](pr, pc, sr / n, sg / n, sb / n))
+        pc += 1
+      }
+      pr += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[graft] val PATCH_T = ArrayType(StructType(Seq(
+    StructField("p_row", IntegerType, nullable = false),
+    StructField("p_col", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false))), containsNull = false)
+
+  /** `ppm_patch_means(blob, patch)` — patch-grid mean RGB over raw PPM
+    * bytes as one codegen'd kernel call; null for anything else.
+    */
+  case class PpmPatchMeans(child: Expression, patch: Int)
+      extends UnaryExpression {
+    require(patch > 0, s"ppm_patch_means: patch must be positive, got $patch")
+    override def nullable: Boolean = true
+    override def dataType: DataType = PATCH_T
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"ppm_patch_means requires BINARY, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      ppmPatchMeans(in.asInstanceOf[Array[Byte]], patch)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => s"""
+        |${ev.value} = graft.functions.ArrayKernels.ppmPatchMeans($in, $patch);
+        |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `wav_frame_rms(blob, frameSamples)` — per-frame RMS over PCM16 WAV
     * bytes as one codegen'd kernel call (see [[wavFrameRms]]); null for
     * anything that is not canonical PCM16 WAV.
@@ -747,6 +836,9 @@ object ArrayKernels {
 
   def wav_frame_rms(blob: Column, frameSamples: Int): Column =
     GraftSqlBridge.column(WavFrameRms(GraftSqlBridge.expression(blob), frameSamples))
+
+  def ppm_patch_means(blob: Column, patch: Int): Column =
+    GraftSqlBridge.column(PpmPatchMeans(GraftSqlBridge.expression(blob), patch))
 
   def lang_predict(paddedText: Column,
       profiles: Seq[(String, Seq[String])]): Column =

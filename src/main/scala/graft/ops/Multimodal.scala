@@ -97,6 +97,17 @@ object Multimodal {
   def audioFrameEnergy(blob: Column, frameSamples: Int = 400): Column =
     ArrayKernels.wav_frame_rms(blob, frameSamples)
 
+  /** REAL image feature extraction for raw P6 PPM blobs: ViT-style
+    * `patch`×`patch` grid with per-patch mean RGB, straight off the pixel
+    * bytes in one codegen'd kernel call. The patch grid (p_row, p_col,
+    * mean_r/g/b structs) is exactly the plumbing a vision-encoder prep
+    * stage needs; compressed codecs return NULL and fall to the stub
+    * tier, same as every decode path here. Truncated payloads are NULL,
+    * never silently wrong means.
+    */
+  def imagePatchMeans(blob: Column, patch: Int = 16): Column =
+    ArrayKernels.ppm_patch_means(blob, patch)
+
   /** Full pipeline over a media table: decode (real header parse when the
     * format is recognized, stub fallback for compressed codecs) → per-kind
     * feature aggregation. Blobs stay in the scan stage; only 16-int

@@ -83,6 +83,27 @@ class MultimodalSpec extends SparkSpec {
     assert(df("jpg") == (("jpg", None, None, None, None, None))) // honest NULL
   }
 
+  test("imagePatchMeans: exact patch-grid RGB means from raw PPM pixels") {
+    // 4×2 image, patch 2 → 2 patches; left patch solid red, right patch
+    // a checker of green and blue → exact means (0,127.5,127.5)
+    val px = Array(
+      Array(255, 0, 0), Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255),
+      Array(255, 0, 0), Array(255, 0, 0), Array(0, 0, 255), Array(0, 255, 0))
+    val ppm = "P6\n4 2\n255\n".getBytes("US-ASCII") ++
+      px.flatten.map(_.toByte)
+    val truncated = ppm.dropRight(1)
+    val got = Seq(("ok", ppm), ("trunc", truncated))
+      .toDF("name", "blob")
+      .select($"name", Multimodal.imagePatchMeans($"blob", 2).as("p"))
+      .as[(String, Option[Seq[(Int, Int, Double, Double, Double)]])]
+      .collect().toMap
+    assert(got("trunc").isEmpty) // missing byte → NULL, not wrong means
+    val patches = got("ok").get.sortBy(p => (p._1, p._2))
+    assert(patches == Seq(
+      (0, 0, 255.0, 0.0, 0.0),
+      (0, 1, 0.0, 127.5, 127.5)))
+  }
+
   test("audioFrameEnergy computes exact per-frame RMS from PCM16 bytes") {
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
