@@ -67,6 +67,24 @@ object GraftExtensions {
         case Seq(e) => NfcNormalize(e)
         case other => throw new IllegalArgumentException(
           s"nfc_normalize(text) takes exactly 1 argument, got ${other.length}")
+      }),
+    ("wav_frame_rms",
+      info("wav_frame_rms",
+        "wav_frame_rms(blob, frameSamples) - per-frame RMS of canonical PCM16 WAV BINARY"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(blob, Literal(i: Int, _)) => WavFrameRms(blob, i)
+        case Seq(blob, Literal(l: Long, _)) => WavFrameRms(blob, l.toInt)
+        case other => throw new IllegalArgumentException(
+          s"wav_frame_rms(blob, frameSamples): frameSamples must be an integer literal, got $other")
+      }),
+    ("ppm_patch_means",
+      info("ppm_patch_means",
+        "ppm_patch_means(blob, patch) - patch-grid mean RGB of raw P6 PPM BINARY"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(blob, Literal(i: Int, _)) => PpmPatchMeans(blob, i)
+        case Seq(blob, Literal(l: Long, _)) => PpmPatchMeans(blob, l.toInt)
+        case other => throw new IllegalArgumentException(
+          s"ppm_patch_means(blob, patch): patch must be an integer literal, got $other")
       }))
 
   /** Register into a live session. */

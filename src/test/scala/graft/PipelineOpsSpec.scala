@@ -146,6 +146,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getSeq[String](2) == Seq("x y", "y x"))
   }
 
+  test("wav_frame_rms and ppm_patch_means are registered as SQL functions") {
+    val s2 = spark.newSession()
+    graft.functions.GraftExtensions.install(s2)
+    // a 1x1 red PPM literal fits in hex; non-media bytes give NULL
+    val ppmHex = ("P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array(255.toByte, 0.toByte, 0.toByte)).map("%02x".format(_)).mkString
+    val row = s2.sql(
+      s"SELECT ppm_patch_means(unhex('$ppmHex'), 16) AS p, " +
+        "wav_frame_rms(unhex('00112233'), 4) AS r").collect().head
+    val p = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(p.size == 1 && p.head.getDouble(2) == 255.0)
+    assert(row.isNullAt(1)) // not a WAV \u2192 honest NULL through SQL too
+  }
+
   test("int8 quantization: error bounded by scale/2, exact golden, zero-vec excluded") {
     import graft.ops.Similarity
     val emb = Seq(
