@@ -470,6 +470,10 @@ object SparkEntry {
     // reproducible training-order shuffle into 16 hash-range shards
     "q_shuffle_order" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    // SFT-sample assembly: per-user event turns rendered in event-time
+    // order into one training text per conversation
+    "q_chat_render" -> ((s, d) =>
+      Conversations.render(Tables.events(s, d))),
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
@@ -1196,6 +1200,13 @@ object SparkEntry {
         "substring(hk, 2, 1)) - 1 AS INT) AS shard FROM h) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos FROM s"),
+    // (ts, event_id) is unique, so the ordered string_agg is a pure
+    // function of the data; both engines read the same µs-truncated ts
+    "q_chat_render" ->
+      ("SELECT user_id, count(*) AS n_turns, " +
+        "string_agg('[' || event_type || '#' || event_id || '] ' || props, " +
+        "chr(10) ORDER BY ts, event_id) AS text " +
+        "FROM events GROUP BY user_id"),
     // relational replay of the array-expression winnowing: window-min
     // over gram hashes with a truncated final frame; md5-prefix string
     // hashes make min() engine-identical (binary order on [0-9a-f])

@@ -221,6 +221,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(overlaps.sum >= 45, overlaps) // >= 4.5/5 mean recall@5
   }
 
+  test("renderConversations orders turns by event time with id tie-break") {
+    import graft.ops.Conversations
+    import java.sql.Timestamp
+    val events = Seq(
+      (2L, new Timestamp(2000L), 7L, "assistant", 0.0, "{\"a\":1}"),
+      (1L, new Timestamp(1000L), 7L, "user", 0.0, "{\"q\":1}"),
+      (3L, new Timestamp(2000L), 7L, "tool", 0.0, "{\"t\":1}"), // ts tie → id order
+      (4L, new Timestamp(500L), 9L, "user", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Conversations.render(events)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(7L)._2 == 3L)
+    assert(got(7L)._3 ==
+      "[user#1] {\"q\":1}\n[assistant#2] {\"a\":1}\n[tool#3] {\"t\":1}")
+    assert(got(9L)._3 == "[user#4] {}")
+  }
+
   test("chunkTokens and the bloom prefilter run unchanged on a live stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.{BloomJoin, Packing}
