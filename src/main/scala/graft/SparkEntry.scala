@@ -1204,7 +1204,8 @@ object SparkEntry {
     // function of the data; both engines read the same µs-truncated ts
     "q_chat_render" ->
       ("SELECT user_id, count(*) AS n_turns, " +
-        "string_agg('[' || event_type || '#' || event_id || '] ' || props, " +
+        "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
+        "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
     // relational replay of the array-expression winnowing: window-min

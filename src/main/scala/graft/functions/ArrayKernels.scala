@@ -365,7 +365,9 @@ object ArrayKernels {
     * linear sample stream (frame = `frameSamples` successive samples).
     */
   def wavFrameRms(b: Array[Byte], frameSamples: Int): ArrayData = {
-    if (b == null || b.length < 46) return null
+    // 44 bytes = full canonical header; a declared-zero-sample WAV is a
+    // VALID empty recording (empty array), not a reject
+    if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
         b(12) == 'f' && b(13) == 'm' && b(14) == 't')) return null
@@ -375,7 +377,9 @@ object ArrayKernels {
     val avail = (b.length - 44).toLong
     val nSamples = (math.min(declared, avail) / 2L).toInt
     if (nSamples <= 0) return new GenericArrayData(new Array[Double](0))
-    val nFrames = (nSamples + frameSamples - 1) / frameSamples
+    // ceiling division in Long: an Int frameSamples near MaxValue would
+    // wrap the sum negative and silently yield zero frames
+    val nFrames = ((nSamples.toLong + frameSamples - 1) / frameSamples).toInt
     val out = new Array[Double](nFrames)
     var f = 0
     while (f < nFrames) {
@@ -402,9 +406,14 @@ object ArrayKernels {
     * header parses, maxval ≤ 255, and the payload holds ALL w·h·3 bytes —
     * a truncated image yields null, not silently wrong means.
     */
-  def ppmPatchMeans(b: Array[Byte], patch: Int): ArrayData = {
+  /** P6 header: "P6", three ASCII ints (w, h, maxval), ONE whitespace
+    * byte, then raw RGB. Returns (w, h, maxval, pixelOffset) or null —
+    * shared by [[ppmPatchMeans]] (and structured like
+    * [[parseMediaHeader]]'s PPM branch, which additionally bounds its
+    * scan window for sniffing).
+    */
+  private def parsePpmHeader(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
-    // header: three ASCII ints (w, h, maxval), then ONE whitespace byte
     val vals = new Array[Int](3)
     var i = 2
     var f = 0
@@ -416,13 +425,24 @@ object ArrayKernels {
       vals(f) = v
       f += 1
     }
-    if (i >= b.length) return null
-    i += 1 // the single whitespace after maxval
-    val (w, h, maxval) = (vals(0), vals(1), vals(2))
+    // the byte after maxval must BE whitespace — consuming an arbitrary
+    // byte here would shift every pixel read by one and return silently
+    // wrong data for a malformed header
+    if (i >= b.length ||
+      !(b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) return null
+    Array(vals(0), vals(1), vals(2), i + 1)
+  }
+
+  def ppmPatchMeans(b: Array[Byte], patch: Int): ArrayData = {
+    val hdr = parsePpmHeader(b)
+    if (hdr == null) return null
+    val (w, h, maxval, i) = (hdr(0), hdr(1), hdr(2), hdr(3))
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
     if (b.length - i < w.toLong * h * 3) return null
-    val cols = (w + patch - 1) / patch
-    val rows = (h + patch - 1) / patch
+    // ceiling division in Long: Int patch near MaxValue would wrap the
+    // sum negative and yield an empty grid instead of one whole-image patch
+    val cols = ((w.toLong + patch - 1) / patch).toInt
+    val rows = ((h.toLong + patch - 1) / patch).toInt
     val out = new Array[Any](rows * cols)
     var pr = 0
     while (pr < rows) {

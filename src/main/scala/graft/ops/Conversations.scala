@@ -23,8 +23,14 @@ object Conversations {
   def render(events: DataFrame, keyCol: String = "user_id"): DataFrame =
     events
       .select(col(keyCol), col("ts"), col("event_id"),
-        concat(lit("["), col("event_type"), lit("#"), col("event_id"),
-          lit("] "), col("props")).as("line"))
+        // null-field turns render as empty slots instead of nulling the
+        // whole line: concat propagates null, array_join then SKIPS the
+        // element while count() still counts it — n_turns and the text
+        // would silently disagree (and the oracle's string_agg skips
+        // nulls identically, so the gate could never catch it)
+        concat(lit("["), coalesce(col("event_type"), lit("")), lit("#"),
+          col("event_id"), lit("] "),
+          coalesce(col("props"), lit(""))).as("line"))
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_turns"),
         array_join(

@@ -223,19 +223,30 @@ object Dedup {
     * only the selected (doc_id, fp) fingerprints (≈ grams/w rows) reach
     * downstream joins. Returns distinct (doc_id, fp).
     */
+  /** The winnow selection as one array expression: distinct window-min
+    * fingerprints of `textCol` (empty array for sub-k-token docs). ONE
+    * definition shared by the batch index ([[winnowFingerprints]]) and
+    * the streaming flag ([[winnowOverlapFlag]]) so the two can never
+    * drift on hash prefix, tie rule, or gram form.
+    */
+  private def winnowSelection(textCol: Column, k: Int, w: Int): Column = {
+    val grams = graft.functions.ArrayKernels.token_ngrams(
+      Core.tokensUni(textCol), k, distinct = false)
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    def sel(h: Column): Column =
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(h) - w, lit(0))),
+        s => array_min(slice(h, s + 1, lit(w)))))
+    when(size(hashes) > 0, sel(hashes))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k=$k and w=$w must be >= 1")
-    val grams = graft.functions.ArrayKernels.token_ngrams(
-      Core.tokensUni(col(textCol)), k, distinct = false)
-    val hashes = transform(grams, g => substring(md5(g), 1, 16))
-    val starts = sequence(lit(0), greatest(size(col("_h")) - w, lit(0)))
     docs
-      .select(col(idCol), hashes.as("_h"))
-      .where(size(col("_h")) > 0)
-      .select(col(idCol),
-        explode(array_distinct(transform(starts,
-          s => array_min(slice(col("_h"), s + 1, lit(w)))))).as("fp"))
+      .select(col(idCol), winnowSelection(col(textCol), k, w).as("_fps"))
+      .select(col(idCol), explode(col("_fps")).as("fp"))
   }
 
   /** Cross-document span-match candidates from winnowing fingerprints:
@@ -285,19 +296,10 @@ object Dedup {
     * array expressions, so this runs identically on batch frames.
     */
   def winnowOverlapFlag(textCol: Column, fps: Seq[String], k: Int = 3,
-      w: Int = 4): Column = {
-    val grams = graft.functions.ArrayKernels.token_ngrams(
-      Core.tokensUni(textCol), k, distinct = false)
-    val hashes = transform(grams, g => substring(md5(g), 1, 16))
-    val starts = sequence(lit(0), greatest(size(hashes) - w, lit(0)))
-    // zero-gram docs flag false, not null (array_min of an empty slice is
-    // null, and arrays_overlap propagates null elements as null)
-    when(size(hashes) > 0,
-      arrays_overlap(
-        transform(starts, s => array_min(slice(hashes, s + 1, lit(w)))),
-        lit(fps.toArray)))
-      .otherwise(lit(false))
-  }
+      w: Int = 4): Column =
+    // zero-gram docs get an empty selection → arrays_overlap false, the
+    // correct verdict (never null)
+    arrays_overlap(winnowSelection(textCol, k, w), lit(fps.toArray))
 
   /** Reference-side fingerprint list for [[winnowOverlapFlag]],
     * driver-collected (bounded by the same benchmark-is-small argument
@@ -306,8 +308,11 @@ object Dedup {
   def collectWinnowFingerprints(refSet: DataFrame, k: Int = 3,
       w: Int = 4): Seq[String] = {
     import refSet.sparkSession.implicits._
-    winnowFingerprints(refSet, k, w).select("fp").as[String]
-      .collect().toSeq.distinct
+    // distinct IN THE PLAN: per-doc fps are only distinct within a doc,
+    // and a heavily-overlapping reference corpus (winnowing's target
+    // case) would otherwise ship every duplicate row to the driver
+    winnowFingerprints(refSet, k, w).select("fp").distinct().as[String]
+      .collect().toSeq
   }
 
   /** SimHash: 64-bit signature from per-token hash bit-votes. Near-dups have

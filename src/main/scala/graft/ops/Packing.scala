@@ -72,7 +72,10 @@ object Packing {
     require(parts > 0, s"parts must be positive, got $parts")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol), Core.tokensUni(col(textCol)).as("toks"))
+    // null text → zero tokens, not an executor NPE on the null Seq
+    docs.select(col(idCol),
+        coalesce(Core.tokensUni(col(textCol)),
+          array().cast("array<string>")).as("toks"))
       .repartition(parts, col(idCol))
       .sortWithinPartitions(idCol)
       .select(col("toks")).as[Seq[String]]
