@@ -223,30 +223,36 @@ object Dedup {
     * only the selected (doc_id, fp) fingerprints (≈ grams/w rows) reach
     * downstream joins. Returns distinct (doc_id, fp).
     */
-  /** The winnow selection as one array expression: distinct window-min
-    * fingerprints of `textCol` (empty array for sub-k-token docs). ONE
-    * definition shared by the batch index ([[winnowFingerprints]]) and
-    * the streaming flag ([[winnowOverlapFlag]]) so the two can never
-    * drift on hash prefix, tie rule, or gram form.
+  /** The winnow algebra, ONE definition shared by the batch index
+    * ([[winnowFingerprints]]) and the streaming flag
+    * ([[winnowOverlapFlag]]) so the two can never drift on hash prefix,
+    * tie rule, or gram form. Split into the gram-hash expression and the
+    * selection-over-bound-hashes on purpose: `h` must be a BOUND value
+    * (a projected column or a lambda variable) at every call site —
+    * inlining the hash chain into an expression that references it
+    * multiple times re-evaluates tokenize→ngram→md5 per reference (the
+    * round-4/round-6 multi-reference trap; measured 12× on q_winnow_pairs
+    * when this was briefly inlined).
     */
-  private def winnowSelection(textCol: Column, k: Int, w: Int): Column = {
-    val grams = graft.functions.ArrayKernels.token_ngrams(
-      Core.tokensUni(textCol), k, distinct = false)
-    val hashes = transform(grams, g => substring(md5(g), 1, 16))
-    def sel(h: Column): Column =
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(h) - w, lit(0))),
-        s => array_min(slice(h, s + 1, lit(w)))))
-    when(size(hashes) > 0, sel(hashes))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def winnowHashes(textCol: Column, k: Int): Column =
+    transform(
+      graft.functions.ArrayKernels.token_ngrams(
+        Core.tokensUni(textCol), k, distinct = false),
+      g => substring(md5(g), 1, 16))
+
+  /** Distinct window-mins over an already-bound hash array column. */
+  private def winnowSelect(h: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(h) - w, lit(0))),
+      s => array_min(slice(h, s + 1, lit(w)))))
 
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k=$k and w=$w must be >= 1")
     docs
-      .select(col(idCol), winnowSelection(col(textCol), k, w).as("_fps"))
-      .select(col(idCol), explode(col("_fps")).as("fp"))
+      .select(col(idCol), winnowHashes(col(textCol), k).as("_h"))
+      .where(size(col("_h")) > 0)
+      .select(col(idCol), explode(winnowSelect(col("_h"), w)).as("fp"))
   }
 
   /** Cross-document span-match candidates from winnowing fingerprints:
@@ -297,9 +303,15 @@ object Dedup {
     */
   def winnowOverlapFlag(textCol: Column, fps: Seq[String], k: Int = 3,
       w: Int = 4): Column =
-    // zero-gram docs get an empty selection → arrays_overlap false, the
-    // correct verdict (never null)
-    arrays_overlap(winnowSelection(textCol, k, w), lit(fps.toArray))
+    // the hash chain is bound ONCE as a lambda variable (the single-column
+    // analogue of winnowFingerprints' projection boundary); zero-gram docs
+    // get false, never null
+    element_at(
+      transform(array(winnowHashes(textCol, k)), h =>
+        when(size(h) > 0,
+          arrays_overlap(winnowSelect(h, w), lit(fps.toArray)))
+          .otherwise(lit(false))),
+      1)
 
   /** Reference-side fingerprint list for [[winnowOverlapFlag]],
     * driver-collected (bounded by the same benchmark-is-small argument
