@@ -1085,7 +1085,8 @@ object SparkEntry {
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e), " +
-        "s AS (SELECT vec_id, v, ma / 127.0 AS sc FROM m WHERE ma > 0), " +
+        "s AS (SELECT vec_id, v, ma / 127.0 AS sc FROM m " +
+        "WHERE ma > 0 AND NOT isnan(ma) AND NOT isinf(ma)), " +
         "q AS (SELECT vec_id, sc, v, " +
         "list_transform(v, x -> floor(x / sc + 0.5) * sc) AS r FROM s), " +
         "er AS (SELECT vec_id, sc, " +

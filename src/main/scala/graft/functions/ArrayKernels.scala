@@ -347,6 +347,7 @@ object ArrayKernels {
   private val PPM_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("ppm")
   private val BMP_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("bmp")
   private val WAV_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("wav")
+  private val JPEG_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("jpeg")
 
   private def leUInt(b: Array[Byte], off: Int, n: Int): Long = {
     var v = 0L
@@ -370,7 +371,10 @@ object ArrayKernels {
     if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-        b(12) == 'f' && b(13) == 'm' && b(14) == 't')) return null
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')) return null
+    // canonical fmt chunk is exactly 16 bytes — a nonstandard size shifts
+    // every later offset, so the fixed-layout walk below would misread it
+    if (leUInt(b, 16, 4) != 16L) return null
     if (leUInt(b, 20, 2) != 1L || leUInt(b, 34, 2) != 16L) return null
     if (!(b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a')) return null
     val declared = leUInt(b, 40, 4)
@@ -531,15 +535,62 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** JPEG frame-header scan for [[parseMediaHeader]]: walk the
+    * marker-segment chain from SOI and return (width, height, channels)
+    * from the first SOF marker — a pure byte walk over the header
+    * segments, no entropy decode, no library. Accepts the whole SOFn
+    * family except the non-frame C4 (DHT) / C8 (JPG ext) / CC (DAC)
+    * codes, so baseline (SOF0), extended (SOF1), and progressive (SOF2)
+    * — effectively every real-world JPEG — all parse. Dimensions live at
+    * fixed offsets inside the SOF payload: precision(1) height(2,BE)
+    * width(2,BE) nComponents(1). NULL on anything non-canonical: a
+    * non-marker byte where a segment must start, a declared segment
+    * length running past the blob (truncation), EOI or start-of-scan
+    * reached with no SOF seen, or a DNL-deferred (zero) height. The walk
+    * jumps segment-to-segment by declared length, so it is linear in
+    * header bytes and never scans entropy-coded data.
+    */
+  def jpegSof(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    var i = 2 // past SOI
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return null
+      // fill bytes: any number of 0xFF may pad before the marker code
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= b.length) return null
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i += 2 // standalone markers carry no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        return null // EOI / SOS reached without a frame header
+      } else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return null // truncated
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (len < 8 || i + 9 >= b.length) return null
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          val nc = b(i + 9) & 0xff
+          if (w <= 0 || h <= 0) return null // h=0 ⇒ DNL-deferred height
+          return new GenericInternalRow(Array[Any](w, h, nc, null, JPEG_CODEC))
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
   /** Static helper for [[MediaHeader]]: parse the codec-free container
-    * headers (PPM / BMP / canonical-RIFF WAV) straight off the bytes.
-    * Returns null for unrecognized blobs — compressed codecs, truncated
-    * headers, arbitrary binaries. Semantics match the retired
+    * headers (PPM / BMP / canonical-RIFF WAV) plus JPEG frame headers
+    * straight off the bytes. Returns null for unrecognized blobs —
+    * truncated headers, arbitrary binaries, codecs whose dimensions are
+    * not byte-walkable without a decoder. Semantics match the retired
     * string-expression decoder: BMP requires the "BM" magic AND a known
     * BITMAPINFO* DIB size at offset 14 (40/52/56/108/124 — all keep
     * width/height at 18/22, height signed for top-down bitmaps); WAV
     * requires "RIFF"+"WAVEfmt"; PPM is `P6 <w> <h> <maxval>` in the first
-    * 32 bytes.
+    * 32 bytes; JPEG is SOI + a SOF marker-segment walk ([[jpegSof]] —
+    * dimensions only; pixel decode still needs a codec library).
     */
   def parseMediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -574,6 +625,8 @@ object ArrayKernels {
         b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't') {
       new GenericInternalRow(Array[Any](null, null,
         leUInt(b, 22, 2).toInt, leUInt(b, 24, 4).toInt, WAV_CODEC))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      jpegSof(b)
     } else null
   }
 

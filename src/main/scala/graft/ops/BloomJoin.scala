@@ -70,6 +70,14 @@ object BloomJoin {
     * bloom-prefiltered: result is identical to
     * `left.join(blocklist, keyCol, "left_anti")`, but only bloom-flagged
     * rows (true hits + ~fpp false positives) reach the join's shuffle.
+    *
+    * `left` must be DETERMINISTIC across re-evaluation: the plan scans it
+    * twice (clean branch + adjudicated branch), so a frame derived from
+    * `rand()`, unstable sampling, or a source mutated between scans can
+    * disagree between branches, dropping or duplicating rows vs the plain
+    * anti-join. Spark's own runtime bloom injection carries the same
+    * caveat. Non-deterministic inputs: materialize first
+    * (`persist()`/`localCheckpoint()`) and pass the pinned frame.
     */
   def bloomAntiJoin(left: DataFrame, blocklist: DataFrame, keyCol: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {

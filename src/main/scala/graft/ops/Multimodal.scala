@@ -10,13 +10,15 @@ import graft.functions.ArrayKernels
   * extract / resize / frame-sample stages.
   *
   * Decode is two-tier: [[Multimodal.decodeHeaders]] REALLY parses the
-  * codec-free container formats whose layout is pure bytes (PPM images,
-  * BMP images, canonical WAV audio) with Catalyst expressions alone —
-  * exact dimensions/channels/sample-rate, no library needed. Compressed
-  * codecs (JPEG/PNG/MP3/H.264) need a decoder library this environment
-  * lacks; for those [[Multimodal.decodeStub]] remains a clearly-marked
-  * STUB fallback deriving deterministic fake dimensions, so swapping it
-  * for a JNI/codec call changes one function.
+  * formats whose metadata is pure bytes — PPM/BMP images, canonical WAV
+  * audio, and JPEG frame headers (SOF marker walk: exact dimensions +
+  * channel count, the dominant real-corpus image codec) — with one
+  * codegen'd kernel, no library needed. Full pixel/sample decode for
+  * compressed codecs (JPEG pixels, PNG/MP3/H.264) needs a decoder
+  * library this environment lacks; for those
+  * [[Multimodal.decodeStub]] remains a clearly-marked STUB fallback
+  * deriving deterministic fake dimensions, so swapping it for a
+  * JNI/codec call changes one function.
   *
   * Scale: blobs never shuffle (all stages are narrow maps over the scan);
   * aggregations run on extracted small features. This mirrors the
@@ -26,21 +28,32 @@ object Multimodal {
 
   /** media(media_id, kind, blob, meta{width,height,sample_rate}) — the
     * canonical multimodal schema. Synthetic deterministic blobs (seeded by
-    * id) stand in for real encoded media.
+    * id) stand in for real encoded media; image-kind blobs carry a REAL
+    * JPEG SOI+SOF0 header (dims = the meta dims) ahead of the pseudo
+    * payload, so the header-parse tier exercises the dominant real-corpus
+    * codec end-to-end. All blobs are exactly 64 bytes.
     */
-  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame =
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val kind = element_at(typedLit(Seq("image", "audio", "video")),
+      (pmod(col("media_id"), lit(3)) + 1).cast("int"))
+    val w = (pmod(col("media_id"), lit(4)) * 160 + 320).cast("int")
+    val h = (pmod(col("media_id"), lit(3)) * 120 + 240).cast("int")
+    // deterministic pseudo-payload: concatenated hash hex of (id, chunk)
+    val hashHex = concat((0 until 8).map(c =>
+      lpad(hex(abs(xxhash64(col("media_id"), lit(c)))), 16, "0")): _*)
+    // 21-byte canonical JPEG prefix: SOI, SOF0(len 17, precision 8,
+    // height, width, 3 components with standard 4:2:0 sampling specs)
+    val jpegHex = concat(lit("FFD8FFC0001108"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("03012200021101031101"),
+      substring(hashHex, 1, 86))
     spark.range(n.toLong).toDF("media_id")
       .select(
         col("media_id"),
-        element_at(typedLit(Seq("image", "audio", "video")),
-          (pmod(col("media_id"), lit(3)) + 1).cast("int")).as("kind"),
-        // deterministic pseudo-blob: concatenated hash hex of (id, chunk)
-        unhex(concat((0 until 8).map(c =>
-          lpad(hex(abs(xxhash64(col("media_id"), lit(c)))), 16, "0")): _*)).as("blob"),
-        struct(
-          (pmod(col("media_id"), lit(4)) * 160 + 320).cast("int").as("width"),
-          (pmod(col("media_id"), lit(3)) * 120 + 240).cast("int").as("height"),
+        kind.as("kind"),
+        unhex(when(kind === "image", jpegHex).otherwise(hashHex)).as("blob"),
+        struct(w.as("width"), h.as("height"),
           lit(16000).as("sample_rate")).as("meta"))
+  }
 
   /** REAL decode for codec-free container formats — exact header parsing
     * as ONE codegen'd kernel call per blob
@@ -52,9 +65,13 @@ object Multimodal {
     *     width/height at byte offsets 18/22 (signed height: top-down
     *     bitmaps store it negative);
     *   - WAV (canonical RIFF layout, "RIFF"+"WAVEfmt" witnesses): channels
-    *     at offset 22 (uint16), sample rate at offset 24 (uint32).
-    * Returns NULL for unrecognized blobs (i.e. compressed codecs) — the
-    * honest signal; callers choose the fallback (see [[mediaFeatures]]).
+    *     at offset 22 (uint16), sample rate at offset 24 (uint32);
+    *   - JPEG (SOI magic): marker-segment walk to the first SOF frame
+    *     header — exact width/height/channels for baseline, extended, and
+    *     progressive JPEGs; dimensions only, pixels stay encoded.
+    * Returns NULL for unrecognized blobs (non-byte-walkable codecs,
+    * truncated headers) — the honest signal; callers choose the fallback
+    * (see [[mediaFeatures]]).
     */
   def decodeHeaders(blob: Column): Column = ArrayKernels.media_header(blob)
 

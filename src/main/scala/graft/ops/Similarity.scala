@@ -65,7 +65,10 @@ object Similarity {
     val recon = transform(col("v"), x => floor(x / col("sc") + lit(0.5)) * col("sc"))
     emb
       .select(col("vec_id"), v.as("v"), maxAbs.as("ma"))
-      .where(col("ma") > 0)
+      // NaN sorts above 0 in Spark, so `ma > 0` alone would admit NaN/Inf
+      // vectors and report NaN stats; the report excludes them like zeros
+      .where(col("ma") > 0 && !isnan(col("ma")) &&
+        col("ma") =!= Double.PositiveInfinity)
       .withColumn("sc", scale)
       .withColumn("r", recon)
       .select(col("vec_id"), col("sc"), col("v"), col("r"),
@@ -91,12 +94,18 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val v = asDouble(col("embedding"))
+    // Spark orders NaN above every double, so a NaN element makes `ma`
+    // NaN and `ma > 0` alone would take the quantize branch, storing
+    // scale NaN and NaN codes. Non-finite max-abs (NaN or ±Inf elements)
+    // must fall into the degenerate branch with the zero vectors.
+    val finite = col("ma") > 0 && !isnan(col("ma")) &&
+      col("ma") =!= Double.PositiveInfinity
     emb
       .select(col("vec_id"), v.as("v"),
         array_max(transform(v, x => abs(x))).as("ma"))
       .select(col("vec_id"),
-        when(col("ma") > 0, col("ma") / 127.0).otherwise(0.0).as("scale"),
-        when(col("ma") > 0,
+        when(finite, col("ma") / 127.0).otherwise(0.0).as("scale"),
+        when(finite,
           transform(col("v"), x =>
             floor(x / (col("ma") / 127.0) + lit(0.5)).cast("int")))
           .otherwise(transform(col("v"), _ => lit(0))).as("q"))

@@ -551,12 +551,16 @@ object TextAnalysis {
     *
     * Scale shape: bigrams come from zipping the token array with its own
     * tail — no window function, no per-doc shuffle; then one explode, one
-    * (prev,word) count aggregation, a context-count rollup (unigram-sized,
-    * broadcast), and a join back. The bigram dictionary grows faster than
-    * Heaps' law, so unlike the unigram path the (prev,word) join is left
-    * unhinted — AQE broadcasts it while it fits and falls back to a
-    * sort-merge join on the 16-byte-ish keys at corpus scale. Documents
-    * with < 2 tokens have no bigrams and drop out (inner-join semantics,
+    * (prev,word) count aggregation, a context-count rollup, and a join
+    * back. BOTH dictionary joins are left unhinted: the bigram table grows
+    * faster than Heaps' law, and the prev-token marginal `c1` is the
+    * unigram vocabulary itself — hundreds of millions of rows at 100 TB,
+    * never a safe forced broadcast (same policy as [[surprisalScores]]'s
+    * tf join). AQE broadcasts either side while it measures small and
+    * falls back to a sort-merge join at corpus scale; the c2⋈c1 join is
+    * shuffle-free in the fallback too, since c1 is derived from c2's own
+    * aggregation and is already partitioned by `prev`. Documents with
+    * < 2 tokens have no bigrams and drop out (inner-join semantics,
     * both engines agree).
     */
   def surprisalScoresBigram(docs: DataFrame): DataFrame = {
@@ -571,7 +575,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word"))
     val c2 = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
     val c1 = c2.groupBy("prev").agg(sum("cnt2").as("cnt1"))
-    pairs.join(c2.join(broadcast(c1), "prev"), Seq("prev", "word"))
+    pairs.join(c2.join(c1, "prev"), Seq("prev", "word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("cnt2").cast("double") / col("cnt1"))), 4)

@@ -193,6 +193,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(0)._3 == Seq(64, -127))
   }
 
+  test("int8 artifact treats NaN/Inf vectors as degenerate (scale 0, zero codes)") {
+    import graft.ops.Similarity
+    // Spark orders NaN above every double, so a bare `ma > 0` guard would
+    // quantize these into NaN scales/codes; the documented contract is the
+    // zero-vector branch
+    val emb = Seq(
+      (1L, Seq(Float.NaN, 1.0f)),
+      (2L, Seq(Float.PositiveInfinity, -1.0f)),
+      (3L, Seq(2.0f, -1.0f))) // control: finite vector quantizes normally
+      .toDF("vec_id", "embedding")
+    val art = Similarity.quantizeInt8(emb)
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(art(1L)._2 == 0.0 && art(1L)._3 == Seq(0, 0), art(1L))
+    assert(art(2L)._2 == 0.0 && art(2L)._3 == Seq(0, 0), art(2L))
+    // -1/(2/127) = -63.5 → floor(-63.5 + 0.5) = -63 (floor-of-shifted,
+    // not half-even round)
+    assert(art(3L)._2 == 2.0 / 127.0 && art(3L)._3 == Seq(127, -63), art(3L))
+    // and the stats REPORT excludes them like zero vectors
+    val stats = Similarity.quantizeInt8Stats(emb)
+      .select("vec_id").as[Long].collect().toSet
+    assert(stats == Set(3L))
+  }
+
   test("int8 round-trip preserves top-k neighbors on seeded random vectors") {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(7)

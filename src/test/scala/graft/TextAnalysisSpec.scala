@@ -254,6 +254,17 @@ class TextAnalysisSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     }
+    // the bigram path has no one-row aggregate at all: ZERO hints — the
+    // prev-token marginal (c1) is the unigram vocabulary, Heaps-law sized,
+    // and must never be forced driver-side
+    val bg = TextAnalysis.surprisalScoresBigram(docs)
+    val bgHints = bg.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(bgHints.isEmpty, s"expected no hints in bigram plan, got:\n$bgHints")
+    bg.collect()
+    val bgPlan = bg.queryExecution.executedPlan.toString
+    assert(bgPlan.contains("BroadcastHashJoin"), s"plan:\n$bgPlan")
   }
 
   test("cleanCorpusV3Stats: per-stage attrition through the full recipe") {
