@@ -487,6 +487,17 @@ object SparkEntry {
     // BM25 ranking of any-term matches (Robertson/Lucene idf form)
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25(Tables.documents(s, d), BM25_TERMS)),
+    // the query-serving twin: same scores served from the persisted
+    // token-bucketed postings + one-row stats tables — no corpus text is
+    // read or tokenized at query time ("pst1" tags the norm-in-posting
+    // schema so a pre-dl on-disk index can never be re-registered here)
+    "q_bm25_idx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.bm25FromIndex(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name), BM25_TERMS)
+    }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
     // columns only, and the long form skips the array-reassembly shuffle
@@ -1233,6 +1244,24 @@ object SparkEntry {
     // every intermediate CAST AS DOUBLE: DuckDB decimal/decimal division
     // truncates scale, doubles match Spark bit-for-bit pre-round
     "q_bm25" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        s"tp AS (SELECT doc_id, unnest(list_intersect(toks, $termList)) AS token, toks FROM t), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl FROM tp), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token) " +
+        "SELECT doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token), stats GROUP BY doc_id"
+    },
+    // index-served BM25 must produce byte-identical scores to the direct
+    // path, so its oracle IS the direct path's SQL
+    "q_bm25_idx" -> {
       val termList = BM25_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
       s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "stats AS (SELECT count(*) AS n_docs, " +

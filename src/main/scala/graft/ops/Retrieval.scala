@@ -15,20 +15,28 @@ import org.apache.spark.sql.functions._
   * documents ever reach a shuffle; the corpus text never moves. Corpus
   * statistics (N, avgdl) are one-row aggregates broadcast into the
   * scoring join; per-term document frequencies are a terms-sized table.
-  * For a standing index, persist `postings` via [[IndexTables.bucketed]]
-  * on `token` — point lookups then ride the bucketing with no Exchange,
-  * exactly like the LSH/IVF index tables.
+  * For a standing index, [[postingsIndex]] persists the postings via
+  * [[IndexTables.bucketed]] on `token` and [[corpusStats]] persists the
+  * one-row stats table — [[bm25FromIndex]] then serves queries from
+  * those two tables alone, touching no corpus text, with point lookups
+  * riding the bucketing exactly like the LSH/IVF index tables.
   */
 object Retrieval {
 
-  /** Full posting-list table (token, doc_id, tf). Built with one explode
-    * + one map-side-combined aggregation; this is the thing to persist
-    * bucketed-by-token for a standing index.
+  /** Full posting-list table (token, doc_id, tf, dl). Built with one
+    * explode + one map-side-combined aggregation; this is the thing to
+    * persist bucketed-by-token for a standing index. Each posting row
+    * carries its document's length `dl` (the Lucene norm-in-posting
+    * layout) so BM25 can score from the index alone — without it every
+    * query would need a corpus-sized (doc_id → length) join.
     */
   def postings(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(Core.tokensUni(col(textCol))).as("token"))
-      .groupBy("token", idCol).agg(count(lit(1)).as("tf"))
+    docs.select(col(idCol), Core.tokensUni(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("token"))
+      .groupBy("token", idCol)
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
 
   /** Standing inverted index: [[postings]] persisted via
     * [[IndexTables.bucketed]] on `token` plus per-document lengths —
@@ -43,9 +51,22 @@ object Retrieval {
       nBuckets, Seq("token"), Seq("token", idCol))(
       postings(docs, idCol, textCol))
 
-  /** Posting-list lookup on a standing index: (doc_id, tf) of one term,
-    * served from the bucketed table — a pushed-down token filter, no
-    * corpus scan, no shuffle.
+  /** One-row corpus statistics table (n_docs, avgdl), persisted at index
+    * build time alongside [[postingsIndex]] — the other half of what a
+    * query-serving BM25 needs. Computed from the SAME corpus the postings
+    * were built from (zero-token documents count toward N and pull avgdl
+    * down, matching [[bm25]]'s inline stats); a query then touches no
+    * corpus text at all.
+    */
+  def corpusStats(docs: DataFrame, name: String,
+      textCol: String = "text"): DataFrame =
+    IndexTables.plain(docs.sparkSession, s"${name}_stats")(
+      docs.select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))
+        .agg(count(lit(1)).as("n_docs"), avg("_dl").as("avgdl")))
+
+  /** Posting-list lookup on a standing index: (doc_id, tf, dl) of one
+    * term, served from the bucketed table — a pushed-down token filter,
+    * no corpus scan, no shuffle.
     */
   def lookup(index: DataFrame, term: String): DataFrame =
     index.where(col("token") === term).drop("token")
@@ -112,17 +133,55 @@ object Retrieval {
     // materialize the matching postings once: both the df aggregate and
     // the scoring join need them, and they are matches-only-sized —
     // without this the corpus is tokenized twice (the minhash-signature
-    // materialization argument, one operator over)
+    // materialization argument, one operator over). persist, NOT
+    // localCheckpoint: same single-tokenization, but lineage stays intact
+    // so a lost executor recomputes the blocks instead of killing the
+    // query (round-6 verdict #3).
     val tp = termPostings(docs, ts, idCol, textCol)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one-row corpus stats (N, avgdl) — broadcast into every posting row
     val stats = docs
       .select(size(Core.tokensUni(col(textCol))).cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), avg("_dl").as("avgdl"))
     // terms-sized df table: countDistinct so duplicate doc_id input rows
-    // don't inflate df (and deflate idf); tp is checkpointed and
+    // don't inflate df (and deflate idf); tp is materialized-once and
     // matches-only-sized, so the distinct agg is cheap here
     val dfs = tp.groupBy("token").agg(countDistinct(idCol).as("df"))
+    scoreBm25(tp, dfs, stats, k1, b, idCol)
+  }
+
+  /** BM25 served ENTIRELY from the standing index: same score, same
+    * output schema as [[bm25]], but the inputs are the persisted
+    * [[postingsIndex]] (token-bucketed, norm-in-posting) and the
+    * persisted [[corpusStats]] one-row table — no corpus text is read,
+    * tokenized, or shuffled at query time. This is the query-serving
+    * path: a 100 TB corpus is indexed once; each query then scans only
+    * the bucket-pruned posting lists of its own terms (Spark prunes
+    * buckets for IN-filters on the bucketing column). Per-term df is
+    * recomputed from the matched postings themselves — exact, since the
+    * index build's (token, doc) aggregation makes posting rows unique —
+    * so no df table needs maintaining across [[IndexTables.append]]s
+    * (which must only ever add NEW documents; re-indexing an existing
+    * document corrupts tf everywhere, not just here).
+    */
+  def bm25FromIndex(index: DataFrame, stats: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val ts = normTerms(terms)
+    require(ts.nonEmpty, "bm25FromIndex: no usable terms after normalization")
+    val tp = index.where(col("token").isin(ts: _*))
+    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreBm25(tp, dfs, stats, k1, b, idCol)
+  }
+
+  /** The ONE definition of the Robertson score both [[bm25]] and
+    * [[bm25FromIndex]] share (identical expression tree ⇒ identical
+    * rounding ⇒ identical hashes — the winnowing one-definition lesson).
+    * `tp`: matched postings (idCol, token, tf, dl); `dfs`: per-term
+    * document frequencies; `stats`: one row (n_docs, avgdl).
+    */
+  private def scoreBm25(tp: DataFrame, dfs: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, idCol: String): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1) /

@@ -12,11 +12,11 @@ class RetrievalSpec extends SparkSpec {
     (4L, "completely unrelated text"))
     .toDF("doc_id", "text")
 
-  test("postings: one row per (token, doc) with exact term frequency") {
+  test("postings: one row per (token, doc) with exact tf and doc length") {
     val got = Retrieval.postings(docs)
-      .as[(String, Long, Long)].collect().toSet
-    assert(got.contains(("spark", 1L, 3L))) // tf counts repeats
-    assert(got.contains(("joins", 3L, 1L)))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got.contains(("spark", 1L, 3L, 7L))) // tf counts repeats; dl = 7 tokens
+    assert(got.contains(("joins", 3L, 1L, 3L)))
     assert(!got.exists(_._1 == "")) // tokenizer never emits empties
   }
 
@@ -61,15 +61,47 @@ class RetrievalSpec extends SparkSpec {
 
   test("standing postings index: lookup is a bucketed read, no exchange") {
     import graft.ops.IndexTables
-    IndexTables.drop(spark, "ret_idx_test_postings")
+    IndexTables.drop(spark, "ret_idx_test_postings_b8")
     val idx = Retrieval.postingsIndex(docs, "ret_idx_test")
     val got = Retrieval.lookup(idx, "spark")
-      .as[(Long, Long)].collect().toMap
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(got == Map(1L -> 3L, 3L -> 1L))
     // token-grouped aggregation rides the bucketing — no Exchange
     val dfAgg = idx.groupBy("token").count()
     val plan = dfAgg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("bm25FromIndex: identical rows to bm25, zero corpus access at query time") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_bm25_test_postings_b8")
+    IndexTables.drop(spark, "ret_bm25_test_stats")
+    val idx = Retrieval.postingsIndex(docs, "ret_bm25_test")
+    val stats = Retrieval.corpusStats(docs, "ret_bm25_test")
+    val terms = Seq("spark", "joins")
+    val fromIdx = Retrieval.bm25FromIndex(idx, stats, terms)
+    val direct = Retrieval.bm25(docs, terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIdx.as[(Long, Long, Double)].collect().toSet == direct)
+    assert(direct.nonEmpty)
+    // the query-serving plan reads ONLY the two persisted tables: the
+    // in-memory docs frame (a LocalTableScan) must not appear, and no
+    // tokenization (the corpus-scan fingerprint) survives into the plan
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"corpus scan in plan:\n$plan")
+    // bucket pruning: the IN-filter on the bucketing column reaches the
+    // index scan ("SelectedBucketsCount" appears when buckets are pruned)
+    assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning:\n$plan")
+  }
+
+  test("corpusStats counts zero-token docs toward N and avgdl, like bm25") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_stats_test_stats")
+    val withEmpty = docs.union(Seq((5L, "!!! ...")).toDF("doc_id", "text"))
+    val got = Retrieval.corpusStats(withEmpty, "ret_stats_test")
+      .as[(Long, Double)].collect().head
+    assert(got._1 == 5L)          // N includes the zero-token doc
+    assert(got._2 == 16.0 / 5.0)  // dl = (7,3,3,3,0)
   }
 
   test("bm25 plan: df and stats broadcast; no corpus text in any exchange") {
