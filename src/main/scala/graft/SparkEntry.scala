@@ -481,6 +481,12 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 3, w = 4,
         minShared = 2, maxDocsPerFp = 64)),
+    // the cap-truncation report: how much the maxDocsPerFp guardrail
+    // actually dropped (the oracle mirrors the cap, so q_winnow_pairs
+    // alone cannot reveal it)
+    "q_winnow_stats" -> ((s, d) =>
+      Dedup.winnowPairsStats(Tables.documents(s, d), k = 3, w = 4,
+        maxDocsPerFp = 64)),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -1234,6 +1240,17 @@ object SparkEntry {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
         "FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // cap-truncation report over the same winnow CTE chain (sums cast to
+    // BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, Spark keeps LONG)
+    "q_winnow_stats" ->
+      (s"WITH $WINNOW_CTES, " +
+        "per_fp AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp) " +
+        "SELECT count(*) AS n_fps, " +
+        "count(CASE WHEN n_docs > 64 THEN 1 END) AS n_capped_fps, " +
+        "CAST(coalesce(sum(CASE WHEN n_docs > 64 THEN n_docs - 64 END), 0) " +
+        "AS BIGINT) AS n_dropped_postings, " +
+        "CAST(coalesce(max(n_docs), 0) AS BIGINT) AS max_docs_per_fp " +
+        "FROM per_fp"),
     "q_search" -> {
       val termList = SEARCH_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
       s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

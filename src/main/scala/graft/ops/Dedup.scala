@@ -291,6 +291,28 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Companion truncation report for [[winnowPairs]]: the posting cap
+    * (`maxDocsPerFp`) silently drops a hot fingerprint's documents beyond
+    * the cap, and because the oracle mirrors the cap the correctness gate
+    * cannot see how much was dropped — this surfaces it. One row:
+    * total distinct fingerprints, how many hit the cap, how many
+    * (doc, fp) postings the cap dropped, and the hottest fingerprint's
+    * posting count (the number to look at when deciding whether the cap
+    * is biting real overlap or just boilerplate). Run it alongside
+    * winnowPairs when tuning; same single winnow pass + one fp-keyed
+    * aggregation, nothing corpus-sized shuffles.
+    */
+  def winnowPairsStats(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxDocsPerFp: Int = 64): DataFrame =
+    winnowFingerprints(docs, k, w)
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .agg(
+        count(lit(1)).as("n_fps"),
+        count(when(col("n_docs") > maxDocsPerFp, 1)).as("n_capped_fps"),
+        coalesce(sum(when(col("n_docs") > maxDocsPerFp,
+          col("n_docs") - maxDocsPerFp)), lit(0L)).as("n_dropped_postings"),
+        coalesce(max("n_docs"), lit(0L)).as("max_docs_per_fp"))
+
   /** Per-row winnow-overlap predicate against a FIXED fingerprint set —
     * the streaming form of winnow-based contamination/span-dup detection
     * (the batch [[winnowPairs]] is self-referential; append-mode streams

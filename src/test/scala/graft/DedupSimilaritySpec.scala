@@ -567,6 +567,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("winnowPairsStats surfaces what the posting cap drops") {
+    // hot-fp fixture: 10 identical boilerplate documents (every winnowed
+    // fp appears in all 10 → exact drop arithmetic), plus one unrelated doc
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore"
+    val docs = ((1L to 10L).map(i => (i, boiler)) :+
+      (99L, "totally different content with no shared runs anywhere"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.winnowPairsStats(docs, maxDocsPerFp = 64)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(uncapped._2 == 0L && uncapped._3 == 0L) // nothing capped at 64
+    assert(uncapped._4 == 10L) // the boilerplate fps carry all 10 docs
+    val capped = Dedup.winnowPairsStats(docs, maxDocsPerFp = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(capped._1 == uncapped._1)  // same fingerprint universe
+    assert(capped._2 >= 1L)           // the hot fps hit the cap...
+    // ...and each dropped (10 - 4) postings
+    assert(capped._3 == capped._2 * 6L, capped.toString)
+    assert(capped._4 == 10L)
+    // empty corpus: one row of zeros, not an empty frame
+    val empty = Dedup.winnowPairsStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(empty == ((0L, 0L, 0L, 0L)))
+  }
+
   test("winnowing: short docs get one all-gram window; sub-k docs drop") {
     val docs = Seq(
       (1L, "just four tokens here"), // 2 grams < w=4 → one window
