@@ -474,6 +474,11 @@ object SparkEntry {
     // order into one training text per conversation
     "q_chat_render" -> ((s, d) =>
       Conversations.render(Tables.events(s, d))),
+    // session-scoped assembly: one conversation per (user, 30-min-gap
+    // session) — the streaming ingest shape (same definition runs under
+    // a watermark; StreamingSpec parity-asserts the flush)
+    "q_chat_sessions" -> ((s, d) =>
+      Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
@@ -1226,6 +1231,19 @@ object SparkEntry {
         "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
+    // gaps-and-islands sessions (strict '<' like q_window_session) + the
+    // same per-session string_agg render
+    "q_chat_sessions" ->
+      ("WITH m AS (SELECT user_id, ts, event_id, event_type, props, " +
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "< INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess FROM events), " +
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT user_id, min(ts) AS sess_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS sess_end, count(*) AS n_turns, " +
+        "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
+        "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
+        "FROM s GROUP BY user_id, sess"),
     // relational replay of the array-expression winnowing: window-min
     // over gram hashes with a truncated final frame; md5-prefix string
     // hashes make min() engine-identical (binary order on [0-9a-f])

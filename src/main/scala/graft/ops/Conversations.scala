@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Conversation / SFT-sample assembly: turn streams → rendered training
@@ -16,26 +16,68 @@ import org.apache.spark.sql.functions._
   */
 object Conversations {
 
+  /** The ONE rendered-line definition shared by [[render]] and
+    * [[renderSessions]] (the winnowing one-definition lesson: two copies
+    * of a template expression WILL drift). Null-field turns render as
+    * empty slots instead of nulling the whole line: concat propagates
+    * null, array_join then SKIPS the element while count() still counts
+    * it — n_turns and the text would silently disagree (and the oracle's
+    * string_agg skips nulls identically, so the gate could never catch
+    * it).
+    */
+  private def lineCol: Column =
+    concat(lit("["), coalesce(col("event_type"), lit("")), lit("#"),
+      col("event_id"), lit("] "),
+      coalesce(col("props"), lit("")))
+
+  /** The ONE assembly aggregation: turn count + newline-joined lines in
+    * ((ts, event_id) — unique, so the output is a pure function of the
+    * data) event-time order.
+    */
+  private def renderAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_turns"),
+    array_join(
+      transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("line")))),
+        s => s.getField("line")),
+      "\n").as("text"))
+
   /** Render each key's turns as `[type#id] props` lines, event-time
-    * ordered ((ts, event_id) — unique, so the output is a pure function
-    * of the data), joined with newlines. Returns (key, n_turns, text).
+    * ordered, joined with newlines. Returns (key, n_turns, text).
     */
   def render(events: DataFrame, keyCol: String = "user_id"): DataFrame =
     events
-      .select(col(keyCol), col("ts"), col("event_id"),
-        // null-field turns render as empty slots instead of nulling the
-        // whole line: concat propagates null, array_join then SKIPS the
-        // element while count() still counts it — n_turns and the text
-        // would silently disagree (and the oracle's string_agg skips
-        // nulls identically, so the gate could never catch it)
-        concat(lit("["), coalesce(col("event_type"), lit("")), lit("#"),
-          col("event_id"), lit("] "),
-          coalesce(col("props"), lit(""))).as("line"))
+      .select(col(keyCol), col("ts"), col("event_id"), lineCol.as("line"))
       .groupBy(keyCol)
-      .agg(count(lit(1)).as("n_turns"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"), col("line")))),
-            s => s.getField("line")),
-          "\n").as("text"))
+      .agg(renderAggs.head, renderAggs.tail: _*)
+
+  /** Session-scoped assembly: one rendered conversation per (key,
+    * session), a session closing after `gap` of event-time silence —
+    * the SFT-pipeline ingest shape ([[render]] treats a key's whole
+    * history as one conversation; real chat logs are session-delimited).
+    * Same line template, same ordering, same aggregation as [[render]],
+    * applied per `session_window`.
+    *
+    * Streaming twin for free: on a stream, apply
+    * `events.withWatermark("ts", ...)` first and this exact function
+    * assembles + flushes each conversation when the watermark passes its
+    * session end (append mode) — Structured Streaming's session_window
+    * merges partial sessions across micro-batches in the state store, so
+    * open conversations buffer only their own turns. Batch and streaming
+    * plans share this one definition (StreamingSpec parity-asserts it on
+    * a replayed turn stream).
+    *
+    * Returns (key, sess_start, sess_end, n_turns, text); sess_end is
+    * last-turn-ts + gap, Spark's session_window end.
+    */
+  def renderSessions(events: DataFrame, gap: String,
+      keyCol: String = "user_id"): DataFrame =
+    events
+      .select(col(keyCol), col("ts"), col("event_id"), lineCol.as("line"))
+      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .agg(renderAggs.head, renderAggs.tail: _*)
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_turns"), col("text"))
 }

@@ -367,6 +367,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming conversation assembly: session-flushed renders match the " +
+      "batch render on a replayed turn stream (one shared definition)") {
+    import graft.ops.Conversations
+    // two users, interleaved + out-of-order turns, one null-props turn;
+    // user 7's turns split into TWO sessions (> 30s apart)
+    val turns = Seq(
+      (7L, ts(1), 101L, "user", "{\"q\":1}"),
+      (7L, ts(3), 102L, "assistant", null),
+      (8L, ts(2), 201L, "user", "{\"q\":2}"),
+      (7L, ts(3), 103L, "tool", "{\"t\":1}"), // same-ts tie with 102 → id order
+      (7L, ts(50), 104L, "user", "{\"q\":3}"), // second session
+      (8L, ts(5), 202L, "assistant", "{\"a\":2}"))
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "props")
+    // batch reference over the same frame
+    val expected = Conversations.renderSessions(
+        turns.toDF(cols: _*), "30 seconds")
+      .as[(Long, Timestamp, Timestamp, Long, String)].collect().toSet
+    assert(expected.size == 3 && expected.exists(_._4 == 1L))
+
+    val in = MemoryStream[(Long, Timestamp, Long, String, String)](17, spark, None)
+    val sessions = Conversations.renderSessions(
+      in.toDF().toDF(cols: _*).withWatermark("ts", "0 seconds"), "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("conv_sessions")
+      .outputMode("append").start()
+    withQuery(q) {
+      // replay across micro-batches, splitting INSIDE user 7's first
+      // session so partial sessions must merge in the state store
+      in.addData(turns(0), turns(2)); q.processAllAvailable()
+      in.addData(turns(1), turns(3), turns(5)); q.processAllAvailable()
+      in.addData(turns(4)); q.processAllAvailable()
+      // sentinel advances the watermark past every session end
+      in.addData((999L, ts(200), 901L, "user", "x")); q.processAllAvailable()
+      in.addData((999L, ts(201), 902L, "user", "x")); q.processAllAvailable()
+      val got = spark.table("conv_sessions")
+        .as[(Long, Timestamp, Timestamp, Long, String)]
+        .collect().filter(_._1 != 999L).toSet
+      assert(got == expected, s"got:\n$got\nexpected:\n$expected")
+    }
+  }
+
   test("X6 event-time timer survives a key spanning multiple micro-batches " +
       "(Spark clears stored timeouts per invocation — must re-arm)") {
     val in = MemoryStream[(String, Timestamp)](13, spark, None)
