@@ -398,6 +398,15 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 3)
     }),
+    // graded decontam: overlap normalized by the doc's own gram count —
+    // what threshold/downweight policies actually consume
+    "q_contam_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.contaminationFraction(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
     // PII scrubbing: the synthetic corpus contains no PII-shaped strings
     // (measured — zero '@', zero digit runs), so every 7th document gets a
     // deterministic email+IP+phone suffix injected IN the query, mirrored
@@ -1102,6 +1111,22 @@ object SparkEntry {
         "SELECT tr.doc_id, coalesce(m.nc, 0) AS n_contam, " +
         "CAST(coalesce(m.nc, 0) > 0 AS INT) AS contaminated " +
         "FROM tr LEFT JOIN m USING (doc_id)"),
+    // graded decontam over the same gram CTEs, + per-doc distinct-gram
+    // denominator
+    "q_contam_frac" ->
+      (s"WITH tr AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 97 <> 0), " +
+        s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
+        "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
+        "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
+        "tri AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM tr), " +
+        "trg AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM tri), " +
+        "ng AS (SELECT doc_id, count(DISTINCT g) AS ng FROM trg GROUP BY doc_id), " +
+        "m AS (SELECT doc_id, count(DISTINCT g) AS nc FROM trg JOIN evg USING (g) GROUP BY doc_id) " +
+        "SELECT tr.doc_id, CAST(coalesce(ng.ng, 0) AS BIGINT) AS n_grams, " +
+        "CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contam, " +
+        "round(CASE WHEN coalesce(ng.ng, 0) > 0 " +
+        "THEN CAST(coalesce(m.nc, 0) AS DOUBLE) / ng.ng ELSE 0 END, 4) AS contam_frac " +
+        "FROM tr LEFT JOIN ng USING (doc_id) LEFT JOIN m USING (doc_id)"),
     // quantizer = floor(x/scale + 0.5), deliberately not round(): engine
     // round() tie rules differ, floor is bit-identical everywhere
     "q_quantize" ->

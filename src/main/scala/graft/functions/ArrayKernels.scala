@@ -348,11 +348,22 @@ object ArrayKernels {
   private val BMP_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("bmp")
   private val WAV_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("wav")
   private val JPEG_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("jpeg")
+  private val PNG_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("png")
+  private val GIF_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("gif")
+  private val MP3_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("mp3")
+  private val AVI_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("avi")
 
   private def leUInt(b: Array[Byte], off: Int, n: Int): Long = {
     var v = 0L
     var i = n - 1
     while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def beUInt(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
     v
   }
 
@@ -580,17 +591,95 @@ object ArrayKernels {
     null
   }
 
+  /** PNG IHDR parse for [[parseMediaHeader]]: the full 8-byte signature,
+    * then the FIRST chunk must be the canonical 13-byte IHDR (the PNG
+    * spec requires it first — a conforming file can't hide it) — width
+    * and height are BE uint32 at fixed offsets 16/20, channel count
+    * derived from the color type at 25 (grey 1, grey+alpha 2,
+    * truecolor/palette 3, RGBA 4). Dimensions only, pixels stay
+    * DEFLATE-compressed. NULL on a malformed signature, a non-IHDR first
+    * chunk, an unknown color type, or zero/out-of-int-range dimensions.
+    */
+  def pngIhdr(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    if (b.length < 26) return null
+    if (!((b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+        (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a)) return null
+    if (!(b(8) == 0 && b(9) == 0 && b(10) == 0 && b(11) == 13 &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+    val w = beUInt(b, 16, 4)
+    val h = beUInt(b, 20, 4)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 3 // palette indices decode to RGB
+      case 4 => 2
+      case 6 => 4
+      case _ => return null
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    new GenericInternalRow(Array[Any](w.toInt, h.toInt, channels, null, PNG_CODEC))
+  }
+
+  /** MP3 frame-header parse for [[parseMediaHeader]]: sample rate and
+    * channel count from the first frame header's bit fields. The frame
+    * must sit at byte 0 or (the usual case) immediately after an ID3v2
+    * tag whose declared syncsafe size is skipped — deliberately NOT a
+    * free scan for sync bits, which would misread arbitrary binaries as
+    * MP3 (the same canonical-layout witness policy as the WAV kernel).
+    * NULL on reserved version/layer/sample-rate codes. Audio stays
+    * MPEG-encoded; this is metadata only.
+    */
+  def mp3Header(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 4-byte syncsafe (7-bit) size at 6..9, tag body follows
+      // the 10-byte header
+      var sz = 0L
+      var i = 6
+      while (i < 10) {
+        if ((b(i) & 0x80) != 0) return null // syncsafe bytes keep bit 7 clear
+        sz = (sz << 7) | (b(i) & 0x7fL)
+        i += 1
+      }
+      if (10L + sz > Int.MaxValue) return null
+      off = 10 + sz.toInt
+    }
+    if (off < 0 || off + 4 > b.length) return null
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return null
+    val version = (b(off + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (b(off + 1) >> 1) & 3   // 0=reserved
+    if (version == 1 || layer == 0) return null
+    val rateIdx = (b(off + 2) >> 2) & 3
+    if (rateIdx == 3) return null // reserved
+    val base = Array(44100, 48000, 32000)(rateIdx)
+    val rate = version match {
+      case 3 => base      // MPEG1
+      case 2 => base / 2  // MPEG2
+      case _ => base / 4  // MPEG2.5
+    }
+    val channels = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2 // mode 3 = mono
+    new GenericInternalRow(Array[Any](null, null, channels, rate, MP3_CODEC))
+  }
+
   /** Static helper for [[MediaHeader]]: parse the codec-free container
-    * headers (PPM / BMP / canonical-RIFF WAV) plus JPEG frame headers
-    * straight off the bytes. Returns null for unrecognized blobs —
-    * truncated headers, arbitrary binaries, codecs whose dimensions are
-    * not byte-walkable without a decoder. Semantics match the retired
-    * string-expression decoder: BMP requires the "BM" magic AND a known
-    * BITMAPINFO* DIB size at offset 14 (40/52/56/108/124 — all keep
-    * width/height at 18/22, height signed for top-down bitmaps); WAV
-    * requires "RIFF"+"WAVEfmt"; PPM is `P6 <w> <h> <maxval>` in the first
-    * 32 bytes; JPEG is SOI + a SOF marker-segment walk ([[jpegSof]] —
-    * dimensions only; pixel decode still needs a codec library).
+    * headers (PPM / BMP / canonical-RIFF WAV) plus JPEG/PNG/GIF image
+    * headers straight off the bytes. Returns null for unrecognized
+    * blobs — truncated headers, arbitrary binaries, codecs whose
+    * dimensions are not byte-walkable without a decoder. Semantics match
+    * the retired string-expression decoder: BMP requires the "BM" magic
+    * AND a known BITMAPINFO* DIB size at offset 14 (40/52/56/108/124 —
+    * all keep width/height at 18/22, height signed for top-down
+    * bitmaps); WAV requires "RIFF"+"WAVEfmt"; PPM is `P6 <w> <h>
+    * <maxval>` in the first 32 bytes; JPEG is SOI + a SOF marker-segment
+    * walk ([[jpegSof]]); PNG is signature + first-chunk IHDR
+    * ([[pngIhdr]]); GIF is "GIF87a"/"GIF89a" + the LE uint16
+    * logical-screen dimensions at offsets 6/8; MP3 is a frame header at
+    * 0 or after a skipped ID3v2 tag ([[mp3Header]] — sample rate +
+    * channels); AVI is RIFF/"AVI " + LIST/hdrl + leading avih with
+    * dwWidth/dwHeight at 64/68. The compressed codecs are
+    * metadata-only; sample/pixel decode still needs a codec library.
     */
   def parseMediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -622,11 +711,38 @@ object ArrayKernels {
       new GenericInternalRow(Array[Any](w, h, 3, null, BMP_CODEC))
     } else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
-        b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't') {
+        b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't' &&
+        b(15) == ' ') {
       new GenericInternalRow(Array[Any](null, null,
         leUInt(b, 22, 2).toInt, leUInt(b, 24, 4).toInt, WAV_CODEC))
+    } else if (b.length >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+        b(11) == ' ' && b(12) == 'L' && b(13) == 'I' && b(14) == 'S' &&
+        b(15) == 'T' && b(20) == 'h' && b(21) == 'd' && b(22) == 'r' &&
+        b(23) == 'l' && b(24) == 'a' && b(25) == 'v' && b(26) == 'i' &&
+        b(27) == 'h') {
+      // canonical AVI: RIFF/AVI + LIST/hdrl + leading avih chunk; the
+      // MainAVIHeader's dwWidth/dwHeight sit at fixed offsets 64/68
+      val w = leUInt(b, 64, 4)
+      val h = leUInt(b, 68, 4)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        new GenericInternalRow(Array[Any](w.toInt, h.toInt, null, null, AVI_CODEC))
+      else null
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       jpegSof(b)
+    } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') {
+      pngIhdr(b)
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = leUInt(b, 6, 2).toInt
+      val h = leUInt(b, 8, 2).toInt
+      if (w > 0 && h > 0)
+        new GenericInternalRow(Array[Any](w, h, 3, null, GIF_CODEC))
+      else null
+    } else if (b.length >= 4 && (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
+        (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))) {
+      mp3Header(b)
     } else null
   }
 

@@ -75,6 +75,33 @@ object Decontam {
         (coalesce(col("n_contam"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Graded contamination: [[contaminationCounts]] normalized by each
+    * document's own distinct-gram count — 40 shared grams mean total
+    * memorization for a 50-gram doc and background noise for a 50k-gram
+    * one, so threshold policies (drop above x%, downweight in between)
+    * need the fraction, not the raw count. Returns (id, n_grams,
+    * n_contam, contam_frac) for every training row; zero-gram documents
+    * (shorter than n tokens) get fraction 0. Same two-scan shape as
+    * [[contaminationCounts]] (the gram-size pass is scan-stage narrow;
+    * only matched (id, gram) rows and the id-keyed counts shuffle).
+    */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val matched = matchedGrams(train, evalSet, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contam"))
+    train
+      .select(col(idCol),
+        size(ngrams(Core.tokensUni(col(textCol)), n, distinct = true))
+          .cast("long").as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        round(when(col("n_grams") > 0,
+            coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0), 4).as("contam_frac"))
+  }
+
   /** Per-row contamination predicate against a FIXED eval gram list — the
     * streaming form. The batch anti-join is self-referential (the
     * contaminated-id set derives from the same frame), which append-mode

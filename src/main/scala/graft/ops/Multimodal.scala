@@ -68,7 +68,13 @@ object Multimodal {
     *     at offset 22 (uint16), sample rate at offset 24 (uint32);
     *   - JPEG (SOI magic): marker-segment walk to the first SOF frame
     *     header — exact width/height/channels for baseline, extended, and
-    *     progressive JPEGs; dimensions only, pixels stay encoded.
+    *     progressive JPEGs; dimensions only, pixels stay encoded;
+    *   - PNG (signature + first-chunk IHDR): BE uint32 dimensions +
+    *     color-type-derived channel count; pixels stay compressed;
+    *   - GIF ("GIF87a"/"GIF89a"): LE uint16 logical-screen dimensions;
+    *   - MP3 (frame header at 0 or after a skipped ID3v2 tag): sample
+    *     rate + channel count from the header bit fields;
+    *   - AVI (RIFF/"AVI " + LIST/hdrl + avih): video frame dimensions.
     * Returns NULL for unrecognized blobs (non-byte-walkable codecs,
     * truncated headers) — the honest signal; callers choose the fallback
     * (see [[mediaFeatures]]).

@@ -57,6 +57,15 @@ object Retrieval {
     * were built from (zero-token documents count toward N and pull avgdl
     * down, matching [[bm25]]'s inline stats); a query then touches no
     * corpus text at all.
+    *
+    * Append staleness: [[IndexTables.append]]ing new crawl postings does
+    * NOT update this table — N/avgdl go stale by the increment size,
+    * which skews idf/length-normalization slightly (scores drift, order
+    * rarely does) until the next rebuild. Real engines accept exactly
+    * this (Lucene's segment stats merge on commit, not per doc); callers
+    * that append must refresh the stats table on the same cadence they
+    * [[IndexTables.compact]], by dropping `<name>_stats` and re-running
+    * this function over the grown corpus.
     */
   def corpusStats(docs: DataFrame, name: String,
       textCol: String = "text"): DataFrame =

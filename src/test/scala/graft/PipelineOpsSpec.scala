@@ -45,6 +45,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 4) // one row per training doc, zero-overlap included
   }
 
+  test("contaminationFraction normalizes by the doc's own distinct grams") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we saw the quick brown fox yesterday maybe"), // 6 grams, 2 shared
+      (2L, "nothing in common with anything here"),       // 4 grams, 0 shared
+      (3L, "the quick brown fox jumps"),                  // 3 grams, all shared
+      (4L, "to")                                          // < n tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val got = Decontam.contaminationFraction(train, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 2L, 0.3333)), got(1L))
+    assert(got(2L) == ((2L, 4L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 3L, 3L, 1.0))) // total memorization reads as 1.0
+    assert(got(4L) == ((4L, 0L, 0L, 0.0))) // zero-gram doc: defined, not NaN
+  }
+
   test("decontaminate drops exactly the overlapping docs; eval side broadcasts") {
     val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(

@@ -59,4 +59,21 @@ time("50k-repetition")(graft.SparkEntry.queries("q_repetition")(spark, s).count(
 time("50k-bpe-exact")(graft.SparkEntry.queries("q_bpe_exact")(spark, s).count())
 time("50k-clean-corpus-v2")(graft.SparkEntry.queries("q_clean_corpus_v2")(spark, s).count())
 time("50k-compression")(graft.SparkEntry.queries("q_compression")(spark, s).count())
+// round-6/7 additions: retrieval, winnowing, pack-then-chunk, sessions
+time("50k-search")(graft.SparkEntry.queries("q_search")(spark, s).count())
+time("50k-bm25")(graft.SparkEntry.queries("q_bm25")(spark, s).count())
+time("50k-bm25-idx-build+query")(graft.SparkEntry.queries("q_bm25_idx")(spark, s).count())
+// second call = pure query serving: the postings + stats tables persist
+time("50k-bm25-idx-query-only")(graft.SparkEntry.queries("q_bm25_idx")(spark, s).count())
+time("50k-winnow")(graft.SparkEntry.queries("q_winnow")(spark, s).count())
+// NOTE the ×10-copies corpus makes every doc a 10-way dup: q_winnow_pairs
+// here measures true-pair OUTPUT volume (~C(10,2) per fp group), not
+// selection overhead — the distinct-docs row below isolates the overhead
+time("50k-winnow-pairs-dupheavy")(graft.SparkEntry.queries("q_winnow_pairs")(spark, s).count())
+time("50k-winnow-stats")(graft.SparkEntry.queries("q_winnow_stats")(spark, s).count())
+time("50k-pack-seq")(graft.SparkEntry.queries("q_pack_seq")(spark, s).count())
+time("1M-chat-sessions")(graft.SparkEntry.queries("q_chat_sessions")(spark, s).count())
+// overhead-bound winnowing over the 1M DISTINCT synthetic docs
+time("1M-winnow-pairs-distinct")(graft.ops.Dedup.winnowPairs(sd).count())
+time("1M-winnow-stats-distinct")(graft.ops.Dedup.winnowPairsStats(sd).count())
 sys.exit(0)
