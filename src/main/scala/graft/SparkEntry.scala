@@ -472,6 +472,13 @@ object SparkEntry {
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
         alpha = TEMP_ALPHA, totalRows = TEMP_TOTAL)),
+    // fractional-epoch upsampling: 2.5 epochs of src0, 0.3 of src1, src2
+    // dropped, everything else 1 — deterministic extra-copy choice
+    "q_epoch_mix" -> ((s, d) =>
+      Sampling.epochUpsample(Tables.documents(s, d), "source",
+          Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 0.0),
+          defaultEpochs = 1.0, salt = "ep")
+        .select(col("source"), col("doc_id"), col("epoch"))),
     // per-source percentile quality gate: keep each source's best 40 %
     "q_quality_rank" -> ((s, d) =>
       TextAnalysis.qualityPercentile(Tables.documents(s, d), "source",
@@ -1218,6 +1225,22 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT r.source, r.doc_id, rk, n.weight, n.n_target " +
         "FROM r JOIN n USING (source) WHERE rk <= n_target"),
+    // epoch upsampling: whole-epoch copies + a hash-fraction extra copy,
+    // replicated via range(n) (same salted md5 key as the Spark side)
+    "q_epoch_mix" -> {
+      val thr05 = ops.Sampling.hexThreshold(0.5)
+      val thr03 = ops.Sampling.hexThreshold(0.3)
+      val thr0 = ops.Sampling.hexThreshold(0.0)
+      "WITH e AS (SELECT source, doc_id, " +
+        "CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 " +
+        "WHEN source = 'src2' THEN 0 ELSE 1 END + " +
+        "CASE WHEN ('0' || substring(md5('ep' || CAST(doc_id AS VARCHAR)), 1, 8)) < " +
+        s"(CASE WHEN source = 'src0' THEN '$thr05' WHEN source = 'src1' THEN '$thr03' " +
+        s"WHEN source = 'src2' THEN '$thr0' ELSE '$thr0' END) THEN 1 ELSE 0 END AS n " +
+        "FROM documents) " +
+        "SELECT source, doc_id, CAST(unnest(range(n)) AS INT) AS epoch " +
+        "FROM e WHERE n > 0"
+    },
     // rank on the raw logit (monotone in the score but never saturates to
     // a tie the way sigmoid's double rounding can); cume_dist — not
     // percent_rank, which zeroes single-doc strata — is an exact rational

@@ -165,6 +165,43 @@ object Sampling {
         col("weight"), col("n_target"))
   }
 
+  /** Fractional-epoch upsampling — the dual of downsampling in a data
+    * recipe: "2.5 epochs of books, 0.3 of web" repeats every stratum-s
+    * row ⌊e_s⌋ times and gives a deterministic e_s−⌊e_s⌋ hash-fraction of
+    * its rows one extra copy, so the expected duplication per stratum is
+    * exactly e_s and the CHOICE of extra-copy rows is a pure function of
+    * the data (re-runs, retries, and engines agree — the same argument as
+    * [[hashSample]]; an RNG draw would make every recovery a different
+    * mixture). Emits every input column plus `epoch` (0-based copy
+    * index) so downstream order shuffling can decorrelate the copies;
+    * e_s = 0 drops the stratum.
+    *
+    * Scale shape: scan-stage only — the per-row copy count is a constant
+    * fold over the strata map plus one hash compare, and the explode is
+    * narrow; nothing shuffles. Output volume is Σ e_s·|s| rows, the
+    * price of upsampling itself, not of this operator.
+    */
+  def epochUpsample(docs: DataFrame, strataCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 1024.0),
+      s"epochs must be in [0, 1024], got $epochs / $defaultEpochs")
+    def whole(e: Double): Int = math.floor(e).toInt
+    def fracThr(e: Double): String = hexThreshold(e - math.floor(e))
+    val base = epochs.foldLeft(lit(whole(defaultEpochs))) {
+      case (acc, (s, e)) => when(col(strataCol) === s, lit(whole(e))).otherwise(acc)
+    }
+    val thr = epochs.foldLeft(lit(fracThr(defaultEpochs))) {
+      case (acc, (s, e)) => when(col(strataCol) === s, lit(fracThr(e))).otherwise(acc)
+    }
+    docs
+      .withColumn("_n_copies",
+        base + (hashKey(col(idCol), salt) < thr).cast("int"))
+      .where(col("_n_copies") > 0)
+      .select(docs.columns.map(col).toSeq :+
+        explode(sequence(lit(0), col("_n_copies") - 1)).as("epoch"): _*)
+  }
+
   /** Deterministic global corpus shuffle into `16^shardHexDigits` training
     * shards — the "randomize training order reproducibly" op. Reading
     * shards in shard order, rows in `pos` order, replays the corpus in

@@ -126,6 +126,30 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.forall(s => s > 400 && s < 850), sizes.toString)
   }
 
+  test("epochUpsample: whole copies exact, fractional extra near rate, " +
+      "deterministic and zero-epoch strata dropped") {
+    val got = Sampling.epochUpsample(docs, "lang",
+      Map("en" -> 2.5, "de" -> 0.0), defaultEpochs = 1.0, salt = "ep")
+    val counts = got.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(!counts.contains("de")) // 0 epochs = dropped stratum
+    // en: 5000 docs × 2.5 expected → every doc twice + ~50% a third time
+    assert(counts("en") >= 5000L * 2 + 2200 && counts("en") <= 5000L * 2 + 2800,
+      counts.toString)
+    // every en doc appears 2 or 3 times, epochs numbered 0..n-1
+    val perDoc = got.where($"lang" === "en").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max($"epoch").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(perDoc.length == 5000)
+    assert(perDoc.forall(r => (r._2 == 2 || r._2 == 3) && r._3 == r._2 - 1))
+    // exactly repeatable (pure function of the data)
+    val again = Sampling.epochUpsample(docs, "lang",
+      Map("en" -> 2.5, "de" -> 0.0), defaultEpochs = 1.0, salt = "ep")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("deterministicShuffle (shard, pos) order replays global hash order") {
     val small = Sampling.deterministicShuffle(docs.limit(500), "doc_id")
     val byShard = small.orderBy("shard", "pos").select("doc_id")
