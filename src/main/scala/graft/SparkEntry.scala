@@ -525,6 +525,15 @@ object SparkEntry {
         Retrieval.postingsIndex(docs, name),
         Retrieval.corpusStats(docs, name), BM25_TERMS)
     }),
+    // the serving shape: top-25 by score from the standing index
+    // (TakeOrdered — per-partition heads + one k-row merge, no global sort)
+    "q_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.bm25TopK(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name), BM25_TERMS, k = 25)
+    }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
     // columns only, and the long form skips the array-reassembly shuffle
@@ -1341,6 +1350,25 @@ object SparkEntry {
         "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
         "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
         "FROM tp2 JOIN dfs USING (token), stats GROUP BY doc_id"
+    },
+    // top-k serving: same scores, deterministic (score desc, doc_id) head
+    "q_bm25_topk" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        s"tp AS (SELECT doc_id, unnest(list_intersect(toks, $termList)) AS token, toks FROM t), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl FROM tp), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token), stats GROUP BY doc_id) " +
+        "SELECT doc_id, n_terms, score FROM sc " +
+        "ORDER BY score DESC, doc_id LIMIT 25"
     },
     // index-served BM25 must produce byte-identical scores to the direct
     // path, so its oracle IS the direct path's SQL

@@ -183,6 +183,22 @@ object Retrieval {
     scoreBm25(tp, dfs, stats, k1, b, idCol)
   }
 
+  /** The actual query-serving shape: top-`k` documents by BM25 from the
+    * standing index. `orderBy(...).limit(k)` plans as TakeOrdered —
+    * per-partition heads then one k-row merge at the driver, never a
+    * global sort — so the cost beyond [[bm25FromIndex]] is O(k) per
+    * partition. Deterministic under score ties (doc id breaks them), so
+    * the result SET is a pure function of the data, not of partitioning.
+    */
+  def bm25TopK(index: DataFrame, stats: DataFrame, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    bm25FromIndex(index, stats, terms, k1, b, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The ONE definition of the Robertson score both [[bm25]] and
     * [[bm25FromIndex]] share (identical expression tree ⇒ identical
     * rounding ⇒ identical hashes — the winnowing one-definition lesson).

@@ -94,6 +94,21 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning:\n$plan")
   }
 
+  test("bm25TopK: deterministic (score, id) head via TakeOrdered, no global sort") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_topk_test_postings_b8")
+    IndexTables.drop(spark, "ret_topk_test_stats")
+    val idx = Retrieval.postingsIndex(docs, "ret_topk_test")
+    val stats = Retrieval.corpusStats(docs, "ret_topk_test")
+    val top2 = Retrieval.bm25TopK(idx, stats, Seq("spark", "joins"), k = 2)
+    val all = Retrieval.bm25FromIndex(idx, stats, Seq("spark", "joins"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, score) => (-score, id) }.take(2).toSeq
+    assert(top2.as[(Long, Long, Double)].collect().toSeq == all)
+    val plan = top2.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered:\n$plan")
+  }
+
   test("corpusStats counts zero-token docs toward N and avgdl, like bm25") {
     import graft.ops.IndexTables
     IndexTables.drop(spark, "ret_stats_test_stats")
