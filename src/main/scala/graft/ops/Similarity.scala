@@ -312,6 +312,36 @@ object Similarity {
     (cents, assigned)
   }
 
+  /** Incremental maintenance for a growing embedding store: assign NEW
+    * vectors against the index's EXISTING quantizer and append them into
+    * the cell-bucketed assignment table — the embedding twin of the
+    * incremental LSH dedup path (increment-sized work per crawl; the
+    * standing index is never rebuilt or re-read). The stored centroid
+    * table is the quantizer of record: recomputing centroids here would
+    * silently split the index across two quantizers and corrupt every
+    * probe, so this REFUSES to run when no built index exists. Appended
+    * `vec_id`s must be new, same contract as every index append.
+    *
+    * Quantizer staleness: the centroids were trained on the corpus at
+    * build time, so cell occupancy drifts as the distribution shifts —
+    * probes stay CORRECT (assignment and probe use the same centroids;
+    * recall at fixed nprobe degrades only as cells unbalance). Refresh on
+    * the compact cadence: [[IndexTables.drop]] both tables and rebuild
+    * via [[ivfIndex]] (optionally warm-started with [[refineCentroids]]),
+    * the same policy as [[graft.ops.Retrieval.corpusStats]].
+    */
+  def ivfAppend(newEmb: DataFrame, k: Int, name: String,
+      nBuckets: Int = 8): DataFrame = {
+    val spark = newEmb.sparkSession
+    val cents = IndexTables.plain(spark, s"${name}_${k}_centroids")(
+        sys.error(s"ivfAppend($name): no existing IVF index — " +
+          "build one with ivfIndex first"))
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    IndexTables.append(spark, s"${name}_${k}_b$nBuckets",
+      ivfAssign(newEmb, cents))
+    spark.table(s"${name}_${k}_b$nBuckets")
+  }
+
   /** Assign every vector to its nearest centroid cell. The per-vector cost
     * is k dot products through the codegen kernel; output carries only
     * (vec_id, cell, unit vector), so downstream probes shuffle ids+vecs,

@@ -460,6 +460,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!probePlan.contains("Exchange"), s"unexpected shuffle:\n$probePlan")
   }
 
+  test("ivfAppend: new vectors join the standing index under the SAME " +
+      "quantizer; probes over the grown index stay exact at nprobe=all") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ivf_append_test_4_centroids")
+    IndexTables.drop(spark, "ivf_append_test_4_b4")
+    val rnd = new scala.util.Random(23)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val base = mk(0 until 48)
+    val crawl = mk(48 until 64)
+    // append before any build must refuse, not silently build a quantizer
+    // from the increment
+    val refused = intercept[RuntimeException] {
+      Similarity.ivfAppend(crawl, 4, "ivf_append_test", nBuckets = 4)
+    }
+    assert(refused.getMessage.contains("no existing IVF index"))
+    val (cents, _) = Similarity.ivfIndex(base, 4, "ivf_append_test", nBuckets = 4)
+    val grown = Similarity.ivfAppend(crawl, 4, "ivf_append_test", nBuckets = 4)
+    assert(grown.count() == 64L)
+    // appended rows carry assignments from the STORED centroids: every
+    // query's nprobe=all top-k over the grown index equals brute force
+    // over the union (the exact-oracle regime)
+    val queries = base.where($"vec_id" < 4)
+    val got = Similarity.ivfTopKAll(grown, queries, 3, cents, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- 0L until 4L) {
+      val want = Similarity.topKForQuery(base.union(crawl), qid, 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) == want, s"query $qid: ${got(qid)} vs $want")
+    }
+    // appended files honor the bucket spec: cell aggregation still
+    // exchange-free over the grown table
+    val plan = grown.groupBy("cell").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("ivfTopKAll: batch probe equals per-query ivfTopK; index never exchanged") {
     val rnd = new scala.util.Random(11)
     val many = (0L until 64L).map { i =>
