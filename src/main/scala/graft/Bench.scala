@@ -52,6 +52,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,6 +86,12 @@ object Bench {
       .withDefaultValue(Nil)
     val calib = scala.collection.mutable.ListBuffer[Double]()
     for (_ <- 1 to passes) {
+      // drop Dataset-cache entries between passes: queries that persist()
+      // an intermediate (q_bm25's matched postings) are keyed by
+      // canonicalized plan in the CacheManager, so without this every
+      // timed pass after the first would silently measure the FIRST
+      // pass's cached intermediate instead of the query
+      spark.catalog.clearCache()
       calib += calibrate(spark)
       queries.foreach { case (name, fn) =>
         if (!failed(name)) {
@@ -131,7 +138,9 @@ object Bench {
       s""""shared_with_baseline":${shared.size},"shared_total":$curShared,""" +
       s""""baseline_shared_total":$baseShared,"baseline_ratio":$ratio,""" +
       s""""passes":$passes,"calibration_sec":${median(calib.toSeq)},""" +
-      s""""calibration_runs":${calib.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+      s""""calibration_runs":${calib.map(c =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
+        .mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

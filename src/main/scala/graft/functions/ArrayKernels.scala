@@ -621,14 +621,28 @@ object ArrayKernels {
     new GenericInternalRow(Array[Any](w.toInt, h.toInt, channels, null, PNG_CODEC))
   }
 
+  // kbps by (layer index 0=I,1=II,2=III)(bitrate code 1..14); code 0 is
+  // free-format and 15 reserved — both rejected as witnesses
+  private val MP3_BITRATES_V1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val MP3_BITRATES_V2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
   /** MP3 frame-header parse for [[parseMediaHeader]]: sample rate and
-    * channel count from the first frame header's bit fields. The frame
-    * must sit at byte 0 or (the usual case) immediately after an ID3v2
-    * tag whose declared syncsafe size is skipped — deliberately NOT a
-    * free scan for sync bits, which would misread arbitrary binaries as
-    * MP3 (the same canonical-layout witness policy as the WAV kernel).
-    * NULL on reserved version/layer/sample-rate codes. Audio stays
-    * MPEG-encoded; this is metadata only.
+    * channel count from the first frame header's bit fields. A bare
+    * 2-byte sync is far too weak a witness (1 in ~5k random blobs), so
+    * the canonical-layout policy here is three-fold: the frame must sit
+    * at byte 0 or immediately after an ID3v2 tag whose declared syncsafe
+    * size is skipped (never a free scan for sync bits); every bit field
+    * must be non-reserved and non-free-format; and the frame length
+    * computed from the (version, layer, bitrate, rate, padding) fields
+    * must land EXACTLY on the blob end or on another frame sync —
+    * arbitrary bytes essentially never satisfy the chain. NULL
+    * otherwise. Audio stays MPEG-encoded; this is metadata only.
     */
   def mp3Header(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -649,7 +663,7 @@ object ArrayKernels {
     if (off < 0 || off + 4 > b.length) return null
     if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return null
     val version = (b(off + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
-    val layer = (b(off + 1) >> 1) & 3   // 0=reserved
+    val layer = (b(off + 1) >> 1) & 3   // 3=Layer I, 2=II, 1=III, 0=reserved
     if (version == 1 || layer == 0) return null
     val rateIdx = (b(off + 2) >> 2) & 3
     if (rateIdx == 3) return null // reserved
@@ -658,6 +672,29 @@ object ArrayKernels {
       case 3 => base      // MPEG1
       case 2 => base / 2  // MPEG2
       case _ => base / 4  // MPEG2.5
+    }
+    val brCode = (b(off + 2) >> 4) & 0xf
+    if (brCode == 0 || brCode == 0xf) return null // free-format / reserved
+    val layerIdx = 3 - layer // 0=Layer I, 1=II, 2=III
+    val bitrate = (if (version == 3) MP3_BITRATES_V1
+      else MP3_BITRATES_V2)(layerIdx)(brCode) * 1000
+    val padding = (b(off + 2) >> 1) & 1
+    // frame bytes from samples-per-frame: L1 384 (4-byte slots),
+    // L2 1152, L3 1152 for MPEG1 / 576 for MPEG2(.5)
+    val frameLen =
+      if (layerIdx == 0) (12 * bitrate / rate + padding) * 4
+      else {
+        val coef = if (layerIdx == 2 && version != 3) 72 else 144
+        coef * bitrate / rate + padding
+      }
+    if (frameLen <= 4) return null
+    val end = off + frameLen
+    // the declared frame ends exactly at the blob end (single-frame
+    // capture) or at the next frame's sync — anything else is not MP3
+    if (end > b.length) return null
+    if (end < b.length) {
+      if (end + 2 > b.length) return null
+      if ((b(end) & 0xff) != 0xff || (b(end + 1) & 0xe0) != 0xe0) return null
     }
     val channels = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2 // mode 3 = mono
     new GenericInternalRow(Array[Any](null, null, channels, rate, MP3_CODEC))
@@ -722,7 +759,11 @@ object ArrayKernels {
         b(23) == 'l' && b(24) == 'a' && b(25) == 'v' && b(26) == 'i' &&
         b(27) == 'h') {
       // canonical AVI: RIFF/AVI + LIST/hdrl + leading avih chunk; the
-      // MainAVIHeader's dwWidth/dwHeight sit at fixed offsets 64/68
+      // MainAVIHeader's dwWidth/dwHeight sit at fixed offsets 64/68.
+      // The avih chunk must declare the canonical 56-byte MainAVIHeader —
+      // a nonstandard size would put 64/68 inside the next chunk's data
+      // (the same argument as the WAV fmt-size check)
+      if (leUInt(b, 28, 4) != 56L) return null
       val w = leUInt(b, 64, 4)
       val h = leUInt(b, 68, 4)
       if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)

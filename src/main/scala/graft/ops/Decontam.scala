@@ -91,9 +91,13 @@ object Decontam {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_contam"))
     train
+      // greatest(·, 0): size() of a NULL array (null-text row) is -1
+      // under Spark's legacy sizeOfNull — the gram count must read 0
+      // there, matching the oracle's coalesce and the non-negative
+      // contract downstream policies assume
       .select(col(idCol),
-        size(ngrams(Core.tokensUni(col(textCol)), n, distinct = true))
-          .cast("long").as("n_grams"))
+        greatest(size(ngrams(Core.tokensUni(col(textCol)), n, distinct = true)),
+          lit(0)).cast("long").as("n_grams"))
       .join(matched, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_contam"), lit(0L)).as("n_contam"),

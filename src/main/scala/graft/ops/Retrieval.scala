@@ -145,7 +145,11 @@ object Retrieval {
     // materialization argument, one operator over). persist, NOT
     // localCheckpoint: same single-tokenization, but lineage stays intact
     // so a lost executor recomputes the blocks instead of killing the
-    // query (round-6 verdict #3).
+    // query (round-6 verdict #3). The cache entry is keyed by canonical
+    // plan and lives until the session drops it — a caller looping many
+    // bm25() calls should spark.catalog.clearCache() (or unpersist via
+    // the catalog) between them, or better, serve from the standing
+    // index with bm25FromIndex, which caches nothing.
     val tp = termPostings(docs, ts, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one-row corpus stats (N, avgdl) — broadcast into every posting row

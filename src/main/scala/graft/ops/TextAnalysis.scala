@@ -556,12 +556,13 @@ object TextAnalysis {
     * faster than Heaps' law, and the prev-token marginal `c1` is the
     * unigram vocabulary itself — hundreds of millions of rows at 100 TB,
     * never a safe forced broadcast (same policy as [[surprisalScores]]'s
-    * tf join). AQE broadcasts either side while it measures small and
-    * falls back to a sort-merge join at corpus scale; the c2⋈c1 join is
-    * shuffle-free in the fallback too, since c1 is derived from c2's own
-    * aggregation and is already partitioned by `prev`. Documents with
-    * < 2 tokens have no bigrams and drop out (inner-join semantics,
-    * both engines agree).
+    * tf join). AQE broadcasts either side while it measures small; in the
+    * corpus-scale fallback the joins are sort-merge over dictionary-sized
+    * (not corpus-sized) rows — c1's aggregation and the c2⋈c1 join each
+    * cost an exchange of the bigram/unigram dictionaries, which is the
+    * honest floor once neither fits in memory. Documents with < 2 tokens
+    * have no bigrams and drop out (inner-join semantics, both engines
+    * agree).
     */
   def surprisalScoresBigram(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
