@@ -749,7 +749,11 @@ object ArrayKernels {
     } else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't' &&
-        b(15) == ' ') {
+        b(15) == ' ' &&
+        // canonical 16-byte fmt chunk as the second witness — without it
+        // any 16 bytes after the magic would be read back as
+        // channels/rate (fuzz-caught: channels=42591 from random bytes)
+        leUInt(b, 16, 4) == 16L) {
       new GenericInternalRow(Array[Any](null, null,
         leUInt(b, 22, 2).toInt, leUInt(b, 24, 4).toInt, WAV_CODEC))
     } else if (b.length >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
