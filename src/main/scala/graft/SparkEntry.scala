@@ -424,6 +424,22 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    // HTML boilerplate strip: every 4th document wrapped in a deterministic
+    // markup template IN the query (the q_pii_scrub injected-fixture
+    // convention — the synthetic corpus has no markup), then extracted
+    "q_strip_html" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(
+            lit("<html><head><title>Page</title><style>body{color:red}" +
+              "</style><script>var x = 1 < 2;</script></head>" +
+              "<body><!-- nav --><p>"),
+            col("text"),
+            lit("</p><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>")))
+          .otherwise(col("text")).as("text"))
+      injected.select(col("doc_id"), Scrub.stripHtml(col("text")).as("text"))
+    }),
     "q_quantize" -> ((s, d) =>
       Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     // exact heavy hitters (the Space-Saving sketch's oracle twin —
@@ -1178,6 +1194,23 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(t1, '${Scrub.IPV4_RE}')) AS INT) AS n_ip, " +
         s"CAST(len(regexp_extract_all(t2, '${Scrub.PHONE_RE}')) AS INT) AS n_phone " +
         "FROM s3"),
+    // same pass order as Scrub.stripHtml, patterns interpolated from the
+    // same constants; 'gs' option = global ('s' is inline in the pattern
+    // where needed); &amp; decoded last like the Spark side
+    "q_strip_html" ->
+      ("WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+        "'<html><head><title>Page</title><style>body{color:red}</style>" +
+        "<script>var x = 1 < 2;</script></head><body><!-- nav --><p>' " +
+        "|| text || '</p><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>' " +
+        "ELSE text END AS t0 FROM documents), " +
+        s"s1 AS (SELECT doc_id, regexp_replace(t0, '${Scrub.SCRIPT_RE}', ' ', 'g') AS t FROM inj), " +
+        s"s2 AS (SELECT doc_id, regexp_replace(t, '${Scrub.STYLE_RE}', ' ', 'g') AS t FROM s1), " +
+        s"s3 AS (SELECT doc_id, regexp_replace(t, '${Scrub.COMMENT_RE}', ' ', 'g') AS t FROM s2), " +
+        s"s4 AS (SELECT doc_id, regexp_replace(t, '${Scrub.TAG_RE}', ' ', 'g') AS t FROM s3), " +
+        "s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&amp;', '&') AS t FROM s4) " +
+        s"SELECT doc_id, trim(regexp_replace(t, '${Scrub.WS_RE}', ' ', 'g')) AS text FROM s5"),
     // thresholds/budgets interpolated from the same constants as the
     // Spark query; explicit ROWS frame on both sides
     "q_domain_mix" ->

@@ -53,6 +53,41 @@ object Scrub {
       regexp_count(t2, lit(PHONE_RE)).cast("int").as("n_phone"))
   }
 
+  // HTML stripping patterns — same Java∩RE2 contract as the PII set.
+  // Script/style pairs use inline (?is) + non-greedy instead of a
+  // backreference alternation (RE2 has no backreferences); the
+  // whitespace class is explicit because Java's \s includes \x0B and
+  // RE2's does not.
+  private[graft] val SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
+  private[graft] val STYLE_RE = "(?is)<style[^>]*>.*?</style>"
+  private[graft] val COMMENT_RE = "(?s)<!--.*?-->"
+  private[graft] val TAG_RE = "<[^>]*>"
+  private[graft] val WS_RE = "[ \\t\\n\\r\\f]+"
+
+  /** HTML → text: the C4-style boilerplate strip that runs BEFORE any
+    * tokenization/quality stage when the corpus arrives as raw markup.
+    * Fixed pass order, each part of the operator contract (mirrored in
+    * the oracle): script blocks, style blocks, comments — their CONTENT
+    * must go, so they run before the generic tag pass (which would strip
+    * `<script>` and leave `var x = 1;` behind) — then all remaining
+    * tags, then the six ubiquitous character entities (`&amp;` decoded
+    * LAST so `&amp;lt;` yields the literal `&lt;`, not `<`), then
+    * whitespace collapse + trim. Pure scan-stage codegen'd
+    * regexp_replace/replace chain; zero shuffle, text never leaves its
+    * partition. NOT a sanitizer (no nesting/entity completeness) — it is
+    * the training-text extraction pass, oracle-validated byte-for-byte.
+    */
+  def stripHtml(text: Column): Column = {
+    val t1 = regexp_replace(text, SCRIPT_RE, " ")
+    val t2 = regexp_replace(t1, STYLE_RE, " ")
+    val t3 = regexp_replace(t2, COMMENT_RE, " ")
+    val t4 = regexp_replace(t3, TAG_RE, " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(t4) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, WS_RE, " "))
+  }
+
   /** The filtering form: drop documents whose PII density is above
     * `maxPerKChars` redactions per 1000 characters OF THE ORIGINAL text (a
     * document that is mostly contact records is usually a directory page,

@@ -78,6 +78,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("stripHtml extracts training text: blocks, tags, entities, whitespace") {
+    import graft.ops.Scrub
+    val docs = Seq(
+      (1L, "<html><head><script>var a = 1 < 2;</script><style>p{x:1}</style>" +
+        "</head><body><!-- c --><p>Hello <b>world</b></p></body></html>"),
+      (2L, "A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (3L, "plain text stays untouched"),
+      (4L, "<SCRIPT TYPE=module>nested < less</SCRIPT>after"), // case-insensitive
+      (5L, "<p>multi\n\nline\t text</p>")
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", Scrub.stripHtml($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello world")
+    // &amp; decodes LAST: '&amp;amp;' yields the literal '&amp;', never '&'
+    assert(got(2L) == "A &amp; B <tag> \"q\" 's' end")
+    assert(got(3L) == "plain text stays untouched")
+    assert(got(4L) == "after") // script content with a bare '<' fully removed
+    assert(got(5L) == "multi line text")
+  }
+
   test("scrubPii redacts emails, IPv4, phones with exact counts") {
     val docs = Seq(
       (1L, "mail alice.smith+x@sub.example.org and bob@y.co now"),
