@@ -484,6 +484,17 @@ object SparkEntry {
     "q_pack_seq" -> ((s, d) =>
       Packing.packedSequences(Tables.documents(s, d), seqLen = 128,
         parts = 1)),
+    // document-boundary metadata of the packed stream (block-diagonal
+    // attention masks + provenance), exploded to scalar rows — the
+    // driver compare hashes scalar cells only (q_embed_pool lesson)
+    "q_pack_bounds" -> ((s, d) =>
+      Packing.packedSequencesWithBounds(Tables.documents(s, d),
+          seqLen = 128, parts = 1)
+        .select(col("seq_id"),
+          posexplode(arrays_zip(col("doc_starts"), col("doc_ids"))))
+        .select(col("seq_id"), col("pos").cast("int").as("k"),
+          col("col.doc_starts").as("doc_start"),
+          col("col.doc_ids").as("doc_id"))),
     // temperature-flattened domain mixture (alpha = 0.5 over source counts)
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
@@ -1253,6 +1264,18 @@ object SparkEntry {
         "SELECT st // 128 AS seq_id, " +
         "CAST(least(128, len(ts) - st) AS INT) AS n_tokens, " +
         "array_to_string(ts[st + 1 : st + 128], ' ') AS text FROM s"),
+    // boundary replay: each doc's absolute start offset in the parts=1
+    // concatenation (cumulative token sum), mapped to (sequence, offset);
+    // k = ordinal of the boundary within its sequence
+    "q_pack_bounds" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0), " +
+        "c AS (SELECT doc_id, CAST(sum(n) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS abs_start FROM n) " +
+        "SELECT CAST(abs_start // 128 AS BIGINT) AS seq_id, " +
+        "CAST(row_number() OVER (PARTITION BY abs_start // 128 " +
+        "ORDER BY abs_start) - 1 AS INT) AS k, " +
+        "CAST(abs_start % 128 AS INT) AS doc_start, doc_id FROM c"),
     // weight rounded to 6 decimals BEFORE the target arithmetic on both
     // sides: pow is the one step IEEE doesn't require exactly rounded
     "q_temp_mix" ->

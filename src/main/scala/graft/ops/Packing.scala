@@ -67,33 +67,69 @@ object Packing {
     * buffer; no driver involvement, no global coordination.
     */
   def packedSequences(docs: DataFrame, seqLen: Int, parts: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packedSequencesWithBounds(docs, seqLen, parts, idCol, textCol)
+      .select(col("seq_id"), col("n_tokens"), col("text"))
+
+  /** [[packedSequences]] plus the metadata trainers actually need from a
+    * packed stream: per sequence, the 0-based token offsets where a NEW
+    * document starts (`doc_starts`) and the matching ids (`doc_ids`) —
+    * the inputs to a block-diagonal attention mask (no cross-document
+    * attention) and to provenance tracking. A sequence that begins
+    * mid-document has no offset-0 entry (the document started in an
+    * earlier sequence); zero-token documents contribute no tokens and no
+    * boundary. This is THE definition — [[packedSequences]] is a
+    * projection of it, so the two can never drift (the winnowing
+    * one-definition lesson). Document ids are read as LONG (cast) for
+    * the bounds columns; non-numeric id schemes need a surrogate key
+    * first. Same scale shape: one (id, tokens) exchange, one sequential
+    * per-partition pass, O(seqLen) carry + a boundary queue bounded by
+    * docs-per-sequence.
+    */
+  def packedSequencesWithBounds(docs: DataFrame, seqLen: Int,
+      parts: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(parts > 0, s"parts must be positive, got $parts")
     val spark = docs.sparkSession
     import spark.implicits._
     // null text → zero tokens, not an executor NPE on the null Seq
-    docs.select(col(idCol),
+    docs.select(col(idCol).cast("long").as("_id"),
         coalesce(Core.tokensUni(col(textCol)),
           array().cast("array<string>")).as("toks"))
-      .repartition(parts, col(idCol))
-      .sortWithinPartitions(idCol)
-      .select(col("toks")).as[Seq[String]]
+      .repartition(parts, col("_id"))
+      .sortWithinPartitions("_id")
+      .select(col("_id"), col("toks")).as[(Long, Seq[String])]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
         var idx = 0L
         val buf = new scala.collection.mutable.ArrayBuffer[String]()
         var off = 0
-        def emit(n: Int): (Long, Int, String) = {
+        var appendedAbs = 0L // tokens ever appended in this partition
+        var consumedAbs = 0L // tokens ever emitted in this partition
+        // (absolute start, doc id) of docs not yet emitted into a sequence
+        val starts = new scala.collection.mutable.ArrayDeque[(Long, Long)]()
+        def emit(n: Int): (Long, Int, String, Seq[Int], Seq[Long]) = {
           val s = buf.slice(off, off + n).mkString(" ")
+          val hi = consumedAbs + n
+          val b = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+          while (starts.nonEmpty && starts.head._1 < hi) {
+            val (abs, id) = starts.removeHead()
+            b += (((abs - consumedAbs).toInt, id))
+          }
+          consumedAbs = hi
           off += n
           if (off > (1 << 16)) { buf.remove(0, off); off = 0 }
-          val r = ((pid << 32) | idx, n, s)
+          val r = ((pid << 32) | idx, n, s, b.map(_._1).toSeq, b.map(_._2).toSeq)
           idx += 1
           r
         }
-        val full = it.flatMap { toks =>
-          buf ++= toks
+        val full = it.flatMap { case (id, toks) =>
+          if (toks.nonEmpty) {
+            starts += ((appendedAbs, id))
+            appendedAbs += toks.length
+            buf ++= toks
+          }
           Iterator.continually(())
             .takeWhile(_ => buf.length - off >= seqLen)
             .map(_ => emit(seqLen))
@@ -104,7 +140,7 @@ object Packing {
           else None
         }.take(1)
       }
-      .toDF("seq_id", "n_tokens", "text")
+      .toDF("seq_id", "n_tokens", "text", "doc_starts", "doc_ids")
   }
 
   /** Sliding-window token chunking — the sequence-prep step that splits

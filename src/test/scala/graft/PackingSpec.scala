@@ -88,6 +88,30 @@ class PackingSpec extends SparkSpec {
       "a b c d e f g h i j k l m n o p")
   }
 
+  test("packedSequencesWithBounds: doc starts mark block-attention boundaries") {
+    val fixture = Seq(
+      (1L, "a b c d e"),       // starts seq 0 @ 0
+      (2L, "f g"),             // starts seq 1 @ 1 (seq 1 opens mid-doc-1)
+      (3L, "h i j k l m n o p"), // starts seq 1 @ 3
+      (4L, ""),                // zero tokens: no boundary anywhere
+      (5L, "q r"))             // starts seq 4 (the partial) @ 0
+      .toDF("doc_id", "text")
+    val got = Packing.packedSequencesWithBounds(fixture, seqLen = 4, parts = 1)
+      .as[(Long, Int, String, Seq[Int], Seq[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(4, 4, 4, 4, 2))
+    assert(got.map(g => (g._4, g._5)) == Seq(
+      (Seq(0), Seq(1L)),        // "a b c d": doc 1 starts at 0
+      (Seq(1, 3), Seq(2L, 3L)), // "e f g h": doc 2 @ 1, doc 3 @ 3
+      (Seq(), Seq()),           // "i j k l": continuation only
+      (Seq(), Seq()),           // "m n o p"
+      (Seq(0), Seq(5L))))       // "q r": doc 5 at 0; doc 4 never appears
+    // packedSequences is a pure projection of this pass (one definition)
+    val proj = Packing.packedSequences(fixture, seqLen = 4, parts = 1)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(proj == got.map(g => (g._1, g._2, g._3)))
+  }
+
   test("packedSequences: one trailing partial per partition, never more") {
     val docs = (1L to 40L).map(i => (i, s"t${i}a t${i}b t${i}c"))
       .toDF("doc_id", "text") // 120 tokens
