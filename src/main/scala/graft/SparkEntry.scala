@@ -424,6 +424,19 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Scrub.scrubPii(injected)
     }),
+    // C4 line-level dedup: the synthetic corpus is single-line, so a
+    // shared boilerplate footer (+ a unique line for every 3rd doc) is
+    // injected IN the query — the footer must survive only in the lowest
+    // doc_id, each unique line everywhere
+    "q_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\nunique footer "), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.lineDedup(injected)
+    }),
     // HTML boilerplate strip: every 4th document wrapped in a deterministic
     // markup template IN the query (the q_pii_scrub injected-fixture
     // convention — the synthetic corpus has no markup), then extracted
@@ -1205,6 +1218,24 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(t1, '${Scrub.IPV4_RE}')) AS INT) AS n_ip, " +
         s"CAST(len(regexp_extract_all(t2, '${Scrub.PHONE_RE}')) AS INT) AS n_phone " +
         "FROM s3"),
+    // line-dedup replay: first-occurrence ownership via row_number over
+    // (doc_id, line_no); numbering from the pre-filter split index
+    "q_line_dedup" ->
+      ("WITH inj AS (SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'unique footer ' || doc_id " +
+        "ELSE '' END AS t FROM documents), " +
+        "p AS (SELECT doc_id, string_split_regex(t, '\\r?\\n') AS parts FROM inj), " +
+        "l AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS line_no, " +
+        "trim(unnest(parts)) AS line FROM p), " +
+        "le AS (SELECT * FROM l WHERE len(line) > 0), " +
+        "keep AS (SELECT doc_id, line_no, line FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM le) WHERE rn = 1), " +
+        "nl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM le GROUP BY doc_id), " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY line_no) AS kept_text FROM keep GROUP BY doc_id) " +
+        "SELECT inj.doc_id, coalesce(nl.n_lines, 0) AS n_lines, " +
+        "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.kept_text, '') AS text " +
+        "FROM inj LEFT JOIN nl USING (doc_id) LEFT JOIN ag USING (doc_id)"),
     // same pass order as Scrub.stripHtml, patterns interpolated from the
     // same constants; 'gs' option = global ('s' is inline in the pattern
     // where needed); &amp; decoded last like the Spark side

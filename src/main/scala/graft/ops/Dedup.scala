@@ -595,6 +595,51 @@ object Dedup {
           i => array_join(slice(t, i * k + 1, lit(k)), " ")), " ").as("text"): _*)
   }
 
+  /** C4-style exact LINE-level dedup: every distinct non-empty (trimmed)
+    * line is kept only at its first occurrence corpus-wide — ownership =
+    * lowest (doc_id, line_no) — and documents are rewritten with only
+    * their owned lines. This is the C4 recipe's named dedup unit (the
+    * "three-sentence span" variant is [[spanDedup]]; lines catch the
+    * boilerplate the span grid straddles: nav bars, cookie banners,
+    * "subscribe" footers repeated across a site's every page).
+    *
+    * Scale shape mirrors [[spanDedup]]: lines never shuffle — ownership
+    * groups on md5(line) (16-byte keys + (doc_id, line_no) structs),
+    * keep-lists are per-doc int arrays, and reconstruction re-splits the
+    * text in the scan stage of the final join. Line numbering is the
+    * pre-filter split index, so empty/whitespace lines don't shift
+    * ownership identity. Returns (doc_id, [carry...], n_lines, n_kept,
+    * text) with kept lines trimmed and newline-joined; a document whose
+    * every line is owned elsewhere comes back with empty text, not a
+    * dropped row (the caller decides the drop policy).
+    */
+  def lineDedup(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val lineSplit = split(col("text"), "\\r?\\n")
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(lineSplit).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), trim(col("line")).as("line"))
+      .where(length(col("line")) > 0)
+    val owners = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("own"))
+    val keeps = owners
+      .select(col("own.doc_id").as("doc_id"), col("own.line_no").as("line_no"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("line_no"))).as("keep"))
+    // same multiply-referenced-projection discipline as spanDedup: the
+    // split array is materialized once, not re-split per kept line
+    val l = col("_l")
+    docs.join(keeps, Seq("doc_id"), "left")
+      .withColumn("_l", lineSplit)
+      .select(col("doc_id") +: carry.map(col) :+
+        size(filter(transform(l, x => trim(x)), x => length(x) > 0))
+          .as("n_lines") :+
+        size(coalesce(col("keep"), array().cast("array<int>"))).as("n_kept") :+
+        array_join(transform(coalesce(col("keep"), array().cast("array<int>")),
+          i => trim(element_at(l, i + 1))), "\n").as("text"): _*)
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */

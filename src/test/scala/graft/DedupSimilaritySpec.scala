@@ -607,6 +607,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("lineDedup keeps each distinct line at its first (doc, line) occurrence") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\n\n  "),   // blank/whitespace lines drop
+      (2L, "beta two\nshared footer\nbeta extra"),
+      (3L, "shared footer"),                    // fully deduped → empty text
+      (4L, "  alpha one  \ngamma four"))        // trims before matching
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2, 2, "alpha one\nshared footer")))
+    assert(got(2L) == ((2L, 3, 2, "beta two\nbeta extra")))
+    assert(got(3L) == ((3L, 1, 0, ""))) // row kept, caller decides the drop
+    assert(got(4L) == ((4L, 2, 1, "gamma four")))
+    // lines never shuffle: the ownership exchange carries hashes+structs
+    val plan = Dedup.lineDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
+  }
+
   test("winnowPairsStats surfaces what the posting cap drops") {
     // hot-fp fixture: 10 identical boilerplate documents (every winnowed
     // fp appears in all 10 → exact drop arithmetic), plus one unrelated doc
