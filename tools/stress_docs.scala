@@ -76,4 +76,14 @@ time("1M-chat-sessions")(graft.SparkEntry.queries("q_chat_sessions")(spark, s).c
 // overhead-bound winnowing over the 1M DISTINCT synthetic docs
 time("1M-winnow-pairs-distinct")(graft.ops.Dedup.winnowPairs(sd).count())
 time("1M-winnow-stats-distinct")(graft.ops.Dedup.winnowPairsStats(sd).count())
+// round-7 late additions
+time("50k-strip-html")(graft.SparkEntry.queries("q_strip_html")(spark, s).count())
+time("50k-epoch-mix")(graft.SparkEntry.queries("q_epoch_mix")(spark, s).count())
+time("50k-pack-bounds")(graft.SparkEntry.queries("q_pack_bounds")(spark, s).count())
+time("50k-line-dedup")(graft.SparkEntry.queries("q_line_dedup")(spark, s).count())
+// multi-line adversarial: ~40-token lines, ×10 copies make 90% of lines
+// cross-document duplicates
+val ml = spark.read.parquet(s + "/documents.parquet").select(col("doc_id"),
+  regexp_replace(col("text"), "((\\S+\\s+){40})", "$1\n").as("text"))
+time("50k-line-dedup-multiline")(graft.ops.Dedup.lineDedup(ml).count())
 sys.exit(0)
