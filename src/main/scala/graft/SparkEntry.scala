@@ -535,6 +535,15 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // DPO-style preference pairs: per source, best-vs-worst document by
+    // the model quality LOGIT (raw z — the q_quality_rank tie rationale:
+    // sigmoid's rounding saturates, the logit never does)
+    "q_pref_pairs" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("source"),
+        col("doc_id"), col("text"),
+        TextAnalysis.qualityLogit(col("text")).as("z"))
+      Conversations.preferencePairs(scored, "source", "doc_id", "z", "text")
+    }),
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
@@ -1375,6 +1384,30 @@ object SparkEntry {
         "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
+    // best/worst per source on the raw logit; both tie-breaks prefer the
+    // lowest doc_id; strict-preference filter mirrors the Spark guard
+    "q_pref_pairs" -> {
+      val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
+      s"WITH t AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents), " +
+        "f AS (SELECT doc_id, source, text, len(toks) AS n, " +
+        "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1) AS avg_len, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1) AS stop_r, " +
+        s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+        "greatest(length(text), 1) AS non_al FROM t), " +
+        s"z AS (SELECT doc_id, source, text, ($bias) + ($wLog) * ln(1 + n) + " +
+        s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY z DESC, doc_id ASC) AS rc, " +
+        "row_number() OVER (PARTITION BY source ORDER BY z ASC, doc_id ASC) AS rr FROM z), " +
+        "n AS (SELECT source, count(*) AS n_cands FROM z GROUP BY source) " +
+        "SELECT c.source, c.doc_id AS chosen_id, c.text AS chosen, " +
+        "r.doc_id AS rejected_id, r.text AS rejected, " +
+        "round(c.z - r.z, 4) AS score_gap, n.n_cands " +
+        "FROM (SELECT * FROM rk WHERE rc = 1) c " +
+        "JOIN (SELECT * FROM rk WHERE rr = 1) r USING (source) " +
+        "JOIN n USING (source) WHERE c.z > r.z"
+    },
     // gaps-and-islands sessions (strict '<' like q_window_session) + the
     // same per-session string_agg render
     "q_chat_sessions" ->

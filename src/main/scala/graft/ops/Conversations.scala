@@ -51,6 +51,39 @@ object Conversations {
       .groupBy(keyCol)
       .agg(renderAggs.head, renderAggs.tail: _*)
 
+  /** Preference-pair (DPO/RLHF-reward) assembly: per key, the
+    * best-scored and worst-scored candidates as one (chosen, rejected)
+    * training pair — keys with no STRICT preference (all candidates tie,
+    * or a single candidate) emit nothing, because a zero-margin pair
+    * teaches a preference model nothing and a same-text pair actively
+    * hurts. Tie-breaks are deterministic (lowest id on equal score for
+    * both sides), so the pair set is a pure function of the data.
+    *
+    * 100 TB scale shape: ONE map-side-combinable aggregation — each
+    * partial buffer holds at most two (score, id, text) structs per key,
+    * so candidate text crosses the exchange only inside those two
+    * structs, never as the full candidate set; no window, no self-join.
+    */
+  def preferencePairs(cands: DataFrame, keyCol: String,
+      idCol: String = "doc_id", scoreCol: String = "score",
+      textCol: String = "text"): DataFrame = {
+    // struct ordering compares fields left-to-right: score first, then
+    // the id tie-break (negated on the max side so BOTH sides prefer the
+    // lowest id); text rides along without ever being compared
+    val chosen = max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"),
+      col(textCol).as("t")))
+    val rejected = min(struct(col(scoreCol).as("s"), col(idCol).as("i"),
+      col(textCol).as("t")))
+    cands.groupBy(col(keyCol))
+      .agg(chosen.as("c"), rejected.as("r"), count(lit(1)).as("n_cands"))
+      .where(col("c.s") > col("r.s"))
+      .select(col(keyCol),
+        (-col("c.ni")).as("chosen_id"), col("c.t").as("chosen"),
+        col("r.i").as("rejected_id"), col("r.t").as("rejected"),
+        round(col("c.s") - col("r.s"), 4).as("score_gap"),
+        col("n_cands"))
+  }
+
   /** Session-scoped assembly: one rendered conversation per (key,
     * session), a session closing after `gap` of event-time silence —
     * the SFT-pipeline ingest shape ([[render]] treats a key's whole

@@ -78,6 +78,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("preferencePairs: strict best-vs-worst per key, deterministic ties") {
+    import graft.ops.Conversations
+    val cands = Seq(
+      (1L, "p1", 0.9, "best answer"),
+      (2L, "p1", 0.1, "worst answer"),
+      (3L, "p1", 0.5, "middle"),
+      (4L, "p2", 0.7, "tie a"),   // p2: all scores tie → no strict
+      (5L, "p2", 0.7, "tie b"),   //   preference → no pair
+      (6L, "p3", 0.4, "only one"), // single candidate → no pair
+      (7L, "p4", 0.8, "first of tied best"), // chosen tie → lowest id
+      (8L, "p4", 0.8, "second of tied best"),
+      (9L, "p4", 0.2, "clear loser"))
+      .toDF("cand_id", "prompt", "score", "text")
+    val got = Conversations
+      .preferencePairs(cands, "prompt", "cand_id", "score", "text")
+      .as[(String, Long, String, Long, String, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("p1", "p4"))
+    assert(got("p1") == (("p1", 1L, "best answer", 2L, "worst answer", 0.8, 3L)))
+    assert(got("p4") == (("p4", 7L, "first of tied best", 9L, "clear loser", 0.6, 3L)))
+  }
+
   test("stripHtml extracts training text: blocks, tags, entities, whitespace") {
     import graft.ops.Scrub
     val docs = Seq(
