@@ -1398,9 +1398,10 @@ object SparkEntry {
         "greatest(length(text), 1) AS non_al FROM t), " +
         s"z AS (SELECT doc_id, source, text, ($bias) + ($wLog) * ln(1 + n) + " +
         s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+        "zs AS (SELECT * FROM z WHERE z IS NOT NULL), " +
         "rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY z DESC, doc_id ASC) AS rc, " +
-        "row_number() OVER (PARTITION BY source ORDER BY z ASC, doc_id ASC) AS rr FROM z), " +
-        "n AS (SELECT source, count(*) AS n_cands FROM z GROUP BY source) " +
+        "row_number() OVER (PARTITION BY source ORDER BY z ASC, doc_id ASC) AS rr FROM zs), " +
+        "n AS (SELECT source, count(*) AS n_cands FROM zs GROUP BY source) " +
         "SELECT c.source, c.doc_id AS chosen_id, c.text AS chosen, " +
         "r.doc_id AS rejected_id, r.text AS rejected, " +
         "round(c.z - r.z, 4) AS score_gap, n.n_cands " +

@@ -704,11 +704,12 @@ object ArrayKernels {
     * headers (PPM / BMP / canonical-RIFF WAV) plus JPEG/PNG/GIF image
     * headers straight off the bytes. Returns null for unrecognized
     * blobs — truncated headers, arbitrary binaries, codecs whose
-    * dimensions are not byte-walkable without a decoder. Semantics match
-    * the retired string-expression decoder: BMP requires the "BM" magic
-    * AND a known BITMAPINFO* DIB size at offset 14 (40/52/56/108/124 —
-    * all keep width/height at 18/22, height signed for top-down
-    * bitmaps); WAV requires "RIFF"+"WAVEfmt"; PPM is `P6 <w> <h>
+    * dimensions are not byte-walkable without a decoder. Witness rules:
+    * BMP requires the "BM" magic AND a known BITMAPINFO* DIB size at
+    * offset 14 (40/52/56/108/124 — all keep width/height at 18/22,
+    * height signed for top-down bitmaps); WAV requires "RIFF"+"WAVEfmt "
+    * AND a known fmt-chunk size (16/18/40 — channels/rate offsets agree
+    * in all three layouts); PPM is `P6 <w> <h>
     * <maxval>` in the first 32 bytes; JPEG is SOI + a SOF marker-segment
     * walk ([[jpegSof]]); PNG is signature + first-chunk IHDR
     * ([[pngIhdr]]); GIF is "GIF87a"/"GIF89a" + the LE uint16
@@ -750,10 +751,17 @@ object ArrayKernels {
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E' && b(12) == 'f' && b(13) == 'm' && b(14) == 't' &&
         b(15) == ' ' &&
-        // canonical 16-byte fmt chunk as the second witness — without it
-        // any 16 bytes after the magic would be read back as
-        // channels/rate (fuzz-caught: channels=42591 from random bytes)
-        leUInt(b, 16, 4) == 16L) {
+        // known fmt-chunk sizes as the second witness (fuzz-caught:
+        // without it any 16 bytes after the magic read back as
+        // channels/rate). 16 = WAVEFORMAT, 18 = WAVEFORMATEX cbSize=0,
+        // 40 = WAVE_FORMAT_EXTENSIBLE — channels/rate sit at the same
+        // offsets in all three (an allowlist like the BMP DIB sizes;
+        // wavFrameRms keeps strict ==16 because IT also needs the data
+        // chunk at the fixed 36/44 offsets)
+        (leUInt(b, 16, 4) match {
+          case 16L | 18L | 40L => true
+          case _ => false
+        })) {
       new GenericInternalRow(Array[Any](null, null,
         leUInt(b, 22, 2).toInt, leUInt(b, 24, 4).toInt, WAV_CODEC))
     } else if (b.length >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&

@@ -74,7 +74,12 @@ object Conversations {
       col(textCol).as("t")))
     val rejected = min(struct(col(scoreCol).as("s"), col(idCol).as("i"),
       col(textCol).as("t")))
-    cands.groupBy(col(keyCol))
+    // null-scored candidates are excluded BEFORE aggregating: Spark's
+    // struct ordering sorts null first, so an unfiltered min() would
+    // elect a null-score candidate as "rejected" and the strict filter
+    // would then null out the whole key — silently losing pairs the
+    // non-null candidates clearly form (n_cands counts scored candidates)
+    cands.where(col(scoreCol).isNotNull).groupBy(col(keyCol))
       .agg(chosen.as("c"), rejected.as("r"), count(lit(1)).as("n_cands"))
       .where(col("c.s") > col("r.s"))
       .select(col(keyCol),

@@ -614,7 +614,10 @@ object Dedup {
     * dropped row (the caller decides the drop policy).
     */
   def lineDedup(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val lineSplit = split(col("text"), "\\r?\\n")
+    // null text → zero lines (split(null) is null; size() of it would
+    // read -1/null instead of the oracle's 0 — the Decontam n_grams guard)
+    val lineSplit = coalesce(split(col("text"), "\\r?\\n"),
+      array().cast("array<string>"))
     val lines = docs
       .select(col("doc_id"),
         posexplode(lineSplit).as(Seq("line_no", "line")))

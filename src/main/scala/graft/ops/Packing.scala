@@ -80,11 +80,14 @@ object Packing {
     * earlier sequence); zero-token documents contribute no tokens and no
     * boundary. This is THE definition — [[packedSequences]] is a
     * projection of it, so the two can never drift (the winnowing
-    * one-definition lesson). Document ids are read as LONG (cast) for
-    * the bounds columns; non-numeric id schemes need a surrogate key
-    * first. Same scale shape: one (id, tokens) exchange, one sequential
-    * per-partition pass, O(seqLen) carry + a boundary queue bounded by
-    * docs-per-sequence.
+    * one-definition lesson). Partitioning/ordering key on the ORIGINAL
+    * id column (any orderable type, the pre-existing packedSequences
+    * contract — hashing is unchanged for int ids); the `doc_ids` bounds
+    * column is a LONG try_cast of it, so non-numeric/null ids pack
+    * correctly but surface as -1 there (provide a numeric surrogate key
+    * when provenance matters). Same scale shape: one (id, tokens)
+    * exchange, one sequential per-partition pass, O(seqLen) carry + a
+    * boundary queue bounded by docs-per-sequence.
     */
   def packedSequencesWithBounds(docs: DataFrame, seqLen: Int,
       parts: Int = 32, idCol: String = "doc_id",
@@ -93,13 +96,15 @@ object Packing {
     require(parts > 0, s"parts must be positive, got $parts")
     val spark = docs.sparkSession
     import spark.implicits._
-    // null text → zero tokens, not an executor NPE on the null Seq
-    docs.select(col(idCol).cast("long").as("_id"),
+    // null text → zero tokens, not an executor NPE on the null Seq;
+    // try_cast → null (not an ANSI runtime error) for non-numeric ids
+    docs.select(col(idCol).as("_k"),
+        expr(s"try_cast(`$idCol` AS BIGINT)").as("_id"),
         coalesce(Core.tokensUni(col(textCol)),
           array().cast("array<string>")).as("toks"))
-      .repartition(parts, col("_id"))
-      .sortWithinPartitions("_id")
-      .select(col("_id"), col("toks")).as[(Long, Seq[String])]
+      .repartition(parts, col("_k"))
+      .sortWithinPartitions("_k")
+      .select(col("_id"), col("toks")).as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
         var idx = 0L
@@ -126,7 +131,7 @@ object Packing {
         }
         val full = it.flatMap { case (id, toks) =>
           if (toks.nonEmpty) {
-            starts += ((appendedAbs, id))
+            starts += ((appendedAbs, id.getOrElse(-1L)))
             appendedAbs += toks.length
             buf ++= toks
           }

@@ -62,7 +62,9 @@ object Scrub {
   private[graft] val STYLE_RE = "(?is)<style[^>]*>.*?</style>"
   private[graft] val COMMENT_RE = "(?s)<!--.*?-->"
   private[graft] val TAG_RE = "<[^>]*>"
-  private[graft] val WS_RE = "[ \\t\\n\\r\\f]+"
+  // THE whitespace contract is TextAnalysis.WS_RUN_RE — one constant, two
+  // pipelines (normalize + strip), so the engine∩oracle class can't drift
+  private[graft] val WS_RE = TextAnalysis.WS_RUN_RE
 
   /** HTML → text: the C4-style boilerplate strip that runs BEFORE any
     * tokenization/quality stage when the corpus arrives as raw markup.

@@ -620,6 +620,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(2L) == ((2L, 3, 2, "beta two\nbeta extra")))
     assert(got(3L) == ((3L, 1, 0, ""))) // row kept, caller decides the drop
     assert(got(4L) == ((4L, 2, 1, "gamma four")))
+    // null text → (0, 0, "") like the oracle's coalesce, never null/-1
+    val withNull = docs.union(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val nullRow = Dedup.lineDedup(withNull)
+      .where($"doc_id" === 9L)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(nullRow == ((9L, 0, 0, "")))
     // lines never shuffle: the ownership exchange carries hashes+structs
     val plan = Dedup.lineDedup(docs).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)

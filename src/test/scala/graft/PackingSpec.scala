@@ -110,6 +110,14 @@ class PackingSpec extends SparkSpec {
     val proj = Packing.packedSequences(fixture, seqLen = 4, parts = 1)
       .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
     assert(proj == got.map(g => (g._1, g._2, g._3)))
+    // the pre-existing contract holds: NON-numeric ids still pack (keyed
+    // on the original column; only the bounds ids fall back to -1)
+    val strIds = Seq(("docA", "a b c"), ("docB", "d e"))
+      .toDF("doc_id", "text")
+    val sp = Packing.packedSequencesWithBounds(strIds, seqLen = 4, parts = 1)
+      .as[(Long, Int, String, Seq[Int], Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(sp.map(_._3) == Seq("a b c d", "e"))
+    assert(sp.head._5 == Seq(-1L, -1L)) // ids unavailable, packing exact
   }
 
   test("packedSequences: one trailing partial per partition, never more") {

@@ -98,6 +98,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet == Set("p1", "p4"))
     assert(got("p1") == (("p1", 1L, "best answer", 2L, "worst answer", 0.8, 3L)))
     assert(got("p4") == (("p4", 7L, "first of tied best", 9L, "clear loser", 0.6, 3L)))
+    // a null-scored candidate must not poison its key: min(struct) would
+    // elect it "rejected" and null the strict filter — it is excluded,
+    // the non-null candidates still pair, n_cands counts scored only
+    val withNull = cands.union(
+      Seq((10L, "p1", Option.empty[Double], "unscored"))
+        .toDF("cand_id", "prompt", "score", "text"))
+    val gn = Conversations
+      .preferencePairs(withNull, "prompt", "cand_id", "score", "text")
+      .as[(String, Long, String, Long, String, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gn("p1") == (("p1", 1L, "best answer", 2L, "worst answer", 0.8, 3L)))
   }
 
   test("stripHtml extracts training text: blocks, tags, entities, whitespace") {
