@@ -537,6 +537,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(v3("s4_near_dedup") == 2L && v3("s5_spans_total") == 2L, v3)
   }
 
+  test("stripHtml and epochUpsample run unchanged on a live stream " +
+      "(stateless scan-stage ops — the streaming-ingest curation shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{Sampling, Scrub}
+    val rows = Seq(
+      (1L, "web", "<p>Hello <b>world</b></p><!-- x -->"),
+      (2L, "web", "A &amp; B plain"),
+      (3L, "code", "keep as is"),
+      (4L, "drop", "never appears"))
+    val in = MemoryStream[(Long, String, String)](91, spark, None)
+    val docs = in.toDS().toDF("doc_id", "source", "text")
+    val cleaned = Sampling.epochUpsample(
+      docs.select(col("doc_id"), col("source"),
+        Scrub.stripHtml(col("text")).as("text")),
+      "source", Map("web" -> 2.0, "drop" -> 0.0), defaultEpochs = 1.0)
+    val q = cleaned.writeStream.format("memory").queryName("strip_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("strip_stream")
+        .as[(Long, String, String, Int)].collect().toSet
+      // batch twin on the same rows, bit for bit
+      val batch = Sampling.epochUpsample(
+        rows.toDF("doc_id", "source", "text")
+          .select(col("doc_id"), col("source"),
+            Scrub.stripHtml(col("text")).as("text")),
+        "source", Map("web" -> 2.0, "drop" -> 0.0), defaultEpochs = 1.0)
+        .as[(Long, String, String, Int)].collect().toSet
+      assert(got == batch, got)
+      assert(got.count(_._1 == 1L) == 2) // web: exactly 2 epochs
+      assert(got.exists(r => r._1 == 1L && r._3 == "Hello world"))
+      assert(!got.exists(_._2 == "drop"))
+    } finally q.stop()
+  }
+
   test("PII scrub and the contamination flag run unchanged on a live stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
