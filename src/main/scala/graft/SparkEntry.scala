@@ -192,6 +192,9 @@ object SparkEntry {
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    // one-row corpus health dashboard composing the scan-stage signals
+    "q_corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(Tables.documents(s, d))),
     "q_quality_model" -> ((s, d) =>
       TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
@@ -1076,6 +1079,32 @@ object SparkEntry {
         s"($wStop) * stop_r + ($wNon) * non_al AS z FROM f) " +
         "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score, " +
         s"CAST(1.0 / (1.0 + exp(-z)) >= $keepT AS INT) AS keep FROM z"
+    },
+    // the health report composes the quality-feature, lang-score, and
+    // fingerprint SQL the per-signal oracles already use
+    "q_corpus_report" -> {
+      val (bias, wLog, wAvg, wStop, wNon, keepT) = ops.TextAnalysis.QUALITY_W
+      s"WITH t AS (SELECT doc_id, text, $TOKS AS toks, $LANG_PAD AS pad FROM documents), " +
+        "f AS (SELECT *, len(toks) AS n, " +
+        "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1) AS avg_len, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1) AS stop_r, " +
+        s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+        "greatest(length(text), 1) AS non_al FROM t), " +
+        s"z AS (SELECT *, ($bias) + ($wLog) * ln(1 + n) + ($wAvg) * avg_len + " +
+        s"($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+        s"sc AS (SELECT *, $LANG_SCORE_COLS FROM z), " +
+        s"p AS (SELECT n, $LANG_PRED_CASE AS pred_lang, ${fpSql("toks")} AS fp, " +
+        "1.0 / (1.0 + exp(-z)) AS q FROM sc) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens, " +
+        "round(avg(n), 4) AS avg_doc_tokens, " +
+        "CASE WHEN count(*) > 0 THEN round(1.0 - " +
+        "CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) ELSE 0.0 END AS exact_dup_frac, " +
+        "round(avg(q), 4) AS avg_quality, " +
+        s"round(avg(CAST(q >= $keepT AS INT)), 4) AS quality_keep_frac, " +
+        "round(avg(CAST(pred_lang = 'en' AS INT)), 4) AS en_frac FROM p"
     },
     "q_repetition" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

@@ -616,4 +616,39 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** One-row corpus health report — the dashboard numbers every curation
+    * run starts and ends with, computed by COMPOSING the existing
+    * scan-stage signals (token counts, [[fingerprint]] exact-dup rate,
+    * the model quality score, [[predLang]]) in one corpus pass plus the
+    * distinct-fingerprint aggregation. Emits n_docs, n_tokens,
+    * avg_doc_tokens, exact_dup_frac (1 − distinct fps / docs; 0 for an
+    * empty corpus), avg_quality, quality_keep_frac (share at or above
+    * the model keep threshold), and en_frac (share predicted English).
+    *
+    * Scale shape: all per-document signals are scan-stage expressions;
+    * the only data that shuffles is the 16-byte fingerprint (for the
+    * distinct count) and the per-task partial aggregates. No joins, no
+    * windows, text never moves.
+    */
+  def corpusReport(docs: DataFrame,
+      keepThreshold: Double = QUALITY_W._6): DataFrame = {
+    val t = toks(col("text"))
+    docs.select(
+        greatest(size(t), lit(0)).cast("long").as("_n"),
+        fingerprint(col("text")).as("_fp"),
+        sigmoid(qualityLogit(col("text"))).as("_q"),
+        (predLang(col("text")) === "en").cast("int").as("_en"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("_n"), lit(0L)).as("n_tokens"),
+        round(avg("_n"), 4).as("avg_doc_tokens"),
+        when(count(lit(1)) > 0,
+          round(lit(1.0) - countDistinct(col("_fp")).cast("double") /
+            count(lit(1)), 4)).otherwise(0.0).as("exact_dup_frac"),
+        round(avg("_q"), 4).as("avg_quality"),
+        round(avg((col("_q") >= keepThreshold).cast("int")), 4)
+          .as("quality_keep_frac"),
+        round(avg("_en"), 4).as("en_frac"))
+  }
 }

@@ -233,6 +233,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("corpusReport: one-row health dashboard with exact count/dup arithmetic") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs on"), // exact dup
+      (3L, "a completely different document with many of the usual words in it"),
+      (4L, "!!!")) // untokenizable: raw-fingerprint regime, 0 tokens
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusReport(docs)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r._1 == 4L)
+    assert(r._2 == 12L + 12L + 12L + 0L) // token counts; doc 4 contributes 0
+    assert(r._3 == 9.0)                  // avg tokens
+    assert(r._4 == 0.25)                 // 3 distinct fps over 4 docs
+    assert(r._5 > 0.0 && r._5 < 1.0)     // quality avg is a probability
+    assert(r._6 >= 0.0 && r._6 <= 1.0)
+    // en_frac agrees with the standalone predictor on the same rows
+    val en = docs.select((TextAnalysis.predLang($"text") === "en")
+        .cast("int").as("e"))
+      .agg(org.apache.spark.sql.functions.avg($"e"))
+      .as[Double].collect().head
+    assert(r._7 == math.rint(en * 10000) / 10000)
+    // empty corpus: defined zeros, not nulls/NaN where counts are concerned
+    val empty = TextAnalysis.corpusReport(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .select("n_docs", "n_tokens", "exact_dup_frac")
+      .as[(Long, Long, Double)].collect().head
+    assert(empty == ((0L, 0L, 0.0)))
+  }
+
   test("tfidf/surprisal dictionary joins are unhinted; AQE still broadcasts small ones") {
     // the dictionary (df / tf) joins must NOT carry a broadcast() hint — a
     // hint ships the Heaps-law vocabulary to the driver unconditionally at
