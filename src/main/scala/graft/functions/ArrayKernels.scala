@@ -352,6 +352,7 @@ object ArrayKernels {
   private val GIF_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("gif")
   private val MP3_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("mp3")
   private val AVI_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("avi")
+  private val MP4_CODEC = org.apache.spark.unsafe.types.UTF8String.fromString("mp4")
 
   private def leUInt(b: Array[Byte], off: Int, n: Int): Long = {
     var v = 0L
@@ -700,6 +701,95 @@ object ArrayKernels {
     new GenericInternalRow(Array[Any](null, null, channels, rate, MP3_CODEC))
   }
 
+  /** MP4/MOV track-header walk for [[parseMediaHeader]]: video frame
+    * dimensions from the `ftyp → moov → trak → tkhd` box chain — a pure
+    * big-endian byte walk over the ISO-BMFF box tree (same container for
+    * .mp4, .m4a, .m4v, and post-2001 QuickTime .mov), no sample decode.
+    * Witness policy: the blob must START with an `ftyp` box (every
+    * canonical modern file does; pre-ftyp classic MOVs → NULL), every box
+    * walked must have a well-formed size that fits inside the blob
+    * (size==1 reads the 64-bit largesize; size==0 extends to blob end),
+    * and the `tkhd` box must declare the exact canonical size for its
+    * version (92 bytes for v0, 104 for v1). Width/height are 16.16
+    * fixed-point BE at the tkhd tail; the integer part is returned from
+    * the FIRST track with nonzero dimensions (audio/metadata tracks
+    * store 0×0 and are skipped). A structurally valid moov whose tracks
+    * are all dimensionless (an .m4a) returns a codec-only row with NULL
+    * dims — recognized container, no video. Anything non-canonical —
+    * truncated boxes, a missing moov (e.g. a header-only capture of a
+    * moov-at-end file), no tkhd — returns NULL, never a guess.
+    */
+  def mp4Tkhd(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // Shared box-header reader: returns (payloadStart, boxEnd) packed in
+    // a Long, or -1 on a malformed/truncated header. `limit` is the
+    // enclosing box's end — children must stay inside the parent.
+    def box(i: Int, limit: Int): Long = {
+      if (i + 8 > limit) return -1L
+      var size = beUInt(b, i, 4)
+      var hdr = 8
+      if (size == 1L) { // 64-bit largesize follows the type field
+        if (i + 16 > limit) return -1L
+        if (beUInt(b, i + 8, 4) != 0L) return -1L // > Int.MaxValue can't fit a blob
+        size = beUInt(b, i + 12, 4)
+        hdr = 16
+      } else if (size == 0L) size = (limit - i).toLong // "to end of enclosing"
+      if (size < hdr || i + size > limit) return -1L
+      ((i + hdr).toLong << 32) | (i + size.toInt)
+    }
+    def typeIs(i: Int, t: String): Boolean =
+      b(i + 4) == t(0) && b(i + 5) == t(1) && b(i + 6) == t(2) && b(i + 7) == t(3)
+    var sawTkhd = false
+    var i = 0
+    while (i < b.length) {
+      val top = box(i, b.length)
+      if (top < 0) return null
+      val topEnd = top.toInt
+      if (typeIs(i, "moov")) {
+        var j = (top >>> 32).toInt
+        while (j < topEnd) {
+          val tb = box(j, topEnd)
+          if (tb < 0) return null
+          val trakEnd = tb.toInt
+          if (typeIs(j, "trak")) {
+            var k = (tb >>> 32).toInt
+            while (k < trakEnd) {
+              val kb = box(k, trakEnd)
+              if (kb < 0) return null
+              val kEnd = kb.toInt
+              if (typeIs(k, "tkhd")) {
+                val p = (kb >>> 32).toInt
+                if (p >= kEnd) return null
+                val ver = b(p) & 0xff
+                // canonical sizes: v0 = 8 hdr + 84 payload, v1 = 8 + 96
+                val wOff = ver match {
+                  case 0 if kEnd - p == 84 => p + 76
+                  case 1 if kEnd - p == 96 => p + 88
+                  case _ => return null
+                }
+                sawTkhd = true
+                val w = (beUInt(b, wOff, 4) >> 16).toInt     // 16.16 fixed
+                val h = (beUInt(b, wOff + 4, 4) >> 16).toInt
+                if (w > 0 && h > 0)
+                  return new GenericInternalRow(
+                    Array[Any](w, h, null, null, MP4_CODEC))
+              }
+              k = kEnd
+            }
+          }
+          j = trakEnd
+        }
+        // moov fully walked: audio/metadata-only container (codec
+        // recognized, no video dims) or no tkhd at all (too weak — NULL)
+        return if (sawTkhd)
+          new GenericInternalRow(Array[Any](null, null, null, null, MP4_CODEC))
+        else null
+      }
+      i = topEnd
+    }
+    null // no moov inside the blob (e.g. truncated moov-at-end capture)
+  }
+
   /** Static helper for [[MediaHeader]]: parse the codec-free container
     * headers (PPM / BMP / canonical-RIFF WAV) plus JPEG/PNG/GIF image
     * headers straight off the bytes. Returns null for unrecognized
@@ -716,7 +806,9 @@ object ArrayKernels {
     * logical-screen dimensions at offsets 6/8; MP3 is a frame header at
     * 0 or after a skipped ID3v2 tag ([[mp3Header]] — sample rate +
     * channels); AVI is RIFF/"AVI " + LIST/hdrl + leading avih with
-    * dwWidth/dwHeight at 64/68. The compressed codecs are
+    * dwWidth/dwHeight at 64/68; MP4/MOV is a leading ftyp box + the
+    * moov→trak→tkhd walk ([[mp4Tkhd]] — 16.16 fixed-point dimensions
+    * from the first video track). The compressed codecs are
     * metadata-only; sample/pixel decode still needs a codec library.
     */
   def parseMediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
@@ -796,6 +888,9 @@ object ArrayKernels {
     } else if (b.length >= 4 && (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
         (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))) {
       mp3Header(b)
+    } else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+      mp4Tkhd(b)
     } else null
   }
 

@@ -29,9 +29,11 @@ object Multimodal {
   /** media(media_id, kind, blob, meta{width,height,sample_rate}) — the
     * canonical multimodal schema. Synthetic deterministic blobs (seeded by
     * id) stand in for real encoded media; image-kind blobs carry a REAL
-    * JPEG SOI+SOF0 header (dims = the meta dims) ahead of the pseudo
-    * payload, so the header-parse tier exercises the dominant real-corpus
-    * codec end-to-end. All blobs are exactly 64 bytes.
+    * JPEG SOI+SOF0 header and video-kind blobs a REAL ISO-BMFF
+    * ftyp+moov/trak/tkhd skeleton (dims = the meta dims in both), so the
+    * header-parse tier exercises the two dominant real-corpus codecs
+    * end-to-end. Image/audio blobs are exactly 64 bytes; video blobs are
+    * the exact 128-byte ftyp+moov skeleton.
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val kind = element_at(typedLit(Seq("image", "audio", "video")),
@@ -46,11 +48,27 @@ object Multimodal {
     val jpegHex = concat(lit("FFD8FFC0001108"), lpad(hex(h), 4, "0"),
       lpad(hex(w), 4, "0"), lit("03012200021101031101"),
       substring(hashHex, 1, 86))
+    // canonical 128-byte MP4: ftyp(20) + moov(108){trak(100){tkhd v0(92)
+    // with unity matrix and 16.16 fixed-point dims at the tail}}
+    val mp4Hex = concat(
+      lit("0000001466747970" + "69736F6D" + "00000200" + "69736F6D" + // ftyp
+        "0000006C6D6F6F76" +                                          // moov
+        "000000647472616B" +                                          // trak
+        "0000005C746B6864" +                                          // tkhd
+        "00000007" +                                 // v0, flags enabled|in-movie
+        "0000000000000000" + "00000001" + "00000000" + "00000000" + // times/id/dur
+        "0000000000000000" + "0000000000000000" +    // reserved, layer/alt/vol/res
+        "000100000000000000000000" + "000000000001000000000000" +   // unity
+        "000000000000000040000000"),                                // matrix
+      lpad(hex(w), 4, "0"), lit("0000"),             // width  16.16
+      lpad(hex(h), 4, "0"), lit("0000"))             // height 16.16
     spark.range(n.toLong).toDF("media_id")
       .select(
         col("media_id"),
         kind.as("kind"),
-        unhex(when(kind === "image", jpegHex).otherwise(hashHex)).as("blob"),
+        unhex(when(kind === "image", jpegHex)
+          .when(kind === "video", mp4Hex)
+          .otherwise(hashHex)).as("blob"),
         struct(w.as("width"), h.as("height"),
           lit(16000).as("sample_rate")).as("meta"))
   }
@@ -74,7 +92,10 @@ object Multimodal {
     *   - GIF ("GIF87a"/"GIF89a"): LE uint16 logical-screen dimensions;
     *   - MP3 (frame header at 0 or after a skipped ID3v2 tag): sample
     *     rate + channel count from the header bit fields;
-    *   - AVI (RIFF/"AVI " + LIST/hdrl + avih): video frame dimensions.
+    *   - AVI (RIFF/"AVI " + LIST/hdrl + avih): video frame dimensions;
+    *   - MP4/MOV (leading ftyp box): moov→trak→tkhd box walk to the
+    *     first video track's 16.16 fixed-point dimensions; audio-only
+    *     containers (.m4a) yield a codec-only row with NULL dims.
     * Returns NULL for unrecognized blobs (non-byte-walkable codecs,
     * truncated headers) — the honest signal; callers choose the fallback
     * (see [[mediaFeatures]]).
