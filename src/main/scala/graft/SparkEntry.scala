@@ -586,6 +586,20 @@ object SparkEntry {
         Retrieval.postingsIndex(docs, name),
         Retrieval.corpusStats(docs, name), BM25_TERMS, k = 25)
     }),
+    // batch-of-queries serving: a whole query table scored from the
+    // standing index in one bucket-pruned pass (raw query text goes
+    // through the index-side tokenizer; q3's term misses the vocabulary
+    // and returns no rows). rank cast to long for the BIGINT oracle
+    "q_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.bm25TopKAll(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name),
+        BM25_QUERIES.toDF("query_id", "query"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
     // columns only, and the long form skips the array-reassembly shuffle
@@ -608,6 +622,15 @@ object SparkEntry {
   private val QRANK_KEEP = 0.4
   private val SEARCH_TERMS = Seq("stream", "join", "filter")
   private val BM25_TERMS = Seq("stream", "join")
+
+  /** q_bm25_batch's query table: raw (un-normalized) text on purpose —
+    * the serving path must tokenize queries exactly like the corpus; q3
+    * is a vocabulary miss that must yield zero rows, not an error.
+    */
+  private val BM25_QUERIES: Seq[(Long, String)] = Seq(
+    (1L, "Stream JOIN"),
+    (2L, "filter stream window"),
+    (3L, "zzznosuchterm"))
 
   /** DuckDB mirror of Core.tokensUni — the script-aware tokenizer every
     * LLM-pipeline oracle uses. RE2's `\p{L}`/`\p{Nd}` matches Java's.
@@ -1537,6 +1560,37 @@ object SparkEntry {
         "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
         "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
         "FROM tp2 JOIN dfs USING (token), stats GROUP BY doc_id"
+    },
+    // batch-of-queries serving: queries as a VALUES table whose raw text
+    // is tokenized with the SAME expression as the corpus; df over the
+    // union of all batch terms (per-token global — identical either way);
+    // rank = row_number over (rounded score DESC, doc_id), ≤ k
+    "q_bm25_batch" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val qToks = TOKS.replace("lower(text)", "lower(query)")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+        s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        "r AS (SELECT query_id, doc_id, n_terms, score, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+        "SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10"
     },
     // element-wise mean via aligned unnest/subscripts; means rounded to 6
     // decimals (cross-engine sum order); long format — one row per

@@ -160,7 +160,7 @@ object Retrieval {
     // don't inflate df (and deflate idf); tp is materialized-once and
     // matches-only-sized, so the distinct agg is cheap here
     val dfs = tp.groupBy("token").agg(countDistinct(idCol).as("df"))
-    scoreBm25(tp, dfs, stats, k1, b, idCol)
+    scoreBm25(tp, dfs, stats, k1, b, Seq(idCol))
   }
 
   /** BM25 served ENTIRELY from the standing index: same score, same
@@ -184,7 +184,7 @@ object Retrieval {
     require(ts.nonEmpty, "bm25FromIndex: no usable terms after normalization")
     val tp = index.where(col("token").isin(ts: _*))
     val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
-    scoreBm25(tp, dfs, stats, k1, b, idCol)
+    scoreBm25(tp, dfs, stats, k1, b, Seq(idCol))
   }
 
   /** The actual query-serving shape: top-`k` documents by BM25 from the
@@ -203,22 +203,91 @@ object Retrieval {
       .limit(k)
   }
 
-  /** The ONE definition of the Robertson score both [[bm25]] and
-    * [[bm25FromIndex]] share (identical expression tree ⇒ identical
-    * rounding ⇒ identical hashes — the winnowing one-definition lesson).
-    * `tp`: matched postings (idCol, token, tf, dl); `dfs`: per-term
-    * document frequencies; `stats`: one row (n_docs, avgdl).
+  /** The ONE definition of the Robertson score that [[bm25]],
+    * [[bm25FromIndex]], and [[bm25TopKAll]] share (identical expression
+    * tree ⇒ identical rounding ⇒ identical hashes — the winnowing
+    * one-definition lesson). `tp`: matched postings carrying `keyCols` +
+    * (token, tf, dl); `dfs`: per-term document frequencies; `stats`: one
+    * row (n_docs, avgdl). Scores aggregate per `keyCols` — (doc) for the
+    * single-query paths, (query, doc) for batch serving.
     */
   private def scoreBm25(tp: DataFrame, dfs: DataFrame, stats: DataFrame,
-      k1: Double, b: Double, idCol: String): DataFrame = {
+      k1: Double, b: Double, keyCols: Seq[String]): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
     tp.join(broadcast(dfs), "token")
       .crossJoin(broadcast(stats))
-      .select(col(idCol), col("token"), (idf * tfNorm).as("s"))
-      .groupBy(idCol)
+      .select(keyCols.map(col) :+ (idf * tfNorm).as("s"): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))
   }
+
+  /** Batch-of-queries serving: top-`k` documents per query for a whole
+    * TABLE of (query_id, query-text) rows, scored from the standing index
+    * in ONE bucket-pruned pass — the retrieval analogue of
+    * [[Similarity.ivfTopKAll]]. Query text goes through the SAME
+    * normalization as the index tokens ([[Core.tokensUni]]); the union of
+    * all query terms is collected driver-side (bounded by
+    * queries × terms-per-query — the decontam eval-set contract) because
+    * only an IN *literal* reaches the posting scan as a pushed filter and
+    * bucket-prunes it; a semi-join would scan every bucket. Matched
+    * postings join the (query_id, token) pairs (query-batch-sized,
+    * broadcast), scores aggregate per (query, doc), and `row_number`
+    * bounded by `k` serves each query's head — deterministic under ties
+    * (doc id breaks them). Queries whose terms all miss the vocabulary
+    * simply return no rows. Per-term df is exact from the matched
+    * postings, as in [[bm25FromIndex]].
+    */
+  def bm25TopKAll(index: DataFrame, stats: DataFrame, queryTable: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      qidCol: String = "query_id", qCol: String = "query"): DataFrame = {
+    require(k > 0, s"bm25TopKAll: k must be positive, got $k")
+    val qt = queryTable.select(col(qidCol),
+      explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
+    val terms = qt.select("token").distinct().collect().map(_.getString(0))
+    if (terms.isEmpty) {
+      // no usable terms in the whole batch (empty batch or all-symbol
+      // queries): an empty result with the contract schema
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        queryTable.schema(qidCol), index.schema(idCol),
+        org.apache.spark.sql.types.StructField("n_terms",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return index.sparkSession.createDataFrame(
+        index.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    }
+    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
+    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
+      k1, b, Seq(qidCol, idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Streaming BM25 serving: score a STREAM of queries against the
+    * standing index, each micro-batch in one bucket-pruned pass via
+    * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static
+    * join cannot bucket-prune the posting scan because the term filter is
+    * not a literal at plan time, whereas per-batch replanning pushes each
+    * batch's IN list down to the index scan; the index side never moves,
+    * exactly like the batch path. Returns the un-started writer so the
+    * caller owns trigger/checkpoint config; `sink` receives each batch's
+    * ranked results.
+    */
+  def bm25Serve(queryStream: DataFrame, index: DataFrame, stats: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      qidCol: String = "query_id", qCol: String = "query")(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(bm25TopKAll(index, stats, batch, k, k1, b, idCol, qidCol, qCol))
+    }
 }

@@ -126,4 +126,63 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exchange hashpartitioning(text"),
       plan)
   }
+
+  test("bm25TopKAll: batch-of-queries serving matches per-query bm25FromIndex") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_batchq_test_postings_b8")
+    IndexTables.drop(spark, "ret_batchq_test_stats")
+    val idx = Retrieval.postingsIndex(docs, "ret_batchq_test")
+    val stats = Retrieval.corpusStats(docs, "ret_batchq_test")
+    val queries = Seq((10L, "Spark, JOINS!"), (20L, "flink streams"),
+      (30L, "nosuchzz")).toDF("query_id", "query")
+    val got = Retrieval.bm25TopKAll(idx, stats, queries, k = 2)
+    val rows = got.as[(Long, Long, Long, Double, Int)].collect()
+    // per query, the rows equal the single-query serving path's ranked head
+    for ((qid, terms) <- Seq(10L -> Seq("spark", "joins"),
+        20L -> Seq("flink", "streams"))) {
+      val expect = Retrieval.bm25FromIndex(idx, stats, terms)
+        .as[(Long, Long, Double)].collect()
+        .sortBy { case (id, _, s) => (-s, id) }.take(2)
+        .zipWithIndex.map { case ((id, nt, s), i) => (qid, id, nt, s, i + 1) }
+        .toSeq
+      assert(rows.filter(_._1 == qid).sortBy(_._5).toSeq == expect, qid.toString)
+    }
+    // vocabulary-miss query: no rows, not an error
+    assert(!rows.exists(_._1 == 30L))
+    // plan: bucket-pruned index scan; the corpus text never appears
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning:\n$plan")
+    assert(!plan.contains("text#"), s"corpus text in serving plan:\n$plan")
+    // empty / all-symbol batches: empty result with the contract schema
+    val none = Retrieval.bm25TopKAll(idx, stats,
+      Seq((1L, "!!! ...")).toDF("query_id", "query"), k = 2)
+    assert(none.count() == 0L && none.columns.toSeq ==
+      Seq("query_id", "doc_id", "n_terms", "score", "rank"))
+  }
+
+  test("bm25Serve: streaming query batches score identically to the batch path") {
+    import graft.ops.IndexTables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    IndexTables.drop(spark, "ret_serve_test_postings_b8")
+    IndexTables.drop(spark, "ret_serve_test_stats")
+    val idx = Retrieval.postingsIndex(docs, "ret_serve_test")
+    val stats = Retrieval.corpusStats(docs, "ret_serve_test")
+    val in = MemoryStream[(Long, String)](44, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Int)]()
+    val q = Retrieval.bm25Serve(in.toDF().toDF("query_id", "query"),
+        idx, stats, k = 2) { batch =>
+      out ++= batch.as[(Long, Long, Long, Double, Int)].collect()
+    }.start()
+    try {
+      in.addData((10L, "Spark, JOINS!"))
+      q.processAllAvailable()
+      in.addData((20L, "flink streams"), (30L, "nosuchzz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Retrieval.bm25TopKAll(idx, stats,
+      Seq((10L, "Spark, JOINS!"), (20L, "flink streams"), (30L, "nosuchzz"))
+        .toDF("query_id", "query"), k = 2)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(out.toSet == batch.toSet && out.nonEmpty)
+  }
 }
