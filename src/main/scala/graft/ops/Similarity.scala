@@ -297,19 +297,51 @@ object Similarity {
     * Returns (centroids, assignment scan).
     */
   def ivfIndex(emb: DataFrame, k: Int, name: String,
-      nBuckets: Int = 8): (Array[Array[Double]], DataFrame) = {
-    val spark = emb.sparkSession
-    val cents = {
-      import spark.implicits._
-      val stored = IndexTables.plain(spark, s"${name}_${k}_centroids")(
-        ivfCentroids(emb, k).zipWithIndex
-          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
-      stored.orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-    }
+      nBuckets: Int = 8): (Array[Array[Double]], DataFrame) =
+    persistIvf(emb.sparkSession, name, k, nBuckets,
+      ivfCentroids(emb, k), emb)
+
+  /** The shared store step behind [[ivfIndex]] and the
+    * [[ivfAppendAutoRefresh]] rebuild: persist the quantizer (`train`
+    * only evaluates when the centroid table is absent — build-once),
+    * the cell-bucketed assignment, and the one-row
+    * `<name>_<k>_inertia` baseline table holding the build-time
+    * [[ivfInertiaFromIndex]] — the quality of record the append-time
+    * staleness check compares against. Anyone dropping the index must
+    * drop all THREE tables (centroids, `_b<n>` assignment, `_inertia`).
+    */
+  private def persistIvf(spark: org.apache.spark.sql.SparkSession,
+      name: String, k: Int, nBuckets: Int,
+      train: => Array[Array[Double]], emb: DataFrame)
+      : (Array[Array[Double]], DataFrame) = {
+    import spark.implicits._
+    val stored = IndexTables.plain(spark, s"${name}_${k}_centroids")(
+      train.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
+    val cents = stored.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
     val assigned = IndexTables.bucketed(spark, s"${name}_$k",
       nBuckets, Seq("cell"), Seq("cell", "vec_id"))(ivfAssign(emb, cents))
+    IndexTables.plain(spark, s"${name}_${k}_inertia")(
+      Seq(ivfInertiaFromIndex(assigned, cents)).toDF("inertia"))
     (cents, assigned)
+  }
+
+  /** Quantizer inertia measured from the stored index itself: the
+    * assignment already records each vector's argmax cell, so the error
+    * is ONE dot per row against that cell's centroid — an index-table
+    * scan, not the k-dot full requantization [[quantizerInertia]] does
+    * over raw embeddings. Numerically identical to quantizerInertia on
+    * the same vectors (the assigned cell IS the max-dot cell). Empty
+    * index → 0.
+    */
+  def ivfInertiaFromIndex(assigned: DataFrame,
+      centroids: Array[Array[Double]]): Double = {
+    val centArr = array(centroids.toIndexedSeq.map(centroidLit): _*)
+    assigned
+      .select((lit(1.0) -
+        dot(col("e"), element_at(centArr, col("cell") + 1))).as("d"))
+      .agg(coalesce(avg("d"), lit(0.0))).head().getDouble(0)
   }
 
   /** Incremental maintenance for a growing embedding store: assign NEW
@@ -325,10 +357,13 @@ object Similarity {
     * Quantizer staleness: the centroids were trained on the corpus at
     * build time, so cell occupancy drifts as the distribution shifts —
     * probes stay CORRECT (assignment and probe use the same centroids;
-    * recall at fixed nprobe degrades only as cells unbalance). Refresh on
-    * the compact cadence: [[IndexTables.drop]] both tables and rebuild
-    * via [[ivfIndex]] (optionally warm-started with [[refineCentroids]]),
-    * the same policy as [[graft.ops.Retrieval.corpusStats]].
+    * recall at fixed nprobe degrades only as cells unbalance). Use
+    * [[ivfAppendAutoRefresh]] to close that loop quantitatively (rebuild
+    * when measured inertia degrades past a threshold), or refresh
+    * manually on the compact cadence: [[IndexTables.drop]] all three
+    * tables and rebuild via [[ivfIndex]] (optionally warm-started with
+    * [[refineCentroids]]), the same policy as
+    * [[graft.ops.Retrieval.corpusStats]].
     */
   def ivfAppend(newEmb: DataFrame, k: Int, name: String,
       nBuckets: Int = 8): DataFrame = {
@@ -340,6 +375,72 @@ object Similarity {
     IndexTables.append(spark, s"${name}_${k}_b$nBuckets",
       ivfAssign(newEmb, cents))
     spark.table(s"${name}_${k}_b$nBuckets")
+  }
+
+  /** What [[ivfAppendAutoRefresh]] did and measured: the served index
+    * scan, whether the append triggered a quantizer rebuild, the
+    * CURRENT quantizer (refreshed or not — callers must probe with
+    * these, not with centroids loaded before the append), and the two
+    * inertia readings behind the decision.
+    */
+  case class IvfRefreshReport(index: DataFrame,
+      centroids: Array[Array[Double]], refreshed: Boolean,
+      baselineInertia: Double, appendInertia: Double)
+
+  /** [[ivfAppend]] with the staleness loop closed: append the increment
+    * under the stored quantizer, re-measure [[ivfInertiaFromIndex]] over
+    * the grown index (one index scan, one dot per row), and — only when
+    * quantization error degraded more than `maxDegrade` relative to the
+    * build-time baseline — rebuild the quantizer from the index's own
+    * stored vectors: a durable snapshot of (vec_id, e), warm-started
+    * [[refineCentroids]] Lloyd steps, then a full reassignment, new
+    * baseline included. This is the FAISS "retrain when the distribution
+    * drifts" policy with the trigger made quantitative; routine appends
+    * stay increment-sized, and the full-corpus rebuild cost is paid
+    * exactly when drift shows up in the measured error (a zero-error
+    * baseline refreshes on any degradation).
+    *
+    * The rebuild never reads through dropped tables: the snapshot is
+    * written as a plain index table FIRST, the three index tables are
+    * dropped, and the rebuild runs from the snapshot (dropped last). A
+    * refresh that dies mid-rebuild leaves `<name>_<k>_refresh_snapshot`
+    * on disk as the recovery copy — rebuild from it via [[ivfIndex]]
+    * over its rows, or delete it to accept the loss of the appends.
+    */
+  def ivfAppendAutoRefresh(newEmb: DataFrame, k: Int, name: String,
+      nBuckets: Int = 8, maxDegrade: Double = 0.2,
+      refineIters: Int = 2): IvfRefreshReport = {
+    require(maxDegrade >= 0, s"maxDegrade must be >= 0, got $maxDegrade")
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    val cents = IndexTables.plain(spark, s"${name}_${k}_centroids")(
+        sys.error(s"ivfAppendAutoRefresh($name): no existing IVF index — " +
+          "build one with ivfIndex first"))
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    // baseline BEFORE appending: for an index built before the baseline
+    // table existed, this lazily snapshots the pre-append quality
+    val baseline = IndexTables.plain(spark, s"${name}_${k}_inertia")(
+      Seq(ivfInertiaFromIndex(
+        spark.table(s"${name}_${k}_b$nBuckets"), cents)).toDF("inertia"))
+      .head().getDouble(0)
+    val grown = ivfAppend(newEmb, k, name, nBuckets)
+    val measured = ivfInertiaFromIndex(grown, cents)
+    if (measured <= baseline * (1 + maxDegrade))
+      IvfRefreshReport(grown, cents, refreshed = false, baseline, measured)
+    else {
+      val snapName = s"${name}_${k}_refresh_snapshot"
+      IndexTables.drop(spark, snapName) // debris from an abandoned refresh
+      val recovered = IndexTables.plain(spark, snapName)(
+        grown.select(col("vec_id"), col("e").as("embedding")))
+      val refined = refineCentroids(recovered, cents, refineIters)
+      IndexTables.drop(spark, s"${name}_${k}_centroids")
+      IndexTables.drop(spark, s"${name}_${k}_b$nBuckets")
+      IndexTables.drop(spark, s"${name}_${k}_inertia")
+      val (newCents, rebuilt) =
+        persistIvf(spark, name, k, nBuckets, refined, recovered)
+      IndexTables.drop(spark, snapName)
+      IvfRefreshReport(rebuilt, newCents, refreshed = true, baseline, measured)
+    }
   }
 
   /** Assign every vector to its nearest centroid cell. The per-vector cost

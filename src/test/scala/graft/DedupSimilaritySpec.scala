@@ -500,6 +500,81 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("ivfInertiaFromIndex equals quantizerInertia; build persists the baseline") {
+    import graft.ops.IndexTables
+    for (s <- Seq("_3_centroids", "_3_b4", "_3_inertia"))
+      IndexTables.drop(spark, s"ivf_inertia_test$s")
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 48L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (cents, assigned) = Similarity.ivfIndex(vecs, 3, "ivf_inertia_test",
+      nBuckets = 4)
+    // one dot per stored row reproduces the k-dot full requantization
+    val fromIdx = Similarity.ivfInertiaFromIndex(assigned, cents)
+    val direct = Similarity.quantizerInertia(vecs, cents)
+    assert(math.abs(fromIdx - direct) < 1e-9, s"$fromIdx vs $direct")
+    assert(fromIdx > 0) // gaussian cloud never quantizes exactly
+    // the build wrote the baseline table the staleness check reads
+    val stored = spark.table("ivf_inertia_test_3_inertia").as[Double].head()
+    assert(math.abs(stored - fromIdx) < 1e-12)
+  }
+
+  test("ivfAppendAutoRefresh: in-distribution appends keep the quantizer; " +
+      "drifted appends trigger a measured rebuild") {
+    import graft.ops.IndexTables
+    for (s <- Seq("_2_centroids", "_2_b4", "_2_inertia", "_2_refresh_snapshot"))
+      IndexTables.drop(spark, s"ivf_refresh_test$s")
+    val rnd = new scala.util.Random(13)
+    // two tight clusters along axes 0 and 1; k=2 quantizes them well
+    def cluster(ids: Range, axis: Int) = ids.map { i =>
+      val v = Array.fill(8)((rnd.nextGaussian() * 0.05).toFloat)
+      v(axis) = (1.0 + rnd.nextGaussian() * 0.05).toFloat
+      (i.toLong, v, 0)
+    }
+    val base = (cluster(0 until 24, 0) ++ cluster(24 until 48, 1))
+      .toDF("vec_id", "embedding", "label")
+    val (cents0, _) = Similarity.ivfIndex(base, 2, "ivf_refresh_test",
+      nBuckets = 4)
+    // in-distribution increment: more of the same two clusters → no rebuild
+    val sameDist = (cluster(48 until 56, 0) ++ cluster(56 until 64, 1))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.ivfAppendAutoRefresh(sameDist, 2, "ivf_refresh_test",
+      nBuckets = 4)
+    assert(!r1.refreshed, s"unexpected rebuild: $r1")
+    assert(r1.index.count() == 64L)
+    assert(r1.centroids.map(_.toSeq).toSeq == cents0.map(_.toSeq).toSeq)
+    // drifted increment: a THIRD cluster orthogonal to both centroids —
+    // its vectors quantize badly, inertia jumps past the threshold
+    val drifted = cluster(64 until 96, 4).toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.ivfAppendAutoRefresh(drifted, 2, "ivf_refresh_test",
+      nBuckets = 4)
+    assert(r2.refreshed, s"expected rebuild: $r2")
+    assert(r2.appendInertia > r2.baselineInertia * 1.2)
+    assert(r2.index.count() == 96L) // every vector survived the rebuild
+    // the refreshed quantizer actually improved on the measured error,
+    // and the new baseline table records the post-rebuild quality
+    val newBaseline = spark.table("ivf_refresh_test_2_inertia").as[Double].head()
+    assert(newBaseline < r2.appendInertia, s"$newBaseline vs $r2")
+    assert(math.abs(newBaseline -
+      Similarity.ivfInertiaFromIndex(r2.index, r2.centroids)) < 1e-9)
+    // the snapshot was cleaned up after the successful rebuild
+    assert(!spark.catalog.tableExists("ivf_refresh_test_2_refresh_snapshot"))
+    // served index stays probe-consistent: nprobe=all over the rebuilt
+    // index equals brute force over everything (the exact-oracle regime)
+    val everything = base.union(sameDist).union(drifted)
+    val got = Similarity.ivfTopKAll(r2.index, everything.where($"vec_id" < 3),
+        3, r2.centroids, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- 0L until 3L) {
+      val want = Similarity.topKForQuery(everything, qid, 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) == want, s"query $qid: ${got(qid)} vs $want")
+    }
+  }
+
   test("ivfTopKAll: batch probe equals per-query ivfTopK; index never exchanged") {
     val rnd = new scala.util.Random(11)
     val many = (0L until 64L).map { i =>
