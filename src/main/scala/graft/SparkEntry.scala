@@ -560,6 +560,12 @@ object SparkEntry {
     "q_winnow_stats" -> ((s, d) =>
       Dedup.winnowPairsStats(Tables.documents(s, d), k = 3, w = 4,
         maxDocsPerFp = 64)),
+    // multi-resolution match classes: an 8-gram fingerprint share means a
+    // ≥ 8-token verbatim run ('long'); 3-gram-only evidence is phrase
+    // overlap ('short') — the match-length signal one gram size can't give
+    "q_winnow_multik" -> ((s, d) =>
+      Dedup.winnowPairsMultiK(Tables.documents(s, d), kShort = 3, kLong = 8,
+        w = 4, minSharedShort = 2, minSharedLong = 1, maxDocsPerFp = 64)),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -720,15 +726,17 @@ object SparkEntry {
     * (doc_id, fp) in `fps`. One definition so the fingerprint query and
     * the pair query cannot drift.
     */
-  private val WINNOW_CTES =
-    s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-      "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i " +
-      "FROM t WHERE len(toks) >= 3), " +
-      "g AS (SELECT doc_id, i, len(toks) - 2 AS ng, " +
-      "substring(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 16) AS h FROM gi), " +
-      "m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
-      "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), " +
-      "fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(ng - 4, 0))"
+  private def winnowCtes(k: Int, w: Int, sfx: String): String =
+    s"t$sfx AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      s"gi$sfx AS (SELECT doc_id, toks, unnest(range(len(toks) - ${k - 1})) AS i " +
+      s"FROM t$sfx WHERE len(toks) >= $k), " +
+      s"g$sfx AS (SELECT doc_id, i, len(toks) - ${k - 1} AS ng, " +
+      s"substring(md5(array_to_string(toks[i+1:i+$k], ' ')), 1, 16) AS h FROM gi$sfx), " +
+      s"m$sfx AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id " +
+      s"ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp FROM g$sfx), " +
+      s"fps$sfx AS (SELECT DISTINCT doc_id, fp FROM m$sfx WHERE i <= greatest(ng - $w, 0))"
+
+  private val WINNOW_CTES = winnowCtes(3, 4, "")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1488,7 +1496,28 @@ object SparkEntry {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
         "FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
-    // cap-truncation report over the same winnow CTE chain (sums cast to
+    // two full winnow chains at k=3 and k=8 (suffixed CTEs), each pair
+    // table replaying the capped MOSS match, full-outer-joined per pair
+    "q_winnow_multik" ->
+      (s"WITH ${winnowCtes(3, 4, "_s")}, ${winnowCtes(8, 4, "_l")}, " +
+        "capped_s AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_s) WHERE rn <= 64), " +
+        "ps AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM capped_s a JOIN capped_s b USING (fp) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "capped_l AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_l) WHERE rn <= 64), " +
+        "pl AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM capped_l a JOIN capped_l b USING (fp) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 1) " +
+        "SELECT coalesce(s.a_id, l.a_id) AS a_id, " +
+        "coalesce(s.b_id, l.b_id) AS b_id, " +
+        "coalesce(s.n_shared, 0) AS n_shared_short, " +
+        "coalesce(l.n_shared, 0) AS n_shared_long, " +
+        "CASE WHEN coalesce(l.n_shared, 0) >= 1 THEN 'long' ELSE 'short' " +
+        "END AS match_class " +
+        "FROM ps s FULL JOIN pl l ON s.a_id = l.a_id AND s.b_id = l.b_id"),
+    // cap-truncation report over the same winnow chain (sums cast to
     // BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, Spark keeps LONG)
     "q_winnow_stats" ->
       (s"WITH $WINNOW_CTES, " +

@@ -291,6 +291,37 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Multi-resolution MOSS match: [[winnowPairs]] at TWO gram sizes at
+    * once, joined per pair — the match-LENGTH discrimination a single
+    * gram size cannot give. Sharing a `kLong`-gram fingerprint means the
+    * pair has a verbatim run of ≥ kLong tokens (mirror/plagiarism-grade
+    * overlap → `match_class` 'long'); a pair with only `kShort`-gram
+    * evidence shares phrases but no long run ('short'). The join is
+    * full-outer so a long-run pair that falls below `minSharedShort`
+    * still surfaces (the winnow guarantee only promises ONE shared
+    * fingerprint per shared run). Cost is two [[winnowPairs]] passes +
+    * a pairs-sized join — same scale shape, fingerprint selection stays
+    * in the scan stage at both resolutions.
+    */
+  def winnowPairsMultiK(docs: DataFrame, kShort: Int = 3, kLong: Int = 8,
+      w: Int = 4, minSharedShort: Int = 2, minSharedLong: Int = 1,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    require(kShort >= 1 && kLong > kShort,
+      s"winnowPairsMultiK: need 1 <= kShort < kLong, got $kShort/$kLong")
+    require(minSharedLong >= 1,
+      s"winnowPairsMultiK: minSharedLong must be >= 1, got $minSharedLong")
+    val s = winnowPairs(docs, kShort, w, minSharedShort, maxDocsPerFp)
+      .withColumnRenamed("n_shared", "n_shared_short")
+    val l = winnowPairs(docs, kLong, w, minSharedLong, maxDocsPerFp)
+      .withColumnRenamed("n_shared", "n_shared_long")
+    s.join(l, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("n_shared_short"), lit(0L)).as("n_shared_short"),
+        coalesce(col("n_shared_long"), lit(0L)).as("n_shared_long"),
+        when(coalesce(col("n_shared_long"), lit(0L)) >= minSharedLong,
+          lit("long")).otherwise(lit("short")).as("match_class"))
+  }
+
   /** Companion truncation report for [[winnowPairs]]: the posting cap
     * (`maxDocsPerFp`) silently drops a hot fingerprint's documents beyond
     * the cap, and because the oracle mirrors the cap the correctness gate

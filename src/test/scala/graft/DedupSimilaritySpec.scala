@@ -682,6 +682,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("winnowPairsMultiK classifies long verbatim runs vs short-only overlap") {
+    val run20 = (1 to 20).map(i => s"r$i").mkString(" ")  // ≥ w+kLong−1 = 11
+    val run7 = (1 to 7).map(i => s"s$i").mkString(" ")    // ≥ 6, < kLong = 8
+    val docs = Seq(
+      (1L, s"$run20 alpha beta"),
+      (2L, s"gamma delta $run20"),                 // shifted 20-token copy of 1
+      (3L, s"u1 u2 u3 $run7 u4 u5 u6"),
+      (4L, s"v1 v2 v3 $run7 v4 v5 v6"),            // shares ONLY the 7-run with 3
+      (5L, "totally unrelated filler words going here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairsMultiK(docs, kShort = 3, kLong = 8, w = 4,
+      minSharedShort = 1, minSharedLong = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // a 20-token run guarantees shared fingerprints at BOTH resolutions
+    val ab = got((1L, 2L))
+    assert(ab._5 == "long" && ab._3 >= 1 && ab._4 >= 1, ab.toString)
+    // a 7-token run guarantees a short fp but cannot produce ANY shared
+    // 8-gram (the run is shorter than the gram) → 'short', long count 0
+    val cd = got((3L, 4L))
+    assert(cd._5 == "short" && cd._3 >= 1 && cd._4 == 0, cd.toString)
+    // unrelated docs pair with nobody
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L }, got.toString)
+  }
+
   test("lineDedup keeps each distinct line at its first (doc, line) occurrence") {
     val docs = Seq(
       (1L, "alpha one\nshared footer\n\n  "),   // blank/whitespace lines drop
