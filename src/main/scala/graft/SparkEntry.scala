@@ -566,6 +566,9 @@ object SparkEntry {
     "q_winnow_multik" -> ((s, d) =>
       Dedup.winnowPairsMultiK(Tables.documents(s, d), kShort = 3, kLong = 8,
         w = 4, minSharedShort = 2, minSharedLong = 1, maxDocsPerFp = 64)),
+    // one-row line-duplication health report (the lineDedup decision input)
+    "q_line_stats" -> ((s, d) =>
+      Dedup.lineStats(Tables.documents(s, d))),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -1305,6 +1308,20 @@ object SparkEntry {
         "SELECT inj.doc_id, coalesce(nl.n_lines, 0) AS n_lines, " +
         "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.kept_text, '') AS text " +
         "FROM inj LEFT JOIN nl USING (doc_id) LEFT JOIN ag USING (doc_id)"),
+    // line algebra shared with q_line_dedup (split \r?\n, trim, drop
+    // empties, md5 identity); sums cast to BIGINT (DuckDB widens to
+    // HUGEINT), division through DOUBLE like the Spark expression
+    "q_line_stats" ->
+      ("WITH p AS (SELECT string_split_regex(coalesce(text, ''), '\\r?\\n') " +
+        "AS parts FROM documents), " +
+        "l AS (SELECT trim(unnest(parts)) AS line FROM p), " +
+        "le AS (SELECT line FROM l WHERE len(line) > 0), " +
+        "per AS (SELECT md5(line) AS h, count(*) AS c FROM le GROUP BY 1) " +
+        "SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_lines, " +
+        "count(*) AS n_distinct_lines, " +
+        "round(1.0 - count(*) / CAST(coalesce(sum(c), 1) AS DOUBLE), 6) " +
+        "AS dup_line_fraction, " +
+        "CAST(coalesce(max(c), 0) AS BIGINT) AS max_line_freq FROM per"),
     // same pass order as Scrub.stripHtml, patterns interpolated from the
     // same constants; 'gs' option = global ('s' is inline in the pattern
     // where needed); &amp; decoded last like the Spark side

@@ -674,6 +674,32 @@ object Dedup {
           i => trim(element_at(l, i + 1))), "\n").as("text"): _*)
   }
 
+  /** One-row line-duplication report over the corpus — the health number
+    * behind a [[lineDedup]] decision: total non-blank (trimmed) lines,
+    * distinct lines, the duplicate-line fraction, and the hottest line's
+    * frequency (the boilerplate signal; a nav header shared by millions
+    * of pages shows up here first). Same line algebra as [[lineDedup]]
+    * (split on \r?\n, trim, drop empties, md5 identity). Scale shape:
+    * line text never shuffles — the exchange carries fixed-width md5
+    * keys with map-side-combined counts, then one global aggregate.
+    */
+  def lineStats(docs: DataFrame): DataFrame = {
+    val lineSplit = coalesce(split(col("text"), "\\r?\\n"),
+      array().cast("array<string>"))
+    docs.select(explode(lineSplit).as("line"))
+      .select(trim(col("line")).as("line"))
+      .where(length(col("line")) > 0)
+      .groupBy(md5(col("line")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum("c"), lit(0L)).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        round(lit(1.0) - count(lit(1)) /
+          coalesce(sum("c"), lit(1L)).cast("double"), 6)
+          .as("dup_line_fraction"),
+        coalesce(max("c"), lit(0L)).as("max_line_freq"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */

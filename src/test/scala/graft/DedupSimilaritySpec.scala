@@ -732,6 +732,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
   }
 
+  test("lineStats: exact line-duplication report on a hand-counted fixture") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\n\n  "),
+      (2L, "beta two\nshared footer\nbeta extra"),
+      (3L, "shared footer"),
+      (4L, "  alpha one  \ngamma four"),
+      (9L, Option.empty[String].orNull)) // null text → zero lines
+      .toDF("doc_id", "text")
+    val got = Dedup.lineStats(docs)
+      .as[(Long, Long, Double, Long)].collect().head
+    // 8 non-blank lines, 5 distinct, 'shared footer' ×3
+    assert(got == ((8L, 5L, 0.375, 3L)), got.toString)
+    // line text never shuffles: the exchange is on the md5 hash
+    val plan = Dedup.lineStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
+  }
+
   test("winnowPairsStats surfaces what the posting cap drops") {
     // hot-fp fixture: 10 identical boilerplate documents (every winnowed
     // fp appears in all 10 → exact drop arithmetic), plus one unrelated doc
