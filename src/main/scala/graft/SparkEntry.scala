@@ -390,6 +390,16 @@ object SparkEntry {
       Similarity.ivfTopKAll(assigned, emb.where(col("vec_id") < 100), 10,
         cents, nprobe = 16)
     }),
+    // hard-negative mining for contrastive training: nearest
+    // DIFFERENT-label vectors per anchor, served from the same IVF index
+    // (nprobe = all cells ⇒ exact, so DuckDB replays it)
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
+      Similarity.hardNegatives(assigned, emb.select(col("vec_id"), col("label")),
+        emb.where(col("vec_id") < 100), k = 5, cents, nprobe = 16)
+    }),
     // benchmark decontamination: eval set = every 97th doc_id (a stand-in
     // for a held-out benchmark table); n=3 because the synthetic corpus
     // vocabulary is ~30 words (n=13, the production default, finds zero
@@ -1228,6 +1238,20 @@ object SparkEntry {
         "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
         "FROM e, q WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, c AS cos, rk FROM p WHERE rk <= 10"),
+    // the q_ivf_topk_multi replay with the label inequality inside the
+    // candidate set (filter BEFORE ranking): k nearest negatives exactly
+    "q_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_lab " +
+        "FROM e WHERE vec_id < 100), " +
+        "p AS (SELECT q_id, vec_id AS neg_id, e.label AS neg_label, " +
+        "round(list_cosine_similarity(emb, q_emb), 4) AS c, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) " +
+        "AS INT) AS rk " +
+        "FROM e, q WHERE vec_id <> q_id AND e.label <> q_lab) " +
+        "SELECT q_id, neg_id, neg_label, c AS cos, rk FROM p WHERE rk <= 5"),
     "q_decontam" ->
       (s"WITH tr AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 97 <> 0), " +
         s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +

@@ -528,6 +528,46 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor in `queries`, the top-`k` nearest DIFFERENT-label vectors,
+    * served from the IVF index — close in embedding space but labeled
+    * otherwise (the informative negatives; random negatives are
+    * trivially far). Same probe shape as [[ivfTopKAll]] (cell-pruned
+    * candidates, ranking on the rounded cosine, one top-k shuffle); the
+    * label filter runs BEFORE ranking, so the contract is "the k nearest
+    * negatives", not "the negatives among the k nearest". `labels`
+    * (vec_id → label) joins onto the PROBE-SIZED candidate set — at
+    * production scale, store the label as an extra column of the
+    * assignment table at build time and pass it here pre-joined to skip
+    * that join entirely. nprobe = number of cells ⇒ exact (the oracle
+    * regime, same as ivfTopKAll).
+    */
+  def hardNegatives(assigned: DataFrame, labels: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4, labelCol: String = "label"): DataFrame = {
+    val qlab = queries.select(col("vec_id").as("q_id"),
+      col(labelCol).as("q_lab"))
+    val q = unitVecs(queries, "q_id", "q_e").join(qlab, "q_id")
+    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("q_e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
+    }: _*)
+    val probes = q.select(col("q_id"), col("q_e"), col("q_lab"),
+        explode(slice(sort_array(cellScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_e"), col("q_lab"),
+        (-col("pc.neg_cell")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neg_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(labels.select(col("vec_id"), col(labelCol).as("neg_label")),
+        Seq("vec_id"))
+      .where(col("neg_label") =!= col("q_lab"))
+      .select(col("q_id"), col("vec_id").as("neg_id"), col("neg_label"),
+        round(dot(col("e"), col("q_e")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of
     * `numPlanes` fixed random projections. Vectors in the same bucket are
     * near-duplicate candidates; at 100 TB candidate generation becomes a

@@ -500,6 +500,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("hardNegatives: k nearest different-label vectors, exact at nprobe=all") {
+    val rnd = new scala.util.Random(31)
+    val raw = (0L until 24L).map { i =>
+      (i, Array.fill(6)(rnd.nextGaussian().toFloat), (i % 3).toInt)
+    }
+    val vecs = raw.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroids(vecs, 3, iters = 5)
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    val got = Similarity.hardNegatives(assigned,
+        vecs.select($"vec_id", $"label"), vecs.where($"vec_id" < 4L),
+        k = 3, cents, nprobe = 3)
+      .as[(Long, Long, Int, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    // brute-force twin with the same rounded-cosine ordering
+    val unit = raw.map { case (id, v, lab) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      (id, d.map(_ / n), lab)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (qid <- 0L until 4L) {
+      val (_, qe, qlab) = unit(qid.toInt)
+      val want = unit
+        .filter { case (id, _, lab) => id != qid && lab != qlab }
+        .map { case (id, e, lab) =>
+          (id, lab, r4(e.zip(qe).map { case (a, b) => a * b }.sum)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(3)
+        .zipWithIndex
+        .map { case ((id, lab, c), i) => (qid, id, lab, c, i + 1) }
+      assert(got(qid).toSeq == want, s"query $qid")
+      // every mined negative really is another label
+      assert(got(qid).forall(_._3 != qlab))
+    }
+  }
+
   test("ivfInertiaFromIndex equals quantizerInertia; build persists the baseline") {
     import graft.ops.IndexTables
     for (s <- Seq("_3_centroids", "_3_b4", "_3_inertia"))
