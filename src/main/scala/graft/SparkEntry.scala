@@ -214,6 +214,14 @@ object SparkEntry {
     // against known-compressibility fixtures in TextAnalysisSpec
     "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.surprisalScores(Tables.documents(s, d))),
+    // perplexity-bucket mixing: quintile buckets over the unigram
+    // surprisal, keep-rate falling with weirdness (the perplexity-filter
+    // recipe as one declarative decision pass)
+    "q_ppl_mix" -> ((s, d) =>
+      Sampling.perplexityMix(
+        TextAnalysis.surprisalScores(Tables.documents(s, d))
+          .select(col("doc_id"), col("avg_surprisal")),
+        "doc_id", "avg_surprisal", PPL_RATES)),
     "q_surprisal2" -> ((s, d) => TextAnalysis.surprisalScoresBigram(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
@@ -639,6 +647,7 @@ object SparkEntry {
   private val TEMP_ALPHA = 0.5
   private val TEMP_TOTAL = 200L
   private val QRANK_KEEP = 0.4
+  private val PPL_RATES = Seq(1.0, 0.8, 0.5, 0.25, 0.1)
   private val SEARCH_TERMS = Seq("stream", "join", "filter")
   private val BM25_TERMS = Seq("stream", "join")
 
@@ -1169,6 +1178,29 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
+    // the q_surprisal chain + a distinct-score cumulative distribution
+    // (ROWS frame explicit; the score dictionary has no peer rows) +
+    // per-bucket hash thresholds interpolated from the shared constants
+    "q_ppl_mix" -> {
+      val caseThr = PPL_RATES.zipWithIndex.map { case (r, i) =>
+        s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "tf AS (SELECT word, count(*) AS cnt FROM terms GROUP BY word), " +
+        "n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf), " +
+        "s AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
+        "FROM terms JOIN tf USING (word), n GROUP BY doc_id), " +
+        "cnts AS (SELECT avg_surprisal, count(*) AS c FROM s GROUP BY 1), " +
+        "na AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM cnts), " +
+        "cum AS (SELECT avg_surprisal, sum(c) OVER (ORDER BY avg_surprisal " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
+        s"b AS (SELECT avg_surprisal, CAST(ceil(cum * ${PPL_RATES.length} / n_all) " +
+        "AS INT) AS bucket FROM cum, na) " +
+        "SELECT s.doc_id, s.avg_surprisal, b.bucket " +
+        "FROM s JOIN b USING (avg_surprisal) " +
+        "WHERE '0' || substring(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"CASE b.bucket $caseThr END"
+    },
     "q_surprisal2" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "p AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, " +

@@ -165,6 +165,51 @@ object Sampling {
         col("weight"), col("n_target"))
   }
 
+  /** Perplexity-bucket mixing — "sample by model signal", the shape of
+    * perplexity-filtered curation (keep the clean text, thin the weird
+    * tail) and DSIR-style importance mixing. `scored` carries one model
+    * score per row (e.g. [[TextAnalysis.surprisalScores]]'s
+    * avg_surprisal); rows are bucketed 1..rates.length by the
+    * corpus-wide cumulative distribution of that score (bucket i covers
+    * the ((i−1)/n, i/n] quantile; ties share a bucket — cume_dist
+    * semantics, not rank, for the q_quality_rank tie reason), and
+    * bucket i keeps a deterministic [[hashSample]]-style fraction of
+    * rates(i−1). Returns the mix decision (id, score, bucket); semi-join
+    * the corpus by id to apply it.
+    *
+    * Scale shape: NO corpus-wide window. The cumulative distribution is
+    * computed over the DISTINCT-score dictionary (grouped counts + a
+    * running sum over score-cardinality rows — bounded for a rounded
+    * score, never corpus-sized), rows join that dictionary on the score
+    * value (AQE broadcasts it while it fits), and the keep filter is
+    * the usual pushed-down hash predicate. The default salt
+    * decorrelates the keep decision from plain [[hashSample]] runs over
+    * the same ids.
+    */
+  def perplexityMix(scored: DataFrame, idCol: String, scoreCol: String,
+      rates: Seq[Double], salt: String = "ppl"): DataFrame = {
+    require(rates.nonEmpty, "perplexityMix: need at least one bucket rate")
+    require(rates.forall(r => r >= 0.0 && r <= 1.0),
+      s"perplexityMix: rates must be in [0,1], got $rates")
+    import org.apache.spark.sql.expressions.Window
+    val n = rates.length
+    val counts = scored.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+    // running count over the distinct-score dictionary: rows with score
+    // ≤ this one, ties included — exactly cume_dist's numerator
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.orderBy(col(scoreCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val buckets = cum
+      .crossJoin(broadcast(counts.agg(sum("c").cast("double").as("n_all"))))
+      .select(col(scoreCol),
+        ceil(col("cum") * n / col("n_all")).cast("int").as("bucket"))
+    val thresholds = element_at(
+      array(rates.map(r => lit(hexThreshold(r))): _*), col("bucket"))
+    scored.join(buckets, Seq(scoreCol))
+      .where(hashKey(col(idCol), salt) < thresholds)
+      .select(col(idCol), col(scoreCol), col("bucket"))
+  }
+
   /** Fractional-epoch upsampling — the dual of downsampling in a data
     * recipe: "2.5 epochs of books, 0.3 of web" repeats every stratum-s
     * row ⌊e_s⌋ times and gives a deterministic e_s−⌊e_s⌋ hash-fraction of

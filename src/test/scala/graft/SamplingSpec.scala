@@ -168,4 +168,31 @@ class SamplingSpec extends SparkSpec {
       .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
     assert(a == b) // refining the sharding never changes the global order
   }
+
+  test("perplexityMix: quantile buckets by score, per-bucket deterministic rates") {
+    // 10 distinct scores, two buckets: bottom half keeps all, top drops all
+    val scored = (1L to 10L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    val got = Sampling.perplexityMix(scored, "doc_id", "s", Seq(1.0, 0.0))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 4L, 5L), got.toString)
+    assert(got.forall(_._3 == 1))
+    // ties: identical scores land in ONE bucket (cume_dist = 1 ⇒ the last)
+    val tied = (1L to 6L).map(i => (i, 7.7)).toDF("doc_id", "s")
+    val all = Sampling.perplexityMix(tied, "doc_id", "s", Seq(0.0, 1.0))
+      .as[(Long, Double, Int)].collect()
+    assert(all.length == 6 && all.forall(_._3 == 2))
+    // fractional middle bucket: a stable hash-selected strict subset
+    val many = (1L to 300L).map(i => (i, (i % 30).toDouble)).toDF("doc_id", "s")
+    val r = Seq(1.0, 0.5, 0.0)
+    val a = Sampling.perplexityMix(many, "doc_id", "s", r)
+      .as[(Long, Double, Int)].collect()
+    val b = Sampling.perplexityMix(many, "doc_id", "s", r)
+      .as[(Long, Double, Int)].collect()
+    assert(a.toSet == b.toSet) // pure function of the data
+    val byBucket = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket(1) == 100)          // rate 1.0 keeps its whole decile span
+    assert(byBucket.getOrElse(3, 0) == 0) // rate 0.0 keeps nothing
+    val mid = byBucket.getOrElse(2, 0)
+    assert(mid > 20 && mid < 80, s"mid bucket kept $mid of 100")
+  }
 }
