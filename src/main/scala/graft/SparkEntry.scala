@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.sources.Sinks
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -293,6 +294,26 @@ object SparkEntry {
     // not SQL-mirrorable → rows-only)
     "q_pack_shards" -> ((s, d) =>
       Packing.packByTokenBudget(Tables.documents(s, d), budget = 4096, parts = 8)),
+    // delivery-manifest summary: range-clustered write + distributed
+    // per-file manifest, verified against corpus facts (file names/hashes
+    // are write-specific; the strong per-file assertions live in
+    // SinksRichSpec — here the oracle pins file count, row conservation,
+    // and zero overlapping key ranges)
+    "q_shard_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = "/tmp/graft_shard_manifest/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Sinks.writeRangeClustered(Tables.documents(s, d), dir, nFiles = 4,
+        clusterCols = Seq("doc_id"))
+      val m = Sinks.shardManifest(s, dir, Seq("doc_id"))
+      val w = Window.orderBy(col("min_doc_id"))
+      val ov = m.select(col("min_doc_id"),
+          lag(col("max_doc_id"), 1).over(w).as("pmax"))
+        .where(col("pmax").isNotNull && col("min_doc_id") <= col("pmax"))
+        .agg(count(lit(1)).as("n_overlaps"))
+      m.agg(countDistinct("file").as("n_files"),
+          sum("n_rows").as("total_rows"))
+        .crossJoin(ov)
+    }),
     // single-stream twin of q_pack_shards: parts=1 makes the greedy pass a
     // global doc_id-ordered scan, which a DuckDB recursive CTE reproduces
     // row for row — the VALIDATION variant for the packing algebra (the
@@ -1178,6 +1199,11 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
+    // the Spark side must reproduce these from ACTUAL written files:
+    // exactly 4 range-partitioned files, every corpus row present, and
+    // strictly disjoint per-file doc_id ranges (0 overlaps)
+    "q_shard_manifest" ->
+      "SELECT 4 AS n_files, count(*) AS total_rows, 0 AS n_overlaps FROM documents",
     // the q_surprisal chain + a distinct-score cumulative distribution
     // (ROWS frame explicit; the score dictionary has no peer rows) +
     // per-bucket hash thresholds interpolated from the shared constants

@@ -69,4 +69,40 @@ object Sinks {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Per-file manifest of a parquet directory — the delivery artifact a
+    * training-data handoff needs: every data file with its row count,
+    * on-disk size, an order-independent content hash, and (optionally)
+    * the min/max of the cluster keys, making the range-pruning promise
+    * of [[writeRangeClustered]] auditable file by file. Computed
+    * DISTRIBUTED in one scan, grouped per file via the `_metadata`
+    * hidden column — no driver-side file walking, so it scales to a
+    * million-file dataset like any other query.
+    *
+    * The content hash is the exact decimal sum of per-row xxhash64 over
+    * all data columns: independent of row order within a file and —
+    * totaled — of how rows are split across files, so rewriting the
+    * same content at different parallelism keeps Σ content_hash
+    * constant while any row-level change moves it (a sum, not an XOR:
+    * XOR is blind to duplicated row pairs, exactly the corruption a
+    * dedup pipeline cares about). Decimal(38,0) accumulation never
+    * overflows under ANSI mode: 10^11 rows × |hash| < 2^63 stays under
+    * 10^31.
+    */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    val dataCols = df.columns.toSeq
+    val rows = df.select(
+      col("_metadata.file_path").as("file") ::
+        col("_metadata.file_size").as("file_bytes") ::
+        xxhash64(dataCols.map(col): _*).cast("decimal(38,0)").as("_h") ::
+        keyCols.map(col).toList: _*)
+    val aggs = count(lit(1)).as("n_rows") ::
+      sum(col("_h")).as("content_hash") ::
+      keyCols.flatMap(k =>
+        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))).toList
+    rows.groupBy("file", "file_bytes").agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -176,4 +176,43 @@ class SinksRichSpec extends SparkSpec {
       assert(ks == ks.sorted, f)
     }
   }
+
+  test("shardManifest: exact per-file facts; total hash invariant under re-sharding") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 7).cast("string").as("v"))
+    val dir4 = tmp("mani4")
+    val dir2 = tmp("mani2")
+    Sinks.writeRangeClustered(df, dir4, nFiles = 4, clusterCols = Seq("k"))
+    Sinks.writeRangeClustered(df, dir2, nFiles = 2, clusterCols = Seq("k"))
+    val m4 = Sinks.shardManifest(spark, dir4, Seq("k")).collect()
+    assert(m4.length == 4)
+    // row counts conserve; every file's manifest row matches the file
+    assert(m4.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    for (r <- m4) {
+      val f = spark.read.parquet(r.getAs[String]("file"))
+      assert(f.count() == r.getAs[Long]("n_rows"))
+      val mm = f.agg(min("k"), max("k")).head()
+      assert(mm.getLong(0) == r.getAs[Long]("min_k") &&
+        mm.getLong(1) == r.getAs[Long]("max_k"))
+      assert(r.getAs[Long]("file_bytes") > 0)
+    }
+    // Σ content_hash is a pure function of the CONTENT: identical rows
+    // written at different parallelism (different files, different
+    // per-file splits) total to the same hash
+    def total(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[java.math.BigDecimal]("content_hash"))
+        .map(BigDecimal(_)).sum
+    val m2 = Sinks.shardManifest(spark, dir2, Seq("k")).collect()
+    assert(m2.length == 2)
+    assert(total(m4) == total(m2))
+    // a content change moves the total: same keys, one value differs
+    val dirX = tmp("maniX")
+    val dfX = spark.range(1000).select(col("id").as("k"),
+      when(col("id") === 500, lit("tampered"))
+        .otherwise((col("id") % 7).cast("string")).as("v"))
+    Sinks.writeRangeClustered(dfX, dirX, nFiles = 4, clusterCols = Seq("k"))
+    val mX = Sinks.shardManifest(spark, dirX, Seq("k")).collect()
+    assert(total(mX) != total(m4))
+  }
 }
