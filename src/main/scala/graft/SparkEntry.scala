@@ -304,7 +304,11 @@ object SparkEntry {
       val dir = "/tmp/graft_shard_manifest/" + d.replaceAll("[^A-Za-z0-9]", "_")
       Sinks.writeRangeClustered(Tables.documents(s, d), dir, nFiles = 4,
         clusterCols = Seq("doc_id"))
-      val m = Sinks.shardManifest(s, dir, Seq("doc_id"))
+      // materialize the nFiles-row manifest once: both aggregates below
+      // derive from it, and referencing the aggregate subtree on both
+      // crossJoin sides would re-scan + re-hash the written files twice
+      // (the q_heavy_hitters lesson)
+      val m = Sinks.shardManifest(s, dir, Seq("doc_id")).localCheckpoint()
       val w = Window.orderBy(col("min_doc_id"))
       val ov = m.select(col("min_doc_id"),
           lag(col("max_doc_id"), 1).over(w).as("pmax"))

@@ -644,11 +644,17 @@ object Dedup {
     * every line is owned elsewhere comes back with empty text, not a
     * dropped row (the caller decides the drop policy).
     */
+  /** The ONE definition of the line algebra [[lineDedup]] and
+    * [[lineStats]] share (split on \r?\n; null text → zero lines, since
+    * split(null) is null and size() of it would read -1 instead of the
+    * oracle's 0 — the Decontam n_grams guard). Trim/drop-empties happens
+    * at each use site over these raw parts.
+    */
+  private val lineSplitExpr: Column =
+    coalesce(split(col("text"), "\\r?\\n"), array().cast("array<string>"))
+
   def lineDedup(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    // null text → zero lines (split(null) is null; size() of it would
-    // read -1/null instead of the oracle's 0 — the Decontam n_grams guard)
-    val lineSplit = coalesce(split(col("text"), "\\r?\\n"),
-      array().cast("array<string>"))
+    val lineSplit = lineSplitExpr
     val lines = docs
       .select(col("doc_id"),
         posexplode(lineSplit).as(Seq("line_no", "line")))
@@ -684,9 +690,7 @@ object Dedup {
     * keys with map-side-combined counts, then one global aggregate.
     */
   def lineStats(docs: DataFrame): DataFrame = {
-    val lineSplit = coalesce(split(col("text"), "\\r?\\n"),
-      array().cast("array<string>"))
-    docs.select(explode(lineSplit).as("line"))
+    docs.select(explode(lineSplitExpr).as("line"))
       .select(trim(col("line")).as("line"))
       .where(length(col("line")) > 0)
       .groupBy(md5(col("line")).as("h"))

@@ -75,6 +75,19 @@ object IndexTables {
     } else false
   }
 
+  /** Whether a COMPLETED index table `name` already exists — registered
+    * in this session's catalog, or on disk with a `_SUCCESS` marker from
+    * an earlier JVM (the same two signals `registerOrBuild` reuses
+    * instead of rebuilding). Callers use this to distinguish "about to
+    * build fresh" from "about to re-register", e.g. to invalidate
+    * companion tables exactly when the primary is rebuilt.
+    */
+  def exists(spark: SparkSession, name: String): Boolean = synchronized {
+    spark.catalog.tableExists(name) ||
+      fs(spark).exists(
+        new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS"))
+  }
+
   private def registerOrBuild(spark: SparkSession, name: String,
       bucketSpec: String, build: => Unit): DataFrame = synchronized {
     if (!spark.catalog.tableExists(name)) {

@@ -247,21 +247,9 @@ object Retrieval {
     val qt = queryTable.select(col(qidCol),
       explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
     val terms = qt.select("token").distinct().collect().map(_.getString(0))
-    if (terms.isEmpty) {
-      // no usable terms in the whole batch (empty batch or all-symbol
-      // queries): an empty result with the contract schema
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        queryTable.schema(qidCol), index.schema(idCol),
-        org.apache.spark.sql.types.StructField("n_terms",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType, nullable = false)))
-      return index.sparkSession.createDataFrame(
-        index.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    }
+    // an all-miss/empty batch flows through the normal plan: an empty IN
+    // list filters everything, and the join/window emit zero rows with
+    // the authoritative schema (no hand-maintained empty-schema copy)
     val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
     val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,

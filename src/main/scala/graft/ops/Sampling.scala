@@ -175,7 +175,10 @@ object Sampling {
     * semantics, not rank, for the q_quality_rank tie reason), and
     * bucket i keeps a deterministic [[hashSample]]-style fraction of
     * rates(i−1). Returns the mix decision (id, score, bucket); semi-join
-    * the corpus by id to apply it.
+    * the corpus by id to apply it. Null-score rows are EXCLUDED — from
+    * the output and from the quantile denominator (they carry no model
+    * signal to bucket by; keeping or dropping them is the caller's
+    * explicit policy, applied via anti-join on this decision).
     *
     * Scale shape: NO corpus-wide window. The cumulative distribution is
     * computed over the DISTINCT-score dictionary (grouped counts + a
@@ -193,7 +196,17 @@ object Sampling {
       s"perplexityMix: rates must be in [0,1], got $rates")
     import org.apache.spark.sql.expressions.Window
     val n = rates.length
-    val counts = scored.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+    // null scores carry no model signal: excluded up front so they
+    // neither inflate the quantile denominator nor silently vanish at
+    // the equi-join below — unscorable rows are the CALLER's policy
+    // decision, not a skew on everyone else's bucket
+    val real = scored.where(col(scoreCol).isNotNull)
+    // materialize the distinct-score dictionary: it feeds both the
+    // running sum and the Σ total, and referencing the aggregate
+    // subtree on both crossJoin sides re-runs the corpus scan twice
+    // (the q_heavy_hitters / temperatureMix lesson)
+    val counts = real.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // running count over the distinct-score dictionary: rows with score
     // ≤ this one, ties included — exactly cume_dist's numerator
     val cum = counts.withColumn("cum",
@@ -205,7 +218,7 @@ object Sampling {
         ceil(col("cum") * n / col("n_all")).cast("int").as("bucket"))
     val thresholds = element_at(
       array(rates.map(r => lit(hexThreshold(r))): _*), col("bucket"))
-    scored.join(buckets, Seq(scoreCol))
+    real.join(buckets, Seq(scoreCol))
       .where(hashKey(col(idCol), salt) < thresholds)
       .select(col(idCol), col(scoreCol), col("bucket"))
   }

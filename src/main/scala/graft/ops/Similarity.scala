@@ -320,6 +320,13 @@ object Similarity {
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
     val cents = stored.orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+    // a FRESH assignment build invalidates any surviving inertia table:
+    // a user who dropped only centroids+assignment and rebuilt (the
+    // documented manual-refresh recipe) must not keep the old corpus's
+    // baseline, or the next auto-refresh compares against the wrong
+    // number. A re-registered existing index keeps its build-time row.
+    val building = !IndexTables.exists(spark, s"${name}_${k}_b$nBuckets")
+    if (building) IndexTables.drop(spark, s"${name}_${k}_inertia")
     val assigned = IndexTables.bucketed(spark, s"${name}_$k",
       nBuckets, Seq("cell"), Seq("cell", "vec_id"))(ivfAssign(emb, cents))
     IndexTables.plain(spark, s"${name}_${k}_inertia")(
@@ -505,16 +512,7 @@ object Similarity {
     */
   def ivfTopKAll(assigned: DataFrame, queries: DataFrame, k: Int,
       centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    val q = unitVecs(queries, "q_id", "q_e")
-    // (dot, -cell) struct array sorted desc = highest dot first, lowest
-    // cell on ties — the same deterministic order ivfTopK's driver-side
-    // sortBy produces
-    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(dot(col("q_e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
-    }: _*)
-    val probes = q.select(col("q_id"), col("q_e"),
-        explode(slice(sort_array(cellScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_e"), (-col("pc.neg_cell")).as("cell"))
+    val probes = probeCells(unitVecs(queries, "q_id", "q_e"), centroids, nprobe)
     // rank on the ROUNDED cosine (then vec_id) — the same order ivfTopK's
     // orderBy uses, so batch and single-query results agree even when two
     // candidates at the top-k boundary round to the same 4-decimal value
@@ -526,6 +524,25 @@ object Similarity {
         round(dot(col("e"), col("q_e")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
+  }
+
+  /** The ONE definition of the per-query cell-probe expansion that
+    * [[ivfTopKAll]] and [[hardNegatives]] share: for each row of `q`
+    * (which must carry `q_e`), the `nprobe` cells whose centroids score
+    * the highest dot — (dot, −cell) struct-argmax order, the same
+    * deterministic highest-dot-then-lowest-cell order [[ivfTopK]]'s
+    * driver-side sortBy produces. Keeps every column of `q`, adds
+    * `cell`.
+    */
+  private def probeCells(q: DataFrame, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("q_e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
+    }: _*)
+    q.withColumn("pc",
+        explode(slice(sort_array(cellScores, asc = false), 1, nprobe)))
+      .withColumn("cell", -col("pc.neg_cell"))
+      .drop("pc")
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each
@@ -547,14 +564,8 @@ object Similarity {
       nprobe: Int = 4, labelCol: String = "label"): DataFrame = {
     val qlab = queries.select(col("vec_id").as("q_id"),
       col(labelCol).as("q_lab"))
-    val q = unitVecs(queries, "q_id", "q_e").join(qlab, "q_id")
-    val cellScores = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(dot(col("q_e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
-    }: _*)
-    val probes = q.select(col("q_id"), col("q_e"), col("q_lab"),
-        explode(slice(sort_array(cellScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("q_id"), col("q_e"), col("q_lab"),
-        (-col("pc.neg_cell")).as("cell"))
+    val probes = probeCells(
+      unitVecs(queries, "q_id", "q_e").join(qlab, "q_id"), centroids, nprobe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neg_id").asc)
     probes.join(assigned, Seq("cell"))

@@ -554,6 +554,22 @@ class DedupSimilaritySpec extends SparkSpec {
     // the build wrote the baseline table the staleness check reads
     val stored = spark.table("ivf_inertia_test_3_inertia").as[Double].head()
     assert(math.abs(stored - fromIdx) < 1e-12)
+    // the documented MANUAL refresh recipe (drop centroids + assignment,
+    // rebuild on changed data) must refresh the baseline too — a
+    // surviving inertia table from the old corpus would feed the next
+    // auto-refresh the wrong reference
+    IndexTables.drop(spark, "ivf_inertia_test_3_centroids")
+    IndexTables.drop(spark, "ivf_inertia_test_3_b4")
+    val rnd2 = new scala.util.Random(8)
+    val vecs2 = (100L until 148L).map { i =>
+      (i, Array.fill(8)(rnd2.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (cents2, assigned2) = Similarity.ivfIndex(vecs2, 3, "ivf_inertia_test",
+      nBuckets = 4)
+    val stored2 = spark.table("ivf_inertia_test_3_inertia").as[Double].head()
+    assert(math.abs(stored2 -
+      Similarity.ivfInertiaFromIndex(assigned2, cents2)) < 1e-12)
+    assert(stored2 != stored) // not the old corpus's number
   }
 
   test("ivfAppendAutoRefresh: in-distribution appends keep the quantizer; " +

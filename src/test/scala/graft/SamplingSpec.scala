@@ -194,5 +194,13 @@ class SamplingSpec extends SparkSpec {
     assert(byBucket.getOrElse(3, 0) == 0) // rate 0.0 keeps nothing
     val mid = byBucket.getOrElse(2, 0)
     assert(mid > 20 && mid < 80, s"mid bucket kept $mid of 100")
+    // null scores: excluded from the output AND from the quantile
+    // denominator — real rows' buckets must not shift when unscorable
+    // rows ride along
+    val withNulls = ((1L to 10L).map(i => (i, Option(i.toDouble))) ++
+      (11L to 18L).map(i => (i, Option.empty[Double]))).toDF("doc_id", "s")
+    val g2 = Sampling.perplexityMix(withNulls, "doc_id", "s", Seq(1.0, 0.0))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(g2.map(_._1) == Set(1L, 2L, 3L, 4L, 5L), g2.toString)
   }
 }
