@@ -433,6 +433,16 @@ object SparkEntry {
       Similarity.hardNegatives(assigned, emb.select(col("vec_id"), col("label")),
         emb.where(col("vec_id") < 100), k = 5, cents, nprobe = 16)
     }),
+    // contrastive triplets: nearest same-label positive + nearest
+    // different-label negative per anchor, with the cosine margin
+    "q_triplets" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
+      Similarity.contrastiveTriplets(assigned,
+        emb.select(col("vec_id"), col("label")),
+        emb.where(col("vec_id") < 100), cents, nprobe = 16)
+    }),
     // benchmark decontamination: eval set = every 97th doc_id (a stand-in
     // for a held-out benchmark table); n=3 because the synthetic corpus
     // vocabulary is ~30 words (n=13, the production default, finds zero
@@ -1314,6 +1324,25 @@ object SparkEntry {
         "AS INT) AS rk " +
         "FROM e, q WHERE vec_id <> q_id AND e.label <> q_lab) " +
         "SELECT q_id, neg_id, neg_label, c AS cos, rk FROM p WHERE rk <= 5"),
+    // the q_hard_negatives replay twice (label =, label <>), top-1 each,
+    // inner-joined per anchor; margin over the rounded cosines
+    "q_triplets" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_lab " +
+        "FROM e WHERE vec_id < 100), " +
+        "p AS (SELECT q_id, vec_id, e.label AS lab, q_lab, " +
+        "round(list_cosine_similarity(emb, q_emb), 4) AS c " +
+        "FROM e, q WHERE vec_id <> q_id), " +
+        "pos AS (SELECT q_id, vec_id AS pos_id, c AS pos_cos FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, " +
+        "vec_id ASC) AS rk FROM p WHERE lab = q_lab) WHERE rk = 1), " +
+        "neg AS (SELECT q_id, vec_id AS neg_id, c AS neg_cos FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, " +
+        "vec_id ASC) AS rk FROM p WHERE lab <> q_lab) WHERE rk = 1) " +
+        "SELECT q_id, pos_id, pos_cos, neg_id, neg_cos, " +
+        "round(pos_cos - neg_cos, 4) AS margin " +
+        "FROM pos JOIN neg USING (q_id)"),
     "q_decontam" ->
       (s"WITH tr AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 97 <> 0), " +
         s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +

@@ -561,22 +561,66 @@ object Similarity {
     */
   def hardNegatives(assigned: DataFrame, labels: DataFrame,
       queries: DataFrame, k: Int, centroids: Array[Array[Double]],
-      nprobe: Int = 4, labelCol: String = "label"): DataFrame = {
+      nprobe: Int = 4, labelCol: String = "label"): DataFrame =
+    labelNeighbors(assigned, labels, queries, k, centroids, nprobe,
+      labelCol, same = false)
+      .select(col("q_id"), col("nb_id").as("neg_id"),
+        col("nb_label").as("neg_label"), col("cos"), col("rk"))
+
+  /** The ONE label-filtered neighbor query behind [[hardNegatives]] and
+    * [[contrastiveTriplets]]: top-`k` nearest vectors whose label is
+    * equal (`same = true`) or different (`same = false`) to the
+    * anchor's, from the cell-probed candidate set, ranked on the rounded
+    * cosine with the vec_id tie-break. Columns: (q_id, nb_id, nb_label,
+    * cos, rk).
+    */
+  private def labelNeighbors(assigned: DataFrame, labels: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int, labelCol: String, same: Boolean): DataFrame = {
     val qlab = queries.select(col("vec_id").as("q_id"),
       col(labelCol).as("q_lab"))
     val probes = probeCells(
       unitVecs(queries, "q_id", "q_e").join(qlab, "q_id"), centroids, nprobe)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neg_id").asc)
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    val labelPred =
+      if (same) col("nb_label") === col("q_lab")
+      else col("nb_label") =!= col("q_lab")
     probes.join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
-      .join(labels.select(col("vec_id"), col(labelCol).as("neg_label")),
+      .join(labels.select(col("vec_id"), col(labelCol).as("nb_label")),
         Seq("vec_id"))
-      .where(col("neg_label") =!= col("q_lab"))
-      .select(col("q_id"), col("vec_id").as("neg_id"), col("neg_label"),
+      .where(labelPred)
+      .select(col("q_id"), col("vec_id").as("nb_id"), col("nb_label"),
         round(dot(col("e"), col("q_e")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
+  }
+
+  /** Contrastive-triplet assembly — the full (anchor, positive,
+    * negative) sampler for embedding-model training: per anchor, the
+    * nearest SAME-label vector (the positive) and the nearest
+    * DIFFERENT-label vector (the hard negative), both served from the
+    * IVF index through [[labelNeighbors]], plus the cosine margin
+    * between them (≤ 0 means the hardest negative is closer than the
+    * best positive — the informative, loss-driving triplets). Anchors
+    * missing either side (only-label-of-its-kind, or candidates outside
+    * the probed cells) emit nothing — an inner join, documented rather
+    * than NULL-padded. nprobe = number of cells ⇒ exact.
+    */
+  def contrastiveTriplets(assigned: DataFrame, labels: DataFrame,
+      queries: DataFrame, centroids: Array[Array[Double]],
+      nprobe: Int = 4, labelCol: String = "label"): DataFrame = {
+    val pos = labelNeighbors(assigned, labels, queries, 1, centroids,
+        nprobe, labelCol, same = true)
+      .select(col("q_id"), col("nb_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = labelNeighbors(assigned, labels, queries, 1, centroids,
+        nprobe, labelCol, same = false)
+      .select(col("q_id"), col("nb_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
   }
 
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of

@@ -536,6 +536,48 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: nearest same-label positive + hard negative, exact") {
+    val rnd = new scala.util.Random(37)
+    val raw = (0L until 24L).map { i =>
+      (i, Array.fill(6)(rnd.nextGaussian().toFloat), (i % 3).toInt)
+    }
+    val vecs = raw.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroids(vecs, 3, iters = 5)
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    val got = Similarity.contrastiveTriplets(assigned,
+        vecs.select($"vec_id", $"label"), vecs.where($"vec_id" < 4L),
+        cents, nprobe = 3)
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val unit = raw.map { case (id, v, lab) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      (id, d.map(_ / n), lab)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (qid <- 0L until 4L) {
+      val (_, qe, qlab) = unit(qid.toInt)
+      def top1(same: Boolean) = unit
+        .filter { case (id, _, lab) =>
+          id != qid && (if (same) lab == qlab else lab != qlab) }
+        .map { case (id, e, _) =>
+          (id, r4(e.zip(qe).map { case (a, b) => a * b }.sum)) }
+        .minBy { case (id, c) => (-c, id) }
+      val (pid, pc) = top1(same = true)
+      val (nid, nc) = top1(same = false)
+      assert(got(qid) == ((qid, pid, pc, nid, nc, r4(pc - nc))), s"query $qid")
+    }
+    // an anchor whose label is unique in the corpus has no positive:
+    // inner-join semantics, the anchor emits nothing (not a NULL pad)
+    val lone = (raw.take(23) :+ ((23L, raw(23)._2, 9)))
+      .toDF("vec_id", "embedding", "label")
+    val loneGot = Similarity.contrastiveTriplets(
+      Similarity.ivfAssign(lone, cents), lone.select($"vec_id", $"label"),
+      lone.where($"vec_id" === 23L), cents, nprobe = 3)
+    assert(loneGot.count() == 0L)
+  }
+
   test("ivfInertiaFromIndex equals quantizerInertia; build persists the baseline") {
     import graft.ops.IndexTables
     for (s <- Seq("_3_centroids", "_3_b4", "_3_inertia"))
