@@ -190,6 +190,9 @@ object SparkEntry {
     }),
     // ---- text analysis ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    // power-of-two length histogram: the seqLen / truncation decision input
+    "q_token_hist" -> ((s, d) =>
+      TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -1105,6 +1108,13 @@ object SparkEntry {
       (s"WITH t AS (SELECT lang, len($TOKS) AS n_tokens FROM documents) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
         "round(avg(n_tokens), 4) AS avg_tokens FROM t GROUP BY lang"),
+    // exact integer floor-log2 via binary-string length in BOTH engines
+    "q_token_hist" ->
+      (s"WITH t AS (SELECT coalesce(len($TOKS), 0) AS n FROM documents), " +
+        "b AS (SELECT CASE WHEN n = 0 THEN -1 " +
+        "ELSE CAST(length(bin(n)) - 1 AS INT) END AS bucket, n FROM t) " +
+        "SELECT bucket, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens FROM b GROUP BY bucket"),
     "q_bpe_stats" ->
       (s"WITH t AS (SELECT lang, len(regexp_extract_all(lower(text), " +
         s"'${ops.TextAnalysis.bpePatternSql}')) AS n FROM documents) " +

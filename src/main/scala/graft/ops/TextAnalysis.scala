@@ -34,6 +34,24 @@ object TextAnalysis {
         sum(col("n_tokens")).as("total_tokens"),
         round(avg(col("n_tokens")), 4).as("avg_tokens"))
 
+  /** Power-of-two token-length histogram — the distribution a packing /
+    * sequence-length decision reads (what seqLen wastes the least
+    * padding; how much of the corpus a max-length truncation clips).
+    * Bucket b holds documents with 2^b ≤ tokens < 2^(b+1); zero-token
+    * documents land in bucket −1. The floor-log2 is EXACT integer
+    * arithmetic — `length(bin(n)) − 1`, no float log whose 2.999…
+    * rounding could disagree across engines. One scan, one tiny-key
+    * aggregation.
+    */
+  def tokenLengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(coalesce(size(toks(col("text"))), lit(0)).as("n"))
+      .select(when(col("n") === 0, lit(-1))
+        .otherwise(length(bin(col("n").cast("long"))) - 1)
+        .cast("int").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("total_tokens"))
+
   /** Exact heavy hitters: tokens whose corpus frequency exceeds
     * `phi`·total — the vocabulary-pruning / stopword-discovery primitive.
     * Two aggregations (per-token counts with map-side partials, then the

@@ -335,4 +335,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("tokenLengthHistogram: exact power-of-two buckets incl. empty docs") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "!!!"),        // 0 tokens → bucket -1
+      (2L, words(1)),     // bucket 0
+      (3L, words(2)),     // bucket 1
+      (4L, words(3)),     // bucket 1 (the float-log2 trap value family)
+      (5L, words(8)),     // bucket 3 — exactly a power of two
+      (6L, words(1023)),  // bucket 9 upper edge
+      (7L, words(1024)))  // bucket 10 lower edge
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenLengthHistogram(docs)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      -1 -> ((1L, 0L)), 0 -> ((1L, 1L)), 1 -> ((2L, 5L)),
+      3 -> ((1L, 8L)), 9 -> ((1L, 1023L)), 10 -> ((1L, 1024L))))
+  }
 }
