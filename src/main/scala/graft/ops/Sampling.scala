@@ -199,8 +199,14 @@ object Sampling {
     // null scores carry no model signal: excluded up front so they
     // neither inflate the quantile denominator nor silently vanish at
     // the equi-join below — unscorable rows are the CALLER's policy
-    // decision, not a skew on everyone else's bucket
+    // decision, not a skew on everyone else's bucket.
+    // persist: the (id, score) projection feeds BOTH the dictionary
+    // build and the output join — without it an expensive upstream
+    // scorer (the surprisal chain in q_ppl_mix) runs twice per call
+    // (plan-audited). Lineage stays intact (the bm25 persist argument);
+    // (id, score) is two narrow columns, MEMORY_AND_DISK spills fine.
     val real = scored.where(col(scoreCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the distinct-score dictionary: it feeds both the
     // running sum and the Σ total, and referencing the aggregate
     // subtree on both crossJoin sides re-runs the corpus scan twice
