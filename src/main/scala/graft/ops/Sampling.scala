@@ -192,10 +192,6 @@ object Sampling {
   def perplexityMix(scored: DataFrame, idCol: String, scoreCol: String,
       rates: Seq[Double], salt: String = "ppl"): DataFrame = {
     require(rates.nonEmpty, "perplexityMix: need at least one bucket rate")
-    require(rates.forall(r => r >= 0.0 && r <= 1.0),
-      s"perplexityMix: rates must be in [0,1], got $rates")
-    import org.apache.spark.sql.expressions.Window
-    val n = rates.length
     // null scores carry no model signal: excluded up front so they
     // neither inflate the quantile denominator nor silently vanish at
     // the equi-join below — unscorable rows are the CALLER's policy
@@ -207,24 +203,59 @@ object Sampling {
     // (id, score) is two narrow columns, MEMORY_AND_DISK spills fine.
     val real = scored.where(col(scoreCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perplexityMixApply(real,
+      perplexityBuckets(real, scoreCol, rates.length),
+      idCol, scoreCol, rates, salt)
+  }
+
+  /** The quantile-bucket dictionary behind [[perplexityMix]], exposed as
+    * its own artifact for the train/serve split: fit the (score →
+    * bucket) mapping on a reference corpus once, persist it, and apply
+    * it to later batches or a live STREAM with [[perplexityMixApply]] —
+    * the model-signal analogue of serving from a standing index. One
+    * row per distinct score; bucket = ceil(cume_dist · n) over the
+    * reference distribution. Null scores are ignored.
+    */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"perplexityBuckets: need n >= 1 buckets, got $n")
+    import org.apache.spark.sql.expressions.Window
     // materialize the distinct-score dictionary: it feeds both the
     // running sum and the Σ total, and referencing the aggregate
     // subtree on both crossJoin sides re-runs the corpus scan twice
     // (the q_heavy_hitters / temperatureMix lesson)
-    val counts = real.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+    val counts = scored.where(col(scoreCol).isNotNull)
+      .groupBy(scoreCol).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     // running count over the distinct-score dictionary: rows with score
     // ≤ this one, ties included — exactly cume_dist's numerator
     val cum = counts.withColumn("cum",
       sum("c").over(Window.orderBy(col(scoreCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val buckets = cum
+    cum
       .crossJoin(broadcast(counts.agg(sum("c").cast("double").as("n_all"))))
       .select(col(scoreCol),
         ceil(col("cum") * n / col("n_all")).cast("int").as("bucket"))
+  }
+
+  /** Apply a fitted [[perplexityBuckets]] dictionary to scored rows —
+    * batch or STREAMING (a stream-static equi-join on the score value
+    * plus a pushed-down hash predicate; no watermark or state needed,
+    * so it runs append-mode as-is). Scores outside the fitted
+    * dictionary (unseen values, e.g. fresher crawl than the reference
+    * corpus) drop with the equi-join — refit the dictionary on the
+    * cadence the score distribution drifts, the corpusStats staleness
+    * policy. Null scores drop likewise.
+    */
+  def perplexityMixApply(scored: DataFrame, buckets: DataFrame,
+      idCol: String, scoreCol: String, rates: Seq[Double],
+      salt: String = "ppl"): DataFrame = {
+    require(rates.nonEmpty, "perplexityMixApply: need at least one rate")
+    require(rates.forall(r => r >= 0.0 && r <= 1.0),
+      s"perplexityMixApply: rates must be in [0,1], got $rates")
     val thresholds = element_at(
       array(rates.map(r => lit(hexThreshold(r))): _*), col("bucket"))
-    real.join(buckets, Seq(scoreCol))
+    scored.join(buckets, Seq(scoreCol))
       .where(hashKey(col(idCol), salt) < thresholds)
       .select(col(idCol), col(scoreCol), col("bucket"))
   }

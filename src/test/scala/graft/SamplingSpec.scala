@@ -203,4 +203,34 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSet
     assert(g2.map(_._1) == Set(1L, 2L, 3L, 4L, 5L), g2.toString)
   }
+
+  test("perplexityMixApply: a fitted dictionary serves a STREAM identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rates = Seq(1.0, 0.5, 0.0)
+    val reference = (1L to 300L).map(i => (i, (i % 30).toDouble))
+      .toDF("doc_id", "s")
+    val buckets = Sampling.perplexityBuckets(reference, "s", rates.length)
+      .localCheckpoint() // the persisted artifact a serving job would load
+    // fresh rows scored with values the reference distribution covers,
+    // plus one unseen score (31.0) that must drop, not mis-bucket
+    val fresh = (1000L to 1060L).map(i => (i, (i % 30).toDouble)) :+
+      ((2000L, 31.0))
+    val expect = Sampling.perplexityMixApply(fresh.toDF("doc_id", "s"),
+        buckets, "doc_id", "s", rates)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(expect.nonEmpty && !expect.exists(_._1 == 2000L))
+    val in = MemoryStream[(Long, Double)](46, spark, None)
+    val q = Sampling.perplexityMixApply(in.toDF().toDF("doc_id", "s"),
+        buckets, "doc_id", "s", rates)
+      .writeStream.format("memory").queryName("pplserve")
+      .outputMode("append").start()
+    try {
+      in.addData(fresh.take(30): _*)
+      in.addData(fresh.drop(30): _*)
+      q.processAllAvailable()
+      val got = spark.table("pplserve")
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got == expect, s"stream ${got.size} vs batch ${expect.size}")
+    } finally q.stop()
+  }
 }
