@@ -626,6 +626,15 @@ object Dedup {
           i => array_join(slice(t, i * k + 1, lit(k)), " ")), " ").as("text"): _*)
   }
 
+  /** The ONE definition of the line algebra [[lineDedup]] and
+    * [[lineStats]] share (split on \r?\n; null text → zero lines, since
+    * split(null) is null and size() of it would read -1 instead of the
+    * oracle's 0 — the Decontam n_grams guard). Trim/drop-empties happens
+    * at each use site over these raw parts.
+    */
+  private val lineSplitExpr: Column =
+    coalesce(split(col("text"), "\\r?\\n"), array().cast("array<string>"))
+
   /** C4-style exact LINE-level dedup: every distinct non-empty (trimmed)
     * line is kept only at its first occurrence corpus-wide — ownership =
     * lowest (doc_id, line_no) — and documents are rewritten with only
@@ -644,15 +653,6 @@ object Dedup {
     * every line is owned elsewhere comes back with empty text, not a
     * dropped row (the caller decides the drop policy).
     */
-  /** The ONE definition of the line algebra [[lineDedup]] and
-    * [[lineStats]] share (split on \r?\n; null text → zero lines, since
-    * split(null) is null and size() of it would read -1 instead of the
-    * oracle's 0 — the Decontam n_grams guard). Trim/drop-empties happens
-    * at each use site over these raw parts.
-    */
-  private val lineSplitExpr: Column =
-    coalesce(split(col("text"), "\\r?\\n"), array().cast("array<string>"))
-
   def lineDedup(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val lineSplit = lineSplitExpr
     val lines = docs

@@ -76,16 +76,22 @@ object IndexTables {
   }
 
   /** Whether a COMPLETED index table `name` already exists — registered
-    * in this session's catalog, or on disk with a `_SUCCESS` marker from
-    * an earlier JVM (the same two signals `registerOrBuild` reuses
-    * instead of rebuilding). Callers use this to distinguish "about to
-    * build fresh" from "about to re-register", e.g. to invalidate
-    * companion tables exactly when the primary is rebuilt.
+    * in this session's catalog, on disk with a `_SUCCESS` marker from an
+    * earlier JVM, or recoverable from an interrupted compact's tmp copy
+    * (exactly the three states in which `registerOrBuild` re-registers
+    * instead of rebuilding — the tmp-copy check matters because a
+    * compact that died mid-swap leaves the ONLY copy of appended rows
+    * there, and the next access completes the swap rather than building
+    * fresh). Callers use this to distinguish "about to build fresh"
+    * from "about to re-register", e.g. to invalidate companion tables
+    * exactly when the primary is rebuilt.
     */
   def exists(spark: SparkSession, name: String): Boolean = synchronized {
     spark.catalog.tableExists(name) ||
       fs(spark).exists(
-        new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS"))
+        new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS")) ||
+      fs(spark).exists(
+        new org.apache.hadoop.fs.Path(s"$baseDir/${name}_compacting/_SUCCESS"))
   }
 
   private def registerOrBuild(spark: SparkSession, name: String,

@@ -187,7 +187,12 @@ object Sampling {
     * value (AQE broadcasts it while it fits), and the keep filter is
     * the usual pushed-down hash predicate. The default salt
     * decorrelates the keep decision from plain [[hashSample]] runs over
-    * the same ids.
+    * the same ids. The (id, score) projection is persisted for the
+    * call's two consumers and NOT unpersisted (same contract as
+    * [[Retrieval.bm25]]): a driver looping many fits should
+    * `spark.catalog.clearCache()` between them, or fit once with
+    * [[perplexityBuckets]] and serve every later batch through
+    * [[perplexityMixApply]], which caches nothing.
     */
   def perplexityMix(scored: DataFrame, idCol: String, scoreCol: String,
       rates: Seq[Double], salt: String = "ppl"): DataFrame = {
@@ -253,8 +258,15 @@ object Sampling {
     require(rates.nonEmpty, "perplexityMixApply: need at least one rate")
     require(rates.forall(r => r >= 0.0 && r <= 1.0),
       s"perplexityMixApply: rates must be in [0,1], got $rates")
-    val thresholds = element_at(
-      array(rates.map(r => lit(hexThreshold(r))): _*), col("bucket"))
+    // bucket ids outside [1, rates.length] mean the dictionary was
+    // fitted with a different bucket count than `rates` describes (a
+    // config/refit mismatch): those rows DROP like unseen scores —
+    // under ANSI mode a raw element_at would instead throw
+    // INVALID_ARRAY_INDEX mid-batch and kill a serving stream
+    val thresholds = when(
+      col("bucket").between(1, rates.length),
+      element_at(array(rates.map(r => lit(hexThreshold(r))): _*),
+        col("bucket")))
     scored.join(buckets, Seq(scoreCol))
       .where(hashKey(col(idCol), salt) < thresholds)
       .select(col(idCol), col(scoreCol), col("bucket"))

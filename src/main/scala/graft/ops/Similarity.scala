@@ -567,32 +567,43 @@ object Similarity {
       .select(col("q_id"), col("nb_id").as("neg_id"),
         col("nb_label").as("neg_label"), col("cos"), col("rk"))
 
-  /** The ONE label-filtered neighbor query behind [[hardNegatives]] and
-    * [[contrastiveTriplets]]: top-`k` nearest vectors whose label is
-    * equal (`same = true`) or different (`same = false`) to the
-    * anchor's, from the cell-probed candidate set, ranked on the rounded
-    * cosine with the vec_id tie-break. Columns: (q_id, nb_id, nb_label,
-    * cos, rk).
+  /** The ONE candidate stage behind [[hardNegatives]] and
+    * [[contrastiveTriplets]]: every cell-probed candidate per anchor
+    * with its label and rounded cosine — (q_id, q_lab, nb_id, nb_label,
+    * cos). The expensive part (probe expansion, cell-bucketed join,
+    * label join, dot products) lives HERE once; callers only differ in
+    * how they rank/filter the result.
     */
-  private def labelNeighbors(assigned: DataFrame, labels: DataFrame,
-      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
-      nprobe: Int, labelCol: String, same: Boolean): DataFrame = {
+  private def labelCandidates(assigned: DataFrame, labels: DataFrame,
+      queries: DataFrame, centroids: Array[Array[Double]],
+      nprobe: Int, labelCol: String): DataFrame = {
     val qlab = queries.select(col("vec_id").as("q_id"),
       col(labelCol).as("q_lab"))
     val probes = probeCells(
       unitVecs(queries, "q_id", "q_e").join(qlab, "q_id"), centroids, nprobe)
+    probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(labels.select(col("vec_id"), col(labelCol).as("nb_label")),
+        Seq("vec_id"))
+      .select(col("q_id"), col("q_lab"), col("vec_id").as("nb_id"),
+        col("nb_label"), round(dot(col("e"), col("q_e")), 4).as("cos"))
+  }
+
+  /** Top-`k` nearest vectors whose label is equal (`same = true`) or
+    * different (`same = false`) to the anchor's, ranked on the rounded
+    * cosine with the vec_id tie-break, over [[labelCandidates]].
+    */
+  private def labelNeighbors(assigned: DataFrame, labels: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int, labelCol: String, same: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     val labelPred =
       if (same) col("nb_label") === col("q_lab")
       else col("nb_label") =!= col("q_lab")
-    probes.join(assigned, Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
-      .join(labels.select(col("vec_id"), col(labelCol).as("nb_label")),
-        Seq("vec_id"))
+    labelCandidates(assigned, labels, queries, centroids, nprobe, labelCol)
       .where(labelPred)
-      .select(col("q_id"), col("vec_id").as("nb_id"), col("nb_label"),
-        round(dot(col("e"), col("q_e")), 4).as("cos"))
+      .select(col("q_id"), col("nb_id"), col("nb_label"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
@@ -600,27 +611,36 @@ object Similarity {
   /** Contrastive-triplet assembly — the full (anchor, positive,
     * negative) sampler for embedding-model training: per anchor, the
     * nearest SAME-label vector (the positive) and the nearest
-    * DIFFERENT-label vector (the hard negative), both served from the
-    * IVF index through [[labelNeighbors]], plus the cosine margin
+    * DIFFERENT-label vector (the hard negative), plus the cosine margin
     * between them (≤ 0 means the hardest negative is closer than the
-    * best positive — the informative, loss-driving triplets). Anchors
-    * missing either side (only-label-of-its-kind, or candidates outside
-    * the probed cells) emit nothing — an inner join, documented rather
-    * than NULL-padded. nprobe = number of cells ⇒ exact.
+    * best positive — the informative, loss-driving triplets). ONE pass
+    * over [[labelCandidates]]: ranking partitions by (anchor, polarity)
+    * and a conditional struct-max aggregation pivots the two rank-1
+    * rows into one triplet — the candidate join and dot products are
+    * never paid twice. Anchors missing either side
+    * (only-label-of-its-kind, or candidates outside the probed cells)
+    * emit nothing — documented inner-triplet semantics rather than
+    * NULL-padding. nprobe = number of cells ⇒ exact.
     */
   def contrastiveTriplets(assigned: DataFrame, labels: DataFrame,
       queries: DataFrame, centroids: Array[Array[Double]],
       nprobe: Int = 4, labelCol: String = "label"): DataFrame = {
-    val pos = labelNeighbors(assigned, labels, queries, 1, centroids,
-        nprobe, labelCol, same = true)
-      .select(col("q_id"), col("nb_id").as("pos_id"), col("cos").as("pos_cos"))
-    val neg = labelNeighbors(assigned, labels, queries, 1, centroids,
-        nprobe, labelCol, same = false)
-      .select(col("q_id"), col("nb_id").as("neg_id"), col("cos").as("neg_cos"))
-    pos.join(neg, Seq("q_id"))
-      .select(col("q_id"), col("pos_id"), col("pos_cos"),
-        col("neg_id"), col("neg_cos"),
-        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    labelCandidates(assigned, labels, queries, centroids, nprobe, labelCol)
+      .withColumn("is_pos", col("nb_label") === col("q_lab"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("is_pos"), struct(col("cos"), col("nb_id")))).as("p"),
+        max(when(!col("is_pos"), struct(col("cos"), col("nb_id")))).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("q_id"),
+        col("p.nb_id").as("pos_id"), col("p.cos").as("pos_cos"),
+        col("n.nb_id").as("neg_id"), col("n.cos").as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 4).as("margin"))
   }
 
   /** Random-hyperplane LSH bucket id (deterministic seed): sign bits of

@@ -74,10 +74,14 @@ object Sinks {
     * training-data handoff needs: every data file with its row count,
     * on-disk size, an order-independent content hash, and (optionally)
     * the min/max of the cluster keys, making the range-pruning promise
-    * of [[writeRangeClustered]] auditable file by file. Computed
-    * DISTRIBUTED in one scan, grouped per file via the `_metadata`
-    * hidden column — no driver-side file walking, so it scales to a
-    * million-file dataset like any other query.
+    * of [[writeRangeClustered]] auditable file by file. The file
+    * universe comes from one directory listStatus (the same
+    * metadata-sized driver operation every scan's file index performs),
+    * so zero-row data files still appear — with n_rows 0 and hash 0 —
+    * and a manifest-vs-shipped reconcile cannot miss them; the row
+    * counting and hashing stay DISTRIBUTED, grouped per file via the
+    * `_metadata` hidden column, so it scales to a million-file dataset
+    * like any other query.
     *
     * The content hash is the exact decimal sum of per-row xxhash64 over
     * all data columns: independent of row order within a file and —
@@ -92,17 +96,39 @@ object Sinks {
   def shardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the directory listing is the file universe — derived from rows
+    // alone, a zero-row (schema-only) data file would silently vanish
+    // from the manifest and a reconcile-against-shipped-files audit
+    // would miss it. One listStatus call, the same driver-side metadata
+    // operation every Spark scan's file index performs (this is not
+    // per-file content walking; the hashing below stays distributed).
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fsys = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing = spark.createDataFrame(
+      fsys.listStatus(dir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => (s.getPath.getName, s.getPath.toString, s.getLen)))
+      .toDF("fname", "file", "file_bytes")
     val df = spark.read.parquet(path)
     val dataCols = df.columns.toSeq
+    // join on the file NAME (unique within the directory): the URI
+    // scheme/authority rendering of _metadata.file_path and the
+    // FileSystem listing can differ (file:/ vs file:///)
     val rows = df.select(
-      col("_metadata.file_path").as("file") ::
-        col("_metadata.file_size").as("file_bytes") ::
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("fname") ::
         xxhash64(dataCols.map(col): _*).cast("decimal(38,0)").as("_h") ::
         keyCols.map(col).toList: _*)
     val aggs = count(lit(1)).as("n_rows") ::
       sum(col("_h")).as("content_hash") ::
       keyCols.flatMap(k =>
         Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))).toList
-    rows.groupBy("file", "file_bytes").agg(aggs.head, aggs.tail: _*)
+    val perFile = rows.groupBy("fname").agg(aggs.head, aggs.tail: _*)
+    listing.join(perFile, Seq("fname"), "left")
+      .select(col("file") :: col("file_bytes") ::
+        coalesce(col("n_rows"), lit(0L)).as("n_rows") ::
+        coalesce(col("content_hash"), lit(0).cast("decimal(38,0)"))
+          .as("content_hash") ::
+        keyCols.flatMap(k => Seq(col(s"min_$k"), col(s"max_$k"))).toList: _*)
   }
 }

@@ -219,6 +219,12 @@ class SamplingSpec extends SparkSpec {
         buckets, "doc_id", "s", rates)
       .as[(Long, Double, Int)].collect().toSet
     assert(expect.nonEmpty && !expect.exists(_._1 == 2000L))
+    // rates/dictionary mismatch (dictionary has 3 buckets, rates 2):
+    // bucket-3 rows drop like unseen scores — no ANSI element_at crash
+    val short = Sampling.perplexityMixApply(fresh.toDF("doc_id", "s"),
+        buckets, "doc_id", "s", Seq(1.0, 1.0))
+      .as[(Long, Double, Int)].collect()
+    assert(short.nonEmpty && short.forall(_._3 <= 2), short.mkString(","))
     val in = MemoryStream[(Long, Double)](46, spark, None)
     val q = Sampling.perplexityMixApply(in.toDF().toDF("doc_id", "s"),
         buckets, "doc_id", "s", rates)
