@@ -616,6 +616,16 @@ object SparkEntry {
     "q_winnow_stats" -> ((s, d) =>
       Dedup.winnowPairsStats(Tables.documents(s, d), k = 3, w = 4,
         maxDocsPerFp = 64)),
+    // incremental MOSS match: the increment (every 7th doc) probed
+    // against the standing winnow index of the rest — increment-sized
+    // work, snapshot text never read
+    "q_winnow_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val snap = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.winnowPairsAgainst(
+        docs.where(col("doc_id") % 7 === 0),
+        Dedup.winnowIndex(snap, IndexTables.ident("winsnap", d, witness(snap))))
+    }),
     // multi-resolution match classes: an 8-gram fingerprint share means a
     // ≥ 8-token verbatim run ('long'); 3-gram-only evidence is phrase
     // overlap ('short') — the match-length signal one gram size can't give
@@ -786,8 +796,9 @@ object SparkEntry {
     * (doc_id, fp) in `fps`. One definition so the fingerprint query and
     * the pair query cannot drift.
     */
-  private def winnowCtes(k: Int, w: Int, sfx: String): String =
-    s"t$sfx AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+  private def winnowCtes(k: Int, w: Int, sfx: String,
+      from: String = "documents"): String =
+    s"t$sfx AS (SELECT doc_id, $TOKS AS toks FROM $from), " +
       s"gi$sfx AS (SELECT doc_id, toks, unnest(range(len(toks) - ${k - 1})) AS i " +
       s"FROM t$sfx WHERE len(toks) >= $k), " +
       s"g$sfx AS (SELECT doc_id, i, len(toks) - ${k - 1} AS ng, " +
@@ -1637,6 +1648,18 @@ object SparkEntry {
         "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) WHERE rn <= 64) " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
         "FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // increment/snapshot winnow chains (suffixed CTEs over filtered
+    // derived tables); snapshot postings capped like the Spark side
+    "q_winnow_incr" ->
+      (s"WITH ${winnowCtes(3, 4, "_n",
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0) inc")}, " +
+        s"${winnowCtes(3, 4, "_o",
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) snap")}, " +
+        "capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_o) WHERE rn <= 64) " +
+        "SELECT n.doc_id AS new_id, o.doc_id AS snap_id, count(*) AS n_shared " +
+        "FROM fps_n n JOIN capped o USING (fp) " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
     // two full winnow chains at k=3 and k=8 (suffixed CTEs), each pair
     // table replaying the capped MOSS match, full-outer-joined per pair

@@ -291,6 +291,51 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Standing winnow-fingerprint index: [[winnowFingerprints]] persisted
+    * bucketed on `fp` — the MOSS analogue of [[bandedIndex]], and the
+    * artifact [[winnowPairsAgainst]] probes for incremental span-match /
+    * plagiarism / contamination checks against a growing reference
+    * corpus. Parameters are baked into the table name so a mismatched
+    * probe (different k or w selects different fingerprints) can't
+    * silently read an incompatible index.
+    */
+  def winnowIndex(docs: DataFrame, name: String, k: Int = 3, w: Int = 4,
+      nBuckets: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    IndexTables.bucketed(docs.sparkSession, s"${name}_winnow_k${k}_w$w",
+      nBuckets, Seq("fp"), Seq("fp", idCol))(
+      winnowFingerprints(docs, k, w, idCol, textCol))
+
+  /** Incremental MOSS match: span-sharing pairs between an INCREMENT and
+    * a persisted snapshot [[winnowIndex]] — (new_id, snap_id, n_shared)
+    * for pairs sharing ≥ `minShared` selected fingerprints. Each crawl
+    * pays increment-sized work: the increment's fingerprints are
+    * selected in its scan stage (zero shuffle), hash-exchange into the
+    * snapshot's fp bucketing, and join index rows that never exchange;
+    * snapshot text is never read. `k`/`w` MUST match the index build
+    * (the name encodes them). The snapshot's hot-fingerprint postings
+    * are capped at `maxDocsPerFp` in snapshot doc-id order — the
+    * [[winnowPairs]] boilerplate guardrail, applied to the side that can
+    * be millions of documents deep on a nav-bar fingerprint.
+    */
+  def winnowPairsAgainst(incoming: DataFrame, index: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDocsPerFp: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val inc = winnowFingerprints(incoming, k, w, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("fp"))
+    // the row_number window partitions on fp — the index's bucketing
+    // column — so the cap rides the standing table's layout
+    val snap = index
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .where(col("rn") <= maxDocsPerFp)
+      .select(col("fp"), col(idCol).as("snap_id"))
+    inc.join(snap, Seq("fp"))
+      .groupBy("new_id", "snap_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Multi-resolution MOSS match: [[winnowPairs]] at TWO gram sizes at
     * once, joined per pair — the match-LENGTH discrimination a single
     * gram size cannot give. Sharing a `kLong`-gram fingerprint means the

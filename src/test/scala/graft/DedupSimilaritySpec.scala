@@ -776,6 +776,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("winnowPairsAgainst: increment vs snapshot index ≡ the union's cross pairs") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "win_incr_test_winnow_k3_w4_b8")
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val snap = Seq(
+      (1L, s"$run tail words here"),
+      (2L, s"also carries $run inside"),
+      (3L, "nothing in common at all whatsoever today"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, s"prefix words then $run"),
+      (11L, "entirely unrelated increment content"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.winnowIndex(snap, "win_incr_test")
+    val probe = Dedup.winnowPairsAgainst(inc, idx, minShared = 1)
+    val got = probe.as[(Long, Long, Long)].collect().toSet
+    // the batch self-join over the union, restricted to cross pairs and
+    // re-oriented (new, snap), must agree exactly
+    val cross = Dedup.winnowPairs(snap.union(inc), minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => (a < 10L) != (b < 10L) }
+      .map { case (a, b, n) => if (a >= 10L) (a, b, n) else (b, a, n) }
+      .toSet
+    assert(got == cross, s"$got vs $cross")
+    assert(got.map(_._1) == Set(10L)) // 11 matches nothing
+    assert(got.map(_._2) == Set(1L, 2L))
+    // increment-sized work: the only fp exchange is the increment side —
+    // the bucketed+sorted index feeds both the cap window and the join
+    // in place
+    val plan = probe.queryExecution.executedPlan.toString
+    val fpExchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).length
+    assert(fpExchanges <= 1, s"index side exchanged:\n$plan")
+  }
+
   test("winnowPairsMultiK classifies long verbatim runs vs short-only overlap") {
     val run20 = (1 to 20).map(i => s"r$i").mkString(" ")  // ≥ w+kLong−1 = 11
     val run7 = (1 to 7).map(i => s"s$i").mkString(" ")    // ≥ 6, < kLong = 8
