@@ -567,6 +567,25 @@ object Similarity {
       .select(col("q_id"), col("nb_id").as("neg_id"),
         col("nb_label").as("neg_label"), col("cos"), col("rk"))
 
+  /** Streaming ANN serving: top-k neighbors for a STREAM of query
+    * vectors against the standing IVF index, each micro-batch probed in
+    * one [[ivfTopKAll]] plan — the vector analogue of
+    * [[graft.ops.Retrieval.bm25Serve]], and the same reasoning:
+    * foreachBatch re-plans per batch, so every batch's probe-cell
+    * filters reach the bucketed assignment scan while the index side
+    * never moves. `queryStream` needs (vec_id, embedding); the caller
+    * owns trigger/checkpoint config on the returned writer; `sink`
+    * receives each batch's (q_id, vec_id, cos, rk) rows.
+    */
+  def annServe(queryStream: DataFrame, assigned: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(ivfTopKAll(assigned, batch, k, centroids, nprobe))
+    }
+
   /** The ONE candidate stage behind [[hardNegatives]] and
     * [[contrastiveTriplets]]: every cell-probed candidate per anchor
     * with its label and rounded cosine — (q_id, q_lab, nb_id, nb_label,

@@ -669,6 +669,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annServe: streamed query vectors score identically to the batch probe") {
+    import graft.ops.IndexTables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for (s <- Seq("_4_centroids", "_4_b4", "_4_inertia"))
+      IndexTables.drop(spark, s"ann_serve_test$s")
+    val rnd = new scala.util.Random(17)
+    val raw = (0L until 64L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }
+    val vecs = raw.toDF("vec_id", "embedding", "label")
+    val (cents, assigned) = Similarity.ivfIndex(vecs, 4, "ann_serve_test",
+      nBuckets = 4)
+    val in = MemoryStream[(Long, Array[Float])](47, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    val q = Similarity.annServe(in.toDF().toDF("vec_id", "embedding"),
+        assigned, k = 3, cents, nprobe = 4) { batch =>
+      out ++= batch.as[(Long, Long, Double, Int)].collect()
+    }.start()
+    try {
+      in.addData(raw.take(2).map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      in.addData(raw.slice(2, 4).map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchWant = Similarity.ivfTopKAll(assigned,
+        vecs.where($"vec_id" < 4), 3, cents, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.toSet == batchWant.toSet && out.nonEmpty)
+  }
+
   test("ivfTopKAll: batch probe equals per-query ivfTopK; index never exchanged") {
     val rnd = new scala.util.Random(11)
     val many = (0L until 64L).map { i =>
