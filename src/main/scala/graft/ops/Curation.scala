@@ -112,7 +112,7 @@ object Curation {
   def cleanCorpusV3Stats(docs: DataFrame, minTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7,
       snmThreshold: Double = 0.9, spanTokens: Int = 20): DataFrame =
-    recipeStats(docs, None, minTokens, maxNonAlnum, maxStopword,
+    recipeStats(docs, None, None, minTokens, maxNonAlnum, maxStopword,
       snmThreshold, spanTokens)
 
   /** v4 — v3 plus benchmark decontamination between near-dup removal and
@@ -129,11 +129,40 @@ object Curation {
       minTokens: Int = 10, maxNonAlnum: Double = 0.35,
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       spanTokens: Int = 20, contamN: Int = 13): DataFrame =
-    recipeStats(docs, Some((evalSet, contamN)), minTokens, maxNonAlnum,
+    recipeStats(docs, Some((evalSet, contamN)), None, minTokens, maxNonAlnum,
       maxStopword, snmThreshold, spanTokens)
 
+  /** v5 — v4 plus a perplexity-percentile gate between decontamination
+    * and span rewriting: unigram surprisal is fitted over the decontam
+    * SURVIVORS ([[TextAnalysis.surprisalScores]] — the corpus's own LM,
+    * so the gate needs no external model), documents bucket into
+    * `pplBuckets` quantiles of that distribution, and only buckets
+    * ≤ `pplKeepUpTo` survive — the "drop the weirdest tail by model
+    * signal" stage every modern curation stack runs, here with 0/1
+    * bucket rates so the decision is fully deterministic (the
+    * fractional-rate form is [[Sampling.perplexityMix]] directly).
+    * Fitting on survivors, not raw input, is deliberate: boilerplate
+    * and near-dups removed upstream would otherwise drag the
+    * distribution toward their own repetitive token statistics. Adds a
+    * `s6_perplexity` stage row; span rows become s7. Zero-token
+    * documents carry no surprisal signal and drop at this stage.
+    */
+  def cleanCorpusV5Stats(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      spanTokens: Int = 20, contamN: Int = 13,
+      pplBuckets: Int = 5, pplKeepUpTo: Int = 4): DataFrame = {
+    require(pplKeepUpTo >= 1 && pplKeepUpTo <= pplBuckets,
+      s"cleanCorpusV5Stats: need 1 <= pplKeepUpTo <= pplBuckets, " +
+        s"got $pplKeepUpTo/$pplBuckets")
+    recipeStats(docs, Some((evalSet, contamN)),
+      Some((pplBuckets, pplKeepUpTo)), minTokens, maxNonAlnum,
+      maxStopword, snmThreshold, spanTokens)
+  }
+
   private def recipeStats(docs: DataFrame,
-      decontam: Option[(DataFrame, Int)], minTokens: Int,
+      decontam: Option[(DataFrame, Int)],
+      ppl: Option[(Int, Int)], minTokens: Int,
       maxNonAlnum: Double, maxStopword: Double,
       snmThreshold: Double, spanTokens: Int): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
@@ -165,8 +194,26 @@ object Curation {
             .select("doc_id", "text"),
           evalSet, "doc_id", "text", n))
     }
-    val spanPrefix = if (decontam.isDefined) "s6" else "s5"
-    val spans = Dedup.spanDedup(docs.join(lastIds, Seq("doc_id"), "left_semi"),
+    // optional perplexity-percentile stage (v5): fit unigram surprisal
+    // on the current survivors, keep only the low-surprisal quantile
+    // buckets; 0/1 rates make the hash predicate degenerate (always /
+    // never keep), so the stage is deterministic
+    val pplIds = ppl match {
+      case None => lastIds
+      case Some((nBuckets, keepUpTo)) =>
+        val surv = docs.join(lastIds, Seq("doc_id"), "left_semi")
+        val scored = TextAnalysis.surprisalScores(
+            surv.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("avg_surprisal"))
+        val rates = (1 to nBuckets)
+          .map(b => if (b <= keepUpTo) 1.0 else 0.0)
+        ids(Sampling.perplexityMix(scored, "doc_id", "avg_surprisal", rates)
+          .select("doc_id"))
+    }
+    val spanIdx = 5 + (if (decontam.isDefined) 1 else 0) +
+      (if (ppl.isDefined) 1 else 0)
+    val spanPrefix = s"s$spanIdx"
+    val spans = Dedup.spanDedup(docs.join(pplIds, Seq("doc_id"), "left_semi"),
       spanTokens)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
@@ -185,8 +232,12 @@ object Curation {
       .unionByName(stage("s2_quality", qualityIds))
       .unionByName(stage("s3_exact_dedup", exactIds))
       .unionByName(stage("s4_near_dedup", nearIds))
-    (if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
-     else base)
+    val withDec =
+      if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
+      else base
+    (if (ppl.isDefined)
+       withDec.unionByName(stage(s"s${spanIdx - 1}_perplexity", pplIds))
+     else withDec)
       .unionByName(spanStages)
   }
 }

@@ -537,6 +537,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(v3("s4_near_dedup") == 2L && v3("s5_spans_total") == 2L, v3)
   }
 
+  test("cleanCorpusV5Stats: the perplexity stage drops the high-surprisal tail") {
+    // A and B share 9 of 10 tokens (jaccard 0.818 < the 0.9 SNM bar, so
+    // both clear near-dup) and tie on surprisal; C is 10 singleton
+    // tokens — the corpus's own LM scores it weirdest → bucket 5 of 5 →
+    // dropped at s6 while A and B (bucket 4) survive to the span stage
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val c = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val docs = Seq((1L, a, "en", "s"), (2L, b, "en", "s"), (3L, c, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = Seq((100L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
+    val got = Curation.cleanCorpusV5Stats(docs, evalSet, contamN = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "s1_raw" -> 3L, "s2_quality" -> 3L, "s3_exact_dedup" -> 3L,
+      "s4_near_dedup" -> 3L, "s5_decontam" -> 3L, "s6_perplexity" -> 2L,
+      "s7_spans_total" -> 2L, "s7_spans_kept" -> 2L), got.toString)
+  }
+
   test("stripHtml and epochUpsample run unchanged on a live stream " +
       "(stateless scan-stage ops — the streaming-ingest curation shape)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
