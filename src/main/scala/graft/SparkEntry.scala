@@ -631,10 +631,11 @@ object SparkEntry {
     // work, snapshot text never read
     "q_winnow_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val snap = docs.where(col("doc_id") % 7 =!= 0)
-      Dedup.winnowPairsAgainst(
-        docs.where(col("doc_id") % 7 === 0),
-        Dedup.winnowIndex(snap, IndexTables.ident("winsnap", d, witness(snap))))
+      // witness over the UNFILTERED table: metadata-only count (a
+      // filtered count would predicate-scan the corpus per invocation)
+      val name = IndexTables.ident("winsnap", d, witness(docs))
+      Dedup.winnowIndex(docs.where(col("doc_id") % 7 =!= 0), name)
+      Dedup.winnowPairsAgainst(docs.where(col("doc_id") % 7 === 0), name)
     }),
     // multi-resolution match classes: an 8-gram fingerprint share means a
     // ≥ 8-token verbatim run ('long'); 3-gram-only evidence is phrase
@@ -1106,10 +1107,10 @@ object SparkEntry {
         "FROM st JOIN stf USING (word), sn GROUP BY doc_id), " +
         "scnt AS (SELECT sc, count(*) AS c FROM ss GROUP BY 1), " +
         "sna AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM scnt), " +
-        "scum AS (SELECT sc, sum(c) OVER (ORDER BY sc " +
+        "scum AS (SELECT sc, c, sum(c) OVER (ORDER BY sc " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scnt), " +
-        "sb AS (SELECT sc, CAST(ceil(cum * 5 / n_all) AS INT) AS bucket " +
-        "FROM scum, sna), " +
+        "sb AS (SELECT sc, CAST(floor((cum - c) * 5 / n_all) AS INT) + 1 " +
+        "AS bucket FROM scum, sna), " +
         "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) WHERE bucket <= 4), " +
         "pdocs AS (SELECT doc_id, toks FROM dec " +
         "WHERE doc_id IN (SELECT doc_id FROM ppl)), " +
@@ -1323,10 +1324,10 @@ object SparkEntry {
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id), " +
         "cnts AS (SELECT avg_surprisal, count(*) AS c FROM s GROUP BY 1), " +
         "na AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM cnts), " +
-        "cum AS (SELECT avg_surprisal, sum(c) OVER (ORDER BY avg_surprisal " +
+        "cum AS (SELECT avg_surprisal, c, sum(c) OVER (ORDER BY avg_surprisal " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
-        s"b AS (SELECT avg_surprisal, CAST(ceil(cum * ${PPL_RATES.length} / n_all) " +
-        "AS INT) AS bucket FROM cum, na) " +
+        s"b AS (SELECT avg_surprisal, CAST(floor((cum - c) * ${PPL_RATES.length} " +
+        "/ n_all) AS INT) + 1 AS bucket FROM cum, na) " +
         "SELECT s.doc_id, s.avg_surprisal, b.bucket " +
         "FROM s JOIN b USING (avg_surprisal) " +
         "WHERE '0' || substring(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
@@ -1729,7 +1730,7 @@ object SparkEntry {
         "capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
         "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_o) WHERE rn <= 64) " +
         "SELECT n.doc_id AS new_id, o.doc_id AS snap_id, count(*) AS n_shared " +
-        "FROM fps_n n JOIN capped o USING (fp) " +
+        "FROM fps_n n JOIN capped o USING (fp) WHERE n.doc_id <> o.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
     // two full winnow chains at k=3 and k=8 (suffixed CTEs), each pair
     // table replaying the capped MOSS match, full-outer-joined per pair

@@ -202,13 +202,19 @@ object Curation {
       case None => lastIds
       case Some((nBuckets, keepUpTo)) =>
         val surv = docs.join(lastIds, Seq("doc_id"), "left_semi")
+        // (id, score) is decision-sized: localCheckpoint it like every
+        // other stage decision, then fit+apply the quantile dictionary
+        // directly — perplexityMix's internal persist would leak one
+        // cache entry per recipe invocation (its documented caveat)
         val scored = TextAnalysis.surprisalScores(
             surv.select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("avg_surprisal"))
+          .localCheckpoint()
         val rates = (1 to nBuckets)
           .map(b => if (b <= keepUpTo) 1.0 else 0.0)
-        ids(Sampling.perplexityMix(scored, "doc_id", "avg_surprisal", rates)
-          .select("doc_id"))
+        ids(Sampling.perplexityMixApply(scored,
+          Sampling.perplexityBuckets(scored, "avg_surprisal", nBuckets),
+          "doc_id", "avg_surprisal", rates).select("doc_id"))
     }
     val spanIdx = 5 + (if (decontam.isDefined) 1 else 0) +
       (if (ppl.isDefined) 1 else 0)

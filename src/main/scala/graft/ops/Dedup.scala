@@ -312,15 +312,25 @@ object Dedup {
     * pays increment-sized work: the increment's fingerprints are
     * selected in its scan stage (zero shuffle), hash-exchange into the
     * snapshot's fp bucketing, and join index rows that never exchange;
-    * snapshot text is never read. `k`/`w` MUST match the index build
-    * (the name encodes them). The snapshot's hot-fingerprint postings
-    * are capped at `maxDocsPerFp` in snapshot doc-id order — the
+    * snapshot text is never read. The standing table is LOADED here by
+    * `(indexName, k, w, nBuckets)` — the same name [[winnowIndex]]
+    * bakes the parameters into — so probing with mismatched selection
+    * parameters fails loudly (no such table) instead of silently
+    * joining incompatible fingerprints into near-zero matches. A
+    * re-crawled document probing an index that already contains its id
+    * matches everything it ever said: such identity pairs are excluded
+    * (the a_id < b_id guard of the batch form, restated for the
+    * asymmetric shape). The snapshot's hot-fingerprint postings are
+    * capped at `maxDocsPerFp` in snapshot doc-id order — the
     * [[winnowPairs]] boilerplate guardrail, applied to the side that can
     * be millions of documents deep on a nav-bar fingerprint.
     */
-  def winnowPairsAgainst(incoming: DataFrame, index: DataFrame,
+  def winnowPairsAgainst(incoming: DataFrame, indexName: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2, maxDocsPerFp: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      nBuckets: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val index = incoming.sparkSession
+      .table(s"${indexName}_winnow_k${k}_w${w}_b$nBuckets")
     val inc = winnowFingerprints(incoming, k, w, idCol, textCol)
       .select(col(idCol).as("new_id"), col("fp"))
     // the row_number window partitions on fp — the index's bucketing
@@ -331,6 +341,7 @@ object Dedup {
       .where(col("rn") <= maxDocsPerFp)
       .select(col("fp"), col(idCol).as("snap_id"))
     inc.join(snap, Seq("fp"))
+      .where(col("new_id") =!= col("snap_id"))
       .groupBy("new_id", "snap_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

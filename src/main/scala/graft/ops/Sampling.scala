@@ -170,9 +170,12 @@ object Sampling {
     * tail) and DSIR-style importance mixing. `scored` carries one model
     * score per row (e.g. [[TextAnalysis.surprisalScores]]'s
     * avg_surprisal); rows are bucketed 1..rates.length by the
-    * corpus-wide cumulative distribution of that score (bucket i covers
-    * the ((i−1)/n, i/n] quantile; ties share a bucket — cume_dist
-    * semantics, not rank, for the q_quality_rank tie reason), and
+    * corpus-wide distribution of that score: bucket = floor(n · the
+    * fraction of rows scoring STRICTLY below) + 1, so ties share the
+    * LOWEST bucket consistent with their position (all-identical
+    * scores ⇒ everyone bucket 1 — a keep-the-head policy can then
+    * never silently drop a homogeneous corpus, where inclusive
+    * cume_dist semantics would put every row in the top bucket), and
     * bucket i keeps a deterministic [[hashSample]]-style fraction of
     * rates(i−1). Returns the mix decision (id, score, bucket); semi-join
     * the corpus by id to apply it. Null-score rows are EXCLUDED — from
@@ -218,8 +221,9 @@ object Sampling {
     * bucket) mapping on a reference corpus once, persist it, and apply
     * it to later batches or a live STREAM with [[perplexityMixApply]] —
     * the model-signal analogue of serving from a standing index. One
-    * row per distinct score; bucket = ceil(cume_dist · n) over the
-    * reference distribution. Null scores are ignored.
+    * row per distinct score; bucket = floor(strictly-below-fraction · n)
+    * + 1 over the reference distribution (tie-safe — see
+    * [[perplexityMix]]). Null scores are ignored.
     */
   def perplexityBuckets(scored: DataFrame, scoreCol: String,
       n: Int): DataFrame = {
@@ -237,10 +241,19 @@ object Sampling {
     val cum = counts.withColumn("cum",
       sum("c").over(Window.orderBy(col(scoreCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bucket from the STRICTLY-BELOW fraction, floor(strict·n/N)+1, not
+    // ceil(cume_dist·n): with inclusive-ties semantics a score shared by
+    // many rows is pushed into the TOP bucket (all-identical scores ⇒
+    // bucket n ⇒ a "drop the worst bucket" policy silently drops the
+    // whole corpus). Under strict-below, ties land in the LOWEST bucket
+    // consistent with their position — a row is only in bucket b+1 once
+    // MORE than b/n of the corpus scores strictly below it, so
+    // homogeneous corpora keep everything under any keep-prefix.
     cum
       .crossJoin(broadcast(counts.agg(sum("c").cast("double").as("n_all"))))
       .select(col(scoreCol),
-        ceil(col("cum") * n / col("n_all")).cast("int").as("bucket"))
+        (floor((col("cum") - col("c")) * n / col("n_all")).cast("int") + 1)
+          .as("bucket"))
   }
 
   /** Apply a fitted [[perplexityBuckets]] dictionary to scored rows —

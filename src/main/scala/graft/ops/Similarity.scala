@@ -510,8 +510,16 @@ object Similarity {
     * Exact within probed cells: nprobe = k(centroids) reproduces exact
     * per-query top-k (the oracle regime for q_ivf_topk_multi).
     */
+  /** `excludeSelf` governs the `vec_id =!= q_id` filter: true (default)
+    * for queries drawn FROM the indexed set (self is trivially its own
+    * nearest neighbor); false when query ids live in their OWN id space
+    * (external serving) — there an id collision with a corpus vector is
+    * coincidence, and excluding it would silently drop a true top-k
+    * member.
+    */
   def ivfTopKAll(assigned: DataFrame, queries: DataFrame, k: Int,
-      centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     val probes = probeCells(unitVecs(queries, "q_id", "q_e"), centroids, nprobe)
     // rank on the ROUNDED cosine (then vec_id) — the same order ivfTopK's
     // orderBy uses, so batch and single-query results agree even when two
@@ -519,7 +527,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(assigned, Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
+      .where(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("e"), col("q_e")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
@@ -576,14 +584,21 @@ object Similarity {
     * never moves. `queryStream` needs (vec_id, embedding); the caller
     * owns trigger/checkpoint config on the returned writer; `sink`
     * receives each batch's (q_id, vec_id, cos, rk) rows.
+    *
+    * `excludeSelf` defaults to FALSE here, the opposite of
+    * [[ivfTopKAll]]: a serving client's query ids are its own id space,
+    * so an id that happens to collide with a corpus vec_id must not
+    * silently lose that corpus vector from its top-k. Set it true only
+    * when the stream genuinely replays indexed vectors.
     */
   def annServe(queryStream: DataFrame, assigned: DataFrame, k: Int,
-      centroids: Array[Array[Double]], nprobe: Int = 4)(
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      excludeSelf: Boolean = false)(
       sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queryStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        sink(ivfTopKAll(assigned, batch, k, centroids, nprobe))
+        sink(ivfTopKAll(assigned, batch, k, centroids, nprobe, excludeSelf))
     }
 
   /** The ONE candidate stage behind [[hardNegatives]] and

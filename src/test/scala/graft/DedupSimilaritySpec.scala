@@ -683,8 +683,9 @@ class DedupSimilaritySpec extends SparkSpec {
       nBuckets = 4)
     val in = MemoryStream[(Long, Array[Float])](47, spark, None)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    // excludeSelf = true: this stream REPLAYS indexed vectors
     val q = Similarity.annServe(in.toDF().toDF("vec_id", "embedding"),
-        assigned, k = 3, cents, nprobe = 4) { batch =>
+        assigned, k = 3, cents, nprobe = 4, excludeSelf = true) { batch =>
       out ++= batch.as[(Long, Long, Double, Int)].collect()
     }.start()
     try {
@@ -697,6 +698,22 @@ class DedupSimilaritySpec extends SparkSpec {
         vecs.where($"vec_id" < 4), 3, cents, nprobe = 4)
       .as[(Long, Long, Double, Int)].collect()
     assert(out.toSet == batchWant.toSet && out.nonEmpty)
+    // external-id serving (the default): a query id that collides with a
+    // corpus vec_id must NOT lose that corpus vector — serve the corpus
+    // vector 5's OWN embedding under the colliding id 5 and expect
+    // vec_id 5 itself at rank 1 (cosine 1)
+    val in2 = MemoryStream[(Long, Array[Float])](48, spark, None)
+    val out2 = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    val q2 = Similarity.annServe(in2.toDF().toDF("vec_id", "embedding"),
+        assigned, k = 3, cents, nprobe = 4) { batch =>
+      out2 ++= batch.as[(Long, Long, Double, Int)].collect()
+    }.start()
+    try {
+      in2.addData((5L, raw(5)._2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val top = out2.filter(_._4 == 1)
+    assert(top.map(t => (t._2, t._3)).toSeq == Seq((5L, 1.0)), out2.toString)
   }
 
   test("ivfTopKAll: batch probe equals per-query ivfTopK; index never exchanged") {
@@ -819,8 +836,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (10L, s"prefix words then $run"),
       (11L, "entirely unrelated increment content"))
       .toDF("doc_id", "text")
-    val idx = Dedup.winnowIndex(snap, "win_incr_test")
-    val probe = Dedup.winnowPairsAgainst(inc, idx, minShared = 1)
+    Dedup.winnowIndex(snap, "win_incr_test")
+    val probe = Dedup.winnowPairsAgainst(inc, "win_incr_test", minShared = 1)
     val got = probe.as[(Long, Long, Long)].collect().toSet
     // the batch self-join over the union, restricted to cross pairs and
     // re-oriented (new, snap), must agree exactly

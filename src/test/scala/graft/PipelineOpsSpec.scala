@@ -538,22 +538,30 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("cleanCorpusV5Stats: the perplexity stage drops the high-surprisal tail") {
-    // A and B share 9 of 10 tokens (jaccard 0.818 < the 0.9 SNM bar, so
-    // both clear near-dup) and tie on surprisal; C is 10 singleton
-    // tokens — the corpus's own LM scores it weirdest → bucket 5 of 5 →
-    // dropped at s6 while A and B (bucket 4) survive to the span stage
-    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
-    val c = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
-    val docs = Seq((1L, a, "en", "s"), (2L, b, "en", "s"), (3L, c, "en", "s"))
+    // five docs share 9 of 10 tokens (pairwise jaccard 0.818 < the 0.9
+    // SNM bar) and TIE on surprisal — strict-below bucketing parks them
+    // all in bucket 1; the all-singleton doc C has 5/6 of the corpus
+    // strictly below it → bucket floor(5·5/6)+1 = 5 → dropped at s6
+    // while the tied five survive to the span stage
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = ((1 to 5).map(i => (i.toLong, s"$shared u$i", "en", "s")) :+
+      ((6L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en", "s")))
       .toDF("doc_id", "text", "lang", "source")
     val evalSet = Seq((100L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
     val got = Curation.cleanCorpusV5Stats(docs, evalSet, contamN = 3)
       .as[(String, Long)].collect().toMap
     assert(got == Map(
-      "s1_raw" -> 3L, "s2_quality" -> 3L, "s3_exact_dedup" -> 3L,
-      "s4_near_dedup" -> 3L, "s5_decontam" -> 3L, "s6_perplexity" -> 2L,
-      "s7_spans_total" -> 2L, "s7_spans_kept" -> 2L), got.toString)
+      "s1_raw" -> 6L, "s2_quality" -> 6L, "s3_exact_dedup" -> 6L,
+      "s4_near_dedup" -> 6L, "s5_decontam" -> 6L, "s6_perplexity" -> 5L,
+      "s7_spans_total" -> 5L, "s7_spans_kept" -> 5L), got.toString)
+    // an all-tied corpus (every doc the same surprisal) keeps EVERYTHING
+    // at the perplexity stage — the tie-safe guarantee
+    val homogeneous = (1 to 4)
+      .map(i => (i.toLong, s"$shared v$i w$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val hg = Curation.cleanCorpusV5Stats(homogeneous, evalSet, contamN = 3)
+      .as[(String, Long)].collect().toMap
+    assert(hg("s5_decontam") == 4L && hg("s6_perplexity") == 4L, hg.toString)
   }
 
   test("stripHtml and epochUpsample run unchanged on a live stream " +

@@ -176,11 +176,13 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSet
     assert(got.map(_._1) == Set(1L, 2L, 3L, 4L, 5L), got.toString)
     assert(got.forall(_._3 == 1))
-    // ties: identical scores land in ONE bucket (cume_dist = 1 ⇒ the last)
+    // ties: identical scores share the LOWEST bucket (strict-below
+    // fraction 0 ⇒ bucket 1) — a homogeneous corpus can never be
+    // wholesale-dropped by a keep-the-head policy
     val tied = (1L to 6L).map(i => (i, 7.7)).toDF("doc_id", "s")
-    val all = Sampling.perplexityMix(tied, "doc_id", "s", Seq(0.0, 1.0))
+    val all = Sampling.perplexityMix(tied, "doc_id", "s", Seq(1.0, 0.0))
       .as[(Long, Double, Int)].collect()
-    assert(all.length == 6 && all.forall(_._3 == 2))
+    assert(all.length == 6 && all.forall(_._3 == 1))
     // fractional middle bucket: a stable hash-selected strict subset
     val many = (1L to 300L).map(i => (i, (i % 30).toDouble)).toDF("doc_id", "s")
     val r = Seq(1.0, 0.5, 0.0)
