@@ -347,6 +347,35 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Streaming span-contamination flag served from the STANDING
+    * [[winnowIndex]] — the unbounded-reference twin of
+    * [[winnowOverlapFlag]] (whose driver-collected fingerprint list is
+    * benchmark-bounded by design): each arriving document's winnow
+    * fingerprints are selected in its own row (pure array expressions —
+    * stream-safe), LEFT SEMI stream-static joined against the index's
+    * fp column (semi: a hot boilerplate fingerprint with a million
+    * postings matches once, never fans out), and flagged documents
+    * emit exactly once via watermark-bounded dedup. The reference
+    * corpus can be any size — nothing about it ever reaches the
+    * driver. Emits (idCol, tsCol) of flagged documents, append-mode.
+    * Parameters load the index by name like [[winnowPairsAgainst]].
+    */
+  def winnowFlagAgainst(stream: DataFrame, indexName: String, k: Int = 3,
+      w: Int = 4, nBuckets: Int = 8, delay: String = "10 seconds",
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts"): DataFrame = {
+    val index = stream.sparkSession
+      .table(s"${indexName}_winnow_k${k}_w${w}_b$nBuckets")
+    stream.withWatermark(tsCol, delay)
+      .select(col(idCol), col(tsCol), winnowHashes(col(textCol), k).as("_h"))
+      .where(size(col("_h")) > 0)
+      .select(col(idCol), col(tsCol),
+        explode(winnowSelect(col("_h"), w)).as("fp"))
+      .join(index.select("fp"), Seq("fp"), "left_semi")
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   /** Multi-resolution MOSS match: [[winnowPairs]] at TWO gram sizes at
     * once, joined per pair — the match-LENGTH discrimination a single
     * gram size cannot give. Sharing a `kLong`-gram fingerprint means the

@@ -857,6 +857,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fpExchanges <= 1, s"index side exchanged:\n$plan")
   }
 
+  test("winnowFlagAgainst: streamed docs flag via the standing index, " +
+      "matching the batch probe's decision") {
+    import graft.ops.IndexTables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    IndexTables.drop(spark, "win_flag_test_winnow_k3_w4_b8")
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val snap = Seq(
+      (1L, s"$run tail words here"),
+      (3L, "nothing in common at all whatsoever today"))
+      .toDF("doc_id", "text")
+    Dedup.winnowIndex(snap, "win_flag_test")
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val newDocs = Seq(
+      (10L, s"prefix words then $run", ts(1)),   // shares the run → flag
+      (11L, "entirely unrelated increment words", ts(2)), // no flag
+      (12L, s"$run moved to the front", ts(3)))  // shifted copy → flag
+    val in = MemoryStream[(Long, String, Timestamp)](49, spark, None)
+    val flagged = Dedup.winnowFlagAgainst(
+      in.toDF().toDF("doc_id", "text", "ts"), "win_flag_test")
+    val q = flagged.writeStream.format("memory").queryName("winflag")
+      .outputMode("append").start()
+    try {
+      in.addData(newDocs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(newDocs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("winflag").select("doc_id")
+        .as[Long].collect().toSet
+      // the batch incremental probe's decision at minShared = 1 is the
+      // reference
+      val want = Dedup.winnowPairsAgainst(
+          newDocs.map(d => (d._1, d._2)).toDF("doc_id", "text"),
+          "win_flag_test", minShared = 1)
+        .select("new_id").as[Long].collect().toSet
+      assert(got == want && got == Set(10L, 12L), s"$got vs $want")
+    } finally q.stop()
+  }
+
   test("winnowPairsMultiK classifies long verbatim runs vs short-only overlap") {
     val run20 = (1 to 20).map(i => s"r$i").mkString(" ")  // ≥ w+kLong−1 = 11
     val run7 = (1 to 7).map(i => s"s$i").mkString(" ")    // ≥ 6, < kLong = 8
