@@ -714,8 +714,12 @@ object ArrayKernels {
     * fixed-point BE at the tkhd tail; the integer part is returned from
     * the FIRST track with nonzero dimensions (audio/metadata tracks
     * store 0×0 and are skipped). A structurally valid moov whose tracks
-    * are all dimensionless (an .m4a) returns a codec-only row with NULL
-    * dims — recognized container, no video. Anything non-canonical —
+    * are all dimensionless (an .m4a) returns an audio row instead:
+    * channels + sample rate from the first track's
+    * mdia→minf→stbl→stsd 'mp4a' sample entry (channelcount at
+    * entry+24, 16.16 samplerate at entry+32 — numbers only from a
+    * fully validated entry, NULL audio fields otherwise), with the
+    * codec still identifying the container. Anything non-canonical —
     * truncated boxes, a missing moov (e.g. a header-only capture of a
     * moov-at-end file), no tkhd — returns NULL, never a guess.
     */
@@ -739,7 +743,47 @@ object ArrayKernels {
     }
     def typeIs(i: Int, t: String): Boolean =
       b(i + 4) == t(0) && b(i + 5) == t(1) && b(i + 6) == t(2) && b(i + 7) == t(3)
+    // first child box of type `t` inside [start, end): packed
+    // (payload, end) like box(), or -1 when absent/malformed — the
+    // audio sub-walk treats both as "no metadata" (fields stay NULL;
+    // only a fully validated mp4a entry ever emits numbers)
+    def findBox(start: Int, end: Int, t: String): Long = {
+      var i = start
+      while (i < end) {
+        val bx = box(i, end)
+        if (bx < 0) return -1L
+        if (typeIs(i, t)) return bx
+        i = bx.toInt
+      }
+      -1L
+    }
+    // mdia → minf → stbl → stsd → first sample entry; channels and
+    // 16.16 sample rate only when the entry format is 'mp4a' (the
+    // dominant MP4 audio codec) and the canonical AudioSampleEntry
+    // field layout fits — channelcount at entry+24, samplerate at
+    // entry+32
+    def mp4aInfo(mdia: Long): Long = { // packed (channels, rate) or -1
+      val minf = findBox((mdia >>> 32).toInt, mdia.toInt, "minf")
+      if (minf < 0) return -1L
+      val stbl = findBox((minf >>> 32).toInt, minf.toInt, "stbl")
+      if (stbl < 0) return -1L
+      val stsd = findBox((stbl >>> 32).toInt, stbl.toInt, "stsd")
+      if (stsd < 0) return -1L
+      val p = (stsd >>> 32).toInt
+      val stsdEnd = stsd.toInt
+      if (p + 8 > stsdEnd || beUInt(b, p + 4, 4) < 1L) return -1L
+      val e = p + 8 // first sample entry
+      if (e + 8 > stsdEnd) return -1L
+      val entrySize = beUInt(b, e, 4)
+      if (entrySize < 36 || e + entrySize > stsdEnd) return -1L
+      if (!typeIs(e, "mp4a")) return -1L
+      val ch = beUInt(b, e + 24, 2)
+      val rate = beUInt(b, e + 32, 4) >> 16 // 16.16 fixed
+      if (ch < 1 || ch > 64 || rate <= 0) return -1L
+      (ch << 32) | rate
+    }
     var sawTkhd = false
+    var audio = -1L
     var i = 0
     while (i < b.length) {
       val top = box(i, b.length)
@@ -773,15 +817,21 @@ object ArrayKernels {
                 if (w > 0 && h > 0)
                   return new GenericInternalRow(
                     Array[Any](w, h, null, null, MP4_CODEC))
+              } else if (typeIs(k, "mdia") && audio < 0) {
+                audio = mp4aInfo(kb)
               }
               k = kEnd
             }
           }
           j = trakEnd
         }
-        // moov fully walked: audio/metadata-only container (codec
-        // recognized, no video dims) or no tkhd at all (too weak — NULL)
-        return if (sawTkhd)
+        // moov fully walked, no video track: audio-only container (m4a
+        // — channels/rate from the first mp4a entry when present) or a
+        // metadata-only moov; no tkhd at all is too weak — NULL
+        return if (sawTkhd && audio >= 0)
+          new GenericInternalRow(Array[Any](null, null,
+            (audio >>> 32).toInt, audio.toInt & Int.MaxValue, MP4_CODEC))
+        else if (sawTkhd)
           new GenericInternalRow(Array[Any](null, null, null, null, MP4_CODEC))
         else null
       }
@@ -808,7 +858,8 @@ object ArrayKernels {
     * channels); AVI is RIFF/"AVI " + LIST/hdrl + leading avih with
     * dwWidth/dwHeight at 64/68; MP4/MOV is a leading ftyp box + the
     * moov→trak→tkhd walk ([[mp4Tkhd]] — 16.16 fixed-point dimensions
-    * from the first video track). The compressed codecs are
+    * from the first video track; audio-only containers surface
+    * channels + sample rate from the first validated mp4a stsd entry). The compressed codecs are
     * metadata-only; sample/pixel decode still needs a codec library.
     */
   def parseMediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {

@@ -95,7 +95,8 @@ object Multimodal {
     *   - AVI (RIFF/"AVI " + LIST/hdrl + avih): video frame dimensions;
     *   - MP4/MOV (leading ftyp box): moov→trak→tkhd box walk to the
     *     first video track's 16.16 fixed-point dimensions; audio-only
-    *     containers (.m4a) yield a codec-only row with NULL dims.
+    *     containers (.m4a) surface channels + sample rate from the
+    *     first validated mp4a stsd sample entry instead.
     * Returns NULL for unrecognized blobs (non-byte-walkable codecs,
     * truncated headers) — the honest signal; callers choose the fallback
     * (see [[mediaFeatures]]).
