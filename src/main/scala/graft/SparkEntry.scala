@@ -637,6 +637,16 @@ object SparkEntry {
       Dedup.winnowIndex(docs.where(col("doc_id") % 7 =!= 0), name)
       Dedup.winnowPairsAgainst(docs.where(col("doc_id") % 7 === 0), name)
     }),
+    // the incremental probe at two resolutions: mirror-grade vs
+    // phrase-level hits against the reference corpus, per increment doc
+    "q_winnow_incr_mk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("winsnap", d, witness(docs))
+      val snap = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.winnowIndex(snap, name)
+      Dedup.winnowIndex(snap, name, k = 8)
+      Dedup.winnowPairsAgainstMultiK(docs.where(col("doc_id") % 7 === 0), name)
+    }),
     // multi-resolution match classes: an 8-gram fingerprint share means a
     // ≥ 8-token verbatim run ('long'); 3-gram-only evidence is phrase
     // overlap ('short') — the match-length signal one gram size can't give
@@ -1732,6 +1742,32 @@ object SparkEntry {
         "SELECT n.doc_id AS new_id, o.doc_id AS snap_id, count(*) AS n_shared " +
         "FROM fps_n n JOIN capped o USING (fp) WHERE n.doc_id <> o.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // four winnow chains (two gram sizes × increment/snapshot), each
+    // resolution replaying the capped incremental probe with the
+    // identity-pair exclusion, full-outer-joined per (new, snap) pair
+    "q_winnow_incr_mk" -> {
+      val inc = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0) inc"
+      val snap = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) snap"
+      s"WITH ${winnowCtes(3, 4, "_ns", inc)}, ${winnowCtes(3, 4, "_os", snap)}, " +
+        s"${winnowCtes(8, 4, "_nl", inc)}, ${winnowCtes(8, 4, "_ol", snap)}, " +
+        "capped_s AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_os) WHERE rn <= 64), " +
+        "ps AS (SELECT n.doc_id AS new_id, o.doc_id AS snap_id, count(*) AS n_shared " +
+        "FROM fps_ns n JOIN capped_s o USING (fp) WHERE n.doc_id <> o.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "capped_l AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, row_number() " +
+        "OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps_ol) WHERE rn <= 64), " +
+        "pl AS (SELECT n.doc_id AS new_id, o.doc_id AS snap_id, count(*) AS n_shared " +
+        "FROM fps_nl n JOIN capped_l o USING (fp) WHERE n.doc_id <> o.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 1) " +
+        "SELECT coalesce(s.new_id, l.new_id) AS new_id, " +
+        "coalesce(s.snap_id, l.snap_id) AS snap_id, " +
+        "coalesce(s.n_shared, 0) AS n_shared_short, " +
+        "coalesce(l.n_shared, 0) AS n_shared_long, " +
+        "CASE WHEN coalesce(l.n_shared, 0) >= 1 THEN 'long' ELSE 'short' " +
+        "END AS match_class " +
+        "FROM ps s FULL JOIN pl l ON s.new_id = l.new_id AND s.snap_id = l.snap_id"
+    },
     // two full winnow chains at k=3 and k=8 (suffixed CTEs), each pair
     // table replaying the capped MOSS match, full-outer-joined per pair
     "q_winnow_multik" ->

@@ -395,16 +395,53 @@ object Dedup {
       s"winnowPairsMultiK: need 1 <= kShort < kLong, got $kShort/$kLong")
     require(minSharedLong >= 1,
       s"winnowPairsMultiK: minSharedLong must be >= 1, got $minSharedLong")
-    val s = winnowPairs(docs, kShort, w, minSharedShort, maxDocsPerFp)
-      .withColumnRenamed("n_shared", "n_shared_short")
-    val l = winnowPairs(docs, kLong, w, minSharedLong, maxDocsPerFp)
-      .withColumnRenamed("n_shared", "n_shared_long")
-    s.join(l, Seq("a_id", "b_id"), "full_outer")
-      .select(col("a_id"), col("b_id"),
+    multiKClassify(
+      winnowPairs(docs, kShort, w, minSharedShort, maxDocsPerFp),
+      winnowPairs(docs, kLong, w, minSharedLong, maxDocsPerFp),
+      "a_id", "b_id", minSharedLong)
+  }
+
+  /** The ONE full-outer match-class combination [[winnowPairsMultiK]]
+    * and [[winnowPairsAgainstMultiK]] share: short/long pair tables
+    * joined per pair, zero-filled counts, 'long' iff the long-gram side
+    * cleared its threshold.
+    */
+  private def multiKClassify(s: DataFrame, l: DataFrame, aCol: String,
+      bCol: String, minSharedLong: Int): DataFrame =
+    s.withColumnRenamed("n_shared", "n_shared_short")
+      .join(l.withColumnRenamed("n_shared", "n_shared_long"),
+        Seq(aCol, bCol), "full_outer")
+      .select(col(aCol), col(bCol),
         coalesce(col("n_shared_short"), lit(0L)).as("n_shared_short"),
         coalesce(col("n_shared_long"), lit(0L)).as("n_shared_long"),
         when(coalesce(col("n_shared_long"), lit(0L)) >= minSharedLong,
           lit("long")).otherwise(lit("short")).as("match_class"))
+
+  /** Multi-resolution INCREMENTAL match: [[winnowPairsAgainst]] at two
+    * gram sizes over two standing [[winnowIndex]]es of the same base
+    * name (each bakes its own k), classified like
+    * [[winnowPairsMultiK]] — match-length discrimination for the
+    * crawl-increment shape: 'long' pairs are mirror/plagiarism-grade
+    * hits against the reference corpus, 'short' pairs phrase-level
+    * echo. Increment-sized work twice; snapshot text never read.
+    */
+  def winnowPairsAgainstMultiK(incoming: DataFrame, indexName: String,
+      kShort: Int = 3, kLong: Int = 8, w: Int = 4,
+      minSharedShort: Int = 2, minSharedLong: Int = 1,
+      maxDocsPerFp: Int = 64, nBuckets: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(kShort >= 1 && kLong > kShort,
+      s"winnowPairsAgainstMultiK: need 1 <= kShort < kLong, " +
+        s"got $kShort/$kLong")
+    require(minSharedLong >= 1,
+      s"winnowPairsAgainstMultiK: minSharedLong must be >= 1, " +
+        s"got $minSharedLong")
+    multiKClassify(
+      winnowPairsAgainst(incoming, indexName, kShort, w, minSharedShort,
+        maxDocsPerFp, nBuckets, idCol, textCol),
+      winnowPairsAgainst(incoming, indexName, kLong, w, minSharedLong,
+        maxDocsPerFp, nBuckets, idCol, textCol),
+      "new_id", "snap_id", minSharedLong)
   }
 
   /** Companion truncation report for [[winnowPairs]]: the posting cap

@@ -896,6 +896,36 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowPairsAgainstMultiK: incremental match classes from two indexes") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "win_mk_test_winnow_k3_w4_b8")
+    IndexTables.drop(spark, "win_mk_test_winnow_k8_w4_b8")
+    val run20 = (1 to 20).map(i => s"r$i").mkString(" ")
+    val run7 = (1 to 7).map(i => s"s$i").mkString(" ")
+    val snap = Seq(
+      (1L, s"$run20 alpha beta"),
+      (2L, s"u1 u2 u3 $run7 u4 u5 u6"),
+      (3L, "totally unrelated snapshot material here"))
+      .toDF("doc_id", "text")
+    Dedup.winnowIndex(snap, "win_mk_test", k = 3)
+    Dedup.winnowIndex(snap, "win_mk_test", k = 8)
+    val inc = Seq(
+      (10L, s"gamma delta $run20"),             // 20-run vs doc 1 → long
+      (11L, s"v1 v2 v3 $run7 v4 v5 v6"),        // 7-run vs doc 2 → short only
+      (12L, "completely novel increment words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairsAgainstMultiK(inc, "win_mk_test",
+        minSharedShort = 1, minSharedLong = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got((10L, 1L))
+    assert(ab._5 == "long" && ab._3 >= 1 && ab._4 >= 1, ab.toString)
+    val cd = got((11L, 2L))
+    assert(cd._5 == "short" && cd._3 >= 1 && cd._4 == 0, cd.toString)
+    assert(!got.keys.exists { case (n, s) => n == 12L || s == 3L },
+      got.toString)
+  }
+
   test("winnowPairsMultiK classifies long verbatim runs vs short-only overlap") {
     val run20 = (1 to 20).map(i => s"r$i").mkString(" ")  // ≥ w+kLong−1 = 11
     val run7 = (1 to 7).map(i => s"s$i").mkString(" ")    // ≥ 6, < kLong = 8
