@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   *
   * JSON stays one line and keeps every round-1 field; new fields are
   * additive (calibration_sec, passes).
+  *
+  * Output-size contract (round-7 advice): the driver snapshots only the
+  * LAST 2000 characters of the run's stdout and parses the JSON line out
+  * of that tail — round 7's full-precision 113-query line was ~5 KB, so
+  * the tail held only its second half and the driver recorded
+  * `parsed: null`. The stdout line therefore stays under ~1.6 KB: it
+  * carries every aggregate field plus per-query timings for the
+  * BASELINE-SHARED queries only (the set the 2× gate is actually graded
+  * on); the complete full-precision per-query map is written to
+  * `BENCH_LOCAL.json` in the working directory (committed per round), and
+  * the line names that file in its `full` field.
   */
 object Bench {
   /** Force full materialization of every output column: a bare count()
@@ -108,9 +119,6 @@ object Bench {
       name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
     }.toMap
 
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Baseline accounting: the 2× perf gate is anchored to round 1's
     // 44-query bench, but the query set grows every round — comparing the
@@ -134,14 +142,56 @@ object Bench {
     val curShared = shared.map(_._1).sum
     val baseShared = shared.map(_._2).sum
     val ratio = if (baseShared > 0) curShared / baseShared else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def qsJson(sel: Map[String, Double], fmt: Double => String): String =
+      sel.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+
+    // full-precision, all queries — the committed local artifact
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${qsJson(results, _.toString)},""" +
       s""""shared_with_baseline":${shared.size},"shared_total":$curShared,""" +
       s""""baseline_shared_total":$baseShared,"baseline_ratio":$ratio,""" +
       s""""passes":$passes,"calibration_sec":${median(calib.toSeq)},""" +
-      s""""calibration_runs":${calib.map(c =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
-        .mkString("[", ",", "]")},""" +
-      s""""sf":"$sfDir"}""")
+      s""""calibration_runs":${calib.map(f3).mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
+    val fullPath = "BENCH_LOCAL.json"
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () } // read-only cwd: stdout still carries the gist
+
+    // compact stdout line (< ~1.6 KB — must fit the driver's 2000-char
+    // output tail whole): aggregates + the baseline-shared per-query set
+    // at millisecond precision. Falls back to as-many-as-fit when no
+    // baseline file is present (fresh checkout).
+    val sharedNames = results.keySet.filter(k => baseline.get(k).exists(_ >= 0))
+    val compactSel0 =
+      if (sharedNames.nonEmpty) results.view.filterKeys(sharedNames).toMap
+      else results
+    // hard cap: never let the queries map push the line past the tail
+    val budget = 1500
+    val ordered = compactSel0.toSeq.sortBy(_._1)
+    val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
+    var len = 2
+    ordered.foreach { case (k, v) =>
+      val e = k.length + f3(v).length + 4
+      if (len + e <= budget) { kept += (k -> v); len += e }
+    }
+    val dropped = compactSel0.size - kept.size
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":${qsJson(kept.toMap, f3)},""" +
+      s""""n_queries":${results.size},"queries_omitted":$dropped,""" +
+      s""""shared_with_baseline":${shared.size},"shared_total":${f3(curShared)},""" +
+      s""""baseline_shared_total":${f3(baseShared)},""" +
+      s""""baseline_ratio":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(ratio))},""" +
+      s""""passes":$passes,"calibration_sec":${f3(median(calib.toSeq))},""" +
+      s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
