@@ -466,6 +466,16 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 3)
     }),
+    // span-level decontamination: remove exactly the benchmark-overlapping
+    // token spans, keep the rest of the document (same eval-set convention
+    // as q_decontam)
+    "q_decontam_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.scrubContamination(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
     // PII scrubbing: the synthetic corpus contains no PII-shaped strings
     // (measured — zero '@', zero digit runs), so every 7th document gets a
     // deterministic email+IP+phone suffix injected IN the query, mirrored
@@ -1472,6 +1482,32 @@ object SparkEntry {
         "round(CASE WHEN coalesce(ng.ng, 0) > 0 " +
         "THEN CAST(coalesce(m.nc, 0) AS DOUBLE) / ng.ng ELSE 0 END, 4) AS contam_frac " +
         "FROM tr LEFT JOIN ng USING (doc_id) LEFT JOIN m USING (doc_id)"),
+    // same gram CTEs as q_decontam, then: covered token set = union of
+    // [i, i+3) over matched gram starts; survivors string_agg'd in token
+    // order; untouched docs keep their ORIGINAL text (CASE on hits)
+    "q_decontam_scrub" ->
+      (s"WITH tr AS (SELECT doc_id, text, $TOKS AS toks FROM documents WHERE doc_id % 97 <> 0), " +
+        s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
+        "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
+        "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
+        "tri AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM tr), " +
+        "trg AS (SELECT doc_id, i, array_to_string(toks[i+1:i+3], ' ') AS g FROM tri), " +
+        "m AS (SELECT doc_id, i FROM trg JOIN evg USING (g)), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM m GROUP BY doc_id), " +
+        "cov AS (SELECT DISTINCT doc_id, unnest(range(i, i+3)) AS j FROM m), " +
+        "tok AS (SELECT doc_id, toks, unnest(range(len(toks))) AS j FROM tr), " +
+        "kept AS (SELECT t.doc_id, t.j, t.toks[t.j+1] AS tok FROM tok t " +
+        "LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j WHERE c.doc_id IS NULL), " +
+        "reb AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY j) AS txt FROM kept GROUP BY doc_id), " +
+        "tl AS (SELECT doc_id, len(toks) AS n_toks FROM tr) " +
+        "SELECT tr.doc_id, coalesce(hits.n_hits, 0) AS n_hits, " +
+        "CAST(CASE WHEN hits.doc_id IS NULL THEN 0 " +
+        "ELSE tl.n_toks - coalesce(reb.n_kept, 0) END AS BIGINT) AS n_removed, " +
+        "CASE WHEN hits.doc_id IS NULL THEN tr.text " +
+        "ELSE coalesce(reb.txt, '') END AS text " +
+        "FROM tr LEFT JOIN hits USING (doc_id) LEFT JOIN reb USING (doc_id) " +
+        "JOIN tl USING (doc_id)"),
     // quantizer = floor(x/scale + 0.5), deliberately not round(): engine
     // round() tie rules differ, floor is bit-identical everywhere
     "q_quantize" ->

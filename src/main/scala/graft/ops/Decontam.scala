@@ -127,6 +127,63 @@ object Decontam {
     evalGrams(evalSet, textCol, n).as[String].collect().toSeq
   }
 
+  /** Span-level SCRUB: instead of dropping a contaminated document wholesale
+    * ([[decontaminate]]) or just flagging it ([[contaminationCounts]]),
+    * remove exactly the token spans that overlap the eval set and keep the
+    * rest of the document — the right policy when a long, otherwise-good
+    * document quotes one benchmark item. Every token covered by ANY
+    * matching n-gram occurrence is removed; the survivors are re-joined in
+    * original order. Returns one row per training document: (idCol, n_hits
+    * = matched gram START positions, n_removed = tokens removed, textCol).
+    * Uncontaminated documents pass through with their ORIGINAL text
+    * untouched (no tokenize→re-join normalization) — at 100 TB the common
+    * case does zero string work in this stage.
+    *
+    * Scale shape: same as [[contaminationCounts]] — the position explode is
+    * scan-stage narrow against the broadcast eval grams, so only MATCHED
+    * (id, pos) rows shuffle into the per-doc start-list aggregate; the
+    * keep-list join back to `train` is id-keyed with a by-construction
+    * tiny right side (contaminated docs only), and reconstruction happens
+    * in the scan stage of that join (the [[graft.ops.Dedup.spanDedup]]
+    * re-tokenize-in-place trade: recomputing the tokenizer beats shuffling
+    * corpus text).
+    */
+  def scrubContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    // matched gram START positions per doc: posexplode of the NON-distinct
+    // gram array (index = token start offset), inner-joined against the
+    // distinct broadcast eval grams — (id, pos) rows are unique because the
+    // eval side is distinct on g
+    val hitStarts = train
+      .select(col(idCol),
+        posexplode(ngrams(Core.tokensUni(col(textCol)), n)).as(Seq("pos", "g")))
+      .join(broadcast(evalGrams(evalSet, textCol, n)), "g")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_hits"))
+    // tokens materialized as their own projection (the spanDedup
+    // multiply-referenced-projection discipline): the HOF lambdas below
+    // re-evaluate their body per element when interpreted, so an inline
+    // tokensUni would re-run the split regex once per token
+    val t = col("_t")
+    // token index i survives iff no matched gram start s covers it
+    // (s <= i < s + n); only evaluated on contaminated rows, where the
+    // gram join guarantees size(t) >= n >= 1, so sequence() is ascending
+    def keepIdx = filter(sequence(lit(0), size(t) - 1),
+      i => !exists(col("starts"), s => i >= s && i < s + n))
+    train.join(hitStarts, Seq(idCol), "left")
+      .withColumn("_t",
+        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("starts").isNull, lit(0L))
+          .otherwise((size(t) - size(keepIdx)).cast("long")).as("n_removed"),
+        when(col("starts").isNull, col(textCol))
+          .otherwise(array_join(
+            transform(keepIdx, i => element_at(t, i + 1)), " "))
+          .as(textCol))
+  }
+
   /** The filtering form: training rows with NO n-gram overlap with the eval
     * set, all columns preserved. Contaminated ids are collected as an
     * id-only anti-join side (matched grams only — tiny), never the text.

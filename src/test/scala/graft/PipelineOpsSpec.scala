@@ -61,6 +61,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0L, 0L, 0.0))) // zero-gram doc: defined, not NaN
   }
 
+  test("scrubContamination removes exactly the covered token spans") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // grams "the quick brown" (pos 2) and "quick brown fox" (pos 3) match
+      // → covered tokens 2..5 → "we saw ... yesterday maybe" survives
+      (1L, "we saw the quick brown fox yesterday maybe"),
+      (2L, "nothing in common with anything here"), // untouched: ORIGINAL text
+      (3L, "the quick brown fox jumps"),            // fully covered → empty
+      // overlapping occurrences of one gram: covered set is a UNION, tokens
+      // 0..2 and 4..6 (starts 0 and 4), token 3 ("stuff") survives... plus
+      // "and" at 3? grams at starts 0 and 4 cover {0,1,2} ∪ {4,5,6}
+      (4L, "the quick brown and the quick brown"),
+      (5L, "to") // < n tokens: no grams, passthrough
+    ).toDF("doc_id", "text")
+    val got = Decontam.scrubContamination(train, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 4L, "we saw yesterday maybe")), got(1L))
+    // untouched doc keeps the ORIGINAL string (no tokenize→join rewrite)
+    assert(got(2L) == ((2L, 0L, 0L, "nothing in common with anything here")))
+    assert(got(3L) == ((3L, 3L, 5L, "")))
+    assert(got(4L) == ((4L, 2L, 6L, "and")), got(4L))
+    assert(got(5L) == ((5L, 0L, 0L, "to")))
+    assert(got.size == 5)
+  }
+
   test("decontaminate drops exactly the overlapping docs; eval side broadcasts") {
     val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
