@@ -408,6 +408,14 @@ object SparkEntry {
       Dedup.dedupCorpus(emb.select(col("vec_id").as("doc_id")), pairs)
         .agg(count(lit(1)).as("n_kept"))
     }),
+    // SemDeDup with deterministic sign-bit blocking — the ORACLED twin of
+    // q_embed_dedup (whose seeded-gaussian buckets keep it rows-only).
+    // minCos=0.3 because the synthetic embeddings are quasi-orthogonal
+    // (median true-NN cos 0.41, NOTES round-3): the production 0.95
+    // default flags nothing here, 0.3 exercises both verdicts
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semanticDedupFlags(Tables.embeddings(s, d),
+        minCos = 0.3, signDims = 6)),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
@@ -1409,6 +1417,25 @@ object SparkEntry {
         "SELECT a_id, b_id AS nn_id, round(cos, 4) AS cos FROM (" +
         "SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn " +
         "FROM p) WHERE rn = 1"),
+    // sign-bit block = Σ 2^i over non-negative components; intra-block
+    // lower-id pairs exactly rescored; verdict on the ROUNDED cosine
+    "q_semdedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "b AS (SELECT vec_id, v, " +
+        "CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + " +
+        "(CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS block " +
+        "FROM e WHERE sqrt(list_dot_product(v, v)) > 0), " +
+        "p AS (SELECT a.vec_id AS a_id, " +
+        "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +
+        "FROM b a JOIN b b2 ON a.block = b2.block AND b2.vec_id < a.vec_id), " +
+        "m AS (SELECT a_id, max(c) AS mx FROM p GROUP BY a_id) " +
+        "SELECT b.vec_id, b.block, m.mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM b LEFT JOIN m ON b.vec_id = m.a_id"),
     "q_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +

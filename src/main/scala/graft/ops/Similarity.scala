@@ -778,6 +778,107 @@ object Similarity {
         round(col("best.cos"), 4).as("cos"))
   }
 
+  /** The shared SemDeDup decision core: given a blocked assignment
+    * (vec_id, block, e) with unit vectors, flag every vector that has a
+    * LOWER-id near-duplicate (rounded cosine >= minCos) in its own block.
+    * Keep-lowest-per-local-rule, not connected components: each vector's
+    * verdict depends only on its own block neighborhood, so the decision
+    * is one self-join + one aggregate — no iteration — and is stable
+    * under corpus append (a new vector can only be dropped, never flip an
+    * existing survivor). The threshold compares the ROUNDED cosine
+    * (4 decimals): raw dot products differ across engines in the last
+    * ulps, and a threshold read off the raw double would flip
+    * borderline pairs between Spark and the DuckDB oracle.
+    *
+    * Returns every input vector: (vec_id, block, max_lower_cos — highest
+    * rounded cosine to any lower-id blockmate, NULL when it has none —
+    * and is_dup 0/1).
+    */
+  private def dedupFlagsByBlock(base: DataFrame, minCos: Double): DataFrame = {
+    val l = base.select(col("block"), col("vec_id").as("a_id"), col("e").as("a_e"))
+    val r = base.select(col("block"), col("vec_id").as("b_id"), col("e").as("b_e"))
+    val best = l.join(r, Seq("block"))
+      .where(col("b_id") < col("a_id"))
+      .select(col("a_id"), round(dot(col("a_e"), col("b_e")), 4).as("c"))
+      .groupBy("a_id")
+      .agg(max(col("c")).as("max_lower_cos"))
+    base.select(col("vec_id"), col("block"))
+      .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("block"), col("max_lower_cos"),
+        (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int")
+          .as("is_dup"))
+  }
+
+  /** Sign-bit block id: bit i set iff component i of the embedding is
+    * >= 0. Axis-aligned LSH — no random projections, so the whole dedup
+    * decision is deterministic and DuckDB-reproducible end to end (the
+    * seeded-gaussian [[lshBucket]] family is stronger on biased dims but
+    * its bucket ids can't be replayed relationally). Unit normalization
+    * preserves signs, so the block is computed on the raw vector.
+    */
+  def signBlock(embCol: Column, signDims: Int): Column =
+    (0 until signDims).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(element_at(embCol, i + 1) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    }
+
+  /** SemDeDup over an embedding table with deterministic sign-bit
+    * blocking: two vectors are candidate near-duplicates when the signs of
+    * their first `signDims` components all agree; candidates are exactly
+    * rescored and every vector with a lower-id blockmate at rounded cosine
+    * >= `minCos` is flagged. Fully oracle-able (q_semdedup hash-matches a
+    * DuckDB replay) — the deterministic twin of the seeded-LSH + connected
+    * -components decision (q_embed_dedup), which stays rows-only.
+    *
+    * Scale shape: candidate work is Σ block², never N² — blocks are a
+    * groupBy/join on one long key. `signDims` plays numPlanes' role: size
+    * it ~log2(N / target-block-occupancy) (8 → 256 blocks fits the test
+    * corpus; a 100 TB store wants 20+, and genuinely biased dims — all
+    * positive activations, say — want the gaussian [[lshBucket]] family
+    * instead, since a dim whose sign never varies contributes no
+    * partitioning). Exact-block match means a true near-dup pair straddling
+    * one sign boundary is missed (recall, not precision, is approximate —
+    * the standard single-probe LSH trade measured for the hyperplane
+    * variant in MeasureLsh); precision is exact because candidates are
+    * rescored.
+    */
+  def semanticDedupFlags(emb: DataFrame, minCos: Double = 0.95,
+      signDims: Int = 8): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val base = emb
+      .select(col("vec_id"), v.as("v"), l2norm(v).as("nrm"))
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), signBlock(col("v"), signDims).as("block"),
+        transform(col("v"), x => x / col("nrm")).as("e"))
+    dedupFlagsByBlock(base, minCos)
+  }
+
+  /** The filtering form of [[semanticDedupFlags]]: rows of `emb` that
+    * survive (zero-norm vectors — no direction, never comparable — are
+    * dropped too, the [[unitVecs]] convention). Dup ids are an id-only
+    * semi-join side; embedding payloads never re-shuffle.
+    */
+  def semanticDedup(emb: DataFrame, minCos: Double = 0.95,
+      signDims: Int = 8): DataFrame = {
+    val keep = semanticDedupFlags(emb, minCos, signDims)
+      .where(col("is_dup") === 0).select(col("vec_id"))
+    emb.join(keep, Seq("vec_id"), "left_semi")
+  }
+
+  /** True-SemDeDup blocking: the learned IVF cells (k-means regions) as
+    * blocks instead of sign bits — semantically tighter neighborhoods at
+    * equal block count, so higher recall on clustered corpora. `assigned`
+    * is the (vec_id, e, cell) table from [[ivfIndex]] — build-once,
+    * cell-bucketed, so the decision self-join rides the bucketing with no
+    * corpus Exchange. Not oracle-able (cell boundaries depend on the
+    * fitted centroids); DedupSimilaritySpec pins its decisions against
+    * the brute-force verifier on a fixture.
+    */
+  def semanticDedupIvf(assigned: DataFrame, minCos: Double = 0.95): DataFrame =
+    dedupFlagsByBlock(
+      assigned.select(col("vec_id"), col("cell").cast("long").as("block"), col("e")),
+      minCos)
+
   /** LSH-bucketed near-neighbour candidate pairs with exact cosine —
     * the scale path: only intra-bucket pairs are scored. `bucketed` is the
     * (vec_id, e, bucket) assignment — normally the [[lshIndex]] table, so

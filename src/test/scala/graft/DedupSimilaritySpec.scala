@@ -211,6 +211,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupFlags: sign-blocked keep-lowest, zero-norm dropped") {
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, 0.1f)),    // block 111
+      (2L, Array(2.0f, 2.0f, 0.2f)),    // same direction as 1 (cos 1.0) → dup
+      (3L, Array(1.0f, 1.0f, -5.0f)),   // block 011: different block — survives
+                                        //   even though cos(1,3) is moderate
+      (4L, Array(1.0f, 0.9f, 0.15f)),   // block 111, cos≈0.996 to 1 → dup
+      (5L, Array(-1.0f, -1.0f, -1.0f)), // block 000, alone → no neighbor
+      (6L, Array(0.0f, 0.0f, 0.0f))     // zero norm → dropped entirely
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupFlags(emb, minCos = 0.95, signDims = 3)
+      .as[(Long, Long, Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L)) // 6 dropped, all others rowed
+    assert(got(1L)._4 == 0)              // lowest id in its block: survivor
+    assert(got(2L) == ((2L, 7L, Some(1.0), 1)))
+    assert(got(3L)._4 == 0 && got(3L)._3.isEmpty) // own block, no lower mate
+    assert(got(4L)._4 == 1 && got(4L)._3.get > 0.99)
+    assert(got(5L) == ((5L, 0L, None, 0)))
+    // filtering form keeps exactly the unflagged, zero-norm dropped too
+    val kept = Similarity.semanticDedup(emb, minCos = 0.95, signDims = 3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("semanticDedupIvf agrees with the brute-force verdict on clustered vectors") {
+    // three tight clusters well inside IVF resolution: every non-lowest
+    // member of a cluster must be flagged, every cluster head kept — the
+    // same verdict brute force gives at this threshold
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) =
+      base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val emb = (0 until 30).map { i =>
+      (i.toLong, jitter(bases(i % 3)))
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(emb, bases.toArray)
+    val flags = Similarity.semanticDedupIvf(assigned, minCos = 0.99)
+      .as[(Long, Long, Option[Double], Int)].collect()
+    val dups = flags.filter(_._4 == 1).map(_._1).toSet
+    // cluster heads = ids 0, 1, 2 (lowest of each residue class)
+    assert(dups == (3L until 30L).toSet, dups.toSeq.sorted)
+  }
+
   test("LSH index table: candidate self-join probes with no shuffle exchange") {
     val rnd = new scala.util.Random(3)
     val many = (0L until 64L).map { i =>
