@@ -584,6 +584,12 @@ object SparkEntry {
     "q_pack_seq" -> ((s, d) =>
       Packing.packedSequences(Tables.documents(s, d), seqLen = 128,
         parts = 1)),
+    // pack-then-chunk with an end-of-document sentinel appended to every
+    // non-empty doc before concatenation (what a causal-LM trainer
+    // actually consumes); same parts=1 oracle-twin convention
+    "q_pack_eos" -> ((s, d) =>
+      Packing.packedSequences(Tables.documents(s, d), seqLen = 128,
+        parts = 1, eosToken = Some("<eos>"))),
     // document-boundary metadata of the packed stream (block-diagonal
     // attention masks + provenance), exploded to scalar rows — the
     // driver compare hashes scalar cells only (q_embed_pool lesson)
@@ -1655,6 +1661,17 @@ object SparkEntry {
     // seq_id = chunk ordinal (partition 0 at parts=1)
     "q_pack_seq" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "a AS (SELECT flatten(list(toks ORDER BY doc_id)) AS ts FROM t), " +
+        "s AS (SELECT ts, unnest(generate_series(0, greatest(len(ts) - 1, 0), 128)) AS st " +
+        "FROM a WHERE len(ts) > 0) " +
+        "SELECT st // 128 AS seq_id, " +
+        "CAST(least(128, len(ts) - st) AS INT) AS n_tokens, " +
+        "array_to_string(ts[st + 1 : st + 128], ' ') AS text FROM s"),
+    // the q_pack_seq replay over sentinel-terminated token streams
+    "q_pack_eos" ->
+      (s"WITH t0 AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) > 0 " +
+        "THEN list_append(toks, '<eos>') ELSE toks END AS toks FROM t0), " +
         "a AS (SELECT flatten(list(toks ORDER BY doc_id)) AS ts FROM t), " +
         "s AS (SELECT ts, unnest(generate_series(0, greatest(len(ts) - 1, 0), 128)) AS st " +
         "FROM a WHERE len(ts) > 0) " +

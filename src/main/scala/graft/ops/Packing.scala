@@ -67,8 +67,9 @@ object Packing {
     * buffer; no driver involvement, no global coordination.
     */
   def packedSequences(docs: DataFrame, seqLen: Int, parts: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    packedSequencesWithBounds(docs, seqLen, parts, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      eosToken: Option[String] = None): DataFrame =
+    packedSequencesWithBounds(docs, seqLen, parts, idCol, textCol, eosToken)
       .select(col("seq_id"), col("n_tokens"), col("text"))
 
   /** [[packedSequences]] plus the metadata trainers actually need from a
@@ -88,20 +89,34 @@ object Packing {
     * when provenance matters). Same scale shape: one (id, tokens)
     * exchange, one sequential per-partition pass, O(seqLen) carry + a
     * boundary queue bounded by docs-per-sequence.
+    *
+    * `eosToken`: when set, each NON-EMPTY document's token stream gets
+    * this sentinel appended before concatenation — the end-of-document
+    * token causal LMs are trained to emit. The sentinel counts toward
+    * `n_tokens` and sequence budgets (that's what the trainer sees);
+    * `doc_starts` still mark the first REAL token of each document (the
+    * following document therefore starts right after the previous one's
+    * sentinel). Zero-token documents contribute no sentinel — they were
+    * never in the stream. Applied in the scan-stage projection, so the
+    * partition pass and its carry/boundary machinery are untouched.
     */
   def packedSequencesWithBounds(docs: DataFrame, seqLen: Int,
       parts: Int = 32, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", eosToken: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(parts > 0, s"parts must be positive, got $parts")
     val spark = docs.sparkSession
     import spark.implicits._
     // null text → zero tokens, not an executor NPE on the null Seq;
     // try_cast → null (not an ANSI runtime error) for non-numeric ids
+    val rawToks = coalesce(Core.tokensUni(col(textCol)),
+      array().cast("array<string>"))
+    val toksCol = eosToken.fold(rawToks)(e =>
+      when(size(rawToks) > 0, concat(rawToks, array(lit(e))))
+        .otherwise(rawToks))
     docs.select(col(idCol).as("_k"),
         expr(s"try_cast(`$idCol` AS BIGINT)").as("_id"),
-        coalesce(Core.tokensUni(col(textCol)),
-          array().cast("array<string>")).as("toks"))
+        toksCol.as("toks"))
       .repartition(parts, col("_k"))
       .sortWithinPartitions("_k")
       .select(col("_id"), col("toks")).as[(Option[Long], Seq[String])]

@@ -120,6 +120,29 @@ class PackingSpec extends SparkSpec {
     assert(sp.head._5 == Seq(-1L, -1L)) // ids unavailable, packing exact
   }
 
+  test("packedSequences with eosToken: sentinel after every non-empty doc") {
+    val fixture = Seq(
+      (1L, "a b c"),  // stream: a b c <eos>
+      (2L, ""),       // zero tokens: no sentinel either
+      (3L, "d e"))    // stream: d e <eos>
+      .toDF("doc_id", "text")
+    val got = Packing.packedSequencesWithBounds(fixture, seqLen = 4,
+        parts = 1, eosToken = Some("<eos>"))
+      .as[(Long, Int, String, Seq[Int], Seq[Long])].collect()
+      .sortBy(_._1).toSeq
+    // stream = a b c <eos> d e <eos> → "a b c <eos>" + "d e <eos>"
+    assert(got.map(_._3) == Seq("a b c <eos>", "d e <eos>"), got)
+    assert(got.map(_._2) == Seq(4, 3)) // sentinel counts toward n_tokens
+    // boundaries mark the first REAL token: doc 3 starts at offset 0 of
+    // seq 1 (right after doc 1's sentinel); empty doc 2 never appears
+    assert(got.map(g => (g._4, g._5)) == Seq(
+      (Seq(0), Seq(1L)), (Seq(0), Seq(3L))))
+    // default (no eosToken) is byte-identical to the pre-existing output
+    val plain = Packing.packedSequences(fixture, seqLen = 4, parts = 1)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(plain.map(_._3) == Seq("a b c d", "e"))
+  }
+
   test("packedSequences: one trailing partial per partition, never more") {
     val docs = (1L to 40L).map(i => (i, s"t${i}a t${i}b t${i}c"))
       .toDF("doc_id", "text") // 120 tokens
