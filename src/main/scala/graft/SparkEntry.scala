@@ -555,6 +555,15 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         contamN = 3)
     }),
+    // v6: fractional bucket rates — thin the high-surprisal tail instead
+    // of amputating it (deterministic hash-fraction per quantile bucket)
+    "q_clean_corpus_v6" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.cleanCorpusV6Stats(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        contamN = 3, pplRates = V6_PPL_RATES)
+    }),
     // domain mixing to per-source token budgets: the prefilter rate keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
     // token budgets, so the exact-trim window runs over a budget-sized set
@@ -782,6 +791,75 @@ object SparkEntry {
   /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 9-digit hex. */
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  /** v6 recipe bucket rates: keep quintiles 1-3 wholesale, thin 4 and 5. */
+  private val V6_PPL_RATES = Seq(1.0, 1.0, 1.0, 0.5, 0.1)
+
+  /** The full v5/v6 recipe oracle (quality → exact dedup → SNM clusters →
+    * decontam → surprisal-quantile stage → span dedup) with the perplexity
+    * stage's keep predicate as the one parameter: v5 passes the hard
+    * bucket-prefix cut, v6 the per-bucket hash-fraction predicate —
+    * everything upstream/downstream is shared so the two oracles cannot
+    * drift.
+    */
+  private def recipeV5Sql(pplPredicate: String): String =
+    s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks " +
+      "FROM documents WHERE doc_id % 97 <> 0), " +
+      "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+      s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
+      "/ greatest(length(text), 1) <= 0.35 " +
+      "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+      "/ greatest(len(toks), 1) <= 0.7), " +
+      "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+      "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
+      "exact AS (SELECT doc_id, text, toks FROM passed " +
+      "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
+      sortedCtes("exact") + ", " +
+      "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+      "UNION SELECT b_id, a_id FROM prs), " +
+      "reach(id, lbl) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+      "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
+      "near AS (SELECT doc_id, toks FROM exact " +
+      "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
+      s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
+      "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
+      "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
+      "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
+      "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
+      "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
+      "dec AS (SELECT doc_id, toks FROM near " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "st AS (SELECT doc_id, unnest(toks) AS word FROM dec), " +
+      "stf AS (SELECT word, count(*) AS cnt FROM st GROUP BY word), " +
+      "sn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM stf), " +
+      "ss AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS sc " +
+      "FROM st JOIN stf USING (word), sn GROUP BY doc_id), " +
+      "scnt AS (SELECT sc, count(*) AS c FROM ss GROUP BY 1), " +
+      "sna AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM scnt), " +
+      "scum AS (SELECT sc, c, sum(c) OVER (ORDER BY sc " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scnt), " +
+      "sb AS (SELECT sc, CAST(floor((cum - c) * 5 / n_all) AS INT) + 1 " +
+      "AS bucket FROM scum, sna), " +
+      "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) " +
+      s"WHERE $pplPredicate), " +
+      "pdocs AS (SELECT doc_id, toks FROM dec " +
+      "WHERE doc_id IN (SELECT doc_id FROM ppl)), " +
+      "sp0 AS (SELECT doc_id, toks, " +
+      "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM pdocs), " +
+      "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+      "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
+      "own AS (SELECT doc_id, span_idx, " +
+      "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
+      "SELECT 's1_raw' AS stage, count(*) AS n FROM t0 " +
+      "UNION ALL SELECT 's2_quality', count(*) FROM passed " +
+      "UNION ALL SELECT 's3_exact_dedup', count(*) FROM exact " +
+      "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
+      "UNION ALL SELECT 's5_decontam', count(*) FROM dec " +
+      "UNION ALL SELECT 's6_perplexity', count(*) FROM ppl " +
+      "UNION ALL SELECT 's7_spans_total', count(*) FROM sp " +
+      "UNION ALL SELECT 's7_spans_kept', count(*) FROM own WHERE rn = 1"
 
   /** Language-scoring SQL GENERATED from [[ops.TextAnalysis.LANG_PROFILES]]
     * — the same char-n-gram constant the Spark side scores with, so the
@@ -1105,63 +1183,14 @@ object SparkEntry {
     // v5: the v4 chain + the surprisal/quantile CTEs over the decontam
     // survivors (worst quintile dropped; 0/1 rates are deterministic, so
     // no hash predicate is needed in the replay)
-    "q_clean_corpus_v5" ->
-      (s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks " +
-        "FROM documents WHERE doc_id % 97 <> 0), " +
-        "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
-        s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
-        "/ greatest(length(text), 1) <= 0.35 " +
-        "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
-        "/ greatest(len(toks), 1) <= 0.7), " +
-        "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
-        "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
-        "exact AS (SELECT doc_id, text, toks FROM passed " +
-        "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
-        sortedCtes("exact") + ", " +
-        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
-        "UNION SELECT b_id, a_id FROM prs), " +
-        "reach(id, lbl) AS (SELECT src, src FROM edges " +
-        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
-        "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
-        "near AS (SELECT doc_id, toks FROM exact " +
-        "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
-        s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
-        "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
-        "evg AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS g FROM evi), " +
-        "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
-        "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
-        "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
-        "dec AS (SELECT doc_id, toks FROM near " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
-        "st AS (SELECT doc_id, unnest(toks) AS word FROM dec), " +
-        "stf AS (SELECT word, count(*) AS cnt FROM st GROUP BY word), " +
-        "sn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM stf), " +
-        "ss AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS sc " +
-        "FROM st JOIN stf USING (word), sn GROUP BY doc_id), " +
-        "scnt AS (SELECT sc, count(*) AS c FROM ss GROUP BY 1), " +
-        "sna AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM scnt), " +
-        "scum AS (SELECT sc, c, sum(c) OVER (ORDER BY sc " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scnt), " +
-        "sb AS (SELECT sc, CAST(floor((cum - c) * 5 / n_all) AS INT) + 1 " +
-        "AS bucket FROM scum, sna), " +
-        "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) WHERE bucket <= 4), " +
-        "pdocs AS (SELECT doc_id, toks FROM dec " +
-        "WHERE doc_id IN (SELECT doc_id FROM ppl)), " +
-        "sp0 AS (SELECT doc_id, toks, " +
-        "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM pdocs), " +
-        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
-        "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
-        "own AS (SELECT doc_id, span_idx, " +
-        "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
-        "SELECT 's1_raw' AS stage, count(*) AS n FROM t0 " +
-        "UNION ALL SELECT 's2_quality', count(*) FROM passed " +
-        "UNION ALL SELECT 's3_exact_dedup', count(*) FROM exact " +
-        "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
-        "UNION ALL SELECT 's5_decontam', count(*) FROM dec " +
-        "UNION ALL SELECT 's6_perplexity', count(*) FROM ppl " +
-        "UNION ALL SELECT 's7_spans_total', count(*) FROM sp " +
-        "UNION ALL SELECT 's7_spans_kept', count(*) FROM own WHERE rn = 1"),
+    "q_clean_corpus_v5" -> recipeV5Sql("bucket <= 4"),
+    // v6 = the same chain with FRACTIONAL bucket rates: the ppl stage
+    // keeps a hash-fraction per bucket (q_ppl_mix's predicate, salt 'ppl')
+    "q_clean_corpus_v6" -> recipeV5Sql(
+      "'0' || substring(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "CASE bucket " + V6_PPL_RATES.zipWithIndex.map { case (r, i) =>
+          s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
+        }.mkString(" ") + " END"),
     "q_span_dedup" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "sp0 AS (SELECT doc_id, toks, " +

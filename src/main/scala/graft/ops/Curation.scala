@@ -156,13 +156,33 @@ object Curation {
       s"cleanCorpusV5Stats: need 1 <= pplKeepUpTo <= pplBuckets, " +
         s"got $pplKeepUpTo/$pplBuckets")
     recipeStats(docs, Some((evalSet, contamN)),
-      Some((pplBuckets, pplKeepUpTo)), minTokens, maxNonAlnum,
-      maxStopword, snmThreshold, spanTokens)
+      Some((1 to pplBuckets).map(b => if (b <= pplKeepUpTo) 1.0 else 0.0)),
+      minTokens, maxNonAlnum, maxStopword, snmThreshold, spanTokens)
+  }
+
+  /** v6 — v5 with FRACTIONAL per-bucket perplexity rates instead of the
+    * hard keep/drop prefix: bucket i of the surprisal distribution keeps a
+    * deterministic hash-fraction `pplRates(i-1)` of its documents (the
+    * [[Sampling.perplexityMixApply]] predicate — retry-stable, engine-
+    * reproducible, no RNG state). "Keep the clean text wholesale, THIN the
+    * weird tail instead of amputating it" — the soft version of v5's gate,
+    * preserving some high-perplexity diversity (rare languages, code,
+    * tables) that a hard cut destroys. The default keeps the first three
+    * quintiles wholesale, half of the fourth, a tenth of the worst.
+    */
+  def cleanCorpusV6Stats(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      spanTokens: Int = 20, contamN: Int = 13,
+      pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1)): DataFrame = {
+    require(pplRates.nonEmpty, "cleanCorpusV6Stats: need bucket rates")
+    recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
+      maxNonAlnum, maxStopword, snmThreshold, spanTokens)
   }
 
   private def recipeStats(docs: DataFrame,
       decontam: Option[(DataFrame, Int)],
-      ppl: Option[(Int, Int)], minTokens: Int,
+      ppl: Option[Seq[Double]], minTokens: Int,
       maxNonAlnum: Double, maxStopword: Double,
       snmThreshold: Double, spanTokens: Int): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
@@ -194,13 +214,14 @@ object Curation {
             .select("doc_id", "text"),
           evalSet, "doc_id", "text", n))
     }
-    // optional perplexity-percentile stage (v5): fit unigram surprisal
-    // on the current survivors, keep only the low-surprisal quantile
-    // buckets; 0/1 rates make the hash predicate degenerate (always /
-    // never keep), so the stage is deterministic
+    // optional perplexity-percentile stage (v5/v6): fit unigram surprisal
+    // on the current survivors, keep each quantile bucket at its rate —
+    // v5's 0/1 rates make the hash predicate degenerate (always / never
+    // keep, fully deterministic); v6's fractional rates thin buckets via
+    // the deterministic hash-sample predicate
     val pplIds = ppl match {
       case None => lastIds
-      case Some((nBuckets, keepUpTo)) =>
+      case Some(rates) =>
         val surv = docs.join(lastIds, Seq("doc_id"), "left_semi")
         // (id, score) is decision-sized: localCheckpoint it like every
         // other stage decision, then fit+apply the quantile dictionary
@@ -210,10 +231,8 @@ object Curation {
             surv.select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("avg_surprisal"))
           .localCheckpoint()
-        val rates = (1 to nBuckets)
-          .map(b => if (b <= keepUpTo) 1.0 else 0.0)
         ids(Sampling.perplexityMixApply(scored,
-          Sampling.perplexityBuckets(scored, "avg_surprisal", nBuckets),
+          Sampling.perplexityBuckets(scored, "avg_surprisal", rates.length),
           "doc_id", "avg_surprisal", rates).select("doc_id"))
     }
     val spanIdx = 5 + (if (decontam.isDefined) 1 else 0) +

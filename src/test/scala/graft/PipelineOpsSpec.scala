@@ -589,6 +589,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hg("s5_decontam") == 4L && hg("s6_perplexity") == 4L, hg.toString)
   }
 
+  test("cleanCorpusV6Stats: fractional rates thin buckets; all-ones = no cut") {
+    // same fixture as the v5 spec: five tied docs in bucket 1, the
+    // singleton-vocab doc 6 in bucket 5
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = ((1 to 5).map(i => (i.toLong, s"$shared u$i", "en", "s")) :+
+      ((6L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = Seq((100L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
+    // all-ones rates: the stage must be a no-op (6 of 6 survive) — the
+    // fractional machinery degrades exactly to "keep everything"
+    val open = Curation.cleanCorpusV6Stats(docs, evalSet, contamN = 3,
+        pplRates = Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+      .as[(String, Long)].collect().toMap
+    assert(open("s6_perplexity") == 6L, open.toString)
+    // rate 0 on bucket 5 reproduces v5's hard cut on this fixture
+    val hard = Curation.cleanCorpusV6Stats(docs, evalSet, contamN = 3,
+        pplRates = Seq(1.0, 1.0, 1.0, 1.0, 0.0))
+      .as[(String, Long)].collect().toMap
+    assert(hard("s6_perplexity") == 5L, hard.toString)
+    // a fractional tail rate keeps a hash-selected SUBSET of bucket 1's
+    // five docs when applied there (deterministic: same result twice)
+    val thin = Curation.cleanCorpusV6Stats(docs, evalSet, contamN = 3,
+        pplRates = Seq(0.5, 1.0, 1.0, 1.0, 0.0))
+      .as[(String, Long)].collect().toMap
+    val kept = thin("s6_perplexity")
+    assert(kept < 5L, thin.toString) // some of the five thinned away
+    val again = Curation.cleanCorpusV6Stats(docs, evalSet, contamN = 3,
+        pplRates = Seq(0.5, 1.0, 1.0, 1.0, 0.0))
+      .as[(String, Long)].collect().toMap
+    assert(again("s6_perplexity") == kept, again.toString)
+  }
+
   test("stripHtml and epochUpsample run unchanged on a live stream " +
       "(stateless scan-stage ops — the streaming-ingest curation shape)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
