@@ -637,6 +637,12 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // SFT loss-mask spans over the q_chat_render text: character offsets
+    // of the turns a trainer computes loss on ('click'/'purchase' stand
+    // in for the assistant role)
+    "q_loss_mask" -> ((s, d) =>
+      Conversations.lossMaskSpans(Tables.events(s, d),
+        Seq("click", "purchase"))),
     // DPO-style preference pairs: per source, best-vs-worst document by
     // the model quality LOGIT (raw z — the q_quality_rank tie rationale:
     // sigmoid's rounding saturates, the logit never does)
@@ -1787,6 +1793,21 @@ object SparkEntry {
         "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
+    // offsets replay: running (len+1) sum in the same (ts, event_id)
+    // order as the render; filter to trainable types after the cursor
+    "q_loss_mask" ->
+      ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
+        "'[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
+        "|| coalesce(props, '') AS line FROM events), " +
+        "o AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(length(line) AS BIGINT) AS len, " +
+        "coalesce(sum(length(line) + 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st " +
+        "FROM l) " +
+        "SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) - 1 AS INT) AS k, event_id, " +
+        "CAST(st AS BIGINT) AS span_start, CAST(st + len AS BIGINT) AS span_end " +
+        "FROM o WHERE event_type IN ('click', 'purchase')"),
     // best/worst per source on the raw logit; both tie-breaks prefer the
     // lowest doc_id; strict-preference filter mirrors the Spark guard
     "q_pref_pairs" -> {

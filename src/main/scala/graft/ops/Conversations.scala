@@ -89,6 +89,42 @@ object Conversations {
         col("n_cands"))
   }
 
+  /** Loss-mask spans for SFT training: the [start, end) CHARACTER offsets,
+    * into [[render]]'s text, of every turn whose type is in `trainTypes` —
+    * the "train on assistant turns only" mask every SFT pipeline needs
+    * (the trainer masks loss outside these spans). Alignment with the
+    * rendered text is by construction, not by re-parsing: the same
+    * [[lineCol]] template and the same (ts, event_id) ordering produce
+    * both, so span k of a key always slices exactly its line (spec-
+    * asserted by substring equality against [[render]]'s output).
+    * Offsets account for the joining newlines; `k` is the 0-based ordinal
+    * among the key's TRAINABLE turns.
+    *
+    * Scale shape: no per-key collect buffer at all — one hash exchange on
+    * the key, then an in-partition running sum over (ts, event_id) order;
+    * the filter to trainable turns happens after offsets are fixed (a
+    * masked turn still advances the cursor), so output rows ≈ trainable
+    * turns only. Returns (key, k, event_id, span_start, span_end).
+    */
+  def lossMaskSpans(events: DataFrame, trainTypes: Seq[String],
+      keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    val offs = events
+      .select(col(keyCol), col("ts"), col("event_id"), col("event_type"),
+        lineCol.as("line"))
+      .withColumn("len", length(col("line")).cast("long"))
+      // cursor BEFORE this line: previous lines plus one newline each
+      .withColumn("span_start",
+        coalesce(sum(col("len") + 1)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    offs.where(col("event_type").isin(trainTypes: _*))
+      .select(col(keyCol),
+        (row_number().over(w) - 1).as("k"),
+        col("event_id"), col("span_start"),
+        (col("span_start") + col("len")).as("span_end"))
+  }
+
   /** Session-scoped assembly: one rendered conversation per (key,
     * session), a session closing after `gap` of event-time silence —
     * the SFT-pipeline ingest shape ([[render]] treats a key's whole

@@ -355,6 +355,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(9L)._3 == "[user#4] {}")
   }
 
+  test("lossMaskSpans slice exactly the trainable lines of the rendered text") {
+    import graft.ops.Conversations
+    import java.sql.Timestamp
+    val events = Seq(
+      (1L, new Timestamp(1000L), 7L, "user", 0.0, "{\"q\":1}"),
+      (2L, new Timestamp(2000L), 7L, "assistant", 0.0, "{\"a\":1}"),
+      (3L, new Timestamp(2000L), 7L, "tool", 0.0, "{\"t\":1}"),
+      (4L, new Timestamp(3000L), 7L, "assistant", 0.0, "{\"a\":2}"),
+      (5L, new Timestamp(500L), 9L, "user", 0.0, "{}"), // no trainable turn
+      (6L, new Timestamp(600L), 9L, "assistant", 0.0, "{\"z\":9}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val spans = Conversations.lossMaskSpans(events, Seq("assistant"))
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val text = Conversations.render(events)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    // the alignment invariant: every span substring IS its turn's line
+    assert(spans.nonEmpty)
+    spans.foreach { case (uid, _, eid, st, en) =>
+      val slice = text(uid).substring(st.toInt, en.toInt)
+      assert(slice.startsWith("[assistant#" + eid + "] "), (uid, eid, slice))
+      assert(!slice.contains("\n"), slice)
+    }
+    // user 7: assistant turns are lines 2 and 4 of the render; k is the
+    // ordinal among TRAINABLE turns only
+    assert(spans.filter(_._1 == 7L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0, 2L), (1, 4L)))
+    // masked turns still advance the cursor: user 9's single trainable
+    // span starts after the untrained "[user#5] {}" line + newline
+    val u9 = spans.filter(_._1 == 9L)
+    assert(u9.map(r => (r._2, r._3)).toSeq == Seq((0, 6L)))
+    assert(u9.head._4 == "[user#5] {}".length + 1L, u9.head)
+  }
+
   test("chunkTokens and the bloom prefilter run unchanged on a live stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.{BloomJoin, Packing}
