@@ -610,6 +610,10 @@ object SparkEntry {
         .select(col("seq_id"), col("pos").cast("int").as("k"),
           col("col.doc_starts").as("doc_start"),
           col("col.doc_ids").as("doc_id"))),
+    // fill-in-the-middle transform on a deterministic half of the corpus
+    // (PSM order; cut points are pure id arithmetic, so oracle-replayable)
+    "q_fim" -> ((s, d) =>
+      Packing.fimTransform(Tables.documents(s, d), fimRate = 0.5)),
     // temperature-flattened domain mixture (alpha = 0.5 over source counts)
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
@@ -1725,6 +1729,19 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY abs_start // 128 " +
         "ORDER BY abs_start) - 1 AS INT) AS k, " +
         "CAST(abs_start % 128 AS INT) AS doc_start, doc_id FROM c"),
+    // the same folded-id cut arithmetic and list slicing; unselected and
+    // zero-token docs pass through with their original text
+    "q_fim" ->
+      (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "c AS (SELECT doc_id, text, toks, len(toks) AS n, " +
+        "((doc_id % 1000003) * 7919) % (len(toks) + 1) AS c1 FROM t), " +
+        "c2t AS (SELECT *, c1 + ((doc_id % 1000003) * 104729) % (n - c1 + 1) AS c2 FROM c), " +
+        "sel AS (SELECT *, '0' || substring(md5('fim' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        s"< '${ops.Sampling.hexThreshold(0.5)}' AS s FROM c2t) " +
+        "SELECT doc_id, CAST(CASE WHEN s AND n > 0 THEN 1 ELSE 0 END AS INT) AS fim, " +
+        "CASE WHEN s AND n > 0 THEN array_to_string(" +
+        "['<fim_prefix>'] || toks[1:c1] || ['<fim_suffix>'] || toks[c2+1:n] || " +
+        "['<fim_middle>'] || toks[c1+1:c2], ' ') ELSE text END AS text FROM sel"),
     // weight rounded to 6 decimals BEFORE the target arithmetic on both
     // sides: pow is the one step IEEE doesn't require exactly rounded
     "q_temp_mix" ->

@@ -163,6 +163,52 @@ object Packing {
       .toDF("seq_id", "n_tokens", "text", "doc_starts", "doc_ids")
   }
 
+  /** Fill-in-the-middle transform — the code-LLM data-prep step that
+    * teaches infilling: a deterministic `fimRate` hash-fraction of
+    * documents has its token stream cut at two points and re-emitted in
+    * PSM order (`<fim_prefix> P <fim_suffix> S <fim_middle> M`), so the
+    * model learns to generate the middle conditioned on both sides;
+    * the rest pass through verbatim. Cut points are pure integer
+    * arithmetic on the id (two co-prime multipliers mod the admissible
+    * range) — like every sampling decision here, a pure function of the
+    * data: retries, re-runs, and the DuckDB oracle agree row for row,
+    * where an RNG draw would re-deal the cuts per run. c1 is uniform over
+    * [0, n], c2 over [c1, n]; empty segments simply vanish from the
+    * join, and a zero-token or unselected document is returned unchanged
+    * with fim = 0.
+    *
+    * Scale shape: scan-stage only — the hash predicate, cuts, slices,
+    * and join are all narrow per-row expressions; nothing shuffles.
+    */
+  def fimTransform(docs: DataFrame, fimRate: Double, salt: String = "fim",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0,
+      s"fimRate must be in [0,1], got $fimRate")
+    val toks = col("_toks")
+    val n = size(toks)
+    // id folded mod 1e6+3 before multiplying: keeps the products far from
+    // Long overflow for any id while preserving the mirror-able arithmetic
+    val idf = col(idCol).cast("long") % 1000003L
+    val c1 = (idf * 7919L) % (n + 1).cast("long")
+    val c2 = c1 + (idf * 104729L) % (n.cast("long") - c1 + 1L)
+    val sel = Sampling.hashKey(col(idCol), salt) <
+      lit(Sampling.hexThreshold(fimRate))
+    val fimText = array_join(
+      concat(
+        array(lit("<fim_prefix>")), slice(toks, lit(1), c1.cast("int")),
+        array(lit("<fim_suffix>")),
+        slice(toks, (c2 + 1).cast("int"), n - c2.cast("int")),
+        array(lit("<fim_middle>")),
+        slice(toks, (c1 + 1).cast("int"), (c2 - c1).cast("int"))),
+      " ")
+    docs
+      .withColumn("_toks",
+        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+      .select(col(idCol),
+        (sel && n > 0).cast("int").as("fim"),
+        when(sel && n > 0, fimText).otherwise(col(textCol)).as(textCol))
+  }
+
   /** Sliding-window token chunking — the sequence-prep step that splits
     * each document into `chunkSize`-token windows every `stride` tokens
     * (stride < chunkSize ⇒ overlapping context windows, the usual LLM

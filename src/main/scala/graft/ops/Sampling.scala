@@ -27,7 +27,7 @@ object Sampling {
     * at ~1.5e-5). `salt` decorrelates independent samples from the same
     * ids.
     */
-  private def hashKey(id: Column, salt: String): Column =
+  private[ops] def hashKey(id: Column, salt: String): Column =
     concat(lit("0"), substring(md5(concat(lit(salt), id.cast("string"))), 1, 8))
 
   /** 9-digit hex threshold selecting `rate` of the 32-bit hash space.

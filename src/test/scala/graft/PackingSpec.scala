@@ -143,6 +143,54 @@ class PackingSpec extends SparkSpec {
     assert(plain.map(_._3) == Seq("a b c d", "e"))
   }
 
+  test("fimTransform: PSM reorder reassembles to the original tokens") {
+    import graft.ops.Core
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 12).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text") :: Nil
+    val got = graft.ops.Packing.fimTransform(docs.head, fimRate = 0.5)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got.size == 40)
+    val transformed = got.filter(_._2 == 1)
+    val passthrough = got.filter(_._2 == 0)
+    // a 0.5 hash-rate over 40 ids transforms SOME and passes SOME through
+    assert(transformed.nonEmpty && passthrough.nonEmpty, got.map(_._2).toSeq)
+    passthrough.foreach { case (id, _, text) =>
+      assert(text == (1 to 12).map(j => s"d${id}w$j").mkString(" "))
+    }
+    transformed.foreach { case (id, _, text) =>
+      val toks = text.split(" ").toSeq
+      // sentinels appear exactly once, in P-S-M order
+      val ip = toks.indexOf("<fim_prefix>")
+      val is = toks.indexOf("<fim_suffix>")
+      val im = toks.indexOf("<fim_middle>")
+      assert(ip == 0 && is > ip && im > is, text)
+      assert(toks.count(_.startsWith("<fim_")) == 3, text)
+      // prefix ++ middle ++ suffix == the original token stream
+      val prefix = toks.slice(ip + 1, is)
+      val suffix = toks.slice(is + 1, im)
+      val middle = toks.drop(im + 1)
+      assert(prefix ++ middle ++ suffix ==
+        (1 to 12).map(j => s"d${id}w$j"), text)
+    }
+    // deterministic: identical output on a re-run
+    val again = graft.ops.Packing.fimTransform(docs.head, fimRate = 0.5)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+    // rate 0 never transforms; empty doc passes through at rate 1
+    val zero = graft.ops.Packing.fimTransform(docs.head, fimRate = 0.0)
+      .as[(Long, Int, String)].collect()
+    assert(zero.forall(_._2 == 0))
+    val empty = graft.ops.Packing.fimTransform(
+        Seq((7L, "")).toDF("doc_id", "text"), fimRate = 1.0)
+      .as[(Long, Int, String)].collect().head
+    assert(empty == ((7L, 0, "")))
+    // cut points vary across ids (not all degenerate): some doc has a
+    // non-empty middle
+    assert(transformed.exists(t => t._3.split(" ").drop(
+      t._3.split(" ").indexOf("<fim_middle>") + 1).nonEmpty))
+  }
+
   test("packedSequences: one trailing partial per partition, never more") {
     val docs = (1L to 40L).map(i => (i, s"t${i}a t${i}b t${i}c"))
       .toDF("doc_id", "text") // 120 tokens
