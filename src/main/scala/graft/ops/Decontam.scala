@@ -184,6 +184,53 @@ object Decontam {
           .as(textCol))
   }
 
+  /** The STREAMING form of [[scrubContamination]]: per-row span scrub
+    * against a FIXED eval gram list (the [[contaminatedFlag]] convention —
+    * the batch operator's aggregate+join is stateless-inexpressible on an
+    * append stream, a literal gram array runs anywhere). Same output
+    * contract: (idCol, n_hits, n_removed, textCol), untouched documents
+    * keep their original text; parity with the batch operator is
+    * spec-asserted on a replayed stream.
+    *
+    * Every multiply-referenced intermediate (tokens, gram array, matched
+    * starts) is its own projection, not an inline expression — interpreted
+    * HOF bodies re-evaluate per element, so an inline starts-filter inside
+    * the per-token exists() would re-scan the gram list once per token
+    * (the spanDedup / winnowing recompute lesson). The kernel-backed
+    * [[contaminatedFlag]]-style overlap short-circuit is implicit: clean
+    * rows have an empty starts array and skip straight to the original
+    * text.
+    */
+  def scrubWithGrams(df: DataFrame, grams: Seq[String], n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val litGrams = lit(grams.toArray)
+    val t = col("_t")
+    val g = col("_g")
+    val st = col("_st")
+    def keepIdx = filter(sequence(lit(0), size(t) - 1),
+      i => !exists(st, s => i >= s && i < s + n))
+    df
+      .withColumn("_t",
+        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+      .withColumn("_g", ngrams(t, n))
+      // matched gram START positions: index i of the (ordered) gram array
+      // is the token start offset — same geometry as the batch operator.
+      // Zero-gram guard: sequence(0, -1) would be DESCENDING, not empty
+      .withColumn("_st",
+        when(size(g) > 0,
+          filter(sequence(lit(0), size(g) - 1),
+            i => array_contains(litGrams, element_at(g, i + 1))))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        size(st).cast("long").as("n_hits"),
+        when(size(st) === 0, lit(0L))
+          .otherwise((size(t) - size(keepIdx)).cast("long")).as("n_removed"),
+        when(size(st) === 0, col(textCol))
+          .otherwise(array_join(
+            transform(keepIdx, i => element_at(t, i + 1)), " "))
+          .as(textCol))
+  }
+
   /** The filtering form: training rows with NO n-gram overlap with the eval
     * set, all columns preserved. Contaminated ids are collected as an
     * id-only anti-join side (matched grams only — tiny), never the text.

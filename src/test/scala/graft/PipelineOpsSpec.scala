@@ -86,6 +86,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("scrubWithGrams: batch parity, and append-mode on a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we saw the quick brown fox yesterday maybe"),
+      (2L, "nothing in common with anything here"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "the quick brown and the quick brown"),
+      (5L, "to")
+    ).toDF("doc_id", "text")
+    val grams = graft.ops.Decontam.collectEvalGrams(eval, "text", 3)
+    val batch = Decontam.scrubContamination(train, eval, "doc_id", "text", 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val perRow = Decontam.scrubWithGrams(train, grams, 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(perRow == batch)
+    // the same per-row form runs append-mode on a stream, same rows out
+    val in = MemoryStream[(Long, String)](97, spark, None)
+    val q = Decontam.scrubWithGrams(in.toDS().toDF("doc_id", "text"), grams, 3)
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "we saw the quick brown fox yesterday maybe"),
+        (3L, "the quick brown fox jumps"))
+      q.processAllAvailable()
+      val streamed = spark.table("scrub_stream")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch.filter(r => Set(1L, 3L)(r._1)))
+    } finally q.stop()
+  }
+
   test("decontaminate drops exactly the overlapping docs; eval side broadcasts") {
     val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
