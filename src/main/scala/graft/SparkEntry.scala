@@ -377,6 +377,15 @@ object SparkEntry {
           lit(0).as("height"), lit(0).as("sample_rate")).as("meta"))
       Multimodal.mediaFeatures(media)
     }),
+    // interleaved image-text assembly (MMC4 shape): 100 synthetic image
+    // media assigned to docs 0-49 by id modulo, one <image> placeholder
+    // inserted per media at a deterministic token offset
+    "q_interleave" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+        .where(col("kind") === "image")
+        .select((col("media_id") % 50).as("doc_id"), col("media_id"))
+      Multimodal.interleaveMedia(Tables.documents(s, d), media)
+    }),
     // ---- similarity search ----
     "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
@@ -1462,6 +1471,25 @@ object SparkEntry {
         "SELECT a_id, b_id AS nn_id, round(cos, 4) AS cos FROM (" +
         "SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn " +
         "FROM p) WHERE rn = 1"),
+    // merge-sort replay of the desc-order insertion: placeholders key
+    // (offset, 0, media_id), tokens (index, 1, -1) — placeholder-before-
+    // token at equal offset, equal-offset media in ascending id order
+    "q_interleave" ->
+      ("WITH im AS (SELECT unnest(range(300)) AS media_id), " +
+        "a AS (SELECT media_id % 50 AS doc_id, media_id FROM im WHERE media_id % 3 = 0), " +
+        s"t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t), " +
+        "trow AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, 1 AS flag, " +
+        "CAST(-1 AS BIGINT) AS mid, toks[i+1] AS tok FROM tok), " +
+        "prow AS (SELECT a.doc_id, ((a.media_id % 1000003) * 7919) % (len(t.toks) + 1) AS pos, " +
+        "0 AS flag, a.media_id AS mid, '<image>' AS tok FROM a JOIN t USING (doc_id)), " +
+        "allr AS (SELECT * FROM trow UNION ALL SELECT * FROM prow), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos, flag, mid) AS text2 " +
+        "FROM allr GROUP BY doc_id), " +
+        "ni AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_images FROM a GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(ni.n_images, 0) AS n_images, " +
+        "CASE WHEN ni.doc_id IS NULL THEN t.text ELSE coalesce(agg.text2, '') END AS text " +
+        "FROM t LEFT JOIN ni USING (doc_id) LEFT JOIN agg USING (doc_id)"),
     // sign-bit block = Σ 2^i over non-negative components; intra-block
     // lower-id pairs exactly rescored; verdict on the ROUNDED cosine
     "q_semdedup" ->

@@ -153,6 +153,55 @@ object Multimodal {
   def imagePatchMeans(blob: Column, patch: Int = 16): Column =
     ArrayKernels.ppm_patch_means(blob, patch)
 
+  /** Interleaved image-text sample assembly (the MMC4 / interleaved-
+    * pretraining shape): given an (idCol, media_id) assignment table, each
+    * document gets one `placeholder` token inserted per assigned media at
+    * a deterministic token offset — the text a multimodal trainer consumes,
+    * with the vision encoder's inputs resolved via media_id sidecars.
+    * Insertion offsets are the same folded-id arithmetic as
+    * [[graft.ops.Packing.fimTransform]] (pure function of the media id and
+    * the document's token count — re-runs and the DuckDB oracle agree);
+    * inserting in descending (offset, media_id) order means earlier
+    * insertions never shift later ones, so equal-offset media land in
+    * ascending id order. Documents with no assigned media pass through
+    * with their ORIGINAL text; zero-token documents with media yield the
+    * placeholders alone.
+    *
+    * Scale shape: only (id, media_id) pairs shuffle (one groupBy into
+    * per-doc id lists, bounded by images-per-doc); the document text never
+    * moves — the assignment list joins TO the corpus and the insertion is
+    * one scan-stage array fold per row (`aggregate` lambda variables bind
+    * per iteration, so the fold is safe from the HOF recompute trap).
+    * Returns (idCol, n_images, textCol).
+    */
+  def interleaveMedia(docs: DataFrame, assignments: DataFrame,
+      placeholder: String = "<image>", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val slots = assignments.groupBy(idCol)
+      .agg(collect_list(col("media_id").cast("long")).as("_mids"))
+    val t = col("_t")
+    val ins = col("_ins")
+    docs.join(slots, Seq(idCol), "left")
+      .withColumn("_t",
+        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+      // (offset, media_id) structs sorted DESC: reverse of the asc sort
+      .withColumn("_ins", reverse(array_sort(
+        transform(col("_mids"), m => struct(
+          ((m % 1000003L) * 7919L % (size(t) + 1).cast("long")).as("p"),
+          m.as("mid"))))))
+      .select(col(idCol),
+        coalesce(size(col("_mids")), lit(0)).cast("long").as("n_images"),
+        when(col("_mids").isNull, col(textCol))
+          .otherwise(array_join(
+            aggregate(ins, t, (acc, s) => concat(
+              slice(acc, lit(1), s.getField("p").cast("int")),
+              array(lit(placeholder)),
+              slice(acc, (s.getField("p") + 1).cast("int"),
+                size(acc) - s.getField("p").cast("int")))),
+            " "))
+          .as(textCol))
+  }
+
   /** Full pipeline over a media table: decode (real header parse when the
     * format is recognized, stub fallback for compressed codecs) → per-kind
     * feature aggregation. Blobs stay in the scan stage; only 16-int
