@@ -160,10 +160,14 @@ object Bench {
       s""""calibration_runs":${calib.map(f3).mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}"""
     val fullPath = "BENCH_LOCAL.json"
-    try {
-      val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () } // read-only cwd: stdout still carries the gist
+    // advertise the file only if THIS run wrote it: the path is committed
+    // per round, so pointing at it after a failed write (read-only cwd)
+    // would silently serve a previous round's numbers as this run's
+    val fullWritten =
+      try {
+        val w = new java.io.PrintWriter(fullPath, "UTF-8")
+        try { w.println(fullJson); true } finally w.close()
+      } catch { case _: Throwable => false }
 
     // compact stdout line (< ~1.6 KB — must fit the driver's 2000-char
     // output tail whole): aggregates + the baseline-shared per-query set
@@ -182,7 +186,9 @@ object Bench {
       val e = k.length + f3(v).length + 4
       if (len + e <= budget) { kept += (k -> v); len += e }
     }
-    val dropped = compactSel0.size - kept.size
+    // count EVERYTHING absent from the compact map (non-shared queries and
+    // budget drops alike) so n_queries − |queries| always reconciles
+    val dropped = results.size - kept.size
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${qsJson(kept.toMap, f3)},""" +
@@ -191,7 +197,8 @@ object Bench {
       s""""baseline_shared_total":${f3(baseShared)},""" +
       s""""baseline_ratio":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(ratio))},""" +
       s""""passes":$passes,"calibration_sec":${f3(median(calib.toSeq))},""" +
-      s""""full":"$fullPath","sf":"$sfDir"}""")
+      (if (fullWritten) s""""full":"$fullPath",""" else "") +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

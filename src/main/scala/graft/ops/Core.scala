@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Core {
 
+  /** THE deterministic pseudo-uniform offset in [0, bound): the id folded
+    * mod 1e6+3 (keeps every product far from Long overflow for any id),
+    * scaled by a co-prime multiplier, pmod'd into the bound — pmod, not %,
+    * so negative ids land in range instead of producing a negative slice
+    * length downstream. One definition shared by
+    * [[Packing.fimTransform]]'s cut points and
+    * [[Multimodal.interleaveMedia]]'s insertion offsets (their DuckDB
+    * oracles mirror the same arithmetic; for non-negative ids pmod ≡ %,
+    * which is what the oracle SQL writes).
+    */
+  private[ops] def foldedOffset(id: org.apache.spark.sql.Column, mult: Long,
+      bound: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * mult, bound.cast("long"))
+
   /** Fizz-buzz pattern-match transform over a sequence source.
     * Reference: map over `fromSequence(1, 100)` —
     * reference BuiltIn.scala:161-170 (T9, S3).

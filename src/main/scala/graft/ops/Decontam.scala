@@ -159,28 +159,42 @@ object Decontam {
         posexplode(ngrams(Core.tokensUni(col(textCol)), n)).as(Seq("pos", "g")))
       .join(broadcast(evalGrams(evalSet, textCol, n)), "g")
       .groupBy(idCol)
-      .agg(sort_array(collect_list(col("pos"))).as("starts"),
-        count(lit(1)).as("n_hits"))
-    // tokens materialized as their own projection (the spanDedup
-    // multiply-referenced-projection discipline): the HOF lambdas below
-    // re-evaluate their body per element when interpreted, so an inline
-    // tokensUni would re-run the split regex once per token
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"),
+        count(lit(1)).as("_nhits"))
+    scrubReconstruct(
+      train.join(hitStarts, Seq(idCol), "left")
+        .withColumn("_t",
+          coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>"))),
+      idCol, textCol, n)
+  }
+
+  /** The ONE span-removal reconstruction both scrub operators share (the
+    * matchedGrams one-definition principle — two copies of the keep-list
+    * algebra WOULD drift). Expects `_t` (token array), `_starts` (matched
+    * start positions; NULL or empty on clean rows), `_nhits` (match count;
+    * NULL ⇒ 0). The keep list is computed ONCE into its own projection —
+    * it is an interpreted HOF filter+exists referenced by both n_removed
+    * and the rebuilt text, and inlining it would run the O(tokens ×
+    * starts) scan twice per contaminated row. On contaminated rows the
+    * gram match guarantees size(_t) >= n >= 1, so sequence() is ascending.
+    */
+  private def scrubReconstruct(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val t = col("_t")
-    // token index i survives iff no matched gram start s covers it
-    // (s <= i < s + n); only evaluated on contaminated rows, where the
-    // gram join guarantees size(t) >= n >= 1, so sequence() is ascending
-    def keepIdx = filter(sequence(lit(0), size(t) - 1),
-      i => !exists(col("starts"), s => i >= s && i < s + n))
-    train.join(hitStarts, Seq(idCol), "left")
-      .withColumn("_t",
-        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+    val contaminated =
+      col("_starts").isNotNull && size(col("_starts")) > 0
+    df
+      .withColumn("_keep",
+        when(contaminated, filter(sequence(lit(0), size(t) - 1),
+          i => !exists(col("_starts"), s => i >= s && i < s + n))))
       .select(col(idCol),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(col("starts").isNull, lit(0L))
-          .otherwise((size(t) - size(keepIdx)).cast("long")).as("n_removed"),
-        when(col("starts").isNull, col(textCol))
+        coalesce(col("_nhits"), lit(0L)).as("n_hits"),
+        when(col("_keep").isNull, lit(0L))
+          .otherwise((size(t) - size(col("_keep"))).cast("long"))
+          .as("n_removed"),
+        when(col("_keep").isNull, col(textCol))
           .otherwise(array_join(
-            transform(keepIdx, i => element_at(t, i + 1)), " "))
+            transform(col("_keep"), i => element_at(t, i + 1)), " "))
           .as(textCol))
   }
 
@@ -206,29 +220,21 @@ object Decontam {
     val litGrams = lit(grams.toArray)
     val t = col("_t")
     val g = col("_g")
-    val st = col("_st")
-    def keepIdx = filter(sequence(lit(0), size(t) - 1),
-      i => !exists(st, s => i >= s && i < s + n))
-    df
-      .withColumn("_t",
-        coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
-      .withColumn("_g", ngrams(t, n))
-      // matched gram START positions: index i of the (ordered) gram array
-      // is the token start offset — same geometry as the batch operator.
-      // Zero-gram guard: sequence(0, -1) would be DESCENDING, not empty
-      .withColumn("_st",
-        when(size(g) > 0,
-          filter(sequence(lit(0), size(g) - 1),
-            i => array_contains(litGrams, element_at(g, i + 1))))
-          .otherwise(array().cast("array<int>")))
-      .select(col(idCol),
-        size(st).cast("long").as("n_hits"),
-        when(size(st) === 0, lit(0L))
-          .otherwise((size(t) - size(keepIdx)).cast("long")).as("n_removed"),
-        when(size(st) === 0, col(textCol))
-          .otherwise(array_join(
-            transform(keepIdx, i => element_at(t, i + 1)), " "))
-          .as(textCol))
+    scrubReconstruct(
+      df
+        .withColumn("_t",
+          coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
+        .withColumn("_g", ngrams(t, n))
+        // matched gram START positions: index i of the (ordered) gram array
+        // is the token start offset — same geometry as the batch operator.
+        // Zero-gram guard: sequence(0, -1) would be DESCENDING, not empty
+        .withColumn("_starts",
+          when(size(g) > 0,
+            filter(sequence(lit(0), size(g) - 1),
+              i => array_contains(litGrams, element_at(g, i + 1))))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("_nhits", size(col("_starts")).cast("long")),
+      idCol, textCol, n)
   }
 
   /** The filtering form: training rows with NO n-gram overlap with the eval

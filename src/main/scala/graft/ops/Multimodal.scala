@@ -184,10 +184,12 @@ object Multimodal {
     docs.join(slots, Seq(idCol), "left")
       .withColumn("_t",
         coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
-      // (offset, media_id) structs sorted DESC: reverse of the asc sort
+      // (offset, media_id) structs sorted DESC: reverse of the asc sort;
+      // offsets via the shared Core.foldedOffset (pmod'd — negative media
+      // ids can't produce a negative insertion offset into the fold)
       .withColumn("_ins", reverse(array_sort(
         transform(col("_mids"), m => struct(
-          ((m % 1000003L) * 7919L % (size(t) + 1).cast("long")).as("p"),
+          Core.foldedOffset(m, 7919L, size(t) + 1).as("p"),
           m.as("mid"))))))
       .select(col(idCol),
         coalesce(size(col("_mids")), lit(0)).cast("long").as("n_images"),

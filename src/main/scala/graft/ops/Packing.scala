@@ -186,11 +186,11 @@ object Packing {
       s"fimRate must be in [0,1], got $fimRate")
     val toks = col("_toks")
     val n = size(toks)
-    // id folded mod 1e6+3 before multiplying: keeps the products far from
-    // Long overflow for any id while preserving the mirror-able arithmetic
-    val idf = col(idCol).cast("long") % 1000003L
-    val c1 = (idf * 7919L) % (n + 1).cast("long")
-    val c2 = c1 + (idf * 104729L) % (n.cast("long") - c1 + 1L)
+    // cut points via the shared folded-offset arithmetic (Core.foldedOffset
+    // — pmod'd, so negative ids can't produce negative slice lengths)
+    val c1 = Core.foldedOffset(col(idCol), 7919L, n + 1)
+    val c2 = c1 + Core.foldedOffset(col(idCol), 104729L,
+      n.cast("long") - c1 + 1L)
     val sel = Sampling.hashKey(col(idCol), salt) <
       lit(Sampling.hexThreshold(fimRate))
     val fimText = array_join(

@@ -818,7 +818,12 @@ object Similarity {
     */
   def signBlock(embCol: Column, signDims: Int): Column =
     (0 until signDims).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(element_at(embCol, i + 1) >= 0,
+      // get(), not element_at(): the docstring recommends raising signDims
+      // with corpus size, so signDims > dim must degrade (missing dims
+      // read as bit 0, weakening the blocking) rather than throw ANSI
+      // INVALID_ARRAY_INDEX mid-job — get() is null-safe out of bounds,
+      // and null >= 0 is null, which when() treats as the otherwise branch
+      acc.bitwiseOR(when(get(embCol, lit(i)) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L)))
     }
 
@@ -844,12 +849,12 @@ object Similarity {
     */
   def semanticDedupFlags(emb: DataFrame, minCos: Double = 0.95,
       signDims: Int = 8): DataFrame = {
-    val v = asDouble(col("embedding"))
-    val base = emb
-      .select(col("vec_id"), v.as("v"), l2norm(v).as("nrm"))
-      .where(col("nrm") > 0)
-      .select(col("vec_id"), signBlock(col("v"), signDims).as("block"),
-        transform(col("v"), x => x / col("nrm")).as("e"))
+    // unit normalization preserves signs, so the block reads off the
+    // canonical unitVecs projection — one normalization policy, no
+    // drift in the zero-norm handling
+    val base = unitVecs(emb, "vec_id", "e")
+      .select(col("vec_id"), signBlock(col("e"), signDims).as("block"),
+        col("e"))
     dedupFlagsByBlock(base, minCos)
   }
 

@@ -236,6 +236,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 5L))
   }
 
+  test("signBlock degrades (bit 0) when signDims exceeds the dimension, no ANSI throw") {
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f)),   // only 2 dims; bits 2..7 must read 0
+      (2L, Array(2.0f, 3.0f)),   // same signs, same block
+      (3L, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // signDims = 8 > dim = 2: must not throw INVALID_ARRAY_INDEX
+    val got = Similarity.semanticDedupFlags(emb, minCos = 0.95, signDims = 8)
+      .as[(Long, Long, Option[Double], Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L && got(2L)._2 == 3L) // bits 0,1 set only
+    assert(got(3L)._2 == 2L)
+    // blocking still works on the dims that DO exist: (2,3) shares the
+    // block of (1,1) and scores cos ≈ 0.9806 against it → flagged
+    assert(got(2L)._4 == 1 && got(2L)._3.get > 0.98, got(2L))
+    assert(got(3L)._4 == 0) // alone in its block
+  }
+
   test("semanticDedupIvf agrees with the brute-force verdict on clustered vectors") {
     // three tight clusters well inside IVF resolution: every non-lowest
     // member of a cluster must be flagged, every cluster head kept — the

@@ -189,6 +189,18 @@ class PackingSpec extends SparkSpec {
     // non-empty middle
     assert(transformed.exists(t => t._3.split(" ").drop(
       t._3.split(" ").indexOf("<fim_middle>") + 1).nonEmpty))
+    // negative ids: pmod keeps cuts in range — no negative-slice crash,
+    // and the reassembly invariant still holds
+    val neg = graft.ops.Packing.fimTransform(
+        Seq((-5L, "a b c d e f")).toDF("doc_id", "text"), fimRate = 1.0)
+      .as[(Long, Int, String)].collect().head
+    assert(neg._2 == 1)
+    val negToks = neg._3.split(" ").toSeq
+    val np = negToks.indexOf("<fim_prefix>")
+    val ns = negToks.indexOf("<fim_suffix>")
+    val nm = negToks.indexOf("<fim_middle>")
+    assert(negToks.slice(np + 1, ns) ++ negToks.drop(nm + 1) ++
+      negToks.slice(ns + 1, nm) == Seq("a", "b", "c", "d", "e", "f"), neg._3)
   }
 
   test("packedSequences: one trailing partial per partition, never more") {
