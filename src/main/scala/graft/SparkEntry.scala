@@ -227,6 +227,13 @@ object SparkEntry {
           .select(col("doc_id"), col("avg_surprisal")),
         "doc_id", "avg_surprisal", PPL_RATES)),
     "q_surprisal2" -> ((s, d) => TextAnalysis.surprisalScoresBigram(Tables.documents(s, d))),
+    // stupid-backoff bigram LM served from a TRAIN split (even doc_ids):
+    // held-out docs hit unseen bigrams, so the backoff branch really fires
+    "q_surprisal_bo" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.surprisalScoresBackoff(
+        docs.where(col("doc_id") % 2 === 0), docs)
+    }),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -623,6 +630,10 @@ object SparkEntry {
     // (PSM order; cut points are pure id arithmetic, so oracle-replayable)
     "q_fim" -> ((s, d) =>
       Packing.fimTransform(Tables.documents(s, d), fimRate = 0.5)),
+    // length-bucketed batching: 16-way hash-sharded ordinals per bucket
+    "q_len_batches" -> ((s, d) =>
+      Packing.lengthBucketBatches(Tables.documents(s, d),
+        bucketEdges = Seq(16, 32, 64, 128), batchSize = 8)),
     // temperature-flattened domain mixture (alpha = 0.5 over source counts)
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
@@ -650,6 +661,9 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // per-source dataset card (the corpus report broken out by provenance)
+    "q_data_card" -> ((s, d) =>
+      TextAnalysis.dataCard(Tables.documents(s, d))),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -1424,6 +1438,28 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "round(avg(-ln(CAST(cnt2 AS DOUBLE) / cnt1)), 4) AS avg_surprisal2 " +
         "FROM p JOIN c2 USING (prev, word) JOIN c1 USING (prev) GROUP BY doc_id"),
+    // counts from the even-id train half; CASE = seen-pair ratio vs
+    // alpha-scaled unigram backoff, word-OOV bigrams excluded
+    "q_surprisal_bo" ->
+      (s"WITH tr AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 2 = 0), " +
+        "trp AS (SELECT unnest(toks[1:len(toks)-1]) AS prev, " +
+        "unnest(toks[2:len(toks)]) AS word FROM tr WHERE len(toks) >= 2), " +
+        "c2 AS (SELECT prev, word, count(*) AS cnt2 FROM trp GROUP BY prev, word), " +
+        "c1 AS (SELECT prev, sum(cnt2) AS cnt1 FROM c2 GROUP BY prev), " +
+        "u AS (SELECT unnest(toks) AS word FROM tr), " +
+        "uw AS (SELECT word, count(*) AS cntw FROM u GROUP BY word), " +
+        "nt AS (SELECT CAST(sum(cntw) AS DOUBLE) AS n_total FROM uw), " +
+        s"al AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "sp AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, " +
+        "unnest(toks[2:len(toks)]) AS word FROM al WHERE len(toks) >= 2), " +
+        "j AS (SELECT sp.doc_id, CASE WHEN c2.cnt2 IS NOT NULL " +
+        "THEN CAST(c2.cnt2 AS DOUBLE) / c1.cnt1 " +
+        "ELSE 0.4 * (CAST(uw.cntw AS DOUBLE) / n_total) END AS s " +
+        "FROM sp LEFT JOIN c2 USING (prev, word) LEFT JOIN c1 USING (prev) " +
+        "LEFT JOIN uw USING (word), nt) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, " +
+        "round(avg(-ln(s)), 4) AS avg_surprisal_bo " +
+        "FROM j WHERE s IS NOT NULL GROUP BY doc_id"),
     "q_lang_id" -> s"WITH $LANGID_CTES SELECT doc_id, pred_lang FROM pred",
     "q_lang_confusion" ->
       (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +
@@ -1757,6 +1793,18 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY abs_start // 128 " +
         "ORDER BY abs_start) - 1 AS INT) AS k, " +
         "CAST(abs_start % 128 AS INT) AS doc_start, doc_id FROM c"),
+    // row_number replay over the same (bucket, shard) partitions and
+    // (hash, id) order
+    "q_len_batches" ->
+      (s"WITH t AS (SELECT doc_id, greatest(len($TOKS), 0) AS n FROM documents), " +
+        "b AS (SELECT doc_id, n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " +
+        "WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 2147483647 END AS bucket, " +
+        "'0' || substring(md5('lb' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM t), " +
+        "r AS (SELECT doc_id, n, bucket, substring(hk, 2, 1) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY bucket, substring(hk, 2, 1) " +
+        "ORDER BY hk, doc_id) - 1 AS INT) AS rk FROM b) " +
+        "SELECT doc_id, CAST(n AS INT) AS n_tokens, bucket, shard, " +
+        "CAST(rk // 8 AS INT) AS batch_idx, CAST(rk % 8 AS INT) AS pos_in_batch FROM r"),
     // the same folded-id cut arithmetic and list slicing; unselected and
     // zero-token docs pass through with their original text
     "q_fim" ->
@@ -1838,6 +1886,17 @@ object SparkEntry {
         "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
+    "q_data_card" ->
+      (s"WITH t AS (SELECT source, lang, n_chars, $TOKS AS toks, " +
+        s"${fpSql(TOKS)} AS fp FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens, " +
+        "round(avg(len(toks)), 4) AS avg_doc_tokens, " +
+        "CASE WHEN count(*) > 0 THEN round(1.0 - " +
+        "CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) ELSE 0.0 END AS exact_dup_frac, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "round(avg(n_chars), 4) AS avg_chars " +
+        "FROM t GROUP BY source"),
     // offsets replay: running (len+1) sum in the same (ts, event_id)
     // order as the render; filter to trainable types after the cursor
     "q_loss_mask" ->

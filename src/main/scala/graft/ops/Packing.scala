@@ -163,6 +163,47 @@ object Packing {
       .toDF("seq_id", "n_tokens", "text", "doc_starts", "doc_ids")
   }
 
+  /** Length-bucketed batch assembly — the dynamic-batching prep step: SFT
+    * and inference batches want same-length-ish documents together (one
+    * 2k-token straggler pads a whole batch of 100-token rows to 2k).
+    * Documents bucket by the smallest `bucketEdges` entry >= their token
+    * count (larger docs → the overflow bucket Int.MaxValue), then batch
+    * ordinals are assigned within (bucket, shard): shard = the leading
+    * hex digit of the salted id hash, so ordering work fans out 16 ways
+    * instead of one global row_number per bucket (the
+    * [[graft.ops.Sampling.deterministicShuffle]] hash-range argument —
+    * add digits as the corpus grows). Order within a shard is (hash, id):
+    * deterministic, decorrelated from corpus order, retry-stable. At most
+    * one underfull batch per (bucket, shard) — the packByTokenBudget
+    * waste bound.
+    *
+    * Returns (idCol, n_tokens, bucket, shard, batch_idx, pos_in_batch);
+    * a batch is globally identified by (bucket, shard, batch_idx).
+    */
+  def lengthBucketBatches(docs: DataFrame, bucketEdges: Seq[Int],
+      batchSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.head > 0, s"bucketEdges must be sorted positive: $bucketEdges")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val n = greatest(size(Core.tokensUni(col(textCol))), lit(0))
+    val bucket = bucketEdges.foldRight(lit(Int.MaxValue)) { (e, acc) =>
+      when(col("n_tokens") <= e, lit(e)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("_hk"), col(idCol))
+    docs
+      .select(col(idCol), n.as("n_tokens"),
+        Sampling.hashKey(col(idCol), "lb").as("_hk"))
+      .select(col(idCol), col("n_tokens"), bucket.as("bucket"),
+        substring(col("_hk"), 2, 1).as("shard"), col("_hk"))
+      .withColumn("_rk", row_number().over(w) - 1)
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("shard"),
+        (col("_rk") / batchSize).cast("int").as("batch_idx"),
+        (col("_rk") % batchSize).cast("int").as("pos_in_batch"))
+  }
+
   /** Fill-in-the-middle transform — the code-LLM data-prep step that
     * teaches infilling: a deterministic `fimRate` hash-fraction of
     * documents has its token stream cut at two points and re-emitted in

@@ -582,9 +582,12 @@ object TextAnalysis {
     * have no bigrams and drop out (inner-join semantics, both engines
     * agree).
     */
-  def surprisalScoresBigram(docs: DataFrame): DataFrame = {
+  /** (doc_id, prev, word) bigram rows — the ONE pair construction
+    * [[surprisalScoresBigram]] and [[surprisalScoresBackoff]] share.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    val pairs = docs
+    docs
       .select(col("doc_id"), t.as("_t"))
       .where(size(col("_t")) >= 2)
       .select(col("doc_id"),
@@ -592,6 +595,10 @@ object TextAnalysis {
           slice(col("_t"), lit(1), size(col("_t")) - 1).as("prev"),
           slice(col("_t"), lit(2), size(col("_t")) - 1).as("word"))).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word"))
+  }
+
+  def surprisalScoresBigram(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
     val c2 = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
     val c1 = c2.groupBy("prev").agg(sum("cnt2").as("cnt1"))
     pairs.join(c2.join(c1, "prev"), Seq("prev", "word"))
@@ -599,6 +606,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("cnt2").cast("double") / col("cnt1"))), 4)
           .as("avg_surprisal2"))
+  }
+
+  /** Stupid-backoff bigram surprisal with a TRAIN/SCORE split — the
+    * serving form of [[surprisalScoresBigram]]: counts are fitted on
+    * `train` and applied to `score`, so held-out documents hit bigrams
+    * the model never saw and the backoff actually fires (self-scoring
+    * makes cnt2 >= 1 by construction, which is why the self-scored
+    * operator needs none). Score per bigram: cnt2/cnt1 when the TRAIN
+    * corpus saw the pair, else alpha * (unigram count / train tokens) —
+    * Brants et al.'s stupid backoff, the standard web-scale LM smoothing
+    * precisely because it needs only the raw count tables. Bigrams whose
+    * WORD is outside the train vocabulary entirely carry no signal and
+    * are excluded; documents with no scorable bigram emit no row.
+    *
+    * Scale shape: the count dictionaries are Heaps-law sized and join
+    * UNHINTED (the round-5/6 broadcast lesson: AQE broadcasts them while
+    * they fit, and at 100 TB they must be allowed to shuffle); the score
+    * side explodes narrow in the scan stage and only (doc, prev, word)
+    * rows reach the joins.
+    */
+  def surprisalScoresBackoff(train: DataFrame, score: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val trainPairs = bigramPairs(train)
+    val c2 = trainPairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
+    val c1 = c2.groupBy("prev").agg(sum("cnt2").as("cnt1"))
+    val uni = train
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cntw"))
+    val nTotal = uni.agg(sum("cntw").cast("double").as("n_total"))
+    val s = when(col("cnt2").isNotNull,
+        col("cnt2").cast("double") / col("cnt1"))
+      .otherwise(lit(alpha) * (col("cntw").cast("double") / col("n_total")))
+    bigramPairs(score)
+      .join(c2, Seq("prev", "word"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(uni, Seq("word"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), s.as("_s"))
+      .where(col("_s").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(-log(col("_s"))), 4).as("avg_surprisal_bo"))
   }
 
   /** DEFLATE compression ratio per document (compressed/raw bytes) — the
@@ -649,6 +698,29 @@ object TextAnalysis {
     * distinct count) and the per-task partial aggregates. No joins, no
     * windows, text never moves.
     */
+  /** Per-source dataset card — [[corpusReport]]'s dashboard broken out by
+    * provenance, the table a data team publishes alongside a corpus
+    * release: per source, document and token counts, mean document
+    * length (tokens and chars), the exact-duplicate fraction, and how
+    * many languages the source spans. Same scale shape as the report:
+    * every signal is a scan-stage expression and only 16-byte
+    * fingerprints plus per-task partials shuffle, now keyed by source.
+    */
+  def dataCard(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        greatest(size(Core.tokensUni(col("text"))), lit(0)).cast("long").as("_n"),
+        fingerprint(col("text")).as("_fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("_n"), lit(0L)).as("n_tokens"),
+        round(avg("_n"), 4).as("avg_doc_tokens"),
+        when(count(lit(1)) > 0,
+          round(lit(1.0) - countDistinct(col("_fp")).cast("double") /
+            count(lit(1)), 4)).otherwise(0.0).as("exact_dup_frac"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+
   def corpusReport(docs: DataFrame,
       keepThreshold: Double = QUALITY_W._6): DataFrame = {
     val t = toks(col("text"))

@@ -203,6 +203,35 @@ class PackingSpec extends SparkSpec {
       negToks.slice(ns + 1, nm) == Seq("a", "b", "c", "d", "e", "f"), neg._3)
   }
 
+  test("lengthBucketBatches: smallest-fitting bucket, bounded batches, stable") {
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until (i % 40 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.lengthBucketBatches(docs, Seq(8, 16, 32), batchSize = 4)
+      .as[(Long, Int, Int, String, Int, Int)].collect()
+    assert(got.length == 60) // exhaustive
+    got.foreach { case (id, n, bucket, _, _, pos) =>
+      // smallest edge >= n; > 32 tokens → overflow bucket
+      val expected = Seq(8, 16, 32).find(n <= _).getOrElse(Int.MaxValue)
+      assert(bucket == expected, (id, n, bucket))
+      assert(pos >= 0 && pos < 4)
+    }
+    // batch ordinals are dense per (bucket, shard): positions 0..k for
+    // every batch, only the LAST batch of a (bucket, shard) underfull
+    got.groupBy(r => (r._3, r._4)).foreach { case ((b, sh), rows) =>
+      val byBatch = rows.groupBy(_._5).toSeq.sortBy(_._1)
+      byBatch.zipWithIndex.foreach { case ((bi, brows), k) =>
+        assert(bi == k, s"batch ids not dense in ($b,$sh)")
+        if (k < byBatch.size - 1) assert(brows.length == 4)
+        assert(brows.map(_._6).sorted.toSeq == (0 until brows.length))
+      }
+    }
+    // deterministic across runs
+    val again = Packing.lengthBucketBatches(docs, Seq(8, 16, 32), batchSize = 4)
+      .as[(Long, Int, Int, String, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("packedSequences: one trailing partial per partition, never more") {
     val docs = (1L to 40L).map(i => (i, s"t${i}a t${i}b t${i}c"))
       .toDF("doc_id", "text") // 120 tokens

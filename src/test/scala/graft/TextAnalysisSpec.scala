@@ -353,4 +353,38 @@ class TextAnalysisSpec extends SparkSpec {
       -1 -> ((1L, 0L)), 0 -> ((1L, 1L)), 1 -> ((2L, 5L)),
       3 -> ((1L, 8L)), 9 -> ((1L, 1023L)), 10 -> ((1L, 1024L))))
   }
+
+  test("surprisalScoresBackoff: seen pairs use cnt2/cnt1, unseen back off") {
+    val train = Seq(
+      (0L, "a b a b a c")).toDF("doc_id", "text")
+    // train counts: bigrams (a,b)x2 (b,a)x2 (a,c)x1 → cnt1(a)=3, cnt1(b)=2
+    // unigrams: a=3, b=2, c=1, N=6
+    val score = Seq(
+      (1L, "a b"),     // seen: s = 2/3
+      (2L, "c b"),     // (c,b) unseen, word b in vocab → s = 0.4 * 2/6
+      (3L, "a zz"))    // word zz out of vocab → excluded → NO row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.surprisalScoresBackoff(train, score)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 1L, BigDecimal(-math.log(2.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), got(1L))
+    assert(got(2L) == ((2L, 1L, BigDecimal(-math.log(0.4 * (2.0 / 6.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), got(2L))
+  }
+
+  test("dataCard: per-source counts, dup fraction, language spread") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web", 13L),
+      (2L, "one two three", "en", "web", 13L),  // exact dup of 1
+      (3L, "vier fünf", "de", "web", 9L),
+      (4L, "solo uno", "es", "books", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.dataCard(docs)
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("web") == (("web", 3L, 8L, 2.6667, 0.3333, 2L, 11.6667)),
+      got("web"))
+    assert(got("books") == (("books", 1L, 2L, 2.0, 0.0, 1L, 8.0)))
+  }
 }
