@@ -762,6 +762,19 @@ object SparkEntry {
         BM25_QUERIES.toDF("query_id", "query"), k = 10)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // lexical hard negatives: per query doc (ids 0-2), top-5 BM25-similar
+    // docs excluding itself and its exact-fingerprint copies — the
+    // retriever-training negative miner over the same standing index
+    "q_lex_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.lexicalHardNegatives(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name),
+        docs.where(col("doc_id") < 3).select("doc_id", "text"),
+        TextAnalysis.fingerprints(docs), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
     // columns only, and the long form skips the array-reassembly shuffle
@@ -2126,6 +2139,39 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, doc_id) AS rank FROM sc) " +
         "SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10"
+    },
+    // the q_bm25_batch scoring replay with query docs as their own query
+    // strings, minus the fingerprint-identical exclusion set, ranked
+    // AFTER exclusion
+    "q_lex_negatives" -> {
+      val qToks = TOKS.replace("lower(text)", "lower(query)")
+      s"WITH q AS (SELECT doc_id AS query_id, text AS query FROM documents WHERE doc_id < 3), " +
+        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+        s"t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        s"f AS (SELECT doc_id, ${fpSql("toks")} AS fp FROM t), " +
+        "qf AS (SELECT q.query_id, f.fp AS qfp FROM q JOIN f ON q.query_id = f.doc_id), " +
+        "excl AS (SELECT qf.query_id, f.doc_id FROM qf JOIN f ON f.fp = qf.qfp), " +
+        "fs AS (SELECT sc.query_id, sc.doc_id, sc.n_terms, sc.score FROM sc " +
+        "LEFT JOIN excl ON sc.query_id = excl.query_id AND sc.doc_id = excl.doc_id " +
+        "WHERE excl.doc_id IS NULL), " +
+        "r AS (SELECT query_id, doc_id, n_terms, score, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM fs) " +
+        "SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 5"
     },
     // element-wise mean via aligned unnest/subscripts; means rounded to 6
     // decimals (cross-engine sum order); long format — one row per

@@ -259,6 +259,48 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Lexical hard negatives for retriever/embedder training: per query
+    * document, the top-`k` BM25-scored OTHER documents that are NOT
+    * exact duplicates of it — high lexical overlap without being the
+    * same content is precisely what contrastive retrieval training wants
+    * as negatives, and exact dups would be false negatives (they ARE the
+    * positive). The whole query document serves as its own query string
+    * (distinct tokens); exclusion removes the query itself and every
+    * fingerprint-identical copy, and happens BEFORE ranking (the
+    * [[Similarity.hardNegatives]] filter-before-rank lesson: a
+    * post-ranking filter silently under-fills k).
+    *
+    * Scale shape: the scoring path is [[bm25TopKAll]]'s — union of query
+    * terms pushed to the bucket-pruned posting scan, query-term pairs
+    * broadcast; the exclusion side is a fingerprint self-join (16-byte
+    * keys, query-count sized on the left) anti-joined against the
+    * candidate set, never the corpus.
+    */
+  def lexicalHardNegatives(index: DataFrame, stats: DataFrame,
+      queryDocs: DataFrame, fps: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"lexicalHardNegatives: k must be positive, got $k")
+    val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
+      explode(array_distinct(Core.tokensUni(col("text")))).as("token"))
+    val terms = qt.select("token").distinct().collect().map(_.getString(0))
+    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
+    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
+      k1, b, Seq("query_id", "doc_id"))
+    val qfp = queryDocs.select(col("doc_id").cast("long").as("query_id"))
+      .join(fps.withColumnRenamed("doc_id", "_qdoc")
+          .withColumnRenamed("fp", "_qfp"),
+        col("query_id") === col("_qdoc"))
+      .select(col("query_id"), col("_qfp"))
+    val excl = qfp
+      .join(fps.withColumnRenamed("fp", "_qfp"), Seq("_qfp"))
+      .select(col("query_id"), col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.join(excl, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Streaming BM25 serving: score a STREAM of queries against the
     * standing index, each micro-batch in one bucket-pruned pass via
     * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static

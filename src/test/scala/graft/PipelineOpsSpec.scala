@@ -419,6 +419,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u9.head._4 == "[user#5] {}".length + 1L, u9.head)
   }
 
+  test("fimTransform and interleaveMedia run unchanged on a live stream " +
+      "(stateless scan-stage ops)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{Multimodal, Packing}
+    val rows = Seq((1L, "a b c d e f g h"), (2L, "i j k"), (3L, "l m n o p"))
+    val assign = Seq((1L, 10L), (3L, 5L)).toDF("doc_id", "media_id")
+    val in = MemoryStream[(Long, String)](93, spark, None)
+    val docs = in.toDS().toDF("doc_id", "text")
+    val fimQ = Packing.fimTransform(docs, fimRate = 0.5)
+      .writeStream.format("memory").queryName("fim_stream")
+      .outputMode("append").start()
+    // interleave's slots side is a static aggregate — stream-static join
+    val ilQ = Multimodal.interleaveMedia(docs, assign)
+      .writeStream.format("memory").queryName("il_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      fimQ.processAllAvailable(); ilQ.processAllAvailable()
+      val batchDf = rows.toDF("doc_id", "text")
+      val fimBatch = Packing.fimTransform(batchDf, fimRate = 0.5)
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+      val fimStream = spark.table("fim_stream")
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+      assert(fimStream == fimBatch)
+      val ilBatch = Multimodal.interleaveMedia(batchDf, assign)
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val ilStream = spark.table("il_stream")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(ilStream == ilBatch)
+    } finally { fimQ.stop(); ilQ.stop() }
+  }
+
   test("chunkTokens and the bloom prefilter run unchanged on a live stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.{BloomJoin, Packing}

@@ -185,4 +185,26 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Int)].collect()
     assert(out.toSet == batch.toSet && out.nonEmpty)
   }
+
+  test("lexicalHardNegatives excludes self and exact dups BEFORE ranking") {
+    import graft.ops.TextAnalysis
+    val corpus = Seq(
+      (1L, "spark streams join fast"),
+      (2L, "spark streams join fast"),     // exact dup of 1 — false negative
+      (3L, "spark streams join slow"),     // high overlap, NOT a dup → wanted
+      (4L, "spark tables"),                // some overlap
+      (5L, "completely unrelated words"))  // no overlap with query 1
+      .toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, "ret_lexneg_test")
+    val stats = Retrieval.corpusStats(corpus, "ret_lexneg_test")
+    val got = Retrieval.lexicalHardNegatives(idx, stats,
+        corpus.where($"doc_id" === 1).select("doc_id", "text"),
+        TextAnalysis.fingerprints(corpus), k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._5).toSeq
+    // neither the query doc nor its exact copy may appear; the top
+    // negative is the near-miss doc 3, and k fills from the REMAINING
+    // candidates (doc 4; doc 5 shares no term so never scores)
+    assert(got.map(_._2) == Seq(3L, 4L), got)
+    assert(got.head._4 > got(1)._4) // doc 3 outranks doc 4
+  }
 }
