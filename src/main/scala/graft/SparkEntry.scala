@@ -450,6 +450,17 @@ object SparkEntry {
       Similarity.ivfTopKAll(assigned, emb.where(col("vec_id") < 100), 10,
         cents, nprobe = 16)
     }),
+    // int8-coarse + exact-rescore ANN over the same index: nprobe = all
+    // cells AND k·refine (2000) ≥ candidates-per-query at the verify/bench
+    // SFs ⇒ the shortlist covers everything and the result is exact — the
+    // oracle regime; the recall/refine trade is measured in the spec
+    "q_ivf_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, assigned) = Similarity.ivfIndex(emb, 16,
+        IndexTables.ident("ivf", d, witness(emb)))
+      Similarity.ivfTopKAllQuantized(assigned,
+        emb.where(col("vec_id") < 100), 10, cents, nprobe = 16, refine = 200)
+    }),
     // hard-negative mining for contrastive training: nearest
     // DIFFERENT-label vectors per anchor, served from the same IVF index
     // (nprobe = all cells ⇒ exact, so DuckDB replays it)
@@ -1564,6 +1575,15 @@ object SparkEntry {
         "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
         "FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10"),
     "q_ivf_topk_multi" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 100), " +
+        "p AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS c, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
+        "FROM e, q WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, c AS cos, rk FROM p WHERE rk <= 10"),
+    // exact under full-coverage shortlist ⇒ the q_ivf_topk_multi replay
+    "q_ivf_quantized" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 100), " +
         "p AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS c, " +

@@ -534,6 +534,57 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** [[ivfTopKAll]] with an int8-quantized COARSE stage — the
+    * memory-bound ANN serving shape: a 100 TB vector store keeps 4×-
+    * smaller int8 codes hot and touches full-precision vectors only to
+    * rescore a per-query shortlist. Candidates from the probed cells are
+    * first ranked by the approximate score `scale · ⟨q, codes⟩` (the
+    * [[quantizeInt8]] reconstruction — within per-element scale/2 of the
+    * true dot), the top `k · refine` survive per query, and only those
+    * join back to the full-precision vectors for the exact rounded-cosine
+    * ranking ivfTopKAll uses. `refine` trades recall for rescore volume:
+    * a candidate whose true rank is within k but whose quantized rank
+    * falls outside k·refine is lost (measured in DedupSimilaritySpec);
+    * refine covering the whole probe set reproduces ivfTopKAll exactly —
+    * the oracle regime, same argument as nprobe = all cells.
+    *
+    * Plan shape: identical to [[ivfTopKAll]] plus one narrow quantize
+    * projection on the index side and one extra (q_id, vec_id)-keyed
+    * shortlist join — the full-precision side is touched shortlist-sized,
+    * never probe-sized.
+    */
+  def ivfTopKAllQuantized(assigned: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val probes = probeCells(unitVecs(queries, "q_id", "q_e"), centroids, nprobe)
+    // int8 codes of the index's unit vectors — at production scale this
+    // projection is a column of the index table written at build time
+    val codes = quantizeInt8(assigned.select(col("vec_id"),
+        col("e").as("embedding")))
+      .select(col("vec_id"), col("scale"), col("q").as("codes"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val shortlist = probes
+      .join(assigned.select(col("vec_id"), col("cell")).join(codes, "vec_id"),
+        Seq("cell"))
+      .where(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("q_e"), col("vec_id"),
+        (col("scale") * dot(col("q_e"), col("codes").cast("array<double>")))
+          .as("approx"))
+      .withColumn("_qrk", row_number().over(wq))
+      .where(col("_qrk") <= k * refine)
+      .select(col("q_id"), col("q_e"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(assigned.select(col("vec_id"), col("e")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("q_e")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** The ONE definition of the per-query cell-probe expansion that
     * [[ivfTopKAll]] and [[hardNegatives]] share: for each row of `q`
     * (which must carry `q_e`), the `nprobe` cells whose centroids score

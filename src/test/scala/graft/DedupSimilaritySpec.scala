@@ -253,6 +253,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._4 == 0) // alone in its block
   }
 
+  test("ivfTopKAllQuantized: exact under full-coverage refine; small refine " +
+      "keeps high recall") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 200L).map { i =>
+      (i, Array.fill(16)((rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, 4)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    val queries = emb.where($"vec_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val exact = rows(Similarity.ivfTopKAll(assigned, queries, 5, cents, nprobe = 4))
+    // refine covering every candidate reproduces the exact ranking
+    val full = rows(Similarity.ivfTopKAllQuantized(assigned, queries, 5, cents,
+      nprobe = 4, refine = 100))
+    assert(full == exact)
+    // a tight shortlist (2k candidates rescored per query) still recalls
+    // nearly everything: int8 reconstruction error is per-element
+    // scale/2, far below typical cosine gaps
+    val tight = rows(Similarity.ivfTopKAllQuantized(assigned, queries, 5, cents,
+      nprobe = 4, refine = 2)).map(r => (r._1, r._2))
+    val exactIds = exact.map(r => (r._1, r._2))
+    val recall = (tight & exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("semanticDedupIvf agrees with the brute-force verdict on clustered vectors") {
     // three tight clusters well inside IVF resolution: every non-lowest
     // member of a cluster must be flagged, every cluster head kept — the
