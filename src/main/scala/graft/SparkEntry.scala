@@ -599,6 +599,26 @@ object SparkEntry {
       Sampling.tokenBudgetMix(Tables.documents(s, d), "source", "doc_id",
         budgets = MIX_BUDGETS, defaultBudget = MIX_DEFAULT_BUDGET,
         prefilterRates = Map.empty, defaultPrefilterRate = MIX_RATE)),
+    // corpus snapshot diff: old = ids < 300, new = ids >= 100 with every
+    // 10th overlapping doc's text modified IN the query (the injected-
+    // fixture convention) — exercises all four statuses
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.corpusDiff(
+        docs.where(col("doc_id") < 300),
+        docs.where(col("doc_id") >= 100).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text")))
+    }),
+    // split-leakage audit: SNM near-dup pairs straddling the 80/10/10
+    // hash-split boundary
+    "q_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakagePairs(Tables.documents(s, d),
+        trainRate = 0.8, validRate = 0.1)),
+    // stride-scheduled mixture order: src0 at double weight, src1 halved
+    "q_interleave_order" -> ((s, d) =>
+      Sampling.interleavedOrder(Tables.documents(s, d), "source", "doc_id",
+        weights = Map("src0" -> 2.0, "src1" -> 0.5))),
     // incremental snapshot dedup: an "incoming crawl" (doc_id >= 200)
     // overlapping the "previous snapshot" (doc_id < 300) — keep incoming
     // docs whose content fingerprint is absent from the snapshot, via the
@@ -1248,6 +1268,43 @@ object SparkEntry {
         "CASE bucket " + V6_PPL_RATES.zipWithIndex.map { case (r, i) =>
           s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
         }.mkString(" ") + " END"),
+    // both sides fingerprinted, full-outer by id; the new side's every
+    // 10th overlapping doc carries the same injected ' rev2' suffix
+    "q_corpus_diff" -> {
+      val newToks = TOKS.replace("lower(text)", "lower(text2)")
+      s"WITH o AS (SELECT doc_id, ${fpSql(TOKS)} AS ofp FROM documents WHERE doc_id < 300), " +
+        "n0 AS (SELECT doc_id, text, CASE WHEN doc_id % 10 = 0 " +
+        "THEN text || ' rev2' ELSE text END AS text2 " +
+        "FROM documents WHERE doc_id >= 100), " +
+        "n AS (SELECT doc_id, CASE WHEN len(" + newToks + ") > 0 " +
+        "THEN md5(array_to_string(" + newToks + ", ' ')) " +
+        "ELSE 'raw:' || md5(text2) END AS nfp FROM n0) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN ofp = nfp THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
+    },
+    // SNM pairs >= 0.9 with both ids' split labels; keep cross-split only
+    "q_split_leakage" ->
+      (s"WITH $SORTED_CTES, " +
+        "prs AS (SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9), " +
+        s"sp AS (SELECT doc_id, CASE WHEN $HASHKEY < '${ops.Sampling.hexThreshold(0.8)}' THEN 'train' " +
+        s"WHEN $HASHKEY < '${ops.Sampling.hexThreshold(0.9)}' THEN 'valid' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT a_id, b_id, jaccard, sa.split AS split_a, sb.split AS split_b " +
+        "FROM prs JOIN sp sa ON prs.a_id = sa.doc_id " +
+        "JOIN sp sb ON prs.b_id = sb.doc_id WHERE sa.split <> sb.split"),
+    // per-source (hash, id) rank; vtime = rank / weight — identical
+    // integer-by-literal division on both engines
+    "q_interleave_order" ->
+      ("WITH r AS (SELECT source, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY '0' || substring(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) " +
+        "AS INT) AS stratum_rank FROM documents) " +
+        "SELECT source, doc_id, stratum_rank, " +
+        "CAST(stratum_rank AS DOUBLE) / (CASE WHEN source = 'src0' THEN 2.0 " +
+        "WHEN source = 'src1' THEN 0.5 ELSE 1.0 END) AS vtime FROM r"),
     "q_span_dedup" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "sp0 AS (SELECT doc_id, toks, " +

@@ -826,6 +826,59 @@ object Dedup {
         coalesce(max("c"), lit(0L)).as("max_line_freq"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: per doc_id,
+    * whether the document was `added` (absent from the old snapshot),
+    * `removed` (absent from the new), `changed` (present in both with a
+    * different content fingerprint), or `unchanged`. Content identity is
+    * [[graft.ops.TextAnalysis.fingerprint]], so formatting-only noise the
+    * tokenizer normalizes away does not read as change.
+    *
+    * Scale shape: both sides reduce to (id, 16-byte fp) in the scan stage;
+    * the full-outer join shuffles fingerprints only, never text.
+    */
+  def corpusDiff(old: DataFrame, fresh: DataFrame): DataFrame = {
+    val o = TextAnalysis.fingerprints(old)
+      .select(col("doc_id"), col("fp").as("_ofp"))
+    val n = TextAnalysis.fingerprints(fresh)
+      .select(col("doc_id"), col("fp").as("_nfp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_ofp").isNull, "added")
+          .when(col("_nfp").isNull, "removed")
+          .when(col("_ofp") === col("_nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Train/valid/test split-leakage check: near-duplicate pairs that
+    * STRADDLE a hash-split boundary — the eval-integrity audit every
+    * split deserves, because a validation document whose near-twin sits
+    * in train inflates the measured score exactly like benchmark
+    * contamination does. Candidates come from [[sortedNeighborPairs]]
+    * (swap in the LSH or winnow pair generators for higher recall — any
+    * (a_id, b_id, jaccard) frame composes); splits from
+    * [[graft.ops.Sampling.hashSplit]] with the same rates the pipeline
+    * uses. Returns the offending pairs with both split labels.
+    *
+    * Scale shape: the pair set is candidate-sized, the split columns are
+    * a scan-stage hash expression joined by id — nothing corpus-sized
+    * shuffles beyond what candidate generation already does.
+    */
+  def splitLeakagePairs(docs: DataFrame, trainRate: Double,
+      validRate: Double, threshold: Double = 0.9): DataFrame = {
+    val pairs = sortedNeighborPairs(docs, threshold = threshold)
+      .where(col("jaccard") >= threshold)
+    val splits = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+      trainRate, validRate)
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("split_a")),
+        Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("split_b")),
+        Seq("b_id"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (normally the
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */

@@ -356,6 +356,44 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Ratio-faithful interleaved training order — stride scheduling over
+    * sources: each stratum's rows get a deterministic in-stratum rank
+    * (hash, id — decorrelated from corpus order), and row k of a stratum
+    * with weight w is assigned virtual time (k+1)/w. Sorting the output
+    * by (vtime, stratum, id) yields a global order whose every PREFIX
+    * holds the strata in weight proportion (a weight-2 source appears
+    * twice as often as a weight-1 source at any cut) — the mixture
+    * SCHEDULE that temperature/domain mixing decides rates for. The sort
+    * itself is left to the consumer: Spark's orderBy is a distributed
+    * range-partitioned sort, whereas materializing a global position
+    * would need a corpus-wide window (the deterministicShuffle
+    * rationale). vtime is exact: an integer rank divided by a literal
+    * weight computes identically everywhere.
+    *
+    * Strata absent from `weights` take `defaultWeight`; weight 0 drops
+    * the stratum. Scale shape: one per-stratum window (hash exchange on
+    * the stratum key) and scan-stage arithmetic — no joins, no global
+    * window. Returns (strataCol, idCol, stratum_rank, vtime).
+    */
+  def interleavedOrder(docs: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "ord"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
+      s"weights must be non-negative: $weights / $defaultWeight")
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(strataCol) === s, lit(wt)).otherwise(acc)
+    }
+    val rk = Window.partitionBy(col(strataCol))
+      .orderBy(col("_hk"), col(idCol))
+    docs.select(col(strataCol), col(idCol),
+        hashKey(col(idCol), salt).as("_hk"), w.as("_w"))
+      .where(col("_w") > 0)
+      .withColumn("stratum_rank", row_number().over(rk))
+      .select(col(strataCol), col(idCol), col("stratum_rank"),
+        (col("stratum_rank").cast("double") / col("_w")).as("vtime"))
+  }
+
   /** Deterministic train/validation/test split: assigns each row a split
     * label by hash position — disjoint, exhaustive, and stable under
     * re-runs (no row ever migrates between splits when data is appended,

@@ -236,6 +236,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 5L))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged by content fingerprint") {
+    val old = Seq(
+      (1L, "stays exactly the same"),
+      (2L, "will be edited later"),
+      (3L, "this one gets deleted"),
+      (4L, "Formatting  ONLY   noise")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "stays exactly the same"),
+      (2L, "will be edited now"),
+      (4L, "formatting only noise"), // tokenizer-normalized ⇒ unchanged
+      (5L, "brand new document")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, fresh)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), got)
+  }
+
+  test("splitLeakagePairs returns exactly the near-dup pairs straddling splits") {
+    // ten 9/10-overlap pairs: every pair is an SNM near-dup at 0.9; which
+    // pairs leak depends on the hash split, so assert against the
+    // independently-computed ground truth
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 20L by 2).flatMap { i =>
+      Seq((i, s"$base tail$i"), (i + 1, s"$base tail$i x"))
+    }.toDF("doc_id", "text")
+    val got = Dedup.splitLeakagePairs(docs, trainRate = 0.5, validRate = 0.25)
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    val splits = graft.ops.Sampling
+      .hashSplit(docs.select("doc_id"), "doc_id", 0.5, 0.25)
+      .as[(Long, String)].collect().toMap
+    val allPairs = Dedup.sortedNeighborPairs(docs, threshold = 0.9)
+      .where($"jaccard" >= 0.9).as[(Long, Long, Double)].collect()
+    val expected = allPairs.collect {
+      case (a, b, j) if splits(a) != splits(b) => (a, b, j, splits(a), splits(b))
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.forall(p => p._4 != p._5))
+    // same-split near-dups are NOT leakage rows
+    assert(allPairs.length > got.size || allPairs.forall(p => splits(p._1) != splits(p._2)))
+  }
+
   test("signBlock degrades (bit 0) when signDims exceeds the dimension, no ANSI throw") {
     val emb = Seq(
       (1L, Array(1.0f, 1.0f)),   // only 2 dims; bits 2..7 must read 0

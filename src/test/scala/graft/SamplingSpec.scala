@@ -241,4 +241,35 @@ class SamplingSpec extends SparkSpec {
       assert(got == expect, s"stream ${got.size} vs batch ${expect.size}")
     } finally q.stop()
   }
+
+  test("interleavedOrder: every prefix of the vtime order holds the weight ratio") {
+    val docs = (0L until 300L).map { i =>
+      (i, if (i % 2 == 0) "heavy" else "light")
+    }.toDF("doc_id", "source")
+    val got = Sampling.interleavedOrder(docs, "source", "doc_id",
+        weights = Map("heavy" -> 2.0, "light" -> 1.0))
+      .as[(String, Long, Int, Double)].collect()
+      .sortBy(r => (r._4, r._1, r._2)).toSeq
+    assert(got.length == 300)
+    // vtime = rank/weight: heavy rows appear ~2x as often in any prefix
+    // while both strata still have supply (heavy's 150 rows exhaust at
+    // vtime 75 = global prefix 225; past that only light remains — the
+    // correct stride-scheduling behavior, not a ratio violation)
+    for (cut <- Seq(30, 90, 150, 210)) {
+      val heavy = got.take(cut).count(_._1 == "heavy")
+      val ratio = heavy.toDouble / (cut - heavy)
+      assert(ratio > 1.6 && ratio < 2.5, s"prefix $cut ratio $ratio")
+    }
+    // weight 0 drops the stratum; absent strata take the default weight
+    val dropped = Sampling.interleavedOrder(docs, "source", "doc_id",
+        weights = Map("light" -> 0.0))
+      .as[(String, Long, Int, Double)].collect()
+    assert(dropped.forall(_._1 == "heavy") && dropped.length == 150)
+    // deterministic across runs
+    val again = Sampling.interleavedOrder(docs, "source", "doc_id",
+        weights = Map("heavy" -> 2.0, "light" -> 1.0))
+      .as[(String, Long, Int, Double)].collect()
+      .sortBy(r => (r._4, r._1, r._2)).toSeq
+    assert(again == got)
+  }
 }
