@@ -1282,7 +1282,8 @@ object SparkEntry {
         "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
         "CASE WHEN o.doc_id IS NULL THEN 'added' " +
         "WHEN n.doc_id IS NULL THEN 'removed' " +
-        "WHEN ofp = nfp THEN 'unchanged' ELSE 'changed' END AS status " +
+        "WHEN ofp IS NOT DISTINCT FROM nfp THEN 'unchanged' " +
+        "ELSE 'changed' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
     },
     // SNM pairs >= 0.9 with both ids' split labels; keep cross-split only

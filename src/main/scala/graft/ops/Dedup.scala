@@ -837,15 +837,21 @@ object Dedup {
     * the full-outer join shuffles fingerprints only, never text.
     */
   def corpusDiff(old: DataFrame, fresh: DataFrame): DataFrame = {
+    // presence is keyed on explicit side markers, NOT on fingerprint
+    // nullability: a NULL-text document fingerprints to NULL (md5(NULL)
+    // propagates), and reading absence off the fp would mislabel such a
+    // row 'added' even when both snapshots contain it
     val o = TextAnalysis.fingerprints(old)
-      .select(col("doc_id"), col("fp").as("_ofp"))
+      .select(col("doc_id"), col("fp").as("_ofp"), lit(true).as("_inOld"))
     val n = TextAnalysis.fingerprints(fresh)
-      .select(col("doc_id"), col("fp").as("_nfp"))
+      .select(col("doc_id"), col("fp").as("_nfp"), lit(true).as("_inNew"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("_ofp").isNull, "added")
-          .when(col("_nfp").isNull, "removed")
-          .when(col("_ofp") === col("_nfp"), "unchanged")
+        when(col("_inOld").isNull, "added")
+          .when(col("_inNew").isNull, "removed")
+          // null-safe compare: two NULL-text rows are the same (absent)
+          // content, not a change
+          .when(col("_ofp") <=> col("_nfp"), "unchanged")
           .otherwise("changed").as("status"))
   }
 
@@ -865,8 +871,8 @@ object Dedup {
     */
   def splitLeakagePairs(docs: DataFrame, trainRate: Double,
       validRate: Double, threshold: Double = 0.9): DataFrame = {
+    // sortedNeighborPairs already applies the >= threshold filter
     val pairs = sortedNeighborPairs(docs, threshold = threshold)
-      .where(col("jaccard") >= threshold)
     val splits = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
       trainRate, validRate)
     pairs

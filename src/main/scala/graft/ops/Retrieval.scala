@@ -244,19 +244,33 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       qidCol: String = "query_id", qCol: String = "query"): DataFrame = {
     require(k > 0, s"bm25TopKAll: k must be positive, got $k")
-    val qt = queryTable.select(col(qidCol),
-      explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
-    val terms = qt.select("token").distinct().collect().map(_.getString(0))
-    // an all-miss/empty batch flows through the normal plan: an empty IN
-    // list filters everything, and the join/window emit zero rows with
-    // the authoritative schema (no hand-maintained empty-schema copy)
-    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
-    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
-      k1, b, Seq(qidCol, idCol))
+    val scored = scoredPerQueryTable(index, stats, queryTable, k1, b,
+      idCol, qidCol, qCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The ONE scored-candidates stage behind [[bm25TopKAll]] and
+    * [[lexicalHardNegatives]]: (qidCol, idCol, n_terms, score) for every
+    * matching (query, document) pair of a query TABLE against the
+    * standing index. The driver-side term collection (only an IN literal
+    * bucket-prunes the posting scan), the empty/all-miss batch behavior
+    * (an empty IN list filters everything and downstream emits zero rows
+    * with the authoritative schema), and the df-from-matched-postings
+    * subtlety live HERE once — callers only differ in how they
+    * filter/rank the result.
+    */
+  private def scoredPerQueryTable(index: DataFrame, stats: DataFrame,
+      queryTable: DataFrame, k1: Double, b: Double, idCol: String,
+      qidCol: String, qCol: String): DataFrame = {
+    val qt = queryTable.select(col(qidCol),
+      explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
+    val terms = qt.select("token").distinct().collect().map(_.getString(0))
+    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
+    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
+      k1, b, Seq(qidCol, idCol))
   }
 
   /** Lexical hard negatives for retriever/embedder training: per query
@@ -280,13 +294,10 @@ object Retrieval {
       queryDocs: DataFrame, fps: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"lexicalHardNegatives: k must be positive, got $k")
-    val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
-      explode(array_distinct(Core.tokensUni(col("text")))).as("token"))
-    val terms = qt.select("token").distinct().collect().map(_.getString(0))
-    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
-    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
-      k1, b, Seq("query_id", "doc_id"))
+    val scored = scoredPerQueryTable(index, stats,
+      queryDocs.select(col("doc_id").cast("long").as("query_id"),
+        col("text").as("query")),
+      k1, b, idCol = "doc_id", qidCol = "query_id", qCol = "query")
     val qfp = queryDocs.select(col("doc_id").cast("long").as("query_id"))
       .join(fps.withColumnRenamed("doc_id", "_qdoc")
           .withColumnRenamed("fp", "_qfp"),

@@ -92,8 +92,9 @@ object Similarity {
     * (reconstructing to the zero vector). PipelineOpsSpec proves top-k
     * neighbor recall survives the round-trip.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val v = asDouble(col("embedding"))
+  def quantizeInt8(emb: DataFrame, embCol: String = "embedding",
+      carry: Seq[String] = Nil): DataFrame = {
+    val v = asDouble(col(embCol))
     // Spark orders NaN above every double, so a NaN element makes `ma`
     // NaN and `ma > 0` alone would take the quantize branch, storing
     // scale NaN and NaN codes. Non-finite max-abs (NaN or ±Inf elements)
@@ -101,14 +102,14 @@ object Similarity {
     val finite = col("ma") > 0 && !isnan(col("ma")) &&
       col("ma") =!= Double.PositiveInfinity
     emb
-      .select(col("vec_id"), v.as("v"),
-        array_max(transform(v, x => abs(x))).as("ma"))
-      .select(col("vec_id"),
-        when(finite, col("ma") / 127.0).otherwise(0.0).as("scale"),
+      .select(col("vec_id") +: carry.map(col) :+ v.as("v") :+
+        array_max(transform(v, x => abs(x))).as("ma"): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        when(finite, col("ma") / 127.0).otherwise(0.0).as("scale") :+
         when(finite,
           transform(col("v"), x =>
             floor(x / (col("ma") / 127.0) + lit(0.5)).cast("int")))
-          .otherwise(transform(col("v"), _ => lit(0))).as("q"))
+          .otherwise(transform(col("v"), _ => lit(0))).as("q"): _*)
   }
 
   /** Element-wise mean of embedding vectors per group — class centroids,
@@ -557,28 +558,35 @@ object Similarity {
       centroids: Array[Array[Double]], nprobe: Int = 4,
       refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     require(refine > 0, s"refine must be positive, got $refine")
-    val probes = probeCells(unitVecs(queries, "q_id", "q_e"), centroids, nprobe)
-    // int8 codes of the index's unit vectors — at production scale this
-    // projection is a column of the index table written at build time
-    val codes = quantizeInt8(assigned.select(col("vec_id"),
-        col("e").as("embedding")))
-      .select(col("vec_id"), col("scale"), col("q").as("codes"))
+    val uq = unitVecs(queries, "q_id", "q_e")
+    val probes = probeCells(uq, centroids, nprobe)
+    // int8 codes of the index's unit vectors in ONE projection over the
+    // assignment (no vec_id self-join, no second index scan) — at
+    // production scale this is a column of the index table written at
+    // build time
+    val codes = quantizeInt8(assigned, embCol = "e", carry = Seq("cell"))
+      .withColumnRenamed("q", "codes")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
-    val shortlist = probes
-      .join(assigned.select(col("vec_id"), col("cell")).join(codes, "vec_id"),
-        Seq("cell"))
+    // q_e is consumed by the approx dot in the join's scan stage and
+    // DROPPED before the shortlist window — the ranking exchange carries
+    // (q_id, vec_id, approx) scalars only, never dim-sized vectors (the
+    // same discipline as ivfTopKAll's cos window)
+    val shortlist = probes.join(codes, Seq("cell"))
       .where(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
-      .select(col("q_id"), col("q_e"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"),
         (col("scale") * dot(col("q_e"), col("codes").cast("array<double>")))
           .as("approx"))
       .withColumn("_qrk", row_number().over(wq))
       .where(col("_qrk") <= k * refine)
-      .select(col("q_id"), col("q_e"), col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    // rescore: full-precision vectors joined shortlist-sized; the query
+    // unit vectors re-join from the query-count-sized frame
     shortlist
       .join(assigned.select(col("vec_id"), col("e")), Seq("vec_id"))
+      .join(uq, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("e"), col("q_e")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))

@@ -560,6 +560,21 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_surprisal"))
   }
 
+  /** (doc_id, prev, word) bigram rows — the ONE pair construction
+    * [[surprisalScoresBigram]] and [[surprisalScoresBackoff]] share.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    docs
+      .select(col("doc_id"), t.as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("_t"), lit(1), size(col("_t")) - 1).as("prev"),
+          slice(col("_t"), lit(2), size(col("_t")) - 1).as("word"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word"))
+  }
+
   /** Bigram surprisal per document: avg −ln p(wᵢ | wᵢ₋₁) under the
     * corpus's own bigram LM, p(w|prev) = C(prev,w) / C(prev,·) with
     * C(prev,·) summed over observed continuations. One step up the
@@ -582,21 +597,6 @@ object TextAnalysis {
     * have no bigrams and drop out (inner-join semantics, both engines
     * agree).
     */
-  /** (doc_id, prev, word) bigram rows — the ONE pair construction
-    * [[surprisalScoresBigram]] and [[surprisalScoresBackoff]] share.
-    */
-  private def bigramPairs(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    docs
-      .select(col("doc_id"), t.as("_t"))
-      .where(size(col("_t")) >= 2)
-      .select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("_t"), lit(1), size(col("_t")) - 1).as("prev"),
-          slice(col("_t"), lit(2), size(col("_t")) - 1).as("word"))).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word"))
-  }
-
   def surprisalScoresBigram(docs: DataFrame): DataFrame = {
     val pairs = bigramPairs(docs)
     val c2 = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
@@ -684,6 +684,30 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Per-source dataset card — [[corpusReport]]'s dashboard broken out by
+    * provenance, the table a data team publishes alongside a corpus
+    * release: per source, document and token counts, mean document
+    * length (tokens and chars), the exact-duplicate fraction, and how
+    * many languages the source spans. Same scale shape as the report:
+    * every signal is a scan-stage expression and only 16-byte
+    * fingerprints plus per-task partials shuffle, now keyed by source.
+    */
+  def dataCard(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        greatest(size(Core.tokensUni(col("text"))), lit(0)).cast("long").as("_n"),
+        fingerprint(col("text")).as("_fp"))
+      .groupBy("source")
+      // no empty-group guards here, unlike corpusReport's GLOBAL
+      // aggregation: a groupBy group holds >= 1 row by construction
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_n").as("n_tokens"),
+        round(avg("_n"), 4).as("avg_doc_tokens"),
+        round(lit(1.0) - countDistinct(col("_fp")).cast("double") /
+          count(lit(1)), 4).as("exact_dup_frac"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+
   /** One-row corpus health report — the dashboard numbers every curation
     * run starts and ends with, computed by COMPOSING the existing
     * scan-stage signals (token counts, [[fingerprint]] exact-dup rate,
@@ -698,29 +722,6 @@ object TextAnalysis {
     * distinct count) and the per-task partial aggregates. No joins, no
     * windows, text never moves.
     */
-  /** Per-source dataset card — [[corpusReport]]'s dashboard broken out by
-    * provenance, the table a data team publishes alongside a corpus
-    * release: per source, document and token counts, mean document
-    * length (tokens and chars), the exact-duplicate fraction, and how
-    * many languages the source spans. Same scale shape as the report:
-    * every signal is a scan-stage expression and only 16-byte
-    * fingerprints plus per-task partials shuffle, now keyed by source.
-    */
-  def dataCard(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("lang"), col("n_chars"),
-        greatest(size(Core.tokensUni(col("text"))), lit(0)).cast("long").as("_n"),
-        fingerprint(col("text")).as("_fp"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum("_n"), lit(0L)).as("n_tokens"),
-        round(avg("_n"), 4).as("avg_doc_tokens"),
-        when(count(lit(1)) > 0,
-          round(lit(1.0) - countDistinct(col("_fp")).cast("double") /
-            count(lit(1)), 4)).otherwise(0.0).as("exact_dup_frac"),
-        countDistinct(col("lang")).as("n_langs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"))
-
   def corpusReport(docs: DataFrame,
       keepThreshold: Double = QUALITY_W._6): DataFrame = {
     val t = toks(col("text"))
