@@ -291,4 +291,67 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("scrubContamination equals a reference span-removal on random corpora") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Core, Decontam}
+    // small vocabulary so eval trigrams really collide with train docs
+    val docGen: Gen[String] = Gen.chooseNum(0, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(12, docGen), Gen.listOfN(3, docGen)) {
+      (trainTexts, evalTexts) =>
+        val train = trainTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val eval = evalTexts.zipWithIndex
+          .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+        val got = Decontam
+          .scrubContamination(train, eval, "doc_id", "text", n = 3)
+          .as[(Long, Long, Long, String)].collect()
+          .map(r => r._1 -> r).toMap
+        // reference: plain Scala span removal over the same tokenization
+        def toks(s: String) = s.split("[^\\p{L}\\p{Nd}]+")
+          .filter(_.nonEmpty).map(_.toLowerCase).toSeq
+        val evalGrams = evalTexts.flatMap(t => toks(t).sliding(3))
+          .filter(_.length == 3).map(_.mkString(" ")).toSet
+        trainTexts.zipWithIndex.forall { case (t, i) =>
+          val ts = toks(t)
+          val starts = ts.sliding(3).zipWithIndex.collect {
+            case (g, p) if g.length == 3 && evalGrams(g.mkString(" ")) => p
+          }.toSeq
+          val covered = starts.flatMap(s => s until s + 3).toSet
+          val expText =
+            if (starts.isEmpty) t
+            else ts.zipWithIndex.collect {
+              case (tok, j) if !covered(j) => tok
+            }.mkString(" ")
+          val (_, nh, nr, txt) = got(i.toLong)
+          nh == starts.length && nr == covered.size.toLong &&
+            (starts.nonEmpty || nr == 0L) && txt == expText
+        }
+    })
+  }
+
+  test("fimTransform reassembles to the original tokens on random docs") {
+    import graft.ops.Packing
+    val docGen: Gen[String] = Gen.chooseNum(0, 15).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("p", "q", "r", "s")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(15, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Packing.fimTransform(df, fimRate = 1.0)
+        .as[(Long, Int, String)].collect()
+      got.forall { case (id, fim, out) =>
+        val orig = texts(id.toInt).split(" ").filter(_.nonEmpty).toSeq
+        if (fim == 0) orig.isEmpty // rate 1.0: only empty docs pass through
+        else {
+          val o = out.split(" ").toSeq
+          val ip = o.indexOf("<fim_prefix>")
+          val is = o.indexOf("<fim_suffix>")
+          val im = o.indexOf("<fim_middle>")
+          ip == 0 && is > ip && im > is &&
+            (o.slice(ip + 1, is) ++ o.drop(im + 1) ++ o.slice(is + 1, im)) == orig
+        }
+      }
+    })
+  }
 }
