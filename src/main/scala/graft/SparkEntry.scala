@@ -695,6 +695,10 @@ object SparkEntry {
     // per-source dataset card (the corpus report broken out by provenance)
     "q_data_card" -> ((s, d) =>
       TextAnalysis.dataCard(Tables.documents(s, d))),
+    // feature-hashed document vectors, long format (the hashing trick —
+    // the model-free text→vector bridge into the similarity stack)
+    "q_hash_embed" -> ((s, d) =>
+      TextAnalysis.hashEmbedLong(Tables.documents(s, d), dim = 64)),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -1977,6 +1981,16 @@ object SparkEntry {
         "|| coalesce(props, ''), " +
         "chr(10) ORDER BY ts, event_id) AS text " +
         "FROM events GROUP BY user_id"),
+    // same md5-prefix bucket/sign arithmetic; values are exact signed
+    // counts, so no rounding is needed
+    "q_hash_embed" ->
+      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+        "b AS (SELECT doc_id, " +
+        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS dim_idx, " +
+        "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END AS sgn FROM h) " +
+        "SELECT doc_id, dim_idx, sum(sgn) AS value FROM b GROUP BY doc_id, dim_idx"),
     "q_data_card" ->
       (s"WITH t AS (SELECT source, lang, n_chars, $TOKS AS toks, " +
         s"${fpSql(TOKS)} AS fp FROM documents) " +

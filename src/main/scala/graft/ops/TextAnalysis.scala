@@ -684,6 +684,53 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Feature-hashing document vectors — the hashing trick (Weinberger et
+    * al.): each token is hashed into one of `dim` buckets with a ±1 sign
+    * from a second hash bit (the sign halves collision bias), and a
+    * document's vector is the signed bucket counts. Model-free,
+    * deterministic, and engine-reproducible — the bridge from the text
+    * side to the vector stack ([[Similarity.semanticDedupFlags]],
+    * IVF/LSH indexing) when no learned embedder is in the loop, and a
+    * classical near-dup signal in its own right (cosine of hashed
+    * vectors estimates token-multiset overlap). Long format (doc_id,
+    * dim_idx, value) — only touched buckets emit rows, values are exact
+    * signed counts (integer-valued doubles, no rounding needed), and
+    * zero-token documents emit nothing.
+    *
+    * Scale shape: explode is scan-stage narrow; the one shuffle is the
+    * (doc, bucket) aggregation with map-side partials. The hash is the
+    * first 8 md5 hex digits (mod dim) with hex digit 9 as the sign —
+    * integer-convertible identically in any engine with md5.
+    */
+  def hashEmbedLong(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      // md5 materialized once (multiply referenced below)
+      .withColumn("_h", md5(col("tok")))
+      .select(col("doc_id"),
+        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("dim_idx"),
+        when(conv(substring(col("_h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          1.0).otherwise(-1.0).as("sgn"))
+      .groupBy("doc_id", "dim_idx")
+      .agg(sum("sgn").as("value"))
+  }
+
+  /** Dense assembly of [[hashEmbedLong]]: (vec_id, embedding ARRAY<FLOAT>)
+    * in the canonical embeddings-table shape, so hashed document vectors
+    * feed the similarity stack unchanged. try_element_at, not element_at:
+    * untouched buckets must read 0.0, not throw under ANSI.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbedLong(docs, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("dim_idx"), col("value")))).as("_m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("_m"), i), lit(0.0)).cast("float"))
+          .as("embedding"))
+
   /** Per-source dataset card — [[corpusReport]]'s dashboard broken out by
     * provenance, the table a data team publishes alongside a corpus
     * release: per source, document and token counts, mean document

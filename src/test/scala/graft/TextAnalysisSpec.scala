@@ -373,6 +373,39 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), got(2L))
   }
 
+  test("hashEmbed: dense/long parity, and hashed vectors drive semantic dedup") {
+    import graft.ops.Similarity
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"), // exact dup of 1
+      (3L, "completely different content entirely here"),
+      (4L, ""))                                       // zero tokens: no vector
+      .toDF("doc_id", "text")
+    val dense = TextAnalysis.hashEmbed(docs, dim = 32)
+      .as[(Long, Seq[Float])].collect().map(r => r._1 -> r._2).toMap
+    assert(dense.keySet == Set(1L, 2L, 3L)) // empty doc emits nothing
+    assert(dense.values.forall(_.length == 32))
+    assert(dense(1L) == dense(2L)) // identical text → identical vector
+    assert(dense(1L) != dense(3L))
+    // dense is exactly the long form scattered into its buckets
+    val long = TextAnalysis.hashEmbedLong(docs, dim = 32)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    dense.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        assert(x.toDouble == long(id).getOrElse(i, 0.0), (id, i))
+      }
+    }
+    // the bridge works end to end: semantic dedup over the hashed vectors
+    // flags the exact dup and keeps the distinct doc
+    val flags = Similarity
+      .semanticDedupFlags(TextAnalysis.hashEmbed(docs, dim = 32),
+        minCos = 0.99, signDims = 4)
+      .as[(Long, Long, Option[Double], Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(flags(1L) == 0 && flags(2L) == 1 && flags(3L) == 0, flags)
+  }
+
   test("dataCard: per-source counts, dup fraction, language spread") {
     val docs = Seq(
       (1L, "one two three", "en", "web", 13L),
