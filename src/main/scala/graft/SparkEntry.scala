@@ -699,6 +699,14 @@ object SparkEntry {
     // the model-free text→vector bridge into the similarity stack)
     "q_hash_embed" -> ((s, d) =>
       TextAnalysis.hashEmbedLong(Tables.documents(s, d), dim = 64)),
+    // END-TO-END text semantic dedup, hash-verified: raw documents →
+    // hashed vectors → sign-blocked SemDeDup decision, every stage
+    // deterministic so the whole chain oracles (99/500 flagged at
+    // sf0.01 — the synthetic corpus's high-overlap docs)
+    "q_semdedup_text" -> ((s, d) =>
+      Similarity.semanticDedupFlags(
+        TextAnalysis.hashEmbed(Tables.documents(s, d), dim = 64),
+        minCos = 0.9, signDims = 6)),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -1991,6 +1999,36 @@ object SparkEntry {
         "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
         "THEN 1.0 ELSE -1.0 END AS sgn FROM h) " +
         "SELECT doc_id, dim_idx, sum(sgn) AS value FROM b GROUP BY doc_id, dim_idx"),
+    // the q_hash_embed buckets densified over a range(64) grid, then the
+    // q_semdedup sign-block/pairwise replay at vec_id = doc_id
+    "q_semdedup_text" ->
+      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+        "bk AS (SELECT doc_id, " +
+        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS di, " +
+        "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
+        "sv AS (SELECT doc_id, di, sum(sgn) AS v FROM bk GROUP BY doc_id, di), " +
+        "ids AS (SELECT DISTINCT doc_id FROM sv), " +
+        "grid AS (SELECT ids.doc_id, r.range AS i FROM ids, range(64) r), " +
+        "dv AS (SELECT g.doc_id, g.i, coalesce(sv.v, 0.0) AS v FROM grid g " +
+        "LEFT JOIN sv ON sv.doc_id = g.doc_id AND sv.di = g.i), " +
+        "e AS (SELECT doc_id AS vec_id, list(v ORDER BY i) AS v FROM dv GROUP BY doc_id), " +
+        "b AS (SELECT vec_id, v, " +
+        "CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + " +
+        "(CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS block " +
+        "FROM e WHERE sqrt(list_dot_product(v, v)) > 0), " +
+        "p AS (SELECT a.vec_id AS a_id, " +
+        "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +
+        "FROM b a JOIN b b2 ON a.block = b2.block AND b2.vec_id < a.vec_id), " +
+        "m AS (SELECT a_id, max(c) AS mx FROM p GROUP BY a_id) " +
+        "SELECT b.vec_id, b.block, m.mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM b LEFT JOIN m ON b.vec_id = m.a_id"),
     "q_data_card" ->
       (s"WITH t AS (SELECT source, lang, n_chars, $TOKS AS toks, " +
         s"${fpSql(TOKS)} AS fp FROM documents) " +
