@@ -700,13 +700,15 @@ object SparkEntry {
     "q_hash_embed" -> ((s, d) =>
       TextAnalysis.hashEmbedLong(Tables.documents(s, d), dim = 64)),
     // END-TO-END text semantic dedup, hash-verified: raw documents →
-    // hashed vectors → sign-blocked SemDeDup decision, every stage
-    // deterministic so the whole chain oracles (99/500 flagged at
-    // sf0.01 — the synthetic corpus's high-overlap docs)
+    // hashed vectors → ARGMAX-blocked SemDeDup decision, every stage
+    // deterministic so the whole chain oracles. Argmax, not sign,
+    // blocking: hashed count vectors are mostly zeros, so sign bits
+    // collapsed ~everything into one mega-block and the query benched
+    // 8.5 s at sf0.1 (the N² trap the blocking exists to avoid)
     "q_semdedup_text" -> ((s, d) =>
-      Similarity.semanticDedupFlags(
+      Similarity.semanticDedupFlagsArgmax(
         TextAnalysis.hashEmbed(Tables.documents(s, d), dim = 64),
-        minCos = 0.9, signDims = 6)),
+        minCos = 0.9)),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -883,6 +885,30 @@ object SparkEntry {
 
   /** v6 recipe bucket rates: keep quintiles 1-3 wholesale, thin 4 and 5. */
   private val V6_PPL_RATES = Seq(1.0, 1.0, 1.0, 0.5, 0.1)
+
+  /** DuckDB mirror of TextAnalysis.hashEmbedLong: the md5-prefix bucket +
+    * sign-digit CTE chain, ending in `sv(doc_id, dim_idx, value)`. ONE
+    * definition for q_hash_embed and q_semdedup_text, so the hashing
+    * scheme cannot drift between the two oracles.
+    */
+  private def hashEmbedCtes(dim: Int): String =
+    s"t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+      "hb AS (SELECT doc_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
+      "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
+      "sv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb " +
+      "GROUP BY doc_id, dim_idx)"
+
+  /** DuckDB mirror of Similarity.signBlock over a 1-based list column:
+    * Σ 2^(i−1) over non-negative components — shared by the q_semdedup
+    * and q_semdedup_text oracles.
+    */
+  private def signBlockSql(v: String, bits: Int): String =
+    (1 to bits)
+      .map(i => s"(CASE WHEN $v[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
 
   /** The full v5/v6 recipe oracle (quality → exact dedup → SNM clusters →
     * decontam → surprisal-quantile stage → span dedup) with the perplexity
@@ -1625,12 +1651,7 @@ object SparkEntry {
     "q_semdedup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "b AS (SELECT vec_id, v, " +
-        "CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) + " +
-        "(CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + " +
-        "(CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) + " +
-        "(CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + " +
-        "(CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS block " +
+        s"CAST(${signBlockSql("v", 6)} AS BIGINT) AS block " +
         "FROM e WHERE sqrt(list_dot_product(v, v)) > 0), " +
         "p AS (SELECT a.vec_id AS a_id, " +
         "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +
@@ -1992,35 +2013,20 @@ object SparkEntry {
     // same md5-prefix bucket/sign arithmetic; values are exact signed
     // counts, so no rounding is needed
     "q_hash_embed" ->
-      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
-        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
-        "b AS (SELECT doc_id, " +
-        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS dim_idx, " +
-        "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
-        "THEN 1.0 ELSE -1.0 END AS sgn FROM h) " +
-        "SELECT doc_id, dim_idx, sum(sgn) AS value FROM b GROUP BY doc_id, dim_idx"),
-    // the q_hash_embed buckets densified over a range(64) grid, then the
+      (s"WITH ${hashEmbedCtes(64)} " +
+        "SELECT doc_id, dim_idx, value FROM sv"),
+    // the q_hash_embed CTEs densified over a range(64) grid, then the
     // q_semdedup sign-block/pairwise replay at vec_id = doc_id
     "q_semdedup_text" ->
-      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
-        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
-        "bk AS (SELECT doc_id, " +
-        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS di, " +
-        "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
-        "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
-        "sv AS (SELECT doc_id, di, sum(sgn) AS v FROM bk GROUP BY doc_id, di), " +
+      (s"WITH ${hashEmbedCtes(64)}, " +
         "ids AS (SELECT DISTINCT doc_id FROM sv), " +
         "grid AS (SELECT ids.doc_id, r.range AS i FROM ids, range(64) r), " +
-        "dv AS (SELECT g.doc_id, g.i, coalesce(sv.v, 0.0) AS v FROM grid g " +
-        "LEFT JOIN sv ON sv.doc_id = g.doc_id AND sv.di = g.i), " +
-        "e AS (SELECT doc_id AS vec_id, list(v ORDER BY i) AS v FROM dv GROUP BY doc_id), " +
+        "dv AS (SELECT g.doc_id, g.i, coalesce(sv.value, 0.0) AS v FROM grid g " +
+        "LEFT JOIN sv ON sv.doc_id = g.doc_id AND sv.dim_idx = g.i), " +
+        "e AS (SELECT doc_id AS vec_id, v, list_transform(v, x -> abs(x)) AS a " +
+        "FROM (SELECT doc_id, list(v ORDER BY i) AS v FROM dv GROUP BY doc_id)), " +
         "b AS (SELECT vec_id, v, " +
-        "CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) + " +
-        "(CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + " +
-        "(CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) + " +
-        "(CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + " +
-        "(CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS block " +
+        "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
         "FROM e WHERE sqrt(list_dot_product(v, v)) > 0), " +
         "p AS (SELECT a.vec_id AS a_id, " +
         "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +

@@ -853,7 +853,14 @@ object Similarity {
     * rounded cosine to any lower-id blockmate, NULL when it has none —
     * and is_dup 0/1).
     */
-  private def dedupFlagsByBlock(base: DataFrame, minCos: Double): DataFrame = {
+  private def dedupFlagsByBlock(base0: DataFrame, minCos: Double): DataFrame = {
+    // base feeds BOTH self-join sides and the output join — without this
+    // persist an expensive upstream (the hashEmbed explode+aggregate
+    // chain in the text variant) recomputes three times per run
+    // (measured: the unpersisted text query cost ~3× its persisted
+    // form). Lineage stays intact (the bm25/perplexityMix persist
+    // contract: callers looping many decisions clearCache between them).
+    val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("block"), col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = base.select(col("block"), col("vec_id").as("b_id"), col("e").as("b_e"))
     val best = l.join(r, Seq("block"))
@@ -913,6 +920,29 @@ object Similarity {
     // drift in the zero-norm handling
     val base = unitVecs(emb, "vec_id", "e")
       .select(col("vec_id"), signBlock(col("e"), signDims).as("block"),
+        col("e"))
+    dedupFlagsByBlock(base, minCos)
+  }
+
+  /** [[semanticDedupFlags]] with ARGMAX blocking — for sparse/count-like
+    * vectors (the [[graft.ops.TextAnalysis.hashEmbed]] family), where
+    * sign bits degenerate: most components of a hashed count vector are
+    * exactly 0, `>= 0` sets their bits, and nearly every document lands
+    * in the same all-ones mega-block whose O(block²) rescoring is ~N²
+    * (measured: the sign-blocked text query benched 8.5 s at sf0.1
+    * against ~1 s for spread blocks). Blocking on the INDEX of the
+    * largest |component| instead spreads documents roughly uniformly
+    * over the dims (the max-abs bucket is where a doc's token hashes
+    * concentrated — near-identical token multisets share it), keeping
+    * Σ block² honest. Same deterministic/oracle-able contract: argmax is
+    * scale-invariant, and ties break to the FIRST index in both engines.
+    */
+  def semanticDedupFlagsArgmax(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
+    val base = unitVecs(emb, "vec_id", "e")
+      // abs array materialized once (referenced by max and position)
+      .withColumn("_a", transform(col("e"), x => abs(x)))
+      .select(col("vec_id"),
+        array_position(col("_a"), array_max(col("_a"))).as("block"),
         col("e"))
     dedupFlagsByBlock(base, minCos)
   }

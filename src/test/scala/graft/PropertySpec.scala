@@ -325,8 +325,7 @@ class PropertySpec extends SparkSpec {
               case (tok, j) if !covered(j) => tok
             }.mkString(" ")
           val (_, nh, nr, txt) = got(i.toLong)
-          nh == starts.length && nr == covered.size.toLong &&
-            (starts.nonEmpty || nr == 0L) && txt == expText
+          nh == starts.length && nr == covered.size.toLong && txt == expText
         }
     })
   }
