@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes straight through instead of being re-logged with
+// an "[info] " prefix: the bench driver tail-parses the process output for
+// Bench's one-line JSON, and a prefixed line is not valid JSON to a
+// line-by-line json.loads scan (BENCH_r07/r08 recorded `parsed: null`
+// even with the whole line inside the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -163,11 +163,14 @@ object Bench {
     // advertise the file only if THIS run wrote it: the path is committed
     // per round, so pointing at it after a failed write (read-only cwd)
     // would silently serve a previous round's numbers as this run's
+    // NonFatal only: an OutOfMemoryError/VM error must surface as a crash,
+    // not silently degrade to fullWritten=false with plausible-looking
+    // stdout aggregates from a half-dead JVM
     val fullWritten =
       try {
         val w = new java.io.PrintWriter(fullPath, "UTF-8")
         try { w.println(fullJson); true } finally w.close()
-      } catch { case _: Throwable => false }
+      } catch { case scala.util.control.NonFatal(_) => false }
 
     // compact stdout line (< ~1.6 KB — must fit the driver's 2000-char
     // output tail whole): aggregates + the baseline-shared per-query set
@@ -189,7 +192,7 @@ object Bench {
     // count EVERYTHING absent from the compact map (non-shared queries and
     // budget drops alike) so n_queries − |queries| always reconciles
     val dropped = results.size - kept.size
-    println(
+    val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${qsJson(kept.toMap, f3)},""" +
       s""""n_queries":${results.size},"queries_omitted":$dropped,""" +
@@ -198,7 +201,12 @@ object Bench {
       s""""baseline_ratio":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(ratio))},""" +
       s""""passes":$passes,"calibration_sec":${f3(median(calib.toSeq))},""" +
       (if (fullWritten) s""""full":"$fullPath",""" else "") +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // re-emit after shutdown so the JSON stays at the very end of the
+    // process output even if Spark's stop() logs anything to stdout —
+    // the driver's tail-parse picks up whichever copy it scans
+    println(line)
   }
 }

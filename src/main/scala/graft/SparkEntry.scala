@@ -310,7 +310,6 @@ object SparkEntry {
     // SinksRichSpec — here the oracle pins file count, row conservation,
     // and zero overlapping key ranges)
     "q_shard_manifest" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dir = "/tmp/graft_shard_manifest/" + d.replaceAll("[^A-Za-z0-9]", "_")
       Sinks.writeRangeClustered(Tables.documents(s, d), dir, nFiles = 4,
         clusterCols = Seq("doc_id"))
@@ -319,10 +318,19 @@ object SparkEntry {
       // crossJoin sides would re-scan + re-hash the written files twice
       // (the q_heavy_hitters lesson)
       val m = Sinks.shardManifest(s, dir, Seq("doc_id")).localCheckpoint()
-      val w = Window.orderBy(col("min_doc_id"))
-      val ov = m.select(col("min_doc_id"),
-          lag(col("max_doc_id"), 1).over(w).as("pmax"))
-        .where(col("pmax").isNotNull && col("min_doc_id") <= col("pmax"))
+      // overlap audit as a range self-join on the nFiles-row frame, not a
+      // lag over Window.orderBy: the unpartitioned window was harmless on
+      // 4 rows but spammed "No Partition Defined" WARNs into every bench
+      // log, indistinguishable from a real single-partition collapse when
+      // auditing. The pairwise interval test is also the STRONGER
+      // invariant (catches a range containing a non-adjacent one, which
+      // adjacent-only lag misses); both count 0 on a correct write.
+      val a = m.select(col("file").as("fa"), col("min_doc_id").as("amin"),
+        col("max_doc_id").as("amax"))
+      val b = m.select(col("file").as("fb"), col("min_doc_id").as("bmin"),
+        col("max_doc_id").as("bmax"))
+      val ov = a.join(b, col("fa") < col("fb") &&
+          col("amin") <= col("bmax") && col("bmin") <= col("amax"))
         .agg(count(lit(1)).as("n_overlaps"))
       m.agg(countDistinct("file").as("n_files"),
           sum("n_rows").as("total_rows"))

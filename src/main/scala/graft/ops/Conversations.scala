@@ -100,6 +100,15 @@ object Conversations {
     * Offsets account for the joining newlines; `k` is the 0-based ordinal
     * among the key's TRAINABLE turns.
     *
+    * OFFSET UNIT: spans are UNICODE CODE POINT offsets (Spark `length`
+    * semantics), not UTF-16 code units — a JVM consumer slicing the
+    * rendered text with `String.substring` misaligns by one per
+    * supplementary-plane character (emoji, rare CJK) preceding the span.
+    * Slice with `text.codePointCount`-aware indexing (or
+    * `offsetByCodePoints`), or guarantee BMP-only props upstream; the
+    * spec's substring-equality assertion holds because the test fixture
+    * is BMP-only.
+    *
     * Scale shape: no per-key collect buffer at all — one hash exchange on
     * the key, then an in-partition running sum over (ts, event_id) order;
     * the filter to trainable turns happens after offsets are fixed (a

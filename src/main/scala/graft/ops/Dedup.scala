@@ -384,21 +384,73 @@ object Dedup {
     * evidence shares phrases but no long run ('short'). The join is
     * full-outer so a long-run pair that falls below `minSharedShort`
     * still surfaces (the winnow guarantee only promises ONE shared
-    * fingerprint per shared run). Cost is two [[winnowPairs]] passes +
-    * a pairs-sized join — same scale shape, fingerprint selection stays
-    * in the scan stage at both resolutions.
+    * fingerprint per shared run). Cost is ONE corpus scan: both
+    * resolutions' fingerprints are selected from one tokenization in the
+    * scan stage, k-tagged, and share one capped postings pipeline and one
+    * pair aggregation — the full-outer join of two independent passes is
+    * replaced by a conditional zero-fill with identical output.
     */
   def winnowPairsMultiK(docs: DataFrame, kShort: Int = 3, kLong: Int = 8,
       w: Int = 4, minSharedShort: Int = 2, minSharedLong: Int = 1,
-      maxDocsPerFp: Int = 64): DataFrame = {
+      maxDocsPerFp: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(kShort >= 1 && kLong > kShort,
       s"winnowPairsMultiK: need 1 <= kShort < kLong, got $kShort/$kLong")
     require(minSharedLong >= 1,
       s"winnowPairsMultiK: minSharedLong must be >= 1, got $minSharedLong")
-    multiKClassify(
-      winnowPairs(docs, kShort, w, minSharedShort, maxDocsPerFp),
-      winnowPairs(docs, kLong, w, minSharedLong, maxDocsPerFp),
-      "a_id", "b_id", minSharedLong)
+    // ONE corpus scan for both resolutions (was: two composed
+    // [[winnowPairs]] passes full-outer-joined — two parquet scans, two
+    // tokenizations, two independent shuffle pipelines; r7→r8 flagged
+    // this query as the one bench regression). Both fingerprint sets are
+    // selected from the same tokenization in the scan stage, k-tagged,
+    // and ride ONE (k, fp)-keyed cap/postings pipeline and ONE pair
+    // aggregation. The conditional zero-fill below reproduces the old
+    // full-outer semantics exactly: a side's count reads 0 unless it
+    // cleared its own threshold (a pair with 1 short + 1 long shared fp
+    // reports n_shared_short = 0, as the two-table join did).
+    // BIND the hash arrays in their own projection before winnowSelect
+    // touches them: winnowSelect's slice lambda references its hash
+    // argument once per window position, and an INLINED winnowHashes
+    // there re-runs the tokenize+ngram+md5 chain per position — the
+    // exact 12× regression commit ef2ff1e fixed for winnowFingerprints
+    // (and this rewrite briefly reintroduced: 31 s vs 2.4 s at sf0.1)
+    val bound = docs.select(col(idCol),
+      winnowHashes(col(textCol), kShort).as("_hs"),
+      winnowHashes(col(textCol), kLong).as("_hl"))
+    // a doc shorter than k tokens has NO k-grams and its winnowSelect
+    // emits [null] (array_min of an empty slice) — the size(_h) > 0
+    // filter of winnowFingerprints, restated per resolution as a null
+    // filter, since kShort may have grams where kLong doesn't
+    val tagged = bound.select(col(idCol), explode(filter(concat(
+        transform(winnowSelect(col("_hs"), w),
+          f => struct(lit(kShort).as("k"), f.as("fp"))),
+        transform(winnowSelect(col("_hl"), w),
+          f => struct(lit(kLong).as("k"), f.as("fp")))),
+        t => t.getField("fp").isNotNull)).as("t"))
+      .select(col(idCol), col("t.k").as("k"), col("t.fp").as("fp"))
+    val lists = tagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("fp")).orderBy(col(idCol))))
+      .where(col("rn") <= maxDocsPerFp)
+      .groupBy("k", "fp")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, lit(maxDocsPerFp)),
+        b => struct(a.as("a_id"), b.as("b_id")))))
+    val cnts = lists
+      .select(col("k"), explode(pairs).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(sum(when(col("k") === kShort, 1L).otherwise(0L)).as("cs"),
+        sum(when(col("k") === kLong, 1L).otherwise(0L)).as("cl"))
+    cnts
+      .where(col("cs") >= minSharedShort || col("cl") >= minSharedLong)
+      .select(col("a_id"), col("b_id"),
+        when(col("cs") >= minSharedShort, col("cs")).otherwise(lit(0L))
+          .as("n_shared_short"),
+        when(col("cl") >= minSharedLong, col("cl")).otherwise(lit(0L))
+          .as("n_shared_long"),
+        when(col("cl") >= minSharedLong, lit("long")).otherwise(lit("short"))
+          .as("match_class"))
   }
 
   /** The ONE full-outer match-class combination [[winnowPairsMultiK]]

@@ -859,7 +859,7 @@ object Similarity {
     // chain in the text variant) recomputes three times per run
     // (measured: the unpersisted text query cost ~3× its persisted
     // form). Lineage stays intact (the bm25/perplexityMix persist
-    // contract: callers looping many decisions clearCache between them).
+    // contract).
     val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("block"), col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = base.select(col("block"), col("vec_id").as("b_id"), col("e").as("b_e"))
@@ -868,11 +868,19 @@ object Similarity {
       .select(col("a_id"), round(dot(col("a_e"), col("b_e")), 4).as("c"))
       .groupBy("a_id")
       .agg(max(col("c")).as("max_lower_cos"))
-    base.select(col("vec_id"), col("block"))
+    val flags = base.select(col("vec_id"), col("block"))
       .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("block"), col("max_lower_cos"),
         (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int")
           .as("is_dup"))
+      // eager localCheckpoint: the decision is (id, block, score, flag) —
+      // id-sized, the Curation convention — so materializing it here lets
+      // the EMBEDDING-sized base cache be released deterministically below
+      // instead of pinning a new MEMORY_AND_DISK plan per semanticDedup*
+      // call until the caller remembers clearCache (round-8 advice)
+      .localCheckpoint()
+    base.unpersist()
+    flags
   }
 
   /** Sign-bit block id: bit i set iff component i of the embedding is

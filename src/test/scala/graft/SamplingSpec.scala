@@ -242,6 +242,47 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perplexityBuckets: UNROUNDED doubles — exact buckets, no unpartitioned window") {
+    // the round-8 latent hazard: a raw (unrounded) double score makes the
+    // distinct-score dictionary corpus-sized, and the old single
+    // Window.orderBy prefix sum would move it all to ONE partition. The
+    // sketch-partitioned form must produce the exact same buckets with no
+    // unpartitioned Window anywhere in the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val rng = new scala.util.Random(907)
+    val scores = (1L to 20000L).map(i => (i, rng.nextDouble() * 40.0 - 10.0))
+    val n = 5
+    val got = Sampling.perplexityBuckets(scores.toDF("doc_id", "s"), "s", n)
+    val naked = got.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(naked.isEmpty, s"unpartitioned Window in plan:\n$naked")
+    // exact reference: per distinct score, bucket from the strictly-below
+    // running count — floor(strict·n/N)+1
+    val dict = scores.map(_._2).groupBy(identity).toSeq
+      .map { case (s, g) => (s, g.size.toLong) }.sortBy(_._1)
+    val nAll = dict.map(_._2).sum.toDouble
+    var below = 0L
+    val want = dict.map { case (s, c) =>
+      val b = math.floor(below * n / nAll).toInt + 1
+      below += c
+      s -> b
+    }.toMap
+    val gotMap = got.as[(Double, Int)].collect().toMap
+    assert(gotMap.size == want.size, s"${gotMap.size} vs ${want.size}")
+    assert(gotMap == want)
+  }
+
+  test("perplexityBuckets: non-numeric scores take the guarded ordinal path") {
+    // strings have no percentile sketch: the single-partition fallback
+    // still runs (with its cardinality guard) and buckets correctly
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "ab"), (4L, "zz"))
+      .toDF("doc_id", "s")
+    val got = Sampling.perplexityBuckets(df, "s", 2)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("aa" -> 1, "ab" -> 1, "zz" -> 2))
+  }
+
   test("interleavedOrder: every prefix of the vtime order holds the weight ratio") {
     val docs = (0L until 300L).map { i =>
       (i, if (i % 2 == 0) "heavy" else "light")
