@@ -717,6 +717,26 @@ object SparkEntry {
       Similarity.semanticDedupFlagsArgmax(
         TextAnalysis.hashEmbed(Tables.documents(s, d), dim = 64),
         minCos = 0.9)),
+    // INCREMENTAL text semdedup: the base corpus is a standing
+    // argmax-block index (built once, bucketed by block); the day's
+    // increment probes it and gets batch-identical verdicts — the oracle
+    // is the full q_semdedup_text replay filtered to the increment rows,
+    // so any drift between apply and batch decision hash-fails
+    "q_semdedup_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val idx = TextAnalysis.semanticDedupTextIndex(s, base,
+        IndexTables.ident("semtext", d, witness(base)))
+      TextAnalysis.semanticDedupTextApply(
+        docs.where(col("doc_id") % 10 >= 8), idx, minCos = 0.9)
+    }),
+    // blocking-degeneracy telemetry for the text-dedup blocking: the
+    // Σblock²/N² a dedup decision WOULD pay, measured by aggregation
+    // alone before any pair is formed (the all-ones sign-block trap,
+    // caught for the price of one groupBy)
+    "q_block_report" -> ((s, d) =>
+      Similarity.blockOccupancy(Similarity.argmaxBlocked(
+        TextAnalysis.hashEmbed(Tables.documents(s, d), dim = 64)))),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -908,6 +928,39 @@ object SparkEntry {
       "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
       "sv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb " +
       "GROUP BY doc_id, dim_idx)"
+
+  /** The [[hashEmbedCtes]] chain densified over a range(dim) grid and
+    * argmax-blocked — DuckDB mirror of
+    * `Similarity.argmaxBlocked(TextAnalysis.hashEmbed(…))`, ending in
+    * `b(vec_id, v, block)` over non-zero-norm vectors. ONE definition
+    * feeding the q_semdedup_text / q_semdedup_incr / q_block_report
+    * oracles, so blocking semantics cannot drift between them.
+    */
+  private def argmaxBlockedCtes(dim: Int): String =
+    s"${hashEmbedCtes(dim)}, " +
+      "ids AS (SELECT DISTINCT doc_id FROM sv), " +
+      s"grid AS (SELECT ids.doc_id, r.range AS i FROM ids, range($dim) r), " +
+      "dv AS (SELECT g.doc_id, g.i, coalesce(sv.value, 0.0) AS v FROM grid g " +
+      "LEFT JOIN sv ON sv.doc_id = g.doc_id AND sv.dim_idx = g.i), " +
+      "e AS (SELECT doc_id AS vec_id, v, list_transform(v, x -> abs(x)) AS a " +
+      "FROM (SELECT doc_id, list(v ORDER BY i) AS v FROM dv GROUP BY doc_id)), " +
+      "b AS (SELECT vec_id, v, " +
+      "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
+      "FROM e WHERE sqrt(list_dot_product(v, v)) > 0)"
+
+  /** The full text-SemDeDup decision replay over [[argmaxBlockedCtes]],
+    * with an optional trailing row filter (the incremental oracle is the
+    * batch decision restricted to the increment's rows).
+    */
+  private def semdedupTextSql(rowFilter: String): String =
+    s"WITH ${argmaxBlockedCtes(64)}, " +
+      "p AS (SELECT a.vec_id AS a_id, " +
+      "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +
+      "FROM b a JOIN b b2 ON a.block = b2.block AND b2.vec_id < a.vec_id), " +
+      "m AS (SELECT a_id, max(c) AS mx FROM p GROUP BY a_id) " +
+      "SELECT b.vec_id, b.block, m.mx AS max_lower_cos, " +
+      "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+      s"FROM b LEFT JOIN m ON b.vec_id = m.a_id$rowFilter"
 
   /** DuckDB mirror of Similarity.signBlock over a 1-based list column:
     * Σ 2^(i−1) over non-negative components — shared by the q_semdedup
@@ -2025,24 +2078,23 @@ object SparkEntry {
         "SELECT doc_id, dim_idx, value FROM sv"),
     // the q_hash_embed CTEs densified over a range(64) grid, then the
     // q_semdedup sign-block/pairwise replay at vec_id = doc_id
-    "q_semdedup_text" ->
-      (s"WITH ${hashEmbedCtes(64)}, " +
-        "ids AS (SELECT DISTINCT doc_id FROM sv), " +
-        "grid AS (SELECT ids.doc_id, r.range AS i FROM ids, range(64) r), " +
-        "dv AS (SELECT g.doc_id, g.i, coalesce(sv.value, 0.0) AS v FROM grid g " +
-        "LEFT JOIN sv ON sv.doc_id = g.doc_id AND sv.dim_idx = g.i), " +
-        "e AS (SELECT doc_id AS vec_id, v, list_transform(v, x -> abs(x)) AS a " +
-        "FROM (SELECT doc_id, list(v ORDER BY i) AS v FROM dv GROUP BY doc_id)), " +
-        "b AS (SELECT vec_id, v, " +
-        "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
-        "FROM e WHERE sqrt(list_dot_product(v, v)) > 0), " +
-        "p AS (SELECT a.vec_id AS a_id, " +
-        "round(list_cosine_similarity(a.v, b2.v), 4) AS c " +
-        "FROM b a JOIN b b2 ON a.block = b2.block AND b2.vec_id < a.vec_id), " +
-        "m AS (SELECT a_id, max(c) AS mx FROM p GROUP BY a_id) " +
-        "SELECT b.vec_id, b.block, m.mx AS max_lower_cos, " +
-        "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_dup " +
-        "FROM b LEFT JOIN m ON b.vec_id = m.a_id"),
+    "q_semdedup_text" -> semdedupTextSql(""),
+    // the SAME full-corpus replay filtered to the increment rows: the
+    // incremental apply's contract is batch-identical verdicts, so its
+    // oracle IS the batch oracle restricted to the rows it decided
+    "q_semdedup_incr" ->
+      semdedupTextSql(" WHERE b.vec_id % 10 >= 8"),
+    // block histogram aggregates over the same argmax-blocked assignment
+    "q_block_report" ->
+      (s"WITH ${argmaxBlockedCtes(64)}, " +
+        "cnt AS (SELECT block, count(*) AS c FROM b GROUP BY block) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(c) AS BIGINT) AS n_vecs, " +
+        "CAST(max(c) AS BIGINT) AS max_block, " +
+        "CAST(sum(c*c) AS BIGINT) AS sum_block_sq, " +
+        "round(CAST(sum(c*c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS nsq_ratio, " +
+        "round(CAST(max(c) AS DOUBLE) * max(c) / CAST(sum(c*c) AS DOUBLE), 4) AS max_share " +
+        "FROM cnt"),
     "q_data_card" ->
       (s"WITH t AS (SELECT source, lang, n_chars, $TOKS AS toks, " +
         s"${fpSql(TOKS)} AS fp FROM documents) " +

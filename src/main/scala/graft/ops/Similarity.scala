@@ -922,15 +922,22 @@ object Similarity {
     * rescored.
     */
   def semanticDedupFlags(emb: DataFrame, minCos: Double = 0.95,
-      signDims: Int = 8): DataFrame = {
-    // unit normalization preserves signs, so the block reads off the
-    // canonical unitVecs projection — one normalization policy, no
-    // drift in the zero-norm handling
-    val base = unitVecs(emb, "vec_id", "e")
+      signDims: Int = 8): DataFrame =
+    dedupFlagsByBlock(signBlocked(emb, signDims), minCos)
+
+  /** The blocked-assignment form behind [[semanticDedupFlags]]:
+    * (vec_id, block, e) with sign-bit blocks over unit vectors. Public
+    * because the assignment is ALSO what a standing dedup index stores
+    * (build once, probe per increment — [[semanticDedupFlagsApply]])
+    * and what [[blockOccupancy]] audits before the O(block²) rescoring
+    * is paid. Unit normalization preserves signs, so the block reads off
+    * the canonical [[unitVecs]] projection — one normalization policy,
+    * no drift in the zero-norm handling.
+    */
+  def signBlocked(emb: DataFrame, signDims: Int): DataFrame =
+    unitVecs(emb, "vec_id", "e")
       .select(col("vec_id"), signBlock(col("e"), signDims).as("block"),
         col("e"))
-    dedupFlagsByBlock(base, minCos)
-  }
 
   /** [[semanticDedupFlags]] with ARGMAX blocking — for sparse/count-like
     * vectors (the [[graft.ops.TextAnalysis.hashEmbed]] family), where
@@ -945,15 +952,163 @@ object Similarity {
     * Σ block² honest. Same deterministic/oracle-able contract: argmax is
     * scale-invariant, and ties break to the FIRST index in both engines.
     */
-  def semanticDedupFlagsArgmax(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
-    val base = unitVecs(emb, "vec_id", "e")
+  def semanticDedupFlagsArgmax(emb: DataFrame, minCos: Double = 0.95): DataFrame =
+    dedupFlagsByBlock(argmaxBlocked(emb), minCos)
+
+  /** The blocked-assignment form behind [[semanticDedupFlagsArgmax]]:
+    * (vec_id, block, e) with the 1-based index of the largest |component|
+    * as the block. Public for the same reasons as [[signBlocked]] — it is
+    * the stored shape of a standing text-dedup index
+    * ([[graft.ops.TextAnalysis.semanticDedupTextIndex]]) and the input
+    * [[blockOccupancy]] audits.
+    */
+  def argmaxBlocked(emb: DataFrame): DataFrame =
+    unitVecs(emb, "vec_id", "e")
       // abs array materialized once (referenced by max and position)
       .withColumn("_a", transform(col("e"), x => abs(x)))
       .select(col("vec_id"),
         array_position(col("_a"), array_max(col("_a"))).as("block"),
         col("e"))
-    dedupFlagsByBlock(base, minCos)
+
+  /** Incremental SemDeDup apply — the probe half of a standing dedup
+    * index. `snapshot` is the already-decided corpus's blocked assignment
+    * (vec_id, block, e) — normally a build-once table bucketed by block
+    * ([[graft.ops.IndexTables.bucketed]]), so the block join rides the
+    * bucketing with no snapshot-side Exchange — and `increment` is the
+    * new batch's assignment under the SAME blocking. Returns the
+    * (vec_id, block, max_lower_cos, is_dup) decision for INCREMENT rows
+    * only, comparing each against every lower-id vector in its block
+    * across snapshot ∪ increment.
+    *
+    * Batch parity is exact and unconditional for the increment rows: the
+    * lower-id comparison set is the same set the full-corpus
+    * [[semanticDedupFlags]]/[[semanticDedupFlagsArgmax]] run would use,
+    * regardless of how ids interleave (IncrementalSemDedupSpec pins this;
+    * q_semdedup_incr oracles it against the batch DuckDB replay filtered
+    * to the increment). The SNAPSHOT's standing verdicts additionally
+    * stay batch-accurate only under append-only id discipline (new ids >
+    * old ids): the keep-lowest local rule then guarantees an increment
+    * can never flip an existing survivor (the [[dedupFlagsByBlock]]
+    * stability contract). Cost per day: Σ_b inc_b·(snap_b + inc_b) — the
+    * increment sweeps only its own blocks, never the whole corpus.
+    */
+  def semanticDedupFlagsApply(snapshot: DataFrame, increment: DataFrame,
+      minCos: Double = 0.95, maxBlock: Int = 1024): DataFrame = {
+    // increment feeds the probe side, the self-join, and the output join
+    // — day-sized, but its upstream (hashEmbed's explode+aggregate in
+    // the text composition) is the expensive part, so persist like
+    // dedupFlagsByBlock's base (and release below)
+    val inc = increment
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = inc.select(col("block"), col("vec_id").as("a_id"),
+      col("e").as("a_e"))
+    def lowerScores(r: DataFrame): DataFrame =
+      l.join(r, Seq("block"))
+        .where(col("b_id") < col("a_id"))
+        .select(col("a_id"), round(dot(col("a_e"), col("b_e")), 4).as("c"))
+    // OCCUPANCY ROUTING (the blockOccupancy telemetry, acted on): a
+    // bucketed probe join puts each block's pair work in ONE bucket
+    // task, and — unlike the batch path's shuffle join — AQE's
+    // skew-join splitter cannot split a bucketed scan. One mega-block
+    // therefore serializes the whole apply (measured at the 50k-doc
+    // stress corpus: 29 s for a 5k increment whose 0.86-max_share block
+    // held 42M of its pairs in one task — slower than re-deciding all
+    // 50k from scratch). So: count per-block occupancy off the index
+    // (an aggregate that itself rides the bucketing), and route blocks
+    // with more than `maxBlock` snapshot rows through a SALTED shuffle
+    // arm — snapshot rows get salt = hash(id) mod ceil(c/maxBlock),
+    // probe rows replicate over the salts, the (block, salt) join
+    // parallelizes the hot block across ceil(c/maxBlock) tasks, and
+    // every (a, b) pair still meets exactly once (b has ONE salt).
+    // Cold blocks — all blocks, in the healthy-blocking common case —
+    // keep the no-Exchange bucket join; the hot arm is added to the
+    // plan only when hot blocks exist.
+    val snapCols = snapshot.select(col("block"),
+      col("vec_id").as("b_id"), col("e").as("b_e"))
+    val hot = snapshot.groupBy("block").agg(count(lit(1)).as("c"))
+      .where(col("c") > maxBlock)
+      .select(col("block"),
+        ceil(col("c").cast("double") / maxBlock).cast("int").as("nsalt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val snapScores =
+      if (hot.isEmpty) lowerScores(snapCols)
+      else {
+        val hotIds = hot.map(_._1)
+        val hotDf = broadcast(snapshot.sparkSession
+          .createDataFrame(hot.toSeq.map(p => Tuple2(p._1, p._2)))
+          .toDF("block", "nsalt"))
+        // literal isin filter, not a join, on the cold arm: a filter
+        // provably preserves the scan's bucketed distribution
+        val cold = lowerScores(
+          snapCols.where(!col("block").isin(hotIds.toSeq: _*)))
+        val hotSnap = snapCols.where(col("block").isin(hotIds.toSeq: _*))
+          .join(hotDf, Seq("block"))
+          .select(col("block"),
+            pmod(xxhash64(col("b_id")), col("nsalt").cast("long")).as("salt"),
+            col("b_id"), col("b_e"))
+          // EXPLICIT repartition on (block, salt): the bucketed scan's
+          // HashPartitioning(block) already SATISFIES a clustered-
+          // distribution requirement on (block, salt) — block is a
+          // subset of the keys — so without this Exchange, Spark would
+          // keep the whole hot block in its one bucket partition and
+          // the salt would parallelize nothing
+          .repartition(col("block"), col("salt"))
+        val hotProbe = l.join(hotDf, Seq("block"))
+          .select(col("block"),
+            explode(sequence(lit(0L), col("nsalt").cast("long") - 1))
+              .as("salt"),
+            col("a_id"), col("a_e"))
+        val hotScores = hotProbe.join(hotSnap, Seq("block", "salt"))
+          .where(col("b_id") < col("a_id"))
+          .select(col("a_id"),
+            round(dot(col("a_e"), col("b_e")), 4).as("c"))
+        cold.unionByName(hotScores)
+      }
+    // TWO joins, not one join against snapshot ∪ increment: a union is a
+    // new plan node with no distribution, so unioning the day's rows into
+    // the snapshot would force a corpus-sized Exchange of exactly the
+    // bucketed table the standing index exists to never reshuffle. Kept
+    // separate, the snapshot probe rides the bucketing (only the
+    // day-sized probe side shuffles to the bucket layout — asserted in
+    // IncrementalSemDedupSpec) and the self-join is increment-sized
+    // (shuffle-planned, so AQE handles ITS skew); the union happens on
+    // (a_id, c) candidate SCORES, then one aggregate.
+    val best = snapScores
+      .unionByName(lowerScores(inc.select(col("block"),
+        col("vec_id").as("b_id"), col("e").as("b_e"))))
+      .groupBy("a_id")
+      .agg(max(col("c")).as("max_lower_cos"))
+    val flags = inc.select(col("vec_id"), col("block"))
+      .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("block"), col("max_lower_cos"),
+        (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int")
+          .as("is_dup"))
+      .localCheckpoint()
+    inc.unpersist()
+    flags
   }
+
+  /** One-row blocking-degeneracy telemetry over a blocked assignment
+    * ([[signBlocked]]/[[argmaxBlocked]]/an IVF cell table): how much
+    * O(block²) rescoring a [[dedupFlagsByBlock]]-family decision WOULD
+    * pay, measured before paying it. `nsq_ratio` = Σblock²/N² is the
+    * fraction of the all-pairs cost the blocking leaves (1.0 = one
+    * mega-block, the q_semdedup_text 8.5 s failure mode this exists to
+    * catch early; 1/N = perfect spread); `max_share` = max_block²/Σblock²
+    * says whether that cost is one hot block or diffuse. Aggregation-only
+    * — one groupBy on the block key, no pair is ever formed.
+    */
+  def blockOccupancy(blocked: DataFrame): DataFrame =
+    blocked.groupBy("block").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_blocks"), sum("c").as("n_vecs"),
+        max("c").as("max_block"),
+        sum(col("c") * col("c")).as("sum_block_sq"))
+      .select(col("n_blocks"), col("n_vecs"), col("max_block"),
+        col("sum_block_sq"),
+        round(col("sum_block_sq").cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs")), 6).as("nsq_ratio"),
+        round(col("max_block").cast("double") * col("max_block") /
+          col("sum_block_sq"), 4).as("max_share"))
 
   /** The filtering form of [[semanticDedupFlags]]: rows of `emb` that
     * survive (zero-norm vectors — no direction, never comparable — are

@@ -731,6 +731,61 @@ object TextAnalysis {
           i => coalesce(try_element_at(col("_m"), i), lit(0.0)).cast("float"))
           .as("embedding"))
 
+  /** Standing index for INCREMENTAL text semantic dedup: the argmax-blocked
+    * unit-vector assignment (vec_id, block, e) of [[hashEmbed]] vectors,
+    * materialized once as a parquet table BUCKETED BY block
+    * ([[IndexTables.bucketed]]). A daily crawl then probes it through
+    * [[semanticDedupTextApply]] instead of re-deciding the whole corpus —
+    * the text-side twin of the embedding stack's snapshot path
+    * ([[Dedup.dedupAgainstSnapshot]] / [[Similarity.ivfAppend]]), which
+    * was the one incremental form the text pipeline lacked (round-8
+    * verdict #6). Encode every data-changing parameter (source dir, dim,
+    * corpus witness) into `name`; grow the table with
+    * [[IndexTables.append]] under append-only id discipline so standing
+    * verdicts stay batch-accurate (see
+    * [[Similarity.semanticDedupFlagsApply]]).
+    */
+  def semanticDedupTextIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, name: String, dim: Int = 64,
+      nBuckets: Int = 16): DataFrame =
+    IndexTables.bucketed(spark, name, nBuckets, Seq("block"), Seq("vec_id"))(
+      Similarity.argmaxBlocked(hashEmbed(docs, dim)))
+
+  /** The probe half: hash-embed and argmax-block the increment under the
+    * index's blocking, then decide each increment document against every
+    * lower-id document in its block across index ∪ increment
+    * ([[Similarity.semanticDedupFlagsApply]]). `dim` must match the
+    * index build. Returns increment-row flags with batch-identical
+    * verdicts (oracled as q_semdedup_incr against the full-corpus DuckDB
+    * replay filtered to the increment).
+    */
+  def semanticDedupTextApply(incDocs: DataFrame, index: DataFrame,
+      dim: Int = 64, minCos: Double = 0.9, maxBlock: Int = 1024): DataFrame =
+    Similarity.semanticDedupFlagsApply(index,
+      Similarity.argmaxBlocked(hashEmbed(incDocs, dim)), minCos, maxBlock)
+
+  /** Streaming twin of [[semanticDedupTextApply]]: a STREAM of documents
+    * is flagged against the standing index, one micro-batch per
+    * [[semanticDedupTextApply]] call — the [[Retrieval.bm25Serve]] /
+    * [[Similarity.annServe]] foreachBatch pattern and the same reasoning
+    * (re-planning per batch lets each batch's block probes reach the
+    * bucketed snapshot scan while the index side never moves). Each
+    * micro-batch gets full incremental semantics — decided against index
+    * ∪ own-batch lower ids — so a crawl replayed as a stream produces the
+    * per-batch apply decisions exactly (IncrementalSemDedupSpec). Note
+    * the index is NOT grown between batches here (serving is read-only);
+    * an ingest pipeline appends accepted batches via
+    * [[IndexTables.append]] on its own cadence. The caller owns
+    * trigger/checkpoint config; `sink` receives each batch's flags.
+    */
+  def semanticDedupTextServe(docStream: DataFrame, index: DataFrame,
+      dim: Int = 64, minCos: Double = 0.9)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(semanticDedupTextApply(batch, index, dim, minCos))
+    }
+
   /** Per-source dataset card — [[corpusReport]]'s dashboard broken out by
     * provenance, the table a data team publishes alongside a corpus
     * release: per source, document and token counts, mean document

@@ -22,16 +22,19 @@ time("50k-hash-embed")(graft.SparkEntry.queries("q_hash_embed")(spark, s).count(
 time("50k-semdedup-text")(graft.SparkEntry.queries("q_semdedup_text")(spark, s).count())
 // argmax block-size distribution at 50k docs: blocks, max block, Σblock²,
 // and the max block's share of Σblock² (how concentrated the self-join is)
-val emb = graft.ops.TextAnalysis.hashEmbed(
-  spark.read.parquet(s + "/documents.parquet"), dim = 64)
-val blocks = emb
-  .withColumn("_a", transform(col("embedding"), x => abs(x)))
-  .select(array_position(col("_a"), array_max(col("_a"))).as("block"))
-  .groupBy("block").count()
-val st = blocks.agg(count(lit(1)).as("n_blocks"), max("count").as("max_block"),
-  sum(col("count") * col("count")).as("sum_sq"),
-  sum("count").as("n_vecs")).head
-val nB = st.getLong(0); val mx = st.getLong(1); val ss = st.getLong(2); val nv = st.getLong(3)
-println(f"BLOCKS n_blocks=$nB max_block=$mx sum_block_sq=$ss n_vecs=$nv " +
-  f"nsq_ratio=${ss.toDouble / (nv.toDouble * nv)}%.5f " +
-  f"max_share=${mx.toDouble * mx / ss}%.3f")
+// — via the blockOccupancy telemetry operator (q_block_report)
+println("BLOCKS:")
+graft.ops.Similarity.blockOccupancy(graft.ops.Similarity.argmaxBlocked(
+  graft.ops.TextAnalysis.hashEmbed(
+    spark.read.parquet(s + "/documents.parquet"), dim = 64))).show(false)
+// the incremental apply at 50k: base = first copy block (original ids),
+// increment = one extra copy (5k docs, each an exact twin of a base doc)
+// NOTE: keep each chain on ONE line — spark-shell -I evaluates a
+// syntactically complete line immediately, so a trailing .where on the
+// next line silently detaches (run b measured a 50k "increment" that way)
+val base9 = spark.read.parquet(s + "/documents.parquet").where(col("doc_id") < 9000000L)
+val inc9 = spark.read.parquet(s + "/documents.parquet").where(col("doc_id") >= 9000000L)
+graft.ops.IndexTables.drop(spark, "graft_stress9_semtext_b16")
+val idx9 = graft.ops.TextAnalysis.semanticDedupTextIndex(spark, base9, "graft_stress9_semtext")
+time("5k-incr-apply-vs-45k-index")(
+  graft.ops.TextAnalysis.semanticDedupTextApply(inc9, idx9).where(col("is_dup") === 1).count())
