@@ -1195,6 +1195,119 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** Shared accumulator for the feature-hashing kernels: one MD5 per token
+    * (thread-local digest, no per-row allocation), bucket = first 8 md5 hex
+    * digits (= first 4 bytes as an unsigned 32-bit int) mod `dim`, sign =
+    * parity of hex digit 9 (high nibble of byte 4) — bit-identical to the
+    * relational `conv(substring(md5(tok),1,8),16,10) % dim` /
+    * `conv(substring(md5(tok),9,1),16,10) % 2` formulation it replaces, so
+    * every DuckDB oracle replay of the hashing scheme still matches.
+    * `touched` distinguishes a bucket whose ±1 signs cancelled to 0.0 (a
+    * real long-format row) from a never-hit bucket (no row).
+    */
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def hashEmbedAccum(toks: ArrayData, dim: Int): (Array[Double], Array[Boolean]) = {
+    val md = md5Pool.get()
+    val vals = new Array[Double](dim)
+    val touched = new Array[Boolean](dim)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        val head = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val idx = (head % dim).toInt
+        val sgn = if (((d(4) >> 4) & 0x1) == 0) 1.0 else -1.0
+        vals(idx) += sgn
+        touched(idx) = true
+      }
+      i += 1
+    }
+    (vals, touched)
+  }
+
+  /** Called from generated code (static forwarder). */
+  def hashEmbedEntriesEval(toks: ArrayData, dim: Int): ArrayData = {
+    val (vals, touched) = hashEmbedAccum(toks, dim)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < dim) {
+      if (touched(i)) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, vals(i)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Called from generated code (static forwarder). */
+  def hashEmbedDenseEval(toks: ArrayData, dim: Int): ArrayData = {
+    val (vals, _) = hashEmbedAccum(toks, dim)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { out(i) = vals(i).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** `hash_embed_entries(toks, dim)` — the feature-hashing trick in one
+    * scan-stage pass: ARRAY<STRING> tokens → ARRAY<STRUCT<dim_idx, value>>
+    * of TOUCHED signed bucket counts. Replaces an explode-every-token +
+    * groupBy(doc, bucket) aggregation (a token-volume shuffle) with a
+    * per-document kernel + explode of a ≤dim-entry array — zero shuffles.
+    */
+  case class HashEmbedEntries(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim must be positive, got $dim")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("dim_idx", IntegerType, nullable = false),
+      StructField("value", DoubleType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"hash_embed_entries requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      hashEmbedEntriesEval(in.asInstanceOf[ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.ArrayKernels.hashEmbedEntriesEval($in, $dim);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `hash_embed_dense(toks, dim)` — dense form: ARRAY<FLOAT> of all `dim`
+    * signed bucket counts (zeros included), the canonical embeddings-table
+    * vector. Replaces the long→map→transform dense assembly (a second
+    * per-document shuffle) with the same single scan-stage pass.
+    */
+  case class HashEmbedDense(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim must be positive, got $dim")
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"hash_embed_dense requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      hashEmbedDenseEval(in.asInstanceOf[ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.ArrayKernels.hashEmbedDenseEval($in, $dim);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -1239,4 +1352,10 @@ object ArrayKernels {
 
   def nfc_normalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+
+  def hash_embed_entries(toks: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashEmbedEntries(GraftSqlBridge.expression(toks), dim))
+
+  def hash_embed_dense(toks: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashEmbedDense(GraftSqlBridge.expression(toks), dim))
 }

@@ -697,39 +697,43 @@ object TextAnalysis {
     * signed counts (integer-valued doubles, no rounding needed), and
     * zero-token documents emit nothing.
     *
-    * Scale shape: explode is scan-stage narrow; the one shuffle is the
-    * (doc, bucket) aggregation with map-side partials. The hash is the
-    * first 8 md5 hex digits (mod dim) with hex digit 9 as the sign —
-    * integer-convertible identically in any engine with md5.
+    * Scale shape: ZERO shuffles — the whole vector is computed per document
+    * in the scan stage by the codegen'd
+    * [[graft.functions.ArrayKernels.HashEmbedEntries]] kernel (one MD5 per
+    * token into a dim-slot accumulator), and the long format is an explode
+    * of the ≤dim touched-bucket entries, not of the token stream. This
+    * replaced an explode-every-token + groupBy(doc, bucket) formulation
+    * whose shuffle volume was the token count (round 9); the hash scheme is
+    * bit-identical (first 8 md5 hex digits mod dim; hex digit 9 parity as
+    * the sign), so DuckDB oracle replays are unchanged. A touched bucket
+    * whose signs cancel to 0.0 still emits its row, exactly as the
+    * aggregation did.
     */
   def hashEmbedLong(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      // md5 materialized once (multiply referenced below)
-      .withColumn("_h", md5(col("tok")))
-      .select(col("doc_id"),
-        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % dim)
-          .cast("int").as("dim_idx"),
-        when(conv(substring(col("_h"), 9, 1), 16, 10).cast("long") % 2 === 0,
-          1.0).otherwise(-1.0).as("sgn"))
-      .groupBy("doc_id", "dim_idx")
-      .agg(sum("sgn").as("value"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.ArrayKernels.hash_embed_entries(
+          toks(col("text")), dim)).as("_e"))
+      .select(col("doc_id"), col("_e.dim_idx").as("dim_idx"),
+        col("_e.value").as("value"))
   }
 
-  /** Dense assembly of [[hashEmbedLong]]: (vec_id, embedding ARRAY<FLOAT>)
-    * in the canonical embeddings-table shape, so hashed document vectors
-    * feed the similarity stack unchanged. try_element_at, not element_at:
-    * untouched buckets must read 0.0, not throw under ANSI.
+  /** Dense assembly: (vec_id, embedding ARRAY<FLOAT>) in the canonical
+    * embeddings-table shape, so hashed document vectors feed the similarity
+    * stack unchanged. Same scan-stage kernel
+    * ([[graft.functions.ArrayKernels.HashEmbedDense]]), zero shuffles; the
+    * size guard keeps the [[hashEmbedLong]] contract that zero-token
+    * documents emit nothing (they must not enter the similarity stack as
+    * all-zero vectors).
     */
-  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
-    hashEmbedLong(docs, dim)
-      .groupBy("doc_id")
-      .agg(map_from_entries(
-        collect_list(struct(col("dim_idx"), col("value")))).as("_m"))
-      .select(col("doc_id").as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(try_element_at(col("_m"), i), lit(0.0)).cast("float"))
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(col("doc_id").as("vec_id"), toks(col("text")).as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col("vec_id"),
+        graft.functions.ArrayKernels.hash_embed_dense(col("_t"), dim)
           .as("embedding"))
+  }
 
   /** Standing index for INCREMENTAL text semantic dedup: the argmax-blocked
     * unit-vector assignment (vec_id, block, e) of [[hashEmbed]] vectors,

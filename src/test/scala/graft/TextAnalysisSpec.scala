@@ -406,6 +406,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flags(1L) == 0 && flags(2L) == 1 && flags(3L) == 0, flags)
   }
 
+  test("hashEmbed kernel matches the relational md5 hashing scheme exactly") {
+    // The codegen kernel (ArrayKernels.HashEmbedEntries) replaced an
+    // explode+groupBy over conv(substring(md5(tok),...)) expressions; the
+    // DuckDB oracles still replay THAT formula, so the kernel is locked
+    // against it here: same buckets, same signs, same cancelled-to-zero
+    // rows, on a fixture wide enough to hit sign cancellation.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez"))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val dim = 8 // small dim forces collisions and ±1 cancellations
+    val kernel = TextAnalysis.hashEmbedLong(docs, dim)
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val legacy = docs
+      .select(col("doc_id"), explode(graft.ops.Core.tokensUni(col("text"))).as("tok"))
+      .withColumn("_h", md5(col("tok")))
+      .select(col("doc_id"),
+        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("dim_idx"),
+        when(conv(substring(col("_h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          1.0).otherwise(-1.0).as("sgn"))
+      .groupBy("doc_id", "dim_idx").agg(sum("sgn").as("value"))
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(kernel == legacy, s"kernel=$kernel legacy=$legacy")
+    assert(kernel.nonEmpty && kernel.exists(_._2 == 0.0),
+      "fixture should produce at least one cancelled-to-zero touched bucket")
+  }
+
   test("dataCard: per-source counts, dup fraction, language spread") {
     val docs = Seq(
       (1L, "one two three", "en", "web", 13L),
