@@ -195,6 +195,9 @@ object SparkEntry {
       TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
+    // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
+    // ids for every distinct word (the id-sequence feed for packing)
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     // one-row corpus health dashboard composing the scan-stage signals
     "q_corpus_report" -> ((s, d) =>
@@ -274,6 +277,10 @@ object SparkEntry {
     // pipeline — and probed by q_dedup_keep instead of re-running
     // candidate generation + clustering.
     "q_dedup_clusters" -> ((s, d) => snmClusters(s, d)),
+    // the MERGE step: one survivor per near-dup cluster by QUALITY
+    // (argmax logit, tie -> lowest id), singletons keep themselves
+    "q_dedup_merge" -> ((s, d) =>
+      Dedup.canonicalPerCluster(Tables.documents(s, d), snmClusters(s, d))),
     // C4-style cleaning pipeline: quality filters → exact dedup → report
     "q_clean_corpus" -> ((s, d) =>
       Curation.cleanCorpusStats(Tables.documents(s, d))),
@@ -292,6 +299,12 @@ object SparkEntry {
     // reconstruct each document's surviving text
     "q_span_dedup" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d), spanTokens = 20)),
+    // EXACT duplicated-substring removal at 8-gram resolution (Lee et al.
+    // 2107.06499, relational form): first occurrence of every >=8-token
+    // shared run survives, every later copy is scrubbed in place —
+    // alignment-free, unlike the fixed-grid q_span_dedup
+    "q_substring_scrub" -> ((s, d) =>
+      Dedup.substringScrub(Tables.documents(s, d), k = 8)),
     // the full dedup decision: clusters → keep lowest id per cluster +
     // all unpaired docs; per-language survivor counts
     "q_dedup_keep" -> ((s, d) =>
@@ -364,6 +377,11 @@ object SparkEntry {
       Tables.events(s, d).groupBy("event_type").agg(
         round(expr("percentile(value, 0.5)"), 4).as("median"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+    // key-skew profile for a prospective shuffle key: hottest keys +
+    // exact group-size percentiles, measured BEFORE a join/groupBy
+    // commits to plain-hash vs salted vs broadcast
+    "q_skew_report" -> ((s, d) =>
+      Partitioning.keySkewReport(Tables.events(s, d), "user_id")),
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1244,6 +1262,36 @@ object SparkEntry {
         "reach(id, lbl) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id"),
+    // cluster labels (the q_dedup_clusters recursion) + singleton
+    // fallback, survivor = argmax quality logit (the q_pref_pairs z), tie
+    // to lowest doc_id
+    "q_dedup_merge" -> {
+      val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
+      s"WITH RECURSIVE $SORTED_CTES, " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "UNION SELECT b_id, a_id FROM prs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id), " +
+        s"t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "f AS (SELECT doc_id, len(toks) AS n, " +
+        "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+        "greatest(len(toks), 1) AS avg_len, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+        "greatest(len(toks), 1) AS stop_r, " +
+        s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+        "greatest(length(text), 1) AS non_al FROM t), " +
+        s"z AS (SELECT doc_id, ($bias) + ($wLog) * ln(1 + n) + " +
+        s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+        "m AS (SELECT z.doc_id, coalesce(cl.cluster_id, z.doc_id) AS cluster_id, z.z " +
+        "FROM z LEFT JOIN cl USING (doc_id)), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY z DESC, doc_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM m) " +
+        "SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members, " +
+        "doc_id AS keep_id, round(z, 4) AS keep_z FROM rk WHERE rn = 1"
+    },
     "q_clean_corpus" ->
       (s"WITH passed AS (SELECT doc_id, lang, source, text FROM " +
         s"(SELECT *, $TOKS AS toks FROM documents) " +
@@ -1419,6 +1467,34 @@ object SparkEntry {
         "SELECT t.doc_id, CAST(ceil(len(t.toks) / 20.0) AS INT) AS n_spans, " +
         "coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text, '') AS text " +
         "FROM t LEFT JOIN k USING (doc_id)"),
+    // exact k-gram substring scrub: ownership rn=1 per gram hash, covered
+    // positions fused gaps-and-islands (break when pos > prev + k), kept
+    // token indices = those outside every span
+    "q_substring_scrub" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "g AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
+        "substring(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS h FROM gi), " +
+        "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g) " +
+        "WHERE rn > 1), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
+        "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk FROM d " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "gr AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM b), " +
+        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
+        "FROM gr GROUP BY doc_id, grp), " +
+        "ti AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t), " +
+        "kept AS (SELECT ti.doc_id, CAST(ti.i AS INT) AS i, toks[i+1] AS tok " +
+        "FROM ti WHERE NOT EXISTS (SELECT 1 FROM sp " +
+        "WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e)), " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
+        "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
+        "FROM t LEFT JOIN ag USING (doc_id)"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
@@ -1499,6 +1575,21 @@ object SparkEntry {
         "SELECT lang, total_exact, total_proxy, " +
         "round(CAST(total_exact AS DOUBLE) / total_proxy, 4) AS drift " +
         "FROM exact JOIN proxy USING (lang)"),
+    // greedy longest-match segmentation as a recursion tracking the piece
+    // (the q_bpe_exact recursion, carrying substring(word, pos, L));
+    // seed row idx=-1 is the pre-first-piece state and is filtered out
+    "q_bpe_encode" ->
+      (s"WITH RECURSIVE words AS (SELECT DISTINCT unnest($TOKS) AS word FROM documents), " +
+        "seg(word, pos, idx, piece) AS (" +
+        "SELECT word, 1, -1, CAST(NULL AS VARCHAR) FROM words " +
+        "UNION ALL SELECT word, pos + L, idx + 1, substring(word, pos, L) " +
+        "FROM (SELECT word, pos, idx, coalesce(list_max(list_transform(" +
+        s"${ops.TextAnalysis.bpeVocabSql}, " +
+        "v -> CASE WHEN substring(word, pos, length(v)) = v THEN length(v) END)), 1) AS L " +
+        "FROM seg WHERE pos <= length(word))) " +
+        "SELECT word, CAST(idx AS INT) AS seg_idx, piece, " +
+        s"CAST(coalesce(list_position(${ops.TextAnalysis.bpeVocabSql}, piece), 0) AS INT) AS piece_id " +
+        "FROM seg WHERE idx >= 0"),
     "q_quality" ->
       (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents) " +
         "SELECT doc_id, len(toks) AS n_tokens, " +
@@ -1666,6 +1757,16 @@ object SparkEntry {
     "q_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median, " +
         "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"),
+    "q_skew_report" ->
+      ("WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt " +
+        "FROM events GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys, " +
+        "round(quantile_cont(cnt, 0.5), 4) AS p50_cnt, " +
+        "round(quantile_cont(cnt, 0.99), 4) AS p99_cnt FROM c), " +
+        "t AS (SELECT key, cnt, CAST(row_number() OVER " +
+        "(ORDER BY cnt DESC, key) AS INT) AS rank FROM c) " +
+        "SELECT rank, key, cnt, round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share, " +
+        "n_rows, n_keys, p50_cnt, p99_cnt FROM t, s WHERE rank <= 10"),
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS total, " +
         "count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),

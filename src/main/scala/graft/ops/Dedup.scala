@@ -800,6 +800,103 @@ object Dedup {
           i => array_join(slice(t, i * k + 1, lit(k)), " ")), " ").as("text"): _*)
   }
 
+  /** Canonical-document selection: one survivor per near-dup cluster,
+    * chosen by QUALITY (argmax [[TextAnalysis.qualityLogit]], ties to the
+    * lowest doc_id), not by lowest id — the merge step of a dedup
+    * pipeline where "first crawled" is the wrong keep rule (the canonical
+    * copy of a boilerplate-wrapped article is the cleanest one, not the
+    * earliest one). `clusters` is a (doc_id, cluster_id) assignment
+    * ([[nearDupClusters]] output); unassigned documents are their own
+    * singleton cluster. Returns (cluster_id, n_members, keep_id, keep_z).
+    *
+    * Scale shape: quality is a scan-stage expression; the left join
+    * attaches cluster labels (cluster tables are pair-participants only —
+    * usually ≪ corpus); the argmax is ONE groupBy carrying an 8-byte
+    * struct, the [[exactDedup]] shuffle shape. The struct-max trick
+    * (max of (z, -doc_id)) keeps the tie rule inside the aggregate —
+    * no window, no second pass.
+    */
+  def canonicalPerCluster(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val z = docs.select(col("doc_id"),
+      TextAnalysis.qualityLogit(col("text")).as("z"))
+    z.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("z"), (-col("doc_id")).as("nid"))).as("_b"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("_b.nid")).as("keep_id"),
+        round(col("_b.z"), 4).as("keep_z"))
+  }
+
+  /** EXACT duplicated-substring scrub at k-gram resolution — the
+    * suffix-array-style dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (arXiv:2107.06499), re-expressed
+    * relationally: any token inside a ≥k-token run whose content also
+    * occurs earlier in the corpus (lower (doc_id, pos), intra-document
+    * repeats included) is removed; the FIRST occurrence of every run
+    * survives verbatim. Complements [[spanDedup]] (fixed 20-token grid —
+    * misses shifted copies) and [[winnowPairs]] (shift-invariant but
+    * DETECTS pairs, doesn't rewrite): this one rewrites, at exact k-gram
+    * alignment-free resolution. Every k-gram of every document is hashed
+    * (16-char md5 prefix, the winnow convention — engine-reproducible);
+    * non-first occurrences mark their k token positions covered; covered
+    * positions merge into maximal removal spans (gaps-and-islands — the
+    * q_window_session idiom); surviving tokens rebuild the text in place.
+    *
+    * Scale shape: the gram-hash ownership shuffle is token-volume — the
+    * honest, unavoidable cost of EXACT substring dedup (the same volume
+    * C4's line dedup or a word count moves; Lee et al. pay a suffix-array
+    * sort of the whole corpus for the character-resolution version).
+    * Everything after is smaller: duplicated positions (≤ token volume,
+    * usually ≪), spans (runs collapse to one row each), and a doc-keyed
+    * join of span LISTS back to the corpus — token indices are filtered
+    * against the per-doc span list in the scan stage, so document text
+    * shuffles zero times. Returns every input document: (doc_id,
+    * [carry...], n_tokens, n_kept, text), text "" when fully duplicated.
+    */
+  def substringScrub(docs: DataFrame, k: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"substringScrub: k=$k must be >= 2")
+    val grams = docs
+      .select(col("doc_id"), Core.tokensUni(col("text")).as("_t"))
+      .select(col("doc_id"), posexplode(transform(
+        graft.functions.ArrayKernels.token_ngrams(col("_t"), k,
+          distinct = false),
+        g => substring(md5(g), 1, 16))).as(Seq("pos", "h")))
+    // corpus-wide first occurrence per gram hash owns it; every other
+    // occurrence covers its k token positions
+    val dupPos = grams
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("_rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    // merge covered positions into maximal spans: gram at pos covers
+    // [pos, pos+k-1], so consecutive dup positions ≤ k apart fuse
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("_brk",
+        when(col("pos") > lag(col("pos"), 1).over(wd) + k, 1)
+          .when(lag(col("pos"), 1).over(wd).isNull, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_brk")).over(wd))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+    val spanLists = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_sp"))
+    val noSpans = array().cast("array<struct<s:int,e:int>>")
+    docs.join(spanLists, Seq("doc_id"), "left")
+      .select(col("doc_id") +: carry.map(col) :+
+        Core.tokensUni(col("text")).as("_t") :+
+        coalesce(col("_sp"), noSpans).as("_sp"): _*)
+      .withColumn("_kept", filter(col("_t"), (_, i) =>
+        !exists(col("_sp"),
+          sp => i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col("doc_id") +: carry.map(col) :+
+        size(col("_t")).as("n_tokens") :+
+        size(col("_kept")).as("n_kept") :+
+        array_join(col("_kept"), " ").as("text"): _*)
+  }
+
   /** The ONE definition of the line algebra [[lineDedup]] and
     * [[lineStats]] share (split on \r?\n; null text → zero lines, since
     * split(null) is null and size() of it would read -1 instead of the

@@ -76,4 +76,41 @@ object Partitioning {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew profile for a prospective shuffle key — the measurement that
+    * decides BETWEEN the tools above (plain hash join vs [[saltedJoin]] vs
+    * broadcast) BEFORE a 100 TB shuffle pays for the wrong choice, the
+    * same run-the-telemetry-first doctrine as
+    * [[graft.ops.Similarity.blockOccupancy]]. Top `topN` hottest keys,
+    * each row carrying the global frame: total rows, distinct keys, the
+    * key's share of all rows, and exact p50/p99 group sizes (exact
+    * `percentile` — the aggregate runs on the counts frame, one row per
+    * key, not on the data). One token-free shuffle: groupBy(key) moves
+    * (key, partial-count) pairs; the stats aggregate and top-N are
+    * counts-sized.
+    *
+    * Reading it: `max share ≈ 1/n_keys` → uniform, shuffle freely;
+    * `share(top1) ≫ p99/n_rows` → salt that key or broadcast the other
+    * side; `n_keys` small and `n_rows/n_keys` huge → the key is not a
+    * partitioning key at all.
+    */
+  def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key).cast("string").as("key")).agg(
+      count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+      round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+    // top-N via orderBy+limit (distributed TakeOrderedAndProject), THEN
+    // rank the <= topN survivors — ranking the full counts frame with an
+    // unpartitioned row_number window would single-partition-sort every
+    // distinct key (billions at 100 TB)
+    counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("key"))))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt") / col("n_rows"), 6).as("share"),
+        col("n_rows"), col("n_keys"), col("p50_cnt"), col("p99_cnt"))
+  }
 }

@@ -479,6 +479,49 @@ object TextAnalysis {
       },
       st => st.getField("cnt")))
 
+  /** The SEGMENTS of greedy longest-match subword segmentation — the
+    * [[bpeSegmentCount]] fold, accumulating the pieces instead of their
+    * count (one definition would be ideal, but the count form predates
+    * this and its oracle locks it; a parity spec pins size(segments) ==
+    * count). Empty word → empty array.
+    */
+  def bpeSegments(word: Column, vocab: Seq[String] = BPE_VOCAB): Column =
+    when(length(word) === 0, array().cast("array<string>")).otherwise(aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("segs")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val best = coalesce(
+          greatest(vocab.map(v =>
+            when(word.substr(pos, lit(v.length)) === v, lit(v.length))): _*),
+          lit(1))
+        when(i < pos, st).otherwise(
+          struct((pos + best).as("pos"),
+            concat(st.getField("segs"),
+              array(word.substr(pos, best))).as("segs")))
+      },
+      st => st.getField("segs")))
+
+  /** Corpus BPE ENCODE at the vocabulary level: greedy longest-match
+    * segmentation of every DISTINCT word into (word, seg_idx, piece,
+    * piece_id) rows — piece_id is the 1-based [[BPE_VOCAB]] index, 0 for
+    * single-char fallback pieces (the out-of-vocab byte-fallback id
+    * space). This is the tokenizer-apply step of the training pipeline:
+    * join it back to the exploded token stream (or feed it to a
+    * [[graft.ops.Packing]] run) to materialize id sequences.
+    *
+    * Scale shape: segmentation runs once per distinct (Heaps'-law sized)
+    * word after one token→distinct shuffle, exactly the
+    * [[bpeExactStats]] rationale — never once per token instance.
+    */
+  def bpeEncode(docs: DataFrame, vocab: Seq[String] = BPE_VOCAB): DataFrame =
+    docs.select(explode(toks(col("text"))).as("word")).distinct()
+      .select(col("word"),
+        posexplode(bpeSegments(col("word"), vocab)).as(Seq("seg_idx", "piece")))
+      .select(col("word"), col("seg_idx"), col("piece"),
+        coalesce(array_position(typedLit(vocab), col("piece")), lit(0L))
+          .cast("int").as("piece_id"))
+
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the
     * calibration report for corpus budgeting (how far off the cheap count

@@ -444,6 +444,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1) == ((2L, 1, 1, "one two")))
   }
 
+  test("canonicalPerCluster keeps the highest-quality member; ties and singletons to lowest id") {
+    val rich = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the field of green grass toward the river"
+    val docs = Seq(
+      (1L, "short junk !!! ### $$$"),  // low quality member of cluster 1
+      (2L, rich),                       // high quality member of cluster 1
+      (4L, rich),                       // cluster 4: identical quality...
+      (5L, rich),                       // ...tie broken to lowest id (4)
+      (9L, "standalone document with reasonable text in it"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalPerCluster(docs, clusters).orderBy("cluster_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toList ==
+      List((1L, 2L, 2L), (4L, 2L, 4L), (9L, 1L, 9L)))
+  }
+
+  test("substringScrub removes shifted duplicate runs at k-gram resolution, first occurrence survives") {
+    val R = (1 to 10).map(i => s"r$i").mkString(" ") // a 10-token run
+    val docs = Seq(
+      (1L, "p1 p2 p3 " + R),          // first occurrence: owns the run
+      (2L, "q1 q2 q3 q4 q5 " + R),    // same run at a DIFFERENT offset
+      (3L, R),                        // nothing but the run → fully scrubbed
+      (4L, "r1 r2 r3")                // sub-k fragment: below resolution, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, k = 8).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 13, 13, "p1 p2 p3 " + R))) // owner untouched
+    // doc 2: pure-R 8-grams start at 5,6,7 → covered tokens 5..14, the
+    // whole run, regardless of its shifted alignment (the spanDedup grid
+    // would have missed this)
+    assert(out(1) == ((2L, 15, 5, "q1 q2 q3 q4 q5")))
+    assert(out(2) == ((3L, 10, 0, "")))
+    assert(out(3) == ((4L, 3, 3, "r1 r2 r3")))
+  }
+
+  test("substringScrub: intra-document repeat loses its second copy; bridging grams don't over-scrub") {
+    val R = (1 to 8).map(i => s"s$i").mkString(" ")
+    // R at positions 0..7 and again at 10..17, with a 2-token gap that no
+    // duplicated gram covers — the gap must survive
+    val docs = Seq((1L, R + " gapa gapb " + R)).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, k = 8)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 18, 10, R + " gapa gapb")))
+  }
+
   test("cleanCorpusSpans composes quality gates, doc dedup, and span dedup") {
     val good = (0 until 12).map(i => s"w$i x$i the of").mkString(" ")
     val docs = Seq(

@@ -35,4 +35,23 @@ class PartitioningSpec extends SparkSpec {
   test("P4 coalesce(1) yields a single partition (BuiltIn.scala:104-123)") {
     assert(Partitioning.singleFile(df).rdd.getNumPartitions == 1)
   }
+
+  test("keySkewReport: hot key ranked first with exact shares, top-N is distributed TakeOrdered") {
+    // 60 rows of "hot", then 8 keys x 5 rows: n_rows=100, n_keys=9
+    val skewed = ((1 to 60).map(_ => "hot") ++
+      (1 to 40).map(i => s"k${i % 8}")).toDF("key").withColumn("v", lit(1))
+    val rep = Partitioning.keySkewReport(skewed, "key", topN = 3)
+    val rows = rep.as[(Int, String, Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows(0) == ((1, "hot", 60L, 0.6, 100L, 9L, 5.0, rows(0)._8)))
+    assert(rows(0)._8 > 5.0) // p99 pulled up by the hot key
+    assert(rows(1)._3 == 5L && rows(1)._4 == 0.05)
+    // ties broken by key string: k0 ranks before k1
+    assert(rows(1)._2 == "k0" && rows(2)._2 == "k1")
+    // the top-N must be TakeOrdered (distributed), never a full-frame
+    // unpartitioned window sort over all distinct keys
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

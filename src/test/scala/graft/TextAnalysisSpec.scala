@@ -406,6 +406,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flags(1L) == 0 && flags(2L) == 1 && flags(3L) == 0, flags)
   }
 
+  test("bpeEncode: greedy segments reassemble the word, count-parity with bpeSegmentCount, vocab ids") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the terminal xyz anderson understanding"),
+      (2L, "die verwaltung los estados")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs)
+      .as[(String, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // pieces reassemble every word exactly, seg indices are 0..n-1
+    enc.foreach { case (w, segs) =>
+      assert(segs.map(_._3).mkString == w, w)
+      assert(segs.map(_._2).toList == (0 until segs.length).toList, w)
+    }
+    // whole-word vocab hit: "the" is one piece with its 1-based vocab id
+    assert(enc("the").map(s => (s._3, s._4)).toList ==
+      List(("the", TextAnalysis.BPE_VOCAB.indexOf("the") + 1)))
+    // pure out-of-vocab word: single-char fallbacks, piece_id 0
+    assert(enc("xyz").map(s => (s._3, s._4)).toList ==
+      List(("x", 0), ("y", 0), ("z", 0)))
+    // count parity with the oracled bpeSegmentCount fold, word by word
+    val words = enc.keySet.toSeq.toDF("word")
+    val cnt = words.select(col("word"),
+      TextAnalysis.bpeSegmentCount(col("word")).as("c"))
+      .as[(String, Int)].collect().toMap
+    enc.foreach { case (w, segs) => assert(segs.length == cnt(w), w) }
+  }
+
   test("hashEmbed kernel matches the relational md5 hashing scheme exactly") {
     // The codegen kernel (ArrayKernels.HashEmbedEntries) replaced an
     // explode+groupBy over conv(substring(md5(tok),...)) expressions; the
