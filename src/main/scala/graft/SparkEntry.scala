@@ -305,6 +305,16 @@ object SparkEntry {
     // alignment-free, unlike the fixed-grid q_span_dedup
     "q_substring_scrub" -> ((s, d) =>
       Dedup.substringScrub(Tables.documents(s, d), k = 8)),
+    // INCREMENTAL substring scrub: base corpus owns its grams in a
+    // standing bucketed index; the increment is rewritten against
+    // index ∪ own lower occurrences with batch-identical verdicts
+    "q_substring_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val idx = Dedup.substringIndex(base,
+        IndexTables.ident("substr", d, witness(base)))
+      Dedup.substringScrubApply(docs.where(col("doc_id") % 10 >= 8), idx)
+    }),
     // the full dedup decision: clusters → keep lowest id per cluster +
     // all unpaired docs; per-language survivor counts
     "q_dedup_keep" -> ((s, d) =>
@@ -1126,6 +1136,36 @@ object SparkEntry {
 
   private val WINNOW_CTES = winnowCtes(3, 4, "")
 
+  /** The q_substring_scrub replay (Dedup.substringScrub at k=8), with an
+    * optional final filter — the incremental oracle is the SAME batch
+    * decision restricted to the increment's rows.
+    */
+  private def substringScrubSql(finalFilter: String): String =
+    s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
+      "FROM t WHERE len(toks) >= 8), " +
+      "g AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
+      "substring(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS h FROM gi), " +
+      "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+      "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g) " +
+      "WHERE rn > 1), " +
+      "b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
+      "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk FROM d " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "gr AS (SELECT doc_id, pos, sum(brk) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS grp FROM b), " +
+      "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
+      "FROM gr GROUP BY doc_id, grp), " +
+      "ti AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t), " +
+      "kept AS (SELECT ti.doc_id, CAST(ti.i AS INT) AS i, toks[i+1] AS tok " +
+      "FROM ti WHERE NOT EXISTS (SELECT 1 FROM sp " +
+      "WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e)), " +
+      "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+      "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id) " +
+      "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
+      "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
+      s"FROM t LEFT JOIN ag USING (doc_id)$finalFilter"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1470,31 +1510,11 @@ object SparkEntry {
     // exact k-gram substring scrub: ownership rn=1 per gram hash, covered
     // positions fused gaps-and-islands (break when pos > prev + k), kept
     // token indices = those outside every span
-    "q_substring_scrub" ->
-      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
-        "FROM t WHERE len(toks) >= 8), " +
-        "g AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
-        "substring(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS h FROM gi), " +
-        "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
-        "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g) " +
-        "WHERE rn > 1), " +
-        "b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
-        "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk FROM d " +
-        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
-        "gr AS (SELECT doc_id, pos, sum(brk) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM b), " +
-        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
-        "FROM gr GROUP BY doc_id, grp), " +
-        "ti AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t), " +
-        "kept AS (SELECT ti.doc_id, CAST(ti.i AS INT) AS i, toks[i+1] AS tok " +
-        "FROM ti WHERE NOT EXISTS (SELECT 1 FROM sp " +
-        "WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e)), " +
-        "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
-        "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id) " +
-        "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
-        "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
-        "FROM t LEFT JOIN ag USING (doc_id)"),
+    "q_substring_scrub" -> substringScrubSql(""),
+    // incremental apply == the batch scrub over base ∪ increment,
+    // restricted to increment rows (any drift between the standing-index
+    // apply and the batch decision hash-fails)
+    "q_substring_incr" -> substringScrubSql(" WHERE t.doc_id % 10 >= 8"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +

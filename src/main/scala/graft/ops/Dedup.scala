@@ -858,21 +858,32 @@ object Dedup {
   def substringScrub(docs: DataFrame, k: Int = 8,
       carry: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"substringScrub: k=$k must be >= 2")
-    val grams = docs
-      .select(col("doc_id"), Core.tokensUni(col("text")).as("_t"))
-      .select(col("doc_id"), posexplode(transform(
-        graft.functions.ArrayKernels.token_ngrams(col("_t"), k,
-          distinct = false),
-        g => substring(md5(g), 1, 16))).as(Seq("pos", "h")))
     // corpus-wide first occurrence per gram hash owns it; every other
     // occurrence covers its k token positions
-    val dupPos = grams
+    val dupPos = substringGrams(docs, k)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
       .where(col("_rn") > 1)
       .select(col("doc_id"), col("pos"))
-    // merge covered positions into maximal spans: gram at pos covers
-    // [pos, pos+k-1], so consecutive dup positions ≤ k apart fuse
+    scrubByDupPositions(docs, dupPos, k, carry)
+  }
+
+  /** The (doc_id, pos, h) gram rows of [[substringScrub]] — one
+    * definition shared with the incremental forms so batch and apply can
+    * never drift on gram content or hash prefix.
+    */
+  private def substringGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), Core.tokensUni(col("text")).as("_t"))
+      .select(col("doc_id"), posexplode(transform(
+        graft.functions.ArrayKernels.token_ngrams(col("_t"), k,
+          distinct = false),
+        g => substring(md5(g), 1, 16))).as(Seq("pos", "h")))
+
+  /** Shared tail of the scrub family: duplicated positions → merged
+    * removal spans (gaps-and-islands) → in-place rebuild of `docs`.
+    */
+  private def scrubByDupPositions(docs: DataFrame, dupPos: DataFrame,
+      k: Int, carry: Seq[String]): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = dupPos
       .withColumn("_brk",
@@ -895,6 +906,54 @@ object Dedup {
         size(col("_t")).as("n_tokens") :+
         size(col("_kept")).as("n_kept") :+
         array_join(col("_kept"), " ").as("text"): _*)
+  }
+
+  /** Standing gram-OWNERSHIP index for incremental [[substringScrub]]:
+    * per gram hash, the corpus-wide first occurrence (min (doc_id, pos)),
+    * bucketed by `h` ([[IndexTables.bucketed]], parameters baked into the
+    * name — the [[winnowIndex]] discipline). A daily crawl then scrubs
+    * its increment at increment-gram cost ([[substringScrubApply]])
+    * instead of re-scrubbing the union. Growing the table: do NOT
+    * [[IndexTables.append]] raw gram rows — ownership is a MIN, so append
+    * the increment's grams and re-min on read, or rebuild on ingest
+    * cadence; the apply below treats index rows as authoritative owners.
+    */
+  def substringIndex(docs: DataFrame, name: String, k: Int = 8,
+      nBuckets: Int = 8): DataFrame =
+    IndexTables.bucketed(docs.sparkSession, s"${name}_substr_k$k",
+      nBuckets, Seq("h"), Seq("h"))(
+      substringGrams(docs, k)
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("own"))
+        .select(col("h"), col("own.doc_id").as("own_doc"),
+          col("own.pos").as("own_pos")))
+
+  /** Incremental substring scrub: rewrite INCREMENT documents with every
+    * token removed whose covering gram has a strictly lower (doc_id, pos)
+    * occurrence in snapshot ∪ increment — verdicts identical to the batch
+    * [[substringScrub]] over the union, filtered to increment rows, even
+    * with INTERLEAVED ids (the comparison is the owner ORDERING, not "is
+    * it in the snapshot": an increment gram whose (doc_id, pos) precedes
+    * the snapshot owner keeps its tokens, exactly as the batch would —
+    * the q_semdedup_incr lesson). Increment-internal duplicates are
+    * decided by a window-min over the increment's own grams; the
+    * snapshot probe is an h-equi join that rides the index bucketing.
+    * Each crawl pays increment-gram cost; snapshot text is never read.
+    */
+  def substringScrubApply(incDocs: DataFrame, index: DataFrame, k: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
+    val grams = substringGrams(incDocs, k)
+    val mine = struct(col("doc_id"), col("pos"))
+    val incMin = min(mine).over(Window.partitionBy(col("h")))
+    val dupPos = grams
+      .withColumn("_incMin", incMin)
+      .join(index.select(col("h"),
+        struct(col("own_doc").as("doc_id"), col("own_pos").as("pos"))
+          .as("_idxOwn")), Seq("h"), "left")
+      .where((col("_idxOwn").isNotNull && col("_idxOwn") < mine) ||
+        col("_incMin") < mine)
+      .select(col("doc_id"), col("pos"))
+    scrubByDupPositions(incDocs, dupPos, k, carry)
   }
 
   /** The ONE definition of the line algebra [[lineDedup]] and

@@ -491,6 +491,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0) == ((1L, 18, 10, R + " gapa gapb")))
   }
 
+  test("substringScrubApply verdicts are batch-identical, even with interleaved ids") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "substr_spec_substr_k8")
+    val R = (1 to 10).map(i => s"m$i").mkString(" ")
+    val S = (1 to 10).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a1 a2 a3 " + R),  // base: owns R
+      (9L, S + " b1 b2"),     // base: but inc doc 5 < 9 owns S in batch
+      (5L, S + " c1 c2 c3"),  // inc: precedes base doc 9 → keeps S
+      (12L, R + " " + S)      // inc: loses both runs
+    ).toDF("doc_id", "text")
+    val base = docs.where(col("doc_id").isin(1L, 9L))
+    val inc = docs.where(col("doc_id").isin(5L, 12L))
+    val idx = Dedup.substringIndex(base, "substr_spec")
+    val got = Dedup.substringScrubApply(inc, idx)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val batch = Dedup.substringScrub(docs)
+      .where(col("doc_id").isin(5L, 12L))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == batch)
+    // the interleaving matters: inc doc 5 KEPT S (it owns it over base 9)
+    assert(got.head == ((5L, 13, 13, S + " c1 c2 c3")))
+    assert(got(1) == ((12L, 20, 0, "")))
+    // and the probe rides the index bucketing: at most ONE h-keyed
+    // Exchange (the probe side aligning to the bucket layout) — a second
+    // would mean the standing index was reshuffled (the semtext idiom)
+    val plan = Dedup.substringScrubApply(inc, idx)
+      .queryExecution.executedPlan.toString
+    val hExchanges = "Exchange hashpartitioning\\(h".r.findAllIn(plan).length
+    assert(hExchanges <= 1, s"snapshot side reshuffled:\n$plan")
+  }
+
   test("cleanCorpusSpans composes quality gates, doc dedup, and span dedup") {
     val good = (0 until 12).map(i => s"w$i x$i the of").mkString(" ")
     val docs = Seq(
