@@ -198,6 +198,9 @@ object SparkEntry {
     // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
     // ids for every distinct word (the id-sequence feed for packing)
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    // the corpus-wide id stream: every token instance joined to the
+    // distinct-word dictionary, in (doc, token, piece) order
+    "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     // one-row corpus health dashboard composing the scan-stage signals
     "q_corpus_report" -> ((s, d) =>
@@ -1610,6 +1613,22 @@ object SparkEntry {
         "SELECT word, CAST(idx AS INT) AS seg_idx, piece, " +
         s"CAST(coalesce(list_position(${ops.TextAnalysis.bpeVocabSql}, piece), 0) AS INT) AS piece_id " +
         "FROM seg WHERE idx >= 0"),
+    // the q_bpe_encode recursion joined back to the token stream
+    "q_token_ids" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stream AS (SELECT doc_id, CAST(i AS INT) AS ti, toks[i+1] AS word " +
+        "FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)), " +
+        "words AS (SELECT DISTINCT word FROM stream), " +
+        "seg(word, pos, idx, piece) AS (" +
+        "SELECT word, 1, -1, CAST(NULL AS VARCHAR) FROM words " +
+        "UNION ALL SELECT word, pos + L, idx + 1, substring(word, pos, L) " +
+        "FROM (SELECT word, pos, idx, coalesce(list_max(list_transform(" +
+        s"${ops.TextAnalysis.bpeVocabSql}, " +
+        "v -> CASE WHEN substring(word, pos, length(v)) = v THEN length(v) END)), 1) AS L " +
+        "FROM seg WHERE pos <= length(word))) " +
+        "SELECT stream.doc_id, stream.ti, CAST(seg.idx AS INT) AS seg_idx, " +
+        s"CAST(coalesce(list_position(${ops.TextAnalysis.bpeVocabSql}, seg.piece), 0) AS INT) AS piece_id " +
+        "FROM stream JOIN seg USING (word) WHERE seg.idx >= 0"),
     "q_quality" ->
       (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents) " +
         "SELECT doc_id, len(toks) AS n_tokens, " +

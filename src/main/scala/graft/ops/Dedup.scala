@@ -956,6 +956,26 @@ object Dedup {
     scrubByDupPositions(incDocs, dupPos, k, carry)
   }
 
+  /** Streaming twin of [[substringScrubApply]]: a document STREAM is
+    * rewritten against the standing gram-ownership index, one micro-batch
+    * per apply call — the [[graft.ops.TextAnalysis.semanticDedupTextServe]]
+    * foreachBatch pattern and the same reasoning (per-batch re-planning
+    * lets the h-probes reach the bucketed snapshot scan; the index side
+    * never moves). Each batch gets full incremental semantics — scrubbed
+    * against index ∪ own-batch lower occurrences — so a crawl replayed as
+    * a stream reproduces the per-batch apply rewrites exactly. The index
+    * is read-only here; ingest grows it on its own cadence (see
+    * [[substringIndex]] for the re-min discipline). Caller owns
+    * trigger/checkpoint; `sink` receives each batch's rewritten rows.
+    */
+  def substringScrubServe(docStream: DataFrame, index: DataFrame,
+      k: Int = 8, carry: Seq[String] = Nil)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(substringScrubApply(batch, index, k, carry))
+    }
+
   /** The ONE definition of the line algebra [[lineDedup]] and
     * [[lineStats]] share (split on \r?\n; null text → zero lines, since
     * split(null) is null and size() of it would read -1 instead of the

@@ -522,6 +522,35 @@ object TextAnalysis {
         coalesce(array_position(typedLit(vocab), col("piece")), lit(0L))
           .cast("int").as("piece_id"))
 
+  /** Corpus-wide tokenizer APPLY: the id stream a trainer consumes —
+    * (doc_id, ti, seg_idx, piece_id) rows in (token, piece) order, ids
+    * from [[bpeEncode]]'s scheme (1-based vocab index, 0 = char
+    * fallback). Long format on purpose: the global order key
+    * (doc_id, ti, seg_idx) is explicit, and scalar rows feed both the
+    * driver compare and a downstream [[graft.ops.Packing]] run without
+    * array re-explosion.
+    *
+    * Scale shape: segmentation runs ONCE per distinct word (the
+    * [[bpeExactStats]] Heaps'-law argument), then the token stream
+    * equi-joins the (word → ids) dictionary — a token-volume shuffle on
+    * the word key, the same volume a word count moves, and far cheaper
+    * than segmenting per token instance (tokens/distinct-words ratio).
+    * The dictionary is NOT force-broadcast: at 100 TB it is millions of
+    * rows (let AQE decide — the q_search Heaps-law lesson,
+    * TextAnalysis.scala:397).
+    */
+  def tokenIds(docs: DataFrame, vocab: Seq[String] = BPE_VOCAB): DataFrame = {
+    val dict = docs.select(explode(toks(col("text"))).as("word")).distinct()
+      .select(col("word"), transform(bpeSegments(col("word"), vocab), p =>
+        coalesce(array_position(typedLit(vocab), p), lit(0L)).cast("int"))
+        .as("ids"))
+    docs.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("ti", "word")))
+      .join(dict, Seq("word"))
+      .select(col("doc_id"), col("ti"),
+        posexplode(col("ids")).as(Seq("seg_idx", "piece_id")))
+  }
+
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the
     * calibration report for corpus budgeting (how far off the cheap count

@@ -523,6 +523,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hExchanges <= 1, s"snapshot side reshuffled:\n$plan")
   }
 
+  test("substringScrubServe: streamed batches get the per-batch apply rewrites exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "substr_serve_substr_k8")
+    val R = (1 to 10).map(i => s"v$i").mkString(" ")
+    val base = Seq((1L, "intro words " + R)).toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(base, "substr_serve")
+    val nine = "unique sentence with exactly nine distinct tokens right here"
+    val incRows = Seq(
+      (20L, R + " fresh tail"), // batch 1: loses R to the index
+      (21L, nine),
+      (30L, R),                 // batch 2: fully duplicated
+      (31L, nine))              // 9-token dup of 21 but ACROSS batches:
+                                // read-only serving keeps it
+    val (b1, b2) = incRows.splitAt(2)
+    val in = MemoryStream[(Long, String)](92, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, String)]()
+    val q = Dedup.substringScrubServe(
+        in.toDF().toDF("doc_id", "text"), idx) { batch =>
+      out ++= batch.as[(Long, Int, Int, String)].collect()
+    }.start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val expected =
+      (Dedup.substringScrubApply(b1.toDF("doc_id", "text"), idx)
+        .as[(Long, Int, Int, String)].collect() ++
+        Dedup.substringScrubApply(b2.toDF("doc_id", "text"), idx)
+          .as[(Long, Int, Int, String)].collect()).sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == expected)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(20L)._4 == "fresh tail")
+    assert(byId(30L)._4 == "")
+    // doc 31 duplicates doc 21's 9-token text but in a LATER batch:
+    // serving is read-only against the index, so it survives (ingest
+    // owns index growth)
+    assert(byId(31L)._4 == nine)
+  }
+
   test("cleanCorpusSpans composes quality gates, doc dedup, and span dedup") {
     val good = (0 until 12).map(i => s"w$i x$i the of").mkString(" ")
     val docs = Seq(

@@ -433,6 +433,21 @@ class TextAnalysisSpec extends SparkSpec {
     enc.foreach { case (w, segs) => assert(segs.length == cnt(w), w) }
   }
 
+  test("tokenIds: every token instance carries its word's id sequence at its stream position") {
+    val docs = Seq((1L, "the the xyz"), (2L, "terminal")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenIds(docs).as[(Long, Int, Int, Int)]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toList
+    val theId = TextAnalysis.BPE_VOCAB.indexOf("the") + 1
+    val terIds = TextAnalysis.bpeEncode(
+        Seq((9L, "terminal")).toDF("doc_id", "text"))
+      .as[(String, Int, String, Int)].collect().sortBy(_._2).map(_._4).toList
+    assert(got.takeWhile(_._1 == 1L) == List(
+      (1L, 0, 0, theId), (1L, 1, 0, theId),    // duplicate word: one row per instance
+      (1L, 2, 0, 0), (1L, 2, 1, 0), (1L, 2, 2, 0))) // xyz → 3 char fallbacks
+    assert(got.dropWhile(_._1 == 1L) ==
+      terIds.zipWithIndex.map { case (id, s) => (2L, 0, s, id) })
+  }
+
   test("hashEmbed kernel matches the relational md5 hashing scheme exactly") {
     // The codegen kernel (ArrayKernels.HashEmbedEntries) replaced an
     // explode+groupBy over conv(substring(md5(tok),...)) expressions; the
