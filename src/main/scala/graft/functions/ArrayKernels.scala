@@ -1257,6 +1257,61 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** `bpe_segment_ids(word)` — greedy longest-match subword segmentation
+    * straight to vocabulary ids (1-based unit index, 0 = single-char
+    * fallback), one tight JVM pass per word. Semantics are EXACTLY the
+    * interpreted `TextAnalysis.bpeSegments` fold (locked by spec): same
+    * greedy rule, same id scheme, fallback advances one code point (what
+    * Spark's substr(pos, 1) consumes). Exists because the fold is an
+    * interpreted O(len × |vocab|) expression that Catalyst may migrate
+    * across a join and re-evaluate per token INSTANCE (measured 9 s on
+    * q_token_ids at sf0.1); the kernel is cheap enough that where it runs
+    * stops mattering. ASCII-only vocab required: unit matching is by char
+    * index, which equals code-point matching only for ASCII units.
+    */
+  case class BpeSegmentIds(child: Expression, vocab: Seq[String])
+      extends UnaryExpression {
+    require(vocab.nonEmpty && vocab.forall(v => v.nonEmpty && v.forall(_ < 128)),
+      "bpe_segment_ids requires a non-empty ASCII vocabulary")
+    private val units: Array[String] = vocab.toArray
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bpe_segment_ids requires STRING, got ${other.catalogString}")
+      }
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var i = 0
+      while (i < w.length) {
+        var bestLen = 0
+        var bestId = 0
+        var u = 0
+        while (u < units.length) {
+          val v = units(u)
+          if (v.length > bestLen && w.startsWith(v, i)) {
+            bestLen = v.length; bestId = u + 1
+          }
+          u += 1
+        }
+        if (bestLen > 0) { out += bestId; i += bestLen }
+        else { out += 0; i += Character.charCount(w.codePointAt(i)) }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeSegKernel", this,
+        classOf[BpeSegmentIds].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `hash_embed_entries(toks, dim)` — the feature-hashing trick in one
     * scan-stage pass: ARRAY<STRING> tokens → ARRAY<STRUCT<dim_idx, value>>
     * of TOUCHED signed bucket counts. Replaces an explode-every-token +
@@ -1352,6 +1407,9 @@ object ArrayKernels {
 
   def nfc_normalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+
+  def bpe_segment_ids(word: Column, vocab: Seq[String]): Column =
+    GraftSqlBridge.column(BpeSegmentIds(GraftSqlBridge.expression(word), vocab))
 
   def hash_embed_entries(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedEntries(GraftSqlBridge.expression(toks), dim))

@@ -540,10 +540,13 @@ object TextAnalysis {
     * TextAnalysis.scala:397).
     */
   def tokenIds(docs: DataFrame, vocab: Seq[String] = BPE_VOCAB): DataFrame = {
+    // ids via the codegen kernel, not the interpreted bpeSegments fold:
+    // Catalyst may migrate this projection across the join below and
+    // evaluate it per token INSTANCE (measured 9 s at sf0.1 when the
+    // fold rode the join); the kernel makes placement irrelevant
     val dict = docs.select(explode(toks(col("text"))).as("word")).distinct()
-      .select(col("word"), transform(bpeSegments(col("word"), vocab), p =>
-        coalesce(array_position(typedLit(vocab), p), lit(0L)).cast("int"))
-        .as("ids"))
+      .select(col("word"), graft.functions.ArrayKernels
+        .bpe_segment_ids(col("word"), vocab).as("ids"))
     docs.select(col("doc_id"),
         posexplode(toks(col("text"))).as(Seq("ti", "word")))
       .join(dict, Seq("word"))

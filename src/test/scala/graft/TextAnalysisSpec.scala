@@ -433,6 +433,27 @@ class TextAnalysisSpec extends SparkSpec {
     enc.foreach { case (w, segs) => assert(segs.length == cnt(w), w) }
   }
 
+  test("bpe_segment_ids kernel matches the interpreted bpeSegments fold id-for-id") {
+    import org.apache.spark.sql.functions._
+    // adversarial vocabulary-shaped words: whole-unit hits, overlapping
+    // prefixes (the/th), all-fallback, mixed, and a supplementary-plane
+    // char (one code point = one fallback step, as substr(pos,1) consumes)
+    val words = Seq("the", "terminal", "xyz", "understanding", "ingest",
+      "verwaltung", "estados", "a", "😀ab").toDF("word")
+    val got = words.select(col("word"),
+      graft.functions.ArrayKernels.bpe_segment_ids(col("word"),
+        TextAnalysis.BPE_VOCAB).as("ids"))
+      .as[(String, Seq[Int])].collect().toMap
+    val ref = words.select(col("word"),
+      transform(TextAnalysis.bpeSegments(col("word")), p =>
+        coalesce(array_position(typedLit(TextAnalysis.BPE_VOCAB), p), lit(0L))
+          .cast("int")).as("ids"))
+      .as[(String, Seq[Int])].collect().toMap
+    assert(got == ref, s"got=$got ref=$ref")
+    // surrogate pair consumed as ONE fallback step, then a, b
+    assert(got("😀ab").toList == List(0, 0, 0))
+  }
+
   test("tokenIds: every token instance carries its word's id sequence at its stream position") {
     val docs = Seq((1L, "the the xyz"), (2L, "terminal")).toDF("doc_id", "text")
     val got = TextAnalysis.tokenIds(docs).as[(Long, Int, Int, Int)]
