@@ -318,6 +318,17 @@ object SparkEntry {
         IndexTables.ident("substr", d, witness(base)))
       Dedup.substringScrubApply(docs.where(col("doc_id") % 10 >= 8), idx)
     }),
+    // what did the scrub actually cost each source? per-source token
+    // removal telemetry — the decide-before-you-train report
+    "q_scrub_report" -> ((s, d) =>
+      Dedup.substringScrub(Tables.documents(s, d), k = 8,
+          carry = Seq("source"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_before"),
+          sum("n_kept").as("tokens_after"),
+          round(lit(1.0) - sum("n_kept") / sum("n_tokens"), 4)
+            .as("removed_frac"))),
     // the full dedup decision: clusters → keep lowest id per cluster +
     // all unpaired docs; per-language survivor counts
     "q_dedup_keep" -> ((s, d) =>
@@ -879,6 +890,17 @@ object SparkEntry {
         TextAnalysis.fingerprints(docs), k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // known-item retrieval eval off the standing index: each sampled
+    // doc's 5-token prefix queries for the doc itself; one-row MRR@10 /
+    // recall@1 / recall@10 (MRR in exact lcm-scaled integer arithmetic)
+    "q_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.knownItemEval(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name),
+        docs.where(col("doc_id") % 25 === 0), k = 10, queryTokens = 5)
+    }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
     // columns only, and the long form skips the array-reassembly shuffle
@@ -1141,10 +1163,17 @@ object SparkEntry {
 
   /** The q_substring_scrub replay (Dedup.substringScrub at k=8), with an
     * optional final filter — the incremental oracle is the SAME batch
-    * decision restricted to the increment's rows.
+    * decision restricted to the increment's rows, and the report oracle
+    * reuses the CTE chain ([[substringScrubCtes]]) under its own select.
     */
   private def substringScrubSql(finalFilter: String): String =
-    s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+    s"WITH $substringScrubCtes " +
+      "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
+      "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
+      s"FROM t LEFT JOIN ag USING (doc_id)$finalFilter"
+
+  private val substringScrubCtes: String =
+    s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
       "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
       "FROM t WHERE len(toks) >= 8), " +
       "g AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
@@ -1164,10 +1193,7 @@ object SparkEntry {
       "FROM ti WHERE NOT EXISTS (SELECT 1 FROM sp " +
       "WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e)), " +
       "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
-      "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id) " +
-      "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
-      "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
-      s"FROM t LEFT JOIN ag USING (doc_id)$finalFilter"
+      "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1518,6 +1544,17 @@ object SparkEntry {
     // restricted to increment rows (any drift between the standing-index
     // apply and the batch decision hash-fails)
     "q_substring_incr" -> substringScrubSql(" WHERE t.doc_id % 10 >= 8"),
+    // per-source removal telemetry over the same scrub CTE chain
+    "q_scrub_report" ->
+      (s"WITH $substringScrubCtes, " +
+        "base AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
+        "coalesce(ag.n_kept, 0) AS n_kept FROM t LEFT JOIN ag USING (doc_id)) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(base.n_tokens) AS BIGINT) AS tokens_before, " +
+        "CAST(sum(base.n_kept) AS BIGINT) AS tokens_after, " +
+        "round(1.0 - CAST(sum(base.n_kept) AS DOUBLE) / sum(base.n_tokens), 4) " +
+        "AS removed_frac FROM base JOIN documents d USING (doc_id) " +
+        "GROUP BY d.source"),
     "q_dedup_keep" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
@@ -2476,6 +2513,39 @@ object SparkEntry {
         "ORDER BY score DESC, doc_id) AS rank FROM sc) " +
         "SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10"
     },
+    // known-item eval: the q_bm25_batch scoring replay with 5-token-prefix
+    // queries, hits = rank of the query doc itself; MRR as exact
+    // lcm(1..10)-scaled integer sum (double reciprocal sums are
+    // summation-order-dependent across engines)
+    "q_retrieval_eval" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "q AS (SELECT doc_id AS query_id, toks[1:5] AS qtoks FROM t " +
+        "WHERE doc_id % 25 = 0 AND len(toks) > 0), " +
+        "qt AS (SELECT query_id, unnest(list_distinct(qtoks)) AS token FROM q), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        "r AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM sc), " +
+        "h AS (SELECT query_id, rank FROM r WHERE rank <= 10 AND doc_id = query_id), " +
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q), " +
+        "s AS (SELECT sum(CAST(2520 / rank AS BIGINT)) AS irr, " +
+        "sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS h1, count(*) AS hk FROM h) " +
+        "SELECT n_queries, " +
+        "round((coalesce(irr, 0) / 2520.0) / n_queries, 4) AS mrr, " +
+        "round(CAST(coalesce(h1, 0) AS DOUBLE) / n_queries, 4) AS recall_1, " +
+        "round(CAST(hk AS DOUBLE) / n_queries, 4) AS recall_k FROM nq, s"),
     // the q_bm25_batch scoring replay with query docs as their own query
     // strings, minus the fingerprint-identical exclusion set, ranked
     // AFTER exclusion

@@ -312,6 +312,55 @@ object Retrieval {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Known-item retrieval evaluation — the index-quality gauge a search
+    * stack ships with: each query document's first `queryTokens` tokens
+    * become its query, and the metric is where the document itself lands
+    * in its own top-`k` ([[bm25TopKAll]] ranking, so this evaluates
+    * exactly the serving path). One row: n_queries, MRR@k, recall@1,
+    * recall@k.
+    *
+    * MRR is computed in EXACT integer arithmetic — Σ lcm(1..k)/rank over
+    * hits (every term integral), divided once at the end — because a sum
+    * of double reciprocals is summation-order-dependent and an
+    * engine-comparison harness would see ulp flips at rounding
+    * boundaries. k ≤ 20 keeps the lcm in a long with corpus-scale
+    * headroom (lcm(1..20) ≈ 2.3e8; the sum is ≤ n_queries × that).
+    *
+    * Scale shape: the scoring path is the standing-index batch path
+    * (bucket-pruned postings, broadcast query terms); everything after
+    * ranking is hit-sized (≤ n_queries rows), and the final frame is two
+    * one-row aggregates cross-joined.
+    */
+  def knownItemEval(index: DataFrame, stats: DataFrame,
+      queryDocs: DataFrame, k: Int = 10, queryTokens: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k <= 20, s"knownItemEval: k must be in [1, 20], got $k")
+    val scale = (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+    val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
+        array_join(slice(Core.tokensUni(col("text")), 1, queryTokens), " ")
+          .as("query"))
+      .where(length(col("query")) > 0)
+    val hits = bm25TopKAll(index, stats, qt, k, k1, b)
+      .where(col("query_id") === col("doc_id"))
+      .select(col("rank"))
+    val nQ = qt.agg(count(lit(1)).as("n_queries"))
+    hits.agg(
+        sum((lit(scale) / col("rank")).cast("long")).as("_irr"),
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).as("_h1"),
+        count(lit(1)).as("_hk"))
+      .crossJoin(nQ)
+      .select(col("n_queries"),
+        round((coalesce(col("_irr"), lit(0L)) / lit(scale.toDouble)) /
+          col("n_queries"), 4).as("mrr"),
+        round(coalesce(col("_h1"), lit(0L)).cast("double") /
+          col("n_queries"), 4).as("recall_1"),
+        round(col("_hk").cast("double") / col("n_queries"), 4)
+          .as("recall_k"))
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** Streaming BM25 serving: score a STREAM of queries against the
     * standing index, each micro-batch in one bucket-pruned pass via
     * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static

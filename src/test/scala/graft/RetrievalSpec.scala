@@ -207,4 +207,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(3L, 4L), got)
     assert(got.head._4 > got(1)._4) // doc 3 outranks doc 4
   }
+
+  test("knownItemEval: exact MRR/recall arithmetic, dup docs tie to the lower id") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_kie_test_postings_b8")
+    IndexTables.drop(spark, "ret_kie_test_stats")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon unique tail one"),
+      (2L, "zeta eta theta iota kappa second doc tail"),
+      (3L, "alpha beta gamma delta epsilon unique tail one"), // exact dup of 1
+      (4L, "lambda mu nu xi omicron completely different"))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, "ret_kie_test")
+    val stats = Retrieval.corpusStats(corpus, "ret_kie_test")
+    val got = Retrieval.knownItemEval(idx, stats, corpus, k = 10,
+      queryTokens = 5).as[(Long, Double, Double, Double)].collect()
+    // queries 1, 2, 4 hit themselves at rank 1; query 3's prefix scores
+    // identically on docs 1 and 3 and the tie breaks to doc 1, so doc 3
+    // finds itself at rank 2: MRR = (1 + 1 + 1 + 1/2) / 4
+    assert(got.toList == List((4L, 0.875, 0.75, 1.0)), got.toList)
+  }
 }
