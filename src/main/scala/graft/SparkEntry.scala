@@ -641,6 +641,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         contamN = 3, pplRates = V6_PPL_RATES)
     }),
+    // v7: the exact substring scrub as stage 0 of the recipe — rewrite
+    // duplicated >=8-token runs corpus-wide FIRST, then run the whole v6
+    // chain on the rewritten text (contamination still matches RAW eval
+    // docs; the scrub sees eval docs too, so eval-owned grams scrub out
+    // of training text — decontamination-flavored by design)
+    "q_clean_corpus_v7" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scrubbed = Dedup.substringScrub(docs, k = 8)
+        .select(col("doc_id"), col("text"))
+      Curation.cleanCorpusV6Stats(
+        scrubbed.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        contamN = 3, pplRates = V6_PPL_RATES)
+    }),
     // domain mixing to per-source token budgets: the prefilter rate keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
     // token budgets, so the exact-trim window runs over a budget-sized set
@@ -967,6 +981,15 @@ object SparkEntry {
   /** v6 recipe bucket rates: keep quintiles 1-3 wholesale, thin 4 and 5. */
   private val V6_PPL_RATES = Seq(1.0, 1.0, 1.0, 0.5, 0.1)
 
+  /** The v6 fractional-rate bucket predicate, shared by the v6 and v7
+    * recipe oracles.
+    */
+  private lazy val v6PplPredicate: String =
+    "'0' || substring(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+      "CASE bucket " + V6_PPL_RATES.zipWithIndex.map { case (r, i) =>
+        s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
+      }.mkString(" ") + " END"
+
   /** DuckDB mirror of TextAnalysis.hashEmbedLong: the md5-prefix bucket +
     * sign-digit CTE chain, ending in `sv(doc_id, dim_idx, value)`. ONE
     * definition for q_hash_embed and q_semdedup_text, so the hashing
@@ -1031,9 +1054,10 @@ object SparkEntry {
     * everything upstream/downstream is shared so the two oracles cannot
     * drift.
     */
-  private def recipeV5Sql(pplPredicate: String): String =
-    s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks " +
-      "FROM documents WHERE doc_id % 97 <> 0), " +
+  private def recipeV5Sql(pplPredicate: String,
+      prefixCtes: String = "", docsFrom: String = "documents"): String =
+    s"WITH RECURSIVE ${prefixCtes}t0 AS (SELECT doc_id, text, $TOKS AS toks " +
+      s"FROM $docsFrom WHERE doc_id % 97 <> 0), " +
       "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
       s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
       "/ greatest(length(text), 1) <= 0.35 " +
@@ -1167,33 +1191,36 @@ object SparkEntry {
     * reuses the CTE chain ([[substringScrubCtes]]) under its own select.
     */
   private def substringScrubSql(finalFilter: String): String =
-    s"WITH $substringScrubCtes " +
+    s"WITH ${substringScrubCtes()} " +
       "SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
       "coalesce(ag.n_kept, 0) AS n_kept, coalesce(ag.text, '') AS text " +
       s"FROM t LEFT JOIN ag USING (doc_id)$finalFilter"
 
-  private val substringScrubCtes: String =
-    s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-      "gi AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
-      "FROM t WHERE len(toks) >= 8), " +
-      "g AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
-      "substring(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS h FROM gi), " +
-      "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
-      "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g) " +
+  /** Scrub CTE chain with suffixed names (`x` below) so it composes into
+    * larger oracles (the v7 recipe) without CTE-name collisions.
+    */
+  private def substringScrubCtes(x: String = ""): String =
+    s"t$x AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      s"gi$x AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
+      s"FROM t$x WHERE len(toks) >= 8), " +
+      s"g$x AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
+      s"substring(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS h FROM gi$x), " +
+      s"d$x AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+      s"row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g$x) " +
       "WHERE rn > 1), " +
-      "b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
-      "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk FROM d " +
-      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
-      "gr AS (SELECT doc_id, pos, sum(brk) OVER " +
-      "(PARTITION BY doc_id ORDER BY pos) AS grp FROM b), " +
-      "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
-      "FROM gr GROUP BY doc_id, grp), " +
-      "ti AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t), " +
-      "kept AS (SELECT ti.doc_id, CAST(ti.i AS INT) AS i, toks[i+1] AS tok " +
-      "FROM ti WHERE NOT EXISTS (SELECT 1 FROM sp " +
-      "WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e)), " +
-      "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
-      "string_agg(tok, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id)"
+      s"b$x AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w$x IS NULL " +
+      s"OR pos > lag(pos) OVER w$x + 8 THEN 1 ELSE 0 END AS brk FROM d$x " +
+      s"WINDOW w$x AS (PARTITION BY doc_id ORDER BY pos)), " +
+      s"gr$x AS (SELECT doc_id, pos, sum(brk) OVER " +
+      s"(PARTITION BY doc_id ORDER BY pos) AS grp FROM b$x), " +
+      s"sp$x AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
+      s"FROM gr$x GROUP BY doc_id, grp), " +
+      s"ti$x AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t$x), " +
+      s"kept$x AS (SELECT ti$x.doc_id, CAST(ti$x.i AS INT) AS i, toks[i+1] AS tok " +
+      s"FROM ti$x WHERE NOT EXISTS (SELECT 1 FROM sp$x " +
+      s"WHERE sp$x.doc_id = ti$x.doc_id AND ti$x.i BETWEEN sp$x.s AND sp$x.e)), " +
+      s"ag$x AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+      s"string_agg(tok, ' ' ORDER BY i) AS text FROM kept$x GROUP BY doc_id)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1479,11 +1506,16 @@ object SparkEntry {
     "q_clean_corpus_v5" -> recipeV5Sql("bucket <= 4"),
     // v6 = the same chain with FRACTIONAL bucket rates: the ppl stage
     // keeps a hash-fraction per bucket (q_ppl_mix's predicate, salt 'ppl')
-    "q_clean_corpus_v6" -> recipeV5Sql(
-      "'0' || substring(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
-        "CASE bucket " + V6_PPL_RATES.zipWithIndex.map { case (r, i) =>
-          s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
-        }.mkString(" ") + " END"),
+    "q_clean_corpus_v6" -> recipeV5Sql(v6PplPredicate),
+    // v7 = the substring scrub FEEDING the v6 chain: scrub over the full
+    // corpus (eval docs may own grams — decontamination-flavored, by
+    // design), then the whole v6 recipe runs on the rewritten text while
+    // contamination still matches the RAW eval documents
+    "q_clean_corpus_v7" -> recipeV5Sql(v6PplPredicate,
+      prefixCtes = substringScrubCtes("7") +
+        ", scrubbed AS (SELECT t7.doc_id, coalesce(ag7.text, '') AS text " +
+        "FROM t7 LEFT JOIN ag7 USING (doc_id)), ",
+      docsFrom = "scrubbed"),
     // both sides fingerprinted, full-outer by id; the new side's every
     // 10th overlapping doc carries the same injected ' rev2' suffix
     "q_corpus_diff" -> {
@@ -1546,7 +1578,7 @@ object SparkEntry {
     "q_substring_incr" -> substringScrubSql(" WHERE t.doc_id % 10 >= 8"),
     // per-source removal telemetry over the same scrub CTE chain
     "q_scrub_report" ->
-      (s"WITH $substringScrubCtes, " +
+      (s"WITH ${substringScrubCtes()}, " +
         "base AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens, " +
         "coalesce(ag.n_kept, 0) AS n_kept FROM t LEFT JOIN ag USING (doc_id)) " +
         "SELECT d.source, count(*) AS n_docs, " +

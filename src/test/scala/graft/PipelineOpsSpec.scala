@@ -717,6 +717,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again("s6_perplexity") == kept, again.toString)
   }
 
+  test("v7 shape: substring scrub ahead of the recipe changes a quality verdict") {
+    import graft.ops.Dedup
+    // doc 11 is ten distinctive tokens + a 10-token run duplicated from
+    // doc 10: pre-scrub it passes the >=10-token quality gate, post-scrub
+    // it still does (10 own tokens); doc 12 is ONLY the duplicated run
+    // plus two fillers — pre-scrub 12 tokens (passes), post-scrub 2
+    // (fails). The scrub stage must flip doc 12's verdict and only it.
+    val run = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val own = (1 to 10).map(i => s"own$i").mkString(" ")
+    val docs = Seq(
+      (10L, run + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8 tail9 tail10"),
+      (11L, own + " " + run),
+      (12L, run + " f1 f2")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
+    def qualityCount(input: org.apache.spark.sql.DataFrame): Long =
+      Curation.cleanCorpusV6Stats(input, evalSet, contamN = 3,
+        pplRates = Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+        .as[(String, Long)].collect().toMap.apply("s2_quality")
+    assert(qualityCount(docs) == 3L)
+    val scrubbed = Dedup.substringScrub(docs, k = 8)
+      .select(col("doc_id"), col("text"))
+    assert(qualityCount(scrubbed) == 2L) // doc 12 gone, 10 and 11 survive
+  }
+
   test("stripHtml and epochUpsample run unchanged on a live stream " +
       "(stateless scan-stage ops — the streaming-ingest curation shape)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
