@@ -198,6 +198,24 @@ object SparkEntry {
     // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
     // ids for every distinct word (the id-sequence feed for packing)
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    // tokenizer TRAINING: learn 20 BPE merge rules from the corpus itself
+    // (freq-weighted pair argmax per iteration on the distinct-word
+    // dictionary). Iterative global argmax — not SQL-expressible; parity
+    // is locked by PropertySpec against an independent sequential
+    // reference implementation (rows-only here, the q_minhash_lsh class)
+    "q_bpe_learn" -> ((s, d) =>
+      TextAnalysis.bpeLearn(Tables.documents(s, d), nMerges = 20)),
+    // encode the corpus vocabulary under those LEARNED merges (train →
+    // apply round trip; pieces space-joined — the driver compare hashes
+    // scalar cells only)
+    "q_bpe_apply" -> ((s, d) => {
+      val m = TextAnalysis.bpeLearn(Tables.documents(s, d), nMerges = 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeLearned(Tables.documents(s, d), m)
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
+    }),
     // the corpus-wide id stream: every token instance joined to the
     // distinct-word dictionary, in (doc, token, piece) order
     "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),
@@ -425,6 +443,20 @@ object SparkEntry {
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 4).as("avg_k"))),
+    // link-quality scoring for corpus curation: per-user page-transition
+    // graph (props.k as the page id) → weighted PageRank, 3 synchronous
+    // iterations with dangling-mass redistribution — deterministic, so
+    // the whole fixed-point prefix is oracled with unrolled CTEs
+    "q_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("page"))
+      Graph.pageRank(
+        Graph.transitionEdges(ev, "page", "user_id", "ts", "event_id"),
+        iterations = 3)
+    }),
     // ---- multimodal: binary blobs + stubbed decode + real byte features ----
     "q_media_features" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
@@ -445,6 +477,15 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "q_cosine" -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d), 0L)),
+    // Johnson–Lindenstrauss front for the ANN stack: deterministic
+    // ±1/√16 md5-parity matrix, 64 → 16 dims, flattened (the driver
+    // compare hashes scalar cells only)
+    "q_rand_proj" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), 64, 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx"),
+          round(col("value"), 4).as("value"))),
     "q_nn" -> ((s, d) => Similarity.nearestNeighbour(Tables.embeddings(s, d))),
     "q_lsh_pairs" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -550,6 +591,17 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 3)
+    }),
+    // SEMANTIC decontamination: paraphrase-robust eval-overlap flags via
+    // hashed-vector cosine under the q_semdedup_text argmax blocking —
+    // catches reworded benchmark items the n-gram family (q_decontam)
+    // can't see; the eval assignment is broadcast (bounded by contract)
+    "q_sem_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.semanticContamination(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        minCos = 0.9)
     }),
     // span-level decontamination: remove exactly the benchmark-overlapping
     // token spans, keep the rest of the document (same eval-set convention
@@ -989,6 +1041,39 @@ object SparkEntry {
       "CASE bucket " + V6_PPL_RATES.zipWithIndex.map { case (r, i) =>
         s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
       }.mkString(" ") + " END"
+
+  /** DuckDB replay of `Graph.pageRank` over the events page-transition
+    * graph: the synchronous update is deterministic given the edge list,
+    * so a fixed iteration count unrolls into per-iteration (dangling,
+    * contribution, rank) CTE triples generated by the same loop shape the
+    * Spark side runs — iteration count and damping cannot drift between
+    * engines because both read the same parameters here.
+    */
+  private def pageRankSql(iters: Int, d: String): String = {
+    val base =
+      "tr AS (SELECT user_id, ts, event_id, " +
+        "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS page FROM events), " +
+        "tr2 AS (SELECT page AS src, lead(page) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM tr), " +
+        "edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM tr2 " +
+        "WHERE dst IS NOT NULL GROUP BY src, dst), " +
+        "od AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src), " +
+        "sh AS (SELECT e.src, e.dst, e.w / od.deg AS share FROM edges e JOIN od USING (src)), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM edges " +
+        "UNION SELECT DISTINCT dst FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"
+    val its = (0 until iters).map { i =>
+      s"dang$i AS (SELECT coalesce(sum(r), 0) AS m FROM r$i " +
+        "WHERE node NOT IN (SELECT src FROM sh)), " +
+        s"c$i AS (SELECT sh.dst AS node, sum(r$i.r * sh.share) AS c " +
+        s"FROM sh JOIN r$i ON sh.src = r$i.node GROUP BY sh.dst), " +
+        s"r${i + 1} AS (SELECT nodes.node, (1.0 - $d) / nn.n + " +
+        s"$d * (coalesce(c$i.c, 0) + dang$i.m / nn.n) AS r " +
+        s"FROM nodes LEFT JOIN c$i USING (node), nn, dang$i)"
+    }.mkString(", ")
+    s"WITH $base, $its SELECT node, round(r, 6) AS rank FROM r$iters"
+  }
 
   /** DuckDB mirror of TextAnalysis.hashEmbedLong: the md5-prefix bucket +
     * sign-digit CTE chain, ending in `sv(doc_id, dim_idx, value)`. ONE
@@ -1885,11 +1970,22 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, " +
         "round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)), 4) AS avg_k " +
         "FROM events GROUP BY event_type"),
+    "q_pagerank" -> pageRankSql(3, "0.85"),
     "q_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
         "FROM e, q WHERE vec_id <> 0"),
+    // the ±1/√16 matrix replayed from the same md5-parity formula the
+    // kernel bakes in (first hex digit of md5('rp-i-j'))
+    "q_rand_proj" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "w AS (SELECT i.range AS i, j.range AS j, " +
+        "(CASE WHEN CAST(('0x' || substring(md5('rp-' || i.range || '-' || j.range), 1, 1)) AS UBIGINT) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END) / sqrt(16.0) AS w FROM range(64) i, range(16) j), " +
+        "t AS (SELECT e.vec_id, w.j, sum(e.emb[w.i + 1] * w.w) AS v " +
+        "FROM e, w GROUP BY e.vec_id, w.j) " +
+        "SELECT vec_id, CAST(j AS INT) AS dim_idx, round(v, 4) AS value FROM t"),
     "q_nn" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
@@ -2012,6 +2108,20 @@ object SparkEntry {
         "round(CASE WHEN coalesce(ng.ng, 0) > 0 " +
         "THEN CAST(coalesce(m.nc, 0) AS DOUBLE) / ng.ng ELSE 0 END, 4) AS contam_frac " +
         "FROM tr LEFT JOIN ng USING (doc_id) LEFT JOIN m USING (doc_id)"),
+    // the argmax-blocked embedding chain (shared CTEs with the
+    // q_semdedup_text oracle) split into train/eval populations by the
+    // %97 convention, block-joined, max rounded cosine per train doc
+    "q_sem_decontam" ->
+      (s"WITH ${argmaxBlockedCtes(64)}, " +
+        "tr AS (SELECT * FROM b WHERE vec_id % 97 <> 0), " +
+        "ev AS (SELECT * FROM b WHERE vec_id % 97 = 0), " +
+        "p AS (SELECT tr.vec_id AS a_id, " +
+        "round(list_cosine_similarity(tr.v, ev.v), 4) AS c " +
+        "FROM tr JOIN ev ON tr.block = ev.block), " +
+        "m AS (SELECT a_id, max(c) AS mx FROM p GROUP BY a_id) " +
+        "SELECT tr.vec_id, tr.block, m.mx AS max_probe_cos, " +
+        "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_contam " +
+        "FROM tr LEFT JOIN m ON tr.vec_id = m.a_id"),
     // same gram CTEs as q_decontam, then: covered token set = union of
     // [i, i+3) over matched gram starts; survivors string_agg'd in token
     // order; untouched docs keep their ORIGINAL text (CASE on hits)

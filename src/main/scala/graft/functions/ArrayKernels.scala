@@ -1312,6 +1312,72 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `signed_project(vec, inDim, outDim, tag)` — Johnson–Lindenstrauss
+    * dimensionality reduction with a DETERMINISTIC ±1/√outDim matrix
+    * (Achlioptas 2001's database-friendly projection): sign(i,j) is the
+    * parity of the first hex digit of md5("tag-i-j"), so the matrix is a
+    * pure function of (tag, i, j) both engines can replay — the hashEmbed
+    * md5 convention — and no matrix is ever stored or broadcast. The 100 TB
+    * use: cut 768-d embeddings to 64 before IVF/LSH indexing (pairwise
+    * cosines preserved to O(1/√outDim)), shrinking index storage and every
+    * downstream dot product. One tight inDim×outDim loop per row in the
+    * scan stage; the sign matrix is built once per plan on the driver and
+    * ships with the expression.
+    */
+  case class SignedRandomProject(child: Expression, inDim: Int, outDim: Int,
+      tag: String) extends UnaryExpression {
+    require(inDim > 0 && outDim > 0,
+      s"dims must be positive, got $inDim -> $outDim")
+    private val w: Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val scale = 1.0 / math.sqrt(outDim.toDouble)
+      val arr = new Array[Double](inDim * outDim)
+      var i = 0
+      while (i < inDim) {
+        var j = 0
+        while (j < outDim) {
+          val h = md.digest(s"$tag-$i-$j".getBytes("UTF-8"))
+          md.reset()
+          val firstHex = (h(0) >> 4) & 0xf
+          arr(i * outDim + j) = if (firstHex % 2 == 0) scale else -scale
+          j += 1
+        }
+        i += 1
+      }
+      arr
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"signed_project requires ARRAY<DOUBLE>, got ${other.catalogString}")
+      }
+    def compute(in: ArrayData): ArrayData = {
+      val n = math.min(in.numElements(), inDim)
+      val out = new Array[Double](outDim)
+      var i = 0
+      while (i < n) {
+        val v = in.getDouble(i)
+        if (v != 0.0) {
+          val base = i * outDim
+          var j = 0
+          while (j < outDim) { out(j) += v * w(base + j); j += 1 }
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("signedProjKernel", this,
+        classOf[SignedRandomProject].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `hash_embed_entries(toks, dim)` — the feature-hashing trick in one
     * scan-stage pass: ARRAY<STRING> tokens → ARRAY<STRUCT<dim_idx, value>>
     * of TOUCHED signed bucket counts. Replaces an explode-every-token +
@@ -1363,6 +1429,115 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `bpe_merge_pair(syms, left, right)` — one left-to-right BPE merge
+    * pass over an ARRAY<STRING> symbol sequence: every adjacent
+    * (left, right) occurrence is replaced by the concatenation, scanning
+    * forward so a symbol consumed by a merge cannot participate in the
+    * next one (the standard BPE application rule: "aaa" under (a,a) →
+    * ["aa","a"], not ["aa","aa"]). One pass per call — this is the
+    * per-iteration step of [[graft.ops.TextAnalysis.bpeLearn]], where the
+    * merge pair is a driver-chosen literal.
+    */
+  case class BpeMergePair(child: Expression, left: String, right: String)
+      extends UnaryExpression {
+    require(left.nonEmpty && right.nonEmpty,
+      "bpe_merge_pair requires non-empty merge symbols")
+    private val mergedSym = org.apache.spark.unsafe.types.UTF8String
+      .fromString(left + right)
+    private val leftSym = org.apache.spark.unsafe.types.UTF8String.fromString(left)
+    private val rightSym = org.apache.spark.unsafe.types.UTF8String.fromString(right)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_pair requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+    def compute(in: ArrayData): ArrayData = {
+      val n = in.numElements()
+      val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+      var i = 0
+      while (i < n) {
+        if (i + 1 < n && leftSym.equals(in.getUTF8String(i)) &&
+            rightSym.equals(in.getUTF8String(i + 1))) {
+          out += mergedSym; i += 2
+        } else { out += in.getUTF8String(i); i += 1 }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMergeKernel", this,
+        classOf[BpeMergePair].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `bpe_merge_encode(word, merges)` — full merge-list BPE encoding of
+    * one word: split to code points, then apply every learned merge in
+    * RANK ORDER, each as one [[BpeMergePair]]-style left-to-right pass.
+    * This is the true merge-based encoder (the greedy longest-match
+    * [[BpeSegmentIds]] is the vocabulary-only approximation): a word is
+    * segmented exactly as the training corpus statistics dictate, so
+    * `encode(learn(corpus))` round-trips the textbook algorithm. O(len ×
+    * nMerges) per word — runs once per DISTINCT word (the
+    * [[graft.ops.TextAnalysis.bpeExactStats]] Heaps'-law argument), never
+    * per token instance.
+    */
+  case class BpeMergeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+      "bpe_merge_encode requires non-empty merge symbols")
+    private val lefts: Array[String] = merges.map(_._1).toArray
+    private val rights: Array[String] = merges.map(_._2).toArray
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_encode requires STRING, got ${other.catalogString}")
+      }
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      var syms = new java.util.ArrayList[String](w.length)
+      var ci = 0
+      while (ci < w.length) {
+        val cc = Character.charCount(w.codePointAt(ci))
+        syms.add(w.substring(ci, ci + cc)); ci += cc
+      }
+      var m = 0
+      while (m < lefts.length) {
+        val l = lefts(m); val r = rights(m)
+        val next = new java.util.ArrayList[String](syms.size)
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms.get(i) == l && syms.get(i + 1) == r) {
+            next.add(l + r); i += 2
+          } else { next.add(syms.get(i)); i += 1 }
+        }
+        syms = next; m += 1
+      }
+      val out = new Array[Any](syms.size)
+      var i = 0
+      while (i < syms.size) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms.get(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeEncodeKernel", this,
+        classOf[BpeMergeEncode].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -1410,6 +1585,19 @@ object ArrayKernels {
 
   def bpe_segment_ids(word: Column, vocab: Seq[String]): Column =
     GraftSqlBridge.column(BpeSegmentIds(GraftSqlBridge.expression(word), vocab))
+
+  def bpe_merge_pair(syms: Column, left: String, right: String): Column =
+    GraftSqlBridge.column(BpeMergePair(
+      GraftSqlBridge.expression(syms), left, right))
+
+  def bpe_merge_encode(word: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeMergeEncode(
+      GraftSqlBridge.expression(word), merges))
+
+  def signed_project(vec: Column, inDim: Int, outDim: Int,
+      tag: String): Column =
+    GraftSqlBridge.column(SignedRandomProject(
+      GraftSqlBridge.expression(vec), inDim, outDim, tag))
 
   def hash_embed_entries(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedEntries(GraftSqlBridge.expression(toks), dim))

@@ -248,4 +248,27 @@ object Decontam {
       .distinct()
     train.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the paraphrase-robust complement of the
+    * n-gram family above: a training document is flagged when its
+    * feature-hashed vector ([[TextAnalysis.hashEmbed]]) has rounded cosine
+    * >= `minCos` to ANY eval document, so a benchmark item that was
+    * reworded (token overlap ~0, the exact blind spot of 13-gram matching)
+    * still surfaces. Candidate pairs come from shared argmax blocks
+    * ([[Similarity.argmaxBlocked]] — the q_semdedup_text blocking), so the
+    * corpus side never materializes an eval cross product: the block
+    * match + rescoring run against the BROADCAST eval assignment in the
+    * corpus scan stage ([[Similarity.contaminationFlagsBlocked]] documents
+    * why that hint is legitimate here). Every stage is deterministic —
+    * the whole chain is DuckDB-oracle-able (q_sem_decontam).
+    *
+    * Returns (vec_id, block, max_probe_cos, is_contam) for every
+    * non-zero-norm training document ([[Similarity]] unitVecs convention).
+    */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      minCos: Double = 0.9, dim: Int = 64): DataFrame =
+    Similarity.contaminationFlagsBlocked(
+      Similarity.argmaxBlocked(TextAnalysis.hashEmbed(train, dim)),
+      Similarity.argmaxBlocked(TextAnalysis.hashEmbed(evalSet, dim)),
+      minCos)
 }

@@ -1151,4 +1151,55 @@ object Similarity {
         round(dot(col("a_e"), col("b_e")), 4).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Cross-corpus contamination flags over two blocked assignments under
+    * the SAME blocking: every `corpus` vector is flagged when some `probes`
+    * vector shares its block at rounded cosine >= `minCos`. The asymmetric
+    * sibling of [[dedupFlagsByBlock]] — no lower-id rule (the sides are
+    * different populations) and no self-join: the probe side is an eval
+    * benchmark, bounded-small by contract (thousands of rows, fixed up
+    * front, does NOT grow with the corpus — the [[graft.ops.Decontam]]
+    * broadcast rationale, and the only reason the `broadcast` hint here is
+    * legitimate). The corpus side therefore never shuffles: block match +
+    * cosine + max all run map-side against the broadcast probe table, and
+    * the per-vector max is a groupBy on vec_id that AQE coalesces to the
+    * matched-row volume. Same determinism contract as the dedup core:
+    * the threshold reads the ROUNDED cosine so borderline pairs can't
+    * flip between engines.
+    *
+    * Returns every corpus vector: (vec_id, block, max_probe_cos — NULL
+    * when no probe shares its block — and is_contam 0/1). Recall is
+    * block-bounded exactly as in [[semanticDedupFlagsArgmax]]; precision
+    * is exact (candidates are rescored).
+    */
+  /** Johnson–Lindenstrauss reduction of an embedding table with the
+    * deterministic ±1/√outDim matrix
+    * ([[graft.functions.ArrayKernels.SignedRandomProject]]): (vec_id,
+    * embedding) in, same shape out at `outDim` — drop-in front for the
+    * IVF/LSH index builders when the source dimension is larger than the
+    * index wants to carry. Scan-stage only, zero shuffle; the matrix is a
+    * function of `tag` (never stored), so the projection of an increment
+    * batch equals the projection the standing index was built with by
+    * construction.
+    */
+  def randomProject(emb: DataFrame, inDim: Int, outDim: Int,
+      tag: String = "rp"): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.ArrayKernels.signed_project(
+        asDouble(col("embedding")), inDim, outDim, tag).as("embedding"))
+
+  def contaminationFlagsBlocked(corpus: DataFrame, probes: DataFrame,
+      minCos: Double): DataFrame = {
+    val p = broadcast(probes.select(col("block"), col("e").as("p_e")))
+    val best = corpus.select(col("block"), col("vec_id"), col("e"))
+      .join(p, Seq("block"))
+      .select(col("vec_id"), round(dot(col("e"), col("p_e")), 4).as("c"))
+      .groupBy("vec_id")
+      .agg(max(col("c")).as("max_probe_cos"))
+    corpus.select(col("vec_id"), col("block"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("block"), col("max_probe_cos"),
+        (coalesce(col("max_probe_cos"), lit(-2.0)) >= minCos).cast("int")
+          .as("is_contam"))
+  }
 }

@@ -582,6 +582,96 @@ object TextAnalysis {
           .as("drift"))
   }
 
+  /** Distributed BPE merge LEARNING — the tokenizer-training half the
+    * merge-based encoder family was missing: learn `nMerges` merge rules
+    * from the corpus itself (Sennrich et al. 1508.07909, the GPT-2/HF
+    * `tokenizers` algorithm). Classic formulation: training statistics
+    * live on the DISTINCT pre-token dictionary weighted by frequency —
+    * Heaps'-law sized, the [[bpeExactStats]] argument — so one corpus
+    * scan builds (word, freq), and every iteration after that touches
+    * only the dictionary:
+    *
+    *   pair counts  = explode of adjacent symbol pairs, freq-weighted,
+    *                  map-side combined (dictionary-volume shuffle);
+    *   best pair    = TakeOrdered(1) by (count DESC, left ASC, right ASC)
+    *                  — fully deterministic tie-break, one driver row per
+    *                  iteration (the model, not the data);
+    *   apply        = one scan-stage [[graft.functions.ArrayKernels.BpeMergePair]]
+    *                  pass over the dictionary's symbol arrays.
+    *
+    * The dictionary is localCheckpoint'd at start and every
+    * `checkpointEvery` merges — dictionary-sized, the Curation
+    * id-only-checkpoint convention — so the per-iteration plan stays
+    * O(checkpointEvery) deep instead of re-running the whole merge chain
+    * each round. Learning stops early when the best pair's weighted count
+    * falls below `minFreq` (merging a pair that barely occurs buys no
+    * compression). Returns (rank, left, right, merged, cnt) — `cnt` is
+    * the freq-weighted adjacent-occurrence count at selection time.
+    *
+    * Not SQL-expressible (per-iteration global argmax feeding the next
+    * iteration's state); parity-locked instead against an independent
+    * sequential reference implementation on random corpora
+    * (PropertySpec), the q_pii_scrub/q_fim convention.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int, minFreq: Long = 2L,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val spark = docs.sparkSession
+    var dict = docs
+      .select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // split to code points ((?s). matches one code point, incl. any
+      // linebreak); the symbol alphabet grows by concatenation from here
+      .select(col("freq"),
+        regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = dict
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(element_at(col("syms"), j + 1).as("l"),
+              element_at(col("syms"), j + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((rank, l, r, top(0).getLong(2)))
+        dict = dict.withColumn("syms",
+          graft.functions.ArrayKernels.bpe_merge_pair(col("syms"), l, r))
+        if (rank % checkpointEvery == 0) dict = dict.localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "cnt")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("cnt"))
+  }
+
+  /** Merge-based BPE ENCODING of a corpus under a learned merge list:
+    * every distinct pre-token segmented by
+    * [[graft.functions.ArrayKernels.BpeMergeEncode]] (apply merges in rank
+    * order — the exact inverse-of-training segmentation), returned as
+    * (word, freq, pieces, n_pieces). Segmentation cost is paid once per
+    * DISTINCT word; `merges` is the learned model — driver-sized by
+    * definition (k rules), the IVF-centroid precedent — interpolated into
+    * the plan as kernel constants.
+    */
+  def bpeEncodeLearned(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("pieces",
+        graft.functions.ArrayKernels.bpe_merge_encode(col("word"), merges))
+      .withColumn("n_pieces", size(col("pieces")))
+
   /** Gopher/MassiveText-style repetition signals per document — the
     * standard "degenerate text" filters applied before LLM training:
     * the fraction of tokens taken by the single most frequent token, and

@@ -134,6 +134,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("semanticContamination catches a paraphrase the n-gram family misses") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // same token MULTISET, reordered: zero shared 3-grams, but the
+      // hashed bag-of-tokens vector is identical (cosine 1.0) — the
+      // paraphrase blind spot semantic decontam exists to close
+      (1L, "delta alpha epsilon beta gamma"),
+      (2L, "nothing of substance shared here at all")
+    ).toDF("doc_id", "text")
+    // lexical decontam sees no overlap on the paraphrase
+    val lex = Decontam.contaminationCounts(train, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(lex(1L) == 0, lex)
+    val sem = Decontam.semanticContamination(train, eval, minCos = 0.9)
+    val rows = sem.select("vec_id", "max_probe_cos", "is_contam")
+      .as[(Long, Option[Double], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((Some(1.0), 1)), rows)
+    assert(rows(2L)._2 == 0, rows)
+    assert(rows.size == 2) // every non-zero-norm train doc gets a verdict
+    // the eval assignment must be the broadcast side (bounded benchmark)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("preferencePairs: strict best-vs-worst per key, deterministic ties") {
     import graft.ops.Conversations
     val cands = Seq(

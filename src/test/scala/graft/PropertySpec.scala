@@ -330,6 +330,89 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bpeLearn + bpeEncodeLearned equal a sequential reference on random corpora") {
+    import org.apache.spark.sql.functions.{col, explode, lit, count}
+    import graft.ops.TextAnalysis
+    // the reference re-implements the TEXTBOOK algorithm sequentially
+    // (Sennrich et al.): pair counts weighted by word freq, argmax with
+    // (count desc, left asc, right asc) tie-break, left-to-right merge
+    def splitCp(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
+    def mergeOnce(s: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+        else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+    def refLearn(freqs: Map[String, Long], n: Int,
+        minFreq: Long): List[(String, String, Long)] = {
+      var dict = freqs.toList.map { case (w, f) => (splitCp(w), f) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.size < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        dict.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            counts((syms(i), syms(i + 1))) += f; i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          if (c < minFreq) done = true
+          else {
+            out += ((l, r, c))
+            dict = dict.map { case (s, f) => (mergeOnce(s, l, r), f) }
+          }
+        }
+      }
+      out.toList
+    }
+    // small alphabet + repeated bigrams so merges genuinely fire; the
+    // occasional digit/punct exercises the pre-tokenizer's other branches
+    val wordGen: Gen[String] = Gen.chooseNum(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "ab", "7", ".")).map(_.mkString))
+    val docGen: Gen[String] = Gen.chooseNum(0, 8).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val p = Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // shared tokenization isolates the property to the LEARNING step
+      val freqs = docs
+        .select(explode(TextAnalysis.bpeTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect().toMap
+      val gotMerges = TextAnalysis
+        .bpeLearn(docs, nMerges = 5, checkpointEvery = 2)
+        .orderBy("rank")
+        .select("left", "right", "cnt")
+        .as[(String, String, Long)].collect().toList
+      val expMerges = refLearn(freqs, 5, 2L)
+      val mergeRules = expMerges.map(m => (m._1, m._2))
+      val enc = TextAnalysis.bpeEncodeLearned(docs, mergeRules)
+        .select("word", "pieces").as[(String, Seq[String])].collect()
+      gotMerges == expMerges &&
+        enc.forall { case (w, pieces) =>
+          val exp = mergeRules.foldLeft(splitCp(w))((s, m) =>
+            mergeOnce(s, m._1, m._2))
+          pieces == exp && pieces.mkString == w // lossless round trip
+        }
+    }
+    val r = SCTest.check(few, p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("fimTransform reassembles to the original tokens on random docs") {
     import graft.ops.Packing
     val docGen: Gen[String] = Gen.chooseNum(0, 15).flatMap(k =>
