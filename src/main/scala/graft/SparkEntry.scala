@@ -466,6 +466,15 @@ object SparkEntry {
           lit(0).as("height"), lit(0).as("sample_rate")).as("meta"))
       Multimodal.mediaFeatures(media)
     }),
+    // perceptual image near-dup: decodable synthetic PPMs (groups of 4,
+    // one ~8-byte perturbation per non-first copy) → dHash kernel →
+    // 4-band Hamming join (pigeonhole-exact recall at <= 3). Rows-only:
+    // pixels come from xxhash64, not replayable in DuckDB; the banded
+    // join is parity-locked against brute force in MultimodalSpec
+    "q_image_dedup" -> ((s, d) =>
+      Multimodal.imageNearDup(
+        Multimodal.syntheticPpm(s, 500).select(col("media_id"), col("blob")),
+        maxHamming = 3)),
     // interleaved image-text assembly (MMC4 shape): 100 synthetic image
     // media assigned to docs 0-49 by id modulo, one <image> placeholder
     // inserted per media at a deterministic token offset
@@ -706,6 +715,19 @@ object SparkEntry {
         scrubbed.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
         contamN = 3, pplRates = V6_PPL_RATES)
+    }),
+    // v8: the FULL composition — substring scrub (v7 stage 0), the whole
+    // v6 chain, plus a SEMANTIC decontamination stage between the lexical
+    // one and the perplexity gate (paraphrased eval items that share no
+    // n-gram with the benchmark still drop)
+    "q_clean_corpus_v8" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scrubbed = Dedup.substringScrub(docs, k = 8)
+        .select(col("doc_id"), col("text"))
+      Curation.cleanCorpusV8Stats(
+        scrubbed.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        contamN = 3, pplRates = V6_PPL_RATES, semMinCos = 0.85)
     }),
     // domain mixing to per-source token budgets: the prefilter rate keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
@@ -1109,6 +1131,58 @@ object SparkEntry {
       "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
       "FROM e WHERE sqrt(list_dot_product(v, v)) > 0)"
 
+  /** [[argmaxBlockedCtes]] generalized to any token source and a CTE-name
+    * suffix, so a composite oracle (the v8 recipe) can run the SAME
+    * blocking chain over two populations (recipe survivors' toks, raw
+    * eval docs) inside one WITH without name collisions. The suffixed
+    * chain is textually the [[argmaxBlockedCtes]] chain — one semantics,
+    * two spellings guarded by the shared hash/densify/argmax formulas
+    * below.
+    */
+  private def argmaxBlockedCtesFrom(dim: Int, sfx: String,
+      tokSource: String): String =
+    s"t$sfx AS ($tokSource), " +
+      s"h$sfx AS (SELECT doc_id, md5(tok) AS hx FROM t$sfx), " +
+      s"hb$sfx AS (SELECT doc_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
+      "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END AS sgn FROM h$sfx), " +
+      s"sv$sfx AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb$sfx " +
+      "GROUP BY doc_id, dim_idx), " +
+      s"ids$sfx AS (SELECT DISTINCT doc_id FROM sv$sfx), " +
+      s"grid$sfx AS (SELECT ids$sfx.doc_id, r.range AS i FROM ids$sfx, range($dim) r), " +
+      s"dv$sfx AS (SELECT g.doc_id, g.i, coalesce(s.value, 0.0) AS v FROM grid$sfx g " +
+      s"LEFT JOIN sv$sfx s ON s.doc_id = g.doc_id AND s.dim_idx = g.i), " +
+      s"e$sfx AS (SELECT doc_id AS vec_id, v, list_transform(v, x -> abs(x)) AS a " +
+      s"FROM (SELECT doc_id, list(v ORDER BY i) AS v FROM dv$sfx GROUP BY doc_id)), " +
+      s"b$sfx AS (SELECT vec_id, v, " +
+      "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
+      s"FROM e$sfx WHERE sqrt(list_dot_product(v, v)) > 0)"
+
+  /** The v8 semantic-decontamination CTE block, spliced into
+    * [[recipeV5Sql]] after `dec`: embed the s5 survivors (their recipe
+    * toks — the scrubbed text's tokenization) and the RAW eval docs under
+    * the same argmax blocking, join on block, and keep survivors whose
+    * max rounded cosine stays under `minCos` — the DuckDB mirror of
+    * `Decontam.semanticContamination` filtered to is_contam = 0. Ends in
+    * `semdocs(doc_id, toks)`.
+    */
+  private def semDecontamCtes(minCos: Double): String =
+    argmaxBlockedCtesFrom(64, "d",
+      "SELECT doc_id, unnest(toks) AS tok FROM dec") + ", " +
+      argmaxBlockedCtesFrom(64, "q",
+        s"SELECT doc_id, unnest($TOKS) AS tok FROM documents WHERE doc_id % 97 = 0") + ", " +
+      "semp AS (SELECT bd.vec_id AS a_id, " +
+      "round(list_cosine_similarity(bd.v, bq.v), 4) AS c " +
+      "FROM bd JOIN bq ON bd.block = bq.block), " +
+      "semm AS (SELECT a_id, max(c) AS mx FROM semp GROUP BY a_id), " +
+      // MATERIALIZED: semdocs feeds the surprisal chain AND two stage
+      // counts — same inlining-blowup guard as `dec` in [[recipeV5Sql]]
+      "semdocs AS MATERIALIZED (SELECT dec.doc_id, dec.toks FROM dec " +
+      "JOIN bd ON dec.doc_id = bd.vec_id " +
+      "LEFT JOIN semm ON bd.vec_id = semm.a_id " +
+      s"WHERE coalesce(semm.mx, -2) < $minCos)"
+
   /** The full text-SemDeDup decision replay over [[argmaxBlockedCtes]],
     * with an optional trailing row filter (the incremental oracle is the
     * batch decision restricted to the increment's rows).
@@ -1140,7 +1214,16 @@ object SparkEntry {
     * drift.
     */
   private def recipeV5Sql(pplPredicate: String,
-      prefixCtes: String = "", docsFrom: String = "documents"): String =
+      prefixCtes: String = "", docsFrom: String = "documents",
+      semMinCos: Option[Double] = None): String = {
+    // optional v8 semantic-decontamination stage: CTE block after `dec`,
+    // downstream stages re-sourced to its survivors, stage labels shifted
+    val semBlock = semMinCos.map(c => semDecontamCtes(c) + ", ").getOrElse("")
+    val pplSrc = if (semMinCos.isDefined) "semdocs" else "dec"
+    val pplLabel = if (semMinCos.isDefined) "s7_perplexity" else "s6_perplexity"
+    val spanPfx = if (semMinCos.isDefined) "s8" else "s7"
+    val semRow = if (semMinCos.isDefined)
+      "UNION ALL SELECT 's6_sem_decontam', count(*) FROM semdocs " else ""
     s"WITH RECURSIVE ${prefixCtes}t0 AS (SELECT doc_id, text, $TOKS AS toks " +
       s"FROM $docsFrom WHERE doc_id % 97 <> 0), " +
       "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
@@ -1167,9 +1250,15 @@ object SparkEntry {
       "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
       "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
       "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
-      "dec AS (SELECT doc_id, toks FROM near " +
+      // MATERIALIZED when the v8 sem block is present: `dec` is then
+      // referenced from two chains and DuckDB 1.0's default inlining
+      // re-evaluates the whole upstream recipe per reference (measured:
+      // the plain v8 oracle ran minutes; materialized, 4.5 s)
+      s"dec AS ${if (semMinCos.isDefined) "MATERIALIZED " else ""}" +
+      "(SELECT doc_id, toks FROM near " +
       "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
-      "st AS (SELECT doc_id, unnest(toks) AS word FROM dec), " +
+      semBlock +
+      s"st AS (SELECT doc_id, unnest(toks) AS word FROM $pplSrc), " +
       "stf AS (SELECT word, count(*) AS cnt FROM st GROUP BY word), " +
       "sn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM stf), " +
       "ss AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS sc " +
@@ -1182,7 +1271,7 @@ object SparkEntry {
       "AS bucket FROM scum, sna), " +
       "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) " +
       s"WHERE $pplPredicate), " +
-      "pdocs AS (SELECT doc_id, toks FROM dec " +
+      s"pdocs AS (SELECT doc_id, toks FROM $pplSrc " +
       "WHERE doc_id IN (SELECT doc_id FROM ppl)), " +
       "sp0 AS (SELECT doc_id, toks, " +
       "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM pdocs), " +
@@ -1195,9 +1284,11 @@ object SparkEntry {
       "UNION ALL SELECT 's3_exact_dedup', count(*) FROM exact " +
       "UNION ALL SELECT 's4_near_dedup', count(*) FROM near " +
       "UNION ALL SELECT 's5_decontam', count(*) FROM dec " +
-      "UNION ALL SELECT 's6_perplexity', count(*) FROM ppl " +
-      "UNION ALL SELECT 's7_spans_total', count(*) FROM sp " +
-      "UNION ALL SELECT 's7_spans_kept', count(*) FROM own WHERE rn = 1"
+      semRow +
+      s"UNION ALL SELECT '$pplLabel', count(*) FROM ppl " +
+      s"UNION ALL SELECT '${spanPfx}_spans_total', count(*) FROM sp " +
+      s"UNION ALL SELECT '${spanPfx}_spans_kept', count(*) FROM own WHERE rn = 1"
+  }
 
   /** Language-scoring SQL GENERATED from [[ops.TextAnalysis.LANG_PROFILES]]
     * — the same char-n-gram constant the Spark side scores with, so the
@@ -1601,6 +1692,14 @@ object SparkEntry {
         ", scrubbed AS (SELECT t7.doc_id, coalesce(ag7.text, '') AS text " +
         "FROM t7 LEFT JOIN ag7 USING (doc_id)), ",
       docsFrom = "scrubbed"),
+    // v8 = the v7 composition + the semantic-decontamination CTE block
+    // (argmax-blocked cosine vs the raw eval docs) between dec and the
+    // perplexity stage
+    "q_clean_corpus_v8" -> recipeV5Sql(v6PplPredicate,
+      prefixCtes = substringScrubCtes("7") +
+        ", scrubbed AS (SELECT t7.doc_id, coalesce(ag7.text, '') AS text " +
+        "FROM t7 LEFT JOIN ag7 USING (doc_id)), ",
+      docsFrom = "scrubbed", semMinCos = Some(0.85)),
     // both sides fingerprinted, full-outer by id; the new side's every
     // 10th overlapping doc carries the same injected ' rev2' suffix
     "q_corpus_diff" -> {

@@ -488,6 +488,75 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** dHash (difference hash) over raw PPM bytes: mean luminance on a
+    * 9x8 grid, then bit (r,c) = cell(r,c+1) > cell(r,c) — 64 horizontal
+    * gradient signs packed into one long. Gradient signs are invariant
+    * under uniform brightness/contrast shifts, which is why dHash is the
+    * standard cheap perceptual near-dup key for image corpora. Null for
+    * non-PPM blobs or images smaller than the 9x8 grid (no honest hash).
+    */
+  def ppmDHash(b: Array[Byte]): Any = {
+    val hdr = parsePpmHeader(b)
+    if (hdr == null) return null
+    val (w, h, maxval, i) = (hdr(0), hdr(1), hdr(2), hdr(3))
+    if (w < 9 || h < 8 || maxval <= 0 || maxval > 255) return null
+    if (b.length - i < w.toLong * h * 3) return null
+    val cells = new Array[Double](9 * 8)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val y0 = (r.toLong * h / 8).toInt; val y1 = ((r + 1).toLong * h / 8).toInt
+        val x0 = (c.toLong * w / 9).toInt; val x1 = ((c + 1).toLong * w / 9).toInt
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var off = i + (y.toLong * w + x0).toInt * 3
+          var x = x0
+          while (x < x1) {
+            s += (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+            off += 3
+            x += 1
+          }
+          y += 1
+        }
+        cells(r * 9 + c) = s.toDouble / ((y1 - y0).toLong * (x1 - x0) * 3)
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      val row = k / 8; val col = k % 8
+      if (cells(row * 9 + col + 1) > cells(row * 9 + col)) bits |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** `ppm_dhash(blob)` — the [[ppmDHash]] kernel as an expression. */
+  case class PpmDHash(child: Expression) extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"ppm_dhash requires BINARY, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      ppmDHash(in.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => s"""
+        |Object pdh = graft.functions.ArrayKernels.ppmDHash($in);
+        |${ev.isNull} = pdh == null;
+        |${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) pdh).longValue();
+       """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private[graft] val PATCH_T = ArrayType(StructType(Seq(
     StructField("p_row", IntegerType, nullable = false),
     StructField("p_col", IntegerType, nullable = false),
@@ -1570,6 +1639,9 @@ object ArrayKernels {
 
   def ppm_patch_means(blob: Column, patch: Int): Column =
     GraftSqlBridge.column(PpmPatchMeans(GraftSqlBridge.expression(blob), patch))
+
+  def ppm_dhash(blob: Column): Column =
+    GraftSqlBridge.column(PpmDHash(GraftSqlBridge.expression(blob)))
 
   def lang_predict(paddedText: Column,
       profiles: Seq[(String, Seq[String])]): Column =

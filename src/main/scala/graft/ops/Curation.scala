@@ -180,11 +180,31 @@ object Curation {
       maxNonAlnum, maxStopword, snmThreshold, spanTokens)
   }
 
+  /** v8 — v6 plus a SEMANTIC decontamination stage between the lexical
+    * one and the perplexity gate: documents whose hashed-vector cosine to
+    * any eval document clears `semMinCos` are dropped even when they share
+    * no n-gram with the benchmark (reworded eval items — the paraphrase
+    * blind spot of s5). Callers wanting the v7 composition pass substring-
+    * scrubbed docs, exactly as with v6.
+    */
+  def cleanCorpusV8Stats(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      spanTokens: Int = 20, contamN: Int = 13,
+      pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1),
+      semMinCos: Double = 0.9): DataFrame = {
+    require(pplRates.nonEmpty, "cleanCorpusV8Stats: need bucket rates")
+    recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
+      maxNonAlnum, maxStopword, snmThreshold, spanTokens,
+      semDecontam = Some((evalSet, semMinCos)))
+  }
+
   private def recipeStats(docs: DataFrame,
       decontam: Option[(DataFrame, Int)],
       ppl: Option[Seq[Double]], minTokens: Int,
       maxNonAlnum: Double, maxStopword: Double,
-      snmThreshold: Double, spanTokens: Int): DataFrame = {
+      snmThreshold: Double, spanTokens: Int,
+      semDecontam: Option[(DataFrame, Double)] = None): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -214,15 +234,32 @@ object Curation {
             .select("doc_id", "text"),
           evalSet, "doc_id", "text", n))
     }
+    // optional SEMANTIC decontamination stage (v8): paraphrase-robust —
+    // hashed-vector cosine vs the broadcast eval assignment under argmax
+    // blocking, dropping what s5's n-gram match cannot see. A doc whose
+    // hashed vector is zero-norm has no verdict row and is dropped with
+    // the contaminated (no direction ⇒ not comparable — the Similarity
+    // unitVecs convention; unreachable in practice behind the
+    // minTokens gate)
+    val semIds = semDecontam match {
+      case None => lastIds
+      case Some((evalSet, minCos)) =>
+        ids(Decontam.semanticContamination(
+          docs.join(lastIds, Seq("doc_id"), "left_semi")
+            .select("doc_id", "text"),
+          evalSet, minCos)
+          .where(col("is_contam") === 0)
+          .select(col("vec_id").as("doc_id")))
+    }
     // optional perplexity-percentile stage (v5/v6): fit unigram surprisal
     // on the current survivors, keep each quantile bucket at its rate —
     // v5's 0/1 rates make the hash predicate degenerate (always / never
     // keep, fully deterministic); v6's fractional rates thin buckets via
     // the deterministic hash-sample predicate
     val pplIds = ppl match {
-      case None => lastIds
+      case None => semIds
       case Some(rates) =>
-        val surv = docs.join(lastIds, Seq("doc_id"), "left_semi")
+        val surv = docs.join(semIds, Seq("doc_id"), "left_semi")
         // (id, score) is decision-sized: localCheckpoint it like every
         // other stage decision, then fit+apply the quantile dictionary
         // directly — perplexityMix's internal persist would leak one
@@ -236,6 +273,7 @@ object Curation {
           "doc_id", "avg_surprisal", rates).select("doc_id"))
     }
     val spanIdx = 5 + (if (decontam.isDefined) 1 else 0) +
+      (if (semDecontam.isDefined) 1 else 0) +
       (if (ppl.isDefined) 1 else 0)
     val spanPrefix = s"s$spanIdx"
     val spans = Dedup.spanDedup(docs.join(pplIds, Seq("doc_id"), "left_semi"),
@@ -260,9 +298,14 @@ object Curation {
     val withDec =
       if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
       else base
+    val semIdx = 5 + (if (decontam.isDefined) 1 else 0)
+    val withSem =
+      if (semDecontam.isDefined)
+        withDec.unionByName(stage(s"s${semIdx}_sem_decontam", semIds))
+      else withDec
     (if (ppl.isDefined)
-       withDec.unionByName(stage(s"s${spanIdx - 1}_perplexity", pplIds))
-     else withDec)
+       withSem.unionByName(stage(s"s${spanIdx - 1}_perplexity", pplIds))
+     else withSem)
       .unionByName(spanStages)
   }
 }

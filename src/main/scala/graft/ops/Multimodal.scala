@@ -221,4 +221,83 @@ object Multimodal {
         avg(col("width")).as("avg_width"),
         avg(col("dec.dec_width")).as("avg_dec_width"),
         sum(element_at(col("hist"), 1)).as("bin0_total"))
+
+  /** Synthetic decodable RAW images: a deterministic 16x16 P6 PPM per row,
+    * pixels from an xxhash64 chain over `group` = media_id / copies — so
+    * each group of `copies` consecutive ids renders the IDENTICAL image —
+    * with one hash chunk re-seeded per copy index for every copy after
+    * the group's first (a ~8-byte localized perturbation: the near-dup,
+    * not the exact-dup, case). The PPM tier exists exactly for this:
+    * pixels are honestly decodable in-engine, so the perceptual-hash
+    * pipeline below is REAL end to end, no decode stub.
+    */
+  def syntheticPpm(spark: org.apache.spark.sql.SparkSession, n: Int,
+      copies: Int = 4): DataFrame = {
+    require(copies > 0, s"copies must be positive, got $copies")
+    val group = (col("media_id") / copies).cast("long")
+    val copy = pmod(col("media_id"), lit(copies)).cast("int")
+    // 16x16x3 = 768 pixel bytes = 96 eight-byte hash chunks
+    val chunks = (0 until 96).map { c =>
+      val base = lpad(hex(abs(xxhash64(group, lit(c)))), 16, "0")
+      if (c == 0)
+        when(col("copy") === 0, base)
+          .otherwise(lpad(hex(abs(xxhash64(group, col("copy"), lit(c)))), 16, "0"))
+      else base
+    }
+    val hdrHex = lit("5036203136203136203235350A")  // "P6 16 16 255\n"
+    spark.range(n.toLong).toDF("media_id")
+      .withColumn("copy", copy)
+      .select(col("media_id"), col("media_id").cast("long").divide(copies)
+        .cast("long").as("group_id"),
+        unhex(concat((hdrHex +: chunks): _*)).as("blob"))
+  }
+
+  /** Perceptual image hash: dHash over decodable PPM pixels
+    * ([[ArrayKernels.PpmDHash]] — 9x8 luminance grid, 64 horizontal
+    * gradient-sign bits). Null for undecodable blobs. */
+  def imageDHash(blob: Column): Column = ArrayKernels.ppm_dhash(blob)
+
+  /** Perceptual near-duplicate pairs by banded Hamming join — the image
+    * twin of the text MinHash-LSH band trick, and the shape that scales:
+    * the 64-bit dHash splits into 4 disjoint 16-bit bands; any pair
+    * within Hamming distance 3 differs in at most 3 bands, so BY
+    * PIGEONHOLE it collides on at least one band — candidate generation
+    * is an equi-join on (band_idx, band_value), never an all-pairs scan,
+    * and exact `bit_count(xor)` rescoring keeps precision exact. Recall
+    * is GUARANTEED (not probabilistic) for maxHamming <= 3 under 4
+    * bands. Input: (media_id, blob); undecodable blobs drop out (null
+    * hash). Returns (a_id, b_id, hamming), a_id < b_id, deduped across
+    * bands by the min-band ownership rule (emit a pair only from the
+    * FIRST band it collides on — no distinct shuffle over pair rows).
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = media
+      .select(col("media_id"), imageDHash(col("blob")).as("dh"))
+      .where(col("dh").isNotNull)
+    val banded = hashed.select(col("media_id"), col("dh"),
+      explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
+        shiftrightunsigned(col("dh"), bnd * 16)
+          .bitwiseAND(lit(0xffffL)).as("bval"))): _*)).as("b"))
+      .select(col("media_id"), col("dh"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val l = banded.select(col("band"), col("bval"),
+      col("media_id").as("a_id"), col("dh").as("a_dh"))
+    val r = banded.select(col("band"), col("bval"),
+      col("media_id").as("b_id"), col("dh").as("b_dh"))
+    l.join(r, Seq("band", "bval"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("band"), col("a_id"), col("b_id"),
+        bit_count(col("a_dh").bitwiseXOR(col("b_dh"))).as("hamming"),
+        col("a_dh"), col("b_dh"))
+      .where(col("hamming") <= maxHamming)
+      // min-band ownership: recompute the first band this pair collides
+      // on from the two hashes (scan-stage arithmetic) and keep the row
+      // only where it was produced — exact dedup with zero extra shuffle
+      .where(col("band") === least((0 until 4).map { bnd =>
+        when(shiftrightunsigned(col("a_dh"), bnd * 16).bitwiseAND(lit(0xffffL))
+          === shiftrightunsigned(col("b_dh"), bnd * 16).bitwiseAND(lit(0xffffL)),
+          lit(bnd)).otherwise(lit(4))
+      }: _*))
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
 }

@@ -104,10 +104,18 @@ object Partitioning {
     // top-N via orderBy+limit (distributed TakeOrderedAndProject), THEN
     // rank the <= topN survivors — ranking the full counts frame with an
     // unpartitioned row_number window would single-partition-sort every
-    // distinct key (billions at 100 TB)
+    // distinct key (billions at 100 TB). The survivor rank itself is
+    // window-free too: partitionBy(lit(0)) LOOKED safe, but constant
+    // folding erases the foldable key and the unpartitioned-Window WARN
+    // comes back at runtime — instead collect the bounded survivors into
+    // one sorted array ((-cnt, key) asc = the same order) and posexplode,
+    // rank = position
     counts.orderBy(col("cnt").desc, col("key")).limit(topN)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("key"))))
+      .agg(collect_list(
+        struct((-col("cnt")).as("_nc"), col("key"), col("cnt"))).as("_t"))
+      .select(posexplode(array_sort(col("_t"))).as(Seq("_i", "_s")))
+      .select((col("_i") + 1).cast("int").as("rank"),
+        col("_s.key").as("key"), col("_s.cnt").as("cnt"))
       .crossJoin(broadcast(stats))
       .select(col("rank"), col("key"), col("cnt"),
         round(col("cnt") / col("n_rows"), 6).as("share"),

@@ -41,9 +41,16 @@ object Similarity {
     emb.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("e"),
         l2norm(asDouble(col("embedding"))).as("nrm"))
       // zero-norm vectors have no direction: excluded rather than silently
-      // divided into NULLs (which the dot kernel would read as 0.0)
+      // divided into NULLs (which the dot kernel would read as 0.0).
+      // The division itself is still guarded: subexpression elimination
+      // can hoist the transform into a PREDICATE evaluated before this
+      // filter (observed in the v8 recipe composition), where a zero-norm
+      // row would throw ANSI DIVIDE_BY_ZERO — `when` short-circuits, so
+      // excluded rows never execute the division wherever Catalyst places
+      // it (the value 0.0 is unobservable: the row is filtered)
       .where(col("nrm") > 0)
-      .select(col(idAs), transform(col("e"), x => x / col("nrm")).as(embAs))
+      .select(col(idAs), transform(col("e"),
+        x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0))).as(embAs))
 
   /** Scalar int8 quantization quality report — the 4× storage cut every
     * large embedding store takes before ANN indexing. Per-vector symmetric

@@ -709,6 +709,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hg("s5_decontam") == 4L && hg("s6_perplexity") == 4L, hg.toString)
   }
 
+  test("cleanCorpusV8Stats: the semantic stage drops the paraphrase s5 misses") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val evalSet = Seq((100L, s"$shared kappa")).toDF("doc_id", "text")
+    val docs = Seq(
+      // reordered eval vocabulary: zero shared 3-grams (survives the
+      // lexical s5) but hashed-vector cosine ~1 (dropped at s6)
+      (1L, "kappa iota theta eta zeta epsilon delta gamma beta alpha", "en", "s"),
+      // disjoint vocabulary: survives both decontam stages
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10", "en", "s"),
+      // verbatim eval prefix: shares 3-grams, dropped at the LEXICAL s5
+      (3L, s"$shared more words here", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.cleanCorpusV8Stats(docs, evalSet, contamN = 3,
+        pplRates = Seq(1.0, 1.0, 1.0, 1.0, 1.0), semMinCos = 0.9)
+      .as[(String, Long)].collect().toMap
+    assert(got("s4_near_dedup") == 3L, got.toString)
+    assert(got("s5_decontam") == 2L, got.toString)     // doc 3 out (lexical)
+    assert(got("s6_sem_decontam") == 1L, got.toString) // doc 1 out (semantic)
+    assert(got("s7_perplexity") == 1L, got.toString)   // all-ones: no-op
+  }
+
+  test("semanticContaminationServe: per-batch flags equal the batch decision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "delta alpha epsilon beta gamma"), // paraphrase -> flagged
+      (2L, "nothing similar here whatsoever"),
+      (3L, "alpha beta gamma delta epsilon"), // verbatim -> flagged
+      (4L, "unrelated batch two content entirely"))
+    val in = MemoryStream[(Long, String)](92, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double], Int)]()
+    val q = Decontam.semanticContaminationServe(
+        in.toDF().toDF("doc_id", "text"), eval, minCos = 0.9) { batch =>
+      out ++= batch.as[(Long, Long, Option[Double], Int)].collect()
+    }.start()
+    val (b1, b2) = rows.splitAt(2)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Decontam
+      .semanticContamination(rows.toDF("doc_id", "text"), eval, minCos = 0.9)
+      .as[(Long, Long, Option[Double], Int)].collect().sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == expected)
+    assert(out.filter(_._4 == 1).map(_._1).toSet == Set(1L, 3L), out)
+  }
+
   test("cleanCorpusV6Stats: fractional rates thin buckets; all-ones = no cut") {
     // same fixture as the v5 spec: five tied docs in bucket 1, the
     // singleton-vocab doc 6 in bucket 5
