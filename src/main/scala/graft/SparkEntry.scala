@@ -709,8 +709,15 @@ object SparkEntry {
     // of training text — decontamination-flavored by design)
     "q_clean_corpus_v7" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // materialize the REWRITTEN corpus once: the recipe scans its
+      // input's text once per stage (quality, fingerprints, SNM, grams,
+      // spans), and each scan would otherwise re-run the whole scrub —
+      // its gram-ownership shuffle included (measured 74 s → 11 s on the
+      // 50k ×10-copies stress). Production form: write the scrubbed
+      // corpus, then curate the written table.
       val scrubbed = Dedup.substringScrub(docs, k = 8)
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       Curation.cleanCorpusV6Stats(
         scrubbed.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
@@ -722,8 +729,10 @@ object SparkEntry {
     // n-gram with the benchmark still drop)
     "q_clean_corpus_v8" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // same scrub materialization rationale as q_clean_corpus_v7
       val scrubbed = Dedup.substringScrub(docs, k = 8)
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       Curation.cleanCorpusV8Stats(
         scrubbed.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),

@@ -58,10 +58,14 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val outdeg = edges.groupBy("src").agg(sum("weight").as("outdeg"))
+    // localCheckpoint, not persist: every iteration joins this frame and
+    // each join derives null-filters on its keys — with live lineage
+    // those push below the projections and can re-run the whole edge
+    // derivation per step (the Similarity.dedupFlagsByBlock lesson)
     val e = edges.join(outdeg, "src")
       .select(col("src"), col("dst"),
         (col("weight").cast("double") / col("outdeg")).as("share"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -89,7 +93,6 @@ object Graph {
         .localCheckpoint()
       it += 1
     }
-    e.unpersist()
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 }

@@ -861,13 +861,17 @@ object Similarity {
     * and is_dup 0/1).
     */
   private def dedupFlagsByBlock(base0: DataFrame, minCos: Double): DataFrame = {
-    // base feeds BOTH self-join sides and the output join — without this
-    // persist an expensive upstream (the hashEmbed explode+aggregate
-    // chain in the text variant) recomputes three times per run
-    // (measured: the unpersisted text query cost ~3× its persisted
-    // form). Lineage stays intact (the bm25/perplexityMix persist
-    // contract).
-    val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // base feeds BOTH self-join sides and the output join. localCheckpoint
+    // — a hard lineage cut — NOT persist: the join planner derives an
+    // isnotnull(block) null-filter and pushes it below the projections of
+    // the live lineage, re-evaluating the embedding chain per row inside
+    // the filter; cache substitution does not reliably protect against it
+    // (measured on the sf0.1 text corpus: 3.5 s warm persisted vs 0.8 s
+    // checkpointed for the identical decision — and the round-9
+    // contaminationFlagsBlocked case was 28.8 s vs 1.4 s). The checkpoint
+    // is embedding-sized and GC-cleaned when the decision frame dies, so
+    // nothing pins the cache across calls (round-8 advice).
+    val base = base0.localCheckpoint()
     val l = base.select(col("block"), col("vec_id").as("a_id"), col("e").as("a_e"))
     val r = base.select(col("block"), col("vec_id").as("b_id"), col("e").as("b_e"))
     val best = l.join(r, Seq("block"))
@@ -875,19 +879,11 @@ object Similarity {
       .select(col("a_id"), round(dot(col("a_e"), col("b_e")), 4).as("c"))
       .groupBy("a_id")
       .agg(max(col("c")).as("max_lower_cos"))
-    val flags = base.select(col("vec_id"), col("block"))
+    base.select(col("vec_id"), col("block"))
       .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("block"), col("max_lower_cos"),
         (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int")
           .as("is_dup"))
-      // eager localCheckpoint: the decision is (id, block, score, flag) —
-      // id-sized, the Curation convention — so materializing it here lets
-      // the EMBEDDING-sized base cache be released deterministically below
-      // instead of pinning a new MEMORY_AND_DISK plan per semanticDedup*
-      // call until the caller remembers clearCache (round-8 advice)
-      .localCheckpoint()
-    base.unpersist()
-    flags
   }
 
   /** Sign-bit block id: bit i set iff component i of the embedding is
@@ -1003,10 +999,12 @@ object Similarity {
       minCos: Double = 0.95, maxBlock: Int = 1024): DataFrame = {
     // increment feeds the probe side, the self-join, and the output join
     // — day-sized, but its upstream (hashEmbed's explode+aggregate in
-    // the text composition) is the expensive part, so persist like
-    // dedupFlagsByBlock's base (and release below)
-    val inc = increment
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the text composition) is the expensive part. localCheckpoint like
+    // dedupFlagsByBlock's base: a hard lineage cut, because the joins'
+    // derived isnotnull(block) null-filters push into live lineage and
+    // re-evaluate the embedding chain per row (the persist form measured
+    // 3.5 s vs 0.8 s checkpointed on the batch twin — same shape here)
+    val inc = increment.localCheckpoint()
     val l = inc.select(col("block"), col("vec_id").as("a_id"),
       col("e").as("a_e"))
     def lowerScores(r: DataFrame): DataFrame =
@@ -1085,14 +1083,11 @@ object Similarity {
         col("vec_id").as("b_id"), col("e").as("b_e"))))
       .groupBy("a_id")
       .agg(max(col("c")).as("max_lower_cos"))
-    val flags = inc.select(col("vec_id"), col("block"))
+    inc.select(col("vec_id"), col("block"))
       .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("block"), col("max_lower_cos"),
         (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int")
           .as("is_dup"))
-      .localCheckpoint()
-    inc.unpersist()
-    flags
   }
 
   /** One-row blocking-degeneracy telemetry over a blocked assignment
@@ -1195,9 +1190,27 @@ object Similarity {
       graft.functions.ArrayKernels.signed_project(
         asDouble(col("embedding")), inDim, outDim, tag).as("embedding"))
 
-  def contaminationFlagsBlocked(corpus: DataFrame, probes: DataFrame,
+  def contaminationFlagsBlocked(corpus0: DataFrame, probes0: DataFrame,
       minCos: Double): DataFrame = {
-    val p = broadcast(probes.select(col("block"), col("e").as("p_e")))
+    // localCheckpoint BOTH assignments — a hard lineage cut, not persist.
+    // Two measured failure modes with live lineage here (sf0.1, 4948
+    // docs: 33 s → 1.4 s):
+    // (1) the inner join derives an isnotnull(block) null-filter and
+    //     pushes it below the projections, re-evaluating the whole
+    //     hashEmbed→normalize→argmax chain ~8× per corpus row inside the
+    //     filter — and the corpus is ALSO re-referenced by the output
+    //     join (cache substitution did not protect: the persisted
+    //     variant still ran the 28.8 s plan);
+    // (2) Catalyst's small row estimate for `best` broadcast the entire
+    //     corpus subtree into a single-threaded subquery build (46 s in
+    //     one task inside the v8 recipe).
+    // The checkpoint is embedding-sized — the price a standing dedup
+    // index pays anyway; at 100 TB this materialization IS the index
+    // build (IndexTables), and per-batch serving checkpoints only the
+    // batch.
+    val corpus = corpus0.localCheckpoint()
+    val p = broadcast(
+      probes0.select(col("block"), col("e").as("p_e")).localCheckpoint())
     val best = corpus.select(col("block"), col("vec_id"), col("e"))
       .join(p, Seq("block"))
       .select(col("vec_id"), round(dot(col("e"), col("p_e")), 4).as("c"))

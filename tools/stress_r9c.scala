@@ -48,9 +48,11 @@ val edges1m = spark.range(1000000L).toDF("i").select(
   lit(1L).as("weight"))
 time("1M-edge-pagerank-3it")(graft.ops.Graph.pageRank(edges1m, 3).count())
 
-// v8 recipe end to end at 50k (substring scrub + v6 chain + sem stage)
+// v8 recipe end to end at 50k (substring scrub + v6 chain + sem stage);
+// scrub materialized once — the recipe scans its input per stage
 val scrubbed = graft.ops.Dedup.substringScrub(big, k = 8)
   .select(col("doc_id"), col("text"))
+  .localCheckpoint()
 time("50k-clean-corpus-v8")(graft.ops.Curation.cleanCorpusV8Stats(
   scrubbed.where(col("doc_id") % 97 =!= 0),
   big.where(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L),
