@@ -475,6 +475,13 @@ object SparkEntry {
       Multimodal.imageNearDup(
         Multimodal.syntheticPpm(s, 500).select(col("media_id"), col("blob")),
         maxHamming = 3)),
+    // acoustic near-dup over the same banded core: REAL WAV decode →
+    // 64 energy-gradient bits (gain-invariant) → 4-band Hamming join.
+    // Rows-only like q_image_dedup; parity vs brute force in MultimodalSpec
+    "q_audio_dedup" -> ((s, d) =>
+      Multimodal.audioNearDup(
+        Multimodal.syntheticWav(s, 500).select(col("media_id"), col("blob")),
+        maxHamming = 3)),
     // interleaved image-text assembly (MMC4 shape): 100 synthetic image
     // media assigned to docs 0-49 by id modulo, one <image> placeholder
     // inserted per media at a deterministic token offset

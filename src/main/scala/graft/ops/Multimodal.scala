@@ -270,10 +270,27 @@ object Multimodal {
     * bands by the min-band ownership rule (emit a pair only from the
     * FIRST band it collides on — no distinct shuffle over pair rows).
     */
-  def imageNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = media
-      .select(col("media_id"), imageDHash(col("blob")).as("dh"))
-      .where(col("dh").isNotNull)
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      media.select(col("media_id"), imageDHash(col("blob")).as("dh"))
+        .where(col("dh").isNotNull),
+      maxHamming)
+
+  /** Near-duplicate pairs of any 64-bit perceptual hash column by banded
+    * Hamming join — the generic core behind [[imageNearDup]] and
+    * [[audioNearDup]]: 4 disjoint 16-bit bands, candidate = equi-join on
+    * (band_idx, band_value), exact `bit_count(xor)` rescore, min-band
+    * pair ownership (a pair is emitted only from the FIRST band it
+    * collides on — exact dedup with zero extra shuffle). Recall is
+    * pigeonhole-EXACT for maxHamming <= 3. `hashed` = (media_id, dh
+    * BIGINT); it is localCheckpoint'd here — the band values are DERIVED
+    * join keys, and live lineage would re-evaluate the upstream hash
+    * chain inside the pushed-down null filters (the
+    * Similarity.dedupFlagsByBlock lesson); the checkpoint is
+    * (id, long)-sized.
+    */
+  def bandedHammingPairs(hashed0: DataFrame, maxHamming: Int): DataFrame = {
+    val hashed = hashed0.localCheckpoint()
     val banded = hashed.select(col("media_id"), col("dh"),
       explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
         shiftrightunsigned(col("dh"), bnd * 16)
@@ -299,5 +316,69 @@ object Multimodal {
           lit(bnd)).otherwise(lit(4))
       }: _*))
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Perceptual AUDIO hash: 64 energy-gradient sign bits over the first
+    * 65 per-frame RMS values of a canonical PCM16 WAV
+    * ([[ArrayKernels.WavFrameRms]] does the real decode). Gradient signs
+    * are invariant under uniform gain change (RMS scales linearly), the
+    * audio analogue of dHash's brightness invariance — the standard
+    * cheap acoustic near-dup key (the chromaprint family's energy-delta
+    * core, mono/band-collapsed). NULL for non-WAV blobs or recordings
+    * shorter than 65 frames (no honest hash). Bits fold MSB-first
+    * (acc·2 + sign) so the whole hash is one HOF aggregate over the
+    * RMS array — no new kernel needed.
+    */
+  def audioHash(blob: Column, frameSamples: Int = 4): Column = {
+    val r = ArrayKernels.wav_frame_rms(blob, frameSamples)
+    // two 32-bit halves combined bitwise: a single 64-bit acc·2 fold
+    // would ANSI-overflow at the last doubling whenever the first
+    // gradient bit is set (shiftleft/bitwiseOR are bit ops — no
+    // overflow check, the bit pattern is the hash)
+    def half(lobit: Int): Column =
+      aggregate(sequence(lit(lobit), lit(lobit + 31)), lit(0L),
+        (acc, i) => acc * 2 + when(element_at(r, i + 1) > element_at(r, i),
+          lit(1L)).otherwise(lit(0L)))
+    when(size(r) >= 65, shiftleft(half(1), 32).bitwiseOR(half(33)))
+  }
+
+  /** [[imageNearDup]]'s audio twin over the same banded-Hamming core:
+    * (media_id, blob) in, (a_id, b_id, hamming) out; undecodable or
+    * too-short blobs drop out (null hash).
+    */
+  def audioNearDup(media: DataFrame, maxHamming: Int = 3,
+      frameSamples: Int = 4): DataFrame =
+    bandedHammingPairs(
+      media.select(col("media_id"),
+          audioHash(col("blob"), frameSamples).as("dh"))
+        .where(col("dh").isNotNull),
+      maxHamming)
+
+  /** Synthetic decodable WAVs, the audio twin of [[syntheticPpm]]: a
+    * canonical 44-byte PCM16 mono header + 520 sample bytes (65 frames
+    * at 4 samples/frame) from an xxhash64 chain over `group` =
+    * media_id / copies, with one 8-byte chunk re-seeded per copy index
+    * for every copy after the group's first.
+    */
+  def syntheticWav(spark: org.apache.spark.sql.SparkSession, n: Int,
+      copies: Int = 4): DataFrame = {
+    require(copies > 0, s"copies must be positive, got $copies")
+    val group = (col("media_id") / copies).cast("long")
+    // RIFF(36+520) WAVE fmt(16, PCM, mono, 16 kHz, 16-bit) data(520)
+    val hdrHex = lit("524946462C02000057415645666D7420100000000100" +
+      "0100803E0000007D00000200100064617461" + "08020000")
+    val chunks = (0 until 65).map { c =>
+      val base = lpad(hex(abs(xxhash64(group, lit(1000 + c)))), 16, "0")
+      if (c == 0)
+        when(col("copy") === 0, base)
+          .otherwise(
+            lpad(hex(abs(xxhash64(group, col("copy"), lit(1000 + c)))), 16, "0"))
+      else base
+    }
+    spark.range(n.toLong).toDF("media_id")
+      .withColumn("copy", pmod(col("media_id"), lit(copies)).cast("int"))
+      .select(col("media_id"), (col("media_id") / copies).cast("long")
+        .as("group_id"),
+        unhex(concat((hdrHex +: chunks): _*)).as("blob"))
   }
 }
