@@ -173,6 +173,13 @@ object SparkEntry {
     // ---- dedup (exact + sketch-based) ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedupStats(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // cross-source duplication-leakage matrix: which sources share exact
+    // content (off-diagonal) and which duplicate internally (diagonal)
+    "q_dup_matrix" -> ((s, d) =>
+      Dedup.sourceDupMatrix(Tables.documents(s, d))),
+    // corpus bits-per-token / bits-per-byte under its own unigram LM —
+    // the compression-difficulty dashboard tracked per curation stage
+    "q_bpb" -> ((s, d) => TextAnalysis.bitsPerByte(Tables.documents(s, d))),
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2,
         indexName = Some(IndexTables.ident("minhash", d,
@@ -1981,6 +1988,32 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
+    // the q_surprisal per-doc rows (rounded avgs — part of the contract)
+    // re-aggregated to one corpus row with octet_length denominators
+    "q_bpb" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "tf AS (SELECT word, count(*) AS cnt FROM terms GROUP BY word), " +
+        "n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf), " +
+        "ss AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
+        "FROM terms JOIN tf USING (word), n GROUP BY doc_id), " +
+        "b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents) " +
+        "SELECT count(*) AS n_docs, CAST(sum(ss.n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(b.bytes) AS BIGINT) AS total_bytes, " +
+        "round(sum(ss.n_tokens * ss.avg_surprisal) / sum(ss.n_tokens) / ln(2), 4) AS bits_per_token, " +
+        "round(sum(ss.n_tokens * ss.avg_surprisal) / sum(b.bytes) / ln(2), 4) AS bits_per_byte " +
+        "FROM ss JOIN b USING (doc_id)"),
+    // (gram, source) occupancy self-joined per 8-gram (the q_decontam
+    // gram CTE idiom); diagonal = within-source multiplicity >= 2
+    "q_dup_matrix" ->
+      (s"WITH t AS (SELECT source, $TOKS AS toks FROM documents), " +
+        "ti AS (SELECT source, toks, unnest(range(greatest(len(toks)-7, 0))) AS i FROM t), " +
+        "g0 AS (SELECT source, array_to_string(toks[i+1:i+8], ' ') AS g FROM ti), " +
+        "g AS (SELECT g, source, count(*) AS n FROM g0 GROUP BY g, source) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "count(*) AS n_shared_grams FROM g a JOIN g b ON a.g = b.g " +
+        "WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2) " +
+        "GROUP BY 1, 2"),
     // the Spark side must reproduce these from ACTUAL written files:
     // exactly 4 range-partitioned files, every corpus row present, and
     // strictly disjoint per-file doc_id ranges (0 overlaps)

@@ -816,6 +816,33 @@ object Dedup {
     * (max of (z, -doc_id)) keeps the tie rule inside the aggregate —
     * no window, no second pass.
     */
+  /** Cross-source duplication-leakage matrix — the data-governance
+    * diagnostic behind "which sources copy from which": for every
+    * unordered source pair (a <= b), the number of distinct k-gram
+    * contents both sources carry; the diagonal counts grams REPEATED
+    * within one source. Gram-level (not whole-doc fingerprints) because
+    * real leakage is mostly partial — boilerplate, quoted passages,
+    * syndicated fragments — which document hashes never see. Scale
+    * shape: one (gram, source) aggregate — map-side combined — then a
+    * per-gram self-join whose fan-out is bounded by the SOURCE count per
+    * gram (a small set by nature), never by document multiplicity; the
+    * matrix itself is |sources|²-bounded.
+    */
+  def sourceDupMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
+    val bySrc = docs
+      .select(col("source"),
+        explode(Decontam.ngrams(Core.tokensUni(col("text")), k)).as("g"))
+      .groupBy("g", "source").agg(count(lit(1)).as("n"))
+    val l = bySrc.select(col("g"), col("source").as("source_a"),
+      col("n").as("_na"))
+    val r = bySrc.select(col("g"), col("source").as("source_b"))
+    l.join(r, Seq("g"))
+      .where(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("_na") >= 2))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   def canonicalPerCluster(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val z = docs.select(col("doc_id"),
       TextAnalysis.qualityLogit(col("text")).as("z"))

@@ -840,6 +840,28 @@ object TextAnalysis {
     * ones never do. The prefix keeps the fallback disjoint from every
     * token-stream md5 (no 32-hex collision between the two regimes).
     */
+  /** Corpus bits-per-token / bits-per-byte under the corpus's OWN unigram
+    * LM — the compression-difficulty dashboard LLM-data teams track per
+    * source and per curation stage (a cheap stand-in for model-based
+    * perplexity; falling bpb across recipe versions = the corpus got more
+    * predictable). Derived from the [[surprisalScores]] per-doc rows, so
+    * it inherits their oracle parity bit for bit: total bits =
+    * Σ n_tokens·avg_surprisal / ln 2 over the ROUNDED per-doc averages
+    * (the rounding is part of the contract, replayed by the oracle).
+    * One row; only (word, count) partials and per-doc scores shuffle.
+    */
+  def bitsPerByte(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("_bytes"))
+      .join(surprisalScores(docs), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("_bytes").as("total_bytes"),
+        round(sum(col("n_tokens") * col("avg_surprisal")) /
+          sum("n_tokens") / math.log(2.0), 4).as("bits_per_token"),
+        round(sum(col("n_tokens") * col("avg_surprisal")) /
+          sum("_bytes") / math.log(2.0), 4).as("bits_per_byte"))
+
   def fingerprint(text: Column): Column = {
     val t = toks(text)
     when(size(t) > 0, md5(array_join(t, " ")))

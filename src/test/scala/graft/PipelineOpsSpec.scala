@@ -709,6 +709,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hg("s5_decontam") == 4L && hg("s6_perplexity") == 4L, hg.toString)
   }
 
+  test("bitsPerByte: uniform vocabulary gives exactly log2(V) bits per token") {
+    import graft.ops.TextAnalysis
+    // 4 equally frequent words -> every token costs exactly 2 bits
+    val docs = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "dd cc bb aa")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bitsPerByte(docs)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 8L, r)        // 2 docs, 8 tokens
+    assert(r._3 == 22L, r)                      // 11 ASCII bytes per doc
+    assert(math.abs(r._4 - 2.0) < 1e-3, r)      // log2(4) (avg rounded @4)
+    assert(math.abs(r._5 - 16.0 / 22.0) < 1e-3, r)
+  }
+
+  test("sourceDupMatrix: shared grams off-diagonal, internal repeats on it") {
+    import graft.ops.Dedup
+    val shared = "a b c d e f g h" // one 8-gram
+    val docs = Seq(
+      (1L, s"$shared tail1", "A"),
+      (2L, s"$shared tail2", "B"),          // A-B share the gram
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "C"), // disjoint
+      (4L, s"$shared again $shared", "A")   // A repeats it internally
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupMatrix(docs, k = 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "B")) == 1L, got)
+    assert(got(("A", "A")) == 1L, got)      // the internally repeated gram
+    assert(!got.keySet.exists(p => p._1 == "C" || p._2 == "C"), got)
+  }
+
   test("cleanCorpusV8Stats: the semantic stage drops the paraphrase s5 misses") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
     val evalSet = Seq((100L, s"$shared kappa")).toDF("doc_id", "text")
