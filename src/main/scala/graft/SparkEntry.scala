@@ -299,6 +299,12 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", 0.8, 0.1)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    // exact-k weighted without-replacement draw (A-ES exponential race):
+    // 20 docs per source, length-weighted — the "exactly k, prefer long
+    // docs, reproducibly" quota form next to the fraction samplers
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", k = 20)),
     // near-dup clusters: connected components over the sorted-neighborhood
     // candidate pairs (oracled via DuckDB's recursive CTE). Persisted like
     // any index — a dedup DECISION is a reusable artifact in a real
@@ -585,6 +591,22 @@ object SparkEntry {
       Similarity.hardNegatives(assigned, emb.select(col("vec_id"), col("label")),
         emb.where(col("vec_id") < 100), k = 5, cents, nprobe = 16)
     }),
+    // margin-criterion pair mining (ratio margin, "max" strategy): probes
+    // = every 7th vector, corpus = the rest; exact kNN regime so DuckDB
+    // replays the whole criterion. minMargin 1.0 keeps pairs at least as
+    // close as both endpoints' usual top-4 neighbourhoods.
+    "q_margin_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMine(emb.where(col("vec_id") % 7 =!= 0),
+        emb.where(col("vec_id") % 7 === 0), k = 4, minMargin = 1.0)
+    }),
+    // k-occurrence (hubness) report over the same exact kNN frame
+    "q_hubness" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hubness(Similarity.knnAllBrute(
+        emb.where(col("vec_id") % 7 =!= 0),
+        emb.where(col("vec_id") % 7 === 0), k = 4))
+    }),
     // contrastive triplets: nearest same-label positive + nearest
     // different-label negative per anchor, with the cosine margin
     "q_triplets" -> ((s, d) => {
@@ -853,6 +875,18 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // SCD2 attribute history: per-user event_type timeline with
+    // [valid_from, valid_to) version rows — the snapshot-versioning layer
+    // (doc license/quality-tier across crawls is the same algebra)
+    "q_scd2" -> ((s, d) =>
+      History.scd2(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type")),
+    // point-in-time reconstruction off the same history
+    "q_scd2_asof" -> ((s, d) =>
+      History.asOf(
+        History.scd2(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type"),
+        "user_id", to_timestamp(lit("2024-01-15 00:00:00")))),
     // per-source dataset card (the corpus report broken out by provenance)
     "q_data_card" -> ((s, d) =>
       TextAnalysis.dataCard(Tables.documents(s, d))),
@@ -1830,6 +1864,18 @@ object SparkEntry {
         s"SELECT CASE WHEN k < '${ops.Sampling.hexThreshold(0.8)}' THEN 'train' " +
         s"WHEN k < '${ops.Sampling.hexThreshold(0.8 + 0.1)}' THEN 'valid' " +
         "ELSE 'test' END AS split, count(*) AS cnt FROM h GROUP BY 1"),
+    // A-ES replay: the same 32-bit md5 uniform, exponential clock, and
+    // per-source rank (clock asc, id asc)
+    "q_weighted_sample" ->
+      ("WITH c AS (SELECT source, doc_id, " +
+        "-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+        "AS UBIGINT) + 0.5) / 4294967296.0) / n_chars AS clock " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+        "r AS (SELECT source, doc_id, clock, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY clock ASC, doc_id ASC) AS INT) AS rn " +
+        "FROM c) " +
+        "SELECT source, doc_id, round(clock, 4) AS clock, rn " +
+        "FROM r WHERE rn <= 20"),
     "q_ngram_jaccard" ->
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2), " +
@@ -2196,6 +2242,42 @@ object SparkEntry {
         "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
         "FROM e, q WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, c AS cos, rk FROM p WHERE rk <= 10"),
+    // full margin-criterion replay: exact top-4 forward (probe → corpus),
+    // neighbourhood SUMS of rounded cosines (grid-exact — the marginMine
+    // numeric-determinism note), ratio margin 2k·cos/(s_fwd+s_bwd) on the
+    // rank-1 pair
+    "q_margin_knn" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "a AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 7 = 0), " +
+        "b AS (SELECT vec_id, emb FROM e WHERE vec_id % 7 <> 0), " +
+        "fp AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
+        "FROM b, a) , " +
+        "fwd AS (SELECT * FROM fp WHERE rk <= 4), " +
+        "af AS (SELECT q_id, round(sum(cos), 4) AS s_fwd FROM fwd GROUP BY q_id), " +
+        "cand AS (SELECT DISTINCT vec_id FROM fwd), " +
+        "bp AS (SELECT b.vec_id AS vec_id, a.q_id AS p_id, " +
+        "round(list_cosine_similarity(a.q_emb, b.emb), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY b.vec_id " +
+        "ORDER BY round(list_cosine_similarity(a.q_emb, b.emb), 4) DESC, a.q_id ASC) AS INT) AS rk " +
+        "FROM b JOIN cand USING (vec_id), a), " +
+        "ab AS (SELECT vec_id, round(sum(cos), 4) AS s_bwd FROM bp WHERE rk <= 4 GROUP BY vec_id) " +
+        "SELECT f.q_id, f.vec_id, f.cos, af.s_fwd, ab.s_bwd, " +
+        "round(8 * f.cos / (af.s_fwd + ab.s_bwd), 4) AS margin " +
+        "FROM fwd f JOIN af USING (q_id) JOIN ab USING (vec_id) " +
+        "WHERE f.rk = 1 AND round(8 * f.cos / (af.s_fwd + ab.s_bwd), 4) >= 1.0"),
+    // k-occurrence counts over the same exact forward kNN frame
+    "q_hubness" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "a AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 7 = 0), " +
+        "b AS (SELECT vec_id, emb FROM e WHERE vec_id % 7 <> 0), " +
+        "fp AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id ASC) AS INT) AS rk " +
+        "FROM b, a) " +
+        "SELECT vec_id, count(*) AS hits, min(rk) AS best_rk, " +
+        "round(sum(cos), 4) AS sum_cos FROM fp WHERE rk <= 4 GROUP BY vec_id"),
     // the q_ivf_topk_multi replay with the label inequality inside the
     // candidate set (filter BEFORE ranking): k nearest negatives exactly
     "q_hard_negatives" ->
@@ -2626,6 +2708,35 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // SCD2 replay: lag-filter run openers, then lead() for valid_to
+    "q_scd2" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "v AS (SELECT user_id, ts, event_id, event_type FROM o " +
+        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) " +
+        "SELECT user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version, " +
+        "event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
+        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "IS NULL AS INT) AS is_current FROM v"),
+    "q_scd2_asof" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "v AS (SELECT user_id, ts, event_id, event_type FROM o " +
+        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+        "h AS (SELECT user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version, " +
+        "event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to " +
+        "FROM v) " +
+        "SELECT user_id, version, state FROM h " +
+        "WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"),
     // relational replay of the array-expression winnowing: window-min
     // over gram hashes with a truncated final frame; md5-prefix string
     // hashes make min() engine-identical (binary order on [0-9a-f])

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines.
@@ -480,5 +481,49 @@ object Sampling {
       when(k < lit(hexThreshold(trainRate)), "train")
         .when(k < lit(hexThreshold(trainRate + validRate)), "valid")
         .otherwise("test"))
+  }
+
+  /** Exact-k weighted sample WITHOUT replacement per stratum — the
+    * Efraimidis–Spirakis A-ES draw phrased as an exponential race: each
+    * row gets a clock `-ln(u)/w` where `u` is a deterministic uniform in
+    * (0,1) from its hashed id and `w` its weight; the k SMALLEST clocks
+    * per stratum are exactly a weight-proportional without-replacement
+    * sample (the classic `u^(1/w)` key is the monotone transform
+    * `exp(-clock)`). This is the missing third form next to
+    * [[stratifiedHashSample]] (fraction, not exact-k) and
+    * [[tokenBudgetMix]] (budget, hash-uniform): "exactly k docs per
+    * source, preferring high-weight ones, reproducibly". With a constant
+    * weight column it degenerates to a uniform per-stratum QUOTA CAP.
+    *
+    * Deterministic and append-stable: `u` depends only on (salt, id), so
+    * re-runs and engine ports agree, and a newly appended row enters the
+    * sample only by beating an incumbent's clock — no global reshuffle of
+    * the randomness (the [[hashSample]] retry-stability argument).
+    *
+    * Scale shape: the clock is a scan-stage expression over (stratum, id,
+    * weight) — text never moves — and the rank-filter window compiles to
+    * WindowGroupLimit partial top-k BELOW the exchange (verified in the
+    * plan: each map task forwards at most k rows per stratum), so the
+    * per-stratum final sort sees ≤ k·partitions rows no matter how big
+    * the corpus is. Rows with weight ≤ 0 or null are excluded (no valid
+    * clock — same policy as [[perplexityMix]]'s null scores).
+    */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    // 32-bit uniform from the hashKey hex, centered off 0 so ln never
+    // sees an endpoint: u = (v + 0.5) / 2^32 ∈ (0,1) exactly.
+    val v = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("clock").asc, col(idCol).asc)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(strataCol), col(idCol),
+        (-log(u) / col(weightCol).cast("double")).as("clock"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(strataCol), col(idCol),
+        round(col("clock"), 4).as("clock"), col("rn"))
   }
 }

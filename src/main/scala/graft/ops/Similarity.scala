@@ -1222,4 +1222,123 @@ object Similarity {
         (coalesce(col("max_probe_cos"), lit(-2.0)) >= minCos).cast("int")
           .as("is_contam"))
   }
+
+  /** Exact top-k neighbours in `corpus` for EVERY probe vector — the
+    * batch brute-force analogue of [[ivfTopKAll]] (same output schema and
+    * the same rounded-cos ranking convention, so the two are
+    * interchangeable and spec-comparable: ivfTopKAll at nprobe =
+    * #centroids reproduces this exactly). The probe side broadcasts
+    * (bounded query batch — the [[contaminationFlagsBlocked]] hint case);
+    * the corpus is scanned once and the rank-filter compiles to
+    * WindowGroupLimit partial top-k below the exchange, so each map task
+    * forwards ≤ k rows per probe rather than the full |probes|·|corpus|
+    * pair volume. Still a corpus-per-probe scan: the 100 TB serving path
+    * is [[ivfTopKAll]]; this is the exact verifier / small-probe-batch
+    * form (the [[nearestNeighbour]] fence rationale, minus the self-join).
+    *
+    * `excludeSelf` as in [[ivfTopKAll]]: drop `vec_id === q_id` when the
+    * probes are drawn from the indexed set.
+    */
+  def knnAllBrute(corpus: DataFrame, probes: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val p = broadcast(unitVecs(probes, "q_id", "q_e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    unitVecs(corpus, "vec_id", "e")
+      .join(p, if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("q_e")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
+  /** Margin-based similar-pair mining (the Artetxe–Schwenk ratio-margin
+    * criterion from LASER bitext mining, arXiv:1811.01136 "max"
+    * strategy): for each probe x, its best corpus neighbour y is kept
+    * when
+    *
+    *   margin(x,y) = cos(x,y) / ((avgK(x → corpus) + avgK(y → probes))/2)
+    *
+    * clears `minMargin`. Dividing by the mean of both sides' top-k
+    * neighbourhoods normalizes HUBNESS away: a raw cosine threshold
+    * over-mines around hub vectors (globally close to everything) and
+    * under-mines in sparse regions, while the ratio asks "closer than
+    * your usual neighbours?" — the standard mined-pair filter for
+    * parallel/paraphrase corpora.
+    *
+    * Shape: forward kNN from `fwd` (caller supplies [[knnAllBrute]] for
+    * the exact/oracle regime or [[ivfTopKAll]] output for the indexed
+    * 100 TB path — the margin algebra is identical, see [[marginMineIvf]]);
+    * the backward kNN runs the candidate set (≤ |probes|·k rows, joined
+    * back to `corpus` for vectors) against the broadcast probe batch —
+    * bounded × bounded, never corpus². Output: one row per mined (x, y)
+    * with both neighbourhood sums exposed for audit (avgK = s_/k).
+    *
+    * Numeric determinism: the neighbourhood aggregates are SUMS of the
+    * rounded cosines — a sum of 4-decimal values is on the 1e-4 grid for
+    * any k, so round(·,4) never meets a rounding midpoint, whereas the
+    * mean divides by k and for many k lands EXACTLY on midpoints (k=4:
+    * sum ≡ 2 mod 4 → .5 in the 5th decimal), where engines' double
+    * rounding disagrees in the last digit (observed vs DuckDB). The
+    * margin divides by (s_fwd + s_bwd) directly — 2k·cos/(s_fwd+s_bwd)
+    * ≡ cos/((avgK_fwd+avgK_bwd)/2) — so no rounded mean ever enters it.
+    */
+  def marginMine(corpus: DataFrame, probes: DataFrame, k: Int,
+      minMargin: Double,
+      fwd0: Option[DataFrame] = None): DataFrame = {
+    // the forward frame is referenced three times (avg, rank-1 row,
+    // candidate ids) on a derived key — the join-null-filter recompute
+    // trap; candidate-set-sized, so the cut is cheap
+    val fwd = fwd0.getOrElse(knnAllBrute(corpus, probes, k)).localCheckpoint()
+    val sumFwd = fwd.groupBy(col("q_id"))
+      .agg(round(sum(col("cos")), 4).as("s_fwd"))
+    val candidates = corpus.join(
+      fwd.select(col("vec_id")).distinct(), Seq("vec_id"))
+    val sumBwd = knnAllBrute(probes, candidates, k, excludeSelf = true)
+      .groupBy(col("q_id")).agg(round(sum(col("cos")), 4).as("s_bwd"))
+      .select(col("q_id").as("vec_id"), col("s_bwd"))
+    fwd.where(col("rk") === 1)
+      .join(sumFwd, Seq("q_id"))
+      .join(sumBwd, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("s_fwd"),
+        col("s_bwd"),
+        round(lit(2 * k) * col("cos") / (col("s_fwd") + col("s_bwd")), 4)
+          .as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
+  /** [[marginMine]] served from a standing IVF index — the production
+    * form: forward kNN via [[ivfTopKAll]] over the bucketed assignment
+    * (probe side broadcasts; corpus side never exchanges), backward side
+    * and margin algebra unchanged. At nprobe = #centroids the forward
+    * set is exact and this equals [[marginMine]] row for row (spec'd);
+    * smaller nprobe trades mined-pair recall for probe cost exactly like
+    * any other IVF query.
+    */
+  def marginMineIvf(assigned: DataFrame, corpus: DataFrame,
+      probes: DataFrame, k: Int, minMargin: Double,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    marginMine(corpus, probes, k, minMargin,
+      fwd0 = Some(ivfTopKAll(assigned, probes, k, centroids, nprobe)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))))
+
+  /** Hubness report over a kNN result frame ([[knnAllBrute]] /
+    * [[ivfTopKAll]] output): for each corpus vector, how many probes'
+    * top-k lists it appears in, its best rank, and its mean cosine in
+    * those appearances. The k-occurrence distribution is THE diagnostic
+    * for high-dimensional retrieval quality — a heavy right tail (hub
+    * vectors appearing in a large fraction of lists) predicts both
+    * degraded recall and margin-criterion value (see [[marginMine]]).
+    * Aggregation-only on the already-bounded kNN frame.
+    */
+  def hubness(knn: DataFrame): DataFrame =
+    knn.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rk")).as("best_rk"),
+        // SUM of the rounded cosines, not their mean: a sum of 4-decimal
+        // values is itself on the 1e-4 grid for ANY appearance count, so
+        // round(·,4) never meets a rounding midpoint — a mean divides by
+        // the variable `hits` and can land exactly on one, where engines'
+        // double-rounding disagrees (the [[marginMine]] scale note; mean =
+        // sum_cos/hits for the consumer who wants it)
+        round(sum(col("cos")), 4).as("sum_cos"))
 }

@@ -1323,4 +1323,110 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(i1 <= i0 + 1e-12 && i3 <= i1 + 1e-12, s"$i0 -> $i1 -> $i3")
     assert(i3 < 0.02, s"refined quantizer should fit the clusters: $i3")
   }
+
+  // ---- margin-criterion mining + hubness ----
+
+  /** Seeded random split shared by the margin tests. */
+  private def marginFixture = {
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 60).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat), i % 3)
+    }
+    val df = all.toDF("vec_id", "embedding", "label")
+    (all, df.where($"vec_id" % 7 === 0), df.where($"vec_id" % 7 =!= 0))
+  }
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent local replay of the full ratio-margin criterion. */
+  private def localMargin(all: Seq[(Long, Array[Float], Int)], k: Int)
+      : (Map[Long, (Long, Double)], Map[Long, (Long, Int, Double)]) = {
+    val unit = all.map { case (id, v, _) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_.toDouble / n)
+    }.toMap
+    def cos(a: Long, b: Long): Double =
+      r4(unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum)
+    val pids = all.map(_._1).filter(_ % 7 == 0)
+    val cids = all.map(_._1).filter(_ % 7 != 0)
+    def topK(q: Long, pool: Seq[Long]): Seq[(Long, Double)] =
+      pool.map(c => (c, cos(q, c))).sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = pids.map(q => q -> topK(q, cids)).toMap
+    val sFwd = fwd.map { case (q, l) => q -> r4(l.map(_._2).sum) }
+    val cand = fwd.values.flatten.map(_._1).toSet
+    val sBwd = cand.map { y =>
+      y -> r4(topK(y, pids).map(_._2).sum)
+    }.toMap
+    val mined = fwd.map { case (q, l) =>
+      val (y, c) = l.head
+      q -> (y, r4(2 * k * c / (sFwd(q) + sBwd(y))))
+    }
+    val hub = cids.flatMap { y =>
+      val apps = fwd.values.toSeq.flatMap { l =>
+        l.zipWithIndex.collect { case ((id, c), i) if id == y => (i + 1, c) }
+      }
+      if (apps.isEmpty) None
+      else Some(y ->
+        (apps.size.toLong, apps.map(_._1).min, r4(apps.map(_._2).sum)))
+    }.toMap
+    (mined, hub)
+  }
+
+  test("margin mining equals an independent local replay of the criterion") {
+    val (all, probes, corpus) = marginFixture
+    val got = Similarity.marginMine(corpus, probes, k = 3, minMargin = -1e9)
+      .select("q_id", "vec_id", "margin").as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val (mined, _) = localMargin(all, 3)
+    assert(got == mined, s"got=$got\nexp=$mined")
+  }
+
+  test("IVF-served margin mining is exact at full probe coverage") {
+    val (_, probes, corpus) = marginFixture
+    val cents = Similarity.ivfCentroids(corpus, k = 4, iters = 3)
+    val assigned = Similarity.ivfAssign(corpus, cents)
+    val a = Similarity.marginMine(corpus, probes, k = 3, minMargin = 0.5)
+      .select("q_id", "vec_id", "cos", "margin")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val b = Similarity.marginMineIvf(assigned, corpus, probes, k = 3,
+        minMargin = 0.5, cents, nprobe = 4)
+      .select("q_id", "vec_id", "cos", "margin")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(a == b, s"brute=$a\nivf=$b")
+    assert(a.nonEmpty)
+  }
+
+  test("hubness counts every top-k appearance with best rank") {
+    val (all, probes, corpus) = marginFixture
+    val got = Similarity.hubness(Similarity.knnAllBrute(corpus, probes, 3))
+      .select("vec_id", "hits", "best_rk", "sum_cos")
+      .as[(Long, Long, Int, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val (_, hub) = localMargin(all, 3)
+    assert(got == hub, s"got=$got\nexp=$hub")
+    // the probe count × k mass is conserved
+    assert(got.values.map(_._1).sum == probes.count() * 3)
+  }
+
+  test("margin normalizes hubness away where a raw cosine threshold cannot") {
+    // a hub h sits between two probe directions; each probe also has one
+    // genuine near-twin. Raw cosine ranks the hub above twin2 for p2, but
+    // the margin criterion discounts h (its neighbourhood average is high
+    // from appearing everywhere) and mines the twins.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.02f), 0),   // probe 1 (id%7==0)
+      (7L, Array(0.0f, 1.0f, 0.02f), 0),   // probe 2
+      (1L, Array(0.995f, 0.0f, 0.1f), 0),  // twin of probe 1
+      (2L, Array(0.0f, 0.995f, 0.1f), 0),  // twin of probe 2
+      (3L, Array(0.7f, 0.7f, 0.14f), 0),   // the hub
+      (4L, Array(-1.0f, 0.2f, 0.0f), 0),
+      (5L, Array(0.2f, -1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = rows.where($"vec_id" % 7 === 0)
+    val corpus = rows.where($"vec_id" % 7 =!= 0)
+    val mined = Similarity.marginMine(corpus, probes, k = 3, minMargin = 1.0)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(mined(0L) == 1L && mined(7L) == 2L, mined.mkString(","))
+  }
 }

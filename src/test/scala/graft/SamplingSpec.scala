@@ -313,4 +313,77 @@ class SamplingSpec extends SparkSpec {
       .sortBy(r => (r._4, r._1, r._2)).toSeq
     assert(again == got)
   }
+
+  // ---- exact-k weighted sampling (A-ES exponential race) ----
+
+  /** Local replay of the A-ES clock: same md5 uniform, same formula. */
+  private def localClock(id: Long, w: Double, salt: String = ""): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    -math.log(u) / w
+  }
+
+  private def wdocs = spark.range(2000).toDF("doc_id")
+    .selectExpr("doc_id",
+      "CASE WHEN doc_id % 3 = 0 THEN 'a' ELSE 'b' END AS source",
+      "CAST(1 + doc_id % 50 AS DOUBLE) AS wt")
+
+  test("weighted sample equals a local A-ES replay, exactly k per stratum") {
+    val got = Sampling.weightedSample(wdocs, "source", "doc_id", "wt", k = 15)
+      .as[(String, Long, Double, Int)].collect()
+    assert(got.count(_._1 == "a") == 15 && got.count(_._1 == "b") == 15)
+    val exp = Seq("a", "b").flatMap { s =>
+      (0L until 2000L).filter(id => (if (id % 3 == 0) "a" else "b") == s)
+        .map(id => (id, localClock(id, 1.0 + id % 50)))
+        .sortBy { case (id, c) => (c, id) }.take(15).zipWithIndex
+        .map { case ((id, c), i) =>
+          (s, id, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, i + 1) }
+    }.toSet
+    assert(got.toSet == exp)
+    // layout independence (the hashSample argument)
+    val rep = Sampling.weightedSample(wdocs.repartition(13), "source",
+      "doc_id", "wt", k = 15).as[(String, Long, Double, Int)].collect()
+    assert(rep.toSet == got.toSet)
+  }
+
+  test("weighted sampling is weight-proportional across salts") {
+    // two weight classes 10:1; over many independent draws the inclusion
+    // frequency ratio must track the weight ratio (loosely — k of n is a
+    // without-replacement draw, which compresses the ratio)
+    val df = spark.range(400).toDF("doc_id")
+      .selectExpr("doc_id", "'s' AS source",
+        "CAST(CASE WHEN doc_id < 40 THEN 10.0 ELSE 1.0 END AS DOUBLE) AS wt")
+    val hits = (0 until 30).flatMap { i =>
+      Sampling.weightedSample(df, "source", "doc_id", "wt", k = 40,
+        salt = s"s$i").select("doc_id").as[Long].collect()
+    }
+    val heavy = hits.count(_ < 40).toDouble / (30 * 40)   // share of draws
+    assert(heavy > 0.45 && heavy < 0.75, s"heavy share $heavy")
+  }
+
+  test("weighted sample is append-stable and drops non-positive weights") {
+    val base = Sampling.weightedSample(wdocs, "source", "doc_id", "wt", 10)
+      .as[(String, Long, Double, Int)].collect().toSet
+    // appending rows can only displace incumbents by winning the race
+    val extra = spark.range(2000, 2100).toDF("doc_id")
+      .selectExpr("doc_id", "'a' AS source", "CAST(1000.0 AS DOUBLE) AS wt")
+    val grown = Sampling.weightedSample(wdocs.unionByName(extra), "source",
+      "doc_id", "wt", 10).as[(String, Long, Double, Int)].collect()
+    val bIds = base.filter(_._1 == "b").map(_._2)
+    assert(grown.filter(_._1 == "b").map(_._2).toSet == bIds) // untouched stratum
+    val zeroW = wdocs.selectExpr("doc_id", "source",
+      "CASE WHEN doc_id % 2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE wt END AS wt")
+    val z = Sampling.weightedSample(zeroW, "source", "doc_id", "wt", 10)
+      .select("doc_id").as[Long].collect()
+    assert(z.forall(_ % 2 == 1), "weight-0 rows must never be drawn")
+  }
+
+  test("weighted sample plans a partial top-k below the exchange") {
+    val plan = Sampling.weightedSample(wdocs, "source", "doc_id", "wt", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
