@@ -890,6 +890,14 @@ object SparkEntry {
     // per-source dataset card (the corpus report broken out by provenance)
     "q_data_card" -> ((s, d) =>
       TextAnalysis.dataCard(Tables.documents(s, d))),
+    // population drift monitor: PSI of the length distribution, English
+    // slice vs the rest (fixed bucket edges — the reference binning)
+    "q_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.distributionDrift(
+        docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"),
+        "n_chars", Seq(150.0, 250.0, 350.0, 450.0))
+    }),
     // feature-hashed document vectors, long format (the hashing trick —
     // the model-free text→vector bridge into the similarity stack)
     "q_hash_embed" -> ((s, d) =>
@@ -2655,6 +2663,23 @@ object SparkEntry {
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
         "round(avg(n_chars), 4) AS avg_chars " +
         "FROM t GROUP BY source"),
+    // PSI replay: same fixed edges, +0.5 Laplace smoothing, ln ratio
+    "q_drift" ->
+      ("WITH ca AS (SELECT CAST(n_chars >= 150.0 AS INT) + CAST(n_chars >= 250.0 AS INT) + " +
+        "CAST(n_chars >= 350.0 AS INT) + CAST(n_chars >= 450.0 AS INT) AS bucket, " +
+        "count(*) AS cnt_a FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1), " +
+        "cb AS (SELECT CAST(n_chars >= 150.0 AS INT) + CAST(n_chars >= 250.0 AS INT) + " +
+        "CAST(n_chars >= 350.0 AS INT) + CAST(n_chars >= 450.0 AS INT) AS bucket, " +
+        "count(*) AS cnt_b FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1), " +
+        "sp AS (SELECT CAST(range AS INT) AS bucket FROM range(5)), " +
+        "j AS (SELECT sp.bucket, CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a, " +
+        "CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b " +
+        "FROM sp LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)), " +
+        "t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j) " +
+        "SELECT bucket, cnt_a, cnt_b, " +
+        "round(((cnt_a + 0.5) / (n_a + 2.5) - (cnt_b + 0.5) / (n_b + 2.5)) * " +
+        "ln(((cnt_a + 0.5) / (n_a + 2.5)) / ((cnt_b + 0.5) / (n_b + 2.5))), 6) AS psi " +
+        "FROM j, t"),
     // offsets replay: running (len+1) sum in the same (ts, event_id)
     // order as the render; filter to trainable types after the cursor
     "q_loss_mask" ->

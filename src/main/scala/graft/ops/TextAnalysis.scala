@@ -1035,4 +1035,54 @@ object TextAnalysis {
           .as("quality_keep_frac"),
         round(avg("_en"), 4).as("en_frac"))
   }
+
+  /** Distribution drift between two corpus snapshots as per-bucket PSI
+    * (population stability index) contributions — the monitoring
+    * complement to [[graft.ops.Dedup.corpusDiff]]: diff says WHICH
+    * documents changed, drift says whether the POPULATION a model will
+    * see has shifted (PSI > 0.2 over a feature like length, quality or
+    * perplexity is the standard retrain/investigate alarm).
+    *
+    * Buckets come from FIXED literal `edges` (bucket = #edges ≤ v), not
+    * data-driven quantiles: the monitoring use case compares many
+    * snapshots against a reference, so the binning must not move with
+    * the data (and fixed edges keep the whole computation engine-exact).
+    * Counts are Laplace-smoothed (+0.5 per bucket) so empty buckets
+    * contribute finite drift: p = (cnt+0.5)/(n+0.5·K).
+    *
+    * psi_i = (p_i − q_i) · ln(p_i / q_i); total PSI = sum over the K
+    * rows. Scale shape: one map-side-combined groupBy per snapshot over
+    * a scan-stage bucket expression; everything after is K-row algebra.
+    * Null values are excluded (no bucket — the [[Sampling.perplexityMix]]
+    * null-score policy).
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"distributionDrift: edges must be non-empty ascending, got $edges")
+    val k = edges.length + 1
+    def bucket(c: Column): Column =
+      edges.foldLeft(lit(0))((acc, e) => acc + (c >= lit(e)).cast("int"))
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(bucket(col(valueCol)).as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val spine = a.sparkSession.range(k)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(a, "cnt_a"), Seq("bucket"), "left")
+      .join(counts(b, "cnt_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = joined.agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
+    // smoothed shares are single divisions of exactly-representable
+    // numbers (integer + 0.5), so p and q are bit-identical across
+    // engines unrounded; only the transcendental psi term rounds
+    val p = (col("cnt_a") + lit(0.5)) / (col("n_a") + lit(0.5) * k)
+    val q = (col("cnt_b") + lit(0.5)) / (col("n_b") + lit(0.5) * k)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        round((p - q) * log(p / q), 6).as("psi"))
+  }
 }

@@ -514,4 +514,27 @@ class TextAnalysisSpec extends SparkSpec {
       got("web"))
     assert(got("books") == (("books", 1L, 2L, 2.0, 0.0, 1L, 8.0)))
   }
+
+  test("distribution drift: hand-checked PSI, zero self-drift, empty buckets") {
+    val a = Seq(5.0, 5.0, 15.0).toDF("v")
+    val b = Seq(5.0, 15.0, 15.0, 15.0).toDF("v")
+    val got = TextAnalysis.distributionDrift(a, b, "v", Seq(10.0))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // (p-q)·ln(p/q) with +0.5 smoothing, computed independently
+    assert(got == Seq((0, 2L, 1L, 0.23854), (1, 1L, 3L, 0.20285)), got)
+    // identical snapshots drift by exactly zero in every bucket
+    val self = TextAnalysis.distributionDrift(a, a, "v", Seq(10.0, 20.0))
+      .as[(Int, Long, Long, Double)].collect()
+    assert(self.length == 3 && self.forall(r => r._4 == 0.0), self.toSeq)
+    // a bucket empty on BOTH sides is emitted (count conservation for
+    // the monitoring consumer) and its smoothed psi is finite
+    val gap = self.find(_._1 == 2).get
+    assert(gap._2 == 0L && gap._3 == 0L && gap._4 == 0.0)
+    // nulls are excluded, not bucketed
+    val withNull = Seq[Option[Double]](Some(5.0), None).toDF("v")
+    val n = TextAnalysis.distributionDrift(withNull, withNull, "v", Seq(10.0))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(n.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0, 1L, 1L), (1, 0L, 0L)))
+  }
 }
