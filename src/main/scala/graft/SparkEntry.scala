@@ -708,6 +708,18 @@ object SparkEntry {
       Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     // exact heavy hitters (the Space-Saving sketch's oracle twin —
     // SketchSpec validates the sketch against this form)
+    // count-min point-frequency estimates for a fixed probe list over
+    // the token stream (depth 4 × width 64 cell table; md5 hash family,
+    // so DuckDB replays build + probe exactly)
+    "q_cms" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(Core.tokensUni(col("text"))).as("token"))
+      val sk = CountMin.sketch(toks, "token", depth = 4, width = 64)
+      val probes = Seq("the", "a", "table", "spark", "window", "query",
+        "zzznope").toDF("token")
+      CountMin.estimate(sk, probes, "token", depth = 4, width = 64)
+    }),
     "q_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d), HH_PHI)),
     // v4 full recipe: v3's chain + benchmark decontamination (same
@@ -2401,6 +2413,19 @@ object SparkEntry {
         "/ len(v) AS ms FROM q) " +
         "SELECT vec_id, round(sc, 6) AS scale, round(mx, 6) AS max_err, " +
         "round(sqrt(ms), 6) AS rmse FROM er"),
+    // CMS replay: same md5 'cm<d>-' hash family, mod-64 cells, min over
+    // the 4 rows with absent cells read as 0
+    "q_cms" ->
+      (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
+        "ds AS (SELECT CAST(range AS INT) AS d FROM range(4)), " +
+        "cells AS (SELECT d, CAST(('0x' || substring(md5('cm' || d || '-' || token), 1, 8)) " +
+        "AS UBIGINT) % 64 AS bucket, count(*) AS cnt FROM tk, ds GROUP BY 1, 2), " +
+        "pr AS (SELECT unnest(['the', 'a', 'table', 'spark', 'window', 'query', " +
+        "'zzznope']) AS token), " +
+        "pb AS (SELECT token, d, CAST(('0x' || substring(md5('cm' || d || '-' || token), 1, 8)) " +
+        "AS UBIGINT) % 64 AS bucket FROM pr, ds) " +
+        "SELECT pb.token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est " +
+        "FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY pb.token"),
     "q_heavy_hitters" ->
       (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
         "wc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token), " +

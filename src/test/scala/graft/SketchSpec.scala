@@ -82,4 +82,43 @@ class SketchSpec extends SparkSpec {
     // guaranteed rank error <= n/accuracy = 1000 ranks
     assert(math.abs(got - 50000.0) <= 1000.0, got.toString)
   }
+
+  test("count-min never underestimates; exact at generous width") {
+    import graft.ops.CountMin
+    val keys = (Seq.fill(100)("x") ++ Seq.fill(37)("y") ++
+      (1 to 50).map(i => s"k$i")).toDF("token")
+    val truth = keys.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val probes = (truth.keys.toSeq :+ "absent").toDF("token")
+    // tight width (8 cells): collisions guaranteed — still one-sided
+    val tight = CountMin.estimate(
+      CountMin.sketch(keys, "token", depth = 4, width = 8),
+      probes, "token", depth = 4, width = 8)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, c) =>
+      assert(tight(t) >= c, s"$t underestimated: ${tight(t)} < $c")
+    }
+    assert(tight.exists { case (t, e) => e > truth.getOrElse(t, 0L) },
+      "8 cells for 52 keys must collide somewhere")
+    // generous width: 52 keys in 4×4096 cells — md5 rows collide nowhere
+    val wide = CountMin.estimate(
+      CountMin.sketch(keys, "token", depth = 4, width = 4096),
+      probes, "token", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, c) => assert(wide(t) == c, s"$t: ${wide(t)}") }
+    assert(wide("absent") == 0L)
+  }
+
+  test("count-min merge of shard sketches equals the whole-corpus sketch") {
+    import graft.ops.CountMin
+    val a = (Seq.fill(20)("x") ++ (1 to 30).map(i => s"a$i")).toDF("token")
+    val b = (Seq.fill(15)("x") ++ (1 to 30).map(i => s"b$i")).toDF("token")
+    val merged = CountMin.merge(
+      CountMin.sketch(a, "token", width = 32),
+      CountMin.sketch(b, "token", width = 32))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = CountMin.sketch(a.unionByName(b), "token", width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
 }
