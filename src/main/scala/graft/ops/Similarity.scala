@@ -1292,8 +1292,12 @@ object Similarity {
     val fwd = fwd0.getOrElse(knnAllBrute(corpus, probes, k)).localCheckpoint()
     val sumFwd = fwd.groupBy(col("q_id"))
       .agg(round(sum(col("cos")), 4).as("s_fwd"))
+    // candidate vectors feed the BACKWARD side's broadcast: without the
+    // cut, the broadcast build executes corpus-scan ⋈ fwd single-threaded
+    // inside the broadcast thread (the contaminationFlagsBlocked failure
+    // mode #2). ≤ |probes|·k rows — candidate-set-sized
     val candidates = corpus.join(
-      fwd.select(col("vec_id")).distinct(), Seq("vec_id"))
+      fwd.select(col("vec_id")).distinct(), Seq("vec_id")).localCheckpoint()
     val sumBwd = knnAllBrute(probes, candidates, k, excludeSelf = true)
       .groupBy(col("q_id")).agg(round(sum(col("cos")), 4).as("s_bwd"))
       .select(col("q_id").as("vec_id"), col("s_bwd"))

@@ -1397,6 +1397,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("knnAllBrute plans partial top-k below its single exchange") {
+    val (_, probes, corpus) = marginFixture
+    val plan = Similarity.knnAllBrute(corpus, probes, 3)
+      .queryExecution.executedPlan.toString
+    // partial WindowGroupLimit below + final above the one pair exchange:
+    // each map task forwards <= k rows per probe, not the full pair volume
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2, plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      plan.take(2000))
+  }
+
   test("hubness counts every top-k appearance with best rank") {
     val (all, probes, corpus) = marginFixture
     val got = Similarity.hubness(Similarity.knnAllBrute(corpus, probes, 3))
