@@ -509,6 +509,17 @@ object Sampling {
     * clock — same policy as [[perplexityMix]]'s null scores).
     */
   def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame =
+    weightedSampleRows(df, strataCol, idCol, weightCol, k, salt)
+      .select(col(strataCol), col(idCol),
+        round(col("clock"), 4).as("clock"), col("rn"))
+
+  /** [[weightedSample]] carrying the weight column through and the clock
+    * unrounded — the self-contained STATE row for merge/serve paths (a
+    * clock is a pure function of (salt, id, weight), so a sample row
+    * plus its weight replays its own draw exactly).
+    */
+  def weightedSampleRows(df: DataFrame, strataCol: String, idCol: String,
       weightCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")
     // 32-bit uniform from the hashKey hex, centered off 0 so ln never
@@ -519,11 +530,42 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("clock").asc, col(idCol).asc)
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(strataCol), col(idCol),
+      .select(col(strataCol), col(idCol), col(weightCol),
         (-log(u) / col(weightCol).cast("double")).as("clock"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
-      .select(col(strataCol), col(idCol),
-        round(col("clock"), 4).as("clock"), col("rn"))
   }
+
+  /** Fold new rows into a standing k-per-stratum sample: the A-ES race
+    * is prefix-decomposable — top-k(top-k(A) ∪ B) = top-k(A ∪ B) — so
+    * merging a batch against the k·strata STATE rows reproduces the
+    * full-history draw exactly without ever revisiting history. This is
+    * the distributed-shard combine AND the streaming maintenance step in
+    * one identity (the mergeable-sketch shape: state is k rows per
+    * stratum, forever).
+    */
+  def weightedSampleMerge(state: DataFrame, batch: DataFrame,
+      strataCol: String, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame =
+    weightedSampleRows(
+      state.select(col(strataCol), col(idCol), col(weightCol))
+        .unionByName(batch.select(col(strataCol), col(idCol), col(weightCol))),
+      strataCol, idCol, weightCol, k, salt)
+
+  /** Streaming quota maintenance: each micro-batch folds into the
+    * standing sample via [[weightedSampleMerge]]. `state`/`save` are the
+    * caller's storage for the k·strata sample rows (a tiny table — the
+    * bm25Serve "standing artifact" pattern, but read-write). Exactness
+    * vs a batch recompute over the full history is the merge identity,
+    * spec'd across batch splits.
+    */
+  def weightedSampleServe(stream: DataFrame, strataCol: String,
+      idCol: String, weightCol: String, k: Int, salt: String = "")(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(weightedSampleMerge(state(), batch, strataCol, idCol,
+          weightCol, k, salt))
+    }
 }

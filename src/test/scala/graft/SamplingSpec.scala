@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Sampling
+import org.apache.spark.sql.functions.{col, round}
 
 /** Deterministic hash sampling: the retry-stable, engine-reproducible
   * replacement for RNG sampling in corpus curation.
@@ -379,6 +380,46 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(zeroW, "source", "doc_id", "wt", 10)
       .select("doc_id").as[Long].collect()
     assert(z.forall(_ % 2 == 1), "weight-0 rows must never be drawn")
+  }
+
+  test("weighted sample merge: sharded and streamed folds equal one draw") {
+    // shard combine: top-k(top-k(A) ∪ B) = top-k(A ∪ B)
+    val all = Sampling.weightedSample(wdocs, "source", "doc_id", "wt", 12)
+      .as[(String, Long, Double, Int)].collect().toSet
+    val aSide = wdocs.where($"doc_id" < 900)
+    val bSide = wdocs.where($"doc_id" >= 900)
+    val folded = Sampling.weightedSampleMerge(
+      Sampling.weightedSampleRows(aSide, "source", "doc_id", "wt", 12),
+      bSide, "source", "doc_id", "wt", 12)
+    assert(folded.select(col("source"), col("doc_id"),
+        round(col("clock"), 4), col("rn"))
+      .as[(String, Long, Double, Int)].collect().toSet == all)
+    // streaming serve twin: 3 micro-batches ≡ the batch draw
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = wdocs.as[(Long, String, Double)].collect().toSeq
+    val in = MemoryStream[(Long, String, Double)](92, spark, None)
+    var state = Sampling.weightedSampleRows(
+      wdocs.limit(0), "source", "doc_id", "wt", 12)
+      .collect() // empty, but with the state schema
+    val q = Sampling.weightedSampleServe(
+        in.toDF().toDF("doc_id", "source", "wt"),
+        "source", "doc_id", "wt", 12) (
+      () => spark.createDataFrame(
+        spark.sparkContext.parallelize(state.toSeq),
+        Sampling.weightedSampleRows(wdocs, "source", "doc_id", "wt", 12)
+          .schema),
+      merged => state = merged.collect()
+    ).start()
+    try {
+      rows.grouped(700).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = state.map(r =>
+      (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(3)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, r.getInt(4))).toSet
+    assert(served == all)
   }
 
   test("weighted sample plans a partial top-k below the exchange") {
