@@ -1057,24 +1057,41 @@ object TextAnalysis {
     * null-score policy).
     */
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      edges: Seq[Double]): DataFrame =
+    distributionDriftFrom(bucketCounts(a, valueCol, edges), b, valueCol,
+      edges)
+
+  /** The spine-complete (bucket, cnt) histogram behind
+    * [[distributionDrift]] — the standing REFERENCE artifact of the
+    * monitoring pattern: fit it once on the blessed snapshot, store it
+    * (K rows), and compare every later snapshot against it with
+    * [[distributionDriftFrom]] without rescanning the reference. Every
+    * bucket is emitted (absent = 0) so stored references stay
+    * join-complete.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String,
       edges: Seq[Double]): DataFrame = {
     require(edges.nonEmpty && edges == edges.sorted,
-      s"distributionDrift: edges must be non-empty ascending, got $edges")
-    val k = edges.length + 1
-    def bucket(c: Column): Column =
-      edges.foldLeft(lit(0))((acc, e) => acc + (c >= lit(e)).cast("int"))
-    def counts(df: DataFrame, as: String): DataFrame =
-      df.where(col(valueCol).isNotNull)
-        .groupBy(bucket(col(valueCol)).as("bucket"))
-        .agg(count(lit(1)).as(as))
-    val spine = a.sparkSession.range(k)
+      s"bucketCounts: edges must be non-empty ascending, got $edges")
+    val bucket = edges.foldLeft(lit(0))((acc, e) =>
+      acc + (col(valueCol) >= lit(e)).cast("int"))
+    df.sparkSession.range(edges.length + 1)
       .select(col("id").cast("int").as("bucket"))
-    val joined = spine
-      .join(counts(a, "cnt_a"), Seq("bucket"), "left")
-      .join(counts(b, "cnt_b"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .join(df.where(col(valueCol).isNotNull)
+          .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** [[distributionDrift]] against a stored [[bucketCounts]] reference
+    * (built with the same `edges`).
+    */
+  def distributionDriftFrom(refCounts: DataFrame, b: DataFrame,
+      valueCol: String, edges: Seq[Double]): DataFrame = {
+    val k = edges.length + 1
+    val joined = refCounts.select(col("bucket"), col("cnt").as("cnt_a"))
+      .join(bucketCounts(b, valueCol, edges)
+        .select(col("bucket"), col("cnt").as("cnt_b")), Seq("bucket"))
     val tot = joined.agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
     // smoothed shares are single divisions of exactly-representable
     // numbers (integer + 0.5), so p and q are bit-identical across

@@ -121,4 +121,26 @@ class SketchSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(merged == whole)
   }
+
+  test("count-min serve: micro-batched stream equals one build") {
+    import graft.ops.CountMin
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tokens = (Seq.fill(40)("x") ++ (1 to 60).map(i => s"t$i")).map(Tuple1(_))
+    val in = MemoryStream[Tuple1[String]](93, spark, None)
+    val schema = CountMin.sketch(tokens.toDF("token"), "token", width = 32)
+      .schema
+    var state = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = CountMin.serve(in.toDF().toDF("token"), "token", width = 32)(
+      () => state,
+      merged => state = spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.collect().toSeq), schema)
+    ).start()
+    try {
+      tokens.grouped(35).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val whole = CountMin.sketch(tokens.toDF("token"), "token", width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(state.as[(Int, Long, Long)].collect().toSet == whole)
+  }
 }

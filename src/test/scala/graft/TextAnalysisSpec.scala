@@ -536,5 +536,11 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
     assert(n.map(r => (r._1, r._2, r._3)).toSeq ==
       Seq((0, 1L, 1L), (1, 0L, 0L)))
+    // the standing-reference form: stored bucketCounts replay the same
+    // drift without rescanning the reference snapshot
+    val ref = TextAnalysis.bucketCounts(a, "v", Seq(10.0))
+    val viaRef = TextAnalysis.distributionDriftFrom(ref, b, "v", Seq(10.0))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaRef == got)
   }
 }
