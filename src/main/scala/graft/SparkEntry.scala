@@ -1042,6 +1042,20 @@ object SparkEntry {
         BM25_QUERIES.toDF("query_id", "query"), k = 10)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // RM3 pseudo-relevance feedback: 5 feedback docs pool score-weighted
+    // term frequencies, 3 strongest new terms expand each query, the
+    // expanded set rescored through the same standing-index path
+    "q_rm3" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      Retrieval.rm3Expand(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name),
+        BM25_QUERIES.toDF("query_id", "query"), k = 10, fbDocs = 5,
+        fbTerms = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // lexical hard negatives: per query doc (ids 0-2), top-5 BM25-similar
     // docs excluding itself and its exact-fingerprint copies — the
     // retriever-training negative miner over the same standing index
@@ -2963,6 +2977,61 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, doc_id) AS rank FROM sc) " +
         "SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10"
+    },
+    // RM3 replay: feedback rank<=5 off the q_bm25_batch scoring CTEs,
+    // score-weighted tf pooling (grid-exact sums), 3 strongest new terms
+    // per query via NOT EXISTS, rescore of the expanded term set
+    "q_rm3" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val qToks = TOKS.replace("lower(text)", "lower(query)")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+        s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        "fb AS (SELECT query_id, doc_id, score FROM (SELECT query_id, doc_id, score, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank " +
+        "FROM sc) WHERE rank <= 5), " +
+        "fpost AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(toks) AS token FROM t " +
+        "JOIN (SELECT DISTINCT doc_id FROM fb) USING (doc_id)) GROUP BY 1, 2), " +
+        "ew AS (SELECT fb.query_id, fpost.token, round(sum(fpost.tf * fb.score), 4) AS w " +
+        "FROM fb JOIN fpost USING (doc_id) GROUP BY 1, 2), " +
+        "ex AS (SELECT query_id, token FROM (SELECT ew.query_id, ew.token, " +
+        "row_number() OVER (PARTITION BY ew.query_id ORDER BY w DESC, ew.token) AS rn " +
+        "FROM ew WHERE NOT EXISTS (SELECT 1 FROM qt " +
+        "WHERE qt.query_id = ew.query_id AND qt.token = ew.token)) WHERE rn <= 3), " +
+        "qt2 AS (SELECT query_id, token FROM qt UNION SELECT query_id, token FROM ex), " +
+        "terms2 AS (SELECT DISTINCT token FROM qt2), " +
+        "tp3 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms2 ON list_contains(toks, token)), " +
+        "dfs2 AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp3 GROUP BY token), " +
+        "sc2 AS (SELECT qt2.query_id, tp3.doc_id, count(*) AS n_terms, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp3 JOIN dfs2 USING (token) JOIN qt2 USING (token), stats " +
+        "GROUP BY qt2.query_id, tp3.doc_id), " +
+        "r2 AS (SELECT query_id, doc_id, n_terms, score, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM sc2) " +
+        "SELECT query_id, doc_id, n_terms, score, rank FROM r2 WHERE rank <= 10"
     },
     // known-item eval: the q_bm25_batch scoring replay with 5-token-prefix
     // queries, hits = rank of the query doc itself; MRR as exact

@@ -361,6 +361,59 @@ object Retrieval {
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
+  /** RM3-style pseudo-relevance-feedback expansion over the standing
+    * index: retrieve `fbDocs` feedback documents per query
+    * ([[bm25TopKAll]]), pool score-weighted term frequencies from their
+    * postings, keep the `fbTerms` strongest NEW terms per query, and
+    * rescore the expanded term set through the same serving path — the
+    * recall lever an IR stack pulls when mining training pairs needs
+    * more than exact term match.
+    *
+    * Determinism: expansion weight = Σ tf·score over the feedback docs —
+    * tf integral and score already on the 1e-4 grid, so the weight stays
+    * grid-exact and its round(·,4) never meets a midpoint (the
+    * Similarity.marginMine sum rule); ties break on token. The expanded
+    * query is a sorted token set joined with spaces — scoring is
+    * set-based, so the serialization is only for the [[bm25TopKAll]]
+    * interface.
+    *
+    * Scale shape: feedback doc ids are a ≤ queries·fbDocs driver-side
+    * list (the query-terms IN-literal convention at :269) pushed into
+    * the postings scan as a filter — the index is bucketed by TOKEN, so
+    * doc-keyed access is a pruned scan, never an exchange of the index;
+    * everything between retrieve and rescore is feedback-sized. The
+    * feedback frame is lineage-cut (referenced by the collect AND the
+    * pooling join; queries·fbDocs rows).
+    */
+  def rm3Expand(index: DataFrame, stats: DataFrame, queryTable: DataFrame,
+      k: Int, fbDocs: Int = 10, fbTerms: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      qidCol: String = "query_id", qCol: String = "query"): DataFrame = {
+    require(fbDocs > 0 && fbTerms >= 0,
+      s"rm3Expand: need fbDocs > 0, fbTerms >= 0; got $fbDocs/$fbTerms")
+    val fb = bm25TopKAll(index, stats, queryTable, fbDocs, k1, b,
+        idCol, qidCol, qCol)
+      .select(col(qidCol), col(idCol), col("score")).localCheckpoint()
+    val fbIds = fb.select(col(idCol)).distinct().collect().map(_.get(0))
+    val fbPost = index.where(col(idCol).isin(fbIds.toIndexedSeq: _*))
+      .select(col(idCol), col("token"), col("tf"))
+    val origTerms = queryTable.select(col(qidCol),
+      explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("w").desc, col("token"))
+    val expTerms = fb.join(fbPost, Seq(idCol))
+      .groupBy(col(qidCol), col("token"))
+      .agg(round(sum(col("tf") * col("score")), 4).as("w"))
+      .join(origTerms, Seq(qidCol, "token"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= fbTerms)
+    val expandedQ = origTerms.select(col(qidCol), col("token"))
+      .unionByName(expTerms.select(col(qidCol), col("token")))
+      .groupBy(col(qidCol))
+      .agg(array_join(sort_array(collect_set(col("token"))), " ").as(qCol))
+    bm25TopKAll(index, stats, expandedQ, k, k1, b, idCol, qidCol, qCol)
+  }
+
   /** Streaming BM25 serving: score a STREAM of queries against the
     * standing index, each micro-batch in one bucket-pruned pass via
     * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static

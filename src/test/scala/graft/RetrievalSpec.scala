@@ -227,4 +227,36 @@ class RetrievalSpec extends SparkSpec {
     // finds itself at rank 2: MRR = (1 + 1 + 1 + 1/2) / 4
     assert(got.toList == List((4L, 0.875, 0.75, 1.0)), got.toList)
   }
+
+  test("rm3: fbTerms=0 degenerates to plain serving; expansion recalls " +
+      "term-disjoint docs") {
+    import graft.ops.IndexTables
+    Seq("ret_rm3_test_postings_b8", "ret_rm3_test_stats")
+      .foreach(IndexTables.drop(spark, _))
+    // doc 3 shares NO term with the query, but co-occurs with the
+    // feedback doc's vocabulary ("joins" pools from doc 1)
+    val corpus = Seq(
+      (1L, "spark streams joins joins"),
+      (2L, "flink windows triggers"),
+      (3L, "joins tables optimizer"),
+      (4L, "completely unrelated text"))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, "ret_rm3_test")
+    val stats = Retrieval.corpusStats(corpus, "ret_rm3_test")
+    val queries = Seq((10L, "spark streams")).toDF("query_id", "query")
+    val plain = Retrieval.bm25TopKAll(idx, stats, queries, k = 4)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val degenerate = Retrieval.rm3Expand(idx, stats, queries, k = 4,
+        fbDocs = 2, fbTerms = 0)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(degenerate == plain)
+    assert(!plain.exists(_._2 == 3L)) // term-disjoint: unreachable without RM3
+    val expanded = Retrieval.rm3Expand(idx, stats, queries, k = 4,
+        fbDocs = 1, fbTerms = 2)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    // feedback doc 1 contributes "joins" (tf 2) — doc 3 now retrievable
+    assert(expanded.exists(_._2 == 3L), expanded.toSeq)
+    // original query terms still dominate: doc 1 stays rank 1
+    assert(expanded.find(_._5 == 1).get._2 == 1L)
+  }
 }
