@@ -195,6 +195,21 @@ object SparkEntry {
         .join(ids.select(col("doc_id").as("b_id")), col("a_id") < col("b_id"))
       Dedup.ngramJaccard(small, pairs)
     }),
+    // asymmetric containment (quote/subset detection): 15-token quotes of
+    // docs 0-9 vs their sources (contained) and off-by-one controls (not)
+    "q_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quotes = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(Core.tokensUni(col("text")), 1, 15), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(quotes)
+      val cands = docs.where(col("doc_id") < 10).select(
+          (col("doc_id") + 100000L).as("a_id"), col("doc_id").as("b_id"))
+        .unionByName(docs.where(col("doc_id") < 9).select(
+          (col("doc_id") + 100000L).as("a_id"),
+          (col("doc_id") + 1L).as("b_id")))
+      Dedup.ngramContainment(corpus, cands, threshold = 0.9)
+    }),
     // ---- text analysis ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     // power-of-two length histogram: the seqLen / truncation decision input
@@ -1918,6 +1933,27 @@ object SparkEntry {
         "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id"),
+    // containment replay: synthesized 15-token quotes, shingle-count
+    // integers, scaled-integer threshold flags (no float division)
+    "q_containment" ->
+      (s"WITH qd AS (SELECT doc_id + 100000 AS doc_id, " +
+        s"array_to_string(($TOKS)[1:15], ' ') AS text " +
+        "FROM documents WHERE doc_id < 10), " +
+        "c AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM qd), " +
+        s"t AS (SELECT doc_id, $TOKS AS toks FROM c), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2), " +
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t), " +
+        "cand AS (SELECT doc_id + 100000 AS a_id, doc_id AS b_id " +
+        "FROM documents WHERE doc_id < 10 " +
+        "UNION ALL SELECT doc_id + 100000, doc_id + 1 FROM documents WHERE doc_id < 9), " +
+        "j AS (SELECT a_id, b_id, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter, " +
+        "CAST(len(a.sh) AS INT) AS n_a, CAST(len(b.sh) AS INT) AS n_b " +
+        "FROM cand JOIN s a ON a.doc_id = a_id JOIN s b ON b.doc_id = b_id) " +
+        "SELECT a_id, b_id, n_inter, n_a, n_b, " +
+        "CAST(n_a > 0 AND CAST(n_inter AS BIGINT) * 10000 >= 9000 * n_a AS INT) AS a_in_b, " +
+        "CAST(n_b > 0 AND CAST(n_inter AS BIGINT) * 10000 >= 9000 * n_b AS INT) AS b_in_a " +
+        "FROM j"),
     "q_token_stats" ->
       (s"WITH t AS (SELECT lang, len($TOKS) AS n_tokens FROM documents) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +

@@ -1153,4 +1153,44 @@ object Dedup {
           greatest(size(array_union(col("a_sh"), col("b_sh"))), lit(1)), 4)
           .as("jaccard"))
   }
+
+  /** Asymmetric n-gram CONTAINMENT for a candidate pair set — the
+    * quote/subset detector where Jaccard goes blind: a short document
+    * quoted wholly inside a long one has tiny Jaccard (the union is the
+    * long doc) but containment |sh(A)∩sh(B)| / |sh(A)| ≈ 1 on the short
+    * side, and the dedup decision that follows is DIRECTIONAL (drop the
+    * contained quote, keep the superset) — something no symmetric score
+    * expresses. Broder's containment coefficient at shingle resolution.
+    *
+    * Outputs are integers plus threshold flags; the flags compare in
+    * scaled-integer space (n_inter·10⁴ ≥ thr_scaled·n) so no float
+    * division is ever rounded — shingle-set sizes are exactly the
+    * divisors (powers of two included) that land float ratios on
+    * cross-engine rounding midpoints. Ratios are consumer-derivable from
+    * the emitted counts.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — candidate-sized joins
+    * against the per-doc shingle sets; never all-pairs.
+    */
+  def ngramContainment(docs: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.9, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ngramContainment: threshold must be in (0,1], got $threshold")
+    val thrScaled = math.round(threshold * 10000).toInt
+    val sh = docs.select(col("doc_id"), shingles(shingleK).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("n_inter"),
+        size(col("a_sh")).as("n_a"), size(col("b_sh")).as("n_b"))
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"), col("n_b"),
+        // long arithmetic: a web-scale doc's shingle set × 10⁴ overflows int
+        (col("n_a") > 0 && col("n_inter").cast("long") * 10000 >=
+          lit(thrScaled.toLong) * col("n_a"))
+          .cast("int").as("a_in_b"),
+        (col("n_b") > 0 && col("n_inter").cast("long") * 10000 >=
+          lit(thrScaled.toLong) * col("n_b"))
+          .cast("int").as("b_in_a"))
+  }
 }

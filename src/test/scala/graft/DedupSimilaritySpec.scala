@@ -1324,6 +1324,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(i3 < 0.02, s"refined quantizer should fit the clusters: $i3")
   }
 
+  test("containment flags the quote direction that Jaccard cannot see") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // strict prefix quote
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val cands = Seq((2L, 1L), (3L, 1L)).toDF("a_id", "b_id")
+    val got = Dedup.ngramContainment(corpus, cands, threshold = 0.9)
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // quote: all 4 of doc 2's 3-shingles appear in doc 1 -> a_in_b = 1,
+    // but doc 1 is NOT inside doc 2
+    assert(got((2L, 1L))._6 == 1 && got((2L, 1L))._7 == 0, got((2L, 1L)))
+    // Jaccard on the same pair is far below any dedup threshold: 4/18
+    val j = Dedup.ngramJaccard(corpus, cands.where($"a_id" === 2))
+      .as[(Long, Long, Double)].collect().head._3
+    assert(j < 0.25, s"jaccard $j should be blind to the quote")
+    // disjoint control: nothing contained either way
+    assert(got((3L, 1L))._3 == 0 && got((3L, 1L))._6 == 0 &&
+      got((3L, 1L))._7 == 0)
+  }
+
   // ---- margin-criterion mining + hubness ----
 
   /** Seeded random split shared by the margin tests. */
