@@ -216,6 +216,9 @@ object SparkEntry {
     "q_token_hist" -> ((s, d) =>
       TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
     "q_bpe_stats" -> ((s, d) => TextAnalysis.bpeTokenStats(Tables.documents(s, d))),
+    // per-source tokenizer fit: pieces, char-fallback pieces, OOV words
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
     // ids for every distinct word (the id-sequence feed for packing)
@@ -2005,6 +2008,26 @@ object SparkEntry {
         "SELECT word, CAST(idx AS INT) AS seg_idx, piece, " +
         s"CAST(coalesce(list_position(${ops.TextAnalysis.bpeVocabSql}, piece), 0) AS INT) AS piece_id " +
         "FROM seg WHERE idx >= 0"),
+    // the q_bpe_encode recursion aggregated per word, joined back to the
+    // per-source word stream: counts only (rates are the consumer's)
+    "q_vocab_coverage" ->
+      (s"WITH RECURSIVE w0 AS (SELECT source, unnest($TOKS) AS word FROM documents), " +
+        "words AS (SELECT DISTINCT word FROM w0), " +
+        "seg(word, pos, idx, piece) AS (" +
+        "SELECT word, 1, -1, CAST(NULL AS VARCHAR) FROM words " +
+        "UNION ALL SELECT word, pos + L, idx + 1, substring(word, pos, L) " +
+        "FROM (SELECT word, pos, idx, coalesce(list_max(list_transform(" +
+        s"${ops.TextAnalysis.bpeVocabSql}, " +
+        "v -> CASE WHEN substring(word, pos, length(v)) = v THEN length(v) END)), 1) AS L " +
+        "FROM seg WHERE pos <= length(word))), " +
+        "d AS (SELECT word, count(*) AS n_p, " +
+        s"sum(CASE WHEN coalesce(list_position(${ops.TextAnalysis.bpeVocabSql}, piece), 0) = 0 " +
+        "THEN 1 ELSE 0 END) AS n_f " +
+        "FROM seg WHERE idx >= 0 GROUP BY word) " +
+        "SELECT source, count(*) AS n_words, CAST(sum(n_p) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(n_f) AS BIGINT) AS n_fallback_pieces, " +
+        "CAST(sum(CASE WHEN n_f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words " +
+        "FROM w0 JOIN d USING (word) GROUP BY source"),
     // the q_bpe_encode recursion joined back to the token stream
     "q_token_ids" ->
       (s"WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

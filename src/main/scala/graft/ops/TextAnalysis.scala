@@ -554,6 +554,38 @@ object TextAnalysis {
         posexplode(col("ids")).as(Seq("seg_idx", "piece_id")))
   }
 
+  /** Per-source tokenizer VOCABULARY COVERAGE — the go/no-go readout for
+    * "does this tokenizer fit this corpus slice": word instances, emitted
+    * pieces, char-fallback pieces (vocab misses), and words containing at
+    * least one fallback. A source whose fallback share spikes (new
+    * language, code, math) is about to train at inflated sequence length
+    * and degraded compression — this report catches it before packing.
+    *
+    * Counts only, no rates: the consumer divides — emitted ratios of
+    * arbitrary integer counts are exactly the cross-engine rounding
+    * hazard the margin/containment operators document.
+    *
+    * Scale shape: [[tokenIds]]' — segmentation once per DISTINCT word
+    * (kernel, scan-stage), one token-volume word-keyed join, per-source
+    * aggregate; the dictionary is not force-broadcast (the Heaps-law
+    * rule at :397).
+    */
+  def vocabCoverage(docs: DataFrame,
+      vocab: Seq[String] = BPE_VOCAB): DataFrame = {
+    val words = docs.select(col("source"), explode(toks(col("text"))).as("word"))
+    val dict = words.select("word").distinct()
+      .select(col("word"), graft.functions.ArrayKernels
+        .bpe_segment_ids(col("word"), vocab).as("ids"))
+      .select(col("word"), size(col("ids")).as("n_p"),
+        size(filter(col("ids"), x => x === 0)).as("n_f"))
+    words.join(dict, Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_p").cast("long")).as("n_pieces"),
+        sum(col("n_f").cast("long")).as("n_fallback_pieces"),
+        sum((col("n_f") > 0).cast("long")).as("n_oov_words"))
+  }
+
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the
     * calibration report for corpus budgeting (how far off the cheap count

@@ -515,6 +515,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("books") == (("books", 1L, 2L, 2.0, 0.0, 1L, 8.0)))
   }
 
+  test("vocab coverage counts pieces, fallbacks and OOV words per source") {
+    val docs = Seq(
+      (1L, "ab abc xy", "s1"),   // ab=1 piece; abc=ab+c(fb); xy=2 fb
+      (2L, "ab ab", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabCoverage(docs, vocab = Seq("ab", "a", "b"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: 3 words; pieces 1 + 2 + 2 = 5; fallbacks 0 + 1 + 2 = 3; OOV 2
+    assert(got("s1") == (("s1", 3L, 5L, 3L, 2L)), got("s1"))
+    assert(got("s2") == (("s2", 2L, 2L, 0L, 0L)), got("s2"))
+  }
+
   test("distribution drift: hand-checked PSI, zero self-drift, empty buckets") {
     val a = Seq(5.0, 5.0, 15.0).toDF("v")
     val b = Seq(5.0, 15.0, 15.0, 15.0).toDF("v")
