@@ -911,6 +911,18 @@ object SparkEntry {
     "q_scd2" -> ((s, d) =>
       History.scd2(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type")),
+    // incremental MERGE: history from the first half of the month folds
+    // the second half in without revisiting closed versions — result
+    // equals the full-history recompute, so the oracle IS q_scd2's replay
+    "q_scd2_incr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      History.scd2Apply(
+        History.scd2(ev.where(col("ts") < cut), "user_id", "ts",
+          "event_id", "event_type"),
+        ev.where(col("ts") >= cut), "user_id", "ts", "event_id",
+        "event_type")
+    }),
     // point-in-time reconstruction off the same history
     "q_scd2_asof" -> ((s, d) =>
       History.asOf(
@@ -2831,6 +2843,21 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // the incremental fold equals the full recompute BY CONTRACT, so its
+    // oracle is q_scd2's full-history replay verbatim
+    "q_scd2_incr" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "v AS (SELECT user_id, ts, event_id, event_type FROM o " +
+        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) " +
+        "SELECT user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version, " +
+        "event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
+        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "IS NULL AS INT) AS is_current FROM v"),
     // SCD2 replay: lag-filter run openers, then lead() for valid_to
     "q_scd2" ->
       ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +

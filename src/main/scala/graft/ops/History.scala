@@ -62,4 +62,54 @@ object History {
       .where(col("valid_from") <= ts &&
         (col("valid_to").isNull || col("valid_to") > ts))
       .select(col(keyCol), col("version"), col("state"))
+
+  /** Fold an append-only batch of changes into a standing [[scd2]]
+    * history without revisiting it — the warehouse MERGE step: closed
+    * versions are immutable (their [valid_from, valid_to) is sealed by a
+    * later change that already exists), so only each key's CURRENT row
+    * can change, and the fold is scd2(current rows ∪ new changes)
+    * spliced over the closed rows. Exactly equals a full-history
+    * recompute (spec'd) PROVIDED the batch is append-only per key —
+    * every new (ts, ord) sorts after the key's current valid_from (the
+    * semanticDedupTextApply id discipline; a violation would have to
+    * rewrite sealed history and is asserted away by contract, not
+    * silently absorbed).
+    *
+    * State touched: current rows of AFFECTED keys only (one row each) +
+    * the batch — closed history is read-only passthrough. Version
+    * numbers continue from the current row's.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, ordCol: String, valueCol: String): DataFrame = {
+    val affected = changes.select(col(keyCol)).distinct()
+    val cur = history.where(col("is_current") === 1)
+      .join(affected, Seq(keyCol))
+      .select(col(keyCol), col("valid_from").as(tsCol),
+        // the current row re-enters the fold as a pseudo-change that
+        // sorts FIRST for its key (its ts seals the append-only floor);
+        // minimal ord keeps it ahead of same-instant batch rows
+        lit(Long.MinValue).as(ordCol), col("state").as(valueCol),
+        col("version").as("_base_version"))
+    val folded = scd2(
+      cur.drop("_base_version").unionByName(
+        changes.select(col(keyCol), col(tsCol), col(ordCol).cast("long")
+          .as(ordCol), col(valueCol))),
+      keyCol, tsCol, ordCol, valueCol)
+    // re-base version numbers: the fold numbered the current row 1.
+    // Keys NEW to the history have no current row — left join, base 1
+    val rebased = folded
+      .join(cur.select(col(keyCol), col("_base_version")), Seq(keyCol), "left")
+      .select(col(keyCol),
+        (col("version") + coalesce(col("_base_version"), lit(1)) - 1)
+          .as("version"),
+        col("state"), col("valid_from"), col("valid_to"), col("is_current"))
+    // splice: untouched keys' rows + affected keys' closed rows pass
+    // through; affected current rows are replaced by the fold (which
+    // re-emits them, possibly closed, under their original version)
+    history
+      .join(affected, Seq(keyCol), "left_anti")
+      .unionByName(history.where(col("is_current") === 0)
+        .join(affected, Seq(keyCol)))
+      .unionByName(rebased)
+  }
 }

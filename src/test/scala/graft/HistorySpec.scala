@@ -58,6 +58,28 @@ class HistorySpec extends SparkSpec {
     assert(at("2024-01-05 00:00:00")(3L) == Some("q"))
   }
 
+  test("scd2Apply: incremental fold equals the full-history recompute") {
+    val extra = Seq(
+      (4L, t("2024-01-01 00:00:00"), 40L, "p"),  // will be RE-STATED in batch
+      (4L, t("2024-01-06 00:00:00"), 41L, "p"),
+      (5L, t("2024-01-01 00:00:00"), 50L, "q")   // untouched by the batch
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val all = changes.unionByName(extra)
+    val cut = t("2024-01-03 00:00:00")
+    val first = all.where(col("ts") < lit(cut))
+    val batch = all.where(col("ts") >= lit(cut))   // user 3 is NEW here
+    val incr = History.scd2Apply(
+      History.scd2(first, "user_id", "ts", "event_id", "event_type"),
+      batch, "user_id", "ts", "event_id", "event_type")
+      .as[(Long, Int, Option[String], Timestamp, Option[Timestamp], Int)]
+      .collect().toSet
+    val full = History.scd2(all, "user_id", "ts", "event_id", "event_type")
+      .as[(Long, Int, Option[String], Timestamp, Option[Timestamp], Int)]
+      .collect().toSet
+    assert(incr == full,
+      s"only-incr=${incr -- full}\nonly-full=${full -- incr}")
+  }
+
   test("one exchange serves both window passes") {
     val plan = hist.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
