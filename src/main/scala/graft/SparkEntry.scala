@@ -395,6 +395,15 @@ object SparkEntry {
     // are write-specific; the strong per-file assertions live in
     // SinksRichSpec — here the oracle pins file count, row conservation,
     // and zero overlapping key ranges)
+    // compaction planning over a virtual manifest (per-source byte
+    // totals — physical parquet sizes are encoder-specific, so the
+    // oracle-checked plan runs on data-derived sizes; production feeds
+    // shardManifest file_bytes through the same planner)
+    "q_compaction" -> ((s, d) => {
+      val vm = Tables.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).as("bytes"))
+      Sinks.compactionPlan(vm, "bytes", "source", target = 15000L)
+    }),
     "q_shard_manifest" -> ((s, d) => {
       val dir = "/tmp/graft_shard_manifest/" + d.replaceAll("[^A-Za-z0-9]", "_")
       Sinks.writeRangeClustered(Tables.documents(s, d), dir, nFiles = 4,
@@ -2170,6 +2179,13 @@ object SparkEntry {
     // strictly disjoint per-file doc_id ranges (0 overlaps)
     "q_shard_manifest" ->
       "SELECT 4 AS n_files, count(*) AS total_rows, 0 AS n_overlaps FROM documents",
+    // planner replay: self-join cumulative offset, integer-division bins
+    "q_compaction" ->
+      ("WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes " +
+        "FROM documents GROUP BY source), " +
+        "c AS (SELECT a.source, a.bytes, CAST(coalesce(sum(b.bytes), 0) AS BIGINT) AS cum " +
+        "FROM m a LEFT JOIN m b ON b.source < a.source GROUP BY a.source, a.bytes) " +
+        "SELECT source, bytes, CAST(cum // 15000 AS INT) AS grp FROM c"),
     // the q_surprisal chain + a distinct-score cumulative distribution
     // (ROWS frame explicit; the score dictionary has no peer rows) +
     // per-bucket hash thresholds interpolated from the shared constants

@@ -215,4 +215,21 @@ class SinksRichSpec extends SparkSpec {
     val mX = Sinks.shardManifest(spark, dirX, Seq("k")).collect()
     assert(total(mX) != total(m4))
   }
+
+  test("compaction plan: contiguous offset bins, hand-checked groups") {
+    import spark.implicits._
+    val manifest = Seq(("f1", 10L), ("f2", 10L), ("f3", 10L), ("f4", 25L),
+      ("f5", 5L), ("f6", 0L)).toDF("file", "bytes")
+    val got = graft.sources.Sinks
+      .compactionPlan(manifest, "bytes", "file", target = 30L)
+      .as[(String, Long, Int)].collect().sortBy(_._1).toSeq
+    // cumulative-before: 0,10,20,30,55,60 -> bins 0,0,0,1,1,2
+    assert(got == Seq(("f1", 10L, 0), ("f2", 10L, 0), ("f3", 10L, 0),
+      ("f4", 25L, 1), ("f5", 5L, 1), ("f6", 0L, 2)), got)
+    // groups are contiguous in file order (a merged range stays a range)
+    val byGroup = got.groupBy(_._3).view.mapValues(_.map(_._1).sorted)
+    assert(byGroup.values.forall(fs =>
+      got.map(_._1).slice(got.map(_._1).indexOf(fs.head),
+        got.map(_._1).indexOf(fs.head) + fs.size) == fs))
+  }
 }
