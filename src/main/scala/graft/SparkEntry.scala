@@ -914,6 +914,11 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // ordered funnel conversion: view -> click -> purchase, greedy
+    // earliest-completion per user
+    "q_funnel" -> ((s, d) =>
+      Windowing.funnelCounts(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
     // SCD2 attribute history: per-user event_type timeline with
     // [valid_from, valid_to) version rows — the snapshot-versioning layer
     // (doc license/quality-tier across crawls is the same algebra)
@@ -2859,6 +2864,22 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // funnel replay: sequential greedy mins (t1 = min view; t2 = min
+    // click >= t1; t3 = min purchase >= t2), prefix counts
+    "q_funnel" ->
+      ("WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT * FROM (VALUES " +
+        "(0, 'view', (SELECT count(*) FROM t1)), " +
+        "(1, 'click', (SELECT count(*) FROM t2)), " +
+        "(2, 'purchase', (SELECT count(*) FROM t3))) " +
+        "v(step_idx, step, reached)"),
     // the incremental fold equals the full recompute BY CONTRACT, so its
     // oracle is q_scd2's full-history replay verbatim
     "q_scd2_incr" ->

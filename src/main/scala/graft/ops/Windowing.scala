@@ -59,4 +59,53 @@ object Windowing {
       .select(col("window.start").as("w_start"), col("count").as("cnt"))
       .orderBy(col("cnt").desc, col("w_start").asc)
       .limit(1)
+
+  /** Ordered funnel: per key, the earliest time each step of `steps` can
+    * complete GIVEN the previous step already has (greedy earliest-
+    * completion — the standard funnel semantics: t_k = min ts of step k
+    * events at or after t_{k-1}). Returns one row per key with the step
+    * timestamps (null once the sequence breaks — nulls cascade by
+    * construction since a null t_{k-1} joins away its candidates).
+    *
+    * Sequential-pattern matching in relational form: one filtered
+    * min-aggregate per step joined on the key — `steps.length` key-keyed
+    * shuffles of (key, ts) pairs, no window over the event stream, no
+    * per-key state machine. Events sharing the boundary timestamp count
+    * (>=, not >): two steps can complete in the same instant, matching
+    * the usual analytics convention.
+    */
+  def funnelTimes(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnelTimes: need at least one step")
+    steps.zipWithIndex.foldLeft(
+      events.select(col(keyCol)).distinct()) { case (acc, (st, i)) =>
+      val cands = events.where(col(typeCol) === st)
+        .select(col(keyCol), col(tsCol).as("_t"))
+      val reached =
+        (if (i == 0) cands
+         else cands.join(acc.select(col(keyCol), col(s"t${i - 1}")), Seq(keyCol))
+           .where(col("_t") >= col(s"t${i - 1}")))
+          .groupBy(col(keyCol)).agg(min(col("_t")).as(s"t$i"))
+      acc.join(reached, Seq(keyCol), "left")
+    }
+  }
+
+  /** Funnel summary: how many keys complete each step prefix (the
+    * conversion report). Step counts are non-increasing by construction.
+    */
+  def funnelCounts(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val times = funnelTimes(events, steps, keyCol, tsCol, typeCol)
+    val aggs = steps.indices.map(i =>
+      sum(col(s"t$i").isNotNull.cast("long")).as(s"c$i"))
+    val wide = times.agg(aggs.head, aggs.tail: _*)
+    val pairs = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("step_idx"), lit(st).as("step"),
+        col(s"c$i").as("reached"))
+    }
+    wide.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.reached"))
+  }
 }

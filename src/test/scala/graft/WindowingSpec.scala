@@ -80,4 +80,38 @@ class WindowingSpec extends SparkSpec {
     // terminal fire eviction is unobservable (Flink's semantics)
     assert(counts(evictBefore = false) == Seq(2L, 20L, 20L, 20L))
   }
+
+  test("funnel: order matters, same-instant completes, breaks cascade") {
+    def ts(m: Int) = java.sql.Timestamp.from(
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // u2 clicked BEFORE viewing; the later click converts it anyway
+      (2L, ts(0), "click"), (2L, ts(1), "view"), (2L, ts(3), "click"),
+      // u3 purchased before clicking: purchase step must NOT count
+      (3L, ts(0), "view"), (3L, ts(2), "purchase"), (3L, ts(3), "click"),
+      // u4 views only
+      (4L, ts(0), "view"),
+      // u5 same-instant view+click (>= boundary): both steps complete
+      (5L, ts(1), "view"), (5L, ts(1), "click"),
+      // u6 never views: a later click can't start the funnel
+      (6L, ts(0), "click"), (6L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val times = Windowing.funnelTimes(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect()
+      .map(r => r._1 -> (r._2.isDefined, r._3.isDefined, r._4.isDefined))
+      .toMap
+    assert(times(1L) == ((true, true, true)))
+    assert(times(2L) == ((true, true, false))) // click at t3 >= view at t1
+    assert(times(3L) == ((true, true, false))) // purchase pre-click: broken
+    assert(times(4L) == ((true, false, false)))
+    assert(times(5L) == ((true, true, false))) // same-instant counts
+    assert(times(6L) == ((false, false, false)))
+    val counts = Windowing.funnelCounts(ev, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(counts == Seq((0, "view", 5L), (1, "click", 4L),
+      (2, "purchase", 1L)), counts)
+  }
 }
