@@ -323,6 +323,17 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) =>
       Sampling.weightedSample(Tables.documents(s, d), "source", "doc_id",
         "n_chars", k = 20)),
+    // importance resampling: draw 100 non-English docs whose length
+    // histogram tracks the English reference — the q_drift fix, composed
+    // from the stored bucketCounts artifact and the A-ES race
+    "q_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Seq(150.0, 250.0, 350.0, 450.0)
+      Sampling.matchDistribution(docs.where(col("lang") =!= "en"),
+        TextAnalysis.bucketCounts(docs.where(col("lang") === "en"),
+          "n_chars", edges),
+        "n_chars", edges, k = 100, idCol = "doc_id")
+    }),
     // near-dup clusters: connected components over the sorted-neighborhood
     // candidate pairs (oracled via DuckDB's recursive CTE). Persisted like
     // any index — a dedup DECISION is a reusable artifact in a real
@@ -1942,6 +1953,32 @@ object SparkEntry {
         s"SELECT CASE WHEN k < '${ops.Sampling.hexThreshold(0.8)}' THEN 'train' " +
         s"WHEN k < '${ops.Sampling.hexThreshold(0.8 + 0.1)}' THEN 'valid' " +
         "ELSE 'test' END AS split, count(*) AS cnt FROM h GROUP BY 1"),
+    // importance-resampling replay: spine-complete bucket counts both
+    // sides, smoothed likelihood-ratio weights, the A-ES clock race
+    "q_resample" -> {
+      val bexpr = "CAST(n_chars >= 150.0 AS INT) + CAST(n_chars >= 250.0 AS INT) + " +
+        "CAST(n_chars >= 350.0 AS INT) + CAST(n_chars >= 450.0 AS INT)"
+      "WITH spine AS (SELECT CAST(range AS INT) AS bucket FROM range(5)), " +
+        s"refc AS (SELECT spine.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS ref_cnt " +
+        s"FROM spine LEFT JOIN (SELECT $bexpr AS bucket, count(*) AS cnt " +
+        "FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1) r USING (bucket)), " +
+        s"curc AS (SELECT spine.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS cur_cnt " +
+        s"FROM spine LEFT JOIN (SELECT $bexpr AS bucket, count(*) AS cnt " +
+        "FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1) c USING (bucket)), " +
+        "w AS (SELECT refc.bucket, " +
+        "((ref_cnt + 0.5) / (rt.rn + 2.5)) / ((cur_cnt + 0.5) / (ct.cn + 2.5)) AS w " +
+        "FROM refc JOIN curc ON refc.bucket = curc.bucket, " +
+        "(SELECT sum(ref_cnt) AS rn FROM refc) rt, " +
+        "(SELECT sum(cur_cnt) AS cn FROM curc) ct), " +
+        s"d AS (SELECT doc_id, $bexpr AS bucket FROM documents " +
+        "WHERE lang <> 'en' AND n_chars IS NOT NULL), " +
+        "cl AS (SELECT doc_id, " +
+        "-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+        "AS UBIGINT) + 0.5) / 4294967296.0) / w AS clock " +
+        "FROM d JOIN w USING (bucket)), " +
+        "r AS (SELECT doc_id, clock FROM cl ORDER BY clock, doc_id LIMIT 100) " +
+        "SELECT doc_id, round(clock, 4) AS clock FROM r"
+    },
     // A-ES replay: the same 32-bit md5 uniform, exponential clock, and
     // per-source rank (clock asc, id asc)
     "q_weighted_sample" ->

@@ -519,19 +519,26 @@ object Sampling {
     * clock is a pure function of (salt, id, weight), so a sample row
     * plus its weight replays its own draw exactly).
     */
-  def weightedSampleRows(df: DataFrame, strataCol: String, idCol: String,
-      weightCol: String, k: Int, salt: String = ""): DataFrame = {
-    require(k > 0, s"weightedSample: k must be positive, got $k")
-    // 32-bit uniform from the hashKey hex, centered off 0 so ln never
-    // sees an endpoint: u = (v + 0.5) / 2^32 ∈ (0,1) exactly.
+  /** The A-ES race clock: -ln(u)/w with u a 32-bit md5 uniform centered
+    * off 0 — u = (v + 0.5) / 2^32 ∈ (0,1) exactly, so ln never sees an
+    * endpoint. Shared by the per-stratum race and [[matchDistribution]].
+    */
+  private def raceClock(idCol: String, weightCol: String,
+      salt: String): Column = {
     val v = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 8), 16, 10).cast("double")
     val u = (v + lit(0.5)) / lit(4294967296.0)
+    -log(u) / col(weightCol).cast("double")
+  }
+
+  def weightedSampleRows(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("clock").asc, col(idCol).asc)
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(strataCol), col(idCol), col(weightCol),
-        (-log(u) / col(weightCol).cast("double")).as("clock"))
+        raceClock(idCol, weightCol, salt).as("clock"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
   }
@@ -568,4 +575,56 @@ object Sampling {
         save(weightedSampleMerge(state(), batch, strataCol, idCol,
           weightCol, k, salt))
     }
+
+  /** Importance resampling to MATCH a reference distribution — the
+    * actionable fix for what [[graft.ops.TextAnalysis.distributionDrift]]
+    * detects: draw exactly `k` documents from this corpus such that the
+    * sample's `valueCol` histogram tracks the stored reference's, by
+    * weighting each document with the per-bucket likelihood ratio
+    * (ref share / current share, both +0.5-smoothed like the drift
+    * monitor) and running the [[weightedSample]] race. Over-represented
+    * buckets get weight < 1, under-represented > 1; the draw stays exact-k,
+    * deterministic, and append-stable.
+    *
+    * `refCounts` is a [[graft.ops.TextAnalysis.bucketCounts]] artifact
+    * built with the SAME `edges`. Engine-exactness: the weight is a
+    * composition of divisions of exactly-representable numbers
+    * (integer + 0.5), identical in any IEEE engine; the clock then
+    * follows the [[weightedSample]] argument. Scale shape: the K-row
+    * weight table broadcasts onto a scan-stage bucket expression; the
+    * global exact-k is TakeOrderedAndProject (per-partition heaps — a
+    * single-stratum rank-filter window would drag every clock to one
+    * partition and WARN, the q_shard_manifest lesson), so no global
+    * sort and no rank column: membership and clocks are the output,
+    * rank is derivable.
+    */
+  def matchDistribution(docs: DataFrame, refCounts: DataFrame,
+      valueCol: String, edges: Seq[Double], k: Int, idCol: String,
+      salt: String = ""): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"matchDistribution: edges must be non-empty ascending, got $edges")
+    require(k > 0, s"matchDistribution: k must be positive, got $k")
+    val nb = edges.length + 1
+    val bucket = edges.foldLeft(lit(0))((acc, e) =>
+      acc + (col(valueCol) >= lit(e)).cast("int"))
+    val cur = graft.ops.TextAnalysis.bucketCounts(docs, valueCol, edges)
+      .select(col("bucket"), col("cnt").as("cur_cnt"))
+    val refTot = refCounts.agg(sum("cnt").as("ref_n"))
+    val curTot = cur.agg(sum("cur_cnt").as("cur_n"))
+    val weights = refCounts.select(col("bucket"), col("cnt").as("ref_cnt"))
+      .join(cur, Seq("bucket"))
+      .crossJoin(broadcast(refTot)).crossJoin(broadcast(curTot))
+      .select(col("bucket"),
+        (((col("ref_cnt") + lit(0.5)) / (col("ref_n") + lit(0.5) * nb)) /
+          ((col("cur_cnt") + lit(0.5)) / (col("cur_n") + lit(0.5) * nb)))
+          .as("w"))
+    docs.where(col(valueCol).isNotNull)
+      .select(col(idCol), bucket.as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .where(col("w") > 0)
+      .select(col(idCol), raceClock(idCol, "w", salt).as("clock"))
+      .orderBy(col("clock").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("clock"), 4).as("clock"))
+  }
 }

@@ -422,6 +422,42 @@ class SamplingSpec extends SparkSpec {
     assert(served == all)
   }
 
+  test("matchDistribution pulls the sample toward the reference histogram") {
+    import graft.ops.TextAnalysis
+    // corpus: 90% short docs, 10% long; reference: 50/50
+    val corpus = spark.range(2000).toDF("doc_id")
+      .selectExpr("doc_id",
+        "CAST(CASE WHEN doc_id % 10 < 9 THEN 50 ELSE 500 END AS DOUBLE) AS len")
+    val ref = spark.range(400).toDF("doc_id")
+      .selectExpr("doc_id",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 500 END AS DOUBLE) AS len")
+    val edges = Seq(100.0)
+    val got = Sampling.matchDistribution(corpus,
+      TextAnalysis.bucketCounts(ref, "len", edges), "len", edges,
+      k = 200, idCol = "doc_id")
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 200)
+    val longShare = ids.count(_ % 10 == 9).toDouble / 200
+    // the uniform draw gives ~10% long; the 9x importance weight on the
+    // long bucket must pull the share several-fold toward the
+    // reference's 50% (one seeded draw — wide band, but far from 0.10)
+    val uniform = Sampling.weightedSample(
+      corpus.selectExpr("'s' AS s", "doc_id", "CAST(1.0 AS DOUBLE) AS w"),
+      "s", "doc_id", "w", k = 200).select("doc_id").as[Long].collect()
+    val uniShare = uniform.count(_ % 10 == 9).toDouble / 200
+    assert(uniShare < 0.2, s"uniform long share $uniShare")
+    assert(longShare > 0.3 && longShare < 0.7, s"long share $longShare")
+    // deterministic + exact-k via TakeOrderedAndProject (no global sort,
+    // no single-partition window)
+    val again = Sampling.matchDistribution(corpus,
+      TextAnalysis.bucketCounts(ref, "len", edges), "len", edges,
+      k = 200, idCol = "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("weighted sample plans a partial top-k below the exchange") {
     val plan = Sampling.weightedSample(wdocs, "source", "doc_id", "wt", 5)
       .queryExecution.executedPlan.toString
