@@ -91,6 +91,52 @@ object Windowing {
     }
   }
 
+  /** Fold an append-only event batch into standing [[funnelTimes]] state
+    * without revisiting history: under the append-only-ts discipline a
+    * key's existing step times never move (every new candidate is later
+    * than every old one, so an achieved min stands), and new events can
+    * only FILL the first null step onward — so the fold is, per step in
+    * order, t_k = coalesce(standing t_k, min batch ts of step k at or
+    * after the folded t_{k-1}). Exactly equals the full-history
+    * recompute (spec'd). State = one row per key seen so far.
+    */
+  def funnelApply(state: DataFrame, batch: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnelApply: need at least one step")
+    val allKeys = state.select(col(keyCol))
+      .unionByName(batch.select(col(keyCol))).distinct()
+    val base = allKeys.join(state, Seq(keyCol), "left")
+    steps.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      val cands = batch.where(col(typeCol) === st)
+        .select(col(keyCol), col(tsCol).as("_t"))
+      val fromBatch =
+        (if (i == 0) cands
+         else cands.join(acc.select(col(keyCol),
+             col(s"t${i - 1}").as("_prev")), Seq(keyCol))
+           .where(col("_prev").isNotNull && col("_t") >= col("_prev")))
+          .groupBy(col(keyCol)).agg(min(col("_t")).as(s"_new$i"))
+      acc.join(fromBatch, Seq(keyCol), "left")
+        .withColumn(s"t$i", coalesce(col(s"t$i"), col(s"_new$i")))
+        .drop(s"_new$i")
+    }
+  }
+
+  /** Streaming funnel: each micro-batch folds into the standing per-key
+    * step-time state via [[funnelApply]] (the weightedSampleServe
+    * read-write pattern). The conversion report at any moment is an
+    * aggregation over the state rows.
+    */
+  def funnelServe(stream: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type")(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(funnelApply(state(), batch, steps, keyCol, tsCol, typeCol))
+    }
+
   /** Funnel summary: how many keys complete each step prefix (the
     * conversion report). Step counts are non-increasing by construction.
     */

@@ -113,5 +113,20 @@ class WindowingSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
     assert(counts == Seq((0, "view", 5L), (1, "click", 4L),
       (2, "purchase", 1L)), counts)
+
+    // incremental fold over ts-ordered batches equals the batch funnel
+    val steps = Seq("view", "click", "purchase")
+    val cut = ts(2)
+    val folded = Windowing.funnelApply(
+      Windowing.funnelApply(
+        Windowing.funnelTimes(ev.limit(0), steps),  // empty, right schema
+        ev.where(col("ts") < lit(cut)), steps),
+      ev.where(col("ts") >= lit(cut)), steps)
+    assert(folded
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet ==
+      Windowing.funnelTimes(ev, steps)
+        .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+          Option[java.sql.Timestamp])].collect().toSet)
   }
 }
