@@ -1177,7 +1177,20 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"ngramContainment: threshold must be in (0,1], got $threshold")
     val thrScaled = math.round(threshold * 10000).toInt
-    val sh = docs.select(col("doc_id"), shingles(shingleK).as("sh"))
+    // prune the corpus to candidate members BEFORE computing/shuffling
+    // shingle arrays: the id set is candidate-sized, so broadcasting it
+    // turns the prune into a streamed BroadcastHashJoin over the scan —
+    // without it, both pair joins hash-exchange every document's shingle
+    // array (measured 14 s → 4 s for 5k pairs over 55k docs at 10×)
+    val ids = broadcast(candidates.select(col("a_id").as("doc_id"))
+      .unionByName(candidates.select(col("b_id").as("doc_id"))).distinct())
+    // lineage-cut: both pair joins reference this frame — live, the
+    // prune + shingling re-executes per side (and the join's derived
+    // null-filter can push the shingle transform into a Filter); the
+    // checkpoint is candidate-member-sized by the prune above
+    val sh = docs.join(ids, Seq("doc_id"))
+      .select(col("doc_id"), shingles(shingleK).as("sh"))
+      .localCheckpoint()
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
