@@ -71,17 +71,37 @@ object History {
     * spliced over the closed rows. Exactly equals a full-history
     * recompute (spec'd) PROVIDED the batch is append-only per key —
     * every new (ts, ord) sorts after the key's current valid_from (the
-    * semanticDedupTextApply id discipline; a violation would have to
-    * rewrite sealed history and is asserted away by contract, not
-    * silently absorbed).
+    * semanticDedupTextApply id discipline), and `validate` fails fast
+    * when it is not.
     *
     * State touched: current rows of AFFECTED keys only (one row each) +
     * the batch — closed history is read-only passthrough. Version
     * numbers continue from the current row's.
+    *
+    * `validate` (default on) ENFORCES the append-only contract instead
+    * of trusting it: a batch change timestamped before its key's
+    * current valid_from would have to rewrite sealed history, and
+    * without the check it would silently splice a wrong version chain.
+    * The check is one batch-sized join + count (the
+    * perplexityBuckets guard precedent); callers that have already
+    * validated upstream can switch it off.
     */
   def scd2Apply(history: DataFrame, changes: DataFrame, keyCol: String,
-      tsCol: String, ordCol: String, valueCol: String): DataFrame = {
+      tsCol: String, ordCol: String, valueCol: String,
+      validate: Boolean = true): DataFrame = {
     val affected = changes.select(col(keyCol)).distinct()
+    if (validate) {
+      val bad = changes.select(col(keyCol), col(tsCol))
+        .join(history.where(col("is_current") === 1)
+          .select(col(keyCol), col("valid_from")), Seq(keyCol))
+        .where(col(tsCol) < col("valid_from"))
+        .count()
+      require(bad == 0L,
+        s"scd2Apply: $bad batch change(s) are timestamped before their " +
+          "key's current valid_from — they would rewrite sealed history. " +
+          "Replay from a full-history scd2() instead, or fix the feed " +
+          "(validate = false skips this check once enforced upstream).")
+    }
     val cur = history.where(col("is_current") === 1)
       .join(affected, Seq(keyCol))
       .select(col(keyCol), col("valid_from").as(tsCol),

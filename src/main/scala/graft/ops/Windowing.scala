@@ -99,6 +99,14 @@ object Windowing {
     * order, t_k = coalesce(standing t_k, min batch ts of step k at or
     * after the folded t_{k-1}). Exactly equals the full-history
     * recompute (spec'd). State = one row per key seen so far.
+    *
+    * The append-only discipline is NOT enforced here (unlike
+    * [[graft.ops.History.scd2Apply]], the state carries no "last ts
+    * seen" watermark to check against): a late event older than an
+    * achieved step time is silently ignored — the result is then the
+    * funnel of the stream AS DELIVERED, which may complete later (never
+    * earlier) than the full recompute over the true order. Feeds that
+    * cannot guarantee order should recompute with [[funnelTimes]].
     */
   def funnelApply(state: DataFrame, batch: DataFrame, steps: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",

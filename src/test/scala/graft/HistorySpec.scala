@@ -80,6 +80,23 @@ class HistorySpec extends SparkSpec {
       s"only-incr=${incr -- full}\nonly-full=${full -- incr}")
   }
 
+  test("scd2Apply fails fast on a batch that would rewrite sealed history") {
+    val first = changes.where(col("ts") < lit(t("2024-01-03 00:00:00")))
+    val hist1 = History.scd2(first, "user_id", "ts", "event_id", "event_type")
+    // user 1's current (run-collapsed) version opened 2024-01-01; this
+    // change predates it
+    val bad = Seq((1L, t("2023-12-31 00:00:00"), 99L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      History.scd2Apply(hist1, bad, "user_id", "ts", "event_id",
+        "event_type")
+    }
+    assert(e.getMessage.contains("sealed history"), e.getMessage)
+    // validate = false skips the guard (caller-enforced feeds)
+    History.scd2Apply(hist1, bad, "user_id", "ts", "event_id",
+      "event_type", validate = false).count()
+  }
+
   test("one exchange serves both window passes") {
     val plan = hist.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
