@@ -1198,6 +1198,32 @@ object SparkEntry {
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
 
+  /** Shared SCD2 replay (q_scd2 AND q_scd2_incr — the incremental fold
+    * equals the full-history recompute by contract): run ids from a
+    * running opener-flag sum, per-run seen-through from the last
+    * underlying change, lead() over the openers for valid_to.
+    */
+  private val SCD2_SQL =
+    "WITH o AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+      "FROM events), " +
+      "o2 AS (SELECT *, sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS run FROM o), " +
+      "sn AS (SELECT user_id, run, ts AS seen_ts, event_id AS seen_ord FROM " +
+      "(SELECT user_id, run, ts, event_id, row_number() OVER " +
+      "(PARTITION BY user_id, run ORDER BY ts DESC, event_id DESC) AS rd FROM o2) " +
+      "WHERE rd = 1), " +
+      "v AS (SELECT user_id, ts, event_id, event_type, run FROM o2 " +
+      "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) " +
+      "SELECT v.user_id, CAST(run AS INT) AS version, " +
+      "event_type AS state, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY v.user_id ORDER BY ts, event_id) AS valid_to, " +
+      "CAST(lead(ts) OVER (PARTITION BY v.user_id ORDER BY ts, event_id) " +
+      "IS NULL AS INT) AS is_current, seen_ts, seen_ord " +
+      "FROM v JOIN sn USING (user_id, run)"
+
   /** v6 recipe bucket rates: keep quintiles 1-3 wholesale, thin 4 and 5. */
   private val V6_PPL_RATES = Seq(1.0, 1.0, 1.0, 0.5, 0.1)
 
@@ -2919,33 +2945,11 @@ object SparkEntry {
         "v(step_idx, step, reached)"),
     // the incremental fold equals the full recompute BY CONTRACT, so its
     // oracle is q_scd2's full-history replay verbatim
-    "q_scd2_incr" ->
-      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
-        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
-        "FROM events), " +
-        "v AS (SELECT user_id, ts, event_id, event_type FROM o " +
-        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) " +
-        "SELECT user_id, CAST(row_number() OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version, " +
-        "event_type AS state, ts AS valid_from, " +
-        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
-        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "IS NULL AS INT) AS is_current FROM v"),
-    // SCD2 replay: lag-filter run openers, then lead() for valid_to
-    "q_scd2" ->
-      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
-        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
-        "FROM events), " +
-        "v AS (SELECT user_id, ts, event_id, event_type FROM o " +
-        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) " +
-        "SELECT user_id, CAST(row_number() OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version, " +
-        "event_type AS state, ts AS valid_from, " +
-        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
-        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "IS NULL AS INT) AS is_current FROM v"),
+    "q_scd2_incr" -> SCD2_SQL,
+    // SCD2 replay: run ids via a running opener-flag sum, seen-through =
+    // each run's last underlying change (collapsed re-statements incl.),
+    // lead() for valid_to
+    "q_scd2" -> SCD2_SQL,
     "q_scd2_asof" ->
       ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +

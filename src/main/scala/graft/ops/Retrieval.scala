@@ -391,6 +391,10 @@ object Retrieval {
       qidCol: String = "query_id", qCol: String = "query"): DataFrame = {
     require(fbDocs > 0 && fbTerms >= 0,
       s"rm3Expand: need fbDocs > 0, fbTerms >= 0; got $fbDocs/$fbTerms")
+    // fbTerms = 0 adds no terms by definition: serve directly instead of
+    // paying the feedback retrieval + driver round-trip to discard it
+    if (fbTerms == 0)
+      return bm25TopKAll(index, stats, queryTable, k, k1, b, idCol, qidCol, qCol)
     val fb = bm25TopKAll(index, stats, queryTable, fbDocs, k1, b,
         idCol, qidCol, qCol)
       .select(col(qidCol), col(idCol), col("score")).localCheckpoint()

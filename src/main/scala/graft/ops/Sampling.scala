@@ -514,11 +514,6 @@ object Sampling {
       .select(col(strataCol), col(idCol),
         round(col("clock"), 4).as("clock"), col("rn"))
 
-  /** [[weightedSample]] carrying the weight column through and the clock
-    * unrounded — the self-contained STATE row for merge/serve paths (a
-    * clock is a pure function of (salt, id, weight), so a sample row
-    * plus its weight replays its own draw exactly).
-    */
   /** The A-ES race clock: -ln(u)/w with u a 32-bit md5 uniform centered
     * off 0 — u = (v + 0.5) / 2^32 ∈ (0,1) exactly, so ln never sees an
     * endpoint. Shared by the per-stratum race and [[matchDistribution]].
@@ -531,6 +526,11 @@ object Sampling {
     -log(u) / col(weightCol).cast("double")
   }
 
+  /** [[weightedSample]] carrying the weight column through and the clock
+    * unrounded — the self-contained STATE row for merge/serve paths (a
+    * clock is a pure function of (salt, id, weight), so a sample row
+    * plus its weight replays its own draw exactly).
+    */
   def weightedSampleRows(df: DataFrame, strataCol: String, idCol: String,
       weightCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")

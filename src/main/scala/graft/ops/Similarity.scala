@@ -1328,8 +1328,10 @@ object Similarity {
 
   /** Hubness report over a kNN result frame ([[knnAllBrute]] /
     * [[ivfTopKAll]] output): for each corpus vector, how many probes'
-    * top-k lists it appears in, its best rank, and its mean cosine in
-    * those appearances. The k-occurrence distribution is THE diagnostic
+    * top-k lists it appears in, its best rank, and the SUM of its
+    * cosines over those appearances (mean = sum_cos / hits — see the
+    * aggregate comment for why the sum, not the mean, is emitted). The
+    * k-occurrence distribution is THE diagnostic
     * for high-dimensional retrieval quality — a heavy right tail (hub
     * vectors appearing in a large fraction of lists) predicts both
     * degraded recall and margin-criterion value (see [[marginMine]]).

@@ -152,8 +152,10 @@ object Windowing {
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
     val times = funnelTimes(events, steps, keyCol, tsCol, typeCol)
+    // coalesce: a global agg over zero rows sums to null, but an empty
+    // event stream has reached-count 0, not null (oracle counts agree)
     val aggs = steps.indices.map(i =>
-      sum(col(s"t$i").isNotNull.cast("long")).as(s"c$i"))
+      coalesce(sum(col(s"t$i").isNotNull.cast("long")), lit(0L)).as(s"c$i"))
     val wide = times.agg(aggs.head, aggs.tail: _*)
     val pairs = steps.zipWithIndex.map { case (st, i) =>
       struct(lit(i).as("step_idx"), lit(st).as("step"),

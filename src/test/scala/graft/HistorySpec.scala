@@ -29,19 +29,29 @@ class HistorySpec extends SparkSpec {
   private def hist = History.scd2(changes, "user_id", "ts", "event_id",
     "event_type")
 
-  test("scd2 collapses runs, keeps nulls and empty-interval versions") {
-    val got = hist
-      .as[(Long, Int, Option[String], Timestamp, Option[Timestamp], Int)]
-      .collect().sortBy(r => (r._1, r._2)).toSeq
+  private type Row8 = (Long, Int, Option[String], Timestamp,
+    Option[Timestamp], Int, Timestamp, Long)
+
+  test("scd2 collapses runs, keeps nulls, empty intervals, seen-through") {
+    val got = hist.as[Row8].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == Seq(
-      (1L, 1, Some("a"), t("2024-01-01 00:00:00"), Some(t("2024-01-03 00:00:00")), 0),
-      (1L, 2, Some("b"), t("2024-01-03 00:00:00"), Some(t("2024-01-04 00:00:00")), 0),
-      (1L, 3, Some("a"), t("2024-01-04 00:00:00"), None, 1),
-      (2L, 1, Some("x"), t("2024-01-01 12:00:00"), Some(t("2024-01-02 12:00:00")), 0),
-      (2L, 2, None, t("2024-01-02 12:00:00"), Some(t("2024-01-03 12:00:00")), 0),
-      (2L, 3, Some("x"), t("2024-01-03 12:00:00"), None, 1),
-      (3L, 1, Some("p"), t("2024-01-05 00:00:00"), Some(t("2024-01-05 00:00:00")), 0),
-      (3L, 2, Some("q"), t("2024-01-05 00:00:00"), None, 1)), got)
+      // u1 v1: the collapsed re-statement advances seen, not valid_from
+      (1L, 1, Some("a"), t("2024-01-01 00:00:00"),
+        Some(t("2024-01-03 00:00:00")), 0, t("2024-01-02 00:00:00"), 11L),
+      (1L, 2, Some("b"), t("2024-01-03 00:00:00"),
+        Some(t("2024-01-04 00:00:00")), 0, t("2024-01-03 00:00:00"), 12L),
+      (1L, 3, Some("a"), t("2024-01-04 00:00:00"), None, 1,
+        t("2024-01-04 00:00:00"), 13L),
+      (2L, 1, Some("x"), t("2024-01-01 12:00:00"),
+        Some(t("2024-01-02 12:00:00")), 0, t("2024-01-01 12:00:00"), 20L),
+      (2L, 2, None, t("2024-01-02 12:00:00"),
+        Some(t("2024-01-03 12:00:00")), 0, t("2024-01-02 12:00:00"), 21L),
+      (2L, 3, Some("x"), t("2024-01-03 12:00:00"), None, 1,
+        t("2024-01-03 12:00:00"), 22L),
+      (3L, 1, Some("p"), t("2024-01-05 00:00:00"),
+        Some(t("2024-01-05 00:00:00")), 0, t("2024-01-05 00:00:00"), 30L),
+      (3L, 2, Some("q"), t("2024-01-05 00:00:00"), None, 1,
+        t("2024-01-05 00:00:00"), 31L)), got)
   }
 
   test("asOf reconstructs each instant, half-open boundaries") {
@@ -71,11 +81,11 @@ class HistorySpec extends SparkSpec {
     val incr = History.scd2Apply(
       History.scd2(first, "user_id", "ts", "event_id", "event_type"),
       batch, "user_id", "ts", "event_id", "event_type")
-      .as[(Long, Int, Option[String], Timestamp, Option[Timestamp], Int)]
-      .collect().toSet
+      .as[Row8].collect().toSet
     val full = History.scd2(all, "user_id", "ts", "event_id", "event_type")
-      .as[(Long, Int, Option[String], Timestamp, Option[Timestamp], Int)]
-      .collect().toSet
+      .as[Row8].collect().toSet
+    // full equality INCLUDING seen_ts/seen_ord: the batch's collapsed
+    // re-statement of user 4 advances the standing current row's seen
     assert(incr == full,
       s"only-incr=${incr -- full}\nonly-full=${full -- incr}")
   }
@@ -83,23 +93,44 @@ class HistorySpec extends SparkSpec {
   test("scd2Apply fails fast on a batch that would rewrite sealed history") {
     val first = changes.where(col("ts") < lit(t("2024-01-03 00:00:00")))
     val hist1 = History.scd2(first, "user_id", "ts", "event_id", "event_type")
-    // user 1's current (run-collapsed) version opened 2024-01-01; this
-    // change predates it
+    // predates user 1's current valid_from outright
     val bad = Seq((1L, t("2023-12-31 00:00:00"), 99L, "z"))
       .toDF("user_id", "ts", "event_id", "event_type")
     val e = intercept[IllegalArgumentException] {
       History.scd2Apply(hist1, bad, "user_id", "ts", "event_id",
         "event_type")
     }
-    assert(e.getMessage.contains("sealed history"), e.getMessage)
+    assert(e.getMessage.contains("sealed"), e.getMessage)
+    // the subtle case: INSIDE the current run, after a collapsed
+    // re-statement — valid_from (01-01) under-states the floor; the
+    // seen-through guard (01-02, ord 11) still catches it
+    val inRun = Seq((1L, t("2024-01-01 18:00:00"), 99L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val e2 = intercept[IllegalArgumentException] {
+      History.scd2Apply(hist1, inRun, "user_id", "ts", "event_id",
+        "event_type")
+    }
+    assert(e2.getMessage.contains("sealed"), e2.getMessage)
+    // equal (ts, ord) to the last seen change = re-delivery: rejected too
+    val dup = Seq((1L, t("2024-01-02 00:00:00"), 11L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    intercept[IllegalArgumentException] {
+      History.scd2Apply(hist1, dup, "user_id", "ts", "event_id",
+        "event_type")
+    }
     // validate = false skips the guard (caller-enforced feeds)
     History.scd2Apply(hist1, bad, "user_id", "ts", "event_id",
       "event_type", validate = false).count()
   }
 
-  test("one exchange serves both window passes") {
+  test("every exchange hashes on the key (no global or driver stage)") {
     val plan = hist.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected 1 exchange:\n$plan")
+    // the seen-through aggregate adds (key, run)-keyed exchanges on top
+    // of the original (key) window exchange — all hash-distributed on
+    // the high-cardinality key; what must NOT appear is a single
+    // partition or broadcast of the change stream
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty && exchanges.length <= 4, plan.take(2000))
   }
 }
