@@ -824,6 +824,21 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         contamN = 3, pplRates = V6_PPL_RATES, semMinCos = 0.85)
     }),
+    // v9: the v8 composition + a final importance-resample stage — exact
+    // 50 survivors whose length histogram tracks the RAW train corpus,
+    // shedding the length bias the quality/perplexity gates introduce
+    "q_clean_corpus_v9" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // same scrub materialization rationale as q_clean_corpus_v7
+      val scrubbed = Dedup.substringScrub(docs, k = 8)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      Curation.cleanCorpusV9Stats(
+        scrubbed.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        contamN = 3, pplRates = V6_PPL_RATES, semMinCos = 0.85,
+        kFinal = 50)
+    }),
     // domain mixing to per-source token budgets: the prefilter rate keeps
     // ~15 of each source's 25 docs (~450 tokens) ahead of the 100-500
     // token budgets, so the exact-trim window runs over a budget-sized set
@@ -1387,15 +1402,47 @@ object SparkEntry {
     */
   private def recipeV5Sql(pplPredicate: String,
       prefixCtes: String = "", docsFrom: String = "documents",
-      semMinCos: Option[Double] = None): String = {
+      semMinCos: Option[Double] = None,
+      resampleK: Option[Int] = None): String = {
     // optional v8 semantic-decontamination stage: CTE block after `dec`,
     // downstream stages re-sourced to its survivors, stage labels shifted
     val semBlock = semMinCos.map(c => semDecontamCtes(c) + ", ").getOrElse("")
     val pplSrc = if (semMinCos.isDefined) "semdocs" else "dec"
     val pplLabel = if (semMinCos.isDefined) "s7_perplexity" else "s6_perplexity"
-    val spanPfx = if (semMinCos.isDefined) "s8" else "s7"
+    val spanIdx = (if (semMinCos.isDefined) 8 else 7) +
+      (if (resampleK.isDefined) 1 else 0)
+    val spanPfx = s"s$spanIdx"
     val semRow = if (semMinCos.isDefined)
       "UNION ALL SELECT 's6_sem_decontam', count(*) FROM semdocs " else ""
+    // optional v9 importance-resample stage: length-bucket likelihood
+    // ratios (reference = the raw t0 corpus), the A-ES clock race,
+    // ORDER BY clock LIMIT k — the q_resample replay re-rooted on the
+    // recipe's own frames; span dedup then runs over the resampled set
+    val resampleEdges = Seq(150.0, 250.0, 350.0, 450.0)
+    val rBex = resampleEdges.map(e =>
+      s"CAST(length(text) >= $e AS INT)").mkString(" + ")
+    val resBlock = resampleK.map { kF =>
+      s"spiner AS (SELECT CAST(range AS INT) AS bucket FROM range(${resampleEdges.length + 1})), " +
+        s"rref AS (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS ref_cnt " +
+        s"FROM spiner LEFT JOIN (SELECT $rBex AS bucket, count(*) AS cnt " +
+        "FROM t0 GROUP BY 1) rr USING (bucket)), " +
+        "rsv AS (SELECT t0.doc_id, text FROM t0 JOIN ppl USING (doc_id)), " +
+        s"rcur AS (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS cur_cnt " +
+        s"FROM spiner LEFT JOIN (SELECT $rBex AS bucket, count(*) AS cnt " +
+        "FROM rsv GROUP BY 1) rc USING (bucket)), " +
+        "rw AS (SELECT rref.bucket, ((ref_cnt + 0.5) / (rt.rn + 2.5)) / " +
+        "((cur_cnt + 0.5) / (ct.cn + 2.5)) AS w " +
+        "FROM rref JOIN rcur ON rref.bucket = rcur.bucket, " +
+        "(SELECT sum(ref_cnt) AS rn FROM rref) rt, " +
+        "(SELECT sum(cur_cnt) AS cn FROM rcur) ct), " +
+        s"rcl AS (SELECT doc_id, -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+        "AS UBIGINT) + 0.5) / 4294967296.0) / w AS clock " +
+        s"FROM (SELECT doc_id, $rBex AS bucket FROM rsv) rb JOIN rw USING (bucket)), " +
+        s"resampled AS (SELECT doc_id FROM rcl ORDER BY clock, doc_id LIMIT $kF), "
+    }.getOrElse("")
+    val resRow = if (resampleK.isDefined)
+      s"UNION ALL SELECT 's${spanIdx - 1}_resample', count(*) FROM resampled "
+    else ""
     s"WITH RECURSIVE ${prefixCtes}t0 AS (SELECT doc_id, text, $TOKS AS toks " +
       s"FROM $docsFrom WHERE doc_id % 97 <> 0), " +
       "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
@@ -1443,8 +1490,10 @@ object SparkEntry {
       "AS bucket FROM scum, sna), " +
       "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) " +
       s"WHERE $pplPredicate), " +
+      resBlock +
       s"pdocs AS (SELECT doc_id, toks FROM $pplSrc " +
-      "WHERE doc_id IN (SELECT doc_id FROM ppl)), " +
+      s"WHERE doc_id IN (SELECT doc_id FROM " +
+      s"${if (resampleK.isDefined) "resampled" else "ppl"})), " +
       "sp0 AS (SELECT doc_id, toks, " +
       "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM pdocs), " +
       "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
@@ -1458,6 +1507,7 @@ object SparkEntry {
       "UNION ALL SELECT 's5_decontam', count(*) FROM dec " +
       semRow +
       s"UNION ALL SELECT '$pplLabel', count(*) FROM ppl " +
+      resRow +
       s"UNION ALL SELECT '${spanPfx}_spans_total', count(*) FROM sp " +
       s"UNION ALL SELECT '${spanPfx}_spans_kept', count(*) FROM own WHERE rn = 1"
   }
@@ -1872,6 +1922,14 @@ object SparkEntry {
         ", scrubbed AS (SELECT t7.doc_id, coalesce(ag7.text, '') AS text " +
         "FROM t7 LEFT JOIN ag7 USING (doc_id)), ",
       docsFrom = "scrubbed", semMinCos = Some(0.85)),
+    // v9 = v8 + the resample CTE block (length-bucket likelihood weights
+    // vs the raw t0 reference, clock race, LIMIT k) ahead of span dedup
+    "q_clean_corpus_v9" -> recipeV5Sql(v6PplPredicate,
+      prefixCtes = substringScrubCtes("7") +
+        ", scrubbed AS (SELECT t7.doc_id, coalesce(ag7.text, '') AS text " +
+        "FROM t7 LEFT JOIN ag7 USING (doc_id)), ",
+      docsFrom = "scrubbed", semMinCos = Some(0.85),
+      resampleK = Some(50)),
     // both sides fingerprinted, full-outer by id; the new side's every
     // 10th overlapping doc carries the same injected ' rev2' suffix
     "q_corpus_diff" -> {
@@ -2582,16 +2640,17 @@ object SparkEntry {
         "/ len(v) AS ms FROM q) " +
         "SELECT vec_id, round(sc, 6) AS scale, round(mx, 6) AS max_err, " +
         "round(sqrt(ms), 6) AS rmse FROM er"),
-    // CMS replay: same md5 'cm<d>-' hash family, mod-64 cells, min over
-    // the 4 rows with absent cells read as 0
+    // CMS replay: rows 0-3 slice ONE 'cm0-'-salted md5 digest into four
+    // 32-bit words (the engine's 4x-fewer-hashes form), mod-64 cells,
+    // min over the 4 rows with absent cells read as 0
     "q_cms" ->
       (s"WITH tk AS (SELECT unnest($TOKS) AS token FROM documents), " +
         "ds AS (SELECT CAST(range AS INT) AS d FROM range(4)), " +
-        "cells AS (SELECT d, CAST(('0x' || substring(md5('cm' || d || '-' || token), 1, 8)) " +
+        "cells AS (SELECT d, CAST(('0x' || substring(md5('cm0-' || token), 1 + 8 * d, 8)) " +
         "AS UBIGINT) % 64 AS bucket, count(*) AS cnt FROM tk, ds GROUP BY 1, 2), " +
         "pr AS (SELECT unnest(['the', 'a', 'table', 'spark', 'window', 'query', " +
         "'zzznope']) AS token), " +
-        "pb AS (SELECT token, d, CAST(('0x' || substring(md5('cm' || d || '-' || token), 1, 8)) " +
+        "pb AS (SELECT token, d, CAST(('0x' || substring(md5('cm0-' || token), 1 + 8 * d, 8)) " +
         "AS UBIGINT) % 64 AS bucket FROM pr, ds) " +
         "SELECT pb.token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est " +
         "FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY pb.token"),

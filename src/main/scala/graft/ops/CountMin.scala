@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Cell column for hash row `d`: md5 32-bit uniform mod `width`. */
+  /** Cell column for hash row `d`: one md5 digest is 32 hex chars = four
+    * independent 32-bit words, so rows 0-3 slice ONE digest (4× fewer
+    * md5 evaluations per key — measured on the 10× token stream) and
+    * every fourth row salts a fresh digest ("cm&lt;d/4&gt;-"). Uniform mod
+    * `width`.
+    */
   private[ops] def bucket(token: Column, d: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"cm$d-"), token)), 1, 8), 16, 10)
-      .cast("long"), lit(width))
+    pmod(conv(substring(md5(concat(lit(s"cm${d / 4}-"), token)),
+      1 + 8 * (d % 4), 8), 16, 10).cast("long"), lit(width))
 
   /** Build the (d, bucket, cnt) cell table from a key column — one
     * explode by depth (scan-stage) into the cell-keyed aggregate. Cells

@@ -199,12 +199,39 @@ object Curation {
       semDecontam = Some((evalSet, semMinCos)))
   }
 
+  /** Length-bucket edges shared by the v9 resample stage and its oracle
+    * (the q_drift edge convention).
+    */
+  private[graft] val RESAMPLE_EDGES = Seq(150.0, 250.0, 350.0, 450.0)
+
+  /** v9 — v8 plus a final IMPORTANCE-RESAMPLE stage before span dedup:
+    * the quality/perplexity gates skew the survivor LENGTH distribution
+    * (short docs die at the token gate, odd lengths at the perplexity
+    * gate); the resample draws exactly `kFinal` survivors whose length
+    * histogram tracks the RAW corpus's — curation keeps its filters
+    * without inheriting their length bias. Composed from
+    * [[graft.ops.TextAnalysis.bucketCounts]] (reference = stage-1 raw) +
+    * [[graft.ops.Sampling.matchDistribution]].
+    */
+  def cleanCorpusV9Stats(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      spanTokens: Int = 20, contamN: Int = 13,
+      pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1),
+      semMinCos: Double = 0.9, kFinal: Int = 50): DataFrame = {
+    require(pplRates.nonEmpty, "cleanCorpusV9Stats: need bucket rates")
+    recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
+      maxNonAlnum, maxStopword, snmThreshold, spanTokens,
+      semDecontam = Some((evalSet, semMinCos)), resampleK = Some(kFinal))
+  }
+
   private def recipeStats(docs: DataFrame,
       decontam: Option[(DataFrame, Int)],
       ppl: Option[Seq[Double]], minTokens: Int,
       maxNonAlnum: Double, maxStopword: Double,
       snmThreshold: Double, spanTokens: Int,
-      semDecontam: Option[(DataFrame, Double)] = None): DataFrame = {
+      semDecontam: Option[(DataFrame, Double)] = None,
+      resampleK: Option[Int] = None): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -272,11 +299,27 @@ object Curation {
           Sampling.perplexityBuckets(scored, "avg_surprisal", rates.length),
           "doc_id", "avg_surprisal", rates).select("doc_id"))
     }
+    // optional importance-resample stage (v9): exact-k survivors whose
+    // length histogram tracks the RAW stage-1 corpus — the filters keep
+    // their judgments, the output sheds their length bias. Reference and
+    // survivor lengths both derive from this recipe's own docs frame, so
+    // the stage is deterministic and oracle-replayable end to end
+    val resIds = resampleK match {
+      case None => pplIds
+      case Some(kF) =>
+        val len = length(col("text")).cast("double").as("len")
+        ids(Sampling.matchDistribution(
+          docs.join(pplIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), len),
+          TextAnalysis.bucketCounts(docs.select(len), "len", RESAMPLE_EDGES),
+          "len", RESAMPLE_EDGES, kF, "doc_id").select("doc_id"))
+    }
     val spanIdx = 5 + (if (decontam.isDefined) 1 else 0) +
       (if (semDecontam.isDefined) 1 else 0) +
-      (if (ppl.isDefined) 1 else 0)
+      (if (ppl.isDefined) 1 else 0) +
+      (if (resampleK.isDefined) 1 else 0)
     val spanPrefix = s"s$spanIdx"
-    val spans = Dedup.spanDedup(docs.join(pplIds, Seq("doc_id"), "left_semi"),
+    val spans = Dedup.spanDedup(docs.join(resIds, Seq("doc_id"), "left_semi"),
       spanTokens)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
@@ -303,9 +346,14 @@ object Curation {
       if (semDecontam.isDefined)
         withDec.unionByName(stage(s"s${semIdx}_sem_decontam", semIds))
       else withDec
-    (if (ppl.isDefined)
-       withSem.unionByName(stage(s"s${spanIdx - 1}_perplexity", pplIds))
-     else withSem)
+    val pplIdx = semIdx + (if (semDecontam.isDefined) 1 else 0)
+    val withPpl =
+      if (ppl.isDefined)
+        withSem.unionByName(stage(s"s${pplIdx}_perplexity", pplIds))
+      else withSem
+    (if (resampleK.isDefined)
+       withPpl.unionByName(stage(s"s${spanIdx - 1}_resample", resIds))
+     else withPpl)
       .unionByName(spanStages)
   }
 }
