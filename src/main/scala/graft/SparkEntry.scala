@@ -947,6 +947,10 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // per-type daily volume anomalies (2-sigma, exact integer algebra)
+    "q_anomaly" -> ((s, d) =>
+      Windowing.volumeAnomalies(Tables.events(s, d), "ts", "event_type",
+        "1 day")),
     // ordered funnel conversion: view -> click -> purchase, greedy
     // earliest-completion per user
     "q_funnel" -> ((s, d) =>
@@ -2993,6 +2997,21 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // anomaly replay: spine-completed (type, day) counts, the exact
+    // integer deviation test (n*cnt - S)^2 > sigma^2*(n*SS - S^2)
+    "q_anomaly" ->
+      ("WITH c AS (SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS w_start, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT event_type, w_start FROM " +
+        "(SELECT DISTINCT event_type FROM c), (SELECT DISTINCT w_start FROM c)), " +
+        "f AS (SELECT sp.event_type, sp.w_start, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt " +
+        "FROM sp LEFT JOIN c USING (event_type, w_start)), " +
+        "st AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n, " +
+        "CAST(sum(cnt) AS DECIMAL(38,0)) AS s, " +
+        "CAST(sum(cnt * cnt) AS DECIMAL(38,0)) AS ss FROM f GROUP BY 1) " +
+        "SELECT f.event_type, f.w_start, f.cnt, " +
+        "CAST((n * f.cnt - s) * (n * f.cnt - s) > 4 * (n * ss - s * s) AS INT) AS anomaly " +
+        "FROM f JOIN st USING (event_type)"),
     // funnel replay: sequential greedy mins (t1 = min view; t2 = min
     // click >= t1; t3 = min purchase >= t2), prefix counts
     "q_funnel" ->

@@ -60,6 +60,52 @@ object Windowing {
       .orderBy(col("cnt").desc, col("w_start").asc)
       .limit(1)
 
+  /** Volume-anomaly flags over keyed tumbling windows — the pipeline
+    * observability alarm ("source X suddenly sends 10×… or nothing"):
+    * for each key, flag windows whose event count deviates from the
+    * key's own per-window mean by more than `sigmas` population standard
+    * deviations. Missing (key, window) combinations enter as count 0 via
+    * the key × observed-window spine — a silent source is the headline
+    * anomaly, not a missing row.
+    *
+    * The test is EXACT integer algebra: with per-key window count n,
+    * count sum S and sum of squares SS,
+    *   |cnt − S/n| > σ·sd_pop ⟺ (n·cnt − S)² > σ²·(n·SS − S²),
+    * so no float mean or stddev is ever computed, let alone rounded —
+    * the flag is engine-exact (DECIMAL(38,0) arithmetic keeps
+    * billion-count windows away from long overflow, and ANSI mode makes
+    * a true overflow an error, not a wrong flag).
+    *
+    * `keyCol` is a monitoring dimension (source, event_type, shard) —
+    * low cardinality by nature, so the spine cross join is small; the
+    * heavy input passes through one map-side-combined (key, window)
+    * count.
+    */
+  def volumeAnomalies(events: DataFrame, tsCol: String, keyCol: String,
+      size: String, sigmas: Int = 2): DataFrame = {
+    require(sigmas > 0, s"volumeAnomalies: sigmas must be positive, got $sigmas")
+    val dec = "decimal(38,0)"
+    val counted = events
+      .groupBy(window(col(tsCol), size).getField("start").as("w_start"),
+        col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = counted.select(col(keyCol)).distinct()
+      .crossJoin(counted.select(col("w_start")).distinct())
+    val filled = spine.join(counted, Seq(keyCol, "w_start"), "left")
+      .select(col(keyCol), col("w_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val stats = filled.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("cnt")).cast(dec).as("s"),
+        sum(col("cnt") * col("cnt")).cast(dec).as("ss"))
+    val dev = col("n") * col("cnt").cast(dec) - col("s")
+    filled.join(stats, Seq(keyCol))
+      .select(col(keyCol), col("w_start"), col("cnt"),
+        (dev * dev >
+          lit(sigmas * sigmas) * (col("n") * col("ss") - col("s") * col("s")))
+          .cast("int").as("anomaly"))
+  }
+
   /** Ordered funnel: per key, the earliest time each step of `steps` can
     * complete GIVEN the previous step already has (greedy earliest-
     * completion — the standard funnel semantics: t_k = min ts of step k

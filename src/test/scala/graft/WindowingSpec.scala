@@ -81,6 +81,40 @@ class WindowingSpec extends SparkSpec {
     assert(counts(evictBefore = false) == Seq(2L, 20L, 20L, 20L))
   }
 
+  test("volume anomalies: spikes and silent windows flag, steady does not") {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.from(
+      Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(day * 86400L + i * 60L))
+    // 6 windows each. A single outlier among n−1 constants sits at
+    // z = √(n−1) regardless of its size — n=5 is EXACTLY 2σ (unflagged
+    // under the strict >), n=6 is √5 ≈ 2.24σ and flags. Source A spikes
+    // on day 5; source B is steady but SILENT on day 2 — the spine must
+    // flag the zero, not drop the row.
+    val ev = (
+      (0 until 5).flatMap(d => (0 until 5).map(i => ("A", ts(d, i)))) ++
+        (0 until 25).map(i => ("A", ts(5, i))) ++
+        (0 until 6).flatMap(d =>
+          if (d == 2) Nil else (0 until 5).map(i => ("B", ts(d, i))))
+      ).toDF("event_type", "ts")
+    val got = Windowing.volumeAnomalies(ev, "ts", "event_type", "1 day")
+      .as[(String, java.sql.Timestamp, Long, Int)].collect()
+      .map(r => (r._1, r._2.toInstant.getEpochSecond / 86400 % 100, r._3, r._4))
+    val a = got.filter(_._1 == "A").sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(a == Seq((5L, 0), (5L, 0), (5L, 0), (5L, 0), (5L, 0), (25L, 1)), a)
+    val b = got.filter(_._1 == "B").sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(b == Seq((5L, 0), (5L, 0), (0L, 1), (5L, 0), (5L, 0), (5L, 0)), b)
+    // the n=5 exact-boundary case, checked in the integer algebra: a
+    // lone outlier among 4 constants gives (n·cnt−S)² = σ²(n·SS−S²)
+    // exactly — 6400 = 6400 for (5,5,5,5,25) — and must NOT flag
+    val boundary = (0 until 4).flatMap(d =>
+      (0 until 5).map(i => ("C", ts(d, i)))) ++
+      (0 until 25).map(i => ("C", ts(4, i)))
+    val c = Windowing.volumeAnomalies(boundary.toDF("event_type", "ts"),
+        "ts", "event_type", "1 day")
+      .as[(String, java.sql.Timestamp, Long, Int)].collect()
+    assert(c.forall(_._4 == 0), c.toSeq)
+  }
+
   test("funnel: order matters, same-instant completes, breaks cascade") {
     def ts(m: Int) = java.sql.Timestamp.from(
       Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
