@@ -951,6 +951,9 @@ object SparkEntry {
     "q_anomaly" -> ((s, d) =>
       Windowing.volumeAnomalies(Tables.events(s, d), "ts", "event_type",
         "1 day")),
+    // weekly retention cohorts over the user event stream
+    "q_retention" -> ((s, d) =>
+      Windowing.retentionCohorts(Tables.events(s, d), "ts", "user_id")),
     // ordered funnel conversion: view -> click -> purchase, greedy
     // earliest-completion per user
     "q_funnel" -> ((s, d) =>
@@ -2997,6 +3000,14 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // cohort replay: ISO-Monday weeks, min-week cohort, day-diff offsets
+    "q_retention" ->
+      ("WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week " +
+        "FROM events), " +
+        "ch AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1) " +
+        "SELECT cohort_week, " +
+        "CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset, " +
+        "count(*) AS n_active FROM wk JOIN ch USING (user_id) GROUP BY 1, 2"),
     // anomaly replay: spine-completed (type, day) counts, the exact
     // integer deviation test (n*cnt - S)^2 > sigma^2*(n*SS - S^2)
     "q_anomaly" ->

@@ -60,6 +60,30 @@ object Windowing {
       .orderBy(col("cnt").desc, col("w_start").asc)
       .limit(1)
 
+  /** Retention cohort matrix: keys grouped by first-seen week, counted
+    * in each later week they were active — the (cohort × week-offset)
+    * triangle behind every retention chart, and for a data platform the
+    * "are last month's onboarded sources still sending?" readout.
+    * Week truncation is ISO-Monday in both Spark and DuckDB; offsets are
+    * exact day differences (multiples of 7) divided out, so the matrix
+    * is engine-exact. Two aggregations: distinct (key, week) activity,
+    * then the min-week cohort joined back — both keyed on the
+    * high-cardinality key.
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val weeks = events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col(keyCol))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Volume-anomaly flags over keyed tumbling windows — the pipeline
     * observability alarm ("source X suddenly sends 10×… or nothing"):
     * for each key, flag windows whose event count deviates from the

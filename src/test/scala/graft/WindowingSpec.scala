@@ -115,6 +115,26 @@ class WindowingSpec extends SparkSpec {
     assert(c.forall(_._4 == 0), c.toSeq)
   }
 
+  test("retention cohorts: first-seen week, offsets, churn and return") {
+    def ts(week: Int) = java.sql.Timestamp.from(
+      Instant.parse("2024-01-01T12:00:00Z").plusSeconds(week * 7L * 86400))
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)),     // cohort w0, sticks
+      (2L, ts(0)), (2L, ts(2)),                  // cohort w0, skips w1
+      (3L, ts(1)),                               // cohort w1, churns
+      (4L, ts(1)), (4L, ts(1)), (4L, ts(2))      // cohort w1 (dup events)
+    ).toDF("user_id", "ts")
+    val got = Windowing.retentionCohorts(ev, "ts", "user_id")
+      .as[(java.sql.Timestamp, Int, Long)].collect()
+      .map(r => (r._1.toInstant.getEpochSecond, r._2) -> r._3).toMap
+    val w0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .toInstant.getEpochSecond
+    val w1 = w0 + 7L * 86400
+    assert(got == Map(
+      (w0, 0) -> 2L, (w0, 1) -> 1L, (w0, 2) -> 2L,   // u2 returns at w2
+      (w1, 0) -> 2L, (w1, 1) -> 1L), got)
+  }
+
   test("funnel: order matters, same-instant completes, breaks cascade") {
     def ts(m: Int) = java.sql.Timestamp.from(
       Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
