@@ -1431,8 +1431,10 @@ object SparkEntry {
     // optional v9 importance-resample stage: length-bucket likelihood
     // ratios (reference = the raw t0 corpus), the A-ES clock race,
     // ORDER BY clock LIMIT k — the q_resample replay re-rooted on the
-    // recipe's own frames; span dedup then runs over the resampled set
-    val resampleEdges = Seq(150.0, 250.0, 350.0, 450.0)
+    // recipe's own frames; span dedup then runs over the resampled set.
+    // Edges come from the ONE shared constant the Spark side buckets
+    // with, so engine and oracle cannot drift
+    val resampleEdges = ops.Curation.RESAMPLE_EDGES
     val rBex = resampleEdges.map(e =>
       s"CAST(length(text) >= $e AS INT)").mkString(" + ")
     val resBlock = resampleK.map { kF =>
@@ -3008,21 +3010,24 @@ object SparkEntry {
         "SELECT cohort_week, " +
         "CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset, " +
         "count(*) AS n_active FROM wk JOIN ch USING (user_id) GROUP BY 1, 2"),
-    // anomaly replay: spine-completed (type, day) counts, the exact
-    // integer deviation test (n*cnt - S)^2 > sigma^2*(n*SS - S^2)
+    // anomaly replay: spine-completed (type, day) counts (null-SAFE key
+    // joins — a null-labeled source stays monitored), the exact integer
+    // deviation test (n*cnt - S)^2 > sigma^2*(n*SS - S^2)
     "q_anomaly" ->
       ("WITH c AS (SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS w_start, " +
         "count(*) AS cnt FROM events GROUP BY 1, 2), " +
         "sp AS (SELECT event_type, w_start FROM " +
         "(SELECT DISTINCT event_type FROM c), (SELECT DISTINCT w_start FROM c)), " +
         "f AS (SELECT sp.event_type, sp.w_start, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt " +
-        "FROM sp LEFT JOIN c USING (event_type, w_start)), " +
+        "FROM sp LEFT JOIN c ON sp.event_type IS NOT DISTINCT FROM c.event_type " +
+        "AND sp.w_start = c.w_start), " +
         "st AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n, " +
         "CAST(sum(cnt) AS DECIMAL(38,0)) AS s, " +
-        "CAST(sum(cnt * cnt) AS DECIMAL(38,0)) AS ss FROM f GROUP BY 1) " +
+        "sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS ss " +
+        "FROM f GROUP BY 1) " +
         "SELECT f.event_type, f.w_start, f.cnt, " +
         "CAST((n * f.cnt - s) * (n * f.cnt - s) > 4 * (n * ss - s * s) AS INT) AS anomaly " +
-        "FROM f JOIN st USING (event_type)"),
+        "FROM f JOIN st ON f.event_type IS NOT DISTINCT FROM st.event_type"),
     // funnel replay: sequential greedy mins (t1 = min view; t2 = min
     // click >= t1; t3 = min purchase >= t2), prefix counts
     "q_funnel" ->

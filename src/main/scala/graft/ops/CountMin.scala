@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * 2005). Complements [[graft.agg.Aggregators.SpaceSavingAggregator]]
   * (top-k identities) with arbitrary-key point estimates.
   *
-  * The hash family is the repo's deterministic md5 convention (row salt
-  * "cm&lt;d&gt;-"), so build, merge, and probe all replay exactly in any
-  * engine with md5 — the sketch is data, not driver state.
+  * The hash family is the repo's deterministic md5 convention — one
+  * digest salted "cm&lt;d/4&gt;-" per GROUP of four rows, sliced into its
+  * four independent 32-bit words (see [[bucket]]) — so build, merge, and
+  * probe all replay exactly in any engine with md5: the sketch is data,
+  * not driver state.
   *
   * Scale shape: the build is ONE aggregation whose key space is d·w
   * cells, so map-side combine reduces the shuffle to ≤ tasks·d·w rows no

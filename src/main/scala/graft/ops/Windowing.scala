@@ -113,17 +113,27 @@ object Windowing {
       .groupBy(window(col(tsCol), size).getField("start").as("w_start"),
         col(keyCol))
       .agg(count(lit(1)).as("cnt"))
-    val spine = counted.select(col(keyCol)).distinct()
-      .crossJoin(counted.select(col("w_start")).distinct())
-    val filled = spine.join(counted, Seq(keyCol, "w_start"), "left")
-      .select(col(keyCol), col("w_start"),
+    // null-SAFE joins throughout (renamed sides — the spine derives from
+    // `counted`, so dataset-qualified refs trip the ambiguous-self-join
+    // detector): a null-labeled source is a real monitored group (groupBy
+    // already keeps it) — plain equi-joins would zero its counts at the
+    // spine and then drop its rows at the stats join, silently
+    // un-monitoring exactly one stream
+    val spine = counted.select(col(keyCol).as("_k")).distinct()
+      .crossJoin(counted.select(col("w_start").as("_w")).distinct())
+    val filled = spine.join(counted,
+        col("_k") <=> col(keyCol) && col("_w") === col("w_start"), "left")
+      .select(col("_k").as(keyCol), col("_w").as("w_start"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
     val stats = filled.groupBy(col(keyCol))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("cnt")).cast(dec).as("s"),
-        sum(col("cnt") * col("cnt")).cast(dec).as("ss"))
+        // square in decimal BEFORE summing: a long cnt*cnt aggregate
+        // overflows past ~3e9-count windows before any cast applies
+        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("ss"))
+      .withColumnRenamed(keyCol, "_sk")
     val dev = col("n") * col("cnt").cast(dec) - col("s")
-    filled.join(stats, Seq(keyCol))
+    filled.join(stats, col(keyCol) <=> col("_sk"))
       .select(col(keyCol), col("w_start"), col("cnt"),
         (dev * dev >
           lit(sigmas * sigmas) * (col("n") * col("ss") - col("s") * col("s")))
