@@ -947,6 +947,28 @@ object SparkEntry {
     // a watermark; StreamingSpec parity-asserts the flush)
     "q_chat_sessions" -> ((s, d) =>
       Conversations.renderSessions(Tables.events(s, d), "30 minutes")),
+    // data-contract report over a corpus with INJECTED violations (every
+    // 13th row's lang corrupted, every 17th row's n_chars off by one —
+    // the q_pii_scrub injected-fixture convention)
+    "q_contract" -> ((s, d) => {
+      val mutated = Tables.documents(s, d).select(col("doc_id"),
+        col("text"), col("source"),
+        when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang"))
+          .as("lang"),
+        when(col("doc_id") % 17 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"))
+      Contracts.violations(mutated, Seq(
+        "lang_in_enum" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "n_chars_matches_text" -> (col("n_chars") === length(col("text"))),
+        "text_nonempty" -> (length(col("text")) > 0),
+        "source_prefixed" -> col("source").startsWith("src")),
+        idCol = "doc_id")
+    }),
+    // k-anonymity over (lang, source, length-decile) quasi-identifiers
+    "q_kanon" -> ((s, d) =>
+      Contracts.kAnonymity(Tables.documents(s, d)
+          .withColumn("len_bucket", (col("n_chars") / 100).cast("int")),
+        Seq("lang", "source", "len_bucket"), k = 3)),
     // per-type daily volume anomalies (2-sigma, exact integer algebra)
     "q_anomaly" -> ((s, d) =>
       Windowing.volumeAnomalies(Tables.events(s, d), "ts", "event_type",
@@ -3002,6 +3024,33 @@ object SparkEntry {
         "string_agg('[' || coalesce(event_type, '') || '#' || event_id || '] ' " +
         "|| coalesce(props, ''), chr(10) ORDER BY ts, event_id) AS text " +
         "FROM s GROUP BY user_id, sess"),
+    // contract replay: same injected mutations, per-rule stacked counts
+    "q_contract" ->
+      ("WITH m AS (SELECT doc_id, text, source, " +
+        "CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 17 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, " +
+        "NOT coalesce(lang IN ('en','de','fr','es','zh'), false) AS b0, " +
+        "NOT coalesce(n_chars = length(text), false) AS b1, " +
+        "NOT coalesce(length(text) > 0, false) AS b2, " +
+        "NOT coalesce(source LIKE 'src%', false) AS b3 FROM m) " +
+        "SELECT 'lang_in_enum' AS rule, CAST(sum(CASE WHEN b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+        "min(CASE WHEN b0 THEN doc_id END) AS first_bad_id, count(*) AS n_rows FROM f " +
+        "UNION ALL SELECT 'n_chars_matches_text', CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN b1 THEN doc_id END), count(*) FROM f " +
+        "UNION ALL SELECT 'text_nonempty', CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN b2 THEN doc_id END), count(*) FROM f " +
+        "UNION ALL SELECT 'source_prefixed', CAST(sum(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN b3 THEN doc_id END), count(*) FROM f"),
+    // k-anonymity replay: QI-cell counts, small-cell algebra
+    "q_kanon" ->
+      ("WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket, " +
+        "count(*) AS cnt FROM documents GROUP BY 1, 2, 3) " +
+        "SELECT count(*) AS n_cells, " +
+        "CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_cells, " +
+        "CAST(sum(CASE WHEN cnt < 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_at_risk, " +
+        "min(cnt) AS min_cell FROM c"),
     // cohort replay: ISO-Monday weeks, min-week cohort, day-diff offsets
     "q_retention" ->
       ("WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week " +
