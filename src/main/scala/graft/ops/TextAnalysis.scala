@@ -1115,6 +1115,20 @@ object TextAnalysis {
       .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Streaming drift monitor: every micro-batch compared against the
+    * standing [[bucketCounts]] reference via [[distributionDriftFrom]] —
+    * stateless per batch (the semanticContaminationServe pattern: the
+    * verdict depends only on the reference side), so the sink receives
+    * one K-row PSI report per batch.
+    */
+  def distributionDriftServe(stream: DataFrame, refCounts: DataFrame,
+      valueCol: String, edges: Seq[Double])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(distributionDriftFrom(refCounts, batch, valueCol, edges))
+    }
+
   /** [[distributionDrift]] against a stored [[bucketCounts]] reference
     * (built with the same `edges`).
     */

@@ -555,5 +555,22 @@ class TextAnalysisSpec extends SparkSpec {
     val viaRef = TextAnalysis.distributionDriftFrom(ref, b, "v", Seq(10.0))
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(viaRef == got)
+    // streaming monitor: each micro-batch gets its own PSI report vs the
+    // standing reference, identical to the batch compare on its rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[Double](94, spark, None)
+    val reports = scala.collection.mutable.ArrayBuffer[Seq[(Int, Long, Long, Double)]]()
+    val q = TextAnalysis.distributionDriftServe(
+        in.toDF().toDF("v"), ref, "v", Seq(10.0)) { r =>
+      reports += r.as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    }.start()
+    try {
+      in.addData(5.0, 15.0, 15.0, 15.0); q.processAllAvailable()
+      in.addData(5.0); q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.head == got) // batch 1 = b's rows exactly
+    assert(reports(1) == TextAnalysis.distributionDriftFrom(ref,
+        Seq(5.0).toDF("v"), "v", Seq(10.0))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq)
   }
 }
