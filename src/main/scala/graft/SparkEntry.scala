@@ -1162,6 +1162,20 @@ object SparkEntry {
         fbTerms = 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // exact phrase search straight off the corpus: consecutive-token
+    // match with occurrence count + first position; the repeated-term
+    // phrase exercises the distinct-slot vote (one "batch" posting must
+    // not fill both slots of "batch batch")
+    "q_phrase" -> ((s, d) =>
+      Retrieval.phraseSearch(Tables.documents(s, d), PHRASE_Q)),
+    // the serving twin: same phrase semantics from the standing
+    // token-bucketed POSITIONAL index — no corpus text at query time
+    "q_phrase_idx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("pospst1", d, witness(docs))
+      Retrieval.phraseFromIndex(
+        Retrieval.positionalIndex(docs, name), PHRASE_IDX_Q)
+    }),
     // lexical hard negatives: per query doc (ids 0-2), top-5 BM25-similar
     // docs excluding itself and its exact-fingerprint copies — the
     // retriever-training negative miner over the same standing index
@@ -1209,6 +1223,9 @@ object SparkEntry {
   private val PPL_RATES = Seq(1.0, 0.8, 0.5, 0.25, 0.1)
   private val SEARCH_TERMS = Seq("stream", "join", "filter")
   private val BM25_TERMS = Seq("stream", "join")
+  // repeated-term phrase on purpose: exercises the distinct-slot vote
+  private val PHRASE_Q = "batch batch"
+  private val PHRASE_IDX_Q = "stream spark"
 
   /** q_bm25_batch's query table: raw (un-normalized) text on purpose —
     * the serving path must tokenize queries exactly like the corpus; q3
@@ -1244,6 +1261,30 @@ object SparkEntry {
     * Java agree on these Unicode categories).
     */
   private val NON_ALNUM_SQL = ops.TextAnalysis.NON_ALNUM_RE
+
+  /** DuckDB replay of Retrieval's phrase-alignment vote: positions from a
+    * zipped unnest, each matched posting votes for start = pos − slot, a
+    * start with all DISTINCT slots present is an occurrence. Shared by
+    * q_phrase (direct) and q_phrase_idx (standing positional index) — the
+    * index path must land on identical rows by construction.
+    */
+  private def phraseSql(phrase: String): String = {
+    val ts = phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
+      .filter(_.nonEmpty).toSeq
+    val slots = ts.zipWithIndex
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    val terms = ts.distinct.map(t => s"'$t'").mkString(", ")
+    s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      "p AS (SELECT doc_id, unnest(toks) AS token, " +
+      "unnest(range(len(toks))) AS pos FROM t), " +
+      s"tp AS (SELECT * FROM p WHERE token IN ($terms)), " +
+      s"qt(token, slot) AS (VALUES $slots), " +
+      "al AS (SELECT doc_id, pos - slot AS start FROM tp JOIN qt USING (token) " +
+      s"GROUP BY doc_id, pos - slot " +
+      s"HAVING count(DISTINCT slot) = ${ts.size} AND pos - slot >= 0) " +
+      "SELECT doc_id, count(*) AS n_matches, " +
+      "CAST(min(start) AS BIGINT) AS first_pos FROM al GROUP BY doc_id"
+  }
 
   /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 9-digit hex. */
   private val HASHKEY =
@@ -3206,6 +3247,8 @@ object SparkEntry {
         "SELECT doc_id FROM tp GROUP BY doc_id " +
         s"HAVING count(DISTINCT token) = ${SEARCH_TERMS.size}"
     },
+    "q_phrase" -> phraseSql(PHRASE_Q),
+    "q_phrase_idx" -> phraseSql(PHRASE_IDX_Q),
     // every intermediate CAST AS DOUBLE: DuckDB decimal/decimal division
     // truncates scale, doubles match Spark bit-for-bit pre-round
     "q_bm25" -> {

@@ -418,6 +418,93 @@ object Retrieval {
     bm25TopKAll(index, stats, expandedQ, k, k1, b, idCol, qidCol, qCol)
   }
 
+  /** Positional posting rows (token, doc_id, pos) — the layout exact
+    * phrase search needs (the plain [[postings]] table stores only tf, so
+    * it can prove co-occurrence but never adjacency). One `posexplode`
+    * per document, no aggregation: position lists stay exploded so the
+    * standing table buckets by `token` and a phrase query's term filter
+    * bucket-prunes exactly like the tf postings.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(Core.tokensUni(col(textCol)))
+        .as(Seq("pos", "token")))
+      .select(col("token"), col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Standing positional index: [[positionalPostings]] persisted via
+    * [[IndexTables.bucketed]] on `token` — build once, serve phrase
+    * queries from pruned posting-list scans ([[phraseFromIndex]]).
+    */
+  def positionalIndex(docs: DataFrame, name: String, nBuckets: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    IndexTables.bucketed(docs.sparkSession, s"${name}_pos",
+      nBuckets, Seq("token"), Seq("token", idCol))(
+      positionalPostings(docs, idCol, textCol))
+
+  /** Phrase tokenized like the corpus but keeping ORDER and DUPLICATES —
+    * [[normTerms]]'s distinct would corrupt "buffalo buffalo" queries.
+    */
+  private def phraseTokens(phrase: String): Seq[String] =
+    phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).toSeq
+
+  /** The ONE phrase-alignment core behind [[phraseSearch]] and
+    * [[phraseFromIndex]]: `tp` carries (idCol, token, pos) rows already
+    * restricted to the phrase's term set. Each phrase slot i must see its
+    * token at some absolute position p with `p − i` constant — so every
+    * matched posting votes for alignment start `pos − slot`, and a start
+    * with all `n` DISTINCT slots present is an occurrence (distinct, not
+    * plain count: a duplicated (token,pos) row from dirty input, or one
+    * token filling two slots of a repeated-term phrase, must not
+    * double-count — the searchAll lesson). Output per document:
+    * (idCol, n_matches, first_pos).
+    */
+  private def matchPhrase(tp: DataFrame, terms: Seq[String],
+      idCol: String): DataFrame = {
+    val slots = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+    val qt = broadcast(tp.sparkSession.createDataFrame(slots)
+      .toDF("token", "slot"))
+    tp.join(qt, "token")
+      .select(col(idCol), (col("pos") - col("slot")).as("start"), col("slot"))
+      .groupBy(idCol, "start")
+      .agg(countDistinct("slot").as("n_slots"))
+      .where(col("n_slots") === terms.size && col("start") >= 0)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
+
+  /** Exact phrase search straight off the corpus: documents containing
+    * the phrase's tokens CONSECUTIVELY (normalized like the corpus
+    * stream), with occurrence count and first match position. Positions
+    * are extracted and filtered to the phrase's terms in the scan stage —
+    * only matched (doc, token, pos) rows ever shuffle, the text never
+    * moves; the alignment vote is one aggregation on (doc, start).
+    */
+  def phraseSearch(docs: DataFrame, phrase: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ts = phraseTokens(phrase)
+    require(ts.nonEmpty, "phraseSearch: no usable tokens in phrase")
+    val termsArr = lit(ts.distinct.toArray)
+    val tp = docs
+      .select(col(idCol), posexplode(Core.tokensUni(col(textCol)))
+        .as(Seq("pos", "token")))
+      .where(array_contains(termsArr, col("token")))
+      .select(col(idCol), col("token"), col("pos").cast("long").as("pos"))
+    matchPhrase(tp, ts, idCol)
+  }
+
+  /** Phrase search served ENTIRELY from the standing positional index —
+    * no corpus text read or tokenized at query time. The term IN-filter
+    * is a literal, so the token-bucketed scan prunes to the phrase's own
+    * posting lists (the bm25FromIndex contract); cost is the matched
+    * posting volume, independent of corpus size.
+    */
+  def phraseFromIndex(index: DataFrame, phrase: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val ts = phraseTokens(phrase)
+    require(ts.nonEmpty, "phraseFromIndex: no usable tokens in phrase")
+    matchPhrase(index.where(col("token").isin(ts.distinct: _*)), ts, idCol)
+  }
+
   /** Streaming BM25 serving: score a STREAM of queries against the
     * standing index, each micro-batch in one bucket-pruned pass via
     * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static

@@ -259,4 +259,42 @@ class RetrievalSpec extends SparkSpec {
     // original query terms still dominate: doc 1 stays rank 1
     assert(expanded.find(_._5 == 1).get._2 == 1L)
   }
+
+  private def phraseDocs = Seq(
+    (1L, "batch batch batch stream"), // overlapping occurrences
+    (2L, "batch stream batch"),       // co-occurrence but never adjacent
+    (3L, "the batch"),                // one token cannot fill two slots
+    (4L, "stream spark batch batch"),
+    (5L, "spark stream"))             // reversed order is not the phrase
+    .toDF("doc_id", "text")
+
+  test("phraseSearch: adjacency, overlap, and repeated-slot honesty") {
+    val got = Retrieval.phraseSearch(phraseDocs, "batch batch")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: "batch batch batch" = starts 0 and 1; doc 4: start 2.
+    // docs 2 (non-adjacent) and 3 (single token) must NOT match — a
+    // plain count over slot votes would wrongly admit doc 3.
+    assert(got == Map(1L -> (2L, 0L), 4L -> (1L, 2L)), got.toString)
+    // order matters: doc 5 has "spark stream", not "stream spark"
+    val ord = Retrieval.phraseSearch(phraseDocs, "stream spark")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ord == Map(4L -> (1L, 0L)), ord.toString)
+    // raw user phrasing normalizes like the corpus stream
+    val raw = Retrieval.phraseSearch(phraseDocs, "Stream, SPARK!")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(raw == Set(4L))
+  }
+
+  test("phraseFromIndex serves identical rows off the standing positional index") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_phrase_test_pos_b8")
+    val idx = Retrieval.positionalIndex(phraseDocs, "ret_phrase_test")
+    for (p <- Seq("batch batch", "stream spark", "the batch")) {
+      val direct = Retrieval.phraseSearch(phraseDocs, p)
+        .as[(Long, Long, Long)].collect().toSet
+      val served = Retrieval.phraseFromIndex(idx, p)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(served == direct, s"phrase '$p': $served vs $direct")
+    }
+  }
 }
