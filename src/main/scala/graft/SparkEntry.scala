@@ -233,6 +233,20 @@ object SparkEntry {
     // per-source tokenizer fit: pieces, char-fallback pieces, OOV words
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    // SymSpell-style vocab typo normalization: each word with its most
+    // frequent verified edit-distance-1 neighbor (self when none
+    // decisively stronger). The clean synthetic vocabulary has no 1-edit
+    // pairs, so typo'd "batch" variants are injected IN the query (the
+    // q_pii_scrub convention): deletion/insertion/substitution must
+    // remap, the transposition (2 edits) must stay its own canonical
+    "q_typo_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" batc batchh batxh abtch")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.typoClusters(injected)
+    }),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
     // ids for every distinct word (the id-sequence feed for packing)
@@ -2254,6 +2268,29 @@ object SparkEntry {
         "CAST(sum(n_f) AS BIGINT) AS n_fallback_pieces, " +
         "CAST(sum(CASE WHEN n_f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words " +
         "FROM w0 JOIN d USING (word) GROUP BY source"),
+    // SymSpell replay: {word} ∪ single-deletion keys, join, levenshtein
+    // verify, strict-majority canonical by (freq desc, word asc)
+    "q_typo_clusters" ->
+      ("WITH base AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+        "THEN text || ' batc batchh batxh abtch' ELSE text END AS text " +
+        "FROM documents), " +
+        s"t AS (SELECT $TOKS AS toks FROM base), " +
+        "vo AS (SELECT unnest(toks) AS word FROM t), " +
+        "v AS (SELECT word, count(*) AS freq FROM vo GROUP BY word), " +
+        "k AS (SELECT word, freq, unnest(list_distinct(list_prepend(word, " +
+        "list_transform(range(1, len(word)+1), " +
+        "i -> substr(word, 1, i-1) || substr(word, i+1, len(word)))))) AS key " +
+        "FROM v), " +
+        "p AS (SELECT a.word AS word, b.word AS cand, b.freq AS cfreq " +
+        "FROM k a JOIN k b USING (key) " +
+        "WHERE len(a.word) >= 4 AND a.word <> b.word " +
+        "AND levenshtein(a.word, b.word) <= 1 " +
+        "AND b.freq > a.freq AND b.freq >= 2 * a.freq), " +
+        "c AS (SELECT word, cand, cfreq, row_number() OVER " +
+        "(PARTITION BY word ORDER BY cfreq DESC, cand) AS rn FROM p) " +
+        "SELECT v.word, v.freq, coalesce(c.cand, v.word) AS canonical, " +
+        "coalesce(c.cfreq, v.freq) AS canon_freq " +
+        "FROM v LEFT JOIN c ON v.word = c.word AND c.rn = 1"),
     // the q_bpe_encode recursion joined back to the token stream
     "q_token_ids" ->
       (s"WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

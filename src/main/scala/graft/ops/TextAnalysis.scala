@@ -586,6 +586,70 @@ object TextAnalysis {
         sum((col("n_f") > 0).cast("long")).as("n_oov_words"))
   }
 
+  /** Vocabulary typo clustering (SymSpell delete-neighborhood form): map
+    * each word to its most frequent edit-distance-≤1 neighbor when that
+    * neighbor is decisively more frequent — the misspelling-normalization
+    * table an OCR'd / user-generated corpus wants before frequency-based
+    * stages (a typo'd variant otherwise reads as a rare "different" word
+    * and skews surprisal, vocab coverage, and BPE learning).
+    *
+    * Candidate generation is exact for d ≤ 1: two words are within one
+    * edit iff they share a key in {word} ∪ single-deletions(word)
+    * (delete covers insert/delete from either side; a shared deletion at
+    * the same position covers substitution). The join can also admit
+    * d = 2 pairs (two different deletions colliding, e.g. transposition),
+    * so every candidate is VERIFIED with `levenshtein ≤ 1` — the
+    * band-then-verify contract the MinHash/LSH family uses. A word is
+    * remapped only if length ≥ `minLen` (short words have too many
+    * 1-edit neighbors to correct safely — the SymSpell caveat) and the
+    * canonical is strictly more frequent AND at least `minRatio`× as
+    * frequent (integer arithmetic, no float thresholds); ties break on
+    * (freq desc, word asc) via one struct-min aggregate, no window.
+    * Output: every vocabulary word with (word, freq, canonical,
+    * canon_freq), canonical = the word itself when nothing qualifies.
+    *
+    * Scale shape: everything after the word-count aggregation (the one
+    * corpus-sized shuffle, map-side combined — the word-count plan) is
+    * vocabulary-sized (Heaps' law): keys explode ×(len+1) on the
+    * dictionary only, the self-join shuffles vocab×(len+1) key rows, and
+    * the final mapping join is vocab-sized. The corpus text never moves.
+    */
+  def typoClusters(docs: DataFrame, minLen: Int = 4,
+      minRatio: Long = 2L): DataFrame = {
+    require(minLen >= 1, s"typoClusters: minLen must be >= 1, got $minLen")
+    require(minRatio >= 1L, s"typoClusters: minRatio must be >= 1, got $minRatio")
+    val vocab = docs.select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // {word} ∪ single-deletions; substr len overshoot is safe, and the
+    // length-1 word's "" deletion key just groups 1-char words (harmless
+    // — the verify filter decides). array_distinct: "aa" deletes to the
+    // same "a" twice — duplicate keys only fan out the join.
+    def keyed(v: DataFrame) = v.select(col("word"), col("freq"),
+      explode(array_distinct(concat(array(col("word")),
+        transform(sequence(lit(1), length(col("word"))), i =>
+          concat(col("word").substr(lit(1), i - 1),
+            col("word").substr(i + 1, length(col("word")))))))).as("key"))
+    val typoSide = keyed(vocab.where(length(col("word")) >= minLen))
+      .toDF("word", "freq", "key")
+    val canonSide = keyed(vocab).toDF("cand", "cfreq", "key")
+    // duplicate (word, cand) rows from multiple shared keys are harmless
+    // under the min-struct aggregate — no distinct shuffle needed
+    val best = typoSide.join(canonSide, "key")
+      .where(col("word") =!= col("cand") &&
+        levenshtein(col("word"), col("cand")) <= 1 &&
+        col("cfreq") > col("freq") &&
+        col("cfreq") >= col("freq") * minRatio)
+      .groupBy("word")
+      .agg(min(struct((-col("cfreq")).as("_nf"), col("cand").as("_c")))
+        .as("_b"))
+      .select(col("word"), col("_b._c").as("_cand"),
+        (-col("_b._nf")).as("_cfreq"))
+    vocab.join(best, Seq("word"), "left")
+      .select(col("word"), col("freq"),
+        coalesce(col("_cand"), col("word")).as("canonical"),
+        coalesce(col("_cfreq"), col("freq")).as("canon_freq"))
+  }
+
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the
     * calibration report for corpus budgeting (how far off the cheap count

@@ -573,4 +573,50 @@ class TextAnalysisSpec extends SparkSpec {
         Seq(5.0).toDF("v"), "v", Seq(10.0))
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq)
   }
+
+  private def typoMap(docs: org.apache.spark.sql.DataFrame,
+      minLen: Int = 4, minRatio: Long = 2L): Map[String, String] =
+    TextAnalysis.typoClusters(docs, minLen, minRatio)
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+  test("typoClusters: each 1-edit class remaps, 2-edit and weak-ratio stay") {
+    val texts =
+      Seq.fill(10)("streaming model") ++ Seq(
+        "streamng model",   // deletion      → remap
+        "streaaming model", // insertion     → remap
+        "streeming model",  // substitution  → remap
+        "stremaing model")  // transposition = 2 edits → stays itself
+    // freq 6 variant: strictly rarer than "streaming" (10) but 10 < 2·6
+    // fails the minRatio guard — ambiguity, not a clear typo
+    val all = texts ++ Seq.fill(6)("streamin model")
+    val docs = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = typoMap(docs)
+    assert(got("streamng") == "streaming")
+    assert(got("streaaming") == "streaming")
+    assert(got("streeming") == "streaming")
+    assert(got("stremaing") == "stremaing")
+    assert(got("streamin") == "streamin")
+    assert(got("streaming") == "streaming") // the canonical never remaps
+    assert(got("model") == "model")
+  }
+
+  test("typoClusters: minLen fences short words; equal-freq ties break on word") {
+    val words = Seq.fill(10)("abcd") ++ Seq.fill(10)("abce") ++ Seq("abcf") ++
+      Seq.fill(20)("cat") ++ Seq("cart")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = typoMap(docs)
+    // two canonicals at freq 10 — deterministic lexicographic winner
+    assert(got("abcf") == "abcd")
+    // "cart" (len 4) remaps into the 20× more frequent "cat"...
+    assert(got("cart") == "cat")
+    // ...but "cat" itself (len 3 < minLen) is fenced from remapping even
+    // though "abcd" would never qualify anyway; identity row preserved
+    assert(got("cat") == "cat")
+    // full mapping covers every vocabulary word exactly once
+    assert(typoMap(docs).size ==
+      TextAnalysis.typoClusters(docs).count().toInt)
+  }
 }
