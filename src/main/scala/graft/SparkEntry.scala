@@ -884,6 +884,27 @@ object SparkEntry {
     "q_split_leakage" -> ((s, d) =>
       Dedup.splitLeakagePairs(Tables.documents(s, d),
         trainRate = 0.8, validRate = 0.1)),
+    // the split-leakage FIX: split on the exact-dup cluster key (min
+    // doc_id per content fingerprint, multi-member groups only) so no
+    // fingerprint-identical pair can straddle splits; singletons fall
+    // back to their own id = the plain hashSplit assignment
+    "q_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // the corpus has no exact dups at test SF: re-crawled copies are
+      // injected IN the query (every 9th doc, shifted id) so the
+      // cluster arm actually decides — each copy-pair must co-locate
+      val all = docs.select("doc_id", "text").unionByName(
+        docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val fps = TextAnalysis.fingerprints(all)
+      val clusters = fps.groupBy("fp")
+        .agg(min("doc_id").as("cluster_id"), count(lit(1)).as("_n"))
+        .where(col("_n") > 1)
+      val assign = fps.join(clusters, "fp").select("doc_id", "cluster_id")
+      Sampling.clusterSplit(fps.select("doc_id"), assign,
+        trainRate = 0.8, validRate = 0.1)
+        .select("doc_id", "cluster_id", "split")
+    }),
     // stride-scheduled mixture order: src0 at double weight, src1 halved
     "q_interleave_order" -> ((s, d) =>
       Sampling.interleavedOrder(Tables.documents(s, d), "source", "doc_id",
@@ -2051,6 +2072,22 @@ object SparkEntry {
         "SELECT a_id, b_id, jaccard, sa.split AS split_a, sb.split AS split_b " +
         "FROM prs JOIN sp sa ON prs.a_id = sa.doc_id " +
         "JOIN sp sb ON prs.b_id = sb.doc_id WHERE sa.split <> sb.split"),
+    // split key = coalesce(cluster_id, doc_id) hashed with the same
+    // 9-digit hex thresholds; multi-member fingerprint groups only
+    "q_cluster_split" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, text FROM documents " +
+        "WHERE doc_id % 9 = 0), " +
+        s"fps AS (SELECT doc_id, ${fpSql(TOKS)} AS fp FROM base), " +
+        "cl AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS n " +
+        "FROM fps GROUP BY fp), " +
+        "asg AS (SELECT f.doc_id, CASE WHEN cl.n > 1 THEN cl.cluster_id END " +
+        "AS cluster_id FROM fps f JOIN cl USING (fp)), " +
+        "k AS (SELECT doc_id, cluster_id, '0' || substring(md5(" +
+        "CAST(coalesce(cluster_id, doc_id) AS VARCHAR)), 1, 8) AS hk FROM asg) " +
+        s"SELECT doc_id, cluster_id, CASE WHEN hk < '${ops.Sampling.hexThreshold(0.8)}' " +
+        s"THEN 'train' WHEN hk < '${ops.Sampling.hexThreshold(0.9)}' THEN 'valid' " +
+        "ELSE 'test' END AS split FROM k"),
     // per-source (hash, id) rank; vtime = rank / weight — identical
     // integer-by-literal division on both engines
     "q_interleave_order" ->

@@ -475,13 +475,48 @@ object Sampling {
     * unlike randomSplit).
     */
   def hashSplit(df: DataFrame, idCol: String, trainRate: Double,
-      validRate: Double, salt: String = ""): DataFrame = {
-    val k = hashKey(col(idCol), salt)
-    df.withColumn("split",
-      when(k < lit(hexThreshold(trainRate)), "train")
-        .when(k < lit(hexThreshold(trainRate + validRate)), "valid")
-        .otherwise("test"))
+      validRate: Double, salt: String = ""): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), trainRate, validRate, salt))
+
+  /** The ONE split-label expression [[hashSplit]] and [[clusterSplit]]
+    * share: hash-position thresholds over the 9-digit hex key.
+    */
+  private def splitLabel(key: Column, trainRate: Double, validRate: Double,
+      salt: String): Column = {
+    val k = hashKey(key, salt)
+    when(k < lit(hexThreshold(trainRate)), "train")
+      .when(k < lit(hexThreshold(trainRate + validRate)), "valid")
+      .otherwise("test")
   }
+
+  /** Cluster-respecting split — the FIX for what
+    * [[graft.ops.Dedup.splitLeakagePairs]] audits: a per-document hash
+    * split scatters near-duplicate copies across train/valid/test, so the
+    * model is evaluated on paraphrases of its own training data. Here the
+    * split key is the CLUSTER id, so every member of a duplicate cluster
+    * lands in the same split by construction; documents without a cluster
+    * row (singletons — the overwhelming majority, so cluster frames stay
+    * small) fall back to their own id, which keeps their assignment
+    * identical to [[hashSplit]]'s when cluster ids are representative doc
+    * ids in the same key space.
+    *
+    * `clusters`: (idCol, clusterCol) mapping, normally exact-fingerprint
+    * groups or [[graft.ops.Dedup.canonicalPerCluster]]'s near-dup
+    * survivor mapping, listing only multi-member clusters. Returns `df`'s
+    * rows + (clusterCol, split).
+    *
+    * Scale shape: one id-keyed join (cluster frame is dup-members-sized,
+    * AQE broadcasts while small) + a scan-stage label expression — same
+    * append-stability as [[hashSplit]]: no row migrates when data grows,
+    * and a new cluster member inherits its cluster's standing split.
+    */
+  def clusterSplit(df: DataFrame, clusters: DataFrame, trainRate: Double,
+      validRate: Double, idCol: String = "doc_id",
+      clusterCol: String = "cluster_id", salt: String = ""): DataFrame =
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col(clusterCol), col(idCol)).cast("string"),
+          trainRate, validRate, salt))
 
   /** Exact-k weighted sample WITHOUT replacement per stratum — the
     * Efraimidis–Spirakis A-ES draw phrased as an exponential race: each

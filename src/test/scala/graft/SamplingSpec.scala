@@ -463,4 +463,45 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("clusterSplit co-locates cluster members where hashSplit leaks") {
+    import spark.implicits._
+    // 40 duplicate pairs (id, id+1000 share a cluster keyed by the low
+    // id) + 100 singletons with no cluster row
+    val ids = (0L until 40L) ++ (0L until 40L).map(_ + 1000L) ++
+      (2000L until 2100L)
+    val docs = ids.toDF("doc_id")
+    val clusters = (0L until 40L)
+      .flatMap(i => Seq((i, i), (i + 1000L, i)))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.clusterSplit(docs, clusters, 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every pair co-located
+    for (i <- 0L until 40L)
+      assert(got(i) == got(i + 1000L), s"pair $i straddles")
+    // the naive per-id split DOES scatter at least one of these pairs —
+    // the leak this operator exists to close
+    val naive = Sampling.hashSplit(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert((0L until 40L).exists(i => naive(i) != naive(i + 1000L)))
+    // singletons fall back to their own id = the hashSplit assignment
+    for (i <- 2000L until 2100L) assert(got(i) == naive(i))
+  }
+
+  test("clusterSplit: appending a member never moves standing assignments") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val before = Sampling.clusterSplit(docs, clusters, 0.6, 0.2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // doc 4 joins cluster 1; doc 5 arrives as a singleton
+    val docs2 = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clusters2 = Seq((1L, 1L), (2L, 1L), (4L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val after = Sampling.clusterSplit(docs2, clusters2, 0.6, 0.2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(before.forall { case (k, v) => after(k) == v })
+    // the new member inherits its cluster's standing split
+    assert(after(4L) == before(1L))
+  }
 }
