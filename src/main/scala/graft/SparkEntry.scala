@@ -295,6 +295,12 @@ object SparkEntry {
     // against known-compressibility fixtures in TextAnalysisSpec
     "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.surprisalScores(Tables.documents(s, d))),
+    // fixed-memory surprisal: unigram counts served from a 4×64
+    // count-min sketch (width 64 forces real collisions on the 31-word
+    // vocab — the one-sided underestimate of rarity is the point)
+    "q_surprisal_cms" -> ((s, d) =>
+      TextAnalysis.surprisalScoresSketch(Tables.documents(s, d),
+        depth = 4, width = 64)),
     // perplexity-bucket mixing: quintile buckets over the unigram
     // surprisal, keep-rate falling with weirdness (the perplexity-filter
     // recipe as one declarative decision pass)
@@ -2427,6 +2433,23 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
         "FROM terms JOIN tf USING (word), n GROUP BY doc_id"),
+    // the q_cms md5-slice cell replay feeding the q_surprisal scoring
+    // shape: estimates per distinct word (min over d cells, floored at
+    // 1), exact token total, same rounding contract
+    "q_surprisal_cms" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM terms), " +
+        "ds AS (SELECT CAST(range AS INT) AS d FROM range(4)), " +
+        "cells AS (SELECT d, CAST(('0x' || substring(md5('cm0-' || word), 1 + 8 * d, 8)) " +
+        "AS UBIGINT) % 64 AS bucket, count(*) AS cnt FROM terms, ds GROUP BY 1, 2), " +
+        "dict AS (SELECT DISTINCT word FROM terms), " +
+        "pb AS (SELECT word, d, CAST(('0x' || substring(md5('cm0-' || word), 1 + 8 * d, 8)) " +
+        "AS UBIGINT) % 64 AS bucket FROM dict, ds), " +
+        "est AS (SELECT word, greatest(CAST(min(coalesce(cnt, 0)) AS BIGINT), 1) AS est " +
+        "FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY word) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(-ln(est / n_total)), 4) AS avg_surprisal " +
+        "FROM terms JOIN est USING (word), n GROUP BY doc_id"),
     // the q_surprisal per-doc rows (rounded avgs — part of the contract)
     // re-aggregated to one corpus row with octet_length denominators
     "q_bpb" ->

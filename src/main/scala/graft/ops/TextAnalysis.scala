@@ -821,6 +821,59 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_surprisal"))
   }
 
+  /** Unigram surprisal scored from a COUNT-MIN SKETCH instead of the
+    * exact frequency dictionary — the fixed-memory form of
+    * [[surprisalScores]]. At 100 TB the exact unigram table is itself
+    * hundreds of millions of rows that must shuffle and join; the sketch
+    * is d·w cells BY CONSTRUCTION (parameters, not data), so the
+    * frequency model becomes a broadcastable artifact that
+    * [[CountMin.serve]] can maintain incrementally. CMS error is
+    * one-sided (never an underestimate), so sketch-scored surprisal only
+    * ever UNDERSTATES rarity — a perplexity gate keyed on high surprisal
+    * never flags extra documents, it can only miss ones whose rare words
+    * collided with hot cells (bounded by εN at w = ⌈e/ε⌉).
+    *
+    * Convenience self-scored form: build the sketch and exact token
+    * total from `docs`, then score `docs`. The artifact-serving form is
+    * [[surprisalApplySketch]].
+    */
+  def surprisalScoresSketch(docs: DataFrame, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    surprisalApplySketch(docs,
+      CountMin.sketch(terms, "word", depth, width),
+      terms.agg(count(lit(1)).cast("double").as("n_total")), depth, width)
+  }
+
+  /** Score documents against a STANDING count-min sketch + one-row token
+    * total (the [[CountMin.serve]] artifacts) — surprisal serving with no
+    * corpus-sized dictionary anywhere: estimates are computed per
+    * DISTINCT word (Heaps-law sized) by joining the word's d cells
+    * against the broadcast cell table (≤ d·w rows — the bounded-by-
+    * construction case where a forced broadcast is correct, unlike the
+    * Heaps-law tf dictionary), then joined back to the token stream
+    * unhinted. Words absent from the sketch (all d cells empty — only
+    * possible when scoring docs the sketch never saw) floor at count 1,
+    * the standard smoothing that keeps −ln finite and deterministic.
+    */
+  def surprisalApplySketch(docs: DataFrame, cms: DataFrame,
+      totals: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val cells = terms.select("word").distinct()
+      .select(col("word"), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          CountMin.bucket(col("word"), d, width).as("bucket"))): _*)).as("cell"))
+      .select(col("word"), col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+    val est = cells.join(broadcast(cms), Seq("d", "bucket"), "left")
+      .groupBy("word")
+      .agg(greatest(min(coalesce(col("cnt"), lit(0L))), lit(1L)).as("est"))
+    terms.join(est, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("est") / col("n_total"))), 4).as("avg_surprisal"))
+  }
+
   /** (doc_id, prev, word) bigram rows — the ONE pair construction
     * [[surprisalScoresBigram]] and [[surprisalScoresBackoff]] share.
     */

@@ -574,6 +574,53 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("surprisalScoresSketch: one-sided vs exact, exact at collision-free width") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha beta"),
+      (2L, "beta gamma gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = m(TextAnalysis.surprisalScores(docs))
+    // generous width: 11 words cannot all-4-rows collide — scores equal
+    // the exact dictionary's bit-for-bit (same rounding contract)
+    val wide = m(TextAnalysis.surprisalScoresSketch(docs, depth = 4, width = 4096))
+    assert(wide == exact, s"$wide vs $exact")
+    // width 4 pigeonholes 11 words into 4 buckets: counts only inflate,
+    // so surprisal only DEFLATES — never the other direction
+    val narrow = m(TextAnalysis.surprisalScoresSketch(docs, depth = 2, width = 4))
+    for ((id, (n, s)) <- narrow) {
+      assert(n == exact(id)._1)
+      assert(s <= exact(id)._2 + 1e-9, s"doc $id: $s > ${exact(id)._2}")
+    }
+    assert(narrow.exists { case (id, (_, s)) => s < exact(id)._2 - 1e-9 },
+      "collisions never fired — width 4 should inflate something")
+  }
+
+  test("surprisalApplySketch: standing artifact scoring, unseen words floor at 1") {
+    import graft.ops.CountMin
+    import org.apache.spark.sql.functions.{col, count => cnt, explode, lit}
+    val train = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val terms = train.select(col("doc_id"),
+      explode(graft.ops.Core.tokensUni(col("text"))).as("word"))
+    val cms = CountMin.sketch(terms, "word")
+    val totals = terms.agg(cnt(lit(1)).cast("double").as("n_total"))
+    val got = TextAnalysis.surprisalApplySketch(
+        Seq((9L, "zzznever zzznever")).toDF("doc_id", "text"), cms, totals)
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 2L)
+    // floor at est 1 caps surprisal at ln(n_total)=ln(5); finite, > 0
+    assert(got._3 > 0 && got._3 <= math.rint(math.log(5.0) * 1e4) / 1e4)
+    // the standing-sketch path reproduces the self-scored convenience form
+    val self = TextAnalysis.surprisalApplySketch(train, cms, totals)
+      .as[(Long, Long, Double)].collect().toSet
+    val conv = TextAnalysis.surprisalScoresSketch(train)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(self == conv)
+  }
+
   private def typoMap(docs: org.apache.spark.sql.DataFrame,
       minLen: Int = 4, minRatio: Long = 2L): Map[String, String] =
     TextAnalysis.typoClusters(docs, minLen, minRatio)
