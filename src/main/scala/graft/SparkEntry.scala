@@ -957,6 +957,11 @@ object SparkEntry {
     // (PSM order; cut points are pure id arithmetic, so oracle-replayable)
     "q_fim" -> ((s, d) =>
       Packing.fimTransform(Tables.documents(s, d), fimRate = 0.5)),
+    // T5 denoising pairs: one 3-token span masked per 16-token window at
+    // a folded-id offset, sentinel-joined input/target (scan-stage only)
+    "q_span_corrupt" -> ((s, d) =>
+      Packing.spanCorrupt(Tables.documents(s, d),
+        spanEvery = 16, spanLen = 3)),
     // length-bucketed batching: 16-way hash-sharded ordinals per bucket
     "q_len_batches" -> ((s, d) =>
       Packing.lengthBucketBatches(Tables.documents(s, d),
@@ -2989,6 +2994,26 @@ object SparkEntry {
         "CASE WHEN s AND n > 0 THEN array_to_string(" +
         "['<fim_prefix>'] || toks[1:c1] || ['<fim_suffix>'] || toks[c2+1:n] || " +
         "['<fim_middle>'] || toks[c1+1:c2], ' ') ELSE text END AS text FROM sel"),
+    // the q_fim folded-id arithmetic per 16-token window: offset o(i) =
+    // (fold·7919 + (i+1)·104729) % 14, span = 3 tokens at o(i)
+    "q_span_corrupt" ->
+      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, len(toks) AS n, len(toks) // 16 AS nseg FROM t), " +
+        "s AS (SELECT doc_id, n, nseg, " +
+        "flatten(list_transform(range(nseg), i -> " +
+        "toks[i*16+1 : i*16 + ((doc_id % 1000003) * 7919 + (i+1) * 104729) % 14] || " +
+        "['<extra_id_' || i || '>'] || " +
+        "toks[i*16 + ((doc_id % 1000003) * 7919 + (i+1) * 104729) % 14 + 4 : (i+1)*16])) " +
+        "|| toks[nseg*16+1 : n] AS inp, " +
+        "flatten(list_transform(range(nseg), i -> " +
+        "['<extra_id_' || i || '>'] || " +
+        "toks[i*16 + ((doc_id % 1000003) * 7919 + (i+1) * 104729) % 14 + 1 : " +
+        "i*16 + ((doc_id % 1000003) * 7919 + (i+1) * 104729) % 14 + 3])) " +
+        "|| ['<extra_id_' || nseg || '>'] AS tgt FROM c) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "CAST(nseg AS BIGINT) AS n_spans, " +
+        "array_to_string(inp, ' ') AS input, " +
+        "array_to_string(tgt, ' ') AS target FROM s"),
     // weight rounded to 6 decimals BEFORE the target arithmetic on both
     // sides: pow is the one step IEEE doesn't require exactly rounded
     "q_temp_mix" ->

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-shard assembly: greedy token-budget packing.
@@ -248,6 +248,67 @@ object Packing {
       .select(col(idCol),
         (sel && n > 0).cast("int").as("fim"),
         when(sel && n > 0, fimText).otherwise(col(textCol)).as(textCol))
+  }
+
+  /** T5/UL2-style span corruption — the denoising objective's data
+    * transform: mask pseudo-random token spans with `<extra_id_k>`
+    * sentinels and emit the (input, target) pair, target = each sentinel
+    * followed by the tokens it hid, closed by the final sentinel (Raffel
+    * et al. 2019 §3.1.4 shape). Deterministic twin of the usual RNG
+    * version so re-runs, shards, and engines agree row-for-row (the
+    * [[fimTransform]] contract): one span per FULL `spanEvery`-token
+    * window, span offset from the shared folded-id arithmetic
+    * ([[Core.foldedOffset]] family) varied per window by the window
+    * index, all integer ops. Corruption density = spanLen/spanEvery
+    * (defaults ≈ T5's 0.15 at mean span 3 — 3/20); documents shorter
+    * than one window pass through uncorrupted with the bare closing
+    * sentinel as target.
+    *
+    * Scale shape: pure scan-stage array expressions over a projected
+    * token column (the safe bound form — no expression ever re-derives
+    * the tokenization) — zero shuffle, like [[chunkTokens]]. Returns
+    * (idCol, n_tokens, n_spans, input, target).
+    */
+  def spanCorrupt(docs: DataFrame, spanEvery: Int = 20, spanLen: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanLen >= 1 && spanEvery > spanLen,
+      s"need 1 <= spanLen < spanEvery, got $spanLen/$spanEvery")
+    val avail = (spanEvery - spanLen + 1).toLong
+    val toks = col("_toks")
+    val n = size(toks)
+    val nSeg = floor(n / lit(spanEvery)).cast("int")
+    def sentinel(i: Column): Column =
+      concat(lit("<extra_id_"), i.cast("string"), lit(">"))
+    // per-window offset in [0, avail): folded id × co-prime + window
+    // index × a second co-prime, pmod'd — the fimTransform cut-point
+    // family with the window index as the varying term
+    def off(i: Column): Column =
+      pmod(pmod(col(idCol).cast("long"), lit(1000003L)) * 7919L +
+        (i.cast("long") + 1L) * 104729L, lit(avail)).cast("int")
+    val segs = sequence(lit(0), nSeg - 1)
+    val emptyArr = array().cast("array<string>")
+    // input: [pre-span | sentinel_i | post-span] per window + the tail
+    val inputToks = concat(
+      when(nSeg >= 1, flatten(transform(segs, i => concat(
+        slice(toks, i * spanEvery + 1, off(i)),
+        array(sentinel(i)),
+        slice(toks, i * spanEvery + off(i) + lit(spanLen) + 1,
+          lit(spanEvery) - off(i) - lit(spanLen)))))).otherwise(emptyArr),
+      slice(toks, nSeg * spanEvery + 1, n - nSeg * lit(spanEvery)))
+    // target: sentinel_i + hidden span per window, closing sentinel last
+    val targetToks = concat(
+      when(nSeg >= 1, flatten(transform(segs, i => concat(
+        array(sentinel(i)),
+        slice(toks, i * spanEvery + off(i) + 1, lit(spanLen))))))
+        .otherwise(emptyArr),
+      array(sentinel(nSeg)))
+    docs
+      .withColumn("_toks",
+        coalesce(Core.tokensUni(col(textCol)), emptyArr))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        nSeg.cast("long").as("n_spans"),
+        array_join(inputToks, " ").as("input"),
+        array_join(targetToks, " ").as("target"))
   }
 
   /** Sliding-window token chunking — the sequence-prep step that splits

@@ -255,4 +255,51 @@ class PackingSpec extends SparkSpec {
       .executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("spanCorrupt: sentinel splice reconstructs the original stream") {
+    val texts = (0L until 50L).map(i => (i, (0 until 37).map(t => s"w$t").mkString(" ")))
+    val dd = (texts ++ Seq((99L, "short doc"), (98L, "")))
+      .toDF("doc_id", "text")
+    val got = Packing.spanCorrupt(dd, spanEvery = 16, spanLen = 3)
+      .as[(Long, Long, Long, String, String)].collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    for ((id, n, nSpans, input, target) <- got) {
+      // parse target: sentinel_i -> its hidden tokens
+      val parts = sentinel.split(target).drop(1) // leading "" before <extra_id_0>
+      val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(ids == (0L to nSpans).map(_.toInt), s"doc $id sentinels: $ids")
+      val spans = ids.zip(parts.toSeq.map(_.trim) :+ "").toMap
+      // splice each sentinel's span back into the input
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => spans(m.group(1).toInt)).replaceAll("\\s+", " ").trim
+      val orig = dd.where(org.apache.spark.sql.functions.col("doc_id") === id)
+        .select("text")
+        .as[String].head()
+      val origToks = orig.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == origToks, s"doc $id: '$rebuilt' != '$origToks'")
+      // structural counts: one span per full 16-token window
+      assert(nSpans == n / 16, s"doc $id")
+      val inToks = input.split(" ").filter(_.nonEmpty).length
+      assert(inToks == n - nSpans * 3 + nSpans, s"doc $id input len")
+    }
+    // short and empty docs: pass through with the bare closing sentinel
+    val short = got.find(_._1 == 99L).get
+    assert(short._3 == 0L && short._4 == "short doc" &&
+      short._5 == "<extra_id_0>")
+    val empty = got.find(_._1 == 98L).get
+    assert(empty._2 == 0L && empty._4 == "" && empty._5 == "<extra_id_0>")
+  }
+
+  test("spanCorrupt: scan-stage only, no exchange in the plan") {
+    val doc = Seq((1L, (0 until 40).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Packing.spanCorrupt(doc).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // offsets differ across windows (the (i+1)·co-prime term working)
+    val r = Packing.spanCorrupt(doc, spanEvery = 16, spanLen = 3)
+      .as[(Long, Long, Long, String, String)].collect().head
+    assert(r._3 == 2L)
+  }
 }
