@@ -1222,6 +1222,17 @@ object SparkEntry {
       Retrieval.phraseFromIndex(
         Retrieval.positionalIndex(docs, name), PHRASE_IDX_Q)
     }),
+    // batch multi-phrase matching off the same standing index — the
+    // C4-blocklist gate shape; phrase 3's first term misses the
+    // vocabulary, so it must yield zero rows
+    "q_phrase_batch" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("pospst1", d, witness(docs))
+      Retrieval.phraseSearchAll(
+        Retrieval.positionalIndex(docs, name),
+        PHRASE_BATCH.toDF("phrase_id", "phrase"))
+    }),
     // lexical hard negatives: per query doc (ids 0-2), top-5 BM25-similar
     // docs excluding itself and its exact-fingerprint copies — the
     // retriever-training negative miner over the same standing index
@@ -1272,6 +1283,8 @@ object SparkEntry {
   // repeated-term phrase on purpose: exercises the distinct-slot vote
   private val PHRASE_Q = "batch batch"
   private val PHRASE_IDX_Q = "stream spark"
+  private val PHRASE_BATCH: Seq[(Long, String)] = Seq(
+    (1L, "batch batch"), (2L, "stream spark"), (3L, "zzznosuchterm data"))
 
   /** q_bm25_batch's query table: raw (un-normalized) text on purpose —
     * the serving path must tokenize queries exactly like the corpus; q3
@@ -3371,6 +3384,28 @@ object SparkEntry {
     },
     "q_phrase" -> phraseSql(PHRASE_Q),
     "q_phrase_idx" -> phraseSql(PHRASE_IDX_Q),
+    "q_phrase_batch" -> {
+      val slots = PHRASE_BATCH.flatMap { case (pid, p) =>
+        p.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty)
+          .zipWithIndex.map { case (t, i) => s"($pid, '$t', $i)" }
+      }.mkString(", ")
+      val terms = PHRASE_BATCH.flatMap(_._2.toLowerCase
+          .split("[^\\p{L}\\p{Nd}]+")).filter(_.nonEmpty)
+        .distinct.map(t => s"'$t'").mkString(", ")
+      s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks) AS token, " +
+        "unnest(range(len(toks))) AS pos FROM t), " +
+        s"qt(pid, token, slot) AS (VALUES $slots), " +
+        "ns AS (SELECT pid, count(*) AS n FROM qt GROUP BY pid), " +
+        s"tp AS (SELECT * FROM p WHERE token IN ($terms)), " +
+        "al AS (SELECT pid, doc_id, pos - slot AS start, " +
+        "count(DISTINCT slot) AS hit FROM tp JOIN qt USING (token) " +
+        "GROUP BY 1, 2, 3), " +
+        "m AS (SELECT pid, doc_id, start FROM al JOIN ns USING (pid) " +
+        "WHERE hit = n AND start >= 0) " +
+        "SELECT pid AS phrase_id, doc_id, count(*) AS n_matches, " +
+        "CAST(min(start) AS BIGINT) AS first_pos FROM m GROUP BY 1, 2"
+    },
     // every intermediate CAST AS DOUBLE: DuckDB decimal/decimal division
     // truncates scale, doubles match Spark bit-for-bit pre-round
     "q_bm25" -> {

@@ -505,6 +505,52 @@ object Retrieval {
     matchPhrase(index.where(col("token").isin(ts.distinct: _*)), ts, idCol)
   }
 
+  /** Batch phrase matching: occurrence counts for a whole TABLE of
+    * (phrase_id, phrase) rows against the standing positional index in
+    * ONE bucket-pruned pass — the retrieval analogue of [[bm25TopKAll]]
+    * and, fed with a blocklist table, the C4-style "document contains a
+    * banned phrase" gate (exact, order-sensitive, normalization-aligned —
+    * not the n-gram-overlap approximation). The union of all phrase
+    * terms is collected driver-side (bounded by phrases × terms — the
+    * IN-literal convention: only a literal bucket-prunes the posting
+    * scan); per-phrase slot frames are phrase-table-sized and broadcast.
+    * Phrases whose tokens all miss the vocabulary return no rows.
+    * Returns (phrase_id, idCol, n_matches, first_pos).
+    *
+    * The alignment vote groups by (phrase_id, doc, start) — matched
+    * postings fan out by the number of phrases sharing each token, which
+    * is the honest cost of multi-phrase matching (Aho-Corasick pays the
+    * same in automaton states).
+    */
+  def phraseSearchAll(index: DataFrame, phraseTable: DataFrame,
+      idCol: String = "doc_id", pidCol: String = "phrase_id",
+      pCol: String = "phrase"): DataFrame = {
+    val spark = index.sparkSession
+    // phrase table is query-batch-sized by contract (the bm25TopKAll
+    // driver-side collection argument)
+    val slots = phraseTable.select(col(pidCol), col(pCol)).collect()
+      .toSeq.flatMap { r =>
+        phraseTokens(Option(r.getString(1)).getOrElse(""))
+          .zipWithIndex.map { case (t, i) => (r.getLong(0), t, i.toLong) }
+      }
+    val slotDf = broadcast(
+      spark.createDataFrame(slots).toDF("_pid", "token", "slot"))
+    val nSlotsDf = broadcast(spark.createDataFrame(
+        slots.groupBy(_._1).view.mapValues(_.length.toLong).toSeq)
+      .toDF("_pid", "_n"))
+    val terms = slots.map(_._2).distinct
+    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
+    tp.join(slotDf, "token")
+      .select(col("_pid"), col(idCol),
+        (col("pos") - col("slot")).as("start"), col("slot"))
+      .groupBy("_pid", idCol, "start")
+      .agg(countDistinct("slot").as("_hit"))
+      .join(nSlotsDf, "_pid")
+      .where(col("_hit") === col("_n") && col("start") >= 0)
+      .groupBy(col("_pid").as(pidCol), col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
+
   /** Streaming BM25 serving: score a STREAM of queries against the
     * standing index, each micro-batch in one bucket-pruned pass via
     * [[bm25TopKAll]]. foreachBatch is the right vehicle — a stream-static

@@ -285,6 +285,25 @@ class RetrievalSpec extends SparkSpec {
     assert(raw == Set(4L))
   }
 
+  test("phraseSearchAll: batch rows equal the per-phrase served results") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_phraseall_test_pos_b8")
+    val idx = Retrieval.positionalIndex(phraseDocs, "ret_phraseall_test")
+    val phrases = Seq((1L, "batch batch"), (2L, "stream spark"),
+      (3L, "zzznope batch")).toDF("phrase_id", "phrase")
+    val got = Retrieval.phraseSearchAll(idx, phrases)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = (for ((pid, p) <- Seq((1L, "batch batch"), (2L, "stream spark"));
+        r <- Retrieval.phraseFromIndex(idx, p)
+          .as[(Long, Long, Long)].collect())
+      yield (pid, r._1, r._2, r._3)).toSet
+    assert(got == want, s"$got vs $want")
+    // the vocabulary-miss phrase yields no rows, not an error
+    assert(!got.exists(_._1 == 3L))
+    // blocklist gate shape: the union of matched docs is the flag set
+    assert(got.map(_._2) == Set(1L, 4L))
+  }
+
   test("phraseFromIndex serves identical rows off the standing positional index") {
     import graft.ops.IndexTables
     IndexTables.drop(spark, "ret_phrase_test_pos_b8")
