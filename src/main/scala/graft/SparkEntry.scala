@@ -40,6 +40,16 @@ object SparkEntry {
     */
   private def witness(df: DataFrame): String = df.count().toString
 
+  /** The typo-fixture injection q_typo_clusters AND q_typo_apply share:
+    * 1-edit "batch" variants (delete/insert/substitute) + a 2-edit
+    * transposition appended to every 11th document.
+    */
+  private def typoInjected(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" batc batchh batxh abtch")))
+        .otherwise(col("text")).as("text"))
+
   /** The substring-scrubbed corpus as a STANDING table (the bm25-index
     * pattern): v7/v8/v9 all curate the same rewritten corpus, and the
     * scrub's gram-ownership shuffle is the single most expensive stage of
@@ -239,13 +249,15 @@ object SparkEntry {
     // pairs, so typo'd "batch" variants are injected IN the query (the
     // q_pii_scrub convention): deletion/insertion/substitution must
     // remap, the transposition (2 edits) must stay its own canonical
-    "q_typo_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val injected = docs.select(col("doc_id"),
-        when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" batc batchh batxh abtch")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.typoClusters(injected)
+    "q_typo_clusters" -> ((s, d) =>
+      TextAnalysis.typoClusters(typoInjected(Tables.documents(s, d)))),
+    // the apply side: rewrite the injected corpus with its own learned
+    // mapping — every typo token lands on "batch", order preserved,
+    // untouched docs pass through with n_changed 0
+    "q_typo_apply" -> ((s, d) => {
+      val injected = typoInjected(Tables.documents(s, d))
+      TextAnalysis.typoNormalize(injected,
+        TextAnalysis.typoClusters(injected))
     }),
     "q_bpe_exact" -> ((s, d) => TextAnalysis.bpeExactStats(Tables.documents(s, d))),
     // tokenizer APPLY: greedy longest-match segmentation pieces + vocab
@@ -1345,6 +1357,30 @@ object SparkEntry {
       "CAST(min(start) AS BIGINT) AS first_pos FROM al GROUP BY doc_id"
   }
 
+  /** Shared SymSpell CTE chain (q_typo_clusters AND q_typo_apply): the
+    * injected-typo corpus `base`, per-doc token lists `t2`, vocabulary
+    * `v`, delete-neighborhood keys `k`, verified candidate pairs `p`,
+    * ranked canonicals `c` (rn = 1 is the winner).
+    */
+  private val TYPO_CTES =
+    "base AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+      "THEN text || ' batc batchh batxh abtch' ELSE text END AS text " +
+      "FROM documents), " +
+      s"t2 AS (SELECT doc_id, $TOKS AS toks FROM base), " +
+      "vo AS (SELECT unnest(toks) AS word FROM t2), " +
+      "v AS (SELECT word, count(*) AS freq FROM vo GROUP BY word), " +
+      "k AS (SELECT word, freq, unnest(list_distinct(list_prepend(word, " +
+      "list_transform(range(1, len(word)+1), " +
+      "i -> substr(word, 1, i-1) || substr(word, i+1, len(word)))))) AS key " +
+      "FROM v), " +
+      "p AS (SELECT a.word AS word, b.word AS cand, b.freq AS cfreq " +
+      "FROM k a JOIN k b USING (key) " +
+      "WHERE len(a.word) >= 4 AND a.word <> b.word " +
+      "AND levenshtein(a.word, b.word) <= 1 " +
+      "AND b.freq > a.freq AND b.freq >= 2 * a.freq), " +
+      "c AS (SELECT word, cand, cfreq, row_number() OVER " +
+      "(PARTITION BY word ORDER BY cfreq DESC, cand) AS rn FROM p)"
+
   /** DuckDB mirror of Sampling.hashKey (salt ""): fixed-width 9-digit hex. */
   private val HASHKEY =
     "'0' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
@@ -2332,26 +2368,27 @@ object SparkEntry {
     // SymSpell replay: {word} ∪ single-deletion keys, join, levenshtein
     // verify, strict-majority canonical by (freq desc, word asc)
     "q_typo_clusters" ->
-      ("WITH base AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
-        "THEN text || ' batc batchh batxh abtch' ELSE text END AS text " +
-        "FROM documents), " +
-        s"t AS (SELECT $TOKS AS toks FROM base), " +
-        "vo AS (SELECT unnest(toks) AS word FROM t), " +
-        "v AS (SELECT word, count(*) AS freq FROM vo GROUP BY word), " +
-        "k AS (SELECT word, freq, unnest(list_distinct(list_prepend(word, " +
-        "list_transform(range(1, len(word)+1), " +
-        "i -> substr(word, 1, i-1) || substr(word, i+1, len(word)))))) AS key " +
-        "FROM v), " +
-        "p AS (SELECT a.word AS word, b.word AS cand, b.freq AS cfreq " +
-        "FROM k a JOIN k b USING (key) " +
-        "WHERE len(a.word) >= 4 AND a.word <> b.word " +
-        "AND levenshtein(a.word, b.word) <= 1 " +
-        "AND b.freq > a.freq AND b.freq >= 2 * a.freq), " +
-        "c AS (SELECT word, cand, cfreq, row_number() OVER " +
-        "(PARTITION BY word ORDER BY cfreq DESC, cand) AS rn FROM p) " +
+      (s"WITH $TYPO_CTES " +
         "SELECT v.word, v.freq, coalesce(c.cand, v.word) AS canonical, " +
         "coalesce(c.cfreq, v.freq) AS canon_freq " +
         "FROM v LEFT JOIN c ON v.word = c.word AND c.rn = 1"),
+    // the learned mapping applied back: ordered string_agg reassembly,
+    // untokenizable docs pass through via the left join
+    "q_typo_apply" ->
+      (s"WITH $TYPO_CTES, " +
+        "st AS (SELECT doc_id, unnest(toks) AS word, " +
+        "unnest(range(len(toks))) AS pos FROM t2), " +
+        "corr AS (SELECT word, cand FROM c WHERE rn = 1), " +
+        "j AS (SELECT doc_id, pos, coalesce(cand, st.word) AS w, " +
+        "CASE WHEN cand IS NOT NULL THEN 1 ELSE 0 END AS ch " +
+        "FROM st LEFT JOIN corr ON st.word = corr.word), " +
+        "a AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text, " +
+        "count(*) AS n_tokens, CAST(sum(ch) AS BIGINT) AS n_changed " +
+        "FROM j GROUP BY doc_id) " +
+        "SELECT b.doc_id, coalesce(a.text, b.text) AS text, " +
+        "coalesce(a.n_tokens, 0) AS n_tokens, " +
+        "coalesce(a.n_changed, 0) AS n_changed " +
+        "FROM base b LEFT JOIN a USING (doc_id)"),
     // the q_bpe_encode recursion joined back to the token stream
     "q_token_ids" ->
       (s"WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +

@@ -650,6 +650,42 @@ object TextAnalysis {
         coalesce(col("_cfreq"), col("freq")).as("canon_freq"))
   }
 
+  /** Apply a [[typoClusters]] mapping: rewrite every token to its
+    * canonical form, order-preserving — the fit/apply pair of the typo
+    * family (the perplexityBuckets → perplexityMixApply convention).
+    * Untokenizable documents pass through unchanged. Returns
+    * (idCol, textCol, n_tokens, n_changed).
+    *
+    * Scale shape: the token stream shuffles once for the ordered
+    * reassembly (the tokenIds/spanDedup reconstruct pattern — the honest
+    * cost of rewriting text at token resolution); the mapping join is
+    * vocabulary-sized and unhinted (AQE broadcasts while small). Identity
+    * rows are filtered from the mapping BEFORE the join so a mapping that
+    * changes nothing costs nothing extra.
+    */
+  def typoNormalize(docs: DataFrame, mapping: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = mapping.where(col("canonical") =!= col("word"))
+      .select(col("word"), col("canonical"))
+    val rebuilt = docs
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "word")))
+      .join(m, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("canonical"), col("word")).as("w")))),
+          s => s.getField("w")), " ").as("_new_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("canonical").isNotNull.cast("long")).as("n_changed"))
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_new_text"), col(textCol)).as(textCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+  }
+
   /** Per-language EXACT merge-based token totals vs the pre-tokenizer
     * proxy ([[bpeTokens]]), with the drift ratio between them — the
     * calibration report for corpus budgeting (how far off the cheap count

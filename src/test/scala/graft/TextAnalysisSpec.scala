@@ -649,6 +649,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("model") == "model")
   }
 
+  test("typoNormalize: ordered rewrite with counts, untokenizable pass-through") {
+    val docs = Seq(
+      (1L, "thee cat saw thee dog"),
+      (2L, "the the the the the cat dog"),
+      (3L, "")).toDF("doc_id", "text")
+    val mapping = TextAnalysis.typoClusters(docs)
+    val got = TextAnalysis.typoNormalize(docs, mapping)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // "thee" (freq 2) → "the" (freq 5 ≥ 2·2, one deletion); order preserved
+    assert(got(1L) == (("the cat saw the dog", 5L, 2L)), got(1L).toString)
+    assert(got(2L) == (("the the the the the cat dog", 7L, 0L)))
+    // zero-token doc passes through unchanged with zero counts
+    assert(got(3L) == (("", 0L, 0L)))
+  }
+
   test("typoClusters: minLen fences short words; equal-freq ties break on word") {
     val words = Seq.fill(10)("abcd") ++ Seq.fill(10)("abce") ++ Seq("abcf") ++
       Seq.fill(20)("cat") ++ Seq("cart")
