@@ -1276,6 +1276,49 @@ object SparkEntry {
       Similarity.meanPoolLong(Tables.embeddings(s, d), col("label"))
         .select(col("grp").as("label"), col("n"),
           col("i").as("dim"), round(col("m"), 6).as("m"))),
+    // dense leg of hybrid retrieval: feature-hashed query vectors scored
+    // by cosine against the hashed corpus — the exact-recall baseline the
+    // ANN legs are measured against; two-phase top-k (per-partition
+    // heads, then a per-query merge) so no task ranks the whole corpus
+    "q_dense_topk" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.denseTopKAll(Tables.documents(s, d),
+        BM25_QUERIES.toDF("query_id", "query"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // reciprocal-rank fusion of the lexical (BM25, standing index) and
+    // dense (hashed-vector cosine) runs — rank-only hybrid retrieval, no
+    // score calibration; q3's term misses the lexical vocabulary
+    // entirely, so its fused list is the dense run alone (n_runs = 1)
+    "q_rrf" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      val qt = BM25_QUERIES.toDF("query_id", "query")
+      val lex = Retrieval.bm25TopKAll(
+        Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name), qt, k = 10)
+      val dense = Retrieval.denseTopKAll(docs, qt, k = 10)
+      Retrieval.rrfFuse(Seq(lex, dense), topK = 10)
+    }),
+    // population covariance of the embedding table in long (i, j, cov)
+    // form: one moment-sums scan (shuffle = (d²+d+1) partials per
+    // partition, never N), then d²-row algebra — the statistics half of
+    // PCA/whitening (pcaTop / pcaWhiten, spec-pinned driver-side eigen)
+    "q_covariance" -> ((s, d) =>
+      Similarity.covarianceLong(Tables.embeddings(s, d), dim = 64)),
+    // MMR diversified re-rank of the dense run: greedily pick 5 of each
+    // query's top-10 maximizing λ·rel − (1−λ)·max-sim-to-selected — the
+    // dedup-aware serving head; every frame is (queries × k)-sized, the
+    // oracle is a per-step unrolled replay (the q_pagerank convention)
+    "q_mmr" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val run = Retrieval.denseTopKAll(docs,
+        BM25_QUERIES.toDF("query_id", "query"), k = 10)
+      Retrieval.mmrRerank(run, TextAnalysis.hashEmbed(docs, 64),
+        m = 5, lambda = 0.7)
+    }),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1470,6 +1513,106 @@ object SparkEntry {
       "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
       "sv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb " +
       "GROUP BY doc_id, dim_idx)"
+
+  /** DuckDB mirror of Retrieval.denseTopKAll: the [[hashEmbedCtes]]
+    * md5-bucket/sign chain run over BOTH the corpus (dd* CTEs) and the
+    * query table (dq* CTEs, expecting a CTE `q(query_id, query)` in
+    * scope), densified over a range(dim) grid, cosine-scored, and ranked
+    * per query on (rounded score DESC, doc_id). Ends in
+    * `dr(query_id, doc_id, score, rank)` with rank ≤ k. ONE definition
+    * for q_dense_topk and q_rrf so the dense leg cannot drift between
+    * the standalone run and the fusion.
+    */
+  private def denseRunCtes(dim: Int, k: Int): String = {
+    val qToks = TOKS.replace("lower(text)", "lower(query)")
+    s"ddt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+      "ddh AS (SELECT doc_id, md5(tok) AS hx FROM ddt), " +
+      "ddb AS (SELECT doc_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
+      "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS sgn FROM ddh), " +
+      "ddsv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM ddb " +
+      "GROUP BY doc_id, dim_idx), " +
+      "ddids AS (SELECT DISTINCT doc_id FROM ddsv), " +
+      s"ddgrid AS (SELECT ddids.doc_id, r.range AS i FROM ddids, range($dim) r), " +
+      "dddv AS (SELECT g.doc_id, g.i, coalesce(sv.value, 0.0) AS v FROM ddgrid g " +
+      "LEFT JOIN ddsv sv ON sv.doc_id = g.doc_id AND sv.dim_idx = g.i), " +
+      "dde AS (SELECT doc_id, list(v ORDER BY i) AS dv FROM dddv GROUP BY doc_id), " +
+      "ddn AS (SELECT doc_id, dv, sqrt(list_dot_product(dv, dv)) AS nd FROM dde " +
+      "WHERE sqrt(list_dot_product(dv, dv)) > 0), " +
+      s"dqt AS (SELECT query_id, unnest($qToks) AS tok FROM q), " +
+      "dqh AS (SELECT query_id, md5(tok) AS hx FROM dqt), " +
+      "dqb AS (SELECT query_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
+      "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS sgn FROM dqh), " +
+      "dqsv AS (SELECT query_id, dim_idx, sum(sgn) AS value FROM dqb " +
+      "GROUP BY query_id, dim_idx), " +
+      "dqids AS (SELECT DISTINCT query_id FROM dqsv), " +
+      s"dqgrid AS (SELECT dqids.query_id, r.range AS i FROM dqids, range($dim) r), " +
+      "dqdv AS (SELECT g.query_id, g.i, coalesce(sv.value, 0.0) AS v FROM dqgrid g " +
+      "LEFT JOIN dqsv sv ON sv.query_id = g.query_id AND sv.dim_idx = g.i), " +
+      "dqe AS (SELECT query_id, list(v ORDER BY i) AS qv FROM dqdv GROUP BY query_id), " +
+      "dqn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS nq FROM dqe " +
+      "WHERE sqrt(list_dot_product(qv, qv)) > 0), " +
+      "dsc AS (SELECT dqn.query_id, ddn.doc_id, " +
+      "round(list_dot_product(ddn.dv, dqn.qv) / (ddn.nd * dqn.nq), 4) AS score " +
+      "FROM ddn, dqn), " +
+      "dr AS (SELECT query_id, doc_id, score, rank FROM " +
+      "(SELECT query_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM dsc) " +
+      s"WHERE rank <= $k)"
+  }
+
+  /** DuckDB mirror of Retrieval.mmrRerank over the [[denseRunCtes]]
+    * candidates: greedy MMR unrolled one CTE trio (pick/sel/ms) per
+    * step — the pagerankSql convention for iteration. λ and (1−λ) are
+    * spelled so both engines execute the SAME IEEE ops on the SAME
+    * grid-rounded inputs (rel and sim carry round(·,4)), making every
+    * intermediate mmr value bit-identical; ties break by doc_id.
+    */
+  private def mmrSql(dim: Int, k: Int, m: Int, lambda: Double): String = {
+    // BOTH weights are Scala-computed doubles shipped as DOUBLE literals:
+    // a bare `(1 - 0.7)` would be DuckDB DECIMAL arithmetic (exactly 0.3,
+    // a DIFFERENT double than Scala's 1.0-0.7) and flip rounding
+    // boundaries — caught by a real 1e-4 mismatch at first verify
+    val lam = s"CAST(${lambda} AS DOUBLE)"
+    val lamBar = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val base =
+      s"${denseRunCtes(dim, k)}, " +
+        "cand AS (SELECT dr.query_id, dr.doc_id, dr.score AS rel, " +
+        "ddn.dv, ddn.nd FROM dr JOIN ddn USING (doc_id)), " +
+        "ps AS (SELECT a.query_id, a.doc_id AS ca, b.doc_id AS cb, " +
+        "round(list_dot_product(a.dv, b.dv) / (a.nd * b.nd), 4) AS sim " +
+        "FROM cand a JOIN cand b ON a.query_id = b.query_id " +
+        "AND a.doc_id <> b.doc_id), " +
+        s"sel1 AS (SELECT query_id, doc_id, $lam * rel AS mmr, " +
+        "CAST(1 AS BIGINT) AS r FROM (SELECT query_id, doc_id, rel, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rel DESC, doc_id) AS rn FROM cand) WHERE rn = 1), " +
+        "ms1 AS (SELECT ps.query_id, ps.ca AS doc_id, max(ps.sim) AS ms " +
+        "FROM ps JOIN sel1 s ON ps.query_id = s.query_id " +
+        "AND ps.cb = s.doc_id GROUP BY 1, 2)"
+    val steps = (2 to m).map { t =>
+      val p = t - 1
+      s"pick$t AS (SELECT query_id, doc_id, mmr, CAST($t AS BIGINT) AS r " +
+        "FROM (SELECT query_id, doc_id, mmr, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn FROM " +
+        s"(SELECT c.query_id, c.doc_id, $lam * c.rel - $lamBar * " +
+        s"coalesce(mp.ms, 0) AS mmr FROM cand c LEFT JOIN ms$p mp " +
+        "ON mp.query_id = c.query_id AND mp.doc_id = c.doc_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM sel$p s " +
+        "WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))) " +
+        "WHERE rn = 1), " +
+        s"sel$t AS (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t), " +
+        s"ms$t AS (SELECT query_id, doc_id, max(ms) AS ms FROM " +
+        s"(SELECT * FROM ms$p UNION ALL SELECT ps.query_id, ps.ca AS doc_id, " +
+        s"ps.sim AS ms FROM ps JOIN pick$t p ON ps.query_id = p.query_id " +
+        "AND ps.cb = p.doc_id) GROUP BY 1, 2)"
+    }.mkString(", ")
+    s"$base, $steps SELECT query_id, doc_id, round(mmr, 4) AS mmr_score, " +
+      s"r AS mmr_rank FROM sel$m"
+  }
 
   /** The [[hashEmbedCtes]] chain densified over a range(dim) grid and
     * argmax-blocked — DuckDB mirror of
@@ -3584,6 +3727,81 @@ object SparkEntry {
         "ORDER BY score DESC, doc_id) AS rank FROM sc2) " +
         "SELECT query_id, doc_id, n_terms, score, rank FROM r2 WHERE rank <= 10"
     },
+    // the dense hybrid leg alone: hashEmbed chain over corpus AND query
+    // strings, densified, cosine-ranked per query on (rounded score
+    // DESC, doc_id)
+    "q_dense_topk" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        s"${denseRunCtes(64, 10)} " +
+        "SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM dr"
+    },
+    // RRF replay: the q_bm25_batch lexical chain (rank <= 10) UNION ALL
+    // the q_dense_topk dense chain (rank <= 10), fused per (query, doc)
+    // as a SORTED sum of 1/(60+rank) contributions (the Spark side folds
+    // in ascending order too — unordered double sums are
+    // summation-order-dependent), rounded to 6, re-ranked
+    "q_rrf" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val qToks = TOKS.replace("lower(text)", "lower(query)")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+        s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        "lr AS (SELECT query_id, doc_id, rank FROM " +
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10), " +
+        s"${denseRunCtes(64, 10)}, " +
+        "u AS (SELECT query_id, doc_id, rank FROM lr " +
+        "UNION ALL SELECT query_id, doc_id, rank FROM dr), " +
+        "f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_runs, " +
+        "round(list_sum(list_sort(list(1.0 / (60.0 + rank)))), 6) AS rrf_score " +
+        "FROM u GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, n_runs, rrf_score, rank FROM " +
+        "(SELECT query_id, doc_id, n_runs, rrf_score, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM f) " +
+        "WHERE rank <= 10"
+    },
+    // greedy MMR unrolled per step over the dense-run candidates; the
+    // q CTE feeds denseRunCtes exactly as in q_dense_topk
+    "q_mmr" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        mmrSql(64, 10, 5, 0.7)
+    },
+    // covariance replay: the (vec_id, i, x) long grid self-joined on
+    // vec_id — cov(i,j) = E[xy] - E[x]E[y], population form, rounded 6
+    "q_covariance" ->
+      ("WITH el AS (SELECT vec_id, CAST(r.range AS BIGINT) AS i, " +
+        "CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x " +
+        "FROM embeddings, range(64) r WHERE len(embedding) = 64), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings " +
+        "WHERE len(embedding) = 64), " +
+        "m AS (SELECT i, sum(x) AS sx FROM el GROUP BY i), " +
+        "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy " +
+        "FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2) " +
+        "SELECT p.i, p.j, round(sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov " +
+        "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j, n"),
     // known-item eval: the q_bm25_batch scoring replay with 5-token-prefix
     // queries, hits = rank of the query doc itself; MRR as exact
     // lcm(1..10)-scaled integer sum (double reciprocal sums are

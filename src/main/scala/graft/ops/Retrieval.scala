@@ -570,4 +570,182 @@ object Retrieval {
       (batch: DataFrame, _: Long) =>
         sink(bm25TopKAll(index, stats, batch, k, k1, b, idCol, qidCol, qCol))
     }
+
+  /** Dense retrieval run over FEATURE-HASHED document vectors
+    * ([[TextAnalysis.hashEmbed]]): every query in `queryTable` is hashed
+    * with the SAME tokenizer+hash chain as the corpus and scored by
+    * cosine against every document — the model-free dense leg of a
+    * hybrid (sparse ⊕ dense) retrieval stack, and the exact-recall
+    * baseline the ANN legs ([[Similarity.ivfTopKAll]],
+    * [[Similarity.lshNearestNeighbour]]) are measured against. Returns
+    * (qidCol, doc_id, score, rank) with rank ≤ k, deterministic under
+    * ties (rounded score DESC, doc_id).
+    *
+    * Scale shape: query vectors are a broadcast (batch-sized); the
+    * corpus side is ONE scan of the hashed vectors with the cosine
+    * computed per pair in the scan stage. The top-k is two-phase so no
+    * task ever sees more than its partition's candidates: a first
+    * row_number over (query, input-partition) keeps ≤ k rows per
+    * partition per query — (queries × parts × k)-sized — and only that
+    * survivor set is ranked globally per query. At real scale prefer
+    * serving from the IVF index and use this run as the fusion leg /
+    * recall verifier; brute-force cosine over 100 TB is a full scan by
+    * construction.
+    */
+  def denseTopKAll(docs: DataFrame, queryTable: DataFrame, k: Int,
+      dim: Int = 64, qidCol: String = "query_id", qCol: String = "query")
+      : DataFrame = {
+    require(k > 0, s"denseTopKAll: k must be positive, got $k")
+    val dv = TextAnalysis.hashEmbed(docs, dim)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("_de"))
+      .withColumn("_dn", Similarity.l2norm(col("_de")))
+      .where(col("_dn") > 0)
+    val qv = TextAnalysis.hashEmbed(
+        queryTable.select(col(qidCol).cast("long").as("doc_id"),
+          col(qCol).as("text")), dim)
+      .select(col("vec_id").as(qidCol),
+        col("embedding").cast("array<double>").as("_qe"))
+      .withColumn("_qn", Similarity.l2norm(col("_qe")))
+      .where(col("_qn") > 0)
+    val scored = dv.crossJoin(broadcast(qv))
+      .select(col(qidCol), col("doc_id"),
+        round(Similarity.dot(col("_de"), col("_qe")) /
+          (col("_dn") * col("_qn")), 4).as("score"),
+        spark_partition_id().as("_part"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol), col("_part"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("_lr", row_number().over(wLocal)).where(col("_lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= k)
+      .select(col(qidCol), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of any number of
+    * ranked runs — THE standard way to combine a lexical (BM25) and a
+    * dense (embedding) retrieval leg without score calibration, since it
+    * consumes only ranks. Each run is (qidCol, idCol, rank); the fused
+    * score of a document is Σ_runs 1/(kParam + rank), summed in
+    * ascending order over the run contributions (sorted fold — the
+    * [[knownItemEval]] lesson: an unordered double sum is
+    * summation-order-dependent exactly at rounding boundaries), rounded
+    * to 6 so the ranking is reproducible across engines. A document
+    * missing from a run simply contributes nothing (the RRF convention).
+    * Returns (qidCol, idCol, n_runs, rrf_score, rank ≤ topK),
+    * deterministic under ties (score DESC, id).
+    *
+    * Scale shape: inputs are already per-query top-k runs, so everything
+    * here is (queries × runs × k)-sized — one union, one grouped
+    * aggregate, one ranking window over ≤ runs·k rows per query. The
+    * corpus is never touched; fusion cost is independent of corpus size.
+    */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) of a per-query candidate run: greedily pick `m` documents,
+    * each step maximizing λ·rel − (1−λ)·max-cosine-to-already-selected —
+    * the standard diversified top-k (dedup-aware serving, diverse
+    * few-shot example selection, RAG context packing). `run` is
+    * (qidCol, idCol, scoreCol) with GRID scores (rounded, the
+    * [[bm25TopKAll]]/[[denseTopKAll]] output contract — from identical
+    * grid inputs the λ-algebra is bit-deterministic on both engines);
+    * `vectors` is any (vec_id, embedding) frame covering the candidates.
+    * Returns (qidCol, idCol, mmr_score rounded 4, mmr_rank 1..m);
+    * queries with fewer than `m` candidates just stop early. All ties
+    * break by id.
+    *
+    * Scale shape: candidate sets are per-query top-k — BOUNDED BY
+    * CONTRACT (the decontam eval-set argument) — so every frame here is
+    * (queries × k)-sized: one join fetches k vectors per query, the pair
+    * cosines are a k² self-join per query, and each greedy step is three
+    * bounded joins, localCheckpoint'd so the plan stays O(1)-deep per
+    * step instead of compounding (the BPE/PageRank iteration
+    * convention). Cost is independent of corpus size; the corpus is
+    * never touched.
+    */
+  def mmrRerank(run: DataFrame, vectors: DataFrame, m: Int,
+      lambda: Double = 0.7, idCol: String = "doc_id",
+      qidCol: String = "query_id", scoreCol: String = "score"): DataFrame = {
+    require(m > 0, s"mmrRerank: m must be positive, got $m")
+    require(lambda >= 0 && lambda <= 1,
+      s"mmrRerank: lambda must be in [0, 1], got $lambda")
+    val lam = lit(lambda)
+    val lamBar = lit(1.0 - lambda) // same IEEE op the oracle's (1 - λ) does
+    val vecs = vectors.select(col("vec_id").as(idCol),
+      col("embedding").cast("array<double>").as("_e"))
+      .withColumn("_n", Similarity.l2norm(col("_e")))
+      .where(col("_n") > 0)
+    val cand = run.select(col(qidCol), col(idCol), col(scoreCol).as("_rel"))
+      .join(vecs, idCol)
+      .localCheckpoint(true)
+    val a = cand.select(col(qidCol), col(idCol).as("_a"),
+      col("_e").as("_ea"), col("_n").as("_na"))
+    val b = cand.select(col(qidCol), col(idCol).as("_b"),
+      col("_e").as("_eb"), col("_n").as("_nb"))
+    val ps = a.join(b, qidCol).where(col("_a") =!= col("_b"))
+      .select(col(qidCol), col("_a"), col("_b"),
+        round(Similarity.dot(col("_ea"), col("_eb")) /
+          (col("_na") * col("_nb")), 4).as("_sim"))
+      .localCheckpoint(true)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_rel").desc, col(idCol))
+    var sel = cand
+      .withColumn("_rn", row_number().over(w1)).where(col("_rn") === 1)
+      // empty selected set ⇒ novelty term 0: the first pick scores λ·rel,
+      // the same formula every later step uses
+      .select(col(qidCol), col(idCol), (lam * col("_rel")).as("_mmr"),
+        lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    // running max cosine from each candidate to the selected set
+    var maxsim = ps.join(sel.select(col(qidCol), col(idCol).as("_b")),
+        Seq(qidCol, "_b"))
+      .groupBy(col(qidCol), col("_a")).agg(max(col("_sim")).as("_ms"))
+      .localCheckpoint(true)
+    for (t <- 2 to m) {
+      val remaining = cand.join(sel.select(col(qidCol), col(idCol)),
+        Seq(qidCol, idCol), "left_anti")
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(qidCol).orderBy(col("_mmr").desc, col(idCol))
+      val pick = remaining
+        .join(maxsim.select(col(qidCol), col("_a").as(idCol), col("_ms")),
+          Seq(qidCol, idCol), "left")
+        .select(col(qidCol), col(idCol),
+          (lam * col("_rel") - lamBar * coalesce(col("_ms"), lit(0.0)))
+            .as("_mmr"))
+        .withColumn("_rn", row_number().over(wT)).where(col("_rn") === 1)
+        .select(col(qidCol), col(idCol), col("_mmr"),
+          lit(t.toLong).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+      val newSim = ps
+        .join(pick.select(col(qidCol), col(idCol).as("_b")), Seq(qidCol, "_b"))
+        .select(col(qidCol), col("_a"), col("_sim").as("_ms"))
+      maxsim = maxsim.unionByName(newSim)
+        .groupBy(col(qidCol), col("_a")).agg(max(col("_ms")).as("_ms"))
+        .localCheckpoint(true)
+    }
+    sel.select(col(qidCol), col(idCol),
+      round(col("_mmr"), 4).as("mmr_score"), col("mmr_rank"))
+  }
+
+  def rrfFuse(runs: Seq[DataFrame], topK: Int, kParam: Int = 60,
+      idCol: String = "doc_id", qidCol: String = "query_id"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: need at least one run")
+    require(topK > 0, s"rrfFuse: topK must be positive, got $topK")
+    require(kParam >= 0, s"rrfFuse: kParam must be non-negative, got $kParam")
+    val u = runs
+      .map(_.select(col(qidCol), col(idCol), col("rank").cast("long")))
+      .reduce(_.unionByName(_))
+    val g = u.groupBy(qidCol, idCol)
+      .agg(count(lit(1)).as("n_runs"),
+        sort_array(collect_list(
+          lit(1.0) / (lit(kParam.toDouble) + col("rank")))).as("_c"))
+      .select(col(qidCol), col(idCol), col("n_runs"),
+        round(aggregate(col("_c"), lit(0.0), (acc, x) => acc + x), 6)
+          .as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("rrf_score").desc, col(idCol))
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
 }

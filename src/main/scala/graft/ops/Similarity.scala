@@ -1347,4 +1347,159 @@ object Similarity {
         // double-rounding disagrees (the [[marginMine]] scale note; mean =
         // sum_cos/hits for the consumer who wants it)
         round(sum(col("cos")), 4).as("sum_cos"))
+
+  /** One-pass moment sums for the d×d covariance matrix: the flattened
+    * per-row outer-product grid (d² slots), the raw vector (d slots for
+    * the means), and a count slot are concatenated into ONE array whose
+    * element-wise sum is computed by posexplode + a map-side-combined
+    * aggregate — shuffle volume is (d²+d+1) × partitions partial rows,
+    * never N. Rows whose embedding is not exactly `dim` long are
+    * excluded (ragged vectors would silently corrupt the grid indexing).
+    * Returns the (idx, s) sums frame; [[covarianceLong]] turns it into
+    * covariances, [[pcaTop]] into a driver-side model. The per-row
+    * compute is Θ(d²) multiplications — inherent to covariance; for d
+    * beyond a few hundred, sketch/sample upstream rather than paying the
+    * full grid (the [[quantizeInt8Stats]] argument in reverse).
+    */
+  private def momentSums(emb: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 512,
+      s"covariance: dim must be in [1, 512], got $dim")
+    val base = emb.select(asDouble(col("embedding")).as("e"))
+      .where(size(col("e")) === dim)
+    val arr = concat(
+      flatten(transform(col("e"), x => transform(col("e"), y => x * y))),
+      col("e"), array(lit(1.0)))
+    base.select(posexplode(arr).as(Seq("idx", "v")))
+      .groupBy("idx").agg(sum("v").as("s"))
+  }
+
+  /** Population covariance matrix of the embedding column in long form:
+    * (i, j, cov) for every 0 ≤ i, j < dim, cov = E[x_i·x_j] −
+    * E[x_i]·E[x_j], rounded to 6 for cross-engine reproducibility. The
+    * distributed work is ONE scan ([[momentSums]]); everything after is
+    * (d²+d+1)-row algebra (tiny joins that auto-broadcast). This is the
+    * statistics half of PCA/whitening ([[pcaTop]]) and a drift signal in
+    * its own right (covariance drift between two embedder versions).
+    */
+  def covarianceLong(emb: DataFrame, dim: Int): DataFrame = {
+    val sums = momentSums(emb, dim)
+    val nRow = sums.where(col("idx") === dim * dim + dim)
+      .select(col("s").as("n"))
+    val means = sums
+      .where(col("idx") >= dim * dim && col("idx") < dim * dim + dim)
+      .select((col("idx") - dim * dim).cast("long").as("mi"),
+        col("s").as("sx"))
+    sums.where(col("idx") < dim * dim)
+      .select(floor(col("idx") / dim).cast("long").as("i"),
+        pmod(col("idx"), lit(dim)).cast("long").as("j"), col("s").as("sxy"))
+      .join(means.select(col("mi").as("i"), col("sx").as("sxi")), "i")
+      .join(means.select(col("mi").as("j"), col("sx").as("sxj")), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        round(col("sxy") / col("n") -
+          (col("sxi") / col("n")) * (col("sxj") / col("n")), 6).as("cov"))
+  }
+
+  /** Driver-side PCA model: top-k eigenpairs of the population
+    * covariance + the mean vector. */
+  final case class PcaModel(mean: Array[Double], eigvals: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Top-k PCA of the embedding column — power iteration with deflation
+    * over the d×d covariance matrix. The DATA-sized work is the one
+    * [[momentSums]] scan; the matrix itself is d² doubles — THE MODEL,
+    * NOT THE DATA — so collecting it and iterating on the driver is the
+    * same call [[ivfCentroids]] makes for its k×d centroids (a 100 TB
+    * corpus still has a 16×16 covariance). Deterministic by
+    * construction: init is the basis vector of the largest diagonal
+    * entry (ties → lowest index), a fixed `iters` sweep count, and sign
+    * canonicalization (largest-|coordinate| positive, ties → lowest
+    * index), so repeated builds ship identical models.
+    */
+  def pcaTop(emb: DataFrame, dim: Int, k: Int, iters: Int = 100): PcaModel = {
+    require(k >= 1 && k <= dim, s"pcaTop: k must be in [1, $dim], got $k")
+    val sums = momentSums(emb, dim).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val n = sums.getOrElse(dim * dim + dim, 0.0)
+    require(n >= 2, s"pcaTop: need at least 2 rows of dim $dim, got $n")
+    val mean = Array.tabulate(dim)(i => sums.getOrElse(dim * dim + i, 0.0) / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      sums.getOrElse(i * dim + j, 0.0) / n - mean(i) * mean(j))
+    val comps = Array.ofDim[Array[Double]](k)
+    val lams = Array.ofDim[Double](k)
+    def dotv(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    for (c <- 0 until k) {
+      // power-iterate on the EXPLICITLY deflated matrix C − Σ λ_p v_p v_pᵀ
+      // (projection-per-step collapses to the zero vector in degenerate
+      // residual spaces and silently re-converges onto an extracted
+      // component — the Rayleigh quotient then reports a stale λ)
+      val defl = Array.tabulate(dim, dim)((i, j) =>
+        cov(i)(j) - (0 until c).map(p => lams(p) * comps(p)(i) * comps(p)(j)).sum)
+      def mv(v: Array[Double]): Array[Double] =
+        Array.tabulate(dim)(i => (0 until dim).map(j => defl(i)(j) * v(j)).sum)
+      val diag = Array.tabulate(dim)(i => defl(i)(i))
+      var v = Array.tabulate(dim)(i =>
+        if (i == diag.indices.maxBy(j => (diag(j), -j))) 1.0 else 0.0)
+      var live = true
+      for (_ <- 0 until iters if live) {
+        val w = mv(v)
+        val nrm = math.sqrt(dotv(w, w))
+        if (nrm > 1e-12) v = w.map(_ / nrm)
+        else live = false // residual space is (numerically) null: λ_c = 0
+      }
+      // numerical hygiene: re-orthogonalize against the extracted basis
+      for (p <- 0 until c) {
+        val proj = dotv(v, comps(p))
+        v = Array.tabulate(dim)(i => v(i) - proj * comps(p)(i))
+      }
+      val nv = math.sqrt(dotv(v, v))
+      if (nv > 1e-9) v = v.map(_ / nv)
+      else {
+        // fully degenerate direction: first basis vector with a non-null
+        // residual after Gram-Schmidt against the extracted components
+        v = (0 until dim).iterator.map { b =>
+          var cand = Array.tabulate(dim)(i => if (i == b) 1.0 else 0.0)
+          for (p <- 0 until c) {
+            val proj = dotv(cand, comps(p))
+            cand = Array.tabulate(dim)(i => cand(i) - proj * comps(p)(i))
+          }
+          cand
+        }.find(cand => math.sqrt(dotv(cand, cand)) > 1e-9)
+          .map(cand => { val n = math.sqrt(dotv(cand, cand)); cand.map(_ / n) })
+          .getOrElse(sys.error("pcaTop: no orthogonal direction left"))
+      }
+      // sign canonicalization: the largest-|coordinate| entry is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      comps(c) = v
+      lams(c) = math.max(0.0, dotv(v, mv(v)))
+    }
+    PcaModel(mean, lams, comps)
+  }
+
+  /** PCA whitening apply — the scan-stage projection a [[pcaTop]] model
+    * compiles to: y_c = (x − mean)·v_c / sqrt(λ_c + eps) per component.
+    * The model rides the plan as literals (mean + k components, each a
+    * d-array — parameter-sized, the legitimate broadcast-by-literal
+    * case); per row the cost is k dot products in the scan stage, ZERO
+    * shuffles, and the output components have unit variance and zero
+    * correlation by construction (spec-pinned). Rows not exactly `dim`
+    * long are excluded, mirroring the fit. Returns (vec_id, whitened
+    * ARRAY<double> of length k).
+    */
+  def pcaWhiten(emb: DataFrame, model: PcaModel, eps: Double = 1e-9)
+      : DataFrame = {
+    val dim = model.mean.length
+    val meanLit = array(model.mean.toIndexedSeq.map(lit): _*)
+    val centered = zip_with(asDouble(col("embedding")), meanLit, _ - _)
+    val comps = model.components.indices.map { c =>
+      val vLit = array(model.components(c).toIndexedSeq.map(lit): _*)
+      (dot(col("_c0"), vLit) / lit(math.sqrt(model.eigvals(c) + eps)))
+        .as(s"_y$c")
+    }
+    emb.where(size(col("embedding")) === dim)
+      .select(col("vec_id"), centered.as("_c0"))
+      .select(col("vec_id"), array(comps: _*).as("whitened"))
+  }
 }
