@@ -1278,8 +1278,8 @@ object SparkEntry {
           col("i").as("dim"), round(col("m"), 6).as("m"))),
     // dense leg of hybrid retrieval: feature-hashed query vectors scored
     // by cosine against the hashed corpus — the exact-recall baseline the
-    // ANN legs are measured against; two-phase top-k (per-partition
-    // heads, then a per-query merge) so no task ranks the whole corpus
+    // ANN legs are measured against; WindowGroupLimit's partial pass
+    // bounds the pre-shuffle volume to parts×k rows per query
     "q_dense_topk" -> ((s, d) => {
       import s.implicits._
       Retrieval.denseTopKAll(Tables.documents(s, d),

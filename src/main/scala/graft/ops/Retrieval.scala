@@ -583,13 +583,15 @@ object Retrieval {
     *
     * Scale shape: query vectors are a broadcast (batch-sized); the
     * corpus side is ONE scan of the hashed vectors with the cosine
-    * computed per pair in the scan stage. The top-k is two-phase so no
-    * task ever sees more than its partition's candidates: a first
-    * row_number over (query, input-partition) keeps ≤ k rows per
-    * partition per query — (queries × parts × k)-sized — and only that
-    * survivor set is ranked globally per query. At real scale prefer
-    * serving from the IVF index and use this run as the fusion leg /
-    * recall verifier; brute-force cosine over 100 TB is a full scan by
+    * computed per pair in the scan stage. The rank ≤ k filter compiles
+    * to WindowGroupLimit with a PARTIAL pass per input partition
+    * (plan-verified), so only parts × k rows per query reach the one
+    * per-query exchange — no task ever ranks the whole corpus. (An
+    * explicit two-phase spark_partition_id salt would shuffle the same
+    * volume through a SECOND exchange; the engine's partial group-limit
+    * already is the per-partition head.) At real scale prefer serving
+    * from the IVF index and use this run as the fusion leg / recall
+    * verifier; brute-force cosine over 100 TB is a full scan by
     * construction.
     */
   def denseTopKAll(docs: DataFrame, queryTable: DataFrame, k: Int,
@@ -611,17 +613,10 @@ object Retrieval {
     val scored = dv.crossJoin(broadcast(qv))
       .select(col(qidCol), col("doc_id"),
         round(Similarity.dot(col("_de"), col("_qe")) /
-          (col("_dn") * col("_qn")), 4).as("score"),
-        spark_partition_id().as("_part"))
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qidCol), col("_part"))
-      .orderBy(col("score").desc, col("doc_id"))
-    val wGlobal = org.apache.spark.sql.expressions.Window
+          (col("_dn") * col("_qn")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("score").desc, col("doc_id"))
-    scored
-      .withColumn("_lr", row_number().over(wLocal)).where(col("_lr") <= k)
-      .withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= k)
-      .select(col(qidCol), col("doc_id"), col("score"), col("rank"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of any number of

@@ -1382,7 +1382,12 @@ object Similarity {
     * its own right (covariance drift between two embedder versions).
     */
   def covarianceLong(emb: DataFrame, dim: Int): DataFrame = {
-    val sums = momentSums(emb, dim)
+    // the sums frame feeds FOUR branches (products, means×2, count) —
+    // without the checkpoint each branch re-runs the corpus scan + d²
+    // explode (no ReusedExchange across differently-filtered subtrees);
+    // checkpointing (d²+d+1) rows buys back 3 scans (the id-only
+    // decision-checkpoint convention)
+    val sums = momentSums(emb, dim).localCheckpoint(true)
     val nRow = sums.where(col("idx") === dim * dim + dim)
       .select(col("s").as("n"))
     val means = sums
@@ -1475,7 +1480,12 @@ object Similarity {
       comps(c) = v
       lams(c) = math.max(0.0, dotv(v, mv(v)))
     }
-    PcaModel(mean, lams, comps)
+    // near-degenerate spectra (λ_c ≈ λ_{c+1}, e.g. isotropic embeddings)
+    // converge to the right SUBSPACE but can extract the pairs a hair out
+    // of order (observed on real data: 0.0207 before 0.0208) — sort the
+    // extracted pairs so the "top-k by variance" contract actually holds
+    val order = (0 until k).sortBy(c => (-lams(c), c))
+    PcaModel(mean, order.map(lams).toArray, order.map(comps).toArray)
   }
 
   /** PCA whitening apply — the scan-stage projection a [[pcaTop]] model

@@ -69,7 +69,7 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert(got.drop(2).forall(_._2 < 1.0))
   }
 
-  test("denseTopKAll: two-phase top-k equals the naive global ranking") {
+  test("denseTopKAll: group-limited top-k equals the naive global ranking") {
     val q = Seq((1L, "spark join"), (2L, "windows"), (3L, "text"))
       .toDF("query_id", "query")
     // repartition the corpus so the per-partition phase actually runs
