@@ -121,6 +121,37 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert(head.select("n_runs").as[Long].head() == 2L)
   }
 
+  test("hybridServe: streamed batches fuse identically to the batch path") {
+    import graft.ops.IndexTables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    IndexTables.drop(spark, "hyb_serve_test_postings_b8")
+    IndexTables.drop(spark, "hyb_serve_test_stats")
+    val docs = hybridDocs
+    val idx = Retrieval.postingsIndex(docs, "hyb_serve_test")
+    val stats = Retrieval.corpusStats(docs, "hyb_serve_test")
+    val in = MemoryStream[(Long, String)](45, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Long)]()
+    val q = Retrieval.hybridServe(in.toDF().toDF("query_id", "query"),
+        idx, stats, docs, k = 3, topK = 3) { batch =>
+      out ++= batch.as[(Long, Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      in.addData((10L, "spark join"))
+      q.processAllAvailable()
+      in.addData((20L, "zzznosuchterm"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val qt = Seq((10L, "spark join"), (20L, "zzznosuchterm"))
+      .toDF("query_id", "query")
+    val batch = Retrieval.rrfFuse(Seq(
+        Retrieval.bm25TopKAll(idx, stats, qt, k = 3),
+        Retrieval.denseTopKAll(docs, qt, k = 3)), topK = 3)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(out.toSet == batch.toSet && out.nonEmpty)
+    // the vocabulary-miss query is still served (dense-only fallback)
+    assert(out.exists(_._1 == 20L))
+  }
+
   // ---------- MMR ----------
 
   private def mmrRun = Seq(
