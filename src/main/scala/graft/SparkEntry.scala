@@ -1319,6 +1319,32 @@ object SparkEntry {
       Retrieval.mmrRerank(run, TextAnalysis.hashEmbed(docs, 64),
         m = 5, lambda = 0.7)
     }),
+    // embedding-store sanity gate: per-vector norm, NaN/zero/ragged
+    // flags, norm z-score vs the corpus — the screen that runs BEFORE
+    // any vector reaches an ANN index
+    "q_vec_quality" -> ((s, d) =>
+      Similarity.vectorQuality(Tables.embeddings(s, d), dim = 64)),
+    // leg-overlap diagnostics: how much the lexical and dense top-10s
+    // actually intersect per query — the measurement that justifies (or
+    // kills) RRF; q3 is lexical-miss so its row reports n_a = 0
+    "q_run_overlap" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      val qt = BM25_QUERIES.toDF("query_id", "query")
+      Retrieval.runOverlap(
+        Retrieval.bm25TopKAll(Retrieval.postingsIndex(docs, name),
+          Retrieval.corpusStats(docs, name), qt, k = 10),
+        Retrieval.denseTopKAll(docs, qt, k = 10))
+    }),
+    // Flesch reading ease per document — exact integer counts in the
+    // scan stage (no per-token explode), float only in the final formula
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+    // distinct-1/distinct-2 diversity per source — the mode-collapse /
+    // templated-spam audit for generated or scraped corpora
+    "q_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d))),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -3789,6 +3815,99 @@ object SparkEntry {
         s"FROM (VALUES $qVals) v(query_id, query)), " +
         mmrSql(64, 10, 5, 0.7)
     },
+    // vector sanity gate replay: norm/NaN per vector + one-row corpus
+    // stats; flag decisions run on the ROUNDED z/norm grid in both
+    // engines so float-sum order can't flip a threshold
+    "q_vec_quality" ->
+      ("WITH base AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, " +
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))) AS nrm, " +
+        "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan " +
+        "FROM embeddings), " +
+        "stats AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sigma FROM base " +
+        "WHERE NOT has_nan AND n_dims = 64 AND nrm > 0), " +
+        "z AS (SELECT vec_id, n_dims, has_nan, round(nrm, 4) AS norm, " +
+        "round(CASE WHEN sigma > 0 THEN (nrm - mu) / sigma ELSE 0.0 END, 4) AS z " +
+        "FROM base, stats) " +
+        "SELECT vec_id, n_dims, has_nan, norm, z, " +
+        "(has_nan OR n_dims <> 64 OR norm = 0.0 OR abs(z) > 3.0) AS flag FROM z"),
+    // run-overlap replay: the q_bm25_batch lexical chain and the dense
+    // chain, set-intersected per query over a FULL OUTER join (q3 has no
+    // lexical row)
+    "q_run_overlap" -> {
+      val qVals = BM25_QUERIES
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      val qToks = TOKS.replace("lower(text)", "lower(query)")
+      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+        s"FROM (VALUES $qVals) v(query_id, query)), " +
+        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+        s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "terms AS (SELECT DISTINCT token FROM qt), " +
+        "tp2 AS (SELECT doc_id, token, " +
+        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+        "CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM t JOIN terms ON list_contains(toks, token)), " +
+        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+        "FROM tp2 GROUP BY token), " +
+        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+        "GROUP BY qt.query_id, tp2.doc_id), " +
+        "lr AS (SELECT query_id, doc_id, rank FROM " +
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10), " +
+        s"${denseRunCtes(64, 10)}, " +
+        "sa AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a, " +
+        "list(doc_id) AS da FROM lr GROUP BY 1), " +
+        "sb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b, " +
+        "list(doc_id) AS db FROM dr GROUP BY 1), " +
+        "j AS (SELECT coalesce(sa.query_id, sb.query_id) AS query_id, " +
+        "coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, " +
+        "CAST(len(list_intersect(coalesce(da, []), coalesce(db, []))) AS BIGINT) " +
+        "AS n_common FROM sa FULL OUTER JOIN sb ON sa.query_id = sb.query_id) " +
+        "SELECT query_id, n_a, n_b, n_common, " +
+        "CASE WHEN n_a + n_b - n_common > 0 THEN " +
+        "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) " +
+        "ELSE 0.0 END AS jaccard, " +
+        "CASE WHEN least(n_a, n_b) > 0 THEN " +
+        "round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 4) " +
+        "ELSE 0.0 END AS overlap_coef FROM j"
+    },
+    // Flesch replay: [.!?]+ segments with a letter (floored at 1),
+    // vowel-group runs per word (floored at 1), exact integer counts;
+    // the formula's constants promote to DOUBLE (no DECIMAL folding
+    // hazard: every product has a DOUBLE operand)
+    "q_readability" ->
+      (s"WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+        "r AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_words, " +
+        "CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'), " +
+        "x -> regexp_matches(x, '\\p{L}')))) AS BIGINT) AS n_sents, " +
+        "CAST(list_sum(list_transform(toks, w -> greatest(1, " +
+        "len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syll " +
+        "FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, n_words, n_sents, n_syll, " +
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) - " +
+        "84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch FROM r"),
+    // distinct-n replay: unigrams + positional bigrams, per-source
+    // distinct/total gram counts
+    "q_diversity" ->
+      (s"WITH t AS (SELECT source, $TOKS AS toks FROM documents), " +
+        "u1 AS (SELECT source, unnest(toks) AS gram FROM t), " +
+        "g1 AS (SELECT source, gram, count(*) AS c FROM u1 GROUP BY 1, 2), " +
+        "d1 AS (SELECT source, 1 AS n, CAST(count(*) AS BIGINT) AS distinct_grams, " +
+        "CAST(sum(c) AS BIGINT) AS total_grams FROM g1 GROUP BY source), " +
+        "u2 AS (SELECT source, unnest(list_transform(range(len(toks) - 1), " +
+        "i -> toks[i+1] || ' ' || toks[i+2])) AS gram FROM t), " +
+        "g2 AS (SELECT source, gram, count(*) AS c FROM u2 GROUP BY 1, 2), " +
+        "d2 AS (SELECT source, 2 AS n, CAST(count(*) AS BIGINT) AS distinct_grams, " +
+        "CAST(sum(c) AS BIGINT) AS total_grams FROM g2 GROUP BY source), " +
+        "u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2) " +
+        "SELECT source, n, distinct_grams, total_grams, " +
+        "round(CAST(distinct_grams AS DOUBLE) / total_grams, 4) AS distinct_ratio " +
+        "FROM u"),
     // covariance replay: the (vec_id, i, x) long grid self-joined on
     // vec_id — cov(i,j) = E[xy] - E[x]E[y], population form, rounded 6
     "q_covariance" ->

@@ -640,6 +640,41 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Overlap diagnostics between two ranked runs — the measurement that
+    * justifies (or kills) a fusion stack: if the lexical and dense legs
+    * return the SAME documents, RRF buys nothing; if they are disjoint,
+    * each leg covers the other's misses. Per query: each run's row
+    * count, the intersection size, Jaccard, and overlap coefficient
+    * (|∩| / min(|A|,|B|)), ratios rounded 4. Queries appearing in only
+    * one run still report (the other side counts 0 — full-outer, the
+    * vocabulary-miss case). Inputs are top-k runs, so everything is
+    * (queries × k)-sized.
+    */
+  def runOverlap(runA: DataFrame, runB: DataFrame,
+      idCol: String = "doc_id", qidCol: String = "query_id"): DataFrame = {
+    val a = runA.groupBy(qidCol)
+      .agg(count(lit(1)).as("n_a"), collect_set(col(idCol)).as("_sa"))
+    val b = runB.groupBy(qidCol)
+      .agg(count(lit(1)).as("n_b"), collect_set(col(idCol)).as("_sb"))
+    a.join(b, Seq(qidCol), "full_outer")
+      .select(col(qidCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        size(array_intersect(
+          coalesce(col("_sa"), array()), coalesce(col("_sb"), array())))
+          .cast("long").as("n_common"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("overlap_coef",
+        when(least(col("n_a"), col("n_b")) > 0,
+          round(col("n_common").cast("double") /
+            least(col("n_a"), col("n_b")), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of any number of
     * ranked runs — THE standard way to combine a lexical (BM25) and a
     * dense (embedding) retrieval leg without score calibration, since it

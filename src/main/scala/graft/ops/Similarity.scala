@@ -1348,6 +1348,37 @@ object Similarity {
         // sum_cos/hits for the consumer who wants it)
         round(sum(col("cos")), 4).as("sum_cos"))
 
+  /** Embedding-store sanity gate — the screen every vector corpus runs
+    * BEFORE indexing (a broken embedder ships NaNs, zero vectors, or
+    * norm blowups that silently poison ANN recall): per vector, its
+    * dimension count, L2 norm, NaN/zero flags, and the norm's z-score
+    * against the corpus (population mean/std over well-formed vectors,
+    * one-row broadcast). `flag` marks ragged / NaN / zero vectors and
+    * |z| > zThresh outliers; comparisons run on the ROUNDED z so both
+    * engines decide from the same grid value. One scan + one one-row
+    * aggregate; zero corpus shuffle.
+    */
+  def vectorQuality(emb: DataFrame, dim: Int, zThresh: Double = 3.0)
+      : DataFrame = {
+    val e = asDouble(col("embedding"))
+    val base = emb.select(col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      l2norm(e).as("_nrm"),
+      exists(e, x => isnan(x)).as("has_nan"))
+    val stats = base
+      .where(!col("has_nan") && col("n_dims") === dim && col("_nrm") > 0)
+      .agg(avg("_nrm").as("_mu"), stddev_pop("_nrm").as("_sigma"))
+    base.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("n_dims"), col("has_nan"),
+        round(col("_nrm"), 4).as("norm"),
+        round(when(col("_sigma") > 0,
+            (col("_nrm") - col("_mu")) / col("_sigma")).otherwise(lit(0.0)), 4)
+          .as("z"))
+      .withColumn("flag",
+        col("has_nan") || col("n_dims") =!= dim || col("norm") === 0.0 ||
+          abs(col("z")) > zThresh)
+  }
+
   /** One-pass moment sums for the d×d covariance matrix: the flattened
     * per-row outer-product grid (d² slots), the raw vector (d slots for
     * the means), and a count slot are concatenated into ONE array whose

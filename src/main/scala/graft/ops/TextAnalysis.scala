@@ -1301,4 +1301,64 @@ object TextAnalysis {
       .select(col("bucket"), col("cnt_a"), col("cnt_b"),
         round((p - q) * log(p / q), 6).as("psi"))
   }
+
+  /** Flesch reading-ease per document — the classic readability signal
+    * educational-quality curation gates on (alongside
+    * [[qualityScores]]/[[qualityLogit]]): 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/word). Sentences = [.!?]+ segments
+    * containing a letter; syllables = vowel-group runs per word, floored
+    * at 1 (the standard heuristic). Every count is exact integer math in
+    * the scan stage (token transform + aggregate — zero shuffle, no
+    * per-token explode), so the only float work is the final formula
+    * over exact ratios, rounded 4. Token-less documents are excluded
+    * (no words ⇒ no readability, the [[hashEmbed]] convention).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val sents = size(filter(split(col("text"), "[.!?]+"),
+      s => s.rlike("\\p{L}")))
+    val syll = aggregate(
+      transform(t, w => greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col("doc_id"), size(t).as("n_words"),
+        greatest(lit(1), sents).cast("long").as("n_sents"), syll.as("n_syll"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4))
+  }
+
+  /** Distinct-n diversity per source (Li et al. 2016's distinct-1/2) —
+    * the repetitiveness audit for generated or scraped corpora: a
+    * collapsing source (templated spam, mode-collapsed synthetic data)
+    * shows a distinct-n ratio near 0 while healthy text stays high.
+    * distinct_n = |distinct n-grams| / Σ n-grams within the source.
+    * One (source, gram) shuffle per n with map-side combine — the gram
+    * dictionary is Heaps'-law sized, never the token stream; counts
+    * exact, ratios rounded 4.
+    */
+  def ngramDiversity(docs: DataFrame, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ngramDiversity: bad ns $ns")
+    val t = toks(col("text"))
+    ns.map { n =>
+      val grams =
+        if (n == 1) t
+        else filter(
+          transform(t, (_, i) =>
+            when(i + n <= size(t),
+              array_join(slice(t, i + lit(1), lit(n)), " "))),
+          g => g.isNotNull)
+      docs.select(col("source"), explode(grams).as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(lit(n).as("n"), count(lit(1)).as("distinct_grams"),
+          sum("c").as("total_grams"))
+        .select(col("source"), col("n"), col("distinct_grams"),
+          col("total_grams"),
+          round(col("distinct_grams").cast("double") / col("total_grams"), 4)
+            .as("distinct_ratio"))
+    }.reduce(_.unionByName(_))
+  }
 }

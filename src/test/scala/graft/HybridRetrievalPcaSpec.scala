@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Retrieval, Similarity}
+import graft.ops.{Retrieval, Similarity, TextAnalysis}
 
 /** Hybrid retrieval (dense leg + reciprocal-rank fusion) and the
   * covariance/PCA-whitening stack.
@@ -188,6 +188,63 @@ class HybridRetrievalPcaSpec extends SparkSpec {
       .select("query_id", "doc_id", "mmr_rank")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)), got.toString)
+  }
+
+  // ---------- run overlap / vector quality / text signals ----------
+
+  test("runOverlap: counts, jaccard, and one-sided queries") {
+    val runA = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 7L))
+      .toDF("query_id", "doc_id")
+    val runB = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 9L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.runOverlap(runA, runB)
+      .select("query_id", "n_a", "n_b", "n_common", "jaccard", "overlap_coef")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 2L, 0.5, 0.6667)), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, 0L, 0L, 0.0, 0.0))) // only in run A
+    assert(got(3L) == ((3L, 0L, 1L, 0L, 0.0, 0.0))) // only in run B
+  }
+
+  test("vectorQuality flags NaN, zero, ragged, and norm-outlier vectors") {
+    val emb = (
+      (1L to 20L).map(i => (i, Seq(1f, 0f, 0f))) ++ Seq(
+        (90L, Seq(Float.NaN, 1f, 1f)), // NaN
+        (91L, Seq(0f, 0f, 0f)),        // zero norm
+        (92L, Seq(1f, 1f)),            // ragged
+        (93L, Seq(100f, 0f, 0f)))      // norm outlier
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.vectorQuality(emb, dim = 3)
+      .select("vec_id", "flag").as[(Long, Boolean)].collect().toMap
+    assert(Seq(90L, 91L, 92L, 93L).forall(got(_)), got.toString)
+    assert((1L to 20L).forall(i => !got(i)))
+  }
+
+  test("readability: hand-computed Flesch on a two-sentence doc") {
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(got.length == 1) // token-less doc excluded
+    val (_, w, s2, sy, f) = got.head: (Long, Int, Long, Long, Double)
+    assert((w, s2, sy) == ((6, 2L, 6L)), got.head.toString)
+    // 206.835 − 1.015·(6/2) − 84.6·(6/6)
+    assert(math.abs(f - 119.19) < 1e-9, f.toString)
+  }
+
+  test("ngramDiversity: a collapsing source scores low, a diverse one high") {
+    val docs = Seq(
+      (1L, "spam", "buy buy buy buy"),
+      (2L, "spam", "buy buy buy buy"),
+      (3L, "prose", "all words here differ completely"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramDiversity(docs)
+      .select("source", "n", "distinct_ratio")
+      .as[(String, Int, Double)].collect()
+      .map { case (s, n, r) => (s, n) -> r }.toMap
+    assert(got(("spam", 1)) == 0.125)  // 1 distinct / 8 unigrams
+    assert(got(("spam", 2)) == math.rint(1.0 / 6.0 * 1e4) / 1e4)
+    assert(got(("prose", 1)) == 1.0 && got(("prose", 2)) == 1.0)
   }
 
   // ---------- covariance / PCA ----------
