@@ -1345,6 +1345,15 @@ object SparkEntry {
     // templated-spam audit for generated or scraped corpora
     "q_diversity" -> ((s, d) =>
       TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+    // PMI collocations: top-50 adjacent word pairs by pointwise mutual
+    // information (count fence ≥ 5) — the multiword-unit miner; sort key
+    // is the ROUNDED pmi in both engines
+    "q_pmi" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d))),
+    // Zipf rank-frequency fit over the top-100 words — the one-scalar
+    // "is this natural language" corpus-health check (natural ≈ −1)
+    "q_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d))),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -3908,6 +3917,35 @@ object SparkEntry {
         "SELECT source, n, distinct_grams, total_grams, " +
         "round(CAST(distinct_grams AS DOUBLE) / total_grams, 4) AS distinct_ratio " +
         "FROM u"),
+    // PMI replay: positional adjacent pairs, three dictionary counts,
+    // one-row N; ln on exact integer ratios, top-50 on the rounded grid
+    "q_pmi" ->
+      (s"WITH t AS (SELECT $TOKS AS toks FROM documents), " +
+        "p AS (SELECT toks[i+1] AS x, toks[i+2] AS y FROM " +
+        "(SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t)), " +
+        "px AS (SELECT x, count(*) AS c_x FROM p GROUP BY x), " +
+        "py AS (SELECT y, count(*) AS c_y FROM p GROUP BY y), " +
+        "pxy AS (SELECT x, y, count(*) AS c FROM p GROUP BY x, y), " +
+        "n AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM pxy) " +
+        "SELECT x || ' ' || y AS bigram, CAST(c AS BIGINT) AS c, " +
+        "round(ln(CAST(c AS DOUBLE) * n_pairs / (c_x * c_y)), 4) AS pmi " +
+        "FROM pxy JOIN px USING (x) JOIN py USING (y), n " +
+        "WHERE c >= 5 ORDER BY pmi DESC, bigram LIMIT 50"),
+    // Zipf replay: top-100 word head (freq DESC, word — deterministic at
+    // the cutoff), least-squares on (ln rank, ln freq)
+    "q_zipf" ->
+      (s"WITH t AS (SELECT $TOKS AS toks FROM documents), " +
+        "wds AS (SELECT unnest(toks) AS word FROM t), " +
+        "c AS (SELECT word, count(*) AS c FROM wds GROUP BY word " +
+        "ORDER BY c DESC, word LIMIT 100), " +
+        "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, word) " +
+        "AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM c), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_words, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM r) " +
+        "SELECT n_words, " +
+        "round((sxy - sx * sy / n_words) / (sxx - sx * sx / n_words), 4) AS slope, " +
+        "round(sy / n_words - ((sxy - sx * sy / n_words) / " +
+        "(sxx - sx * sx / n_words)) * sx / n_words, 4) AS intercept FROM s"),
     // covariance replay: the (vec_id, i, x) long grid self-joined on
     // vec_id — cov(i,j) = E[xy] - E[x]E[y], population form, rounded 6
     "q_covariance" ->

@@ -247,6 +247,27 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert(got(("prose", 1)) == 1.0 && got(("prose", 2)) == 1.0)
   }
 
+  test("pmiCollocations: always-together pairs score ln(N·c/(cx·cy)), fence holds") {
+    val docs = ((1 to 5).map(i => (i.toLong, "p q")) ++
+      (6 to 10).map(i => (i.toLong, "u v")) ++
+      Seq((11L, "p v"))) // count-1 pair: must be fenced out
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 10)
+      .as[(String, Long, Double)].collect()
+    // N = 11 pairs; c(p,q)=5, cx(p)=6, cy(q)=5 → ln(5·11/30); u v: ln(5·11/30)
+    val want = math.rint(math.log(5.0 * 11 / (6 * 5)) * 1e4) / 1e4
+    assert(got.map(_._1).toSeq == Seq("p q", "u v"), got.mkString(","))
+    assert(got.forall(_._2 == 5L) && got.forall(_._3 == want), got.mkString(","))
+  }
+
+  test("zipfFit: two-point fixture has slope exactly -1 and intercept ln(top freq)") {
+    val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs).as[(Long, Double, Double)].head()
+    assert(got._1 == 2L)
+    assert(got._2 == -1.0, got.toString) // (ln2−ln4)/(ln2−ln1)
+    assert(got._3 == math.rint(math.log(4.0) * 1e4) / 1e4)
+  }
+
   // ---------- covariance / PCA ----------
 
   test("covarianceLong: hand-computed 2-dim population covariance") {
