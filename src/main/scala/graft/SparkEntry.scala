@@ -1354,6 +1354,20 @@ object SparkEntry {
     // "is this natural language" corpus-health check (natural ≈ −1)
     "q_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // incremental covariance maintenance: the base corpus's moment sums
+    // STAND as a (d²+d+1)-row artifact, the day's increment is the only
+    // thing scanned, and the merged covariance must equal a full-corpus
+    // rebuild — the oracle IS the full q_covariance replay
+    "q_covariance_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 10 < 8)
+      val name = IndexTables.ident("moments64", d, witness(emb))
+      Similarity.covarianceFromSums(
+        Similarity.covarianceMerge(
+          Similarity.momentsTable(s, base, 64, name),
+          Similarity.momentSums(emb.where(col("vec_id") % 10 >= 8), 64))
+          .localCheckpoint(true), 64)
+    }),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1598,6 +1612,24 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM dsc) " +
       s"WHERE rank <= $k)"
   }
+
+  /** DuckDB mirror of Similarity.covarianceLong: (vec_id, i, x) long
+    * grid self-joined on vec_id, population cov rounded 6. ONE
+    * definition for q_covariance and q_covariance_incr — the
+    * incremental path's contract is exactly "equals the full rebuild",
+    * so its oracle IS this replay.
+    */
+  private val COVARIANCE_SQL: String =
+    "WITH el AS (SELECT vec_id, CAST(r.range AS BIGINT) AS i, " +
+      "CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x " +
+      "FROM embeddings, range(64) r WHERE len(embedding) = 64), " +
+      "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings " +
+      "WHERE len(embedding) = 64), " +
+      "m AS (SELECT i, sum(x) AS sx FROM el GROUP BY i), " +
+      "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy " +
+      "FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2) " +
+      "SELECT p.i, p.j, round(sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov " +
+      "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j, n"
 
   /** DuckDB mirror of Retrieval.mmrRerank over the [[denseRunCtes]]
     * candidates: greedy MMR unrolled one CTE trio (pick/sel/ms) per
@@ -3948,17 +3980,11 @@ object SparkEntry {
         "(sxx - sx * sx / n_words)) * sx / n_words, 4) AS intercept FROM s"),
     // covariance replay: the (vec_id, i, x) long grid self-joined on
     // vec_id — cov(i,j) = E[xy] - E[x]E[y], population form, rounded 6
-    "q_covariance" ->
-      ("WITH el AS (SELECT vec_id, CAST(r.range AS BIGINT) AS i, " +
-        "CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x " +
-        "FROM embeddings, range(64) r WHERE len(embedding) = 64), " +
-        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings " +
-        "WHERE len(embedding) = 64), " +
-        "m AS (SELECT i, sum(x) AS sx FROM el GROUP BY i), " +
-        "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy " +
-        "FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2) " +
-        "SELECT p.i, p.j, round(sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov " +
-        "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j, n"),
+    "q_covariance" -> COVARIANCE_SQL,
+    // incremental maintenance contract: merged base+increment moments
+    // must reproduce the full-corpus covariance — the oracle IS the
+    // full replay
+    "q_covariance_incr" -> COVARIANCE_SQL,
     // known-item eval: the q_bm25_batch scoring replay with 5-token-prefix
     // queries, hits = rank of the query doc itself; MRR as exact
     // lcm(1..10)-scaled integer sum (double reciprocal sums are

@@ -1392,7 +1392,7 @@ object Similarity {
     * beyond a few hundred, sketch/sample upstream rather than paying the
     * full grid (the [[quantizeInt8Stats]] argument in reverse).
     */
-  private def momentSums(emb: DataFrame, dim: Int): DataFrame = {
+  def momentSums(emb: DataFrame, dim: Int): DataFrame = {
     require(dim > 0 && dim <= 512,
       s"covariance: dim must be in [1, 512], got $dim")
     val base = emb.select(asDouble(col("embedding")).as("e"))
@@ -1404,6 +1404,29 @@ object Similarity {
       .groupBy("idx").agg(sum("v").as("s"))
   }
 
+  /** Standing moment-sums artifact: [[momentSums]] persisted as a plain
+    * (d²+d+1)-row parquet table. Moment sums are MERGEABLE BY
+    * CONSTRUCTION (element-wise addition — the sketch property the HLL /
+    * CountMin / SpaceSaving artifacts share), so a standing table plus a
+    * day's increment re-derives the full-corpus covariance WITHOUT
+    * rescanning the base corpus: see [[covarianceMerge]] /
+    * [[covarianceFromSums]]. Encode data-changing parameters (source,
+    * dim, witness) into `name` as usual.
+    */
+  def momentsTable(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, dim: Int, name: String): DataFrame =
+    IndexTables.plain(spark, name)(momentSums(emb, dim))
+
+  /** Element-wise merge of moment-sums frames — increment maintenance
+    * for the covariance/PCA stack. Input frames are (d²+d+1)-row; the
+    * merge is one tiny aggregation.
+    */
+  def covarianceMerge(sums: DataFrame*): DataFrame = {
+    require(sums.nonEmpty, "covarianceMerge: need at least one sums frame")
+    sums.map(_.select(col("idx"), col("s"))).reduce(_.unionByName(_))
+      .groupBy("idx").agg(sum("s").as("s"))
+  }
+
   /** Population covariance matrix of the embedding column in long form:
     * (i, j, cov) for every 0 ≤ i, j < dim, cov = E[x_i·x_j] −
     * E[x_i]·E[x_j], rounded to 6 for cross-engine reproducibility. The
@@ -1412,13 +1435,24 @@ object Similarity {
     * statistics half of PCA/whitening ([[pcaTop]]) and a drift signal in
     * its own right (covariance drift between two embedder versions).
     */
-  def covarianceLong(emb: DataFrame, dim: Int): DataFrame = {
+  def covarianceLong(emb: DataFrame, dim: Int): DataFrame =
     // the sums frame feeds FOUR branches (products, means×2, count) —
     // without the checkpoint each branch re-runs the corpus scan + d²
     // explode (no ReusedExchange across differently-filtered subtrees);
     // checkpointing (d²+d+1) rows buys back 3 scans (the id-only
     // decision-checkpoint convention)
-    val sums = momentSums(emb, dim).localCheckpoint(true)
+    covarianceFromSums(momentSums(emb, dim).localCheckpoint(true), dim)
+
+  /** [[covarianceLong]]'s algebra over an already-materialized sums
+    * frame (a standing [[momentsTable]], a [[covarianceMerge]] result) —
+    * the incremental path: base moments stand, only the increment is
+    * scanned, and the merged covariance is IDENTICAL to a full-corpus
+    * rebuild (oracled as q_covariance_incr against the full replay).
+    */
+  def covarianceFromSums(sums0: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 512,
+      s"covariance: dim must be in [1, 512], got $dim")
+    val sums = sums0
     val nRow = sums.where(col("idx") === dim * dim + dim)
       .select(col("s").as("n"))
     val means = sums

@@ -294,6 +294,29 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert(got((0L, 0L)) == v, got.toString)
   }
 
+  test("covarianceMerge: standing moments + increment equal the full rebuild") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "cov_moments_test")
+    val emb = (1 to 24).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, ((i * 3) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 =!= 0L)
+    val inc = emb.where(col("vec_id") % 3 === 0L)
+    val standing = Similarity.momentsTable(spark, base, 2, "cov_moments_test")
+    val merged = Similarity.covarianceFromSums(
+      Similarity.covarianceMerge(standing, Similarity.momentSums(inc, 2)), 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Similarity.covarianceLong(emb, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // integer-valued fixture: double sums are exact, equality is exact
+    assert(merged == direct && merged.size == 4, merged.toString)
+    // the standing table is read back, not rebuilt: a SECOND call with a
+    // DIFFERENT base must still serve the persisted sums
+    val stale = Similarity.momentsTable(spark, inc, 2, "cov_moments_test")
+    assert(stale.as[(Int, Double)].collect().toSet ==
+      standing.as[(Int, Double)].collect().toSet)
+  }
+
   test("pcaTop: perfectly correlated 2-dim data has one eigenpair") {
     val emb = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f)))
       .toDF("vec_id", "embedding")
