@@ -54,4 +54,31 @@ println("eigvals head: " + model.eigvals.take(3).map(v => f"$v%.4f").toSeq)
 time("50k-pca-whiten")(
   graft.ops.Similarity.pcaWhiten(bigEmb, model)
     .agg(sum(element_at(col("whitened"), 1))).collect().toSeq)
+
+// incremental covariance: standing moments + 10%-increment merge
+graft.ops.IndexTables.drop(spark, "r9g_moments")
+val baseEmb = bigEmb.where(col("vec_id") % 10 < 9)
+time("50k-moments-standing")(
+  graft.ops.Similarity.momentsTable(spark, baseEmb, 64, "r9g_moments").count())
+time("50k-cov-incremental")(
+  graft.ops.Similarity.covarianceFromSums(
+    graft.ops.Similarity.covarianceMerge(
+      graft.ops.Similarity.momentsTable(spark, baseEmb, 64, "r9g_moments"),
+      graft.ops.Similarity.momentSums(bigEmb.where(col("vec_id") % 10 === 9), 64))
+      .localCheckpoint(), 64).count())
+
+// store/serving diagnostics + text signals at 10x
+time("50k-vec-quality")(
+  graft.ops.Similarity.vectorQuality(bigEmb, 64)
+    .where(col("flag")).count())
+time("50k-run-overlap")(
+  graft.ops.Retrieval.runOverlap(lex, dense).count())
+time("50k-readability")(
+  graft.ops.TextAnalysis.readability(big).agg(avg("flesch")).collect().toSeq)
+time("50k-diversity")(
+  graft.ops.TextAnalysis.ngramDiversity(big).count())
+time("50k-pmi")(
+  graft.ops.TextAnalysis.pmiCollocations(big).count())
+time("50k-zipf")(
+  graft.ops.TextAnalysis.zipfFit(big).collect().toSeq)
 sys.exit(0)
