@@ -1359,16 +1359,25 @@ object Similarity {
     * aggregate; zero corpus shuffle.
     */
   def vectorQuality(emb: DataFrame, dim: Int, zThresh: Double = 3.0)
-      : DataFrame = {
+      : DataFrame =
+    // one stats scan + one decision scan (inherent: global stats gate
+    // per-row z); the decision definition lives ONCE in
+    // [[vectorQualityFrom]], shared with the standing-stats serving path
+    vectorQualityFrom(emb, vectorQualityStats(emb, dim), dim, zThresh)
+
+  /** The [[vectorQuality]] decision against ALREADY-COMPUTED corpus
+    * stats — the serving form: a standing (mu, sigma) one-row frame
+    * (persist `vectorQualityStats` via [[graft.ops.IndexTables.plain]])
+    * gates incoming vectors without rescanning the corpus.
+    */
+  def vectorQualityFrom(emb: DataFrame, stats: DataFrame, dim: Int,
+      zThresh: Double = 3.0): DataFrame = {
     val e = asDouble(col("embedding"))
-    val base = emb.select(col("vec_id"),
-      size(col("embedding")).cast("long").as("n_dims"),
-      l2norm(e).as("_nrm"),
-      exists(e, x => isnan(x)).as("has_nan"))
-    val stats = base
-      .where(!col("has_nan") && col("n_dims") === dim && col("_nrm") > 0)
-      .agg(avg("_nrm").as("_mu"), stddev_pop("_nrm").as("_sigma"))
-    base.crossJoin(broadcast(stats))
+    emb.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        l2norm(e).as("_nrm"),
+        exists(e, x => isnan(x)).as("has_nan"))
+      .crossJoin(broadcast(stats))
       .select(col("vec_id"), col("n_dims"), col("has_nan"),
         round(col("_nrm"), 4).as("norm"),
         round(when(col("_sigma") > 0,
@@ -1378,6 +1387,31 @@ object Similarity {
         col("has_nan") || col("n_dims") =!= dim || col("norm") === 0.0 ||
           abs(col("z")) > zThresh)
   }
+
+  /** The one-row (mu, sigma) norm statistics over well-formed vectors —
+    * the standing artifact [[vectorQualityFrom]] /
+    * [[vectorQualityServe]] gate against.
+    */
+  def vectorQualityStats(emb: DataFrame, dim: Int): DataFrame = {
+    val e = asDouble(col("embedding"))
+    emb.select(size(col("embedding")).as("_nd"), l2norm(e).as("_nrm"),
+        exists(e, x => isnan(x)).as("_nan"))
+      .where(!col("_nan") && col("_nd") === dim && col("_nrm") > 0)
+      .agg(avg("_nrm").as("_mu"), stddev_pop("_nrm").as("_sigma"))
+  }
+
+  /** Streaming twin of the vector sanity gate: each micro-batch of
+    * vectors is flagged against the STANDING stats — per-row decisions,
+    * no corpus access, the [[graft.ops.TextAnalysis.distributionDriftServe]]
+    * pattern. Parity-spec'd against the batch gate.
+    */
+  def vectorQualityServe(stream: DataFrame, stats: DataFrame, dim: Int,
+      zThresh: Double = 3.0)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(vectorQualityFrom(batch, stats, dim, zThresh))
+    }
 
   /** One-pass moment sums for the d×d covariance matrix: the flattened
     * per-row outer-product grid (d² slots), the raw vector (d slots for

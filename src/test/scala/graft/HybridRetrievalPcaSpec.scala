@@ -220,6 +220,30 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert((1L to 20L).forall(i => !got(i)))
   }
 
+  test("vectorQualityServe: streamed batches flag identically to the batch gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = (1L to 20L).map(i => (i, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.vectorQualityStats(corpus, 3).localCheckpoint()
+    val in = MemoryStream[(Long, Seq[Float])](46, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = Similarity.vectorQualityServe(
+        in.toDF().toDF("vec_id", "embedding"), stats, dim = 3) { b =>
+      out ++= b.select("vec_id", "flag").as[(Long, Boolean)].collect()
+    }.start()
+    try {
+      in.addData((100L, Seq(1f, 0f, 0f)), (101L, Seq(0f, 0f, 0f)),
+        (102L, Seq(9f, 9f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Similarity.vectorQualityFrom(
+      Seq((100L, Seq(1f, 0f, 0f)), (101L, Seq(0f, 0f, 0f)),
+        (102L, Seq(9f, 9f))).toDF("vec_id", "embedding"), stats, dim = 3)
+      .select("vec_id", "flag").as[(Long, Boolean)].collect()
+    assert(out.toSet == batch.toSet && out.size == 3)
+    assert(out.toMap == Map(100L -> false, 101L -> true, 102L -> true))
+  }
+
   test("readability: hand-computed Flesch on a two-sentence doc") {
     val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, ""))
       .toDF("doc_id", "text")
