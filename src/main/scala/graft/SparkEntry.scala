@@ -50,6 +50,14 @@ object SparkEntry {
         concat(col("text"), lit(" batc batchh batxh abtch")))
         .otherwise(col("text")).as("text"))
 
+  /** The q_mix_solve recipe: 4 weighted domains under a 2-epoch cap
+    * (Seq, not Map — the oracle interpolates it in a deterministic
+    * order). Shared by the query and its oracle SQL so the weights
+    * cannot drift between engines (the QUALITY_W pattern).
+    */
+  private val MIX_SOLVE_W: Seq[(String, Double)] =
+    Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
   /** The substring-scrubbed corpus as a STANDING table (the bm25-index
     * pattern): v7/v8/v9 all curate the same rewritten corpus, and the
     * scrub's gram-ownership shuffle is the single most expensive stage of
@@ -1108,6 +1116,37 @@ object SparkEntry {
     "q_block_report" -> ((s, d) =>
       Similarity.blockOccupancy(Similarity.argmaxBlocked(
         TextAnalysis.hashEmbed(Tables.documents(s, d), dim = 64)))),
+    // DSIR importance scoring: hashed-unigram log-likelihood ratios of a
+    // target distribution (the English subset stands in for "curated
+    // reference text") vs the raw pool, fitted once (dim-sized model),
+    // then every document scored in the scan stage with the model as
+    // literals — zero shuffle, the 100 TB data-selection pass
+    "q_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirScores(docs,
+        TextAnalysis.dsirLogRatios(docs, docs.where(col("lang") === "en")))
+    }),
+    // token-budget mixture solve: the largest run honoring a 4-domain
+    // recipe under a 2-epoch repetition cap (closed-form waterline)
+    "q_mix_solve" -> ((s, d) =>
+      Sampling.mixtureSolve(
+        Tables.documents(s, d).groupBy(col("source").as("domain"))
+          .agg(sum(size(ops.Core.tokensUni(col("text")))).cast("long")
+            .as("n_tokens")),
+        MIX_SOLVE_W.toMap, maxEpochs = 2.0)),
+    // chance-corrected agreement between two weak labelers (model
+    // quality gate vs Flesch readability gate) over tokenizable docs —
+    // the weak-supervision acceptance check
+    "q_kappa" -> ((s, d) =>
+      TextAnalysis.cohenKappa(
+        TextAnalysis.weakLabels(Tables.documents(s, d)), "keep_a", "keep_b")),
+    // reliability diagram of the quality classifier probability against
+    // the readability proxy label: per-decile mean prediction vs
+    // observed positive rate + Brier contribution
+    "q_calibration" -> ((s, d) =>
+      TextAnalysis.calibrationReport(
+        TextAnalysis.weakLabels(Tables.documents(s, d)),
+        "quality_score", "keep_b")),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -1562,6 +1601,37 @@ object SparkEntry {
       "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
       "sv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb " +
       "GROUP BY doc_id, dim_idx)"
+
+  /** DuckDB mirror of TextAnalysis.weakLabels — the quality-gate /
+    * readability-gate labeler frame, ONE definition for q_kappa and
+    * q_calibration. Composes the q_quality_model feature chain and the
+    * q_readability Flesch counts over tokenizable documents; ends in
+    * `l(doc_id, s, a, b)` with s = rounded sigmoid, a = model keep,
+    * b = rounded-Flesch >= fleschT.
+    */
+  private def weakLabelCtes(fleschT: Double): String = {
+    val (bias, wLog, wAvg, wStop, wNon, keepT) = ops.TextAnalysis.QUALITY_W
+    s"t AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
+      "f AS (SELECT doc_id, text, toks, len(toks) AS n, " +
+      "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+      "greatest(len(toks), 1) AS avg_len, " +
+      "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+      "greatest(len(toks), 1) AS stop_r, " +
+      s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+      "greatest(length(text), 1) AS non_al FROM t WHERE len(toks) > 0), " +
+      s"z AS (SELECT doc_id, text, toks, n, ($bias) + ($wLog) * ln(1 + n) + " +
+      s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+      "r AS (SELECT doc_id, z, n AS n_words, " +
+      "CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'), " +
+      "x -> regexp_matches(x, '\\p{L}')))) AS BIGINT) AS n_sents, " +
+      "CAST(list_sum(list_transform(toks, w -> greatest(1, " +
+      "len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syll FROM z), " +
+      "l AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
+      s"CAST(1.0 / (1.0 + exp(-z)) >= $keepT AS INT) AS a, " +
+      "CAST(round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) - " +
+      s"84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) >= $fleschT AS INT) AS b " +
+      "FROM r)"
+  }
 
   /** DuckDB mirror of Retrieval.denseTopKAll: the [[hashEmbedCtes]]
     * md5-bucket/sign chain run over BOTH the corpus (dd* CTEs) and the
@@ -3347,6 +3417,76 @@ object SparkEntry {
     "q_hash_embed" ->
       (s"WITH ${hashEmbedCtes(64)} " +
         "SELECT doc_id, dim_idx, value FROM sv"),
+    // DSIR replay: UNSIGNED bucket counts (same md5 scheme, no sign),
+    // add-1-smoothed target (lang='en') vs raw distributions over the
+    // full range(64) grid, per-doc Σ c·lr; zero-token docs score 0.0
+    "q_dsir" ->
+      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+        "hb AS (SELECT doc_id, " +
+        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS b FROM h), " +
+        "cd AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM hb GROUP BY 1, 2), " +
+        "grid AS (SELECT CAST(range AS INT) AS b FROM range(64)), " +
+        "craw AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
+        "LEFT JOIN cd ON cd.b = g.b GROUP BY g.b), " +
+        "ctgt AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
+        "LEFT JOIN (SELECT cd.* FROM cd JOIN documents USING (doc_id) " +
+        "WHERE lang = 'en') cd ON cd.b = g.b GROUP BY g.b), " +
+        "nr AS (SELECT sum(c) + 64.0 AS n FROM craw), " +
+        "nt AS (SELECT sum(c) + 64.0 AS n FROM ctgt), " +
+        "lr AS (SELECT r.b, ln((tg.c + 1.0) / nt.n) - ln((r.c + 1.0) / nr.n) AS lr " +
+        "FROM craw r JOIN ctgt tg ON tg.b = r.b, nr, nt), " +
+        "sc AS (SELECT cd.doc_id, sum(cd.c * lr.lr) AS s FROM cd " +
+        "JOIN lr ON lr.b = cd.b GROUP BY 1) " +
+        s"SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
+        "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"),
+    // closed-form waterline: T* = min over weighted domains of
+    // maxEpochs·c_d/w_d; weights interpolated from MIX_SOLVE_W (the
+    // QUALITY_W pattern), every literal CAST AS DOUBLE (the MMR
+    // DECIMAL-folding lesson)
+    "q_mix_solve" -> {
+      val vals = MIX_SOLVE_W.map { case (dom, w) =>
+        s"('$dom', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"WITH inv AS (SELECT source AS domain, " +
+        s"CAST(coalesce(sum(len($TOKS)), 0) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        s"w AS (SELECT * FROM (VALUES $vals) AS v(domain, wraw)), " +
+        "ws AS (SELECT sum(wraw) AS s FROM w), " +
+        "nw AS (SELECT domain, wraw / ws.s AS w FROM w, ws), " +
+        "j AS (SELECT inv.domain, inv.n_tokens, coalesce(nw.w, CAST(0 AS DOUBLE)) AS w " +
+        "FROM inv LEFT JOIN nw USING (domain)), " +
+        "ts AS (SELECT min(CAST(2.0 AS DOUBLE) * n_tokens / w) AS tstar FROM j WHERE w > 0) " +
+        "SELECT domain, n_tokens, round(w, 6) AS weight, " +
+        "round(w * tstar, 4) AS alloc_tokens, " +
+        "round(least(w * tstar / n_tokens, CAST(1 AS DOUBLE)), 6) AS rate, " +
+        "round(w * tstar / n_tokens, 4) AS epochs FROM j, ts"
+    },
+    // κ replay over the shared weak-label CTEs: exact integer counts,
+    // then the same double ratio arithmetic as the engine
+    "q_kappa" ->
+      (s"WITH ${weakLabelCtes(30.0)}, " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(a) AS na, " +
+        "sum(b) AS nb, sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM l) " +
+        "SELECT n, round(na / CAST(n AS DOUBLE), 4) AS p_a, " +
+        "round(nb / CAST(n AS DOUBLE), 4) AS p_b, " +
+        "round(agree / CAST(n AS DOUBLE), 4) AS po, " +
+        "round((na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE)), 4) AS pe, " +
+        "round(CASE WHEN (na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE)) < 1.0 " +
+        "THEN (agree / CAST(n AS DOUBLE) - " +
+        "(na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE))) / " +
+        "(1.0 - (na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE))) END, 4) AS kappa " +
+        "FROM agg"),
+    // reliability-diagram replay: bins on the ROUNDED score (both
+    // engines bin the identical 4-decimal double)
+    "q_calibration" ->
+      (s"WITH ${weakLabelCtes(30.0)}, " +
+        "bb AS (SELECT least(CAST(floor(s * 10) AS INT) + 1, 10) AS bin, s, b FROM l) " +
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+        "round(avg(s), 4) AS mean_score, " +
+        "round(avg(CAST(b AS DOUBLE)), 4) AS frac_pos, " +
+        "round(avg((s - b) * (s - b)), 4) AS brier " +
+        "FROM bb GROUP BY bin"),
     // the q_hash_embed CTEs densified over a range(64) grid, then the
     // q_semdedup sign-block/pairwise replay at vec_id = doc_id
     "q_semdedup_text" -> semdedupTextSql(""),

@@ -1279,7 +1279,8 @@ object ArrayKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def hashEmbedAccum(toks: ArrayData, dim: Int): (Array[Double], Array[Boolean]) = {
+  private def hashEmbedAccum(toks: ArrayData, dim: Int,
+      signed: Boolean = true): (Array[Double], Array[Boolean]) = {
     val md = md5Pool.get()
     val vals = new Array[Double](dim)
     val touched = new Array[Boolean](dim)
@@ -1293,7 +1294,8 @@ object ArrayKernels {
         val head = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
           ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
         val idx = (head % dim).toInt
-        val sgn = if (((d(4) >> 4) & 0x1) == 0) 1.0 else -1.0
+        val sgn =
+          if (!signed || ((d(4) >> 4) & 0x1) == 0) 1.0 else -1.0
         vals(idx) += sgn
         touched(idx) = true
       }
@@ -1305,6 +1307,28 @@ object ArrayKernels {
   /** Called from generated code (static forwarder). */
   def hashEmbedEntriesEval(toks: ArrayData, dim: Int): ArrayData = {
     val (vals, touched) = hashEmbedAccum(toks, dim)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < dim) {
+      if (touched(i)) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, vals(i)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Called from generated code (static forwarder): the UNSIGNED variant —
+    * plain occurrence counts per touched bucket (no ±1 sign), the feature
+    * form importance estimators (DSIR-style log-likelihood ratios) need:
+    * a probability can be estimated from counts but not from signed sums,
+    * whose cancellations destroy non-negativity. Bucket scheme is
+    * byte-identical to [[hashEmbedEntriesEval]] (first 8 md5 hex digits
+    * mod dim), so oracle replays share the CTE.
+    */
+  def hashCountEntriesEval(toks: ArrayData, dim: Int): ArrayData = {
+    val (vals, touched) = hashEmbedAccum(toks, dim, signed = false)
     val out = new scala.collection.mutable.ArrayBuffer[Any](8)
     var i = 0
     while (i < dim) {
@@ -1470,6 +1494,33 @@ object ArrayKernels {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, in =>
         s"${ev.value} = graft.functions.ArrayKernels.hashEmbedEntriesEval($in, $dim);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `hash_count_entries(toks, dim)` — [[HashEmbedEntries]] without the
+    * sign: ARRAY<STRUCT<dim_idx, value>> of touched-bucket OCCURRENCE
+    * counts, the non-negative feature form importance estimators (DSIR
+    * hashed log-likelihood ratios) consume. Same bucket scheme, same
+    * zero-shuffle scan-stage shape.
+    */
+  case class HashCountEntries(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim must be positive, got $dim")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("dim_idx", IntegerType, nullable = false),
+      StructField("value", DoubleType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"hash_count_entries requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      hashCountEntriesEval(in.asInstanceOf[ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.ArrayKernels.hashCountEntriesEval($in, $dim);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -1673,6 +1724,9 @@ object ArrayKernels {
 
   def hash_embed_entries(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedEntries(GraftSqlBridge.expression(toks), dim))
+
+  def hash_count_entries(toks: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashCountEntries(GraftSqlBridge.expression(toks), dim))
 
   def hash_embed_dense(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedDense(GraftSqlBridge.expression(toks), dim))

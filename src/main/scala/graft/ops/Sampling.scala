@@ -166,6 +166,58 @@ object Sampling {
         col("weight"), col("n_target"))
   }
 
+  /** Token-budget mixture solve — "how big can the run be?": given
+    * per-domain token inventories and TARGET mixture proportions
+    * (Pile/Dolma-style recipe weights), the largest total training
+    * budget T* that honors the proportions without repeating any domain
+    * more than `maxEpochs` times is
+    * `T* = min over weighted domains of maxEpochs·c_d/ŵ_d` — the domain
+    * that hits its epoch cap first is the binding constraint (the Pile's
+    * Wikipedia-upweighting arithmetic, solved in closed form). Returns
+    * one row per inventory domain: normalized weight, allocated tokens
+    * `ŵ_d·T*`, sampling rate `alloc/c_d` and epochs `rate` (>1 =
+    * repetition); unweighted domains allocate 0. Weighted domains must
+    * exist in the inventory (a weighted domain with no data means
+    * T* = 0 — fail fast rather than return a degenerate solve).
+    *
+    * Scale shape: the inventory is domain-sized (the caller aggregates
+    * the corpus; see q_mix_solve), the weights ship as a broadcast
+    * literal frame, and the binding min is a one-row aggregate broadcast
+    * back — nothing here ever touches the corpus.
+    */
+  def mixtureSolve(domainTokens: DataFrame, weights: Map[String, Double],
+      maxEpochs: Double = 1.0, domainCol: String = "domain",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0,
+      s"mixtureSolve: weights must be non-negative with a positive sum")
+    require(maxEpochs > 0.0, s"mixtureSolve: maxEpochs must be positive")
+    val spark = domainTokens.sparkSession
+    val wSum = weights.values.sum
+    val wDf = broadcast(spark.createDataFrame(
+      weights.toSeq.map(kv => (kv._1, kv._2 / wSum)))
+      .toDF(domainCol, "_w"))
+    val inv = domainTokens.join(wDf, Seq(domainCol), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(0.0)))
+      .localCheckpoint() // feeds the binding min AND the output join
+    val missing = weights.keySet --
+      inv.where(col("_w") > 0).select(domainCol)
+        .collect().map(_.getString(0)).toSet
+    require(missing.isEmpty,
+      s"mixtureSolve: weighted domains absent from inventory: $missing")
+    val tStar = inv.where(col("_w") > 0)
+      .agg(min(lit(maxEpochs) * col(tokensCol) / col("_w")).as("_tstar"))
+    inv.crossJoin(broadcast(tStar))
+      .select(col(domainCol), col(tokensCol),
+        round(col("_w"), 6).as("weight"),
+        round(col("_w") * col("_tstar"), 4).as("alloc_tokens"),
+        // rate = the one-pass sampling fraction (capped at 1); epochs =
+        // alloc/c_d, the repetition count when the domain is upweighted
+        round(least(col("_w") * col("_tstar") / col(tokensCol), lit(1.0)), 6)
+          .as("rate"),
+        round(col("_w") * col("_tstar") / col(tokensCol), 4).as("epochs"))
+  }
+
   /** Perplexity-bucket mixing — "sample by model signal", the shape of
     * perplexity-filtered curation (keep the clean text, thin the weird
     * tail) and DSIR-style importance mixing. `scored` carries one model

@@ -1107,6 +1107,125 @@ object TextAnalysis {
           .as("embedding"))
   }
 
+  /** DSIR-style importance log-ratios (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", its deployment
+    * skeleton re-expressed Spark-first): two smoothed hashed-unigram
+    * feature distributions — a TARGET corpus (the data you want more of:
+    * curated reference text) and the RAW corpus — reduced to one
+    * `dim`-slot log-likelihood-ratio array
+    * `lr[b] = ln p_target(b) − ln p_raw(b)` (add-alpha smoothed over the
+    * full bucket grid, so never-hit buckets still carry the prior). The
+    * array IS the model: dim doubles that ride the scoring plan as
+    * literals ([[Similarity.pcaWhiten]]'s model-as-literals convention).
+    *
+    * Scale shape: one scan-stage [[graft.functions.ArrayKernels.HashCountEntries]]
+    * pass per corpus (zero token-stream shuffle — only ≤dim touched-bucket
+    * partials per document move, map-side combined to a dim-sized
+    * dictionary), then a dim-sized driver collect. Counts are
+    * integer-valued doubles, so both corpus aggregations are exact.
+    */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, dim: Int = 64,
+      alpha: Double = 1.0): Array[Double] = {
+    require(dim > 0, s"dsirLogRatios: dim must be positive, got $dim")
+    require(alpha > 0, s"dsirLogRatios: alpha must be positive, got $alpha")
+    def bucketCounts(docs: DataFrame): Array[Double] = {
+      val out = new Array[Double](dim)
+      docs.select(explode(graft.functions.ArrayKernels.hash_count_entries(
+          toks(col("text")), dim)).as("_e"))
+        .groupBy(col("_e.dim_idx").as("b")).agg(sum("_e.value").as("c"))
+        .collect()
+        .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val nt = ct.sum + alpha * dim
+    val nr = cr.sum + alpha * dim
+    Array.tabulate(dim)(b =>
+      math.log((ct(b) + alpha) / nt) - math.log((cr(b) + alpha) / nr))
+  }
+
+  /** Score every document with a fitted [[dsirLogRatios]] model:
+    * `dsir_logw = Σ_b c_doc(b)·lr[b]` — the hashed-feature importance
+    * log-weight. Positive ⇒ the document looks more like the target
+    * distribution than the raw pool; feed the scores to
+    * [[Sampling.perplexityBuckets]]/[[Sampling.temperatureMix]]-style
+    * selection (rank, bucket, or exp(logw/T)-weighted resample) to get
+    * the "importance resampling" half of DSIR.
+    *
+    * Pure scan stage: the per-document fold runs over the kernel's
+    * dim_idx-ASCENDING entries array with the model as a literal array —
+    * zero shuffle, the 100 TB scoring form. Zero-token documents score
+    * 0.0 (no evidence either way) and are KEPT — a scoring pass must not
+    * silently drop rows (the selection policy decides their fate).
+    */
+  def dsirScores(docs: DataFrame, logRatios: Array[Double]): DataFrame = {
+    require(logRatios.nonEmpty, "dsirScores: empty log-ratio model")
+    val dim = logRatios.length
+    val lrLit = array(logRatios.toIndexedSeq.map(lit): _*)
+    val t = toks(col("text"))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+      round(aggregate(
+        graft.functions.ArrayKernels.hash_count_entries(t, dim), lit(0.0),
+        (acc, e) => acc + e.getField("value") *
+          element_at(lrLit, e.getField("dim_idx") + lit(1))), 4)
+        .as("dsir_logw"))
+  }
+
+  /** Cohen's kappa between two boolean labelers — chance-corrected
+    * agreement, THE acceptance gate on weak-supervision labels (quality
+    * gates, toxicity votes, preference annotations): raw agreement po
+    * over-credits labelers that both say "keep" to almost everything, so
+    * curation pipelines gate on κ = (po − pe)/(1 − pe) instead. One
+    * single-row conditional aggregation — counts are exact integers, the
+    * κ arithmetic is a handful of driver-free ratios, zero shuffle.
+    * Returns (n, p_a, p_b, po, pe, kappa), rounded 4; κ is NULL when
+    * pe = 1 (both labelers constant — agreement is vacuous, not perfect).
+    */
+  def cohenKappa(labels: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val po = col("_agree") / col("n")
+    val pe = (col("_na") * col("_nb") +
+      (col("n") - col("_na")) * (col("n") - col("_nb"))) /
+      (col("n") * col("n").cast("double"))
+    labels.agg(count(lit(1)).as("n"),
+        sum(when(a, 1L).otherwise(0L)).as("_na"),
+        sum(when(b, 1L).otherwise(0L)).as("_nb"),
+        sum(when(a === b, 1L).otherwise(0L)).as("_agree"))
+      .select(col("n"),
+        round(col("_na") / col("n"), 4).as("p_a"),
+        round(col("_nb") / col("n"), 4).as("p_b"),
+        round(po, 4).as("po"),
+        round(pe, 4).as("pe"),
+        round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 4).as("kappa"))
+  }
+
+  /** Calibration report for a [0,1]-probability scorer against a binary
+    * label — the reliability-diagram table (per-bin mean prediction vs
+    * observed positive rate) plus per-bin Brier contribution, the QA
+    * pass a data-filtering classifier ([[qualityClassifierScore]]) gets
+    * before its threshold is trusted at corpus scale. Bin
+    * `least(floor(score·nBins)+1, nBins)` on the ROUNDED score so the
+    * edge assignment cannot drift across engine ulps. One bin-sized
+    * aggregation — the corpus never shuffles, only (bin, partials).
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"calibrationReport: need nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean").cast("int")
+    scored
+      .select(least(floor(s * nBins).cast("int") + 1, lit(nBins)).as("bin"),
+        s.as("_s"), y.as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("_s"), 4).as("mean_score"),
+        round(avg("_y"), 4).as("frac_pos"),
+        round(avg((col("_s") - col("_y")) * (col("_s") - col("_y"))), 4)
+          .as("brier"))
+  }
+
   /** Standing index for INCREMENTAL text semantic dedup: the argmax-blocked
     * unit-vector assignment (vec_id, block, e) of [[hashEmbed]] vectors,
     * materialized once as a parquet table BUCKETED BY block
@@ -1313,21 +1432,56 @@ object TextAnalysis {
     * over exact ratios, rounded 4. Token-less documents are excluded
     * (no words ⇒ no readability, the [[hashEmbed]] convention).
     */
-  def readability(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    val sents = size(filter(split(col("text"), "[.!?]+"),
-      s => s.rlike("\\p{L}")))
+  /** The three exact Flesch counts as columns — ONE definition shared by
+    * [[readability]] and [[weakLabels]] so the heuristic cannot drift
+    * between the standalone signal and the labeler composition.
+    */
+  private[graft] def fleschCounts(text: Column): (Column, Column, Column) = {
+    val t = toks(text)
+    val sents = size(filter(split(text, "[.!?]+"), s => s.rlike("\\p{L}")))
     val syll = aggregate(
       transform(t, w => greatest(lit(1),
         size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
       lit(0L), (acc, x) => acc + x)
-    docs.select(col("doc_id"), size(t).as("n_words"),
-        greatest(lit(1), sents).cast("long").as("n_sents"), syll.as("n_syll"))
+    (size(t), greatest(lit(1), sents).cast("long"), syll)
+  }
+
+  private[graft] def fleschOf(nWords: Column, nSents: Column,
+      nSyll: Column): Column =
+    round(lit(206.835) - lit(1.015) * (nWords.cast("double") / nSents) -
+      lit(84.6) * (nSyll.cast("double") / nWords), 4)
+
+  def readability(docs: DataFrame): DataFrame = {
+    val (nw, ns, sy) = fleschCounts(col("text"))
+    docs.select(col("doc_id"), nw.as("n_words"),
+        ns.as("n_sents"), sy.as("n_syll"))
       .where(col("n_words") > 0)
       .withColumn("flesch",
-        round(lit(206.835) -
-          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
-          lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4))
+        fleschOf(col("n_words"), col("n_sents"), col("n_syll")))
+  }
+
+  /** Two independent weak labelers over tokenizable documents in ONE
+    * scan — the model gate ([[qualityClassifierScore]]'s sigmoid ≥ its
+    * keep threshold) and the readability gate (ROUNDED Flesch ≥
+    * `fleschT`) — the substrate for labeler-QA diagnostics
+    * ([[cohenKappa]] agreement, [[calibrationReport]] calibration).
+    * Token-less documents are excluded (no Flesch is defined for them,
+    * the [[readability]] convention). Zero shuffle.
+    */
+  def weakLabels(docs: DataFrame, fleschT: Double = 30.0): DataFrame = {
+    val (nw, ns, sy) = fleschCounts(col("text"))
+    val score = sigmoid(qualityLogit(col("text")))
+    // counts first, filter, THEN the Flesch division — fleschOf divides
+    // by n_words, so it must sit above the tokenizable filter (ANSI
+    // divide-by-zero on empty docs; the [[readability]] structure)
+    docs.select(col("doc_id"), round(score, 4).as("quality_score"),
+        (score >= QUALITY_W._6).cast("int").as("keep_a"),
+        nw.as("_nw"), ns.as("_ns"), sy.as("_sy"))
+      .where(col("_nw") > 0)
+      .withColumn("keep_b",
+        (fleschOf(col("_nw"), col("_ns"), col("_sy")) >= fleschT)
+          .cast("int"))
+      .drop("_nw", "_ns", "_sy")
   }
 
   /** PMI collocation mining — the classic phrase-discovery signal
@@ -1392,19 +1546,20 @@ object TextAnalysis {
     *
     * Scale shape: the word dictionary aggregates map-side, the top-N
     * head is a TakeOrdered (freq DESC, word — deterministic at the
-    * cutoff), and the regression runs over N ≤ topN rows with a
-    * literal-partition window (bounded frame by construction; the
-    * partitionBy(lit) spelling keeps the single-partition WindowExec
-    * warning out of scale audits — the q_shard_manifest lesson).
+    * cutoff), and the regression runs over N ≤ topN rows. Rank comes
+    * from an explicit one-partition sort + monotonic id on that bounded
+    * head, NOT a window: a partitionBy(lit) spelling gets its foldable
+    * key constant-folded away by Catalyst, resurrecting the
+    * single-partition WindowExec warning this avoids (observed in the
+    * round-9 verify log — the q_shard_manifest lesson, round two).
     */
   def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
     require(topN >= 2, s"zipfFit: topN must be >= 2, got $topN")
     val counts = docs.select(explode(toks(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("c").desc, col("word"))
-    counts.withColumn("rank", row_number().over(w))
+    counts.coalesce(1).sortWithinPartitions(col("c").desc, col("word"))
+      .withColumn("rank", monotonically_increasing_id() + 1)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
       .agg(count(lit(1)).as("n_words"),

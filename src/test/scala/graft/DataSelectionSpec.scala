@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextAnalysis}
+
+/** Data-selection & labeler-QA wave: DSIR importance scoring, the
+  * token-budget mixture solve, Cohen's kappa, calibration report, and
+  * the weak-label frame they run over.
+  */
+class DataSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent replay of the kernel's bucket scheme (first 8 md5 hex
+    * digits mod dim) — the pii-scrub "reference impl in the test"
+    * convention.
+    */
+  private def bucketOf(tok: String, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes)
+    val head = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (head % dim).toInt
+  }
+
+  test("hash_count_entries: unsigned occurrence counts per touched bucket") {
+    val df = Seq((1L, "aa aa aa bb")).toDF("doc_id", "text")
+      .select(explode(graft.functions.ArrayKernels.hash_count_entries(
+        split(col("text"), " "), 16)).as("e"))
+      .select(col("e.dim_idx"), col("e.value"))
+    val got = df.as[(Int, Double)].collect().toMap
+    val bAA = bucketOf("aa", 16)
+    val bBB = bucketOf("bb", 16)
+    if (bAA == bBB) assert(got == Map(bAA -> 4.0))
+    else assert(got == Map(bAA -> 3.0, bBB -> 1.0))
+  }
+
+  test("dsirScores: target-looking docs score positive, off-target negative") {
+    // target distribution = pure "wiki" docs; raw adds "spam". Token
+    // mass must dominate the add-alpha prior (alpha·dim = 8) for the
+    // sign structure to show — 20-token docs, dim 8, no bucket
+    // collision (wiki -> 2, spam -> 5 mod 8, asserted below).
+    val dim = 8
+    assert(bucketOf("wiki", dim) != bucketOf("spam", dim))
+    val wikiDoc = Seq.fill(20)("wiki").mkString(" ")
+    val raw = Seq(
+      (1L, wikiDoc), (2L, wikiDoc),
+      (3L, Seq.fill(20)("spam").mkString(" ")),
+      (4L, Seq.fill(10)("wiki spam").mkString(" ")),
+      (5L, "")).toDF("doc_id", "text")
+    val target = raw.where($"doc_id" <= 2L)
+    val lr = TextAnalysis.dsirLogRatios(raw, target, dim = dim)
+    val got = TextAnalysis.dsirScores(raw, lr)
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.0 && got(1L) == got(2L))
+    assert(got(3L) < 0.0)
+    assert(got(4L) > got(3L) && got(4L) < got(1L))
+    // zero-token doc: kept, zero evidence
+    assert(got(5L) == 0.0)
+    // exact replay of the formula through the independent bucket map
+    val cnt = (docs: Seq[Seq[String]]) => {
+      val c = new Array[Double](dim)
+      docs.flatten.foreach(t => c(bucketOf(t, dim)) += 1.0)
+      c
+    }
+    val rawToks = Seq.fill(2)(Seq.fill(20)("wiki")) ++
+      Seq(Seq.fill(20)("spam"),
+        Seq.fill(10)(Seq("wiki", "spam")).flatten, Nil)
+    val ct = cnt(rawToks.take(2))
+    val cr = cnt(rawToks)
+    val nt = ct.sum + dim
+    val nr = cr.sum + dim
+    val lrExp = Array.tabulate(dim)(b =>
+      math.log((ct(b) + 1) / nt) - math.log((cr(b) + 1) / nr))
+    assert(lr.toSeq == lrExp.toSeq)
+    val exp1 = BigDecimal(20.0 * lrExp(bucketOf("wiki", dim)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == exp1)
+  }
+
+  test("mixtureSolve: closed-form waterline, epoch cap binding") {
+    val inv = Seq(("a", 100L), ("b", 300L), ("c", 50L))
+      .toDF("domain", "n_tokens")
+    val got = Sampling.mixtureSolve(inv,
+      Map("a" -> 0.5, "b" -> 0.5), maxEpochs = 2.0)
+      .orderBy("domain")
+      .select("domain", "n_tokens", "weight", "alloc_tokens", "rate", "epochs")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    // T* = min(2*100/0.5, 2*300/0.5) = 400: domain a binds at 2 epochs
+    assert(got(0) == (("a", 100L, 0.5, 200.0, 1.0, 2.0)))
+    assert(got(1) == (("b", 300L, 0.5, 200.0, 0.666667, 0.6667)))
+    assert(got(2) == (("c", 50L, 0.0, 0.0, 0.0, 0.0)))
+    // a weighted domain with no inventory is a contract violation
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSolve(inv, Map("a" -> 1.0, "zz" -> 1.0))
+    }
+  }
+
+  test("cohenKappa: hand-computed 2x2 table") {
+    // n11=4, n10=2, n01=1, n00=3: po=0.7, pa=0.6, pb=0.5, pe=0.5, k=0.4
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))
+    val got = TextAnalysis.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((10L, 0.6, 0.5, 0.7, 0.5, 0.4)))
+  }
+
+  test("cohenKappa: constant labelers yield NULL kappa, not 1.0") {
+    val rows = Seq.fill(5)((true, true)).toDF("a", "b")
+    val r = TextAnalysis.cohenKappa(rows, "a", "b")
+      .select("po", "pe", "kappa").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.isNullAt(2))
+  }
+
+  test("calibrationReport: hand-computed bins, score 1.0 folds into top bin") {
+    val rows = Seq((0.05, 0), (0.15, 1), (0.15, 0), (0.95, 1), (1.0, 1))
+      .toDF("s", "y")
+    val got = TextAnalysis.calibrationReport(rows, "s", "y")
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got(0) == ((1, 1L, 0.05, 0.0, 0.0025)))
+    assert(got(1) == ((2, 2L, 0.15, 0.5, 0.3725)))
+    // bin 10 holds both 0.95 and the exact-1.0 score (least() fold)
+    assert(got(2) == ((10, 2L, 0.975, 1.0, 0.0013)))
+  }
+
+  test("weakLabels: single scan, gate parity with the standalone signals") {
+    val docs = Seq(
+      (1L, "The cat sat on the mat. The dog ran off!"),
+      (2L, "zxq"), (3L, "")).toDF("doc_id", "text")
+    val wl = TextAnalysis.weakLabels(docs)
+    val ids = wl.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L)) // token-less doc 3 excluded
+    val q = TextAnalysis.qualityClassifierScore(docs)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    val f = TextAnalysis.readability(docs)
+      .select("doc_id", "flesch").as[(Long, Double)].collect().toMap
+    wl.select("doc_id", "keep_a", "keep_b").as[(Long, Int, Int)].collect()
+      .foreach { case (id, a, b) =>
+        assert(a == q(id))
+        assert(b == (if (f(id) >= 30.0) 1 else 0))
+      }
+  }
+}
