@@ -1126,6 +1126,18 @@ object SparkEntry {
       TextAnalysis.dsirScores(docs,
         TextAnalysis.dsirLogRatios(docs, docs.where(col("lang") === "en")))
     }),
+    // DSIR importance RESAMPLING — the second half of the method: the
+    // q_dsir scores bucketed by their corpus distribution, keep rates
+    // ASCENDING so the target-like tail is retained and the off-target
+    // mass thinned (perplexityMix with the score flipped in meaning)
+    "q_dsir_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.dsirScores(docs,
+        TextAnalysis.dsirLogRatios(docs, docs.where(col("lang") === "en")))
+        .select(col("doc_id"), col("dsir_logw"))
+      Sampling.perplexityMix(scored, "doc_id", "dsir_logw", DSIR_RATES,
+        salt = "dsir")
+    }),
     // token-budget mixture solve: the largest run honoring a 4-domain
     // recipe under a 2-epoch repetition cap (closed-form waterline)
     "q_mix_solve" -> ((s, d) =>
@@ -1147,6 +1159,23 @@ object SparkEntry {
       TextAnalysis.calibrationReport(
         TextAnalysis.weakLabels(Tables.documents(s, d)),
         "quality_score", "keep_b")),
+    // Gopher/MassiveText structural quality rules: per-rule flags +
+    // conjunction, every threshold integer-exact (cross-multiplied)
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // entropy-based secret detection over deterministically injected
+    // credentials (md5-hex key on every 7th doc = high entropy; a
+    // repeated-char run on every 11th = the low-entropy control the
+    // threshold must NOT flag)
+    "q_secret_scan" -> ((s, d) =>
+      TextAnalysis.secretScan(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" key_"), md5(col("doc_id").cast("string"))))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" aaaaaaaaaaaaaaaaaaaaaaaa")).otherwise(lit("")))
+          .as("text")))),
     // SFT loss-mask spans over the q_chat_render text: character offsets
     // of the turns a trainer computes loss on ('click'/'purchase' stand
     // in for the assistant role)
@@ -1421,6 +1450,13 @@ object SparkEntry {
   private val TEMP_TOTAL = 200L
   private val QRANK_KEEP = 0.4
   private val PPL_RATES = Seq(1.0, 0.8, 0.5, 0.25, 0.1)
+
+  /** q_dsir_mix keep rates, ASCENDING by bucket — DSIR importance
+    * RESAMPLING keeps more of the target-like tail (high log-weight =
+    * bucket 5), the mirror image of the perplexity filter's
+    * keep-the-head PPL_RATES.
+    */
+  private val DSIR_RATES = Seq(0.1, 0.25, 0.5, 0.8, 1.0)
   private val SEARCH_TERMS = Seq("stream", "join", "filter")
   private val BM25_TERMS = Seq("stream", "join")
   // repeated-term phrase on purpose: exercises the distinct-slot vote
@@ -1601,6 +1637,33 @@ object SparkEntry {
       "THEN 1.0 ELSE -1.0 END AS sgn FROM h), " +
       "sv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM hb " +
       "GROUP BY doc_id, dim_idx)"
+
+  /** DuckDB mirror of the TextAnalysis.dsirLogRatios + dsirScores chain
+    * — ONE definition for q_dsir and q_dsir_mix so the score cannot
+    * drift between the standalone scoring and the resample. Ends in
+    * `ds(doc_id, n_tokens, dsir_logw)`; target = lang='en', alpha=1.
+    */
+  private def dsirCtes(dim: Int): String =
+    s"t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+      "hb AS (SELECT doc_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS b FROM h), " +
+      "cd AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM hb GROUP BY 1, 2), " +
+      s"grid AS (SELECT CAST(range AS INT) AS b FROM range($dim)), " +
+      "craw AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
+      "LEFT JOIN cd ON cd.b = g.b GROUP BY g.b), " +
+      "ctgt AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
+      "LEFT JOIN (SELECT cd.* FROM cd JOIN documents USING (doc_id) " +
+      "WHERE lang = 'en') cd ON cd.b = g.b GROUP BY g.b), " +
+      s"nr AS (SELECT sum(c) + $dim.0 AS n FROM craw), " +
+      s"nt AS (SELECT sum(c) + $dim.0 AS n FROM ctgt), " +
+      "lr AS (SELECT r.b, ln((tg.c + 1.0) / nt.n) - ln((r.c + 1.0) / nr.n) AS lr " +
+      "FROM craw r JOIN ctgt tg ON tg.b = r.b, nr, nt), " +
+      "sc AS (SELECT cd.doc_id, sum(cd.c * lr.lr) AS s FROM cd " +
+      "JOIN lr ON lr.b = cd.b GROUP BY 1), " +
+      s"ds AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
+      "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
+      "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
 
   /** DuckDB mirror of TextAnalysis.weakLabels — the quality-gate /
     * readability-gate labeler frame, ONE definition for q_kappa and
@@ -3421,26 +3484,29 @@ object SparkEntry {
     // add-1-smoothed target (lang='en') vs raw distributions over the
     // full range(64) grid, per-doc Σ c·lr; zero-token docs score 0.0
     "q_dsir" ->
-      (s"WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
-        "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
-        "hb AS (SELECT doc_id, " +
-        "CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 64 AS INT) AS b FROM h), " +
-        "cd AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM hb GROUP BY 1, 2), " +
-        "grid AS (SELECT CAST(range AS INT) AS b FROM range(64)), " +
-        "craw AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
-        "LEFT JOIN cd ON cd.b = g.b GROUP BY g.b), " +
-        "ctgt AS (SELECT g.b, coalesce(sum(cd.c), 0.0) AS c FROM grid g " +
-        "LEFT JOIN (SELECT cd.* FROM cd JOIN documents USING (doc_id) " +
-        "WHERE lang = 'en') cd ON cd.b = g.b GROUP BY g.b), " +
-        "nr AS (SELECT sum(c) + 64.0 AS n FROM craw), " +
-        "nt AS (SELECT sum(c) + 64.0 AS n FROM ctgt), " +
-        "lr AS (SELECT r.b, ln((tg.c + 1.0) / nt.n) - ln((r.c + 1.0) / nr.n) AS lr " +
-        "FROM craw r JOIN ctgt tg ON tg.b = r.b, nr, nt), " +
-        "sc AS (SELECT cd.doc_id, sum(cd.c * lr.lr) AS s FROM cd " +
-        "JOIN lr ON lr.b = cd.b GROUP BY 1) " +
-        s"SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
-        "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
-        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"),
+      (s"WITH ${dsirCtes(64)} " +
+        "SELECT doc_id, n_tokens, dsir_logw FROM ds"),
+    // DSIR importance RESAMPLING: the q_dsir scores through the
+    // q_ppl_mix bucket/keep machinery with ASCENDING rates (keep the
+    // target-like tail) — ONE score definition (dsirCtes), one bucket
+    // replay, salt 'dsir'
+    "q_dsir_mix" -> {
+      val caseThr = DSIR_RATES.zipWithIndex.map { case (r, i) =>
+        s"WHEN ${i + 1} THEN '${ops.Sampling.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"WITH ${dsirCtes(64)}, " +
+        "s AS (SELECT doc_id, dsir_logw FROM ds), " +
+        "cnts AS (SELECT dsir_logw, count(*) AS c FROM s GROUP BY 1), " +
+        "na AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM cnts), " +
+        "cum AS (SELECT dsir_logw, c, sum(c) OVER (ORDER BY dsir_logw " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
+        s"b AS (SELECT dsir_logw, CAST(floor((cum - c) * ${DSIR_RATES.length} " +
+        "/ n_all) AS INT) + 1 AS bucket FROM cum, na) " +
+        "SELECT s.doc_id, s.dsir_logw, b.bucket " +
+        "FROM s JOIN b USING (dsir_logw) " +
+        "WHERE '0' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"CASE b.bucket $caseThr END"
+    },
     // closed-form waterline: T* = min over weighted domains of
     // maxEpochs·c_d/w_d; weights interpolated from MIX_SOLVE_W (the
     // QUALITY_W pattern), every literal CAST AS DOUBLE (the MMR
@@ -3477,6 +3543,55 @@ object SparkEntry {
         "(na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE))) / " +
         "(1.0 - (na * nb + (n - na) * (n - nb)) / (n * CAST(n AS DOUBLE))) END, 4) AS kappa " +
         "FROM agg"),
+    // Gopher-rule replay: whitespace words, newline lines, the same
+    // regexes, every threshold cross-multiplied in BIGINT — no float
+    // anywhere, so the rows must match exactly, not just post-round
+    "q_gopher_rules" ->
+      (s"WITH w AS (SELECT doc_id, text, " +
+        s"list_filter(string_split_regex(text, '${ops.TextAnalysis.WS_RUN_RE}'), x -> x <> '') AS ws, " +
+        s"string_split(text, chr(10)) AS lines, $TOKS AS toks FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sumlen, " +
+        "CAST((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '…', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS nsym, " +
+        "CAST(len(lines) AS BIGINT) AS nlines, " +
+        "CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS nbullet, " +
+        "CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT) AS nell, " +
+        "CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS nalpha, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        "s -> list_contains(toks, s))) AS BIGINT) AS nstop FROM w), " +
+        "r AS (SELECT doc_id, n_words, " +
+        "CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count, " +
+        "CAST(3 * n_words <= sumlen AND sumlen <= 10 * n_words AS INT) AS r_mean_word_len, " +
+        "CAST(10 * nsym <= n_words AS INT) AS r_symbol_ratio, " +
+        "CAST(10 * nbullet <= 9 * nlines AS INT) AS r_bullet_lines, " +
+        "CAST(10 * nell <= 3 * nlines AS INT) AS r_ellipsis_lines, " +
+        "CAST(5 * nalpha >= 4 * n_words AS INT) AS r_alpha_words, " +
+        "CAST(nstop >= 2 AS INT) AS r_stopwords FROM c) " +
+        "SELECT *, CAST(r_word_count * r_mean_word_len * r_symbol_ratio * " +
+        "r_bullet_lines * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS pass " +
+        "FROM r"),
+    // secret-scan replay: same injection, same candidate class, char
+    // entropy re-derived via a substring histogram (engine byte = char:
+    // candidates are ASCII by the class), flag on the ROUNDED bits
+    "q_secret_scan" ->
+      ("WITH inj AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' key_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' aaaaaaaaaaaaaaaaaaaaaaaa' ELSE '' END AS text " +
+        "FROM documents), " +
+        "cands AS (SELECT DISTINCT doc_id, candidate FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9+/=_-]{20,}')) " +
+        "AS candidate FROM inj) u), " +
+        "ch AS (SELECT doc_id, candidate, unnest(list_transform(range(length(candidate)), " +
+        "i -> substring(candidate, CAST(i + 1 AS INT), 1))) AS c FROM cands), " +
+        "cc AS (SELECT doc_id, candidate, c, count(*) AS n FROM ch GROUP BY 1, 2, 3), " +
+        "ent AS (SELECT doc_id, candidate, " +
+        "round(sum(-(CAST(n AS DOUBLE) / length(candidate)) * " +
+        "ln(CAST(n AS DOUBLE) / length(candidate))) / ln(2.0), 4) AS entropy " +
+        "FROM cc GROUP BY 1, 2) " +
+        "SELECT doc_id, candidate, entropy, " +
+        "CAST(entropy >= 3.0 AS INT) AS is_secret FROM ent"),
     // reliability-diagram replay: bins on the ROUNDED score (both
     // engines bin the identical 4-decimal double)
     "q_calibration" ->

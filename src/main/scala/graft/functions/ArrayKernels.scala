@@ -1525,6 +1525,52 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `char_entropy(s)` — Shannon entropy in BITS over the characters of
+    * an ASCII string (−Σ p_c·log₂ p_c), one tight byte-histogram pass:
+    * the detect-secrets-style randomness signal that separates
+    * credentials/keys (high-entropy runs) from repeated filler. ASCII
+    * contract: the count is per BYTE, which equals per-character only
+    * for single-byte code points — callers must pre-filter candidates
+    * with an ASCII character class (see
+    * [[graft.ops.TextAnalysis.secretScan]]). Empty string → 0.0.
+    */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"char_entropy requires STRING, got ${other.catalogString}")
+      }
+    override def nullSafeEval(in: Any): Any =
+      charEntropyEval(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.ArrayKernels.charEntropyEval($in);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Called from generated code (static forwarder). */
+  def charEntropyEval(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+    var h = 0.0
+    i = 0
+    while (i < 256) {
+      if (counts(i) > 0) {
+        val p = counts(i).toDouble / n
+        h -= p * math.log(p)
+      }
+      i += 1
+    }
+    h / math.log(2.0)
+  }
+
   /** `hash_embed_dense(toks, dim)` — dense form: ARRAY<FLOAT> of all `dim`
     * signed bucket counts (zeros included), the canonical embeddings-table
     * vector. Replaces the long→map→transform dense assembly (a second
@@ -1727,6 +1773,9 @@ object ArrayKernels {
 
   def hash_count_entries(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashCountEntries(GraftSqlBridge.expression(toks), dim))
+
+  def char_entropy(s: Column): Column =
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(s)))
 
   def hash_embed_dense(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedDense(GraftSqlBridge.expression(toks), dim))

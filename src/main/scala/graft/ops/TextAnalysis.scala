@@ -1226,6 +1226,100 @@ object TextAnalysis {
           .as("brier"))
   }
 
+  /** Gopher/MassiveText document-quality rules (Rae et al. 2021, table
+    * A1 — the structural gate nearly every later pipeline inherited):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    * and the ≥2-stopwords check. Returns one row per document with each
+    * rule as its own flag plus the conjunction — pipelines want the
+    * per-rule breakdown (WHY a doc failed), not just the verdict.
+    *
+    * Every threshold is evaluated in EXACT INTEGER arithmetic
+    * (cross-multiplied: mean len in [3,10] ⇔ 3n ≤ Σlen ≤ 10n) — no
+    * float boundary can drift across engines. Words are whitespace
+    * runs ([[WS_RUN_RE]] — the rules are about raw layout, unlike the
+    * tokenizer); the alphabetic check uses `\p{L}` (multilingual-fair
+    * reading of Gopher's English-only "alphabetic" rule, documented
+    * divergence). Pure scan stage, zero shuffle, stateless-append
+    * streamable.
+    */
+  def gopherRules(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val ws = filter(split(col("text"), WS_RUN_RE), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val base = docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("_sumlen"),
+      // symbols: '#', the one-char ellipsis, and '...' (each '...' run
+      // counted once via non-overlapping left-to-right replace)
+      ((length(col("text")) -
+          length(expr("replace(text, '#', '')"))) +
+        (length(col("text")) -
+          length(expr("replace(text, '…', '')"))) +
+        (length(col("text")) -
+          length(expr("replace(text, '...', '')"))) / 3)
+        .cast("long").as("_nsym"),
+      size(lines).cast("long").as("_nlines"),
+      size(filter(lines, l => l.rlike("^[ \\t]*[-*•]"))).cast("long")
+        .as("_nbullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$"))).cast("long")
+        .as("_nell"),
+      size(filter(ws, w => w.rlike("\\p{L}"))).cast("long").as("_nalpha"),
+      size(array_intersect(toks(col("text")),
+        array(stopwords.map(lit): _*))).cast("long").as("_nstop"))
+    base.select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int")
+          .as("r_word_count"),
+        (lit(3) * col("n_words") <= col("_sumlen") &&
+          col("_sumlen") <= lit(10) * col("n_words")).cast("int")
+          .as("r_mean_word_len"),
+        (lit(10) * col("_nsym") <= col("n_words")).cast("int")
+          .as("r_symbol_ratio"),
+        (lit(10) * col("_nbullet") <= lit(9) * col("_nlines")).cast("int")
+          .as("r_bullet_lines"),
+        (lit(10) * col("_nell") <= lit(3) * col("_nlines")).cast("int")
+          .as("r_ellipsis_lines"),
+        (lit(5) * col("_nalpha") >= lit(4) * col("n_words")).cast("int")
+          .as("r_alpha_words"),
+        (col("_nstop") >= 2).cast("int").as("r_stopwords"))
+      .withColumn("pass",
+        (col("r_word_count") * col("r_mean_word_len") *
+          col("r_symbol_ratio") * col("r_bullet_lines") *
+          col("r_ellipsis_lines") * col("r_alpha_words") *
+          col("r_stopwords")).cast("int"))
+  }
+
+  /** detect-secrets-style credential scan — the scrubbing pass PII
+    * regexes miss: API keys, tokens, and passwords have no fixed shape,
+    * but they are RANDOM, so long candidate runs (length ≥ `minLen`
+    * over the base64/hex/identifier class) are flagged by character
+    * Shannon entropy ≥ `entropyBits` (detect-secrets' hex default is
+    * 3.0 bits). Returns one row per DISTINCT (doc, candidate) with the
+    * rounded entropy and the flag — rows to feed a span scrubber;
+    * candidate-less documents emit nothing. The gate compares the
+    * ROUNDED entropy so the verdict cannot drift across engine ulps.
+    *
+    * Scale shape: pure scan stage — regexp extraction, per-candidate
+    * [[graft.functions.ArrayKernels.CharEntropy]] byte-histogram kernel
+    * (candidates are ASCII by the character class, where byte = char),
+    * zero shuffle. A streaming corpus runs it unchanged (stateless
+    * projection, append-mode).
+    */
+  def secretScan(docs: DataFrame, minLen: Int = 20,
+      entropyBits: Double = 3.0): DataFrame = {
+    require(minLen >= 4, s"secretScan: minLen must be >= 4, got $minLen")
+    val candRe = s"[A-Za-z0-9+/=_\\-]{$minLen,}"
+    docs.select(col("doc_id"),
+        explode(array_distinct(
+          regexp_extract_all(col("text"), lit(candRe), lit(0))))
+          .as("candidate"))
+      .select(col("doc_id"), col("candidate"),
+        round(graft.functions.ArrayKernels.char_entropy(col("candidate")), 4)
+          .as("entropy"))
+      .withColumn("is_secret", (col("entropy") >= entropyBits).cast("int"))
+  }
+
   /** Standing index for INCREMENTAL text semantic dedup: the argmax-blocked
     * unit-vector assignment (vec_id, block, e) of [[hashEmbed]] vectors,
     * materialized once as a parquet table BUCKETED BY block

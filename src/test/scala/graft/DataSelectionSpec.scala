@@ -123,6 +123,95 @@ class DataSelectionSpec extends SparkSpec {
     assert(got(2) == ((10, 2L, 0.975, 1.0, 0.0013)))
   }
 
+  test("secretScan: entropy separates random keys from repeated filler") {
+    val docs = Seq(
+      // 24 a's: candidate, 0.0 bits — must NOT flag
+      (1L, "plain text aaaaaaaaaaaaaaaaaaaaaaaa here"),
+      // alternating ab (24): exactly 1.0 bit — not a secret
+      (2L, "x abababababababababababab y"),
+      // hex-looking key: high entropy — flagged
+      (3L, "token sk_9f86d081884c7d659a2feaa0c55ad015 end"),
+      // too short (< 20) and non-ASCII-class runs: no candidates
+      (4L, "short_run1234 ok"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.secretScan(docs)
+      .select("doc_id", "candidate", "entropy", "is_secret")
+      .as[(Long, String, Double, Int)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).toSeq ==
+      Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaa", 0.0, 0)))
+    assert(byDoc(2L).toSeq ==
+      Seq((2L, "abababababababababababab", 1.0, 0)))
+    val d3 = byDoc(3L)
+    assert(d3.length == 1 && d3.head._2.startsWith("sk_9f86") &&
+      d3.head._3 >= 3.0 && d3.head._4 == 1)
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // independent entropy replay for the flagged candidate
+    val cand = d3.head._2
+    val h = cand.groupBy(identity).values.map { g =>
+      val p = g.size.toDouble / cand.length
+      -p * math.log(p)
+    }.sum / math.log(2.0)
+    assert(d3.head._3 ==
+      BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // duplicate candidate within one doc emits ONE row
+    val dup = TextAnalysis.secretScan(Seq(
+      (9L, "aaaaaaaaaaaaaaaaaaaaaaaa then aaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text"))
+    assert(dup.count() == 1)
+  }
+
+  test("dsirScores is stateless append-mode streamable as-is") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val raw = Seq((1L, "wiki wiki wiki wiki wiki wiki wiki wiki"),
+      (2L, "spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val lr = TextAnalysis.dsirLogRatios(raw, raw.where($"doc_id" === 1L),
+      dim = 8)
+    val in = MemoryStream[(Long, String)](47, spark, None)
+    val q = TextAnalysis.dsirScores(
+        in.toDF().toDF("doc_id", "text"), lr)
+      .writeStream.format("memory").queryName("dsir_serve")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "wiki wiki wiki wiki wiki wiki wiki wiki"),
+        (11L, "spam spam spam spam spam spam spam spam"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_serve")
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    val batch = TextAnalysis.dsirScores(raw, lr)
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    assert(streamed == Map(10L -> batch(1L), 11L -> batch(2L)))
+  }
+
+  test("gopherRules: each rule trips on its own fixture, clean doc passes") {
+    val clean = Seq.fill(5)(
+      "the quick brown fox and all of that have gone with them today")
+      .mkString(" ") // 65 words, mean len 49/13, 6 stopwords
+    val docs = Seq(
+      (1L, clean),
+      (2L, "tiny doc"),                              // word count < 50
+      (3L, clean + " " + Seq.fill(10)("#").mkString(" ")), // 10 sym / 75 w
+      (4L, "- a\n- b\n- c\n- d"),                    // 4/4 bullet lines
+      (5L, "a...\nb...\nc\nd"),                      // 2/4 ellipsis lines
+      (6L, Seq.fill(50)("a").mkString(" ")))         // mean word len 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "n_words", "r_word_count", "r_mean_word_len",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stopwords", "pass")
+      .as[(Long, Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 65L, 1, 1, 1, 1, 1, 1, 1, 1)))
+    assert(got(2L)._3 == 0 && got(2L)._10 == 0)      // word count
+    assert(got(3L)._2 == 75L && got(3L)._5 == 0)     // symbol ratio
+    assert(got(3L)._8 == 1)                          // alpha still ok
+    assert(got(4L)._6 == 0)                          // bullet lines
+    assert(got(5L)._7 == 0)                          // ellipsis lines
+    assert(got(6L)._4 == 0)                          // mean word len
+  }
+
   test("weakLabels: single scan, gate parity with the standalone signals") {
     val docs = Seq(
       (1L, "The cat sat on the mat. The dog ran off!"),
