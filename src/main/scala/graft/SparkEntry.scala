@@ -1163,6 +1163,25 @@ object SparkEntry {
     // conjunction, every threshold integer-exact (cross-multiplied)
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // the REPETITION half of the Gopher gate, over deterministically
+    // injected repetition (dup lines on every 3rd doc, a doubled
+    // 12-token phrase on every 5th, dup paragraphs on every 7th — the
+    // synthetic corpus is single-line, so the rules need structure to
+    // bite on)
+    "q_gopher_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.gopherRepetition(docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe now\nsubscribe now\nsubscribe now"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(s" $GOPHER_REP_PHRASE $GOPHER_REP_PHRASE"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n\npromo paragraph block\n\npromo paragraph block"))
+            .otherwise(lit(""))).as("text")))
+    }),
     // entropy-based secret detection over deterministically injected
     // credentials (md5-hex key on every 7th doc = high entropy; a
     // repeated-char run on every 11th = the low-entropy control the
@@ -1457,6 +1476,12 @@ object SparkEntry {
     * keep-the-head PPL_RATES.
     */
   private val DSIR_RATES = Seq(0.1, 0.25, 0.5, 0.8, 1.0)
+
+  /** q_gopher_rep's injected 12-token phrase — doubled, every 5..10-gram
+    * inside it duplicates and the top-2/3/4-gram mass concentrates.
+    */
+  private val GOPHER_REP_PHRASE =
+    "the quick brown fox jumps over the lazy dog again and again"
   private val SEARCH_TERMS = Seq("stream", "join", "filter")
   private val BM25_TERMS = Seq("stream", "join")
   // repeated-term phrase on purpose: exercises the distinct-slot vote
@@ -1664,6 +1689,123 @@ object SparkEntry {
       s"ds AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
       "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
       "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
+
+  /** DuckDB replay of TextAnalysis.gopherRepetition over the
+    * q_gopher_rep injected fixture: per-(doc, unit) counts via
+    * unnest+GROUP BY instead of the engine's sorted-run arrays — same
+    * integers, same rounded fractions, same cross-multiplied flags.
+    * Threshold rationals are interpolated from the one list the Spark
+    * side uses conceptually (kept literal here; any drift fails the
+    * hash).
+    */
+  private def gopherRepSql: String = {
+    val top = Seq(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25))
+    val dup = Seq(5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100),
+      8 -> (3, 25), 9 -> (11, 100), 10 -> (1, 10))
+    val inj = "inj AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe now' || " +
+      "chr(10) || 'subscribe now' || chr(10) || 'subscribe now' " +
+      "ELSE '' END || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN ' $GOPHER_REP_PHRASE " +
+      s"$GOPHER_REP_PHRASE' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || " +
+      "'promo paragraph block' || chr(10) || chr(10) || " +
+      "'promo paragraph block' ELSE '' END AS text FROM documents)"
+    val base = s"base AS (SELECT doc_id, $TOKS AS toks, " +
+      "list_filter(list_transform(string_split_regex(text, '\\r?\\n'), " +
+      "x -> trim(x)), x -> x <> '') AS lines, " +
+      "list_filter(list_transform(string_split_regex(text, " +
+      "'(\\r?\\n){2,}'), x -> trim(x)), x -> x <> '') AS paras FROM inj)"
+    def unitStats(cte: String, src: String) =
+      s"$cte AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS d, " +
+        "CAST(sum(c * len) AS BIGINT) AS ch, " +
+        "CAST(sum((c - 1) * len) AS BIGINT) AS dch FROM " +
+        "(SELECT doc_id, v, count(*) AS c, length(v) AS len FROM " +
+        s"(SELECT doc_id, unnest($src) AS v FROM base) u " +
+        "GROUP BY doc_id, v) r GROUP BY doc_id)"
+    val dt = "dt AS (SELECT doc_id, CAST(coalesce(list_sum(" +
+      "list_transform(toks, x -> length(x))), 0) AS BIGINT) AS dtok " +
+      "FROM base)"
+    // positional grams per n; counts derive from them. Top family:
+    // occurrences × gram char mass of the max-count gram (longest on
+    // ties). Dup family: char mass of the DISTINCT token positions
+    // covered by any duplicated occurrence — chars counted once.
+    val gramCtes = (top ++ dup).map { case (n, _) =>
+      s"gp$n AS (SELECT doc_id, unnest(range(len(toks) - ${n - 1})) " +
+        s"AS i, toks FROM base WHERE len(toks) >= $n), " +
+        s"g$n AS (SELECT doc_id, i, " +
+        s"array_to_string(toks[(i+1):(i+$n)], ' ') AS g FROM gp$n), " +
+        s"c$n AS (SELECT doc_id, g, count(*) AS c, " +
+        s"length(g) - ${n - 1} AS len FROM g$n GROUP BY doc_id, g)"
+    }
+    val topCtes = top.map { case (n, _) =>
+      s"t$n AS (SELECT doc_id, max(c) AS mx FROM c$n GROUP BY doc_id), " +
+        s"top$n AS (SELECT g.doc_id, CAST(t.mx AS BIGINT) * " +
+        s"CAST(max(g.len) AS BIGINT) AS topc FROM c$n g JOIN t$n t " +
+        "ON t.doc_id = g.doc_id AND g.c = t.mx GROUP BY g.doc_id, t.mx)"
+    }
+    val dupCtes = dup.map { case (n, _) =>
+      s"cov$n AS (SELECT DISTINCT g.doc_id, g.i + o.o AS p FROM g$n g " +
+        s"JOIN c$n c ON c.doc_id = g.doc_id AND c.g = g.g AND c.c >= 2 " +
+        s"CROSS JOIN (SELECT unnest(range($n)) AS o) o), " +
+        s"d$n AS (SELECT c.doc_id, CAST(sum(length(" +
+        s"b.toks[CAST(c.p + 1 AS INT)])) AS BIGINT) AS dch " +
+        s"FROM cov$n c JOIN base b ON b.doc_id = c.doc_id " +
+        "GROUP BY c.doc_id)"
+    }
+    def fr(x: String, d: String) =
+      s"round($x / CAST(greatest($d, 1) AS DOUBLE), 4)"
+    def fl(p: Int, q: Int, x: String, d: String) =
+      s"CAST($q * $x <= $p * $d AS INT)"
+    val lineCols =
+      fr("coalesce(ls.n - ls.d, 0)", "coalesce(ls.n, 0)") +
+        " AS dup_line_frac, " +
+        fr("coalesce(ls.dch, 0)", "coalesce(ls.ch, 0)") +
+        " AS dup_line_char_frac, " +
+        fr("coalesce(ps.n - ps.d, 0)", "coalesce(ps.n, 0)") +
+        " AS dup_para_frac, " +
+        fr("coalesce(ps.dch, 0)", "coalesce(ps.ch, 0)") +
+        " AS dup_para_char_frac"
+    val gramCols = (top.map { case (n, _) =>
+      fr(s"coalesce(top$n.topc, 0)", "dt.dtok") +
+        s" AS top_${n}gram_char_frac"
+    } ++ dup.map { case (n, _) =>
+      fr(s"coalesce(d$n.dch, 0)", "dt.dtok") +
+        s" AS dup_${n}gram_char_frac"
+    }).mkString(", ")
+    val flagCols =
+      (Seq(
+        fl(3, 10, "coalesce(ls.n - ls.d, 0)", "coalesce(ls.n, 0)") +
+          " AS r_dup_line",
+        fl(1, 5, "coalesce(ls.dch, 0)", "coalesce(ls.ch, 0)") +
+          " AS r_dup_line_char",
+        fl(3, 10, "coalesce(ps.n - ps.d, 0)", "coalesce(ps.n, 0)") +
+          " AS r_dup_para",
+        fl(1, 5, "coalesce(ps.dch, 0)", "coalesce(ps.ch, 0)") +
+          " AS r_dup_para_char") ++
+        top.map { case (n, (p, q)) =>
+          fl(p, q, s"coalesce(top$n.topc, 0)", "dt.dtok") +
+            s" AS r_top_${n}gram" } ++
+        dup.map { case (n, (p, q)) =>
+          fl(p, q, s"coalesce(d$n.dch, 0)", "dt.dtok") +
+            s" AS r_dup_${n}gram" }).mkString(", ")
+    val joins = "FROM base b JOIN dt ON dt.doc_id = b.doc_id " +
+      "LEFT JOIN ls ON ls.doc_id = b.doc_id " +
+      "LEFT JOIN ps ON ps.doc_id = b.doc_id " +
+      (top.map(t => s"LEFT JOIN top${t._1} ON top${t._1}.doc_id = b.doc_id") ++
+        dup.map(t => s"LEFT JOIN d${t._1} ON d${t._1}.doc_id = b.doc_id"))
+        .mkString(" ", " ", "")
+    val passExpr = (Seq("r_dup_line", "r_dup_line_char", "r_dup_para",
+      "r_dup_para_char") ++ top.map(t => s"r_top_${t._1}gram") ++
+      dup.map(t => s"r_dup_${t._1}gram")).mkString(" * ")
+    s"WITH $inj, $base, ${unitStats("ls", "lines")}, " +
+      s"${unitStats("ps", "paras")}, $dt, " +
+      gramCtes.mkString(", ") + ", " + topCtes.mkString(", ") + ", " +
+      dupCtes.mkString(", ") + " " +
+      s"SELECT * , CAST($passExpr AS INT) AS pass FROM (" +
+      s"SELECT b.doc_id, $lineCols, $gramCols, $flagCols $joins) r"
+  }
 
   /** DuckDB mirror of TextAnalysis.weakLabels — the quality-gate /
     * readability-gate labeler frame, ONE definition for q_kappa and
@@ -3572,6 +3714,10 @@ object SparkEntry {
         "SELECT *, CAST(r_word_count * r_mean_word_len * r_symbol_ratio * " +
         "r_bullet_lines * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS pass " +
         "FROM r"),
+    // repetition-gate replay: per-(doc, unit) counts via unnest+GROUP BY
+    // instead of the engine's sorted-run arrays — same exact integers,
+    // same rounded fractions, same cross-multiplied flags
+    "q_gopher_rep" -> gopherRepSql,
     // secret-scan replay: same injection, same candidate class, char
     // entropy re-derived via a substring histogram (engine byte = char:
     // candidates are ASCII by the class), flag on the ROUNDED bits

@@ -1703,4 +1703,205 @@ object TextAnalysis {
             .as("distinct_ratio"))
     }.reduce(_.unionByName(_))
   }
+
+  // -------------------------------------------------------------------
+  // Gopher repetition battery
+
+  /** Gopher top-n-gram char-fraction thresholds as exact rationals
+    * (n → (p, q) meaning frac ≤ p/q): 2→0.20, 3→0.18, 4→0.16
+    * (Rae et al. 2021, table A1).
+    */
+  private val GOPHER_TOP: Seq[(Int, (Int, Int))] =
+    Seq(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25))
+
+  /** Gopher duplicate-n-gram char-fraction thresholds: 5→0.15, 6→0.14,
+    * 7→0.13, 8→0.12, 9→0.11, 10→0.10.
+    */
+  private val GOPHER_DUP: Seq[(Int, (Int, Int))] =
+    Seq(5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100), 8 -> (3, 25),
+      9 -> (11, 100), 10 -> (1, 10))
+
+  /** Run-length encoding of a SORTED string array as
+    * ARRAY<STRUCT<c:int, len:int>> — one struct per distinct value with
+    * its occurrence count and char length minus `sepAdj` (the n-gram
+    * space separators, so `len` is pure token char mass). O(m) over the
+    * sorted input: run starts are the positions whose value differs from
+    * their predecessor, run length is the gap to the next start.
+    *
+    * `s` MUST be a materialized column (not an inline sort_array chain):
+    * the lambdas probe it with element_at per position, and an inline
+    * expression would re-sort per element (the pmiCollocations
+    * re-tokenization trap).
+    */
+  private def sortedRuns(s: Column, sepAdj: Int): Column = {
+    val m = size(s)
+    // the greatest() keeps the probe index valid at i=1 without relying
+    // on Or short-circuiting under ANSI (s[1] vs s[1] is a no-op there —
+    // the first disjunct already marks position 1 a run start)
+    val starts = filter(sequence(lit(1), m), i =>
+      (i === 1) || (element_at(s, i) =!=
+        element_at(s, greatest(i - 1, lit(1)))))
+    val ends = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(m + 1))
+    when(m >= 1, zip_with(starts, ends, (a, b) => struct(
+        (b - a).as("c"),
+        (length(element_at(s, a)) - lit(sepAdj)).as("len"))))
+      .otherwise(array().cast("array<struct<c:int,len:int>>"))
+  }
+
+  /** The REPETITION half of the Gopher/MassiveText quality gate
+    * ([[gopherRules]] is the structural half; [[repetitionScores]] keeps
+    * its two count-fraction signals): per document, the char-mass
+    * fractions the paper's table A1 thresholds apply to —
+    *
+    *  - `dup_line_frac` / `dup_para_frac`: lines (split `\r?\n`) and
+    *    paragraphs (split on blank-line runs), trimmed, non-empty,
+    *    beyond-first occurrences over the total (≤ 0.30);
+    *  - `dup_line_char_frac` / `dup_para_char_frac`: char mass of those
+    *    beyond-first occurrences over total line/para char mass (≤ 0.20);
+    *  - `top_{2,3,4}gram_char_frac`: chars in ALL occurrences of the
+    *    most frequent n-gram over total token char mass (count ties
+    *    resolved to the longest gram — deterministic in both engines;
+    *    per-occurrence counting, so degenerate single-token runs can
+    *    read above 1.0 — the published reimplementations' reading);
+    *  - `dup_{5..10}gram_char_frac`: char mass of the UNION of token
+    *    positions covered by any occurrence of a duplicated n-gram,
+    *    over total token char mass — each char counted once (the
+    *    paper's reading; always ≤ 1).
+    *
+    * Char mass is token chars only (gram separators subtracted), so the
+    * fractions are layout-independent. Every numerator and denominator
+    * is an exact integer; the emitted fractions round to 4 decimals and
+    * every `r_*` flag cross-multiplies the integers against the exact
+    * rational threshold — no float boundary anywhere. Documents with no
+    * tokens/lines score 0.0 and pass vacuously (the structural
+    * [[gopherRules]] word-count rule is the one that rejects them).
+    *
+    * Scale shape: pure scan stage, zero shuffle, stateless-append
+    * streamable. Per-doc cost is O(L log L) per n (sort + run-length
+    * encode), not the O(L·distinct) of the [[repetitionScores]]
+    * filter-count form.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val ns = GOPHER_TOP ++ GOPHER_DUP
+    val emptyS = array().cast("array<string>")
+    def trimmedParts(re: String): Column =
+      filter(transform(coalesce(split(col("text"), re), emptyS),
+        p => trim(p)), p => length(p) > 0)
+    val a = docs.select(col("doc_id"),
+      coalesce(toks(col("text")), emptyS).as("_t"),
+      trimmedParts("\\r?\\n").as("_lines"),
+      trimmedParts("(\\r?\\n){2,}").as("_paras"))
+    // sorted (and, for the dup family, positional) gram arrays are
+    // materialized BEFORE any lambda probes them with element_at
+    val b = a.select(Seq(col("doc_id"), col("_t"),
+      sort_array(col("_lines")).as("_ls"),
+      sort_array(col("_paras")).as("_ps")) ++
+      ns.map { case (n, _) =>
+        sort_array(graft.functions.ArrayKernels.token_ngrams(col("_t"), n,
+          distinct = false)).as(s"_s$n")
+      } ++
+      GOPHER_DUP.map { case (n, _) =>
+        graft.functions.ArrayKernels.token_ngrams(col("_t"), n,
+          distinct = false).as(s"_g$n")
+      }: _*)
+    // duplicated gram VALUES per dup-n (sorted-neighbor scan), runs for
+    // the top family, unit runs for lines/paras
+    val c0 = b.select(Seq(col("doc_id"), col("_t"),
+      aggregate(col("_t"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")).as("_dtok"),
+      sortedRuns(col("_ls"), 0).as("_rl"),
+      sortedRuns(col("_ps"), 0).as("_rp")) ++
+      GOPHER_TOP.map { case (n, _) =>
+        sortedRuns(col(s"_s$n"), n - 1).as(s"_r$n") } ++
+      GOPHER_DUP.map { case (n, _) =>
+        val s = col(s"_s$n")
+        when(size(s) >= 2, array_distinct(filter(
+            transform(sequence(lit(2), size(s)), i =>
+              when(element_at(s, i) === element_at(s, i - 1),
+                element_at(s, i))),
+            v => v.isNotNull)))
+          .otherwise(array().cast("array<string>")).as(s"_dup$n")
+      } ++
+      GOPHER_DUP.map { case (n, _) => col(s"_g$n") }: _*)
+    // per-occurrence duplicated flags (array_contains against the
+    // materialized dup set), and the integer unit stats
+    def runTotal(r: Column): Column =
+      aggregate(r, lit(0L), (acc, x) => acc + x.getField("c").cast("long"))
+    def runChars(r: Column): Column =
+      aggregate(r, lit(0L), (acc, x) =>
+        acc + x.getField("c").cast("long") * x.getField("len").cast("long"))
+    def runDupChars(r: Column): Column =
+      aggregate(r, lit(0L), (acc, x) =>
+        acc + (x.getField("c").cast("long") - 1L) *
+          x.getField("len").cast("long"))
+    val c1 = c0.select(Seq(col("doc_id"), col("_t"), col("_dtok"),
+      runTotal(col("_rl")).as("_nl"), size(col("_rl")).cast("long").as("_dl"),
+      runChars(col("_rl")).as("_lch"), runDupChars(col("_rl")).as("_dlch"),
+      runTotal(col("_rp")).as("_np"), size(col("_rp")).cast("long").as("_dp"),
+      runChars(col("_rp")).as("_pch"), runDupChars(col("_rp")).as("_dpch")) ++
+      GOPHER_TOP.map { case (n, _) =>
+        coalesce(array_max(transform(col(s"_r$n"), x => x.getField("c"))),
+          lit(0)).as(s"_mx$n")
+      } ++
+      GOPHER_TOP.map { case (n, _) => col(s"_r$n") } ++
+      GOPHER_DUP.map { case (n, _) =>
+        transform(col(s"_g$n"), v => array_contains(col(s"_dup$n"), v))
+          .as(s"_occ$n")
+      }: _*)
+    // covered-position char mass per dup-n: token position i (1-based)
+    // is covered when ANY duplicated occurrence window [i-n+1, i]
+    // contains it — chars counted once, never per occurrence
+    val c2 = c1.select(Seq(col("doc_id"), col("_dtok"), col("_nl"),
+      col("_dl"), col("_lch"), col("_dlch"), col("_np"), col("_dp"),
+      col("_pch"), col("_dpch")) ++
+      GOPHER_TOP.map { case (n, _) =>
+        when(col(s"_mx$n") > 0, col(s"_mx$n").cast("long") *
+            array_max(transform(col(s"_r$n"), x =>
+              when(x.getField("c") === col(s"_mx$n"), x.getField("len"))
+                .otherwise(lit(-1)))).cast("long"))
+          .otherwise(lit(0L)).as(s"_top$n")
+      } ++
+      GOPHER_DUP.map { case (n, _) =>
+        val occ = col(s"_occ$n")
+        val t = col("_t")
+        when(exists(occ, x => x),
+          aggregate(sequence(lit(1), size(t)), lit(0L), (acc, i) =>
+            acc + when(exists(slice(occ, greatest(i - lit(n - 1), lit(1)),
+                least(i, size(occ)) -
+                  greatest(i - lit(n - 1), lit(1)) + lit(1)),
+                x => x),
+              length(element_at(t, i)).cast("long")).otherwise(lit(0L))))
+          .otherwise(lit(0L)).as(s"_dch$n")
+      }: _*)
+    def frac(x: Column, d: Column): Column =
+      round(x.cast("double") / greatest(d, lit(1L)).cast("double"), 4)
+    def flagLe(p: Int, q: Int, x: Column, d: Column): Column =
+      (lit(q) * x <= lit(p) * d).cast("int")
+    val dupl = col("_nl") - col("_dl")
+    val dupp = col("_np") - col("_dp")
+    val flagDefs: Seq[(String, Column)] =
+      Seq("r_dup_line" -> flagLe(3, 10, dupl, col("_nl")),
+        "r_dup_line_char" -> flagLe(1, 5, col("_dlch"), col("_lch")),
+        "r_dup_para" -> flagLe(3, 10, dupp, col("_np")),
+        "r_dup_para_char" -> flagLe(1, 5, col("_dpch"), col("_pch"))) ++
+      GOPHER_TOP.map { case (n, (p, q)) =>
+        s"r_top_${n}gram" -> flagLe(p, q, col(s"_top$n"), col("_dtok")) } ++
+      GOPHER_DUP.map { case (n, (p, q)) =>
+        s"r_dup_${n}gram" -> flagLe(p, q, col(s"_dch$n"), col("_dtok")) }
+    c2.select(Seq(col("doc_id"),
+      frac(dupl, col("_nl")).as("dup_line_frac"),
+      frac(col("_dlch"), col("_lch")).as("dup_line_char_frac"),
+      frac(dupp, col("_np")).as("dup_para_frac"),
+      frac(col("_dpch"), col("_pch")).as("dup_para_char_frac")) ++
+      GOPHER_TOP.map { case (n, _) =>
+        frac(col(s"_top$n"), col("_dtok")).as(s"top_${n}gram_char_frac") } ++
+      GOPHER_DUP.map { case (n, _) =>
+        frac(col(s"_dch$n"), col("_dtok")).as(s"dup_${n}gram_char_frac") } ++
+      flagDefs.map { case (name, f) => f.as(name) }: _*)
+      .withColumn("pass",
+        flagDefs.map { case (name, _) => col(name) }.reduce(_ * _)
+          .cast("int"))
+  }
 }

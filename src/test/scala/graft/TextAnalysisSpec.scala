@@ -682,4 +682,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(typoMap(docs).size ==
       TextAnalysis.typoClusters(docs).count().toInt)
   }
+
+  test("gopherRepetition: hand-checked fractions, vacuous empty doc, zero shuffle") {
+    val docs = Seq(
+      (0L, "a a a b\nx\nx\nx"),
+      (1L, ""),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs)
+    val r = out.collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    // lines: [a a a b, x, x, x] → 4 total / 2 distinct; char mass
+    // 7 + 3·1 = 10, beyond-first dup chars = 2·1
+    assert(d0.getAs[Double]("dup_line_frac") == 0.5)
+    assert(d0.getAs[Double]("dup_line_char_frac") == 0.2)
+    // 0.2 is EXACTLY the ≤ 0.20 boundary — the flag must pass
+    assert(d0.getAs[Int]("r_dup_line_char") == 1)
+    assert(d0.getAs[Int]("r_dup_line") == 0) // 0.5 > 0.30
+    // tokens [a,a,a,b,x,x,x], dtok 7; top 2-gram: "a a"/"x x" tie at
+    // count 2, char mass 2 → 4/7
+    assert(d0.getAs[Double]("top_2gram_char_frac") == 0.5714)
+    // all 3-grams distinct → mx 1, longest has 3 token chars → 3/7
+    assert(d0.getAs[Double]("top_3gram_char_frac") == 0.4286)
+    assert(d0.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    // empty doc: all-zero signals, every rule passes vacuously
+    val d1 = r(1L)
+    assert(d1.getAs[Int]("pass") == 1)
+    assert(d1.getAs[Double]("dup_line_frac") == 0.0)
+    // single-line clean doc: only the top-gram rules can fail (tiny
+    // denominators make any gram heavy)
+    assert(r(2L).getAs[Double]("top_3gram_char_frac") == 1.0)
+    // scan-stage contract: no Exchange anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("gopherRepetition: doubled phrase drives the dup-n-gram family over threshold") {
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    // the unique doc is LONG (60 distinct words) so the top-gram rules
+    // pass — on tiny docs any gram holds >20% of the chars by pigeonhole
+    val unique = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq((0L, s"$phrase $phrase"), (1L, unique))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // for n ≤ 12 the window starting at position j duplicates the one at
+    // j+12, and the duplicated windows cover EVERY token position — the
+    // covered-position char mass is exactly 1.0, never more (chars
+    // counted once)
+    (5 to 10).foreach { n =>
+      assert(r(0L).getAs[Double](s"dup_${n}gram_char_frac") == 1.0,
+        s"n=$n: ${r(0L)}")
+      assert(r(0L).getAs[Int](s"r_dup_${n}gram") == 0)
+      assert(r(1L).getAs[Double](s"dup_${n}gram_char_frac") == 0.0)
+      assert(r(1L).getAs[Int](s"r_dup_${n}gram") == 1)
+    }
+    assert(r(0L).getAs[Int]("pass") == 0)
+    assert(r(1L).getAs[Int]("pass") == 1)
+  }
 }
