@@ -40,6 +40,28 @@ object SparkEntry {
     */
   private def witness(df: DataFrame): String = df.count().toString
 
+  /** The boilerplate-fixture injection q_boilerplate AND
+    * q_boilerplate_incr share: a site-wide banner (every doc), a
+    * half-site banner (even ids), a 3-doc line STRADDLING the
+    * q_boilerplate_incr snapshot/increment split (hot only with the
+    * index's counts), a 2-doc increment-local line and a 2-doc
+    * snapshot-local line (both under threshold), and per-doc unique
+    * footers.
+    */
+  private def boilerInject(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      lit("\nsubscribe to our newsletter"),
+      when(col("doc_id") % 2 === 0, lit("\nfollow us on twitter"))
+        .otherwise(lit("")),
+      when(col("doc_id").isin(42L, 43L, 48L),
+        lit("\ncross boundary banner")).otherwise(lit("")),
+      when(col("doc_id").isin(58L, 59L), lit("\nrare increment line"))
+        .otherwise(lit("")),
+      when(col("doc_id") < 2, lit("\nrare pair line")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\nunique footer "), col("doc_id").cast("string")))
+        .otherwise(lit(""))).as("text"))
+
   /** The typo-fixture injection q_typo_clusters AND q_typo_apply share:
     * 1-edit "batch" variants (delete/insert/substitute) + a 2-edit
     * transposition appended to every 11th document.
@@ -1253,6 +1275,23 @@ object SparkEntry {
     // one-row line-duplication health report (the lineDedup decision input)
     "q_line_stats" -> ((s, d) =>
       Dedup.lineStats(Tables.documents(s, d))),
+    // RefinedWeb-policy boilerplate removal: lines in >= 3 DISTINCT docs
+    // vanish everywhere (no keep-first survivor); the 2-doc "rare pair"
+    // line and the per-doc unique footers stay
+    "q_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateScrub(boilerInject(Tables.documents(s, d)),
+        minDocs = 3)),
+    // incremental form: increment lines scrubbed against the standing
+    // line-frequency index + own-batch counts — the "cross boundary
+    // banner" line is hot ONLY because snapshot counts contribute
+    "q_boilerplate_incr" -> ((s, d) => {
+      val docs = boilerInject(Tables.documents(s, d))
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val idx = Dedup.lineFreqIndex(base,
+        IndexTables.ident("linefreq", d, witness(base)))
+      Dedup.boilerplateScrubApply(docs.where(col("doc_id") % 10 >= 8), idx,
+        minDocs = 3)
+    }),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -1689,6 +1728,46 @@ object SparkEntry {
       s"ds AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
       "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
       "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
+
+  /** DuckDB replay of Dedup.boilerplateScrub over the boilerInject
+    * fixture (and, with `incrOnly`, of boilerplateScrubApply: the hot
+    * set counts the WHOLE union — the standing index's contribution —
+    * while only increment rows are emitted).
+    */
+  private def boilerplateSql(incrOnly: Boolean): String = {
+    val filterTail = if (incrOnly) " WHERE inj.doc_id % 10 >= 8" else ""
+    "WITH inj AS (SELECT doc_id, text || chr(10) || " +
+      "'subscribe to our newsletter' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'follow us on twitter' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id IN (42, 43, 48) THEN chr(10) || " +
+      "'cross boundary banner' ELSE '' END || " +
+      "CASE WHEN doc_id IN (58, 59) THEN chr(10) || " +
+      "'rare increment line' ELSE '' END || " +
+      "CASE WHEN doc_id < 2 THEN chr(10) || 'rare pair line' " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'unique footer ' || " +
+      "doc_id ELSE '' END AS t FROM documents), " +
+      "p AS (SELECT doc_id, string_split_regex(t, '\\r?\\n') AS parts " +
+      "FROM inj), " +
+      "l AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS line_no, " +
+      "trim(unnest(parts)) AS line FROM p), " +
+      "le AS (SELECT * FROM l WHERE len(line) > 0), " +
+      "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) " +
+      "AS nd FROM le GROUP BY 1) c WHERE nd >= 3), " +
+      "keep AS (SELECT doc_id, line_no, line FROM le " +
+      "WHERE line NOT IN (SELECT line FROM hot)), " +
+      "nl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM le " +
+      "GROUP BY doc_id), " +
+      "ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+      "string_agg(line, chr(10) ORDER BY line_no) AS kept_text FROM keep " +
+      "GROUP BY doc_id) " +
+      "SELECT inj.doc_id, coalesce(nl.n_lines, 0) AS n_lines, " +
+      "coalesce(ag.n_kept, 0) AS n_kept, " +
+      "coalesce(ag.kept_text, '') AS text " +
+      "FROM inj LEFT JOIN nl USING (doc_id) LEFT JOIN ag USING (doc_id)" +
+      filterTail
+  }
 
   /** DuckDB replay of TextAnalysis.gopherRepetition over the
     * q_gopher_rep injected fixture: per-(doc, unit) counts via
@@ -3422,6 +3501,13 @@ object SparkEntry {
         "round(1.0 - count(*) / CAST(coalesce(sum(c), 1) AS DOUBLE), 6) " +
         "AS dup_line_fraction, " +
         "CAST(coalesce(max(c), 0) AS BIGINT) AS max_line_freq FROM per"),
+    // boilerplate policy replay: hot = lines in >= 3 distinct docs
+    // (union-wide), removed everywhere — no keep-first survivor
+    "q_boilerplate" -> boilerplateSql(incrOnly = false),
+    // the incremental twin IS the batch replay filtered to increment
+    // rows — the hot set still counts the whole union (index + batch),
+    // which is exactly the apply's contract under disjoint doc ids
+    "q_boilerplate_incr" -> boilerplateSql(incrOnly = true),
     // same pass order as Scrub.stripHtml, patterns interpolated from the
     // same constants; 'gs' option = global ('s' is inline in the pattern
     // where needed); &amp; decoded last like the Spark side

@@ -1031,24 +1031,40 @@ object Dedup {
     * dropped row (the caller decides the drop policy).
     */
   def lineDedup(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val lineSplit = lineSplitExpr
-    val lines = docs
-      .select(col("doc_id"),
-        posexplode(lineSplit).as(Seq("line_no", "line")))
-      .select(col("doc_id"), col("line_no"), trim(col("line")).as("line"))
-      .where(length(col("line")) > 0)
+    val lines = lineRows(docs)
     val owners = lines
-      .groupBy(md5(col("line")).as("h"))
+      .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("line_no"))).as("own"))
     val keeps = owners
       .select(col("own.doc_id").as("doc_id"), col("own.line_no").as("line_no"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("line_no"))).as("keep"))
-    // same multiply-referenced-projection discipline as spanDedup: the
-    // split array is materialized once, not re-split per kept line
+    rebuildKeptLines(docs, keeps, carry)
+  }
+
+  /** The (doc_id, line_no, h) rows of the line-rewrite family — trimmed
+    * non-empty lines keyed by md5, line_no = pre-filter split index. ONE
+    * definition shared by [[lineDedup]], [[boilerplateScrub]] and the
+    * incremental forms so batch and apply can never drift on identity.
+    */
+  private def lineRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(lineSplitExpr).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), trim(col("line")).as("line"))
+      .where(length(col("line")) > 0)
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("h"))
+
+  /** Shared reconstruction tail: given per-doc SORTED keep lists of line
+    * indices (pre-filter split indices), re-split the text once (the
+    * spanDedup multiply-referenced-projection discipline) and emit the
+    * kept lines trimmed and newline-joined. Docs with no keep row come
+    * back with empty text, not a dropped row.
+    */
+  private def rebuildKeptLines(docs: DataFrame, keeps: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val l = col("_l")
     docs.join(keeps, Seq("doc_id"), "left")
-      .withColumn("_l", lineSplit)
+      .withColumn("_l", lineSplitExpr)
       .select(col("doc_id") +: carry.map(col) :+
         size(filter(transform(l, x => trim(x)), x => length(x) > 0))
           .as("n_lines") :+
@@ -1056,6 +1072,98 @@ object Dedup {
         array_join(transform(coalesce(col("keep"), array().cast("array<int>")),
           i => trim(element_at(l, i + 1))), "\n").as("text"): _*)
   }
+
+  /** RefinedWeb/CCNet-style BOILERPLATE line removal: every line whose
+    * trimmed content appears in at least `minDocs` DISTINCT documents is
+    * removed from EVERY document — no survivor, unlike [[lineDedup]]'s
+    * keep-first-occurrence policy. This is the policy for nav bars,
+    * cookie banners and "subscribe" footers stamped onto a whole site:
+    * the first page that happens to own the banner should not keep it
+    * either (it was never content), while a line repeated WITHIN one
+    * document (code, tables, poetry refrains) is untouched because the
+    * gate counts distinct documents, not occurrences.
+    *
+    * Scale shape: line text never shuffles — [[lineRows]] reduces each
+    * line to a 16-byte md5 in the scan stage; the hot set is the
+    * distinct-doc count dictionary filtered to ≥ `minDocs` (the
+    * boilerplate dictionary — tiny by construction), the keep lists are
+    * per-doc int arrays from a left-anti join on h, and reconstruction
+    * re-splits the text in the final join's scan stage.
+    */
+  def boilerplateScrub(docs: DataFrame, minDocs: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(minDocs >= 2, s"boilerplateScrub: minDocs must be >= 2, got $minDocs")
+    val lines = lineRows(docs)
+    val hot = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("h"))
+    val keeps = lines.join(hot, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("line_no"))).as("keep"))
+    rebuildKeptLines(docs, keeps, carry)
+  }
+
+  /** Standing per-line distinct-doc counts for incremental
+    * [[boilerplateScrub]]: (h, nd) bucketed by h
+    * ([[IndexTables.bucketed]], parameters in the name —
+    * the [[winnowIndex]] discipline). Counts are additive under the
+    * append-only DISJOINT doc-id contract (a crawl's new docs never
+    * reuse snapshot ids), so grow the table by appending the increment's
+    * own per-line counts and re-summing on read, or rebuild on ingest
+    * cadence — the [[substringIndex]] re-aggregate convention.
+    */
+  def lineFreqIndex(docs: DataFrame, name: String,
+      nBuckets: Int = 8): DataFrame =
+    IndexTables.bucketed(docs.sparkSession,
+      s"${name}_linefreq", nBuckets, Seq("h"), Seq("h"))(
+      lineRows(docs).groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd")))
+
+  /** Incremental boilerplate scrub: rewrite INCREMENT documents with
+    * every line removed whose distinct-doc count across snapshot ∪
+    * increment reaches `minDocs` — identical to the batch
+    * [[boilerplateScrub]] over the union, filtered to increment rows,
+    * PROVIDED snapshot and increment doc ids are disjoint (the counts
+    * are then additive; the standing index carries the snapshot side).
+    * Each crawl pays increment-line cost; snapshot text is never read.
+    * Note the asymmetry with [[substringScrubApply]]: boilerplate has no
+    * ownership ordering, so snapshot documents' own rewrites only change
+    * when a NEW line crosses the threshold — re-scrub the snapshot on
+    * rebuild cadence if layout-stable output matters there.
+    */
+  def boilerplateScrubApply(incDocs: DataFrame, index: DataFrame,
+      minDocs: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+    require(minDocs >= 2,
+      s"boilerplateScrubApply: minDocs must be >= 2, got $minDocs")
+    val lines = lineRows(incDocs)
+    val incCounts = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("_ndInc"))
+    val hot = incCounts
+      .join(index.select(col("h"), col("nd").as("_ndIdx")), Seq("h"), "left")
+      .where(coalesce(col("_ndIdx"), lit(0L)) + col("_ndInc") >= minDocs)
+      .select(col("h"))
+    val keeps = lines.join(hot, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("line_no"))).as("keep"))
+    rebuildKeptLines(incDocs, keeps, carry)
+  }
+
+  /** Streaming twin of [[boilerplateScrubApply]]: a document stream
+    * rewritten against the standing line-frequency index, one micro-batch
+    * per apply call (the [[substringScrubServe]] foreachBatch pattern —
+    * per-batch re-planning lets the h-probes ride the bucketed index
+    * scan). Each batch gets full incremental semantics: hot = index
+    * counts + own-batch distinct-doc counts. The index is read-only
+    * here; ingest grows it on its own cadence ([[lineFreqIndex]]).
+    */
+  def boilerplateScrubServe(docStream: DataFrame, index: DataFrame,
+      minDocs: Int = 3, carry: Seq[String] = Nil)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(boilerplateScrubApply(batch, index, minDocs, carry))
+    }
 
   /** One-row line-duplication report over the corpus — the health number
     * behind a [[lineDedup]] decision: total non-blank (trimmed) lines,

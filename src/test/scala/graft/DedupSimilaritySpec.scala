@@ -1241,6 +1241,78 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
   }
 
+  test("boilerplateScrub removes hot lines everywhere — no keep-first survivor") {
+    val docs = Seq(
+      (1L, "unique alpha\nshared banner"),
+      (2L, "shared banner\nunique beta"),
+      (3L, "shared banner\npair line"),
+      (4L, "pair line\nrefrain\nrefrain\nrefrain"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrub(docs, minDocs = 3)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // 'shared banner' (3 distinct docs) vanishes EVERYWHERE — doc 1's
+    // first occurrence has no survivor privilege (contrast lineDedup)
+    assert(got(1L) == ((1L, 2, 1, "unique alpha")))
+    assert(got(2L) == ((2L, 2, 1, "unique beta")))
+    // 'pair line' (2 docs) is under threshold and stays
+    assert(got(3L) == ((3L, 2, 1, "pair line")))
+    // WITHIN-doc repetition never counts toward the distinct-doc gate
+    assert(got(4L) == ((4L, 4, 4, "pair line\nrefrain\nrefrain\nrefrain")))
+    // line text never shuffles — the gate exchange carries md5 keys
+    val plan = Dedup.boilerplateScrub(docs, minDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
+  }
+
+  test("boilerplateScrubApply: union counts decide; serve twin = per-batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "bp_spec_linefreq")
+    val base = Seq(
+      (1L, "straddle banner\nsnap one"),
+      (2L, "straddle banner\nsnap two")).toDF("doc_id", "text")
+    val idx = Dedup.lineFreqIndex(base, "bp_spec")
+    val incRows = Seq(
+      (10L, "straddle banner\nfresh content"), // union count 3 → hot
+      (11L, "inc local line\nmore fresh"),     // union count 2 → stays
+      (12L, "inc local line\ntail"))
+    val inc = incRows.toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrubApply(inc, idx, minDocs = 3)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // hot ONLY because the standing index contributes 2 snapshot docs
+    assert(got(10L) == ((10L, 2, 1, "fresh content")))
+    assert(got(11L) == ((11L, 2, 2, "inc local line\nmore fresh")))
+    assert(got(12L) == ((12L, 2, 2, "inc local line\ntail")))
+    // contract: apply ≡ batch over snapshot ∪ increment, increment rows
+    val batch = Dedup.boilerplateScrub(base.union(inc), minDocs = 3)
+      .where($"doc_id" >= 10L)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got.values.toSeq.sortBy(_._1) == batch)
+    // serve twin: streamed batches reproduce the per-batch apply exactly
+    val (b1, b2) = incRows.splitAt(1)
+    val in = MemoryStream[(Long, String)](93, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, String)]()
+    val q = Dedup.boilerplateScrubServe(
+        in.toDF().toDF("doc_id", "text"), idx, minDocs = 3) { b =>
+      out ++= b.as[(Long, Int, Int, String)].collect()
+    }.start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val expected =
+      (Dedup.boilerplateScrubApply(b1.toDF("doc_id", "text"), idx, 3)
+        .as[(Long, Int, Int, String)].collect() ++
+        Dedup.boilerplateScrubApply(b2.toDF("doc_id", "text"), idx, 3)
+          .as[(Long, Int, Int, String)].collect()).sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == expected)
+    // the 2-doc 'inc local line' arrives SPLIT across batches: read-only
+    // serving sees 1 + index 0 per batch — kept in both (union semantics
+    // need the ingest path to grow the index, by design)
+    assert(out.map(r => r._1 -> r._4).toMap.apply(11L)
+      == "inc local line\nmore fresh")
+  }
+
   test("winnowPairsStats surfaces what the posting cap drops") {
     // hot-fp fixture: 10 identical boilerplate documents (every winnowed
     // fp appears in all 10 → exact drop arithmetic), plus one unrelated doc
