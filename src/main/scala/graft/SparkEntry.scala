@@ -1160,6 +1160,23 @@ object SparkEntry {
       Sampling.perplexityMix(scored, "doc_id", "dsir_logw", DSIR_RATES,
         salt = "dsir")
     }),
+    // trained multiclass NB over hashed token counts — the fasttext-
+    // style router: per-doc argmax prediction vs the true lang label
+    // (the synthetic corpus's labels are vocabulary-independent, so the
+    // model learns priors+noise — exactly what the oracle replays)
+    "q_nb_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.nbFit(docs, "lang", dim = 64)
+      TextAnalysis.nbPredict(docs, model, carry = Seq("lang"))
+        .withColumn("correct", (col("pred") === col("lang")).cast("int"))
+    }),
+    // the classifier acceptance artifact: true × predicted confusion
+    "q_nb_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.nbFit(docs, "lang", dim = 64)
+      TextAnalysis.nbPredict(docs, model, carry = Seq("lang"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    }),
     // token-budget mixture solve: the largest run honoring a 4-domain
     // recipe under a 2-epoch repetition cap (closed-form waterline)
     "q_mix_solve" -> ((s, d) =>
@@ -1885,6 +1902,45 @@ object SparkEntry {
       s"SELECT * , CAST($passExpr AS INT) AS pass FROM (" +
       s"SELECT b.doc_id, $lineCols, $gramCols, $flagCols $joins) r"
   }
+
+  /** DuckDB replay of the TextAnalysis.nbFit + nbPredict chain — the
+    * model RE-FIT in SQL (cls × range(dim) smoothing grid, add-1, doc
+    * -count priors) rather than interpolated, the dsirCtes discipline.
+    * Argmax on the ROUNDED per-(doc, class) score, ties to the
+    * lexicographically first label (rn over s DESC, cand ASC = the
+    * engine's first-win over the label-sorted score array). Ends in
+    * `pr(doc_id, lang, pred)`.
+    */
+  private def nbCtes(dim: Int): String =
+    s"t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS hx FROM t), " +
+      "hb AS (SELECT doc_id, " +
+      s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS b FROM h), " +
+      "cd AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM hb GROUP BY 1, 2), " +
+      s"grid AS (SELECT CAST(range AS INT) AS b FROM range($dim)), " +
+      "cls AS (SELECT DISTINCT lang FROM documents), " +
+      "dc AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+      "ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+      "cdl AS (SELECT d.lang, cd.b, cd.c FROM cd " +
+      "JOIN documents d ON d.doc_id = cd.doc_id), " +
+      "cb AS (SELECT l.lang, g.b, coalesce(q.c, 0.0) AS c FROM cls l " +
+      "CROSS JOIN grid g LEFT JOIN (SELECT lang, b, sum(c) AS c " +
+      "FROM cdl GROUP BY 1, 2) q ON q.lang = l.lang AND q.b = g.b), " +
+      s"nl AS (SELECT lang, sum(c) + $dim.0 AS ntok FROM cb GROUP BY 1), " +
+      "lp AS (SELECT cb.lang, cb.b, ln((cb.c + 1.0) / nl.ntok) AS lp " +
+      "FROM cb JOIN nl USING (lang)), " +
+      "pri AS (SELECT dc.lang, ln(dc.n / ntot.n) AS pri FROM dc, ntot), " +
+      "sc AS (SELECT d.doc_id, d.lang AS true_lang, l.lang AS cand, " +
+      "round(pri.pri + coalesce(sum(cd.c * lp.lp), 0.0), 4) AS s " +
+      "FROM documents d CROSS JOIN cls l " +
+      "JOIN pri ON pri.lang = l.lang " +
+      "LEFT JOIN cd ON cd.doc_id = d.doc_id " +
+      "LEFT JOIN lp ON lp.lang = l.lang AND lp.b = cd.b " +
+      "GROUP BY d.doc_id, d.lang, l.lang, pri.pri), " +
+      "rk AS (SELECT doc_id, true_lang, cand, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn FROM sc), " +
+      "pr AS (SELECT doc_id, true_lang AS lang, cand AS pred FROM rk " +
+      "WHERE rn = 1)"
 
   /** DuckDB mirror of TextAnalysis.weakLabels — the quality-gate /
     * readability-gate labeler frame, ONE definition for q_kappa and
@@ -3735,6 +3791,16 @@ object SparkEntry {
         "WHERE '0' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
         s"CASE b.bucket $caseThr END"
     },
+    // NB classifier replay: the model re-fit in SQL, per-doc argmax on
+    // the rounded score with the same lexicographic tie-break
+    "q_nb_lang" ->
+      (s"WITH ${nbCtes(64)} " +
+        "SELECT doc_id, lang, pred, CAST(pred = lang AS INT) AS correct " +
+        "FROM pr"),
+    // confusion matrix off the same prediction chain
+    "q_nb_confusion" ->
+      (s"WITH ${nbCtes(64)} " +
+        "SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2"),
     // closed-form waterline: T* = min over weighted domains of
     // maxEpochs·c_d/w_d; weights interpolated from MIX_SOLVE_W (the
     // QUALITY_W pattern), every literal CAST AS DOUBLE (the MMR

@@ -1172,6 +1172,80 @@ object TextAnalysis {
         .as("dsir_logw"))
   }
 
+  /** Multinomial Naive Bayes fit over hashed token counts — the TRAINED
+    * stand-in for the fasttext-style classifiers corpus pipelines run
+    * for language/domain routing ([[predLang]] is the fixed-heuristic
+    * twin; [[dsirLogRatios]] is the binary log-ratio special case of
+    * this). Features are [[graft.functions.ArrayKernels.HashCountEntries]]
+    * buckets, add-`alpha` smoothed per class; priors are document-count
+    * shares. Returns (label, logPrior, logCondProb[dim]) SORTED BY LABEL
+    * — the order [[nbPredict]]'s tie-break depends on. Null labels are
+    * excluded from the fit.
+    *
+    * Scale shape: two corpus passes, both map-side-combined aggregates
+    * whose key spaces are (nClasses × dim) and nClasses — the collects
+    * are model-sized, never data-sized (the [[dsirLogRatios]] contract).
+    */
+  def nbFit(docs: DataFrame, labelCol: String, dim: Int = 64,
+      alpha: Double = 1.0): Seq[(String, Double, Array[Double])] = {
+    require(dim > 0, s"nbFit: dim must be positive, got $dim")
+    require(alpha > 0, s"nbFit: alpha must be positive, got $alpha")
+    val labeled = docs.where(col(labelCol).isNotNull)
+    val counts = labeled.select(col(labelCol).as("_y"),
+        explode(graft.functions.ArrayKernels.hash_count_entries(
+          toks(col("text")), dim)).as("_e"))
+      .groupBy(col("_y"), col("_e.dim_idx").as("b"))
+      .agg(sum("_e.value").as("c")).collect()
+    val docCounts = labeled.groupBy(col(labelCol).as("_y"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "nbFit: no labeled documents")
+    val nTotal = docCounts.values.sum
+    val byClass = counts.groupBy(_.getString(0))
+    docCounts.keys.toSeq.sorted.map { y =>
+      val arr = new Array[Double](dim)
+      byClass.getOrElse(y, Array.empty[org.apache.spark.sql.Row])
+        .foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      val nTok = arr.sum + alpha * dim
+      (y, math.log(docCounts(y).toDouble / nTotal.toDouble),
+        Array.tabulate(dim)(b => math.log((arr(b) + alpha) / nTok)))
+    }
+  }
+
+  /** Argmax prediction with a fitted [[nbFit]] model: per document, the
+    * label maximizing logPrior + Σ_b c(b)·logCondProb[b]. Per-class
+    * scores are ROUNDED to 4 decimals before the argmax so the decision
+    * cannot drift across engine ulps; count ties go to the
+    * lexicographically FIRST label (array_position first-win over the
+    * label-sorted score array — [[nbFit]] sorts). Zero-token documents
+    * score prior-only, i.e. predict the majority class.
+    *
+    * Pure scan stage with the model as literal arrays — zero shuffle,
+    * stateless-append streamable, the 100 TB scoring form.
+    */
+  def nbPredict(docs: DataFrame, model: Seq[(String, Double, Array[Double])],
+      carry: Seq[String] = Nil): DataFrame = {
+    require(model.nonEmpty, "nbPredict: empty model")
+    val dim = model.head._3.length
+    require(model.forall(_._3.length == dim), "nbPredict: ragged model")
+    val labelsLit = array(model.map(m => lit(m._1)): _*)
+    val withEntries = docs.select(col("doc_id") +: carry.map(col) :+
+      graft.functions.ArrayKernels.hash_count_entries(
+        toks(col("text")), dim).as("_e"): _*)
+    val scores = model.map { case (_, pri, lp) =>
+      val lpLit = array(lp.toIndexedSeq.map(lit): _*)
+      round(lit(pri) + aggregate(col("_e"), lit(0.0), (acc, e) =>
+        acc + e.getField("value") *
+          element_at(lpLit, e.getField("dim_idx") + lit(1))), 4)
+    }
+    withEntries
+      .select(col("doc_id") +: carry.map(col) :+
+        array(scores: _*).as("_sc"): _*)
+      .withColumn("pred", element_at(labelsLit,
+        array_position(col("_sc"), array_max(col("_sc"))).cast("int")))
+      .drop("_sc")
+  }
+
   /** Cohen's kappa between two boolean labelers — chance-corrected
     * agreement, THE acceptance gate on weak-supervision labels (quality
     * gates, toxicity votes, preference annotations): raw agreement po

@@ -22,6 +22,43 @@ class DataSelectionSpec extends SparkSpec {
     (head % dim).toInt
   }
 
+  test("nbFit/nbPredict: disjoint vocabularies separate; priors decide empty docs") {
+    // two classes with DISJOINT vocabulary — a working classifier must
+    // recover the labels perfectly on its own training set
+    val wikiWords = "astronomy telescope galaxy nebula orbit"
+    val spamWords = "viagra lottery winner clicknow freemoney"
+    val docs = ((0 until 12).map(i => (i.toLong, s"$wikiWords $wikiWords", "wiki")) ++
+      (12 until 20).map(i => (i.toLong, s"$spamWords $spamWords", "spam")) ++
+      Seq((20L, "", "wiki"))) // zero tokens → prior-only → majority class
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbFit(docs, "lang", dim = 32)
+    // model is label-sorted — the tie-break order nbPredict relies on
+    assert(model.map(_._1) == Seq("spam", "wiki"))
+    val pred = TextAnalysis.nbPredict(docs, model, carry = Seq("lang"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    (0 until 12).foreach(i => assert(pred(i.toLong) == "wiki"))
+    (12 until 20).foreach(i => assert(pred(i.toLong) == "spam"))
+    // 13 wiki docs vs 8 spam: the empty doc goes to the majority prior
+    assert(pred(20L) == "wiki")
+    // scoring is scan-stage: no Exchange in the predict plan
+    val plan = TextAnalysis.nbPredict(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("nbPredict: exact score ties go to the lexicographically first label") {
+    // identical class-conditional evidence and equal priors — every
+    // per-class score is EQUAL, so the argmax must consistently pick the
+    // first label in sorted order
+    val docs = Seq(
+      (0L, "same words here", "aaa"), (1L, "same words here", "bbb"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbFit(docs, "lang", dim = 16)
+    val pred = TextAnalysis.nbPredict(docs, model)
+      .as[(Long, String)].collect().toMap
+    assert(pred(0L) == "aaa" && pred(1L) == "aaa")
+  }
+
   test("hash_count_entries: unsigned occurrence counts per touched bucket") {
     val df = Seq((1L, "aa aa aa bb")).toDF("doc_id", "text")
       .select(explode(graft.functions.ArrayKernels.hash_count_entries(
