@@ -362,6 +362,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(Tables.documents(s, d))),
+    // script/charset composition + code-switching flag over injected
+    // CJK (every 4th doc) and Cyrillic (every 6th) segments — the
+    // synthetic corpus is pure ASCII, so the mix needs structure
+    "q_script_mix" -> ((s, d) =>
+      TextAnalysis.scriptMix(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" 机器学习模型训练数据"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit(" обучение моделей данных"))
+            .otherwise(lit(""))).as("text")))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), 3)),
     // k-means cell occupancy over the IVF quantizer (clustering summary);
     // probes the SAME persisted index as q_ivf_topk — centroids trained and
@@ -1176,6 +1186,15 @@ object SparkEntry {
       val model = TextAnalysis.nbFit(docs, "lang", dim = 64)
       TextAnalysis.nbPredict(docs, model, carry = Seq("lang"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    }),
+    // per-class precision/recall/F1 off the same prediction chain — F1
+    // from the UNROUNDED ratios, NULL metrics on empty denominators
+    "q_nb_prf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.nbFit(docs, "lang", dim = 64)
+      TextAnalysis.classifierReport(
+        TextAnalysis.nbPredict(docs, model, carry = Seq("lang")),
+        "lang", "pred")
     }),
     // token-budget mixture solve: the largest run honoring a 4-domain
     // recipe under a 2-epoch repetition cap (closed-form waterline)
@@ -3221,6 +3240,34 @@ object SparkEntry {
     "q_lang_confusion" ->
       (s"WITH $LANGID_CTES SELECT lang, pred_lang, count(*) AS cnt " +
         "FROM pred GROUP BY lang, pred_lang"),
+    // script-mix replay: same injection, RE2 script classes (\p{Latin}
+    // vs Java's \p{IsLatin} — same semantics), length-difference counts,
+    // the same dominant CASE order = lexicographic tie-break
+    "q_script_mix" ->
+      ("WITH inj AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' 机器学习模型训练数据' ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN ' обучение моделей данных' ELSE '' END " +
+        "AS text FROM documents), " +
+        "c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
+        "CAST(length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')) AS BIGINT) AS n_latin, " +
+        "CAST(length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS BIGINT) AS n_han, " +
+        "CAST(length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+        "CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS BIGINT) AS n_space " +
+        "FROM inj) " +
+        "SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit, n_space, " +
+        "len - n_latin - n_han - n_cyrillic - n_digit - n_space AS n_other, " +
+        "round(n_latin / CAST(greatest(len - n_space, 1) AS DOUBLE), 4) AS latin_frac, " +
+        "round(n_han / CAST(greatest(len - n_space, 1) AS DOUBLE), 4) AS han_frac, " +
+        "round(n_cyrillic / CAST(greatest(len - n_space, 1) AS DOUBLE), 4) AS cyrillic_frac, " +
+        "CASE WHEN greatest(n_latin, n_han, n_cyrillic) = 0 THEN 'none' " +
+        "WHEN n_cyrillic = greatest(n_latin, n_han, n_cyrillic) THEN 'cyrillic' " +
+        "WHEN n_han = greatest(n_latin, n_han, n_cyrillic) THEN 'han' " +
+        "ELSE 'latin' END AS dominant, " +
+        "CAST((CASE WHEN n_latin >= 5 THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_han >= 5 THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_cyrillic >= 5 THEN 1 ELSE 0 END) >= 2 AS INT) AS mixed " +
+        "FROM c"),
     "q_custom_agg" ->
       ("SELECT event_type, round(avg(value), 4) AS mean_v, count(*) AS cnt " +
         "FROM events GROUP BY event_type"),
@@ -3801,6 +3848,30 @@ object SparkEntry {
     "q_nb_confusion" ->
       (s"WITH ${nbCtes(64)} " +
         "SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2"),
+    // per-class P/R/F1 replay — F1's harmonic mean from the unrounded
+    // ratios, CASE-guarded NULLs on empty denominators
+    "q_nb_prf" ->
+      (s"WITH ${nbCtes(64)}, " +
+        "conf AS (SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2), " +
+        "bt AS (SELECT lang AS label, CAST(sum(n) AS BIGINT) AS n_true, " +
+        "CAST(coalesce(sum(CASE WHEN pred = lang THEN n END), 0) AS BIGINT) " +
+        "AS tp FROM conf GROUP BY 1), " +
+        "bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred " +
+        "FROM conf GROUP BY 1), " +
+        "j AS (SELECT coalesce(bt.label, bp.label) AS label, " +
+        "coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true, " +
+        "coalesce(n_pred, 0) AS n_pred " +
+        "FROM bt FULL OUTER JOIN bp ON bt.label = bp.label) " +
+        "SELECT label, tp, n_true, n_pred, " +
+        "CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 4) " +
+        "END AS prec, " +
+        "CASE WHEN n_true > 0 THEN round(tp / CAST(n_true AS DOUBLE), 4) " +
+        "END AS rec, " +
+        "CASE WHEN n_pred > 0 AND n_true > 0 AND " +
+        "(tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE)) > 0 " +
+        "THEN round(2 * (tp / CAST(n_pred AS DOUBLE)) * " +
+        "(tp / CAST(n_true AS DOUBLE)) / (tp / CAST(n_pred AS DOUBLE) + " +
+        "tp / CAST(n_true AS DOUBLE)), 4) END AS f1 FROM j"),
     // closed-form waterline: T* = min over weighted domains of
     // maxEpochs·c_d/w_d; weights interpolated from MIX_SOLVE_W (the
     // QUALITY_W pattern), every literal CAST AS DOUBLE (the MMR

@@ -1246,6 +1246,89 @@ object TextAnalysis {
       .drop("_sc")
   }
 
+  /** Per-class precision/recall/F1 over ANY (label, prediction) frame —
+    * the multiclass acceptance artifact beside [[cohenKappa]] (pairwise
+    * labeler agreement) and [[calibrationReport]] (score reliability):
+    * per class, true-positive / support / predicted counts in exact
+    * integers, then prec = tp/n_pred, rec = tp/n_true, F1 as their
+    * harmonic mean computed from the UNROUNDED ratios (rounding first
+    * would double-round F1); metrics are NULL where the denominator is
+    * empty (a class never predicted has no precision, not 0.0). Classes
+    * appearing only on one side still get a row (full-outer on label).
+    *
+    * Scale shape: one confusion aggregate over the predictions (classes²
+    * keys, map-side combined), then class-count-sized frames only.
+    */
+  def classifierReport(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val conf = pred
+      .groupBy(col(labelCol).as("label"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy(col("label"))
+      .agg(sum("n").as("n_true"),
+        sum(when(col("p") === col("label"), col("n")).otherwise(lit(0L)))
+          .as("tp"))
+    val byPred = conf.groupBy(col("p").as("label"))
+      .agg(sum("n").as("n_pred"))
+    val j = byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val pr = col("tp").cast("double") / col("n_pred").cast("double")
+    val rc = col("tp").cast("double") / col("n_true").cast("double")
+    j.select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+      when(col("n_pred") > 0, round(pr, 4)).as("prec"),
+      when(col("n_true") > 0, round(rc, 4)).as("rec"),
+      when(col("n_pred") > 0 && col("n_true") > 0 && (pr + rc) > 0,
+        round(lit(2.0) * pr * rc / (pr + rc), 4)).as("f1"))
+  }
+
+  /** Per-document script/charset composition — the code-switching and
+    * mojibake audit multilingual curation runs before language-ID is
+    * trusted ([[predLang]] assumes one dominant script; this measures
+    * whether that holds): exact char counts per class (Latin, Han,
+    * Cyrillic, decimal digits, whitespace, other), rounded fractions
+    * over the non-whitespace mass, the dominant script (count argmax,
+    * lexicographic on ties — 'none' when no script chars at all), and a
+    * `mixed` flag when ≥ 2 script classes reach `minChars` chars — the
+    * docs a single-language pipeline should route to segmentation
+    * instead of dropping.
+    *
+    * Counting is length-difference over a char-class regexp_replace —
+    * exact integers, no tokenizer involvement (raw chars are the
+    * signal). Pure scan stage, zero shuffle, stateless-append
+    * streamable.
+    */
+  def scriptMix(docs: DataFrame, minChars: Int = 5): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    def classCount(re: String): Column =
+      (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    val a = docs.select(col("doc_id"),
+      length(text).cast("long").as("_len"),
+      classCount("\\p{IsLatin}").as("n_latin"),
+      classCount("\\p{IsHan}").as("n_han"),
+      classCount("\\p{IsCyrillic}").as("n_cyrillic"),
+      classCount("[0-9]").as("n_digit"),
+      classCount("[ \\t\\n\\r\\f]").as("n_space"))
+    val scripts = Seq("n_latin", "n_han", "n_cyrillic")
+    val nonWs = greatest(col("_len") - col("n_space"), lit(1L))
+    val mx = greatest(scripts.map(col): _*)
+    a.select(Seq(col("doc_id"), col("n_latin"), col("n_han"),
+      col("n_cyrillic"), col("n_digit"), col("n_space"),
+      (col("_len") - col("n_latin") - col("n_han") - col("n_cyrillic") -
+        col("n_digit") - col("n_space")).as("n_other")) ++
+      scripts.map(c =>
+        round(col(c).cast("double") / nonWs.cast("double"), 4)
+          .as(c.stripPrefix("n_") + "_frac")) :+
+      when(mx === 0L, "none")
+        .when(col("n_cyrillic") === mx, "cyrillic")
+        .when(col("n_han") === mx, "han")
+        .otherwise("latin").as("dominant") :+
+      (scripts.map(c => when(col(c) >= minChars, 1).otherwise(0))
+        .reduce(_ + _) >= 2).cast("int").as("mixed"): _*)
+  }
+
   /** Cohen's kappa between two boolean labelers — chance-corrected
     * agreement, THE acceptance gate on weak-supervision labels (quality
     * gates, toxicity votes, preference annotations): raw agreement po

@@ -59,6 +59,53 @@ class DataSelectionSpec extends SparkSpec {
     assert(pred(0L) == "aaa" && pred(1L) == "aaa")
   }
 
+  test("nbPredict streams stateless-append: MemoryStream batches = batch scoring") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq(
+      (0L, "alpha beta gamma", "x"), (1L, "delta epsilon zeta", "y"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbFit(train, "lang", dim = 16)
+    val rows = Seq((10L, "alpha beta"), (11L, "delta zeta"), (12L, ""))
+    val in = MemoryStream[(Long, String)](94, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = TextAnalysis.nbPredict(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= b.as[(Long, String)].collect(); ()
+      }.start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextAnalysis.nbPredict(rows.toDF("doc_id", "text"), model)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == batch)
+    assert(out.toMap.apply(10L) == "x" && out.toMap.apply(11L) == "y")
+  }
+
+  test("classifierReport: hand-checked P/R/F1, one-sided classes, NULL denominators") {
+    // truth:  a a a b b c   pred: a a b b b a
+    // class a: tp 2, n_true 3, n_pred 3 → P 2/3, R 2/3
+    // class b: tp 2, n_true 2, n_pred 3 → P 2/3, R 1
+    // class c: tp 0, n_true 1, n_pred 0 → P NULL (never predicted), R 0
+    val pred = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("lang", "pred")
+    val got = TextAnalysis.classifierReport(pred, "lang", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 3 && a.getLong(3) == 3)
+    assert(a.getAs[Double]("prec") == 0.6667 && a.getAs[Double]("rec") == 0.6667)
+    assert(a.getAs[Double]("f1") == 0.6667)
+    val b = got("b")
+    assert(b.getAs[Double]("prec") == 0.6667 && b.getAs[Double]("rec") == 1.0)
+    // F1 from UNROUNDED ratios: 2·(2/3)·1/(2/3+1) = 0.8
+    assert(b.getAs[Double]("f1") == 0.8)
+    val c = got("c")
+    assert(c.isNullAt(c.fieldIndex("prec")), "never-predicted class has no precision")
+    assert(c.getAs[Double]("rec") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1")))
+  }
+
   test("hash_count_entries: unsigned occurrence counts per touched bucket") {
     val df = Seq((1L, "aa aa aa bb")).toDF("doc_id", "text")
       .select(explode(graft.functions.ArrayKernels.hash_count_entries(

@@ -683,6 +683,36 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.typoClusters(docs).count().toInt)
   }
 
+  test("scriptMix: exact class counts, dominant tie-break, mixed flag, zero shuffle") {
+    val docs = Seq(
+      (0L, "hello world 42"),            // pure latin + digits
+      (1L, "hello 机器学习模型训练数据"),   // latin 5 + han 10 → mixed
+      (2L, "данные модели"),              // pure cyrillic
+      (3L, "абв 机器学"),                  // 3-way tie at 3 chars → lexicographic
+      (4L, ""),                           // no scripts at all
+      (5L, "abc"))                        // latin-only, under minChars
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs)
+    val r = out.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_latin") == 10 &&
+      r(0L).getAs[Long]("n_digit") == 2 && r(0L).getAs[Long]("n_space") == 2)
+    assert(r(0L).getAs[String]("dominant") == "latin" &&
+      r(0L).getAs[Int]("mixed") == 0)
+    assert(r(1L).getAs[Long]("n_han") == 10 &&
+      r(1L).getAs[String]("dominant") == "han" &&
+      r(1L).getAs[Int]("mixed") == 1)
+    assert(r(2L).getAs[String]("dominant") == "cyrillic")
+    // equal 3-char counts: 'cyrillic' < 'han' < 'latin' — first wins
+    assert(r(3L).getAs[Long]("n_latin") == 0, r(3L).toString)
+    assert(r(3L).getAs[String]("dominant") == "cyrillic")
+    assert(r(4L).getAs[String]("dominant") == "none" &&
+      r(4L).getAs[Int]("mixed") == 0)
+    assert(r(5L).getAs[Int]("mixed") == 0)
+    // non-whitespace fractions on doc 1: 5 latin / 15 non-ws
+    assert(r(1L).getAs[Double]("latin_frac") == 0.3333)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("gopherRepetition: hand-checked fractions, vacuous empty doc, zero shuffle") {
     val docs = Seq(
       (0L, "a a a b\nx\nx\nx"),
