@@ -1196,6 +1196,17 @@ object SparkEntry {
         TextAnalysis.nbPredict(docs, model, carry = Seq("lang")),
         "lang", "pred")
     }),
+    // Hamilton largest-remainder apportionment of a 137-draw budget
+    // across sources by char mass — exact integers end to end
+    "q_apportion" -> ((s, d) =>
+      Sampling.apportion(Tables.documents(s, d).groupBy("source")
+        .agg(sum("n_chars").cast("long").as("c")), total = 137L)),
+    // the exact-quota draw: per-stratum salted-hash rank ≤ quota —
+    // Σ rows = 137 exactly, stratum shares within 1 of proportional
+    "q_apportion_draw" -> ((s, d) =>
+      Sampling.apportionedSample(Tables.documents(s, d), "source",
+          "doc_id", total = 137L)
+        .select(col("doc_id"), col("source"))),
     // token-budget mixture solve: the largest run honoring a 4-domain
     // recipe under a 2-epoch repetition cap (closed-form waterline)
     "q_mix_solve" -> ((s, d) =>
@@ -3838,6 +3849,38 @@ object SparkEntry {
         "WHERE '0' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
         s"CASE b.bucket $caseThr END"
     },
+    // Hamilton apportionment replay: integer div/mod quota + largest-
+    // remainder rank — every value exact, no rounding anywhere
+    "q_apportion" ->
+      ("WITH cnt AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT greatest(coalesce(sum(c), 0), 1) AS ctot FROM cnt), " +
+        "b AS (SELECT source, c, (137 * c) // ctot AS base, " +
+        "(137 * c) % ctot AS rem FROM cnt, tot), " +
+        "lf AS (SELECT 137 - coalesce(sum(base), 0) AS lft FROM b), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, " +
+        "source ASC) AS rn FROM b) " +
+        "SELECT source, c, CAST(base + CASE WHEN rn <= lft THEN 1 " +
+        "ELSE 0 END AS BIGINT) AS quota FROM r, lf"),
+    // the draw: same quota chain over row counts, then the salted
+    // 32-bit hash clock rank within each stratum (hashKey verbatim)
+    "q_apportion_draw" ->
+      ("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT greatest(coalesce(sum(c), 0), 1) AS ctot FROM cnt), " +
+        "b AS (SELECT source, c, (137 * c) // ctot AS base, " +
+        "(137 * c) % ctot AS rem FROM cnt, tot), " +
+        "lf AS (SELECT 137 - coalesce(sum(base), 0) AS lft FROM b), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, " +
+        "source ASC) AS rn FROM b), " +
+        "q AS (SELECT source, base + CASE WHEN rn <= lft THEN 1 ELSE 0 " +
+        "END AS quota FROM r, lf), " +
+        "rk AS (SELECT d.doc_id, d.source, row_number() OVER " +
+        "(PARTITION BY d.source ORDER BY '0' || " +
+        "substring(md5('apportion' || CAST(d.doc_id AS VARCHAR)), 1, 8), " +
+        "d.doc_id) AS rn FROM documents d) " +
+        "SELECT rk.doc_id, rk.source FROM rk JOIN q USING (source) " +
+        "WHERE rk.rn <= q.quota"),
     // NB classifier replay: the model re-fit in SQL, per-doc argmax on
     // the rounded score with the same lexicographic tie-break
     "q_nb_lang" ->

@@ -218,6 +218,77 @@ object Sampling {
         round(col("_w") * col("_tstar") / col(tokensCol), 4).as("epochs"))
   }
 
+  /** Hamilton largest-remainder apportionment: split an integer budget
+    * of `total` draws across strata proportionally to INTEGER weights
+    * (document or token counts) EXACTLY — Σ quota = total, every quota
+    * within 1 of its real-valued share, and no float anywhere: base
+    * quota is (total·c) div C, and the leftover seats go to the largest
+    * integer remainders (total·c) mod C, ties to the lexicographically
+    * first stratum. Where [[mixtureSolve]] answers "how many tokens CAN
+    * this recipe run" in doubles, apportion answers "exactly how many
+    * rows does each stratum contribute to this batch" — the integer
+    * arithmetic means two engines (or two reruns) can never disagree by
+    * an ulp, which is what an exact-count contract downstream needs.
+    * Caller guarantees total·max(c) fits a long.
+    *
+    * Scale shape: strata-sized by contract after the caller's count
+    * aggregation (the [[mixtureSolve]] convention) — the one-row total
+    * is a broadcast cross join and the remainder rank is a window over
+    * the strata frame, never the corpus.
+    */
+  def apportion(counts: DataFrame, total: Long,
+      strataCol: String = "source", countCol: String = "c"): DataFrame = {
+    require(total >= 0, s"apportion: total must be >= 0, got $total")
+    // greatest(C, 1) keeps the division ANSI-safe on an all-zero/empty
+    // inventory (quotas then come only from leftover seats, by name)
+    val tot = counts
+      .agg(greatest(coalesce(sum(col(countCol)), lit(0L)), lit(1L))
+        .cast("long").as("_C"))
+    val base = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col(countCol).cast("long").as("c"),
+        expr(s"(${total}L * CAST($countCol AS BIGINT)) div _C")
+          .as("_base"),
+        expr(s"(${total}L * CAST($countCol AS BIGINT)) % _C").as("_rem"))
+    // leftover = total − Σ base; strata-sized frame, one-row broadcast
+    val left = base
+      .agg((lit(total) - coalesce(sum("_base"), lit(0L))).as("_left"))
+    // remainder rank WITHOUT a window: a lit-keyed partitionBy constant-
+    // folds to an empty spec (single-partition WindowExec — the q_zipf
+    // lesson); the frame is strata-sized by contract, so rank via the
+    // coalesce(1) + sorted monotonically_increasing_id convention
+    base.crossJoin(broadcast(left))
+      .coalesce(1)
+      .sortWithinPartitions(col("_rem").desc, col(strataCol).asc)
+      .withColumn("_rn", monotonically_increasing_id() + 1)
+      .select(col(strataCol), col("c"),
+        (col("_base") + when(col("_rn") <= col("_left"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
+  /** Draw EXACTLY the [[apportion]] quota from each stratum: rows rank
+    * by a salted md5 clock within their stratum (deterministic,
+    * append-stable in distribution, layout-independent) and keep rank ≤
+    * quota. The per-stratum rank is a window PARTITIONED on the stratum
+    * — corpus-wide but parallel; the quota join is a broadcast of the
+    * strata-sized apportionment. Strata smaller than their quota yield
+    * all their rows (the apportionment should then be re-run on real
+    * counts — quotas from this corpus's own counts can never exceed c).
+    */
+  def apportionedSample(df: DataFrame, strataCol: String, idCol: String,
+      total: Long, salt: String = "apportion"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("c"))
+    val quotas = apportion(counts, total, strataCol, "c")
+      .select(col(strataCol), col("quota"))
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(hashKey(col(idCol), salt), col(idCol))))
+      .where(col("_rn") <= col("quota"))
+      .drop("_rn", "quota")
+  }
+
   /** Perplexity-bucket mixing — "sample by model signal", the shape of
     * perplexity-filtered curation (keep the clean text, thin the weird
     * tail) and DSIR-style importance mixing. `scored` carries one model

@@ -504,4 +504,43 @@ class SamplingSpec extends SparkSpec {
     // the new member inherits its cluster's standing split
     assert(after(4L) == before(1L))
   }
+
+  test("apportion: Hamilton quotas — exact sum, largest remainder, name tie-break") {
+    // shares 3.5 / 2.1 / 1.4 → base 3/2/1, one leftover seat; remainders
+    // (×10) are 5/1/4 → 'a' takes it: quotas 4/2/1, Σ = 7 exactly
+    val counts = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("source", "c")
+    val got = Sampling.apportion(counts, 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // all remainders equal (equal counts): leftover seats go by name
+    val eq = Seq(("z", 10L), ("y", 10L), ("x", 10L)).toDF("source", "c")
+    val got2 = Sampling.apportion(eq, 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got2 == Map("x" -> 3L, "y" -> 2L, "z" -> 2L))
+    // no WindowExec anywhere — the rank rides the coalesce(1) sort
+    val plan = Sampling.apportion(counts, 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("apportionedSample: exactly the quota per stratum, exact total") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i < 30) "big" else if (i < 50) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val drawn = Sampling.apportionedSample(docs, "source", "doc_id", 13L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(drawn.length == 13)
+    val byStratum = drawn.groupBy(_._2).view.mapValues(_.length).toMap
+    // shares 6.5 / 4.33 / 2.17 → base 6/4/2, leftover 1 to 'big' (.5)
+    assert(byStratum == Map("big" -> 7, "mid" -> 4, "small" -> 2))
+    // deterministic across runs and layouts
+    val again = Sampling.apportionedSample(
+      docs.repartition(7), "source", "doc_id", 13L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(again.map(_._1).sorted.toSeq == drawn.map(_._1).sorted.toSeq)
+    // oversampled budget: every row of a small stratum is returned
+    val all = Sampling.apportionedSample(docs, "source", "doc_id", 100L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(all.length == 60) // quotas exceed counts → draw caps at c
+  }
 }
