@@ -1251,6 +1251,19 @@ object SparkEntry {
             lit("\n\npromo paragraph block\n\npromo paragraph block"))
             .otherwise(lit(""))).as("text")))
     }),
+    // Luhn-validated payment-card scan: the classic Visa test number
+    // (valid) on every 9th doc, an off-by-one check digit (invalid) on
+    // every 13th, a dashed Amex (valid) on every 17th — the checksum
+    // kills digit-run false positives a bare regex can't
+    "q_cc_scan" -> ((s, d) =>
+      Scrub.creditCardScan(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" card 4111 1111 1111 1111"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" acct 4111111111111112"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit(" ref 3782-8224-6310-005"))
+            .otherwise(lit(""))).as("text")))),
     // entropy-based secret detection over deterministically injected
     // credentials (md5-hex key on every 7th doc = high entropy; a
     // repeated-char run on every 11th = the low-entropy control the
@@ -3984,6 +3997,28 @@ object SparkEntry {
     // instead of the engine's sorted-run arrays — same exact integers,
     // same rounded fractions, same cross-multiplied flags
     "q_gopher_rep" -> gopherRepSql,
+    // Luhn replay: same injection and candidate class; from the right,
+    // 0-based-even positions count as-is, odd double (−9 above 9 ⇔
+    // digit > 4); one list_sum per candidate
+    "q_cc_scan" -> {
+      def dig = "CAST(substring(reverse(digits), CAST(i + 1 AS INT), 1) AS INT)"
+      "WITH inj AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 9 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 0 THEN ' acct 4111111111111112' ELSE '' END || " +
+        "CASE WHEN doc_id % 17 = 0 THEN ' ref 3782-8224-6310-005' ELSE '' END " +
+        "AS text FROM documents), " +
+        "cands AS (SELECT DISTINCT doc_id, candidate FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(text, " +
+        "'[0-9]([ -]?[0-9]){12,18}')) AS candidate FROM inj) u), " +
+        "lu AS (SELECT doc_id, candidate, " +
+        "regexp_replace(candidate, '[^0-9]', '', 'g') AS digits FROM cands) " +
+        "SELECT doc_id, candidate, digits, " +
+        "CAST(CAST(list_sum(list_transform(range(length(digits)), i -> " +
+        s"CASE WHEN i % 2 = 0 THEN $dig " +
+        s"WHEN $dig > 4 THEN $dig * 2 - 9 " +
+        s"ELSE $dig * 2 END)) AS BIGINT) % 10 = 0 AS INT) AS luhn_valid " +
+        "FROM lu"
+    },
     // secret-scan replay: same injection, same candidate class, char
     // entropy re-derived via a substring histogram (engine byte = char:
     // candidates are ASCII by the class), flag on the ROUNDED bits

@@ -110,4 +110,42 @@ object Scrub {
         greatest(length(t0), lit(1)) <= maxPerKChars),
       idCol, textCol)
   }
+
+  /** Payment-card candidate class: 13–19 digits with optional single
+    * space/dash separators — the Java∩RE2 subset (no lookaround), so
+    * leftmost-greedy extraction is identical in both engines.
+    */
+  private[graft] val CC_CANDIDATE_RE = "[0-9](?:[ \\-]?[0-9]){12,18}"
+
+  /** Luhn mod-10 checksum validation of payment-card candidates — the
+    * checksum every production PII scrubber runs because a bare
+    * digit-run regex drowns in false positives (order ids, timestamps,
+    * EANs): from the RIGHT, odd positions count as-is, even positions
+    * double (minus 9 above 9), and a real card number sums to 0 mod 10 —
+    * killing ~90% of random digit runs. Returns one row per DISTINCT
+    * (doc, candidate) with the separator-normalized digits and the
+    * validity flag — rows to feed a span scrubber; candidate-free
+    * documents emit nothing (the [[TextAnalysis.secretScan]] contract).
+    *
+    * Scale shape: pure scan stage — regexp extraction, a per-candidate
+    * fold over the reversed digit array (≤ 19 elements), zero shuffle,
+    * stateless-append streamable.
+    */
+  def creditCardScan(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cands = docs.select(col(idCol),
+        explode(array_distinct(regexp_extract_all(
+          coalesce(col(textCol), lit("")), lit(CC_CANDIDATE_RE), lit(0))))
+          .as("candidate"))
+      .withColumn("digits", regexp_replace(col("candidate"), "[^0-9]", ""))
+      // the reversed char array is materialized before the fold probes
+      // it per element (the per-element re-evaluation trap)
+      .withColumn("_rc", split(reverse(col("digits")), ""))
+    cands.select(col(idCol), col("candidate"), col("digits"),
+        ((aggregate(sequence(lit(1), size(col("_rc"))), lit(0), (acc, i) => {
+          val d = element_at(col("_rc"), i).cast("int")
+          acc + when(i % 2 === 1, d)
+            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        }) % 10 === 0)).cast("int").as("luhn_valid"))
+  }
 }

@@ -9,6 +9,30 @@ import graft.ops.{Core, Curation, Decontam, Sampling, Scrub}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("creditCardScan: Luhn separates real checksums from off-by-one runs") {
+    val docs = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),      // Visa test number: valid
+      (2L, "acct 4111111111111112"),            // check digit off: invalid
+      (3L, "amex 3782-8224-6310-005 ok"),       // dashed Amex: valid
+      (4L, "order 123456789 and phone 555"),    // runs too short: no rows
+      (5L, "5555555555554444 and 4012888888881881")) // two valid cards
+      .toDF("doc_id", "text")
+    val got = Scrub.creditCardScan(docs)
+      .as[(Long, String, String, Int)].collect()
+    val byDigits = got.map(r => r._3 -> r._4).toMap
+    assert(byDigits("4111111111111111") == 1)
+    assert(byDigits("4111111111111112") == 0)
+    assert(byDigits("378282246310005") == 1)
+    assert(byDigits("5555555555554444") == 1)
+    assert(byDigits("4012888888881881") == 1)
+    assert(!got.exists(_._1 == 4L), "short digit runs must not be candidates")
+    // separators are normalized away but preserved in the candidate
+    assert(got.find(_._1 == 3L).get._2 == "3782-8224-6310-005")
+    // scan-stage contract
+    val plan = Scrub.creditCardScan(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("ngrams: exact trigrams, short-doc guard") {
     val toks = Core.tokensUni(lit("a b c d e"))
     val got = spark.range(1).select(Decontam.ngrams(toks, 3).as("g"))
