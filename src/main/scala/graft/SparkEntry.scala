@@ -241,6 +241,14 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "q_sorted_dedup" -> ((s, d) =>
       Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)),
+    // price the detector before the 100 TB run: sorted-neighbor pairs
+    // scored against exact-fingerprint truth — dup-class recall is what
+    // the blocking strategy trades away
+    "q_dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.detectorEval(docs,
+        Dedup.sortedNeighborPairs(docs, threshold = 0.9))
+    }),
     "q_ngram_jaccard" -> ((s, d) => {
       // deterministic candidate set: all pairs among the 20 lowest doc_ids
       val small = Tables.documents(s, d).where(col("doc_id") < 20)
@@ -2585,6 +2593,40 @@ object SparkEntry {
       s"SELECT doc_id, ${fpSql(TOKS)} AS fp FROM documents",
     "q_sorted_dedup" ->
       s"WITH $SORTED_CTES SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9",
+    // detector eval replay: the q_sorted_dedup pairs vs exact-fp truth
+    // through the q_nb_prf report algebra (one definition each side)
+    "q_dedup_eval" ->
+      (s"WITH $SORTED_CTES, " +
+        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        s"fps AS (SELECT doc_id, coalesce(${fpSql(TOKS)}, '') AS fp " +
+        "FROM documents), " +
+        "fcnt AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1), " +
+        "tr AS (SELECT doc_id, CASE WHEN c > 1 THEN 'dup' ELSE 'uniq' " +
+        "END AS truth FROM fps JOIN fcnt USING (fp)), " +
+        "fl AS (SELECT DISTINCT doc_id FROM (SELECT a_id AS doc_id " +
+        "FROM prs UNION ALL SELECT b_id FROM prs) u), " +
+        "pd AS (SELECT tr.truth, CASE WHEN fl.doc_id IS NULL THEN 'uniq' " +
+        "ELSE 'dup' END AS pred FROM tr LEFT JOIN fl USING (doc_id)), " +
+        "conf AS (SELECT truth, pred, count(*) AS n FROM pd GROUP BY 1, 2), " +
+        "bt AS (SELECT truth AS label, CAST(sum(n) AS BIGINT) AS n_true, " +
+        "CAST(coalesce(sum(CASE WHEN pred = truth THEN n END), 0) AS BIGINT) " +
+        "AS tp FROM conf GROUP BY 1), " +
+        "bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred " +
+        "FROM conf GROUP BY 1), " +
+        "jj AS (SELECT coalesce(bt.label, bp.label) AS label, " +
+        "coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true, " +
+        "coalesce(n_pred, 0) AS n_pred " +
+        "FROM bt FULL OUTER JOIN bp ON bt.label = bp.label) " +
+        "SELECT label, tp, n_true, n_pred, " +
+        "CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 4) " +
+        "END AS prec, " +
+        "CASE WHEN n_true > 0 THEN round(tp / CAST(n_true AS DOUBLE), 4) " +
+        "END AS rec, " +
+        "CASE WHEN n_pred > 0 AND n_true > 0 AND " +
+        "(tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE)) > 0 " +
+        "THEN round(2 * (tp / CAST(n_pred AS DOUBLE)) * " +
+        "(tp / CAST(n_true AS DOUBLE)) / (tp / CAST(n_pred AS DOUBLE) + " +
+        "tp / CAST(n_true AS DOUBLE)), 4) END AS f1 FROM jj"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +

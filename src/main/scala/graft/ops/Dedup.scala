@@ -1189,6 +1189,39 @@ object Dedup {
         coalesce(max("c"), lit(0L)).as("max_line_freq"))
   }
 
+  /** Detector-quality evaluation: score ANY near-dup pair generator
+    * ([[sortedNeighborPairs]], LSH, winnowing — any (a_id, b_id) frame)
+    * against exact-fingerprint ground truth, per-class P/R/F1 via
+    * [[graft.ops.TextAnalysis.classifierReport]]. A document's truth
+    * label is 'dup' when another document shares its content
+    * fingerprint; its prediction is 'dup' when it appears in any
+    * candidate pair. Recall of the 'dup' class is the number every
+    * blocking strategy (prefix blocks, LSH bands, winnow grams) trades
+    * against cost — this artifact is how you price that trade on real
+    * data before committing the 100 TB run. Exact duplicates are the
+    * floor a detector must catch; near-dup-only pairs surface as 'uniq'
+    * -class precision loss here, to be judged against a labeled sample.
+    *
+    * Scale shape: one fingerprint groupBy (16-byte keys), one distinct
+    * over pair endpoints, one left join, then the classes²-keyed report.
+    * Null-text fingerprints key on a sentinel so such rows still eval.
+    */
+  def detectorEval(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.fingerprints(docs)
+      .select(col("doc_id"), coalesce(col("fp"), lit("")).as("fp"))
+    val truth = fp.join(
+        fp.groupBy("fp").agg(count(lit(1)).as("_n")), Seq("fp"))
+      .select(col("doc_id"),
+        when(col("_n") > 1, "dup").otherwise("uniq").as("truth"))
+    val flagged = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      .withColumn("pred", lit("dup"))
+    TextAnalysis.classifierReport(
+      truth.join(flagged, Seq("doc_id"), "left")
+        .select(col("truth"), coalesce(col("pred"), lit("uniq")).as("pred")),
+      "truth", "pred")
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive: per doc_id,
     * whether the document was `added` (absent from the old snapshot),
     * `removed` (absent from the new), `changed` (present in both with a

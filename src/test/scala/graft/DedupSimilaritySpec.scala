@@ -1241,6 +1241,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exchange hashpartitioning(line"), plan)
   }
 
+  test("detectorEval: exact-dup truth vs pair flags, near-dup-only pairs cost precision") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "completely different words here now"),
+      (4L, ten),                              // near-dup pair with 5:
+      (5L, s"$ten w11"))                      // jaccard 10/11 ≥ 0.9, not exact
+      .toDF("doc_id", "text")
+    val got = Dedup.detectorEval(docs,
+        Dedup.sortedNeighborPairs(docs, threshold = 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dup = got("dup")
+    // flagged: {1,2} (exact) and {4,5} (near-only) → tp 2 of 4 predicted
+    assert(dup.getLong(1) == 2 && dup.getLong(2) == 2 && dup.getLong(3) == 4)
+    assert(dup.getAs[Double]("prec") == 0.5 && dup.getAs[Double]("rec") == 1.0)
+    val uniq = got("uniq")
+    // 3 true uniques, 1 predicted uniq (doc 3) — near-dups 4,5 moved over
+    assert(uniq.getLong(1) == 1 && uniq.getLong(2) == 3 && uniq.getLong(3) == 1)
+    assert(uniq.getAs[Double]("prec") == 1.0)
+    assert(uniq.getAs[Double]("rec") == 0.3333)
+  }
+
   test("boilerplateScrub removes hot lines everywhere — no keep-first survivor") {
     val docs = Seq(
       (1L, "unique alpha\nshared banner"),
