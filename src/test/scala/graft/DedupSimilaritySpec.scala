@@ -144,6 +144,87 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0L || got(3L) == 2L)
   }
 
+  test("PQ: encode parity with the scalar reference, codes bounded, zero shuffle") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 4, k = 8, iters = 3)
+    assert(cb.length == 4 && cb.forall(_.length == 8) &&
+      cb.forall(_.forall(_.length == 4)))
+    val enc = Similarity.pqEncode(vecs, cb)
+    val got = enc.as[(Long, Seq[Int])].collect().toMap
+    assert(got.size == 120 && got.values.forall(c =>
+      c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // independent replay: normalize, slice, argmin-L2 with first-win ties
+    val raw = vecs.as[(Long, Seq[Float])].collect()
+    raw.foreach { case (id, v) =>
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      val u = d.map(_ / n)
+      val want = (0 until 4).map(s =>
+        Similarity.pqNearest(u.slice(s * 4, s * 4 + 4), cb(s)))
+      assert(got(id) == want, s"vec $id")
+    }
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("PQ ADC: separated clusters retrieved at full recall, score is the table fold") {
+    // ten tight clusters on orthogonal axes in 16 dims — PQ with k=16
+    // codewords per 4-dim subspace separates them losslessly enough that
+    // the ADC top-10 for a cluster-0 query must be cluster 0
+    val rnd = new scala.util.Random(13)
+    def cl(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.03f)
+      v(axis) = 1.0f
+      (base + i, v)
+    }
+    val vecs = (0 until 10).flatMap(a => cl(a, 20, a * 100L))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 4, k = 16, iters = 5)
+    val q = vecs.where($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .head.toArray
+    val enc = Similarity.pqEncode(vecs.where($"vec_id" =!= 0L), cb)
+    val top = Similarity.pqTopK(enc, cb, q, 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.forall(_._1 < 100L), s"non-cluster-0 hit: ${top.toSeq}")
+    // score identity: the ADC score IS the m-term lookup-table fold
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val codes = enc.where($"vec_id" === top.head._1)
+      .as[(Long, Seq[Int])].head._2
+    val want = (0 until 4).map { s =>
+      val cw = cb(s)(codes(s))
+      (0 until 4).map(i => (q(s * 4 + i) / qn) * cw(i)).sum
+    }.sum
+    assert(math.abs(top.head._2 - (math.round(want * 1e4) / 1e4)) < 1e-9)
+  }
+
+  test("PQ refined: shortlist + exact rescore reproduces the brute-force head") {
+    val rnd = new scala.util.Random(17)
+    def cl(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.05f)
+      v(axis) = 1.0f
+      (base + i, v)
+    }
+    val vecs = (0 until 8).flatMap(a => cl(a, 25, a * 100L))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 4, k = 16, iters = 5)
+    val q = vecs.where($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .head.toArray
+    val rest = vecs.where($"vec_id" =!= 0L)
+    val refined = Similarity.pqTopKRefined(
+        Similarity.pqEncode(rest, cb), rest, cb, q, 10, shortlist = 50)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val exact = Similarity.topKForQuery(vecs, 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    // with the home cluster inside the 50-deep shortlist the exact
+    // rescore makes the ranking identical to brute force, order included
+    assert(refined == exact, s"refined=$refined exact=$exact")
+  }
+
   test("IVF with nprobe=k reproduces exact top-k; nprobe=1 finds the home cluster") {
     // three tight clusters around orthogonal axes
     val rnd = new scala.util.Random(7)
