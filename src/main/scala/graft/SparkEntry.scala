@@ -1527,6 +1527,23 @@ object SparkEntry {
       Similarity.pqTopK(
         Similarity.pqEncode(emb.where(col("vec_id") =!= 0L), cb), cb, q, 10)
     }),
+    // the FAISS layout end-to-end: one standing (vec_id, cell, codes)
+    // table bucketed by cell; probe -> ADC -> exact rescore. At full
+    // coverage (nprobe = kCells, shortlist >= corpus) this IS brute
+    // force — which is what lets the driver hash-oracle it; production
+    // dials nprobe/shortlist down and pays only recall
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rest = emb.where(col("vec_id") =!= 0L)
+      val name = IndexTables.ident("ivfpq", d, witness(rest))
+      val (cents, cbs, idx) =
+        Similarity.ivfPqIndex(rest, kCells = 8, m = 8, kCodes = 16, name)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      Similarity.ivfPqTopK(idx, rest, cents, cbs, q, 10, nprobe = 8,
+        shortlist = 4096)
+    }),
     // the production two-stage form: ADC shortlist (100) -> exact
     // rescore of only those rows (measured 0.5 -> 0.9 recall@10 here)
     "q_pq_refined" -> ((s, d) => {
@@ -3458,6 +3475,13 @@ object SparkEntry {
         "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
         "FROM b LEFT JOIN m ON b.vec_id = m.a_id"),
     "q_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +
+        "FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10"),
+    // full-coverage IVF-PQ ≡ brute force after the exact rescore — the
+    // q_ivf_topk replay verbatim
+    "q_ivfpq_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos " +

@@ -95,7 +95,8 @@ object IndexTables {
   }
 
   private def registerOrBuild(spark: SparkSession, name: String,
-      bucketSpec: String, build: => Unit): DataFrame = synchronized {
+      bucketSpec: String, build: => Unit,
+      repairAfterRegister: Boolean = false): DataFrame = synchronized {
     if (!spark.catalog.tableExists(name)) {
       val path = s"$baseDir/$name"
       val f = fs(spark)
@@ -106,6 +107,9 @@ object IndexTables {
         val schema = spark.read.parquet(path).schema.toDDL
         spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
           s"$bucketSpec LOCATION '$path'")
+        // a re-registered PARTITIONED table has an empty partition list
+        // in the metastore until the directories are discovered
+        if (repairAfterRegister) { spark.sql(s"MSCK REPAIR TABLE $name"); () }
       } else {
         // cross-PROCESS build guard (the `synchronized` above only covers
         // this JVM): an atomically-created sibling marker file refuses a
@@ -245,4 +249,21 @@ object IndexTables {
     registerOrBuild(spark, name, "",
       build.write.mode("overwrite").option("path", s"$baseDir/$name")
         .saveAsTable(name))
+
+  /** Materialize `build` as a parquet table PARTITIONED BY `partCols`
+    * (directory layout). Use this when the key is a literal FILTER key
+    * of bounded cardinality (IVF cells, shards, dates): a partition
+    * filter prunes directories in ANY plan shape, whereas bucket
+    * pruning is discarded whenever the planner disables the bucketed
+    * scan on a query with no bucketing-interested operator (observed on
+    * the IVF-PQ cell probe — a plain filter+sort read all 8 buckets).
+    * Use [[bucketed]] when the key is a JOIN/groupBy key.
+    */
+  def partitioned(spark: SparkSession, name: String,
+      partCols: Seq[String])(build: => DataFrame): DataFrame =
+    registerOrBuild(spark, name,
+      s"PARTITIONED BY (${partCols.mkString(", ")})",
+      build.write.mode("overwrite").option("path", s"$baseDir/$name")
+        .partitionBy(partCols: _*).saveAsTable(name),
+      repairAfterRegister = true)
 }

@@ -1295,12 +1295,23 @@ object Similarity {
     * against [[knnAllBrute]] on a sample, as the spec does.
     */
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
-      query: Array[Double], k: Int): DataFrame = {
+      query: Array[Double], k: Int): DataFrame =
+    encoded.select(col("vec_id"),
+        adcScoreExpr(codebooks, query).as("pq_score"))
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** The ADC fold over a `codes` column: the unit-normalized query's
+    * m×k dot table ships as ONE flat literal array; the score is the
+    * m-term lookup sum, rounded 4 (the ranking convention).
+    */
+  private def adcScoreExpr(codebooks: Array[Array[Array[Double]]],
+      query: Array[Double]): Column = {
     val m = codebooks.length
     val kcode = codebooks.head.length
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    require(qn > 0, "pqTopK: zero-norm query")
     val dsub = codebooks.head.head.length
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "adcScoreExpr: zero-norm query")
     val table = Array.tabulate(m, kcode) { (s, c) =>
       var dp = 0.0
       var i = 0
@@ -1310,12 +1321,62 @@ object Similarity {
       dp
     }
     val tLit = array(table.flatten.toIndexedSeq.map(lit): _*)
-    encoded.select(col("vec_id"),
-        round(aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
-          acc + element_at(tLit,
-            (s - 1) * kcode + element_at(col("codes"), s) + 1)), 4)
-          .as("pq_score"))
+    round(aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
+      acc + element_at(tLit,
+        (s - 1) * kcode + element_at(col("codes"), s) + 1)), 4)
+  }
+
+  /** FAISS-layout IVF-PQ index: ONE standing artifact (vec_id, cell,
+    * codes) PARTITIONED BY cell (directory layout — a cell probe prunes
+    * directories in any plan shape, where bucket pruning is discarded
+    * on plain filter scans; see [[IndexTables.partitioned]]) — the
+    * coarse cells prune the scan ([[ivfIndex]]'s job), the PQ codes
+    * score what survives ([[pqEncode]]'s job), and at 100 TB the whole
+    * searchable corpus is kCells tiny centroid rows + m bytes per
+    * vector, directory-pruned on every probe. Quantizers train on the
+    * same corpus-pass disciplines as their standalone forms. Returns
+    * (centroids, codebooks, table).
+    */
+  def ivfPqIndex(emb: DataFrame, kCells: Int, m: Int, kCodes: Int,
+      name: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val cents = ivfCentroids(emb, kCells)
+    val cbs = pqTrain(emb, m, kCodes)
+    val tbl = IndexTables.partitioned(emb.sparkSession, s"${name}_ivfpq",
+      Seq("cell"))(
+      ivfAssign(emb, cents).select(col("vec_id"), col("cell"))
+        .join(pqEncode(emb, cbs), Seq("vec_id")))
+    (cents, cbs, tbl)
+  }
+
+  /** Three-stage IVF-PQ serving: probe the `nprobe` closest cells
+    * (driver-side — centroids are the model), ADC-score only the probed
+    * buckets' codes, exact-rescore the `shortlist` survivors against
+    * the float table. At nprobe = kCells and shortlist ≥ corpus this is
+    * EXACTLY brute force (the [[ivfTopKAll]] full-coverage property,
+    * which is what lets the driver oracle it); production dials both
+    * down and pays only recall.
+    */
+  def ivfPqTopK(index: DataFrame, emb: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int, nprobe: Int, shortlist: Int = 100): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "ivfPqTopK: zero-norm query")
+    val qu = query.map(_ / qn)
+    val probes = centroids.indices
+      .map(i => (centroids(i).zip(qu).map { case (a, b) => a * b }.sum, i))
+      .sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+    val short = index.where(col("cell").isin(probes.map(Int.box): _*))
+      .select(col("vec_id"), adcScoreExpr(codebooks, query).as("pq_score"))
       .orderBy(col("pq_score").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val qLit = array(qu.toIndexedSeq.map(lit): _*)
+    unitVecs(emb, "vec_id", "e")
+      .join(broadcast(short), Seq("vec_id"))
+      .select(col("vec_id"), round(dot(col("e"), qLit), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
 

@@ -225,6 +225,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(refined == exact, s"refined=$refined exact=$exact")
   }
 
+  test("IVF-PQ: full coverage = brute force; nprobe=1 reads only the probed buckets") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ivfpq_spec_ivfpq")
+    val rnd = new scala.util.Random(19)
+    def cl(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.05f)
+      v(axis) = 1.0f
+      (base + i, v)
+    }
+    val vecs = (0 until 4).flatMap(a => cl(a, 30, a * 100L))
+      .toDF("vec_id", "embedding")
+    val (cents, cbs, idx) =
+      Similarity.ivfPqIndex(vecs, kCells = 4, m = 4, kCodes = 16,
+        "ivfpq_spec")
+    val q = vecs.where($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .head.toArray
+    // full coverage + corpus-wide shortlist: identical to brute force
+    val full = Similarity.ivfPqTopK(idx, vecs, cents, cbs, q, 10,
+        nprobe = 4, shortlist = 1000)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val exact = Similarity.topKForQuery(vecs, 0L, 10)
+      .as[(Long, Double)].collect().map(_._1)
+      .filterNot(_ == 0L).take(10).toSeq
+    // the index contains the query vector too (vec 0 scores cos 1.0
+    // with itself and ranks first) — compare the tail accordingly
+    val fullNoSelf = full.filterNot(_ == 0L)
+    assert(fullNoSelf == exact.take(fullNoSelf.length),
+      s"full=$full exact=$exact")
+    // pruned probe: only the home cell's buckets are read
+    val pruned = Similarity.ivfPqTopK(idx, vecs, cents, cbs, q, 10,
+      nprobe = 1, shortlist = 50)
+    val hits = pruned.as[(Long, Double)].collect().map(_._1)
+    assert(hits.forall(_ < 100L), s"cross-cluster hit: ${hits.toSeq}")
+    // the probe prunes DIRECTORIES: the cell filter lands in
+    // PartitionFilters (not a post-scan row filter over all files)
+    val shortPlan = idx.where($"cell" === 0).queryExecution.executedPlan
+      .toString
+    assert(shortPlan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(shortPlan).isDefined,
+      shortPlan)
+  }
+
   test("IVF with nprobe=k reproduces exact top-k; nprobe=1 finds the home cluster") {
     // three tight clusters around orthogonal axes
     val rnd = new scala.util.Random(7)
