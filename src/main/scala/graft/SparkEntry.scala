@@ -1574,6 +1574,18 @@ object SparkEntry {
           Retrieval.corpusStats(docs, name), qt, k = 10),
         Retrieval.denseTopKAll(docs, qt, k = 10))
     }),
+    // rank-biased overlap between the same two runs — TOP-WEIGHTED
+    // agreement (reversed top-10s read Jaccard 1.0 but low RBO)
+    "q_rbo" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      val qt = BM25_QUERIES.toDF("query_id", "query")
+      Retrieval.rboOverlap(
+        Retrieval.bm25TopKAll(Retrieval.postingsIndex(docs, name),
+          Retrieval.corpusStats(docs, name), qt, k = 10),
+        Retrieval.denseTopKAll(docs, qt, k = 10))
+    }),
     // Flesch reading ease per document — exact integer counts in the
     // scan stage (no per-token explode), float only in the final formula
     "q_readability" -> ((s, d) =>
@@ -1839,6 +1851,38 @@ object SparkEntry {
       s"ds AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
       "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
       "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
+
+  /** WITH-body producing the two ranked runs the run-comparison oracles
+    * (q_run_overlap, q_rbo) share: `lr` (BM25 lexical top-10) and `dr`
+    * (dense hashed-vector top-10), both (query_id, doc_id, rank).
+    */
+  private def twoRunsCtes: String = {
+    val qVals = BM25_QUERIES
+      .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    val qToks = TOKS.replace("lower(text)", "lower(query)")
+    s"q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
+      s"FROM (VALUES $qVals) v(query_id, query)), " +
+      s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
+      s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, " +
+      "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+      "terms AS (SELECT DISTINCT token FROM qt), " +
+      "tp2 AS (SELECT doc_id, token, " +
+      "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+      "CAST(len(toks) AS DOUBLE) AS dl " +
+      "FROM t JOIN terms ON list_contains(toks, token)), " +
+      "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+      "FROM tp2 GROUP BY token), " +
+      "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+      "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+      "GROUP BY qt.query_id, tp2.doc_id), " +
+      "lr AS (SELECT query_id, doc_id, rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10), " +
+      s"${denseRunCtes(64, 10)}"
+  }
 
   /** DuckDB replay of Dedup.boilerplateScrub over the boilerInject
     * fixture (and, with `incrOnly`, of boilerplateScrubApply: the hot
@@ -4670,31 +4714,7 @@ object SparkEntry {
     // chain, set-intersected per query over a FULL OUTER join (q3 has no
     // lexical row)
     "q_run_overlap" -> {
-      val qVals = BM25_QUERIES
-        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      val qToks = TOKS.replace("lower(text)", "lower(query)")
-      s"WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query " +
-        s"FROM (VALUES $qVals) v(query_id, query)), " +
-        s"qt AS (SELECT query_id, unnest(list_distinct($qToks)) AS token FROM q), " +
-        s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "stats AS (SELECT count(*) AS n_docs, " +
-        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
-        "terms AS (SELECT DISTINCT token FROM qt), " +
-        "tp2 AS (SELECT doc_id, token, " +
-        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
-        "CAST(len(toks) AS DOUBLE) AS dl " +
-        "FROM t JOIN terms ON list_contains(toks, token)), " +
-        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
-        "FROM tp2 GROUP BY token), " +
-        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
-        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
-        "GROUP BY qt.query_id, tp2.doc_id), " +
-        "lr AS (SELECT query_id, doc_id, rank FROM " +
-        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10), " +
-        s"${denseRunCtes(64, 10)}, " +
+      s"WITH $twoRunsCtes, " +
         "sa AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a, " +
         "list(doc_id) AS da FROM lr GROUP BY 1), " +
         "sb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b, " +
@@ -4710,6 +4730,24 @@ object SparkEntry {
         "CASE WHEN least(n_a, n_b) > 0 THEN " +
         "round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 4) " +
         "ELSE 0.0 END AS overlap_coef FROM j"
+    },
+    // RBO replay: tail sum per common doc from its first co-present
+    // depth; (1−p) as an explicit DOUBLE subtraction — DuckDB folds
+    // 1 - 0.9 in DECIMAL to a DIFFERENT double (the MMR lesson)
+    "q_rbo" -> {
+      val omp = "(CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))"
+      s"WITH $twoRunsCtes, " +
+        "pr AS (SELECT lr.query_id, greatest(lr.rank, dr.rank) AS m " +
+        "FROM lr JOIN dr USING (query_id, doc_id)), " +
+        "qq AS (SELECT DISTINCT query_id FROM " +
+        "(SELECT query_id FROM lr UNION ALL SELECT query_id FROM dr) u), " +
+        "rb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common, " +
+        "sum(list_sum(list_transform(range(m - 1, 10), d0 -> " +
+        s"$omp * power(CAST(0.9 AS DOUBLE), d0) / (d0 + 1)))) AS s " +
+        "FROM pr GROUP BY 1) " +
+        "SELECT qq.query_id, coalesce(rb.n_common, 0) AS n_common, " +
+        "round(coalesce(rb.s, 0.0), 4) AS rbo " +
+        "FROM qq LEFT JOIN rb USING (query_id)"
     },
     // Flesch replay: [.!?]+ segments with a letter (floored at 1),
     // vowel-group runs per word (floored at 1), exact integer counts;

@@ -675,6 +675,45 @@ object Retrieval {
           .otherwise(lit(0.0)))
   }
 
+  /** Rank-biased overlap (Webber et al., TOIS 2010), truncated at the
+    * run depth `k`: RBO_p@k = Σ_{d=1..k} (1−p)·p^{d−1}·|A∩B @ depth d|/d
+    * — TOP-WEIGHTED agreement between two ranked runs, the signal
+    * [[runOverlap]]'s set measures can't express (two runs sharing the
+    * same 10 docs in opposite order read Jaccard 1.0; RBO penalizes the
+    * inversions, and p tunes how steeply the head dominates). Computed
+    * WITHOUT a per-depth explosion: a doc first co-present at depth
+    * m = max(rank_a, rank_b) contributes the closed tail
+    * Σ_{d=m..k} (1−p)p^{d−1}/d, so the per-query score is one
+    * equi-join + a k-entry literal lookup + a sum (the tail sums are
+    * driver-computed in ascending-d order — the same fold order the
+    * oracle replays). Queries present in either run but with no common
+    * docs report rbo 0.0. Frames are (queries × k)-sized by contract.
+    */
+  def rboOverlap(runA: DataFrame, runB: DataFrame, p: Double = 0.9,
+      k: Int = 10, idCol: String = "doc_id",
+      qidCol: String = "query_id"): DataFrame = {
+    require(p > 0 && p < 1, s"rboOverlap: p must be in (0,1), got $p")
+    require(k >= 1, s"rboOverlap: k must be >= 1, got $k")
+    val tail = Array.tabulate(k + 1) { m =>
+      if (m == 0) 0.0
+      else (m to k).foldLeft(0.0)((acc, d) =>
+        acc + (1 - p) * math.pow(p, d - 1) / d)
+    }
+    val tLit = array(tail.toIndexedSeq.map(lit): _*)
+    val a = runA.select(col(qidCol), col(idCol), col("rank").as("_ra"))
+    val b = runB.select(col(qidCol), col(idCol), col("rank").as("_rb"))
+    val qs = a.select(qidCol).union(b.select(qidCol)).distinct()
+    val common = a.join(b, Seq(qidCol, idCol))
+      .select(col(qidCol), element_at(tLit,
+        greatest(col("_ra"), col("_rb")) + 1).as("_c"))
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("n_common"), sum("_c").as("_rbo"))
+    qs.join(common, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("_rbo"), lit(0.0)), 4).as("rbo"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of any number of
     * ranked runs — THE standard way to combine a lexical (BM25) and a
     * dense (embedding) retrieval leg without score calibration, since it

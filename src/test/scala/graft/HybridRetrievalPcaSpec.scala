@@ -206,6 +206,25 @@ class HybridRetrievalPcaSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 1L, 0L, 0.0, 0.0))) // only in run B
   }
 
+  test("rboOverlap: hand math, reversed runs penalized where Jaccard reads 1.0") {
+    // identical 2-deep runs at p=0.5: RBO = 0.5·1 + 0.25·1 = 0.75
+    val same = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val idGot = Retrieval.rboOverlap(same, same, p = 0.5, k = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(idGot == ((1L, 2L, 0.75)), idGot.toString)
+    // SAME two docs in opposite order: every doc first co-present at
+    // depth 2 → RBO 0.25, while set-Jaccard would read a perfect 1.0
+    val rev = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val revGot = Retrieval.rboOverlap(same, rev, p = 0.5, k = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(revGot == ((1L, 2L, 0.25)), revGot.toString)
+    // disjoint runs: the query still reports, rbo 0
+    val other = Seq((1L, 99L, 1)).toDF("query_id", "doc_id", "rank")
+    val dis = Retrieval.rboOverlap(same, other, p = 0.5, k = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(dis == ((1L, 0L, 0.0)))
+  }
+
   test("vectorQuality flags NaN, zero, ragged, and norm-outlier vectors") {
     val emb = (
       (1L to 20L).map(i => (i, Seq(1f, 0f, 0f))) ++ Seq(
