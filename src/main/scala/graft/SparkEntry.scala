@@ -1535,7 +1535,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val rest = emb.where(col("vec_id") =!= 0L)
-      val name = IndexTables.ident("ivfpq", d, witness(rest))
+      val name = IndexTables.ident("ivfpqr", d, witness(rest))
       val (cents, cbs, idx) =
         Similarity.ivfPqIndex(rest, kCells = 8, m = 8, kCodes = 16, name)
       val q = emb.where(col("vec_id") === 0L)
