@@ -1240,6 +1240,11 @@ object SparkEntry {
     // conjunction, every threshold integer-exact (cross-multiplied)
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // the complete published gate: structural AND repetition halves
+    // joined per doc over the plain corpus (each half individually
+    // oracled; the conjunction is the production filter)
+    "q_gopher_gate" -> ((s, d) =>
+      TextAnalysis.gopherGate(Tables.documents(s, d))),
     // the REPETITION half of the Gopher gate, over deterministically
     // injected repetition (dup lines on every 3rd doc, a doubled
     // 12-token phrase on every 5th, dup paragraphs on every 7th — the
@@ -1932,11 +1937,42 @@ object SparkEntry {
     * side uses conceptually (kept literal here; any drift fails the
     * hash).
     */
-  private def gopherRepSql: String = {
+  /** DuckDB replay of TextAnalysis.gopherRules — factored so the
+    * q_gopher_gate composition reuses the identical body.
+    */
+  private def gopherRulesSql: String =
+    s"WITH w AS (SELECT doc_id, text, " +
+      s"list_filter(string_split_regex(text, '${ops.TextAnalysis.WS_RUN_RE}'), x -> x <> '') AS ws, " +
+      s"string_split(text, chr(10)) AS lines, $TOKS AS toks FROM documents), " +
+      "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sumlen, " +
+      "CAST((length(text) - length(replace(text, '#', ''))) + " +
+      "(length(text) - length(replace(text, '…', ''))) + " +
+      "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS nsym, " +
+      "CAST(len(lines) AS BIGINT) AS nlines, " +
+      "CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS nbullet, " +
+      "CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT) AS nell, " +
+      "CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS nalpha, " +
+      "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+      "s -> list_contains(toks, s))) AS BIGINT) AS nstop FROM w), " +
+      "r AS (SELECT doc_id, n_words, " +
+      "CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count, " +
+      "CAST(3 * n_words <= sumlen AND sumlen <= 10 * n_words AS INT) AS r_mean_word_len, " +
+      "CAST(10 * nsym <= n_words AS INT) AS r_symbol_ratio, " +
+      "CAST(10 * nbullet <= 9 * nlines AS INT) AS r_bullet_lines, " +
+      "CAST(10 * nell <= 3 * nlines AS INT) AS r_ellipsis_lines, " +
+      "CAST(5 * nalpha >= 4 * n_words AS INT) AS r_alpha_words, " +
+      "CAST(nstop >= 2 AS INT) AS r_stopwords FROM c) " +
+      "SELECT *, CAST(r_word_count * r_mean_word_len * r_symbol_ratio * " +
+      "r_bullet_lines * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS pass " +
+      "FROM r"
+
+  private def gopherRepSql(inject: Boolean = true): String = {
     val top = Seq(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25))
     val dup = Seq(5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100),
       8 -> (3, 25), 9 -> (11, 100), 10 -> (1, 10))
-    val inj = "inj AS (SELECT doc_id, text || " +
+    val inj = if (!inject) "inj AS (SELECT doc_id, text FROM documents)"
+    else "inj AS (SELECT doc_id, text || " +
       "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe now' || " +
       "chr(10) || 'subscribe now' || chr(10) || 'subscribe now' " +
       "ELSE '' END || " +
@@ -4103,36 +4139,18 @@ object SparkEntry {
     // Gopher-rule replay: whitespace words, newline lines, the same
     // regexes, every threshold cross-multiplied in BIGINT — no float
     // anywhere, so the rows must match exactly, not just post-round
-    "q_gopher_rules" ->
-      (s"WITH w AS (SELECT doc_id, text, " +
-        s"list_filter(string_split_regex(text, '${ops.TextAnalysis.WS_RUN_RE}'), x -> x <> '') AS ws, " +
-        s"string_split(text, chr(10)) AS lines, $TOKS AS toks FROM documents), " +
-        "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
-        "CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sumlen, " +
-        "CAST((length(text) - length(replace(text, '#', ''))) + " +
-        "(length(text) - length(replace(text, '…', ''))) + " +
-        "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS nsym, " +
-        "CAST(len(lines) AS BIGINT) AS nlines, " +
-        "CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS nbullet, " +
-        "CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT) AS nell, " +
-        "CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS nalpha, " +
-        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
-        "s -> list_contains(toks, s))) AS BIGINT) AS nstop FROM w), " +
-        "r AS (SELECT doc_id, n_words, " +
-        "CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count, " +
-        "CAST(3 * n_words <= sumlen AND sumlen <= 10 * n_words AS INT) AS r_mean_word_len, " +
-        "CAST(10 * nsym <= n_words AS INT) AS r_symbol_ratio, " +
-        "CAST(10 * nbullet <= 9 * nlines AS INT) AS r_bullet_lines, " +
-        "CAST(10 * nell <= 3 * nlines AS INT) AS r_ellipsis_lines, " +
-        "CAST(5 * nalpha >= 4 * n_words AS INT) AS r_alpha_words, " +
-        "CAST(nstop >= 2 AS INT) AS r_stopwords FROM c) " +
-        "SELECT *, CAST(r_word_count * r_mean_word_len * r_symbol_ratio * " +
-        "r_bullet_lines * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS pass " +
-        "FROM r"),
+    "q_gopher_rules" -> gopherRulesSql,
     // repetition-gate replay: per-(doc, unit) counts via unnest+GROUP BY
     // instead of the engine's sorted-run arrays — same exact integers,
     // same rounded fractions, same cross-multiplied flags
-    "q_gopher_rep" -> gopherRepSql,
+    "q_gopher_rep" -> gopherRepSql(),
+    // the COMPLETE table-A1 gate: both halves over the SAME (plain)
+    // corpus, conjunction per doc
+    "q_gopher_gate" ->
+      ("SELECT r.doc_id, r.pass AS pass_struct, p.pass AS pass_rep, " +
+        "CAST(r.pass * p.pass AS INT) AS pass " +
+        s"FROM ($gopherRulesSql) r JOIN (${gopherRepSql(inject = false)}) p " +
+        "ON p.doc_id = r.doc_id"),
     // Luhn replay: same injection and candidate class; from the right,
     // 0-based-even positions count as-is, odd double (−9 above 9 ⇔
     // digit > 4); one list_sum per candidate

@@ -1907,6 +1907,20 @@ object TextAnalysis {
       .otherwise(array().cast("array<struct<c:int,len:int>>"))
   }
 
+  /** The COMPLETE Gopher/MassiveText gate: the structural rules
+    * ([[gopherRules]]) AND the repetition battery ([[gopherRepetition]])
+    * joined per document — pass_struct, pass_rep, and their
+    * conjunction, the published Rae et al. table-A1 filter in one
+    * artifact. Each half is individually oracled; the join key is the
+    * only shuffle (two scan stages meeting on doc_id).
+    */
+  def gopherGate(docs: DataFrame): DataFrame =
+    gopherRules(docs).select(col("doc_id"), col("pass").as("pass_struct"))
+      .join(gopherRepetition(docs)
+        .select(col("doc_id"), col("pass").as("pass_rep")), Seq("doc_id"))
+      .withColumn("pass",
+        (col("pass_struct") * col("pass_rep")).cast("int"))
+
   /** The REPETITION half of the Gopher/MassiveText quality gate
     * ([[gopherRules]] is the structural half; [[repetitionScores]] keeps
     * its two count-fraction signals): per document, the char-mass
