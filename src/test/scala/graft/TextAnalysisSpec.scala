@@ -683,6 +683,29 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.typoClusters(docs).count().toInt)
   }
 
+  test("gopherGate: conjunction of the two halves, one row per doc") {
+    // a clean long doc (passes both), a degenerate repeated-phrase doc
+    // (structurally fine, repetition-gated), a too-short doc (gated by
+    // BOTH halves — tiny docs also trip the top-gram rules by
+    // pigeonhole: any bigram holds >20% of 22 chars)
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val clean = "the be to of and that have with " +
+      (1 to 80).map(i => s"word$i term$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, (s"$phrase $phrase $phrase $phrase $phrase have to of with " +
+        (1 to 60).map(i => s"unique$i").mkString(" "))),
+      (3L, "too short to have any words")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got.size == 3)
+    got.values.foreach { case (s, r, p) => assert(p == s * r) }
+    assert(got(1L) == ((1, 1, 1)), got(1L).toString)
+    assert(got(2L)._1 == 1 && got(2L)._2 == 0, got(2L).toString)
+    assert(got(3L) == ((0, 0, 0)), got(3L).toString)
+  }
+
   test("scriptMix: exact class counts, dominant tie-break, mixed flag, zero shuffle") {
     val docs = Seq(
       (0L, "hello world 42"),            // pure latin + digits
