@@ -2018,7 +2018,14 @@ object TextAnalysis {
       } ++
       GOPHER_TOP.map { case (n, _) => col(s"_r$n") } ++
       GOPHER_DUP.map { case (n, _) =>
-        transform(col(s"_g$n"), v => array_contains(col(s"_dup$n"), v))
+        // _dup is referenced TWICE on purpose: a single-use alias gets
+        // inlined by CollapseProject into the lambda, re-deriving the
+        // dup set per gram element (measured as the q_gopher_rep 4.4 s
+        // bench outlier); the size() guard also fast-paths dup-free docs
+        when(size(col(s"_dup$n")) === 0,
+          transform(col(s"_g$n"), _ => lit(false)))
+          .otherwise(
+            transform(col(s"_g$n"), v => array_contains(col(s"_dup$n"), v)))
           .as(s"_occ$n")
       }: _*)
     // covered-position char mass per dup-n: token position i (1-based)
