@@ -1929,14 +1929,6 @@ object SparkEntry {
       filterTail
   }
 
-  /** DuckDB replay of TextAnalysis.gopherRepetition over the
-    * q_gopher_rep injected fixture: per-(doc, unit) counts via
-    * unnest+GROUP BY instead of the engine's sorted-run arrays — same
-    * integers, same rounded fractions, same cross-multiplied flags.
-    * Threshold rationals are interpolated from the one list the Spark
-    * side uses conceptually (kept literal here; any drift fails the
-    * hash).
-    */
   /** DuckDB replay of TextAnalysis.gopherRules — factored so the
     * q_gopher_gate composition reuses the identical body.
     */
@@ -1967,10 +1959,16 @@ object SparkEntry {
       "r_bullet_lines * r_ellipsis_lines * r_alpha_words * r_stopwords AS INT) AS pass " +
       "FROM r"
 
+  /** DuckDB replay of TextAnalysis.gopherRepetition (with or without
+    * the q_gopher_rep injected fixture): per-(doc, unit) counts via
+    * unnest+GROUP BY instead of the engine's sorted-run arrays — same
+    * integers, same rounded fractions, same cross-multiplied flags.
+    * Threshold rationals interpolate TextAnalysis.GOPHER_TOP/GOPHER_DUP
+    * — the one definition both sides share.
+    */
   private def gopherRepSql(inject: Boolean = true): String = {
-    val top = Seq(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25))
-    val dup = Seq(5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100),
-      8 -> (3, 25), 9 -> (11, 100), 10 -> (1, 10))
+    val top = ops.TextAnalysis.GOPHER_TOP
+    val dup = ops.TextAnalysis.GOPHER_DUP
     val inj = if (!inject) "inj AS (SELECT doc_id, text FROM documents)"
     else "inj AS (SELECT doc_id, text || " +
       "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe now' || " +
@@ -2076,6 +2074,32 @@ object SparkEntry {
       s"SELECT * , CAST($passExpr AS INT) AS pass FROM (" +
       s"SELECT b.doc_id, $lineCols, $gramCols, $flagCols $joins) r"
   }
+
+  /** Shared per-class P/R/F1 SQL tail over a `conf(<aCol>, <pCol>, n)`
+    * CTE — ONE definition for the q_nb_prf and q_dedup_eval replays
+    * (the classifierReport algebra: F1 from the UNROUNDED ratios, NULL
+    * on empty denominators, full-outer on label).
+    */
+  private def prfTailSql(aCol: String, pCol: String): String =
+    s"bt AS (SELECT $aCol AS label, CAST(sum(n) AS BIGINT) AS n_true, " +
+      s"CAST(coalesce(sum(CASE WHEN $pCol = $aCol THEN n END), 0) AS BIGINT) " +
+      "AS tp FROM conf GROUP BY 1), " +
+      s"bp AS (SELECT $pCol AS label, CAST(sum(n) AS BIGINT) AS n_pred " +
+      "FROM conf GROUP BY 1), " +
+      "jj AS (SELECT coalesce(bt.label, bp.label) AS label, " +
+      "coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true, " +
+      "coalesce(n_pred, 0) AS n_pred " +
+      "FROM bt FULL OUTER JOIN bp ON bt.label = bp.label) " +
+      "SELECT label, tp, n_true, n_pred, " +
+      "CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 4) " +
+      "END AS prec, " +
+      "CASE WHEN n_true > 0 THEN round(tp / CAST(n_true AS DOUBLE), 4) " +
+      "END AS rec, " +
+      "CASE WHEN n_pred > 0 AND n_true > 0 AND " +
+      "(tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE)) > 0 " +
+      "THEN round(2 * (tp / CAST(n_pred AS DOUBLE)) * " +
+      "(tp / CAST(n_true AS DOUBLE)) / (tp / CAST(n_pred AS DOUBLE) + " +
+      "tp / CAST(n_true AS DOUBLE)), 4) END AS f1 FROM jj"
 
   /** DuckDB replay of the TextAnalysis.nbFit + nbPredict chain — the
     * model RE-FIT in SQL (cls × range(dim) smoothing grid, add-1, doc
@@ -2731,25 +2755,7 @@ object SparkEntry {
         "pd AS (SELECT tr.truth, CASE WHEN fl.doc_id IS NULL THEN 'uniq' " +
         "ELSE 'dup' END AS pred FROM tr LEFT JOIN fl USING (doc_id)), " +
         "conf AS (SELECT truth, pred, count(*) AS n FROM pd GROUP BY 1, 2), " +
-        "bt AS (SELECT truth AS label, CAST(sum(n) AS BIGINT) AS n_true, " +
-        "CAST(coalesce(sum(CASE WHEN pred = truth THEN n END), 0) AS BIGINT) " +
-        "AS tp FROM conf GROUP BY 1), " +
-        "bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred " +
-        "FROM conf GROUP BY 1), " +
-        "jj AS (SELECT coalesce(bt.label, bp.label) AS label, " +
-        "coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true, " +
-        "coalesce(n_pred, 0) AS n_pred " +
-        "FROM bt FULL OUTER JOIN bp ON bt.label = bp.label) " +
-        "SELECT label, tp, n_true, n_pred, " +
-        "CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 4) " +
-        "END AS prec, " +
-        "CASE WHEN n_true > 0 THEN round(tp / CAST(n_true AS DOUBLE), 4) " +
-        "END AS rec, " +
-        "CASE WHEN n_pred > 0 AND n_true > 0 AND " +
-        "(tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE)) > 0 " +
-        "THEN round(2 * (tp / CAST(n_pred AS DOUBLE)) * " +
-        "(tp / CAST(n_true AS DOUBLE)) / (tp / CAST(n_pred AS DOUBLE) + " +
-        "tp / CAST(n_true AS DOUBLE)), 4) END AS f1 FROM jj"),
+        prfTailSql("truth", "pred")),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $SORTED_CTES, " +
         "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
@@ -4081,25 +4087,7 @@ object SparkEntry {
     "q_nb_prf" ->
       (s"WITH ${nbCtes(64)}, " +
         "conf AS (SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2), " +
-        "bt AS (SELECT lang AS label, CAST(sum(n) AS BIGINT) AS n_true, " +
-        "CAST(coalesce(sum(CASE WHEN pred = lang THEN n END), 0) AS BIGINT) " +
-        "AS tp FROM conf GROUP BY 1), " +
-        "bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred " +
-        "FROM conf GROUP BY 1), " +
-        "j AS (SELECT coalesce(bt.label, bp.label) AS label, " +
-        "coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true, " +
-        "coalesce(n_pred, 0) AS n_pred " +
-        "FROM bt FULL OUTER JOIN bp ON bt.label = bp.label) " +
-        "SELECT label, tp, n_true, n_pred, " +
-        "CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 4) " +
-        "END AS prec, " +
-        "CASE WHEN n_true > 0 THEN round(tp / CAST(n_true AS DOUBLE), 4) " +
-        "END AS rec, " +
-        "CASE WHEN n_pred > 0 AND n_true > 0 AND " +
-        "(tp / CAST(n_pred AS DOUBLE) + tp / CAST(n_true AS DOUBLE)) > 0 " +
-        "THEN round(2 * (tp / CAST(n_pred AS DOUBLE)) * " +
-        "(tp / CAST(n_true AS DOUBLE)) / (tp / CAST(n_pred AS DOUBLE) + " +
-        "tp / CAST(n_true AS DOUBLE)), 4) END AS f1 FROM j"),
+        prfTailSql("lang", "pred")),
     // closed-form waterline: T* = min over weighted domains of
     // maxEpochs·c_d/w_d; weights interpolated from MIX_SOLVE_W (the
     // QUALITY_W pattern), every literal CAST AS DOUBLE (the MMR

@@ -1126,7 +1126,11 @@ object Dedup {
     * [[boilerplateScrub]] over the union, filtered to increment rows,
     * PROVIDED snapshot and increment doc ids are disjoint (the counts
     * are then additive; the standing index carries the snapshot side).
-    * Each crawl pays increment-line cost; snapshot text is never read.
+    * The index is RE-SUMMED per h on read, so the [[lineFreqIndex]]
+    * growth path (appending per-crawl count rows) is honored here — an
+    * appended line with rows (h,2),(h,2) reads as 4, not as two
+    * independent 2s. Each crawl pays increment-line cost; snapshot text
+    * is never read.
     * Note the asymmetry with [[substringScrubApply]]: boilerplate has no
     * ownership ordering, so snapshot documents' own rewrites only change
     * when a NEW line crosses the threshold — re-scrub the snapshot on
@@ -1139,8 +1143,11 @@ object Dedup {
     val lines = lineRows(incDocs)
     val incCounts = lines.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("_ndInc"))
+    // re-sum appended index rows; the aggregation rides the h-bucketing
+    val idxCounts = index.groupBy("h")
+      .agg(sum(col("nd")).cast("long").as("_ndIdx"))
     val hot = incCounts
-      .join(index.select(col("h"), col("nd").as("_ndIdx")), Seq("h"), "left")
+      .join(idxCounts, Seq("h"), "left")
       .where(coalesce(col("_ndIdx"), lit(0L)) + col("_ndInc") >= minDocs)
       .select(col("h"))
     val keeps = lines.join(hot, Seq("h"), "left_anti")

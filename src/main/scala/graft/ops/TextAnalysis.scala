@@ -1868,13 +1868,13 @@ object TextAnalysis {
     * (n → (p, q) meaning frac ≤ p/q): 2→0.20, 3→0.18, 4→0.16
     * (Rae et al. 2021, table A1).
     */
-  private val GOPHER_TOP: Seq[(Int, (Int, Int))] =
+  private[graft] val GOPHER_TOP: Seq[(Int, (Int, Int))] =
     Seq(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25))
 
   /** Gopher duplicate-n-gram char-fraction thresholds: 5→0.15, 6→0.14,
     * 7→0.13, 8→0.12, 9→0.11, 10→0.10.
     */
-  private val GOPHER_DUP: Seq[(Int, (Int, Int))] =
+  private[graft] val GOPHER_DUP: Seq[(Int, (Int, Int))] =
     Seq(5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100), 8 -> (3, 25),
       9 -> (11, 100), 10 -> (1, 10))
 

@@ -1414,7 +1414,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("boilerplateScrubApply: union counts decide; serve twin = per-batch apply") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.IndexTables
-    IndexTables.drop(spark, "bp_spec_linefreq")
+    IndexTables.drop(spark, "bp_spec_linefreq_b8")
     val base = Seq(
       (1L, "straddle banner\nsnap one"),
       (2L, "straddle banner\nsnap two")).toDF("doc_id", "text")
@@ -1458,6 +1458,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // need the ingest path to grow the index, by design)
     assert(out.map(r => r._1 -> r._4).toMap.apply(11L)
       == "inc local line\nmore fresh")
+    // the documented growth path appends per-crawl COUNT ROWS: apply
+    // must re-sum per h, so a line whose union count only crosses the
+    // threshold across appended rows ('straddle banner' 2 + 1) is hot
+    IndexTables.append(spark, "bp_spec_linefreq_b8",
+      Seq(("straddle banner", 1L)).toDF("line", "h_src")
+        .select(org.apache.spark.sql.functions.md5($"line").as("h"),
+          $"h_src".as("nd")))
+    val afterAppend = Dedup.boilerplateScrubApply(
+        Seq((20L, "straddle banner\nsolo")).toDF("doc_id", "text"),
+        Dedup.lineFreqIndex(base, "bp_spec"), minDocs = 4)
+      .as[(Long, Int, Int, String)].collect().head
+    // union count = 2 (original) + 1 (appended row) + 1 (this doc) = 4
+    assert(afterAppend == ((20L, 2, 1, "solo")), afterAppend.toString)
   }
 
   test("winnowPairsStats surfaces what the posting cap drops") {

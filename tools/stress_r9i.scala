@@ -32,7 +32,7 @@ time("50k-boilerplate-batch")(
   graft.ops.Dedup.boilerplateScrub(inj, minDocs = 3).count())
 val base = inj.where(col("doc_id") % 10 < 9).localCheckpoint()
 val inc = inj.where(col("doc_id") % 10 >= 9).localCheckpoint()
-graft.ops.IndexTables.drop(spark, "stress9i_linefreq")
+graft.ops.IndexTables.drop(spark, "stress9i_linefreq_b8")
 val idx = time("45k-linefreq-index-build")(
   graft.ops.Dedup.lineFreqIndex(base, "stress9i"))
 time("5k-boilerplate-apply")(
