@@ -94,6 +94,38 @@ object SparkEntry {
       Dedup.substringScrub(docs, k = 8).select(col("doc_id"), col("text")))
   }
 
+  /** Deterministic URL synthesis for the web-provenance queries (the
+    * documents table carries no URL column): scheme/host case, public
+    * suffix, explicit default port, path id (doc_id % 50 — forces
+    * canonical collisions), trailing slash, tracking params, and fragment
+    * all keyed on doc_id residues so the oracle rebuilds the same URLs.
+    */
+  private def urlInject(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"), concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS://WWW."))
+        .otherwise(lit("https://")),
+      col("source"),
+      when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".org")),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(lit("?b=2&a=1")),
+      when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      .as("url"))
+
+  /** q_domain_cap / q_k_anon / q_l_diversity / q_code_signals shared
+    * constants (oracles interpolate these — the QUALITY_W convention).
+    */
+  private val DOMAIN_CAP = 8
+  private val K_ANON = 5
+  private val L_DIV = 5
+  private val CURRICULUM_STAGES = 4
+  private val BLOCKED_DOMAINS: Seq[String] =
+    Seq("src3.org", "src7.co.uk", "src11.org", "src19.co.uk")
+  private val CODE_BLOCK =
+    "\nfunction f(x) {\n  // add one\n  var y = x + 1;\n  return y;\n}"
+
   private def snmClusters(s: SparkSession, d: String): DataFrame = {
     val n = witness(Tables.documents(s, d))
     IndexTables.plain(s, IndexTables.ident("snm_clusters_t90", d, n))(
@@ -1622,6 +1654,83 @@ object SparkEntry {
           Similarity.momentSums(emb.where(col("vec_id") % 10 >= 8), 64))
           .localCheckpoint(true), 64)
     }),
+    // ---- web provenance: URL canonicalization & domain rollups ----
+    // deterministic URL synthesis (urlInject): mixed-case scheme/host,
+    // default ports, tracking params, unsorted params, trailing slashes
+    // and fragments — every rule normalizeUrl owns, replayed verbatim in
+    // the oracle
+    "q_url_norm" -> ((s, d) =>
+      WebCuration.urlCanonical(urlInject(Tables.documents(s, d)),
+        "doc_id", "url")),
+    "q_domain_stats" -> ((s, d) =>
+      WebCuration.domainStats(urlInject(Tables.documents(s, d)),
+        "doc_id", "url", "n_chars")),
+    // heavy-tail guard: no registered domain contributes more than
+    // DOMAIN_CAP docs; keep decision by salted hash clock, domain-
+    // partitioned window (parallel across domains)
+    "q_domain_cap" -> ((s, d) =>
+      WebCuration.domainCap(urlInject(Tables.documents(s, d)),
+        "doc_id", "url", DOMAIN_CAP)),
+    // ---- privacy release gates ----
+    // k-anonymity over the (nation, market-segment) quasi-identifier:
+    // groups of fewer than K customers re-identify their members
+    "q_k_anon" -> ((s, d) =>
+      Scrub.kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), K_ANON)),
+    // l-diversity: nations whose customers concentrate in < L distinct
+    // market segments leak the segment through the nation alone
+    "q_l_diversity" -> ((s, d) =>
+      Scrub.lDiversityAudit(Tables.customer(s, d),
+        Seq("c_nationkey"), "c_mktsegment", L_DIV)),
+    // ---- code/licensing provenance ----
+    // SPDX tags + license-name patterns over deterministically injected
+    // license texts (doc 0 is dual-licensed by construction)
+    "q_license_scan" -> ((s, d) =>
+      TextAnalysis.licenseScan(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 8 === 0,
+            lit(" SPDX-License-Identifier: MIT")).otherwise(lit("")),
+          when(col("doc_id") % 12 === 0,
+            lit(" Licensed under the Apache License, Version 2.0"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 15 === 0,
+            lit(" under the GNU General Public License v3"))
+            .otherwise(lit(""))).as("text")))),
+    // code-vs-prose router signals over an injected code block (every
+    // 9th doc) — statement/indent/comment line fractions, symbol mass,
+    // keyword hits, integer-threshold is_code flag
+    "q_code_signals" -> ((s, d) =>
+      TextAnalysis.codeSignals(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(CODE_BLOCK)).otherwise(lit("")))
+          .as("text")))),
+    // domain blocklist filter: the canonical provenance chain ending in
+    // a bloom anti-join against the blocked registered domains — at
+    // 100 TB the blocklist is the big side and non-hits bypass the
+    // shuffle entirely (the q_incr_dedup shape)
+    "q_domain_block" -> ((s, d) => {
+      import s.implicits._
+      BloomJoin.bloomAntiJoin(
+        WebCuration.urlCanonical(urlInject(Tables.documents(s, d)),
+          "doc_id", "url").select("doc_id", "reg_domain"),
+        BLOCKED_DOMAINS.toDF("reg_domain"), "reg_domain")
+    }),
+    // curriculum order: easy-to-hard stages by unigram surprisal
+    // (distributed bucket fit), deterministic shard/pos replay within
+    // each stage — ordered difficulty between stages, shuffled within
+    "q_curriculum" -> ((s, d) =>
+      Sampling.curriculumOrder(
+        TextAnalysis.surprisalScores(Tables.documents(s, d))
+          .select(col("doc_id"), col("avg_surprisal")),
+        "doc_id", "avg_surprisal", CURRICULUM_STAGES)),
+    // ---- multi-column layout: Z-order locality audit ----
+    // Morton keys over (l_partkey, l_suppkey), bucketed at file
+    // granularity: EVERY column's per-bucket span must shrink toward
+    // range/sqrt(nBuckets) — the data-skipping evidence a single-column
+    // sort cannot give. All-integer arithmetic, bit-identical oracle.
+    "q_zorder" -> ((s, d) =>
+      Partitioning.zOrderAudit(Tables.lineitem(s, d),
+        Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -1683,6 +1792,45 @@ object SparkEntry {
     * share a fingerprint unless byte-identical). `toksExpr` must be
     * evaluated in a scope where `text` is also in scope.
     */
+  /** DuckDB mirror of [[urlInject]] + WebCuration's parse/normalize/
+    * registered-domain chain. Exposes CTEs `urls` (raw), `rd` (adds
+    * host, norm_url, reg_domain). The regexes and the multi-suffix list
+    * interpolate from the Scala constants — one definition per rule.
+    */
+  private def urlCtes: String = {
+    val suffixes = WebCuration.MULTI_SUFFIXES
+      .map(sfx => s"'$sfx'").mkString(", ")
+    "urls AS (SELECT doc_id, n_chars, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END || source || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.org' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || " +
+      "'/p/' || CAST(doc_id % 50 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END || " +
+      "CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
+      "parts AS (SELECT doc_id, n_chars, url, " +
+      "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host, " +
+      "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port, " +
+      "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path, " +
+      "regexp_extract(url, '\\?([^#]*)', 1) AS qq FROM urls), " +
+      "qs AS (SELECT *, array_to_string(list_sort(list_filter(" +
+      "string_split(qq, '&'), p -> p <> '' AND NOT regexp_matches(p, " +
+      s"'${WebCuration.TRACKING_PARAM_RE}'))), '&') AS q2 FROM parts), " +
+      "norm AS (SELECT doc_id, n_chars, url, host, scheme || '://' || host || " +
+      "CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443') " +
+      "OR (scheme = 'http' AND port = '80')) THEN ':' || port ELSE '' END || " +
+      "CASE WHEN path = '' THEN '/' WHEN length(path) > 1 AND path LIKE '%/' " +
+      "THEN substring(path, 1, length(path) - 1) ELSE path END || " +
+      "CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS norm_url FROM qs), " +
+      "rd AS (SELECT *, CASE WHEN len(labels) >= 3 AND " +
+      s"array_to_string(labels[-2:], '.') IN ($suffixes) " +
+      "THEN array_to_string(labels[-3:], '.') " +
+      "WHEN len(labels) >= 2 THEN array_to_string(labels[-2:], '.') " +
+      "ELSE host END AS reg_domain FROM " +
+      "(SELECT *, string_split(host, '.') AS labels FROM norm) lb)"
+  }
+
   private def fpSql(toksExpr: String): String =
     s"CASE WHEN len($toksExpr) > 0 THEN md5(array_to_string($toksExpr, ' ')) " +
       "ELSE 'raw:' || md5(text) END"
@@ -4897,6 +5045,131 @@ object SparkEntry {
         "generate_subscripts(embedding, 1) AS i FROM embeddings) " +
         "SELECT label, count(*) AS n, CAST(i - 1 AS INT) AS dim, " +
         "round(avg(x), 6) AS m FROM e GROUP BY label, i"),
+    // URL canonicalization replay: same injection, same regex parses,
+    // same normalization algebra (lowercase scheme/host, default-port
+    // drop, fragment drop, tracking-param filter + param sort, trailing
+    // slash) and the same multi-suffix registered-domain rule
+    "q_url_norm" ->
+      (s"WITH $urlCtes SELECT doc_id, url, norm_url, reg_domain FROM rd"),
+    "q_domain_stats" ->
+      (s"WITH $urlCtes SELECT reg_domain, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls, " +
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars FROM rd GROUP BY reg_domain"),
+    // same salted md5 hash clock, same (hash, id) tie-break
+    "q_domain_cap" ->
+      (s"WITH $urlCtes, rk AS (SELECT doc_id, reg_domain, " +
+        "row_number() OVER (PARTITION BY reg_domain ORDER BY " +
+        "'0' || substring(md5('domcap' || CAST(doc_id AS VARCHAR)), 1, 8), " +
+        "doc_id) AS rn FROM rd) " +
+        s"SELECT doc_id, reg_domain FROM rk WHERE rn <= $DOMAIN_CAP"),
+    "q_k_anon" ->
+      ("SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(count(*) < $K_ANON AS INT) AS k_violation " +
+        "FROM customer GROUP BY c_nationkey, c_mktsegment"),
+    "q_l_diversity" ->
+      ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive, " +
+        s"CAST(count(DISTINCT c_mktsegment) < $L_DIV AS INT) AS l_violation " +
+        "FROM customer GROUP BY c_nationkey"),
+    // license patterns interpolated from the Scala constants so the two
+    // engines can never drift on a regex
+    "q_license_scan" -> {
+      val spdx = TextAnalysis.SPDX_RE
+      val nameCases = TextAnalysis.LICENSE_NAMES.map { case (re, label) =>
+        s"CASE WHEN regexp_matches(text, '$re') THEN '$label' END"
+      }.mkString(", ")
+      "WITH inj AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 8 = 0 THEN ' SPDX-License-Identifier: MIT' ELSE '' END || " +
+        "CASE WHEN doc_id % 12 = 0 THEN ' Licensed under the Apache License, Version 2.0' ELSE '' END || " +
+        "CASE WHEN doc_id % 15 = 0 THEN ' under the GNU General Public License v3' ELSE '' END " +
+        "AS text FROM documents), " +
+        "lab AS (SELECT doc_id, unnest(list_filter([" +
+        s"CASE WHEN regexp_matches(text, '$spdx') THEN 'spdx:' || " +
+        s"regexp_extract(text, '$spdx', 1) END, $nameCases" +
+        "], x -> x IS NOT NULL)) AS license FROM inj) " +
+        "SELECT DISTINCT doc_id, license FROM lab"
+    },
+    // code-signals replay: same line classes, same symbol class (with
+    // DuckDB's explicit 'g' flag — its regexp_replace is first-match by
+    // default where Spark's is global), same integer thresholds
+    "q_code_signals" -> {
+      val block = "'" + CODE_BLOCK.replace("\n", "' || chr(10) || '") + "'"
+      "WITH inj AS (SELECT doc_id, text || " +
+        s"CASE WHEN doc_id % 9 = 0 THEN $block ELSE '' END AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, text, " +
+        "list_filter(string_split(text, chr(10)), x -> x <> '') AS ne FROM inj), " +
+        "m AS (SELECT doc_id, len(ne) AS n, " +
+        "len(list_filter(ne, x -> regexp_matches(x, '[;{}]$'))) AS stmt, " +
+        "len(list_filter(ne, x -> regexp_matches(x, '^(  |\t)'))) AS ind, " +
+        "len(list_filter(ne, x -> regexp_matches(x, '^[ \t]*(//|#|/\\*)'))) AS com, " +
+        "length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) AS sym, " +
+        "length(text) AS tl, " +
+        "len(regexp_extract_all(text, '\\b(function|return|import|void|def)\\b')) AS kw " +
+        "FROM l) " +
+        "SELECT doc_id, CAST(n AS INT) AS n_lines, " +
+        "CASE WHEN n > 0 THEN round(CAST(stmt AS DOUBLE) / n, 4) ELSE 0.0 END AS stmt_line_frac, " +
+        "CASE WHEN n > 0 THEN round(CAST(ind AS DOUBLE) / n, 4) ELSE 0.0 END AS indent_frac, " +
+        "CASE WHEN n > 0 THEN round(CAST(com AS DOUBLE) / n, 4) ELSE 0.0 END AS comment_frac, " +
+        "CASE WHEN tl > 0 THEN round(CAST(sym AS DOUBLE) / tl, 4) ELSE 0.0 END AS sym_frac, " +
+        "CAST(kw AS INT) AS kw_hits, " +
+        "CAST((n > 0 AND stmt * 10 >= n * 3) OR (kw >= 2 AND sym * 40 >= tl) AS INT) AS is_code " +
+        "FROM m"
+    },
+    // bloom anti-join ≡ plain anti-join (no false negatives; flagged
+    // rows exactly adjudicated) — the oracle is the plain NOT IN
+    "q_domain_block" -> {
+      val blocked = BLOCKED_DOMAINS.map(b => s"'$b'").mkString(", ")
+      s"WITH $urlCtes SELECT doc_id, reg_domain FROM rd " +
+        s"WHERE reg_domain NOT IN ($blocked)"
+    },
+    // the q_ppl_mix surprisal + strict-below bucket chain (4 stages, no
+    // keep filter), then the q_shuffle_order shard/pos replay inside
+    // each (stage, shard) group — salt 'cur'
+    "q_curriculum" ->
+      (s"WITH terms AS (SELECT doc_id, unnest($TOKS) AS word FROM documents), " +
+        "tf AS (SELECT word, count(*) AS cnt FROM terms GROUP BY word), " +
+        "n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf), " +
+        "s AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS avg_surprisal " +
+        "FROM terms JOIN tf USING (word), n GROUP BY doc_id), " +
+        "cnts AS (SELECT avg_surprisal, count(*) AS c FROM s GROUP BY 1), " +
+        "na AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM cnts), " +
+        "cum AS (SELECT avg_surprisal, c, sum(c) OVER (ORDER BY avg_surprisal " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
+        s"b AS (SELECT avg_surprisal, CAST(floor((cum - c) * $CURRICULUM_STAGES " +
+        "/ n_all) AS INT) + 1 AS stage FROM cum, na), " +
+        "st AS (SELECT s.doc_id, s.avg_surprisal, b.stage " +
+        "FROM s JOIN b USING (avg_surprisal)), " +
+        "h AS (SELECT *, '0' || substring(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        "AS hk FROM st), " +
+        "sh AS (SELECT *, CAST(strpos('0123456789abcdef', substring(hk, 2, 1)) - 1 " +
+        "AS INT) AS shard FROM h) " +
+        "SELECT doc_id, avg_surprisal, stage, shard, " +
+        "CAST(row_number() OVER (PARTITION BY stage, shard " +
+        "ORDER BY hk, doc_id) AS INT) AS pos FROM sh"),
+    // Morton-key replay: identical affine quantization (BIGINT div) and
+    // bit-plane interleave, bucket = top-4-bits of the 16-bit key
+    "q_zorder" -> {
+      val terms = (for (b <- 0 until 8) yield Seq(
+        s"((qp // ${1L << b}) % 2) * ${1L << (2 * b)}",
+        s"((qs // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")).flatten
+        .mkString(" + ")
+      "WITH st AS (SELECT CAST(min(l_partkey) AS BIGINT) AS minp, " +
+        "CAST(max(l_partkey) AS BIGINT) AS maxp, " +
+        "CAST(min(l_suppkey) AS BIGINT) AS mins, " +
+        "CAST(max(l_suppkey) AS BIGINT) AS maxs FROM lineitem), " +
+        "q AS (SELECT l_partkey, l_suppkey, " +
+        "((CAST(l_partkey AS BIGINT) - minp) * 256) // (maxp - minp + 1) AS qp, " +
+        "((CAST(l_suppkey AS BIGINT) - mins) * 256) // (maxs - mins + 1) AS qs " +
+        "FROM lineitem, st), " +
+        s"z AS (SELECT l_partkey, l_suppkey, $terms AS zval FROM q) " +
+        "SELECT zval // 4096 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS span_l_partkey, " +
+        "CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS span_l_suppkey " +
+        "FROM z GROUP BY bucket"
+    },
     // q_minhash_lsh / q_simhash / q_lsh_pairs / q_nn_lsh / q_hll: sketch
     // internals (xxhash64 / seeded projections / HLL++ registers) are not
     // reproducible in DuckDB → rows-only check; accuracy asserted in

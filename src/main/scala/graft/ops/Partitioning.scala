@@ -121,4 +121,84 @@ object Partitioning {
         round(col("cnt") / col("n_rows"), 6).as("share"),
         col("n_rows"), col("n_keys"), col("p50_cnt"), col("p99_cnt"))
   }
+
+  /** Z-order (Morton) key over integral columns — the multi-column data
+    * layout tool: range-clustering files by `zval` bounds EVERY input
+    * column's min/max per file, so scans filtering on ANY of the columns
+    * skip files (a plain sort bounds only its leading column; the second
+    * column's per-file span stays the full range). This is what
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` does; here it is an explicit
+    * column so the clustering composes with `repartitionByRange` +
+    * `sortWithinPartitions` + any writer.
+    *
+    * Mechanics: each column affine-quantizes to `bits` bits with EXACT
+    * integer arithmetic — q = ((v − min) · 2^bits) div (max − min + 1),
+    * min/max from a one-row broadcast aggregate — then the bit planes
+    * interleave: bit b of column i lands at position b·n_cols + i. The
+    * quantized columns are STAGED as projections once and the
+    * bits·n_cols interleave terms reference the staged columns (the
+    * per-element re-evaluation trap, avoided by construction). Every
+    * step is div/%/× on BIGINT — bit-identical in any engine, no float
+    * anywhere.
+    *
+    * Scale shape: the min/max aggregate is one scan + a one-row
+    * broadcast; the key itself is a pure scan-stage expression. At
+    * 100 TB the aggregate is usually replaced by known catalog stats —
+    * pass them via `statsOverride`.
+    */
+  def zOrdered(df: DataFrame, cols: Seq[String], bits: Int,
+      statsOverride: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    val nc = cols.length
+    require(nc >= 2, s"zOrdered: need >= 2 columns, got $nc")
+    require(bits >= 1 && nc * bits <= 62,
+      s"zOrdered: need 1 <= bits and n_cols*bits <= 62, got $nc x $bits")
+    val withStats =
+      if (cols.forall(statsOverride.contains)) {
+        cols.foldLeft(df) { (d, c) =>
+          val (lo, hi) = statsOverride(c)
+          d.withColumn(s"_min_$c", lit(lo)).withColumn(s"_max_$c", lit(hi))
+        }
+      } else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"_min_$c"),
+          max(col(c)).cast("long").as(s"_max_$c")))
+        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      }
+    val scale = 1L << bits
+    val quantized = cols.foldLeft(withStats) { (d, c) =>
+      d.withColumn(s"_q_$c", expr(
+        s"((CAST($c AS BIGINT) - _min_$c) * ${scale}L) div " +
+          s"(_max_$c - _min_$c + 1)"))
+    }
+    val terms = for {
+      b <- 0 until bits; (c, ci) <- cols.zipWithIndex
+    } yield s"((_q_$c div ${1L << b}L) % 2) * ${1L << (b * nc + ci)}L"
+    quantized.withColumn("zval", expr(terms.mkString(" + ")))
+      .drop(cols.flatMap(c =>
+        Seq(s"_min_$c", s"_max_$c", s"_q_$c")): _*)
+  }
+
+  /** The locality evidence behind [[zOrdered]]: bucket rows by the top
+    * bits of `zval` (`nBuckets` must be a power of two — buckets are
+    * exactly the file boundaries a range-clustered write would draw) and
+    * report each bucket's per-column value span. Read it against the
+    * global ranges: under z-order EVERY column's average span is ≈
+    * range/2^(bits-consumed-per-col); under a single-column sort the
+    * other columns read ≈ the full range. Aggregation-only — the audit
+    * never moves more than (bucket, extrema) tuples.
+    */
+  def zOrderAudit(df: DataFrame, cols: Seq[String], bits: Int,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
+      s"zOrderAudit: nBuckets must be a power of two, got $nBuckets")
+    val space = 1L << (cols.length * bits)
+    require(nBuckets <= space,
+      s"zOrderAudit: $nBuckets buckets exceed the $space-point key space")
+    zOrdered(df, cols, bits)
+      .withColumn("bucket", expr(s"zval div ${space / nBuckets}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        cols.map(c =>
+          (max(col(c)) - min(col(c))).cast("long").as(s"span_$c")): _*)
+  }
 }

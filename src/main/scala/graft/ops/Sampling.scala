@@ -540,18 +540,60 @@ object Sampling {
     require(shardHexDigits >= 1 && shardHexDigits <= 4,
       s"shardHexDigits must be in [1,4], got $shardHexDigits")
     import org.apache.spark.sql.expressions.Window
-    val hk = hashKey(col(idCol), salt)
-    // hex digit i of the hash (hash chars start at position 2 after the
-    // fixed '0' pad) → int, composed most-significant-first
-    val shard = (0 until shardHexDigits).map { i =>
+    val w = Window.partitionBy(col("shard")).orderBy(col("_hk"), col(idCol))
+    docs.select(col(idCol), hashKey(col(idCol), salt).as("_hk"))
+      .withColumn("shard", shardFromHash(shardHexDigits).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Hex digit i of the `_hk` hash column (hash chars start at position 2
+    * after the fixed '0' pad) → int, composed most-significant-first —
+    * shards are contiguous hash ranges (the [[deterministicShuffle]]
+    * invariant, shared with [[curriculumOrder]]).
+    */
+  private def shardFromHash(shardHexDigits: Int): Column =
+    (0 until shardHexDigits).map { i =>
       (expr(s"locate(substring(_hk, ${2 + i}, 1), '0123456789abcdef')") - 1) *
         (1 << (4 * (shardHexDigits - 1 - i)))
     }.reduce(_ + _)
-    val w = Window.partitionBy(col("shard")).orderBy(col("_hk"), col(idCol))
-    docs.select(col(idCol), hk.as("_hk"))
-      .withColumn("shard", shard.cast("int"))
+
+  /** Curriculum training order — easy-to-hard staging by a model score
+    * (readability, perplexity, loss): rows bucket into `nStages` stages by
+    * the corpus-wide score distribution ([[perplexityBuckets]] — stage 1 =
+    * lowest scores), and WITHIN each stage get a deterministic
+    * (shard, pos) replay order (the [[deterministicShuffle]] form — random
+    * order within a stage, stages read in sequence). The trainer reads
+    * stage 1's shards first, then stage 2's: ordered difficulty between
+    * stages, shuffled difficulty within.
+    *
+    * Scale shape: the stage dictionary is the distributed-prefix-sum
+    * bucket fit (no corpus window at any score cardinality); rows join it
+    * on the score value (AQE broadcasts it); the within-stage rank windows
+    * on (stage, shard) — `nStages · 16^shardHexDigits` parallel groups,
+    * each moving (id, hash) pairs only. Returns (id, score, stage, shard,
+    * pos). Null-score rows drop (no signal to stage by — the
+    * [[perplexityMix]] policy).
+    */
+  def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
+      nStages: Int, shardHexDigits: Int = 1,
+      salt: String = "cur"): DataFrame = {
+    require(nStages >= 1, s"curriculumOrder: need nStages >= 1, got $nStages")
+    require(shardHexDigits >= 1 && shardHexDigits <= 4,
+      s"shardHexDigits must be in [1,4], got $shardHexDigits")
+    import org.apache.spark.sql.expressions.Window
+    val real = scored.where(col(scoreCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stages = perplexityBuckets(real, scoreCol, nStages)
+      .withColumnRenamed("bucket", "stage")
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("_hk"), col(idCol))
+    real.join(stages, Seq(scoreCol))
+      .withColumn("_hk", hashKey(col(idCol), salt))
+      .withColumn("shard", shardFromHash(shardHexDigits).cast("int"))
       .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("pos"))
+      .select(col(idCol), col(scoreCol), col("stage"), col("shard"),
+        col("pos"))
   }
 
   /** Ratio-faithful interleaved training order — stride scheduling over

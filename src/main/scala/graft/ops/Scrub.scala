@@ -148,4 +148,39 @@ object Scrub {
             .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
         }) % 10 === 0)).cast("int").as("luhn_valid"))
   }
+
+  /** k-anonymity audit: group sizes over a quasi-identifier tuple. A row
+    * is k-anonymous when at least k−1 other rows share its quasi-identifier
+    * values; any group below k re-identifies its members. Returns one row
+    * per quasi-group with its size and a violation flag — the release-gate
+    * report a privacy review reads before a dataset ships.
+    *
+    * Scale shape: one hash aggregation keyed on the quasi tuple (map-side
+    * combined; the group dictionary is the quasi-value cross product, tiny
+    * next to the data). No row-level output — the report is group-sized.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: need quasi-identifier cols")
+    require(k >= 1, s"kAnonymityAudit: k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_violation", (col("n") < k).cast("int"))
+  }
+
+  /** l-diversity audit: distinct sensitive values per quasi-group. A
+    * k-anonymous group still leaks when every member shares one sensitive
+    * value (homogeneity attack); l-diversity requires ≥ l distinct
+    * sensitive values per group. Same group-sized aggregation shape as
+    * [[kAnonymityAudit]] with a count-distinct per group.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: need quasi-identifier cols")
+    require(l >= 1, s"lDiversityAudit: l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_violation", (col("n_sensitive") < l).cast("int"))
+  }
 }

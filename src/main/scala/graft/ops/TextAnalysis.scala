@@ -2082,4 +2082,93 @@ object TextAnalysis {
         flagDefs.map { case (name, _) => col(name) }.reduce(_ * _)
           .cast("int"))
   }
+
+  /** SPDX tag pattern for [[licenseScan]] — Java∩RE2 subset (no
+    * lookaround), group 1 = the license id.
+    */
+  private[graft] val SPDX_RE =
+    "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+\\-]+)"
+
+  /** (detection regex → normalized label) for license NAME matches —
+    * ordered, first-match-wins is NOT applied: every matching family
+    * reports (a file can be dual-licensed). Patterns stay in the shared
+    * Java∩RE2 subset so the oracle replays them verbatim.
+    */
+  private[graft] val LICENSE_NAMES: Seq[(String, String)] = Seq(
+    "Apache License,? Version 2\\.0" -> "Apache-2.0",
+    "MIT License" -> "MIT",
+    "GNU General Public License" -> "GPL",
+    "Mozilla Public License" -> "MPL",
+    "BSD 3-Clause" -> "BSD-3-Clause",
+    "Creative Commons Attribution" -> "CC-BY")
+
+  /** License detection over document text — the provenance gate a
+    * code/web corpus runs before training (copyleft and attribution
+    * obligations are decided per document, up front). Two detector
+    * families, both reported: the SPDX machine tag (exact id, prefixed
+    * `spdx:`) and the human-readable license-name patterns
+    * ([[LICENSE_NAMES]], normalized labels). One output row per distinct
+    * (doc, license); docs with no detection emit nothing.
+    *
+    * Scale shape: a per-row array of conditional labels, filtered and
+    * exploded — pure scan stage, zero shuffle, stateless-append
+    * streamable.
+    */
+  def licenseScan(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val spdx = when(t.rlike(SPDX_RE),
+      concat(lit("spdx:"), regexp_extract(t, SPDX_RE, 1)))
+    val names = LICENSE_NAMES.map { case (re, label) =>
+      when(t.rlike(re), lit(label)) }
+    docs.select(col(idCol),
+        explode(array_distinct(filter(array(spdx +: names: _*),
+          x => x.isNotNull))).as("license"))
+  }
+
+  /** Code-vs-prose signals — the router that sends a document down the
+    * code pipeline (code wants different dedup, quality, and packing than
+    * prose). Per document: line counts, the fraction of non-empty lines
+    * that end like statements (`;`/`{`/`}`), start indented (two spaces
+    * or a tab), or start like comments (slash-slash, `#`, slash-star), the
+    * code-symbol character count, keyword hits, and an integer
+    * cross-multiplied `is_code` flag (statement lines ≥ 30 % of non-empty
+    * lines, OR ≥ 2 keywords with symbols ≥ 2.5 % of chars) — no float
+    * thresholds to drift across engines.
+    *
+    * Scale shape: one scan-stage expression tree per row (the line array
+    * is materialized once and each signal filters it — the per-element
+    * re-evaluation trap avoided); zero shuffle, streams unchanged.
+    */
+  def codeSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val frac4 = (num: Column, den: Column) =>
+      when(den > 0, round(num.cast("double") / den, 4)).otherwise(lit(0.0))
+    docs.select(col(idCol), t.as("_t"), split(t, "\n").as("_lines"))
+      .select(col(idCol), col("_t"),
+        filter(col("_lines"), l => l =!= "").as("_ne"))
+      .select(col(idCol),
+        size(col("_ne")).as("_n"),
+        size(filter(col("_ne"), l => l.rlike("[;{}]$"))).as("_stmt"),
+        size(filter(col("_ne"), l => l.rlike("^(  |\\t)"))).as("_ind"),
+        size(filter(col("_ne"), l => l.rlike("^[ \\t]*(//|#|/\\*)")))
+          .as("_com"),
+        (length(col("_t")) -
+          length(regexp_replace(col("_t"), "[{}()\\[\\];=<>]", "")))
+          .as("_sym"),
+        length(col("_t")).as("_len"),
+        size(regexp_extract_all(col("_t"),
+          lit("\\b(function|return|import|void|def)\\b"), lit(0)))
+          .as("kw_hits"))
+      .select(col(idCol), col("_n").as("n_lines"),
+        frac4(col("_stmt"), col("_n")).as("stmt_line_frac"),
+        frac4(col("_ind"), col("_n")).as("indent_frac"),
+        frac4(col("_com"), col("_n")).as("comment_frac"),
+        frac4(col("_sym"), col("_len")).as("sym_frac"),
+        col("kw_hits"),
+        ((col("_n") > 0 && col("_stmt") * 10 >= col("_n") * 3) ||
+          (col("kw_hits") >= 2 && col("_sym") * 40 >= col("_len")))
+          .cast("int").as("is_code"))
+  }
 }

@@ -54,4 +54,66 @@ class PartitioningSpec extends SparkSpec {
     val plan = rep.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("zOrdered: hand bit-interleave at bits=1 and bits=2") {
+    val grid1 = Seq((0, 0), (1, 0), (0, 1), (1, 1)).toDF("a", "b")
+    val z1 = Partitioning.zOrdered(grid1, Seq("a", "b"), bits = 1,
+        statsOverride = Map("a" -> (0L, 1L), "b" -> (0L, 1L)))
+      .select($"a", $"b", $"zval").as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // column 0's bit lands at position 0, column 1's at position 1
+    assert(z1 == Map((0, 0) -> 0L, (1, 0) -> 1L, (0, 1) -> 2L,
+      (1, 1) -> 3L))
+    val grid2 = Seq((3, 0), (0, 3), (3, 3), (1, 2)).toDF("x", "y")
+    val z2 = Partitioning.zOrdered(grid2, Seq("x", "y"), bits = 2,
+        statsOverride = Map("x" -> (0L, 3L), "y" -> (0L, 3L)))
+      .select($"x", $"y", $"zval").as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // x=3 -> bits at positions 0,2 = 5; y=3 -> positions 1,3 = 10
+    assert(z2 == Map((3, 0) -> 5L, (0, 3) -> 10L, (3, 3) -> 15L,
+      (1, 2) -> 9L))
+  }
+
+  test("zOrderAudit: every bucket bounds EVERY column's span " +
+      "(range/sqrt(buckets)), where a one-column sort cannot)") {
+    // full 32x32 grid; 16 buckets over a 10-bit key consume the top 2
+    // bits of each column -> each bucket is an exact 8x8 subgrid
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+      .toDF("x", "y")
+    val audit = Partitioning.zOrderAudit(grid, Seq("x", "y"), bits = 5,
+        nBuckets = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(audit.length == 16)
+    assert(audit.map(_._2).sum == 1024L)
+    assert(audit.forall { case (_, n, sx, sy) =>
+      n == 64L && sx == 7L && sy == 7L })
+    // contrast: bucketing a single-column sort the same 16 ways leaves
+    // the second column's span at the FULL range
+    val sorted = grid.withColumn("bucket", ($"x" / lit(2)).cast("int"))
+    val spans = sorted.groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max($"y") -
+        org.apache.spark.sql.functions.min($"y"))
+      .as[(Int, Int)].collect()
+    assert(spans.length == 16 && spans.forall(_._2 == 31))
+  }
+
+  test("zOrdered: computed min/max path matches statsOverride, guards " +
+      "reject bad shapes") {
+    val grid = Seq((0, 0), (1, 1), (3, 2)).toDF("x", "y")
+    val a = Partitioning.zOrdered(grid, Seq("x", "y"), 2)
+      .select($"x", $"zval").as[(Int, Long)].collect().toSet
+    val b = Partitioning.zOrdered(grid, Seq("x", "y"), 2,
+        statsOverride = Map("x" -> (0L, 3L), "y" -> (0L, 2L)))
+      .select($"x", $"zval").as[(Int, Long)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Partitioning.zOrdered(grid, Seq("x"), 2) // < 2 columns
+    }
+    intercept[IllegalArgumentException] {
+      Partitioning.zOrdered(grid, Seq("x", "y"), 32) // 64 bits > 62
+    }
+    intercept[IllegalArgumentException] {
+      Partitioning.zOrderAudit(grid, Seq("x", "y"), 2, nBuckets = 10)
+    }
+  }
 }

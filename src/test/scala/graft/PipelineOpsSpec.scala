@@ -945,4 +945,26 @@ class PipelineOpsSpec extends SparkSpec {
       assert(batchSurvivors == gotFlag.collect { case (id, 0) => id }.toSet)
     } finally { scrubQ.stop(); flagQ.stop() }
   }
+
+  test("kAnonymityAudit: groups below k flagged, exact sizes") {
+    val rows = Seq.fill(5)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++
+      Seq(("FR", "A"))
+    val got = Scrub.kAnonymityAudit(
+      rows.toDF("country", "seg"), Seq("country", "seg"), k = 4)
+      .as[(String, String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(("US", "A") -> ((5L, 0)), ("US", "B") -> ((3L, 1)),
+      ("FR", "A") -> ((1L, 1))))
+  }
+
+  test("lDiversityAudit: homogeneous sensitive values flagged below l") {
+    val rows = Seq(("US", "cancer"), ("US", "cancer"), ("US", "cancer"),
+      ("FR", "flu"), ("FR", "cancer"))
+    val got = Scrub.lDiversityAudit(
+      rows.toDF("country", "dx"), Seq("country"), "dx", l = 2)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // US: 3 rows, ONE distinct diagnosis -> the homogeneity leak
+    assert(got == Map("US" -> ((3L, 1L, 1)), "FR" -> ((2L, 2L, 0))))
+  }
 }

@@ -543,4 +543,33 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "source").as[(Long, String)].collect()
     assert(all.length == 60) // quotas exceed counts → draw caps at c
   }
+
+  test("curriculumOrder: stages ascend with score, per-(stage,shard) " +
+      "positions dense, null scores drop, layout-independent") {
+    // 40 rows, scores 0..39: 4 stages of 10 by the strict-below rule
+    val scored = ((0L until 40L).map(i => (i, i.toDouble)) :+
+      ((99L, Double.NaN))).toDF("doc_id", "score")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.when($"doc_id" === 99L, null)
+          .otherwise($"score").as("score"))
+    val got = Sampling.curriculumOrder(scored, "doc_id", "score", 4)
+      .as[(Long, Double, Int, Int, Int)].collect()
+    assert(got.length == 40) // the null-score row dropped
+    val stageOf = got.map(r => r._1 -> r._3).toMap
+    assert((0L until 10L).forall(stageOf(_) == 1))
+    assert((30L until 40L).forall(stageOf(_) == 4))
+    // every score maps to exactly one stage and stages are monotone in
+    // the score
+    val byStage = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byStage(1).max < byStage(2).min && byStage(3).max < byStage(4).min)
+    // positions dense within each (stage, shard): 1..n
+    got.groupBy(r => (r._3, r._4)).values.foreach { g =>
+      assert(g.map(_._5).sorted.toSeq == (1 to g.size).toSeq)
+    }
+    // physical layout cannot change the order decision
+    val again = Sampling.curriculumOrder(scored.repartition(7), "doc_id",
+      "score", 4).as[(Long, Double, Int, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    spark.catalog.clearCache() // curriculumOrder persists its projection
+  }
 }

@@ -791,4 +791,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0L).getAs[Int]("pass") == 0)
     assert(r(1L).getAs[Int]("pass") == 1)
   }
+
+  test("licenseScan: SPDX ids, name patterns, dual licensing, no-license " +
+      "docs emit nothing") {
+    val docs = Seq(
+      (1L, "code\nSPDX-License-Identifier: Apache-2.0\nmore"),
+      (2L, "Licensed under the Apache License, Version 2.0 " +
+        "or alternatively the MIT License."),
+      (3L, "plain prose about licensing nothing specific"),
+      (4L, "SPDX-License-Identifier: MIT\nSPDX-License-Identifier: MIT"),
+      (5L, "released under the GNU General Public License v3 and " +
+        "Creative Commons Attribution 4.0"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.licenseScan(docs).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set("spdx:Apache-2.0"))
+    assert(got(2L) == Set("Apache-2.0", "MIT"))
+    assert(!got.contains(3L))
+    assert(got(4L) == Set("spdx:MIT")) // repeated tag emits once
+    assert(got(5L) == Set("GPL", "CC-BY"))
+  }
+
+  test("codeSignals: statement/indent/comment fractions, keyword hits, " +
+      "integer is_code thresholds at the exact boundary") {
+    val code = "function f() {\n  // add\n  var y = 1;\n  return y;\n}"
+    val docs = Seq(
+      (1L, code),
+      (2L, "hello world this is ordinary prose text"),
+      (3L, ""),
+      // exactly 3 statement lines of 10 non-empty: 3*10 >= 10*3 holds
+      (4L, (Seq.fill(3)("x = 1;") ++ Seq.fill(7)("prose line"))
+        .mkString("\n")),
+      // 2 of 7: 2*10 < 7*3 -> not code (and no keywords)
+      (5L, (Seq.fill(2)("x = 1;") ++ Seq.fill(5)("prose line"))
+        .mkString("\n")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(docs)
+      .as[(Long, Int, Double, Double, Double, Double, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n1, stmt1, ind1, com1, _, kw1, isCode1) = got(1L)
+    // 4 of 5 lines end ;/{/} ; 3 of 5 start indented; 1 comment line
+    assert(n1 == 5 && stmt1 == 0.8 && ind1 == 0.6 && com1 == 0.2)
+    assert(kw1 == 2 && isCode1 == 1) // function, return
+    assert(got(2L)._8 == 0 && got(2L)._3 == 0.0)
+    assert(got(3L)._2 == 0 && got(3L)._8 == 0) // empty text: all zero
+    assert(got(4L)._8 == 1 && got(5L)._8 == 0) // exact 30 % boundary
+  }
 }
