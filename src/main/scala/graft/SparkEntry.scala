@@ -123,6 +123,12 @@ object SparkEntry {
   private val CURRICULUM_STAGES = 4
   private val BLOCKED_DOMAINS: Seq[String] =
     Seq("src3.org", "src7.co.uk", "src11.org", "src19.co.uk")
+
+  /** q_domain_cap_incr's cap: sized ABOVE the ~10-doc base batches (most
+    * domains keep their whole base) so the increment's remaining quota
+    * is small but nonzero — the binding-at-the-margin case.
+    */
+  private val DOMAIN_CAP_INCR = 12
   private val CODE_BLOCK =
     "\nfunction f(x) {\n  // add one\n  var y = x + 1;\n  return y;\n}"
 
@@ -1723,6 +1729,19 @@ object SparkEntry {
         TextAnalysis.surprisalScores(Tables.documents(s, d))
           .select(col("doc_id"), col("avg_surprisal")),
         "doc_id", "avg_surprisal", CURRICULUM_STAGES)),
+    // incremental cap: base batch fills each domain's quota, the
+    // increment admits only into the remainder (arrival-order semantics
+    // — already-shipped base rows are never evicted; the
+    // q_boilerplate_incr standing-index convention)
+    "q_domain_cap_incr" -> ((s, d) => {
+      val all = urlInject(Tables.documents(s, d))
+      val base = all.where(col("doc_id") % 10 < 8)
+      val incr = all.where(col("doc_id") % 10 >= 8)
+      WebCuration.domainCapApply(incr,
+        WebCuration.domainCapIndex(
+          WebCuration.domainCap(base, "doc_id", "url", DOMAIN_CAP_INCR)),
+        "doc_id", "url", DOMAIN_CAP_INCR)
+    }),
     // ---- multi-column layout: Z-order locality audit ----
     // Morton keys over (l_partkey, l_suppkey), bucketed at file
     // granularity: EVERY column's per-bucket span must shrink toward
@@ -1731,6 +1750,29 @@ object SparkEntry {
     "q_zorder" -> ((s, d) =>
       Partitioning.zOrderAudit(Tables.lineitem(s, d),
         Seq("l_partkey", "l_suppkey"), bits = 8, nBuckets = 16)),
+    // the WRITE-side proof: z-cluster lineitem into 8 parquet files and
+    // audit the manifest — exactly 8 files, rows conserved, and the
+    // files' zval ranges pairwise DISJOINT (range partitioning's
+    // guarantee, independent of its sampled boundaries; the per-file
+    // dual-column span evidence is asserted in SinksRichSpec where the
+    // layout is deterministic)
+    "q_zorder_files" -> ((s, d) => {
+      val dir = "/tmp/graft_zorder_files/" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Sinks.writeZOrdered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey"),
+        dir, nFiles = 8, Seq("l_partkey", "l_suppkey"), bits = 8)
+      val m = Sinks.shardManifest(s, dir, Seq("zval")).localCheckpoint()
+      val a = m.select(col("file").as("fa"), col("min_zval").as("amin"),
+        col("max_zval").as("amax"))
+      val b = m.select(col("file").as("fb"), col("min_zval").as("bmin"),
+        col("max_zval").as("bmax"))
+      val ov = a.join(b, col("fa") < col("fb") &&
+          col("amin") <= col("bmax") && col("bmin") <= col("amax"))
+        .agg(count(lit(1)).as("n_overlaps"))
+      m.agg(countDistinct("file").as("n_files"),
+          sum("n_rows").as("total_rows"))
+        .crossJoin(ov)
+    }),
   )
 
   /** q_domain_mix / q_heavy_hitters parameters — shared constants so the
@@ -5149,6 +5191,28 @@ object SparkEntry {
         "SELECT doc_id, avg_surprisal, stage, shard, " +
         "CAST(row_number() OVER (PARTITION BY stage, shard " +
         "ORDER BY hk, doc_id) AS INT) AS pos FROM sh"),
+    // arrival-order incremental cap replay: base quota fill, then the
+    // increment ranked into each domain's remainder
+    "q_domain_cap_incr" ->
+      (s"WITH $urlCtes, " +
+        "base AS (SELECT doc_id, reg_domain FROM rd WHERE doc_id % 10 < 8), " +
+        "bk AS (SELECT doc_id, reg_domain, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY " +
+        "'0' || substring(md5('domcap' || CAST(doc_id AS VARCHAR)), 1, 8), " +
+        "doc_id) AS rn FROM base), " +
+        s"cnt AS (SELECT reg_domain, count(*) AS c FROM bk WHERE rn <= $DOMAIN_CAP_INCR " +
+        "GROUP BY reg_domain), " +
+        "inc AS (SELECT doc_id, reg_domain FROM rd WHERE doc_id % 10 >= 8), " +
+        "ik AS (SELECT doc_id, reg_domain, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY " +
+        "'0' || substring(md5('domcap' || CAST(doc_id AS VARCHAR)), 1, 8), " +
+        "doc_id) AS rn FROM inc) " +
+        "SELECT ik.doc_id, ik.reg_domain FROM ik LEFT JOIN cnt USING (reg_domain) " +
+        s"WHERE ik.rn <= $DOMAIN_CAP_INCR - coalesce(cnt.c, 0)"),
+    // layout-independent write invariants only (range boundaries are
+    // sampled): file count, row conservation, disjoint zval ranges
+    "q_zorder_files" ->
+      "SELECT 8 AS n_files, count(*) AS total_rows, 0 AS n_overlaps FROM lineitem",
     // Morton-key replay: identical affine quantization (BIGINT div) and
     // bit-plane interleave, bucket = top-4-bits of the 16-bit key
     "q_zorder" -> {

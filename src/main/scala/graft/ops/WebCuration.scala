@@ -155,4 +155,39 @@ object WebCuration {
       .where(col("_rn") <= maxDocs)
       .drop("_rn")
   }
+
+  /** Standing per-domain kept counts from a [[domainCap]] (or
+    * [[domainCapApply]]) decision — the state an INCREMENTAL cap carries
+    * between crawl batches. Domain-sized, additive under unions of
+    * disjoint decisions.
+    */
+  def domainCapIndex(kept: DataFrame): DataFrame =
+    kept.groupBy("reg_domain").agg(count(lit(1)).as("kept"))
+
+  /** Incremental per-domain cap: admit increment rows only into each
+    * domain's REMAINING quota (cap − standing kept count). Semantics are
+    * arrival-order ("first batches fill the quota first") — NOT a
+    * re-decision of base ∪ increment, which could evict already-shipped
+    * base rows; within one increment the admission order is the same
+    * salted hash clock as [[domainCap]], so the decision is
+    * layout/retry/engine independent. Applying with an EMPTY index ≡
+    * the batch [[domainCap]]. The quota join broadcasts the
+    * domain-sized index; the rank window partitions by domain.
+    */
+  def domainCapApply(incr: DataFrame, index: DataFrame, idCol: String,
+      urlCol: String, maxDocs: Int,
+      salt: String = "domcap"): DataFrame = {
+    require(maxDocs >= 1,
+      s"domainCapApply: maxDocs must be >= 1, got $maxDocs")
+    import org.apache.spark.sql.expressions.Window
+    incr.select(col(idCol),
+        registeredDomain(urlHost(col(urlCol))).as("reg_domain"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("reg_domain"))
+          .orderBy(Sampling.hashKey(col(idCol), salt), col(idCol))))
+      .join(broadcast(index.select(col("reg_domain"),
+        col("kept").as("_kept"))), Seq("reg_domain"), "left")
+      .where(col("_rn") <= lit(maxDocs) - coalesce(col("_kept"), lit(0L)))
+      .select(col(idCol), col("reg_domain"))
+  }
 }

@@ -168,4 +168,19 @@ object Sinks {
       .select(col("_f").as(fileCol), col("_s").as(sizeCol),
         expr(s"_cum div ${target}L").cast("int").as("grp"))
   }
+
+  /** Z-order clustered write — [[writeRangeClustered]] on the Morton key
+    * ([[graft.ops.Partitioning.zOrdered]]): every output file gets a
+    * disjoint `zval` range, which bounds EVERY interleaved column's
+    * min/max per file, so parquet footer stats skip files for predicates
+    * on ANY of the columns (a single-column sort buys that for its
+    * leading column only). The `zval` column is kept in the output — it
+    * is the cluster key the manifest audits and future compactions
+    * re-sort by. This is what OPTIMIZE ZORDER BY does in table formats,
+    * expressed as write-time layout.
+    */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      cols: Seq[String], bits: Int): Unit =
+    writeRangeClustered(graft.ops.Partitioning.zOrdered(df, cols, bits),
+      path, nFiles, Seq("zval"))
 }

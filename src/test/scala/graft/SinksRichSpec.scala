@@ -232,4 +232,34 @@ class SinksRichSpec extends SparkSpec {
       got.map(_._1).slice(got.map(_._1).indexOf(fs.head),
         got.map(_._1).indexOf(fs.head) + fs.size) == fs))
   }
+
+  test("writeZOrdered: every file bounds BOTH columns; a one-column sort " +
+      "leaves the other unbounded") {
+    import org.apache.spark.sql.functions.{col, avg}
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+      .toDF("x", "y")
+    val dirZ = java.nio.file.Files.createTempDirectory("zw").toString
+    Sinks.writeZOrdered(grid, dirZ, nFiles = 16, Seq("x", "y"), bits = 5)
+    val mz = Sinks.shardManifest(spark, dirZ, Seq("x", "y", "zval"))
+      .collect()
+    assert(mz.length == 16 && mz.map(r => r.getAs[Long]("n_rows")).sum == 1024L)
+    // zval ranges disjoint across files (range clustering's guarantee)
+    val zr = mz.map(r => (r.getAs[Long]("min_zval"), r.getAs[Long]("max_zval")))
+      .sortBy(_._1)
+    assert(zr.sliding(2).forall { case Array(a, b) => a._2 < b._1 })
+    // dual-column locality: spans of BOTH x and y stay well under the
+    // 0..31 range in every file (sampled boundaries allow straddle, so
+    // assert < full range per file and tight on average)
+    val spans = mz.map(r => (r.getAs[Int]("max_x") - r.getAs[Int]("min_x"),
+      r.getAs[Int]("max_y") - r.getAs[Int]("min_y")))
+    assert(spans.forall { case (sx, sy) => sx < 32 && sy < 32 })
+    assert(spans.map(_._1).sum.toDouble / 16 <= 16.0)
+    assert(spans.map(_._2).sum.toDouble / 16 <= 16.0)
+    // contrast: clustering by x alone bounds x but reads the FULL y
+    // range in every file
+    val dirX = java.nio.file.Files.createTempDirectory("xw").toString
+    Sinks.writeRangeClustered(grid, dirX, 16, Seq("x"))
+    val mx = Sinks.shardManifest(spark, dirX, Seq("y")).collect()
+    assert(mx.forall(r => r.getAs[Int]("max_y") - r.getAs[Int]("min_y") == 31))
+  }
 }

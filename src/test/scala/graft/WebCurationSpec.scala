@@ -74,6 +74,34 @@ class WebCurationSpec extends SparkSpec {
     assert(kept2.subsetOf(kept3) && kept2.size == 5)
   }
 
+  test("domainCapApply: increments admit only into the remaining quota, " +
+      "empty index = batch cap, quota never exceeded across batches") {
+    val mk = (ids: Seq[Long], host: String) =>
+      ids.map(i => (i, s"https://$host/p/$i")).toDF("doc_id", "url")
+    val base = mk(1L to 5L, "hot.org")
+    val inc = mk(6L to 9L, "hot.org")
+      .union(mk(Seq(10L), "new.org"))
+    // batch decision on base fills all 4 of cap 4
+    val keptBase = WebCuration.domainCap(base, "doc_id", "url", 4)
+    assert(keptBase.count() == 4)
+    val idx = WebCuration.domainCapIndex(keptBase)
+    // increment: hot.org has 0 quota left (4-4); new.org admits 1
+    val keptInc = WebCuration.domainCapApply(inc, idx, "doc_id", "url", 4)
+      .as[(Long, String)].collect()
+    assert(keptInc.map(_._2).toSeq == Seq("new.org"))
+    // cumulative per-domain totals never exceed the cap
+    val total = (keptBase.as[(Long, String)].collect() ++ keptInc)
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    assert(total.values.forall(_ <= 4))
+    // empty index: apply IS the batch decision
+    val emptyIdx = WebCuration.domainCapIndex(
+      mk(Nil, "none").select($"doc_id", lit("none").as("reg_domain")))
+    val applyFresh = WebCuration.domainCapApply(base, emptyIdx,
+      "doc_id", "url", 4).as[(Long, String)].collect().toSet
+    assert(applyFresh == WebCuration.domainCap(base, "doc_id", "url", 4)
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("urlCanonical streams stateless-append: MemoryStream = batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(
