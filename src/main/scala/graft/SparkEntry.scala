@@ -129,6 +129,10 @@ object SparkEntry {
     * is small but nonzero — the binding-at-the-margin case.
     */
   private val DOMAIN_CAP_INCR = 12
+
+  /** q_profile's audited columns (oracle interpolates the same list). */
+  private val PROFILE_COLS =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val CODE_BLOCK =
     "\nfunction f(x) {\n  // add one\n  var y = x + 1;\n  return y;\n}"
 
@@ -1113,6 +1117,11 @@ object SparkEntry {
       Contracts.kAnonymity(Tables.documents(s, d)
           .withColumn("len_bucket", (col("n_chars") / 100).cast("int")),
         Seq("lang", "source", "len_bucket"), k = 3)),
+    // numeric table profile: every column's metrics in ONE aggregate
+    // pass (exact distinct/percentile here for the oracle; production
+    // uses the approx variants — see Contracts.tableProfile)
+    "q_profile" -> ((s, d) =>
+      Contracts.tableProfile(Tables.lineitem(s, d), PROFILE_COLS)),
     // per-type daily volume anomalies (2-sigma, exact integer algebra)
     "q_anomaly" -> ((s, d) =>
       Windowing.volumeAnomalies(Tables.events(s, d), "ts", "event_type",
@@ -5191,6 +5200,21 @@ object SparkEntry {
         "SELECT doc_id, avg_surprisal, stage, shard, " +
         "CAST(row_number() OVER (PARTITION BY stage, shard " +
         "ORDER BY hk, doc_id) AS INT) AS pos FROM sh"),
+    // per-column UNION ALL replay of the one-pass profile (CAST AS
+    // DOUBLE everywhere — the DECIMAL truncation lesson; quantile_cont
+    // is DuckDB's exact interpolated percentile)
+    "q_profile" -> PROFILE_COLS.map { c =>
+      s"SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"round(CAST(min($c) AS DOUBLE), 4) AS min, " +
+        s"round(CAST(max($c) AS DOUBLE), 4) AS max, " +
+        s"round(avg(CAST($c AS DOUBLE)), 4) AS mean, " +
+        s"round(stddev_samp(CAST($c AS DOUBLE)), 4) AS std, " +
+        s"round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50, " +
+        s"round(quantile_cont(CAST($c AS DOUBLE), 0.95), 4) AS p95 " +
+        "FROM lineitem"
+    }.mkString(" UNION ALL "),
     // arrival-order incremental cap replay: base quota fill, then the
     // increment ranked into each domain's remainder
     "q_domain_cap_incr" ->

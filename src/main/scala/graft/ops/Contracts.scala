@@ -44,6 +44,9 @@ object Contracts {
     * gate for releasing per-group statistics. One map-side-combined
     * groupBy over the QI tuple, then K-cell-sized algebra; null QI
     * values form their own cells (they are an identifier value too).
+    * [[Scrub.kAnonymityAudit]] is the per-group detail twin (which
+    * cells to suppress); [[Scrub.lDiversityAudit]] adds the
+    * sensitive-value homogeneity check.
     */
   def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
     require(quasiIds.nonEmpty && k >= 2,
@@ -55,5 +58,49 @@ object Contracts {
         sum(when(col("cnt") < k, col("cnt")).otherwise(lit(0L)))
           .as("n_rows_at_risk"),
         min(col("cnt")).as("min_cell"))
+  }
+
+  /** Numeric column profiler — the "what is in this table" report a data
+    * handoff leads with (the Deequ/Great Expectations profile): per
+    * column, non-null count, null count, distinct count, min/max, mean,
+    * sample stddev, and exact p50/p95, one output row per column.
+    *
+    * EVERY column's metrics compute in ONE aggregate pass (the
+    * [[violations]] doctrine — N columns never cost N scans); the
+    * one-row wide result unpivots to rows driver-free via explode.
+    * `exact = true` uses exact `count(DISTINCT)` — correct for
+    * validation, but k exact distincts in one aggregate expand the scan
+    * k+1×; at 100 TB pass `exact = false` for HLL++
+    * `approx_count_distinct` (one scan, no expand, ±2 % default) and
+    * treat n_distinct as an estimate. Exact `percentile` is likewise the
+    * oracle-parity choice; production swaps `approx_percentile`.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "Contracts.tableProfile: need at least one column")
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"nd_$c"),
+        round(min(d), 4).as(s"min_$c"),
+        round(max(d), 4).as(s"max_$c"),
+        round(avg(d), 4).as(s"mean_$c"),
+        round(stddev_samp(d), 4).as(s"std_$c"),
+        round(expr(s"percentile(CAST($c AS DOUBLE), 0.5)"), 4).as(s"p50_$c"),
+        round(expr(s"percentile(CAST($c AS DOUBLE), 0.95)"), 4).as(s"p95_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
+        coalesce(col(s"null_$c"), lit(0L)).as("n_null"),
+        col(s"nd_$c").as("n_distinct"), col(s"min_$c").as("min"),
+        col(s"max_$c").as("max"), col(s"mean_$c").as("mean"),
+        col(s"std_$c").as("std"), col(s"p50_$c").as("p50"),
+        col(s"p95_$c").as("p95"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 }

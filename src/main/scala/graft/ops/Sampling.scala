@@ -573,7 +573,10 @@ object Sampling {
     * on (stage, shard) — `nStages · 16^shardHexDigits` parallel groups,
     * each moving (id, hash) pairs only. Returns (id, score, stage, shard,
     * pos). Null-score rows drop (no signal to stage by — the
-    * [[perplexityMix]] policy).
+    * [[perplexityMix]] policy). The (id, score) projection is persisted
+    * for its two consumers (bucket fit + output join) and NOT unpersisted
+    * — the same `spark.catalog.clearCache()` caller contract as
+    * [[perplexityMix]].
     */
   def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
       nStages: Int, shardHexDigits: Int = 1,

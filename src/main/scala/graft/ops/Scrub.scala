@@ -152,8 +152,10 @@ object Scrub {
   /** k-anonymity audit: group sizes over a quasi-identifier tuple. A row
     * is k-anonymous when at least k−1 other rows share its quasi-identifier
     * values; any group below k re-identifies its members. Returns one row
-    * per quasi-group with its size and a violation flag — the release-gate
-    * report a privacy review reads before a dataset ships.
+    * per quasi-group with its size and a violation flag — the PER-GROUP
+    * detail a suppression pass acts on (which cells to generalize or
+    * drop); [[Contracts.kAnonymity]] is the one-row summary twin a
+    * release gate thresholds on.
     *
     * Scale shape: one hash aggregation keyed on the quasi tuple (map-side
     * combined; the group dictionary is the quasi-value cross product, tiny

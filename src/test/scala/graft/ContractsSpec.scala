@@ -28,6 +28,31 @@ class ContractsSpec extends SparkSpec {
     assert("LocalTableScan|Scan ".r.findAllIn(plan).length <= 1, plan)
   }
 
+  test("tableProfile: hand-checked metrics, nulls counted, one scan") {
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 10L), (2.0, 10L), (3.0, 20L), (null, 30L))
+      .toDF("a", "b")
+    val prof = Contracts.tableProfile(df, Seq("a", "b"))
+    val got = prof.collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 1L && a.getLong(3) == 3L)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 3.0 &&
+      a.getDouble(6) == 2.0 && a.getDouble(7) == 1.0) // stddev_samp of 1,2,3
+    assert(a.getDouble(8) == 2.0 && a.getDouble(9) == 2.9) // p50, p95
+    val b = got("b")
+    assert(b.getLong(1) == 4L && b.getLong(2) == 0L && b.getLong(3) == 3L)
+    assert(b.getDouble(8) == 15.0) // p50 of 10,10,20,30
+    // the whole profile reads its input ONCE: a single leaf relation in
+    // the optimized plan (the multi-distinct rewrite expands rows, not
+    // scans; AQE's printed Final+Initial sections defeat string counts)
+    val leaves = prof.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 1, leaves)
+    // approx path still yields a row per column with sane bounds
+    val approx = Contracts.tableProfile(df, Seq("a", "b"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("a") >= 2L && approx("a") <= 4L)
+  }
+
   test("kAnonymity counts small QI cells, rows at risk, null QI cells") {
     val df = Seq(
       ("en", 1), ("en", 1), ("en", 1),   // cell of 3: safe at k=3
