@@ -1068,6 +1068,15 @@ object SparkEntry {
     "q_len_batches" -> ((s, d) =>
       Packing.lengthBucketBatches(Tables.documents(s, d),
         bucketEdges = Seq(16, 32, 64, 128), batchSize = 8)),
+    // the number bucketed batching exists for: padding waste under the
+    // real edges vs one catch-all bucket (arrival-order batches)
+    "q_padding_waste" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.paddingWaste(Packing.lengthBucketBatches(docs,
+          bucketEdges = Seq(16, 32, 64, 128), batchSize = 8), "bucketed")
+        .unionByName(Packing.paddingWaste(Packing.lengthBucketBatches(docs,
+          bucketEdges = Seq(1 << 20), batchSize = 8), "unbucketed"))
+    }),
     // temperature-flattened domain mixture (alpha = 0.5 over source counts)
     "q_temp_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
@@ -1738,6 +1747,17 @@ object SparkEntry {
         TextAnalysis.surprisalScores(Tables.documents(s, d))
           .select(col("doc_id"), col("avg_surprisal")),
         "doc_id", "avg_surprisal", CURRICULUM_STAGES)),
+    // crawl-frontier URL dedup: increment probes the standing canonical
+    // -URL fingerprint index (bloom anti-join — never-seen URLs bypass
+    // the shuffle), keep-first within the increment
+    "q_url_frontier" -> ((s, d) => {
+      val all = urlInject(Tables.documents(s, d))
+      WebCuration.urlFrontierApply(
+        all.where(col("doc_id") % 10 >= 8),
+        WebCuration.urlFrontierIndex(
+          all.where(col("doc_id") % 10 < 8), "url"),
+        "doc_id", "url")
+    }),
     // incremental cap: base batch fills each domain's quota, the
     // increment admits only into the remainder (arrival-order semantics
     // — already-shipped base rows are never evicted; the
@@ -5233,6 +5253,39 @@ object SparkEntry {
         "doc_id) AS rn FROM inc) " +
         "SELECT ik.doc_id, ik.reg_domain FROM ik LEFT JOIN cnt USING (reg_domain) " +
         s"WHERE ik.rn <= $DOMAIN_CAP_INCR - coalesce(cnt.c, 0)"),
+    // frontier replay: base fingerprints, NOT IN probe, keep-first
+    "q_url_frontier" ->
+      (s"WITH $urlCtes, " +
+        "bse AS (SELECT md5(norm_url) AS url_fp FROM rd WHERE doc_id % 10 < 8 " +
+        "GROUP BY 1), " +
+        "inc AS (SELECT doc_id, md5(norm_url) AS url_fp FROM rd " +
+        "WHERE doc_id % 10 >= 8) " +
+        "SELECT min(doc_id) AS doc_id, url_fp FROM inc " +
+        "WHERE url_fp NOT IN (SELECT url_fp FROM bse) GROUP BY url_fp"),
+    // both policies' batch algebra replayed: per-batch n·max − Σ, then
+    // the one-row fold (BIGINT everywhere)
+    "q_padding_waste" -> {
+      def leg(bucketCase: String, label: String, x: String) =
+        s"b$x AS (SELECT doc_id, n, $bucketCase AS bucket, " +
+          "'0' || substring(md5('lb' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM t), " +
+          s"r$x AS (SELECT n, bucket, substring(hk, 2, 1) AS shard, " +
+          "CAST(row_number() OVER (PARTITION BY bucket, substring(hk, 2, 1) " +
+          s"ORDER BY hk, doc_id) - 1 AS INT) AS rk FROM b$x), " +
+          s"g$x AS (SELECT bucket, shard, rk // 8 AS batch_idx, " +
+          "CAST(count(*) AS BIGINT) AS bn, CAST(max(n) AS BIGINT) AS mx, " +
+          s"CAST(sum(n) AS BIGINT) AS sm FROM r$x GROUP BY 1, 2, 3), " +
+          s"p$x AS (SELECT '$label' AS policy, CAST(count(*) AS BIGINT) AS n_batches, " +
+          "CAST(sum(bn) AS BIGINT) AS n_docs, CAST(sum(sm) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(bn * mx - sm) AS BIGINT) AS padded_slots, " +
+          "round(CAST(sum(bn * mx - sm) AS DOUBLE) / " +
+          s"(sum(bn * mx - sm) + sum(sm)), 4) AS waste_frac FROM g$x)"
+      s"WITH t AS (SELECT doc_id, greatest(len($TOKS), 0) AS n FROM documents), " +
+        leg("CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 " +
+          "WHEN n <= 128 THEN 128 ELSE 2147483647 END", "bucketed", "1") + ", " +
+        leg("CASE WHEN n <= 1048576 THEN 1048576 ELSE 2147483647 END",
+          "unbucketed", "2") +
+        " SELECT * FROM p1 UNION ALL SELECT * FROM p2"
+    },
     // layout-independent write invariants only (range boundaries are
     // sampled): file count, row conservation, disjoint zval ranges
     "q_zorder_files" ->

@@ -204,6 +204,28 @@ object Packing {
         (col("_rk") % batchSize).cast("int").as("pos_in_batch"))
   }
 
+  /** Padding-waste telemetry over a [[lengthBucketBatches]]-shaped frame
+    * ((bucket, shard, batch_idx) identify a batch; `n_tokens` per row):
+    * each batch runs padded to its longest member, so its waste is
+    * n·max − Σ tokens; the report is one row — batches, docs, real
+    * tokens, padded slots, and waste_frac = padded/(padded+real), the
+    * number that justifies (or kills) bucketed batching versus batching
+    * in arrival order. Batch-sized aggregation then a one-row fold;
+    * nothing data-sized moves.
+    */
+  def paddingWaste(batches: DataFrame, policy: String): DataFrame =
+    batches.groupBy("bucket", "shard", "batch_idx")
+      .agg(count(lit(1)).as("_n"),
+        max(col("n_tokens")).cast("long").as("_mx"),
+        sum(col("n_tokens")).as("_sm"))
+      .agg(count(lit(1)).as("n_batches"), sum("_n").as("n_docs"),
+        sum("_sm").as("total_tokens"),
+        sum(col("_n") * col("_mx") - col("_sm")).as("padded_slots"))
+      .select(lit(policy).as("policy"), col("n_batches"), col("n_docs"),
+        col("total_tokens"), col("padded_slots"),
+        round(col("padded_slots").cast("double") /
+          (col("padded_slots") + col("total_tokens")), 4).as("waste_frac"))
+
   /** Fill-in-the-middle transform — the code-LLM data-prep step that
     * teaches infilling: a deterministic `fimRate` hash-fraction of
     * documents has its token stream cut at two points and re-emitted in

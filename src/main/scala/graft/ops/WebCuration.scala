@@ -122,17 +122,25 @@ object WebCuration {
     * URL-level dup signal: n_docs − n_urls = pages crawled twice under
     * tracking-param/fragment variants), distinct hosts, char mass. One
     * hash aggregation keyed on the bounded reg_domain dictionary.
+    * `exact = true` (the oracle-parity default) pays the two-distinct
+    * Expand (3× row volume into the shuffle); at 100 TB pass
+    * `exact = false` for HLL++ `approx_count_distinct` — one un-expanded
+    * pass, n_urls/n_hosts become ±2 % estimates (the
+    * [[Contracts.tableProfile]] doctrine).
     */
   def domainStats(df: DataFrame, idCol: String, urlCol: String,
-      charsCol: String): DataFrame =
+      charsCol: String, exact: Boolean = true): DataFrame = {
+    val dist = (c: Column) =>
+      if (exact) countDistinct(c) else approx_count_distinct(c)
     df.select(registeredDomain(urlHost(col(urlCol))).as("reg_domain"),
         normalizeUrl(col(urlCol)).as("_nu"),
         urlHost(col(urlCol)).as("_h"), col(charsCol))
       .groupBy("reg_domain")
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("_nu")).as("n_urls"),
-        countDistinct(col("_h")).as("n_hosts"),
+        dist(col("_nu")).as("n_urls"),
+        dist(col("_h")).as("n_hosts"),
         sum(col(charsCol)).as("n_chars"))
+  }
 
   /** Cap any one registered domain's contribution at `maxDocs` rows: rows
     * rank on a salted deterministic hash clock within their domain and
@@ -155,6 +163,34 @@ object WebCuration {
       .where(col("_rn") <= maxDocs)
       .drop("_rn")
   }
+
+  /** 16-byte canonical-URL fingerprint — the key URL-level dedup carries
+    * instead of the URL text (fingerprints shuffle, text never does).
+    */
+  def urlFingerprint(url: Column): Column = md5(normalizeUrl(url))
+
+  /** Standing crawl-frontier index: the distinct canonical-URL
+    * fingerprints already fetched. Additive under unions; the artifact a
+    * recrawl probes instead of re-deduping the full history.
+    */
+  def urlFrontierIndex(seen: DataFrame, urlCol: String): DataFrame =
+    seen.select(urlFingerprint(col(urlCol)).as("url_fp")).distinct()
+
+  /** Frontier apply: increment rows whose canonical URL is NOT in the
+    * standing index, keep-first (min id) within the increment for URLs
+    * the increment itself repeats. The index probe is a bloom anti-join
+    * ([[BloomJoin.bloomAntiJoin]]): at 100 TB the never-seen majority
+    * bypasses the join shuffle on the bloom's no-false-negative side and
+    * only probable hits are exactly adjudicated — the crawler-frontier
+    * shape. Returns (id, url_fp).
+    */
+  def urlFrontierApply(incr: DataFrame, index: DataFrame, idCol: String,
+      urlCol: String): DataFrame =
+    BloomJoin.bloomAntiJoin(
+        incr.select(col(idCol), urlFingerprint(col(urlCol)).as("url_fp")),
+        index, "url_fp")
+      .groupBy("url_fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("url_fp"))
 
   /** Standing per-domain kept counts from a [[domainCap]] (or
     * [[domainCapApply]]) decision — the state an INCREMENTAL cap carries

@@ -302,4 +302,27 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, String, String)].collect().head
     assert(r._3 == 2L)
   }
+
+  test("paddingWaste: hand-checked batch algebra") {
+    // batch (16,a,0): lens 10,2 -> max 10, padded 2*10-12 = 8
+    // batch (16,a,1): len 5     -> padded 0
+    val batches = Seq((16, "a", 0, 10), (16, "a", 0, 2), (16, "a", 1, 5))
+      .toDF("bucket", "shard", "batch_idx", "n_tokens")
+    val r = Packing.paddingWaste(batches, "p")
+      .as[(String, Long, Long, Long, Long, Double)].collect().head
+    assert(r == (("p", 2L, 3L, 17L, 8L, 0.32))) // 8/(8+17)
+  }
+
+  test("paddingWaste: bucketing strictly beats one catch-all bucket " +
+      "on a bimodal corpus") {
+    val docs = ((1L to 16L).map(i => (i, "w " * 4)) ++
+      (17L to 32L).map(i => (i, "w " * 120)))
+      .map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    def waste(edges: Seq[Int]) =
+      Packing.paddingWaste(
+        Packing.lengthBucketBatches(docs, edges, batchSize = 4), "x")
+        .as[(String, Long, Long, Long, Long, Double)].collect().head._6
+    assert(waste(Seq(16, 128)) == 0.0) // same-length docs batch together
+    assert(waste(Seq(1 << 20)) > 0.2)  // mixed batches pad shorts to 120
+  }
 }

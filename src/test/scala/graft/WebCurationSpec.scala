@@ -102,6 +102,22 @@ class WebCurationSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet)
   }
 
+  test("urlFrontierApply: seen URLs (under any variant) skipped, new " +
+      "URLs keep-first within the increment") {
+    val seen = Seq((1L, "https://a.org/x"), (2L, "https://a.org/y"))
+      .toDF("doc_id", "url")
+    val incr = Seq(
+      (10L, "HTTPS://A.ORG/x?utm_source=s"), // canonical dup of seen x
+      (11L, "https://a.org/z#f"),            // new
+      (12L, "https://a.org/z"),              // same canonical as 11
+      (13L, "https://b.org/w"))              // new
+      .toDF("doc_id", "url")
+    val idx = WebCuration.urlFrontierIndex(seen, "url")
+    val got = WebCuration.urlFrontierApply(incr, idx, "doc_id", "url")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("urlCanonical streams stateless-append: MemoryStream = batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(
