@@ -1584,7 +1584,7 @@ object SparkEntry {
       val cb = Similarity.pqTrain(emb, m = 8, k = 16)
       val q = emb.where(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray
       Similarity.pqTopK(
         Similarity.pqEncode(emb.where(col("vec_id") =!= 0L), cb), cb, q, 10)
     }),
@@ -1601,7 +1601,7 @@ object SparkEntry {
         Similarity.ivfPqIndex(rest, kCells = 8, m = 8, kCodes = 16, name)
       val q = emb.where(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray
       Similarity.ivfPqTopK(idx, rest, cents, cbs, q, 10, nprobe = 8,
         shortlist = 4096)
     }),
@@ -1612,7 +1612,7 @@ object SparkEntry {
       val cb = Similarity.pqTrain(emb, m = 8, k = 16)
       val q = emb.where(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray
       val rest = emb.where(col("vec_id") =!= 0L)
       Similarity.pqTopKRefined(Similarity.pqEncode(rest, cb), rest, cb,
         q, 10, shortlist = 100)
