@@ -361,6 +361,23 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
     }),
+    // the OTHER learned tokenizer family: unigram-LM (SentencePiece)
+    // training via Viterbi-EM on the distinct-word dictionary. Iterative
+    // global re-estimation — not SQL-expressible; parity locked by
+    // PropertySpec against an independent sequential Viterbi reference
+    // (rows-only, the q_bpe_learn class)
+    "q_unigram_learn" -> ((s, d) =>
+      TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
+        emIters = 2)),
+    // train → apply round trip under the learned unigram model (pieces
+    // space-joined — the driver compare hashes scalar cells only)
+    "q_unigram_encode" -> ((s, d) => {
+      val m = TextAnalysis.unigramModelOf(TextAnalysis.unigramLearn(
+        Tables.documents(s, d), vocabSize = 256, emIters = 2))
+      TextAnalysis.unigramEncodeLearned(Tables.documents(s, d), m)
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
+    }),
     // the corpus-wide id stream: every token instance joined to the
     // distinct-word dictionary, in (doc, token, piece) order
     "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),

@@ -1704,6 +1704,115 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `unigram_viterbi(word, pieces, logps, unkLogp)` — maximum-likelihood
+    * segmentation of one word under a unigram LM over subword pieces
+    * (Kudo 2018, the SentencePiece unigram model): the segmentation
+    * maximizing Σ log p(pieceᵢ) via Viterbi DP over code-point
+    * boundaries. Single code points absent from the model segment as
+    * themselves at `unkLogp` (coverage is total by construction — no word
+    * can fail to segment). Ties break to the LONGEST piece at each
+    * boundary (spans are probed longest-first and only a strictly better
+    * score replaces the incumbent), which is deterministic and
+    * engine-independent.
+    *
+    * O(len × maxPieceLen) hash probes per word; the model rides the
+    * expression as literals (driver-sized by definition — the
+    * [[BpeMergeEncode]] / IVF-centroid precedent), so segmentation runs
+    * once per DISTINCT word in the scan stage: zero shuffle, zero joins.
+    */
+  case class UnigramViterbi(child: Expression, pieces: Seq[String],
+      logps: Seq[Double], unkLogp: Double) extends UnaryExpression {
+    require(pieces.nonEmpty, "unigram_viterbi requires a non-empty model")
+    require(pieces.length == logps.length,
+      s"pieces/logps length mismatch: ${pieces.length} vs ${logps.length}")
+    require(pieces.forall(_.nonEmpty),
+      "unigram_viterbi model must not contain the empty piece")
+    require(logps.forall(lp => !lp.isNaN && !lp.isInfinity) &&
+      !unkLogp.isNaN && !unkLogp.isInfinity,
+      "unigram_viterbi log-probabilities must be finite")
+    private val table: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      pieces.indices.foreach { i =>
+        // duplicate pieces keep their best (max) score — a model that
+        // lists a piece twice must not depend on list order
+        val prev = m.get(pieces(i))
+        if (prev == null || prev.doubleValue() < logps(i))
+          m.put(pieces(i), Double.box(logps(i)))
+      }
+      m
+    }
+    // piece lengths are budgeted in CODE POINTS (the DP's boundary unit)
+    private val maxLenCp: Int =
+      pieces.map(p => p.codePointCount(0, p.length)).max
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"unigram_viterbi requires STRING, got ${other.catalogString}")
+      }
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      // char offset of each code-point boundary: cpOff(0)=0 .. cpOff(n)=len
+      val n = w.codePointCount(0, w.length)
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val cpOff = new Array[Int](n + 1)
+      var ci = 0
+      var k = 0
+      while (k < n) {
+        cpOff(k) = ci
+        ci += Character.charCount(w.codePointAt(ci))
+        k += 1
+      }
+      cpOff(n) = w.length
+      val best = new Array[Double](n + 1)
+      val back = new Array[Int](n + 1) // start boundary of the piece ending at i
+      java.util.Arrays.fill(best, Double.NegativeInfinity)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        // j ascending = longest span first; strict > keeps the incumbent,
+        // so equal-scored segmentations resolve to the longest piece
+        var j = math.max(0, i - maxLenCp)
+        while (j < i) {
+          if (best(j) != Double.NegativeInfinity) {
+            val lp = table.get(w.substring(cpOff(j), cpOff(i)))
+            val step =
+              if (lp != null) lp.doubleValue()
+              else if (i - j == 1) unkLogp
+              else Double.NegativeInfinity
+            if (step != Double.NegativeInfinity && best(j) + step > best(i)) {
+              best(i) = best(j) + step
+              back(i) = j
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // best(n) is always finite: every single code point steps at worst
+      // at unkLogp, so the all-singles path exists
+      val rev = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var pos = n
+      while (pos > 0) {
+        val j = back(pos)
+        rev += org.apache.spark.unsafe.types.UTF8String
+          .fromString(w.substring(cpOff(j), cpOff(pos)))
+        pos = j
+      }
+      new GenericArrayData(rev.reverseIterator.toArray)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramViterbiKernel", this,
+        classOf[UnigramViterbi].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -1779,4 +1888,9 @@ object ArrayKernels {
 
   def hash_embed_dense(toks: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbedDense(GraftSqlBridge.expression(toks), dim))
+
+  def unigram_viterbi(word: Column, pieces: Seq[String], logps: Seq[Double],
+      unkLogp: Double): Column =
+    GraftSqlBridge.column(UnigramViterbi(
+      GraftSqlBridge.expression(word), pieces, logps, unkLogp))
 }

@@ -97,6 +97,53 @@ object Joins {
         col("_asof").as(rightVal))
   }
 
+  /** Point-in-interval lookup join: every fact row matched to the
+    * dimension rows whose half-open interval [lo, hi) contains its point —
+    * the IP→geo / value→band / ts→validity-window lookup. Spark plans a
+    * bare `pt >= lo AND pt < hi` join as BroadcastNestedLoopJoin (or a
+    * cartesian), which is facts × dims work; the scale-right form is BIN
+    * EXPANSION: each interval explodes to the fixed-width bins it covers,
+    * each point hashes to its one bin, and the match becomes a plain
+    * equi-join on the bin id with the interval test as a post-join filter.
+    * One shuffle of each side on the bin key (or zero for the facts side
+    * when AQE broadcasts the expanded dims — it stays dimension-sized),
+    * never a pair blow-up.
+    *
+    * `binWidth` trades expansion against join selectivity: cost is
+    * Σ_dims (len/binWidth + 1) expanded rows, and at most two false bins
+    * are filtered per matched pair when binWidth ≈ interval length. The
+    * `maxBinsPerRow` contract fails fast when a caller passes a width
+    * orders of magnitude under the interval lengths (the silent-explosion
+    * guard — same policy as perplexityBuckets' dictionary fence): the
+    * check is one aggregate over the DIMENSION table, which is
+    * dimension-sized by definition.
+    *
+    * Empty and inverted intervals (lo >= hi) match nothing and are
+    * dropped before expansion. Overlapping intervals yield one output row
+    * per covering interval. Column names are passed through — callers own
+    * disambiguation between fact and dim columns.
+    */
+  def rangeLookup(facts: DataFrame, dims: DataFrame, ptCol: String,
+      loCol: String, hiCol: String, binWidth: Double,
+      maxBinsPerRow: Long = 10000L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBinsPerRow >= 1, s"maxBinsPerRow must be >= 1")
+    val live = dims.where(col(loCol) < col(hiCol))
+    val binsOf = (floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth)
+      + 1).cast("long")
+    val worst = live.agg(coalesce(max(binsOf), lit(0L))).head().getLong(0)
+    require(worst <= maxBinsPerRow,
+      s"rangeLookup: an interval spans $worst bins at binWidth=$binWidth " +
+        s"(max allowed $maxBinsPerRow) — raise binWidth or maxBinsPerRow")
+    val expanded = live.withColumn("_rl_bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast("long"),
+      floor(col(hiCol) / binWidth).cast("long"))))
+    facts.withColumn("_rl_bin", floor(col(ptCol) / binWidth).cast("long"))
+      .join(expanded, Seq("_rl_bin"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_rl_bin")
+  }
+
   /** connect + CoMapFunction (J5/J6,
     * reference HandlingMultipleStreams.scala:288-327): per-side transform to
     * a common shape, then union — the Spark-first decomposition of

@@ -804,6 +804,135 @@ object TextAnalysis {
         graft.functions.ArrayKernels.bpe_merge_encode(col("word"), merges))
       .withColumn("n_pieces", size(col("pieces")))
 
+  /** Unigram-LM tokenizer TRAINING (Kudo 1804.10959, the SentencePiece
+    * unigram model) in its hard-EM (Viterbi-EM) form — the OTHER learned
+    * tokenizer family beside merge-based [[bpeLearn]]:
+    *
+    *   1. seed — every ≤ `seedMaxLen`-code-point substring of the distinct-
+    *      word dictionary, freq-weighted; the alphabet (all single code
+    *      points) is kept unconditionally, plus the top `seedMult ×
+    *      vocabSize` multi-char candidates by corpus mass;
+    *   2. E-step — segment every distinct word by
+    *      [[graft.functions.ArrayKernels.UnigramViterbi]] under the current
+    *      model (model as expression literals — scan stage, zero shuffle);
+    *   3. M-step — piece probabilities re-estimated from freq-weighted
+    *      usage counts; unused candidates prune away, the alphabet floors
+    *      at count 1 so total coverage survives zero usage;
+    *   4. repeat `emIters` times, then keep the alphabet + the top
+    *      (vocabSize − |alphabet|) multi-char pieces.
+    *
+    * Full EM sums over ALL segmentations (forward-backward over the word
+    * lattice); the Viterbi-EM variant assigns each word its single best
+    * segmentation per round — the deterministic, engine-portable core
+    * (same family relationship as [[bpeSegments]] to full BPE dropout).
+    * Documented divergence, locked by spec against an independent
+    * sequential reference.
+    *
+    * Scale shape: the dictionary is distinct-word (Heaps'-law) sized and
+    * localCheckpoint'd once; seeding is one map-side-combined aggregate
+    * over O(len × seedMaxLen) substring rows per distinct word (token-
+    * volume bounded, the honest seed cost); each EM round is one
+    * scan-stage segmentation pass + one MODEL-SIZED aggregate collect —
+    * the driver only ever holds the model (the [[bpeLearn]] /
+    * ivfCentroids discipline). Returns (rank, piece, cnt, logp), rank by
+    * (cnt desc, piece asc).
+    *
+    * Not SQL-expressible (per-iteration global re-estimation feeding the
+    * next round's literals) — parity/property-locked instead, the
+    * q_bpe_learn convention.
+    */
+  def unigramLearn(docs: DataFrame, vocabSize: Int, seedMaxLen: Int = 6,
+      seedMult: Int = 4, emIters: Int = 3,
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(seedMaxLen >= 2, s"seedMaxLen must be >= 2, got $seedMaxLen")
+    require(seedMult >= 1 && emIters >= 0, "seedMult >= 1, emIters >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = docs
+      .select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val syms = regexp_extract_all(col("word"), lit("(?s)."), lit(0))
+    val subCounts = dict
+      .select(col("freq"), syms.as("s"))
+      .select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), size(col("s"))), i =>
+          transform(
+            sequence(lit(1), least(lit(seedMaxLen), size(col("s")) - i + 1)),
+            l => array_join(slice(col("s"), i, l), ""))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .withColumn("n_cp",
+        size(regexp_extract_all(col("piece"), lit("(?s)."), lit(0))))
+    // alphabet-sized and model-sized collects respectively
+    val alphabet = subCounts.where(col("n_cp") === 1)
+      .select(col("piece"), col("cnt")).as[(String, Long)].collect().toSeq
+    require(alphabet.nonEmpty,
+      "unigramLearn: corpus yielded no tokens — nothing to train on")
+    val alphaSet = alphabet.map(_._1).toSet
+    var entries: Seq[(String, Long)] = alphabet ++ subCounts
+      .where(col("n_cp") >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedMult * vocabSize)
+      .select(col("piece"), col("cnt")).as[(String, Long)].collect().toSeq
+    val nMulti = math.max(vocabSize - alphabet.size, 0)
+    def toModel(es: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
+      val total = es.map(_._2).sum.toDouble
+      (es.map(_._1), es.map(e => math.log(e._2 / total)))
+    }
+    for (_ <- 1 to emIters) {
+      val (pieces, logps) = toModel(entries)
+      val counted = dict
+        .select(col("freq"), explode(graft.functions.ArrayKernels
+          .unigram_viterbi(col("word"), pieces, logps, unkLogp)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      entries = alphabet.map { case (p, _) =>
+        (p, math.max(counted.getOrElse(p, 0L), 1L)) } ++
+        counted.iterator.filter { case (p, _) => !alphaSet(p) }.toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+    }
+    val kept = entries.filter { case (p, _) => alphaSet(p) } ++
+      entries.filter { case (p, _) => !alphaSet(p) }
+        .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+    val (pieces, logps) = toModel(kept)
+    pieces.indices.map { i => (pieces(i), kept(i)._2, logps(i)) }
+      .sortBy { case (p, c, _) => (-c, p) }.zipWithIndex
+      .map { case ((p, c, lp), i) => (i + 1, p, c, lp) }
+      .toDF("rank", "piece", "cnt", "logp")
+      .withColumn("logp", round(col("logp"), 6))
+  }
+
+  /** The default out-of-model single-code-point log-probability: low
+    * enough that any in-model path wins, finite so coverage is total.
+    */
+  private[graft] val UNIGRAM_UNK_LOGP = -25.0
+
+  /** Unigram-LM ENCODING of a corpus under a learned (piece, logp) model:
+    * every distinct pre-token segmented by the max-likelihood Viterbi path
+    * ([[graft.functions.ArrayKernels.UnigramViterbi]]), returned as
+    * (word, freq, pieces, n_pieces) — the [[bpeEncodeLearned]] shape, so
+    * downstream id-stream/packing plumbing is shared. Segmentation cost is
+    * paid once per DISTINCT word; the model is driver-sized by definition
+    * and rides the plan as kernel literals. Out-of-alphabet code points
+    * segment as themselves at `unkLogp` (the byte-fallback id space).
+    */
+  def unigramEncodeLearned(docs: DataFrame, model: Seq[(String, Double)],
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame =
+    docs.select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("pieces", graft.functions.ArrayKernels.unigram_viterbi(
+        col("word"), model.map(_._1), model.map(_._2), unkLogp))
+      .withColumn("n_pieces", size(col("pieces")))
+
+  /** Collect a [[unigramLearn]] output frame to the (piece, logp) literal
+    * model [[unigramEncodeLearned]] and the Viterbi kernel take — one
+    * model-sized driver hop, the explicit seam between training and apply.
+    */
+  def unigramModelOf(learned: DataFrame): Seq[(String, Double)] =
+    learned.select(col("piece"), col("logp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
   /** Gopher/MassiveText-style repetition signals per document — the
     * standard "degenerate text" filters applied before LLM training:
     * the fraction of tokens taken by the single most frequent token, and

@@ -413,6 +413,162 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("unigramLearn + unigramEncodeLearned equal a sequential reference") {
+    import org.apache.spark.sql.functions.{col, explode, lit, count}
+    import graft.ops.TextAnalysis
+    // the reference re-implements Viterbi-EM sequentially: same seed
+    // (alphabet + top freq-weighted substrings), same hard E-step (longest
+    // piece wins score ties), same M-step (alphabet floors at 1, top-n
+    // multi prune), same final ranking
+    def splitCp(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
+    def refViterbi(w: String, model: Map[String, Double],
+        unk: Double): Vector[String] = {
+      val cps = splitCp(w)
+      val n = cps.length
+      if (n == 0) return Vector.empty
+      val maxLen = model.keys.map(p => splitCp(p).length).max
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = new Array[Int](n + 1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i
+          if best(j) != Double.NegativeInfinity) {
+        val piece = cps.slice(j, i).mkString
+        val step = model.get(piece) match {
+          case Some(lp) => lp
+          case None if i - j == 1 => unk
+          case None => Double.NegativeInfinity
+        }
+        if (step != Double.NegativeInfinity && best(j) + step > best(i)) {
+          best(i) = best(j) + step; back(i) = j
+        }
+      }
+      var pos = n
+      val out = List.newBuilder[String]
+      val rev = scala.collection.mutable.ListBuffer.empty[String]
+      while (pos > 0) { rev.prepend(cps.slice(back(pos), pos).mkString); pos = back(pos) }
+      out ++= rev
+      out.result().toVector
+    }
+    val unk = -25.0
+    def refLearn(freqs: Map[String, Long], vocabSize: Int, seedMaxLen: Int,
+        seedMult: Int, emIters: Int): Seq[(Int, String, Long, Double)] = {
+      val subCnt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      freqs.foreach { case (w, f) =>
+        val cps = splitCp(w)
+        for (i <- cps.indices;
+             l <- 1 to math.min(seedMaxLen, cps.length - i))
+          subCnt(cps.slice(i, i + l).mkString) += f
+      }
+      val alphabet = subCnt.toSeq.filter(e => splitCp(e._1).length == 1)
+      val alphaSet = alphabet.map(_._1).toSet
+      var entries: Seq[(String, Long)] = alphabet ++ subCnt.toSeq
+        .filter(e => splitCp(e._1).length >= 2)
+        .sortBy { case (p, c) => (-c, p) }.take(seedMult * vocabSize)
+      val nMulti = math.max(vocabSize - alphabet.size, 0)
+      def model(es: Seq[(String, Long)]): Map[String, Double] = {
+        val total = es.map(_._2).sum.toDouble
+        es.map { case (p, c) => p -> math.log(c / total) }.toMap
+      }
+      for (_ <- 1 to emIters) {
+        val m = model(entries)
+        val used = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        freqs.foreach { case (w, f) =>
+          refViterbi(w, m, unk).foreach(p => used(p) += f)
+        }
+        entries = alphabet.map { case (p, _) =>
+          (p, math.max(used(p), 1L)) } ++
+          used.toSeq.filter { case (p, _) => !alphaSet(p) }
+            .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+      }
+      val kept = entries.filter(e => alphaSet(e._1)) ++
+        entries.filter(e => !alphaSet(e._1))
+          .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+      val m = model(kept)
+      kept.sortBy { case (p, c) => (-c, p) }.zipWithIndex.map {
+        case ((p, c), i) => (i + 1, p, c, m(p))
+      }
+    }
+    val wordGen: Gen[String] = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "ab", "ba", "7", ".")).map(_.mkString))
+    val docGen: Gen[String] = Gen.chooseNum(0, 8).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val p = Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val freqs = docs
+        .select(explode(TextAnalysis.bpeTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect().toMap
+      freqs.isEmpty || {
+        val got = TextAnalysis
+          .unigramLearn(docs, vocabSize = 12, seedMaxLen = 3,
+            seedMult = 2, emIters = 2)
+          .orderBy("rank")
+          .as[(Int, String, Long, Double)].collect().toSeq
+        val exp = refLearn(freqs, 12, 3, 2, 2)
+        val learnOk = got.length == exp.length &&
+          got.zip(exp).forall { case ((gr, gp, gc, glp), (er, ep, ec, elp)) =>
+            gr == er && gp == ep && gc == ec && math.abs(glp - elp) < 1e-6
+          }
+        val m = exp.map(e => (e._2, e._4))
+        val refM = m.toMap
+        val enc = TextAnalysis.unigramEncodeLearned(docs, m)
+          .select("word", "pieces").as[(String, Seq[String])].collect()
+        learnOk && enc.forall { case (w, pieces) =>
+          pieces == refViterbi(w, refM, unk) && pieces.mkString == w
+        }
+      }
+    }
+    val r = SCTest.check(few, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("unigram Viterbi: compositional fixture, tie-to-longest, unk fallback") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextAnalysis
+    // a corpus dominated by the bigram "ab" must learn an "ab"-built piece
+    // and use it: the max-likelihood segmentation of "ababab" spends
+    // multi-char pieces, never letter-by-letter singles
+    val docs = (0L until 20L).map(i => (i, "abab abab ababab xy"))
+      .toDF("doc_id", "text")
+    val learned = TextAnalysis.unigramLearn(docs, vocabSize = 8, emIters = 2)
+    val model = TextAnalysis.unigramModelOf(learned)
+    assert(model.exists { case (p, _) => p.contains("ab") && p.length >= 2 })
+    // pre-tokens keep their leading space (the GPT-2 convention bpeTokens
+    // follows), so the corpus word is " ababab"
+    val (word, seg) = TextAnalysis.unigramEncodeLearned(docs, model)
+      .where(org.apache.spark.sql.functions.trim(col("word")) === "ababab")
+      .select("word", "pieces").as[(String, Seq[String])].head()
+    assert(seg.mkString == word && seg.length < word.length,
+      s"expected multi-char pieces, got $seg")
+    // exact score tie between ["ab"] and ["a","b"] resolves to the
+    // LONGEST piece (strict-improvement DP keeps the earlier, longer span)
+    val tied = Seq(("ab", -1.0), ("a", -0.5), ("b", -0.5))
+    val one = Seq((0L, "ab")).toDF("doc_id", "text")
+    val gotTied = TextAnalysis.unigramEncodeLearned(one, tied)
+      .select("pieces").as[Seq[String]].head()
+    assert(gotTied == Seq("ab"), s"tie must go to the longest piece: $gotTied")
+    // out-of-alphabet code points (here supplementary-plane) fall back to
+    // single-cp unk steps and still round-trip
+    val emoji = Seq((0L, "ab😀ab")).toDF("doc_id", "text")
+    val gotUnk = TextAnalysis.unigramEncodeLearned(emoji, tied)
+      .select("pieces").as[Seq[String]].collect()
+    assert(gotUnk.forall(_.mkString.nonEmpty))
+    val full = gotUnk.map(_.mkString).sorted.mkString(" ")
+    assert(full.contains("😀"),
+      s"supplementary-plane char must survive as its own piece: $full")
+  }
+
   test("fimTransform reassembles to the original tokens on random docs") {
     import graft.ops.Packing
     val docGen: Gen[String] = Gen.chooseNum(0, 15).flatMap(k =>
