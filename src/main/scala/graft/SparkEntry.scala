@@ -80,6 +80,22 @@ object SparkEntry {
   private val MIX_SOLVE_W: Seq[(String, Double)] =
     Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
+  /** Half-open price bands for q_range_lookup — bands 1/2 overlap on
+    * [15000, 20000) so a point can match several intervals, and band 4's
+    * ceiling exceeds lineitem's price range so the top band is unbounded
+    * in practice. Shared by the query and its oracle (the QUALITY_W
+    * pattern).
+    */
+  private val RANGE_BANDS: Seq[(Int, Double, Double)] = Seq(
+    (1, 0.0, 20000.0), (2, 15000.0, 40000.0),
+    (3, 40000.0, 70000.0), (4, 70000.0, 200000.0))
+
+  /** [[RANGE_BANDS]] as a DuckDB VALUES body, doubles cast explicitly
+    * (the MMR DECIMAL-folding lesson).
+    */
+  private def rangeBandsSql: String = RANGE_BANDS.map { case (id, lo, hi) =>
+    s"($id, CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }.mkString(", ")
+
   /** The substring-scrubbed corpus as a STANDING table (the bm25-index
     * pattern): v7/v8/v9 all curate the same rewritten corpus, and the
     * scrub's gram-ownership shuffle is the single most expensive stage of
@@ -197,6 +213,20 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
       Joins.asofJoin(p, v, "user_id", "ts", "p_id", "v_id")
         .select("p_id", "v_id")
+    }),
+    // point-in-interval lookup: price bands (overlapping on purpose) over
+    // lineitem via BIN-EXPANSION equi-join — a bare pt BETWEEN lo AND hi
+    // join plans as BroadcastNestedLoopJoin (facts × dims work); expanding
+    // each interval to its covered fixed-width bins makes it a hash join
+    // on the bin id. binWidth 8000 ⇒ each band covers 3–7 bins
+    "q_range_lookup" -> ((s, d) => {
+      import s.implicits._
+      val bands = RANGE_BANDS.toDF("band_id", "lo", "hi")
+      Joins.rangeLookup(
+          Tables.lineitem(s, d).select(col("l_extendedprice").as("price")),
+          bands, "price", "lo", "hi", binWidth = 8000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"))
     }),
     "q_join_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -2923,6 +2953,13 @@ object SparkEntry {
         "WHERE event_type = 'purchase') " +
         "SELECT p.p_id, v.v_id FROM p ASOF JOIN v " +
         "ON p.user_id = v.user_id AND v.ts <= p.ts"),
+    "q_range_lookup" ->
+      (s"WITH bands(band_id, lo, hi) AS (VALUES $rangeBandsSql) " +
+        "SELECT band_id, count(*) AS n, " +
+        "round(sum(l_extendedprice), 2) AS total_price " +
+        "FROM lineitem JOIN bands " +
+        "ON l_extendedprice >= lo AND l_extendedprice < hi " +
+        "GROUP BY band_id"),
     "q_join_revenue" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -77,6 +77,43 @@ class JoinsSpec extends SparkSpec {
     assert(got == Map("L1" -> "B", "L2" -> "C"))
   }
 
+  test("rangeLookup: equals the theta join, boundaries half-open, plan is a hash join") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // overlapping intervals, some inverted/empty (must match nothing),
+    // points landing exactly on lo (in) and hi (out)
+    val dims = ((1 to 30).map { i =>
+      val lo = rnd.nextInt(200).toDouble
+      (i, lo, lo + rnd.nextInt(60) - 5) // ~8% inverted/empty
+    } :+ ((31, 50.0, 50.0)) :+ ((32, 80.0, 70.0)))
+      .toDF("band_id", "lo", "hi")
+    val facts = ((1 to 400).map(i => (i.toLong, rnd.nextInt(220).toDouble)) ++
+      Seq((1001L, 50.0), (1002L, 110.0))) // boundary probes
+      .toDF("fact_id", "pt")
+    val got = Joins.rangeLookup(facts, dims, "pt", "lo", "hi", binWidth = 16.0)
+      .select("fact_id", "band_id").as[(Long, Int)].collect().toSet
+    val exp = facts.join(dims, col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("fact_id", "band_id").as[(Long, Int)].collect().toSet
+    assert(got == exp)
+    // the whole point: bin expansion turns the interval predicate into an
+    // equi-join — no nested-loop/cartesian anywhere in the plan (the
+    // naive theta join above IS a BroadcastNestedLoopJoin)
+    val plan = Joins.rangeLookup(facts, dims, "pt", "lo", "hi", 16.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.linesIterator.take(8).mkString("\n"))
+    val naive = facts.join(dims, col("pt") >= col("lo") && col("pt") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin") ||
+      naive.contains("CartesianProduct"))
+    // the silent-explosion guard fails fast, and the message names the knob
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeLookup(facts, dims, "pt", "lo", "hi", binWidth = 16.0,
+        maxBinsPerRow = 2L)
+    }
+    assert(e.getMessage.contains("binWidth"))
+  }
+
   test("connect via per-side map + union (HandlingMultipleStreams.scala:288-305)") {
     val carts = Seq(("Bob", 2)).toDF("user_id", "qty")
     val views = Seq(("Alice", "p1"), ("Bob", "p2")).toDF("user_id", "product")
