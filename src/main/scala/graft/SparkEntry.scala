@@ -408,6 +408,14 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
     }),
+    // per-document token budget + fertility under the learned unigram
+    // model — stateless scan-stage (streams as-is); rows-only like the
+    // model that feeds it
+    "q_unigram_stats" -> ((s, d) => {
+      val m = TextAnalysis.unigramModelOf(TextAnalysis.unigramLearn(
+        Tables.documents(s, d), vocabSize = 256, emIters = 2))
+      TextAnalysis.unigramDocStats(Tables.documents(s, d), m)
+    }),
     // the corpus-wide id stream: every token instance joined to the
     // distinct-word dictionary, in (doc, token, piece) order
     "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),

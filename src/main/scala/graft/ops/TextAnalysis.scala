@@ -933,6 +933,34 @@ object TextAnalysis {
     learned.select(col("piece"), col("logp"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  /** Per-document token budget under a learned unigram model — the
+    * corpus-sizing pass a pipeline runs before packing/mixing: word count,
+    * piece count, and fertility (pieces per word, the tokenizer-efficiency
+    * number vocab ablations compare). Unlike [[unigramEncodeLearned]]
+    * (distinct-word dictionary + join shape), this segments each
+    * document's words in place — one scan-stage pass, zero shuffle,
+    * STATELESS, so it runs unchanged on a stream (append mode, no
+    * foreachBatch — the dsirScores precedent). The per-instance
+    * segmentation re-pays Viterbi per duplicate word; that is the price
+    * of statelessness, and the kernel is O(len × maxPieceLen) — for batch
+    * corpus budgeting at 100 TB prefer the dictionary form and weight by
+    * freq.
+    */
+  def unigramDocStats(docs: DataFrame, model: Seq[(String, Double)],
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame = {
+    val pieces = transform(bpeTokens(col("text")),
+      w => graft.functions.ArrayKernels.unigram_viterbi(
+        w, model.map(_._1), model.map(_._2), unkLogp))
+    docs.select(col("doc_id"), pieces.as("_p"))
+      .select(col("doc_id"),
+        size(col("_p")).as("n_words"),
+        coalesce(aggregate(col("_p"), lit(0),
+          (acc, ps) => acc + size(ps)), lit(0)).as("n_pieces"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_pieces").cast("double") / col("n_words"), 4)))
+  }
+
   /** Gopher/MassiveText-style repetition signals per document — the
     * standard "degenerate text" filters applied before LLM training:
     * the fraction of tokens taken by the single most frequent token, and

@@ -569,6 +569,47 @@ class PropertySpec extends SparkSpec {
       s"supplementary-plane char must survive as its own piece: $full")
   }
 
+  test("unigramDocStats: per-doc budget matches the dictionary form, streams as-is") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "abab abab xy"), (2L, "ab"), (3L, ""), (4L, "abababab"))
+      .toDF("doc_id", "text")
+    val model = Seq(("ab", -1.0), ("a", -2.0), ("b", -2.0))
+    val got = TextAnalysis.unigramDocStats(docs, model)
+      .as[(Long, Int, Int, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // reference: per-word segment lengths under the same model via the
+    // dictionary form (same kernel, join shape) — the two public paths
+    // must price a document identically
+    val byWord = TextAnalysis.unigramEncodeLearned(docs, model)
+      .select("word", "n_pieces").as[(String, Int)].collect().toMap
+    val words = docs
+      .select(col("doc_id"), explode(TextAnalysis.bpeTokens(col("text"))).as("w"))
+      .as[(Long, String)].collect().groupBy(_._1)
+    for ((id, ws) <- words) {
+      val expPieces = ws.map { case (_, w) => byWord(w) }.sum
+      val (_, nw, np, fert) = got(id)
+      assert(nw == ws.length && np == expPieces, s"doc $id: $nw/$np vs $expPieces")
+      assert(fert.contains(BigDecimal(np.toDouble / nw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    // empty doc: zero words, zero pieces, NULL fertility
+    assert(got(3L) == ((3L, 0, 0, None)))
+    // stateless ⇒ append-mode streamable unchanged (the dsirScores form)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)](95, spark, None)
+    val q = TextAnalysis.unigramDocStats(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("uni_stats_serve")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "abab abab xy"), (4L, "abababab"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("uni_stats_serve")
+      .as[(Long, Int, Int, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(streamed(1L) == got(1L) && streamed(4L) == got(4L))
+  }
+
   test("fimTransform reassembles to the original tokens on random docs") {
     import graft.ops.Packing
     val docGen: Gen[String] = Gen.chooseNum(0, 15).flatMap(k =>
