@@ -114,6 +114,29 @@ class JoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("binWidth"))
   }
 
+  test("rangeLookup streams as-is: stream-static equi-join, append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    // facts are the stream, the (tiny, standing) dimension is static: bin
+    // expansion keeps the join a stream-static EQUI-join — Structured
+    // Streaming supports that in append mode with no watermark, where the
+    // raw interval theta-join would not plan as a streaming hash join
+    val dims = Seq((1, 0.0, 10.0), (2, 5.0, 20.0)).toDF("band_id", "lo", "hi")
+    val in = MemoryStream[(Long, Double)](96, spark, None)
+    val q = Joins.rangeLookup(in.toDF().toDF("fact_id", "pt"),
+        dims, "pt", "lo", "hi", binWidth = 4.0)
+      .select("fact_id", "band_id")
+      .writeStream.format("memory").queryName("range_serve")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 3.0), (2L, 7.0), (3L, 25.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("range_serve")
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 1), (2L, 1), (2L, 2))) // 3.0→band1, 7.0→both, 25→none
+  }
+
   test("connect via per-side map + union (HandlingMultipleStreams.scala:288-305)") {
     val carts = Seq(("Bob", 2)).toDF("user_id", "qty")
     val views = Seq(("Alice", "p1"), ("Bob", "p2")).toDF("user_id", "product")
