@@ -110,6 +110,18 @@ object SparkEntry {
       Dedup.substringScrub(docs, k = 8).select(col("doc_id"), col("text")))
   }
 
+  /** The learned unigram tokenizer as a STANDING model table (the
+    * scrubbedCorpus/bm25-index pattern): train once per (dir, witness),
+    * every apply query — encode, doc stats — reads the model back instead
+    * of re-running EM. This is the production seam: a tokenizer is
+    * trained once per corpus snapshot and applied everywhere.
+    */
+  private def unigramModel(s: SparkSession, d: String): Seq[(String, Double)] =
+    TextAnalysis.unigramModelOf(IndexTables.plain(s,
+      IndexTables.ident("unigram_v256", d, witness(Tables.documents(s, d))))(
+      TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
+        emIters = 2)))
+
   /** Deterministic URL synthesis for the web-provenance queries (the
     * documents table carries no URL column): scheme/host case, public
     * suffix, explicit default port, path id (doc_id % 50 — forces
@@ -400,10 +412,11 @@ object SparkEntry {
       TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
         emIters = 2)),
     // train → apply round trip under the learned unigram model (pieces
-    // space-joined — the driver compare hashes scalar cells only)
+    // space-joined — the driver compare hashes scalar cells only). The
+    // model comes from the STANDING trained artifact: train once per
+    // corpus snapshot, apply everywhere
     "q_unigram_encode" -> ((s, d) => {
-      val m = TextAnalysis.unigramModelOf(TextAnalysis.unigramLearn(
-        Tables.documents(s, d), vocabSize = 256, emIters = 2))
+      val m = unigramModel(s, d)
       TextAnalysis.unigramEncodeLearned(Tables.documents(s, d), m)
         .select(col("word"), col("freq"),
           concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
@@ -411,11 +424,8 @@ object SparkEntry {
     // per-document token budget + fertility under the learned unigram
     // model — stateless scan-stage (streams as-is); rows-only like the
     // model that feeds it
-    "q_unigram_stats" -> ((s, d) => {
-      val m = TextAnalysis.unigramModelOf(TextAnalysis.unigramLearn(
-        Tables.documents(s, d), vocabSize = 256, emIters = 2))
-      TextAnalysis.unigramDocStats(Tables.documents(s, d), m)
-    }),
+    "q_unigram_stats" -> ((s, d) =>
+      TextAnalysis.unigramDocStats(Tables.documents(s, d), unigramModel(s, d))),
     // the corpus-wide id stream: every token instance joined to the
     // distinct-word dictionary, in (doc, token, piece) order
     "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),
