@@ -82,13 +82,16 @@ class JoinsSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     // overlapping intervals, some inverted/empty (must match nothing),
     // points landing exactly on lo (in) and hi (out)
+    // negative coordinates included: floor-division bins must stay
+    // monotone across zero (truncating division would not)
     val dims = ((1 to 30).map { i =>
-      val lo = rnd.nextInt(200).toDouble
+      val lo = (rnd.nextInt(200) - 100).toDouble
       (i, lo, lo + rnd.nextInt(60) - 5) // ~8% inverted/empty
-    } :+ ((31, 50.0, 50.0)) :+ ((32, 80.0, 70.0)))
+    } :+ ((31, 50.0, 50.0)) :+ ((32, 80.0, 70.0)) :+ ((33, -10.0, 10.0)))
       .toDF("band_id", "lo", "hi")
-    val facts = ((1 to 400).map(i => (i.toLong, rnd.nextInt(220).toDouble)) ++
-      Seq((1001L, 50.0), (1002L, 110.0))) // boundary probes
+    val facts = ((1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(220) - 110).toDouble)) ++
+      Seq((1001L, 50.0), (1002L, 110.0), (1003L, -10.0), (1004L, -0.5)))
       .toDF("fact_id", "pt")
     val got = Joins.rangeLookup(facts, dims, "pt", "lo", "hi", binWidth = 16.0)
       .select("fact_id", "band_id").as[(Long, Int)].collect().toSet
