@@ -356,4 +356,72 @@ object Curation {
      else withPpl)
       .unionByName(spanStages)
   }
+
+  /** The INGEST GATE — the crawl-to-corpus front door, composed from the
+    * STANDING artifacts the batch pipeline already maintains so a new
+    * increment is judged at increment cost, never corpus cost:
+    *
+    *   1. boilerplate lines removed against the standing line-frequency
+    *      index ([[graft.ops.Dedup.lineFreqIndex]] — read-only here);
+    *   2. PII scrubbed ([[graft.ops.Scrub.scrubPii]]; counts ride as
+    *      telemetry) — BEFORE quality, so the gate judges the text that
+    *      would actually be trained on;
+    *   3. the full Gopher gate (structural + repetition halves) on the
+    *      cleaned text;
+    *   4. decontamination flag against the bounded eval-gram literal
+    *      (stateless per-row probe);
+    *   5. near-dup flag against the standing banded MinHash snapshot
+    *      ([[graft.ops.Dedup.bandedIndex]]) — increment-sized probe.
+    *
+    * Emits EVERY input doc with its verdict — (doc_id, text, PII counts,
+    * pass_struct, pass_rep, contaminated, dup_of_corpus, keep) — so
+    * rejected rows can be audited or quarantined rather than silently
+    * dropped; filter `keep = 1` for the corpus append. All five stages
+    * are per-batch local: no state beyond the standing indexes, so the
+    * composition streams via [[ingestGateServe]] with full semantics.
+    */
+  def ingestGate(docs: DataFrame, lineIndex: DataFrame,
+      evalGrams: Seq[String], snapshotBanded: DataFrame,
+      minDocs: Int = 3, contamN: Int = 3, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val lines = Dedup.boilerplateScrubApply(docs, lineIndex, minDocs)
+    val pii = Scrub.scrubPii(lines)
+    val cleaned = pii.select(col("doc_id"), col("text"))
+    val gate = TextAnalysis.gopherGate(cleaned)
+      .select(col("doc_id"), col("pass_struct"), col("pass_rep"))
+    val dupIds = Dedup.minHashLshAgainst(cleaned, snapshotBanded,
+        shingleK, numHashes, bands, threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("_dup", lit(1))
+    pii.join(gate, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        Decontam.contaminatedFlag(col("text"), evalGrams, contamN)
+          .cast("int"))
+      .withColumn("dup_of_corpus", coalesce(col("_dup"), lit(0)))
+      .drop("_dup")
+      .withColumn("keep",
+        (col("pass_struct") === 1 && col("pass_rep") === 1 &&
+          col("contaminated") === 0 && col("dup_of_corpus") === 0)
+          .cast("int"))
+  }
+
+  /** Streaming twin of [[ingestGate]]: one foreachBatch apply per
+    * micro-batch (the boilerplateScrubServe pattern — per-batch
+    * re-planning lets every probe ride its bucketed index scan). The
+    * standing indexes are read-only here; ingest grows them on its own
+    * cadence.
+    */
+  def ingestGateServe(docStream: DataFrame, lineIndex: DataFrame,
+      evalGrams: Seq[String], snapshotBanded: DataFrame,
+      minDocs: Int = 3, contamN: Int = 3, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(ingestGate(batch, lineIndex, evalGrams, snapshotBanded,
+          minDocs, contamN, shingleK, numHashes, bands, threshold))
+    }
 }

@@ -9,6 +9,73 @@ import graft.ops.{Core, Curation, Decontam, Sampling, Scrub}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ingestGate: every verdict fires on its own doc; serve twin equals batch") {
+    import graft.ops.{Dedup, IndexTables}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // distinct gopher-green bodies (the gopherGate fixture shape): shared
+    // vocabulary across docs would make EVERY doc a legitimate near-dup
+    // of the snapshot — each verdict needs its own body
+    def body(tag: String) = "the be to of and that have with " +
+      (1 to 80).map(i => s"$tag$i ${tag}term$i").mkString(" ")
+    val clean = body("word")
+    val banner = "subscribe to our newsletter"
+    val zebra = body("zebra") + " unique passage about rivers tonight"
+    // standing artifacts from the snapshot corpus: line-freq index (banner
+    // in 3 docs) + banded MinHash snapshot
+    val snapshot = Seq(
+      (1L, s"$clean one\n$banner"), (2L, s"$clean two\n$banner"),
+      (3L, s"$clean three\n$banner"), (4L, zebra)).toDF("doc_id", "text")
+    IndexTables.drop(spark, "ingate_spec_linefreq_b8")
+    IndexTables.drop(spark, "ingate_spec_h32_k3_b8_b8")
+    val lineIdx = Dedup.lineFreqIndex(snapshot, "ingate_spec")
+    val banded = Dedup.bandedIndex(snapshot, "ingate_spec")
+    val evalGrams = Decontam.collectEvalGrams(
+      Seq((900L, "alpha beta gamma benchmark item")).toDF("doc_id", "text"),
+      "text", n = 3)
+    val incoming = Seq(
+      (101L, s"${body("nov")}\n$banner"),               // banner scrubbed; keep
+      (102L, zebra),                                    // near-dup of snapshot 4
+      (103L, s"${body("ctm")} alpha beta gamma"),       // quotes the eval set
+      (104L, "too short to pass anything"),             // gopher-gated
+      (105L, s"${body("pii")} mail someone@example.com")) // PII scrubbed; keep
+      .toDF("doc_id", "text")
+    val got = Curation.ingestGate(incoming, lineIdx, evalGrams, banded)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 5, "every input doc must come back with a verdict")
+    def flags(id: Long) = {
+      val r = got(id)
+      (r.getInt(r.fieldIndex("pass_struct")), r.getInt(r.fieldIndex("pass_rep")),
+        r.getInt(r.fieldIndex("contaminated")),
+        r.getInt(r.fieldIndex("dup_of_corpus")), r.getInt(r.fieldIndex("keep")))
+    }
+    assert(flags(101L) == ((1, 1, 0, 0, 1)), flags(101L).toString)
+    assert(!got(101L).getString(got(101L).fieldIndex("text")).contains(banner),
+      "hot boilerplate line must be removed before the verdict")
+    assert(flags(102L) == ((1, 1, 0, 1, 0)), flags(102L).toString)
+    assert(flags(103L)._3 == 1 && flags(103L)._5 == 0, flags(103L).toString)
+    assert(flags(104L)._1 == 0 && flags(104L)._5 == 0, flags(104L).toString)
+    assert(flags(105L) == ((1, 1, 0, 0, 1)), flags(105L).toString)
+    val r105 = got(105L)
+    assert(r105.getInt(r105.fieldIndex("n_email")) == 1 &&
+      r105.getString(r105.fieldIndex("text")).contains("<EMAIL>"))
+    // serve twin: per-micro-batch foreachBatch apply ≡ the batch gate
+    val in = MemoryStream[(Long, String)](97, spark, None)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = Curation.ingestGateServe(
+        in.toDF().toDF("doc_id", "text"), lineIdx, evalGrams, banded) { b =>
+      out ++= b.select("doc_id", "keep").as[(Long, Int)].collect()
+    }.start()
+    try {
+      in.addData((101L, s"${body("nov")}\n$banner"), (102L, zebra))
+      q.processAllAvailable()
+      in.addData((103L, s"${body("ctm")} alpha beta gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out.sortBy(_._1).toSeq == Seq(101L -> 1, 102L -> 0, 103L -> 0))
+    IndexTables.drop(spark, "ingate_spec_linefreq_b8")
+    IndexTables.drop(spark, "ingate_spec_h32_k3_b8_b8")
+  }
+
   test("creditCardScan: Luhn separates real checksums from off-by-one runs") {
     val docs = Seq(
       (1L, "pay 4111 1111 1111 1111 now"),      // Visa test number: valid
