@@ -96,6 +96,58 @@ object SparkEntry {
   private def rangeBandsSql: String = RANGE_BANDS.map { case (id, lo, hi) =>
     s"($id, CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }.mkString(", ")
 
+  /** q_ingest_gate fixture constants, shared by the query and its
+    * oracle (the QUALITY_W convention). The eval sentinel is a phrase
+    * that cannot occur in the synthetic corpus vocabulary.
+    */
+  private val INGEST_BANNER = "subscribe to our newsletter"
+  private val INGEST_EVAL_TEXT = "ingest gate sentinel check passage"
+
+  /** Stopword-bearing connective the %4 ∈ {2,3} increment classes get:
+    * the synthetic corpus has NO English stopwords, so without it the
+    * Gopher stopword rule rejects every doc and `keep` is a constant.
+    * Inline (no newline) so it can never become a hot boilerplate line.
+    */
+  private val INGEST_FILLER =
+    " with the rest of that batch and more to have it all be done"
+
+  /** Deterministic q_ingest_gate injection: a site banner on every 3rd
+    * doc (hot boilerplate), and on increment docs (doc_id%10 >= 8) by
+    * residue — %4=0 an EXACT COPY of snapshot doc (doc_id−8)'s injected
+    * text (the dup-probe target), %4=1 an eval-sentinel quote, %4=2 an
+    * email. All keyed on doc_id residues so the oracle rebuilds the
+    * same corpus.
+    */
+  private def ingestInject(docs: DataFrame): DataFrame = {
+    val incr = col("doc_id") % 10 >= 8
+    // inline appends FIRST, the banner line LAST: a class-specific suffix
+    // glued onto the banner line would make that variant a hot shared
+    // line of its own and scrub the marker away with it
+    val inj0 = docs.select(col("doc_id"), concat(col("text"),
+      when(incr && col("doc_id") % 4 === 1,
+        lit(" ingest gate sentinel check")).otherwise(lit("")),
+      when(incr && col("doc_id") % 4 === 2,
+        lit(" mail bob@example.com")).otherwise(lit("")),
+      when(incr && (col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3),
+        lit(INGEST_FILLER)).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit("\n"), lit(INGEST_BANNER)))
+        .otherwise(lit(""))).as("text"))
+    val src = inj0.select(col("doc_id").as("_sid"), col("text").as("_st"))
+    inj0.join(src, col("_sid") === col("doc_id") - 8, "left")
+      .select(col("doc_id"),
+        when(incr && col("doc_id") % 4 === 0 && col("_st").isNotNull,
+          col("_st")).otherwise(col("text")).as("text"))
+  }
+
+  /** The q_ingest_gate eval-gram literal (bounded by contract — one
+    * sentence; the Decontam.collectEvalGrams bounded-eval precedent).
+    */
+  private def ingestEvalGrams(s: SparkSession): Seq[String] = {
+    import s.implicits._
+    ops.Decontam.collectEvalGrams(
+      Seq((0L, INGEST_EVAL_TEXT)).toDF("doc_id", "text"), "text", n = 3)
+  }
+
   /** The substring-scrubbed corpus as a STANDING table (the bm25-index
     * pattern): v7/v8/v9 all curate the same rewritten corpus, and the
     * scrub's gram-ownership shuffle is the single most expensive stage of
@@ -1486,6 +1538,25 @@ object SparkEntry {
       Dedup.boilerplateScrubApply(docs.where(col("doc_id") % 10 >= 8), idx,
         minDocs = 3)
     }),
+    // the ORACLED end-to-end ingest gate (exact-dup variant): snapshot
+    // docs (%10 < 8) maintain the standing line-freq index + cleaned-text
+    // fingerprint set; the increment is judged at increment cost —
+    // boilerplate removal, PII scrub, Gopher gate, eval-sentinel
+    // decontam flag, exact dup probe — one verdict row per incoming doc
+    "q_ingest_gate" -> ((s, d) => {
+      val docs = ingestInject(Tables.documents(s, d))
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val idx = Dedup.lineFreqIndex(base,
+        IndexTables.ident("ingate_lf", d, witness(base)))
+      val fps = IndexTables.plain(s,
+        IndexTables.ident("ingate_fp", d, witness(base)))(
+        ops.Scrub.scrubPii(Dedup.boilerplateScrub(base, minDocs = 3))
+          .select(md5(col("text")).as("fp")).distinct())
+      Curation.ingestGateExact(docs.where(col("doc_id") % 10 >= 8), idx,
+          ingestEvalGrams(s), fps, minDocs = 3)
+        .select(col("doc_id"), col("pass_struct"), col("pass_rep"),
+          col("contaminated"), col("dup_of_corpus"), col("keep"))
+    }),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -2213,13 +2284,89 @@ object SparkEntry {
       filterTail
   }
 
-  /** DuckDB replay of TextAnalysis.gopherRules — factored so the
-    * q_gopher_gate composition reuses the identical body.
+  /** DuckDB replay of the END-TO-END q_ingest_gate: injection →
+    * line-level boilerplate removal (union counts for the increment,
+    * base-only counts for the snapshot fingerprints — the two forms
+    * boilerplateScrubApply vs boilerplateScrub compute) → PII chain →
+    * Gopher gate on the cleaned text (the factored gopher bodies run
+    * against the `piiu` CTE) → eval-sentinel gram flag → exact md5 dup
+    * probe. `piiu` is MATERIALIZED (the q_clean_corpus_v8 CTE-inlining
+    * lesson: it feeds four consumers).
     */
-  private def gopherRulesSql: String =
+  private def ingestGateSql: String = {
+    def pii(src: String) =
+      s"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'${Scrub.EMAIL_RE}', '<EMAIL>', 'g'), " +
+        s"'${Scrub.IPV4_RE}', '<IP>', 'g'), " +
+        s"'${Scrub.PHONE_RE}', '<PHONE>', 'g') AS text FROM $src"
+    "WITH inj0 AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 10 >= 8 AND doc_id % 4 = 1 THEN " +
+      "' ingest gate sentinel check' ELSE '' END || " +
+      "CASE WHEN doc_id % 10 >= 8 AND doc_id % 4 = 2 THEN " +
+      "' mail bob@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 10 >= 8 AND doc_id % 4 IN (2, 3) THEN " +
+      s"'$INGEST_FILLER' ELSE '' END || " +
+      s"CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$INGEST_BANNER' ELSE '' END " +
+      "AS t FROM documents), " +
+      "inj AS (SELECT a.doc_id, CASE WHEN a.doc_id % 10 >= 8 AND " +
+      "a.doc_id % 4 = 0 AND b.t IS NOT NULL THEN b.t ELSE a.t END AS t " +
+      "FROM inj0 a LEFT JOIN inj0 b ON b.doc_id = a.doc_id - 8), " +
+      "pp AS (SELECT doc_id, string_split_regex(t, '\\r?\\n') AS parts FROM inj), " +
+      "l AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS line_no, " +
+      "trim(unnest(parts)) AS line FROM pp), " +
+      "le AS (SELECT * FROM l WHERE len(line) > 0), " +
+      "hotu AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd " +
+      "FROM le GROUP BY 1) c WHERE nd >= 3), " +
+      "hotb AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd " +
+      "FROM le WHERE doc_id % 10 < 8 GROUP BY 1) c WHERE nd >= 3), " +
+      "keepu AS (SELECT doc_id, line_no, line FROM le WHERE doc_id % 10 >= 8 " +
+      "AND line NOT IN (SELECT line FROM hotu)), " +
+      "agu AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) " +
+      "AS kept FROM keepu GROUP BY doc_id), " +
+      "scrubu AS (SELECT inj.doc_id, coalesce(agu.kept, '') AS t FROM inj " +
+      "LEFT JOIN agu USING (doc_id) WHERE inj.doc_id % 10 >= 8), " +
+      "keepb AS (SELECT doc_id, line_no, line FROM le WHERE doc_id % 10 < 8 " +
+      "AND line NOT IN (SELECT line FROM hotb)), " +
+      "agb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) " +
+      "AS kept FROM keepb GROUP BY doc_id), " +
+      "scrubb AS (SELECT inj.doc_id, coalesce(agb.kept, '') AS t FROM inj " +
+      "LEFT JOIN agb USING (doc_id) WHERE inj.doc_id % 10 < 8), " +
+      s"piiu AS MATERIALIZED (${pii("scrubu")}), " +
+      s"piib AS (${pii("scrubb")}), " +
+      "fps AS (SELECT DISTINCT md5(text) AS fp FROM piib), " +
+      s"ev AS (SELECT '$INGEST_EVAL_TEXT' AS text), " +
+      s"evt AS (SELECT $TOKS AS toks FROM ev), " +
+      "evg AS (SELECT DISTINCT array_to_string(toks[(i+1):(i+3)], ' ') AS g " +
+      "FROM (SELECT toks, unnest(range(len(toks)-2)) AS i FROM evt) x), " +
+      s"put AS (SELECT doc_id, $TOKS AS toks FROM piiu), " +
+      "contam AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, " +
+      "array_to_string(toks[(i+1):(i+3)], ' ') AS g FROM (SELECT doc_id, " +
+      "toks, unnest(range(len(toks)-2)) AS i FROM put WHERE len(toks) >= 3) y) z " +
+      "WHERE g IN (SELECT g FROM evg)), " +
+      "dup AS (SELECT DISTINCT doc_id FROM piiu " +
+      "WHERE md5(text) IN (SELECT fp FROM fps)), " +
+      s"g AS (SELECT doc_id, pass AS pass_struct FROM " +
+      s"(${gopherRulesSql("piiu")}) s), " +
+      s"rep AS (SELECT doc_id, pass AS pass_rep FROM " +
+      s"(${gopherRepSql(inject = false, src = "piiu")}) s2) " +
+      "SELECT p.doc_id, g.pass_struct, rep.pass_rep, " +
+      "CAST(p.doc_id IN (SELECT doc_id FROM contam) AS INT) AS contaminated, " +
+      "CAST(p.doc_id IN (SELECT doc_id FROM dup) AS INT) AS dup_of_corpus, " +
+      "CAST(g.pass_struct = 1 AND rep.pass_rep = 1 AND " +
+      "p.doc_id NOT IN (SELECT doc_id FROM contam) AND " +
+      "p.doc_id NOT IN (SELECT doc_id FROM dup) AS INT) AS keep " +
+      "FROM piiu p JOIN g USING (doc_id) JOIN rep USING (doc_id)"
+  }
+
+  /** DuckDB replay of TextAnalysis.gopherRules — factored so the
+    * q_gopher_gate and q_ingest_gate compositions reuse the identical
+    * body; `src` is the (doc_id, text) relation to gate (an outer CTE
+    * name works — DuckDB scopes inner WITH subqueries lexically).
+    */
+  private def gopherRulesSql(src: String = "documents"): String =
     s"WITH w AS (SELECT doc_id, text, " +
       s"list_filter(string_split_regex(text, '${ops.TextAnalysis.WS_RUN_RE}'), x -> x <> '') AS ws, " +
-      s"string_split(text, chr(10)) AS lines, $TOKS AS toks FROM documents), " +
+      s"string_split(text, chr(10)) AS lines, $TOKS AS toks FROM $src), " +
       "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
       "CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sumlen, " +
       "CAST((length(text) - length(replace(text, '#', ''))) + " +
@@ -2250,10 +2397,11 @@ object SparkEntry {
     * Threshold rationals interpolate TextAnalysis.GOPHER_TOP/GOPHER_DUP
     * — the one definition both sides share.
     */
-  private def gopherRepSql(inject: Boolean = true): String = {
+  private def gopherRepSql(inject: Boolean = true,
+      src: String = "documents"): String = {
     val top = ops.TextAnalysis.GOPHER_TOP
     val dup = ops.TextAnalysis.GOPHER_DUP
-    val inj = if (!inject) "inj AS (SELECT doc_id, text FROM documents)"
+    val inj = if (!inject) s"inj AS (SELECT doc_id, text FROM $src)"
     else "inj AS (SELECT doc_id, text || " +
       "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe now' || " +
       "chr(10) || 'subscribe now' || chr(10) || 'subscribe now' " +
@@ -4104,6 +4252,7 @@ object SparkEntry {
     // rows — the hot set still counts the whole union (index + batch),
     // which is exactly the apply's contract under disjoint doc ids
     "q_boilerplate_incr" -> boilerplateSql(incrOnly = true),
+    "q_ingest_gate" -> ingestGateSql,
     // same pass order as Scrub.stripHtml, patterns interpolated from the
     // same constants; 'gs' option = global ('s' is inline in the pattern
     // where needed); &amp; decoded last like the Spark side
@@ -4418,7 +4567,7 @@ object SparkEntry {
     // Gopher-rule replay: whitespace words, newline lines, the same
     // regexes, every threshold cross-multiplied in BIGINT — no float
     // anywhere, so the rows must match exactly, not just post-round
-    "q_gopher_rules" -> gopherRulesSql,
+    "q_gopher_rules" -> gopherRulesSql(),
     // repetition-gate replay: per-(doc, unit) counts via unnest+GROUP BY
     // instead of the engine's sorted-run arrays — same exact integers,
     // same rounded fractions, same cross-multiplied flags
@@ -4428,7 +4577,7 @@ object SparkEntry {
     "q_gopher_gate" ->
       ("SELECT r.doc_id, r.pass AS pass_struct, p.pass AS pass_rep, " +
         "CAST(r.pass * p.pass AS INT) AS pass " +
-        s"FROM ($gopherRulesSql) r JOIN (${gopherRepSql(inject = false)}) p " +
+        s"FROM (${gopherRulesSql()}) r JOIN (${gopherRepSql(inject = false)}) p " +
         "ON p.doc_id = r.doc_id"),
     // Luhn replay: same injection and candidate class; from the right,
     // 0-based-even positions count as-is, odd double (−9 above 9 ⇔

@@ -385,17 +385,54 @@ object Curation {
       minDocs: Int = 3, contamN: Int = 3, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val lines = Dedup.boilerplateScrubApply(docs, lineIndex, minDocs)
-    val pii = Scrub.scrubPii(lines)
-    val cleaned = pii.select(col("doc_id"), col("text"))
-    val gate = TextAnalysis.gopherGate(cleaned)
-      .select(col("doc_id"), col("pass_struct"), col("pass_rep"))
-    val dupIds = Dedup.minHashLshAgainst(cleaned, snapshotBanded,
-        shingleK, numHashes, bands, threshold)
+    val pii = cleanedIncrement(docs, lineIndex, minDocs)
+    val dupIds = Dedup.minHashLshAgainst(pii.select(col("doc_id"),
+        col("text")), snapshotBanded, shingleK, numHashes, bands, threshold)
       .select(col("new_id").as("doc_id")).distinct()
-      .withColumn("_dup", lit(1))
+    gateTail(pii, dupIds, evalGrams, contamN)
+  }
+
+  /** Boilerplate + PII cleaning of one ingest increment, lineage-cut:
+    * the cleaned frame feeds five consumers (dup probe, both Gopher
+    * halves, the contamination flag, the output row) — without the cut
+    * each subtree re-runs the whole chain. Increment-sized by contract
+    * (this is the per-batch ingest path) — the curation-stage
+    * localCheckpoint convention. Measured 4.4 → 4.0 s warm at sf0.1
+    * (the rest is the Gopher gram machinery plus the standing-artifact
+    * witness scans, not recomputation).
+    */
+  private def cleanedIncrement(docs: DataFrame, lineIndex: DataFrame,
+      minDocs: Int): DataFrame =
+    Scrub.scrubPii(Dedup.boilerplateScrubApply(docs, lineIndex, minDocs))
+      .localCheckpoint()
+
+  /** [[ingestGate]] with the near-dup probe swapped for an EXACT
+    * fingerprint probe against a standing md5 set (the q_incr_dedup
+    * blocklist shape) — the variant to reach for when the dedup policy
+    * is exact-only, and the one the driver can oracle end to end
+    * (seeded MinHash is not DuckDB-replayable; md5 of the cleaned text
+    * is). Fingerprints are taken AFTER boilerplate + PII cleaning, so a
+    * re-crawl that differs only in removed banner lines still matches
+    * its snapshot twin.
+    */
+  def ingestGateExact(docs: DataFrame, lineIndex: DataFrame,
+      evalGrams: Seq[String], snapshotFps: DataFrame,
+      minDocs: Int = 3, contamN: Int = 3): DataFrame = {
+    val pii = cleanedIncrement(docs, lineIndex, minDocs)
+    val dupIds = pii.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(snapshotFps, Seq("fp")).select("doc_id").distinct()
+    gateTail(pii, dupIds, evalGrams, contamN)
+  }
+
+  /** The shared verdict assembly of the two ingest gates: Gopher halves
+    * on the cleaned text, contamination flag, dup flag, conjunction.
+    */
+  private def gateTail(pii: DataFrame, dupIds: DataFrame,
+      evalGrams: Seq[String], contamN: Int): DataFrame = {
+    val gate = TextAnalysis.gopherGate(pii.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("pass_struct"), col("pass_rep"))
     pii.join(gate, Seq("doc_id"))
-      .join(dupIds, Seq("doc_id"), "left")
+      .join(dupIds.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
       .withColumn("contaminated",
         Decontam.contaminatedFlag(col("text"), evalGrams, contamN)
           .cast("int"))

@@ -72,6 +72,17 @@ class PipelineOpsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(out.sortBy(_._1).toSeq == Seq(101L -> 1, 102L -> 0, 103L -> 0))
+    // exact-fingerprint variant (the oracled q_ingest_gate form): same
+    // verdicts on this fixture — the verbatim re-crawl matches by md5 of
+    // the CLEANED text even though its raw text carries no banner
+    val fps = Scrub.scrubPii(Dedup.boilerplateScrub(snapshot, minDocs = 3))
+      .select(md5($"text").as("fp")).distinct()
+    val exact = Curation.ingestGateExact(incoming, lineIdx, evalGrams, fps)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("dup_of_corpus")), r.getInt(r.fieldIndex("keep"))))
+      .toMap
+    assert(exact(102L) == ((1, 0)), exact(102L).toString)
+    assert(exact(101L) == ((0, 1)) && exact(105L) == ((0, 1)))
     IndexTables.drop(spark, "ingate_spec_linefreq_b8")
     IndexTables.drop(spark, "ingate_spec_h32_k3_b8_b8")
   }
