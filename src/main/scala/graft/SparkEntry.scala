@@ -1557,6 +1557,21 @@ object SparkEntry {
         .select(col("doc_id"), col("pass_struct"), col("pass_rep"),
           col("contaminated"), col("dup_of_corpus"), col("keep"))
     }),
+    // the one-row batch dashboard over the same gate verdicts: keeps +
+    // rejection-reason histogram (reasons independent, not a partition)
+    "q_ingest_report" -> ((s, d) => {
+      val docs = ingestInject(Tables.documents(s, d))
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val idx = Dedup.lineFreqIndex(base,
+        IndexTables.ident("ingate_lf", d, witness(base)))
+      val fps = IndexTables.plain(s,
+        IndexTables.ident("ingate_fp", d, witness(base)))(
+        ops.Scrub.scrubPii(Dedup.boilerplateScrub(base, minDocs = 3))
+          .select(md5(col("text")).as("fp")).distinct())
+      Curation.ingestSummary(Curation.ingestGateExact(
+        docs.where(col("doc_id") % 10 >= 8), idx, ingestEvalGrams(s), fps,
+        minDocs = 3))
+    }),
     // conjunctive posting-list search over the query terms only
     "q_search" -> ((s, d) =>
       Retrieval.searchAll(Tables.documents(s, d), SEARCH_TERMS)),
@@ -4253,6 +4268,15 @@ object SparkEntry {
     // which is exactly the apply's contract under disjoint doc ids
     "q_boilerplate_incr" -> boilerplateSql(incrOnly = true),
     "q_ingest_gate" -> ingestGateSql,
+    "q_ingest_report" ->
+      (s"SELECT CAST(count(*) AS BIGINT) AS n_in, " +
+        "CAST(sum(keep) AS BIGINT) AS n_keep, " +
+        "CAST(sum(CASE WHEN pass_struct = 0 OR pass_rep = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_gopher_reject, " +
+        "CAST(sum(contaminated) AS BIGINT) AS n_contaminated, " +
+        "CAST(sum(dup_of_corpus) AS BIGINT) AS n_dup, " +
+        "round(sum(keep) / CAST(greatest(count(*), 1) AS DOUBLE), 4) " +
+        s"AS keep_rate FROM ($ingestGateSql) v"),
     // same pass order as Scrub.stripHtml, patterns interpolated from the
     // same constants; 'gs' option = global ('s' is inline in the pattern
     // where needed); &amp; decoded last like the Spark side

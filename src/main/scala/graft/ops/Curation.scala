@@ -444,6 +444,23 @@ object Curation {
           .cast("int"))
   }
 
+  /** One-row ingest telemetry over a gate verdict frame — the batch
+    * dashboard a crawl operator actually watches: input size, keeps,
+    * and the rejection-reason histogram (reasons are NOT exclusive —
+    * a doc can be both contaminated and a dup — so the columns are
+    * independent counts, not a partition). One scan-stage aggregate.
+    */
+  def ingestSummary(gated: DataFrame): DataFrame =
+    gated.agg(
+      count(lit(1)).as("n_in"),
+      sum(col("keep")).as("n_keep"),
+      sum(when(col("pass_struct") === 0 || col("pass_rep") === 0, 1)
+        .otherwise(0)).as("n_gopher_reject"),
+      sum(col("contaminated")).as("n_contaminated"),
+      sum(col("dup_of_corpus")).as("n_dup"),
+      round(sum(col("keep")).cast("double") /
+        greatest(count(lit(1)), lit(1L)), 4).as("keep_rate"))
+
   /** Streaming twin of [[ingestGate]]: one foreachBatch apply per
     * micro-batch (the boilerplateScrubServe pattern — per-batch
     * re-planning lets every probe ride its bucketed index scan). The

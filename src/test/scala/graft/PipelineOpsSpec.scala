@@ -83,6 +83,12 @@ class PipelineOpsSpec extends SparkSpec {
       .toMap
     assert(exact(102L) == ((1, 0)), exact(102L).toString)
     assert(exact(101L) == ((0, 1)) && exact(105L) == ((0, 1)))
+    // one-row telemetry: 5 in, 2 keeps, 1 gopher reject, 1 contaminated,
+    // 1 dup — reasons are independent counts, not a partition
+    val summ = Curation.ingestSummary(
+        Curation.ingestGateExact(incoming, lineIdx, evalGrams, fps))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(summ == ((5L, 2L, 1L, 1L, 1L, 0.4)), summ.toString)
     IndexTables.drop(spark, "ingate_spec_linefreq_b8")
     IndexTables.drop(spark, "ingate_spec_h32_k3_b8_b8")
   }
