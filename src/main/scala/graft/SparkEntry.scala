@@ -132,8 +132,14 @@ object SparkEntry {
         lit(INGEST_FILLER)).otherwise(lit("")),
       when(col("doc_id") % 3 === 0, concat(lit("\n"), lit(INGEST_BANNER)))
         .otherwise(lit(""))).as("text"))
-    val src = inj0.select(col("doc_id").as("_sid"), col("text").as("_st"))
-    inj0.join(src, col("_sid") === col("doc_id") - 8, "left")
+    // by-NAME equi-join (Seq("doc_id")) on a +8-shifted key rather than
+    // a `col("doc_id") - 8` expression condition: on a SELF-join an
+    // unqualified reference in the condition has two candidate bindings,
+    // and keying the source rows before the join removes the ambiguity
+    // by construction.
+    val src = inj0.select((col("doc_id") + 8).as("doc_id"),
+      col("text").as("_st"))
+    inj0.join(src, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(incr && col("doc_id") % 4 === 0 && col("_st").isNotNull,
           col("_st")).otherwise(col("text")).as("text"))
