@@ -469,6 +469,13 @@ object SparkEntry {
     "q_unigram_learn" -> ((s, d) =>
       TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
         emIters = 2)),
+    // FULL-EM (forward-backward) unigram training — the Kudo E-step
+    // proper beside q_unigram_learn's Viterbi-EM; expected counts keep
+    // probability mass on plausible-but-not-best pieces. Rows-only,
+    // parity-locked against a sequential full-EM reference
+    "q_unigram_soft" -> ((s, d) =>
+      TextAnalysis.unigramLearnSoft(Tables.documents(s, d), vocabSize = 256,
+        emIters = 2)),
     // train → apply round trip under the learned unigram model (pieces
     // space-joined — the driver compare hashes scalar cells only). The
     // model comes from the STANDING trained artifact: train once per

@@ -1813,6 +1813,154 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `unigram_expected_counts(word, pieces, logps, unkLogp)` — the
+    * E-step of FULL EM for the unigram LM (Kudo 1804.10959 §3.2), where
+    * [[UnigramViterbi]] is the hard-EM (single best path) variant:
+    * posterior expected usage count of every piece over ALL segmentations
+    * of one word, via forward–backward over the word lattice in log
+    * space. Returns ARRAY<STRUCT<piece, ec>> with one entry per distinct
+    * arc label (duplicate arcs within the word accumulate), entries in
+    * first-touch scan order (deterministic).
+    *
+    * Invariant (spec-locked): Σ ec(piece) × len_cp(piece) = len_cp(word)
+    * — every segmentation covers every code point exactly once, so the
+    * expectation conserves character mass. Same model-as-literals scale
+    * shape as the Viterbi kernel: scan stage, zero shuffle, O(len ×
+    * maxPieceLen) arcs per word.
+    */
+  case class UnigramExpectedCounts(child: Expression, pieces: Seq[String],
+      logps: Seq[Double], unkLogp: Double) extends UnaryExpression {
+    require(pieces.nonEmpty, "unigram_expected_counts requires a model")
+    require(pieces.length == logps.length,
+      s"pieces/logps length mismatch: ${pieces.length} vs ${logps.length}")
+    require(pieces.forall(_.nonEmpty),
+      "unigram_expected_counts model must not contain the empty piece")
+    require(logps.forall(lp => !lp.isNaN && !lp.isInfinity) &&
+      !unkLogp.isNaN && !unkLogp.isInfinity,
+      "unigram_expected_counts log-probabilities must be finite")
+    private val table: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      pieces.indices.foreach { i =>
+        val prev = m.get(pieces(i))
+        if (prev == null || prev.doubleValue() < logps(i))
+          m.put(pieces(i), Double.box(logps(i)))
+      }
+      m
+    }
+    private val maxLenCp: Int =
+      pieces.map(p => p.codePointCount(0, p.length)).max
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("ec", DoubleType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"unigram_expected_counts requires STRING, got ${other.catalogString}")
+      }
+    // log(e^a + e^b) without overflow; -Inf is the additive identity
+    private def logAdd(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else if (a >= b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      val n = w.codePointCount(0, w.length)
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val cpOff = new Array[Int](n + 1)
+      var ci = 0
+      var k = 0
+      while (k < n) {
+        cpOff(k) = ci
+        ci += Character.charCount(w.codePointAt(ci))
+        k += 1
+      }
+      cpOff(n) = w.length
+      // arc step log-prob, or -Inf when the span is not a valid piece
+      def step(j: Int, i: Int): Double = {
+        val lp = table.get(w.substring(cpOff(j), cpOff(i)))
+        if (lp != null) lp.doubleValue()
+        else if (i - j == 1) unkLogp
+        else Double.NegativeInfinity
+      }
+      val alpha = new Array[Double](n + 1)
+      java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+      alpha(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLenCp)
+        while (j < i) {
+          if (alpha(j) != Double.NegativeInfinity) {
+            val s = step(j, i)
+            if (s != Double.NegativeInfinity)
+              alpha(i) = logAdd(alpha(i), alpha(j) + s)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val beta = new Array[Double](n + 1)
+      java.util.Arrays.fill(beta, Double.NegativeInfinity)
+      beta(n) = 0.0
+      var j = n - 1
+      while (j >= 0) {
+        var i2 = j + 1
+        val hi = math.min(n, j + maxLenCp)
+        while (i2 <= hi) {
+          if (beta(i2) != Double.NegativeInfinity) {
+            val s = step(j, i2)
+            if (s != Double.NegativeInfinity)
+              beta(j) = logAdd(beta(j), s + beta(i2))
+          }
+          i2 += 1
+        }
+        j -= 1
+      }
+      val z = alpha(n) // finite: the all-singles path always exists
+      val ecs = new java.util.LinkedHashMap[String, java.lang.Double]()
+      j = 0
+      while (j < n) {
+        if (alpha(j) != Double.NegativeInfinity) {
+          var i3 = j + 1
+          val hi = math.min(n, j + maxLenCp)
+          while (i3 <= hi) {
+            val s = step(j, i3)
+            if (s != Double.NegativeInfinity &&
+                beta(i3) != Double.NegativeInfinity) {
+              val ec = math.exp(alpha(j) + s + beta(i3) - z)
+              val p = w.substring(cpOff(j), cpOff(i3))
+              val prev = ecs.get(p)
+              ecs.put(p, Double.box(if (prev == null) ec else prev + ec))
+            }
+            i3 += 1
+          }
+        }
+        j += 1
+      }
+      val out = new Array[Any](ecs.size)
+      val it = ecs.entrySet().iterator()
+      var idx = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+          e.getValue.doubleValue())
+        idx += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramEcKernel", this,
+        classOf[UnigramExpectedCounts].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -1892,5 +2040,10 @@ object ArrayKernels {
   def unigram_viterbi(word: Column, pieces: Seq[String], logps: Seq[Double],
       unkLogp: Double): Column =
     GraftSqlBridge.column(UnigramViterbi(
+      GraftSqlBridge.expression(word), pieces, logps, unkLogp))
+
+  def unigram_expected_counts(word: Column, pieces: Seq[String],
+      logps: Seq[Double], unkLogp: Double): Column =
+    GraftSqlBridge.column(UnigramExpectedCounts(
       GraftSqlBridge.expression(word), pieces, logps, unkLogp))
 }

@@ -841,12 +841,16 @@ object TextAnalysis {
     * next round's literals) — parity/property-locked instead, the
     * q_bpe_learn convention.
     */
-  def unigramLearn(docs: DataFrame, vocabSize: Int, seedMaxLen: Int = 6,
-      seedMult: Int = 4, emIters: Int = 3,
-      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame = {
+  /** Shared trainer front half ([[unigramLearn]] / [[unigramLearnSoft]]):
+    * distinct-word dictionary + freq-weighted substring seed. Returns
+    * (dict, alphabet, seed entries) — alphabet-sized and model-sized
+    * driver collects respectively.
+    */
+  private def unigramSeed(docs: DataFrame, vocabSize: Int, seedMaxLen: Int,
+      seedMult: Int): (DataFrame, Seq[(String, Long)], Seq[(String, Long)]) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(seedMaxLen >= 2, s"seedMaxLen must be >= 2, got $seedMaxLen")
-    require(seedMult >= 1 && emIters >= 0, "seedMult >= 1, emIters >= 0")
+    require(seedMult >= 1, s"seedMult must be >= 1, got $seedMult")
     val spark = docs.sparkSession
     import spark.implicits._
     val dict = docs
@@ -864,17 +868,28 @@ object TextAnalysis {
       .groupBy("piece").agg(sum("freq").as("cnt"))
       .withColumn("n_cp",
         size(regexp_extract_all(col("piece"), lit("(?s)."), lit(0))))
-    // alphabet-sized and model-sized collects respectively
     val alphabet = subCounts.where(col("n_cp") === 1)
       .select(col("piece"), col("cnt")).as[(String, Long)].collect().toSeq
     require(alphabet.nonEmpty,
-      "unigramLearn: corpus yielded no tokens — nothing to train on")
-    val alphaSet = alphabet.map(_._1).toSet
-    var entries: Seq[(String, Long)] = alphabet ++ subCounts
+      "unigram seed: corpus yielded no tokens — nothing to train on")
+    val seed: Seq[(String, Long)] = alphabet ++ subCounts
       .where(col("n_cp") >= 2)
       .orderBy(col("cnt").desc, col("piece").asc)
       .limit(seedMult * vocabSize)
       .select(col("piece"), col("cnt")).as[(String, Long)].collect().toSeq
+    (dict, alphabet, seed)
+  }
+
+  def unigramLearn(docs: DataFrame, vocabSize: Int, seedMaxLen: Int = 6,
+      seedMult: Int = 4, emIters: Int = 3,
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame = {
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (dict, alphabet, seed) =
+      unigramSeed(docs, vocabSize, seedMaxLen, seedMult)
+    val alphaSet = alphabet.map(_._1).toSet
+    var entries: Seq[(String, Long)] = seed
     val nMulti = math.max(vocabSize - alphabet.size, 0)
     def toModel(es: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
       val total = es.map(_._2).sum.toDouble
@@ -900,6 +915,65 @@ object TextAnalysis {
       .sortBy { case (p, c, _) => (-c, p) }.zipWithIndex
       .map { case ((p, c, lp), i) => (i + 1, p, c, lp) }
       .toDF("rank", "piece", "cnt", "logp")
+      .withColumn("logp", round(col("logp"), 6))
+  }
+
+  /** FULL-EM unigram tokenizer training — the Kudo 1804.10959 §3.2
+    * E-step proper, where [[unigramLearn]] is the hard (Viterbi-EM)
+    * variant: each word contributes POSTERIOR EXPECTED usage counts over
+    * ALL its segmentations (forward–backward over the word lattice via
+    * [[graft.functions.ArrayKernels.UnigramExpectedCounts]]), so
+    * plausible-but-not-best pieces keep probability mass instead of
+    * starving at round one. Same seed, pruning policy (alphabet floors
+    * at 1.0, top-n multis), scale shape (scan-stage E-step with the
+    * model as literals, MODEL-sized M-step collects), and output schema
+    * — `cnt` is the expected count, a double rounded to 6 decimals
+    * before ranking so the distributed sum's last-ulp order sensitivity
+    * cannot flip a prune-boundary tie between runs.
+    */
+  def unigramLearnSoft(docs: DataFrame, vocabSize: Int, seedMaxLen: Int = 6,
+      seedMult: Int = 4, emIters: Int = 3,
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame = {
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (dict, alphabet, seed) =
+      unigramSeed(docs, vocabSize, seedMaxLen, seedMult)
+    val alphaSet = alphabet.map(_._1).toSet
+    val nMulti = math.max(vocabSize - alphabet.size, 0)
+    def toModel(es: Seq[(String, Double)]): (Seq[String], Seq[Double]) = {
+      val total = es.map(_._2).sum
+      (es.map(_._1), es.map(e => math.log(e._2 / total)))
+    }
+    def q6(x: Double): Double =
+      math.rint(x * 1e6) / 1e6
+    var entries: Seq[(String, Double)] =
+      seed.map { case (p, c) => (p, c.toDouble) }
+    for (_ <- 1 to emIters) {
+      val (pieces, logps) = toModel(entries)
+      val counted = dict
+        .select(col("freq"), explode(graft.functions.ArrayKernels
+          .unigram_expected_counts(col("word"), pieces, logps, unkLogp))
+          .as("e"))
+        .select(col("e.piece").as("piece"),
+          (col("e.ec") * col("freq")).as("c"))
+        .groupBy("piece").agg(sum("c").as("cnt"))
+        .as[(String, Double)].collect().toMap
+      entries = alphabet.map { case (p, _) =>
+        (p, math.max(q6(counted.getOrElse(p, 0.0)), 1.0)) } ++
+        counted.iterator.filter { case (p, _) => !alphaSet(p) }
+          .map { case (p, c) => (p, q6(c)) }.toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+    }
+    val kept = entries.filter { case (p, _) => alphaSet(p) } ++
+      entries.filter { case (p, _) => !alphaSet(p) }
+        .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+    val (pieces, logps) = toModel(kept)
+    pieces.indices.map { i => (pieces(i), kept(i)._2, logps(i)) }
+      .sortBy { case (p, c, _) => (-c, p) }.zipWithIndex
+      .map { case ((p, c, lp), i) => (i + 1, p, c, lp) }
+      .toDF("rank", "piece", "cnt", "logp")
+      .withColumn("cnt", round(col("cnt"), 4))
       .withColumn("logp", round(col("logp"), 6))
   }
 

@@ -569,6 +569,207 @@ class PropertySpec extends SparkSpec {
       s"supplementary-plane char must survive as its own piece: $full")
   }
 
+  test("unigram expected counts: forward-backward reference parity + char-mass conservation") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ArrayKernels
+    def splitCp(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
+    // independent sequential forward-backward over the same lattice
+    def refEc(w: String, model: Map[String, Double],
+        unk: Double): Map[String, Double] = {
+      val cps = splitCp(w); val n = cps.length
+      if (n == 0) return Map.empty
+      val maxLen = model.keys.map(p => splitCp(p).length).max
+      def step(j: Int, i: Int): Double = {
+        val piece = cps.slice(j, i).mkString
+        model.get(piece) match {
+          case Some(lp) => lp
+          case None if i - j == 1 => unk
+          case None => Double.NegativeInfinity
+        }
+      }
+      def ladd(a: Double, b: Double): Double =
+        if (a == Double.NegativeInfinity) b
+        else if (b == Double.NegativeInfinity) a
+        else if (a >= b) a + math.log1p(math.exp(b - a))
+        else b + math.log1p(math.exp(a - b))
+      val al = Array.fill(n + 1)(Double.NegativeInfinity); al(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i
+          if al(j) != Double.NegativeInfinity && step(j, i) != Double.NegativeInfinity)
+        al(i) = ladd(al(i), al(j) + step(j, i))
+      val be = Array.fill(n + 1)(Double.NegativeInfinity); be(n) = 0.0
+      for (j <- (n - 1) to 0 by -1; i <- (j + 1) to math.min(n, j + maxLen)
+          if be(i) != Double.NegativeInfinity && step(j, i) != Double.NegativeInfinity)
+        be(j) = ladd(be(j), step(j, i) + be(i))
+      val z = al(n)
+      val m = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for (j <- 0 until n; i <- (j + 1) to math.min(n, j + maxLen)
+          if al(j) != Double.NegativeInfinity && be(i) != Double.NegativeInfinity &&
+            step(j, i) != Double.NegativeInfinity)
+        m(cps.slice(j, i).mkString) += math.exp(al(j) + step(j, i) + be(i) - z)
+      m.toMap
+    }
+    val model = Seq(("ab", -0.7), ("ba", -0.9), ("aba", -1.4),
+      ("a", -1.2), ("b", -1.5))
+    val refM = model.toMap
+    val wordGen: Gen[String] = Gen.chooseNum(1, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(12, wordGen)) { words =>
+      val df = words.distinct.toDF("word")
+      val got = df.select(col("word"),
+          ArrayKernels.unigram_expected_counts(col("word"),
+            model.map(_._1), model.map(_._2), -25.0).as("e"))
+        .as[(String, Seq[(String, Double)])].collect().toMap
+      words.distinct.forall { w =>
+        val exp = refEc(w, refM, -25.0)
+        val g = got(w).toMap
+        val parity = exp.keySet == g.keySet && exp.forall { case (p, e) =>
+          math.abs(g(p) - e) < 1e-9 }
+        // every segmentation covers every code point exactly once, so
+        // expected piece char-mass sums to the word length EXACTLY
+        val mass = g.map { case (p, e) => e * p.codePointCount(0, p.length) }.sum
+        parity && math.abs(mass - w.codePointCount(0, w.length)) < 1e-9
+      }
+    })
+    // single-path degenerate case: a singles-only model makes ec an
+    // exact occurrence count
+    val singles = Seq(("a", -1.0), ("b", -1.0))
+    val one = Seq(("abab")).toDF("word")
+      .select(ArrayKernels.unigram_expected_counts(col("word"),
+        singles.map(_._1), singles.map(_._2), -25.0).as("e"))
+      .as[Seq[(String, Double)]].head().toMap
+    assert(math.abs(one("a") - 2.0) < 1e-12 && math.abs(one("b") - 2.0) < 1e-12)
+  }
+
+  test("unigramLearnSoft equals a sequential full-EM reference") {
+    import org.apache.spark.sql.functions.{col, explode, lit, count}
+    import graft.ops.TextAnalysis
+    def splitCp(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
+    def refEc(w: String, model: Map[String, Double],
+        unk: Double): Map[String, Double] = {
+      val cps = splitCp(w); val n = cps.length
+      if (n == 0) return Map.empty
+      val maxLen = model.keys.map(p => splitCp(p).length).max
+      def step(j: Int, i: Int): Double = {
+        model.get(cps.slice(j, i).mkString) match {
+          case Some(lp) => lp
+          case None if i - j == 1 => unk
+          case None => Double.NegativeInfinity
+        }
+      }
+      def ladd(a: Double, b: Double): Double =
+        if (a == Double.NegativeInfinity) b
+        else if (b == Double.NegativeInfinity) a
+        else if (a >= b) a + math.log1p(math.exp(b - a))
+        else b + math.log1p(math.exp(a - b))
+      val al = Array.fill(n + 1)(Double.NegativeInfinity); al(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i
+          if al(j) != Double.NegativeInfinity && step(j, i) != Double.NegativeInfinity)
+        al(i) = ladd(al(i), al(j) + step(j, i))
+      val be = Array.fill(n + 1)(Double.NegativeInfinity); be(n) = 0.0
+      for (j <- (n - 1) to 0 by -1; i <- (j + 1) to math.min(n, j + maxLen)
+          if be(i) != Double.NegativeInfinity && step(j, i) != Double.NegativeInfinity)
+        be(j) = ladd(be(j), step(j, i) + be(i))
+      val z = al(n)
+      val m = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for (j <- 0 until n; i <- (j + 1) to math.min(n, j + maxLen)
+          if al(j) != Double.NegativeInfinity && be(i) != Double.NegativeInfinity &&
+            step(j, i) != Double.NegativeInfinity)
+        m(cps.slice(j, i).mkString) += math.exp(al(j) + step(j, i) + be(i) - z)
+      m.toMap
+    }
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    def refLearnSoft(freqs: Map[String, Long], vocabSize: Int,
+        seedMaxLen: Int, seedMult: Int, emIters: Int,
+        unk: Double): Seq[(Int, String, Double, Double)] = {
+      val subCnt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      freqs.foreach { case (w, f) =>
+        val cps = splitCp(w)
+        for (i <- cps.indices; l <- 1 to math.min(seedMaxLen, cps.length - i))
+          subCnt(cps.slice(i, i + l).mkString) += f
+      }
+      val alphabet = subCnt.toSeq.filter(e => splitCp(e._1).length == 1)
+      val alphaSet = alphabet.map(_._1).toSet
+      val nMulti = math.max(vocabSize - alphabet.size, 0)
+      def model(es: Seq[(String, Double)]): Map[String, Double] = {
+        val total = es.map(_._2).sum
+        es.map { case (p, c) => p -> math.log(c / total) }.toMap
+      }
+      var entries: Seq[(String, Double)] =
+        (alphabet ++ subCnt.toSeq.filter(e => splitCp(e._1).length >= 2)
+          .sortBy { case (p, c) => (-c, p) }.take(seedMult * vocabSize))
+          .map { case (p, c) => (p, c.toDouble) }
+      for (_ <- 1 to emIters) {
+        val m = model(entries)
+        val used = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        freqs.foreach { case (w, f) =>
+          refEc(w, m, unk).foreach { case (p, e) => used(p) += e * f }
+        }
+        entries = alphabet.map { case (p, _) =>
+          (p, math.max(q6(used(p)), 1.0)) } ++
+          used.toSeq.filter { case (p, _) => !alphaSet(p) }
+            .map { case (p, c) => (p, q6(c)) }
+            .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+      }
+      val kept = entries.filter(e => alphaSet(e._1)) ++
+        entries.filter(e => !alphaSet(e._1))
+          .sortBy { case (p, c) => (-c, p) }.take(nMulti)
+      val m = model(kept)
+      kept.sortBy { case (p, c) => (-c, p) }.zipWithIndex.map {
+        case ((p, c), i) => (i + 1, p, c, m(p))
+      }
+    }
+    val wordGen: Gen[String] = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "ab", "ba", "7", ".")).map(_.mkString))
+    val docGen: Gen[String] = Gen.chooseNum(0, 8).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    val p = Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val freqs = docs
+        .select(explode(TextAnalysis.bpeTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect().toMap
+      freqs.isEmpty || {
+        val got = TextAnalysis
+          .unigramLearnSoft(docs, vocabSize = 12, seedMaxLen = 3,
+            seedMult = 2, emIters = 2)
+          .orderBy("rank")
+          .as[(Int, String, Double, Double)].collect().toSeq
+        val exp = refLearnSoft(freqs, 12, 3, 2, 2, -25.0)
+        got.length == exp.length &&
+          got.zip(exp).forall { case ((gr, gp, gc, glp), (er, ep, ec, elp)) =>
+            gr == er && gp == ep && math.abs(gc - ec) < 1e-4 &&
+              math.abs(glp - elp) < 1e-5
+          }
+      }
+    }
+    val r = SCTest.check(few, p)
+    assert(r.passed, r.status.toString)
+    // the compositional fixture: full EM also finds the "ab" structure
+    val docs = (0L until 20L).map(i => (i, "abab abab ababab xy"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramLearnSoft(docs, vocabSize = 8, emIters = 2)
+      .select("piece", "logp").as[(String, Double)].collect()
+    assert(m.exists { case (p, _) => p.contains("ab") && p.length >= 2 })
+  }
+
   test("unigramDocStats: per-doc budget matches the dictionary form, streams as-is") {
     import org.apache.spark.sql.functions.{col, explode}
     import graft.ops.TextAnalysis
