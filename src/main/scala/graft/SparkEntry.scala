@@ -486,6 +486,15 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))
     }),
+    // subword regularization: ONE seeded draw from P(seg)^alpha per
+    // distinct word under the standing model — the per-epoch tokenizer
+    // noise (seed = epoch). Deterministic per (word, seed): the
+    // seeded-LSH replayability class, rows-only
+    "q_unigram_sample" -> ((s, d) =>
+      TextAnalysis.unigramSampleEncode(Tables.documents(s, d),
+          unigramModel(s, d), seed = 17L)
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))),
     // per-document token budget + fertility under the learned unigram
     // model — stateless scan-stage (streams as-is); rows-only like the
     // model that feeds it

@@ -1961,6 +1961,142 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  /** `unigram_sample(word, pieces, logps, unkLogp, seed, alpha)` —
+    * SUBWORD REGULARIZATION (Kudo 1804.10959 §3.1): sample one
+    * segmentation of the word with probability ∝ P(seg)^alpha, via
+    * forward filtering (alpha-scaled log-space sums) and backward
+    * sampling. alpha = 1 draws from the exact posterior; alpha → ∞
+    * approaches the Viterbi path; smaller alpha flattens toward uniform
+    * over segmentations — the training-time tokenizer noise that makes
+    * models robust to segmentation ambiguity.
+    *
+    * DETERMINISTIC by construction: the per-step uniforms come from a
+    * SplittableRandom seeded with mix(seed, word) — same (word, seed,
+    * model) always yields the same segmentation, so queries stay
+    * replayable (the seeded-LSH convention). Distribution quality is
+    * spec-asserted against exact posterior probabilities over many
+    * seeds. Same scale shape as the sibling kernels: model as literals,
+    * scan stage, zero shuffle.
+    */
+  case class UnigramSample(child: Expression, pieces: Seq[String],
+      logps: Seq[Double], unkLogp: Double, seed: Long, alpha: Double)
+      extends UnaryExpression {
+    require(pieces.nonEmpty, "unigram_sample requires a model")
+    require(pieces.length == logps.length,
+      s"pieces/logps length mismatch: ${pieces.length} vs ${logps.length}")
+    require(pieces.forall(_.nonEmpty),
+      "unigram_sample model must not contain the empty piece")
+    require(alpha > 0 && !alpha.isInfinity,
+      s"alpha must be positive finite, got $alpha")
+    require(logps.forall(lp => !lp.isNaN && !lp.isInfinity) &&
+      !unkLogp.isNaN && !unkLogp.isInfinity,
+      "unigram_sample log-probabilities must be finite")
+    private val table: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      pieces.indices.foreach { i =>
+        val prev = m.get(pieces(i))
+        if (prev == null || prev.doubleValue() < logps(i))
+          m.put(pieces(i), Double.box(logps(i)))
+      }
+      m
+    }
+    private val maxLenCp: Int =
+      pieces.map(p => p.codePointCount(0, p.length)).max
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"unigram_sample requires STRING, got ${other.catalogString}")
+      }
+    private def logAdd(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else if (a >= b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      val n = w.codePointCount(0, w.length)
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val cpOff = new Array[Int](n + 1)
+      var ci = 0
+      var k = 0
+      while (k < n) {
+        cpOff(k) = ci
+        ci += Character.charCount(w.codePointAt(ci))
+        k += 1
+      }
+      cpOff(n) = w.length
+      def step(j: Int, i: Int): Double = {
+        val lp = table.get(w.substring(cpOff(j), cpOff(i)))
+        if (lp != null) lp.doubleValue()
+        else if (i - j == 1) unkLogp
+        else Double.NegativeInfinity
+      }
+      // forward filtering under the alpha-annealed distribution
+      val fwd = new Array[Double](n + 1)
+      java.util.Arrays.fill(fwd, Double.NegativeInfinity)
+      fwd(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLenCp)
+        while (j < i) {
+          if (fwd(j) != Double.NegativeInfinity) {
+            val s = step(j, i)
+            if (s != Double.NegativeInfinity)
+              fwd(i) = logAdd(fwd(i), fwd(j) + alpha * s)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // word-keyed deterministic stream: same (word, seed) ⇒ same draws
+      val rng = new java.util.SplittableRandom(
+        seed ^ (w.hashCode.toLong * 0x9E3779B97F4A7C15L))
+      val rev = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var pos = n
+      while (pos > 0) {
+        // arc weights into pos: exp(fwd(j) + alpha·step − fwd(pos))
+        val lo = math.max(0, pos - maxLenCp)
+        var u = rng.nextDouble()
+        var chosen = -1
+        var j = lo
+        while (j < pos && chosen < 0) {
+          if (fwd(j) != Double.NegativeInfinity) {
+            val s = step(j, pos)
+            if (s != Double.NegativeInfinity) {
+              val p = math.exp(fwd(j) + alpha * s - fwd(pos))
+              if (u < p) chosen = j else u -= p
+            }
+          }
+          j += 1
+        }
+        // fp slack: fall back to the last feasible arc
+        if (chosen < 0) {
+          var jj = pos - 1
+          while (jj >= lo && chosen < 0) {
+            if (fwd(jj) != Double.NegativeInfinity &&
+              step(jj, pos) != Double.NegativeInfinity) chosen = jj
+            jj -= 1
+          }
+        }
+        rev += org.apache.spark.unsafe.types.UTF8String
+          .fromString(w.substring(cpOff(chosen), cpOff(pos)))
+        pos = chosen
+      }
+      new GenericArrayData(rev.reverseIterator.toArray)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramSampleKernel", this,
+        classOf[UnigramSample].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def array_dot(a: Column, b: Column): Column =
@@ -2046,4 +2182,9 @@ object ArrayKernels {
       logps: Seq[Double], unkLogp: Double): Column =
     GraftSqlBridge.column(UnigramExpectedCounts(
       GraftSqlBridge.expression(word), pieces, logps, unkLogp))
+
+  def unigram_sample(word: Column, pieces: Seq[String], logps: Seq[Double],
+      unkLogp: Double, seed: Long, alpha: Double): Column =
+    GraftSqlBridge.column(UnigramSample(
+      GraftSqlBridge.expression(word), pieces, logps, unkLogp, seed, alpha))
 }

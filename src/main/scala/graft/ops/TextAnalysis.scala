@@ -999,6 +999,25 @@ object TextAnalysis {
         col("word"), model.map(_._1), model.map(_._2), unkLogp))
       .withColumn("n_pieces", size(col("pieces")))
 
+  /** SAMPLED unigram encoding — subword regularization (Kudo §3.1): each
+    * distinct word segmented by ONE draw from P(seg)^alpha via the
+    * forward-filter/backward-sample kernel, the tokenizer noise training
+    * pipelines inject so the model sees segmentation variants of the
+    * same surface form. Deterministic per (word, seed, model) — the
+    * seeded-LSH replayability convention — so an epoch's variant stream
+    * is `unigramSampleEncode(docs, m, seed = epoch)`: new noise each
+    * epoch, reproducible runs. alpha = 1 samples the exact posterior;
+    * large alpha degenerates to the Viterbi segmentation.
+    */
+  def unigramSampleEncode(docs: DataFrame, model: Seq[(String, Double)],
+      seed: Long, alpha: Double = 1.0,
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame =
+    docs.select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("pieces", graft.functions.ArrayKernels.unigram_sample(
+        col("word"), model.map(_._1), model.map(_._2), unkLogp, seed, alpha))
+      .withColumn("n_pieces", size(col("pieces")))
+
   /** Collect a [[unigramLearn]] output frame to the (piece, logp) literal
     * model [[unigramEncodeLearned]] and the Viterbi kernel take — one
     * model-sized driver hop, the explicit seam between training and apply.

@@ -647,6 +647,53 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(one("a") - 2.0) < 1e-12 && math.abs(one("b") - 2.0) < 1e-12)
   }
 
+  test("unigram sampling: deterministic per seed, valid, posterior-calibrated") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ArrayKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val model = Seq(("ab", math.log(0.5)), ("a", math.log(0.2)),
+      ("b", math.log(0.2)))
+    val (ps, lps) = (model.map(_._1), model.map(_._2))
+    def draw(w: String, seed: Long, alpha: Double = 1.0): Seq[String] = {
+      val k = ArrayKernels.UnigramSample(
+        org.apache.spark.sql.catalyst.expressions.Literal(w), ps, lps,
+        -25.0, seed, alpha)
+      val got = k.compute(UTF8String.fromString(w))
+      (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+    }
+    // validity + determinism across words and seeds
+    for (w <- Seq("ab", "abab", "ba", "axb", "aaaa"); s <- 0L until 20L) {
+      val p1 = draw(w, s)
+      assert(p1.mkString == w, s"round trip broke: $w -> $p1")
+      assert(p1.forall(p => model.exists(_._1 == p) ||
+        p.codePointCount(0, p.length) == 1))
+      assert(p1 == draw(w, s), "same (word, seed) must redraw identically")
+    }
+    // the noise is real: different seeds produce different segmentations
+    val variants = (0L until 50L).map(s => draw("abab", s)).distinct
+    assert(variants.size >= 2, s"expected segmentation variety, got $variants")
+    // calibration at alpha = 1: P(["ab"]) = 0.5 / (0.5 + 0.2·0.2) ≈ 0.9259
+    val n = 2000
+    val hits = (0L until n.toLong).count(s => draw("ab", s) == Seq("ab"))
+    val freq = hits.toDouble / n
+    assert(math.abs(freq - 0.925926) < 0.03, s"posterior frequency $freq")
+    // large alpha degenerates to the Viterbi segmentation (non-tied model)
+    val vit = {
+      val k = ArrayKernels.UnigramViterbi(
+        org.apache.spark.sql.catalyst.expressions.Literal("abab"), ps, lps, -25.0)
+      val got = k.compute(UTF8String.fromString("abab"))
+      (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+    }
+    for (s <- 0L until 30L) assert(draw("abab", s, alpha = 60.0) == vit)
+    // and the DataFrame surface (unigramSampleEncode) agrees with the
+    // kernel draw word-for-word at the same seed
+    import graft.ops.TextAnalysis
+    val docs = Seq((0L, "abab ab ba")).toDF("doc_id", "text")
+    val enc = TextAnalysis.unigramSampleEncode(docs, model, seed = 7L)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    enc.foreach { case (w, pieces) => assert(pieces == draw(w, 7L), w) }
+  }
+
   test("unigramLearnSoft equals a sequential full-EM reference") {
     import org.apache.spark.sql.functions.{col, explode, lit, count}
     import graft.ops.TextAnalysis
