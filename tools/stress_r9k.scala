@@ -32,6 +32,12 @@ time("50k-unigram-encode")(
   graft.ops.TextAnalysis.unigramEncodeLearned(big, model).count())
 time("50k-unigram-doc-stats")(
   graft.ops.TextAnalysis.unigramDocStats(big, model).count())
+// full EM (forward-backward expected counts) and the sampled encode
+time("50k-unigram-learn-soft-v256-em2")(
+  graft.ops.TextAnalysis.unigramLearnSoft(big, vocabSize = 256,
+    emIters = 2).count())
+time("50k-unigram-sample-encode")(
+  graft.ops.TextAnalysis.unigramSampleEncode(big, model, seed = 17L).count())
 
 // range lookup: 650k lineitem x10 = 6.5M facts against 4 bands (bin
 // expansion + hash join); the naive theta form is a BNLJ — not timed,
