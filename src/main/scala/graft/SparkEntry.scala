@@ -2690,6 +2690,132 @@ object SparkEntry {
       s"WHERE rank <= $k)"
   }
 
+  /** The BPE merge list [[graft.ops.TextAnalysis.bpeLearn]] converges to
+    * on the sf0.01 documents snapshot (nMerges = 20), PINNED as the
+    * standing trained-tokenizer literal for the q_bpe_apply oracle:
+    * training itself is the iterative-argmax exemption (parity-locked in
+    * PropertySpec), but merge APPLICATION under a fixed list is
+    * mechanical, so the oracle replays it in DuckDB with the learned
+    * list shipped as literals — the q_bpe_encode pinned-vocab precedent.
+    * If bpeLearn's argmax ever changes, q_bpe_apply goes red rather than
+    * silently drifting from the pin (the live query still trains).
+    */
+  private val BPE_MERGES_PINNED: Seq[(String, String)] = Seq(
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), (" ", "c"), ("a", "s"),
+    (" ", "b"), (" ", "v"), ("a", "r"), ("p", "ar"), (" ", "f"),
+    (" ", "a"), (" ", "t"), ("j", "o"), ("jo", "in"), ("as", "h"))
+
+  /** The (piece, logp) unigram model [[graft.ops.TextAnalysis.unigramLearn]]
+    * (vocabSize 256, emIters 2) converges to on the sf0.01 snapshot —
+    * exactly the standing `unigram_v256` artifact [[unigramModel]] serves —
+    * PINNED for the q_unigram_stats oracle (the [[BPE_MERGES_PINNED]]
+    * doctrine: train is exempt, apply is oracled). logps are the standing
+    * table's round(·,6) values, so the literals match the live model
+    * bit-for-bit.
+    */
+  private val UNIGRAM_PINNED: Seq[(String, Double)] = Seq(
+    (" ", -1.9861), (" join", -3.539672), ("column", -3.552438),
+    ("filter", -3.553509), (" hash", -3.557805), (" row", -3.565369),
+    (" scan", -3.567541), (" small", -3.569717), (" batch", -3.570807),
+    ("vector", -3.576274), (" custo", -3.577371), ("mer", -3.577371),
+    (" slow", -3.5873), (" order", -3.591744), (" merge", -3.592858),
+    (" line", -3.596208), (" data", -3.598448), (" agg", -3.602942),
+    ("stream", -3.602942), (" table", -3.604069), ("window", -3.605197),
+    (" value", -3.607457), (" big", -3.622272), (" key", -3.623421),
+    (" spark", -3.623421), (" group", -3.634982), (" part", -3.634982),
+    (" a", -3.636145), (" sort", -3.63731), (" query", -3.639644),
+    (" fast", -3.656134), (" the", -3.688726), (" dup", -7.133818),
+    ("key", -7.133818), ("the", -7.173038), ("custom", -7.25642),
+    ("er", -7.25642), ("a", -7.347392), ("merge", -7.347392),
+    ("row", -7.347392), ("table", -7.347392), ("batch", -7.396182),
+    ("group", -7.501542), ("hash", -7.501542), ("join", -7.501542),
+    ("part", -7.501542), ("data", -7.619325), ("line", -7.619325),
+    ("scan", -7.619325), ("slow", -7.619325), ("query", -7.683864),
+    ("order", -7.752857), ("sort", -7.752857), ("agg", -7.826965),
+    ("value", -7.826965), ("fast", -7.907008), ("small", -8.089329),
+    ("spark", -8.089329), ("big", -8.782476)) ++
+    "bcdefghijklmnopqrstuvwy".map(c => (c.toString, -10.391914))
+
+  /** SQL string literal with quotes doubled. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.bpeEncodeLearned]] under
+    * [[BPE_MERGES_PINNED]]: each merge is ONE left-to-right
+    * non-overlapping fusion pass (the BpeMergeEncode kernel semantics),
+    * which is exactly what a chained `replace` does on a
+    * delimiter-framed symbol string. Each symbol is wrapped as
+    * `\u0001 sym \u0001`, so adjacent syms share a `\u0001\u0001` seam;
+    * replacing `\u0001 l \u0001\u0001 r \u0001` with `\u0001 lr \u0001`
+    * fuses whole symbols only (syms never contain \u0001 — BPE
+    * pre-tokens are text chars; chr(1) absence from the corpus is the
+    * pin's precondition) and, because replace() scans the ORIGINAL
+    * remainder left-to-right, reproduces the kernel's i+=2 skip exactly.
+    */
+  private def bpeApplySql: String = {
+    val D = "\u0001"
+    val init = s"${sqlLit(D)} || array_to_string(" +
+      s"regexp_extract_all(word, '(?s).'), ${sqlLit(D + D)}) || ${sqlLit(D)}"
+    val enc = BPE_MERGES_PINNED.foldLeft(init) { case (e, (l, r)) =>
+      s"replace($e, ${sqlLit(D + l + D + D + r + D)}, ${sqlLit(D + l + r + D)})"
+    }
+    s"WITH t AS (SELECT unnest(regexp_extract_all(lower(text), " +
+      s"'${ops.TextAnalysis.bpePatternSql}')) AS word FROM documents), " +
+      "g AS (SELECT word, count(*) AS freq FROM t GROUP BY word), " +
+      s"s AS (SELECT word, freq, $enc AS enc FROM g) " +
+      s"SELECT word, freq, replace(trim(enc, ${sqlLit(D)}), " +
+      s"${sqlLit(D + D)}, ' ') AS pieces, " +
+      s"CAST(len(string_split(trim(enc, ${sqlLit(D)}), ${sqlLit(D + D)})) " +
+      "AS INT) AS n_pieces FROM s"
+  }
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.unigramDocStats]] under
+    * [[UNIGRAM_PINNED]]: the UnigramViterbi DP replayed per DISTINCT
+    * word as a recursive CTE that advances one code-point boundary per
+    * step, carrying the full best-score (`fwd`) and best-piece-count
+    * (`np`) vectors as lists. At each position the candidate scores over
+    * predecessor boundaries j (ascending = longest piece first) are a
+    * list_transform against the model shipped as a MAP literal;
+    * `list_position(scores, list_max(scores))` picks the FIRST maximum —
+    * exactly the kernel's strict-`>` replacement rule, so equal-scored
+    * segmentations resolve to the longest piece in both engines. The
+    * per-doc stats then join the word stream back to the distinct-word
+    * DP results (the corpus text itself never enters the recursion).
+    */
+  private def unigramStatsSql: String = {
+    val maxLen = UNIGRAM_PINNED.map(_._1.length).max
+    val plist = UNIGRAM_PINNED.map(p => sqlLit(p._1)).mkString("[", ",", "]")
+    val llist = UNIGRAM_PINNED.map(p => java.lang.Double.toString(p._2))
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+    val unk = java.lang.Double.toString(ops.TextAnalysis.UNIGRAM_UNK_LOGP)
+    s"WITH RECURSIVE base AS (SELECT doc_id, regexp_extract_all(lower(text), " +
+      s"'${ops.TextAnalysis.bpePatternSql}') AS toks FROM documents), " +
+      "words AS (SELECT DISTINCT unnest(toks) AS word FROM base), " +
+      "dp(word, n, pos, fwd, np) AS (" +
+      "SELECT word, length(word), 0, [0.0]::DOUBLE[], [0] FROM words " +
+      "UNION ALL " +
+      "SELECT word, n, p, list_append(fwd, scores[bj]), " +
+      "list_append(np, np[idxs[bj]+1] + 1) FROM (" +
+      "SELECT word, n, p, fwd, np, idxs, scores, " +
+      "list_position(scores, list_max(scores)) AS bj FROM (" +
+      "SELECT word, n, p, fwd, np, idxs, " +
+      s"list_transform(idxs, j -> fwd[j+1] + coalesce(" +
+      s"map_extract(map($plist, $llist), substring(word, j+1, p-j))[1], " +
+      s"CASE WHEN p - j = 1 THEN $unk END)) AS scores FROM (" +
+      "SELECT word, n, pos + 1 AS p, fwd, np, " +
+      s"range(greatest(0, pos + 1 - $maxLen), pos + 1) AS idxs " +
+      "FROM dp WHERE pos < n)))), " +
+      "ws AS (SELECT word, np[n+1] AS wnp FROM dp WHERE pos = n), " +
+      "st AS (SELECT doc_id, unnest(toks) AS word FROM base), " +
+      "agg AS (SELECT st.doc_id, count(*) AS nw, sum(ws.wnp) AS npc " +
+      "FROM st JOIN ws USING (word) GROUP BY st.doc_id) " +
+      "SELECT b.doc_id, CAST(coalesce(a.nw, 0) AS INT) AS n_words, " +
+      "CAST(coalesce(a.npc, 0) AS INT) AS n_pieces, " +
+      "CASE WHEN coalesce(a.nw, 0) > 0 THEN " +
+      "round(CAST(a.npc AS DOUBLE) / a.nw, 4) END AS fertility " +
+      "FROM base b LEFT JOIN agg a USING (doc_id)"
+  }
+
   /** DuckDB mirror of Similarity.covarianceLong: (vec_id, i, x) long
     * grid self-joined on vec_id, population cov rounded 6. ONE
     * definition for q_covariance and q_covariance_incr — the
@@ -2705,7 +2831,10 @@ object SparkEntry {
       "m AS (SELECT i, sum(x) AS sx FROM el GROUP BY i), " +
       "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy " +
       "FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2) " +
-      "SELECT p.i, p.j, round(sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov " +
+      // `+ 0.0` canonicalizes IEEE -0.0 → +0.0: DuckDB's round keeps the
+      // sign on tiny negatives (cov ≈ -3.5e-7 → -0.0) while Spark's
+      // BigDecimal round is signless; the driver hashes the raw bytes.
+      "SELECT p.i, p.j, round(sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) + 0.0 AS cov " +
       "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j, n"
 
   /** DuckDB mirror of Retrieval.mmrRerank over the [[denseRunCtes]]
@@ -3640,6 +3769,12 @@ object SparkEntry {
         "SELECT lang, total_exact, total_proxy, " +
         "round(CAST(total_exact AS DOUBLE) / total_proxy, 4) AS drift " +
         "FROM exact JOIN proxy USING (lang)"),
+    // learned-merge application replayed off the PINNED sf0.01 merge
+    // list (training stays exempt; see BPE_MERGES_PINNED)
+    "q_bpe_apply" -> bpeApplySql,
+    // Viterbi segmentation stats replayed off the PINNED sf0.01 unigram
+    // model (see UNIGRAM_PINNED)
+    "q_unigram_stats" -> unigramStatsSql,
     // greedy longest-match segmentation as a recursion tracking the piece
     // (the q_bpe_exact recursion, carrying substring(word, pos, L));
     // seed row idx=-1 is the pre-first-piece state and is filtered out

@@ -2050,9 +2050,20 @@ object ArrayKernels {
         }
         i += 1
       }
-      // word-keyed deterministic stream: same (word, seed) ⇒ same draws
+      // word-keyed deterministic stream: same (word, seed) ⇒ same draws.
+      // FNV-1a 64 over the UTF-8 bytes, not String.hashCode: 32-bit
+      // hashCode collisions would give two words identical uniform
+      // streams under EVERY seed — a permanent cross-word correlation
+      // in the regularization noise that no epoch change washes out.
+      var wh = 0xCBF29CE484222325L
+      val wb = in.getBytes
+      var bi = 0
+      while (bi < wb.length) {
+        wh = (wh ^ (wb(bi) & 0xFFL)) * 0x100000001B3L
+        bi += 1
+      }
       val rng = new java.util.SplittableRandom(
-        seed ^ (w.hashCode.toLong * 0x9E3779B97F4A7C15L))
+        seed ^ (wh * 0x9E3779B97F4A7C15L))
       val rev = new scala.collection.mutable.ArrayBuffer[Any](8)
       var pos = n
       while (pos > 0) {

@@ -65,26 +65,31 @@ object Contracts {
     * column, non-null count, null count, distinct count, min/max, mean,
     * sample stddev, and exact p50/p95, one output row per column.
     *
-    * EVERY column's metrics compute in ONE aggregate pass (the
-    * [[violations]] doctrine — N columns never cost N scans); the
+    * EVERY column's non-distinct metrics compute in ONE aggregate pass
+    * (the [[violations]] doctrine — N columns never cost N scans); the
     * one-row wide result unpivots to rows driver-free via explode.
-    * `exact = true` uses exact `count(DISTINCT)` — correct for
-    * validation, but k exact distincts in one aggregate expand the scan
-    * k+1×; at 100 TB pass `exact = false` for HLL++
-    * `approx_count_distinct` (one scan, no expand, ±2 % default) and
-    * treat n_distinct as an estimate. Exact `percentile` is likewise the
-    * oracle-parity choice; production swaps `approx_percentile`.
+    * `exact = true` computes each `count(DISTINCT)` as its OWN
+    * single-distinct two-phase aggregate over a one-column projection,
+    * cross-joined onto the one-row profile — NOT inside the main
+    * aggregate, where k exact distincts force an Expand that replicates
+    * every scan row k+1× and drags the exact-percentile buffers through
+    * the expanded shuffle (measured 21.9 → ~2 s at sf0.1). Each extra
+    * pass prunes to a single parquet column, so at 100 TB the k narrow
+    * column scans are far cheaper than one k+1× Expand of full rows.
+    * `exact = false` keeps HLL++ `approx_count_distinct` inline (one
+    * scan, no expand, ±2 % default) and treats n_distinct as an
+    * estimate. Exact `percentile` is the oracle-parity choice;
+    * production swaps `approx_percentile`.
     */
   def tableProfile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "Contracts.tableProfile: need at least one column")
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
-      Seq(
+      (if (exact) Nil
+       else Seq(approx_count_distinct(col(c)).as(s"nd_$c"))) ++ Seq(
         count(col(c)).as(s"n_$c"),
         sum(col(c).isNull.cast("long")).as(s"null_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"nd_$c"),
         round(min(d), 4).as(s"min_$c"),
         round(max(d), 4).as(s"max_$c"),
         round(avg(d), 4).as(s"mean_$c"),
@@ -92,7 +97,13 @@ object Contracts {
         round(expr(s"percentile(CAST($c AS DOUBLE), 0.5)"), 4).as(s"p50_$c"),
         round(expr(s"percentile(CAST($c AS DOUBLE), 0.95)"), 4).as(s"p95_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // exact path: one single-distinct aggregate per column (partial
+    // groupBy(col) map-side combine, then count — no Expand), each a
+    // 1-row frame broadcast-cross-joined onto the profile row.
+    val one = if (!exact) wide else cols.foldLeft(wide) { (acc, c) =>
+      acc.crossJoin(df.agg(countDistinct(col(c)).as(s"nd_$c")))
+    }
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
         coalesce(col(s"null_$c"), lit(0L)).as("n_null"),

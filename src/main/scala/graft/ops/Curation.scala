@@ -372,6 +372,13 @@ object Curation {
     *      (stateless per-row probe);
     *   5. near-dup flag against the standing banded MinHash snapshot
     *      ([[graft.ops.Dedup.bandedIndex]]) — increment-sized probe.
+    *      `snapshotBanded` MUST be built from the same cleaned-text
+    *      convention as the probe side (boilerplateScrub then scrubPii,
+    *      i.e. [[cleanedIncrement]]'s order) — a snapshot indexed from
+    *      RAW text carries shingles from banner/PII lines that exist on
+    *      no probe side, silently lowering near-dup recall for re-crawls
+    *      that differ only in boilerplate (the [[ingestGateExact]]
+    *      contract, stated there, applies here identically).
     *
     * Emits EVERY input doc with its verdict — (doc_id, text, PII counts,
     * pass_struct, pass_rep, contaminated, dup_of_corpus, keep) — so

@@ -128,6 +128,11 @@ object Joins {
       maxBinsPerRow: Long = 10000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(maxBinsPerRow >= 1, s"maxBinsPerRow must be >= 1")
+    // The internal bin key is added with withColumn, which would silently
+    // REPLACE a caller column of the same name — fail fast instead (the
+    // maxBinsPerRow policy: no silent data loss).
+    require(!facts.columns.contains("_rl_bin") && !dims.columns.contains("_rl_bin"),
+      "rangeLookup: inputs must not contain the reserved column `_rl_bin`")
     val live = dims.where(col(loCol) < col(hiCol))
     val binsOf = (floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth)
       + 1).cast("long")

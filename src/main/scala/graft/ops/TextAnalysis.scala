@@ -959,14 +959,18 @@ object TextAnalysis {
           (col("e.ec") * col("freq")).as("c"))
         .groupBy("piece").agg(sum("c").as("cnt"))
         .as[(String, Double)].collect().toMap
+      // q6-rounded zeros (posterior mass < 5e-7) must not survive the
+      // top-n cut: on degenerate/small corpora where vocabSize exceeds
+      // the positive-count pool, a 0.0 entry would reach toModel as
+      // log(0) = -Infinity and crash the kernels' finite-logp require.
       entries = alphabet.map { case (p, _) =>
         (p, math.max(q6(counted.getOrElse(p, 0.0)), 1.0)) } ++
         counted.iterator.filter { case (p, _) => !alphaSet(p) }
-          .map { case (p, c) => (p, q6(c)) }.toSeq
+          .map { case (p, c) => (p, q6(c)) }.filter(_._2 > 0.0).toSeq
           .sortBy { case (p, c) => (-c, p) }.take(nMulti)
     }
     val kept = entries.filter { case (p, _) => alphaSet(p) } ++
-      entries.filter { case (p, _) => !alphaSet(p) }
+      entries.filter { case (p, c) => !alphaSet(p) && c > 0.0 }
         .sortBy { case (p, c) => (-c, p) }.take(nMulti)
     val (pieces, logps) = toModel(kept)
     pieces.indices.map { i => (pieces(i), kept(i)._2, logps(i)) }

@@ -28,7 +28,7 @@ class ContractsSpec extends SparkSpec {
     assert("LocalTableScan|Scan ".r.findAllIn(plan).length <= 1, plan)
   }
 
-  test("tableProfile: hand-checked metrics, nulls counted, one scan") {
+  test("tableProfile: hand-checked metrics, nulls counted, no Expand") {
     val df = Seq[(java.lang.Double, java.lang.Long)](
       (1.0, 10L), (2.0, 10L), (3.0, 20L), (null, 30L))
       .toDF("a", "b")
@@ -42,13 +42,19 @@ class ContractsSpec extends SparkSpec {
     val b = got("b")
     assert(b.getLong(1) == 4L && b.getLong(2) == 0L && b.getLong(3) == 3L)
     assert(b.getDouble(8) == 15.0) // p50 of 10,10,20,30
-    // the whole profile reads its input ONCE: a single leaf relation in
-    // the optimized plan (the multi-distinct rewrite expands rows, not
-    // scans; AQE's printed Final+Initial sections defeat string counts)
+    // exact-path plan contract: the non-distinct metrics ride ONE
+    // aggregate, and each exact count(DISTINCT) is its own two-phase
+    // single-column pass — so one leaf per distinct column plus the main
+    // scan, and NO Expand replicating scan rows through the percentile
+    // buffers (the round-9 q_profile plan bug)
     val leaves = prof.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.length == 1, leaves)
-    // approx path still yields a row per column with sane bounds
-    val approx = Contracts.tableProfile(df, Seq("a", "b"), exact = false)
+    assert(leaves.length == 3, leaves) // main scan + one per distinct col
+    assert(!prof.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact distincts must not re-join the main aggregate's Expand")
+    // approx path: everything inline, a single leaf, still no Expand
+    val approxDf = Contracts.tableProfile(df, Seq("a", "b"), exact = false)
+    assert(approxDf.queryExecution.optimizedPlan.collectLeaves().length == 1)
+    val approx = approxDf
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(approx("a") >= 2L && approx("a") <= 4L)
   }

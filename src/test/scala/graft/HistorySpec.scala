@@ -133,4 +133,35 @@ class HistorySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
     assert(exchanges.nonEmpty && exchanges.length <= 4, plan.take(2000))
   }
+
+  test("scd2Serve: streamed micro-batches equal the full-history recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val extra = Seq(
+      (4L, t("2024-01-01 00:00:00"), 40L, "p"),
+      (4L, t("2024-01-06 00:00:00"), 41L, "p"),
+      (5L, t("2024-01-01 00:00:00"), 50L, "q")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val all = changes.unionByName(extra)
+      .as[(Long, Timestamp, Long, String)].collect().toSeq
+      .sortBy(r => (r._2.getTime, r._3))
+    // standing history table, seeded EMPTY via the scd2 schema itself
+    var standing = History.scd2(
+      Seq.empty[(Long, Timestamp, Long, String)]
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type").localCheckpoint()
+    val in = MemoryStream[(Long, Timestamp, Long, String)](91, spark, None)
+    val q = History.scd2Serve(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")(
+        () => standing, f => standing = f.localCheckpoint()).start()
+    try {
+      // three time-ordered batches (append-only per key by construction)
+      all.grouped(3).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = standing.as[Row8].collect().toSet
+    val full = History.scd2(all.toDF("user_id", "ts", "event_id",
+      "event_type"), "user_id", "ts", "event_id", "event_type")
+      .as[Row8].collect().toSet
+    assert(got == full, s"only-serve=${got -- full}\nonly-full=${full -- got}")
+  }
 }

@@ -49,11 +49,14 @@ def main(sf_dir, out_dir):
         diff_cols = []
         for c in exp.columns:
             ev, gv = exp[c], got[c]
-            if not ev.equals(gv):
-                neq = (ev.astype(str) != gv.astype(str))
-                if neq.any():
-                    i = neq.idxmax()
-                    diff_cols.append((c, int(neq.sum()), ev[i], gv[i]))
+            # No pandas .equals short-circuit: numpy treats -0.0 == 0.0,
+            # but the driver hashes string reprs, where they differ. Always
+            # compare astype(str) so the local gate matches the driver's
+            # (stricter) semantics for repr-level divergence.
+            neq = (ev.astype(str) != gv.astype(str))
+            if neq.any():
+                i = neq.idxmax()
+                diff_cols.append((c, int(neq.sum()), ev[i], gv[i]))
         if diff_cols:
             print(f"FAIL {name}: value diffs {diff_cols[:3]}")
             n_bad += 1
