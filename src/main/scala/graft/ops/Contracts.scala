@@ -65,21 +65,27 @@ object Contracts {
     * column, non-null count, null count, distinct count, min/max, mean,
     * sample stddev, and exact p50/p95, one output row per column.
     *
-    * EVERY column's non-distinct metrics compute in ONE aggregate pass
-    * (the [[violations]] doctrine — N columns never cost N scans); the
-    * one-row wide result unpivots to rows driver-free via explode.
-    * `exact = true` computes each `count(DISTINCT)` as its OWN
-    * single-distinct two-phase aggregate over a one-column projection,
-    * cross-joined onto the one-row profile — NOT inside the main
-    * aggregate, where k exact distincts force an Expand that replicates
-    * every scan row k+1× and drags the exact-percentile buffers through
-    * the expanded shuffle (measured 21.9 → ~2 s at sf0.1). Each extra
-    * pass prunes to a single parquet column, so at 100 TB the k narrow
-    * column scans are far cheaper than one k+1× Expand of full rows.
-    * `exact = false` keeps HLL++ `approx_count_distinct` inline (one
-    * scan, no expand, ±2 % default) and treats n_distinct as an
-    * estimate. Exact `percentile` is the oracle-parity choice;
-    * production swaps `approx_percentile`.
+    * EVERY column's streaming-aggregable metric (count/null/min/max/
+    * mean/std) computes in ONE aggregate pass (the [[violations]]
+    * doctrine — N columns never cost N scans); the one-row wide result
+    * unpivots to rows driver-free via explode.
+    *
+    * `exact = true` (the validation form) computes n_distinct AND the
+    * exact percentiles per column off ONE distinct-value dictionary
+    * (`groupBy(col).count`, a map-side-combined two-phase aggregate over
+    * a single pruned parquet column): n_distinct is the dictionary's row
+    * count, and p50/p95 come from [[exactPercentiles]] — a DISTRIBUTED
+    * prefix sum over the dictionary (the perplexityBuckets machinery)
+    * plus a driver-side interpolation replicating Spark `percentile`'s
+    * exact formula. Neither metric rides the main aggregate, so there is
+    * no multi-distinct Expand replicating scan rows and no exact
+    * `percentile` ObjectHashAggregate holding every value of every
+    * column in executor memory — the two round-9 q_profile scale
+    * killers (21.9 → ~1.5 s at sf0.1; at 100 TB the dictionary is
+    * distinct-value-sized and the prefix sum never forms a single
+    * partition). `exact = false` (the monitoring form) keeps everything
+    * inline in the one pass: HLL++ `approx_count_distinct` (±2 %) and
+    * `approx_percentile` sketches — estimates, one scan, fixed memory.
     */
   def tableProfile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
@@ -87,22 +93,38 @@ object Contracts {
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
       (if (exact) Nil
-       else Seq(approx_count_distinct(col(c)).as(s"nd_$c"))) ++ Seq(
+       else Seq(approx_count_distinct(col(c)).as(s"nd_$c"),
+         round(percentile_approx(d, lit(0.5), lit(10000)), 4).as(s"p50_$c"),
+         round(percentile_approx(d, lit(0.95), lit(10000)), 4).as(s"p95_$c"))
+      ) ++ Seq(
         count(col(c)).as(s"n_$c"),
         sum(col(c).isNull.cast("long")).as(s"null_$c"),
         round(min(d), 4).as(s"min_$c"),
         round(max(d), 4).as(s"max_$c"),
         round(avg(d), 4).as(s"mean_$c"),
-        round(stddev_samp(d), 4).as(s"std_$c"),
-        round(expr(s"percentile(CAST($c AS DOUBLE), 0.5)"), 4).as(s"p50_$c"),
-        round(expr(s"percentile(CAST($c AS DOUBLE), 0.95)"), 4).as(s"p95_$c"))
+        round(stddev_samp(d), 4).as(s"std_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // exact path: one single-distinct aggregate per column (partial
-    // groupBy(col) map-side combine, then count — no Expand), each a
-    // 1-row frame broadcast-cross-joined onto the profile row.
-    val one = if (!exact) wide else cols.foldLeft(wide) { (acc, c) =>
-      acc.crossJoin(df.agg(countDistinct(col(c)).as(s"nd_$c")))
+    // exact path: the per-column dictionary passes are independent job
+    // chains — run them CONCURRENTLY (Spark schedules jobs from
+    // separate threads fine), so wall time is the widest column's
+    // chain, not the sum of per-job latencies across k columns
+    val one = if (!exact) wide else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val stats = Await.result(
+        Future.sequence(cols.map(c =>
+          Future(c -> exactColumnStats(df, c, Seq(0.5, 0.95))))),
+        Duration.Inf).toMap
+      cols.foldLeft(wide) { (acc, c) =>
+        val (nd, pcts) = stats(c)
+        def p(o: Option[Double]) =
+          o.map(v => round(lit(v), 4)).getOrElse(lit(null).cast("double"))
+        acc.withColumn(s"nd_$c", lit(nd))
+          .withColumn(s"p50_$c", p(pcts(0)))
+          .withColumn(s"p95_$c", p(pcts(1)))
+      }
     }
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
@@ -113,5 +135,89 @@ object Contracts {
         col(s"p95_$c").as("p95"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Dictionary partition fan-out for the exact-percentile prefix sum —
+    * the perplexityBuckets constant: enough groups that no partition
+    * holds a corpus-shaped share of the distinct values, few enough that
+    * the per-group totals stay an offset-sized driver collect.
+    */
+  private val DICT_PARTS = 64
+
+  /** Exact n_distinct + exact percentiles of one column, computed the
+    * way a 100 TB table allows: ONE two-phase `groupBy(col).count` over
+    * the pruned single-column scan builds the distinct-value dictionary
+    * (map-side combine — the shuffle is distinct-value-sized, never
+    * row-sized), then the global cumulative count over the dictionary is
+    * a DISTRIBUTED prefix sum (approx_percentile range-buckets the
+    * values monotonically, the running sum windows within each bucket,
+    * and the per-bucket totals collect driver-side into broadcast
+    * offsets — the perplexityBuckets machinery). Each requested
+    * percentile then needs only the order statistics at
+    * floor/ceil(p·(n−1)), looked up by rank against the cumulative
+    * counts, and the interpolation replicates Spark `percentile`'s
+    * exact arithmetic — `(higher − pos)·lower + (pos − lower)·higher`
+    * with its two short-circuits — so the result is bit-identical to
+    * the built-in exact aggregate without ever materializing every
+    * value of the column in one ObjectHashAggregate buffer.
+    *
+    * n_distinct counts the ORIGINAL column values (the dictionary key);
+    * percentile values interpolate on the double cast, exactly like
+    * `percentile(CAST(c AS DOUBLE), p)`. Nulls are excluded from both,
+    * matching the built-ins. Returns (n_distinct, value per requested
+    * percentile — None when the column has no non-null rows).
+    */
+  private[graft] def exactColumnStats(df: DataFrame, c: String,
+      ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = df.where(col(c).isNotNull)
+      .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val nd = dict.count()
+    if (nd == 0L) return (0L, ps.map(_ => None))
+    val vd = col("_v").cast("double")
+    val probs = (1 until DICT_PARTS).map(_.toDouble / DICT_PARTS)
+    val boundsRow = dict.agg(
+      percentile_approx(vd, lit(probs.toArray), lit(10000)).as("b")).head()
+    val bounds =
+      if (boundsRow.isNullAt(0)) Array.empty[Double]
+      else boundsRow.getSeq[Double](0).distinct.sorted.toArray
+    // bucket(s) = #{bound < s}: monotone, so offset + within-bucket
+    // running sum ≡ the global cumulative count exactly
+    val parted = dict.withColumn("_part",
+      size(filter(lit(bounds), b => b < vd)))
+    val totals = parted.groupBy("_part").agg(sum("_c").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = totals.scanLeft(0L)(_ + _._2).init
+    val n = totals.map(_._2).sum
+    val offDf = df.sparkSession.createDataFrame(
+      totals.map(_._1).zip(offs).toSeq).toDF("_part", "_off")
+    val cum = parted
+      .withColumn("_w", sum("_c").over(Window.partitionBy(col("_part"))
+        .orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offDf), Seq("_part"))
+      .withColumn("_cum", col("_off") + col("_w"))
+    val positions = ps.map(p => p * (n - 1).toDouble)
+    val ranks = positions
+      .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).distinct
+    // the dict row holding 0-indexed order statistic k: cum−cnt ≤ k < cum
+    val rankLits = array(ranks.map(lit(_)): _*)
+    val hits = cum
+      .select(vd.as("_d"), col("_cum"), col("_c"))
+      .withColumn("_k", explode(filter(rankLits,
+        k => col("_cum") > k && (col("_cum") - col("_c")) <= k)))
+      .select(col("_k"), col("_d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vals = positions.map { r =>
+      val (kl, kh) = (math.floor(r).toLong, math.ceil(r).toLong)
+      val lo = hits(kl)
+      if (kh == kl) Some(lo)
+      else {
+        val hi = hits(kh)
+        if (hi == lo) Some(lo) else Some((kh - r) * lo + (r - kl) * hi)
+      }
+    }
+    (nd, vals)
   }
 }

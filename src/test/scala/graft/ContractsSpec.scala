@@ -42,13 +42,13 @@ class ContractsSpec extends SparkSpec {
     val b = got("b")
     assert(b.getLong(1) == 4L && b.getLong(2) == 0L && b.getLong(3) == 3L)
     assert(b.getDouble(8) == 15.0) // p50 of 10,10,20,30
-    // exact-path plan contract: the non-distinct metrics ride ONE
-    // aggregate, and each exact count(DISTINCT) is its own two-phase
-    // single-column pass — so one leaf per distinct column plus the main
-    // scan, and NO Expand replicating scan rows through the percentile
+    // exact-path plan contract: the returned frame is ONE streaming
+    // aggregate pass (n_distinct and the exact percentiles were computed
+    // up front per column via the dictionary prefix sum and enter as
+    // literals), and NO Expand replicates scan rows through percentile
     // buffers (the round-9 q_profile plan bug)
     val leaves = prof.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.length == 3, leaves) // main scan + one per distinct col
+    assert(leaves.length == 1, leaves)
     assert(!prof.queryExecution.executedPlan.toString.contains("Expand"),
       "exact distincts must not re-join the main aggregate's Expand")
     // approx path: everything inline, a single leaf, still no Expand
@@ -57,6 +57,30 @@ class ContractsSpec extends SparkSpec {
     val approx = approxDf
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(approx("a") >= 2L && approx("a") <= 4L)
+  }
+
+  test("exactColumnStats ≡ built-in exact percentile + countDistinct") {
+    val rnd = new scala.util.Random(7)
+    // duplicates, skew, negatives, a null — and a tiny frame
+    val data = (Seq.fill(400)(rnd.nextInt(40).toDouble / 4.0) ++
+      Seq.fill(100)(rnd.nextDouble() * 1e6 - 5e5) ++ Seq(-0.25, -0.25))
+      .map(java.lang.Double.valueOf) :+ null.asInstanceOf[java.lang.Double]
+    val df = data.map(Tuple1(_)).toDF("v").repartition(7)
+    for (ps <- Seq(Seq(0.5, 0.95), Seq(0.0, 1.0), Seq(0.25))) {
+      val (nd, got) = Contracts.exactColumnStats(df, "v", ps)
+      val builtin = df.agg(
+        expr(s"percentile(CAST(v AS DOUBLE), array(${ps.mkString(",")}))"),
+        countDistinct(col("v"))).head()
+      val exp = builtin.getSeq[Double](0)
+      assert(nd == builtin.getLong(1))
+      // BIT-identical, not approximately equal: the profile is hashed
+      ps.indices.foreach { i => assert(got(i).contains(exp(i)), s"$ps $i") }
+    }
+    // empty / all-null column
+    val (nd0, p0) = Contracts.exactColumnStats(
+      Seq[java.lang.Double](null, null).map(Tuple1(_)).toDF("v"),
+      "v", Seq(0.5))
+    assert(nd0 == 0L && p0 == Seq(None))
   }
 
   test("kAnonymity counts small QI cells, rows at risk, null QI cells") {
