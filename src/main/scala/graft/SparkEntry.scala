@@ -186,6 +186,25 @@ object SparkEntry {
     * canonical collisions), trailing slash, tracking params, and fragment
     * all keyed on doc_id residues so the oracle rebuilds the same URLs.
     */
+  /** Deterministic synthetic judge votes for q_bt_ratings: 32
+    * strength-ranked arms (lower id = stronger), one game per document,
+    * pairing and outcome keyed on doc_id residues (stronger arm wins
+    * when (doc_id·13) mod 7 < 4 — a 4/7 upset-prone judge), so the
+    * oracle rebuilds the exact game list with integer arithmetic.
+    */
+  private def btGames(docs: DataFrame): DataFrame = {
+    val a = col("doc_id") % 32
+    val b = (col("doc_id") * 3 + 1) % 32
+    val strongWins = (col("doc_id") * 13) % 7 < 4
+    docs.select(col("doc_id"), a.as("a"), b.as("b"), strongWins.as("sw"))
+      .where(col("a") =!= col("b"))
+      .select(
+        when(col("sw"), least(col("a"), col("b")))
+          .otherwise(greatest(col("a"), col("b"))).as("winner"),
+        when(col("sw"), greatest(col("a"), col("b")))
+          .otherwise(least(col("a"), col("b"))).as("loser"))
+  }
+
   private def urlInject(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("n_chars"), concat(
       when(col("doc_id") % 4 === 0, lit("HTTPS://WWW."))
@@ -1500,6 +1519,13 @@ object SparkEntry {
         TextAnalysis.qualityLogit(col("text")).as("z"))
       Conversations.preferencePairs(scored, "source", "doc_id", "z", "text")
     }),
+    // Bradley-Terry strengths over the synthetic judge votes (32
+    // strength-ranked arms, one game per doc, stronger arm wins 4/7 of
+    // the time — all integer arithmetic, so the oracle rebuilds the
+    // same games); 3 MM iterations, q6-rounded per step
+    "q_bt_ratings" -> ((s, d) =>
+      Preference.btRatings(btGames(Tables.documents(s, d)),
+        iterations = 3)),
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
@@ -2816,6 +2842,42 @@ object SparkEntry {
       "FROM base b LEFT JOIN agg a USING (doc_id)"
   }
 
+  /** DuckDB mirror of [[graft.ops.Preference.btRatings]] over the
+    * [[btGames]] synthesis: the MM update unrolled one CTE trio
+    * (denominator / raw update / renormalized rating) per iteration —
+    * the pageRank convention — with btRatings' own q6 per-step rounding,
+    * which is what keeps cross-engine float-sum order differences from
+    * compounding across iterations.
+    */
+  private def btRatingsSql(iterations: Int): String = {
+    val head =
+      "WITH g AS (SELECT doc_id % 32 AS a, (doc_id * 3 + 1) % 32 AS b, " +
+        "CASE WHEN (doc_id * 13) % 7 < 4 THEN 1 ELSE 0 END AS sw " +
+        "FROM documents WHERE doc_id % 32 <> (doc_id * 3 + 1) % 32), " +
+        "p AS (SELECT CASE WHEN sw = 1 THEN least(a, b) ELSE greatest(a, b) END AS w, " +
+        "CASE WHEN sw = 1 THEN greatest(a, b) ELSE least(a, b) END AS l FROM g), " +
+        "dir AS (SELECT w, l, count(*) AS n FROM p GROUP BY w, l), " +
+        "e AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM " +
+        "(SELECT w AS i, l AS j, n FROM dir UNION ALL SELECT l AS i, w AS j, n FROM dir) " +
+        "GROUP BY i, j), " +
+        "wn AS (SELECT w AS item, CAST(sum(n) AS BIGINT) AS wins FROM dir GROUP BY w), " +
+        "items AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games FROM e GROUP BY i), " +
+        "r0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS r FROM items)"
+    val body = (1 to iterations).map { k =>
+      s", d$k AS (SELECT e.i AS item, sum(e.n / (ri.r + rj.r)) AS den FROM e " +
+        s"JOIN r${k - 1} ri ON ri.item = e.i JOIN r${k - 1} rj ON rj.item = e.j " +
+        "GROUP BY e.i), " +
+        s"u$k AS (SELECT it.item, CAST(coalesce(wn.wins, 0) AS DOUBLE) / d$k.den AS u " +
+        s"FROM items it LEFT JOIN wn ON wn.item = it.item JOIN d$k ON d$k.item = it.item), " +
+        s"r$k AS (SELECT item, round(u / (SELECT avg(u) FROM u$k), 6) AS r FROM u$k)"
+    }.mkString
+    head + body +
+      s" SELECT it.item, r$iterations.r AS rating, " +
+      "CAST(coalesce(wn.wins, 0) AS BIGINT) AS wins, it.games " +
+      "FROM items it LEFT JOIN wn ON wn.item = it.item " +
+      s"JOIN r$iterations ON r$iterations.item = it.item"
+  }
+
   /** DuckDB mirror of Similarity.covarianceLong: (vec_id, i, x) long
     * grid self-joined on vec_id, population cov rounded 6. ONE
     * definition for q_covariance and q_covariance_incr — the
@@ -3769,6 +3831,8 @@ object SparkEntry {
         "SELECT lang, total_exact, total_proxy, " +
         "round(CAST(total_exact AS DOUBLE) / total_proxy, 4) AS drift " +
         "FROM exact JOIN proxy USING (lang)"),
+    // Bradley-Terry MM unrolled per-iteration (the pagerank convention)
+    "q_bt_ratings" -> btRatingsSql(3),
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

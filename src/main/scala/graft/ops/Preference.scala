@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-data aggregation beyond pair assembly
+  * ([[Conversations.preferencePairs]] builds (chosen, rejected) training
+  * pairs; THIS estimates latent item strengths from the pairwise
+  * outcomes themselves) — the rating layer an RLHF/eval pipeline runs
+  * over judge votes: which prompts/candidates/models are actually
+  * stronger, with how much evidence.
+  */
+object Preference {
+
+  /** Bradley-Terry strength estimation from pairwise game outcomes via
+    * the MM algorithm (Hunter 2004, "MM algorithms for generalized
+    * Bradley-Terry models"), `iterations` synchronous updates from a
+    * uniform start:
+    *
+    *   r'(i) = W_i / Σ_{j : n_ij > 0} n_ij / (r_i + r_j)
+    *
+    * with W_i = total wins of i and n_ij = games between i and j,
+    * followed by mean-1 renormalization each step (the scale is not
+    * identified; without the renorm the whole vector drifts). Ratings
+    * are rounded to 6 decimals at EVERY step — the unigramLearnSoft q6
+    * convention — so the distributed sums' last-ulp order sensitivity
+    * cannot compound across iterations, which is what makes a
+    * fixed-iteration run DuckDB-oracle-able with unrolled per-iteration
+    * CTEs (the pageRank precedent).
+    *
+    * Winless items converge to rating 0 (they bound the model's
+    * strength floor); a pair of items that actually played produced a
+    * winner among them, so no denominator term ever divides by zero.
+    *
+    * Scale shape: `pairs` (one row per game, however large) collapses
+    * FIRST to the symmetric game graph — (i, j, n_ij) plus an item-keyed
+    * win count, both map-side-combined aggregates, and everything after
+    * touches only graph-sized frames: each step is one edges ⋈ ratings
+    * join pair (hash-distributed on the item key), one item-keyed sum,
+    * and a one-row mean broadcast into the renorm. Edge and rating
+    * frames are localCheckpoint'd (the pageRank lineage discipline) so
+    * step N never replays steps 1..N-1. The game graph is additive
+    * under appended games — a standing (i, j, n_ij) table MERGEs new
+    * votes by summing counts, and ratings recompute from the graph at
+    * graph cost, never replaying history.
+    *
+    * Returns (item, rating, wins, games), rating rounded to 6.
+    */
+  def btRatings(pairs: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", iterations: Int = 3): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val dir = pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .agg(count(lit(1)).as("n"))
+    val edges = dir.select(col("w").as("i"), col("l").as("j"), col("n"))
+      .unionByName(dir.select(col("l").as("i"), col("w").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+      .localCheckpoint()
+    val wins = dir.groupBy(col("w").as("item")).agg(sum("n").as("wins"))
+    val games = edges.groupBy(col("i").as("item")).agg(sum("n").as("games"))
+    val items = games.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"))
+      .localCheckpoint()
+    var ratings = items.select(col("item"), lit(1.0).as("r"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val denom = edges
+        .join(ratings.select(col("item").as("i"), col("r").as("ri")), "i")
+        .join(ratings.select(col("item").as("j"), col("r").as("rj")), "j")
+        .groupBy(col("i").as("item"))
+        .agg(sum(col("n") / (col("ri") + col("rj"))).as("den"))
+      val raw = items.join(denom, Seq("item"))
+        .select(col("item"),
+          (col("wins").cast("double") / col("den")).as("u"))
+      val mean = raw.agg(avg("u").as("m"))
+      ratings = raw.crossJoin(broadcast(mean))
+        .select(col("item"), round(col("u") / col("m"), 6).as("r"))
+        .localCheckpoint()
+      it += 1
+    }
+    items.join(ratings, Seq("item"))
+      .select(col("item"), col("r").as("rating"), col("wins"), col("games"))
+  }
+}

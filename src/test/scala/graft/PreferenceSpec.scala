@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Preference
+import org.apache.spark.sql.functions._
+
+/** Bradley-Terry rating estimation over pairwise preference outcomes. */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("btRatings: hand-checked two-item case converges to (2, 0)") {
+    // A beats B three times: W_A=3, n_AB=3. Step: den_A = 3/(r_A+r_B),
+    // u_A = W_A/den_A, u_B = 0; mean-1 renorm → (2, 0), then stable.
+    val pairs = Seq(("a", "b"), ("a", "b"), ("a", "b")).toDF("winner", "loser")
+    val got = Preference.btRatings(pairs, iterations = 4)
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2.0, 3L, 3L), ("b", 0.0, 0L, 3L)), got)
+  }
+
+  test("btRatings: ratings order matches strength under a balanced schedule") {
+    // full round robin, 10 games per ordered pair; item i beats item j>i
+    // in 7/10 of their games — strictly stronger items must rate higher
+    val games = for {
+      i <- 0 until 4; j <- 0 until 4 if i < j
+      g <- 0 until 10
+    } yield if (g < 7) (i.toLong, j.toLong) else (j.toLong, i.toLong)
+    val got = Preference.btRatings(games.toDF("winner", "loser"),
+        iterations = 8)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._4).forall(_ == 30L)) // 3 opponents × 10 games
+    val ratings = got.map(_._2)
+    assert(ratings == ratings.sorted.reverse, s"not monotone: $got")
+    assert(ratings.distinct.length == 4)
+  }
+
+  test("btRatings ≡ a sequential MM reference with the same q6 steps") {
+    val rnd = new scala.util.Random(11)
+    val items = 10
+    val pairs = Seq.fill(300) {
+      val a = rnd.nextInt(items); var b = rnd.nextInt(items)
+      while (b == a) b = rnd.nextInt(items)
+      // latent strength = items - index, logistic outcome
+      val pA = (items - a).toDouble / ((items - a) + (items - b))
+      if (rnd.nextDouble() < pA) (a.toLong, b.toLong) else (b.toLong, a.toLong)
+    }
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    // sequential reference: same aggregation, same per-step q6 + renorm
+    val wins = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    pairs.foreach { case (w, l) => n((w, l)) += 1; n((l, w)) += 1 }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var r = ids.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val u = ids.map { i =>
+        val den = ids.filter(j => n((i, j)) > 0)
+          .map(j => n((i, j)).toDouble / (r(i) + r(j))).sum
+        i -> wins.getOrElse(i, 0L).toDouble / den
+      }.toMap
+      val m = u.values.sum / u.size
+      r = u.map { case (k, v) => k -> q6(v / m) }
+    }
+    val got = Preference.btRatings(pairs.toDF("winner", "loser"),
+        iterations = 3)
+      .as[(Long, Double, Long, Long)].collect()
+      .map(x => x._1 -> x._2).toMap
+    ids.foreach { i =>
+      assert(math.abs(got(i) - r(i)) <= 1e-6, s"item $i: ${got(i)} vs ${r(i)}")
+    }
+  }
+}

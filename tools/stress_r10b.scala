@@ -1,0 +1,28 @@
+// Round-10 stress: Bradley-Terry at 10x-plus scale — 6M games over 10k
+// items (the pairs->graph collapse is the scale mechanism: iterations
+// touch only the ~86k-edge graph, never the 6M game rows again).
+// Run with: spark-shell --master 'local[16]' --driver-memory 8g \
+//   --driver-class-path target/scala-2.13/classes -I tools/stress_r10b.scala
+import org.apache.spark.sql.functions._
+def time[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime(); val r = f
+  println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.2f s: $r"); r
+}
+val n = 6000000L
+val items = 10000L
+val games = (spark.range(n)
+  .select((col("id") % items).as("a"),
+    ((col("id") * 7 + 13) % items).as("b"),
+    ((col("id") * 13) % 7 < 4).as("sw"))
+  .where(col("a") =!= col("b"))
+  .select(
+    when(col("sw"), least(col("a"), col("b")))
+      .otherwise(greatest(col("a"), col("b"))).as("winner"),
+    when(col("sw"), greatest(col("a"), col("b")))
+      .otherwise(least(col("a"), col("b"))).as("loser"))
+  .localCheckpoint())
+println("games: " + games.count())
+val r = time("bt-ratings-6M-games-10k-items-3it")(
+  graft.ops.Preference.btRatings(games, iterations = 3)
+    .agg(count(lit(1)), round(sum("rating"), 2)).collect()(0).toString)
+sys.exit(0)
