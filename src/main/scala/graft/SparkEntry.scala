@@ -528,6 +528,11 @@ object SparkEntry {
       TextAnalysis.corpusReport(Tables.documents(s, d))),
     "q_quality_model" -> ((s, d) =>
       TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
+    // ON-CLUSTER trained quality filter: full-batch logistic regression
+    // on the corpus's own weak length labels (3 q6-rounded GD steps,
+    // model-sized collects), then scored in the same job
+    "q_quality_fit" -> ((s, d) =>
+      TextAnalysis.qualityFitScore(Tables.documents(s, d))),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
     // identity), so every 13th doc gets a decomposed-accent + double-space
     // suffix injected IN the query (chr() codepoints in the oracle SQL) —
@@ -2842,6 +2847,49 @@ object SparkEntry {
       "FROM base b LEFT JOIN agg a USING (doc_id)"
   }
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.qualityFitScore]]: the
+    * feature frame (the q_quality expressions, unrounded), a q6-rounded
+    * standardization CTE, then one (gradient / weights) CTE pair per GD
+    * iteration — the btRatingsSql unrolled-iteration convention — and
+    * the final σ(wᵀx) scoring select.
+    */
+  private def qualityFitSql(iterations: Int, lr: Double,
+      minChars: Int): String = {
+    val lrs = java.lang.Double.toString(lr)
+    val head =
+      s"WITH f0_ AS (SELECT doc_id, CAST(n_chars >= $minChars AS INT) AS y, " +
+        s"ln(1 + CAST(len($TOKS) AS DOUBLE)) AS f0, " +
+        s"CAST(coalesce(list_aggregate(list_transform($TOKS, x -> length(x)), 'sum'), 0) AS DOUBLE) " +
+        s"/ greatest(len($TOKS), 1) AS f1, " +
+        s"CAST(len(list_filter($TOKS, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
+        s"/ greatest(len($TOKS), 1) AS f2, " +
+        "CAST(length(text) - length(regexp_replace(lower(text), " +
+        "'[^\\p{L}\\p{Nd}]', '', 'g')) AS DOUBLE) " +
+        "/ greatest(length(text), 1) AS f3 FROM documents), " +
+        "st AS (SELECT " + (0 to 3).map(i =>
+          s"round(avg(f$i),6) AS m$i, greatest(round(stddev_samp(f$i),6), 1e-6) AS s$i")
+          .mkString(", ") + " FROM f0_), " +
+        "f AS (SELECT doc_id, y, " + (0 to 3).map(i =>
+          s"(f$i-m$i)/s$i AS f$i").mkString(", ") + " FROM f0_, st), " +
+        "w0 AS (SELECT " + (0 to 4).map(i =>
+          s"CAST(0 AS DOUBLE) AS w$i").mkString(", ") + ")"
+    def z = "(w.w0 + w.w1*f.f0 + w.w2*f.f1 + w.w3*f.f2 + w.w4*f.f3)"
+    def r = s"(f.y - 1.0/(1.0 + exp(-$z)))"
+    val body = (1 to iterations).map { k =>
+      s", g$k AS (SELECT sum($r) AS g0, " + (0 to 3).map(i =>
+        s"sum($r*f.f$i) AS g${i + 1}").mkString(", ") +
+        s", count(*) AS n FROM f, w${k - 1} w), " +
+        s"w$k AS (SELECT " + (0 to 4).map(i =>
+          s"round(w.w$i + $lrs*g.g$i/g.n, 6) AS w$i").mkString(", ") +
+        s" FROM w${k - 1} w, g$k g)"
+    }.mkString
+    head + body +
+      " SELECT f.doc_id, f.y AS label, " +
+      s"round(1.0/(1.0 + exp(-$z)), 4) AS p, " +
+      s"CAST(1.0/(1.0 + exp(-$z)) >= 0.5 AS INT) AS keep " +
+      s"FROM f, w$iterations w"
+  }
+
   /** DuckDB mirror of [[graft.ops.Preference.btRatings]] over the
     * [[btGames]] synthesis: the MM update unrolled one CTE trio
     * (denominator / raw update / renormalized rating) per iteration —
@@ -3833,6 +3881,8 @@ object SparkEntry {
         "FROM exact JOIN proxy USING (lang)"),
     // Bradley-Terry MM unrolled per-iteration (the pagerank convention)
     "q_bt_ratings" -> btRatingsSql(3),
+    // trained logistic quality filter, GD unrolled per-iteration
+    "q_quality_fit" -> qualityFitSql(3, 0.5, 300),
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

@@ -156,6 +156,114 @@ object TextAnalysis {
       (score >= keepT).cast("int").as("keep"))
   }
 
+  /** Distributed full-batch logistic-regression training — the ON-CLUSTER
+    * counterpart of [[qualityClassifierScore]]'s offline-trained weights
+    * (and the linear sibling of the trained [[nbFit]] router): gradient
+    * ascent on the Bernoulli log-likelihood,
+    *
+    *   w ← w + lr · (1/n) Σ_rows (y − σ(wᵀx)) · x
+    *
+    * for `iterations` full-batch steps from w = 0, bias as the implicit
+    * leading feature. Each step is ONE map-side-combined aggregate over
+    * the data (the current weights ride the plan as literals — the
+    * dsirScores model-as-constants shape) and a (d+2)-sized driver
+    * collect; nothing larger than the model ever reaches the driver, and
+    * the corpus never shuffles. Weights are q6-rounded per step (the
+    * btRatings convention), which is what lets a fixed-iteration run be
+    * replayed in a DuckDB oracle with unrolled per-iteration CTEs
+    * despite cross-engine float-sum order differences. Callers iterating
+    * over a derived feature frame should localCheckpoint it once so step
+    * k does not replay the feature derivation k times.
+    *
+    * Returns the trained weights, bias first.
+    */
+  def logisticFit(data: DataFrame, featureCols: Seq[String],
+      labelCol: String, iterations: Int = 3, lr: Double = 0.5)
+      : Seq[Double] = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val d = featureCols.length
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    var w = Seq.fill(d + 1)(0.0)
+    for (_ <- 1 to iterations) {
+      val z = featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+      }
+      val resid = col(labelCol).cast("double") - sigmoid(z)
+      val aggs = ((lit(1.0): Column) +: featureCols.map(col))
+        .zipWithIndex.map { case (x, i) => sum(resid * x).as(s"g$i") } :+
+        count(lit(1)).as("n")
+      val row = data.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(d + 1).toDouble
+      require(n > 0, "logisticFit: empty training frame")
+      w = w.indices.map(i => q6(w(i) + lr * row.getDouble(i) / n))
+    }
+    w
+  }
+
+  /** Quality-classifier training features + weak label as a frame:
+    * the [[qualityLogit]] features UNROUNDED (ln(1+tokens), avg token
+    * length, stopword ratio, non-alnum ratio — exact rationals of ints
+    * except the ln, so the DuckDB twin is bit-comparable) and a
+    * deterministic length label y = (n_chars ≥ labelMinChars) — the
+    * weak-supervision stand-in for human keep/drop labels.
+    */
+  private[graft] def qualityTrainingFrame(docs: DataFrame,
+      labelMinChars: Int,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in",
+        "is", "on")): DataFrame = {
+    val t = toks(col("text"))
+    val n = greatest(size(t), lit(1))
+    val stops = array(stopwords.map(lit): _*)
+    docs.select(col("doc_id"),
+      (col("n_chars") >= labelMinChars).cast("int").as("y"),
+      log(lit(1.0) + size(t).cast("double")).as("f0"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n)
+        .as("f1"),
+      (size(filter(t, x => array_contains(stops, x))).cast("double") / n)
+        .as("f2"),
+      ((length(col("text")) -
+        length(regexp_replace(lower(col("text")), NON_ALNUM_RE, "")))
+        .cast("double") / greatest(length(col("text")), lit(1))).as("f3"))
+  }
+
+  /** Train-then-score in one pass over the corpus's own weak labels:
+    * features are z-SCORED first (per-feature mean/std from one
+    * aggregate, q6-rounded so both engines standardize with the same
+    * constants — unstandardized GD saturates: the large-scale avg-len
+    * feature blows the logit past the sigmoid's linear range in one
+    * step and every document scores ~0.99), then [[logisticFit]] on the
+    * standardized frame (localCheckpoint'd once — the iterations
+    * re-scan materialized features, not the text chain), then every
+    * document scored under the learned weights. Returns (doc_id, label,
+    * p, keep) with p = σ(wᵀx) rounded 4 and keep = p ≥ 0.5 — the
+    * end-to-end "fit the quality filter on the cluster, apply it in the
+    * same job" flow (q_quality_fit).
+    */
+  def qualityFitScore(docs: DataFrame, iterations: Int = 3,
+      lr: Double = 0.5, labelMinChars: Int = 300): DataFrame = {
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val raw = qualityTrainingFrame(docs, labelMinChars).localCheckpoint()
+    val cols = Seq("f0", "f1", "f2", "f3")
+    val statAggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c")))
+    val sr = raw.agg(statAggs.head, statAggs.tail: _*).head()
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      val s = if (sr.isNullAt(2 * i + 1)) 0.0 else q6(sr.getDouble(2 * i + 1))
+      c -> (q6(sr.getDouble(2 * i)), math.max(s, 1e-6))
+    }.toMap
+    val feats = raw.select(col("doc_id") +: col("y") +: cols.map { c =>
+      val (m, s) = stats(c)
+      ((col(c) - lit(m)) / lit(s)).as(c)
+    }: _*).localCheckpoint()
+    val w = logisticFit(feats, cols, "y", iterations, lr)
+    val z = cols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    }
+    val p = sigmoid(z)
+    feats.select(col("doc_id"), col("y").as("label"),
+      round(p, 4).as("p"), (p >= 0.5).cast("int").as("keep"))
+  }
+
   /** Raw linear-model logit over the [[qualityScores]] features — the
     * pre-sigmoid form, monotonic in the quality score but free of the
     * sigmoid's double saturation (distinct long documents can share a

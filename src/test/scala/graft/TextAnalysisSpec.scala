@@ -837,4 +837,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 == 0 && got(3L)._8 == 0) // empty text: all zero
     assert(got(4L)._8 == 1 && got(5L)._8 == 0) // exact 30 % boundary
   }
+
+  test("logisticFit ≡ a sequential GD reference with the same q6 steps") {
+    val rnd = new scala.util.Random(5)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val rows = Seq.fill(200) {
+      val x0 = rnd.nextGaussian(); val x1 = rnd.nextGaussian()
+      val y = if (1.5 * x0 - x1 + 0.3 * rnd.nextGaussian() > 0) 1 else 0
+      (y, x0, x1)
+    }
+    val got = TextAnalysis.logisticFit(
+      rows.toDF("y", "x0", "x1").repartition(5), Seq("x0", "x1"), "y",
+      iterations = 4, lr = 0.8)
+    // sequential reference, same mean-gradient update and q6 per step
+    var w = Seq(0.0, 0.0, 0.0)
+    for (_ <- 1 to 4) {
+      val grads = rows.map { case (y, x0, x1) =>
+        val p = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x0 + w(2) * x1)))
+        val r = y - p
+        (r, r * x0, r * x1)
+      }
+      val n = rows.size.toDouble
+      val g = Seq(grads.map(_._1).sum, grads.map(_._2).sum,
+        grads.map(_._3).sum)
+      w = w.indices.map(i => q6(w(i) + 0.8 * g(i) / n))
+    }
+    got.zip(w).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6, s"$got vs $w")
+    }
+    // the fit learned the separating direction: positive on x0,
+    // negative on x1
+    assert(got(1) > 0.1 && got(2) < -0.05, got)
+  }
+
+  test("qualityFitScore: standardized fit separates the length label") {
+    val rnd = new scala.util.Random(9)
+    val docs = (0L until 200L).map { i =>
+      val n = 3 + (i % 40).toInt
+      val words = Seq.fill(n)(Seq("the", "batch", "join", "data",
+        "pipeline")(rnd.nextInt(5)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+    val got = TextAnalysis.qualityFitScore(docs, labelMinChars = 120)
+      .as[(Long, Int, Double, Int)].collect()
+    // both classes present in the decisions, and accuracy well above
+    // chance (ln-token-count is a near-perfect proxy for the label)
+    val acc = got.count(r => r._4 == r._2).toDouble / got.length
+    assert(got.map(_._4).distinct.length == 2, "degenerate keep column")
+    assert(acc >= 0.85, s"train accuracy $acc")
+    // deterministic: the standardization and GD replay exactly
+    val again = TextAnalysis.qualityFitScore(docs, labelMinChars = 120)
+      .as[(Long, Int, Double, Int)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -25,4 +25,16 @@ println("games: " + games.count())
 val r = time("bt-ratings-6M-games-10k-items-3it")(
   graft.ops.Preference.btRatings(games, iterations = 3)
     .agg(count(lit(1)), round(sum("rating"), 2)).collect()(0).toString)
+// logisticFit at 5M rows x 4 features, 3 full-batch GD steps
+val feats = (spark.range(5000000L)
+  .select(col("id"),
+    (col("id") % 97).cast("double").as("f0"),
+    ((col("id") * 7) % 89).cast("double").as("f1"),
+    ((col("id") * 13) % 83).cast("double").as("f2"),
+    ((col("id") * 31) % 79).cast("double").as("f3"))
+  .withColumn("y", ((col("f0") - col("f1") * 0.5) > 20).cast("int"))
+  .localCheckpoint())
+val w = time("logistic-fit-5M-rows-3it")(
+  graft.ops.TextAnalysis.logisticFit(feats, Seq("f0","f1","f2","f3"), "y",
+    iterations = 3, lr = 0.1).mkString(","))
 sys.exit(0)
