@@ -186,6 +186,15 @@ object SparkEntry {
     * canonical collisions), trailing slash, tracking params, and fragment
     * all keyed on doc_id residues so the oracle rebuilds the same URLs.
     */
+  /** The fixed quality classifier's scores joined to the length weak
+    * label (the q_quality_fit convention) — the shared input of the
+    * classifier-eval queries (q_threshold_sweep, q_auc).
+    */
+  private def qualityScoredLabeled(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("y")), "doc_id")
+
   /** Deterministic synthetic judge votes for q_bt_ratings: 32
     * strength-ranked arms (lower id = stronger), one game per document,
     * pairing and outcome keyed on doc_id residues (stronger arm wins
@@ -533,6 +542,16 @@ object SparkEntry {
     // model-sized collects), then scored in the same job
     "q_quality_fit" -> ((s, d) =>
       TextAnalysis.qualityFitScore(Tables.documents(s, d))),
+    // operating-point sweep of the fixed quality classifier against the
+    // length weak label: confusion + P/R/F1 per threshold, all-integer
+    "q_threshold_sweep" -> ((s, d) =>
+      TextAnalysis.thresholdSweep(qualityScoredLabeled(s, d),
+        "quality_score", "y")),
+    // exact tie-aware ROC-AUC of the same scorer (Mann-Whitney form,
+    // distributed prefix sum over the score dictionary)
+    "q_auc" -> ((s, d) =>
+      TextAnalysis.aucScore(qualityScoredLabeled(s, d),
+        "quality_score", "y")),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
     // identity), so every 13th doc gets a decomposed-accent + double-space
     // suffix injected IN the query (chr() codepoints in the oracle SQL) —
@@ -2847,6 +2866,65 @@ object SparkEntry {
       "FROM base b LEFT JOIN agg a USING (doc_id)"
   }
 
+  /** The q_quality_model score CTEs joined to the length weak label —
+    * the shared `j(s, y)` input of the classifier-eval oracles
+    * (q_threshold_sweep / q_auc), mirroring [[qualityScoredLabeled]].
+    */
+  private def qualityLabeledCtes: String = {
+    val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
+    s"t AS (SELECT doc_id, text, n_chars, $TOKS AS toks FROM documents), " +
+      "f AS (SELECT doc_id, n_chars, len(toks) AS n, " +
+      "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
+      "greatest(len(toks), 1) AS avg_len, " +
+      "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
+      "greatest(len(toks), 1) AS stop_r, " +
+      s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
+      "greatest(length(text), 1) AS non_al FROM t), " +
+      s"z AS (SELECT doc_id, n_chars, ($bias) + ($wLog) * ln(1 + n) + " +
+      s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
+      "j AS (SELECT round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
+      "CAST(n_chars >= 300 AS INT) AS y FROM z)"
+  }
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.thresholdSweep]] over the
+    * [[qualityLabeledCtes]] input: all-integer confusion algebra.
+    */
+  private def thresholdSweepSql: String = {
+    val grid = (0 to 20).map(k => java.lang.Double.toString(k / 20.0))
+      .mkString("[", ",", "]")
+    s"WITH $qualityLabeledCtes, " +
+      s"g AS (SELECT unnest($grid) AS threshold), " +
+      "c AS (SELECT g.threshold, " +
+      "CAST(sum(CASE WHEN j.s >= g.threshold THEN j.y ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN j.s >= g.threshold THEN 1 - j.y ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN j.s < g.threshold THEN j.y ELSE 0 END) AS BIGINT) AS fn, " +
+      "CAST(sum(CASE WHEN j.s < g.threshold THEN 1 - j.y ELSE 0 END) AS BIGINT) AS tn " +
+      "FROM j, g GROUP BY g.threshold) " +
+      "SELECT threshold, tp, fp, fn, tn, " +
+      "round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END, 4) AS precision, " +
+      "round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) END, 4) AS recall, " +
+      "round(CASE WHEN 2*tp + fp + fn > 0 THEN 2*tp / CAST(2*tp + fp + fn AS DOUBLE) END, 4) AS f1 " +
+      "FROM c"
+  }
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.aucScore]] over the same
+    * input: Mann-Whitney with the tie term, cumulative negatives via an
+    * ordered window over the distinct-score dictionary (DuckDB side is
+    * free to use the plain window — the distributed prefix sum is the
+    * Spark side's scale obligation, not the oracle's).
+    */
+  private def aucSql: String =
+    s"WITH $qualityLabeledCtes, " +
+      "d AS (SELECT s, CAST(sum(y) AS DOUBLE) AS np, " +
+      "CAST(sum(1 - y) AS DOUBLE) AS nn FROM j GROUP BY s), " +
+      "c AS (SELECT s, np, nn, coalesce(sum(nn) OVER (ORDER BY s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM d) " +
+      "SELECT CAST(sum(np) AS BIGINT) AS n_pos, " +
+      "CAST(sum(nn) AS BIGINT) AS n_neg, " +
+      "round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN " +
+      "sum(np * (below + nn / 2)) / (sum(np) * sum(nn)) END, 6) AS auc " +
+      "FROM c"
+
   /** DuckDB mirror of [[graft.ops.TextAnalysis.qualityFitScore]]: the
     * feature frame (the q_quality expressions, unrounded), a q6-rounded
     * standardization CTE, then one (gradient / weights) CTE pair per GD
@@ -3883,6 +3961,9 @@ object SparkEntry {
     "q_bt_ratings" -> btRatingsSql(3),
     // trained logistic quality filter, GD unrolled per-iteration
     "q_quality_fit" -> qualityFitSql(3, 0.5, 300),
+    // classifier eval: integer confusion sweep + exact tie-aware AUC
+    "q_threshold_sweep" -> thresholdSweepSql,
+    "q_auc" -> aucSql,
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

@@ -870,6 +870,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) > 0.1 && got(2) < -0.05, got)
   }
 
+  test("thresholdSweep + aucScore: hand-checked confusion and tie-aware AUC") {
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.5, 0.3} — one tie at 0.5.
+    // pairs (pos, neg): (0.9,0.5)+ (0.9,0.3)+ (0.7,0.5)+ (0.7,0.3)+
+    // (0.5,0.3)+ (0.5,0.5)=½ → AUC = 5.5/6
+    val scored = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.5, 0), (0.3, 0))
+      .toDF("s", "y")
+    val auc = TextAnalysis.aucScore(scored, "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(auc == ((3L, 2L, Some(math.rint(5.5 / 6 * 1e6) / 1e6))), auc)
+    val sw = TextAnalysis.thresholdSweep(scored, "s", "y",
+        thresholds = Seq(0.5))
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // at t = 0.5: predicted pos = {0.9, 0.7, 0.5pos, 0.5neg}
+    assert(sw._2 == 3L && sw._3 == 1L && sw._4 == 0L && sw._5 == 1L)
+    assert(sw._6.contains(0.75) && sw._7.contains(1.0) &&
+      sw._8.contains(math.rint(6.0 / 7 * 1e4) / 1e4), sw)
+    // degenerate: one class only → NULL AUC, counts still right
+    val one = TextAnalysis.aucScore(Seq((0.4, 1), (0.6, 1)).toDF("s", "y"),
+      "s", "y").as[(Long, Long, Option[Double])].collect().head
+    assert(one == ((2L, 0L, None)))
+  }
+
+  test("aucScore ≡ a sequential rank-statistic reference on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(500) {
+      val y = rnd.nextInt(2)
+      // ties guaranteed: scores on a 0.05 grid, informative of y
+      val s = math.min(1.0, math.max(0.0,
+        math.rint((0.35 + 0.3 * y + 0.3 * rnd.nextGaussian()) * 20) / 20))
+      (s, y)
+    }
+    val got = TextAnalysis.aucScore(rows.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val u = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val ref = math.rint(u / (pos.size * neg.size) * 1e6) / 1e6
+    assert(got._1 == pos.size && got._2 == neg.size)
+    assert(got._3.exists(a => math.abs(a - ref) <= 1e-6), s"$got vs $ref")
+  }
+
   test("qualityFitScore: standardized fit separates the length label") {
     val rnd = new scala.util.Random(9)
     val docs = (0L until 200L).map { i =>

@@ -37,4 +37,15 @@ val feats = (spark.range(5000000L)
 val w = time("logistic-fit-5M-rows-3it")(
   graft.ops.TextAnalysis.logisticFit(feats, Seq("f0","f1","f2","f3"), "y",
     iterations = 3, lr = 0.1).mkString(","))
+// exact AUC + sweep at 6M scored rows (score on a round-4 grid: the
+// dictionary the prefix sum runs over is grid-sized, not corpus-sized)
+val scored = (spark.range(6000000L)
+  .select(col("id"),
+    (round((col("id") % 9973).cast("double") / 9973, 4)).as("s"),
+    ((col("id") % 3) === 0).cast("int").as("y"))
+  .localCheckpoint())
+val a = time("auc-6M-rows")(
+  graft.ops.TextAnalysis.aucScore(scored, "s", "y").collect()(0).toString)
+val sw = time("threshold-sweep-6M-rows")(
+  graft.ops.TextAnalysis.thresholdSweep(scored, "s", "y").count())
 sys.exit(0)
