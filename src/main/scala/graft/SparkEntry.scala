@@ -1550,6 +1550,19 @@ object SparkEntry {
     "q_bt_ratings" -> ((s, d) =>
       Preference.btRatings(btGames(Tables.documents(s, d)),
         iterations = 3)),
+    // the incremental form: a standing vote graph built from the first
+    // 80 % of docs, the rest MERGEd as a new batch — ratings from the
+    // merged graph must equal the full-history run, so the oracle IS
+    // the full replay (the q_covariance_incr / q_scd2_incr contract)
+    "q_bt_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Preference.btGraph(btGames(
+        docs.where(col("doc_id") % 10 < 8)))
+      Preference.btRatingsFromGraph(
+        Preference.btMerge(base,
+          btGames(docs.where(col("doc_id") % 10 >= 8))),
+        iterations = 3)
+    }),
     // winnowing (MOSS) fingerprints: shift-invariant span fingerprinting
     "q_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 3, w = 4)),
@@ -3957,8 +3970,11 @@ object SparkEntry {
         "SELECT lang, total_exact, total_proxy, " +
         "round(CAST(total_exact AS DOUBLE) / total_proxy, 4) AS drift " +
         "FROM exact JOIN proxy USING (lang)"),
-    // Bradley-Terry MM unrolled per-iteration (the pagerank convention)
+    // Bradley-Terry MM unrolled per-iteration (the pagerank convention);
+    // the incremental form's contract is exactly "equals the full
+    // rebuild", so its oracle IS the same replay
     "q_bt_ratings" -> btRatingsSql(3),
+    "q_bt_incr" -> btRatingsSql(3),
     // trained logistic quality filter, GD unrolled per-iteration
     "q_quality_fit" -> qualityFitSql(3, 0.5, 300),
     // classifier eval: integer confusion sweep + exact tie-aware AUC

@@ -47,10 +47,47 @@ object Preference {
     * Returns (item, rating, wins, games), rating rounded to 6.
     */
   def btRatings(pairs: DataFrame, winnerCol: String = "winner",
-      loserCol: String = "loser", iterations: Int = 3): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val dir = pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+      loserCol: String = "loser", iterations: Int = 3): DataFrame =
+    btRatingsFromGraph(btGraph(pairs, winnerCol, loserCol), iterations)
+
+  /** The minimal sufficient statistic of a Bradley-Terry model: directed
+    * win counts (w, l, n). ADDITIVE under appended games — the standing
+    * artifact a vote pipeline maintains ([[btMerge]] folds a new batch
+    * by summing counts), from which [[btRatingsFromGraph]] recomputes
+    * ratings at graph cost, never replaying vote history.
+    */
+  def btGraph(pairs: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser"): DataFrame =
+    pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
       .agg(count(lit(1)).as("n"))
+
+  /** Fold a new batch of games into a standing [[btGraph]]: counts sum.
+    * Exactly equals the graph of the concatenated history (spec'd) —
+    * the mergeable-sketch shape, batch- plus graph-sized work.
+    */
+  def btMerge(graph: DataFrame, newPairs: DataFrame,
+      winnerCol: String = "winner", loserCol: String = "loser"): DataFrame =
+    graph.unionByName(btGraph(newPairs, winnerCol, loserCol))
+      .groupBy("w", "l").agg(sum("n").as("n"))
+
+  /** Streaming vote ingestion: each micro-batch [[btMerge]]s into the
+    * standing graph (the weightedSampleServe read-write pattern);
+    * ratings are recomputed from the graph on demand, not per batch.
+    */
+  def btServe(voteStream: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser")(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    voteStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(btMerge(state(), batch, winnerCol, loserCol))
+    }
+
+  /** [[btRatings]] from a standing [[btGraph]] — the apply half. */
+  def btRatingsFromGraph(graph: DataFrame, iterations: Int = 3)
+      : DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val dir = graph
     val edges = dir.select(col("w").as("i"), col("l").as("j"), col("n"))
       .unionByName(dir.select(col("l").as("i"), col("w").as("j"), col("n")))
       .groupBy("i", "j").agg(sum("n").as("n"))

@@ -32,6 +32,38 @@ class PreferenceSpec extends SparkSpec {
     assert(ratings.distinct.length == 4)
   }
 
+  test("btMerge ≡ full-history graph; serve twin replays it in batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0 until 60).map(k =>
+      ((k % 5).toLong, ((k * 3 + 1) % 5).toLong))
+      .filter(p => p._1 != p._2)
+    val (a, b) = all.splitAt(40)
+    val merged = Preference.btMerge(
+      Preference.btGraph(a.toDF("winner", "loser")), b.toDF("winner", "loser"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Preference.btGraph(all.toDF("winner", "loser"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == full && full.nonEmpty)
+    // ratings from the merged graph ≡ ratings from the full history
+    val rm = Preference.btRatingsFromGraph(
+      Preference.btMerge(Preference.btGraph(a.toDF("winner", "loser")),
+        b.toDF("winner", "loser")))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    val rf = Preference.btRatings(all.toDF("winner", "loser"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(rm == rf)
+    // streaming: three micro-batches fold to the same standing graph
+    var standing = Preference.btGraph(
+      Seq.empty[(Long, Long)].toDF("winner", "loser")).localCheckpoint()
+    val in = MemoryStream[(Long, Long)](92, spark, None)
+    val q = Preference.btServe(in.toDF().toDF("winner", "loser"))(
+      () => standing, f => standing = f.localCheckpoint()).start()
+    try {
+      all.grouped(20).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    assert(standing.as[(Long, Long, Long)].collect().toSet == full)
+  }
+
   test("btRatings ≡ a sequential MM reference with the same q6 steps") {
     val rnd = new scala.util.Random(11)
     val items = 10
