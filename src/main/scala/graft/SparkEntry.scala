@@ -552,6 +552,10 @@ object SparkEntry {
     "q_auc" -> ((s, d) =>
       TextAnalysis.aucScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // exact step-wise average precision (PR-AUC) on the same dictionary
+    "q_ap" -> ((s, d) =>
+      TextAnalysis.apScore(qualityScoredLabeled(s, d),
+        "quality_score", "y")),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
     // identity), so every 13th doc gets a decomposed-accent + double-space
     // suffix injected IN the query (chr() codepoints in the oracle SQL) —
@@ -2938,6 +2942,25 @@ object SparkEntry {
       "sum(np * (below + nn / 2)) / (sum(np) * sum(nn)) END, 6) AS auc " +
       "FROM c"
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.apScore]] over the same
+    * input: step-wise average precision from the strictly-below
+    * cumulative counts, term order matching the Spark expression.
+    */
+  private def apSql: String =
+    s"WITH $qualityLabeledCtes, " +
+      "d AS (SELECT s, CAST(sum(y) AS DOUBLE) AS np, " +
+      "CAST(sum(1 - y) AS DOUBLE) AS nn FROM j GROUP BY s), " +
+      "c AS (SELECT s, np, nn, " +
+      "coalesce(sum(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0) AS pb, " +
+      "coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0) AS nb FROM d), " +
+      "tot AS (SELECT sum(np) AS p, sum(nn) AS n FROM d) " +
+      "SELECT CAST(tot.p AS BIGINT) AS n_pos, CAST(tot.n AS BIGINT) AS n_neg, " +
+      "round(CASE WHEN tot.p > 0 THEN sum(CASE WHEN c.np > 0 THEN " +
+      "(c.np / tot.p) * ((tot.p - c.pb) / ((tot.p - c.pb) + (tot.n - c.nb))) " +
+      "ELSE 0 END) END, 6) AS ap FROM c, tot GROUP BY tot.p, tot.n"
+
   /** DuckDB mirror of [[graft.ops.TextAnalysis.qualityFitScore]]: the
     * feature frame (the q_quality expressions, unrounded), a q6-rounded
     * standardization CTE, then one (gradient / weights) CTE pair per GD
@@ -3980,6 +4003,7 @@ object SparkEntry {
     // classifier eval: integer confusion sweep + exact tie-aware AUC
     "q_threshold_sweep" -> thresholdSweepSql,
     "q_auc" -> aucSql,
+    "q_ap" -> apSql,
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

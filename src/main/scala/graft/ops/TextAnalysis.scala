@@ -1805,7 +1805,53 @@ object TextAnalysis {
     * is absent.
     */
   def aucScore(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame =
+    scoreDictCum(scored, scoreCol, labelCol)
+      .agg(sum("_np").as("_P"), sum("_nn").as("_N"),
+        sum(col("_np") * (col("_nnBelow") + col("_nn") / 2)).as("_U"))
+      .select(col("_P").cast("long").as("n_pos"),
+        col("_N").cast("long").as("n_neg"),
+        round(when(col("_P") > 0 && col("_N") > 0,
+          col("_U") / (col("_P") * col("_N"))), 6).as("auc"))
+
+  /** EXACT average precision (the step-wise PR-AUC,
+    * sklearn's average_precision_score definition) with proper tie
+    * handling on the same [[scoreDictCum]] dictionary: thresholds at
+    * each distinct score s descending, P(s) = tp_s/(tp_s+fp_s) with
+    * tp_s/fp_s the ≥-s cumulative counts (derived from the
+    * strictly-below prefix sums: tp_s = P − posBelow_s), recall
+    * increment = np_s/P, and AP = Σ_s (np_s/P)·P(s). Integer-derived
+    * rationals per term; rounds 6. Returns one row
+    * (n_pos, n_neg, ap); NULL when no positives.
+    */
+  def apScore(scored: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
+    val cum = scoreDictCum(scored, scoreCol, labelCol).localCheckpoint()
+    // grand totals as plan constants (dictionary-sized aggregate; exact
+    // integers in doubles, so the oracle's scalar subqueries agree)
+    val tot = cum.agg(coalesce(sum("_np"), lit(0.0)),
+      coalesce(sum("_nn"), lit(0.0))).head()
+    val (p, n) = (tot.getDouble(0), tot.getDouble(1))
+    val tp = lit(p) - col("_npBelow")
+    val fp = lit(n) - col("_nnBelow")
+    cum
+      .agg(sum(when(col("_np") > 0,
+        (col("_np") / p) * (tp / (tp + fp))).otherwise(lit(0.0))).as("_ap"))
+      .select(lit(p.toLong).as("n_pos"), lit(n.toLong).as("n_neg"),
+        round(when(lit(p) > 0, col("_ap")), 6).as("ap"))
+  }
+
+  /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
+    * sums of both class counts (the perplexityBuckets machinery:
+    * approx_percentile range buckets — monotone in the score — a
+    * within-bucket ordered window, and driver-collected per-bucket
+    * totals broadcast back as offsets; no unpartitioned window at any
+    * score cardinality). One corpus pass builds the dictionary
+    * (map-side combined); everything after is dictionary-sized.
+    * Returns (_s, _np, _nn, _npBelow, _nnBelow).
+    */
+  private def scoreDictCum(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val y = col(labelCol).cast("boolean").cast("int")
     val dict = scored
@@ -1824,26 +1870,25 @@ object TextAnalysis {
       else boundsRow.getSeq[Double](0).distinct.sorted.toArray
     val parted = dict.withColumn("_part",
       size(filter(lit(bounds), b => b < col("_s"))))
-    val totals = parted.groupBy("_part").agg(sum("_nn").as("t")).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
-    val offs = totals.scanLeft(0.0)(_ + _._2).init
+    val totals = parted.groupBy("_part")
+      .agg(sum("_np").as("tp"), sum("_nn").as("tn")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val offP = totals.scanLeft(0.0)(_ + _._2).init
+    val offN = totals.scanLeft(0.0)(_ + _._3).init
     val offDf = scored.sparkSession.createDataFrame(
-      totals.map(_._1).zip(offs).toSeq).toDF("_part", "_off")
+      totals.indices.map(i => (totals(i)._1, offP(i), offN(i))))
+      .toDF("_part", "_offP", "_offN")
+    val w = Window.partitionBy(col("_part")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
-      .withColumn("_w", sum("_nn").over(Window.partitionBy(col("_part"))
-        .orderBy(col("_s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_wP", sum("_np").over(w))
+      .withColumn("_wN", sum("_nn").over(w))
       .join(broadcast(offDf), Seq("_part"))
-      // strictly-below negatives: cumulative through this score minus
-      // this score's own negatives
-      .select(col("_np"), col("_nn"),
-        (col("_off") + col("_w") - col("_nn")).as("_below"))
-      .agg(sum("_np").as("_P"), sum("_nn").as("_N"),
-        sum(col("_np") * (col("_below") + col("_nn") / 2)).as("_U"))
-      .select(col("_P").cast("long").as("n_pos"),
-        col("_N").cast("long").as("n_neg"),
-        round(when(col("_P") > 0 && col("_N") > 0,
-          col("_U") / (col("_P") * col("_N"))), 6).as("auc"))
+      // strictly below = cumulative through this score minus own counts
+      .select(col("_s"), col("_np"), col("_nn"),
+        (col("_offP") + col("_wP") - col("_np")).as("_npBelow"),
+        (col("_offN") + col("_wN") - col("_nn")).as("_nnBelow"))
   }
 
   /** Gopher/MassiveText document-quality rules (Rae et al. 2021, table

@@ -893,6 +893,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == ((2L, 0L, None)))
   }
 
+  test("apScore ≡ sklearn-style sequential average precision with ties") {
+    // hand-checked: pos {0.9, 0.5}, neg {0.7, 0.5}. Descending distinct
+    // scores: 0.9 → tp=1 fp=0, ΔR=1/2, P=1; 0.7 → no pos at s; 0.5 →
+    // tp=2 fp=2, ΔR=1/2, P=0.5. AP = 0.5·1 + 0.5·0.5 = 0.75
+    val scored = Seq((0.9, 1), (0.7, 0), (0.5, 1), (0.5, 0)).toDF("s", "y")
+    val got = TextAnalysis.apScore(scored, "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((2L, 2L, Some(0.75))), got)
+    // random tied data vs a sequential reference
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(400) {
+      val y = rnd.nextInt(2)
+      val s = math.min(1.0, math.max(0.0,
+        math.rint((0.4 + 0.25 * y + 0.25 * rnd.nextGaussian()) * 20) / 20))
+      (s, y)
+    }
+    val g2 = TextAnalysis.apScore(rows.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    val p = rows.count(_._2 == 1).toDouble
+    val byS = rows.groupBy(_._1).map { case (s, v) =>
+      (s, v.count(_._2 == 1).toDouble, v.count(_._2 == 0).toDouble)
+    }.toSeq.sortBy(-_._1)
+    var (tp, fp, ap) = (0.0, 0.0, 0.0)
+    byS.foreach { case (_, np, nn) =>
+      tp += np; fp += nn
+      if (np > 0) ap += (np / p) * (tp / (tp + fp))
+    }
+    assert(g2._3.exists(a => math.abs(a - ap) <= 1e-6), s"$g2 vs $ap")
+    // no positives → NULL
+    val none = TextAnalysis.apScore(Seq((0.3, 0)).toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(none == ((0L, 1L, None)))
+  }
+
   test("aucScore ≡ a sequential rank-statistic reference on random data") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(500) {
