@@ -556,6 +556,13 @@ object SparkEntry {
     "q_ap" -> ((s, d) =>
       TextAnalysis.apScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // the fairness cut: exact AUC per source (group-partitioned window)
+    "q_auc_group" -> ((s, d) =>
+      TextAnalysis.aucByGroup(
+        TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+            (col("n_chars") >= 300).cast("int").as("y")), "doc_id"),
+        "source", "quality_score", "y")),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
     // identity), so every 13th doc gets a decomposed-accent + double-space
     // suffix injected IN the query (chr() codepoints in the oracle SQL) —
@@ -2889,17 +2896,17 @@ object SparkEntry {
     */
   private def qualityLabeledCtes: String = {
     val (bias, wLog, wAvg, wStop, wNon, _) = ops.TextAnalysis.QUALITY_W
-    s"t AS (SELECT doc_id, text, n_chars, $TOKS AS toks FROM documents), " +
-      "f AS (SELECT doc_id, n_chars, len(toks) AS n, " +
+    s"t AS (SELECT doc_id, source, text, n_chars, $TOKS AS toks FROM documents), " +
+      "f AS (SELECT doc_id, source, n_chars, len(toks) AS n, " +
       "coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) / " +
       "greatest(len(toks), 1) AS avg_len, " +
       "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) / " +
       "greatest(len(toks), 1) AS stop_r, " +
       s"(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g'))) / " +
       "greatest(length(text), 1) AS non_al FROM t), " +
-      s"z AS (SELECT doc_id, n_chars, ($bias) + ($wLog) * ln(1 + n) + " +
+      s"z AS (SELECT doc_id, source, n_chars, ($bias) + ($wLog) * ln(1 + n) + " +
       s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
-      "j AS (SELECT round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
+      "j AS (SELECT source, round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
       "CAST(n_chars >= 300 AS INT) AS y FROM z)"
   }
 
@@ -2941,6 +2948,22 @@ object SparkEntry {
       "round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN " +
       "sum(np * (below + nn / 2)) / (sum(np) * sum(nn)) END, 6) AS auc " +
       "FROM c"
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.aucByGroup]]: the aucSql
+    * algebra with every stage keyed by source.
+    */
+  private def aucGroupSql: String =
+    s"WITH $qualityLabeledCtes, " +
+      "d AS (SELECT source, s, CAST(sum(y) AS DOUBLE) AS np, " +
+      "CAST(sum(1 - y) AS DOUBLE) AS nn FROM j GROUP BY source, s), " +
+      "c AS (SELECT source, s, np, nn, coalesce(sum(nn) OVER " +
+      "(PARTITION BY source ORDER BY s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM d) " +
+      "SELECT source, CAST(sum(np) AS BIGINT) AS n_pos, " +
+      "CAST(sum(nn) AS BIGINT) AS n_neg, " +
+      "round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN " +
+      "sum(np * (below + nn / 2)) / (sum(np) * sum(nn)) END, 6) AS auc " +
+      "FROM c GROUP BY source"
 
   /** DuckDB mirror of [[graft.ops.TextAnalysis.apScore]] over the same
     * input: step-wise average precision from the strictly-below
@@ -4004,6 +4027,7 @@ object SparkEntry {
     "q_threshold_sweep" -> thresholdSweepSql,
     "q_auc" -> aucSql,
     "q_ap" -> apSql,
+    "q_auc_group" -> aucGroupSql,
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

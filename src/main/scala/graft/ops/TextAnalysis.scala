@@ -1841,6 +1841,41 @@ object TextAnalysis {
         round(when(lit(p) > 0, col("_ap")), 6).as("ap"))
   }
 
+  /** Per-group exact AUC — the fairness report: does the scorer rank as
+    * well WITHIN every source/language/domain as it does globally? Same
+    * tie-aware Mann-Whitney algebra as [[aucScore]], but the cumulative
+    * negatives use a plain window PARTITIONED BY the group over the
+    * per-group score dictionary — the standard distributed-window idiom
+    * (each group's dictionary sorts in its own partition; the global
+    * form needs the prefix-sum machinery precisely because it has no
+    * partitioning key). One map-side-combined dictionary aggregate,
+    * one window, one group-keyed aggregate; the corpus never moves.
+    * Returns (group, n_pos, n_neg, auc round 6; NULL one-class groups).
+    */
+  def aucByGroup(scored: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = col(labelCol).cast("boolean").cast("int")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .select(col(groupCol), col(scoreCol).cast("double").as("_s"),
+        y.as("_y"))
+      .where(col("_s").isNotNull)
+      .groupBy(col(groupCol), col("_s"))
+      .agg(sum(col("_y")).cast("double").as("_np"),
+        sum(lit(1) - col("_y")).cast("double").as("_nn"))
+      .withColumn("_below", sum("_nn").over(w) - col("_nn"))
+      .groupBy(col(groupCol))
+      .agg(sum("_np").as("_P"), sum("_nn").as("_N"),
+        sum(col("_np") * (col("_below") + col("_nn") / 2)).as("_U"))
+      .select(col(groupCol),
+        col("_P").cast("long").as("n_pos"),
+        col("_N").cast("long").as("n_neg"),
+        round(when(col("_P") > 0 && col("_N") > 0,
+          col("_U") / (col("_P") * col("_N"))), 6).as("auc"))
+  }
+
   /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
     * sums of both class counts (the perplexityBuckets machinery:
     * approx_percentile range buckets — monotone in the score — a

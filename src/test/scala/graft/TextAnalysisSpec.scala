@@ -927,6 +927,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none == ((0L, 1L, None)))
   }
 
+  test("aucByGroup ≡ aucScore run per group; one-class groups NULL") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(300) { i =>
+      val g = s"src${i % 3}"
+      val y = rnd.nextInt(2)
+      val s = math.rint((0.3 + 0.3 * y + 0.3 * rnd.nextDouble()) * 20) / 20
+      (g, s, y)
+    } :+ (("lonely", 0.5, 1)) // one-class group
+    val df = rows.toDF("g", "s", "y")
+    val got = TextAnalysis.aucByGroup(df, "g", "s", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    for (g <- Seq("src0", "src1", "src2")) {
+      val sub = TextAnalysis.aucScore(df.where($"g" === g), "s", "y")
+        .as[(Long, Long, Option[Double])].collect().head
+      assert(got(g) == ((g, sub._1, sub._2, sub._3)), g)
+    }
+    assert(got("lonely") == (("lonely", 1L, 0L, None)))
+  }
+
   test("aucScore ≡ a sequential rank-statistic reference on random data") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(500) {
