@@ -186,6 +186,31 @@ object SparkEntry {
     * canonical collisions), trailing slash, tracking params, and fragment
     * all keyed on doc_id residues so the oracle rebuilds the same URLs.
     */
+  /** DuckDB twin of [[asofMicrosFrames]] (epoch_us ≡ unix_micros after
+    * Tables.events' ns→µs truncation — both truncate toward zero).
+    */
+  private val ASOF_US_CTES: String =
+    "v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS v_id " +
+      "FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS p_id " +
+      "FROM events WHERE event_type = 'purchase')"
+
+  /** The q_asof_join purchase/view frames with ts as BIGINT MICROS —
+    * shared by the merge_asof direction queries (exact integer distance
+    * arithmetic in both engines).
+    */
+  private def asofMicrosFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts"))
+      .agg(max("event_id").as("v_id"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts"),
+        col("event_id").as("p_id"))
+    (p, v)
+  }
+
   /** The fixed quality classifier's scores joined to the length weak
     * label (the q_quality_fit convention) — the shared input of the
     * classifier-eval queries (q_threshold_sweep, q_auc).
@@ -310,6 +335,22 @@ object SparkEntry {
       val p = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
       Joins.asofJoin(p, v, "user_id", "ts", "p_id", "v_id")
+        .select("p_id", "v_id")
+    }),
+    // merge_asof directions: forward (earliest view at-or-after each
+    // purchase) and nearest-with-tolerance (closer of the two sides,
+    // tie → backward, within 6 hours). Timestamps ride as BIGINT
+    // micros so the distance arithmetic is exact integer in BOTH
+    // engines — no double-seconds ulp at the tie boundary
+    "q_asof_fwd" -> ((s, d) => {
+      val (p, v) = asofMicrosFrames(s, d)
+      Joins.asofJoinDir(p, v, "user_id", "ts", "p_id", "v_id",
+        direction = "forward").select("p_id", "v_id")
+    }),
+    "q_asof_near" -> ((s, d) => {
+      val (p, v) = asofMicrosFrames(s, d)
+      Joins.asofJoinDir(p, v, "user_id", "ts", "p_id", "v_id",
+        direction = "nearest", toleranceSec = Some(21600e6))
         .select("p_id", "v_id")
     }),
     // point-in-interval lookup: price bands (overlapping on purpose) over
@@ -3532,6 +3573,32 @@ object SparkEntry {
         "WHERE event_type = 'purchase') " +
         "SELECT p.p_id, v.v_id FROM p ASOF JOIN v " +
         "ON p.user_id = v.user_id AND v.ts <= p.ts"),
+    // merge_asof forward: correlated earliest-at-or-after per purchase
+    // (exact integer micros on both sides)
+    "q_asof_fwd" ->
+      (s"WITH $ASOF_US_CTES, " +
+        "m AS (SELECT p.p_id, (SELECT v.v_id FROM v WHERE " +
+        "v.user_id = p.user_id AND v.ts >= p.ts ORDER BY v.ts ASC LIMIT 1) " +
+        "AS v_id FROM p) SELECT p_id, v_id FROM m WHERE v_id IS NOT NULL"),
+    // merge_asof nearest, tie -> backward, tolerance 6 h (21600e6 us)
+    "q_asof_near" ->
+      (s"WITH $ASOF_US_CTES, " +
+        "m AS (SELECT p.p_id, p.ts, " +
+        "(SELECT v.ts FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC LIMIT 1) AS bts, " +
+        "(SELECT v.v_id FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC LIMIT 1) AS bv, " +
+        "(SELECT v.ts FROM v WHERE v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC LIMIT 1) AS fts, " +
+        "(SELECT v.v_id FROM v WHERE v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC LIMIT 1) AS fv FROM p), " +
+        "sel AS (SELECT p_id, ts, " +
+        "CASE WHEN bts IS NULL THEN fv WHEN fts IS NULL THEN bv " +
+        "WHEN (fts - ts) < (ts - bts) THEN fv ELSE bv END AS v_id, " +
+        "CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts " +
+        "WHEN (fts - ts) < (ts - bts) THEN fts ELSE bts END AS mts FROM m) " +
+        "SELECT p_id, v_id FROM sel WHERE v_id IS NOT NULL " +
+        "AND abs(ts - mts) <= 21600000000"),
     "q_range_lookup" ->
       (s"WITH bands(band_id, lo, hi) AS (VALUES $rangeBandsSql) " +
         "SELECT band_id, count(*) AS n, " +

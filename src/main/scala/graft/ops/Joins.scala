@@ -97,6 +97,74 @@ object Joins {
         col("_asof").as(rightVal))
   }
 
+  /** [[asofJoin]] generalized to the pandas merge_asof surface:
+    * `direction` ∈ backward (latest at-or-before — asofJoin's
+    * semantics), forward (earliest at-or-after), nearest (whichever of
+    * the two is closer; exact-tie → backward, deterministically), plus
+    * an optional `toleranceSec` — the maximum |left ts − matched ts| in
+    * the timestamp's double-cast unit (seconds for timestamps, the raw
+    * value for numeric time columns); out-of-tolerance rows drop (inner
+    * semantics, like the base join).
+    *
+    * Same scale shape as [[asofJoin]]: union + keyed running-last, ONE
+    * shuffle on the key. Forward is the same running window over the
+    * reversed ordering, and nearest evaluates both windows on the one
+    * unioned frame — same partitioning, two sorts, still no pair
+    * blow-up. The matched right timestamp rides in a struct so the
+    * tolerance/nearest arithmetic never needs a second join. The
+    * [[asofJoin]] non-null `rightVal` contract applies.
+    */
+  def asofJoinDir(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, leftId: String, rightVal: String,
+      direction: String = "backward",
+      toleranceSec: Option[Double] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinDir: unknown direction '$direction'")
+    val lidT = left.schema(leftId).dataType
+    val rvalT = right.schema(rightVal).dataType
+    val l = left.select(col(key), col(tsCol), col(leftId).as("_lid"),
+      lit(null).cast(rvalT).as("_rv0"), lit(0).as("_side"))
+    val r = right.select(col(key), col(tsCol),
+      lit(null).cast(lidT).as("_lid"), col(rightVal).as("_rv0"),
+      lit(1).as("_side"))
+    val u = l.unionByName(r)
+      // the whole right payload (value + its ts) rides one nullable
+      // struct; left rows carry NULL so last(ignoreNulls) skips them
+      .withColumn("_r", when(col("_side") === 1,
+        struct(col(tsCol).as("_rts"), col("_rv0").as("_rv"))))
+    import org.apache.spark.sql.expressions.Window
+    val frame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(Window.unboundedPreceding, 0)
+    val back = last(col("_r"), ignoreNulls = true).over(frame(
+      Window.partitionBy(col(key)).orderBy(col(tsCol).asc, col("_side").desc)))
+    val fwd = last(col("_r"), ignoreNulls = true).over(frame(
+      Window.partitionBy(col(key)).orderBy(col(tsCol).desc, col("_side").desc)))
+    val withPick = direction match {
+      case "backward" => u.withColumn("_m", back)
+      case "forward"  => u.withColumn("_m", fwd)
+      case "nearest"  =>
+        val t = col(tsCol).cast("double")
+        val db = t - col("_b._rts").cast("double")
+        val df = col("_f._rts").cast("double") - t
+        u.withColumn("_b", back).withColumn("_f", fwd)
+          .withColumn("_m",
+            when(col("_b").isNull, col("_f"))
+              .when(col("_f").isNull, col("_b"))
+              .when(df < db, col("_f"))
+              .otherwise(col("_b")))
+    }
+    val tolOk = toleranceSec match {
+      case None => lit(true)
+      case Some(tol) =>
+        abs(col(tsCol).cast("double") - col("_m._rts").cast("double")) <=
+          lit(tol)
+    }
+    withPick
+      .where(col("_side") === 0 && col("_m").isNotNull && tolOk)
+      .select(col(key), col(tsCol), col("_lid").as(leftId),
+        col("_m._rv").as(rightVal))
+  }
+
   /** Point-in-interval lookup join: every fact row matched to the
     * dimension rows whose half-open interval [lo, hi) contains its point —
     * the IP→geo / value→band / ts→validity-window lookup. Spark plans a

@@ -77,6 +77,39 @@ class JoinsSpec extends SparkSpec {
     assert(got == Map("L1" -> "B", "L2" -> "C"))
   }
 
+  test("asofJoinDir: backward ≡ asofJoin; forward, nearest, tolerance") {
+    val left = Seq(
+      (1L, 1L, "L0"), // before any right → fwd matches t=2, back drops
+      (1L, 3L, "L1"), // equal ts matches both directions (the t=3 row)
+      (1L, 5L, "L2"), // back t=4 (d=1), fwd none → back
+      (2L, 4L, "L3"), // back none, fwd t=9 (d=5)
+      (1L, 2L, "L4")  // exact right hit
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "C"), (2L, 9L, "D")
+    ).toDF("k", "t", "rv")
+    def run(dir: String, tol: Option[Double] = None) =
+      Joins.asofJoinDir(left, right, "k", "t", "lid", "rv", dir, tol)
+        .select("lid", "rv").as[(String, String)].collect().toMap
+    // backward ≡ the base asofJoin on the shared fixture rows
+    assert(run("backward") ==
+      Map("L1" -> "B", "L2" -> "C", "L4" -> "A"))
+    assert(run("forward") ==
+      Map("L0" -> "A", "L1" -> "B", "L3" -> "D", "L4" -> "A"))
+    // nearest: L0 fwd-only; L2 back-only; L3 fwd-only; equal-distance
+    // tie at L5 below exercises tie → backward
+    assert(run("nearest") ==
+      Map("L0" -> "A", "L1" -> "B", "L2" -> "C", "L3" -> "D", "L4" -> "A"))
+    // tolerance: L3's only match is 5 away → dropped at tol 4
+    assert(run("nearest", Some(4.0)) ==
+      Map("L0" -> "A", "L1" -> "B", "L2" -> "C", "L4" -> "A"))
+    // exact-tie → backward: left at t=3 with rights at t=2 and t=4 only
+    val l2 = Seq((9L, 3L, "T")).toDF("k", "t", "lid")
+    val r2 = Seq((9L, 2L, "lo"), (9L, 4L, "hi")).toDF("k", "t", "rv")
+    assert(Joins.asofJoinDir(l2, r2, "k", "t", "lid", "rv", "nearest")
+      .select("rv").as[String].collect().toSeq == Seq("lo"))
+  }
+
   test("rangeLookup: equals the theta join, boundaries half-open, plan is a hash join") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
