@@ -597,6 +597,11 @@ object SparkEntry {
     "q_ap" -> ((s, d) =>
       TextAnalysis.apScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // Poisson-bootstrap CI for the AUC (100 deterministic md5 replicas,
+    // exact nearest-rank interval)
+    "q_auc_boot" -> ((s, d) =>
+      TextAnalysis.aucBootstrap(qualityScoredLabeled(s, d), "doc_id",
+        "quality_score", "y", replicas = 100)),
     // the fairness cut: exact AUC per source (group-partitioned window)
     "q_auc_group" -> ((s, d) =>
       TextAnalysis.aucByGroup(
@@ -2947,7 +2952,7 @@ object SparkEntry {
       "greatest(length(text), 1) AS non_al FROM t), " +
       s"z AS (SELECT doc_id, source, n_chars, ($bias) + ($wLog) * ln(1 + n) + " +
       s"($wAvg) * avg_len + ($wStop) * stop_r + ($wNon) * non_al AS z FROM f), " +
-      "j AS (SELECT source, round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
+      "j AS (SELECT doc_id, source, round(1.0 / (1.0 + exp(-z)), 4) AS s, " +
       "CAST(n_chars >= 300 AS INT) AS y FROM z)"
   }
 
@@ -3005,6 +3010,42 @@ object SparkEntry {
       "round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN " +
       "sum(np * (below + nn / 2)) / (sum(np) * sum(nn)) END, 6) AS auc " +
       "FROM c GROUP BY source"
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.aucBootstrap]]: the same
+    * deterministic md5 Poisson(1) weights (the '0x'||hex UBIGINT cast
+    * replay of Spark's conv), per-replica Mann-Whitney, and the
+    * nearest-rank CI over the sorted replica AUCs.
+    */
+  private def aucBootSql(replicas: Int): String = {
+    val cdf = ops.TextAnalysis.POISSON1_CDF
+      .map(java.lang.Double.toString).mkString("[", ",", "]")
+    s"WITH $qualityLabeledCtes, " +
+      s"e AS (SELECT j.doc_id, j.s, j.y, CAST(r.range AS BIGINT) AS b " +
+      s"FROM j, range($replicas) r), " +
+      "wts AS (SELECT s, y, b, " +
+      s"CAST(len(list_filter($cdf, c -> ((CAST(('0x' || " +
+      "substring(md5('boot' || '|' || CAST(doc_id AS VARCHAR) || '|' || " +
+      "CAST(b // 4 AS VARCHAR)), CAST((b % 4) * 8 + 1 AS INT), 8)) " +
+      "AS UBIGINT) + 0.5) / 4294967296.0) >= c)) " +
+      "AS DOUBLE) AS w FROM e), " +
+      "d AS (SELECT b, s, sum(w * y) AS np, sum(w * (1 - y)) AS nn " +
+      "FROM wts WHERE w > 0 GROUP BY b, s), " +
+      "c AS (SELECT b, s, np, nn, coalesce(sum(nn) OVER (PARTITION BY b " +
+      "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS below FROM d), " +
+      "per AS (SELECT b, sum(np) AS p, sum(nn) AS n, " +
+      "sum(np * (below + nn / 2)) AS u FROM c GROUP BY b), " +
+      "aucs AS (SELECT round(u / (p * n), 6) AS auc FROM per " +
+      "WHERE p > 0 AND n > 0), " +
+      "ranked AS (SELECT auc, row_number() OVER (ORDER BY auc) AS rn, " +
+      "count(*) OVER () AS cnt FROM aucs) " +
+      "SELECT CAST(max(cnt) AS INT) AS n_replicas, " +
+      "round(sum(auc) / max(cnt), 6) AS auc_mean, " +
+      "max(CASE WHEN rn = greatest(CAST(ceil(0.025 * cnt) AS INT), 1) " +
+      "THEN auc END) AS ci_lo, " +
+      "max(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS INT) THEN auc END) " +
+      "AS ci_hi FROM ranked"
+  }
 
   /** DuckDB mirror of [[graft.ops.TextAnalysis.apScore]] over the same
     * input: step-wise average precision from the strictly-below
@@ -4095,6 +4136,7 @@ object SparkEntry {
     "q_auc" -> aucSql,
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
+    "q_auc_boot" -> aucBootSql(100),
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

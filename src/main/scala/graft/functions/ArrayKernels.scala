@@ -20,6 +20,61 @@ import org.apache.spark.sql.types._
   */
 object ArrayKernels {
 
+  /** `poisson1_weight(key, lane)` — the deterministic Poisson(1)
+    * bootstrap multiplicity: md5 the UTF-8 bytes of `key`, read 32-bit
+    * big-endian lane `lane` (0..3) of the 128-bit digest as an unsigned
+    * uniform u = (v + 0.5)/2³², and return the number of inverse-CDF
+    * `thresholds` at or below u. Bit-identical to the SQL replay
+    * `len(list_filter(cdf, c -> (('0x'||substring(md5(k), lane*8+1, 8))
+    * ::UBIGINT + 0.5)/2^32 >= c))`, but ONE digest per row in a codegen
+    * call — the composed built-in form evaluates the md5 chain once per
+    * THRESHOLD because higher-order lambdas fall out of whole-stage
+    * codegen (measured 9×: 105 s vs ~13 s at 100M draws).
+    */
+  case class Poisson1Weight(left: Expression, right: Expression,
+      thresholds: Seq[Double]) extends BinaryExpression {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "poisson1_weight thresholds must be sorted and non-empty")
+    private val ts: Array[Double] = thresholds.toArray
+    @transient private lazy val digest =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"poisson1_weight requires (STRING, INT), got ${l.catalogString}, ${r.catalogString}")
+      }
+    def compute(key: org.apache.spark.unsafe.types.UTF8String,
+        lane: Int): Int = {
+      require(lane >= 0 && lane <= 3, s"poisson1_weight lane $lane not in 0..3")
+      val md = digest.get()
+      md.reset()
+      val d = md.digest(key.getBytes)
+      val o = lane * 4
+      val v = ((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
+        ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)
+      val u = (v + 0.5) / 4294967296.0
+      var k = 0
+      while (k < ts.length && u >= ts(k)) k += 1
+      k
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("poissonWeightKernel", this,
+        classOf[Poisson1Weight].getName)
+      nullSafeCodeGen(ctx, ev, (k, l) => s"${ev.value} = $ref.compute($k, $l);")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `array_dot(a, b)` — Σ aᵢ·bᵢ over two ARRAY<DOUBLE> columns. */
   case class ArrayDotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -2166,6 +2221,11 @@ object ArrayKernels {
   def bpe_merge_encode(word: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeMergeEncode(
       GraftSqlBridge.expression(word), merges))
+
+  def poisson1_weight(key: Column, lane: Column,
+      thresholds: Seq[Double]): Column =
+    GraftSqlBridge.column(Poisson1Weight(GraftSqlBridge.expression(key),
+      GraftSqlBridge.expression(lane), thresholds))
 
   def signed_project(vec: Column, inDim: Int, outDim: Int,
       tag: String): Column =

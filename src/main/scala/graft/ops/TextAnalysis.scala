@@ -1876,6 +1876,88 @@ object TextAnalysis {
           col("_U") / (col("_P") * col("_N"))), 6).as("auc"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds for k = 0..8: u ≥ k of them ⇒
+    * bootstrap weight k. P(K > 8) ≈ 1.1e-6 is truncated identically in
+    * both engines (the weight caps at 9).
+    */
+  private[graft] val POISSON1_CDF: Seq[Double] =
+    (0 to 8).map { k =>
+      (0 to k).map { j =>
+        var f = 1.0; (1 to j).foreach(f *= _); 1.0 / f
+      }.sum * math.exp(-1.0)
+    }
+
+  /** Bootstrap confidence interval for [[aucScore]] via the POISSON
+    * bootstrap — the at-scale resampling scheme (each row enters
+    * replica b with an independent Poisson(1) multiplicity, so no
+    * global multinomial coordination is needed; the standard
+    * large-data bootstrap). Weights are DETERMINISTIC md5 draws keyed
+    * on (salt, row id, replica) — the raceClock convention — so runs,
+    * engines, and retries agree exactly. Per-replica AUC uses the same
+    * tie-aware Mann-Whitney algebra on a (replica, score) dictionary
+    * with the cumulative window PARTITIONED BY replica (distributed
+    * across replicas); the replica AUCs (≤ `replicas` rows, a
+    * parameter-bounded driver collect — the model-sized-collect
+    * convention) yield the mean and an exact nearest-rank CI
+    * (ranks ⌈α·B⌉ and ⌈(1−α)·B⌉ over the sorted replicas; one-class
+    * replicas drop). Cost is one corpus × replicas pass, map-side
+    * combined into the dictionary — linear, shuffle on (replica,
+    * score). Returns one row (n_replicas, auc_mean, ci_lo, ci_hi).
+    */
+  def aucBootstrap(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, replicas: Int = 100, alpha: Double = 0.025,
+      salt: String = "boot"): DataFrame = {
+    require(replicas >= 2 && replicas <= 100000,
+      s"aucBootstrap: replicas must be in [2, 100000], got $replicas")
+    require(alpha > 0 && alpha < 0.5, s"bad alpha $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val y = col(labelCol).cast("boolean").cast("int")
+    // one md5 yields FOUR 32-bit uniform lanes (the digest is 128 bits),
+    // so replica b draws lane b mod 4 of md5(salt|id|b div 4); the draw
+    // is a single codegen'd kernel call per row — the built-in
+    // filter-over-thresholds form re-ran the md5 chain once per
+    // threshold (HOF lambdas are interpreted; measured 105 s vs ~13 s
+    // at 100M draws)
+    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
+      (col("_b") / 4).cast("long").cast("string"))
+    val w = graft.functions.ArrayKernels.poisson1_weight(key,
+      (col("_b") % 4).cast("int"), POISSON1_CDF).cast("double")
+    val dict = scored
+      .select(col(idCol).cast("string").as("_id"),
+        col(scoreCol).cast("double").as("_s"), y.as("_y"))
+      .where(col("_s").isNotNull)
+      .select(col("_id"), col("_s"), col("_y"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("_b"))
+      .withColumn("_w", w).where(col("_w") > 0)
+      .groupBy(col("_b"), col("_s"))
+      .agg(sum(col("_w") * col("_y")).as("_np"),
+        sum(col("_w") * (lit(1) - col("_y"))).as("_nn"))
+    val win = Window.partitionBy(col("_b")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val aucs = dict
+      .withColumn("_below", sum("_nn").over(win) - col("_nn"))
+      .groupBy("_b")
+      .agg(sum("_np").as("_P"), sum("_nn").as("_N"),
+        sum(col("_np") * (col("_below") + col("_nn") / 2)).as("_U"))
+      .select(round(when(col("_P") > 0 && col("_N") > 0,
+        col("_U") / (col("_P") * col("_N"))), 6).as("_auc"))
+      .where(col("_auc").isNotNull)
+      .as[Double].collect().sorted
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val bEff = aucs.length
+    val out =
+      if (bEff == 0) Seq((0, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+      else {
+        val lo = aucs(math.max(math.ceil(alpha * bEff).toInt, 1) - 1)
+        val hi = aucs(math.ceil((1 - alpha) * bEff).toInt - 1)
+        Seq((bEff, Some(q6(aucs.sum / bEff)), Some(lo), Some(hi)))
+      }
+    out.toDF("n_replicas", "auc_mean", "ci_lo", "ci_hi")
+  }
+
   /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
     * sums of both class counts (the perplexityBuckets machinery:
     * approx_percentile range buckets — monotone in the score — a

@@ -947,6 +947,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("lonely") == (("lonely", 1L, 0L, None)))
   }
 
+  test("aucBootstrap: deterministic, CI brackets the point AUC, " +
+      "≡ sequential md5-Poisson reference") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.tabulate(200) { i =>
+      val y = rnd.nextInt(2)
+      val s = math.rint((0.35 + 0.3 * y + 0.25 * rnd.nextGaussian()) * 20) / 20
+      (i.toLong, s, y)
+    }
+    val df = rows.toDF("id", "s", "y")
+    val B = 50
+    val got = TextAnalysis.aucBootstrap(df, "id", "s", "y", replicas = B)
+      .as[(Int, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    val again = TextAnalysis.aucBootstrap(df, "id", "s", "y", replicas = B)
+      .as[(Int, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == again, "bootstrap must be deterministic")
+    val point = TextAnalysis.aucScore(df, "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head._3.get
+    assert(got._3.get <= point && point <= got._4.get,
+      s"CI ${got._3}-${got._4} must bracket $point")
+    assert(got._3.get < got._4.get && got._1 == B)
+    // sequential reference: same md5 draws, weighted pairwise AUC
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    def weight(id: Long, b: Int): Double = {
+      // replica b draws lane b mod 4 of md5(salt|id|b div 4)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot|$id|${b / 4}".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+        .substring((b % 4) * 8, (b % 4) * 8 + 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      TextAnalysis.POISSON1_CDF.count(c => u >= c).toDouble
+    }
+    val refAucs = (0 until B).flatMap { b =>
+      val wr = rows.map { case (id, s, y) => (s, y, weight(id, b)) }
+        .filter(_._3 > 0)
+      val pos = wr.filter(_._2 == 1); val neg = wr.filter(_._2 == 0)
+      val p = pos.map(_._3).sum; val n = neg.map(_._3).sum
+      if (p == 0 || n == 0) None
+      else {
+        val u = (for (a <- pos; c <- neg) yield
+          a._3 * c._3 * (if (a._1 > c._1) 1.0
+            else if (a._1 == c._1) 0.5 else 0.0)).sum
+        Some(q6(u / (p * n)))
+      }
+    }.sorted
+    assert(refAucs.length == got._1)
+    val lo = refAucs(math.max(math.ceil(0.025 * refAucs.length).toInt, 1) - 1)
+    val hi = refAucs(math.ceil(0.975 * refAucs.length).toInt - 1)
+    assert(math.abs(got._3.get - lo) <= 1e-6 &&
+      math.abs(got._4.get - hi) <= 1e-6, s"$got vs ($lo, $hi)")
+    assert(math.abs(got._2.get - q6(refAucs.sum / refAucs.length)) <= 1e-6)
+  }
+
   test("aucScore ≡ a sequential rank-statistic reference on random data") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(500) {

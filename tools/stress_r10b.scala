@@ -48,4 +48,13 @@ val a = time("auc-6M-rows")(
   graft.ops.TextAnalysis.aucScore(scored, "s", "y").collect()(0).toString)
 val sw = time("threshold-sweep-6M-rows")(
   graft.ops.TextAnalysis.thresholdSweep(scored, "s", "y").count())
+// Poisson bootstrap: 1M rows x 100 replicas = 100M weighted draws
+val scored1m = (spark.range(1000000L)
+  .select(col("id"),
+    (round((col("id") % 997).cast("double") / 997, 4)).as("s"),
+    ((col("id") % 3) === 0).cast("int").as("y"))
+  .localCheckpoint())
+val bs = time("auc-bootstrap-1M-rows-100-replicas")(
+  graft.ops.TextAnalysis.aucBootstrap(scored1m, "id", "s", "y",
+    replicas = 100).collect()(0).toString)
 sys.exit(0)
