@@ -597,6 +597,14 @@ object SparkEntry {
     "q_ap" -> ((s, d) =>
       TextAnalysis.apScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // exact two-sample KS drift test: English vs non-English n_chars
+    "q_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.ksTest(
+        docs.where(col("lang") === "en").select(col("n_chars")),
+        docs.where(col("lang") =!= "en").select(col("n_chars")),
+        "n_chars")
+    }),
     // Poisson-bootstrap CI for the AUC (100 deterministic md5 replicas,
     // exact nearest-rank interval)
     "q_auc_boot" -> ((s, d) =>
@@ -4137,6 +4145,24 @@ object SparkEntry {
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
     "q_auc_boot" -> aucBootSql(100),
+    // exact KS: integer-rational CDF gap maximized over the dictionary
+    "q_ks_drift" ->
+      ("WITH t AS (SELECT CAST(n_chars AS DOUBLE) AS v, " +
+        "CAST(lang = 'en' AS INT) AS y FROM documents), " +
+        "d AS (SELECT v, CAST(sum(y) AS DOUBLE) AS np, " +
+        "CAST(sum(1 - y) AS DOUBLE) AS nn FROM t GROUP BY v), " +
+        "c AS (SELECT v, np, nn, " +
+        "coalesce(sum(np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) AS pb, " +
+        "coalesce(sum(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) AS nb FROM d), " +
+        "tot AS (SELECT sum(np) AS na, sum(nn) AS nb2 FROM d) " +
+        "SELECT CAST(tot.na AS BIGINT) AS n_a, " +
+        "CAST(tot.nb2 AS BIGINT) AS n_b, " +
+        "round(max(abs((c.pb + c.np) / tot.na - (c.nb + c.nn) / tot.nb2)), 6) AS ks, " +
+        "CAST(max(abs((c.pb + c.np) / tot.na - (c.nb + c.nn) / tot.nb2)) > " +
+        "1.358 * sqrt((tot.na + tot.nb2) / (tot.na * tot.nb2)) AS INT) " +
+        "AS reject_05 FROM c, tot GROUP BY tot.na, tot.nb2"),
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

@@ -2236,6 +2236,42 @@ object TextAnalysis {
     * Null values are excluded (no bucket — the [[Sampling.perplexityMix]]
     * null-score policy).
     */
+  /** Exact two-sample Kolmogorov-Smirnov statistic — the
+    * distribution-shift test [[distributionDrift]]'s PSI buckets
+    * approximate: D = max over distinct values of |F̂_a − F̂_b|, with the
+    * empirical CDFs as exact integer rationals, so the oracle agrees
+    * bit-for-bit. Rides [[scoreDictCum]] (value dictionary + the
+    * distributed strictly-below prefix sums; inclusive CDF = below +
+    * own), one corpus pass per side. `reject_05` applies the classical
+    * large-sample critical value c(0.05)·√((n_a+n_b)/(n_a·n_b)),
+    * c = 1.358. Returns one row (n_a, n_b, ks, reject_05); ks NULL when
+    * either sample is empty.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(col(valueCol).cast("double").as("_v"),
+        lit(1).as("_y"))
+      .unionByName(b.select(col(valueCol).cast("double").as("_v"),
+        lit(0).as("_y")))
+    val cum = scoreDictCum(tagged, "_v", "_y").localCheckpoint()
+    // sample sizes as plan constants (the apScore grand-totals pattern)
+    val tot = cum.agg(coalesce(sum("_np"), lit(0.0)),
+      coalesce(sum("_nn"), lit(0.0))).head()
+    val (na, nb) = (tot.getDouble(0), tot.getDouble(1))
+    if (na == 0 || nb == 0)
+      Seq((na.toLong, nb.toLong, Option.empty[Double], Option.empty[Int]))
+        .toDF("n_a", "n_b", "ks", "reject_05")
+    else {
+      val crit = 1.358 * math.sqrt((na + nb) / (na * nb))
+      cum.agg(max(abs((col("_npBelow") + col("_np")) / na -
+          (col("_nnBelow") + col("_nn")) / nb)).as("_ks"))
+        .select(lit(na.toLong).as("n_a"), lit(nb.toLong).as("n_b"),
+          round(col("_ks"), 6).as("ks"),
+          (col("_ks") > lit(crit)).cast("int").as("reject_05"))
+    }
+  }
+
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
       edges: Seq[Double]): DataFrame =
     distributionDriftFrom(bucketCounts(a, valueCol, edges), b, valueCol,

@@ -1001,6 +1001,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got._2.get - q6(refAucs.sum / refAucs.length)) <= 1e-6)
   }
 
+  test("ksTest: hand-checked, sequential parity, shift detection") {
+    // a = {1,2,3}, b = {3,4}: CDF gaps at v=1: 1/3; v=2: 2/3; v=3: 1/2;
+    // v=4: 0 → D = 2/3
+    val a1 = Seq(1, 2, 3).toDF("v"); val b1 = Seq(3, 4).toDF("v")
+    val g1 = TextAnalysis.ksTest(a1, b1, "v")
+      .as[(Long, Long, Option[Double], Option[Int])].collect().head
+    assert(g1._1 == 3 && g1._2 == 2 &&
+      g1._3.contains(math.rint(2.0 / 3 * 1e6) / 1e6), g1)
+    // random two-sample vs a sequential reference
+    val rnd = new scala.util.Random(31)
+    val xa = Seq.fill(300)(rnd.nextInt(50).toDouble)
+    val xb = Seq.fill(200)(rnd.nextInt(50).toDouble + 10)
+    val g2 = TextAnalysis.ksTest(xa.toDF("v"), xb.toDF("v"), "v")
+      .as[(Long, Long, Option[Double], Option[Int])].collect().head
+    val vs = (xa ++ xb).distinct.sorted
+    val ref = vs.map(v => math.abs(
+      xa.count(_ <= v).toDouble / xa.size -
+        xb.count(_ <= v).toDouble / xb.size)).max
+    assert(g2._3.exists(k => math.abs(k - math.rint(ref * 1e6) / 1e6) <= 1e-9))
+    // the +10 shift on a 0..49 support is detectable at n=300/200
+    // (KS ≈ 0.2 vs critical ≈ 0.124)
+    assert(g2._4.contains(1), g2)
+    // identical samples: D = 0, no rejection; empty side: NULL
+    val same = TextAnalysis.ksTest(xa.toDF("v"), xa.toDF("v"), "v")
+      .as[(Long, Long, Option[Double], Option[Int])].collect().head
+    assert(same._3.contains(0.0) && same._4.contains(0))
+    val empty = TextAnalysis.ksTest(xa.toDF("v"),
+      Seq.empty[Double].toDF("v"), "v")
+      .as[(Long, Long, Option[Double], Option[Int])].collect().head
+    assert(empty == ((300L, 0L, None, None)))
+  }
+
   test("aucScore ≡ a sequential rank-statistic reference on random data") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(500) {
