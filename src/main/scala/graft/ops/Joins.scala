@@ -120,6 +120,12 @@ object Joins {
       toleranceSec: Option[Double] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofJoinDir: unknown direction '$direction'")
+    // internal working names must not shadow caller columns (the
+    // rangeLookup _rl_bin policy: fail fast, no silent replacement)
+    val reserved = Seq("_lid", "_rv0", "_side", "_r", "_b", "_f", "_m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"asofJoinDir: inputs must not contain reserved column(s) $clash")
     val lidT = left.schema(leftId).dataType
     val rvalT = right.schema(rightVal).dataType
     val l = left.select(col(key), col(tsCol), col(leftId).as("_lid"),

@@ -54,11 +54,15 @@ object Preference {
     * win counts (w, l, n). ADDITIVE under appended games — the standing
     * artifact a vote pipeline maintains ([[btMerge]] folds a new batch
     * by summing counts), from which [[btRatingsFromGraph]] recomputes
-    * ratings at graph cost, never replaying vote history.
+    * ratings at graph cost, never replaying vote history. Self-games
+    * (winner = loser — a malformed vote; it carries no preference
+    * information and would corrupt the MM denominators as a self-edge)
+    * are dropped here, so every downstream consumer sees a clean graph.
     */
   def btGraph(pairs: DataFrame, winnerCol: String = "winner",
       loserCol: String = "loser"): DataFrame =
-    pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+    pairs.where(!(col(winnerCol) <=> col(loserCol)))
+      .groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
       .agg(count(lit(1)).as("n"))
 
   /** Fold a new batch of games into a standing [[btGraph]]: counts sum.

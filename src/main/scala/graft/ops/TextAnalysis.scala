@@ -1903,6 +1903,10 @@ object TextAnalysis {
     * replicas drop). Cost is one corpus × replicas pass, map-side
     * combined into the dictionary — linear, shuffle on (replica,
     * score). Returns one row (n_replicas, auc_mean, ci_lo, ci_hi).
+    *
+    * `idCol` must be UNIQUE per row: duplicate ids draw IDENTICAL
+    * Poisson weights in every replica (their rows are perfectly
+    * correlated across the bootstrap), silently narrowing the CI.
     */
   def aucBootstrap(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, replicas: Int = 100, alpha: Double = 0.025,
