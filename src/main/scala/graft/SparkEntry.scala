@@ -597,6 +597,10 @@ object SparkEntry {
     "q_ap" -> ((s, d) =>
       TextAnalysis.apScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // one-row classifier scorecard (accuracy/Brier/log-loss)
+    "q_clf_report" -> ((s, d) =>
+      TextAnalysis.scoreReport(qualityScoredLabeled(s, d),
+        "quality_score", "y")),
     // exact two-sample KS drift test: English vs non-English n_chars
     "q_ks_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -4145,6 +4149,14 @@ object SparkEntry {
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
     "q_auc_boot" -> aucBootSql(100),
+    // scorecard: per-row expression aggregate, log-loss eps-clamped
+    "q_clf_report" ->
+      (s"WITH $qualityLabeledCtes " +
+        "SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "round(avg(CAST((s >= 0.5) = (y = 1) AS INT)), 4) AS accuracy, " +
+        "round(avg((s - y) * (s - y)), 6) AS brier, " +
+        "round(-avg(y * ln(greatest(s, 1e-15)) + " +
+        "(1 - y) * ln(greatest(1.0 - s, 1e-15))), 6) AS logloss FROM j"),
     // exact KS: integer-rational CDF gap maximized over the dictionary
     "q_ks_drift" ->
       ("WITH t AS (SELECT CAST(n_chars AS DOUBLE) AS v, " +

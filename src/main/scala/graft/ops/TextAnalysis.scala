@@ -1841,6 +1841,32 @@ object TextAnalysis {
         round(when(lit(p) > 0, col("_ap")), 6).as("ap"))
   }
 
+  /** One-row classifier scorecard — the headline numbers next to the
+    * detailed [[thresholdSweep]]/[[calibrationReport]]/[[aucScore]]
+    * tables: counts, accuracy at the 0.5 cut, Brier score, and clamped
+    * log-loss (probabilities floored at 1e-15 so a saturated scorer
+    * yields a finite, comparable penalty instead of ±Infinity). One
+    * map-side-combined aggregate; all terms are per-row expressions, so
+    * the corpus never shuffles.
+    */
+  def scoreReport(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean").cast("int")
+    val eps = 1e-15
+    scored.select(s.as("_s"), y.as("_y"))
+      .where(col("_s").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_y")).cast("long").as("n_pos"),
+        round(avg(((col("_s") >= 0.5) === (col("_y") === 1)).cast("int")), 4)
+          .as("accuracy"),
+        round(avg((col("_s") - col("_y")) * (col("_s") - col("_y"))), 6)
+          .as("brier"),
+        round(-avg(col("_y") * log(greatest(col("_s"), lit(eps))) +
+          (lit(1) - col("_y")) *
+            log(greatest(lit(1.0) - col("_s"), lit(eps)))), 6).as("logloss"))
+  }
+
   /** Per-group exact AUC — the fairness report: does the scorer rank as
     * well WITHIN every source/language/domain as it does globally? Same
     * tie-aware Mann-Whitney algebra as [[aucScore]], but the cumulative

@@ -1001,6 +1001,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got._2.get - q6(refAucs.sum / refAucs.length)) <= 1e-6)
   }
 
+  test("scoreReport: hand-checked accuracy, Brier, clamped log-loss") {
+    // (s, y): (0.9, 1) correct; (0.2, 0) correct; (0.6, 0) wrong;
+    // (1.0, 0) wrong AND saturated — the eps clamp keeps logloss finite
+    val df = Seq((0.9, 1), (0.2, 0), (0.6, 0), (1.0, 0)).toDF("s", "y")
+    val got = TextAnalysis.scoreReport(df, "s", "y")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 4L && got._2 == 1L && got._3 == 0.5)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val brier = (math.pow(0.9 - 1, 2) + math.pow(0.2, 2) +
+      math.pow(0.6, 2) + 1.0) / 4
+    assert(got._4 == q6(brier), got)
+    val ll = -(math.log(0.9) + math.log(0.8) + math.log(0.4) +
+      math.log(1e-15)) / 4
+    assert(got._5 == q6(ll), got)
+  }
+
   test("ksTest: hand-checked, sequential parity, shift detection") {
     // a = {1,2,3}, b = {3,4}: CDF gaps at v=1: 1/3; v=2: 2/3; v=3: 1/2;
     // v=4: 0 → D = 2/3
