@@ -569,6 +569,20 @@ object SparkEntry {
     // model that feeds it
     "q_unigram_stats" -> ((s, d) =>
       TextAnalysis.unigramDocStats(Tables.documents(s, d), unigramModel(s, d))),
+    // tokenizer-efficiency by language: corpus fertility (ratio of
+    // sums) per lang under the standing unigram model — the vocab
+    // ablation table
+    "q_fertility_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.unigramDocStats(docs, unigramModel(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_pieces").cast("long").as("n_pieces"))
+        .withColumn("fertility", when(col("n_words") > 0,
+          round(col("n_pieces").cast("double") / col("n_words"), 4)))
+    }),
     // the corpus-wide id stream: every token instance joined to the
     // distinct-word dictionary, in (doc, token, piece) order
     "q_token_ids" -> ((s, d) => TextAnalysis.tokenIds(Tables.documents(s, d))),
@@ -2948,6 +2962,25 @@ object SparkEntry {
       "FROM base b LEFT JOIN agg a USING (doc_id)"
   }
 
+  /** The [[unigramStatsSql]] replay aggregated per language — exact
+    * integer totals, fertility as one rounded ratio of sums (a corpus
+    * fertility, not an average of per-doc ratios).
+    */
+  private def fertilityLangSql: String = {
+    val i = unigramStatsSql.lastIndexOf("SELECT b.doc_id")
+    // the prefix ends after the last CTE's closing paren — re-open the
+    // CTE list with a comma before appending `per`
+    unigramStatsSql.substring(0, i).stripSuffix(" ") + ", " +
+      "per AS (SELECT b.doc_id, coalesce(a.nw, 0) AS nw, " +
+      "coalesce(a.npc, 0) AS npc FROM base b LEFT JOIN agg a USING (doc_id)) " +
+      "SELECT d.lang, count(*) AS n_docs, " +
+      "CAST(sum(per.nw) AS BIGINT) AS n_words, " +
+      "CAST(sum(per.npc) AS BIGINT) AS n_pieces, " +
+      "CASE WHEN sum(per.nw) > 0 THEN " +
+      "round(CAST(sum(per.npc) AS DOUBLE) / sum(per.nw), 4) END AS fertility " +
+      "FROM per JOIN documents d USING (doc_id) GROUP BY d.lang"
+  }
+
   /** The q_quality_model score CTEs joined to the length weak label —
     * the shared `j(s, y)` input of the classifier-eval oracles
     * (q_threshold_sweep / q_auc), mirroring [[qualityScoredLabeled]].
@@ -4181,6 +4214,7 @@ object SparkEntry {
     // Viterbi segmentation stats replayed off the PINNED sf0.01 unigram
     // model (see UNIGRAM_PINNED)
     "q_unigram_stats" -> unigramStatsSql,
+    "q_fertility_lang" -> fertilityLangSql,
     // greedy longest-match segmentation as a recursion tracking the piece
     // (the q_bpe_exact recursion, carrying substring(word, pos, L));
     // seed row idx=-1 is the pre-first-piece state and is filtered out
