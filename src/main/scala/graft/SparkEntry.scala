@@ -2962,6 +2962,44 @@ object SparkEntry {
       "FROM base b LEFT JOIN agg a USING (doc_id)"
   }
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.unigramEncodeLearned]]
+    * under [[UNIGRAM_PINNED]]: the [[unigramStatsSql]] Viterbi DP
+    * extended to CARRY the best-path segmentation per boundary (a
+    * VARCHAR[][] column appended alongside the score vector — same
+    * first-maximum tie-break, so the emitted pieces match the kernel's
+    * piece-for-piece), joined to distinct-word frequencies.
+    */
+  private def unigramEncodeSql: String = {
+    val maxLen = UNIGRAM_PINNED.map(_._1.length).max
+    val plist = UNIGRAM_PINNED.map(p => sqlLit(p._1)).mkString("[", ",", "]")
+    val llist = UNIGRAM_PINNED.map(p => java.lang.Double.toString(p._2))
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+    val unk = java.lang.Double.toString(ops.TextAnalysis.UNIGRAM_UNK_LOGP)
+    s"WITH RECURSIVE base AS (SELECT doc_id, regexp_extract_all(lower(text), " +
+      s"'${ops.TextAnalysis.bpePatternSql}') AS toks FROM documents), " +
+      "g AS (SELECT unnest(toks) AS word FROM base), " +
+      "wf AS (SELECT word, count(*) AS freq FROM g GROUP BY word), " +
+      "dp(word, n, pos, fwd, segs) AS (" +
+      "SELECT word, length(word), 0, [0.0]::DOUBLE[], [[]::VARCHAR[]] " +
+      "FROM (SELECT DISTINCT word FROM wf) " +
+      "UNION ALL " +
+      "SELECT word, n, p, list_append(fwd, scores[bj]), " +
+      "list_append(segs, list_append(segs[idxs[bj]+1], " +
+      "substring(word, idxs[bj]+1, p-idxs[bj]))) FROM (" +
+      "SELECT word, n, p, fwd, segs, idxs, scores, " +
+      "list_position(scores, list_max(scores)) AS bj FROM (" +
+      "SELECT word, n, p, fwd, segs, idxs, " +
+      s"list_transform(idxs, j -> fwd[j+1] + coalesce(" +
+      s"map_extract(map($plist, $llist), substring(word, j+1, p-j))[1], " +
+      s"CASE WHEN p - j = 1 THEN $unk END)) AS scores FROM (" +
+      "SELECT word, n, pos + 1 AS p, fwd, segs, " +
+      s"range(greatest(0, pos + 1 - $maxLen), pos + 1) AS idxs " +
+      "FROM dp WHERE pos < n)))) " +
+      "SELECT wf.word, wf.freq, array_to_string(dp.segs[dp.n+1], ' ') AS pieces, " +
+      "CAST(len(dp.segs[dp.n+1]) AS INT) AS n_pieces " +
+      "FROM wf JOIN dp ON dp.word = wf.word AND dp.pos = dp.n"
+  }
+
   /** The [[unigramStatsSql]] replay aggregated per language — exact
     * integer totals, fertility as one rounded ratio of sums (a corpus
     * fertility, not an average of per-doc ratios).
@@ -4215,6 +4253,9 @@ object SparkEntry {
     // model (see UNIGRAM_PINNED)
     "q_unigram_stats" -> unigramStatsSql,
     "q_fertility_lang" -> fertilityLangSql,
+    // train → apply round trip: the apply half replayed off the pinned
+    // model with the path-carrying Viterbi DP
+    "q_unigram_encode" -> unigramEncodeSql,
     // greedy longest-match segmentation as a recursion tracking the piece
     // (the q_bpe_exact recursion, carrying substring(word, pos, L));
     // seed row idx=-1 is the pre-first-piece state and is filtered out
