@@ -3006,6 +3006,7 @@ object SparkEntry {
     */
   private def fertilityLangSql: String = {
     val i = unigramStatsSql.lastIndexOf("SELECT b.doc_id")
+    require(i > 0, "fertilityLangSql: unigramStatsSql final-select anchor moved")
     // the prefix ends after the last CTE's closing paren — re-open the
     // CTE list with a comma before appending `per`
     unigramStatsSql.substring(0, i).stripSuffix(" ") + ", " +
