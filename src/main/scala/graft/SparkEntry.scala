@@ -1895,9 +1895,10 @@ object SparkEntry {
     }),
     // product-quantization ANN: m=8 nibble codes per 64-dim vector
     // (64x compression — the RAM-resident 100 TB store layout), ADC
-    // top-10 for query vec 0. Rows-only: codeword error makes the
-    // scores approximate by construction; recall vs brute force is
-    // spec-asserted (the q_bpe_learn convention)
+    // top-10 for query vec 0. Trains LIVE; the oracle replays encode +
+    // ADC under the PINNED sf0.01 codebooks (PQ_CODEBOOK_PINNED), so
+    // trainer drift flips the row red. Recall vs brute force stays
+    // spec-asserted
     "q_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = Similarity.pqTrain(emb, m = 8, k = 16)
@@ -1925,7 +1926,8 @@ object SparkEntry {
         shortlist = 4096)
     }),
     // the production two-stage form: ADC shortlist (100) -> exact
-    // rescore of only those rows (measured 0.5 -> 0.9 recall@10 here)
+    // rescore of only those rows (measured 0.5 -> 0.9 recall@10 here).
+    // Oracled off the pinned codebooks like q_pq_topk
     "q_pq_refined" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = Similarity.pqTrain(emb, m = 8, k = 16)
@@ -2883,6 +2885,200 @@ object SparkEntry {
     ("spark", -8.089329), ("big", -8.782476)) ++
     "bcdefghijklmnopqrstuvwy".map(c => (c.toString, -10.391914))
 
+  /** The m=8 × k=16 × dsub=8 product-quantization codebooks
+    * [[graft.ops.Similarity.pqTrain]] (iters 5, sampleSize 4096)
+    * converges to on the sf0.01 embeddings snapshot, PINNED for the
+    * q_pq_topk / q_pq_refined oracles (the [[BPE_MERGES_PINNED]]
+    * doctrine: k-means TRAINING stays the iterative exemption, but
+    * encode + asymmetric-distance top-k under a FIXED codebook is
+    * mechanical argmin / Σ-lookup arithmetic a DuckDB replay reproduces
+    * exactly). The live queries still train — if pqTrain's hash-ordered
+    * sampling or Lloyd updates ever change, both rows go red rather
+    * than silently drifting from the pin. codebooks(sub)(code) is a
+    * dsub-dim centroid, exactly pqTrain's return layout.
+    */
+  private val PQ_CODEBOOK_PINNED: Array[Array[Array[Double]]] =
+    Array(
+    Array(Array(0.08959474382219197, 0.08905179385775029, 0.02271179955803298, 0.012919652105205763, -0.07708175768083973, 0.06306424866129091, 0.1859009698772138, -0.03296835088201857),
+      Array(-0.11691134189668015, -0.009176241166532827, 0.03120212729359745, -0.023862443292423152, 0.09519242630508462, -0.10763599999339755, -0.12353251914571527, -0.10740324881106002),
+      Array(0.02650755505059693, -0.05762481763365443, -0.05253986031943688, 0.041693852305654894, 0.11506605627939315, -0.15102644566504056, -0.07585189007316807, 0.1058017467572156),
+      Array(-0.08439269938786591, -0.03694312172169459, 0.1739162906377523, -0.005792652973333692, -0.10575628295271434, 0.07327904195489152, 0.03279634876790167, 0.047034909695200314),
+      Array(-0.007335383382206361, 0.014617029950274252, 0.018289201368574898, 0.16995130652840776, 0.0230435903449887, -0.041564230784263495, 0.03851292016402521, -0.06650079394437305),
+      Array(0.009050213391279253, -0.05522576861157773, 0.03925528688334122, -0.01899814415068684, 0.09611908921227563, 0.07721964305619916, 0.14018748712817644, -0.11321106031910994),
+      Array(0.0811798886749266, -9.008894179956218E-4, -0.011736753546118492, -0.07304592068206772, -0.12388968379782196, -0.10951577362935314, -0.0020972210263306558, -0.031105753847305163),
+      Array(-0.09396263714317311, -0.05120280732326365, -0.1081048355317745, -0.14118309959926037, 0.10331518733572667, 0.053592595754404296, 0.05138061571549411, -0.0737940954312785),
+      Array(-0.03554891895215823, 0.10134843533404203, -0.013338822886798125, -0.027607855163695877, -0.13702539386523135, 0.09811521309826292, -0.08725178910663367, -0.024168447239164247),
+      Array(0.1078441588634801, -0.13651207188914305, -0.017670103769445774, 0.06793282432030055, 1.8174748159852826E-4, 0.10911159211267711, -0.08745239417204659, -0.03664016417584516),
+      Array(-0.07142780900456615, 0.04509388281236535, 0.12761316291367933, -0.022806053115949992, -0.0017045424458877684, -0.17037112878488805, 0.14343259548048348, 0.06495323060353667),
+      Array(0.04475748558043493, 0.008804815118235507, 0.07590628252080125, 0.07259855756332895, 0.023125717168348037, 0.016440348084995136, -0.24126217714977546, -0.04187620062534263),
+      Array(-0.005338670393859081, 0.10750631816250061, -0.17495152128873903, -0.04352959932561263, -0.013513059454933288, 0.06472420471147547, 0.01929794770879981, 0.14040514883250674),
+      Array(0.18065551256098095, 0.009998553225191395, 0.02806904396372664, -0.04249585573871275, 0.053369614936942956, 0.01812389663117368, 0.0033900392514255354, 0.13407153755177145),
+      Array(-0.056489141939730064, 0.09645074944229363, 0.008002681005989122, 0.09322056649988968, 0.1260043873912465, 0.17056204312399748, -0.10740462900522268, -0.011121536582740144),
+      Array(-0.08649868403665996, -0.0959754926298146, 0.022588758217625828, -0.06266264746312386, 0.026033676657287265, 0.03090165151733136, -0.09718208815116433, 0.10071356636293984)),
+    Array(Array(0.039676146547154685, -0.08614482992978058, 0.14848965207357956, 0.05399680318348495, 0.0022353884994974465, -0.006626386896543115, 0.096460844878391, 0.08256777593073424),
+      Array(-0.07091719402590553, -0.12933693087914983, 0.047843527036243186, -0.007194508640360505, -0.06097301397473995, 0.016458534666886862, -0.00619661037845547, -0.16274372787855257),
+      Array(-0.04529940933234382, -0.024839739456475746, -0.12106463044380175, 0.11967101867683652, 0.08449837908287135, 0.13919203139426267, -0.047509935824819924, -0.09431968241220078),
+      Array(-0.07572785630250435, 0.21086913911925453, -0.11048872599324334, -0.16051778567829522, 0.05859579228988956, -0.0665463636696478, -0.03065113946791529, -0.0019055098461047222),
+      Array(-0.01941654068208328, 0.18076826736389792, 0.08464393043305968, 0.10556856218504493, -0.10189432374130208, 0.058852984285362106, -0.04657295945350483, -0.04125847883597219),
+      Array(-0.017194863419055215, 0.0286245701916892, 0.017597952527756793, -0.11083165764811499, -0.07021978729887718, -0.02465494302596778, -0.12271478487107003, 0.029731121690120307),
+      Array(0.1717180133303424, 0.010885221902393945, -0.022763267029090817, -0.009694828863313376, -0.14813533017106761, -0.04966249408270399, -0.0031745298163273882, -0.051771198784928446),
+      Array(0.011899047846119889, -0.02622865016196357, -0.06514523274969852, 0.18741360959638897, -0.040086272164571585, -0.057774866327305996, -0.006744240693104246, 0.06630044765408173),
+      Array(0.020758104036279656, -0.09893186943097475, 0.08404254189879382, -0.01639134379881094, 0.11540839951210535, 0.07429757713544301, -0.11141828391780527, 0.12813962487655772),
+      Array(-0.041889065426999, 0.07592190543640731, -0.110882325843445, 0.010762871864225301, 0.07925833248718464, 0.003074398677665985, -0.06277071695077023, 0.15460336705748026),
+      Array(-0.009297996703322424, -0.022469012336392147, -0.04540439663826235, -0.04836548935178627, -0.020142978563289737, 0.2128238467464451, 0.07150375431930302, 0.07354828774349009),
+      Array(0.1235057518535854, 0.001125771050965418, -0.06685755159025908, -0.018431446652171352, 0.10239067204840845, -0.028798988004630065, 0.16159377197925495, -0.0013361412035183767),
+      Array(-0.02594080173362089, -0.055513595579268625, 0.14889903260616158, -0.12543511216689446, 0.043091131140687085, -0.1909774009395742, -0.04488766041591535, 0.06271183063206183),
+      Array(-0.12894784050072508, -0.166640059610346, -0.051751212266747997, -0.039307265404979225, -0.09513142651865068, 0.01530431900236684, 0.003368270975392724, 0.07836443356946424),
+      Array(-6.853299639709859E-4, 0.027650447145190982, 0.10163812162854212, -0.08126306158152079, 0.0972652999838225, -0.028380693704546527, 0.039642881680903554, -0.11388923988905478),
+      Array(-0.06067739312016148, 0.17304558885373578, -0.015734334031461357, 0.07586421223788338, 0.07208256883766949, -0.10048091937187244, 0.08099246697138107, -0.05577053176389336)),
+    Array(Array(0.10719346573851961, 0.06764523513410546, -0.08071983641804134, -0.14373329058709267, 0.05740917566271607, -0.04269912289451841, 0.05004875360720898, 0.07228986338306001),
+      Array(0.1165878634550889, -0.08737472828215774, -0.05033571454848393, -0.05159767649797084, -0.06862058725970382, 0.07370394248251422, 0.03214799037079399, -0.14896328905584866),
+      Array(0.005895751861613722, -0.0590678468153714, -0.14445648244529932, 0.12450010938272477, 0.015278585590474148, -0.004657283774310925, 0.09417774120293353, 0.03807682281019314),
+      Array(0.139704315217742, 0.0028895192002355964, -0.010366377091524673, -0.00485140219269054, -0.16581181750686066, -0.06839184643673586, -0.042477835168130994, 0.02995686025224691),
+      Array(0.004517026792300353, 0.021925482949758275, 0.08630613848585829, -0.014292694383088361, -0.06613605628171679, 0.14361973398365005, 0.04900954555703221, 0.13178183238447097),
+      Array(-0.10882513936244187, 0.10950596658760789, -0.0030101542525369754, 0.09643673551730823, -0.01929845644898502, 0.02507257946015645, -0.051108020961327216, -0.02341671540799405),
+      Array(0.15751573903766233, -0.0437747402275613, -0.09662355035693211, 0.059712967725270225, 0.06469529728444298, 0.047078487692113716, -0.14008970348713096, 0.04353984596523418),
+      Array(-0.05892566858504775, 0.2005648919350258, 0.029937220748800654, 0.008328692331729838, -0.055164257522142046, -0.1476260271358637, 0.04074924653349721, -0.062454497759308496),
+      Array(-0.08538177730958416, 0.10053679939877223, 0.03125868873885247, -0.18122599004506929, 0.026219307104218267, 0.06368206397093289, 0.0683282718469432, -0.15995866618299848),
+      Array(0.02267596833969754, -0.05678311828044985, 0.17709024557715283, 0.003983631563725981, -0.006947931320025313, -0.12799129440268564, 0.0421260578327891, -0.014578151366743263),
+      Array(-0.13345405082647044, -0.18522776000899333, -0.07999167856020244, -0.042579627358734676, 0.024126703286373372, 0.008722794044780694, -0.08668926979822236, -0.008598016005681974),
+      Array(-0.058968807587385826, 9.135290035992573E-4, -0.08033955825053757, -0.0518435933376978, -0.13067848805986126, -0.03922163331855133, -0.017770210158395378, -0.012310077299947576),
+      Array(0.06752383540368605, 0.07631411448487241, 0.010921686152197234, 0.0409328319442486, 0.07184477600819085, -0.034825348897987954, 0.07567430943618803, -0.19831674157881463),
+      Array(-0.06157070531533262, -0.056449105991247604, 0.04443796040277839, 0.01985049186171908, 0.14467687504941956, 0.06356597818477605, 0.10033168649883048, 0.011861755033536852),
+      Array(0.009914931308623094, 0.0014755665285152077, 0.10731904273699532, 0.027765403147020442, 0.0867500326850403, -0.01969093668406155, -0.15100778435965406, 0.004466185115260559),
+      Array(0.03592578618291156, -0.025455353165046254, 0.1196045425263235, 0.021944280593002064, -0.0027812032789099766, -0.07981301494960943, -0.0854287006597133, 0.24820327917744267)),
+    Array(Array(0.025358961994758993, 0.043003239281381764, -0.08883807125288984, 0.09303545614872903, 0.17785144346700837, 0.04575426787181693, -0.003872696946714103, -0.028146179005543517),
+      Array(-0.15057047994423198, 0.02292922005558807, 0.1334246483756016, 0.11869084218894968, -0.14924093311531642, 0.11687077755101362, -0.004204907438726414, -0.010858843746135332),
+      Array(0.04995821434689435, 0.030694013146868482, -0.07232929060489371, -0.06440782742064065, 0.0155050394793393, 0.1344975384742901, 0.11035439473272333, -0.03051699095863283),
+      Array(-0.022443383096311706, 0.0892065256845013, 0.08416218446485754, -0.0563307693672948, 0.025149612661347312, -0.18751435630128352, 0.03551146495766019, 0.024105308812681376),
+      Array(0.08807076351340849, 0.06391212525016844, 0.16197151911016283, -0.08660868061432908, 0.052942312122804445, 0.11253484943567728, -0.028096463943415473, -0.09483436750664488),
+      Array(-0.11705069327683669, 0.08757017785659273, 0.05122091466634156, -0.020350913410797044, 0.09219179696685949, 0.11623531659570836, -0.14659853787695784, -0.004529542635400496),
+      Array(-0.05462477104726226, -0.057626111378271186, -0.0028571641201182935, 0.09772759042470161, 0.009582075881843649, -0.04049259762662816, -0.102917314682332, 0.1316950388567018),
+      Array(-0.006190812201792471, -0.16505671402419855, 0.05236408763545104, 0.005877704703649758, 0.06639538857022394, 0.025299711986627952, 0.13984174804361363, 0.04905080992100344),
+      Array(-0.09487200287334574, -0.08151356386624031, 0.018485784034758045, 0.044849663478899376, -0.018955598428934347, 0.020645176804058966, 0.09584671141323502, -0.10759384079270663),
+      Array(-0.16764169468511791, 0.01935023800655383, -0.08383956039971482, -0.11131120356159248, 0.09071270929920118, -0.09853618909959215, -0.0019629458049516026, -0.11263770886430377),
+      Array(0.1211077545786713, 0.1001776738329714, 0.01816169547796487, 0.09702065751463555, -0.15678646682721953, 0.0017031324176968986, 0.1152006448885805, -0.07030237984043669),
+      Array(0.09595602259394825, 0.16057406542001942, 0.09771786919243425, 0.014988893131152805, -4.8789578228552126E-5, 0.029813384920175275, -0.022131504964305965, 0.15453716244786764),
+      Array(0.014935312319739134, 0.013767421738359053, -0.08729532723931373, -0.0965835769103453, -0.10841350572213558, 0.037821103890371875, -0.11007276297177963, 0.03860698227839582),
+      Array(0.03691306155847829, 0.007979940863648855, -0.1397948272520252, 0.052782782185602305, -0.03586029453107365, -0.04325000419414777, 0.10706737694161396, 0.1044898453556116),
+      Array(-0.03537212603739214, 0.0510798577900989, -0.07267804951331709, 0.06016804322538018, -0.09392416446182371, -0.06728632241783801, -0.08020327859053249, -0.1326183307158316),
+      Array(0.12325710474449522, -0.12139931457278595, 0.02688124422968579, 0.05479627759013665, -6.488425880396649E-4, -0.09301974817733435, 0.004377017699248545, -0.08158410310777463)),
+    Array(Array(-0.11135469828125621, -0.051619788364251455, -0.06882623972474236, -0.11891474974093302, 0.05055588113308201, -0.11817694788477796, 0.052073732309117306, 0.07019089649344079),
+      Array(-0.055891391597036995, -0.034845350864636214, 0.04230786581315216, 0.04931849752464755, 0.036623952293553516, 0.09455306230010917, 0.05696857522355085, 0.21783408379142383),
+      Array(0.09382008259628245, 0.17567199532492372, 0.11842840336268724, 0.05528696951213392, -0.057429606085258295, 0.08414069060581546, -0.036147402125599616, 0.05018118003306218),
+      Array(-0.056622546282277926, 0.03439191941593401, 0.08123062844129886, 0.11223066480516565, -0.09828269180731135, -0.1257323878609105, 0.051459765901300816, -0.03858926506519114),
+      Array(-0.12287251692120033, 0.05985371893901596, -0.05163251636961432, -0.08199192497392811, -0.10366609930398656, 0.08707690297378277, -0.09953322746728448, -0.056580483416737465),
+      Array(0.01026907382175656, -0.11242322206974578, -0.04455309268639898, 0.02377174937109473, -0.09181356732152203, -0.12494956039406648, -0.00763310844243219, 0.12542072045979624),
+      Array(-0.003212651999641571, -0.04656075213341904, -0.03393336885097405, 0.1670185027650921, 0.1111727429473878, 0.0059150461825899356, 0.043140991696037696, -0.025905841009194366),
+      Array(0.030473260019871367, -0.08286615677166015, -0.026907375579716473, 8.075861032808024E-4, 0.017407022945352377, 0.026514580593954954, -0.13619942885105477, -0.12141339750256473),
+      Array(-0.021378900903665256, -0.036951122007489866, 0.016521686964311215, 0.10680996133288603, -0.1859032667005326, 0.11146472078067192, 0.011146053666080001, -0.001247825404710725),
+      Array(0.0021338988098991963, -0.027800197549339566, 0.16888843914096546, -0.0822713575948936, 0.04544950138005185, 4.0028499686672463E-4, 0.06893554537451159, -0.05589046912094692),
+      Array(0.17203519591523436, -0.04475820688739305, -0.010593494586961395, -0.026279049409872163, 0.04633822103761121, 0.09524719631706254, -0.013107535320096527, 0.0492229272579436),
+      Array(-0.10861255166754823, -0.14864232092003618, -0.04501294133684373, -0.06897937811149102, 0.001956788754669624, 0.04938304089371733, -0.04101255189993528, -0.01621396543732576),
+      Array(0.045707065516174095, -0.07170569294921404, 0.008058196294935606, -0.13559802640478494, 0.0799454027824229, -0.12825534827451282, -0.11843757560042954, 0.10244744436833074),
+      Array(0.02380564172149143, 0.1732315978906227, -0.04902130063391396, -0.00739241107156489, 0.02012176603842383, 0.03088421540169859, 0.15400697873607158, 0.006073763796616782),
+      Array(0.07132537445640039, 0.12387858895102331, -0.003875713160141385, 0.009511063386841614, 0.058591474958842024, -0.1260933939502193, -0.11321018644411991, -0.07312160581572208),
+      Array(0.09272618243836128, -0.03616842903754618, -0.04946728409193449, -0.12097143185457784, -0.09010645702587586, -0.06136887862998702, 0.1757577443621765, -0.047077263140792476)),
+    Array(Array(-0.08603839998633381, 0.1433380615982783, -0.004330815422752989, -0.057629056215712175, 0.054897153651657135, -0.035300972297478334, 0.1325361106944359, 0.024246063503998154),
+      Array(0.04657897687683512, -0.16379568527116165, 0.04554267685957393, -0.03306794918650154, -0.14735336682255606, 0.04447300165114375, -0.002239894128585551, 0.05336616841307312),
+      Array(-0.13517799989518717, 0.004938460201269804, -0.06378697409900036, -0.11761915382337892, -0.11764896798043184, 0.03258069129622538, -0.11506441342114036, -0.055692867175468404),
+      Array(0.13678523814715549, 0.053766523148575655, -0.024893178713326768, 0.11922306436531077, 0.0592011781988121, -0.11570462809107164, 0.058143651867849824, -0.03834073999025713),
+      Array(-0.1174718417808687, -0.07465843787878526, -0.011841014613558942, 0.072213077163328, 0.001681608226085763, -0.0016995189128103526, 0.06938922359917724, 0.12131406938869332),
+      Array(0.032643369858299943, -0.09430609982015044, 0.03994243047251834, 0.15577741760862612, 0.04100520361882246, 0.08962311050048212, -0.08097037909401072, 0.05949517311523318),
+      Array(0.03673217932553133, -0.028143850106120933, 0.24232846708618436, -0.03558426053001666, 0.10303377161621241, 0.04281369406465674, 0.038847939394795736, -0.00973263823010713),
+      Array(0.05625719940946668, 0.02987177889102147, 0.04438000593783572, -0.07663462587003673, -0.0069627093870869294, -0.16557335768386117, -0.1075720513155604, -0.010670348231060986),
+      Array(-0.1849754254673035, -0.04241895831794818, 0.13437654195191998, 0.056805157712750784, -0.11161507500986882, 0.07200709657092255, -0.00652550632302938, 0.007275334932352662),
+      Array(-0.025206041462105953, -0.14551300043429624, -0.042872517780323985, -0.011803350539257688, 0.04136076021028253, -0.09134435682666611, 0.06756276562472643, -0.11494126828920442),
+      Array(0.029461581597334974, 0.09842248824908675, 0.18884863808219662, 0.002190020138591056, -0.12572943558537272, 0.009271208596449714, -0.008351018098309789, -0.1328688607999504),
+      Array(0.042141244240679075, 0.03454810916399302, -0.06736136096845323, 0.15736704523228534, -0.10380420947715165, 0.09572505365688537, 0.12130707586755136, -0.09264169356489856),
+      Array(-0.026269413573028578, 0.11864830755293122, -0.07093158044752977, 0.013935002128196391, -0.08923382586484192, -0.047536866655012736, -0.037563249410396474, 0.10471980053494719),
+      Array(0.052658722194219874, 0.025675799740186484, -0.027875364909423092, -0.014827068221270705, 0.021526586409554297, 0.11731068011777662, -0.07931700955462231, -0.08613220610200185),
+      Array(-0.07138424878119076, -0.01648904579629394, -0.1365729331533219, -0.10291074304432374, 0.1475028471614455, 0.025510125359766843, -0.03358685517069978, 0.03989693938240975),
+      Array(0.1395160903956283, -0.07798404184329423, -0.0660494558131486, -0.12467707028404168, 0.0257987905801293, 0.03810869027219567, 0.02581313516962785, 0.11516613371492469)),
+    Array(Array(-0.02234761183013422, -0.02716883355528901, -0.027128321174324836, -0.10272718565996627, -0.1660431826736312, -0.01770583826884412, 0.07561772937373157, 0.04032438124794461),
+      Array(-0.057264256856278825, 0.013413943866677651, -0.043372486661172036, -0.08081782488087826, 0.060973872970703516, 0.108603075463305, 0.08111479450439635, -0.08032540890842231),
+      Array(0.07846674710298787, -0.10441996815766208, 0.2107220555599071, 0.05677126038742628, -0.040870069768965026, 0.016852321474420846, 0.09716394442018012, 0.045207224988074966),
+      Array(-0.12679364203100302, 0.019317408772171266, -0.10709800857738118, 0.034117887149494174, 0.13431277218217955, -0.05485319494487639, 0.0043762799504902935, 0.015173172976770812),
+      Array(0.003940102060783191, 0.09691075897953448, -0.021981675765188478, 0.1323890832905476, -0.07078949159768473, -0.08824091673552308, 0.05298776276664561, 0.04021177798803895),
+      Array(0.11682599651176678, 0.05743683793228622, 0.09182656000278232, -0.15893405838117697, -0.004029085667693376, -0.004913033004534312, -0.09755475162446929, -0.055278245742467515),
+      Array(-0.030100418904008164, 0.013119365624656735, 0.07916266435042538, -0.009088799785232157, 0.12458846525769687, -0.11935696779964361, 0.13458052988901245, -0.057875175197871914),
+      Array(0.11267570226408964, -0.030063092485952965, -0.08504881023492437, 0.03920781355049109, -0.032752199586658086, 0.11910468338745435, 0.07900556065601687, 0.1016870644882322),
+      Array(-0.00769170911542486, 0.049640251218823477, 0.041853914152749465, -0.034497442598081844, -0.07904448778435828, -0.03350074708820527, -0.05108577209399805, -0.2465250396934857),
+      Array(-0.14845891417404472, 0.007944261699217473, -2.537579973700105E-4, 0.09556348438640713, -0.13563047806000875, 0.08580362990553819, -0.034017643759454035, -0.08769460041974604),
+      Array(-0.09207233710513459, 0.09756757634911724, 0.12214759222862498, 0.052823119651240535, 0.07429407121814129, 0.09779099374191097, -0.05495124417375001, 0.08552697800363447),
+      Array(-0.06206929304155166, -0.14458684989804924, 0.08816681017400038, 0.07643094071529163, 0.07072489333216059, -0.010783873170748328, -0.021875201973184877, -0.016521227857853767),
+      Array(0.10297882247239741, 0.14212618612473035, 0.02850681688598534, -0.01544979853491142, 0.12417132256946214, -0.04555116985133491, -0.00978434900231429, 0.02764830162261713),
+      Array(0.04746507141948332, -0.09561538324910525, -0.025962560480190678, -0.012587193592873512, -0.02099468914816859, -0.1844646231225529, -0.06896970671596057, -0.06566477313223279),
+      Array(0.21196464414250157, -0.16871427387442664, -0.009019919030577358, -0.009439652102643015, 0.010393272776103695, 0.10159157563729855, -0.0684455910608404, -0.016488339183104696),
+      Array(-0.01744621330466732, -0.09684919467763844, -0.05767674388846938, -0.02448605550224442, 0.02100130157808153, -0.005351258754319819, -0.07016742865927388, 0.12954892702688428)),
+    Array(Array(-0.08140541587899935, -0.04594340217726086, 0.10036401428622585, 0.03938285080200585, -0.04197008024005846, -0.09854362100170658, 0.0848518474776284, -0.08108653219199065),
+      Array(5.954402012324034E-4, -0.01620272410037303, -0.038771818480166004, 0.17396438987312712, -0.06295467700626128, -0.0015460556263277498, 0.11844515805963955, -0.006355211103646273),
+      Array(-0.009420935772089068, -0.025032846947122246, -0.07440234786441287, -0.005472264024834341, 0.07353060858899421, 0.16138831624361896, 0.08806027800254332, -0.05782298999567681),
+      Array(0.03371884041143459, 0.1151264681721851, -0.020404958888728356, 0.038084747309944905, -0.15435679005615416, -0.06548587463940167, -0.04385546609155478, 0.04781070635999184),
+      Array(0.12132662181844116, 0.03510964833868099, 0.05439168365225, 0.018592052395718504, 0.0843328026318203, -0.15139022394785417, 0.11857764062147011, -0.07308098260876106),
+      Array(0.12573601766685466, -0.04599588675544756, 0.11596782412864061, 0.06530285409112574, 0.036463626839749214, 0.14224881776204637, 0.0010457759205663472, 0.023478945085548677),
+      Array(-0.16225944932786063, -0.006054733766722023, 0.06251248953924606, -0.09320900547269324, -0.03631912419131768, 0.04074054771286341, 0.06608440280872381, 0.11753717265946932),
+      Array(-0.044351741889030655, 0.017673890589930685, -0.2151053995334823, 0.040400819144012654, -0.002476272845701591, -0.05012113050066016, 0.03348019922104107, 0.06291744648624217),
+      Array(-0.0635787643052924, -0.12585404171205825, -0.03782824214189852, -0.06786860819832423, 0.020180738566694945, -0.008203169641189795, -0.07045773350646418, -0.11172130808522858),
+      Array(0.07690974798285352, 0.027858993667962045, -0.04380421293889612, -0.176359678633141, -0.08504190920922262, 0.007240610908561601, 0.024122169394926334, -0.07231962478291931),
+      Array(0.08338223942031181, -0.01230406054607312, -0.07425508239550066, 0.07546934670737933, 0.13226642137806144, -0.05844880403827788, -0.08607373253022153, 0.09921804161593595),
+      Array(-0.04179150046372492, 0.04911417006659159, -0.08489570031256503, -0.17011083662451362, 0.10939157666989047, -0.0670905903375276, -0.013006781774255833, 0.018225328926665747),
+      Array(-0.013358918747483404, 0.0233197457834108, 0.036907752808948785, 0.07341447634542114, -0.07043152273986884, 0.10108400602686717, -0.11680398375775716, -0.09595491296509226),
+      Array(0.08425747873816986, -0.16255127208691159, 5.426025474586962E-4, -0.09899630644244085, 0.0262134769490743, 0.03933866597577556, 0.08218255697839556, 0.12948139993763064),
+      Array(-0.03640557350019315, 0.07519223123790778, 0.15863384104542608, -0.08539727527506727, -0.06374496005434273, -0.0035660330435312903, -0.11229853052030195, 0.05809204620133112),
+      Array(0.15154207389896635, 0.14523232921917117, 0.11161711406445195, -0.04606895171786165, 0.12164311419436634, 0.023387821807618985, -0.1436164520994408, -0.0915156384713635)))
+
+  /** DuckDB mirror of [[graft.ops.Similarity.pqEncode]] +
+    * [[graft.ops.Similarity.pqTopK]] under [[PQ_CODEBOOK_PINNED]]: the
+    * shared WITH-prefix builds unit vectors (list_transform divide by
+    * the dot-product norm — the unitVecs definition), the query's
+    * flattened m×k ADC lookup table (one list_reduce dot per (s, c) —
+    * ascending-i fold, the adcFoldExpr order), the per-vector
+    * per-subspace distance lists staged exactly like withPqCodes
+    * (subvector → 16 squared-L2s → first-minimum argmin via
+    * list_position(d, list_min(d))), and the ADC score as the m-term
+    * ascending-s lookup fold rounded 4. Ties and fold orders replicate
+    * the Spark expressions term for term, so the replay is exact, not
+    * approximate.
+    */
+  private def pqCommonSql: String = {
+    val cbLit = "[" + PQ_CODEBOOK_PINNED.map(sub =>
+      "[" + sub.map(cw => "[" + cw.mkString(", ") + "]").mkString(", ") +
+        "]").mkString(", ") + "]"
+    s"WITH cb(cb) AS (SELECT $cbLit), " +
+      "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS e " +
+      "FROM ev WHERE sqrt(list_dot_product(v, v)) > 0), " +
+      "q AS (SELECT e AS qe FROM u WHERE vec_id = 0), " +
+      "t AS (SELECT list_transform(range(1, 129), sc -> " +
+      "list_reduce(list_transform(range(1, 9), i -> " +
+      "qe[CAST((sc-1)//16 AS INT)*8 + i] * cb[CAST((sc-1)//16 AS INT)+1][CAST((sc-1)%16 AS INT)+1][i]), " +
+      "(a, b) -> a + b)) AS tab FROM q, cb), " +
+      "st1 AS (SELECT vec_id, list_transform(range(1, 9), s -> " +
+      "list_transform(cb[s], cw -> " +
+      "list_reduce(list_transform(range(1, 9), i -> " +
+      "(e[(s-1)*8+i]-cw[i])*(e[(s-1)*8+i]-cw[i])), (a, b) -> a+b))) AS ds " +
+      "FROM u, cb WHERE vec_id <> 0), " +
+      "st2 AS (SELECT vec_id, list_transform(ds, d -> " +
+      "CAST(list_position(d, list_min(d)) - 1 AS INT)) AS cds FROM st1), " +
+      "sc AS (SELECT vec_id, round(list_reduce(list_transform(range(1, 9), s -> " +
+      "tab[(s-1)*16 + cds[s] + 1]), (a, b) -> a+b), 4) AS pq_score " +
+      "FROM st2, t)"
+  }
+
+  private def pqTopKSql: String = pqCommonSql +
+    " SELECT vec_id, pq_score FROM sc ORDER BY pq_score DESC, vec_id ASC LIMIT 10"
+
+  /** The [[pqCommonSql]] ADC scores as a 100-deep shortlist, exact
+    * rounded-cosine rescore of only those rows — pqTopKRefined's
+    * two-stage shape replayed verbatim.
+    */
+  private def pqRefinedSql: String = pqCommonSql +
+    ", short AS (SELECT vec_id FROM sc ORDER BY pq_score DESC, vec_id ASC LIMIT 100) " +
+    "SELECT u.vec_id, round(list_dot_product(u.e, q.qe), 4) AS cos " +
+    "FROM u JOIN short USING (vec_id), q " +
+    "ORDER BY cos DESC, u.vec_id ASC LIMIT 10"
+
   /** SQL string literal with quotes doubled. */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -3220,7 +3416,7 @@ object SparkEntry {
         "GROUP BY e.i), " +
         s"u$k AS (SELECT it.item, CAST(coalesce(wn.wins, 0) AS DOUBLE) / d$k.den AS u " +
         s"FROM items it LEFT JOIN wn ON wn.item = it.item JOIN d$k ON d$k.item = it.item), " +
-        s"r$k AS (SELECT item, round(u / (SELECT avg(u) FROM u$k), 6) AS r FROM u$k)"
+        s"r$k AS (SELECT item, greatest(round(u / (SELECT avg(u) FROM u$k), 6), 1e-6) AS r FROM u$k)"
     }.mkString
     head + body +
       s" SELECT it.item, r$iterations.r AS rating, " +
@@ -4247,6 +4443,13 @@ object SparkEntry {
         "CAST(max(abs((c.pb + c.np) / tot.na - (c.nb + c.nn) / tot.nb2)) > " +
         "1.358 * sqrt((tot.na + tot.nb2) / (tot.na * tot.nb2)) AS INT) " +
         "AS reject_05 FROM c, tot GROUP BY tot.na, tot.nb2"),
+    // PQ encode + asymmetric-distance top-k replayed off the PINNED
+    // sf0.01 codebooks (k-means training stays exempt; see
+    // PQ_CODEBOOK_PINNED)
+    "q_pq_topk" -> pqTopKSql,
+    // the two-stage form: pinned-codebook ADC shortlist-100, exact
+    // cosine rescore of only those rows
+    "q_pq_refined" -> pqRefinedSql,
     // learned-merge application replayed off the PINNED sf0.01 merge
     // list (training stays exempt; see BPE_MERGES_PINNED)
     "q_bpe_apply" -> bpeApplySql,

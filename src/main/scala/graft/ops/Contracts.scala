@@ -86,9 +86,16 @@ object Contracts {
     * partition). `exact = false` (the monitoring form) keeps everything
     * inline in the one pass: HLL++ `approx_count_distinct` (±2 %) and
     * `approx_percentile` sketches — estimates, one scan, fixed memory.
+    *
+    * NOTE: `exact = true` executes EAGERLY — the per-column dictionary
+    * chains run (concurrently) inside this call and their results ride
+    * the returned frame as literals; the frame is NOT a lazy plan over
+    * `df`. `exactTimeoutSec` bounds that eager wait (a hung per-column
+    * job then throws `TimeoutException` instead of blocking the caller
+    * forever); 0 = unbounded, the historical behavior.
     */
   def tableProfile(df: DataFrame, cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true, exactTimeoutSec: Long = 0L): DataFrame = {
     require(cols.nonEmpty, "Contracts.tableProfile: need at least one column")
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
@@ -112,11 +119,13 @@ object Contracts {
     val one = if (!exact) wide else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration.{Duration, DurationLong}
+      val deadline =
+        if (exactTimeoutSec > 0L) exactTimeoutSec.seconds else Duration.Inf
       val stats = Await.result(
         Future.sequence(cols.map(c =>
           Future(c -> exactColumnStats(df, c, Seq(0.5, 0.95))))),
-        Duration.Inf).toMap
+        deadline).toMap
       cols.foldLeft(wide) { (acc, c) =>
         val (nd, pcts) = stats(c)
         def p(o: Option[Double]) =
@@ -137,22 +146,14 @@ object Contracts {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
-  /** Dictionary partition fan-out for the exact-percentile prefix sum —
-    * the perplexityBuckets constant: enough groups that no partition
-    * holds a corpus-shaped share of the distinct values, few enough that
-    * the per-group totals stay an offset-sized driver collect.
-    */
-  private val DICT_PARTS = 64
-
   /** Exact n_distinct + exact percentiles of one column, computed the
     * way a 100 TB table allows: ONE two-phase `groupBy(col).count` over
     * the pruned single-column scan builds the distinct-value dictionary
     * (map-side combine — the shuffle is distinct-value-sized, never
     * row-sized), then the global cumulative count over the dictionary is
-    * a DISTRIBUTED prefix sum (approx_percentile range-buckets the
-    * values monotonically, the running sum windows within each bucket,
-    * and the per-bucket totals collect driver-side into broadcast
-    * offsets — the perplexityBuckets machinery). Each requested
+    * the DISTRIBUTED prefix sum of [[PrefixSum.cumulative]] (adaptive
+    * range buckets + within-bucket windows + broadcast offsets — never
+    * one unpartitioned window at any cardinality). Each requested
     * percentile then needs only the order statistics at
     * floor/ceil(p·(n−1)), looked up by rank against the cumulative
     * counts, and the interpolation replicates Spark `percentile`'s
@@ -162,49 +163,37 @@ object Contracts {
     * value of the column in one ObjectHashAggregate buffer.
     *
     * n_distinct counts the ORIGINAL column values (the dictionary key);
-    * percentile values interpolate on the double cast, exactly like
-    * `percentile(CAST(c AS DOUBLE), p)`. Nulls are excluded from both,
-    * matching the built-ins. Returns (n_distinct, value per requested
-    * percentile — None when the column has no non-null rows).
+    * percentile machinery runs entirely on the DOUBLE cast — the
+    * dictionary re-aggregates by the cast (distinct raw values can only
+    * merge under it, so the second aggregate is dictionary-sized), rows
+    * whose cast is null drop out, and the cumulative window orders by
+    * the cast — exactly `percentile(CAST(c AS DOUBLE), p)` semantics.
+    * A string column therefore gets numeric (not lexicographic)
+    * percentile ordering over its parseable values, and a column with
+    * no castable values gets null percentiles instead of a rank-lookup
+    * failure. Returns (n_distinct, value per requested percentile —
+    * None when no non-null-cast rows exist).
     */
   private[graft] def exactColumnStats(df: DataFrame, c: String,
       ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
-    import org.apache.spark.sql.expressions.Window
     val dict = df.where(col(c).isNotNull)
       .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
       .localCheckpoint()
     val nd = dict.count()
-    if (nd == 0L) return (0L, ps.map(_ => None))
-    val vd = col("_v").cast("double")
-    val probs = (1 until DICT_PARTS).map(_.toDouble / DICT_PARTS)
-    val boundsRow = dict.agg(
-      percentile_approx(vd, lit(probs.toArray), lit(10000)).as("b")).head()
-    val bounds =
-      if (boundsRow.isNullAt(0)) Array.empty[Double]
-      else boundsRow.getSeq[Double](0).distinct.sorted.toArray
-    // bucket(s) = #{bound < s}: monotone, so offset + within-bucket
-    // running sum ≡ the global cumulative count exactly
-    val parted = dict.withColumn("_part",
-      size(filter(lit(bounds), b => b < vd)))
-    val totals = parted.groupBy("_part").agg(sum("_c").as("t")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offs = totals.scanLeft(0L)(_ + _._2).init
-    val n = totals.map(_._2).sum
-    val offDf = df.sparkSession.createDataFrame(
-      totals.map(_._1).zip(offs).toSeq).toDF("_part", "_off")
-    val cum = parted
-      .withColumn("_w", sum("_c").over(Window.partitionBy(col("_part"))
-        .orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offDf), Seq("_part"))
-      .withColumn("_cum", col("_off") + col("_w"))
+    val dictD = dict.select(col("_v").cast("double").as("_d"), col("_c"))
+      .where(col("_d").isNotNull)
+      .groupBy("_d").agg(sum("_c").as("_c"))
+      .localCheckpoint()
+    val n = dictD.agg(coalesce(sum("_c"), lit(0L))).head().getLong(0)
+    if (n == 0L) return (nd, ps.map(_ => None))
+    val cum = PrefixSum.cumulative(dictD, "_d", Seq("_c" -> "_cum"))
     val positions = ps.map(p => p * (n - 1).toDouble)
     val ranks = positions
       .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).distinct
     // the dict row holding 0-indexed order statistic k: cum−cnt ≤ k < cum
     val rankLits = array(ranks.map(lit(_)): _*)
     val hits = cum
-      .select(vd.as("_d"), col("_cum"), col("_c"))
+      .select(col("_d"), col("_cum"), col("_c"))
       .withColumn("_k", explode(filter(rankLits,
         k => col("_cum") > k && (col("_cum") - col("_c")) <= k)))
       .select(col("_k"), col("_d")).collect()

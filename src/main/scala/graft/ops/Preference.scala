@@ -28,9 +28,14 @@ object Preference {
     * fixed-iteration run DuckDB-oracle-able with unrolled per-iteration
     * CTEs (the pageRank precedent).
     *
-    * Winless items converge to rating 0 (they bound the model's
+    * Winless items converge toward rating 0 (they bound the model's
     * strength floor); a pair of items that actually played produced a
-    * winner among them, so no denominator term ever divides by zero.
+    * winner among them, so the pre-rounding iterate keeps every
+    * denominator term positive — and because per-step q6 rounding could
+    * still floor an extreme-skew WINNING item to exactly 0.0, the
+    * renormalized rating is additionally floored at 1e-6 each step
+    * (mirrored in the oracle replay), keeping the invariant after
+    * rounding too.
     *
     * Scale shape: `pairs` (one row per game, however large) collapses
     * FIRST to the symmetric game graph — (i, j, n_ij) plus an item-keyed
@@ -115,8 +120,14 @@ object Preference {
         .select(col("item"),
           (col("wins").cast("double") / col("den")).as("u"))
       val mean = raw.agg(avg("u").as("m"))
+      // floor at 1e-6: per-step q6 rounding could otherwise floor a
+      // weak-but-winning item to exactly 0.0 (u/m < 5e-7 under extreme
+      // win skew), and two zero-rated items sharing an edge would put
+      // 0 in an MM denominator — null division that sum() silently
+      // drops, corrupting the step (and diverging from the oracle)
       ratings = raw.crossJoin(broadcast(mean))
-        .select(col("item"), round(col("u") / col("m"), 6).as("r"))
+        .select(col("item"),
+          greatest(round(col("u") / col("m"), 6), lit(1e-6)).as("r"))
         .localCheckpoint()
       it += 1
     }

@@ -189,12 +189,15 @@ object TextAnalysis {
         case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
       }
       val resid = col(labelCol).cast("double") - sigmoid(z)
+      // n counts rows where resid is non-null (label AND every feature
+      // present) — exactly the rows the gradient sums see; counting all
+      // rows would let null rows silently shrink the effective lr
       val aggs = ((lit(1.0): Column) +: featureCols.map(col))
         .zipWithIndex.map { case (x, i) => sum(resid * x).as(s"g$i") } :+
-        count(lit(1)).as("n")
+        count(resid).as("n")
       val row = data.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(d + 1).toDouble
-      require(n > 0, "logisticFit: empty training frame")
+      require(n > 0, "logisticFit: no rows with non-null label and features")
       w = w.indices.map(i => q6(w(i) + lr * row.getDouble(i) / n))
     }
     w
@@ -1989,7 +1992,7 @@ object TextAnalysis {
   }
 
   /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
-    * sums of both class counts (the perplexityBuckets machinery:
+    * sums of both class counts ([[PrefixSum.cumulative]]: adaptive
     * approx_percentile range buckets — monotone in the score — a
     * within-bucket ordered window, and driver-collected per-bucket
     * totals broadcast back as offsets; no unpartitioned window at any
@@ -1997,9 +2000,8 @@ object TextAnalysis {
     * (map-side combined); everything after is dictionary-sized.
     * Returns (_s, _np, _nn, _npBelow, _nnBelow).
     */
-  private def scoreDictCum(scored: DataFrame, scoreCol: String,
+  private[graft] def scoreDictCum(scored: DataFrame, scoreCol: String,
       labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val y = col(labelCol).cast("boolean").cast("int")
     val dict = scored
       .select(col(scoreCol).cast("double").as("_s"), y.as("_y"))
@@ -2008,34 +2010,11 @@ object TextAnalysis {
       .agg(sum(col("_y")).cast("double").as("_np"),
         sum(lit(1) - col("_y")).cast("double").as("_nn"))
       .localCheckpoint()
-    val probs = (1 until 64).map(_.toDouble / 64)
-    val boundsRow = dict.agg(
-      percentile_approx(col("_s"), lit(probs.toArray), lit(10000)).as("b"))
-      .head()
-    val bounds =
-      if (boundsRow.isNullAt(0)) Array.empty[Double]
-      else boundsRow.getSeq[Double](0).distinct.sorted.toArray
-    val parted = dict.withColumn("_part",
-      size(filter(lit(bounds), b => b < col("_s"))))
-    val totals = parted.groupBy("_part")
-      .agg(sum("_np").as("tp"), sum("_nn").as("tn")).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val offP = totals.scanLeft(0.0)(_ + _._2).init
-    val offN = totals.scanLeft(0.0)(_ + _._3).init
-    val offDf = scored.sparkSession.createDataFrame(
-      totals.indices.map(i => (totals(i)._1, offP(i), offN(i))))
-      .toDF("_part", "_offP", "_offN")
-    val w = Window.partitionBy(col("_part")).orderBy(col("_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("_wP", sum("_np").over(w))
-      .withColumn("_wN", sum("_nn").over(w))
-      .join(broadcast(offDf), Seq("_part"))
+    PrefixSum.cumulative(dict, "_s", Seq("_np" -> "_cumP", "_nn" -> "_cumN"))
       // strictly below = cumulative through this score minus own counts
       .select(col("_s"), col("_np"), col("_nn"),
-        (col("_offP") + col("_wP") - col("_np")).as("_npBelow"),
-        (col("_offN") + col("_wN") - col("_nn")).as("_nnBelow"))
+        (col("_cumP") - col("_np")).as("_npBelow"),
+        (col("_cumN") - col("_nn")).as("_nnBelow"))
   }
 
   /** Gopher/MassiveText document-quality rules (Rae et al. 2021, table
@@ -2272,14 +2251,23 @@ object TextAnalysis {
     * empirical CDFs as exact integer rationals, so the oracle agrees
     * bit-for-bit. Rides [[scoreDictCum]] (value dictionary + the
     * distributed strictly-below prefix sums; inclusive CDF = below +
-    * own), one corpus pass per side. `reject_05` applies the classical
-    * large-sample critical value c(0.05)·√((n_a+n_b)/(n_a·n_b)),
-    * c = 1.358. Returns one row (n_a, n_b, ks, reject_05); ks NULL when
+    * own), one corpus pass per side. The reject flag applies the
+    * classical large-sample critical value
+    * c(α)·√((n_a+n_b)/(n_a·n_b)) at the chosen significance level —
+    * α ∈ {0.10, 0.05, 0.01} with the standard c(α) table
+    * {1.224, 1.358, 1.628}; default α = 0.05. Returns one row
+    * (n_a, n_b, ks, reject_NN) where NN is the alpha's two-digit
+    * percent form (reject_05, reject_01, reject_10); ks NULL when
     * either sample is empty.
     */
-  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String,
+      alpha: Double = 0.05): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
+    val cAlpha = KS_CRITICAL.getOrElse(alpha, sys.error(
+      s"ksTest: alpha must be one of ${KS_CRITICAL.keys.toSeq.sorted
+        .mkString(", ")}, got $alpha"))
+    val rejCol = f"reject_${math.rint(alpha * 100).toInt}%02d"
     val tagged = a.select(col(valueCol).cast("double").as("_v"),
         lit(1).as("_y"))
       .unionByName(b.select(col(valueCol).cast("double").as("_v"),
@@ -2291,16 +2279,22 @@ object TextAnalysis {
     val (na, nb) = (tot.getDouble(0), tot.getDouble(1))
     if (na == 0 || nb == 0)
       Seq((na.toLong, nb.toLong, Option.empty[Double], Option.empty[Int]))
-        .toDF("n_a", "n_b", "ks", "reject_05")
+        .toDF("n_a", "n_b", "ks", rejCol)
     else {
-      val crit = 1.358 * math.sqrt((na + nb) / (na * nb))
+      val crit = cAlpha * math.sqrt((na + nb) / (na * nb))
       cum.agg(max(abs((col("_npBelow") + col("_np")) / na -
           (col("_nnBelow") + col("_nn")) / nb)).as("_ks"))
         .select(lit(na.toLong).as("n_a"), lit(nb.toLong).as("n_b"),
           round(col("_ks"), 6).as("ks"),
-          (col("_ks") > lit(crit)).cast("int").as("reject_05"))
+          (col("_ks") > lit(crit)).cast("int").as(rejCol))
     }
   }
+
+  /** The classical large-sample two-sample KS critical coefficients
+    * c(α) (Smirnov): reject when D > c(α)·√((n_a+n_b)/(n_a·n_b)).
+    */
+  private val KS_CRITICAL: Map[Double, Double] =
+    Map(0.10 -> 1.224, 0.05 -> 1.358, 0.01 -> 1.628)
 
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
       edges: Seq[Double]): DataFrame =
