@@ -212,13 +212,24 @@ object SparkEntry {
   }
 
   /** The fixed quality classifier's scores joined to the length weak
-    * label (the q_quality_fit convention) — the shared input of the
-    * classifier-eval queries (q_threshold_sweep, q_auc).
+    * label and the source group (the q_quality_fit convention) — the
+    * shared input of the classifier-eval family (q_threshold_sweep,
+    * q_auc, q_ap, q_clf_report, q_auc_boot, q_auc_group). STANDING
+    * (IndexTables.plain — the scrubbedCorpus / unigram_v256 precedent):
+    * the corpus is scored and joined ONCE per (snapshot dir, witness);
+    * every eval query and every bench pass after the first reads the
+    * materialized (doc_id, quality_score, keep, y, source) table
+    * instead of re-running the score+join chain — at 100 TB, eval
+    * metrics are recomputed far more often than the scorer changes, so
+    * the scored table is the artifact and the queries are
+    * dictionary-sized work on top of it.
     */
   private def qualityScoredLabeled(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
-      .join(Tables.documents(s, d).select(col("doc_id"),
-        (col("n_chars") >= 300).cast("int").as("y")), "doc_id")
+    IndexTables.plain(s, IndexTables.ident("qscored", d,
+      witness(Tables.documents(s, d))))(
+      TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+          (col("n_chars") >= 300).cast("int").as("y")), "doc_id"))
 
   /** Deterministic synthetic judge votes for q_bt_ratings: 32
     * strength-ranked arms (lower id = stronger), one game per document,
@@ -607,6 +618,18 @@ object SparkEntry {
     "q_auc" -> ((s, d) =>
       TextAnalysis.aucScore(qualityScoredLabeled(s, d),
         "quality_score", "y")),
+    // the monitoring path: the additive (_s, _np, _nn) score dictionary
+    // built from batch 1, MERGEd with batch 2 (doc_id parity split),
+    // exact AUC recomputed from the standing dictionary — contract:
+    // equals the full rebuild, so the oracle IS the q_auc replay (the
+    // q_covariance_incr precedent)
+    "q_auc_incr" -> ((s, d) => {
+      val scored = qualityScoredLabeled(s, d)
+      val dict1 = TextAnalysis.scoreDict(
+        scored.where(col("doc_id") % 2 === 0), "quality_score", "y")
+      TextAnalysis.aucFromDict(TextAnalysis.scoreDictMerge(dict1,
+        scored.where(col("doc_id") % 2 === 1), "quality_score", "y"))
+    }),
     // exact step-wise average precision (PR-AUC) on the same dictionary
     "q_ap" -> ((s, d) =>
       TextAnalysis.apScore(qualityScoredLabeled(s, d),
@@ -628,12 +651,10 @@ object SparkEntry {
     "q_auc_boot" -> ((s, d) =>
       TextAnalysis.aucBootstrap(qualityScoredLabeled(s, d), "doc_id",
         "quality_score", "y", replicas = 100)),
-    // the fairness cut: exact AUC per source (group-partitioned window)
+    // the fairness cut: exact AUC per source, off the same standing
+    // scored table as the rest of the eval family
     "q_auc_group" -> ((s, d) =>
-      TextAnalysis.aucByGroup(
-        TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
-          .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
-            (col("n_chars") >= 300).cast("int").as("y")), "doc_id"),
+      TextAnalysis.aucByGroup(qualityScoredLabeled(s, d),
         "source", "quality_score", "y")),
     // NFC canonicalization: the synthetic corpus is pure ASCII (NFC
     // identity), so every 13th doc gets a decomposed-accent + double-space
@@ -4414,6 +4435,9 @@ object SparkEntry {
     // classifier eval: integer confusion sweep + exact tie-aware AUC
     "q_threshold_sweep" -> thresholdSweepSql,
     "q_auc" -> aucSql,
+    // merge ≡ rebuild is the contract, so the incremental path's oracle
+    // IS the full-corpus AUC replay
+    "q_auc_incr" -> aucSql,
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
     "q_auc_boot" -> aucBootSql(100),

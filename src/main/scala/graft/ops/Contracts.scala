@@ -167,7 +167,9 @@ object Contracts {
     * dictionary re-aggregates by the cast (distinct raw values can only
     * merge under it, so the second aggregate is dictionary-sized), rows
     * whose cast is null drop out, and the cumulative window orders by
-    * the cast — exactly `percentile(CAST(c AS DOUBLE), p)` semantics.
+    * the cast — exactly `percentile(TRY_CAST(c AS DOUBLE), p)`
+    * semantics (try_cast so an unparseable string drops out instead of
+    * throwing under ANSI).
     * A string column therefore gets numeric (not lexicographic)
     * percentile ordering over its parseable values, and a column with
     * no castable values gets null percentiles instead of a rank-lookup
@@ -180,7 +182,10 @@ object Contracts {
       .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
       .localCheckpoint()
     val nd = dict.count()
-    val dictD = dict.select(col("_v").cast("double").as("_d"), col("_c"))
+    // try_cast, not cast: under ANSI a malformed string must drop out
+    // as null (then be excluded), not throw CAST_INVALID_INPUT
+    val dictD = dict.select(expr("try_cast(_v AS DOUBLE)").as("_d"),
+        col("_c"))
       .where(col("_d").isNotNull)
       .groupBy("_d").agg(sum("_c").as("_c"))
       .localCheckpoint()

@@ -1809,13 +1809,68 @@ object TextAnalysis {
     */
   def aucScore(scored: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame =
-    scoreDictCum(scored, scoreCol, labelCol)
-      .agg(sum("_np").as("_P"), sum("_nn").as("_N"),
+    aucFromCum(scoreDictCum(scored, scoreCol, labelCol))
+
+  private def aucFromCum(cum: DataFrame): DataFrame =
+    cum.agg(sum("_np").as("_P"), sum("_nn").as("_N"),
         sum(col("_np") * (col("_nnBelow") + col("_nn") / 2)).as("_U"))
       .select(col("_P").cast("long").as("n_pos"),
         col("_N").cast("long").as("n_neg"),
         round(when(col("_P") > 0 && col("_N") > 0,
           col("_U") / (col("_P") * col("_N"))), 6).as("auc"))
+
+  /** The standing score DICTIONARY of the classifier-eval family:
+    * (_s, _np, _nn) = distinct score, positive count, negative count.
+    * ADDITIVE under appended rows — exactly the [[Preference.btGraph]]
+    * mergeable-sufficient-statistic shape: an AUC/AP monitoring
+    * pipeline maintains this dictionary-sized artifact
+    * ([[scoreDictMerge]] folds each batch by summing counts,
+    * [[aucServe]] wires that into foreachBatch) and recomputes exact
+    * metrics from it at dictionary cost ([[aucFromDict]]), never
+    * rescanning score history. One map-side-combined aggregate; null
+    * scores are excluded (the [[aucScore]] convention).
+    */
+  def scoreDict(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean").cast("int")
+    scored.select(col(scoreCol).cast("double").as("_s"), y.as("_y"))
+      .where(col("_s").isNotNull)
+      .groupBy("_s")
+      .agg(sum(col("_y")).cast("double").as("_np"),
+        sum(lit(1) - col("_y")).cast("double").as("_nn"))
+  }
+
+  /** Fold a new batch of scored rows into a standing [[scoreDict]]:
+    * counts sum per distinct score. Exactly equals the dictionary of
+    * the concatenated history (spec'd — the btMerge contract), at
+    * batch-dictionary cost.
+    */
+  def scoreDictMerge(dict: DataFrame, newScored: DataFrame,
+      scoreCol: String, labelCol: String): DataFrame =
+    dict.unionByName(scoreDict(newScored, scoreCol, labelCol))
+      .groupBy("_s").agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
+
+  /** [[aucScore]] from a standing [[scoreDict]] — the apply half of the
+    * monitoring loop: prefix sums + the Mann-Whitney algebra over the
+    * dictionary alone (exact, tie-aware, bit-equal to a full rebuild
+    * because the dictionary IS the sufficient statistic).
+    */
+  def aucFromDict(dict: DataFrame): DataFrame =
+    aucFromCum(scoreDictCumFrom(dict.localCheckpoint()))
+
+  /** Streaming metric ingestion: each micro-batch of (score, label)
+    * rows [[scoreDictMerge]]s into the standing dictionary (the
+    * btServe read-write pattern); exact AUC/AP recompute from the
+    * dictionary on demand, not per batch.
+    */
+  def aucServe(scoredStream: DataFrame, scoreCol: String,
+      labelCol: String)(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scoredStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(scoreDictMerge(state(), batch, scoreCol, labelCol))
+    }
 
   /** EXACT average precision (the step-wise PR-AUC,
     * sklearn's average_precision_score definition) with proper tie
@@ -2001,21 +2056,18 @@ object TextAnalysis {
     * Returns (_s, _np, _nn, _npBelow, _nnBelow).
     */
   private[graft] def scoreDictCum(scored: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
-    val y = col(labelCol).cast("boolean").cast("int")
-    val dict = scored
-      .select(col(scoreCol).cast("double").as("_s"), y.as("_y"))
-      .where(col("_s").isNotNull)
-      .groupBy("_s")
-      .agg(sum(col("_y")).cast("double").as("_np"),
-        sum(lit(1) - col("_y")).cast("double").as("_nn"))
-      .localCheckpoint()
+      labelCol: String): DataFrame =
+    scoreDictCumFrom(scoreDict(scored, scoreCol, labelCol).localCheckpoint())
+
+  /** The prefix-sum half over an already-built (checkpointed)
+    * dictionary — shared by the one-shot and standing-artifact paths.
+    */
+  private def scoreDictCumFrom(dict: DataFrame): DataFrame =
     PrefixSum.cumulative(dict, "_s", Seq("_np" -> "_cumP", "_nn" -> "_cumN"))
       // strictly below = cumulative through this score minus own counts
       .select(col("_s"), col("_np"), col("_nn"),
         (col("_cumP") - col("_np")).as("_npBelow"),
         (col("_cumN") - col("_nn")).as("_nnBelow"))
-  }
 
   /** Gopher/MassiveText document-quality rules (Rae et al. 2021, table
     * A1 — the structural gate nearly every later pipeline inherited):

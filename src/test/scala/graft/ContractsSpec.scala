@@ -83,6 +83,51 @@ class ContractsSpec extends SparkSpec {
     assert(nd0 == 0L && p0 == Seq(None))
   }
 
+  test("exactColumnStats on a STRING column: numeric percentile " +
+      "ordering, unparseable values excluded, n_distinct on raw values") {
+    // lexicographic order of these strings ("10" < "2" < "30") differs
+    // from numeric order — percentiles must match
+    // percentile(TRY_CAST(v AS DOUBLE), p): ordering by the cast,
+    // dropping values whose cast is null ("x", "y") instead of throwing
+    // or NPE'ing a rank lookup; n_distinct still counts raw strings (5)
+    val df = Seq("10", "2", "x", "30", "2", "y", null)
+      .map(Tuple1(_)).toDF("v").repartition(3)
+    val (nd, got) = Contracts.exactColumnStats(df, "v", Seq(0.5, 0.95))
+    val builtin = df.agg(
+      expr("percentile(TRY_CAST(v AS DOUBLE), array(0.5, 0.95))"),
+      countDistinct(col("v"))).head()
+    assert(nd == builtin.getLong(1) && nd == 5L)
+    val exp = builtin.getSeq[Double](0)
+    assert(got == Seq(Some(exp(0)), Some(exp(1))), s"$got vs $exp")
+    // a string column with NO parseable values: raw distincts counted,
+    // percentiles null — the graceful pre-regression behavior
+    val (ndS, pS) = Contracts.exactColumnStats(
+      Seq("a", "b", "a").map(Tuple1(_)).toDF("v"), "v", Seq(0.5))
+    assert(ndS == 2L && pS == Seq(None))
+  }
+
+  test("PrefixSum: fan-out adapts to dictionary size; cumulative sums " +
+      "are exact global running sums") {
+    import graft.ops.PrefixSum
+    assert(PrefixSum.parts(0L) == 64)          // floor: the historic 64
+    assert(PrefixSum.parts(10000000L) == 64)   // 10M/250k+1 = 41 < floor
+    assert(PrefixSum.parts(100000000L) == 401) // 100M distinct → 401
+    assert(PrefixSum.parts(1000000000L) == 4001)
+    assert(PrefixSum.parts(Long.MaxValue) == 4096) // offset-collect cap
+    // shuffled dictionary of distinct values 1..5000, counts = value:
+    // inclusive cumulative at v must equal v(v+1)/2 exactly
+    val rnd = new scala.util.Random(3)
+    val dict = rnd.shuffle((1 to 5000).toList)
+      .map(v => (v.toDouble, v.toLong)).toDF("_v", "_c")
+      .repartition(7).localCheckpoint()
+    val cum = PrefixSum.cumulative(dict, "_v", Seq("_c" -> "_cum"))
+      .select(col("_v"), col("_cum")).as[(Double, Double)].collect()
+    assert(cum.length == 5000)
+    cum.foreach { case (v, c) =>
+      assert(c == v * (v + 1) / 2, s"v=$v cum=$c")
+    }
+  }
+
   test("kAnonymity counts small QI cells, rows at risk, null QI cells") {
     val df = Seq(
       ("en", 1), ("en", 1), ("en", 1),   // cell of 3: safe at k=3

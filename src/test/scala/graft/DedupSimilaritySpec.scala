@@ -1695,4 +1695,65 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
     assert(mined(0L) == 1L && mined(7L) == 2L, mined.mkString(","))
   }
+
+  test("ANN recall gate: ivfTopK / pqTopKRefined / multi-probe LSH hold " +
+      "pinned recall floors on the seeded corpus") {
+    // The REGRESSION FENCE for the approximate serving paths: a plan or
+    // probe-parameter regression (nprobe effectively 1, a broken ADC
+    // fold, multi-probe buckets lost) would otherwise ship silently —
+    // graft.tools.MeasureLsh measures but nothing gates. Fixture: 20
+    // blurry clusters (noise σ=1.1 ≈ center scale), so exact top-10
+    // crosses cells and the floors are SENSITIVE: measured on this
+    // exact seed, ivfTopK@nprobe=4 reads 0.98 (nprobe=1: 0.82),
+    // pqTopKRefined@shortlist=50 reads 0.91 (shortlist=10: 0.45),
+    // multi-probe LSH NN reads 0.725 (no multi-probe: 0.29) — every
+    // floor sits between its config and the broken one. All inputs are
+    // seeded and every algorithm is deterministic, so the measured
+    // recalls are exact constants, not statistics.
+    val rnd = new scala.util.Random(41)
+    val centers = (0 until 20).map(_ => Array.fill(32)(rnd.nextGaussian()))
+    val emb = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map { j =>
+        ((ci * 40 + j).toLong,
+          c.map(x => (x + rnd.nextGaussian() * 1.1).toFloat), ci)
+      }
+    }.toDF("vec_id", "embedding", "label").localCheckpoint()
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.knnAllBrute(emb, queries, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val assigned = Similarity.ivfAssign(emb, cents).localCheckpoint()
+    val ivfHits = (0L until 10L).map { q =>
+      val got = Similarity.ivfTopK(assigned, q, 10, cents)
+        .select("vec_id").as[Long].collect().toSet
+      (got & exact(q)).size
+    }.sum
+    assert(ivfHits / 100.0 >= 0.95,
+      s"ivfTopK default-nprobe recall@10 ${ivfHits / 100.0} < 0.95")
+
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16)
+    val enc = Similarity.pqEncode(emb, cb).localCheckpoint()
+    val pqHits = (0L until 10L).map { q =>
+      val qv = emb.where($"vec_id" === q)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val got = Similarity.pqTopKRefined(enc.where($"vec_id" =!= q),
+          emb.where($"vec_id" =!= q), cb, qv, 10, shortlist = 50)
+        .select("vec_id").as[Long].collect().toSet
+      (got & exact(q)).size
+    }.sum
+    assert(pqHits / 100.0 >= 0.85,
+      s"pqTopKRefined shortlist-50 recall@10 ${pqHits / 100.0} < 0.85")
+
+    val exactNN = Similarity.nearestNeighbour(emb)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val approx = Similarity.lshNearestNeighbour(emb, dim = 32)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    val lshRecall = exactNN.keys
+      .count(id => approx.get(id).contains(exactNN(id))).toDouble / exactNN.size
+    assert(lshRecall >= 0.65,
+      s"multi-probe LSH NN recall $lshRecall < 0.65")
+  }
 }

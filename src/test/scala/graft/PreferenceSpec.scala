@@ -7,13 +7,34 @@ import org.apache.spark.sql.functions._
 class PreferenceSpec extends SparkSpec {
   import spark.implicits._
 
-  test("btRatings: hand-checked two-item case converges to (2, 0)") {
+  test("btRatings: hand-checked two-item case converges to (2, 1e-6 floor)") {
     // A beats B three times: W_A=3, n_AB=3. Step: den_A = 3/(r_A+r_B),
-    // u_A = W_A/den_A, u_B = 0; mean-1 renorm → (2, 0), then stable.
+    // u_A = W_A/den_A, u_B = 0; mean-1 renorm → (2, 0), with the winless
+    // item held at the 1e-6 floor (the denominator guard), then stable.
     val pairs = Seq(("a", "b"), ("a", "b"), ("a", "b")).toDF("winner", "loser")
     val got = Preference.btRatings(pairs, iterations = 4)
       .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(got == Seq(("a", 2.0, 3L, 3L), ("b", 0.0, 0L, 3L)), got)
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(math.abs(got(0)._2 - 2.0) <= 2e-6 && got(1)._2 == 1e-6, got)
+    assert(got.map(g => (g._3, g._4)) == Seq((3L, 3L), (0L, 3L)), got)
+  }
+
+  test("btRatings floor: extreme win skew never zeroes a rating or nulls " +
+      "an MM denominator") {
+    // 60 strong arms each beat arm 0 a million times; arm 0's single win
+    // (over arm 61) makes it weak-but-WINNING — pre-floor, per-step q6
+    // rounding floors u_0/m to exactly 0.0, and the 0-61 edge then puts
+    // r_i + r_j = 0 in a denominator (null division that sum() drops).
+    // The 1e-6 floor keeps every denominator positive; every rating is
+    // non-null and >= the floor, and strong arms stay on top.
+    val graph = ((1L to 60L).map(i => (i, 0L, 1000000L)) ++
+      Seq((0L, 61L, 1L))).toDF("w", "l", "n")
+    val got = Preference.btRatingsFromGraph(graph, iterations = 4)
+      .as[(Long, Double, Long, Long)].collect()
+    assert(got.length == 62)
+    assert(got.forall(r => !r._2.isNaN && r._2 >= 1e-6), got.minBy(_._2))
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) > byId(0L) && byId(0L) >= byId(61L), (byId(1L), byId(0L), byId(61L)))
   }
 
   test("btRatings: ratings order matches strength under a balanced schedule") {
@@ -89,7 +110,8 @@ class PreferenceSpec extends SparkSpec {
         i -> wins.getOrElse(i, 0L).toDouble / den
       }.toMap
       val m = u.values.sum / u.size
-      r = u.map { case (k, v) => k -> q6(v / m) }
+      // the 1e-6 floor mirrors btRatingsFromGraph's post-rounding guard
+      r = u.map { case (k, v) => k -> math.max(q6(v / m), 1e-6) }
     }
     val got = Preference.btRatings(pairs.toDF("winner", "loser"),
         iterations = 3)

@@ -1092,4 +1092,83 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Int, Double, Int)].collect()
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("logisticFit ignores null-label/null-feature rows entirely") {
+    // rows with a null label or feature contribute null to every
+    // gradient sum; n must count only the rows the sums actually saw,
+    // or nulls silently shrink the effective learning rate
+    val clean = Seq((1, 1.0, 0.2), (0, -0.5, 0.8), (1, 0.7, -0.3),
+      (0, -1.2, 0.5), (1, 2.0, -1.0), (0, -0.1, 1.4))
+    val dirty = clean.map { case (y, a, b) =>
+      (Option(y), Option(a), Option(b))
+    } ++ Seq((Option.empty[Int], Some(9.0), Some(9.0)),
+      (Some(1), Option.empty[Double], Some(9.0)),
+      (Some(0), Some(9.0), Option.empty[Double]))
+    val wClean = TextAnalysis.logisticFit(clean.toDF("y", "x0", "x1"),
+      Seq("x0", "x1"), "y", iterations = 3)
+    val wDirty = TextAnalysis.logisticFit(dirty.toDF("y", "x0", "x1"),
+      Seq("x0", "x1"), "y", iterations = 3)
+    assert(wClean == wDirty, s"$wClean vs $wDirty")
+    // all-null frame is a hard error, not a zero-division
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticFit(
+        Seq((Option.empty[Int], 1.0, 2.0)).toDF("y", "x0", "x1"),
+        Seq("x0", "x1"), "y", iterations = 1)
+    }
+  }
+
+  test("ksTest alpha: D = 0.12 rejects at 0.10 and 0.05 but not 0.01; " +
+      "unsupported alpha refused") {
+    // a = 1..300, b = 37..336: uniform shift — D = 36/300 = 0.12 exactly.
+    // crit = c(α)·√(600/90000) = c(α)·0.08165: 0.10 → 0.0999 (reject),
+    // 0.05 → 0.1109 (reject), 0.01 → 0.1329 (no reject)
+    val a = (1 to 300).map(_.toDouble).toDF("v")
+    val b = (37 to 336).map(_.toDouble).toDF("v")
+    def flag(alpha: Double): (String, Int) = {
+      val df = TextAnalysis.ksTest(a, b, "v", alpha)
+      (df.columns.last,
+        df.select(org.apache.spark.sql.functions.col(df.columns.last))
+          .as[Int].collect().head)
+    }
+    assert(flag(0.10) == (("reject_10", 1)))
+    assert(flag(0.05) == (("reject_05", 1)))
+    assert(flag(0.01) == (("reject_01", 0)))
+    intercept[RuntimeException] { TextAnalysis.ksTest(a, b, "v", 0.2) }
+  }
+
+  test("scoreDict: merge ≡ rebuild, aucFromDict ≡ aucScore, aucServe " +
+      "folds micro-batches to the same standing dictionary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(29)
+    val all = Seq.fill(400) {
+      val y = rnd.nextInt(2)
+      val s = math.rint((0.3 + 0.3 * y + 0.3 * rnd.nextDouble()) * 25) / 25
+      (s, y)
+    }
+    val (a, b) = all.splitAt(250)
+    val merged = TextAnalysis.scoreDictMerge(
+      TextAnalysis.scoreDict(a.toDF("s", "y"), "s", "y"),
+      b.toDF("s", "y"), "s", "y").localCheckpoint()
+    val full = TextAnalysis.scoreDict(all.toDF("s", "y"), "s", "y")
+      .localCheckpoint()
+    assert(merged.as[(Double, Double, Double)].collect().toSet ==
+      full.as[(Double, Double, Double)].collect().toSet)
+    // exact AUC off the standing dictionary ≡ the one-shot corpus AUC
+    val aucM = TextAnalysis.aucFromDict(merged)
+      .as[(Long, Long, Option[Double])].collect().head
+    val aucF = TextAnalysis.aucScore(all.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(aucM == aucF && aucM._3.nonEmpty, s"$aucM vs $aucF")
+    // streaming: four micro-batches fold to the same standing dict
+    var standing = TextAnalysis.scoreDict(
+      Seq.empty[(Double, Int)].toDF("s", "y"), "s", "y").localCheckpoint()
+    val in = MemoryStream[(Double, Int)](93, spark, None)
+    val q = TextAnalysis.aucServe(in.toDF().toDF("s", "y"), "s", "y")(
+      () => standing, f => standing = f.localCheckpoint()).start()
+    try {
+      all.grouped(100).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    assert(standing.as[(Double, Double, Double)].collect().toSet ==
+      full.as[(Double, Double, Double)].collect().toSet)
+  }
 }
