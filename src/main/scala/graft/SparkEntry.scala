@@ -1647,6 +1647,40 @@ object SparkEntry {
         TextAnalysis.qualityLogit(col("text")).as("z"))
       Conversations.preferencePairs(scored, "source", "doc_id", "z", "text")
     }),
+    // Fleiss' kappa over a deterministic 3-judge panel (label_j =
+    // ((doc_id mod (j+2)) + (doc_id mod 3)) mod 3 — integer residues
+    // the oracle rebuilds exactly; measures κ ≈ 0.086, a realistic
+    // mildly-agreeing panel): the acceptance gate on an LLM-judge
+    // ensemble before its majority votes become labels
+    "q_fleiss" -> ((s, d) => {
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+        explode(array((0 until 3).map(j =>
+          (((col("doc_id") % (j + 2)) + (col("doc_id") % 3)) % 3)
+            .cast("int")): _*)).as("label"))
+      Preference.fleissKappa(votes, "doc_id", "label")
+    }),
+    // vocabulary-level drift: KL both ways + Jensen-Shannon divergence
+    // between the en and non-en token distributions (union vocab,
+    // add-half smoothing) — the drift check PSI/KS can't see
+    "q_js_div" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.tokenDivergence(docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"))
+    }),
+    // corpus-planning scorecard: tokens, types, hapax/dis, TTR,
+    // Good-Turing unseen mass (the type-inventory view q_zipf and
+    // q_corpus_report don't carry)
+    "q_vocab_report" -> ((s, d) =>
+      TextAnalysis.vocabReport(Tables.documents(s, d))),
+    // TRUE add-k perplexity under the STANDING bigram-count model
+    // (fit on the 97-residue train split, scored over every doc —
+    // held-out docs hit unseen events and the smoothing actually
+    // carries them; the CCNet-style quality filter proper)
+    "q_lm_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmPerplexity(docs,
+        TextAnalysis.lmCounts(docs.where(col("doc_id") % 97 =!= 0)))
+    }),
     // Bradley-Terry strengths over the synthetic judge votes (32
     // strength-ranked arms, one game per doc, stronger arm wins 4/7 of
     // the time — all integer arithmetic, so the oracle rebuilds the
@@ -4438,6 +4472,67 @@ object SparkEntry {
     // merge ≡ rebuild is the contract, so the incremental path's oracle
     // IS the full-corpus AUC replay
     "q_auc_incr" -> aucSql,
+    // Fleiss' kappa: votes rebuilt from the doc_id residues, the exact
+    // Fleiss algebra over (item, label) counts — every term an
+    // integer-derived rational, kappa from the UNROUNDED pbar/pe
+    "q_fleiss" ->
+      ("WITH votes AS (SELECT doc_id, CAST(((doc_id % (j+2)) + (doc_id % 3)) % 3 AS INT) AS label " +
+        "FROM documents, range(0,3) r(j)), " +
+        "cell AS (SELECT doc_id AS i, label AS jl, count(*) AS nij FROM votes GROUP BY 1, 2), " +
+        "item AS (SELECT i, sum(nij) AS n, sum(nij*nij) AS sq FROM cell GROUP BY i), " +
+        "tot AS (SELECT count(*) AS ni, any_value(n) AS n FROM item), " +
+        "pb AS (SELECT avg((sq - n)/(n*(n-1.0))) AS pbar FROM item), " +
+        "pe AS (SELECT sum(pow(cj/(tot.ni*1.0*tot.n), 2)) AS pe FROM " +
+        "(SELECT jl, CAST(sum(nij) AS DOUBLE) AS cj FROM cell GROUP BY jl), tot) " +
+        "SELECT CAST(tot.ni AS BIGINT) AS n_items, CAST(tot.n AS BIGINT) AS n_raters, " +
+        "round(pb.pbar, 6) AS p_bar, round(pe.pe, 6) AS p_e, " +
+        "CASE WHEN pe.pe < 1 THEN round((pb.pbar - pe.pe)/(1 - pe.pe), 6) END AS kappa " +
+        "FROM tot, pb, pe"),
+    // KL/JS over the union vocabulary with add-half smoothing; each ln
+    // term q6-rounded before the sum (the tokenDivergence convention)
+    "q_js_div" ->
+      (s"WITH ca AS (SELECT t, count(*) AS c FROM " +
+        s"(SELECT unnest($TOKS) AS t FROM documents WHERE lang = 'en') GROUP BY t), " +
+        s"cb AS (SELECT t, count(*) AS c FROM " +
+        s"(SELECT unnest($TOKS) AS t FROM documents WHERE lang <> 'en') GROUP BY t), " +
+        "j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb " +
+        "FROM ca FULL JOIN cb ON ca.t = cb.t), " +
+        "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j), " +
+        "pq AS (SELECT (ca+0.5)/(tot.na+0.5*tot.v) AS p, (cb+0.5)/(tot.nb+0.5*tot.v) AS q FROM j, tot) " +
+        "SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b, " +
+        "CAST(tot.v AS BIGINT) AS vocab, " +
+        "round(sum(round(p*ln(p/q), 6)), 6) AS kl_ab, " +
+        "round(sum(round(q*ln(q/p), 6)), 6) AS kl_ba, " +
+        "round(sum(round(p*ln(p/((p+q)/2))/2, 6) + round(q*ln(q/((p+q)/2))/2, 6)), 6) AS js " +
+        "FROM pq, tot GROUP BY tot.na, tot.nb, tot.v"),
+    // vocab scorecard: one dictionary aggregate (the Zipf shape scalar
+    // is q_zipf's)
+    "q_vocab_report" ->
+      (s"WITH c AS (SELECT t, count(*) AS c FROM " +
+        s"(SELECT unnest($TOKS) AS t FROM documents) GROUP BY t) " +
+        "SELECT CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis, " +
+        "round(count(*)/(1.0*sum(c)), 6) AS ttr, " +
+        "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)/(1.0*sum(c)), 6) AS gt_unseen " +
+        "FROM c"),
+    // add-k perplexity under the train-split bigram model: V+1 for the
+    // OOV bucket, per-term q6 logs, ppl = exp of the ROUNDED ce
+    "q_lm_ppl" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents), " +
+        "pairs AS (SELECT doc_id, z[1] AS prev, z[2] AS word FROM " +
+        "(SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z " +
+        "FROM tk WHERE len(t) >= 2)), " +
+        "m AS (SELECT prev, word, count(*) AS cnt FROM pairs WHERE doc_id % 97 <> 0 GROUP BY 1, 2), " +
+        "vv AS (SELECT count(DISTINCT word) + 1 AS v FROM m), " +
+        "ctx AS (SELECT prev, sum(cnt) AS c1 FROM m GROUP BY prev), " +
+        "sc AS (SELECT p.doc_id, " +
+        "round(ln((coalesce(m.cnt, 0) + 0.5)/(coalesce(ctx.c1, 0) + 0.5*vv.v)), 6) AS logp " +
+        "FROM pairs p LEFT JOIN m ON p.prev = m.prev AND p.word = m.word " +
+        "LEFT JOIN ctx ON p.prev = ctx.prev, vv) " +
+        "SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS cross_entropy, " +
+        "round(exp(round(-avg(logp), 4)), 4) AS ppl FROM sc GROUP BY doc_id"),
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
     "q_auc_boot" -> aucBootSql(100),

@@ -134,4 +134,60 @@ object Preference {
     items.join(ratings, Seq("item"))
       .select(col("item"), col("r").as("rating"), col("wins"), col("games"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement across a PANEL of
+    * raters (the multi-rater generalization of the two-labeler
+    * [[TextAnalysis.cohenKappa]]): THE acceptance gate on an
+    * LLM-judge ensemble before its majority votes are trusted as labels.
+    * Standard formulation (Fleiss 1971) over items i and categories j
+    * with n raters per item:
+    *
+    *   P_i = (Σ_j n_ij² − n) / (n(n−1));  P̄ = mean_i P_i
+    *   p_j = Σ_i n_ij / (N·n);  P̄_e = Σ_j p_j²;  κ = (P̄−P̄_e)/(1−P̄_e)
+    *
+    * Requires a COMPLETE panel (same rater count on every item —
+    * validated, since silent raggedness corrupts the statistic).
+    * Scale shape: one map-side-combined (item, label) count aggregate,
+    * then item-keyed and label-keyed rollups of that dictionary — the
+    * corpus of votes shuffles once. Every term is an integer-derived
+    * rational (exact in doubles, order-insensitive sums), so the oracle
+    * agrees bit-for-bit; κ rounds 6 and is NULL when P̄_e = 1 (all votes
+    * one category — agreement is undefined, not perfect).
+    * Returns one row (n_items, n_raters, p_bar, p_e, kappa).
+    */
+  def fleissKappa(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cell = votes.groupBy(col(itemCol).as("_i"), col(labelCol).as("_j"))
+      .agg(count(lit(1)).as("_nij"))
+      .localCheckpoint()
+    val perItem = cell.groupBy("_i")
+      .agg(sum("_nij").as("_n"), sum(col("_nij") * col("_nij")).as("_sq"))
+      .localCheckpoint()
+    val ns = perItem.select(col("_n")).distinct().collect().map(_.getLong(0))
+    require(ns.length <= 1,
+      s"fleissKappa: ragged panel — items have rater counts ${ns.sorted.mkString(", ")}")
+    import votes.sparkSession.implicits._
+    if (ns.isEmpty)
+      return Seq((0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_items", "n_raters", "p_bar", "p_e", "kappa")
+    val n = ns.head
+    require(n >= 2, s"fleissKappa: need >= 2 raters per item, got $n")
+    // grand totals as plan constants (the apScore pattern): N items and
+    // the per-category vote mass both come off the tiny dictionaries
+    val nItems = perItem.count()
+    val pBar = perItem
+      .agg(avg((col("_sq") - n).cast("double") / (n * (n - 1.0))).as("v"))
+      .head().getDouble(0)
+    val pE = cell.groupBy("_j")
+      .agg(sum("_nij").cast("double").as("_cj"))
+      .agg(sum(pow(col("_cj") / (nItems * n.toDouble), 2)).as("v"))
+      .head().getDouble(0)
+    val kappa =
+      if (pE >= 1.0) Option.empty[Double]
+      else Some(math.rint((pBar - pE) / (1 - pE) * 1e6) / 1e6)
+    Seq((nItems, n, Some(math.rint(pBar * 1e6) / 1e6),
+      Some(math.rint(pE * 1e6) / 1e6), kappa))
+      .toDF("n_items", "n_raters", "p_bar", "p_e", "kappa")
+  }
 }

@@ -2348,6 +2348,159 @@ object TextAnalysis {
   private val KS_CRITICAL: Map[Double, Double] =
     Map(0.10 -> 1.224, 0.05 -> 1.358, 0.01 -> 1.628)
 
+  /** Unigram token-DISTRIBUTION divergence between two corpora — the
+    * vocabulary-level drift check beside [[distributionDrift]]'s
+    * numeric-column PSI and [[ksTest]]'s CDF gap (a new crawl snapshot
+    * can hold every numeric profile steady while its vocabulary walks):
+    * KL both directions plus the bounded symmetric Jensen-Shannon
+    * divergence, over the UNION vocabulary with add-half (Jeffreys)
+    * smoothing so either side's absent tokens contribute finite terms —
+    * the [[Sampling.perplexityBuckets]] smoothing policy.
+    *
+    *   p_t = (c_a(t)+½)/(N_a+½V);  q_t likewise over V union types
+    *   KL(p‖q) = Σ_t p_t ln(p_t/q_t);  JS = ½KL(p‖m)+½KL(q‖m), m=(p+q)/2
+    *
+    * Scale shape: one map-side-combined token count per side, a full
+    * outer join of the two DICTIONARIES, and dictionary-sized algebra —
+    * each corpus shuffles once, nothing row-sized after. Every ln term
+    * is q6-rounded BEFORE the sum (cross-engine libm ulps never
+    * compound); outputs round 6. Returns one row
+    * (n_a, n_b, vocab, kl_ab, kl_ba, js); nulls when both sides are
+    * token-free.
+    */
+  def tokenDivergence(a: DataFrame, b: DataFrame): DataFrame = {
+    def cnts(df: DataFrame, as: String) = df
+      .select(explode(toks(col("text"))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as(as))
+    val joined = cnts(a, "_ca")
+      .join(cnts(b, "_cb"), Seq("_t"), "full")
+      .select(col("_t"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .localCheckpoint()
+    val tot = joined.agg(coalesce(sum("_ca"), lit(0L)),
+      coalesce(sum("_cb"), lit(0L)), count(lit(1))).head()
+    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    import a.sparkSession.implicits._
+    if (v == 0L)
+      return Seq((0L, 0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_a", "n_b", "vocab", "kl_ab", "kl_ba", "js")
+    val p = (col("_ca") + 0.5) / (na + 0.5 * v)
+    val q = (col("_cb") + 0.5) / (nb + 0.5 * v)
+    val m = (p + q) / 2
+    joined.agg(
+        round(sum(round(p * log(p / q), 6)), 6).as("kl_ab"),
+        round(sum(round(q * log(q / p), 6)), 6).as("kl_ba"),
+        round(sum(round(p * log(p / m) / 2, 6) +
+          round(q * log(q / m) / 2, 6)), 6).as("js"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), lit(v).as("vocab"),
+        col("kl_ab"), col("kl_ba"), col("js"))
+  }
+
+  /** One-row vocabulary & coverage report — the corpus-planning numbers
+    * a pretraining run is sized with: total tokens, distinct types,
+    * hapax/dis legomena (count-1/count-2 types), type-token ratio, and
+    * the Good-Turing UNSEEN-mass estimate n₁/N (the probability that
+    * the next token drawn is a type this corpus has never shown — "is
+    * the corpus big enough"). The rank-frequency shape scalar lives in
+    * [[zipfFit]]; the volume/dup/quality headline in [[corpusReport]] —
+    * this row is the type-inventory view neither covers.
+    *
+    * Scale shape: ONE map-side-combined token count builds the
+    * vocabulary dictionary; everything else is one dictionary-sized
+    * aggregate. ttr/gt_unseen round 6.
+    */
+  def vocabReport(docs: DataFrame): DataFrame = {
+    val cnts = docs.select(explode(toks(col("text"))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val agg = cnts.agg(coalesce(sum("_c"), lit(0L)), count(lit(1)),
+      coalesce(sum((col("_c") === 1).cast("long")), lit(0L)),
+      coalesce(sum((col("_c") === 2).cast("long")), lit(0L))).head()
+    val (n, v, n1, n2) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    import docs.sparkSession.implicits._
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    if (v == 0L)
+      return Seq((0L, 0L, 0L, 0L, Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_tokens", "vocab", "hapax", "dis", "ttr", "gt_unseen")
+    Seq((n, v, n1, n2, Some(q6(v.toDouble / n)), Some(q6(n1.toDouble / n))))
+      .toDF("n_tokens", "vocab", "hapax", "dis", "ttr", "gt_unseen")
+  }
+
+  /** The standing bigram-LM COUNT table: (prev, word, cnt) — the
+    * sufficient statistic of every count-based LM smoothing, ADDITIVE
+    * under appended documents (the [[Preference.btGraph]] /
+    * [[scoreDict]] mergeable-artifact shape; [[lmMerge]] folds a batch,
+    * [[lmServe]] wires foreachBatch). [[surprisalScoresBackoff]] fits
+    * its counts per run; a production perplexity filter maintains THIS
+    * table once per corpus snapshot and scores every later batch
+    * against it at batch cost.
+    */
+  def lmCounts(docs: DataFrame): DataFrame =
+    bigramPairs(docs).groupBy("prev", "word").agg(count(lit(1)).as("cnt"))
+
+  /** Fold a new document batch into a standing [[lmCounts]] model:
+    * counts sum. Exactly equals the model of the concatenated corpus
+    * (spec'd — the btMerge contract).
+    */
+  def lmMerge(model: DataFrame, newDocs: DataFrame): DataFrame =
+    model.unionByName(lmCounts(newDocs))
+      .groupBy("prev", "word").agg(sum("cnt").as("cnt"))
+
+  /** Streaming corpus ingestion for the LM counts (the btServe
+    * read-write pattern).
+    */
+  def lmServe(docStream: DataFrame)(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) => save(lmMerge(state(), batch))
+    }
+
+  /** TRUE perplexity under a standing [[lmCounts]] bigram model with
+    * add-k smoothing — the CCNet-style LM quality filter
+    * ([[surprisalScoresBackoff]] is the stupid-backoff sibling; add-k
+    * handles fully-unseen events with a proper probability, which
+    * backoff's score heuristic does not):
+    *
+    *   p(w|prev) = (c(prev,w) + k) / (c(prev,·) + k·(V+1))
+    *
+    * with V = the model's word-type count and +1 the OOV bucket, so
+    * unseen words and unseen contexts both get finite mass and the
+    * distribution still sums to 1 per context. Per-document
+    * cross-entropy = −mean ln p (each ln term q6-rounded before the
+    * mean — cross-engine libm ulps never compound), ppl = e^ce, both
+    * rounded 4. Documents with < 2 tokens have no bigrams and emit no
+    * row (the [[surprisalScoresBigram]] convention).
+    *
+    * Scale shape: V and the context marginals are dictionary-sized
+    * rollups of the model; the score side explodes narrow (doc, prev,
+    * word) rows that join the two dictionaries UNHINTED (the
+    * surprisal-family broadcast policy: AQE broadcasts while small, at
+    * 100 TB the Heaps-law dictionaries must be allowed to shuffle),
+    * then one doc-keyed mean. Returns (doc_id, n_bigrams,
+    * cross_entropy, ppl).
+    */
+  def lmPerplexity(score: DataFrame, model: DataFrame,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"lmPerplexity: add-k needs k > 0, got $k")
+    val vRow = model.agg(countDistinct(col("word"))).head()
+    val v = vRow.getLong(0) + 1L // + the OOV bucket
+    val ctx = model.groupBy("prev").agg(sum("cnt").as("_c1"))
+    val pairs = bigramPairs(score)
+    val logp = round(
+      log((coalesce(col("cnt"), lit(0L)) + k) /
+        (coalesce(col("_c1"), lit(0L)) + k * v)), 6)
+    pairs
+      .join(model, Seq("prev", "word"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(logp), 4).as("cross_entropy"))
+      .withColumn("ppl", round(exp(col("cross_entropy")), 4))
+  }
+
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
       edges: Seq[Double]): DataFrame =
     distributionDriftFrom(bucketCounts(a, valueCol, edges), b, valueCol,

@@ -121,4 +121,41 @@ class PreferenceSpec extends SparkSpec {
       assert(math.abs(got(i) - r(i)) <= 1e-6, s"item $i: ${got(i)} vs ${r(i)}")
     }
   }
+
+  test("fleissKappa: hand-checked panel, ragged panel refused, " +
+      "constant-vote panel NULL") {
+    // 4 items × 3 raters: (a,a,a) (a,a,b) (a,b,c) (b,b,c).
+    // P_i = {1, 1/3, 0, 1/3} → P̄ = 5/12; p = (1/2, 1/3, 1/6) →
+    // P̄_e = 7/18; κ = (5/12 − 7/18)/(1 − 7/18) = 1/22
+    val votes = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "b"), (4L, "b"), (4L, "c")).toDF("item", "label")
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = Preference.fleissKappa(votes, "item", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((4L, 3L, Some(q6(5.0 / 12)), Some(q6(7.0 / 18)),
+      Some(q6(1.0 / 22)))), got)
+    // ragged panel (item 2 has only 2 votes) is a hard error
+    intercept[IllegalArgumentException] {
+      Preference.fleissKappa(
+        Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("item", "label"),
+        "item", "label")
+    }
+    // every vote one category: P̄_e = 1 → κ NULL (vacuous, not perfect)
+    val const = Preference.fleissKappa(
+      Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("item", "label"),
+      "item", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(const._5.isEmpty && const._3.contains(1.0), const)
+    // empty panel: zero row, all-null stats
+    val empty = Preference.fleissKappa(
+      Seq.empty[(Long, String)].toDF("item", "label"), "item", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(empty == ((0L, 0L, None, None, None)))
+  }
 }

@@ -1171,4 +1171,95 @@ class TextAnalysisSpec extends SparkSpec {
     assert(standing.as[(Double, Double, Double)].collect().toSet ==
       full.as[(Double, Double, Double)].collect().toSet)
   }
+
+  test("tokenDivergence: identical corpora read zero; hand case matches " +
+      "the sequential smoothed-KL reference; empty edge") {
+    val a = Seq((1L, "x x y", "en")).toDF("doc_id", "text", "lang")
+    val b = Seq((2L, "x z", "en")).toDF("doc_id", "text", "lang")
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    // sequential reference with the same per-term q6 rounding
+    val (ca, cb) = (Map("x" -> 2L, "y" -> 1L, "z" -> 0L),
+      Map("x" -> 1L, "y" -> 0L, "z" -> 1L))
+    val (na, nb, v) = (3.0, 2.0, 3.0)
+    val terms = Seq("x", "y", "z").map { t =>
+      val p = (ca(t) + 0.5) / (na + 0.5 * v)
+      val q = (cb(t) + 0.5) / (nb + 0.5 * v)
+      (q6(p * math.log(p / q)), q6(q * math.log(q / p)),
+        q6(p * math.log(p / ((p + q) / 2)) / 2) +
+          q6(q * math.log(q / ((p + q) / 2)) / 2))
+    }
+    val got = TextAnalysis.tokenDivergence(a, b)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 == 3L && got._2 == 2L && got._3 == 3L)
+    assert(got._4.contains(q6(terms.map(_._1).sum)) &&
+      got._5.contains(q6(terms.map(_._2).sum)) &&
+      got._6.contains(q6(terms.map(_._3).sum)), got)
+    // JS is symmetric and bounded by ln 2; both KLs positive here
+    assert(got._6.get > 0 && got._6.get < math.log(2))
+    val same = TextAnalysis.tokenDivergence(a, a)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(same._4.contains(0.0) && same._5.contains(0.0) &&
+      same._6.contains(0.0), same)
+    val empty = TextAnalysis.tokenDivergence(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"))
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(empty == ((0L, 0L, 0L, None, None, None)))
+  }
+
+  test("vocabReport: hand-checked type inventory; empty corpus nulls") {
+    val docs = Seq((1L, "a a b c", "en"), (2L, "a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = TextAnalysis.vocabReport(docs)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // a:3 b:2 c:1 → N=6 V=3 hapax=1 dis=1 ttr=1/2 unseen=1/6
+    assert(got == ((6L, 3L, 1L, 1L, Some(0.5), Some(q6(1.0 / 6)))), got)
+    val empty = TextAnalysis.vocabReport(
+      Seq((1L, "", "en")).toDF("doc_id", "text", "lang"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(empty == ((0L, 0L, 0L, 0L, None, None)))
+  }
+
+  test("lm counts: merge ≡ rebuild; add-k perplexity matches the " +
+      "sequential reference incl. OOV and unseen-context events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d1 = Seq((1L, "a b a b a c", "en")).toDF("doc_id", "text", "lang")
+    val d2 = Seq((2L, "b a c a", "en")).toDF("doc_id", "text", "lang")
+    val all = d1.unionByName(d2)
+    val merged = TextAnalysis.lmMerge(TextAnalysis.lmCounts(d1), d2)
+    assert(merged.as[(String, String, Long)].collect().toSet ==
+      TextAnalysis.lmCounts(all).as[(String, String, Long)].collect().toSet)
+    // model on d1: (a,b):2 (b,a):2 (a,c):1; ctx a:3 b:2; V+1 = 4.
+    // score "a b d": ln(2.5/5) and OOV ln(0.5/4); "d a": unseen ctx
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    def q4(x: Double) = math.rint(x * 1e4) / 1e4
+    val score = Seq((9L, "a b d", "en"), (10L, "d a", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.lmPerplexity(score, TextAnalysis.lmCounts(d1))
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val ce9 = q4(-(q6(math.log(2.5 / 5)) + q6(math.log(0.5 / 4))) / 2)
+    assert(got(9L) == ((9L, 2L, ce9, q4(math.exp(ce9)))), got(9L))
+    val ce10 = q4(-q6(math.log(0.5 / 2.0))) // unseen ctx: (0+.5)/(0+2)
+    assert(got(10L) == ((10L, 1L, ce10, q4(math.exp(ce10)))), got(10L))
+    // streaming twin: batches fold to the rebuild
+    var standing = TextAnalysis.lmCounts(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"))
+      .localCheckpoint()
+    val in = MemoryStream[(Long, String, String)](94, spark, None)
+    val q = TextAnalysis.lmServe(
+      in.toDF().toDF("doc_id", "text", "lang"))(
+      () => standing, f => standing = f.localCheckpoint()).start()
+    try {
+      in.addData(Seq((1L, "a b a b a c", "en"))); q.processAllAvailable()
+      in.addData(Seq((2L, "b a c a", "en"))); q.processAllAvailable()
+    } finally q.stop()
+    assert(standing.as[(String, String, Long)].collect().toSet ==
+      TextAnalysis.lmCounts(all).as[(String, String, Long)].collect().toSet)
+  }
 }
