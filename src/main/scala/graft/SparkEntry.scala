@@ -651,6 +651,22 @@ object SparkEntry {
     "q_auc_boot" -> ((s, d) =>
       TextAnalysis.aucBootstrap(qualityScoredLabeled(s, d), "doc_id",
         "quality_score", "y", replicas = 100)),
+    // paired-bootstrap system comparison: per-doc Brier complement of
+    // the trained-weights classifier (A) vs the min(1, n_chars/1000)
+    // length heuristic (B) against the same weak label — one shared
+    // draw per (doc, replica), so item difficulty cancels in Δ
+    "q_sys_compare" -> ((s, d) => {
+      val scored = qualityScoredLabeled(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+      val heur = least(lit(1.0), col("n_chars") / 1000.0)
+      TextAnalysis.pairedBootstrap(
+        scored.select(col("doc_id"),
+          (lit(1.0) - (col("quality_score") - col("y")) *
+            (col("quality_score") - col("y"))).as("m_a"),
+          (lit(1.0) - (heur - col("y")) * (heur - col("y"))).as("m_b")),
+        "doc_id", "m_a", "m_b")
+    }),
     // the fairness cut: exact AUC per source, off the same standing
     // scored table as the rest of the eval family
     "q_auc_group" -> ((s, d) =>
@@ -1672,6 +1688,19 @@ object SparkEntry {
     // q_corpus_report don't carry)
     "q_vocab_report" -> ((s, d) =>
       TextAnalysis.vocabReport(Tables.documents(s, d))),
+    // corpus BLEU of a synthetic degraded candidate (every 3rd token
+    // dropped — deterministic, so the oracle rebuilds the exact pair
+    // set) vs the original text: p1 = 1 by construction (dropping only
+    // reduces counts under clipping), higher n-gram precisions and the
+    // brevity penalty price the damage
+    "q_bleu" -> ((s, d) => {
+      val cand = array_join(filter(Core.tokensUni(col("text")),
+        (_, i) => (i + 1) % 3 =!= 0), " ")
+      TextAnalysis.bleuScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          cand.as("cand")),
+        "doc_id", "text", "cand")
+    }),
     // TRUE add-k perplexity under the STANDING bigram-count model
     // (fit on the 97-residue train split, scored over every doc —
     // held-out docs hit unseen events and the smoothing actually
@@ -3382,6 +3411,48 @@ object SparkEntry {
       "AS ci_hi FROM ranked"
   }
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.pairedBootstrap]] over
+    * the q_sys_compare fixture: per-doc Brier complements of the fixed
+    * classifier vs the length heuristic, the aucBootSql md5-lane draw,
+    * one shared weight per (doc, replica), Δ = Σw(b−a)/Σw q6,
+    * nearest-rank interval + win rate.
+    */
+  private def sysCompareSql(replicas: Int): String =
+    s"WITH $qualityLabeledCtes, " +
+      "m AS (SELECT j.doc_id, " +
+      "1.0 - (j.s - j.y) * (j.s - j.y) AS ma, " +
+      "1.0 - (least(1.0, d.n_chars/1000.0) - j.y) * " +
+      "(least(1.0, d.n_chars/1000.0) - j.y) AS mb " +
+      "FROM j JOIN documents d USING (doc_id)), " +
+      s"e AS (SELECT m.doc_id, m.ma, m.mb, CAST(r.range AS BIGINT) AS b " +
+      s"FROM m, range($replicas) r), " +
+      "wts AS (SELECT ma, mb, b, " +
+      s"CAST(len(list_filter(${poisson1CdfSql}, c -> ((CAST(('0x' || " +
+      "substring(md5('pair' || '|' || CAST(doc_id AS VARCHAR) || '|' || " +
+      "CAST(b // 4 AS VARCHAR)), CAST((b % 4) * 8 + 1 AS INT), 8)) " +
+      "AS UBIGINT) + 0.5) / 4294967296.0) >= c)) " +
+      "AS DOUBLE) AS w FROM e), " +
+      "per AS (SELECT b, sum(w * (mb - ma)) AS sd, sum(w) AS sw " +
+      "FROM wts WHERE w > 0 GROUP BY b), " +
+      "ds AS (SELECT round(sd / sw, 6) AS d FROM per WHERE sw > 0), " +
+      "ranked AS (SELECT d, row_number() OVER (ORDER BY d) AS rn, " +
+      "count(*) OVER () AS cnt FROM ds) " +
+      "SELECT CAST(max(cnt) AS INT) AS n_replicas, " +
+      "round(sum(d) / max(cnt), 6) AS delta_mean, " +
+      "max(CASE WHEN rn = greatest(CAST(ceil(0.025 * cnt) AS INT), 1) " +
+      "THEN d END) AS ci_lo, " +
+      "max(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS INT) THEN d END) " +
+      "AS ci_hi, " +
+      "round(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) / (1.0 * max(cnt)), 6) " +
+      "AS b_win_rate FROM ranked"
+
+  /** The [[graft.ops.TextAnalysis.POISSON1_CDF]] thresholds as a DuckDB
+    * list literal (shared by the bootstrap draw replays).
+    */
+  private def poisson1CdfSql: String =
+    ops.TextAnalysis.POISSON1_CDF
+      .map(java.lang.Double.toString).mkString("[", ",", "]")
+
   /** DuckDB mirror of [[graft.ops.TextAnalysis.apScore]] over the same
     * input: step-wise average precision from the strictly-below
     * cumulative counts, term order matching the Spark expression.
@@ -4517,6 +4588,38 @@ object SparkEntry {
         "round(count(*)/(1.0*sum(c)), 6) AS ttr, " +
         "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)/(1.0*sum(c)), 6) AS gt_unseen " +
         "FROM c"),
+    // corpus BLEU: the pair set rebuilt with DuckDB's 1-based indexed
+    // list_filter (≡ Spark's 0-based (i+1)%3), clipped matches via the
+    // per-(pair, n, gram) count join, q6 per-level logs, BP in the
+    // exponent — the bleuScore arithmetic term for term
+    "q_bleu" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct FROM tk), " +
+        "lens AS (SELECT count(*) AS np, CAST(coalesce(sum(len(ct)), 0) AS BIGINT) AS cl, " +
+        "CAST(coalesce(sum(len(rt)), 0) AS BIGINT) AS rl FROM pair), " +
+        "grams AS (SELECT doc_id, n.n AS n, " +
+        "list_transform(range(1, len(ct)-n.n+2), i -> array_to_string(list_slice(ct, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rt)-n.n+2), i -> array_to_string(list_slice(rt, i, i+n.n-1), ' ')) AS rg " +
+        "FROM pair, (SELECT unnest(range(1, 5)) AS n) n), " +
+        "cg AS (SELECT doc_id, n, g, count(*) AS cc FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "pern AS (SELECT cg.n, sum(least(cc, coalesce(cr, 0))) AS m, sum(cc) AS t " +
+        "FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+        "GROUP BY cg.n), " +
+        "p AS (SELECT n, CASE WHEN t > 0 THEN m/(1.0*t) END AS p FROM pern), " +
+        "agg AS (SELECT sum(round(ln(p), 6))/4 AS mlp, " +
+        "min(CASE WHEN p IS NULL OR p = 0 THEN 0 ELSE 1 END) AS ok, count(*) AS k FROM p) " +
+        "SELECT lens.np AS n_pairs, lens.cl AS c_len, lens.rl AS r_len, " +
+        "round((SELECT p FROM p WHERE n = 1), 6) AS p1, " +
+        "round((SELECT p FROM p WHERE n = 2), 6) AS p2, " +
+        "round((SELECT p FROM p WHERE n = 3), 6) AS p3, " +
+        "round((SELECT p FROM p WHERE n = 4), 6) AS p4, " +
+        "CASE WHEN lens.cl = 0 THEN NULL " +
+        "WHEN agg.ok = 0 OR agg.k < 4 THEN 0.0 " +
+        "ELSE round(exp(agg.mlp + least(0.0, 1.0 - lens.rl/(1.0*lens.cl))), 4) " +
+        "END AS bleu FROM lens, agg"),
     // add-k perplexity under the train-split bigram model: V+1 for the
     // OOV bucket, per-term q6 logs, ppl = exp of the ROUNDED ce
     "q_lm_ppl" ->
@@ -4536,6 +4639,9 @@ object SparkEntry {
     "q_ap" -> apSql,
     "q_auc_group" -> aucGroupSql,
     "q_auc_boot" -> aucBootSql(100),
+    // paired bootstrap: the q_auc_boot md5-lane draw replay, one shared
+    // weight per (doc, replica), delta = Σw(b−a)/Σw q6, nearest-rank CI
+    "q_sys_compare" -> sysCompareSql(100),
     // scorecard: per-row expression aggregate, log-loss eps-clamped
     "q_clf_report" ->
       (s"WITH $qualityLabeledCtes " +

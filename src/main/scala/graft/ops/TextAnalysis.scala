@@ -2046,6 +2046,64 @@ object TextAnalysis {
     out.toDF("n_replicas", "auc_mean", "ci_lo", "ci_hi")
   }
 
+  /** PAIRED Poisson-bootstrap comparison of two per-item metric columns
+    * (system A vs system B evaluated on the SAME items — per-query
+    * nDCG, per-doc scorer accuracy, per-example reward): each replica
+    * draws ONE shared Poisson(1) weight per item, so item difficulty
+    * cancels inside the replica — the pairing is the whole point, an
+    * unpaired interval would charge the systems for variance they
+    * share. Per replica, Δ = weighted-mean(B) − weighted-mean(A)
+    * (= Σw(b−a)/Σw, q6); the replica deltas give the nearest-rank
+    * (alpha, 1−alpha) interval and B's win rate — the standard "is B
+    * actually better or is the gap resampling noise" significance test
+    * (Koehn 2004's paired bootstrap, Poisson-ized for one-pass
+    * distributed draws). Weights ride the same md5-lane
+    * [[graft.functions.ArrayKernels.poisson1_weight]] kernel as
+    * [[aucBootstrap]] — deterministic per (salt, id, replica), so a
+    * DuckDB oracle replays every draw. Items with a null metric on
+    * either side are excluded (paired = both present). Returns one row
+    * (n_replicas, delta_mean, ci_lo, ci_hi, b_win_rate).
+    */
+  def pairedBootstrap(scored: DataFrame, idCol: String, aCol: String,
+      bCol: String, replicas: Int = 100, alpha: Double = 0.025,
+      salt: String = "pair"): DataFrame = {
+    require(replicas >= 2 && replicas <= 100000,
+      s"pairedBootstrap: replicas must be in [2, 100000], got $replicas")
+    require(alpha > 0 && alpha < 0.5, s"bad alpha $alpha")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
+      (col("_r") / 4).cast("long").cast("string"))
+    val w = graft.functions.ArrayKernels.poisson1_weight(key,
+      (col("_r") % 4).cast("int"), POISSON1_CDF).cast("double")
+    val deltas = scored
+      .select(col(idCol).cast("string").as("_id"),
+        col(aCol).cast("double").as("_ma"),
+        col(bCol).cast("double").as("_mb"))
+      .where(col("_ma").isNotNull && col("_mb").isNotNull)
+      .select(col("_id"), col("_ma"), col("_mb"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("_r"))
+      .withColumn("_w", w).where(col("_w") > 0)
+      .groupBy("_r")
+      .agg(sum(col("_w") * (col("_mb") - col("_ma"))).as("_sd"),
+        sum("_w").as("_sw"))
+      .select(round(col("_sd") / col("_sw"), 6).as("_d"))
+      .where(col("_d").isNotNull)
+      .as[Double].collect().sorted
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val bEff = deltas.length
+    val out =
+      if (bEff == 0) Seq((0, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+      else {
+        val lo = deltas(math.max(math.ceil(alpha * bEff).toInt, 1) - 1)
+        val hi = deltas(math.ceil((1 - alpha) * bEff).toInt - 1)
+        Seq((bEff, Some(q6(deltas.sum / bEff)), Some(lo), Some(hi),
+          Some(q6(deltas.count(_ > 0).toDouble / bEff))))
+      }
+    out.toDF("n_replicas", "delta_mean", "ci_lo", "ci_hi", "b_win_rate")
+  }
+
   /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
     * sums of both class counts ([[PrefixSum.cumulative]]: adaptive
     * approx_percentile range buckets — monotone in the score — a
@@ -2677,6 +2735,75 @@ object TextAnalysis {
           (col("c_x") * col("c_y"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
+  }
+
+  /** Corpus-level BLEU of a candidate text column against a reference
+    * column (Papineni 2002 — the reference-overlap eval every
+    * generation/translation pipeline reports): modified n-gram
+    * precision with per-gram CLIPPING (a candidate gram counts at most
+    * as often as the reference shows it), geometric mean over n = 1..
+    * `maxN`, and the brevity penalty e^(1−r/c) for short candidates.
+    *
+    * Scale shape: both sides tokenize ONCE (localCheckpoint — the
+    * n-gram levels and the length totals re-read materialized arrays);
+    * all maxN gram levels stack into ONE (id, n, gram) union so the
+    * count aggregation and the clip join cost one shuffle each,
+    * dictionary-keyed on (pair, n, gram). The per-n match/total pairs
+    * are a maxN-row driver collect (model-sized); every count is an
+    * exact integer, each ln pₙ is q6-rounded (the tokenDivergence libm
+    * policy), BLEU rounds 4. Precisions round 6 and are NULL at tₙ = 0;
+    * BLEU is 0.0 when any level has zero matches (the standard unsmoothed
+    * convention) and NULL when there are no candidate tokens at all.
+    * Returns one row (n_pairs, c_len, r_len, p1..pN, bleu).
+    */
+  def bleuScore(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleuScore: bad maxN $maxN")
+    val base = pairs.select(col(idCol).as("_id"),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+      .localCheckpoint()
+    val lens = base.agg(count(lit(1)).as("np"),
+      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("cl"),
+      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("rl")).head()
+    val (nPairs, cLen, rLen) =
+      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
+    import pairs.sparkSession.implicits._
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val levels = (1 to maxN).map { n =>
+      base.select(col("_id"), lit(n).as("_n"),
+        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
+        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val cg = levels.select(col("_id"), col("_n"), explode(col("_cg")).as("_g"))
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
+    val rg = levels.select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
+    val perN = cg.join(rg, Seq("_id", "_n", "_g"), "left")
+      .groupBy("_n")
+      .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"),
+        sum(col("_cc")).as("_t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mt = (1 to maxN).map(n => perN.getOrElse(n, (0L, 0L)))
+    val ps = mt.map { case (m, t) =>
+      if (t == 0L) Option.empty[Double] else Some(m.toDouble / t)
+    }
+    val bleu =
+      if (cLen == 0L) Option.empty[Double]
+      else if (ps.exists(p => p.isEmpty || p.get == 0.0)) Some(0.0)
+      else {
+        val meanLogP = ps.map(p => q6(math.log(p.get))).sum / maxN
+        val bpExp = math.min(0.0, 1.0 - rLen.toDouble / cLen)
+        Some(math.rint(math.exp(meanLogP + bpExp) * 1e4) / 1e4)
+      }
+    val head = Seq(lit(nPairs).as("n_pairs"), lit(cLen).as("c_len"),
+      lit(rLen).as("r_len"))
+    val pCols = ps.zipWithIndex.map { case (p, i) =>
+      p.map(v => lit(q6(v))).getOrElse(lit(null).cast("double"))
+        .as(s"p${i + 1}")
+    }
+    val bleuCol = bleu.map(lit(_)).getOrElse(lit(null).cast("double"))
+      .as("bleu")
+    Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
   }
 
   /** Zipf rank-frequency fit — the corpus-health scalar ("is this

@@ -1226,6 +1226,80 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty == ((0L, 0L, 0L, 0L, None, None)))
   }
 
+  test("pairedBootstrap: separation detected, identical systems read " +
+      "delta 0, pairing cancels shared item difficulty") {
+    val rnd = new scala.util.Random(7)
+    // B is uniformly better by ~0.1 on every item; item difficulty is
+    // shared noise the pairing must cancel
+    val rows = (0L until 300L).map { i =>
+      val difficulty = rnd.nextGaussian() * 0.5
+      (i, 0.5 + difficulty, 0.6 + difficulty)
+    }
+    val got = TextAnalysis.pairedBootstrap(rows.toDF("id", "a", "b"),
+      "id", "a", "b")
+      .as[(Int, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got._1 == 100)
+    // every replica's delta is EXACTLY 0.1 (Σw(b−a)/Σw with b−a ≡ 0.1)
+    assert(got._2.exists(d => math.abs(d - 0.1) <= 1e-6), got)
+    assert(got._3.exists(l => math.abs(l - 0.1) <= 1e-6) &&
+      got._4.exists(h => math.abs(h - 0.1) <= 1e-6), got)
+    assert(got._5.contains(1.0), got)
+    // identical systems: delta 0, win rate 0 (strict >)
+    val same = TextAnalysis.pairedBootstrap(
+      rows.map(r => (r._1, r._2, r._2)).toDF("id", "a", "b"), "id", "a", "b")
+      .as[(Int, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(same._2.contains(0.0) && same._5.contains(0.0), same)
+    // deterministic: same salt reproduces bit-for-bit
+    val again = TextAnalysis.pairedBootstrap(rows.toDF("id", "a", "b"),
+      "id", "a", "b")
+      .as[(Int, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(again == got)
+    // null on either side excludes the item (paired = both present)
+    val withNull = TextAnalysis.pairedBootstrap(
+      (rows.map(r => (r._1, Option(r._2), Option(r._3))) :+
+        (999L, Option.empty[Double], Some(9.9))).toDF("id", "a", "b"),
+      "id", "a", "b")
+      .as[(Int, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(withNull == got)
+  }
+
+  test("bleuScore: hand-checked clipping, brevity penalty, zero-match " +
+      "and empty-candidate conventions") {
+    // ref "the cat sat on the mat" (r=6), cand "the cat the cat sat"
+    // (c=5). Unigrams clip: the→min(2,2)+cat→min(2,1)+sat→1 = 4/5.
+    // Bigrams: "the cat"×2 clips to 1, "cat sat" matches → 2/4.
+    val pair = Seq((1L, "the cat sat on the mat", "the cat the cat sat"))
+      .toDF("id", "ref", "cand")
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val g2 = TextAnalysis.bleuScore(pair, "id", "ref", "cand", maxN = 2)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._1 == 1L && g2._2 == 5L && g2._3 == 6L)
+    assert(g2._4.contains(0.8) && g2._5.contains(0.5), g2)
+    val want = math.rint(math.exp(
+      (q6(math.log(0.8)) + q6(math.log(0.5))) / 2 + (1.0 - 6.0 / 5)) * 1e4) / 1e4
+    assert(g2._6.contains(want), s"$g2 vs $want")
+    // no 4-gram survives → unsmoothed BLEU-4 is exactly 0
+    val g4 = TextAnalysis.bleuScore(pair, "id", "ref", "cand")
+      .select("bleu").as[Option[Double]].collect().head
+    assert(g4.contains(0.0), g4)
+    // candidate LONGER than reference: BP caps at 1 (exponent 0)
+    val longCand = Seq((1L, "a b", "a b a b")).toDF("id", "ref", "cand")
+    val gl = TextAnalysis.bleuScore(longCand, "id", "ref", "cand", maxN = 1)
+      .select("p1", "bleu").as[(Option[Double], Option[Double])]
+      .collect().head
+    assert(gl._1.contains(0.5) && gl._2.contains(0.5), gl)
+    // empty candidate: no tokens at all → NULL, not 0
+    val empty = TextAnalysis.bleuScore(
+      Seq((1L, "a b", "")).toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .select("bleu").as[Option[Double]].collect().head
+    assert(empty.isEmpty)
+  }
+
   test("lm counts: merge ≡ rebuild; add-k perplexity matches the " +
       "sequential reference incl. OOV and unseen-context events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
