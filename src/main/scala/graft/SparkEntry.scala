@@ -1701,6 +1701,18 @@ object SparkEntry {
           cand.as("cand")),
         "doc_id", "text", "cand")
     }),
+    // ROUGE-L per pair on the q_bleu fixture: LCS in the codegen DP
+    // kernel, pure scan stage. Dropping tokens keeps the remainder a
+    // subsequence, so lcs = c_len and P = 1 by construction — R and F
+    // price the cut (the complementary recall view to q_bleu)
+    "q_rouge" -> ((s, d) => {
+      val cand = array_join(filter(Core.tokensUni(col("text")),
+        (_, i) => (i + 1) % 3 =!= 0), " ")
+      TextAnalysis.rougeL(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          cand.as("cand")),
+        "doc_id", "text", "cand")
+    }),
     // TRUE add-k perplexity under the STANDING bigram-count model
     // (fit on the 97-residue train split, scored over every doc —
     // held-out docs hit unseen events and the smoothing actually
@@ -4620,6 +4632,32 @@ object SparkEntry {
         "WHEN agg.ok = 0 OR agg.k < 4 THEN 0.0 " +
         "ELSE round(exp(agg.mlp + least(0.0, 1.0 - lens.rl/(1.0*lens.cl))), 4) " +
         "END AS bleu FROM lens, agg"),
+    // ROUGE-L: the LCS DP replayed as a recursive CTE — row i of the
+    // DP table advances per candidate token, and the in-row sequential
+    // dependence resolves via the prefix-max identity
+    // dp'[j] = max(dp[j], max over matches k<=j of dp[k-1]+1)
+    "q_rouge" ->
+      (s"WITH RECURSIVE tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct FROM tk), " +
+        "rec(doc_id, i, dp) AS (" +
+        "SELECT doc_id, 0, list_transform(range(0, len(rt)+1), x -> 0) FROM pair " +
+        "UNION ALL " +
+        "SELECT r.doc_id, r.i + 1, " +
+        "(SELECT list_prepend(0, list_transform(range(1, len(p.rt)+1), j -> " +
+        "greatest(dp[j+1], " +
+        "coalesce(list_max(list_transform(range(1, j+1), k -> " +
+        "CASE WHEN p.ct[r.i+1] = p.rt[k] THEN dp[k] + 1 END)), 0))))) " +
+        "FROM rec r JOIN pair p ON r.doc_id = p.doc_id " +
+        "WHERE r.i < len(p.ct)), " +
+        "fin AS (SELECT r.doc_id, dp[len(p.rt)+1] AS l, len(p.ct) AS cl, " +
+        "len(p.rt) AS rl FROM rec r JOIN pair p ON r.doc_id = p.doc_id " +
+        "WHERE r.i = len(p.ct)) " +
+        "SELECT doc_id, CAST(l AS BIGINT) AS lcs, CAST(cl AS BIGINT) AS c_len, " +
+        "CAST(rl AS BIGINT) AS r_len, " +
+        "round(l/(1.0*cl), 6) AS rouge_p, round(l/(1.0*rl), 6) AS rouge_r, " +
+        "CASE WHEN l > 0 THEN round(2.0*(l/(1.0*cl))*(l/(1.0*rl))/((l/(1.0*cl))+(l/(1.0*rl))), 6) " +
+        "ELSE 0.0 END AS rouge_f " +
+        "FROM fin WHERE cl > 0 AND rl > 0"),
     // add-k perplexity under the train-split bigram model: V+1 for the
     // OOV bucket, per-term q6 logs, ppl = exp of the ROUNDED ce
     "q_lm_ppl" ->

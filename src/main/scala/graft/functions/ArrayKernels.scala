@@ -2208,6 +2208,76 @@ object ArrayKernels {
     GraftSqlBridge.column(TokenNgrams(
       GraftSqlBridge.expression(toks), n, distinct))
 
+  def token_lcs_len(a: Column, b: Column): Column =
+    GraftSqlBridge.column(TokenLcsLen(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `token_lcs_len(a, b)` — length of the longest common SUBSEQUENCE of
+    * two token arrays, the ROUGE-L core. Classic two-row DP: O(|a|·|b|)
+    * time, O(|b|) space, per row — compiled JVM loops via the
+    * addReferenceObj compute() pattern (a HOF spelling would re-enter
+    * interpreted lambdas |a|·|b| times per row). Null tokens read as
+    * empty (the [[TokenNgrams]] normalization), so the eval and codegen
+    * paths can never disagree on a null slot.
+    */
+  case class TokenLcsLen(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"token_lcs_len requires (ARRAY<STRING>, ARRAY<STRING>), " +
+            s"got ${l.catalogString}, ${r.catalogString}")
+      }
+
+    def compute(aIn: ArrayData, bIn: ArrayData): Int = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val n = aIn.numElements()
+      val m = bIn.numElements()
+      if (n == 0 || m == 0) return 0
+      val bs = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        val s = bIn.getUTF8String(j)
+        bs(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        j += 1
+      }
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var i = 0
+      while (i < n) {
+        val s0 = aIn.getUTF8String(i)
+        val av = if (s0 == null) UTF8String.EMPTY_UTF8 else s0
+        cur(0) = 0
+        var j2 = 1
+        while (j2 <= m) {
+          cur(j2) =
+            if (av.equals(bs(j2 - 1))) prev(j2 - 1) + 1
+            else math.max(cur(j2 - 1), prev(j2))
+          j2 += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lcsKernel", this,
+        classOf[TokenLcsLen].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def nfc_normalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 

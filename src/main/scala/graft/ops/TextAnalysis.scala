@@ -2806,6 +2806,39 @@ object TextAnalysis {
     Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
   }
 
+  /** Per-pair ROUGE-L — the recall-oriented reference-overlap eval
+    * beside [[bleuScore]]'s precision view (summarization/generation
+    * pipelines report both): longest-common-SUBSEQUENCE precision
+    * lcs/|cand|, recall lcs/|ref|, and their harmonic mean F. The LCS
+    * runs in the codegen'd
+    * [[graft.functions.ArrayKernels.token_lcs_len]] kernel — a pure
+    * scan stage, zero shuffle, O(|ref|·|cand|) compiled DP per pair;
+    * stateless-append streamable. Pairs where either side has no
+    * tokens emit no row (the bigram drop-out convention); F is 0.0
+    * when the LCS is empty (defined, not null — both sides had
+    * content). P/R round 6; F computes from the UNROUNDED ratios with
+    * one expression shape so the oracle is bit-identical.
+    * Returns (id, lcs, c_len, r_len, rouge_p, rouge_r, rouge_f).
+    */
+  def rougeL(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as(idCol),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+      .where(size(col("_rt")) > 0 && size(col("_ct")) > 0)
+    val p = col("lcs") / col("c_len")
+    val r = col("lcs") / col("r_len")
+    base.select(col(idCol),
+        graft.functions.ArrayKernels.token_lcs_len(col("_ct"), col("_rt"))
+          .cast("long").as("lcs"),
+        size(col("_ct")).cast("long").as("c_len"),
+        size(col("_rt")).cast("long").as("r_len"))
+      .select(col(idCol), col("lcs"), col("c_len"), col("r_len"),
+        round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+        when(col("lcs") > 0,
+          round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(lit(0.0)).as("rouge_f"))
+  }
+
   /** Zipf rank-frequency fit — the corpus-health scalar ("is this
     * natural language or generator output?"): least-squares slope of
     * ln(freq) on ln(rank) over the top-`topN` words. Natural text sits

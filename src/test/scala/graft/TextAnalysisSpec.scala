@@ -1300,6 +1300,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("rougeL: hand-checked LCS, random parity vs a sequential DP, " +
+      "zero-overlap F = 0, empty sides emit no row") {
+    // ref "a b c d", cand "a c b d": LCS = 3 ("a b d" or "a c d")
+    val got = TextAnalysis.rougeL(
+      Seq((1L, "a b c d", "a c b d")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got._2 == 3L && got._3 == 4L && got._4 == 4L)
+    assert(got._5 == 0.75 && got._6 == 0.75 && got._7 == 0.75, got)
+    // random corpora vs an in-test sequential DP
+    val rnd = new scala.util.Random(19)
+    def sent() = Seq.fill(3 + rnd.nextInt(20))(
+      ('a' + rnd.nextInt(5)).toChar.toString).mkString(" ")
+    val pairs = (0L until 60L).map(i => (i, sent(), sent()))
+    def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i)(j - 1), dp(i - 1)(j))
+      dp(a.length)(b.length)
+    }
+    val g2 = TextAnalysis.rougeL(pairs.toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (i, ref, cand) =>
+      val want = lcsRef(cand.split(" ").toSeq, ref.split(" ").toSeq)
+      assert(g2(i) == want, s"pair $i: ${g2(i)} vs $want")
+    }
+    // zero overlap: F defined as 0.0; empty candidate: no row
+    val edge = TextAnalysis.rougeL(
+      Seq((1L, "a b", "x y"), (2L, "a b", "")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(edge.length == 1 && edge.head._1 == 1L &&
+      edge.head._2 == 0L && edge.head._7 == 0.0, edge.toSeq)
+  }
+
   test("lm counts: merge ≡ rebuild; add-k perplexity matches the " +
       "sequential reference incl. OOV and unseen-context events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
