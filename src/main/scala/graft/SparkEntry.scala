@@ -1701,6 +1701,17 @@ object SparkEntry {
           cand.as("cand")),
         "doc_id", "text", "cand")
     }),
+    // chrF2 on the q_bleu fixture (ref = the token-joined text, so both
+    // sides share the tokenizer's casing): character n-gram F with
+    // whitespace removed — pure integer-rational algebra, no logs
+    "q_chrf" -> ((s, d) => {
+      val t = Core.tokensUni(col("text"))
+      val cand = array_join(filter(t, (_, i) => (i + 1) % 3 =!= 0), " ")
+      TextAnalysis.chrF(
+        Tables.documents(s, d).select(col("doc_id"),
+          array_join(t, " ").as("ref"), cand.as("cand")),
+        "doc_id", "ref", "cand")
+    }),
     // ROUGE-L per pair on the q_bleu fixture: LCS in the codegen DP
     // kernel, pure scan stage. Dropping tokens keeps the remainder a
     // subsequence, so lcs = c_len and P = 1 by construction — R and F
@@ -4632,6 +4643,36 @@ object SparkEntry {
         "WHEN agg.ok = 0 OR agg.k < 4 THEN 0.0 " +
         "ELSE round(exp(agg.mlp + least(0.0, 1.0 - lens.rl/(1.0*lens.cl))), 4) " +
         "END AS bleu FROM lens, agg"),
+    // chrF2: character-gram clipped stats (chars of the token-joined,
+    // whitespace-removed text), effective-order means, β² = 4 — pure
+    // integer-rational algebra
+    "q_chrf" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents), " +
+        "pair AS (SELECT doc_id, " +
+        "regexp_extract_all(array_to_string(t, ''), '(?s).') AS rt, " +
+        "regexp_extract_all(array_to_string(list_filter(t, (x, i) -> i % 3 <> 0), ''), '(?s).') AS ct " +
+        "FROM tk), " +
+        "lens AS (SELECT count(*) AS np, CAST(coalesce(sum(len(ct)), 0) AS BIGINT) AS cl, " +
+        "CAST(coalesce(sum(len(rt)), 0) AS BIGINT) AS rl FROM pair), " +
+        "grams AS (SELECT doc_id, n.n AS n, " +
+        "list_transform(range(1, len(ct)-n.n+2), i -> array_to_string(list_slice(ct, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rt)-n.n+2), i -> array_to_string(list_slice(rt, i, i+n.n-1), ' ')) AS rg " +
+        "FROM pair, (SELECT unnest(range(1, 7)) AS n) n), " +
+        "cg AS (SELECT doc_id, n, g, count(*) AS cc FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "pern AS (SELECT coalesce(cg.n, rg.n) AS n, " +
+        "sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS m, " +
+        "sum(coalesce(cc, 0)) AS t, sum(coalesce(cr, 0)) AS tr " +
+        "FROM cg FULL JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+        "GROUP BY 1), " +
+        "pr AS (SELECT coalesce(avg(CASE WHEN t > 0 THEN m/(1.0*t) END), 0) AS p, " +
+        "coalesce(avg(CASE WHEN tr > 0 THEN m/(1.0*tr) END), 0) AS r FROM pern) " +
+        "SELECT lens.np AS n_pairs, lens.cl AS c_chars, lens.rl AS r_chars, " +
+        "round(p, 6) AS chr_p, round(r, 6) AS chr_r, " +
+        "round(CASE WHEN p + r = 0 THEN 0.0 ELSE 5.0*p*r/(4.0*p+r) END, 6) AS chrf " +
+        "FROM lens, pr"),
     // ROUGE-L: the LCS DP replayed as a recursive CTE — row i of the
     // DP table advances per candidate token, and the in-row sequential
     // dependence resolves via the prefix-max identity

@@ -2769,21 +2769,10 @@ object TextAnalysis {
       (lens.getLong(0), lens.getLong(1), lens.getLong(2))
     import pairs.sparkSession.implicits._
     def q6(x: Double) = math.rint(x * 1e6) / 1e6
-    val levels = (1 to maxN).map { n =>
-      base.select(col("_id"), lit(n).as("_n"),
-        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
-        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    val cg = levels.select(col("_id"), col("_n"), explode(col("_cg")).as("_g"))
-      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
-    val rg = levels.select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
-      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
-    val perN = cg.join(rg, Seq("_id", "_n", "_g"), "left")
-      .groupBy("_n")
-      .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"),
-        sum(col("_cc")).as("_t"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val mt = (1 to maxN).map(n => perN.getOrElse(n, (0L, 0L)))
+    val perN = clippedNgramStats(base, maxN)
+    val mt = (1 to maxN).map { n =>
+      val (m, t, _) = perN.getOrElse(n, (0L, 0L, 0L)); (m, t)
+    }
     val ps = mt.map { case (m, t) =>
       if (t == 0L) Option.empty[Double] else Some(m.toDouble / t)
     }
@@ -2804,6 +2793,82 @@ object TextAnalysis {
     val bleuCol = bleu.map(lit(_)).getOrElse(lit(null).cast("double"))
       .as("bleu")
     Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
+  }
+
+  /** The clipped n-gram match core shared by [[bleuScore]] and
+    * [[chrF]]: from a (_id, _rt, _ct) frame of element arrays, returns
+    * per n ∈ 1..maxN the corpus totals (clipped matches, candidate
+    * grams, reference grams). All levels stack into ONE union so the
+    * per-(pair, n, gram) count aggregation and the clip join each cost
+    * one shuffle regardless of maxN; the result is a maxN-row driver
+    * collect.
+    */
+  private def clippedNgramStats(base: DataFrame, maxN: Int)
+      : Map[Int, (Long, Long, Long)] = {
+    val levels = (1 to maxN).map { n =>
+      base.select(col("_id"), lit(n).as("_n"),
+        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
+        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val cg = levels.select(col("_id"), col("_n"), explode(col("_cg")).as("_g"))
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
+    val rg = levels.select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
+    val matched = cg.join(rg, Seq("_id", "_n", "_g"), "full")
+      .groupBy("_n")
+      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
+          coalesce(col("_cr"), lit(0L)))).as("_m"),
+        sum(coalesce(col("_cc"), lit(0L))).as("_t"),
+        sum(coalesce(col("_cr"), lit(0L))).as("_tr"))
+      .collect()
+    matched.map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  /** Corpus-level chrF (Popović 2015; β = 2 — chrF2, the WMT default):
+    * CHARACTER n-gram F-score over n = 1..`maxN`, whitespace removed
+    * before character extraction (the sacrebleu convention — chrF
+    * measures orthographic overlap, not spacing). Per level,
+    * Pₙ = clipped matches / candidate grams and Rₙ = clipped matches /
+    * reference grams off the same [[clippedNgramStats]] core as
+    * [[bleuScore]] (grams are per-PAIR clipped, totals corpus-summed);
+    * P and R are arithmetic means over the levels with a nonzero
+    * denominator (the effective-order rule), and
+    * chrF = (1+β²)·P·R/(β²·P+R), 0 when P+R = 0. Pure integer-rational
+    * algebra — no logs — so the oracle agrees bit-for-bit; P/R/chrF
+    * round 6. Returns one row (n_pairs, c_chars, r_chars, chr_p,
+    * chr_r, chrf); NULL metrics when either side has no characters.
+    */
+  def chrF(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"chrF: bad maxN $maxN")
+    require(beta > 0, s"chrF: beta must be > 0, got $beta")
+    def chars(c: Column): Column =
+      filter(split(regexp_replace(c, "\\s+", ""), ""), x => x =!= "")
+    val base = pairs.select(col(idCol).as("_id"),
+      chars(col(refCol)).as("_rt"), chars(col(candCol)).as("_ct"))
+      .localCheckpoint()
+    val lens = base.agg(count(lit(1)).as("np"),
+      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("cl"),
+      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("rl")).head()
+    val (nPairs, cLen, rLen) =
+      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
+    import pairs.sparkSession.implicits._
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    if (cLen == 0L || rLen == 0L)
+      return Seq((nPairs, cLen, rLen, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+        .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
+    val perN = clippedNgramStats(base, maxN)
+    val stats = (1 to maxN).map(n => perN.getOrElse(n, (0L, 0L, 0L)))
+    val ps = stats.collect { case (m, t, _) if t > 0 => m.toDouble / t }
+    val rs = stats.collect { case (m, _, tr) if tr > 0 => m.toDouble / tr }
+    val p = if (ps.isEmpty) 0.0 else ps.sum / ps.length
+    val r = if (rs.isEmpty) 0.0 else rs.sum / rs.length
+    val b2 = beta * beta
+    val f = if (p + r == 0.0) 0.0 else (1 + b2) * p * r / (b2 * p + r)
+    Seq((nPairs, cLen, rLen, Some(q6(p)), Some(q6(r)), Some(q6(f))))
+      .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
   }
 
   /** Per-pair ROUGE-L — the recall-oriented reference-overlap eval

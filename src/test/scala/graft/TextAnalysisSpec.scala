@@ -1300,6 +1300,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("chrF: hand-checked effective-order means, identical pair reads " +
+      "1.0, whitespace is invisible, empty side NULL") {
+    // ref "ab cd" → chars abcd; cand "ab". n=1: m=2 t=2 tr=4; n=2:
+    // "ab" matches → m=1 t=1 tr=3; n=3: tr=2 m=0; n=4: tr=1 m=0.
+    // P = mean(1, 1) = 1; R = mean(1/2, 1/3, 0, 0) = 0.208333...;
+    // chrF2 = 5PR/(4P+R)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = TextAnalysis.chrF(
+      Seq((1L, "ab cd", "ab")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val r = (0.5 + 1.0 / 3 + 0.0 + 0.0) / 4
+    val f = 5.0 * 1.0 * r / (4.0 * 1.0 + r)
+    assert(got == ((1L, 2L, 4L, Some(1.0), Some(q6(r)), Some(q6(f)))), got)
+    // identical text (and whitespace differences) score exactly 1.0
+    val same = TextAnalysis.chrF(
+      Seq((1L, "the quick fox", "thequick  fox")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .select("chrf").as[Option[Double]].collect().head
+    assert(same.contains(1.0), same)
+    // an empty side: metrics NULL, lengths still reported
+    val empty = TextAnalysis.chrF(
+      Seq((1L, "abc", "")).toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(empty == ((1L, 0L, 3L, None, None, None)), empty)
+  }
+
   test("rougeL: hand-checked LCS, random parity vs a sequential DP, " +
       "zero-overlap F = 0, empty sides emit no row") {
     // ref "a b c d", cand "a c b d": LCS = 3 ("a b d" or "a c d")
