@@ -651,6 +651,18 @@ object SparkEntry {
     "q_auc_boot" -> ((s, d) =>
       TextAnalysis.aucBootstrap(qualityScoredLabeled(s, d), "doc_id",
         "quality_score", "y", replicas = 100)),
+    // McNemar on paired binary decisions: the trained classifier's keep
+    // flag vs the n_chars >= 500 heuristic against the weak label —
+    // only discordant pairs carry signal
+    "q_mcnemar" -> ((s, d) => {
+      val scored = qualityScoredLabeled(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+      TextAnalysis.mcnemarTest(
+        scored.select(col("y"), col("keep").as("a_pred"),
+          (col("n_chars") >= 500).cast("int").as("b_pred")),
+        "y", "a_pred", "b_pred")
+    }),
     // paired-bootstrap system comparison: per-doc Brier complement of
     // the trained-weights classifier (A) vs the min(1, n_chars/1000)
     // length heuristic (B) against the same weak label — one shared
@@ -4721,6 +4733,24 @@ object SparkEntry {
     // paired bootstrap: the q_auc_boot md5-lane draw replay, one shared
     // weight per (doc, replica), delta = Σw(b−a)/Σw q6, nearest-rank CI
     "q_sys_compare" -> sysCompareSql(100),
+    // McNemar: discordant-pair counts + the continuity-corrected
+    // chi-square(1) statistic, keep flag from the same logit CTEs
+    "q_mcnemar" ->
+      (s"WITH $qualityLabeledCtes, " +
+        // keep compares the UNROUNDED sigmoid to keepT (the
+        // qualityClassifierScore definition — j.s is rounded 4)
+        s"m AS (SELECT CAST(z.n_chars >= 300 AS INT) AS y, " +
+        s"CAST(1.0 / (1.0 + exp(-z.z)) >= ${ops.TextAnalysis.QUALITY_W._6} AS INT) AS a, " +
+        "CAST(z.n_chars >= 500 AS INT) AS b FROM z), " +
+        "agg AS (SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b_only, " +
+        "CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS c_only FROM m) " +
+        "SELECT n, b_only, c_only, " +
+        "CASE WHEN b_only + c_only > 0 THEN " +
+        "round((abs(1.0*b_only - c_only) - 1) * (abs(1.0*b_only - c_only) - 1) / (1.0*b_only + c_only), 6) END AS statistic, " +
+        "CASE WHEN b_only + c_only > 0 THEN " +
+        "CAST((abs(1.0*b_only - c_only) - 1) * (abs(1.0*b_only - c_only) - 1) / (1.0*b_only + c_only) > 3.841 AS INT) END AS reject_05 " +
+        "FROM agg"),
     // scorecard: per-row expression aggregate, log-loss eps-clamped
     "q_clf_report" ->
       (s"WITH $qualityLabeledCtes " +

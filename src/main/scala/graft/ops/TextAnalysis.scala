@@ -1723,6 +1723,35 @@ object TextAnalysis {
         round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 4).as("kappa"))
   }
 
+  /** McNemar's test on PAIRED binary decisions — the exact-count
+    * significance check for "do classifiers A and B actually disagree
+    * in one direction?" beside [[pairedBootstrap]]'s resampled view on
+    * continuous metrics (and [[cohenKappa]]'s agreement view): only the
+    * DISCORDANT pairs carry signal — b = items A got right and B
+    * wrong, c = the reverse — and the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) is χ²(1) under H₀ (critical 3.841 at α = 0.05).
+    * One map-side-combined conditional aggregate, zero shuffle; counts
+    * are exact integers, the statistic an integer-derived rational
+    * (round 6). Statistic/flag NULL when b+c = 0 (no discordant pairs —
+    * nothing to test, not "no difference proven").
+    * Returns one row (n, b_only, c_only, statistic, reject_05).
+    */
+  def mcnemarTest(preds: DataFrame, labelCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val aOk = col(aCol).cast("boolean") === y
+    val bOk = col(bCol).cast("boolean") === y
+    val b = col("b_only").cast("double")
+    val c = col("c_only").cast("double")
+    val stat = (abs(b - c) - 1) * (abs(b - c) - 1) / (b + c)
+    preds.agg(count(lit(1)).as("n"),
+        sum((aOk && !bOk).cast("long")).as("b_only"),
+        sum((!aOk && bOk).cast("long")).as("c_only"))
+      .select(col("n"), col("b_only"), col("c_only"),
+        round(when(b + c > 0, stat), 6).as("statistic"),
+        when(b + c > 0, (stat > 3.841).cast("int")).as("reject_05"))
+  }
+
   /** Calibration report for a [0,1]-probability scorer against a binary
     * label — the reliability-diagram table (per-bin mean prediction vs
     * observed positive rate) plus per-bin Brier contribution, the QA

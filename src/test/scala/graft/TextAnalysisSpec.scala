@@ -1300,6 +1300,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("mcnemarTest: hand-checked discordant counts, continuity " +
+      "correction, no-discordance NULL") {
+    // 20 items: A right / B wrong on 15, reverse on 2, both right on 3.
+    // stat = (|15-2|-1)^2 / 17 = 144/17 ≈ 8.4706 > 3.841 → reject
+    val rows = Seq.fill(15)((1, 1, 0)) ++ Seq.fill(2)((1, 0, 1)) ++
+      Seq.fill(3)((1, 1, 1))
+    val got = TextAnalysis.mcnemarTest(rows.toDF("y", "a", "b"),
+      "y", "a", "b")
+      .as[(Long, Long, Long, Option[Double], Option[Int])].collect().head
+    assert(got == ((20L, 15L, 2L,
+      Some(math.rint(144.0 / 17 * 1e6) / 1e6), Some(1))), got)
+    // balanced discordance: (|8-6|-1)^2/14 = 1/14 → no rejection
+    val bal = TextAnalysis.mcnemarTest(
+      (Seq.fill(8)((1, 1, 0)) ++ Seq.fill(6)((1, 0, 1))).toDF("y", "a", "b"),
+      "y", "a", "b")
+      .as[(Long, Long, Long, Option[Double], Option[Int])].collect().head
+    assert(bal._4.contains(math.rint(1.0 / 14 * 1e6) / 1e6) &&
+      bal._5.contains(0), bal)
+    // identical predictions: b+c = 0 → statistic and flag NULL
+    val same = TextAnalysis.mcnemarTest(
+      Seq((1, 1, 1), (0, 1, 1)).toDF("y", "a", "b"), "y", "a", "b")
+      .as[(Long, Long, Long, Option[Double], Option[Int])].collect().head
+    assert(same == ((2L, 0L, 0L, None, None)), same)
+  }
+
   test("chrF: hand-checked effective-order means, identical pair reads " +
       "1.0, whitespace is invisible, empty side NULL") {
     // ref "ab cd" → chars abcd; cand "ab". n=1: m=2 t=2 tr=4; n=2:
