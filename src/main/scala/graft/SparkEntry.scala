@@ -1742,8 +1742,13 @@ object SparkEntry {
     // carries them; the CCNet-style quality filter proper)
     "q_lm_ppl" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the model is the STANDING artifact: materialize it once — the
+      // scorer reads it twice (count join + context rollup), and an
+      // unmaterialized model would re-scan the train split for each
+      // (plan-audited round 11)
       TextAnalysis.lmPerplexity(docs,
-        TextAnalysis.lmCounts(docs.where(col("doc_id") % 97 =!= 0)))
+        TextAnalysis.lmCounts(docs.where(col("doc_id") % 97 =!= 0))
+          .localCheckpoint())
     }),
     // Bradley-Terry strengths over the synthetic judge votes (32
     // strength-ranked arms, one game per doc, stronger arm wins 4/7 of

@@ -61,6 +61,14 @@ object GraftExtensions {
             s"token_ngrams(toks, n[, distinct]) takes 2-3 arguments, got ${other.length}")
         }
       }),
+    ("token_lcs_len",
+      info("token_lcs_len",
+        "token_lcs_len(a, b) - longest-common-subsequence length of two ARRAY<STRING>"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => TokenLcsLen(a, b)
+        case other => throw new IllegalArgumentException(
+          s"token_lcs_len(a, b) takes exactly 2 arguments, got ${other.length}")
+      }),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC composition of STRING"),
       (exprs: Seq[Expression]) => exprs match {

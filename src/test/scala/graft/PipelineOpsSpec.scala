@@ -401,6 +401,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getString(0) == "a  caf\u00e9 b")
     assert(row.getSeq[String](1) == Seq("a caf\u00e9", "caf\u00e9 b"))
     assert(row.getSeq[String](2) == Seq("x y", "y x"))
+    // the ROUGE-L LCS kernel rides the same registry
+    val lcs = s2.sql(
+      "SELECT token_lcs_len(array('a','b','c','d'), array('a','c','b','d')) AS l")
+      .collect().head.getInt(0)
+    assert(lcs == 3)
   }
 
   test("wav_frame_rms and ppm_patch_means are registered as SQL functions") {
