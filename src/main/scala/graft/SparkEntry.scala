@@ -1713,6 +1713,17 @@ object SparkEntry {
           cand.as("cand")),
         "doc_id", "text", "cand")
     }),
+    // per-source corpus BLEU — the fairness cut of q_bleu (bleuByGroup
+    // stays fully columnar: pivoted per-(group, n) totals, no driver
+    // collect at any group cardinality)
+    "q_bleu_source" -> ((s, d) => {
+      val cand = array_join(filter(Core.tokensUni(col("text")),
+        (_, i) => (i + 1) % 3 =!= 0), " ")
+      TextAnalysis.bleuByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text"), cand.as("cand")),
+        "source", "doc_id", "text", "cand")
+    }),
     // chrF2 on the q_bleu fixture (ref = the token-joined text, so both
     // sides share the tokenizer's casing): character n-gram F with
     // whitespace removed — pure integer-rational algebra, no logs
@@ -3486,6 +3497,40 @@ object SparkEntry {
       "round(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) / (1.0 * max(cnt)), 6) " +
       "AS b_win_rate FROM ranked"
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.bleuByGroup]] on the
+    * q_bleu fixture grouped by source: pivoted per-(source, n) totals,
+    * the same q6-ln mean and brevity-penalty expressions per group.
+    */
+  private def bleuSourceSql(maxN: Int): String = {
+    val piv = (1 to maxN).map(n =>
+      s"coalesce(sum(CASE WHEN n = $n THEN m END), 0) AS m$n, " +
+        s"coalesce(sum(CASE WHEN n = $n THEN t END), 0) AS t$n").mkString(", ")
+    val anyZero = (1 to maxN).map(n => s"t$n = 0 OR m$n = 0").mkString(" OR ")
+    val meanLog = "(" + (1 to maxN).map(n =>
+      s"round(ln(m$n/(1.0*t$n)), 6)").mkString(" + ") + s")/$maxN"
+    s"WITH tk AS (SELECT doc_id, source, $TOKS AS rt FROM documents), " +
+      "pair AS (SELECT doc_id, source, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct FROM tk), " +
+      "lens AS (SELECT source, count(*) AS np, CAST(coalesce(sum(len(ct)), 0) AS BIGINT) AS cl, " +
+      "CAST(coalesce(sum(len(rt)), 0) AS BIGINT) AS rl FROM pair GROUP BY source), " +
+      "grams AS (SELECT doc_id, source, n.n AS n, " +
+      "list_transform(range(1, len(ct)-n.n+2), i -> array_to_string(list_slice(ct, i, i+n.n-1), ' ')) AS cg, " +
+      "list_transform(range(1, len(rt)-n.n+2), i -> array_to_string(list_slice(rt, i, i+n.n-1), ' ')) AS rg " +
+      s"FROM pair, (SELECT unnest(range(1, ${maxN + 1})) AS n) n), " +
+      "cg AS (SELECT source, doc_id, n, g, count(*) AS cc FROM " +
+      "(SELECT source, doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3, 4), " +
+      "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+      "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+      "pern AS (SELECT source, cg.n, sum(least(cc, coalesce(cr, 0))) AS m, sum(cc) AS t " +
+      "FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+      "GROUP BY 1, 2), " +
+      s"piv AS (SELECT source, $piv FROM pern GROUP BY source) " +
+      "SELECT l.source, l.np AS n_pairs, l.cl AS c_len, l.rl AS r_len, " +
+      "CASE WHEN l.cl = 0 THEN NULL " +
+      s"WHEN $anyZero THEN 0.0 " +
+      s"ELSE round(exp($meanLog + least(0.0, 1.0 - l.rl/(1.0*l.cl))), 4) " +
+      "END AS bleu FROM lens l LEFT JOIN piv USING (source)"
+  }
+
   /** The [[graft.ops.TextAnalysis.POISSON1_CDF]] thresholds as a DuckDB
     * list literal (shared by the bootstrap draw replays).
     */
@@ -4660,6 +4705,8 @@ object SparkEntry {
         "WHEN agg.ok = 0 OR agg.k < 4 THEN 0.0 " +
         "ELSE round(exp(agg.mlp + least(0.0, 1.0 - lens.rl/(1.0*lens.cl))), 4) " +
         "END AS bleu FROM lens, agg"),
+    // per-source BLEU: the q_bleu replay pivoted per (source, n)
+    "q_bleu_source" -> bleuSourceSql(4),
     // chrF2: character-gram clipped stats (chars of the token-joined,
     // whitespace-removed text), effective-order means, β² = 4 — pure
     // integer-rational algebra

@@ -2854,6 +2854,62 @@ object TextAnalysis {
       r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
   }
 
+  /** Per-GROUP corpus BLEU — [[bleuScore]] sliced by a group column
+    * (per source, per language, per model variant): the fairness cut
+    * that shows WHERE generation quality holds, the aucByGroup
+    * doctrine. Unlike the corpus form (whose maxN-row totals collect
+    * driver-side), everything here stays columnar: the per-(group, n)
+    * totals pivot into columns by conditional aggregation and the
+    * geometric mean / brevity penalty are row expressions — NO driver
+    * collect at any group cardinality. Levels with zero candidate
+    * grams or zero matches make the group's BLEU 0.0 (the unsmoothed
+    * convention); groups with no candidate tokens read NULL. ln terms
+    * q6-round before the mean (the corpus form's convention); BLEU
+    * rounds 4. Returns (group, n_pairs, c_len, r_len, bleu).
+    */
+  def bleuByGroup(pairs: DataFrame, groupCol: String, idCol: String,
+      refCol: String, candCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleuByGroup: bad maxN $maxN")
+    val base = pairs.select(col(groupCol).as("_grp"), col(idCol).as("_id"),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+      .localCheckpoint()
+    val lens = base.groupBy("_grp").agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("c_len"),
+      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("r_len"))
+    val levels = (1 to maxN).map { n =>
+      base.select(col("_grp"), col("_id"), lit(n).as("_n"),
+        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
+        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val cg = levels
+      .select(col("_grp"), col("_id"), col("_n"), explode(col("_cg")).as("_g"))
+      .groupBy("_grp", "_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
+    val rg = levels
+      .select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
+      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
+    val perGN = cg.join(rg, Seq("_id", "_n", "_g"), "left")
+      .groupBy("_grp", "_n")
+      .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"),
+        sum(col("_cc")).as("_t"))
+    val aggs = (1 to maxN).flatMap(n => Seq(
+      coalesce(sum(when(col("_n") === n, col("_m"))), lit(0L)).as(s"_m$n"),
+      coalesce(sum(when(col("_n") === n, col("_t"))), lit(0L)).as(s"_t$n")))
+    val pivoted = perGN.groupBy("_grp").agg(aggs.head, aggs.tail: _*)
+    val anyZero = (1 to maxN).map(n =>
+      col(s"_t$n") === 0L || col(s"_m$n") === 0L).reduce(_ || _)
+    val meanLog = (1 to maxN).map(n =>
+      round(log(col(s"_m$n").cast("double") / col(s"_t$n")), 6))
+      .reduce(_ + _) / maxN
+    val bpExp = least(lit(0.0),
+      lit(1.0) - col("r_len").cast("double") / col("c_len"))
+    lens.join(pivoted, Seq("_grp"), "left")
+      .select(col("_grp").as(groupCol), col("n_pairs"), col("c_len"),
+        col("r_len"),
+        when(col("c_len") === 0L, lit(null).cast("double"))
+          .when(anyZero, lit(0.0))
+          .otherwise(round(exp(meanLog + bpExp), 4)).as("bleu"))
+  }
+
   /** Corpus-level chrF (Popović 2015; β = 2 — chrF2, the WMT default):
     * CHARACTER n-gram F-score over n = 1..`maxN`, whitespace removed
     * before character extraction (the sacrebleu convention — chrF

@@ -1392,6 +1392,36 @@ class TextAnalysisSpec extends SparkSpec {
       edge.head._2 == 0L && edge.head._7 == 0.0, edge.toSeq)
   }
 
+  test("bleuByGroup ≡ bleuScore run per group, zero-match and " +
+      "empty-group conventions included") {
+    val rnd = new scala.util.Random(23)
+    def sent() = Seq.fill(4 + rnd.nextInt(15))(
+      ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+    val pairs = (0L until 60L).map(i => (i, s"g${i % 3}", sent(), sent()))
+    val df = pairs.toDF("id", "g", "ref", "cand")
+    val grouped = TextAnalysis.bleuByGroup(df, "g", "id", "ref", "cand")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    Seq("g0", "g1", "g2").foreach { g =>
+      val corpus = TextAnalysis.bleuScore(df.where($"g" === g),
+        "id", "ref", "cand")
+        .select("n_pairs", "c_len", "r_len", "bleu")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      assert(grouped(g)._2 == corpus._1 && grouped(g)._3 == corpus._2 &&
+        grouped(g)._4 == corpus._3 && grouped(g)._5 == corpus._4,
+        s"$g: ${grouped(g)} vs $corpus")
+    }
+    // a group whose candidates are all empty reads NULL like the
+    // corpus form
+    val withEmpty = TextAnalysis.bleuByGroup(
+      (pairs :+ (99L, "g9", "a b c", "")).toDF("id", "g", "ref", "cand"),
+      "g", "id", "ref", "cand")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(withEmpty("g9").isEmpty)
+  }
+
   test("lm counts: merge ≡ rebuild; add-k perplexity matches the " +
       "sequential reference incl. OOV and unseen-context events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
