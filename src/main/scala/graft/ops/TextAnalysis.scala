@@ -1729,15 +1729,22 @@ object TextAnalysis {
     * continuous metrics (and [[cohenKappa]]'s agreement view): only the
     * DISCORDANT pairs carry signal — b = items A got right and B
     * wrong, c = the reverse — and the continuity-corrected statistic
-    * (|b−c|−1)²/(b+c) is χ²(1) under H₀ (critical 3.841 at α = 0.05).
-    * One map-side-combined conditional aggregate, zero shuffle; counts
-    * are exact integers, the statistic an integer-derived rational
-    * (round 6). Statistic/flag NULL when b+c = 0 (no discordant pairs —
-    * nothing to test, not "no difference proven").
-    * Returns one row (n, b_only, c_only, statistic, reject_05).
+    * (|b−c|−1)²/(b+c) is χ²(1) under H₀. `alpha` picks the χ²(1)
+    * critical value — {0.10 → 2.706, 0.05 → 3.841, 0.01 → 6.635},
+    * default 0.05 (the ksTest convention, reject column named for the
+    * level). One map-side-combined conditional aggregate, zero
+    * shuffle; counts are exact integers, the statistic an
+    * integer-derived rational (round 6). Statistic/flag NULL when
+    * b+c = 0 (no discordant pairs — nothing to test, not "no
+    * difference proven").
+    * Returns one row (n, b_only, c_only, statistic, reject_NN).
     */
   def mcnemarTest(preds: DataFrame, labelCol: String, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String, alpha: Double = 0.05): DataFrame = {
+    val crit = CHI2_1_CRITICAL.getOrElse(alpha, sys.error(
+      s"mcnemarTest: alpha must be one of ${CHI2_1_CRITICAL.keys.toSeq.sorted
+        .mkString(", ")}, got $alpha"))
+    val rejCol = f"reject_${math.rint(alpha * 100).toInt}%02d"
     val y = col(labelCol).cast("boolean")
     val aOk = col(aCol).cast("boolean") === y
     val bOk = col(bCol).cast("boolean") === y
@@ -1749,8 +1756,12 @@ object TextAnalysis {
         sum((!aOk && bOk).cast("long")).as("c_only"))
       .select(col("n"), col("b_only"), col("c_only"),
         round(when(b + c > 0, stat), 6).as("statistic"),
-        when(b + c > 0, (stat > 3.841).cast("int")).as("reject_05"))
+        when(b + c > 0, (stat > crit).cast("int")).as(rejCol))
   }
+
+  /** χ²(1) critical values for [[mcnemarTest]]'s significance levels. */
+  private val CHI2_1_CRITICAL: Map[Double, Double] =
+    Map(0.10 -> 2.706, 0.05 -> 3.841, 0.01 -> 6.635)
 
   /** Calibration report for a [0,1]-probability scorer against a binary
     * label — the reliability-diagram table (per-bin mean prediction vs
@@ -2928,8 +2939,12 @@ object TextAnalysis {
       candCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"chrF: bad maxN $maxN")
     require(beta > 0, s"chrF: beta must be > 0, got $beta")
+    // regexp_extract_all '.' (codepoint-aware in Java regex), NOT
+    // split(""): split slices between UTF-16 code units, so an astral
+    // character would break into surrogate halves and diverge from any
+    // codepoint-based replay
     def chars(c: Column): Column =
-      filter(split(regexp_replace(c, "\\s+", ""), ""), x => x =!= "")
+      regexp_extract_all(regexp_replace(c, "\\s+", ""), lit("(?s)."), lit(0))
     val base = pairs.select(col(idCol).as("_id"),
       chars(col(refCol)).as("_rt"), chars(col(candCol)).as("_ct"))
       .localCheckpoint()

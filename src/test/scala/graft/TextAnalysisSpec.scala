@@ -1323,6 +1323,18 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1, 1, 1), (0, 1, 1)).toDF("y", "a", "b"), "y", "a", "b")
       .as[(Long, Long, Long, Option[Double], Option[Int])].collect().head
     assert(same == ((2L, 0L, 0L, None, None)), same)
+    // the 8.47 statistic clears 3.841 (α=0.05) but not... it also
+    // clears 6.635 (α=0.01); the 1/14 statistic clears neither —
+    // and the column carries the level's name
+    val a01 = TextAnalysis.mcnemarTest(rows.toDF("y", "a", "b"),
+      "y", "a", "b", alpha = 0.01)
+    assert(a01.columns.last == "reject_01")
+    assert(a01.select("reject_01").as[Option[Int]].collect().head
+      .contains(1))
+    intercept[RuntimeException] {
+      TextAnalysis.mcnemarTest(rows.toDF("y", "a", "b"), "y", "a", "b",
+        alpha = 0.2)
+    }
   }
 
   test("chrF: hand-checked effective-order means, identical pair reads " +
