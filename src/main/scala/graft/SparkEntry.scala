@@ -1735,6 +1735,17 @@ object SparkEntry {
           array_join(t, " ").as("ref"), cand.as("cand")),
         "doc_id", "ref", "cand")
     }),
+    // ROUGE-2 per pair on the q_bleu fixture: clipped bigram
+    // recall/precision/F — the reported summarization metric beside
+    // ROUGE-L's subsequence view
+    "q_rouge2" -> ((s, d) => {
+      val cand = array_join(filter(Core.tokensUni(col("text")),
+        (_, i) => (i + 1) % 3 =!= 0), " ")
+      TextAnalysis.rougeN(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          cand.as("cand")),
+        "doc_id", "text", "cand", n = 2)
+    }),
     // ROUGE-L per pair on the q_bleu fixture: LCS in the codegen DP
     // kernel, pure scan stage. Dropping tokens keeps the remainder a
     // subsequence, so lcs = c_len and P = 1 by construction — R and F
@@ -4737,6 +4748,30 @@ object SparkEntry {
         "round(p, 6) AS chr_p, round(r, 6) AS chr_r, " +
         "round(CASE WHEN p + r = 0 THEN 0.0 ELSE 5.0*p*r/(4.0*p+r) END, 6) AS chrf " +
         "FROM lens, pr"),
+    // ROUGE-2: per-doc clipped bigram counts, the q_bleu gram
+    // machinery at one level with per-pair outputs
+    "q_rouge2" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct FROM tk), " +
+        "g AS (SELECT doc_id, " +
+        "list_transform(range(1, len(ct)), i -> array_to_string(list_slice(ct, i, i+1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rt)), i -> array_to_string(list_slice(rt, i, i+1), ' ')) AS rg " +
+        "FROM pair WHERE len(ct) >= 2 AND len(rt) >= 2), " +
+        "cg AS (SELECT doc_id, gg, count(*) AS cc FROM " +
+        "(SELECT doc_id, unnest(cg) AS gg FROM g) GROUP BY 1, 2), " +
+        "rg AS (SELECT doc_id, gg, count(*) AS cr FROM " +
+        "(SELECT doc_id, unnest(rg) AS gg FROM g) GROUP BY 1, 2), " +
+        "m AS (SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id, " +
+        "sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS matches " +
+        "FROM cg FULL JOIN rg ON cg.doc_id = rg.doc_id AND cg.gg = rg.gg GROUP BY 1), " +
+        "lens AS (SELECT doc_id, len(cg) AS cgr, len(rg) AS rgr FROM g) " +
+        "SELECT l.doc_id, CAST(m.matches AS BIGINT) AS matches, " +
+        "CAST(l.cgr AS BIGINT) AS c_grams, CAST(l.rgr AS BIGINT) AS r_grams, " +
+        "round(m.matches/(1.0*l.cgr), 6) AS rouge_p, " +
+        "round(m.matches/(1.0*l.rgr), 6) AS rouge_r, " +
+        "CASE WHEN m.matches > 0 THEN round(2.0*(m.matches/(1.0*l.cgr))*(m.matches/(1.0*l.rgr))/" +
+        "((m.matches/(1.0*l.cgr))+(m.matches/(1.0*l.rgr))), 6) ELSE 0.0 END AS rouge_f " +
+        "FROM lens l JOIN m USING (doc_id)"),
     // ROUGE-L: the LCS DP replayed as a recursive CTE — row i of the
     // DP table advances per candidate token, and the in-row sequential
     // dependence resolves via the prefix-max identity

@@ -2971,6 +2971,49 @@ object TextAnalysis {
       .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
   }
 
+  /** Per-pair ROUGE-N — clipped n-gram recall against the reference
+    * (Lin 2004; ROUGE-1/ROUGE-2 are the reported summarization
+    * numbers), with the precision and F1 sides for free: per pair,
+    * matches = Σ_gram min(c_cand, c_ref), R = matches/ref-grams,
+    * P = matches/cand-grams, F = 2PR/(P+R). One (pair, gram) count
+    * aggregation per side and a full join — the [[bleuScore]] clip
+    * machinery at a single level with per-PAIR outputs instead of
+    * corpus totals. Pairs where either side has no n-grams emit no row
+    * (the [[rougeL]] convention); F is 0.0 at zero matches. P/R round
+    * 6, F from the unrounded ratios in one expression shape (oracle
+    * bit-parity). Returns (id, matches, c_grams, r_grams, rouge_p,
+    * rouge_r, rouge_f).
+    */
+  def rougeN(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"rougeN: bad n $n")
+    val base = pairs.select(col(idCol).as("_id"),
+      graft.functions.ArrayKernels.token_ngrams(toks(col(refCol)), n)
+        .as("_rg"),
+      graft.functions.ArrayKernels.token_ngrams(toks(col(candCol)), n)
+        .as("_cg"))
+      .where(size(col("_rg")) > 0 && size(col("_cg")) > 0)
+      .localCheckpoint()
+    val cg = base.select(col("_id"), explode(col("_cg")).as("_g"))
+      .groupBy("_id", "_g").agg(count(lit(1)).as("_cc"))
+    val rg = base.select(col("_id"), explode(col("_rg")).as("_g"))
+      .groupBy("_id", "_g").agg(count(lit(1)).as("_cr"))
+    val m = cg.join(rg, Seq("_id", "_g"), "full")
+      .groupBy("_id")
+      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
+        coalesce(col("_cr"), lit(0L)))).as("matches"))
+    val p = col("matches") / col("c_grams")
+    val r = col("matches") / col("r_grams")
+    base.select(col("_id"), size(col("_cg")).cast("long").as("c_grams"),
+        size(col("_rg")).cast("long").as("r_grams"))
+      .join(m, Seq("_id"))
+      .select(col("_id").as(idCol), col("matches"), col("c_grams"),
+        col("r_grams"),
+        round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+        when(col("matches") > 0, round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(lit(0.0)).as("rouge_f"))
+  }
+
   /** Per-pair ROUGE-L — the recall-oriented reference-overlap eval
     * beside [[bleuScore]]'s precision view (summarization/generation
     * pipelines report both): longest-common-SUBSEQUENCE precision

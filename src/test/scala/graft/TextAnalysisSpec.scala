@@ -1366,6 +1366,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty == ((1L, 0L, 3L, None, None, None)), empty)
   }
 
+  test("rougeN: hand-checked clipped bigram recall, repeats clip, " +
+      "short sides drop out") {
+    // ref "a b a b c" bigrams: ab, ba, ab, bc; cand "a b a b a b"
+    // bigrams: ab×3, ba×2 → clipped: min(3,2)+min(2,1) = 3.
+    // P = 3/5, R = 3/4
+    val got = TextAnalysis.rougeN(
+      Seq((1L, "a b a b c", "a b a b a b")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand", n = 2)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val (p, r) = (3.0 / 5, 3.0 / 4)
+    assert(got == ((1L, 3L, 5L, 4L, q6(p), q6(r),
+      q6(2.0 * p * r / (p + r)))), got)
+    // a one-token candidate has no bigrams → no row; zero overlap → 0.0
+    val edge = TextAnalysis.rougeN(
+      Seq((1L, "a b", "x"), (2L, "a b", "x y")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand", n = 2)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(edge.length == 1 && edge.head._1 == 2L &&
+      edge.head._2 == 0L && edge.head._7 == 0.0, edge.toSeq)
+  }
+
   test("rougeL: hand-checked LCS, random parity vs a sequential DP, " +
       "zero-overlap F = 0, empty sides emit no row") {
     // ref "a b c d", cand "a c b d": LCS = 3 ("a b d" or "a c d")
