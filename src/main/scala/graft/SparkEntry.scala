@@ -3529,10 +3529,11 @@ object SparkEntry {
       s"FROM pair, (SELECT unnest(range(1, ${maxN + 1})) AS n) n), " +
       "cg AS (SELECT source, doc_id, n, g, count(*) AS cc FROM " +
       "(SELECT source, doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3, 4), " +
-      "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
-      "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
-      "pern AS (SELECT source, cg.n, sum(least(cc, coalesce(cr, 0))) AS m, sum(cc) AS t " +
-      "FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+      "rg AS (SELECT source, doc_id, n, g, count(*) AS cr FROM " +
+      "(SELECT source, doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3, 4), " +
+      "pern AS (SELECT cg.source, cg.n, sum(least(cc, coalesce(cr, 0))) AS m, sum(cc) AS t " +
+      "FROM cg LEFT JOIN rg ON cg.source = rg.source AND cg.doc_id = rg.doc_id " +
+      "AND cg.n = rg.n AND cg.g = rg.g " +
       "GROUP BY 1, 2), " +
       s"piv AS (SELECT source, $piv FROM pern GROUP BY source) " +
       "SELECT l.source, l.np AS n_pairs, l.cl AS c_len, l.rl AS r_len, " +
@@ -4647,10 +4648,12 @@ object SparkEntry {
         "FROM documents, range(0,3) r(j)), " +
         "cell AS (SELECT doc_id AS i, label AS jl, count(*) AS nij FROM votes GROUP BY 1, 2), " +
         "item AS (SELECT i, sum(nij) AS n, sum(nij*nij) AS sq FROM cell GROUP BY i), " +
-        "tot AS (SELECT count(*) AS ni, any_value(n) AS n FROM item), " +
-        "pb AS (SELECT avg((sq - n)/(n*(n-1.0))) AS pbar FROM item), " +
-        "pe AS (SELECT sum(pow(cj/(tot.ni*1.0*tot.n), 2)) AS pe FROM " +
-        "(SELECT jl, CAST(sum(nij) AS DOUBLE) AS cj FROM cell GROUP BY jl), tot) " +
+        "tot AS (SELECT count(*) AS ni, any_value(n) AS n, sum(sq) AS ssq FROM item), " +
+        // P̄ and P̄_e as single divisions of exact integer sums — the
+        // fleissKappa arithmetic verbatim
+        "pb AS (SELECT (tot.ssq - tot.ni*tot.n)/(1.0*tot.ni*tot.n*(tot.n-1)) AS pbar FROM tot), " +
+        "pe AS (SELECT sum(cj*cj)/((tot.ni*tot.n)*1.0*(tot.ni*tot.n)) AS pe FROM " +
+        "(SELECT jl, sum(nij) AS cj FROM cell GROUP BY jl), tot GROUP BY tot.ni, tot.n) " +
         "SELECT CAST(tot.ni AS BIGINT) AS n_items, CAST(tot.n AS BIGINT) AS n_raters, " +
         "round(pb.pbar, 6) AS p_bar, round(pe.pe, 6) AS p_e, " +
         "CASE WHEN pe.pe < 1 THEN round((pb.pbar - pe.pe)/(1 - pe.pe), 6) END AS kappa " +
@@ -4666,12 +4669,16 @@ object SparkEntry {
         "FROM ca FULL JOIN cb ON ca.t = cb.t), " +
         "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j), " +
         "pq AS (SELECT (ca+0.5)/(tot.na+0.5*tot.v) AS p, (cb+0.5)/(tot.nb+0.5*tot.v) AS q FROM j, tot) " +
-        "SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b, " +
+        // scalar subqueries, not GROUP BY over pq: a token-free union
+        // must yield ONE all-null row (the tokenDivergence contract),
+        // not zero rows
+        "SELECT CAST(coalesce(tot.na, 0) AS BIGINT) AS n_a, " +
+        "CAST(coalesce(tot.nb, 0) AS BIGINT) AS n_b, " +
         "CAST(tot.v AS BIGINT) AS vocab, " +
-        "round(sum(round(p*ln(p/q), 6)), 6) AS kl_ab, " +
-        "round(sum(round(q*ln(q/p), 6)), 6) AS kl_ba, " +
-        "round(sum(round(p*ln(p/((p+q)/2))/2, 6) + round(q*ln(q/((p+q)/2))/2, 6)), 6) AS js " +
-        "FROM pq, tot GROUP BY tot.na, tot.nb, tot.v"),
+        "(SELECT round(sum(round(p*ln(p/q), 6)), 6) FROM pq) AS kl_ab, " +
+        "(SELECT round(sum(round(q*ln(q/p), 6)), 6) FROM pq) AS kl_ba, " +
+        "(SELECT round(sum(round(p*ln(p/((p+q)/2))/2, 6) + round(q*ln(q/((p+q)/2))/2, 6)), 6) FROM pq) AS js " +
+        "FROM tot"),
     // vocab scorecard: one dictionary aggregate (the Zipf shape scalar
     // is q_zipf's)
     "q_vocab_report" ->
@@ -4705,7 +4712,9 @@ object SparkEntry {
         "FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
         "GROUP BY cg.n), " +
         "p AS (SELECT n, CASE WHEN t > 0 THEN m/(1.0*t) END AS p FROM pern), " +
-        "agg AS (SELECT sum(round(ln(p), 6))/4 AS mlp, " +
+        // ln only inside the p > 0 branch: DuckDB ln(0) THROWS, and a
+        // zero-match level must read bleu = 0.0, not crash the gate
+        "agg AS (SELECT sum(CASE WHEN p > 0 THEN round(ln(p), 6) END)/4 AS mlp, " +
         "min(CASE WHEN p IS NULL OR p = 0 THEN 0 ELSE 1 END) AS ok, count(*) AS k FROM p) " +
         "SELECT lens.np AS n_pairs, lens.cl AS c_len, lens.rl AS r_len, " +
         "round((SELECT p FROM p WHERE n = 1), 6) AS p1, " +
@@ -4744,9 +4753,13 @@ object SparkEntry {
         "GROUP BY 1), " +
         "pr AS (SELECT coalesce(avg(CASE WHEN t > 0 THEN m/(1.0*t) END), 0) AS p, " +
         "coalesce(avg(CASE WHEN tr > 0 THEN m/(1.0*tr) END), 0) AS r FROM pern) " +
+        // either side character-free → NULL metrics (the chrF contract),
+        // not 0.0 — a degenerate snapshot must not flip the row
         "SELECT lens.np AS n_pairs, lens.cl AS c_chars, lens.rl AS r_chars, " +
-        "round(p, 6) AS chr_p, round(r, 6) AS chr_r, " +
-        "round(CASE WHEN p + r = 0 THEN 0.0 ELSE 5.0*p*r/(4.0*p+r) END, 6) AS chrf " +
+        "CASE WHEN lens.cl > 0 AND lens.rl > 0 THEN round(p, 6) END AS chr_p, " +
+        "CASE WHEN lens.cl > 0 AND lens.rl > 0 THEN round(r, 6) END AS chr_r, " +
+        "CASE WHEN lens.cl = 0 OR lens.rl = 0 THEN NULL " +
+        "WHEN p + r = 0 THEN 0.0 ELSE round(5.0*p*r/(4.0*p+r), 6) END AS chrf " +
         "FROM lens, pr"),
     // ROUGE-2: per-doc clipped bigram counts, the q_bleu gram
     // machinery at one level with per-pair outputs

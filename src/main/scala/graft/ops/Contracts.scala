@@ -122,10 +122,25 @@ object Contracts {
       import scala.concurrent.duration.{Duration, DurationLong}
       val deadline =
         if (exactTimeoutSec > 0L) exactTimeoutSec.seconds else Duration.Inf
-      val stats = Await.result(
-        Future.sequence(cols.map(c =>
-          Future(c -> exactColumnStats(df, c, Seq(0.5, 0.95))))),
-        deadline).toMap
+      // each per-column chain runs under one job group so a timeout can
+      // CANCEL the still-running Spark jobs — an Await that walks away
+      // while 50 column chains keep burning the cluster is not a bound
+      val sc = df.sparkSession.sparkContext
+      val groupId = s"graft-tableProfile-${System.identityHashCode(df)}-" +
+        Thread.currentThread().getId
+      val stats =
+        try Await.result(
+          Future.sequence(cols.map(c => Future {
+            sc.setJobGroup(groupId, s"tableProfile exact stats: $c",
+              interruptOnCancel = true)
+            c -> exactColumnStats(df, c, Seq(0.5, 0.95))
+          })),
+          deadline).toMap
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(groupId)
+            throw e
+        }
       cols.foldLeft(wide) { (acc, c) =>
         val (nd, pcts) = stats(c)
         def p(o: Option[Double]) =

@@ -174,15 +174,21 @@ object Preference {
     val n = ns.head
     require(n >= 2, s"fleissKappa: need >= 2 raters per item, got $n")
     // grand totals as plan constants (the apScore pattern): N items and
-    // the per-category vote mass both come off the tiny dictionaries
+    // the per-category vote mass both come off the tiny dictionaries.
+    // P̄ and P̄_e reduce to INTEGER sums divided once — Σ_i(sq_i − n) =
+    // Σsq − N·n and Σ_j c_j² are exact integers, order-insensitive, so
+    // both statistics are single correctly-rounded divisions and the
+    // oracle is bit-identical (NOT an avg of per-item inexact rationals,
+    // whose partition-order ulps could cross a rounding boundary)
     val nItems = perItem.count()
-    val pBar = perItem
-      .agg(avg((col("_sq") - n).cast("double") / (n * (n - 1.0))).as("v"))
-      .head().getDouble(0)
-    val pE = cell.groupBy("_j")
-      .agg(sum("_nij").cast("double").as("_cj"))
-      .agg(sum(pow(col("_cj") / (nItems * n.toDouble), 2)).as("v"))
-      .head().getDouble(0)
+    val sumSq = perItem.agg(coalesce(sum("_sq"), lit(0L))).head().getLong(0)
+    val pBar = (sumSq - nItems * n).toDouble /
+      (nItems.toDouble * n * (n - 1))
+    val sumCj2 = cell.groupBy("_j")
+      .agg(sum("_nij").as("_cj"))
+      .agg(coalesce(sum(col("_cj") * col("_cj")), lit(0L)))
+      .head().getLong(0)
+    val pE = sumCj2.toDouble / ((nItems * n).toDouble * (nItems * n))
     val kappa =
       if (pE >= 1.0) Option.empty[Double]
       else Some(math.rint((pBar - pE) / (1 - pE) * 1e6) / 1e6)

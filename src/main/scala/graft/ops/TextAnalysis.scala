@@ -1736,7 +1736,9 @@ object TextAnalysis {
     * shuffle; counts are exact integers, the statistic an
     * integer-derived rational (round 6). Statistic/flag NULL when
     * b+c = 0 (no discordant pairs — nothing to test, not "no
-    * difference proven").
+    * difference proven"). Rows with a null label or prediction are
+    * excluded from EVERY count including n (paired = complete — n must
+    * reflect exactly the pairs the statistic saw).
     * Returns one row (n, b_only, c_only, statistic, reject_NN).
     */
   def mcnemarTest(preds: DataFrame, labelCol: String, aCol: String,
@@ -1751,7 +1753,11 @@ object TextAnalysis {
     val b = col("b_only").cast("double")
     val c = col("c_only").cast("double")
     val stat = (abs(b - c) - 1) * (abs(b - c) - 1) / (b + c)
-    preds.agg(count(lit(1)).as("n"),
+    // complete pairs only — a null label or prediction must leave n
+    // too, or the statistic quietly computes over a subsample the
+    // reported n doesn't reflect (the logisticFit count(resid) rule)
+    preds.where(aOk.isNotNull && bOk.isNotNull)
+      .agg(count(lit(1)).as("n"),
         sum((aOk && !bOk).cast("long")).as("b_only"),
         sum((!aOk && bOk).cast("long")).as("c_only"))
       .select(col("n"), col("b_only"), col("c_only"),
@@ -2035,23 +2041,12 @@ object TextAnalysis {
   def aucBootstrap(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, replicas: Int = 100, alpha: Double = 0.025,
       salt: String = "boot"): DataFrame = {
-    require(replicas >= 2 && replicas <= 100000,
-      s"aucBootstrap: replicas must be in [2, 100000], got $replicas")
-    require(alpha > 0 && alpha < 0.5, s"bad alpha $alpha")
+    checkBootstrapParams(replicas, alpha, "aucBootstrap")
     import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     import spark.implicits._
     val y = col(labelCol).cast("boolean").cast("int")
-    // one md5 yields FOUR 32-bit uniform lanes (the digest is 128 bits),
-    // so replica b draws lane b mod 4 of md5(salt|id|b div 4); the draw
-    // is a single codegen'd kernel call per row — the built-in
-    // filter-over-thresholds form re-ran the md5 chain once per
-    // threshold (HOF lambdas are interpreted; measured 105 s vs ~13 s
-    // at 100M draws)
-    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
-      (col("_b") / 4).cast("long").cast("string"))
-    val w = graft.functions.ArrayKernels.poisson1_weight(key,
-      (col("_b") % 4).cast("int"), POISSON1_CDF).cast("double")
+    val w = poisson1DrawCol(salt, col("_b"))
     val dict = scored
       .select(col(idCol).cast("string").as("_id"),
         col(scoreCol).cast("double").as("_s"), y.as("_y"))
@@ -2073,17 +2068,51 @@ object TextAnalysis {
         col("_U") / (col("_P") * col("_N"))), 6).as("_auc"))
       .where(col("_auc").isNotNull)
       .as[Double].collect().sorted
-    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
-    val bEff = aucs.length
-    val out =
-      if (bEff == 0) Seq((0, Option.empty[Double], Option.empty[Double],
+    val out = nearestRank(aucs, alpha) match {
+      case None => Seq((0, Option.empty[Double], Option.empty[Double],
         Option.empty[Double]))
-      else {
-        val lo = aucs(math.max(math.ceil(alpha * bEff).toInt, 1) - 1)
-        val hi = aucs(math.ceil((1 - alpha) * bEff).toInt - 1)
-        Seq((bEff, Some(q6(aucs.sum / bEff)), Some(lo), Some(hi)))
-      }
+      case Some((mean, lo, hi)) =>
+        Seq((aucs.length, Some(mean), Some(lo), Some(hi)))
+    }
     out.toDF("n_replicas", "auc_mean", "ci_lo", "ci_hi")
+  }
+
+  /** The deterministic md5-lane Poisson(1) draw over (`_id`, replica):
+    * one digest serves FOUR replicas (lane = replica mod 4 of
+    * md5(salt|id|replica div 4)) as a single codegen'd kernel call per
+    * row — the built-in filter-over-thresholds form re-ran the md5
+    * chain once per threshold (interpreted HOF lambdas; measured 105 s
+    * vs ~13 s at 100M draws). ONE definition shared by [[aucBootstrap]]
+    * and [[pairedBootstrap]]; both DuckDB oracles replay it verbatim,
+    * so any change here must stay bit-compatible with both.
+    */
+  private def poisson1DrawCol(salt: String, rep: Column): Column = {
+    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
+      (rep / 4).cast("long").cast("string"))
+    graft.functions.ArrayKernels.poisson1_weight(key,
+      (rep % 4).cast("int"), POISSON1_CDF).cast("double")
+  }
+
+  /** Nearest-rank summary of sorted replica statistics: (q6 mean,
+    * lo = ceil(α·B)-th, hi = ceil((1−α)·B)-th order statistic); None on
+    * an empty replica set. The ONE interval definition both bootstrap
+    * operators and their oracles share.
+    */
+  private def nearestRank(sorted: Array[Double], alpha: Double)
+      : Option[(Double, Double, Double)] =
+    if (sorted.isEmpty) None
+    else {
+      val b = sorted.length
+      Some((math.rint(sorted.sum / b * 1e6) / 1e6,
+        sorted(math.max(math.ceil(alpha * b).toInt, 1) - 1),
+        sorted(math.ceil((1 - alpha) * b).toInt - 1)))
+    }
+
+  private def checkBootstrapParams(replicas: Int, alpha: Double,
+      who: String): Unit = {
+    require(replicas >= 2 && replicas <= 100000,
+      s"$who: replicas must be in [2, 100000], got $replicas")
+    require(alpha > 0 && alpha < 0.5, s"$who: bad alpha $alpha")
   }
 
   /** PAIRED Poisson-bootstrap comparison of two per-item metric columns
@@ -2107,15 +2136,10 @@ object TextAnalysis {
   def pairedBootstrap(scored: DataFrame, idCol: String, aCol: String,
       bCol: String, replicas: Int = 100, alpha: Double = 0.025,
       salt: String = "pair"): DataFrame = {
-    require(replicas >= 2 && replicas <= 100000,
-      s"pairedBootstrap: replicas must be in [2, 100000], got $replicas")
-    require(alpha > 0 && alpha < 0.5, s"bad alpha $alpha")
+    checkBootstrapParams(replicas, alpha, "pairedBootstrap")
     val spark = scored.sparkSession
     import spark.implicits._
-    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
-      (col("_r") / 4).cast("long").cast("string"))
-    val w = graft.functions.ArrayKernels.poisson1_weight(key,
-      (col("_r") % 4).cast("int"), POISSON1_CDF).cast("double")
+    val w = poisson1DrawCol(salt, col("_r"))
     val deltas = scored
       .select(col(idCol).cast("string").as("_id"),
         col(aCol).cast("double").as("_ma"),
@@ -2131,16 +2155,13 @@ object TextAnalysis {
       .where(col("_d").isNotNull)
       .as[Double].collect().sorted
     def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
-    val bEff = deltas.length
-    val out =
-      if (bEff == 0) Seq((0, Option.empty[Double], Option.empty[Double],
+    val out = nearestRank(deltas, alpha) match {
+      case None => Seq((0, Option.empty[Double], Option.empty[Double],
         Option.empty[Double], Option.empty[Double]))
-      else {
-        val lo = deltas(math.max(math.ceil(alpha * bEff).toInt, 1) - 1)
-        val hi = deltas(math.ceil((1 - alpha) * bEff).toInt - 1)
-        Seq((bEff, Some(q6(deltas.sum / bEff)), Some(lo), Some(hi),
-          Some(q6(deltas.count(_ > 0).toDouble / bEff))))
-      }
+      case Some((mean, lo, hi)) =>
+        Seq((deltas.length, Some(mean), Some(lo), Some(hi),
+          Some(q6(deltas.count(_ > 0).toDouble / deltas.length))))
+    }
     out.toDF("n_replicas", "delta_mean", "ci_lo", "ci_hi", "b_win_rate")
   }
 
@@ -2892,13 +2913,17 @@ object TextAnalysis {
         graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
         graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
     }.reduce(_ unionByName _).localCheckpoint()
+    // BOTH sides count within (_grp, _id): the same item id legitimately
+    // recurs across groups (per-model-variant evals score the same item
+    // set per variant), and a group-blind reference count would pool
+    // refs across variants and inflate every group's clipped matches
     val cg = levels
       .select(col("_grp"), col("_id"), col("_n"), explode(col("_cg")).as("_g"))
       .groupBy("_grp", "_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
     val rg = levels
-      .select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
-      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
-    val perGN = cg.join(rg, Seq("_id", "_n", "_g"), "left")
+      .select(col("_grp"), col("_id"), col("_n"), explode(col("_rg")).as("_g"))
+      .groupBy("_grp", "_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
+    val perGN = cg.join(rg, Seq("_grp", "_id", "_n", "_g"), "left")
       .groupBy("_grp", "_n")
       .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"),
         sum(col("_cc")).as("_t"))

@@ -1335,6 +1335,16 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.mcnemarTest(rows.toDF("y", "a", "b"), "y", "a", "b",
         alpha = 0.2)
     }
+    // incomplete pairs (null label or prediction) leave EVERY count,
+    // including n — the statistic's sample is exactly what n reports
+    val withNulls = rows.map { case (y, a, b) =>
+      (Option(y), Option(a), Option(b))
+    } ++ Seq((Some(1), Option.empty[Int], Some(1)),
+      (Option.empty[Int], Some(1), Some(1)))
+    val gN = TextAnalysis.mcnemarTest(withNulls.toDF("y", "a", "b"),
+      "y", "a", "b")
+      .as[(Long, Long, Long, Option[Double], Option[Int])].collect().head
+    assert(gN == got, s"$gN vs $got")
   }
 
   test("chrF: hand-checked effective-order means, identical pair reads " +
