@@ -1464,6 +1464,27 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].collect()
       .map(r => r._1 -> r._5).toMap
     assert(withEmpty("g9").isEmpty)
+    // the SAME item ids recur in every group (per-model-variant evals):
+    // reference counts must stay group-scoped — pooled refs would
+    // inflate clipping (id 1 in vA: cand 'a a' vs ref 'a b' must clip
+    // 'a' at the ONE ref occurrence, p1 = 1/2, regardless of vB's copy
+    // of the same ref)
+    val variants = Seq(
+      (1L, "vA", "a b", "a a"), (2L, "vA", "c d", "c d"),
+      (1L, "vB", "a b", "a b"), (2L, "vB", "c d", "x y"))
+      .toDF("id", "g", "ref", "cand")
+    val perVariant = TextAnalysis.bleuByGroup(variants, "g", "id",
+      "ref", "cand", maxN = 1)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._5).toMap
+    Seq("vA", "vB").foreach { v =>
+      val solo = TextAnalysis.bleuScore(variants.where($"g" === v),
+        "id", "ref", "cand", maxN = 1)
+        .select("bleu").as[Option[Double]].collect().head
+      assert(perVariant(v) == solo, s"$v: ${perVariant(v)} vs $solo")
+    }
+    // vA concretely: clipped unigrams = 1 ('a' once) + 2 ('c d') = 3/4
+    assert(perVariant("vA").contains(0.75), perVariant)
   }
 
   test("lm counts: merge ≡ rebuild; add-k perplexity matches the " +
