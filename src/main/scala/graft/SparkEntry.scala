@@ -651,6 +651,16 @@ object SparkEntry {
     "q_auc_boot" -> ((s, d) =>
       TextAnalysis.aucBootstrap(qualityScoredLabeled(s, d), "doc_id",
         "quality_score", "y", replicas = 100)),
+    // multi-class Cohen's kappa between two deterministic 3-way judges
+    // (the q_fleiss panel's raters 0 and 1) — the two-judge categorical
+    // agreement gate beside the panel-level Fleiss
+    "q_kappa_multi" -> ((s, d) => {
+      def judge(j: Int) =
+        (((col("doc_id") % (j + 2)) + (col("doc_id") % 3)) % 3).cast("int")
+      TextAnalysis.cohenKappaMulti(
+        Tables.documents(s, d).select(judge(0).as("a"), judge(1).as("b")),
+        "a", "b")
+    }),
     // McNemar on paired binary decisions: the trained classifier's keep
     // flag vs the n_chars >= 500 heuristic against the weak label —
     // only discordant pairs carry signal
@@ -4833,6 +4843,25 @@ object SparkEntry {
     // paired bootstrap: the q_auc_boot md5-lane draw replay, one shared
     // weight per (doc, replica), delta = Σw(b−a)/Σw q6, nearest-rank CI
     "q_sys_compare" -> sysCompareSql(100),
+    // multi-class Cohen: exact integer sums (agree, Σ row_k·col_k)
+    // divided once — the fleissKappa arithmetic
+    "q_kappa_multi" ->
+      ("WITH v AS (SELECT CAST(((doc_id % 2) + (doc_id % 3)) % 3 AS VARCHAR) AS a, " +
+        "CAST(((doc_id % 3) + (doc_id % 3)) % 3 AS VARCHAR) AS b FROM documents), " +
+        "cell AS (SELECT a, b, count(*) AS c FROM v GROUP BY a, b), " +
+        "tot AS (SELECT sum(c) AS n, " +
+        "coalesce(sum(CASE WHEN a = b THEN c END), 0) AS agree FROM cell), " +
+        "rm AS (SELECT a AS k, sum(c) AS r FROM cell GROUP BY a), " +
+        "cm AS (SELECT b AS k, sum(c) AS cc FROM cell GROUP BY b), " +
+        "mg AS (SELECT count(*) AS nl, " +
+        "coalesce(sum(coalesce(r, 0) * coalesce(cc, 0)), 0) AS src " +
+        "FROM rm FULL JOIN cm USING (k)) " +
+        "SELECT CAST(tot.n AS BIGINT) AS n, CAST(mg.nl AS BIGINT) AS n_labels, " +
+        "round(tot.agree/(1.0*tot.n), 6) AS po, " +
+        "round(mg.src/(tot.n*1.0*tot.n), 6) AS pe, " +
+        "CASE WHEN mg.src/(tot.n*1.0*tot.n) < 1 THEN " +
+        "round((tot.agree/(1.0*tot.n) - mg.src/(tot.n*1.0*tot.n))/" +
+        "(1 - mg.src/(tot.n*1.0*tot.n)), 6) END AS kappa FROM tot, mg"),
     // McNemar: discordant-pair counts + the continuity-corrected
     // chi-square(1) statistic, keep flag from the same logit CTEs
     "q_mcnemar" ->

@@ -1723,6 +1723,55 @@ object TextAnalysis {
         round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 4).as("kappa"))
   }
 
+  /** Multi-class Cohen's kappa — [[cohenKappa]] generalized from two
+    * boolean labelers to two CATEGORICAL raters (two LLM judges
+    * assigning k-way labels: topic, quality tier, refusal class):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and
+    * p_e = Σ_k row_k·col_k / N² the chance agreement from the raters'
+    * marginals. The [[Preference.fleissKappa]] arithmetic discipline:
+    * every statistic reduces to exact INTEGER sums divided once
+    * (agree/N and Σ row_k·col_k — order-insensitive), so the oracle is
+    * bit-identical. One map-side-combined (a, b) pair-count dictionary,
+    * then label-keyed rollups of that dictionary. Rows with a null
+    * label on either side are excluded from every count. κ NULL when
+    * p_e = 1 (both raters constant — vacuous, not perfect). p_o/p_e
+    * round 6, κ rounds 6.
+    * Returns one row (n, n_labels, po, pe, kappa).
+    */
+  def cohenKappaMulti(labels: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cell = labels
+      .select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val tot = cell.agg(coalesce(sum("_c"), lit(0L)),
+      coalesce(sum(when(col("_a") === col("_b"), col("_c"))), lit(0L)))
+      .head()
+    val (n, agree) = (tot.getLong(0), tot.getLong(1))
+    import labels.sparkSession.implicits._
+    if (n == 0L)
+      return Seq((0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double])).toDF("n", "n_labels", "po", "pe", "kappa")
+    val rowM = cell.groupBy(col("_a").as("_k")).agg(sum("_c").as("_row"))
+    val colM = cell.groupBy(col("_b").as("_k")).agg(sum("_c").as("_col"))
+    val margins = rowM.join(colM, Seq("_k"), "full")
+      .agg(count(lit(1)),
+        coalesce(sum(coalesce(col("_row"), lit(0L)) *
+          coalesce(col("_col"), lit(0L))), lit(0L)))
+      .head()
+    val (nLabels, sumRC) = (margins.getLong(0), margins.getLong(1))
+    val po = agree.toDouble / n
+    val pe = sumRC.toDouble / (n.toDouble * n)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val kappa =
+      if (pe >= 1.0) Option.empty[Double]
+      else Some(q6((po - pe) / (1 - pe)))
+    Seq((n, nLabels, Some(q6(po)), Some(q6(pe)), kappa))
+      .toDF("n", "n_labels", "po", "pe", "kappa")
+  }
+
   /** McNemar's test on PAIRED binary decisions — the exact-count
     * significance check for "do classifiers A and B actually disagree
     * in one direction?" beside [[pairedBootstrap]]'s resampled view on

@@ -1300,6 +1300,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("cohenKappaMulti: hand-checked 2x2 confusion, agrees with the " +
+      "binary form, constant raters NULL, nulls excluded") {
+    // (x,x):20 (x,y):5 (y,x):10 (y,y):15 → po = 35/50 = 0.7;
+    // rows (25, 25), cols (30, 20) → pe = (750+500)/2500 = 0.5 → κ = 0.4
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    val got = TextAnalysis.cohenKappaMulti(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((50L, 2L, Some(0.7), Some(0.5), Some(0.4))), got)
+    // two categories ≡ the boolean cohenKappa (which rounds 4)
+    val bin = rows.map { case (a, b) => (a == "x", b == "x") }
+    val kBin = TextAnalysis.cohenKappa(bin.toDF("a", "b"), "a", "b")
+      .select("kappa").as[Option[Double]].collect().head
+    assert(kBin.exists(k => math.abs(k - 0.4) <= 5e-5), kBin)
+    // three-way: a null on either side drops the pair from every count
+    val withNull = rows.map { case (a, b) => (Option(a), Option(b)) } :+
+      ((Option.empty[String], Some("x")))
+    val gN = TextAnalysis.cohenKappaMulti(withNull.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(gN == got, s"$gN vs $got")
+    // both raters constant: pe = 1 → κ NULL (vacuous)
+    val const = TextAnalysis.cohenKappaMulti(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(const._5.isEmpty && const._3.contains(1.0), const)
+  }
+
   test("mcnemarTest: hand-checked discordant counts, continuity " +
       "correction, no-discordance NULL") {
     // 20 items: A right / B wrong on 15, reverse on 2, both right on 3.
