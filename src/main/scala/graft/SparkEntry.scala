@@ -4849,7 +4849,7 @@ object SparkEntry {
       ("WITH v AS (SELECT CAST(((doc_id % 2) + (doc_id % 3)) % 3 AS VARCHAR) AS a, " +
         "CAST(((doc_id % 3) + (doc_id % 3)) % 3 AS VARCHAR) AS b FROM documents), " +
         "cell AS (SELECT a, b, count(*) AS c FROM v GROUP BY a, b), " +
-        "tot AS (SELECT sum(c) AS n, " +
+        "tot AS (SELECT coalesce(sum(c), 0) AS n, " +
         "coalesce(sum(CASE WHEN a = b THEN c END), 0) AS agree FROM cell), " +
         "rm AS (SELECT a AS k, sum(c) AS r FROM cell GROUP BY a), " +
         "cm AS (SELECT b AS k, sum(c) AS cc FROM cell GROUP BY b), " +

@@ -1328,6 +1328,12 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
       .collect().head
     assert(const._5.isEmpty && const._3.contains(1.0), const)
+    // empty input: one all-null zero row (the fleissKappa empty edge)
+    val empty = TextAnalysis.cohenKappaMulti(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(empty == ((0L, 0L, None, None, None)))
   }
 
   test("mcnemarTest: hand-checked discordant counts, continuity " +
