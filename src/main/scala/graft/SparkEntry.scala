@@ -225,7 +225,12 @@ object SparkEntry {
     * dictionary-sized work on top of it.
     */
   private def qualityScoredLabeled(s: SparkSession, d: String): DataFrame =
-    IndexTables.plain(s, IndexTables.ident("qscored", d,
+    // "_v1" is the scorer-version token (the unigram_v256 precedent):
+    // the ident otherwise keys only on (dir, witness), so a change to
+    // QUALITY_W, the keep threshold, or the y = n_chars >= 300 label
+    // would silently reuse a stale materialized table — bump the
+    // version with any scorer/label change
+    IndexTables.plain(s, IndexTables.ident("qscored_v1", d,
       witness(Tables.documents(s, d))))(
       TextAnalysis.qualityClassifierScore(Tables.documents(s, d))
         .join(Tables.documents(s, d).select(col("doc_id"), col("source"),

@@ -128,16 +128,30 @@ object Contracts {
       val sc = df.sparkSession.sparkContext
       val groupId = s"graft-tableProfile-${System.identityHashCode(df)}-" +
         Thread.currentThread().getId
+      // cancelJobGroup only kills RUNNING jobs: a column future still
+      // queued on the pool when the timeout fires would otherwise start
+      // afterwards and run its whole chain under the dead group id — the
+      // volatile flag makes queued futures bail before launching
+      // anything. clearJobGroup in the finally strips the group-id
+      // thread-locals off the shared pool threads so unrelated later
+      // jobs scheduled from them aren't tagged (or cancelled) by stale
+      // group state.
+      @volatile var cancelled = false
       val stats =
         try Await.result(
           Future.sequence(cols.map(c => Future {
-            sc.setJobGroup(groupId, s"tableProfile exact stats: $c",
-              interruptOnCancel = true)
-            c -> exactColumnStats(df, c, Seq(0.5, 0.95))
+            if (cancelled) throw new java.util.concurrent.CancellationException(
+              s"tableProfile exact stats cancelled before start: $c")
+            try {
+              sc.setJobGroup(groupId, s"tableProfile exact stats: $c",
+                interruptOnCancel = true)
+              c -> exactColumnStats(df, c, Seq(0.5, 0.95))
+            } finally sc.clearJobGroup()
           })),
           deadline).toMap
         catch {
           case e: java.util.concurrent.TimeoutException =>
+            cancelled = true
             sc.cancelJobGroup(groupId)
             throw e
         }

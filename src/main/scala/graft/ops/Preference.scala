@@ -150,8 +150,11 @@ object Preference {
     * Scale shape: one map-side-combined (item, label) count aggregate,
     * then item-keyed and label-keyed rollups of that dictionary — the
     * corpus of votes shuffles once. Every term is an integer-derived
-    * rational (exact in doubles, order-insensitive sums), so the oracle
-    * agrees bit-for-bit; κ rounds 6 and is NULL when P̄_e = 1 (all votes
+    * rational accumulated in DOUBLE (exact below 2^53, the PrefixSum
+    * convention — Long would wrap silently on Σn_ij²/Σc_j² past ~3e9
+    * items with a dominant label; order-insensitive while exact), so
+    * the oracle agrees bit-for-bit at test scale and diverges only by
+    * ulps past 2^53; κ rounds 6 and is NULL when P̄_e = 1 (all votes
     * one category — agreement is undefined, not perfect).
     * Returns one row (n_items, n_raters, p_bar, p_e, kappa).
     */
@@ -160,8 +163,14 @@ object Preference {
     val cell = votes.groupBy(col(itemCol).as("_i"), col(labelCol).as("_j"))
       .agg(count(lit(1)).as("_nij"))
       .localCheckpoint()
+    // n_ij² is panel-size-bounded and exact, but its SUM over items (and
+    // Σc_j² below) wraps Long silently past ~3e9 items with a dominant
+    // label under non-ANSI Spark while the DuckDB oracle promotes to
+    // HUGEINT — accumulate in double instead (exact below 2^53, the
+    // PrefixSum convention; beyond that a rounded ulp, never a wrap)
     val perItem = cell.groupBy("_i")
-      .agg(sum("_nij").as("_n"), sum(col("_nij") * col("_nij")).as("_sq"))
+      .agg(sum("_nij").as("_n"),
+        sum((col("_nij") * col("_nij")).cast("double")).as("_sq"))
       .localCheckpoint()
     val ns = perItem.select(col("_n")).distinct().collect().map(_.getLong(0))
     require(ns.length <= 1,
@@ -181,14 +190,15 @@ object Preference {
     // oracle is bit-identical (NOT an avg of per-item inexact rationals,
     // whose partition-order ulps could cross a rounding boundary)
     val nItems = perItem.count()
-    val sumSq = perItem.agg(coalesce(sum("_sq"), lit(0L))).head().getLong(0)
-    val pBar = (sumSq - nItems * n).toDouble /
+    val sumSq = perItem.agg(coalesce(sum("_sq"), lit(0.0))).head().getDouble(0)
+    val pBar = (sumSq - nItems.toDouble * n) /
       (nItems.toDouble * n * (n - 1))
     val sumCj2 = cell.groupBy("_j")
       .agg(sum("_nij").as("_cj"))
-      .agg(coalesce(sum(col("_cj") * col("_cj")), lit(0L)))
-      .head().getLong(0)
-    val pE = sumCj2.toDouble / ((nItems * n).toDouble * (nItems * n))
+      .agg(coalesce(sum(col("_cj").cast("double") *
+        col("_cj").cast("double")), lit(0.0)))
+      .head().getDouble(0)
+    val pE = sumCj2 / ((nItems.toDouble * n) * (nItems.toDouble * n))
     val kappa =
       if (pE >= 1.0) Option.empty[Double]
       else Some(math.rint((pBar - pE) / (1 - pE) * 1e6) / 1e6)

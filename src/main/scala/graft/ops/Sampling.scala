@@ -352,13 +352,6 @@ object Sampling {
     * + 1 over the reference distribution (tie-safe — see
     * [[perplexityMix]]). Null scores are ignored.
     */
-  /** Range partitions used to distribute [[perplexityBuckets]]' dictionary
-    * prefix sum. The per-partition offset table is `DICT_PARTS` rows by
-    * construction (collected driver-side), and each window partition holds
-    * ~1/DICT_PARTS of the distinct-score dictionary.
-    */
-  private val DICT_PARTS = 64
-
   /** Fail-fast bound for the non-numeric-score fallback path, which still
     * runs the dictionary prefix sum on one partition (there is no
     * fixed-size percentile sketch for arbitrary orderable types). 2^22
@@ -384,14 +377,12 @@ object Sampling {
     // round-8 verdict's latent hazard was computing it with ONE
     // unpartitioned Window.orderBy — safe only while callers rounded the
     // score so the dictionary stayed small, and nothing enforced that.
-    // Now the sum is DISTRIBUTED for any numeric score: a fixed-size
-    // percentile sketch (approx_percentile — accuracy only affects
-    // balance, never values) range-partitions the dictionary
-    // monotonically into DICT_PARTS groups, the running sum windows
-    // WITHIN each group, and the ≤DICT_PARTS per-group totals are
-    // collected driver-side into exclusive prefix offsets broadcast back
-    // — the textbook distributed prefix sum. No corpus- or
-    // dictionary-sized single partition at ANY score cardinality.
+    // For any numeric score the sum is the shared ADAPTIVE distributed
+    // prefix sum ([[PrefixSum.cumulative]] — the same machinery behind
+    // exactColumnStats and the classifier-eval score dictionary): range
+    // buckets that grow with the dictionary, within-bucket windows,
+    // broadcast offsets. No corpus- or dictionary-sized single partition
+    // at ANY score cardinality.
     val isNumeric =
       counts.schema(counts.schema.fieldIndex(scoreCol))
         .dataType.isInstanceOf[NumericType]
@@ -411,33 +402,13 @@ object Sampling {
           sum("c").over(Window.orderBy(col(scoreCol))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       } else {
-        val score = col(scoreCol).cast("double")
-        val probs = (1 until DICT_PARTS).map(_.toDouble / DICT_PARTS)
-        val boundsRow = counts.agg(
-          percentile_approx(score, lit(probs.toArray), lit(10000))
-            .as("b")).head()
-        val bounds =
-          if (boundsRow.isNullAt(0)) Array.empty[Double]
-          else boundsRow.getSeq[Double](0).distinct.sorted.toArray
-        // part(s) = #{bound < s}: monotone in s, so every score in part
-        // p sorts before every score in part p+1 and offset+within ≡ the
-        // global running sum exactly
-        val parted = counts.withColumn("_part",
-          size(filter(lit(bounds), b => b < score)))
-        val totals = parted.groupBy("_part")
-          .agg(sum("c").as("t")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        val offs = totals.scanLeft(0L)(_ + _._2).init
-        val spark = scored.sparkSession
-        val offDf = spark.createDataFrame(
-          totals.map(_._1).zip(offs).toSeq.map(p => Tuple2(p._1, p._2)))
-          .toDF("_part", "_off")
-        parted
-          .withColumn("_w", sum("c").over(
-            Window.partitionBy(col("_part")).orderBy(col(scoreCol))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .join(broadcast(offDf), Seq("_part"))
-          .withColumn("_cum", col("_off") + col("_w"))
+        // the prefix-sum key is the DOUBLE cast (the PrefixSum
+        // convention): exact for every score below 2^53; integral
+        // magnitudes beyond that may tie under the cast and order
+        // arbitrarily within the tie — same bound as exactColumnStats
+        PrefixSum.cumulative(
+          counts.withColumn("_sd", col(scoreCol).cast("double")),
+          "_sd", Seq("c" -> "_cum")).drop("_sd")
       }
     // bucket from the STRICTLY-BELOW fraction, floor(strict·n/N)+1, not
     // ceil(cume_dist·n): with inclusive-ties semantics a score shared by

@@ -1730,7 +1730,9 @@ object TextAnalysis {
     * p_e = Σ_k row_k·col_k / N² the chance agreement from the raters'
     * marginals. The [[Preference.fleissKappa]] arithmetic discipline:
     * every statistic reduces to exact INTEGER sums divided once
-    * (agree/N and Σ row_k·col_k — order-insensitive), so the oracle is
+    * (agree/N and Σ row_k·col_k — order-insensitive; the marginal
+    * product accumulates in double, exact below 2^53, so it rounds
+    * instead of wrapping Long at extreme scale), so the oracle is
     * bit-identical. One map-side-combined (a, b) pair-count dictionary,
     * then label-keyed rollups of that dictionary. Rows with a null
     * label on either side are excluded from every count. κ NULL when
@@ -1756,14 +1758,20 @@ object TextAnalysis {
         Option.empty[Double])).toDF("n", "n_labels", "po", "pe", "kappa")
     val rowM = cell.groupBy(col("_a").as("_k")).agg(sum("_c").as("_row"))
     val colM = cell.groupBy(col("_b").as("_k")).agg(sum("_c").as("_col"))
+    // marginal product in DOUBLE, not Long: row_k·col_k wraps Long
+    // silently past ~3e9 rows with a dominant label under non-ANSI
+    // Spark, while the DuckDB oracle promotes to HUGEINT — a silent
+    // cross-engine divergence. Doubles are exact below 2^53 (the
+    // PrefixSum convention); beyond that the product rounds to ulp
+    // instead of wrapping.
     val margins = rowM.join(colM, Seq("_k"), "full")
       .agg(count(lit(1)),
-        coalesce(sum(coalesce(col("_row"), lit(0L)) *
-          coalesce(col("_col"), lit(0L))), lit(0L)))
+        coalesce(sum(coalesce(col("_row"), lit(0L)).cast("double") *
+          coalesce(col("_col"), lit(0L)).cast("double")), lit(0.0)))
       .head()
-    val (nLabels, sumRC) = (margins.getLong(0), margins.getLong(1))
+    val (nLabels, sumRC) = (margins.getLong(0), margins.getDouble(1))
     val po = agree.toDouble / n
-    val pe = sumRC.toDouble / (n.toDouble * n)
+    val pe = sumRC / (n.toDouble * n)
     def q6(x: Double) = math.rint(x * 1e6) / 1e6
     val kappa =
       if (pe >= 1.0) Option.empty[Double]
@@ -2865,6 +2873,13 @@ object TextAnalysis {
     * BLEU is 0.0 when any level has zero matches (the standard unsmoothed
     * convention) and NULL when there are no candidate tokens at all.
     * Returns one row (n_pairs, c_len, r_len, p1..pN, bleu).
+    *
+    * CONTRACT: `idCol` must be UNIQUE within `pairs` — clipping is
+    * per-id, so rows sharing an id silently merge into one pooled pair
+    * (their gram counts add BEFORE the min), inflating clipped matches.
+    * Multi-reference or multi-candidate evals must disambiguate the id
+    * (e.g. concat id with a variant tag) before calling; same contract
+    * on [[chrF]] and [[rougeN]], and per (group, id) on [[bleuByGroup]].
     */
   def bleuScore(pairs: DataFrame, idCol: String, refCol: String,
       candCol: String, maxN: Int = 4): DataFrame = {
@@ -3008,6 +3023,8 @@ object TextAnalysis {
     * algebra — no logs — so the oracle agrees bit-for-bit; P/R/chrF
     * round 6. Returns one row (n_pairs, c_chars, r_chars, chr_p,
     * chr_r, chrf); NULL metrics when either side has no characters.
+    * `idCol` must be unique within `pairs` (the [[bleuScore]] clipping
+    * contract — duplicate ids pool into one pair before the clip).
     */
   def chrF(pairs: DataFrame, idCol: String, refCol: String,
       candCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
@@ -3055,8 +3072,11 @@ object TextAnalysis {
     * corpus totals. Pairs where either side has no n-grams emit no row
     * (the [[rougeL]] convention); F is 0.0 at zero matches. P/R round
     * 6, F from the unrounded ratios in one expression shape (oracle
-    * bit-parity). Returns (id, matches, c_grams, r_grams, rouge_p,
-    * rouge_r, rouge_f).
+    * bit-parity). `idCol` must be unique within `pairs` (the
+    * [[bleuScore]] clipping contract — duplicate ids pool into one
+    * pair before the clip, and the output join would fan out).
+    * Returns (id, matches, c_grams, r_grams, rouge_p, rouge_r,
+    * rouge_f).
     */
   def rougeN(pairs: DataFrame, idCol: String, refCol: String,
       candCol: String, n: Int = 2): DataFrame = {
