@@ -236,6 +236,37 @@ object SparkEntry {
         .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
           (col("n_chars") >= 300).cast("int").as("y")), "doc_id"))
 
+  /** The MT-eval pair corpus as a STANDING table (the
+    * qualityScoredLabeled precedent): ref = the token-joined text (so
+    * every metric shares the tokenizer's casing), cand = the q_bleu
+    * every-3rd-token-drop degradation, cand_sub = the q_ter
+    * substitute+drop degradation. The tokenize→degrade→rejoin chain
+    * used to run inside EVERY MT query; at 100 TB an eval-pair set is
+    * scored by many metrics per snapshot, so the pair corpus is the
+    * artifact — materialized once per (dir, witness), read by
+    * q_bleu / q_bleu_source / q_chrf / q_rouge / q_rouge2 / q_ter.
+    * Token-level metrics are unchanged by reading ref from the
+    * rejoined text (toks ∘ array_join ∘ toks ≡ toks — the q_chrf ref
+    * convention, now shared); the oracles keep replaying from
+    * documents.text directly, so any drift in the fixture build flips
+    * the rows red. "_v1" is the degradation-recipe version token (the
+    * qscored_v1 rule).
+    */
+  private def evalPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    IndexTables.plain(s, IndexTables.ident("evalpairs_v1", d,
+      witness(docs))) {
+      val t = Core.tokensUni(col("text"))
+      val mut = transform(t, (x, i) =>
+        when((i + 1) % 3 === 0, lit("xx")).otherwise(x))
+      docs.select(col("doc_id"), col("source"),
+        array_join(t, " ").as("ref"),
+        array_join(filter(t, (_, i) => (i + 1) % 3 =!= 0), " ").as("cand"),
+        array_join(filter(mut, (_, i) => (i + 1) % 5 =!= 0), " ")
+          .as("cand_sub"))
+    }
+  }
+
   /** Deterministic synthetic judge votes for q_bt_ratings: 32
     * strength-ranked arms (lower id = stronger), one game per document,
     * pairing and outcome keyed on doc_id residues (stronger arm wins
@@ -554,13 +585,21 @@ object SparkEntry {
     "q_unigram_learn" -> ((s, d) =>
       TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
         emIters = 2)),
-    // FULL-EM (forward-backward) unigram training — the Kudo E-step
-    // proper beside q_unigram_learn's Viterbi-EM; expected counts keep
-    // probability mass on plausible-but-not-best pieces. Rows-only,
-    // parity-locked against a sequential full-EM reference
+    // SOFT encode under the standing model — the E-step posterior
+    // application (expected piece usage over ALL segmentations, the
+    // soft-label twin of q_unigram_encode's Viterbi one-best).
+    // ROUND-12 RECAST: this row previously ran the full-EM TRAINING
+    // loop (unigramLearnSoft — which remains in the library, exercised
+    // by PropertySpec's sequential full-EM parity; training stays
+    // represented by the exempt q_unigram_learn row); the APPLY half
+    // is mechanical DP arithmetic under a fixed model, so it is
+    // oracled off UNIGRAM_PINNED via the recursive-CTE
+    // forward/backward replay (the BPE_MERGES_PINNED doctrine — the
+    // live query still reads the trained standing model, so trainer
+    // drift flips the row red)
     "q_unigram_soft" -> ((s, d) =>
-      TextAnalysis.unigramLearnSoft(Tables.documents(s, d), vocabSize = 256,
-        emIters = 2)),
+      TextAnalysis.unigramSoftEncode(Tables.documents(s, d),
+        unigramModel(s, d))),
     // train → apply round trip under the learned unigram model (pieces
     // space-joined — the driver compare hashes scalar cells only). The
     // model comes from the STANDING trained artifact: train once per
@@ -573,8 +612,11 @@ object SparkEntry {
     }),
     // subword regularization: ONE seeded draw from P(seg)^alpha per
     // distinct word under the standing model — the per-epoch tokenizer
-    // noise (seed = epoch). Deterministic per (word, seed): the
-    // seeded-LSH replayability class, rows-only
+    // noise (seed = epoch). Deterministic per (word, seed) on md5-lane
+    // uniforms with a quantized DP (round 12), so the draw is oracled
+    // off UNIGRAM_PINNED: the DuckDB replay rebuilds the forward
+    // filter (q6 logsumexp cells) and the backward walk (integer
+    // micro-mass prefix sums against the same md5 uniform) exactly
     "q_unigram_sample" -> ((s, d) =>
       TextAnalysis.unigramSampleEncode(Tables.documents(s, d),
           unigramModel(s, d), seed = 17L)
@@ -1702,6 +1744,24 @@ object SparkEntry {
             .cast("int")): _*)).as("label"))
       Preference.fleissKappa(votes, "doc_id", "label")
     }),
+    // Krippendorff's alpha over a RAGGED panel — the q_fleiss judges
+    // with realistic raggedness (judge 1 times out on every 5th doc,
+    // judge 2 on every 7th, a 4th judge joins on every 4th; docs at
+    // the 5·7 residue drop to ONE vote and are excluded as unpairable)
+    // — the agreement statistic fleissKappa refuses raggedness for.
+    // Missing votes are nulls; krippAlpha's null-exclusion builds the
+    // ragged panel from them
+    "q_kripp" -> ((s, d) => {
+      def lbl(j: Int) =
+        (((col("doc_id") % (j + 2)) + (col("doc_id") % 3)) % 3).cast("int")
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          lbl(0),
+          when(col("doc_id") % 5 =!= 0, lbl(1)),
+          when(col("doc_id") % 7 =!= 0, lbl(2)),
+          when(col("doc_id") % 4 === 0, lbl(3)))).as("label"))
+      Preference.krippAlpha(votes, "doc_id", "label")
+    }),
     // vocabulary-level drift: KL both ways + Jensen-Shannon divergence
     // between the en and non-en token distributions (union vocab,
     // add-half smoothing) — the drift check PSI/KS can't see
@@ -1720,59 +1780,39 @@ object SparkEntry {
     // set) vs the original text: p1 = 1 by construction (dropping only
     // reduces counts under clipping), higher n-gram precisions and the
     // brevity penalty price the damage
-    "q_bleu" -> ((s, d) => {
-      val cand = array_join(filter(Core.tokensUni(col("text")),
-        (_, i) => (i + 1) % 3 =!= 0), " ")
-      TextAnalysis.bleuScore(
-        Tables.documents(s, d).select(col("doc_id"), col("text"),
-          cand.as("cand")),
-        "doc_id", "text", "cand")
-    }),
+    "q_bleu" -> ((s, d) =>
+      TextAnalysis.bleuScore(evalPairs(s, d), "doc_id", "ref", "cand")),
     // per-source corpus BLEU — the fairness cut of q_bleu (bleuByGroup
     // stays fully columnar: pivoted per-(group, n) totals, no driver
     // collect at any group cardinality)
-    "q_bleu_source" -> ((s, d) => {
-      val cand = array_join(filter(Core.tokensUni(col("text")),
-        (_, i) => (i + 1) % 3 =!= 0), " ")
-      TextAnalysis.bleuByGroup(
-        Tables.documents(s, d).select(col("doc_id"), col("source"),
-          col("text"), cand.as("cand")),
-        "source", "doc_id", "text", "cand")
-    }),
+    "q_bleu_source" -> ((s, d) =>
+      TextAnalysis.bleuByGroup(evalPairs(s, d),
+        "source", "doc_id", "ref", "cand")),
     // chrF2 on the q_bleu fixture (ref = the token-joined text, so both
     // sides share the tokenizer's casing): character n-gram F with
     // whitespace removed — pure integer-rational algebra, no logs
-    "q_chrf" -> ((s, d) => {
-      val t = Core.tokensUni(col("text"))
-      val cand = array_join(filter(t, (_, i) => (i + 1) % 3 =!= 0), " ")
-      TextAnalysis.chrF(
-        Tables.documents(s, d).select(col("doc_id"),
-          array_join(t, " ").as("ref"), cand.as("cand")),
-        "doc_id", "ref", "cand")
-    }),
+    "q_chrf" -> ((s, d) =>
+      TextAnalysis.chrF(evalPairs(s, d), "doc_id", "ref", "cand")),
     // ROUGE-2 per pair on the q_bleu fixture: clipped bigram
     // recall/precision/F — the reported summarization metric beside
     // ROUGE-L's subsequence view
-    "q_rouge2" -> ((s, d) => {
-      val cand = array_join(filter(Core.tokensUni(col("text")),
-        (_, i) => (i + 1) % 3 =!= 0), " ")
-      TextAnalysis.rougeN(
-        Tables.documents(s, d).select(col("doc_id"), col("text"),
-          cand.as("cand")),
-        "doc_id", "text", "cand", n = 2)
-    }),
+    "q_rouge2" -> ((s, d) =>
+      TextAnalysis.rougeN(evalPairs(s, d), "doc_id", "ref", "cand", n = 2)),
     // ROUGE-L per pair on the q_bleu fixture: LCS in the codegen DP
     // kernel, pure scan stage. Dropping tokens keeps the remainder a
     // subsequence, so lcs = c_len and P = 1 by construction — R and F
     // price the cut (the complementary recall view to q_bleu)
-    "q_rouge" -> ((s, d) => {
-      val cand = array_join(filter(Core.tokensUni(col("text")),
-        (_, i) => (i + 1) % 3 =!= 0), " ")
-      TextAnalysis.rougeL(
-        Tables.documents(s, d).select(col("doc_id"), col("text"),
-          cand.as("cand")),
-        "doc_id", "text", "cand")
-    }),
+    "q_rouge" -> ((s, d) =>
+      TextAnalysis.rougeL(evalPairs(s, d), "doc_id", "ref", "cand")),
+    // TER (shift-free) on a HARDER synthetic degradation than the
+    // q_bleu drop fixture (a pure subsequence makes edit distance
+    // collapse to r_len − c_len): every 3rd token SUBSTITUTED with a
+    // marker and every 5th dropped, so the DP must actually mix
+    // substitutions and deletions. Codegen two-row Levenshtein in the
+    // scan — zero shuffle; oracle replays the DP via the min-plus
+    // prefix identity (the q_rouge recursive-CTE doctrine)
+    "q_ter" -> ((s, d) =>
+      TextAnalysis.ter(evalPairs(s, d), "doc_id", "ref", "cand_sub")),
     // TRUE add-k perplexity under the STANDING bigram-count model
     // (fit on the 97-residue train split, scored over every doc —
     // held-out docs hit unseen events and the smoothing actually
@@ -3357,6 +3397,139 @@ object SparkEntry {
       "FROM wf JOIN dp ON dp.word = wf.word AND dp.pos = dp.n"
   }
 
+  /** Shared CTE text for the quantized unigram FORWARD filter under
+    * [[UNIGRAM_PINNED]] (q_unigram_sample / q_unigram_soft): the
+    * [[unigramStatsSql]] DP with the Viterbi max swapped for a
+    * logsumexp list_reduce in the kernel's ascending-j fold order,
+    * each cell round(·,6) — exactly UnigramSample/quantized
+    * UnigramExpectedCounts' forward arithmetic, so every fwd entry is
+    * the same double in both engines. Emits `words` (distinct corpus
+    * words) and `dp(word, n, pos, fwd)`.
+    */
+  private def unigramFwdCtes: String = {
+    val maxLen = UNIGRAM_PINNED.map(_._1.length).max
+    val plist = UNIGRAM_PINNED.map(p => sqlLit(p._1)).mkString("[", ",", "]")
+    val llist = UNIGRAM_PINNED.map(p => java.lang.Double.toString(p._2))
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+    val unk = java.lang.Double.toString(ops.TextAnalysis.UNIGRAM_UNK_LOGP)
+    s"base AS (SELECT doc_id, regexp_extract_all(lower(text), " +
+      s"'${ops.TextAnalysis.bpePatternSql}') AS toks FROM documents), " +
+      "g AS (SELECT unnest(toks) AS word FROM base), " +
+      "wf AS (SELECT word, count(*) AS freq FROM g GROUP BY word), " +
+      "words AS (SELECT DISTINCT word FROM wf), " +
+      "dp(word, n, pos, fwd) AS (" +
+      "SELECT word, length(word), 0, [0.0]::DOUBLE[] FROM words " +
+      "UNION ALL " +
+      "SELECT word, n, p, list_append(fwd, round(list_reduce(terms, " +
+      "(a, b) -> CASE WHEN a >= b THEN a + ln(1 + exp(b - a)) " +
+      "ELSE b + ln(1 + exp(a - b)) END), 6)) FROM (" +
+      "SELECT word, n, p, fwd, list_filter(list_transform(idxs, " +
+      s"j -> fwd[j+1] + 1.0*coalesce(map_extract(map($plist, $llist), " +
+      s"substring(word, j+1, p-j))[1], " +
+      s"CASE WHEN p - j = 1 THEN $unk END)), x -> x IS NOT NULL) AS terms " +
+      "FROM (SELECT word, n, pos + 1 AS p, fwd, " +
+      s"range(greatest(0, pos + 1 - $maxLen), pos + 1) AS idxs " +
+      "FROM dp WHERE pos < n)))"
+  }
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.unigramSampleEncode]]
+    * (seed 17, alpha 1) under [[UNIGRAM_PINNED]]: the
+    * [[unigramFwdCtes]] forward filter, then the backward WALK as a
+    * second recursive CTE — at each boundary the valid arcs' integer
+    * micro-masses round(exp(fwd_j + s − fwd_pos)·10⁶) prefix-sum
+    * ascending-j (exact integers in doubles) against the md5-lane
+    * uniform u·10⁶ rebuilt from the kernel's own key; first prefix
+    * past u wins, last feasible arc on quantization slack. Pieces
+    * accumulate by list_prepend so the walk emits them in order.
+    */
+  private def unigramSampleSql: String = {
+    val maxLen = UNIGRAM_PINNED.map(_._1.length).max
+    val plist = UNIGRAM_PINNED.map(p => sqlLit(p._1)).mkString("[", ",", "]")
+    val llist = UNIGRAM_PINNED.map(p => java.lang.Double.toString(p._2))
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+    val unk = java.lang.Double.toString(ops.TextAnalysis.UNIGRAM_UNK_LOGP)
+    s"WITH RECURSIVE $unigramFwdCtes, " +
+      "bs(word, n, fwd, pos, pieces) AS (" +
+      "SELECT word, n, fwd, n, []::VARCHAR[] FROM dp WHERE pos = n " +
+      "UNION ALL " +
+      "SELECT word, n, fwd, arcs[ks].j, " +
+      "list_prepend(substring(word, arcs[ks].j + 1, pos - arcs[ks].j), pieces) " +
+      "FROM (" +
+      "SELECT word, n, fwd, pos, pieces, arcs, " +
+      "CASE WHEN len(list_filter(cums, c -> u6 >= c)) + 1 <= len(arcs) " +
+      "THEN len(list_filter(cums, c -> u6 >= c)) + 1 ELSE len(arcs) END AS ks " +
+      "FROM (" +
+      "SELECT word, n, fwd, pos, pieces, arcs, " +
+      "list_transform(range(1, len(arcs) + 1), k -> " +
+      "list_aggregate(ms[1:k], 'sum')) AS cums, " +
+      "((('0x' || substring(md5(word || chr(1) || '17' || chr(1) || " +
+      "CAST(pos AS VARCHAR)), 1, 8))::UBIGINT + 0.5) / 4294967296.0) " +
+      "* 1000000.0 AS u6 " +
+      "FROM (" +
+      "SELECT word, n, fwd, pos, pieces, arcs, " +
+      "list_transform(arcs, a -> " +
+      "round(exp(fwd[a.j + 1] + 1.0*a.s - fwd[pos + 1]) * 1000000.0)) AS ms " +
+      "FROM (" +
+      "SELECT word, n, fwd, pos, pieces, " +
+      s"list_filter(list_transform(range(greatest(0, pos - $maxLen), pos), " +
+      s"j -> {'j': j, 's': coalesce(map_extract(map($plist, $llist), " +
+      s"substring(word, j + 1, pos - j))[1], " +
+      s"CASE WHEN pos - j = 1 THEN $unk END)}), " +
+      "a -> a.s IS NOT NULL) AS arcs " +
+      "FROM bs WHERE pos > 0))))) " +
+      "SELECT wf.word, wf.freq, array_to_string(b.pieces, ' ') AS pieces, " +
+      "CAST(len(b.pieces) AS INT) AS n_pieces " +
+      "FROM wf JOIN bs b ON b.word = wf.word AND b.pos = 0"
+  }
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.unigramSoftEncode]]
+    * under [[UNIGRAM_PINNED]]: [[unigramFwdCtes]] (α), a BACKWARD
+    * recursive CTE building β by list_prepend (same q6-per-cell
+    * logsumexp, the kernel's ascending-i fold with the s + β term
+    * order), then every valid arc's posterior as an integer NANOMASS
+    * round(exp(α_j + s + β_i − Z)·10⁹) summed per (word, piece) —
+    * exact integers, aggregation-order-free — and ec = Σ/10⁹
+    * unrounded (one shared exact division, the kernel's output form).
+    */
+  private def unigramSoftSql: String = {
+    val maxLen = UNIGRAM_PINNED.map(_._1.length).max
+    val plist = UNIGRAM_PINNED.map(p => sqlLit(p._1)).mkString("[", ",", "]")
+    val llist = UNIGRAM_PINNED.map(p => java.lang.Double.toString(p._2))
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+    val unk = java.lang.Double.toString(ops.TextAnalysis.UNIGRAM_UNK_LOGP)
+    val mdl = s"map($plist, $llist)"
+    s"WITH RECURSIVE $unigramFwdCtes, " +
+      "bt(word, n, p, bt) AS (" +
+      "SELECT word, length(word), length(word), [0.0]::DOUBLE[] FROM words " +
+      "UNION ALL " +
+      "SELECT word, n, p - 1, " +
+      "list_prepend(round(list_reduce(terms, " +
+      "(a, b) -> CASE WHEN a >= b THEN a + ln(1 + exp(b - a)) " +
+      "ELSE b + ln(1 + exp(a - b)) END), 6), bt) FROM (" +
+      "SELECT word, n, p, bt, list_filter(list_transform(is_, " +
+      s"i -> coalesce(map_extract($mdl, substring(word, p, i - p + 1))[1], " +
+      s"CASE WHEN i - p + 1 = 1 THEN $unk END) + bt[i - p + 1]), " +
+      "x -> x IS NOT NULL) AS terms " +
+      "FROM (SELECT word, n, p, bt, " +
+      s"range(p, least(n, p - 1 + $maxLen) + 1) AS is_ " +
+      "FROM bt WHERE p > 0)))," +
+      "af AS (SELECT word, n, fwd FROM dp WHERE pos = n), " +
+      "bf AS (SELECT word, bt FROM bt WHERE p = 0), " +
+      "arcs AS (SELECT word, n, fwd, bt, unnest(range(0, n)) AS j " +
+      "FROM af JOIN bf USING (word)), " +
+      s"arc2 AS (SELECT word, n, fwd, bt, j, " +
+      s"unnest(range(j + 1, least(n, j + $maxLen) + 1)) AS i FROM arcs), " +
+      "contrib AS (SELECT word, substring(word, j + 1, i - j) AS piece, " +
+      "round(exp(fwd[j+1] + s + bt[i+1] - fwd[n+1]) * 1000000000.0) AS m " +
+      s"FROM (SELECT *, coalesce(map_extract($mdl, " +
+      s"substring(word, j + 1, i - j))[1], " +
+      s"CASE WHEN i - j = 1 THEN $unk END) AS s FROM arc2) " +
+      "WHERE s IS NOT NULL), " +
+      "ec AS (SELECT word, piece, sum(m) / 1000000000.0 AS ec " +
+      "FROM contrib GROUP BY word, piece) " +
+      "SELECT wf.word, wf.freq, ec.piece, ec.ec FROM wf JOIN ec USING (word)"
+  }
+
   /** The [[unigramStatsSql]] replay aggregated per language — exact
     * integer totals, fertility as one rounded ratio of sums (a corpus
     * fertility, not an average of per-doc ratios).
@@ -4673,6 +4846,31 @@ object SparkEntry {
         "round(pb.pbar, 6) AS p_bar, round(pe.pe, 6) AS p_e, " +
         "CASE WHEN pe.pe < 1 THEN round((pb.pbar - pe.pe)/(1 - pe.pe), 6) END AS kappa " +
         "FROM tot, pb, pe"),
+    // Krippendorff alpha on the ragged q_kripp panel: coincidence-form
+    // integer sums, one division per distinct rater count m (items
+    // grouped by m share the (m-1) denominator — the krippAlpha
+    // arithmetic verbatim), single-vote items excluded from EVERY total
+    "q_kripp" ->
+      ("WITH votes AS (SELECT doc_id, ((doc_id % (j+2)) + (doc_id % 3)) % 3 AS label " +
+        "FROM documents, range(0,4) r(j) " +
+        "WHERE j = 0 OR (j = 1 AND doc_id % 5 <> 0) " +
+        "OR (j = 2 AND doc_id % 7 <> 0) OR (j = 3 AND doc_id % 4 = 0)), " +
+        "cell AS (SELECT doc_id AS i, label, count(*) AS nij FROM votes GROUP BY 1, 2), " +
+        "item AS (SELECT i, sum(nij) AS m, sum(1.0*nij*nij) AS sq " +
+        "FROM cell GROUP BY i HAVING sum(nij) >= 2), " +
+        "tot AS (SELECT count(*) AS ni, coalesce(sum(m), 0) AS n FROM item), " +
+        "dm AS (SELECT m, sum(1.0*m*m - sq) AS num FROM item GROUP BY m), " +
+        "dd AS (SELECT coalesce(sum(num/(m - 1.0)), 0) AS d_o FROM dm), " +
+        "marg AS (SELECT count(*) AS nl, coalesce(sum(1.0*c*c), 0) AS sc2 FROM " +
+        "(SELECT cell.label, sum(cell.nij) AS c FROM cell JOIN item ON cell.i = item.i " +
+        "GROUP BY cell.label)), " +
+        "de AS (SELECT CASE WHEN tot.n > 1 THEN (1.0*tot.n*tot.n - marg.sc2)/(tot.n - 1.0) " +
+        "ELSE 0.0 END AS d_e FROM tot, marg) " +
+        "SELECT CAST(tot.ni AS BIGINT) AS n_items, CAST(tot.n AS BIGINT) AS n_pairable, " +
+        "CAST(marg.nl AS BIGINT) AS n_labels, round(dd.d_o, 6) AS d_o, " +
+        "round(de.d_e, 6) AS d_e, " +
+        "CASE WHEN de.d_e > 0 THEN round(1.0 - dd.d_o/de.d_e, 6) END AS alpha " +
+        "FROM tot, marg, dd, de"),
     // KL/JS over the union vocabulary with add-half smoothing; each ln
     // term q6-rounded before the sum (the tokenDivergence convention)
     "q_js_div" ->
@@ -4826,6 +5024,31 @@ object SparkEntry {
         "CASE WHEN l > 0 THEN round(2.0*(l/(1.0*cl))*(l/(1.0*rl))/((l/(1.0*cl))+(l/(1.0*rl))), 6) " +
         "ELSE 0.0 END AS rouge_f " +
         "FROM fin WHERE cl > 0 AND rl > 0"),
+    // shift-free TER: the Levenshtein DP replayed as a recursive CTE —
+    // the q_rouge prefix trick for the in-row sequential dependence,
+    // here the MIN-PLUS identity cur[j] = min_k<=j (t[k] + (j-k)) with
+    // t[k] = min(del, sub) candidates off the previous row
+    "q_ter" ->
+      (s"WITH RECURSIVE tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, " +
+        "list_filter(list_transform(rt, (x, i) -> CASE WHEN i % 3 = 0 THEN 'xx' ELSE x END), " +
+        "(x, i) -> i % 5 <> 0) AS ct FROM tk WHERE len(rt) > 0), " +
+        "rec(doc_id, i, dp) AS (" +
+        "SELECT doc_id, 0, list_transform(range(0, len(rt)+1), x -> x) FROM pair " +
+        "UNION ALL " +
+        "SELECT doc_id, i + 1, " +
+        "list_transform(range(0, len(tl)), j -> " +
+        "list_min(list_transform(range(0, j+1), k -> tl[k+1] + (j - k)))) FROM (" +
+        "SELECT r.doc_id, r.i AS i, " +
+        "list_prepend(r.i + 1, list_transform(range(1, len(p.rt)+1), j -> " +
+        "least(dp[j+1] + 1, dp[j] + CASE WHEN p.ct[r.i+1] = p.rt[j] THEN 0 ELSE 1 END))) AS tl " +
+        "FROM rec r JOIN pair p ON r.doc_id = p.doc_id " +
+        "WHERE r.i < len(p.ct))), " +
+        "fin AS (SELECT r.doc_id, dp[len(p.rt)+1] AS e, len(p.ct) AS cl, " +
+        "len(p.rt) AS rl FROM rec r JOIN pair p ON r.doc_id = p.doc_id " +
+        "WHERE r.i = len(p.ct)) " +
+        "SELECT doc_id, CAST(e AS BIGINT) AS edits, CAST(cl AS BIGINT) AS c_len, " +
+        "CAST(rl AS BIGINT) AS r_len, round(e/(1.0*rl), 6) AS ter FROM fin"),
     // add-k perplexity under the train-split bigram model: V+1 for the
     // OOV bucket, per-term q6 logs, ppl = exp of the ROUNDED ce
     "q_lm_ppl" ->
@@ -4928,6 +5151,14 @@ object SparkEntry {
     // train → apply round trip: the apply half replayed off the pinned
     // model with the path-carrying Viterbi DP
     "q_unigram_encode" -> unigramEncodeSql,
+    // the seeded subword-regularization draw replayed off the pinned
+    // model: q6 logsumexp forward filter + md5-lane integer-mass
+    // backward walk (the kernel's exact arithmetic)
+    "q_unigram_sample" -> unigramSampleSql,
+    // the E-step soft encode replayed off the pinned model: forward +
+    // backward q6 DPs, integer-nanomass arc posteriors grouped per
+    // (word, piece)
+    "q_unigram_soft" -> unigramSoftSql,
     // greedy longest-match segmentation as a recursion tracking the piece
     // (the q_bpe_exact recursion, carrying substring(word, pos, L));
     // seed row idx=-1 is the pre-first-piece state and is filtered out

@@ -1884,7 +1884,8 @@ object ArrayKernels {
     * maxPieceLen) arcs per word.
     */
   case class UnigramExpectedCounts(child: Expression, pieces: Seq[String],
-      logps: Seq[Double], unkLogp: Double) extends UnaryExpression {
+      logps: Seq[Double], unkLogp: Double, quantize: Boolean = false)
+      extends UnaryExpression {
     require(pieces.nonEmpty, "unigram_expected_counts requires a model")
     require(pieces.length == logps.length,
       s"pieces/logps length mismatch: ${pieces.length} vs ${logps.length}")
@@ -1953,6 +1954,8 @@ object ArrayKernels {
           }
           j += 1
         }
+        if (quantize && alpha(i) != Double.NegativeInfinity)
+          alpha(i) = math.rint(alpha(i) * 1e6) / 1e6
         i += 1
       }
       val beta = new Array[Double](n + 1)
@@ -1970,10 +1973,18 @@ object ArrayKernels {
           }
           i2 += 1
         }
+        if (quantize && beta(j) != Double.NegativeInfinity)
+          beta(j) = math.rint(beta(j) * 1e6) / 1e6
         j -= 1
       }
       val z = alpha(n) // finite: the all-singles path always exists
+      // quantize=true: each arc posterior becomes an exact INTEGER
+      // nanomass rint(exp(e)*1e9) so the per-piece sums are
+      // order-exact integers (a DuckDB GROUP BY replays them
+      // bit-for-bit regardless of aggregation order); ec is then the
+      // UNROUNDED m/1e9 — one exact division both engines share
       val ecs = new java.util.LinkedHashMap[String, java.lang.Double]()
+      val ecsQ = new java.util.LinkedHashMap[String, java.lang.Long]()
       j = 0
       while (j < n) {
         if (alpha(j) != Double.NegativeInfinity) {
@@ -1983,15 +1994,30 @@ object ArrayKernels {
             val s = step(j, i3)
             if (s != Double.NegativeInfinity &&
                 beta(i3) != Double.NegativeInfinity) {
-              val ec = math.exp(alpha(j) + s + beta(i3) - z)
               val p = w.substring(cpOff(j), cpOff(i3))
-              val prev = ecs.get(p)
-              ecs.put(p, Double.box(if (prev == null) ec else prev + ec))
+              if (quantize) {
+                val m = math.rint(
+                  math.exp(alpha(j) + s + beta(i3) - z) * 1e9).toLong
+                val prev = ecsQ.get(p)
+                ecsQ.put(p, java.lang.Long.valueOf(
+                  if (prev == null) m else prev.longValue() + m))
+              } else {
+                val ec = math.exp(alpha(j) + s + beta(i3) - z)
+                val prev = ecs.get(p)
+                ecs.put(p, Double.box(if (prev == null) ec else prev + ec))
+              }
             }
             i3 += 1
           }
         }
         j += 1
+      }
+      if (quantize) {
+        val it0 = ecsQ.entrySet().iterator()
+        while (it0.hasNext) {
+          val e = it0.next()
+          ecs.put(e.getKey, Double.box(e.getValue.longValue() / 1e9))
+        }
       }
       val out = new Array[Any](ecs.size)
       val it = ecs.entrySet().iterator()
@@ -2025,13 +2051,23 @@ object ArrayKernels {
     * over segmentations — the training-time tokenizer noise that makes
     * models robust to segmentation ambiguity.
     *
-    * DETERMINISTIC by construction: the per-step uniforms come from a
-    * SplittableRandom seeded with mix(seed, word) — same (word, seed,
-    * model) always yields the same segmentation, so queries stay
-    * replayable (the seeded-LSH convention). Distribution quality is
-    * spec-asserted against exact posterior probabilities over many
-    * seeds. Same scale shape as the sibling kernels: model as literals,
-    * scan stage, zero shuffle.
+    * DETERMINISTIC by construction AND cross-engine replayable (the
+    * Poisson1Weight md5-lane doctrine, round 12): the per-step uniform
+    * at boundary `pos` is lane 0 of md5(word + '\u0001' + seed +
+    * '\u0001' + pos) —
+    * same (word, seed, model) always yields the same segmentation, and
+    * a DuckDB oracle rebuilds the identical draw from
+    * `('0x'||substring(md5(...),1,8))::UBIGINT`. The DP arithmetic is
+    * quantized for the same reason: each forward cell q6-rounds after
+    * its (ascending-j) logAdd fold, and each backward arc carries an
+    * exact INTEGER micro-mass rint(exp(e)·10⁶) compared against
+    * u·10⁶ via exact prefix sums — so the replay needs no bit-parity
+    * from libm exp/ln beyond the q6/rint boundaries (the
+    * tokenDivergence policy). Fallback when rounding leaves u past the
+    * total mass: the LAST feasible arc, mirrored in the replay.
+    * Distribution quality is spec-asserted against exact posterior
+    * probabilities over many seeds. Same scale shape as the sibling
+    * kernels: model as literals, scan stage, zero shuffle.
     */
   case class UnigramSample(child: Expression, pieces: Seq[String],
       logps: Seq[Double], unkLogp: Double, seed: Long, alpha: Double)
@@ -2064,6 +2100,11 @@ object ArrayKernels {
         case other => TypeCheckResult.TypeCheckFailure(
           s"unigram_sample requires STRING, got ${other.catalogString}")
       }
+    @transient private lazy val digest =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
     private def logAdd(a: Double, b: Double): Double =
       if (a == Double.NegativeInfinity) b
       else if (b == Double.NegativeInfinity) a
@@ -2088,7 +2129,10 @@ object ArrayKernels {
         else if (i - j == 1) unkLogp
         else Double.NegativeInfinity
       }
-      // forward filtering under the alpha-annealed distribution
+      // forward filtering under the alpha-annealed distribution; each
+      // cell q6-rounds AFTER its ascending-j fold (the replay's
+      // list_reduce + round(·,6) mirrors the fold order exactly, so
+      // libm ulps never compound across positions)
       val fwd = new Array[Double](n + 1)
       java.util.Arrays.fill(fwd, Double.NegativeInfinity)
       fwd(0) = 0.0
@@ -2103,47 +2147,56 @@ object ArrayKernels {
           }
           j += 1
         }
+        if (fwd(i) != Double.NegativeInfinity)
+          fwd(i) = math.rint(fwd(i) * 1e6) / 1e6
         i += 1
       }
-      // word-keyed deterministic stream: same (word, seed) ⇒ same draws.
-      // FNV-1a 64 over the UTF-8 bytes, not String.hashCode: 32-bit
-      // hashCode collisions would give two words identical uniform
-      // streams under EVERY seed — a permanent cross-word correlation
-      // in the regularization noise that no epoch change washes out.
-      var wh = 0xCBF29CE484222325L
-      val wb = in.getBytes
-      var bi = 0
-      while (bi < wb.length) {
-        wh = (wh ^ (wb(bi) & 0xFFL)) * 0x100000001B3L
-        bi += 1
-      }
-      val rng = new java.util.SplittableRandom(
-        seed ^ (wh * 0x9E3779B97F4A7C15L))
+      // backward sampling on EXACT integer micro-masses: arc j into pos
+      // weighs rint(exp((fwd(j) + alpha·step) − fwd(pos))·10⁶); the
+      // uniform is lane 0 of md5(word+'\\u0001'+seed+'\\u0001'+pos),
+      // scaled to the
+      // same 10⁶ grid, and the chosen arc is the first whose ascending-j
+      // prefix mass exceeds it — prefix sums of integers are
+      // order-exact, so the replay's list_aggregate reproduces the walk
+      // bit-for-bit (the Poisson1Weight doctrine)
+      val md = digest.get()
       val rev = new scala.collection.mutable.ArrayBuffer[Any](8)
       var pos = n
       while (pos > 0) {
-        // arc weights into pos: exp(fwd(j) + alpha·step − fwd(pos))
         val lo = math.max(0, pos - maxLenCp)
-        var u = rng.nextDouble()
+        md.reset()
+        val dig = md.digest(
+          (w + "\u0001" + seed + "\u0001" + pos).getBytes("UTF-8"))
+        val v = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+          ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+        val u6 = (v + 0.5) / 4294967296.0 * 1000000.0
         var chosen = -1
+        var last = -1
+        var cum = 0.0
         var j = lo
         while (j < pos && chosen < 0) {
           if (fwd(j) != Double.NegativeInfinity) {
             val s = step(j, pos)
             if (s != Double.NegativeInfinity) {
-              val p = math.exp(fwd(j) + alpha * s - fwd(pos))
-              if (u < p) chosen = j else u -= p
+              last = j
+              cum += math.rint(
+                math.exp(fwd(j) + alpha * s - fwd(pos)) * 1000000.0)
+              if (u6 < cum) chosen = j
             }
           }
           j += 1
         }
-        // fp slack: fall back to the last feasible arc
+        // quantization slack (Σ masses < u6): the last feasible arc,
+        // scanning order makes `last` exactly that
         if (chosen < 0) {
-          var jj = pos - 1
-          while (jj >= lo && chosen < 0) {
-            if (fwd(jj) != Double.NegativeInfinity &&
-              step(jj, pos) != Double.NegativeInfinity) chosen = jj
-            jj -= 1
+          if (last >= 0) chosen = last
+          else {
+            var jj = pos - 1
+            while (jj >= lo && chosen < 0) {
+              if (fwd(jj) != Double.NegativeInfinity &&
+                step(jj, pos) != Double.NegativeInfinity) chosen = jj
+              jj -= 1
+            }
           }
         }
         rev += org.apache.spark.unsafe.types.UTF8String
@@ -2278,6 +2331,233 @@ object ArrayKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  def token_edit_dist(a: Column, b: Column): Column =
+    GraftSqlBridge.column(TokenEditDist(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `token_edit_dist(a, b)` — word-level Levenshtein distance between
+    * two token arrays (unit-cost insert/delete/substitute), the
+    * shift-free TER core. The [[TokenLcsLen]] shape exactly: two-row DP,
+    * O(|a|·|b|) time, O(|b|) space, compiled JVM loops via the
+    * addReferenceObj compute() pattern; null tokens read as empty so
+    * eval and codegen can never disagree on a null slot. Empty-side
+    * base case: distance = the other side's length (all
+    * inserts/deletes).
+    */
+  case class TokenEditDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"token_edit_dist requires (ARRAY<STRING>, ARRAY<STRING>), " +
+            s"got ${l.catalogString}, ${r.catalogString}")
+      }
+
+    def compute(aIn: ArrayData, bIn: ArrayData): Int = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val n = aIn.numElements()
+      val m = bIn.numElements()
+      if (n == 0) return m
+      if (m == 0) return n
+      val bs = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        val s = bIn.getUTF8String(j)
+        bs(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        j += 1
+      }
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var j0 = 0
+      while (j0 <= m) { prev(j0) = j0; j0 += 1 }
+      var i = 0
+      while (i < n) {
+        val s0 = aIn.getUTF8String(i)
+        val av = if (s0 == null) UTF8String.EMPTY_UTF8 else s0
+        cur(0) = i + 1
+        var j2 = 1
+        while (j2 <= m) {
+          val sub = prev(j2 - 1) + (if (av.equals(bs(j2 - 1))) 0 else 1)
+          val del = prev(j2) + 1
+          val ins = cur(j2 - 1) + 1
+          cur(j2) = math.min(sub, math.min(del, ins))
+          j2 += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("editDistKernel", this,
+        classOf[TokenEditDist].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def char_ngram_counts(text: Column, n: Int): Column =
+    GraftSqlBridge.column(CharNgramCounts(
+      GraftSqlBridge.expression(text), n))
+
+  /** `char_ngram_counts(s, n)` — the per-document (codepoint n-gram →
+    * count) dictionary, collapsed BEFORE any explode: English text
+    * repeats low-n char grams heavily, so emitting one (gram, count)
+    * entry per DISTINCT gram (first-occurrence order) instead of one
+    * row per instance shrinks chrF's shuffle volume by the per-doc
+    * repeat factor. Codepoint-aware extraction (surrogate pairs stay
+    * whole — the `(?s).` regexp semantics) in one compiled pass:
+    * O(len) HashMap upserts, no per-gram regexp machinery, no
+    * interpreted lambda frames. Whitespace handling is the CALLER's
+    * (chrF strips it first). Empty/short input → empty array.
+    */
+  case class CharNgramCounts(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1 && n <= 16, s"char_ngram_counts: bad n $n")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"char_ngram_counts requires STRING, got ${other.catalogString}")
+      }
+    def compute(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val w = in.toString
+      val ncp = w.codePointCount(0, w.length)
+      if (ncp < n) return new GenericArrayData(Array.empty[Any])
+      val cpOff = new Array[Int](ncp + 1)
+      var ci = 0
+      var k = 0
+      while (k < ncp) {
+        cpOff(k) = ci
+        ci += Character.charCount(w.codePointAt(ci))
+        k += 1
+      }
+      cpOff(ncp) = w.length
+      val counts = new java.util.LinkedHashMap[String, java.lang.Long]()
+      var i = 0
+      while (i + n <= ncp) {
+        val g = w.substring(cpOff(i), cpOff(i + n))
+        val prev = counts.get(g)
+        counts.put(g,
+          java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue() + 1L))
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var idx = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+          e.getValue.longValue())
+        idx += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("charNgramKernel", this,
+        classOf[CharNgramCounts].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def gram_clip_stats(cand: Column, ref: Column): Column =
+    GraftSqlBridge.column(GramClipStats(
+      GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref)))
+
+  /** `gram_clip_stats(cg, rg)` — clipped-match totals of two per-doc
+    * (gram → count) dictionaries ([[CharNgramCounts]] outputs) that
+    * live IN THE SAME ROW: m = Σ_g min(c_cand, c_ref), t = Σ c_cand,
+    * tr = Σ c_ref, returned as one struct(m, t, tr). This is what
+    * makes chrF a ZERO-exchange pure scan: clipping is per-(pair,
+    * gram) and a pair's two gram dictionaries share a row, so the
+    * (id, n, gram) shuffle the explode-based plan paid — ~500M rows at
+    * the round-11 10× stress — never needs to exist. One HashMap over
+    * the reference entries, one probe pass over the candidate's,
+    * per row per level.
+    */
+  case class GramClipStats(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private val entryType = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    override def dataType: DataType = StructType(Seq(
+      StructField("m", LongType, nullable = false),
+      StructField("t", LongType, nullable = false),
+      StructField("tr", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(l: StructType, _), ArrayType(r: StructType, _))
+          if l.fields.map(f => (f.name, f.dataType)).toSeq ==
+            entryType.fields.map(f => (f.name, f.dataType)).toSeq &&
+            r.fields.map(f => (f.name, f.dataType)).toSeq ==
+              entryType.fields.map(f => (f.name, f.dataType)).toSeq =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"gram_clip_stats requires two ARRAY<STRUCT<g STRING, c BIGINT>>, " +
+            s"got ${l.catalogString}, ${r.catalogString}")
+      }
+
+    def compute(aIn: ArrayData, bIn: ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val nb = bIn.numElements()
+      var tr = 0L
+      val refMap = new java.util.HashMap[UTF8String, java.lang.Long](nb * 2)
+      var i = 0
+      while (i < nb) {
+        val e = bIn.getStruct(i, 2)
+        val c = e.getLong(1)
+        tr += c
+        refMap.put(e.getUTF8String(0), java.lang.Long.valueOf(c))
+        i += 1
+      }
+      val na = aIn.numElements()
+      var t = 0L
+      var m = 0L
+      i = 0
+      while (i < na) {
+        val e = aIn.getStruct(i, 2)
+        val c = e.getLong(1)
+        t += c
+        val rc = refMap.get(e.getUTF8String(0))
+        if (rc != null) m += math.min(c, rc.longValue())
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(m, t, tr)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gramClipKernel", this,
+        classOf[GramClipStats].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def nfc_normalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 
@@ -2320,9 +2600,10 @@ object ArrayKernels {
       GraftSqlBridge.expression(word), pieces, logps, unkLogp))
 
   def unigram_expected_counts(word: Column, pieces: Seq[String],
-      logps: Seq[Double], unkLogp: Double): Column =
+      logps: Seq[Double], unkLogp: Double,
+      quantize: Boolean = false): Column =
     GraftSqlBridge.column(UnigramExpectedCounts(
-      GraftSqlBridge.expression(word), pieces, logps, unkLogp))
+      GraftSqlBridge.expression(word), pieces, logps, unkLogp, quantize))
 
   def unigram_sample(word: Column, pieces: Seq[String], logps: Seq[Double],
       unkLogp: Double, seed: Long, alpha: Double): Column =

@@ -206,4 +206,81 @@ object Preference {
       Some(math.rint(pE * 1e6) / 1e6), kappa))
       .toDF("n_items", "n_raters", "p_bar", "p_e", "kappa")
   }
+
+  /** Krippendorff's alpha for NOMINAL data — the chance-corrected
+    * agreement statistic for RAGGED judge panels, where
+    * [[fleissKappa]] deliberately refuses to run: real LLM-judge data
+    * is ragged (judges time out, batches shard, panels grow
+    * mid-rollout), and Krippendorff 1970's coincidence-matrix form is
+    * built for exactly that — items contribute pairable-vote mass
+    * proportional to however many ratings they actually got.
+    *
+    * Standard nominal formulation over items u with m_u ≥ 2 ratings
+    * (items with fewer than 2 ratings carry no pairable information
+    * and are EXCLUDED from every total, including n):
+    *
+    *   D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)   observed disagreement
+    *   D_e = (n² − Σ_c n_c²)/(n − 1),  n = Σ_u m_u, n_c = Σ_u n_uc
+    *   α   = 1 − D_o/D_e
+    *
+    * Arithmetic discipline (the [[fleissKappa]] doctrine): every
+    * numerator is an exact integer sum accumulated in double (exact
+    * below 2^53) — the ONLY non-integer step is one division per
+    * DISTINCT rater count m (items grouped by m share the (m−1)
+    * denominator, so D_o is a ≤panel-size driver-side sum of exact
+    * rationals in ascending-m order) plus the final D_e division, so
+    * the DuckDB oracle agrees bit-for-bit at test scale. Null labels
+    * are excluded from every count (the cohenKappaMulti rule). α is
+    * NULL when D_e = 0 (all pairable votes one category, or fewer
+    * than 2 pairable votes — agreement is vacuous, not perfect).
+    * D_o/D_e/α round 6.
+    * Returns one row (n_items, n_pairable, n_labels, d_o, d_e, alpha):
+    * n_items counts the pairable items, n_pairable their total votes.
+    */
+  def krippAlpha(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cell = votes
+      .select(col(itemCol).as("_i"), col(labelCol).cast("string").as("_j"))
+      .where(col("_j").isNotNull)
+      .groupBy("_i", "_j").agg(count(lit(1)).as("_nij"))
+      .localCheckpoint()
+    val perItem = cell.groupBy("_i")
+      .agg(sum("_nij").as("_m"),
+        sum((col("_nij") * col("_nij")).cast("double")).as("_sq"))
+      .where(col("_m") >= 2)
+      .localCheckpoint()
+    // one row per distinct rater count: the (m−1) denominators are
+    // shared within each group, so the per-item rationals collapse to
+    // exact-integer numerators before any division happens
+    val byM = perItem.groupBy("_m")
+      .agg(sum(col("_m").cast("double") * col("_m").cast("double") -
+        col("_sq")).as("_num"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    import votes.sparkSession.implicits._
+    if (byM.isEmpty)
+      return Seq((0L, 0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_items", "n_pairable", "n_labels", "d_o", "d_e", "alpha")
+    val head = perItem.agg(count(lit(1)),
+      coalesce(sum("_m"), lit(0L))).head()
+    val (nItems, n) = (head.getLong(0), head.getLong(1))
+    // label marginals over PAIRABLE items only: an excluded
+    // single-vote item must not leak its label mass into D_e
+    val marg = cell.join(perItem.select("_i"), Seq("_i"))
+      .groupBy("_j").agg(sum("_nij").as("_c"))
+      .agg(count(lit(1)),
+        coalesce(sum(col("_c").cast("double") * col("_c").cast("double")),
+          lit(0.0)))
+      .head()
+    val (nLabels, sumC2) = (marg.getLong(0), marg.getDouble(1))
+    val dO = byM.map { case (m, num) => num / (m - 1).toDouble }.sum
+    val dE =
+      if (n <= 1) 0.0
+      else (n.toDouble * n - sumC2) / (n - 1).toDouble
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val alpha = if (dE <= 0.0) Option.empty[Double]
+      else Some(q6(1.0 - dO / dE))
+    Seq((nItems, n, nLabels, Some(q6(dO)), Some(q6(dE)), alpha))
+      .toDF("n_items", "n_pairable", "n_labels", "d_o", "d_e", "alpha")
+  }
 }

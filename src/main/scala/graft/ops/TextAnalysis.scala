@@ -1133,6 +1133,33 @@ object TextAnalysis {
         col("word"), model.map(_._1), model.map(_._2), unkLogp, seed, alpha))
       .withColumn("n_pieces", size(col("pieces")))
 
+  /** SOFT unigram encoding — the E-step posterior APPLICATION under a
+    * standing model (the apply half of [[unigramLearnSoft]], whose
+    * TRAINING loop stays the oracle-exempt row): per distinct word,
+    * the expected usage count of every piece over ALL segmentations
+    * (forward–backward in the QUANTIZED
+    * [[graft.functions.ArrayKernels.UnigramExpectedCounts]] kernel —
+    * q6 DP cells, integer-nanomass arc posteriors, ec = nanomass/10⁹
+    * unrounded), the soft-label view beside
+    * [[unigramEncodeLearned]]'s one-best path. The quantization is
+    * what makes the rows bit-replayable in a DuckDB oracle (the
+    * UnigramSample md5-lane doctrine): every cross-engine libm ulp is
+    * absorbed at a q6/rint boundary and the per-piece sums are
+    * order-exact integers. Scale shape: dictionary-sized, model as
+    * literals, zero shuffle past the word dictionary.
+    * Returns (word, freq, piece, ec).
+    */
+  def unigramSoftEncode(docs: DataFrame, model: Seq[(String, Double)],
+      unkLogp: Double = UNIGRAM_UNK_LOGP): DataFrame =
+    docs.select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        explode(graft.functions.ArrayKernels.unigram_expected_counts(
+          col("word"), model.map(_._1), model.map(_._2), unkLogp,
+          quantize = true)).as("e"))
+      .select(col("word"), col("freq"), col("e.piece").as("piece"),
+        col("e.ec").as("ec"))
+
   /** Collect a [[unigramLearn]] output frame to the (piece, logp) literal
     * model [[unigramEncodeLearned]] and the Viterbi kernel take — one
     * model-sized driver hop, the explicit seam between training and apply.
@@ -2920,8 +2947,43 @@ object TextAnalysis {
     Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
   }
 
-  /** The clipped n-gram match core shared by [[bleuScore]] and
-    * [[chrF]]: from a (_id, _rt, _ct) frame of element arrays, returns
+  /** [[chrF]]'s clipped char-gram core: from a (_id, _r, _c) frame of
+    * whitespace-stripped STRINGS, per n ∈ 1..maxN the corpus totals
+    * (clipped matches, candidate grams, reference grams) — as a
+    * ZERO-exchange pure scan. Clipping is per-(pair, gram) and a
+    * pair's two sides share a row, so the per-doc CharNgramCounts
+    * dictionaries feed GramClipStats IN PLACE (one HashMap probe pass
+    * per row per level) and the only aggregation is the one-row
+    * (m, t, tr)×maxN total — the (id, n, gram) explode+shuffle the
+    * token form pays (where BOTH the instance volume and the clip
+    * join were corpus-gram-sized) never exists here. The
+    * explode-based round-11 plan pushed ~500M rows through that
+    * shuffle at the 10× stress; this is the rougeL shape instead.
+    */
+  private def charClippedNgramStats(base: DataFrame, maxN: Int)
+      : Map[Int, (Long, Long, Long)] = {
+    val K = graft.functions.ArrayKernels
+    val statCols = (1 to maxN).map { n =>
+      K.gram_clip_stats(K.char_ngram_counts(col("_c"), n),
+        K.char_ngram_counts(col("_r"), n)).as(s"_s$n")
+    }
+    val aggs = (1 to maxN).flatMap { n => Seq(
+      coalesce(sum(col(s"_s$n.m")), lit(0L)),
+      coalesce(sum(col(s"_s$n.t")), lit(0L)),
+      coalesce(sum(col(s"_s$n.tr")), lit(0L)))
+    }
+    val row = base.select(statCols: _*).agg(aggs.head, aggs.tail: _*).head()
+    (1 to maxN).map { n =>
+      val b = (n - 1) * 3
+      n -> (row.getLong(b), row.getLong(b + 1), row.getLong(b + 2))
+    }.toMap
+  }
+
+  /** [[bleuScore]]'s clipped token-n-gram core ([[chrF]] rides the
+    * kernel-collapsed [[charClippedNgramStats]] twin instead — token
+    * grams repeat far less than char grams, so the instance-count
+    * aggregation stays the right shape here):
+    * from a (_id, _rt, _ct) frame of element arrays, returns
     * per n ∈ 1..maxN the corpus totals (clipped matches, candidate
     * grams, reference grams). All levels stack into ONE union so the
     * per-(pair, n, gram) count aggregation and the clip join each cost
@@ -3015,8 +3077,10 @@ object TextAnalysis {
     * before character extraction (the sacrebleu convention — chrF
     * measures orthographic overlap, not spacing). Per level,
     * Pₙ = clipped matches / candidate grams and Rₙ = clipped matches /
-    * reference grams off the same [[clippedNgramStats]] core as
-    * [[bleuScore]] (grams are per-PAIR clipped, totals corpus-summed);
+    * reference grams off [[charClippedNgramStats]] — a ZERO-exchange
+    * scan: per-doc (gram → count) dictionaries from the
+    * CharNgramCounts kernel, clipped in place by GramClipStats (grams
+    * are per-PAIR clipped, totals corpus-summed);
     * P and R are arithmetic means over the levels with a nonzero
     * denominator (the effective-order rule), and
     * chrF = (1+β²)·P·R/(β²·P+R), 0 when P+R = 0. Pure integer-rational
@@ -3030,18 +3094,24 @@ object TextAnalysis {
       candCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"chrF: bad maxN $maxN")
     require(beta > 0, s"chrF: beta must be > 0, got $beta")
-    // regexp_extract_all '.' (codepoint-aware in Java regex), NOT
-    // split(""): split slices between UTF-16 code units, so an astral
-    // character would break into surrogate halves and diverge from any
-    // codepoint-based replay
-    def chars(c: Column): Column =
-      regexp_extract_all(regexp_replace(c, "\\s+", ""), lit("(?s)."), lit(0))
+    // whitespace stripped, then ALL per-doc gram work runs on STRINGS
+    // through the CharNgramCounts + GramClipStats codegen kernels —
+    // the pair's two gram dictionaries share a row, so clipping never
+    // leaves the scan stage (the round-11 explode plan pushed ~500M
+    // gram-instance rows through an (id, n, gram) shuffle at the 10x
+    // stress; this plan has zero exchanges before the one-row total)
     val base = pairs.select(col(idCol).as("_id"),
-      chars(col(refCol)).as("_rt"), chars(col(candCol)).as("_ct"))
+      regexp_replace(col(refCol), "\\s+", "").as("_r"),
+      regexp_replace(col(candCol), "\\s+", "").as("_c"))
       .localCheckpoint()
+    // codepoint counts via regexp_extract_all '(?s).' (NOT length():
+    // UTF-16 code units would split astral chars and diverge from any
+    // codepoint-based replay) — a scan-stage aggregate, no shuffle
+    def cps(c: Column): Column =
+      size(regexp_extract_all(c, lit("(?s)."), lit(0)))
     val lens = base.agg(count(lit(1)).as("np"),
-      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("cl"),
-      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("rl")).head()
+      coalesce(sum(cps(col("_c")).cast("long")), lit(0L)).as("cl"),
+      coalesce(sum(cps(col("_r")).cast("long")), lit(0L)).as("rl")).head()
     val (nPairs, cLen, rLen) =
       (lens.getLong(0), lens.getLong(1), lens.getLong(2))
     import pairs.sparkSession.implicits._
@@ -3050,7 +3120,7 @@ object TextAnalysis {
       return Seq((nPairs, cLen, rLen, Option.empty[Double],
         Option.empty[Double], Option.empty[Double]))
         .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
-    val perN = clippedNgramStats(base, maxN)
+    val perN = charClippedNgramStats(base, maxN)
     val stats = (1 to maxN).map(n => perN.getOrElse(n, (0L, 0L, 0L)))
     val ps = stats.collect { case (m, t, _) if t > 0 => m.toDouble / t }
     val rs = stats.collect { case (m, _, tr) if tr > 0 => m.toDouble / tr }
@@ -3139,6 +3209,39 @@ object TextAnalysis {
         when(col("lcs") > 0,
           round(lit(2.0) * p * r / (p + r), 6))
           .otherwise(lit(0.0)).as("rouge_f"))
+  }
+
+  /** Per-pair TER (translation edit rate, shift-free) — the edit-cost
+    * view that completes the MT battery beside [[bleuScore]]
+    * (precision), [[chrF]] (char F), and [[rougeL]]/[[rougeN]]
+    * (recall): ter = word-level edit distance / reference length.
+    * DOCUMENTED DIVERGENCE from full TER (Snover 2006): the block-SHIFT
+    * move is omitted — this is the unit-cost Levenshtein normalization
+    * (an upper bound on full TER; equal whenever no reordering helps),
+    * the variant most eval harnesses label "TER (no shifts)" / WER.
+    * The distance runs in the codegen'd
+    * [[graft.functions.ArrayKernels.TokenEditDist]] kernel — pure scan
+    * stage, zero shuffle, O(|ref|·|cand|) compiled two-row DP per
+    * pair; stateless-append streamable (the [[rougeL]] shape). Pairs
+    * with an empty reference emit no row (TER undefined — nothing to
+    * edit toward); an empty candidate against a nonempty reference is
+    * r_len straight insertions, ter = 1. ter rounds 6; can exceed 1
+    * (candidate longer/noisier than the reference). `idCol` must be
+    * unique within `pairs` (the [[bleuScore]] contract).
+    * Returns (id, edits, c_len, r_len, ter).
+    */
+  def ter(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as(idCol),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+      .where(size(col("_rt")) > 0)
+    base.select(col(idCol),
+        graft.functions.ArrayKernels.token_edit_dist(col("_ct"), col("_rt"))
+          .cast("long").as("edits"),
+        size(col("_ct")).cast("long").as("c_len"),
+        size(col("_rt")).cast("long").as("r_len"))
+      .select(col(idCol), col("edits"), col("c_len"), col("r_len"),
+        round(col("edits") / col("r_len"), 6).as("ter"))
   }
 
   /** Zipf rank-frequency fit — the corpus-health scalar ("is this

@@ -158,4 +158,57 @@ class PreferenceSpec extends SparkSpec {
       .collect().head
     assert(empty == ((0L, 0L, None, None, None)))
   }
+  test("krippAlpha: hand-checked ragged panel, the fleissKappa-refused " +
+      "fixture accepted, perfect/constant/unpairable edges, null votes excluded") {
+    // items: 1=(a,a,a) 2=(a,b) 3=(b — single vote, EXCLUDED) 4=(a,b,b,b).
+    // Pairable: n = 9; D_o = 0/2 + 2/1 + 6/3 = 4; marginals a=5 b=4 →
+    // D_e = (81 − 41)/8 = 5; alpha = 1 − 4/5 = 0.2
+    val votes = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "b"), (4L, "b")).toDF("item", "label")
+    val got = Preference.krippAlpha(votes, "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((3L, 9L, 2L, Some(4.0), Some(5.0), Some(0.2))), got)
+    // the exact fixture fleissKappa REFUSES (ragged panel) is accepted:
+    // item1 (a,a,a), item2 (a,b) → D_o = 2, n = 5, D_e = (25 − 17)/4 = 2
+    val ragged = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "label")
+    intercept[IllegalArgumentException] {
+      Preference.fleissKappa(ragged, "item", "label")
+    }
+    val r = Preference.krippAlpha(ragged, "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(r == ((2L, 5L, 2L, Some(2.0), Some(2.0), Some(0.0))), r)
+    // a null vote is a missing vote, not a category: same result
+    val withNull = Preference.krippAlpha(
+      ragged.unionByName(Seq((2L, null.asInstanceOf[String]))
+        .toDF("item", "label")), "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(withNull == r, withNull)
+    // perfect agreement → alpha = 1
+    val perfect = Preference.krippAlpha(
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("item", "label"),
+      "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(perfect._4.contains(0.0) && perfect._6.contains(1.0), perfect)
+    // constant labels → D_e = 0 → alpha NULL (vacuous, not perfect)
+    val const = Preference.krippAlpha(
+      Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("item", "label"),
+      "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(const._6.isEmpty && const._4.contains(0.0), const)
+    // nothing pairable (every item one vote) → zero row, all-null stats
+    val none = Preference.krippAlpha(
+      Seq((1L, "a"), (2L, "b")).toDF("item", "label"), "item", "label")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(none == ((0L, 0L, 0L, None, None, None)), none)
+  }
 }

@@ -647,6 +647,44 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(one("a") - 2.0) < 1e-12 && math.abs(one("b") - 2.0) < 1e-12)
   }
 
+  test("quantized expected counts track the exact kernel; " +
+      "unigramSoftEncode surfaces them per (word, piece)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ArrayKernels
+    import graft.ops.TextAnalysis
+    val model = Seq(("ab", -0.7), ("ba", -0.9), ("aba", -1.4),
+      ("a", -1.2), ("b", -1.5))
+    val words = Seq("ab", "abab", "aabba", "bbb", "x", "ababab")
+    val both = words.toDF("word").select(col("word"),
+        ArrayKernels.unigram_expected_counts(col("word"),
+          model.map(_._1), model.map(_._2), -25.0).as("e"),
+        ArrayKernels.unigram_expected_counts(col("word"),
+          model.map(_._1), model.map(_._2), -25.0, quantize = true).as("q"))
+      .as[(String, Seq[(String, Double)], Seq[(String, Double)])]
+      .collect()
+    both.foreach { case (w, exact, quant) =>
+      val (em, qm) = (exact.toMap, quant.toMap)
+      assert(em.keySet == qm.keySet, w)
+      // q6 DP cells + 1e-9 nanomass quantization: within 2e-6 of the
+      // exact posterior, and character mass still ~conserved
+      em.foreach { case (p, e) =>
+        assert(math.abs(qm(p) - e) < 2e-6, s"$w/$p: ${qm(p)} vs $e") }
+      val mass = qm.map { case (p, e) =>
+        e * p.codePointCount(0, p.length) }.sum
+      assert(math.abs(mass - w.codePointCount(0, w.length)) < 1e-5, w)
+    }
+    // the DataFrame surface: one (word, freq, piece, ec) row per
+    // kernel entry, freq from the word dictionary (bpeTokens words
+    // carry their leading space — the GPT-2 pre-token convention)
+    val docs = Seq((0L, "abab ab abab abab")).toDF("doc_id", "text")
+    val enc = TextAnalysis.unigramSoftEncode(docs, model)
+      .as[(String, Long, String, Double)].collect()
+    val byWord = enc.groupBy(_._1)
+    assert(byWord("abab").head._2 == 1L && byWord(" abab").head._2 == 2L)
+    val kq = both.find(_._1 == "abab").get._3.toMap
+    byWord("abab").foreach { case (_, _, p, ec) => assert(kq(p) == ec, p) }
+  }
+
   test("unigram sampling: deterministic per seed, valid, posterior-calibrated") {
     import org.apache.spark.sql.functions.col
     import graft.functions.ArrayKernels

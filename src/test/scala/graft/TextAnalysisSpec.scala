@@ -1472,6 +1472,112 @@ class TextAnalysisSpec extends SparkSpec {
       edge.head._2 == 0L && edge.head._7 == 0.0, edge.toSeq)
   }
 
+  test("ter: hand-checked shift-free edits, random parity vs a " +
+      "sequential Levenshtein DP, empty-side conventions") {
+    def run(rows: Seq[(Long, String, String)]) =
+      TextAnalysis.ter(rows.toDF("id", "ref", "cand"), "id", "ref", "cand")
+        .as[(Long, Long, Long, Long, Double)].collect()
+    // cand "a x c" vs ref "a b c d": substitute x→b, insert d → 2 edits
+    assert(run(Seq((1L, "a b c d", "a x c"))).head ==
+      ((1L, 2L, 3L, 4L, 0.5)))
+    // identical → 0 edits
+    assert(run(Seq((1L, "a b c", "a b c"))).head == ((1L, 0L, 3L, 3L, 0.0)))
+    // SHIFT-FREE (the documented divergence from full TER): an adjacent
+    // transposition costs 2 (two substitutions), not 1 shift
+    assert(run(Seq((1L, "a b", "b a"))).head == ((1L, 2L, 2L, 2L, 1.0)))
+    // empty candidate = r_len straight edits, ter = 1; empty ref = no row
+    assert(run(Seq((1L, "a b", ""))).head == ((1L, 2L, 0L, 2L, 1.0)))
+    assert(run(Seq((1L, "", "a b"))).isEmpty)
+    // candidate longer than the reference can exceed 1
+    assert(run(Seq((1L, "a", "x y z"))).head._5 == 3.0)
+    // random corpora vs an in-test sequential Levenshtein DP
+    val rnd = new scala.util.Random(31)
+    def sent() = Seq.fill(1 + rnd.nextInt(18))(
+      ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+    val pairs = (0L until 60L).map(i => (i, sent(), sent()))
+    def levRef(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+      dp(a.length)(b.length)
+    }
+    val got = run(pairs).map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (i, ref, cand) =>
+      val want = levRef(cand.split(" ").toSeq, ref.split(" ").toSeq)
+      assert(got(i) == want, s"pair $i: ${got(i)} vs $want")
+    }
+  }
+
+  test("rougeL and ter stream stateless-append: MemoryStream batches " +
+      "= batch rows (the dsirScores twin discipline)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((1L, "a b c d", "a c b d"), (2L, "a b", "x y"),
+      (3L, "q r s t u", "q s u"), (4L, "m n", ""))
+    def twin(mkDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        streamId: Int): Unit = {
+      val in = MemoryStream[(Long, String, String)](streamId, spark, None)
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = mkDf(in.toDF().toDF("id", "ref", "cand"))
+        .writeStream.outputMode("append").foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            out ++= b.collect(); ()
+        }.start()
+      try {
+        in.addData(rows.take(2)); q.processAllAvailable()
+        in.addData(rows.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+      val batch = mkDf(rows.toDF("id", "ref", "cand")).collect()
+      assert(out.sortBy(_.getLong(0)).map(_.toSeq).toSeq ==
+        batch.sortBy(_.getLong(0)).map(_.toSeq).toSeq)
+    }
+    twin(df => TextAnalysis.rougeL(df, "id", "ref", "cand"), 971)
+    twin(df => TextAnalysis.ter(df, "id", "ref", "cand"), 972)
+  }
+
+  test("char_ngram_counts kernel ≡ the regexp extraction path on " +
+      "500 random docs, codepoint-safe, first-occurrence order") {
+    import graft.functions.ArrayKernels
+    // astral char included: the kernel must slice codepoints, not
+    // UTF-16 units (the chrF '(?s).' semantics)
+    val alphabet = Seq("a", "b", "c", "é", "😀")
+    val rnd = new scala.util.Random(41)
+    def doc() = Seq.fill(rnd.nextInt(40))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0L until 500L).map(i => (i, doc()))
+    def refCounts(s: String, n: Int): Map[String, Long] = {
+      val cps = {
+        val b = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          val cc = Character.charCount(s.codePointAt(i))
+          b += s.substring(i, i + cc); i += cc
+        }
+        b.result()
+      }
+      cps.sliding(n).filter(_.length == n).map(_.mkString).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+    }
+    for (n <- Seq(1, 2, 3, 6)) {
+      val got = docs.toDF("id", "s")
+        .select($"id", ArrayKernels.char_ngram_counts($"s", n).as("e"))
+        .as[(Long, Seq[(String, Long)])].collect().toMap
+      docs.foreach { case (i, s) =>
+        assert(got(i).toMap == refCounts(s, n), s"doc $i n=$n")
+        // entries arrive in first-occurrence order and collapse repeats
+        assert(got(i).map(_._1).distinct == got(i).map(_._1), s"doc $i dup")
+      }
+    }
+    // chrF itself is unchanged by the kernel path: the identical-pair
+    // and hand-checked rows still read exactly as before (regression
+    // anchors beside the dedicated chrF suite)
+    val same = TextAnalysis.chrF(
+      Seq((1L, "xy ab", "xyab")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand").select("chrf").as[Option[Double]].collect().head
+    assert(same.contains(1.0), same)
+  }
+
   test("bleuByGroup ≡ bleuScore run per group, zero-match and " +
       "empty-group conventions included") {
     val rnd = new scala.util.Random(23)
