@@ -1762,6 +1762,22 @@ object SparkEntry {
           when(col("doc_id") % 4 === 0, lbl(3)))).as("label"))
       Preference.krippAlpha(votes, "doc_id", "label")
     }),
+    // interval-metric Krippendorff over the same ragged panel shape,
+    // judges emitting NUMERIC scores ((doc_id mod (j+3)) + (doc_id
+    // mod 5) — integer-grid, so the sufficient-statistic sums are
+    // exact): squared-difference disagreement, the scalar-score
+    // agreement gate beside q_kripp's categorical one
+    "q_kripp_interval" -> ((s, d) => {
+      def sc(j: Int) =
+        ((col("doc_id") % (j + 3)) + (col("doc_id") % 5)).cast("double")
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          sc(0),
+          when(col("doc_id") % 5 =!= 0, sc(1)),
+          when(col("doc_id") % 7 =!= 0, sc(2)),
+          when(col("doc_id") % 4 === 0, sc(3)))).as("score"))
+      Preference.krippAlphaInterval(votes, "doc_id", "score")
+    }),
     // vocabulary-level drift: KL both ways + Jensen-Shannon divergence
     // between the en and non-en token distributions (union vocab,
     // add-half smoothing) — the drift check PSI/KS can't see
@@ -4871,6 +4887,26 @@ object SparkEntry {
         "round(de.d_e, 6) AS d_e, " +
         "CASE WHEN de.d_e > 0 THEN round(1.0 - dd.d_o/de.d_e, 6) END AS alpha " +
         "FROM tot, marg, dd, de"),
+    // interval Krippendorff: the pairwise squared differences collapse
+    // to per-item (m, Σv, Σv²) sufficient statistics — the krippAlpha
+    // per-distinct-m division discipline on top
+    "q_kripp_interval" ->
+      ("WITH votes AS (SELECT doc_id, CAST((doc_id % (j+3)) + (doc_id % 5) AS DOUBLE) AS v " +
+        "FROM documents, range(0,4) r(j) " +
+        "WHERE j = 0 OR (j = 1 AND doc_id % 5 <> 0) " +
+        "OR (j = 2 AND doc_id % 7 <> 0) OR (j = 3 AND doc_id % 4 = 0)), " +
+        "item AS (SELECT doc_id AS i, count(*) AS m, sum(v) AS s1, " +
+        "sum(v*v) AS s2 FROM votes GROUP BY doc_id HAVING count(*) >= 2), " +
+        "tot AS (SELECT count(*) AS ni, coalesce(sum(m), 0) AS n, " +
+        "coalesce(sum(s1), 0) AS t1, coalesce(sum(s2), 0) AS t2 FROM item), " +
+        "dm AS (SELECT m, sum(2.0*(m*s2 - s1*s1)) AS num FROM item GROUP BY m), " +
+        "dd AS (SELECT coalesce(sum(num/(m - 1.0)), 0) AS d_o FROM dm), " +
+        "de AS (SELECT CASE WHEN tot.n > 1 THEN " +
+        "2.0*(tot.n*tot.t2 - tot.t1*tot.t1)/(tot.n - 1.0) ELSE 0.0 END AS d_e FROM tot) " +
+        "SELECT CAST(tot.ni AS BIGINT) AS n_items, CAST(tot.n AS BIGINT) AS n_pairable, " +
+        "round(dd.d_o, 6) AS d_o, round(de.d_e, 6) AS d_e, " +
+        "CASE WHEN de.d_e > 0 THEN round(1.0 - dd.d_o/de.d_e, 6) END AS alpha " +
+        "FROM tot, dd, de"),
     // KL/JS over the union vocabulary with add-half smoothing; each ln
     // term q6-rounded before the sum (the tokenDivergence convention)
     "q_js_div" ->

@@ -2478,6 +2478,79 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  def token_ngram_counts(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(TokenNgramCounts(
+      GraftSqlBridge.expression(toks), n))
+
+  /** `token_ngram_counts(toks, n)` — the per-document (token n-gram →
+    * count) dictionary, the [[CharNgramCounts]] twin for TOKEN arrays
+    * (grams space-joined, the [[TokenNgrams]] convention; null slots
+    * read as empty). Feeds [[GramClipStats]] so BLEU/ROUGE-N clipping
+    * happens in the row — no gram ever leaves the scan stage. One
+    * compiled pass, first-occurrence entry order.
+    */
+  case class TokenNgramCounts(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1 && n <= 16, s"token_ngram_counts: bad n $n")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"token_ngram_counts requires ARRAY<STRING>, got ${other.catalogString}")
+      }
+    def compute(in: ArrayData): ArrayData = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val len = in.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val ts = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) {
+        val s = in.getUTF8String(i)
+        ts(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        i += 1
+      }
+      val sp = UTF8String.fromString(" ")
+      val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+      i = 0
+      while (i + n <= len) {
+        // n = 1 keeps the input's UTF8String VIEW — clone to owned bytes
+        // (the map outlives this row's buffer); n > 1 owns via concat
+        var g = if (n == 1) ts(i).clone() else ts(i)
+        var k = 1
+        while (k < n) {
+          g = UTF8String.concat(g, sp, ts(i + k))
+          k += 1
+        }
+        val prev = counts.get(g)
+        counts.put(g, java.lang.Long.valueOf(
+          if (prev == null) 1L else prev.longValue() + 1L))
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var idx = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+          e.getKey, e.getValue.longValue())
+        idx += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(in: Any): Any =
+      compute(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokNgramKernel", this,
+        classOf[TokenNgramCounts].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def gram_clip_stats(cand: Column, ref: Column): Column =
     GraftSqlBridge.column(GramClipStats(
       GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref)))

@@ -283,4 +283,63 @@ object Preference {
     Seq((nItems, n, nLabels, Some(q6(dO)), Some(q6(dE)), alpha))
       .toDF("n_items", "n_pairable", "n_labels", "d_o", "d_e", "alpha")
   }
+
+  /** Krippendorff's alpha with the INTERVAL metric — [[krippAlpha]]
+    * for NUMERIC ratings (LLM judges emitting scalar scores:
+    * 1-10 quality, harmlessness grades), where disagreement between
+    * two ratings is their squared difference rather than 0/1. Same
+    * ragged-panel semantics (items with <2 ratings excluded from
+    * every total, null ratings excluded).
+    *
+    * The pairwise sums collapse to SUFFICIENT STATISTICS — for any
+    * vote multiset, Σ_{c,k} n_c·n_k·(v_c−v_k)² = 2·(m·Σnv² − (Σnv)²)
+    * — so nothing pairwise is ever materialized:
+    *
+    *   D_o = Σ_u 2(m_u·S2_u − S1_u²)/(m_u − 1)   (S1=Σv, S2=Σv² per item)
+    *   D_e = 2(n·T2 − T1²)/(n − 1)               (T over pairable votes)
+    *   α   = 1 − D_o/D_e
+    *
+    * — the [[krippAlpha]] scaling convention exactly (nominal is the
+    * special case δ² ∈ {0,1}). Arithmetic: per-item/corpus (count,
+    * Σv, Σv²) aggregates in double (exact for integer-grid ratings
+    * below ~2^26; beyond that ulp-level, the fleissKappa 2^53 note),
+    * one division per distinct rater count for D_o (ascending-m
+    * driver rationals) plus the final D_e division. α NULL when
+    * D_e = 0 (all pairable ratings identical — vacuous). D_o/D_e/α
+    * round 6. Returns (n_items, n_pairable, d_o, d_e, alpha).
+    */
+  def krippAlphaInterval(votes: DataFrame, itemCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perItem = votes
+      .select(col(itemCol).as("_i"), v.as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy("_i")
+      .agg(count(lit(1)).as("_m"), sum(col("_v")).as("_s1"),
+        sum(col("_v") * col("_v")).as("_s2"))
+      .where(col("_m") >= 2)
+      .localCheckpoint()
+    val byM = perItem.groupBy("_m")
+      .agg(sum(lit(2.0) * (col("_m") * col("_s2") -
+        col("_s1") * col("_s1"))).as("_num"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    import votes.sparkSession.implicits._
+    if (byM.isEmpty)
+      return Seq((0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_items", "n_pairable", "d_o", "d_e", "alpha")
+    val head = perItem.agg(count(lit(1)), coalesce(sum("_m"), lit(0L)),
+      coalesce(sum("_s1"), lit(0.0)), coalesce(sum("_s2"), lit(0.0))).head()
+    val (nItems, n) = (head.getLong(0), head.getLong(1))
+    val (t1, t2) = (head.getDouble(2), head.getDouble(3))
+    val dO = byM.map { case (m, num) => num / (m - 1).toDouble }.sum
+    val dE =
+      if (n <= 1) 0.0
+      else 2.0 * (n * t2 - t1 * t1) / (n - 1).toDouble
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val alpha = if (dE <= 0.0) Option.empty[Double]
+      else Some(q6(1.0 - dO / dE))
+    Seq((nItems, n, Some(q6(dO)), Some(q6(dE)), alpha))
+      .toDF("n_items", "n_pairable", "d_o", "d_e", "alpha")
+  }
 }

@@ -2889,12 +2889,15 @@ object TextAnalysis {
     * as often as the reference shows it), geometric mean over n = 1..
     * `maxN`, and the brevity penalty e^(1−r/c) for short candidates.
     *
-    * Scale shape: both sides tokenize ONCE (localCheckpoint — the
-    * n-gram levels and the length totals re-read materialized arrays);
-    * all maxN gram levels stack into ONE (id, n, gram) union so the
-    * count aggregation and the clip join cost one shuffle each,
-    * dictionary-keyed on (pair, n, gram). The per-n match/total pairs
-    * are a maxN-row driver collect (model-sized); every count is an
+    * Scale shape (round 12): a ZERO-exchange scan — each pair's two
+    * per-level (gram → count) dictionaries come off the
+    * TokenNgramCounts kernel and clip IN the row via GramClipStats
+    * (clipping is per-(pair, gram) and both sides share the row, so
+    * the (id, n, gram) union + count shuffle + clip join the
+    * explode-based plan paid never exist; the chrF doctrine). Pair
+    * counts and token lengths ride the same single one-row aggregate
+    * (c_len/r_len ≡ the n = 1 gram totals). The per-n match/total
+    * pairs are a maxN-row driver collect (model-sized); every count is an
     * exact integer, each ln pₙ is q6-rounded (the tokenDivergence libm
     * policy), BLEU rounds 4. Precisions round 6 and are NULL at tₙ = 0;
     * BLEU is 0.0 when any level has zero matches (the standard unsmoothed
@@ -2913,15 +2916,11 @@ object TextAnalysis {
     require(maxN >= 1 && maxN <= 8, s"bleuScore: bad maxN $maxN")
     val base = pairs.select(col(idCol).as("_id"),
       toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
-      .localCheckpoint()
-    val lens = base.agg(count(lit(1)).as("np"),
-      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("cl"),
-      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("rl")).head()
-    val (nPairs, cLen, rLen) =
-      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
+    val (nPairs, perN) = tokenClipTotals(base, maxN)
+    // token lengths ARE the 1-gram totals (every token starts one)
+    val (cLen, rLen) = (perN(1)._2, perN(1)._3)
     import pairs.sparkSession.implicits._
     def q6(x: Double) = math.rint(x * 1e6) / 1e6
-    val perN = clippedNgramStats(base, maxN)
     val mt = (1 to maxN).map { n =>
       val (m, t, _) = perN.getOrElse(n, (0L, 0L, 0L)); (m, t)
     }
@@ -2948,78 +2947,77 @@ object TextAnalysis {
   }
 
   /** [[chrF]]'s clipped char-gram core: from a (_id, _r, _c) frame of
-    * whitespace-stripped STRINGS, per n ∈ 1..maxN the corpus totals
-    * (clipped matches, candidate grams, reference grams) — as a
-    * ZERO-exchange pure scan. Clipping is per-(pair, gram) and a
-    * pair's two sides share a row, so the per-doc CharNgramCounts
-    * dictionaries feed GramClipStats IN PLACE (one HashMap probe pass
-    * per row per level) and the only aggregation is the one-row
-    * (m, t, tr)×maxN total — the (id, n, gram) explode+shuffle the
-    * token form pays (where BOTH the instance volume and the clip
-    * join were corpus-gram-sized) never exists here. The
-    * explode-based round-11 plan pushed ~500M rows through that
-    * shuffle at the 10× stress; this is the rougeL shape instead.
+    * whitespace-stripped STRINGS, the pair count plus per n ∈ 1..maxN
+    * corpus totals (clipped matches, candidate grams, reference
+    * grams) — ONE job, ZERO exchanges. Clipping is per-(pair, gram)
+    * and a pair's two sides share a row, so the per-doc
+    * CharNgramCounts dictionaries feed GramClipStats IN PLACE (one
+    * HashMap probe pass per row per level) and the only aggregation
+    * is the one-row total — the (id, n, gram) explode+shuffle plan
+    * (where BOTH the instance volume and the clip join were
+    * corpus-gram-sized) never exists here. The explode-based round-11
+    * plan pushed ~500M rows through that shuffle at the 10× stress;
+    * this is the rougeL shape instead.
     */
-  private def charClippedNgramStats(base: DataFrame, maxN: Int)
-      : Map[Int, (Long, Long, Long)] = {
+  private def charClipTotals(base: DataFrame, maxN: Int)
+      : (Long, Map[Int, (Long, Long, Long)]) = {
     val K = graft.functions.ArrayKernels
     val statCols = (1 to maxN).map { n =>
       K.gram_clip_stats(K.char_ngram_counts(col("_c"), n),
         K.char_ngram_counts(col("_r"), n)).as(s"_s$n")
     }
-    val aggs = (1 to maxN).flatMap { n => Seq(
+    val aggs = (count(lit(1)): Column) +: (1 to maxN).flatMap { n => Seq(
       coalesce(sum(col(s"_s$n.m")), lit(0L)),
       coalesce(sum(col(s"_s$n.t")), lit(0L)),
       coalesce(sum(col(s"_s$n.tr")), lit(0L)))
     }
     val row = base.select(statCols: _*).agg(aggs.head, aggs.tail: _*).head()
-    (1 to maxN).map { n =>
-      val b = (n - 1) * 3
+    val perN = (1 to maxN).map { n =>
+      val b = 1 + (n - 1) * 3
       n -> (row.getLong(b), row.getLong(b + 1), row.getLong(b + 2))
     }.toMap
+    (row.getLong(0), perN)
   }
 
-  /** [[bleuScore]]'s clipped token-n-gram core ([[chrF]] rides the
-    * kernel-collapsed [[charClippedNgramStats]] twin instead — token
-    * grams repeat far less than char grams, so the instance-count
-    * aggregation stays the right shape here):
-    * from a (_id, _rt, _ct) frame of element arrays, returns
-    * per n ∈ 1..maxN the corpus totals (clipped matches, candidate
-    * grams, reference grams). All levels stack into ONE union so the
-    * per-(pair, n, gram) count aggregation and the clip join each cost
-    * one shuffle regardless of maxN; the result is a maxN-row driver
-    * collect.
+  /** [[bleuScore]]'s clipped token-n-gram core — the token twin of
+    * [[charClippedNgramStats]]: from a (_id, _rt, _ct) frame of token
+    * arrays, the pair count plus per n ∈ 1..maxN corpus totals
+    * (clipped matches, candidate grams, reference grams), computed as
+    * ONE zero-exchange pass: TokenNgramCounts dictionaries clipped in
+    * the row by GramClipStats, all levels and the pair count riding a
+    * single one-row aggregate. Clipping is per ROW — identical to the
+    * per-id form under [[bleuScore]]'s unique-id contract.
     */
-  private def clippedNgramStats(base: DataFrame, maxN: Int)
-      : Map[Int, (Long, Long, Long)] = {
-    val levels = (1 to maxN).map { n =>
-      base.select(col("_id"), lit(n).as("_n"),
-        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
-        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    val cg = levels.select(col("_id"), col("_n"), explode(col("_cg")).as("_g"))
-      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
-    val rg = levels.select(col("_id"), col("_n"), explode(col("_rg")).as("_g"))
-      .groupBy("_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
-    val matched = cg.join(rg, Seq("_id", "_n", "_g"), "full")
-      .groupBy("_n")
-      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
-          coalesce(col("_cr"), lit(0L)))).as("_m"),
-        sum(coalesce(col("_cc"), lit(0L))).as("_t"),
-        sum(coalesce(col("_cr"), lit(0L))).as("_tr"))
-      .collect()
-    matched.map(r =>
-      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  private def tokenClipTotals(base: DataFrame, maxN: Int)
+      : (Long, Map[Int, (Long, Long, Long)]) = {
+    val K = graft.functions.ArrayKernels
+    val statCols = (1 to maxN).map { n =>
+      K.gram_clip_stats(K.token_ngram_counts(col("_ct"), n),
+        K.token_ngram_counts(col("_rt"), n)).as(s"_s$n")
+    }
+    val aggs = (count(lit(1)): Column) +: (1 to maxN).flatMap { n => Seq(
+      coalesce(sum(col(s"_s$n.m")), lit(0L)),
+      coalesce(sum(col(s"_s$n.t")), lit(0L)),
+      coalesce(sum(col(s"_s$n.tr")), lit(0L)))
+    }
+    val row = base.select(statCols: _*).agg(aggs.head, aggs.tail: _*).head()
+    val perN = (1 to maxN).map { n =>
+      val b = 1 + (n - 1) * 3
+      n -> (row.getLong(b), row.getLong(b + 1), row.getLong(b + 2))
+    }.toMap
+    (row.getLong(0), perN)
   }
 
   /** Per-GROUP corpus BLEU — [[bleuScore]] sliced by a group column
     * (per source, per language, per model variant): the fairness cut
     * that shows WHERE generation quality holds, the aucByGroup
     * doctrine. Unlike the corpus form (whose maxN-row totals collect
-    * driver-side), everything here stays columnar: the per-(group, n)
-    * totals pivot into columns by conditional aggregation and the
-    * geometric mean / brevity penalty are row expressions — NO driver
-    * collect at any group cardinality. Levels with zero candidate
+    * driver-side), everything here stays columnar: per-row kernel clip
+    * structs roll up group-keyed straight into per-(group, n) columns
+    * and the geometric mean / brevity penalty are row expressions — NO
+    * driver collect at any group cardinality, no gram shuffle at any
+    * corpus size (round 12: the TokenNgramCounts + GramClipStats
+    * zero-gram-exchange plan). Levels with zero candidate
     * grams or zero matches make the group's BLEU 0.0 (the unsmoothed
     * convention); groups with no candidate tokens read NULL. ln terms
     * q6-round before the mean (the corpus form's convention); BLEU
@@ -3028,46 +3026,38 @@ object TextAnalysis {
   def bleuByGroup(pairs: DataFrame, groupCol: String, idCol: String,
       refCol: String, candCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bleuByGroup: bad maxN $maxN")
-    val base = pairs.select(col(groupCol).as("_grp"), col(idCol).as("_id"),
+    val K = graft.functions.ArrayKernels
+    // clipping happens per ROW (≡ per (group, id) under the unique-id
+    // contract — the same item id legitimately recurs across groups in
+    // per-model-variant evals, and a row is always one (group, id)
+    // pair, so reference counts can never pool across variants); the
+    // ONLY shuffle is the group-keyed rollup of per-row (m, t) structs
+    // — no gram ever leaves the scan stage (the corpus-form doctrine),
+    // and c_len/r_len ride the same rollup as the n = 1 totals
+    val base = pairs.select(col(groupCol).as("_grp"),
       toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
-      .localCheckpoint()
-    val lens = base.groupBy("_grp").agg(count(lit(1)).as("n_pairs"),
-      coalesce(sum(size(col("_ct")).cast("long")), lit(0L)).as("c_len"),
-      coalesce(sum(size(col("_rt")).cast("long")), lit(0L)).as("r_len"))
-    val levels = (1 to maxN).map { n =>
-      base.select(col("_grp"), col("_id"), lit(n).as("_n"),
-        graft.functions.ArrayKernels.token_ngrams(col("_ct"), n).as("_cg"),
-        graft.functions.ArrayKernels.token_ngrams(col("_rt"), n).as("_rg"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    // BOTH sides count within (_grp, _id): the same item id legitimately
-    // recurs across groups (per-model-variant evals score the same item
-    // set per variant), and a group-blind reference count would pool
-    // refs across variants and inflate every group's clipped matches
-    val cg = levels
-      .select(col("_grp"), col("_id"), col("_n"), explode(col("_cg")).as("_g"))
-      .groupBy("_grp", "_id", "_n", "_g").agg(count(lit(1)).as("_cc"))
-    val rg = levels
-      .select(col("_grp"), col("_id"), col("_n"), explode(col("_rg")).as("_g"))
-      .groupBy("_grp", "_id", "_n", "_g").agg(count(lit(1)).as("_cr"))
-    val perGN = cg.join(rg, Seq("_grp", "_id", "_n", "_g"), "left")
-      .groupBy("_grp", "_n")
-      .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"),
-        sum(col("_cc")).as("_t"))
-    val aggs = (1 to maxN).flatMap(n => Seq(
-      coalesce(sum(when(col("_n") === n, col("_m"))), lit(0L)).as(s"_m$n"),
-      coalesce(sum(when(col("_n") === n, col("_t"))), lit(0L)).as(s"_t$n")))
-    val pivoted = perGN.groupBy("_grp").agg(aggs.head, aggs.tail: _*)
+    val statCols = (1 to maxN).map { n =>
+      K.gram_clip_stats(K.token_ngram_counts(col("_ct"), n),
+        K.token_ngram_counts(col("_rt"), n)).as(s"_s$n")
+    }
+    val aggs = (count(lit(1)).as("n_pairs"): Column) +:
+      (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(col(s"_s$n.m")), lit(0L)).as(s"_m$n"),
+        coalesce(sum(col(s"_s$n.t")), lit(0L)).as(s"_t$n"),
+        coalesce(sum(col(s"_s$n.tr")), lit(0L)).as(s"_tr$n")))
+    val pivoted = base.select(col("_grp") +: statCols: _*)
+      .groupBy("_grp").agg(aggs.head, aggs.tail: _*)
     val anyZero = (1 to maxN).map(n =>
       col(s"_t$n") === 0L || col(s"_m$n") === 0L).reduce(_ || _)
     val meanLog = (1 to maxN).map(n =>
       round(log(col(s"_m$n").cast("double") / col(s"_t$n")), 6))
       .reduce(_ + _) / maxN
     val bpExp = least(lit(0.0),
-      lit(1.0) - col("r_len").cast("double") / col("c_len"))
-    lens.join(pivoted, Seq("_grp"), "left")
-      .select(col("_grp").as(groupCol), col("n_pairs"), col("c_len"),
-        col("r_len"),
-        when(col("c_len") === 0L, lit(null).cast("double"))
+      lit(1.0) - col("_tr1").cast("double") / col("_t1"))
+    pivoted
+      .select(col("_grp").as(groupCol), col("n_pairs"),
+        col("_t1").as("c_len"), col("_tr1").as("r_len"),
+        when(col("_t1") === 0L, lit(null).cast("double"))
           .when(anyZero, lit(0.0))
           .otherwise(round(exp(meanLog + bpExp), 4)).as("bleu"))
   }
@@ -3077,7 +3067,7 @@ object TextAnalysis {
     * before character extraction (the sacrebleu convention — chrF
     * measures orthographic overlap, not spacing). Per level,
     * Pₙ = clipped matches / candidate grams and Rₙ = clipped matches /
-    * reference grams off [[charClippedNgramStats]] — a ZERO-exchange
+    * reference grams off [[charClipTotals]] — a ZERO-exchange
     * scan: per-doc (gram → count) dictionaries from the
     * CharNgramCounts kernel, clipped in place by GramClipStats (grams
     * are per-PAIR clipped, totals corpus-summed);
@@ -3099,28 +3089,20 @@ object TextAnalysis {
     // the pair's two gram dictionaries share a row, so clipping never
     // leaves the scan stage (the round-11 explode plan pushed ~500M
     // gram-instance rows through an (id, n, gram) shuffle at the 10x
-    // stress; this plan has zero exchanges before the one-row total)
+    // stress; this plan is ONE job with zero exchanges). Codepoint
+    // lengths ARE the n = 1 gram totals, so they ride the same
+    // one-row aggregate
     val base = pairs.select(col(idCol).as("_id"),
       regexp_replace(col(refCol), "\\s+", "").as("_r"),
       regexp_replace(col(candCol), "\\s+", "").as("_c"))
-      .localCheckpoint()
-    // codepoint counts via regexp_extract_all '(?s).' (NOT length():
-    // UTF-16 code units would split astral chars and diverge from any
-    // codepoint-based replay) — a scan-stage aggregate, no shuffle
-    def cps(c: Column): Column =
-      size(regexp_extract_all(c, lit("(?s)."), lit(0)))
-    val lens = base.agg(count(lit(1)).as("np"),
-      coalesce(sum(cps(col("_c")).cast("long")), lit(0L)).as("cl"),
-      coalesce(sum(cps(col("_r")).cast("long")), lit(0L)).as("rl")).head()
-    val (nPairs, cLen, rLen) =
-      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
+    val (nPairs, perN) = charClipTotals(base, maxN)
+    val (cLen, rLen) = (perN(1)._2, perN(1)._3)
     import pairs.sparkSession.implicits._
     def q6(x: Double) = math.rint(x * 1e6) / 1e6
     if (cLen == 0L || rLen == 0L)
       return Seq((nPairs, cLen, rLen, Option.empty[Double],
         Option.empty[Double], Option.empty[Double]))
         .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
-    val perN = charClippedNgramStats(base, maxN)
     val stats = (1 to maxN).map(n => perN.getOrElse(n, (0L, 0L, 0L)))
     val ps = stats.collect { case (m, t, _) if t > 0 => m.toDouble / t }
     val rs = stats.collect { case (m, _, tr) if tr > 0 => m.toDouble / tr }
@@ -3136,10 +3118,11 @@ object TextAnalysis {
     * (Lin 2004; ROUGE-1/ROUGE-2 are the reported summarization
     * numbers), with the precision and F1 sides for free: per pair,
     * matches = Σ_gram min(c_cand, c_ref), R = matches/ref-grams,
-    * P = matches/cand-grams, F = 2PR/(P+R). One (pair, gram) count
-    * aggregation per side and a full join — the [[bleuScore]] clip
-    * machinery at a single level with per-PAIR outputs instead of
-    * corpus totals. Pairs where either side has no n-grams emit no row
+    * P = matches/cand-grams, F = 2PR/(P+R). The [[bleuScore]] clip
+    * kernels at a single level with per-PAIR outputs instead of corpus
+    * totals — a pure scan stage, ZERO shuffle, stateless-append
+    * streamable (round 12; the explode + per-side count + full-join
+    * plan is gone). Pairs where either side has no n-grams emit no row
     * (the [[rougeL]] convention); F is 0.0 at zero matches. P/R round
     * 6, F from the unrounded ratios in one expression shape (oracle
     * bit-parity). `idCol` must be unique within `pairs` (the
@@ -3151,28 +3134,16 @@ object TextAnalysis {
   def rougeN(pairs: DataFrame, idCol: String, refCol: String,
       candCol: String, n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 8, s"rougeN: bad n $n")
-    val base = pairs.select(col(idCol).as("_id"),
-      graft.functions.ArrayKernels.token_ngrams(toks(col(refCol)), n)
-        .as("_rg"),
-      graft.functions.ArrayKernels.token_ngrams(toks(col(candCol)), n)
-        .as("_cg"))
-      .where(size(col("_rg")) > 0 && size(col("_cg")) > 0)
-      .localCheckpoint()
-    val cg = base.select(col("_id"), explode(col("_cg")).as("_g"))
-      .groupBy("_id", "_g").agg(count(lit(1)).as("_cc"))
-    val rg = base.select(col("_id"), explode(col("_rg")).as("_g"))
-      .groupBy("_id", "_g").agg(count(lit(1)).as("_cr"))
-    val m = cg.join(rg, Seq("_id", "_g"), "full")
-      .groupBy("_id")
-      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
-        coalesce(col("_cr"), lit(0L)))).as("matches"))
+    val K = graft.functions.ArrayKernels
+    val base = pairs.select(col(idCol).as(idCol),
+      K.gram_clip_stats(K.token_ngram_counts(toks(col(candCol)), n),
+        K.token_ngram_counts(toks(col(refCol)), n)).as("_s"))
+      .where(col("_s.t") > 0 && col("_s.tr") > 0)
     val p = col("matches") / col("c_grams")
     val r = col("matches") / col("r_grams")
-    base.select(col("_id"), size(col("_cg")).cast("long").as("c_grams"),
-        size(col("_rg")).cast("long").as("r_grams"))
-      .join(m, Seq("_id"))
-      .select(col("_id").as(idCol), col("matches"), col("c_grams"),
-        col("r_grams"),
+    base.select(col(idCol), col("_s.m").as("matches"),
+        col("_s.t").as("c_grams"), col("_s.tr").as("r_grams"))
+      .select(col(idCol), col("matches"), col("c_grams"), col("r_grams"),
         round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
         when(col("matches") > 0, round(lit(2.0) * p * r / (p + r), 6))
           .otherwise(lit(0.0)).as("rouge_f"))

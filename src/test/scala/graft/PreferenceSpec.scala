@@ -211,4 +211,38 @@ class PreferenceSpec extends SparkSpec {
       .collect().head
     assert(none == ((0L, 0L, 0L, None, None, None)), none)
   }
+
+  test("krippAlphaInterval: hand-checked squared-difference panel, " +
+      "binary values reduce to the nominal alpha, edges") {
+    def run(rows: Seq[(Long, Double)]) =
+      Preference.krippAlphaInterval(rows.toDF("item", "score"),
+          "item", "score")
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().head
+    // item1 (1,3): 2(2·10−16)/1 = 8; item2 (2,2,5): 2(3·33−81)/2 = 18;
+    // item3 (4) excluded. D_o = 26; n=5, T1=13, T2=43 →
+    // D_e = 2(5·43−169)/4 = 23; alpha = 1 − 26/23
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = run(Seq((1L, 1.0), (1L, 3.0), (2L, 2.0), (2L, 2.0),
+      (2L, 5.0), (3L, 4.0)))
+    assert(got == ((2L, 5L, Some(26.0), Some(23.0),
+      Some(q6(1.0 - 26.0 / 23.0)))), got)
+    // perfect agreement → alpha 1; identical ratings everywhere → NULL
+    val perfect = run(Seq((1L, 2.0), (1L, 2.0), (2L, 3.0), (2L, 3.0)))
+    assert(perfect._3.contains(0.0) && perfect._5.contains(1.0), perfect)
+    val const = run(Seq((1L, 2.0), (1L, 2.0), (2L, 2.0), (2L, 2.0)))
+    assert(const._5.isEmpty, const)
+    // binary 0/1 ratings: squared difference IS the nominal delta, so
+    // interval alpha equals krippAlpha on the same ragged panel
+    val binPairs = Seq((1L, 0.0), (1L, 0.0), (1L, 0.0), (2L, 0.0), (2L, 1.0))
+    val nom = Preference.krippAlpha(
+      binPairs.map { case (i, x) => (i, x.toString) }.toDF("item", "label"),
+      "item", "label")
+      .select("d_o", "d_e", "alpha")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    val itv = run(binPairs)
+    assert((itv._3, itv._4, itv._5) == nom, s"$itv vs $nom")
+    // nothing pairable → zero row
+    assert(run(Seq((1L, 1.0), (2L, 2.0))) == ((0L, 0L, None, None, None)))
+  }
 }

@@ -1511,8 +1511,8 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("rougeL and ter stream stateless-append: MemoryStream batches " +
-      "= batch rows (the dsirScores twin discipline)") {
+  test("rougeL, rougeN and ter stream stateless-append: MemoryStream " +
+      "batches = batch rows (the dsirScores twin discipline)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq((1L, "a b c d", "a c b d"), (2L, "a b", "x y"),
       (3L, "q r s t u", "q s u"), (4L, "m n", ""))
@@ -1535,6 +1535,9 @@ class TextAnalysisSpec extends SparkSpec {
     }
     twin(df => TextAnalysis.rougeL(df, "id", "ref", "cand"), 971)
     twin(df => TextAnalysis.ter(df, "id", "ref", "cand"), 972)
+    // round 12: the kernel-clip rougeN is a pure scan too — the old
+    // explode + count + full-join plan could not append-stream
+    twin(df => TextAnalysis.rougeN(df, "id", "ref", "cand", n = 2), 973)
   }
 
   test("char_ngram_counts kernel ≡ the regexp extraction path on " +
@@ -1576,6 +1579,46 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "xy ab", "xyab")).toDF("id", "ref", "cand"),
       "id", "ref", "cand").select("chrf").as[Option[Double]].collect().head
     assert(same.contains(1.0), same)
+  }
+
+  test("token_ngram_counts + gram_clip_stats ≡ the explode/count/clip " +
+      "path on 300 random token pairs") {
+    import graft.functions.ArrayKernels
+    val rnd = new scala.util.Random(43)
+    def sent(n: Int) = Seq.fill(rnd.nextInt(n))(
+      ('a' + rnd.nextInt(4)).toChar.toString)
+    val pairs = (0L until 300L).map(i => (i, sent(25), sent(25)))
+    def refStats(c: Seq[String], r: Seq[String], n: Int): (Long, Long, Long) = {
+      def counts(t: Seq[String]) = t.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.length.toLong }
+      val (cc, rc) = (counts(c), counts(r))
+      val m = cc.map { case (g, k) => math.min(k, rc.getOrElse(g, 0L)) }.sum
+      (m, cc.values.sum, rc.values.sum)
+    }
+    for (n <- Seq(1, 2, 4)) {
+      val got = pairs.toDF("id", "cand", "ref")
+        .select($"id", ArrayKernels.gram_clip_stats(
+          ArrayKernels.token_ngram_counts($"cand", n),
+          ArrayKernels.token_ngram_counts($"ref", n)).as("s"))
+        .select($"id", $"s.m", $"s.t", $"s.tr")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      pairs.foreach { case (i, c, r) =>
+        assert(got(i) == refStats(c, r, n), s"pair $i n=$n")
+      }
+    }
+    // and the composed surface: bleuScore on a known pair — cand
+    // "a b a" vs ref "a b c": p1 = 2/3 clipped ('a' clips at 1... no:
+    // ref has one 'a', cand two → min(2,1)=1, plus 'b' → m1 = 2 of 3;
+    // p2: cand bigrams {a b, b a}, ref {a b, b c} → 1 of 2
+    val one = TextAnalysis.bleuScore(
+      Seq((1L, "a b c", "a b a")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand", maxN = 2)
+      .select("c_len", "r_len", "p1", "p2")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(one == ((3L, 3L, Some(q6(2.0 / 3)), Some(0.5))), one)
   }
 
   test("bleuByGroup ≡ bleuScore run per group, zero-match and " +
