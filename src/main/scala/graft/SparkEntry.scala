@@ -1809,6 +1809,15 @@ object SparkEntry {
     // whitespace removed — pure integer-rational algebra, no logs
     "q_chrf" -> ((s, d) =>
       TextAnalysis.chrF(evalPairs(s, d), "doc_id", "ref", "cand")),
+    // chrF++ (word-order-2): the chrF level means extended with word
+    // 1-2 grams — two zero-exchange kernel scans (char + token)
+    "q_chrfpp" -> ((s, d) =>
+      TextAnalysis.chrFpp(evalPairs(s, d), "doc_id", "ref", "cand")),
+    // per-pair smoothed sentence BLEU (BLEU+1): the candidate-ranking
+    // signal beside the corpus number — pure scan off the same-row
+    // clip kernels, zero shuffle
+    "q_bleu_sent" -> ((s, d) =>
+      TextAnalysis.bleuSentence(evalPairs(s, d), "doc_id", "ref", "cand")),
     // ROUGE-2 per pair on the q_bleu fixture: clipped bigram
     // recall/precision/F — the reported summarization metric beside
     // ROUGE-L's subsequence view
@@ -5010,6 +5019,83 @@ object SparkEntry {
         "CASE WHEN lens.cl = 0 OR lens.rl = 0 THEN NULL " +
         "WHEN p + r = 0 THEN 0.0 ELSE round(5.0*p*r/(4.0*p+r), 6) END AS chrf " +
         "FROM lens, pr"),
+    // chrF++: the q_chrf char pern UNIONed with a word 1-2 gram pern
+    // (word levels keyed n+100 so the pooled effective-order average
+    // runs over all 8 levels exactly like chrFpp's ps/rs means)
+    "q_chrfpp" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents), " +
+        "pair AS (SELECT doc_id, " +
+        "regexp_extract_all(array_to_string(t, ''), '(?s).') AS rc, " +
+        "regexp_extract_all(array_to_string(list_filter(t, (x, i) -> i % 3 <> 0), ''), '(?s).') AS cc, " +
+        "t AS rw, list_filter(t, (x, i) -> i % 3 <> 0) AS cw FROM tk), " +
+        "lens AS (SELECT count(*) AS np, CAST(coalesce(sum(len(cc)), 0) AS BIGINT) AS cl, " +
+        "CAST(coalesce(sum(len(rc)), 0) AS BIGINT) AS rl, " +
+        "CAST(coalesce(sum(len(cw)), 0) AS BIGINT) AS cwn, " +
+        "CAST(coalesce(sum(len(rw)), 0) AS BIGINT) AS rwn FROM pair), " +
+        "grams AS (SELECT doc_id, n.n AS n, " +
+        "list_transform(range(1, len(cc)-n.n+2), i -> array_to_string(list_slice(cc, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rc)-n.n+2), i -> array_to_string(list_slice(rc, i, i+n.n-1), ' ')) AS rg " +
+        "FROM pair, (SELECT unnest(range(1, 7)) AS n) n " +
+        "UNION ALL SELECT doc_id, n.n + 100 AS n, " +
+        "list_transform(range(1, len(cw)-n.n+2), i -> array_to_string(list_slice(cw, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rw)-n.n+2), i -> array_to_string(list_slice(rw, i, i+n.n-1), ' ')) AS rg " +
+        "FROM pair, (SELECT unnest(range(1, 3)) AS n) n), " +
+        "cg AS (SELECT doc_id, n, g, count(*) AS cc FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "pern AS (SELECT coalesce(cg.n, rg.n) AS n, " +
+        "sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS m, " +
+        "sum(coalesce(cc, 0)) AS t, sum(coalesce(cr, 0)) AS tr " +
+        "FROM cg FULL JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+        "GROUP BY 1), " +
+        "pr AS (SELECT coalesce(avg(CASE WHEN t > 0 THEN m/(1.0*t) END), 0) AS p, " +
+        "coalesce(avg(CASE WHEN tr > 0 THEN m/(1.0*tr) END), 0) AS r FROM pern) " +
+        "SELECT lens.np AS n_pairs, lens.cl AS c_chars, lens.rl AS r_chars, " +
+        "lens.cwn AS c_words, lens.rwn AS r_words, " +
+        "CASE WHEN lens.cl > 0 AND lens.rl > 0 THEN round(p, 6) END AS chr_p, " +
+        "CASE WHEN lens.cl > 0 AND lens.rl > 0 THEN round(r, 6) END AS chr_r, " +
+        "CASE WHEN lens.cl = 0 OR lens.rl = 0 THEN NULL " +
+        "WHEN p + r = 0 THEN 0.0 ELSE round(5.0*p*r/(4.0*p+r), 6) END AS chrfpp " +
+        "FROM lens, pr"),
+    // sentence BLEU+1: per-doc clipped level counts pivoted, p1
+    // unsmoothed, (m+1)/(t+1) above, q6 per-ln + brevity — the
+    // bleuSentence arithmetic verbatim
+    "q_bleu_sent" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct " +
+        "FROM tk WHERE len(rt) > 0), " +
+        "grams AS (SELECT doc_id, n.n AS n, " +
+        "list_transform(range(1, len(ct)-n.n+2), i -> array_to_string(list_slice(ct, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rt)-n.n+2), i -> array_to_string(list_slice(rt, i, i+n.n-1), ' ')) AS rg " +
+        "FROM pair, (SELECT unnest(range(1, 5)) AS n) n), " +
+        "cg AS (SELECT doc_id, n, g, count(*) AS cc FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "pern AS (SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id, " +
+        "coalesce(cg.n, rg.n) AS n, " +
+        "sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS m, " +
+        "sum(coalesce(cc, 0)) AS t " +
+        "FROM cg FULL JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+        "GROUP BY 1, 2), " +
+        "piv AS (SELECT p.doc_id, len(p.ct) AS cl, len(p.rt) AS rl, " +
+        "coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS m1, " +
+        "coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS t1, " +
+        "coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS m2, " +
+        "coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS t2, " +
+        "coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS m3, " +
+        "coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS t3, " +
+        "coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS m4, " +
+        "coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS t4 " +
+        "FROM pair p LEFT JOIN pern ON pern.doc_id = p.doc_id " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(cl AS BIGINT) AS c_len, CAST(rl AS BIGINT) AS r_len, " +
+        "CASE WHEN cl = 0 THEN NULL WHEN m1 = 0 THEN 0.0 ELSE " +
+        "round(exp((round(ln(m1/(1.0*t1)), 6) + round(ln((m2+1)/(1.0*(t2+1))), 6) + " +
+        "round(ln((m3+1)/(1.0*(t3+1))), 6) + round(ln((m4+1)/(1.0*(t4+1))), 6))/4 " +
+        "+ least(0.0, 1.0 - rl/(1.0*cl))), 4) END AS bleu_s " +
+        "FROM piv"),
     // ROUGE-2: per-doc clipped bigram counts, the q_bleu gram
     // machinery at one level with per-pair outputs
     "q_rouge2" ->

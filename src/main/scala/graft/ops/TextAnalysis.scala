@@ -3114,6 +3114,103 @@ object TextAnalysis {
       .toDF("n_pairs", "c_chars", "r_chars", "chr_p", "chr_r", "chrf")
   }
 
+  /** Corpus chrF++ (Popović 2017; the WMT word-order-2 refinement of
+    * [[chrF]]): the level means behind P and R run over BOTH the
+    * char n-grams (1..`charMaxN`, whitespace stripped) AND the word
+    * n-grams (1..`wordMaxN`) — word grams reward correct word order
+    * that pure char overlap can't see. Same effective-order rule
+    * (levels with a zero denominator drop out of their mean), same
+    * β-weighted harmonic mean, same integer-rational algebra — and
+    * the same ZERO-exchange plan twice: [[charClipTotals]] +
+    * [[tokenClipTotals]] are each one kernel-clipped scan job.
+    * Returns one row (n_pairs, c_chars, r_chars, c_words, r_words,
+    * chr_p, chr_r, chrfpp); NULL metrics when either char side is
+    * empty (the [[chrF]] contract). `idCol` must be unique within
+    * `pairs` (the [[bleuScore]] clipping contract).
+    */
+  def chrFpp(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, charMaxN: Int = 6, wordMaxN: Int = 2,
+      beta: Double = 2.0): DataFrame = {
+    require(charMaxN >= 1 && charMaxN <= 8, s"chrFpp: bad charMaxN $charMaxN")
+    require(wordMaxN >= 1 && wordMaxN <= 8, s"chrFpp: bad wordMaxN $wordMaxN")
+    require(beta > 0, s"chrFpp: beta must be > 0, got $beta")
+    val cbase = pairs.select(col(idCol).as("_id"),
+      regexp_replace(col(refCol), "\\s+", "").as("_r"),
+      regexp_replace(col(candCol), "\\s+", "").as("_c"))
+    val (nPairs, charN) = charClipTotals(cbase, charMaxN)
+    val wbase = pairs.select(col(idCol).as("_id"),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+    val (_, wordN) = tokenClipTotals(wbase, wordMaxN)
+    val (cLen, rLen) = (charN(1)._2, charN(1)._3)
+    val (cWords, rWords) = (wordN(1)._2, wordN(1)._3)
+    import pairs.sparkSession.implicits._
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    if (cLen == 0L || rLen == 0L)
+      return Seq((nPairs, cLen, rLen, cWords, rWords, Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+        .toDF("n_pairs", "c_chars", "r_chars", "c_words", "r_words",
+          "chr_p", "chr_r", "chrfpp")
+    val stats = (1 to charMaxN).map(n => charN.getOrElse(n, (0L, 0L, 0L))) ++
+      (1 to wordMaxN).map(n => wordN.getOrElse(n, (0L, 0L, 0L)))
+    val ps = stats.collect { case (m, t, _) if t > 0 => m.toDouble / t }
+    val rs = stats.collect { case (m, _, tr) if tr > 0 => m.toDouble / tr }
+    val p = if (ps.isEmpty) 0.0 else ps.sum / ps.length
+    val r = if (rs.isEmpty) 0.0 else rs.sum / rs.length
+    val b2 = beta * beta
+    val f = if (p + r == 0.0) 0.0 else (1 + b2) * p * r / (b2 * p + r)
+    Seq((nPairs, cLen, rLen, cWords, rWords,
+      Some(q6(p)), Some(q6(r)), Some(q6(f))))
+      .toDF("n_pairs", "c_chars", "r_chars", "c_words", "r_words",
+        "chr_p", "chr_r", "chrfpp")
+  }
+
+  /** Per-pair smoothed sentence BLEU (BLEU+1, Lin & Och 2004): the
+    * per-example view beside [[bleuScore]]'s corpus number — the
+    * ranking signal a distillation/rejection-sampling pipeline sorts
+    * candidates by. p₁ stays unsmoothed (a sentence with zero unigram
+    * overlap scores 0); higher levels take (m+1)/(t+1) so short or
+    * partially-matching sentences keep a graded score instead of
+    * collapsing at the first zero level (a level with no grams reads
+    * the neutral 1). Same q6-per-ln / brevity-penalty arithmetic as
+    * the corpus form, all from the same-row clip kernels — a pure
+    * scan stage, ZERO shuffle, stateless-append streamable (the
+    * [[ter]] shape). Pairs with an empty reference emit no row; an
+    * empty candidate reads NULL; zero unigram matches read 0.0.
+    * bleu_s rounds 4. `idCol` unique per the [[bleuScore]] contract.
+    * Returns (id, c_len, r_len, bleu_s).
+    */
+  def bleuSentence(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleuSentence: bad maxN $maxN")
+    val K = graft.functions.ArrayKernels
+    val base = pairs.select(col(idCol).as(idCol),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+    val withStats = (1 to maxN).foldLeft(
+      base.select(col(idCol), col("_rt"), col("_ct"))) { (d, n) =>
+      d.withColumn(s"_s$n",
+        K.gram_clip_stats(K.token_ngram_counts(col("_ct"), n),
+          K.token_ngram_counts(col("_rt"), n)))
+    }
+    val cLen = col("_s1.t")
+    val rLen = col("_s1.tr")
+    val logTerms = (1 to maxN).map { n =>
+      if (n == 1)
+        round(log(col("_s1.m").cast("double") / col("_s1.t")), 6)
+      else
+        round(log((col(s"_s$n.m") + lit(1L)).cast("double") /
+          (col(s"_s$n.t") + lit(1L))), 6)
+    }
+    val meanLog = logTerms.reduce(_ + _) / maxN
+    val bpExp = least(lit(0.0), lit(1.0) - rLen.cast("double") / cLen)
+    withStats
+      .where(rLen > 0)
+      .select(col(idCol), cLen.cast("long").as("c_len"),
+        rLen.cast("long").as("r_len"),
+        when(cLen === 0L, lit(null).cast("double"))
+          .when(col("_s1.m") === 0L, lit(0.0))
+          .otherwise(round(exp(meanLog + bpExp), 4)).as("bleu_s"))
+  }
+
   /** Per-pair ROUGE-N — clipped n-gram recall against the reference
     * (Lin 2004; ROUGE-1/ROUGE-2 are the reported summarization
     * numbers), with the precision and F1 sides for free: per pair,

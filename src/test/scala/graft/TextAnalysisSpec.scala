@@ -1538,6 +1538,53 @@ class TextAnalysisSpec extends SparkSpec {
     // round 12: the kernel-clip rougeN is a pure scan too — the old
     // explode + count + full-join plan could not append-stream
     twin(df => TextAnalysis.rougeN(df, "id", "ref", "cand", n = 2), 973)
+    twin(df => TextAnalysis.bleuSentence(df, "id", "ref", "cand"), 974)
+  }
+
+  test("bleuSentence: hand-checked BLEU+1 smoothing, zero-unigram 0.0, " +
+      "perfect pair 1.0, empty-side conventions; chrFpp: hand-checked " +
+      "pooled char+word means, identical pair reads 1.0") {
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    def runB(rows: Seq[(Long, String, String)]) =
+      TextAnalysis.bleuSentence(rows.toDF("id", "ref", "cand"),
+          "id", "ref", "cand")
+        .as[(Long, Long, Long, Option[Double])].collect()
+    // identical pair: every level p = 1 (smoothed levels (m+1)/(t+1)
+    // = 1 too), bp = 0 → 1.0
+    assert(runB(Seq((1L, "a b c d e", "a b c d e"))).head ==
+      ((1L, 5L, 5L, Some(1.0))))
+    // cand "a b x" vs ref "a b c": p1 = 2/3; bigrams cand {ab, bx},
+    // ref {ab, bc} → m2 = 1, p2 = (1+1)/(2+1); trigrams m3 = 0, t3 = 1
+    // → 1/2; 4-grams none → 1/1; bp = 0 (equal lengths)
+    val got = runB(Seq((1L, "a b c", "a b x"))).head
+    val want = math.rint(math.exp(
+      (q6(math.log(2.0 / 3)) + q6(math.log(2.0 / 3)) +
+        q6(math.log(0.5)) + q6(math.log(1.0))) / 4) * 1e4) / 1e4
+    assert(got == ((1L, 3L, 3L, Some(want))), s"$got vs $want")
+    // zero unigram overlap → 0.0; empty cand → NULL; empty ref → no row
+    assert(runB(Seq((1L, "a b", "x y"))).head._4.contains(0.0))
+    assert(runB(Seq((1L, "a b", ""))).head._4.isEmpty)
+    assert(runB(Seq((1L, "", "a b"))).isEmpty)
+    // chrFpp on the chrF hand fixture "ab cd" vs "ab": char levels as
+    // in the chrF spec (P-parts 1,1; R-parts 1/2,1/3,0,0 over rl=4
+    // grams at n<=4... with maxN=6 levels 5,6 have no ref grams), word
+    // levels: unigrams m=1/t=1 (P 1) over ref 2 (R 1/2); bigrams ref
+    // only (R 0). Pooled P = mean(1,1,1) = 1;
+    // R = mean(1/2, 1/3, 0, 0, 1/2, 0) = 4/18
+    val pp = TextAnalysis.chrFpp(
+      Seq((1L, "ab cd", "ab")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val r = (0.5 + 1.0 / 3 + 0.5) / 6
+    val f = 5.0 * 1.0 * r / (4.0 * 1.0 + r)
+    assert(pp == ((1L, 2L, 4L, 1L, 2L, Some(1.0), Some(q6(r)), Some(q6(f)))),
+      pp)
+    // identical text scores exactly 1.0 on both gram families
+    val same = TextAnalysis.chrFpp(
+      Seq((1L, "the quick fox", "the quick fox")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand").select("chrfpp").as[Option[Double]].collect().head
+    assert(same.contains(1.0), same)
   }
 
   test("char_ngram_counts kernel ≡ the regexp extraction path on " +
@@ -1579,6 +1626,24 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "xy ab", "xyab")).toDF("id", "ref", "cand"),
       "id", "ref", "cand").select("chrf").as[Option[Double]].collect().head
     assert(same.contains(1.0), same)
+  }
+
+  test("per-pair eval metrics stay zero-exchange (kernel-clip plan fence)") {
+    // the round-12 rework's whole point: rougeN/rougeL/ter/bleuSentence
+    // are pure scan stages — a regression that reintroduces a gram
+    // shuffle (or any exchange) should fail loudly, not ship as a
+    // silent 10x at scale
+    val df = Seq((1L, "a b c d", "a b x")).toDF("id", "ref", "cand")
+    def plan(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.executedPlan.toString
+    Seq(
+      "rougeN" -> TextAnalysis.rougeN(df, "id", "ref", "cand", n = 2),
+      "rougeL" -> TextAnalysis.rougeL(df, "id", "ref", "cand"),
+      "ter" -> TextAnalysis.ter(df, "id", "ref", "cand"),
+      "bleuSentence" -> TextAnalysis.bleuSentence(df, "id", "ref", "cand")
+    ).foreach { case (name, d) =>
+      assert(!plan(d).contains("Exchange"), s"$name plan gained an exchange")
+    }
   }
 
   test("token_ngram_counts + gram_clip_stats ≡ the explode/count/clip " +
