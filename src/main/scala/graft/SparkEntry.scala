@@ -1859,6 +1859,21 @@ object SparkEntry {
     "q_bt_ratings" -> ((s, d) =>
       Preference.btRatings(btGames(Tables.documents(s, d)),
         iterations = 3)),
+    // the arena table over the same synthetic games: per unordered
+    // pair, wins/games/rate + Wilson 95% interval (small-n honest —
+    // exact integer counts, IEEE sqrt replays bit-for-bit)
+    "q_win_matrix" -> ((s, d) =>
+      Preference.winMatrix(btGames(Tables.documents(s, d)))),
+    // unbiased pass@k (Codex §2.1) over synthetic per-problem sample
+    // outcomes (problem = doc_id mod 50, pass = residue rule — the
+    // oracle rebuilds the exact sample sets): the functional-
+    // correctness estimator, 1 - prod (n-c-i)/(n-i)
+    "q_pass_at_k" -> ((s, d) => {
+      val samples = Tables.documents(s, d).select(
+        (col("doc_id") % 50).as("problem"),
+        ((col("doc_id") * 7) % 3 === 0).as("ok"))
+      TextAnalysis.passAtK(samples, "problem", "ok", ks = Seq(1, 5, 10))
+    }),
     // the incremental form: a standing vote graph built from the first
     // 80 % of docs, the rest MERGEd as a new batch — ratings from the
     // merged graph must equal the full-history run, so the oracle IS
@@ -4845,6 +4860,41 @@ object SparkEntry {
     // rebuild", so its oracle IS the same replay
     "q_bt_ratings" -> btRatingsSql(3),
     "q_bt_incr" -> btRatingsSql(3),
+    // arena win matrix: the btRatingsSql game CTEs rolled to unordered
+    // pairs; Wilson bounds with z^2 emitted as the exact double literal
+    "q_win_matrix" -> {
+      val z = 1.96
+      val z2 = java.lang.Double.toString(z * z)
+      "WITH g AS (SELECT doc_id % 32 AS a, (doc_id * 3 + 1) % 32 AS b, " +
+        "CASE WHEN (doc_id * 13) % 7 < 4 THEN 1 ELSE 0 END AS sw " +
+        "FROM documents WHERE doc_id % 32 <> (doc_id * 3 + 1) % 32), " +
+        "p AS (SELECT CASE WHEN sw = 1 THEN least(a, b) ELSE greatest(a, b) END AS w, " +
+        "CASE WHEN sw = 1 THEN greatest(a, b) ELSE least(a, b) END AS l FROM g), " +
+        "dir AS (SELECT w, l, count(*) AS n FROM p GROUP BY w, l), " +
+        "und AS (SELECT least(w, l) AS a, greatest(w, l) AS b, " +
+        "CAST(sum(CASE WHEN w < l THEN n ELSE 0 END) AS BIGINT) AS wins_a, " +
+        "CAST(sum(n) AS BIGINT) AS games FROM dir GROUP BY 1, 2), " +
+        "e AS (SELECT a, b, games, wins_a, CAST(games AS DOUBLE) AS nd, " +
+        "wins_a/(1.0*games) AS pd FROM und) " +
+        "SELECT a, b, games, wins_a, round(pd, 6) AS rate_a, " +
+        s"round((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS lo95, " +
+        s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS hi95 FROM e"
+    },
+    // pass@k: the product estimator folded ascending-i per k, NULL
+    // when k exceeds the problem's sample count
+    "q_pass_at_k" ->
+      ("WITH s AS (SELECT doc_id % 50 AS problem, " +
+        "CASE WHEN (doc_id * 7) % 3 = 0 THEN 1 ELSE 0 END AS ok FROM documents), " +
+        "agg AS (SELECT problem, count(*) AS n, sum(ok) AS c FROM s GROUP BY problem) " +
+        "SELECT problem, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c, " +
+        Seq(1, 5, 10).map { k =>
+          s"CASE WHEN n >= $k THEN round(1.0 - list_reduce(" +
+          s"list_transform(range(0, $k), i -> (n-c-i)/(1.0*(n-i))), " +
+          s"(x, y) -> x*y), 6) END AS pass_$k"
+        }.mkString(", ") +
+        " FROM agg"),
     // trained logistic quality filter, GD unrolled per-iteration
     "q_quality_fit" -> qualityFitSql(3, 0.5, 300),
     // classifier eval: integer confusion sweep + exact tie-aware AUC

@@ -2631,6 +2631,164 @@ object ArrayKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  def gopher_rep_stats(toks: Column, lines: Column, paras: Column): Column =
+    GraftSqlBridge.column(GopherRepStats(
+      GraftSqlBridge.expression(toks), GraftSqlBridge.expression(lines),
+      GraftSqlBridge.expression(paras)))
+
+  /** `gopher_rep_stats(toks, lines, paras)` — EVERY integer the Gopher
+    * repetition battery (TextAnalysis.gopherRepetition) needs, in one
+    * compiled pass per row: token char mass; line/paragraph occurrence,
+    * distinct, char-mass and duplicate-char-mass counts; the top-{2,3,4}
+    * n-gram char masses (count ties resolved to the longest gram — the
+    * battery's documented rule); and the dup-{5..10} covered-position
+    * char masses (union of positions under any occurrence of a
+    * duplicated gram, each char counted once). Replaces a ~15-stage
+    * interpreted HOF pipeline (9 per-doc sorts, per-element
+    * array_contains probes, O(L·n) coverage lambdas) with HashMap
+    * passes — the same exact integers (char lengths are codepoint
+    * counts, Spark `length` semantics), just compiled. Returns one
+    * 18-field struct of BIGINTs.
+    */
+  case class GopherRepStats(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    private val longField = (n: String) => StructField(n, LongType, nullable = false)
+    override def dataType: DataType = StructType(Seq(
+      "d", "nl", "dl", "lch", "dlch", "np", "dp", "pch", "dpch",
+      "t2", "t3", "t4", "d5", "d6", "d7", "d8", "d9", "d10").map(longField))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _),
+          ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+          s"gopher_rep_stats requires three ARRAY<STRING>, got " +
+            s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+      }
+
+    def compute(t: ArrayData, ls: ArrayData, ps: ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val L = t.numElements()
+      val tstr = new Array[UTF8String](L)
+      val tlen = new Array[Int](L)
+      var dtok = 0L
+      var i = 0
+      while (i < L) {
+        val s = t.getUTF8String(i)
+        tstr(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        tlen(i) = tstr(i).numChars()
+        dtok += tlen(i)
+        i += 1
+      }
+      // lines / paragraphs: (count, distinct, char mass, dup char mass)
+      def unitStats(a: ArrayData): (Long, Long, Long, Long) = {
+        val m = a.numElements()
+        val counts = new java.util.HashMap[UTF8String, java.lang.Long](m * 2)
+        var ch = 0L
+        var j = 0
+        while (j < m) {
+          val s0 = a.getUTF8String(j)
+          val s = if (s0 == null) UTF8String.EMPTY_UTF8 else s0
+          ch += s.numChars()
+          val prev = counts.get(s)
+          counts.put(s, java.lang.Long.valueOf(
+            if (prev == null) 1L else prev.longValue() + 1L))
+          j += 1
+        }
+        var dch = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          dch += (e.getValue.longValue() - 1L) * e.getKey.numChars()
+        }
+        (m.toLong, counts.size.toLong, ch, dch)
+      }
+      val (nl, dl, lch, dlch) = unitStats(ls)
+      val (np, dp, pch, dpch) = unitStats(ps)
+      val sp = UTF8String.fromString(" ")
+      // (gram count, window token-char mass) per distinct n-gram; the
+      // window char mass is a property of the gram string, stored once
+      def gramMap(n: Int): java.util.HashMap[UTF8String, Array[Long]] = {
+        val map = new java.util.HashMap[UTF8String, Array[Long]]()
+        var s = 0
+        while (s + n <= L) {
+          var g = tstr(s)
+          var w = tlen(s).toLong
+          var k = 1
+          while (k < n) {
+            g = UTF8String.concat(g, sp, tstr(s + k))
+            w += tlen(s + k)
+            k += 1
+          }
+          val prev = map.get(g)
+          if (prev == null) map.put(g, Array(1L, w)) else prev(0) += 1L
+          s += 1
+        }
+        map
+      }
+      // top family: max count, ties to the longest window char mass
+      def topStats(n: Int): Long = {
+        if (L < n) return 0L
+        val map = gramMap(n)
+        var mx = 0L
+        var best = 0L
+        val it = map.values().iterator()
+        while (it.hasNext) {
+          val v = it.next()
+          if (v(0) > mx) { mx = v(0); best = v(1) }
+          else if (v(0) == mx && v(1) > best) best = v(1)
+        }
+        if (mx == 0L) 0L else mx * best
+      }
+      // dup family: char mass of the POSITION UNION under duplicated
+      // gram occurrences — one pass to count, one to mark coverage
+      def dupStats(n: Int): Long = {
+        if (L < n) return 0L
+        val map = gramMap(n)
+        val covered = new Array[Boolean](L)
+        var any = false
+        var s = 0
+        while (s + n <= L) {
+          var g = tstr(s)
+          var k = 1
+          while (k < n) { g = UTF8String.concat(g, sp, tstr(s + k)); k += 1 }
+          if (map.get(g)(0) >= 2L) {
+            any = true
+            var k2 = s
+            while (k2 < s + n) { covered(k2) = true; k2 += 1 }
+          }
+          s += 1
+        }
+        if (!any) return 0L
+        var dch = 0L
+        var j = 0
+        while (j < L) { if (covered(j)) dch += tlen(j); j += 1 }
+        dch
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
+        topStats(2), topStats(3), topStats(4),
+        dupStats(5), dupStats(6), dupStats(7), dupStats(8), dupStats(9),
+        dupStats(10))
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gopherRepKernel", this,
+        classOf[GopherRepStats].getName)
+      nullSafeCodeGen(ctx, ev,
+        (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+    }
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   def nfc_normalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 

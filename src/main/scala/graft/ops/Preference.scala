@@ -135,6 +135,44 @@ object Preference {
       .select(col("item"), col("r").as("rating"), col("wins"), col("games"))
   }
 
+  /** Pairwise win-rate matrix with Wilson 95 % intervals — the ARENA
+    * table beside [[btRatings]]' latent strengths: per unordered model
+    * pair (a < b), a's wins, total games, the raw rate, and the Wilson
+    * score interval (the small-n-honest CI — a 2-game 100 % pair reads
+    * a wide [0.34, 1.0], not "certainly better"). Self-games drop (the
+    * [[btGraph]] rule). Arithmetic: exact integer counts off the
+    * directed game graph, then row expressions — p̂ is one division,
+    * and IEEE sqrt is correctly rounded, so the DuckDB replay (with
+    * z² emitted as the exact double literal) matches bit-for-bit;
+    * rate/bounds round 6. Game volume collapses map-side to the
+    * pair-keyed graph — one dictionary-sized shuffle at any vote
+    * count. Returns (a, b, games, wins_a, rate_a, lo95, hi95).
+    */
+  def winMatrix(pairs: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", z: Double = 1.96): DataFrame = {
+    require(z > 0, s"winMatrix: z must be > 0, got $z")
+    val g = btGraph(pairs, winnerCol, loserCol)
+    val und = g.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        when(col("w") < col("l"), col("n")).otherwise(lit(0L)).as("_wa"),
+        col("n").as("_n"))
+      .groupBy("a", "b")
+      .agg(sum("_wa").as("wins_a"), sum("_n").as("games"))
+    // double from the start: (games²·4) as Long would wrap past ~7.6e8
+    // games on one pair (the cohenKappaMulti Long-wrap lesson)
+    val nD = col("games").cast("double")
+    val p = col("wins_a").cast("double") / nD
+    val z2 = z * z
+    val center = p + lit(z2) / (nD * 2)
+    val margin = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))
+    val denom = lit(1.0) + lit(z2) / nD
+    und.select(col("a"), col("b"), col("games"), col("wins_a"),
+      round(p, 6).as("rate_a"),
+      round((center - margin) / denom, 6).as("lo95"),
+      round((center + margin) / denom, 6).as("hi95"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement across a PANEL of
     * raters (the multi-rater generalization of the two-labeler
     * [[TextAnalysis.cohenKappa]]): THE acceptance gate on an

@@ -1853,6 +1853,37 @@ object TextAnalysis {
   private val CHI2_1_CRITICAL: Map[Double, Double] =
     Map(0.10 -> 2.706, 0.05 -> 3.841, 0.01 -> 6.635)
 
+  /** Unbiased pass@k (Chen et al. 2021, Codex §2.1) over per-problem
+    * sample outcomes — THE functional-correctness metric for code/math
+    * generation evals: with n samples and c correct for a problem,
+    * pass@k = 1 − C(n−c, k)/C(n, k), estimated exactly as
+    * 1 − Π_{i=0..k−1} (n−c−i)/(n−i) (numerically stable, no
+    * factorials). NULL when k > n (the estimator is undefined —
+    * sampling more than was drawn); 1.0 whenever n − c < k (a zero
+    * factor — some draw of k must contain a pass). The product folds
+    * ascending-i in both engines and rounds 6, so the oracle agrees.
+    * One problem-keyed aggregate (map-side combined) then row
+    * expressions — the sample stream shuffles once at problem
+    * granularity. Returns (problem, n, c, pass_K...) per problem;
+    * corpus means are one trivial aggregate on top.
+    */
+  def passAtK(samples: DataFrame, problemCol: String, okCol: String,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
+      s"passAtK: ks must be sorted positive, got $ks")
+    val agg = samples.groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(okCol).cast("boolean").cast("long")), lit(0L))
+          .as("c"))
+    ks.foldLeft(agg) { (d, k) =>
+      d.withColumn(s"pass_$k",
+        when(col("n") >= k, round(lit(1.0) -
+          aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+            (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+              (col("n") - i))), 6)))
+    }
+  }
+
   /** Calibration report for a [0,1]-probability scorer against a binary
     * label — the reliability-diagram table (per-bin mean prediction vs
     * observed positive rate) plus per-bin Brier contribution, the QA
@@ -3473,133 +3504,51 @@ object TextAnalysis {
     * [[gopherRules]] word-count rule is the one that rejects them).
     *
     * Scale shape: pure scan stage, zero shuffle, stateless-append
-    * streamable. Per-doc cost is O(L log L) per n (sort + run-length
-    * encode), not the O(L·distinct) of the [[repetitionScores]]
-    * filter-count form.
+    * streamable; the entire integer battery is ONE compiled
+    * GopherRepStats kernel pass per row (HashMap gram counts +
+    * coverage marking, O(L·n) per level), replacing the former
+    * interpreted sort/run-length/array_contains HOF pipeline.
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    val ns = GOPHER_TOP ++ GOPHER_DUP
     val emptyS = array().cast("array<string>")
     def trimmedParts(re: String): Column =
       filter(transform(coalesce(split(col("text"), re), emptyS),
         p => trim(p)), p => length(p) > 0)
+    // round 12: the whole integer battery comes off ONE codegen kernel
+    // pass (GopherRepStats) — the former 15-stage interpreted HOF
+    // pipeline (9 per-doc sorts, array_contains probes, O(L·n)
+    // coverage lambdas) is gone; the fraction/flag algebra below is
+    // unchanged and reads the kernel's struct fields
     val a = docs.select(col("doc_id"),
-      coalesce(toks(col("text")), emptyS).as("_t"),
-      trimmedParts("\\r?\\n").as("_lines"),
-      trimmedParts("(\\r?\\n){2,}").as("_paras"))
-    // sorted (and, for the dup family, positional) gram arrays are
-    // materialized BEFORE any lambda probes them with element_at
-    val b = a.select(Seq(col("doc_id"), col("_t"),
-      sort_array(col("_lines")).as("_ls"),
-      sort_array(col("_paras")).as("_ps")) ++
-      ns.map { case (n, _) =>
-        sort_array(graft.functions.ArrayKernels.token_ngrams(col("_t"), n,
-          distinct = false)).as(s"_s$n")
-      } ++
-      GOPHER_DUP.map { case (n, _) =>
-        graft.functions.ArrayKernels.token_ngrams(col("_t"), n,
-          distinct = false).as(s"_g$n")
-      }: _*)
-    // duplicated gram VALUES per dup-n (sorted-neighbor scan), runs for
-    // the top family, unit runs for lines/paras
-    val c0 = b.select(Seq(col("doc_id"), col("_t"),
-      aggregate(col("_t"), lit(0L),
-        (acc, w) => acc + length(w).cast("long")).as("_dtok"),
-      sortedRuns(col("_ls"), 0).as("_rl"),
-      sortedRuns(col("_ps"), 0).as("_rp")) ++
-      GOPHER_TOP.map { case (n, _) =>
-        sortedRuns(col(s"_s$n"), n - 1).as(s"_r$n") } ++
-      GOPHER_DUP.map { case (n, _) =>
-        val s = col(s"_s$n")
-        when(size(s) >= 2, array_distinct(filter(
-            transform(sequence(lit(2), size(s)), i =>
-              when(element_at(s, i) === element_at(s, i - 1),
-                element_at(s, i))),
-            v => v.isNotNull)))
-          .otherwise(array().cast("array<string>")).as(s"_dup$n")
-      } ++
-      GOPHER_DUP.map { case (n, _) => col(s"_g$n") }: _*)
-    // per-occurrence duplicated flags (array_contains against the
-    // materialized dup set), and the integer unit stats
-    def runTotal(r: Column): Column =
-      aggregate(r, lit(0L), (acc, x) => acc + x.getField("c").cast("long"))
-    def runChars(r: Column): Column =
-      aggregate(r, lit(0L), (acc, x) =>
-        acc + x.getField("c").cast("long") * x.getField("len").cast("long"))
-    def runDupChars(r: Column): Column =
-      aggregate(r, lit(0L), (acc, x) =>
-        acc + (x.getField("c").cast("long") - 1L) *
-          x.getField("len").cast("long"))
-    val c1 = c0.select(Seq(col("doc_id"), col("_t"), col("_dtok"),
-      runTotal(col("_rl")).as("_nl"), size(col("_rl")).cast("long").as("_dl"),
-      runChars(col("_rl")).as("_lch"), runDupChars(col("_rl")).as("_dlch"),
-      runTotal(col("_rp")).as("_np"), size(col("_rp")).cast("long").as("_dp"),
-      runChars(col("_rp")).as("_pch"), runDupChars(col("_rp")).as("_dpch")) ++
-      GOPHER_TOP.map { case (n, _) =>
-        coalesce(array_max(transform(col(s"_r$n"), x => x.getField("c"))),
-          lit(0)).as(s"_mx$n")
-      } ++
-      GOPHER_TOP.map { case (n, _) => col(s"_r$n") } ++
-      GOPHER_DUP.map { case (n, _) =>
-        // _dup is referenced TWICE on purpose: a single-use alias gets
-        // inlined by CollapseProject into the lambda, re-deriving the
-        // dup set per gram element (measured as the q_gopher_rep 4.4 s
-        // bench outlier); the size() guard also fast-paths dup-free docs
-        when(size(col(s"_dup$n")) === 0,
-          transform(col(s"_g$n"), _ => lit(false)))
-          .otherwise(
-            transform(col(s"_g$n"), v => array_contains(col(s"_dup$n"), v)))
-          .as(s"_occ$n")
-      }: _*)
-    // covered-position char mass per dup-n: token position i (1-based)
-    // is covered when ANY duplicated occurrence window [i-n+1, i]
-    // contains it — chars counted once, never per occurrence
-    val c2 = c1.select(Seq(col("doc_id"), col("_dtok"), col("_nl"),
-      col("_dl"), col("_lch"), col("_dlch"), col("_np"), col("_dp"),
-      col("_pch"), col("_dpch")) ++
-      GOPHER_TOP.map { case (n, _) =>
-        when(col(s"_mx$n") > 0, col(s"_mx$n").cast("long") *
-            array_max(transform(col(s"_r$n"), x =>
-              when(x.getField("c") === col(s"_mx$n"), x.getField("len"))
-                .otherwise(lit(-1)))).cast("long"))
-          .otherwise(lit(0L)).as(s"_top$n")
-      } ++
-      GOPHER_DUP.map { case (n, _) =>
-        val occ = col(s"_occ$n")
-        val t = col("_t")
-        when(exists(occ, x => x),
-          aggregate(sequence(lit(1), size(t)), lit(0L), (acc, i) =>
-            acc + when(exists(slice(occ, greatest(i - lit(n - 1), lit(1)),
-                least(i, size(occ)) -
-                  greatest(i - lit(n - 1), lit(1)) + lit(1)),
-                x => x),
-              length(element_at(t, i)).cast("long")).otherwise(lit(0L))))
-          .otherwise(lit(0L)).as(s"_dch$n")
-      }: _*)
+      graft.functions.ArrayKernels.gopher_rep_stats(
+        coalesce(toks(col("text")), emptyS),
+        trimmedParts("\\r?\\n"),
+        trimmedParts("(\\r?\\n){2,}")).as("_s"))
     def frac(x: Column, d: Column): Column =
       round(x.cast("double") / greatest(d, lit(1L)).cast("double"), 4)
     def flagLe(p: Int, q: Int, x: Column, d: Column): Column =
       (lit(q) * x <= lit(p) * d).cast("int")
-    val dupl = col("_nl") - col("_dl")
-    val dupp = col("_np") - col("_dp")
+    val dtok = col("_s.d")
+    val dupl = col("_s.nl") - col("_s.dl")
+    val dupp = col("_s.np") - col("_s.dp")
     val flagDefs: Seq[(String, Column)] =
-      Seq("r_dup_line" -> flagLe(3, 10, dupl, col("_nl")),
-        "r_dup_line_char" -> flagLe(1, 5, col("_dlch"), col("_lch")),
-        "r_dup_para" -> flagLe(3, 10, dupp, col("_np")),
-        "r_dup_para_char" -> flagLe(1, 5, col("_dpch"), col("_pch"))) ++
+      Seq("r_dup_line" -> flagLe(3, 10, dupl, col("_s.nl")),
+        "r_dup_line_char" -> flagLe(1, 5, col("_s.dlch"), col("_s.lch")),
+        "r_dup_para" -> flagLe(3, 10, dupp, col("_s.np")),
+        "r_dup_para_char" -> flagLe(1, 5, col("_s.dpch"), col("_s.pch"))) ++
       GOPHER_TOP.map { case (n, (p, q)) =>
-        s"r_top_${n}gram" -> flagLe(p, q, col(s"_top$n"), col("_dtok")) } ++
+        s"r_top_${n}gram" -> flagLe(p, q, col(s"_s.t$n"), dtok) } ++
       GOPHER_DUP.map { case (n, (p, q)) =>
-        s"r_dup_${n}gram" -> flagLe(p, q, col(s"_dch$n"), col("_dtok")) }
-    c2.select(Seq(col("doc_id"),
-      frac(dupl, col("_nl")).as("dup_line_frac"),
-      frac(col("_dlch"), col("_lch")).as("dup_line_char_frac"),
-      frac(dupp, col("_np")).as("dup_para_frac"),
-      frac(col("_dpch"), col("_pch")).as("dup_para_char_frac")) ++
+        s"r_dup_${n}gram" -> flagLe(p, q, col(s"_s.d$n"), dtok) }
+    a.select(Seq(col("doc_id"),
+      frac(dupl, col("_s.nl")).as("dup_line_frac"),
+      frac(col("_s.dlch"), col("_s.lch")).as("dup_line_char_frac"),
+      frac(dupp, col("_s.np")).as("dup_para_frac"),
+      frac(col("_s.dpch"), col("_s.pch")).as("dup_para_char_frac")) ++
       GOPHER_TOP.map { case (n, _) =>
-        frac(col(s"_top$n"), col("_dtok")).as(s"top_${n}gram_char_frac") } ++
+        frac(col(s"_s.t$n"), dtok).as(s"top_${n}gram_char_frac") } ++
       GOPHER_DUP.map { case (n, _) =>
-        frac(col(s"_dch$n"), col("_dtok")).as(s"dup_${n}gram_char_frac") } ++
+        frac(col(s"_s.d$n"), dtok).as(s"dup_${n}gram_char_frac") } ++
       flagDefs.map { case (name, f) => f.as(name) }: _*)
       .withColumn("pass",
         flagDefs.map { case (name, _) => col(name) }.reduce(_ * _)

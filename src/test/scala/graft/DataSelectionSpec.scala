@@ -313,4 +313,24 @@ class DataSelectionSpec extends SparkSpec {
         assert(b == (if (f(id) >= 30.0) 1 else 0))
       }
   }
+
+  test("passAtK: unbiased estimator hand-checks, k > n NULL, " +
+      "zero-pass 0, saturated 1") {
+    import graft.ops.TextAnalysis
+    // problem A: n=4, c=2 -> pass@1 = 1/2, pass@3 = 1 (n-c=2 < 3);
+    // problem B: n=2, c=0 -> pass@1 = 0, pass@3 NULL (k > n)
+    val samples = Seq(("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false)).toDF("problem", "ok")
+    val got = TextAnalysis.passAtK(samples, "problem", "ok", ks = Seq(1, 3))
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, 2L, Some(0.5), Some(1.0))), got("A"))
+    assert(got("B") == (("B", 2L, 0L, Some(0.0), None)), got("B"))
+    // exact binomial identity on a bigger case: n=10, c=3, k=5 ->
+    // 1 - C(7,5)/C(10,5) = 1 - 21/252
+    val big = (0 until 10).map(i => ("C", i < 3)).toDF("problem", "ok")
+    val g5 = TextAnalysis.passAtK(big, "problem", "ok", ks = Seq(5))
+      .select("pass_5").as[Option[Double]].collect().head
+    assert(g5.contains(math.rint((1.0 - 21.0 / 252) * 1e6) / 1e6), g5)
+  }
 }

@@ -245,4 +245,34 @@ class PreferenceSpec extends SparkSpec {
     // nothing pairable → zero row
     assert(run(Seq((1L, 1.0), (2L, 2.0))) == ((0L, 0L, None, None, None)))
   }
+
+  test("winMatrix: hand-checked pair counts, Wilson interval formula, " +
+      "self-games dropped, tight-vs-wide CI sanity") {
+    val games = Seq((1L, 2L), (1L, 2L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("winner", "loser")
+    val got = Preference.winMatrix(games)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L)), got.keySet)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    def wilson(w: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val z2 = z * z
+      val nd = n.toDouble; val p = w.toDouble / nd
+      val c = p + z2 / (nd * 2)
+      val m = z * math.sqrt(p * (1.0 - p) / nd + z2 / (nd * nd * 4))
+      val d = 1.0 + z2 / nd
+      (q6((c - m) / d), q6((c + m) / d))
+    }
+    val ab = got((1L, 2L))
+    assert(ab._3 == 3L && ab._4 == 2L && ab._5 == q6(2.0 / 3), ab)
+    assert((ab._6, ab._7) == wilson(2, 3), ab)
+    // item 1 never beat 3: rate 0, lower bound 0 (clamped by formula)
+    val ac = got((1L, 3L))
+    assert(ac._4 == 0L && ac._5 == 0.0 && (ac._6, ac._7) == wilson(0, 1))
+    // a 2-game sweep stays HONEST: upper near 1 but lower far below
+    val sweep = Preference.winMatrix(
+      Seq((1L, 2L), (1L, 2L)).toDF("winner", "loser"))
+      .select("lo95", "hi95").as[(Double, Double)].collect().head
+    assert(sweep._1 < 0.45 && sweep._2 == 1.0, sweep)
+  }
 }

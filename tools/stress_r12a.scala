@@ -36,6 +36,9 @@ t("chrf 50k (CharNgramCounts + GramClipStats zero-exchange scan)") {
 t("ter 50k (codegen Levenshtein, zero shuffle)") {
   TextAnalysis.ter(pairs, "doc_id", "ref", "cand").count()
 }
+t("gopher_rep 50k (GopherRepStats single-kernel battery)") {
+  TextAnalysis.gopherRepetition(docs).count()
+}
 t("kripp ~170k ragged votes") {
   def lbl(j: Int) =
     (((col("doc_id") % (j + 2)) + (col("doc_id") % 3)) % 3).cast("int")
