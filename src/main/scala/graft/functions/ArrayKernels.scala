@@ -2648,7 +2648,9 @@ object ArrayKernels {
     * array_contains probes, O(L·n) coverage lambdas) with HashMap
     * passes — the same exact integers (char lengths are codepoint
     * counts, Spark `length` semantics), just compiled. Returns one
-    * 18-field struct of BIGINTs.
+    * 21-field struct of BIGINTs (the last three — token count, top
+    * 1-gram occurrence count, duplicated-3-gram instance count — feed
+    * TextAnalysis.repetitionScores off the same pass).
     */
   case class GopherRepStats(first: Expression, second: Expression,
       third: Expression)
@@ -2656,7 +2658,8 @@ object ArrayKernels {
     private val longField = (n: String) => StructField(n, LongType, nullable = false)
     override def dataType: DataType = StructType(Seq(
       "d", "nl", "dl", "lch", "dlch", "np", "dp", "pch", "dpch",
-      "t2", "t3", "t4", "d5", "d6", "d7", "d8", "d9", "d10").map(longField))
+      "t2", "t3", "t4", "d5", "d6", "d7", "d8", "d9", "d10",
+      "ntok", "t1c", "d3i").map(longField))
     override def checkInputDataTypes(): TypeCheckResult =
       (first.dataType, second.dataType, third.dataType) match {
         case (ArrayType(StringType, _), ArrayType(StringType, _),
@@ -2766,11 +2769,23 @@ object ArrayKernels {
         while (j < L) { if (covered(j)) dch += tlen(j); j += 1 }
         dch
       }
+      // the repetitionScores count-fraction signals ride the same
+      // pass: top 1-gram occurrence count and duplicated-3-gram
+      // instance count (instances minus distinct)
+      var t1c = 0L
+      if (L > 0) {
+        val it1 = gramMap(1).values().iterator()
+        while (it1.hasNext) {
+          val v = it1.next()
+          if (v(0) > t1c) t1c = v(0)
+        }
+      }
+      val d3i = if (L < 3) 0L else (L - 2).toLong - gramMap(3).size.toLong
       org.apache.spark.sql.catalyst.InternalRow(
         dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
         topStats(2), topStats(3), topStats(4),
         dupStats(5), dupStats(6), dupStats(7), dupStats(8), dupStats(9),
-        dupStats(10))
+        dupStats(10), L.toLong, t1c, d3i)
     }
 
     override def nullSafeEval(a: Any, b: Any, c: Any): Any =

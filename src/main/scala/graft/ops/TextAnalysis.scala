@@ -1199,31 +1199,29 @@ object TextAnalysis {
   /** Gopher/MassiveText-style repetition signals per document — the
     * standard "degenerate text" filters applied before LLM training:
     * the fraction of tokens taken by the single most frequent token, and
-    * the fraction of duplicated 3-gram shingles. Both are pure array
-    * expressions over one tokenization: zero shuffle, embarrassingly
-    * parallel. Per-doc cost is O(len × distinct) for the top-token scan —
-    * fine for document-sized arrays; a corpus of book-length texts would
-    * switch to the explode + count form (one extra shuffle) instead.
+    * the fraction of duplicated 3-gram shingles. Both integers come off
+    * the shared GopherRepStats codegen kernel in one pass per row:
+    * zero shuffle, embarrassingly parallel, hashed O(len) per doc —
+    * book-length texts included (the former interpreted filter-count
+    * form was O(len × distinct)).
     */
   def repetitionScores(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    docs.select(col("doc_id"), t.as("_t"))
-      .withColumn("_sh",
-        when(size(col("_t")) >= 3,
-          transform(sequence(lit(0), size(col("_t")) - 3), i => concat_ws(" ",
-            element_at(col("_t"), i + 1), element_at(col("_t"), i + 2),
-            element_at(col("_t"), i + 3))))
-          .otherwise(array().cast("array<string>")))
-      .select(
-        col("doc_id"),
-        round(coalesce(
-            array_max(transform(array_distinct(col("_t")),
-              x => size(filter(col("_t"), y => y === x)))), lit(0))
-          .cast("double") / greatest(size(col("_t")), lit(1)), 4)
-          .as("top_tok_frac"),
-        round((size(col("_sh")) - size(array_distinct(col("_sh")))).cast("double") /
-          greatest(size(col("_sh")), lit(1)), 4).as("dup_3gram_frac"))
+    val emptyS = array().cast("array<string>")
+    // round 12: both count fractions come off the shared GopherRepStats
+    // kernel pass (fields ntok/t1c/d3i) — the O(L·distinct)
+    // interpreted filter-count lambdas are gone, and the per-doc cost
+    // is the kernel's hashed O(L)
+    docs.select(col("doc_id"),
+        graft.functions.ArrayKernels.gopher_rep_stats(
+          coalesce(toks(col("text")), emptyS), emptyS, emptyS).as("_s"))
+      .select(col("doc_id"),
+        round(col("_s.t1c").cast("double") /
+          greatest(col("_s.ntok"), lit(1L)), 4).as("top_tok_frac"),
+        round(col("_s.d3i").cast("double") /
+          greatest(greatest(col("_s.ntok") - 2L, lit(0L)), lit(1L)), 4)
+          .as("dup_3gram_frac"))
   }
+
 
   /** CCNet-style unigram surprisal per document: avg −ln p(token) under
     * the corpus's own unigram distribution — the SQL-expressible core of
