@@ -647,6 +647,75 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(one("a") - 2.0) < 1e-12 && math.abs(one("b") - 2.0) < 1e-12)
   }
 
+  test("GopherRepStats kernel ≡ a sequential reference on random " +
+      "repetitive corpora (all 21 fields)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ArrayKernels
+    def nc(s: String): Long = s.codePointCount(0, s.length).toLong
+    def refStats(toks: Vector[String], lines: Vector[String],
+        paras: Vector[String]): Vector[Long] = {
+      val dtok = toks.map(nc).sum
+      def unit(a: Vector[String]) = {
+        val m = a.groupBy(identity).map { case (k, v) => k -> v.length }
+        Vector(a.length.toLong, m.size.toLong, a.map(nc).sum,
+          m.map { case (k, c) => (c - 1).toLong * nc(k) }.sum)
+      }
+      def grams(n: Int) = toks.sliding(n).filter(_.length == n).toVector
+      def top(n: Int): Long = {
+        val g = grams(n)
+        if (g.isEmpty) 0L
+        else {
+          val counts = g.groupBy(identity).map { case (k, v) => k -> v.length }
+          val mx = counts.values.max
+          mx.toLong * counts.collect {
+            case (k, c) if c == mx => k.map(nc).sum }.max
+        }
+      }
+      def dup(n: Int): Long = {
+        val g = grams(n)
+        if (g.isEmpty) 0L
+        else {
+          val counts = g.groupBy(identity).map { case (k, v) => k -> v.length }
+          val covered = Array.fill(toks.length)(false)
+          g.zipWithIndex.foreach { case (w, s) =>
+            if (counts(w) >= 2) (s until s + n).foreach(covered(_) = true) }
+          covered.zipWithIndex.collect {
+            case (true, i) => nc(toks(i)) }.sum
+        }
+      }
+      Vector(dtok) ++ unit(lines) ++ unit(paras) ++
+        Vector(top(2), top(3), top(4)) ++
+        (5 to 10).map(dup).toVector ++
+        Vector(toks.length.toLong,
+          if (toks.isEmpty) 0L
+          else toks.groupBy(identity).map(_._2.length).max.toLong,
+          if (toks.length < 3) 0L
+          else (toks.length - 2).toLong - grams(3).distinct.length)
+    }
+    val rnd = new scala.util.Random(53)
+    // repetitive alphabet + an astral token so codepoint counting is
+    // exercised; empty-corpus row included
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "😀x")
+    def toksOf(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    def unitsOf(n: Int) = Vector.fill(n)(
+      Vector("l1", "l2", "longer line", "l1")(rnd.nextInt(4)))
+    val rows = (0L until 100L).map { i =>
+      (i, toksOf(rnd.nextInt(30)), unitsOf(rnd.nextInt(6)),
+        unitsOf(rnd.nextInt(4)))
+    } :+ (100L, Vector.empty[String], Vector.empty[String],
+      Vector.empty[String])
+    val got = rows.toDF("id", "t", "l", "p")
+      .select(col("id"),
+        ArrayKernels.gopher_rep_stats(col("t"), col("l"), col("p")).as("s"))
+      .selectExpr("id", "s.*")
+      .collect()
+      .map(r => r.getLong(0) -> (1 until 22).map(r.getLong).toVector)
+      .toMap
+    rows.foreach { case (i, t, l, pp) =>
+      assert(got(i) == refStats(t, l, pp), s"row $i")
+    }
+  }
+
   test("quantized expected counts track the exact kernel; " +
       "unigramSoftEncode surfaces them per (word, piece)") {
     import org.apache.spark.sql.functions.col
