@@ -3009,7 +3009,7 @@ object TextAnalysis {
   }
 
   /** [[bleuScore]]'s clipped token-n-gram core — the token twin of
-    * [[charClippedNgramStats]]: from a (_id, _rt, _ct) frame of token
+    * [[charClipTotals]]: from a (_id, _rt, _ct) frame of token
     * arrays, the pair count plus per n ∈ 1..maxN corpus totals
     * (clipped matches, candidate grams, reference grams), computed as
     * ONE zero-exchange pass: TokenNgramCounts dictionaries clipped in
