@@ -1778,6 +1778,22 @@ object SparkEntry {
           when(col("doc_id") % 4 === 0, sc(3)))).as("score"))
       Preference.krippAlphaInterval(votes, "doc_id", "score")
     }),
+    // ordinal-metric Krippendorff — ragged Likert grades ((doc_id mod
+    // (j+2)) + (doc_id mod 4), a bounded ranked scale): disagreement
+    // weighted by squared between-rank marginal mass, the judge-grade
+    // agreement gate between q_kripp's categorical and
+    // q_kripp_interval's numeric readings
+    "q_kripp_ordinal" -> ((s, d) => {
+      def gr(j: Int) =
+        ((col("doc_id") % (j + 2)) + (col("doc_id") % 4)).cast("double")
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          gr(0),
+          when(col("doc_id") % 5 =!= 0, gr(1)),
+          when(col("doc_id") % 7 =!= 0, gr(2)),
+          when(col("doc_id") % 4 === 0, gr(3)))).as("grade"))
+      Preference.krippAlphaOrdinal(votes, "doc_id", "grade")
+    }),
     // vocabulary-level drift: KL both ways + Jensen-Shannon divergence
     // between the en and non-en token distributions (union vocab,
     // add-half smoothing) — the drift check PSI/KS can't see
@@ -1873,6 +1889,19 @@ object SparkEntry {
         (col("doc_id") % 50).as("problem"),
         ((col("doc_id") * 7) % 3 === 0).as("ok"))
       TextAnalysis.passAtK(samples, "problem", "ok", ks = Seq(1, 5, 10))
+    }),
+    // self-consistency: plurality answer over sampled decodes per
+    // problem vs gold (2/3 of samples emit gold's residue class, the
+    // rest a doc-keyed wrong answer — the oracle rebuilds the votes);
+    // smallest-answer tie-break keeps both engines deterministic
+    "q_self_consist" -> ((s, d) => {
+      val problem = col("doc_id") % 40
+      val samples = Tables.documents(s, d).select(
+        problem.as("problem"),
+        when(col("doc_id") % 3 =!= 0, problem % 4)
+          .otherwise(col("doc_id") % 5).cast("int").as("answer"),
+        (problem % 4).cast("int").as("gold"))
+      TextAnalysis.majorityVote(samples, "problem", "answer", "gold")
     }),
     // the incremental form: a standing vote graph built from the first
     // 80 % of docs, the rest MERGEd as a new batch — ratings from the
@@ -4882,6 +4911,26 @@ object SparkEntry {
         s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
         s"(1.0 + $z2/nd), 6) AS hi95 FROM e"
     },
+    // self-consistency: per-(problem, answer) counts, plurality via
+    // row_number (count desc, answer asc — the smallest-answer
+    // tie-break verbatim)
+    "q_self_consist" ->
+      ("WITH s AS (SELECT doc_id % 40 AS problem, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 40) % 4 " +
+        "ELSE doc_id % 5 END AS VARCHAR) AS answer, " +
+        "CAST((doc_id % 40) % 4 AS VARCHAR) AS gold FROM documents), " +
+        "c AS (SELECT problem, answer, count(*) AS cnt FROM s GROUP BY 1, 2), " +
+        "top AS (SELECT problem, answer AS vote_answer, cnt AS vote_n FROM " +
+        "(SELECT problem, answer, cnt, row_number() OVER " +
+        "(PARTITION BY problem ORDER BY cnt DESC, answer ASC) AS rn FROM c) " +
+        "WHERE rn = 1), " +
+        "tot AS (SELECT problem, count(*) AS n, " +
+        "count(DISTINCT answer) AS n_answers, max(gold) AS gold " +
+        "FROM s GROUP BY problem) " +
+        "SELECT tot.problem, tot.n, CAST(tot.n_answers AS BIGINT) AS n_answers, " +
+        "tot.gold, top.vote_answer, top.vote_n, " +
+        "CAST(top.vote_answer = tot.gold AS INT) AS correct " +
+        "FROM tot JOIN top USING (problem)"),
     // pass@k: the product estimator folded ascending-i per k, NULL
     // when k exceeds the problem's sample count
     "q_pass_at_k" ->
@@ -4963,6 +5012,39 @@ object SparkEntry {
         "de AS (SELECT CASE WHEN tot.n > 1 THEN " +
         "2.0*(tot.n*tot.t2 - tot.t1*tot.t1)/(tot.n - 1.0) ELSE 0.0 END AS d_e FROM tot) " +
         "SELECT CAST(tot.ni AS BIGINT) AS n_items, CAST(tot.n AS BIGINT) AS n_pairable, " +
+        "round(dd.d_o, 6) AS d_o, round(de.d_e, 6) AS d_e, " +
+        "CASE WHEN de.d_e > 0 THEN round(1.0 - dd.d_o/de.d_e, 6) END AS alpha " +
+        "FROM tot, dd, de"),
+    // ordinal Krippendorff: delta as exact half-integers off the
+    // cumulative pairable marginals, quarter-integer products, the
+    // per-distinct-m division discipline
+    "q_kripp_ordinal" ->
+      ("WITH votes AS (SELECT doc_id, CAST((doc_id % (j+2)) + (doc_id % 4) AS DOUBLE) AS v " +
+        "FROM documents, range(0,4) r(j) " +
+        "WHERE j = 0 OR (j = 1 AND doc_id % 5 <> 0) " +
+        "OR (j = 2 AND doc_id % 7 <> 0) OR (j = 3 AND doc_id % 4 = 0)), " +
+        "cell AS (SELECT doc_id AS i, v, count(*) AS nij FROM votes GROUP BY 1, 2), " +
+        "item AS (SELECT i, sum(nij) AS m FROM cell GROUP BY i HAVING sum(nij) >= 2), " +
+        "marg AS (SELECT v, sum(nij) AS c FROM cell JOIN item USING (i) GROUP BY v), " +
+        "cum AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM marg), " +
+        "tot AS (SELECT count(*) AS nl, coalesce(sum(c), 0) AS n FROM marg), " +
+        "dta AS (SELECT a.v AS va, b.v AS vb, " +
+        "CASE WHEN a.v <= b.v THEN (b.cum - a.cum + a.c) - (a.c + b.c)/2.0 " +
+        "ELSE (a.cum - b.cum + b.c) - (b.c + a.c)/2.0 END AS delta " +
+        "FROM cum a, cum b WHERE a.v <> b.v), " +
+        "d2q AS (SELECT va, vb, delta*delta AS d2 FROM dta), " +
+        "de AS (SELECT CASE WHEN tot.n > 1 THEN " +
+        "coalesce(sum(ma.c * mb.c * q.d2), 0)/(tot.n - 1.0) ELSE 0.0 END AS d_e " +
+        "FROM d2q q JOIN marg ma ON ma.v = q.va JOIN marg mb ON mb.v = q.vb, tot " +
+        "GROUP BY tot.n), " +
+        "nm AS (SELECT it.m AS m, sum(ca.nij * cb.nij * q.d2) AS num " +
+        "FROM cell ca JOIN cell cb ON ca.i = cb.i AND ca.v <> cb.v " +
+        "JOIN d2q q ON q.va = ca.v AND q.vb = cb.v " +
+        "JOIN item it ON it.i = ca.i GROUP BY it.m), " +
+        "dd AS (SELECT coalesce(sum(num/(m - 1.0)), 0) AS d_o FROM nm) " +
+        "SELECT CAST((SELECT count(*) FROM item) AS BIGINT) AS n_items, " +
+        "CAST(tot.n AS BIGINT) AS n_pairable, CAST(tot.nl AS BIGINT) AS n_labels, " +
         "round(dd.d_o, 6) AS d_o, round(de.d_e, 6) AS d_e, " +
         "CASE WHEN de.d_e > 0 THEN round(1.0 - dd.d_o/de.d_e, 6) END AS alpha " +
         "FROM tot, dd, de"),

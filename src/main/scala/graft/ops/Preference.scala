@@ -173,6 +173,99 @@ object Preference {
       round((center + margin) / denom, 6).as("hi95"))
   }
 
+  /** Krippendorff's alpha with the ORDINAL metric — the ragged-panel
+    * agreement statistic for RANKED grades (LLM judges emitting
+    * Likert scales: 1-5 quality, severity tiers), completing the
+    * [[krippAlpha]] (nominal) / [[krippAlphaInterval]] family.
+    * Disagreement between categories c ≤ k is the squared
+    * between-rank mass δ²_ck = (Σ_{g=c..k} n_g − (n_c + n_k)/2)²
+    * over the PAIRABLE marginal counts (Krippendorff's ordinal
+    * metric — adjacent popular grades disagree more than adjacent
+    * rare ones). Same exclusion rules (items with <2 ratings and
+    * null grades leave every total) and the same scaling as the
+    * siblings:
+    *
+    *   D_o = Σ_u Σ_{c≠k} n_uc·n_uk·δ²_ck/(m_u − 1)
+    *   D_e = Σ_{c≠k} n_c·n_k·δ²_ck/(n − 1);  α = 1 − D_o/D_e
+    *
+    * With two categories every disagreeing pair shares one δ², so α
+    * reduces EXACTLY to the nominal form (spec-asserted). Arithmetic:
+    * δ is an exact half-integer off integer cumulative sums, so every
+    * product is an exact quarter-integer below 2^53 —
+    * order-insensitive sums, the per-distinct-m division discipline,
+    * bit-identical oracle. The δ² table is category-pair-sized
+    * (grades are a bounded set — required ≤ 512 distinct) and
+    * broadcast; per-item pair expansion is dictionary-sized (items ×
+    * their distinct grades²). α NULL when D_e = 0. D_o/D_e/α round 6.
+    * Returns (n_items, n_pairable, n_labels, d_o, d_e, alpha).
+    */
+  def krippAlphaOrdinal(votes: DataFrame, itemCol: String,
+      valueCol: String): DataFrame = {
+    val cell = votes
+      .select(col(itemCol).as("_i"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy("_i", "_v").agg(count(lit(1)).as("_nij"))
+      .localCheckpoint()
+    val perItem = cell.groupBy("_i")
+      .agg(sum("_nij").as("_m"))
+      .where(col("_m") >= 2)
+      .localCheckpoint()
+    import votes.sparkSession.implicits._
+    val marg = cell.join(perItem.select("_i"), Seq("_i"))
+      .groupBy("_v").agg(sum("_nij").as("_c"))
+      .as[(Double, Long)].collect().sortBy(_._1)
+    if (marg.isEmpty)
+      return Seq((0L, 0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double]))
+        .toDF("n_items", "n_pairable", "n_labels", "d_o", "d_e", "alpha")
+    require(marg.length <= 512,
+      s"krippAlphaOrdinal: ${marg.length} distinct grades — the ordinal " +
+        "metric's pair table is category²-sized; bucket the grade scale " +
+        "(or use krippAlphaInterval) beyond 512")
+    val n = marg.map(_._2).sum
+    val nLabels = marg.length.toLong
+    // cumulative marginal mass in grade order: δ(c≤k) = between-mass
+    // minus the endpoints' half-counts — exact half-integers
+    val cums = marg.map(_._2).scanLeft(0L)(_ + _).tail
+    val d2: Seq[(Double, Double, Double)] =
+      for {
+        ci <- marg.indices
+        ki <- marg.indices
+        if ci != ki
+      } yield {
+        val (lo, hi) = (math.min(ci, ki), math.max(ci, ki))
+        val between = cums(hi) - cums(lo) + marg(lo)._2
+        val delta = between - (marg(lo)._2 + marg(hi)._2) / 2.0
+        (marg(ci)._1, marg(ki)._1, delta * delta)
+      }
+    val margMap = marg.toMap
+    val dE =
+      if (n <= 1) 0.0
+      else d2.map { case (c, k, d) =>
+        margMap(c).toDouble * margMap(k) * d
+      }.sum / (n - 1).toDouble
+    val d2Df = d2.toDF("_va", "_vb", "_d2")
+    // per-item disagreeing grade pairs (dictionary-sized: items ×
+    // their distinct grades²) against the broadcast δ² table, then
+    // the per-distinct-m division discipline
+    val a = cell.select(col("_i"), col("_v").as("_va"), col("_nij").as("_na"))
+    val b = cell.select(col("_i"), col("_v").as("_vb"), col("_nij").as("_nb"))
+    val byM = a.join(b, Seq("_i")).where(col("_va") =!= col("_vb"))
+      .join(broadcast(d2Df), Seq("_va", "_vb"))
+      .join(perItem, Seq("_i"))
+      .groupBy("_m")
+      .agg(sum(col("_na").cast("double") * col("_nb") * col("_d2"))
+        .as("_num"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val nItems = perItem.count()
+    val dO = byM.map { case (m, num) => num / (m - 1).toDouble }.sum
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val alpha = if (dE <= 0.0) Option.empty[Double]
+      else Some(q6(1.0 - dO / dE))
+    Seq((nItems, n, nLabels, Some(q6(dO)), Some(q6(dE)), alpha))
+      .toDF("n_items", "n_pairable", "n_labels", "d_o", "d_e", "alpha")
+  }
+
   /** Fleiss' kappa — chance-corrected agreement across a PANEL of
     * raters (the multi-rater generalization of the two-labeler
     * [[TextAnalysis.cohenKappa]]): THE acceptance gate on an

@@ -1882,6 +1882,41 @@ object TextAnalysis {
     }
   }
 
+  /** Self-consistency majority-vote eval (Wang et al. 2023) — the
+    * sampled-decoding accuracy booster's scorecard beside [[passAtK]]:
+    * per problem, the plurality answer over n samples (ties broken to
+    * the SMALLEST answer string — deterministic in both engines), its
+    * vote count, and whether it matches gold. `goldCol` must be
+    * constant per problem (a property of the problem, carried on each
+    * sample row; max() reads it back). One (problem, answer) count
+    * aggregate plus a problem-keyed window — the sample stream
+    * shuffles once, window partitions are answer-dictionary-sized.
+    * Returns (problem, n, n_answers, gold, vote_answer, vote_n,
+    * correct).
+    */
+  def majorityVote(samples: DataFrame, problemCol: String,
+      answerCol: String, goldCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = samples
+      .groupBy(col(problemCol).as("problem"),
+        col(answerCol).cast("string").as("_a"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("problem")
+      .orderBy(col("_c").desc, col("_a").asc)
+    val top = counts.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("problem"), col("_a").as("vote_answer"),
+        col("_c").as("vote_n"))
+    val tot = samples.groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(answerCol).cast("string")).as("n_answers"),
+        max(col(goldCol).cast("string")).as("gold"))
+    tot.join(top, Seq("problem"))
+      .select(col("problem"), col("n"), col("n_answers"), col("gold"),
+        col("vote_answer"), col("vote_n"),
+        (col("vote_answer") === col("gold")).cast("int").as("correct"))
+  }
+
   /** Calibration report for a [0,1]-probability scorer against a binary
     * label — the reliability-diagram table (per-bin mean prediction vs
     * observed positive rate) plus per-bin Brier contribution, the QA

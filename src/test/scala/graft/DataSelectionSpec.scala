@@ -333,4 +333,21 @@ class DataSelectionSpec extends SparkSpec {
       .select("pass_5").as[Option[Double]].collect().head
     assert(g5.contains(math.rint((1.0 - 21.0 / 252) * 1e6) / 1e6), g5)
   }
+
+  test("majorityVote: plurality answer, smallest-answer tie-break, " +
+      "correctness flag") {
+    import graft.ops.TextAnalysis
+    val samples = Seq(
+      ("A", "x", "x"), ("A", "x", "x"), ("A", "y", "x"),
+      ("B", "y", "y"), ("B", "x", "y"),
+      ("C", "z", "z")).toDF("problem", "answer", "gold")
+    val got = TextAnalysis.majorityVote(samples, "problem", "answer", "gold")
+      .as[(String, Long, Long, String, String, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 2L, "x", "x", 2L, 1)), got("A"))
+    // 1-1 tie resolves to the SMALLEST answer ("x" < "y") — gold is y,
+    // so the vote is wrong, deterministically
+    assert(got("B") == (("B", 2L, 2L, "y", "x", 1L, 0)), got("B"))
+    assert(got("C") == (("C", 1L, 1L, "z", "z", 1L, 1)), got("C"))
+  }
 }

@@ -275,4 +275,38 @@ class PreferenceSpec extends SparkSpec {
       .select("lo95", "hi95").as[(Double, Double)].collect().head
     assert(sweep._1 < 0.45 && sweep._2 == 1.0, sweep)
   }
+
+  test("krippAlphaOrdinal: hand-checked between-rank deltas, binary " +
+      "reduces to the nominal alpha, perfect/constant edges") {
+    def run(rows: Seq[(Long, Double)]) =
+      Preference.krippAlphaOrdinal(rows.toDF("item", "grade"),
+          "item", "grade")
+        .as[(Long, Long, Long, Option[Double], Option[Double],
+          Option[Double])].collect().head
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    // items 1:(1,2) 2:(1,3) 3:(2 — excluded). Pairable marginals
+    // n1=2 n2=1 n3=1. deltas: (1,2)=1.5, (1,3)=2.5, (2,3)=1 →
+    // D_o = 2·2.25 + 2·6.25 = 17; D_e = (9 + 25 + 2)/3 = 12
+    val got = run(Seq((1L, 1.0), (1L, 2.0), (2L, 1.0), (2L, 3.0),
+      (3L, 2.0)))
+    assert(got == ((2L, 4L, 3L, Some(17.0), Some(12.0),
+      Some(q6(1.0 - 17.0 / 12)))), got)
+    // two categories: every disagreeing pair shares one delta², which
+    // cancels — ordinal alpha == nominal alpha on the same panel
+    val binPairs = Seq((1L, 0.0), (1L, 0.0), (1L, 0.0), (2L, 0.0),
+      (2L, 1.0))
+    val nom = Preference.krippAlpha(
+      binPairs.map { case (i, x) => (i, x.toString) }.toDF("item", "label"),
+      "item", "label").select("alpha")
+      .as[Option[Double]].collect().head
+    assert(run(binPairs)._6 == nom, s"${run(binPairs)._6} vs $nom")
+    // perfect agreement across two grade levels → alpha 1
+    val perfect = run(Seq((1L, 3.0), (1L, 3.0), (2L, 5.0), (2L, 5.0)))
+    assert(perfect._4.contains(0.0) && perfect._6.contains(1.0), perfect)
+    // one grade everywhere → D_e = 0 → NULL
+    assert(run(Seq((1L, 2.0), (1L, 2.0), (2L, 2.0), (2L, 2.0)))._6.isEmpty)
+    // nothing pairable → zero row
+    assert(run(Seq((1L, 1.0), (2L, 2.0))) ==
+      ((0L, 0L, 0L, None, None, None)))
+  }
 }
