@@ -2631,10 +2631,11 @@ object ArrayKernels {
       copy(left = newLeft, right = newRight)
   }
 
-  def gopher_rep_stats(toks: Column, lines: Column, paras: Column): Column =
+  def gopher_rep_stats(toks: Column, lines: Column, paras: Column,
+      lite: Boolean = false): Column =
     GraftSqlBridge.column(GopherRepStats(
       GraftSqlBridge.expression(toks), GraftSqlBridge.expression(lines),
-      GraftSqlBridge.expression(paras)))
+      GraftSqlBridge.expression(paras), lite))
 
   /** `gopher_rep_stats(toks, lines, paras)` — EVERY integer the Gopher
     * repetition battery (TextAnalysis.gopherRepetition) needs, in one
@@ -2653,7 +2654,7 @@ object ArrayKernels {
     * TextAnalysis.repetitionScores off the same pass).
     */
   case class GopherRepStats(first: Expression, second: Expression,
-      third: Expression)
+      third: Expression, lite: Boolean = false)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     private val longField = (n: String) => StructField(n, LongType, nullable = false)
     override def dataType: DataType = StructType(Seq(
@@ -2781,11 +2782,18 @@ object ArrayKernels {
         }
       }
       val d3i = if (L < 3) 0L else (L - 2).toLong - gramMap(3).size.toLong
-      org.apache.spark.sql.catalyst.InternalRow(
-        dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
-        topStats(2), topStats(3), topStats(4),
-        dupStats(5), dupStats(6), dupStats(7), dupStats(8), dupStats(9),
-        dupStats(10), L.toLong, t1c, d3i)
+      // lite mode (repetitionScores): only ntok/t1c/d3i are consumed —
+      // skip the nine gopher gram levels, emit zeros in their slots
+      if (lite)
+        org.apache.spark.sql.catalyst.InternalRow(
+          dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
+          0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, L.toLong, t1c, d3i)
+      else
+        org.apache.spark.sql.catalyst.InternalRow(
+          dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
+          topStats(2), topStats(3), topStats(4),
+          dupStats(5), dupStats(6), dupStats(7), dupStats(8), dupStats(9),
+          dupStats(10), L.toLong, t1c, d3i)
     }
 
     override def nullSafeEval(a: Any, b: Any, c: Any): Any =

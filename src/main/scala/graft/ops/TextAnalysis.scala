@@ -1213,7 +1213,8 @@ object TextAnalysis {
     // is the kernel's hashed O(L)
     docs.select(col("doc_id"),
         graft.functions.ArrayKernels.gopher_rep_stats(
-          coalesce(toks(col("text")), emptyS), emptyS, emptyS).as("_s"))
+          coalesce(toks(col("text")), emptyS), emptyS, emptyS,
+          lite = true).as("_s"))
       .select(col("doc_id"),
         round(col("_s.t1c").cast("double") /
           greatest(col("_s.ntok"), lit(1L)), 4).as("top_tok_frac"),

@@ -714,6 +714,18 @@ class PropertySpec extends SparkSpec {
     rows.foreach { case (i, t, l, pp) =>
       assert(got(i) == refStats(t, l, pp), s"row $i")
     }
+    // lite mode: the repetitionScores fields agree with the full pass,
+    // gopher gram slots read zero
+    val lite = rows.toDF("id", "t", "l", "p")
+      .select(col("id"), ArrayKernels.gopher_rep_stats(
+        col("t"), col("l"), col("p"), lite = true).as("s"))
+      .selectExpr("id", "s.*").collect()
+      .map(r => r.getLong(0) -> (1 until 22).map(r.getLong).toVector).toMap
+    rows.foreach { case (i, t, l, pp) =>
+      val full = refStats(t, l, pp)
+      val want = full.take(9) ++ Vector.fill(9)(0L) ++ full.takeRight(3)
+      assert(lite(i) == want, s"lite row $i")
+    }
   }
 
   test("quantized expected counts track the exact kernel; " +
