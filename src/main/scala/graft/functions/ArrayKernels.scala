@@ -2335,6 +2335,161 @@ object ArrayKernels {
     GraftSqlBridge.column(TokenEditDist(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  def ter_shift_stats(cand: Column, ref: Column,
+      maxShiftLen: Int = 10): Column =
+    GraftSqlBridge.column(TerShiftStats(
+      GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref),
+      maxShiftLen))
+
+  /** `ter_shift_stats(cand, ref, maxShiftLen)` — greedy-shift TER
+    * (Snover et al. 2006) numerator parts: struct (shifts, edits) where
+    * `edits` is the word edit distance AFTER the greedy block-shift
+    * loop and `shifts` the number of shifts taken (each costs 1, so
+    * TER = (shifts + edits) / ref_len). The loop is the standard
+    * TERcom heuristic, beam-limited: candidate shifts are the blocks
+    * of ≤ `maxShiftLen` tokens that occur VERBATIM somewhere in the
+    * reference (non-matching blocks can never pay for their shift),
+    * each candidate is scored by one [[TokenEditDist]]-shaped DP on the
+    * shifted hypothesis, the best strictly-improving shift is applied,
+    * and the loop repeats until no shift lowers the distance (each
+    * iteration lowers it by ≥ 1, so iterations ≤ the initial edit
+    * distance). shifts + edits ≤ the shift-free distance BY
+    * CONSTRUCTION (a shift is only taken when it reduces the DP by
+    * MORE than its own +1 cost), so shift-free TER (= q_ter's WER
+    * form) stays the documented upper bound. O(L²·maxShiftLen·matches)
+    * per improving iteration — sentence-shaped inputs by contract
+    * (truncate long documents first; the q_ter_shift fixture slices to
+    * 40 tokens, real MT evals are sentence-segmented anyway).
+    */
+  case class TerShiftStats(left: Expression, right: Expression,
+      maxShiftLen: Int) extends BinaryExpression {
+    require(maxShiftLen >= 1 && maxShiftLen <= 32,
+      s"ter_shift_stats: bad maxShiftLen $maxShiftLen")
+    override def dataType: DataType = StructType(Seq(
+      StructField("shifts", LongType, nullable = false),
+      StructField("edits", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"ter_shift_stats requires (ARRAY<STRING>, ARRAY<STRING>), " +
+            s"got ${l.catalogString}, ${r.catalogString}")
+      }
+
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private def editDist(a: Array[UTF8String],
+        b: Array[UTF8String]): Int = {
+      val n = a.length
+      val m = b.length
+      if (n == 0) return m
+      if (m == 0) return n
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var j0 = 0
+      while (j0 <= m) { prev(j0) = j0; j0 += 1 }
+      var i = 0
+      while (i < n) {
+        cur(0) = i + 1
+        var j = 1
+        while (j <= m) {
+          val sub = prev(j - 1) + (if (a(i).equals(b(j - 1))) 0 else 1)
+          val del = prev(j) + 1
+          val ins = cur(j - 1) + 1
+          cur(j) = math.min(sub, math.min(del, ins))
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m)
+    }
+
+    def compute(cIn: ArrayData, rIn: ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      def arr(a: ArrayData): Array[UTF8String] = {
+        val out = new Array[UTF8String](a.numElements())
+        var i = 0
+        while (i < out.length) {
+          val s = a.getUTF8String(i)
+          out(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+          i += 1
+        }
+        out
+      }
+      val r = arr(rIn)
+      var cur = arr(cIn)
+      var best = editDist(cur, r)
+      var shifts = 0L
+      var improved = best > 1 // a 0/1-distance hypothesis can't pay for a shift
+      while (improved) {
+        improved = false
+        var bestGain = 1 // only strictly-improving BEYOND the shift's own cost
+        var bestShifted: Array[UTF8String] = null
+        var start = 0
+        while (start < cur.length) {
+          val maxLen = math.min(maxShiftLen, cur.length - start)
+          var len = 1
+          while (len <= maxLen) {
+            // does cur[start, start+len) occur verbatim in r? collect
+            // each occurrence as an insertion target
+            var rp = 0
+            while (rp + len <= r.length) {
+              var k = 0
+              while (k < len && cur(start + k).equals(r(rp + k))) k += 1
+              if (k == len) {
+                // remove the block, insert so it starts at position
+                // min(rp, rest length) — aligning it with its reference
+                // occurrence
+                val rest = new Array[UTF8String](cur.length - len)
+                System.arraycopy(cur, 0, rest, 0, start)
+                System.arraycopy(cur, start + len, rest, start,
+                  cur.length - start - len)
+                val ins = math.min(rp, rest.length)
+                if (ins != start) {
+                  val shifted = new Array[UTF8String](cur.length)
+                  System.arraycopy(rest, 0, shifted, 0, ins)
+                  System.arraycopy(cur, start, shifted, ins, len)
+                  System.arraycopy(rest, ins, shifted, ins + len,
+                    rest.length - ins)
+                  val gain = best - editDist(shifted, r)
+                  if (gain > bestGain) {
+                    bestGain = gain
+                    bestShifted = shifted
+                  }
+                }
+              }
+              rp += 1
+            }
+            len += 1
+          }
+          start += 1
+        }
+        if (bestShifted != null) {
+          cur = bestShifted
+          best -= bestGain
+          shifts += 1L
+          improved = best > 1
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(shifts, best.toLong)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("terShiftKernel", this,
+        classOf[TerShiftStats].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `token_edit_dist(a, b)` — word-level Levenshtein distance between
     * two token arrays (unit-cost insert/delete/substitute), the
     * shift-free TER core. The [[TokenLcsLen]] shape exactly: two-row DP,
@@ -2711,10 +2866,17 @@ object ArrayKernels {
       val (nl, dl, lch, dlch) = unitStats(ls)
       val (np, dp, pch, dpch) = unitStats(ps)
       val sp = UTF8String.fromString(" ")
-      // (gram count, window token-char mass) per distinct n-gram; the
-      // window char mass is a property of the gram string, stored once
-      def gramMap(n: Int): java.util.HashMap[UTF8String, Array[Long]] = {
+      // ONE concat/hash pass per gram level: the map holds (count,
+      // window token-char mass) per distinct n-gram, and `ents(s)` is
+      // the map ENTRY the gram starting at s hit — every downstream
+      // stat (top, coverage marking, instance counts) then reads the
+      // already-built entries instead of re-concatenating the grams
+      // (the round-12 advice: the dominant O(L·n) cost was paid twice
+      // per dup level and thrice for n = 3)
+      def gramEntries(n: Int)
+          : (java.util.HashMap[UTF8String, Array[Long]], Array[Array[Long]]) = {
         val map = new java.util.HashMap[UTF8String, Array[Long]]()
+        val ents = new Array[Array[Long]](math.max(L - n + 1, 0))
         var s = 0
         while (s + n <= L) {
           var g = tstr(s)
@@ -2725,16 +2887,16 @@ object ArrayKernels {
             w += tlen(s + k)
             k += 1
           }
-          val prev = map.get(g)
-          if (prev == null) map.put(g, Array(1L, w)) else prev(0) += 1L
+          var e = map.get(g)
+          if (e == null) { e = Array(1L, w); map.put(g, e) }
+          else e(0) += 1L
+          ents(s) = e
           s += 1
         }
-        map
+        (map, ents)
       }
       // top family: max count, ties to the longest window char mass
-      def topStats(n: Int): Long = {
-        if (L < n) return 0L
-        val map = gramMap(n)
+      def topFromMap(map: java.util.HashMap[UTF8String, Array[Long]]): Long = {
         var mx = 0L
         var best = 0L
         val it = map.values().iterator()
@@ -2745,19 +2907,18 @@ object ArrayKernels {
         }
         if (mx == 0L) 0L else mx * best
       }
+      def topStats(n: Int): Long =
+        if (L < n) 0L else topFromMap(gramEntries(n)._1)
       // dup family: char mass of the POSITION UNION under duplicated
-      // gram occurrences — one pass to count, one to mark coverage
+      // gram occurrences — coverage read straight off the entries
       def dupStats(n: Int): Long = {
         if (L < n) return 0L
-        val map = gramMap(n)
+        val ents = gramEntries(n)._2
         val covered = new Array[Boolean](L)
         var any = false
         var s = 0
-        while (s + n <= L) {
-          var g = tstr(s)
-          var k = 1
-          while (k < n) { g = UTF8String.concat(g, sp, tstr(s + k)); k += 1 }
-          if (map.get(g)(0) >= 2L) {
+        while (s < ents.length) {
+          if (ents(s)(0) >= 2L) {
             any = true
             var k2 = s
             while (k2 < s + n) { covered(k2) = true; k2 += 1 }
@@ -2772,16 +2933,19 @@ object ArrayKernels {
       }
       // the repetitionScores count-fraction signals ride the same
       // pass: top 1-gram occurrence count and duplicated-3-gram
-      // instance count (instances minus distinct)
+      // instance count (instances minus distinct); the n = 3 map is
+      // built ONCE and serves both t3 (full mode) and d3i
       var t1c = 0L
       if (L > 0) {
-        val it1 = gramMap(1).values().iterator()
+        val it1 = gramEntries(1)._1.values().iterator()
         while (it1.hasNext) {
           val v = it1.next()
           if (v(0) > t1c) t1c = v(0)
         }
       }
-      val d3i = if (L < 3) 0L else (L - 2).toLong - gramMap(3).size.toLong
+      val map3 = if (L < 3) null else gramEntries(3)._1
+      val d3i = if (map3 == null) 0L else (L - 2).toLong - map3.size.toLong
+      val t3 = if (lite || map3 == null) 0L else topFromMap(map3)
       // lite mode (repetitionScores): only ntok/t1c/d3i are consumed —
       // skip the nine gopher gram levels, emit zeros in their slots
       if (lite)
@@ -2791,7 +2955,7 @@ object ArrayKernels {
       else
         org.apache.spark.sql.catalyst.InternalRow(
           dtok, nl, dl, lch, dlch, np, dp, pch, dpch,
-          topStats(2), topStats(3), topStats(4),
+          topStats(2), t3, topStats(4),
           dupStats(5), dupStats(6), dupStats(7), dupStats(8), dupStats(9),
           dupStats(10), L.toLong, t1c, d3i)
     }

@@ -151,13 +151,15 @@ object Curation {
       minTokens: Int = 10, maxNonAlnum: Double = 0.35,
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       spanTokens: Int = 20, contamN: Int = 13,
-      pplBuckets: Int = 5, pplKeepUpTo: Int = 4): DataFrame = {
+      pplBuckets: Int = 5, pplKeepUpTo: Int = 4,
+      prefix: Option[DataFrame] = None): DataFrame = {
     require(pplKeepUpTo >= 1 && pplKeepUpTo <= pplBuckets,
       s"cleanCorpusV5Stats: need 1 <= pplKeepUpTo <= pplBuckets, " +
         s"got $pplKeepUpTo/$pplBuckets")
     recipeStats(docs, Some((evalSet, contamN)),
       Some((1 to pplBuckets).map(b => if (b <= pplKeepUpTo) 1.0 else 0.0)),
-      minTokens, maxNonAlnum, maxStopword, snmThreshold, spanTokens)
+      minTokens, maxNonAlnum, maxStopword, snmThreshold, spanTokens,
+      prefix = prefix)
   }
 
   /** v6 — v5 with FRACTIONAL per-bucket perplexity rates instead of the
@@ -174,10 +176,11 @@ object Curation {
       minTokens: Int = 10, maxNonAlnum: Double = 0.35,
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       spanTokens: Int = 20, contamN: Int = 13,
-      pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1)): DataFrame = {
+      pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1),
+      prefix: Option[DataFrame] = None): DataFrame = {
     require(pplRates.nonEmpty, "cleanCorpusV6Stats: need bucket rates")
     recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
-      maxNonAlnum, maxStopword, snmThreshold, spanTokens)
+      maxNonAlnum, maxStopword, snmThreshold, spanTokens, prefix = prefix)
   }
 
   /** v8 — v6 plus a SEMANTIC decontamination stage between the lexical
@@ -192,11 +195,12 @@ object Curation {
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       spanTokens: Int = 20, contamN: Int = 13,
       pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1),
-      semMinCos: Double = 0.9): DataFrame = {
+      semMinCos: Double = 0.9,
+      prefix: Option[DataFrame] = None): DataFrame = {
     require(pplRates.nonEmpty, "cleanCorpusV8Stats: need bucket rates")
     recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
       maxNonAlnum, maxStopword, snmThreshold, spanTokens,
-      semDecontam = Some((evalSet, semMinCos)))
+      semDecontam = Some((evalSet, semMinCos)), prefix = prefix)
   }
 
   /** Length-bucket edges shared by the v9 resample stage and its oracle
@@ -218,11 +222,13 @@ object Curation {
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       spanTokens: Int = 20, contamN: Int = 13,
       pplRates: Seq[Double] = Seq(1.0, 1.0, 1.0, 0.5, 0.1),
-      semMinCos: Double = 0.9, kFinal: Int = 50): DataFrame = {
+      semMinCos: Double = 0.9, kFinal: Int = 50,
+      prefix: Option[DataFrame] = None): DataFrame = {
     require(pplRates.nonEmpty, "cleanCorpusV9Stats: need bucket rates")
     recipeStats(docs, Some((evalSet, contamN)), Some(pplRates), minTokens,
       maxNonAlnum, maxStopword, snmThreshold, spanTokens,
-      semDecontam = Some((evalSet, semMinCos)), resampleK = Some(kFinal))
+      semDecontam = Some((evalSet, semMinCos)), resampleK = Some(kFinal),
+      prefix = prefix)
   }
 
   private def recipeStats(docs: DataFrame,
@@ -231,7 +237,8 @@ object Curation {
       maxNonAlnum: Double, maxStopword: Double,
       snmThreshold: Double, spanTokens: Int,
       semDecontam: Option[(DataFrame, Double)] = None,
-      resampleK: Option[Int] = None): DataFrame = {
+      resampleK: Option[Int] = None,
+      prefix: Option[DataFrame] = None): DataFrame = {
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -240,61 +247,87 @@ object Curation {
     // corpus-sized — the same contract as nearDupClusters' checkpointed
     // label table; the corpus TEXT is still scanned exactly once per stage
     // that derives from it (gate, fingerprints, SNM tokens, spans) and
-    // never shuffled.
+    // never shuffled. With a `prefix` table
+    // ([[recipePrefixDecisions]]/[[recipePrefixSemExtend]] — normally a
+    // STANDING artifact) the shared stages come from flag scans of the
+    // materialized table instead: five recipe variants per snapshot then
+    // pay the gate→dedup→SNM→decontam (→sem) chain once, not five times.
     def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
-    val quality = docs.where(TextAnalysis.curationGate(col("text"),
-      lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
-    val qualityIds = ids(quality)
-    val qualityDocs = docs.join(qualityIds, Seq("doc_id"), "left_semi")
-    val exactIds = ids(dedupSurvivors(qualityDocs))
-    val exactDocs = docs.join(exactIds, Seq("doc_id"), "left_semi")
-    val nearIds = ids(Dedup.dedupCorpus(exactIds,
-      Dedup.sortedNeighborPairs(exactDocs, threshold = snmThreshold)))
-    // optional decontamination stage (v4): id-only decision like every
-    // other stage — gram generation runs over the near-dedup SURVIVORS
-    // only, and the eval gram set broadcasts (bounded benchmark)
-    val lastIds = decontam match {
-      case None => nearIds
-      case Some((evalSet, n)) =>
-        ids(Decontam.decontaminate(
-          docs.join(nearIds, Seq("doc_id"), "left_semi")
-            .select("doc_id", "text"),
-          evalSet, "doc_id", "text", n))
-    }
-    // optional SEMANTIC decontamination stage (v8): paraphrase-robust —
-    // hashed-vector cosine vs the broadcast eval assignment under argmax
-    // blocking, dropping what s5's n-gram match cannot see. A doc whose
-    // hashed vector is zero-norm has no verdict row and is dropped with
-    // the contaminated (no direction ⇒ not comparable — the Similarity
-    // unitVecs convention; unreachable in practice behind the
-    // minTokens gate)
-    val semIds = semDecontam match {
-      case None => lastIds
-      case Some((evalSet, minCos)) =>
-        ids(Decontam.semanticContamination(
-          docs.join(lastIds, Seq("doc_id"), "left_semi")
-            .select("doc_id", "text"),
-          evalSet, minCos)
-          .where(col("is_contam") === 0)
-          .select(col("vec_id").as("doc_id")))
+    val (qualityIds, exactIds, nearIds, lastIds, semIds, prefixScored) =
+    prefix match {
+      case Some(p) =>
+        require(decontam.isDefined,
+          "recipeStats: a prefix table always covers the lexical " +
+            "decontam stage — pass its config so stage naming matches")
+        require(semDecontam.isEmpty == !p.columns.contains("sem"),
+          "recipeStats: the prefix table's stages (sem flag present = " +
+            "built by recipePrefixSemExtend) must match the semDecontam " +
+            "argument — the score column is fitted on the LAST covered " +
+            "stage's survivors")
+        val sel = (f: String) => p.where(col(f)).select("doc_id")
+        val lastFlag = if (semDecontam.isDefined) "sem" else "dc"
+        (sel("q"), sel("ex"), sel("nd"), sel("dc"), sel(lastFlag),
+          Some(p.where(col(lastFlag) && col("avg_surprisal").isNotNull)
+            .select(col("doc_id"), col("avg_surprisal"))))
+      case None =>
+        val quality = docs.where(TextAnalysis.curationGate(col("text"),
+          lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
+        val qualityIds = ids(quality)
+        val qualityDocs = docs.join(qualityIds, Seq("doc_id"), "left_semi")
+        val exactIds = ids(dedupSurvivors(qualityDocs))
+        val exactDocs = docs.join(exactIds, Seq("doc_id"), "left_semi")
+        val nearIds = ids(Dedup.dedupCorpus(exactIds,
+          Dedup.sortedNeighborPairs(exactDocs, threshold = snmThreshold)))
+        // optional decontamination stage (v4): id-only decision like every
+        // other stage — gram generation runs over the near-dedup SURVIVORS
+        // only, and the eval gram set broadcasts (bounded benchmark)
+        val lastIds = decontam match {
+          case None => nearIds
+          case Some((evalSet, n)) =>
+            ids(Decontam.decontaminate(
+              docs.join(nearIds, Seq("doc_id"), "left_semi")
+                .select("doc_id", "text"),
+              evalSet, "doc_id", "text", n))
+        }
+        // optional SEMANTIC decontamination stage (v8): paraphrase-robust —
+        // hashed-vector cosine vs the broadcast eval assignment under argmax
+        // blocking, dropping what s5's n-gram match cannot see. A doc whose
+        // hashed vector is zero-norm has no verdict row and is dropped with
+        // the contaminated (no direction ⇒ not comparable — the Similarity
+        // unitVecs convention; unreachable in practice behind the
+        // minTokens gate)
+        val semIds = semDecontam match {
+          case None => lastIds
+          case Some((evalSet, minCos)) =>
+            ids(Decontam.semanticContamination(
+              docs.join(lastIds, Seq("doc_id"), "left_semi")
+                .select("doc_id", "text"),
+              evalSet, minCos)
+              .where(col("is_contam") === 0)
+              .select(col("vec_id").as("doc_id")))
+        }
+        (qualityIds, exactIds, nearIds, lastIds, semIds, None)
     }
     // optional perplexity-percentile stage (v5/v6): fit unigram surprisal
     // on the current survivors, keep each quantile bucket at its rate —
     // v5's 0/1 rates make the hash predicate degenerate (always / never
     // keep, fully deterministic); v6's fractional rates thin buckets via
-    // the deterministic hash-sample predicate
+    // the deterministic hash-sample predicate. With a prefix table the
+    // fitted scores are already materialized columns of it.
     val pplIds = ppl match {
       case None => semIds
       case Some(rates) =>
-        val surv = docs.join(semIds, Seq("doc_id"), "left_semi")
         // (id, score) is decision-sized: localCheckpoint it like every
         // other stage decision, then fit+apply the quantile dictionary
         // directly — perplexityMix's internal persist would leak one
         // cache entry per recipe invocation (its documented caveat)
-        val scored = TextAnalysis.surprisalScores(
-            surv.select(col("doc_id"), col("text")))
-          .select(col("doc_id"), col("avg_surprisal"))
-          .localCheckpoint()
+        val scored = prefixScored.getOrElse {
+          val surv = docs.join(semIds, Seq("doc_id"), "left_semi")
+          TextAnalysis.surprisalScores(
+              surv.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("avg_surprisal"))
+            .localCheckpoint()
+        }
         ids(Sampling.perplexityMixApply(scored,
           Sampling.perplexityBuckets(scored, "avg_surprisal", rates.length),
           "doc_id", "avg_surprisal", rates).select("doc_id"))
@@ -356,6 +389,81 @@ object Curation {
      else withPpl)
       .unionByName(spanStages)
   }
+
+  /** The shared recipe PREFIX as a materializable decision table: every
+    * input document with its survival flag through each of the stages
+    * the v4+ recipes have in common — quality gate (`q`), exact dedup
+    * (`ex`), near dedup (`nd`), lexical decontam (`dc`) — plus
+    * `avg_surprisal` fitted on the `dc` survivors (NULL for non-survivors
+    * and zero-token docs). Persist it as a STANDING artifact per
+    * (snapshot, witness, config-version) and pass it to the
+    * `prefix` parameter of [[cleanCorpusV5Stats]]/[[cleanCorpusV6Stats]]:
+    * five recipe variants then read flag scans of one table instead of
+    * each re-running the gate→fingerprint→SNM→gram chain — at 100 TB the
+    * recipe prefix is recomputed far more often than it changes, the
+    * qualityScoredLabeled argument exactly. The caller owns config
+    * consistency: the variants must be invoked with the SAME thresholds
+    * the prefix was built with (bake them into the artifact's version
+    * token — the qscored_v1 rule).
+    */
+  def recipePrefixDecisions(docs: DataFrame, evalSet: DataFrame,
+      minTokens: Int = 10, maxNonAlnum: Double = 0.35,
+      maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
+      contamN: Int = 13): DataFrame = {
+    def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
+    val qualityIds = ids(docs.where(TextAnalysis.curationGate(col("text"),
+      lit(minTokens), maxNonAlnum, maxStopword, langLabel = None)))
+    val exactIds = ids(dedupSurvivors(
+      docs.join(qualityIds, Seq("doc_id"), "left_semi")))
+    val nearIds = ids(Dedup.dedupCorpus(exactIds,
+      Dedup.sortedNeighborPairs(
+        docs.join(exactIds, Seq("doc_id"), "left_semi"),
+        threshold = snmThreshold)))
+    val dcIds = ids(Decontam.decontaminate(
+      docs.join(nearIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"),
+      evalSet, "doc_id", "text", contamN))
+    flagTable(docs,
+      Seq("q" -> qualityIds, "ex" -> exactIds, "nd" -> nearIds,
+        "dc" -> dcIds),
+      surprisalOver(docs, dcIds))
+  }
+
+  /** Extend a [[recipePrefixDecisions]] table with the v8/v9 semantic
+    * decontamination stage: adds the `sem` flag over the `dc` survivors
+    * and REFITS `avg_surprisal` on the `sem` survivors (the perplexity
+    * gate of a sem-bearing recipe fits its LM on what semantic decontam
+    * let through — a different corpus than `dc`). Same sem semantics as
+    * the inline stage: zero-norm hashed vectors drop with the
+    * contaminated.
+    */
+  def recipePrefixSemExtend(prefix: DataFrame, docs: DataFrame,
+      evalSet: DataFrame, semMinCos: Double): DataFrame = {
+    val dcIds = prefix.where(col("dc")).select("doc_id").localCheckpoint()
+    val semIds = Decontam.semanticContamination(
+        docs.join(dcIds, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"),
+        evalSet, semMinCos)
+      .where(col("is_contam") === 0)
+      .select(col("vec_id").as("doc_id")).localCheckpoint()
+    prefix.drop("avg_surprisal")
+      .join(semIds.withColumn("sem", lit(true)), Seq("doc_id"), "left")
+      .withColumn("sem", coalesce(col("sem"), lit(false)))
+      .join(surprisalOver(docs, semIds), Seq("doc_id"), "left")
+  }
+
+  private def surprisalOver(docs: DataFrame, survIds: DataFrame): DataFrame =
+    TextAnalysis.surprisalScores(
+        docs.join(survIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("avg_surprisal"))
+
+  private def flagTable(docs: DataFrame, flags: Seq[(String, DataFrame)],
+      scored: DataFrame): DataFrame =
+    flags.foldLeft(docs.select("doc_id")) { case (acc, (name, set)) =>
+      acc.join(set.withColumn(name, lit(true)), Seq("doc_id"), "left")
+        .withColumn(name, coalesce(col(name), lit(false)))
+    }.join(scored, Seq("doc_id"), "left")
 
   /** The INGEST GATE — the crawl-to-corpus front door, composed from the
     * STANDING artifacts the batch pipeline already maintains so a new

@@ -33,15 +33,21 @@ private[graft] object PrefixSum {
 
   /** Adds, for each `(cntCol, outCol)` pair, the INCLUSIVE global
     * running sum of `cntCol` over ascending `valueCol` (a double-typed
-    * dictionary key; ties cannot exist — callers pass a
-    * groupBy(valueCol) dictionary). Sums are computed in double (counts
-    * below 2^53 stay exact). Original columns are preserved; the
-    * machinery's internals are dropped. The input should be
-    * localCheckpoint'd by the caller — this runs a count job plus a
-    * quantile-probe job plus the totals job over it.
+    * dictionary key). Ties in `valueCol` cannot exist UNLESS `tieCol`
+    * is given: callers pass a groupBy dictionary, but a double CAST of
+    * an exact key can collide past 2^53 — supply the original exact
+    * column as `tieCol` and the within-bucket window orders by
+    * (valueCol, tieCol), keeping the running sum deterministic and in
+    * true key order (the cast is monotone, so colliding keys always
+    * share a range bucket and never interleave across buckets). Sums
+    * are computed in double (counts below 2^53 stay exact). Original
+    * columns are preserved; the machinery's internals are dropped. The
+    * input should be localCheckpoint'd by the caller — this runs a
+    * count job plus a quantile-probe job plus the totals job over it.
     */
   def cumulative(dict: DataFrame, valueCol: String,
-      cnts: Seq[(String, String)]): DataFrame = {
+      cnts: Seq[(String, String)],
+      tieCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cnts.nonEmpty, "PrefixSum.cumulative: need at least one count column")
     val v = col(valueCol)
@@ -74,7 +80,8 @@ private[graft] object PrefixSum {
     }
     import scala.jdk.CollectionConverters._
     val offDf = dict.sparkSession.createDataFrame(offRows.asJava, schema)
-    val w = Window.partitionBy(col("_part")).orderBy(v)
+    val w = Window.partitionBy(col("_part"))
+      .orderBy(v +: tieCol.map(col).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withW = cnts.foldLeft(parted) { case (d, (c, _)) =>
       d.withColumn(s"_w_$c", sum(col(c).cast("double")).over(w)) }

@@ -402,13 +402,15 @@ object Sampling {
           sum("c").over(Window.orderBy(col(scoreCol))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       } else {
-        // the prefix-sum key is the DOUBLE cast (the PrefixSum
-        // convention): exact for every score below 2^53; integral
-        // magnitudes beyond that may tie under the cast and order
-        // arbitrarily within the tie — same bound as exactColumnStats
+        // the prefix-sum RANGE key is the DOUBLE cast (the PrefixSum
+        // convention), but the within-bucket window orders by the
+        // ORIGINAL score as the exact tiebreak: distinct integral/
+        // decimal scores past 2^53 collide under the cast, and without
+        // the tie column their within-tie cumulative sums (and so the
+        // bucket assignment) would be nondeterministic
         PrefixSum.cumulative(
           counts.withColumn("_sd", col(scoreCol).cast("double")),
-          "_sd", Seq("c" -> "_cum")).drop("_sd")
+          "_sd", Seq("c" -> "_cum"), tieCol = Some(scoreCol)).drop("_sd")
       }
     // bucket from the STRICTLY-BELOW fraction, floor(strict·n/N)+1, not
     // ceil(cume_dist·n): with inclusive-ties semantics a score shared by

@@ -748,13 +748,23 @@ object Similarity {
     * near-duplicate candidates; at 100 TB candidate generation becomes a
     * groupBy/join on a small integer key.
     */
-  def lshBucket(emb: Column, dim: Int, numPlanes: Int = 8, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val proj = dot(emb, array(plane.toIndexedSeq.map(v => lit(v)): _*))
-      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+  def lshBucket(emb: Column, dim: Int, numPlanes: Int = 8, seed: Long = 42L): Column =
+    lshPlanes(dim, numPlanes, seed).zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (plane, i)) =>
+        val proj = dot(emb, array(plane.toIndexedSeq.map(v => lit(v)): _*))
+        acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
     }
+
+  /** The seeded hyperplanes behind [[lshBucket]], exposed so an oracle can
+    * replay the bucket fold with the exact same doubles: plane `i` is the
+    * i-th block of `dim` consecutive `nextGaussian()` draws from
+    * `scala.util.Random(seed)` — the plan-literal values themselves, not a
+    * re-derivation, so a reseeding or draw-order change here changes both
+    * the live plan and the replay together.
+    */
+  def lshPlanes(dim: Int, numPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** (vec_id, e, bucket) for one hyperplane-LSH table — the raw form of the

@@ -1867,14 +1867,43 @@ object TextAnalysis {
     * corpus means are one trivial aggregate on top.
     */
   def passAtK(samples: DataFrame, problemCol: String, okCol: String,
-      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
-    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
-      s"passAtK: ks must be sorted positive, got $ks")
-    val agg = samples.groupBy(col(problemCol).as("problem"))
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame =
+    passAtKFromDict(passDict(samples, problemCol, okCol), ks)
+
+  /** The pass@k sufficient statistic as a standing DICTIONARY:
+    * (problem, n, c) = samples drawn, samples passed. ADDITIVE under
+    * appended samples — the [[scoreDict]] shape for sampled-decoding
+    * eval: during a rollout each new generation batch
+    * [[passDictMerge]]s in at batch cost and the board recomputes from
+    * the problem-count-sized dictionary ([[passAtKFromDict]]), never
+    * rescanning sample history. One map-side-combined aggregate.
+    */
+  def passDict(samples: DataFrame, problemCol: String,
+      okCol: String): DataFrame =
+    samples.groupBy(col(problemCol).as("problem"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col(okCol).cast("boolean").cast("long")), lit(0L))
           .as("c"))
-    ks.foldLeft(agg) { (d, k) =>
+
+  /** Fold a new sample batch into a standing [[passDict]]: counts sum
+    * per problem. Exactly equals the dictionary of the concatenated
+    * history (spec'd — the scoreDictMerge/btMerge contract).
+    */
+  def passDictMerge(dict: DataFrame, newSamples: DataFrame,
+      problemCol: String, okCol: String): DataFrame =
+    dict.unionByName(passDict(newSamples, problemCol, okCol))
+      .groupBy("problem").agg(sum("n").as("n"), sum("c").as("c"))
+
+  /** [[passAtK]] from a standing [[passDict]] — the apply half: the
+    * estimator is a pure function of (n, c), so the dictionary IS the
+    * sufficient statistic and the result is bit-equal to a full
+    * rebuild.
+    */
+  def passAtKFromDict(dict: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
+      s"passAtK: ks must be sorted positive, got $ks")
+    ks.foldLeft(dict) { (d, k) =>
       d.withColumn(s"pass_$k",
         when(col("n") >= k, round(lit(1.0) -
           aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
@@ -1882,6 +1911,20 @@ object TextAnalysis {
               (col("n") - i))), 6)))
     }
   }
+
+  /** Streaming pass@k ingestion: each micro-batch of samples
+    * [[passDictMerge]]s into the standing dictionary (the aucServe /
+    * btServe read-write pattern); the eval board recomputes from the
+    * dictionary on demand, not per batch.
+    */
+  def passAtKServe(sampleStream: DataFrame, problemCol: String,
+      okCol: String)(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sampleStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(passDictMerge(state(), batch, problemCol, okCol))
+    }
 
   /** Self-consistency majority-vote eval (Wang et al. 2023) — the
     * sampled-decoding accuracy booster's scorecard beside [[passAtK]]:
@@ -1892,31 +1935,80 @@ object TextAnalysis {
     * sample row; max() reads it back). One (problem, answer) count
     * aggregate plus a problem-keyed window — the sample stream
     * shuffles once, window partitions are answer-dictionary-sized.
+    * NULL answers (unparseable generations) are NOT votable: they are
+    * excluded before the plurality count — mirroring krippAlpha's
+    * null-exclusion rule — so a null group can never out-vote (or
+    * nulls-first tie-break past) a real answer, while `n` still counts
+    * EVERY sample and `n_answers`/`vote_n` count parseable ones. A
+    * problem whose answers are all null emits (vote_answer NULL,
+    * vote_n NULL, correct NULL) via the left join.
     * Returns (problem, n, n_answers, gold, vote_answer, vote_n,
     * correct).
     */
   def majorityVote(samples: DataFrame, problemCol: String,
-      answerCol: String, goldCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = samples
-      .groupBy(col(problemCol).as("problem"),
+      answerCol: String, goldCol: String): DataFrame =
+    majorityVoteFromDict(voteDict(samples, problemCol, answerCol, goldCol))
+
+  /** The majority-vote sufficient statistic as a standing DICTIONARY:
+    * one row per (problem, answer) with its sample count and the
+    * problem's gold — null answers keep their own row (they carry `n`
+    * mass but are never votable). ADDITIVE under appended samples (the
+    * [[passDict]] shape); answer cardinality per problem is
+    * generation-diversity-bounded, so the dictionary stays tiny.
+    */
+  def voteDict(samples: DataFrame, problemCol: String,
+      answerCol: String, goldCol: String): DataFrame =
+    samples.groupBy(col(problemCol).as("problem"),
         col(answerCol).cast("string").as("_a"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_c"), max(col(goldCol).cast("string")).as("_g"))
+
+  /** Fold a new sample batch into a standing [[voteDict]]: counts sum
+    * per (problem, answer); gold is constant per problem by the
+    * majorityVote contract, so max() carries it through the merge.
+    */
+  def voteDictMerge(dict: DataFrame, newSamples: DataFrame,
+      problemCol: String, answerCol: String, goldCol: String): DataFrame =
+    dict.unionByName(voteDict(newSamples, problemCol, answerCol, goldCol))
+      .groupBy("problem", "_a")
+      .agg(sum("_c").as("_c"), max("_g").as("_g"))
+
+  /** [[majorityVote]] from a standing [[voteDict]] — the apply half:
+    * n sums every row's count (null answers included), the vote window
+    * and n_answers read only the non-null rows, so the result is
+    * bit-equal to a full rebuild.
+    */
+  def majorityVoteFromDict(dict: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = dict.where(col("_a").isNotNull)
+      .select(col("problem"), col("_a"), col("_c"))
     val w = Window.partitionBy("problem")
       .orderBy(col("_c").desc, col("_a").asc)
     val top = counts.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(col("problem"), col("_a").as("vote_answer"),
         col("_c").as("vote_n"))
-    val tot = samples.groupBy(col(problemCol).as("problem"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col(answerCol).cast("string")).as("n_answers"),
-        max(col(goldCol).cast("string")).as("gold"))
-    tot.join(top, Seq("problem"))
+    val tot = dict.groupBy("problem")
+      .agg(sum("_c").as("n"),
+        count(when(col("_a").isNotNull, lit(1))).as("n_answers"),
+        max(col("_g")).as("gold"))
+    tot.join(top, Seq("problem"), "left")
       .select(col("problem"), col("n"), col("n_answers"), col("gold"),
         col("vote_answer"), col("vote_n"),
         (col("vote_answer") === col("gold")).cast("int").as("correct"))
   }
+
+  /** Streaming majority-vote ingestion: each micro-batch
+    * [[voteDictMerge]]s into the standing dictionary — the
+    * [[passAtKServe]] twin for answer-voting eval boards.
+    */
+  def voteServe(sampleStream: DataFrame, problemCol: String,
+      answerCol: String, goldCol: String)(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sampleStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(voteDictMerge(state(), batch, problemCol, answerCol, goldCol))
+    }
 
   /** Calibration report for a [0,1]-probability scorer against a binary
     * label — the reliability-diagram table (per-bin mean prediction vs
@@ -2969,12 +3061,15 @@ object TextAnalysis {
     * convention) and NULL when there are no candidate tokens at all.
     * Returns one row (n_pairs, c_len, r_len, p1..pN, bleu).
     *
-    * CONTRACT: `idCol` must be UNIQUE within `pairs` — clipping is
-    * per-id, so rows sharing an id silently merge into one pooled pair
-    * (their gram counts add BEFORE the min), inflating clipped matches.
-    * Multi-reference or multi-candidate evals must disambiguate the id
-    * (e.g. concat id with a variant tag) before calling; same contract
-    * on [[chrF]] and [[rougeN]], and per (group, id) on [[bleuByGroup]].
+    * CONTRACT: `idCol` must be UNIQUE within `pairs`. Under the
+    * per-row clip kernel each ROW clips independently against its own
+    * reference (gram dictionaries never pool across rows), so duplicate
+    * ids are silently scored as two separate pairs and both feed the
+    * corpus totals — double-weighting that id rather than corrupting
+    * the clip. Multi-reference or multi-candidate evals must
+    * disambiguate the id (e.g. concat id with a variant tag) before
+    * calling; same contract on [[chrF]] and [[rougeN]], and per
+    * (group, id) on [[bleuByGroup]].
     */
   def bleuScore(pairs: DataFrame, idCol: String, refCol: String,
       candCol: String, maxN: Int = 4): DataFrame = {
@@ -3288,8 +3383,9 @@ object TextAnalysis {
     * (the [[rougeL]] convention); F is 0.0 at zero matches. P/R round
     * 6, F from the unrounded ratios in one expression shape (oracle
     * bit-parity). `idCol` must be unique within `pairs` (the
-    * [[bleuScore]] clipping contract — duplicate ids pool into one
-    * pair before the clip, and the output join would fan out).
+    * [[bleuScore]] clipping contract — each row clips independently,
+    * so duplicate ids emit one output row PER duplicate, ambiguous to
+    * any per-id consumer).
     * Returns (id, matches, c_grams, r_grams, rouge_p, rouge_r,
     * rouge_f).
     */
@@ -3375,6 +3471,38 @@ object TextAnalysis {
         size(col("_rt")).cast("long").as("r_len"))
       .select(col(idCol), col("edits"), col("c_len"), col("r_len"),
         round(col("edits") / col("r_len"), 6).as("ter"))
+  }
+
+  /** Greedy-shift TER (Snover et al. 2006) — [[ter]]'s shift-free form
+    * plus the block-shift loop the original metric defines, on the
+    * [[graft.functions.ArrayKernels.TerShiftStats]] kernel: shifts cost
+    * 1 each and TER = (shifts + edits) / ref_len. RELATIONSHIP to
+    * [[ter]] (the documented r12 divergence, now closed): shift-free
+    * TER ≡ WER is an upper bound — the kernel only takes a shift when
+    * it reduces the edit distance by MORE than the shift's own cost,
+    * so ter_shift ≤ ter row-wise (spec-asserted). Same zero-shuffle
+    * scan-stage shape as [[ter]]; the greedy loop is
+    * O(L²·maxShiftLen·matches) per improving step, so inputs are
+    * sentence-shaped BY CONTRACT — segment or truncate long documents
+    * first (the q_ter_shift fixture slices to 40 tokens). Not
+    * oracle-able: the loop is an iterative argmin over hypothesis
+    * permutations, outside relational replay — PropertySpec pins it to
+    * a sequential reference instead (the q_bpe_learn class).
+    */
+  def terShift(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, maxShiftLen: Int = 10): DataFrame = {
+    val base = pairs.select(col(idCol).as(idCol),
+      toks(col(refCol)).as("_rt"), toks(col(candCol)).as("_ct"))
+      .where(size(col("_rt")) > 0)
+    base.select(col(idCol),
+        graft.functions.ArrayKernels.ter_shift_stats(col("_ct"), col("_rt"),
+          maxShiftLen).as("_s"),
+        size(col("_ct")).cast("long").as("c_len"),
+        size(col("_rt")).cast("long").as("r_len"))
+      .select(col(idCol), col("_s.shifts").as("shifts"),
+        col("_s.edits").as("edits"), col("c_len"), col("r_len"),
+        round((col("_s.shifts") + col("_s.edits")) / col("r_len"), 6)
+          .as("ter_shift"))
   }
 
   /** Zipf rank-frequency fit — the corpus-health scalar ("is this

@@ -128,6 +128,29 @@ class ContractsSpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum: tieCol keeps colliding double-cast keys deterministic " +
+      "and in true key order") {
+    import graft.ops.PrefixSum
+    // distinct longs past 2^53 that collide under the double cast:
+    // without the tie column, within-tie running sums are order-
+    // arbitrary; with it, the cumulative follows the exact long order
+    val base = 1L << 60 // double spacing here is 256: +1..+3 all collide
+    val rows = Seq(
+      (base + 1, 10L), (base + 2, 100L), (base + 3, 1000L),
+      (base - 512, 1L)) // a distinct double strictly below the trio
+    val dict = rows.toDF("_k", "_c")
+      .withColumn("_v", col("_k").cast("double"))
+      .repartition(3).localCheckpoint()
+    assert(dict.select(countDistinct("_v")).as[Long].head() == 2L)
+    val got = PrefixSum.cumulative(dict, "_v", Seq("_c" -> "_cum"),
+        tieCol = Some("_k"))
+      .select(col("_k"), col("_cum")).as[(Long, Double)].collect().toMap
+    assert(got(base - 512) == 1.0, got)
+    assert(got(base + 1) == 11.0, got)
+    assert(got(base + 2) == 111.0, got)
+    assert(got(base + 3) == 1111.0, got)
+  }
+
   test("kAnonymity counts small QI cells, rows at risk, null QI cells") {
     val df = Seq(
       ("en", 1), ("en", 1), ("en", 1),   // cell of 3: safe at k=3

@@ -350,4 +350,91 @@ class DataSelectionSpec extends SparkSpec {
     assert(got("B") == (("B", 2L, 2L, "y", "x", 1L, 0)), got("B"))
     assert(got("C") == (("C", 1L, 1L, "z", "z", 1L, 1)), got("C"))
   }
+
+  test("majorityVote: null answers are not votable — a null plurality " +
+      "cannot out-vote a real answer, and an all-null problem emits a " +
+      "NULL vote row") {
+    import graft.ops.TextAnalysis
+    val samples = Seq(
+      // two nulls vs one "y": y must win despite the null plurality
+      ("D", null, "y"), ("D", null, "y"), ("D", "y", "y"),
+      // all answers unparseable: the problem still reports, vote NULL
+      ("E", null, "z"), ("E", null, "z")).toDF("problem", "answer", "gold")
+    val got = TextAnalysis.majorityVote(samples, "problem", "answer", "gold")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d = got("D")
+    assert((d.getLong(1), d.getLong(2), d.getString(3), d.getString(4),
+      d.getLong(5), d.getInt(6)) == ((3L, 1L, "y", "y", 1L, 1)), d)
+    val e = got("E")
+    assert((e.getLong(1), e.getLong(2), e.getString(3)) == ((2L, 0L, "z")), e)
+    assert(e.isNullAt(4) && e.isNullAt(5) && e.isNullAt(6), e)
+  }
+
+  test("passDict / voteDict: merge ≡ rebuild, FromDict ≡ one-shot, serve " +
+      "twins fold micro-batches to the same standing dictionaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(41)
+    val all = Seq.fill(300) {
+      val p = rnd.nextInt(12)
+      val ans = if (rnd.nextInt(5) == 0) null
+        else (p % 3 + rnd.nextInt(2)).toString
+      (p.toString, ans, (p % 3).toString, rnd.nextInt(3) == 0)
+    }
+    val df = all.toDF("problem", "answer", "gold", "ok")
+    val (a, b) = all.splitAt(180)
+    // pass@k: merged dictionary ≡ full rebuild, estimator bit-equal
+    val pMerged = TextAnalysis.passDictMerge(
+      TextAnalysis.passDict(a.toDF("problem", "answer", "gold", "ok"),
+        "problem", "ok"),
+      b.toDF("problem", "answer", "gold", "ok"), "problem", "ok")
+      .localCheckpoint()
+    val pFull = TextAnalysis.passDict(df, "problem", "ok").localCheckpoint()
+    assert(pMerged.as[(String, Long, Long)].collect().toSet ==
+      pFull.as[(String, Long, Long)].collect().toSet)
+    assert(TextAnalysis.passAtKFromDict(pMerged, Seq(1, 3)).collect().toSet ==
+      TextAnalysis.passAtK(df, "problem", "ok", Seq(1, 3)).collect().toSet)
+    // majority vote: null answers keep their n mass through the merge
+    val vMerged = TextAnalysis.voteDictMerge(
+      TextAnalysis.voteDict(a.toDF("problem", "answer", "gold", "ok"),
+        "problem", "answer", "gold"),
+      b.toDF("problem", "answer", "gold", "ok"),
+      "problem", "answer", "gold").localCheckpoint()
+    val vFull = TextAnalysis.voteDict(df, "problem", "answer", "gold")
+      .localCheckpoint()
+    assert(vMerged.as[(String, Option[String], Long, String)].collect().toSet
+      == vFull.as[(String, Option[String], Long, String)].collect().toSet)
+    assert(TextAnalysis.majorityVoteFromDict(vMerged).collect().toSet ==
+      TextAnalysis.majorityVote(df, "problem", "answer", "gold")
+        .collect().toSet)
+    // streaming: micro-batches fold to the same standing dictionaries
+    var pStanding = TextAnalysis.passDict(
+      Seq.empty[(String, Boolean)].toDF("problem", "ok"), "problem", "ok")
+      .localCheckpoint()
+    val pIn = MemoryStream[(String, Boolean)](71, spark, None)
+    val pq = TextAnalysis.passAtKServe(
+      pIn.toDF().toDF("problem", "ok"), "problem", "ok")(
+      () => pStanding, f => pStanding = f.localCheckpoint()).start()
+    try {
+      all.map(r => (r._1, r._4)).grouped(100)
+        .foreach { g => pIn.addData(g); pq.processAllAvailable() }
+    } finally pq.stop()
+    assert(pStanding.as[(String, Long, Long)].collect().toSet ==
+      pFull.as[(String, Long, Long)].collect().toSet)
+    var vStanding = TextAnalysis.voteDict(
+      Seq.empty[(String, String, String)].toDF("problem", "answer", "gold"),
+      "problem", "answer", "gold").localCheckpoint()
+    val vIn = MemoryStream[(String, String, String)](72, spark, None)
+    val vq = TextAnalysis.voteServe(
+      vIn.toDF().toDF("problem", "answer", "gold"),
+      "problem", "answer", "gold")(
+      () => vStanding, f => vStanding = f.localCheckpoint()).start()
+    try {
+      all.map(r => (r._1, r._2, r._3)).grouped(100)
+        .foreach { g => vIn.addData(g); vq.processAllAvailable() }
+    } finally vq.stop()
+    assert(vStanding.as[(String, Option[String], Long, String)].collect()
+      .toSet ==
+      vFull.as[(String, Option[String], Long, String)].collect().toSet)
+  }
 }

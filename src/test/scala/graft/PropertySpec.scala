@@ -1000,4 +1000,93 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("TerShiftStats kernel ≡ a sequential greedy reference; " +
+      "shift form bounded above by shift-free edit distance; " +
+      "pure block move costs exactly one shift") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ArrayKernels
+    def editDist(a: Vector[String], b: Vector[String]): Int = {
+      val m = b.length
+      var prev = (0 to m).toArray
+      for (i <- a.indices) {
+        val cur = new Array[Int](m + 1)
+        cur(0) = i + 1
+        for (j <- 1 to m) {
+          val sub = prev(j - 1) + (if (a(i) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+        }
+        prev = cur
+      }
+      prev(m)
+    }
+    // the kernel's documented greedy loop, in plain Scala: best
+    // strictly-net-improving verbatim-match block move per round,
+    // first-found on ties (start asc, len asc, refpos asc)
+    def refShift(c0: Vector[String], r: Vector[String],
+        maxLen: Int): (Long, Long) = {
+      var cur = c0
+      var best = editDist(cur, r)
+      var shifts = 0L
+      var go = best > 1
+      while (go) {
+        go = false
+        var bestGain = 1
+        var bestArr: Vector[String] = null
+        for {
+          start <- cur.indices
+          len <- 1 to math.min(maxLen, cur.length - start)
+          block = cur.slice(start, start + len)
+          rp <- 0 to r.length - len
+          if r.slice(rp, rp + len) == block
+        } {
+          val rest = cur.patch(start, Nil, len)
+          val ins = math.min(rp, rest.length)
+          if (ins != start) {
+            val g = best - editDist(rest.patch(ins, block, 0), r)
+            if (g > bestGain) {
+              bestGain = g; bestArr = rest.patch(ins, block, 0)
+            }
+          }
+        }
+        if (bestArr != null) {
+          cur = bestArr; best -= bestGain; shifts += 1L; go = best > 1
+        }
+      }
+      (shifts, best.toLong)
+    }
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      n <- Gen.choose(0, 18)
+      r <- Gen.listOfN(n, Gen.oneOf(vocab))
+      cut <- Gen.choose(0, math.max(n - 1, 0))
+      len <- Gen.choose(1, 4)
+      ins <- Gen.choose(0, math.max(n - 1, 0))
+      noise <- Gen.listOfN(2, Gen.oneOf(vocab))
+    } yield {
+      // candidate = reference with a random block moved + random noise
+      val rv = r.toVector
+      val block = rv.slice(cut, math.min(cut + len, rv.length))
+      val rest = rv.patch(cut, Nil, block.length)
+      (rest.patch(math.min(ins, rest.length), block ++ noise, 0), rv)
+    }
+    check(Prop.forAll(gen) { case (cand, ref) =>
+      val got = Seq((cand, ref)).toDF("c", "r")
+        .select(ArrayKernels.ter_shift_stats(col("c"), col("r"), 4).as("s"),
+          ArrayKernels.token_edit_dist(col("c"), col("r")).as("wer"))
+        .selectExpr("s.shifts", "s.edits", "wer")
+        .as[(Long, Long, Int)].head()
+      val (rs, re) = refShift(cand, ref, 4)
+      got._1 == rs && got._2 == re && got._1 + got._2 <= got._3
+    })
+    // a pure block move: shift-free pays 4 edits here, shift form pays
+    // exactly one shift and zero edits
+    val moved = Seq((Vector("d", "e", "a", "b", "c"),
+      Vector("a", "b", "c", "d", "e"))).toDF("c", "r")
+      .select(ArrayKernels.ter_shift_stats(col("c"), col("r"), 10).as("s"),
+        ArrayKernels.token_edit_dist(col("c"), col("r")).as("wer"))
+      .selectExpr("s.shifts", "s.edits", "wer")
+      .as[(Long, Long, Int)].head()
+    assert(moved == ((1L, 0L, 4)), moved)
+  }
 }
