@@ -1898,7 +1898,7 @@ object SparkEntry {
     // prefix identity (the q_rouge recursive-CTE doctrine)
     "q_ter" -> ((s, d) =>
       TextAnalysis.ter(evalPairs(s, d), "doc_id", "ref", "cand_sub")),
-    // greedy-shift TER on sentence-shaped slices (first 40 tokens —
+    // greedy-shift TER on sentence-shaped slices (first 32 tokens —
     // the terShift contract; real MT evals are sentence-segmented).
     // Rows-only: the greedy block-shift loop is an iterative argmin
     // over hypothesis permutations, outside relational replay —
@@ -1907,8 +1907,8 @@ object SparkEntry {
     // oracled upper bound)
     "q_ter_shift" -> ((s, d) => {
       val sliced = evalPairs(s, d).select(col("doc_id"),
-        array_join(slice(Core.tokensUni(col("ref")), 1, 40), " ").as("ref"),
-        array_join(slice(Core.tokensUni(col("cand_sub")), 1, 40), " ")
+        array_join(slice(Core.tokensUni(col("ref")), 1, 32), " ").as("ref"),
+        array_join(slice(Core.tokensUni(col("cand_sub")), 1, 32), " ")
           .as("cand_sub"))
       TextAnalysis.terShift(sliced, "doc_id", "ref", "cand_sub")
     }),
@@ -1938,6 +1938,19 @@ object SparkEntry {
     // exact integer counts, IEEE sqrt replays bit-for-bit)
     "q_win_matrix" -> ((s, d) =>
       Preference.winMatrix(btGames(Tables.documents(s, d)))),
+    // judge position-bias audit over the PRESENTED game log: slot
+    // assignment alternates by doc_id parity, the synthetic judge
+    // favors the first slot 60/40 — the audit must flag it (0.5
+    // outside the Wilson interval at sf0.01's ~600 games)
+    "q_position_bias" -> ((s, d) => {
+      val judged = btGames(Tables.documents(s, d)).select(
+        when(col("winner") % 2 === 0, col("winner"))
+          .otherwise(col("loser")).as("first"),
+        when(col("winner") % 2 === 0, col("loser"))
+          .otherwise(col("winner")).as("second"),
+        (col("winner") % 2 === 0).as("first_wins"))
+      Preference.positionBias(judged)
+    }),
     // unbiased pass@k (Codex §2.1) over synthetic per-problem sample
     // outcomes (problem = doc_id mod 50, pass = residue rule — the
     // oracle rebuilds the exact sample sets): the functional-
@@ -1963,6 +1976,20 @@ object SparkEntry {
         TextAnalysis.passDictMerge(dict,
           samples.where(col("doc_id") % 10 >= 8), "problem", "ok"),
         ks = Seq(1, 5, 10))
+    }),
+    // best-of-n selection eval: per problem the reward-model argmax
+    // over the first n draws (draw order = doc_id; reward = exact
+    // two-decimal residue grid so the argmax replays bit-for-bit;
+    // ok = the pass@k residue rule) — measures what the RM picks,
+    // not whether anything passed
+    "q_best_of_n" -> ((s, d) => {
+      val samples = Tables.documents(s, d).select(
+        (col("doc_id") % 50).as("problem"),
+        col("doc_id").as("draw"),
+        (((col("doc_id") * 37) % 100).cast("double") / 100.0).as("reward"),
+        ((col("doc_id") * 7) % 3 === 0).as("ok"))
+      TextAnalysis.bestOfN(samples, "problem", "draw", "reward", "ok",
+        ns = Seq(1, 2, 4))
     }),
     // self-consistency: plurality answer over sampled decodes per
     // problem vs gold (2/3 of samples emit gold's residue class, the
@@ -5096,6 +5123,32 @@ object SparkEntry {
         s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
         s"(1.0 + $z2/nd), 6) AS hi95 FROM e"
     },
+    // the q_win_matrix Wilson replay on the slot counts; biased =
+    // interval excludes the fair coin
+    "q_position_bias" -> {
+      val z = 1.96
+      val z2 = java.lang.Double.toString(z * z)
+      "WITH g AS (SELECT doc_id % 32 AS a, (doc_id * 3 + 1) % 32 AS b, " +
+        "CASE WHEN (doc_id * 13) % 7 < 4 THEN 1 ELSE 0 END AS sw " +
+        "FROM documents WHERE doc_id % 32 <> (doc_id * 3 + 1) % 32), " +
+        "p AS (SELECT CASE WHEN sw = 1 THEN least(a, b) ELSE greatest(a, b) END AS w " +
+        "FROM g), " +
+        "j AS (SELECT CASE WHEN w % 2 = 0 THEN 1 ELSE 0 END AS fw FROM p), " +
+        "t AS (SELECT count(*) AS games, " +
+        "CAST(coalesce(sum(fw), 0) AS BIGINT) AS first_wins FROM j), " +
+        "e AS (SELECT games, first_wins, CAST(games AS DOUBLE) AS nd, " +
+        "first_wins/(1.0*games) AS pd FROM t) " +
+        "SELECT games, first_wins, round(pd, 6) AS rate_first, " +
+        s"round((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS lo95, " +
+        s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS hi95, " +
+        "CASE WHEN games > 0 THEN CAST(" +
+        s"((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) > 0.5 OR " +
+        s"(pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) < 0.5) AS INT) END AS biased FROM e"
+    },
     // self-consistency: per-(problem, answer) counts, plurality via
     // row_number (count desc, answer asc — the smallest-answer
     // tie-break verbatim)
@@ -5161,6 +5214,28 @@ object SparkEntry {
           s"(x, y) -> x*y), 6) END AS pass_$k"
         }.mkString(", ") +
         " FROM agg"),
+    // best-of-n: row_number draw order, per-n argmax on (reward DESC,
+    // draw ASC) — the struct-max (reward, -rn) order verbatim
+    "q_best_of_n" ->
+      ("WITH s AS (SELECT doc_id % 50 AS problem, doc_id AS draw, " +
+        "((doc_id * 37) % 100) / CAST(100 AS DOUBLE) AS reward, " +
+        "CASE WHEN (doc_id * 7) % 3 = 0 THEN 1 ELSE 0 END AS ok FROM documents), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY problem " +
+        "ORDER BY draw) AS INT) AS rn FROM s), " +
+        "tot AS (SELECT problem, count(*) AS n_samples FROM r GROUP BY problem), " +
+        Seq(1, 2, 4).map { n =>
+          s"b$n AS (SELECT problem, ok AS best_$n FROM " +
+          s"(SELECT problem, ok, row_number() OVER (PARTITION BY problem " +
+          s"ORDER BY reward DESC, rn ASC) AS rk FROM r WHERE rn <= $n) " +
+          s"WHERE rk = 1)"
+        }.mkString(", ") +
+        " SELECT tot.problem, tot.n_samples, " +
+        Seq(1, 2, 4).map { n =>
+          s"CASE WHEN tot.n_samples >= $n THEN b$n.best_$n END AS best_$n"
+        }.mkString(", ") +
+        " FROM tot " +
+        Seq(1, 2, 4).map(n => s"LEFT JOIN b$n USING (problem)")
+          .mkString(" ")),
     // trained logistic quality filter, GD unrolled per-iteration
     "q_quality_fit" -> qualityFitSql(3, 0.5, 300),
     // classifier eval: integer confusion sweep + exact tie-aware AUC

@@ -2359,7 +2359,7 @@ object ArrayKernels {
     * form) stays the documented upper bound. O(L²·maxShiftLen·matches)
     * per improving iteration — sentence-shaped inputs by contract
     * (truncate long documents first; the q_ter_shift fixture slices to
-    * 40 tokens, real MT evals are sentence-segmented anyway).
+    * 32 tokens, real MT evals are sentence-segmented anyway).
     */
   case class TerShiftStats(left: Expression, right: Expression,
       maxShiftLen: Int) extends BinaryExpression {

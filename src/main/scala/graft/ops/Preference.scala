@@ -173,6 +173,46 @@ object Preference {
       round((center + margin) / denom, 6).as("hi95"))
   }
 
+  /** Judge position-bias audit — the sanity check every pairwise
+    * LLM-judge arena needs before its [[winMatrix]]/[[btRatings]]
+    * numbers are trusted: pairwise judges systematically favor one
+    * presentation slot (usually the first answer shown), and a biased
+    * judge inflates whichever arm the pairing schedule happens to put
+    * there. Input is the PRESENTED form of each game — (first, second,
+    * first_wins) — i.e. the raw judging log before any winner/loser
+    * normalization erases slot information. One row out: games,
+    * first-slot wins, the first-slot win rate with its Wilson
+    * interval (the winMatrix z-interval on the same exact integer
+    * counts — IEEE sqrt replays bit-for-bit), and `biased` = 1 when
+    * 0.5 falls outside the interval (an unbiased judge's slot rate is
+    * a fair coin; slot assignment must be randomized for this read to
+    * be causal — the caller's contract). One count-sized aggregate;
+    * the game stream never shuffles more than partials.
+    */
+  def positionBias(judged: DataFrame, firstWinsCol: String = "first_wins",
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"positionBias: z must be > 0, got $z")
+    val agg = judged.agg(count(lit(1)).as("games"),
+      coalesce(sum(col(firstWinsCol).cast("boolean").cast("long")), lit(0L))
+        .as("first_wins"))
+    val nD = col("games").cast("double")
+    val p = col("first_wins").cast("double") / nD
+    val z2 = z * z
+    val center = p + lit(z2) / (nD * 2)
+    val margin = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))
+    val denom = lit(1.0) + lit(z2) / nD
+    // games = 0 ⇒ every ratio is 0/0: report NULLs, not NaNs (an empty
+    // judging log has no slot-rate reading)
+    agg.select(col("games"), col("first_wins"),
+      when(col("games") > 0, round(p, 6)).as("rate_first"),
+      when(col("games") > 0, round((center - margin) / denom, 6)).as("lo95"),
+      when(col("games") > 0, round((center + margin) / denom, 6)).as("hi95"),
+      when(col("games") > 0,
+        ((center - margin) / denom > 0.5 || (center + margin) / denom < 0.5)
+          .cast("int")).as("biased"))
+  }
+
   /** Krippendorff's alpha with the ORDINAL metric — the ragged-panel
     * agreement statistic for RANKED grades (LLM judges emitting
     * Likert scales: 1-5 quality, severity tiers), completing the

@@ -1926,6 +1926,45 @@ object TextAnalysis {
         save(passDictMerge(state(), batch, problemCol, okCol))
     }
 
+  /** Best-of-n selection eval — the reward-model scorecard beside
+    * [[passAtK]]: per problem and per n, take the FIRST n samples in
+    * `orderCol` order (the rollout's own draw order, so growing n
+    * reuses earlier draws exactly as a real BoN deployment would),
+    * select the one with the highest reward (ties to the EARLIEST
+    * draw — deterministic in both engines), and report whether that
+    * selected sample is correct. Measures what the reward model buys:
+    * pass@n is "any of n correct", best-of-n is "the one the RM picks
+    * is correct". NULL when the problem has fewer than n samples (the
+    * passAtK convention). ONE problem-keyed window + ONE aggregate —
+    * the per-n argmaxes are conditional struct-maxes inside the same
+    * groupBy, so the sample stream shuffles once regardless of |ns|.
+    * Returns (problem, n_samples, best_1, best_2, ... — 0/1 ints).
+    */
+  def bestOfN(samples: DataFrame, problemCol: String, orderCol: String,
+      rewardCol: String, okCol: String,
+      ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns == ns.sorted,
+      s"bestOfN: ns must be sorted positive, got $ns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("problem").orderBy(col("_ord"))
+    val base = samples.select(col(problemCol).as("problem"),
+        col(orderCol).as("_ord"),
+        col(rewardCol).cast("double").as("_r"),
+        col(okCol).cast("boolean").cast("int").as("_ok"))
+      .withColumn("_rn", row_number().over(w))
+    val aggs = count(lit(1)).as("n_samples") +: ns.map { n =>
+      max(when(col("_rn") <= n,
+        struct(col("_r"), (-col("_rn")).as("_nr"), col("_ok"))))
+        .as(s"_b_$n")
+    }
+    ns.foldLeft(base.groupBy("problem").agg(aggs.head, aggs.tail: _*)) {
+      (d, n) =>
+        d.withColumn(s"best_$n",
+          when(col("n_samples") >= n, col(s"_b_$n").getField("_ok")))
+          .drop(s"_b_$n")
+    }
+  }
+
   /** Self-consistency majority-vote eval (Wang et al. 2023) — the
     * sampled-decoding accuracy booster's scorecard beside [[passAtK]]:
     * per problem, the plurality answer over n samples (ties broken to
@@ -3484,7 +3523,9 @@ object TextAnalysis {
     * scan-stage shape as [[ter]]; the greedy loop is
     * O(L²·maxShiftLen·matches) per improving step, so inputs are
     * sentence-shaped BY CONTRACT — segment or truncate long documents
-    * first (the q_ter_shift fixture slices to 40 tokens). Not
+    * first; the q_ter_shift fixture slices to 32 tokens, since the
+    * greedy loop is cubic-ish in the slice and 32 covers the p95 MT
+    * sentence. Not
     * oracle-able: the loop is an iterative argmin over hypothesis
     * permutations, outside relational replay — PropertySpec pins it to
     * a sequential reference instead (the q_bpe_learn class).

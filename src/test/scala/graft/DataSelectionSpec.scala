@@ -437,4 +437,24 @@ class DataSelectionSpec extends SparkSpec {
       .toSet ==
       vFull.as[(String, Option[String], Long, String)].collect().toSet)
   }
+
+  test("bestOfN: reward argmax over the first n draws, earliest-draw " +
+      "tie-break, NULL past the sample count") {
+    import graft.ops.TextAnalysis
+    val samples = Seq(
+      // problem A: draws (reward, ok) = (0.5, 0), (0.9, 1), (0.7, 0)
+      ("A", 1L, 0.5, false), ("A", 2L, 0.9, true), ("A", 3L, 0.7, false),
+      // problem B: a reward TIE at the top — draw 1 must win it
+      ("B", 1L, 0.8, true), ("B", 2L, 0.8, false))
+      .toDF("problem", "draw", "reward", "ok")
+    val got = TextAnalysis.bestOfN(samples, "problem", "draw", "reward",
+        "ok", ns = Seq(1, 2, 4))
+      .as[(String, Long, Option[Int], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    // A: best_1 = draw 1 (wrong); best_2 = draw 2 (0.9, right);
+    // best_4 = NULL (only 3 samples)
+    assert(got("A") == (("A", 3L, Some(0), Some(1), None)), got("A"))
+    // B: the 0.8 tie at n = 2 resolves to the EARLIEST draw (right)
+    assert(got("B") == (("B", 2L, Some(1), Some(1), None)), got("B"))
+  }
 }

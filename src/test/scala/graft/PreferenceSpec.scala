@@ -309,4 +309,33 @@ class PreferenceSpec extends SparkSpec {
     assert(run(Seq((1L, 1.0), (2L, 2.0))) ==
       ((0L, 0L, 0L, None, None, None)))
   }
+
+  test("positionBias: hand-checked Wilson read, biased flag fires on a " +
+      "60/40 slot skew and stays quiet on a fair judge; empty log is NULLs") {
+    def run(games: Int, firstWins: Int) = {
+      val df = (0 until games)
+        .map(i => Tuple1(i < firstWins)).toDF("first_wins")
+      Preference.positionBias(df)
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+          Option[Int])].collect().head
+    }
+    // 240/400: p = .6, Wilson 95% ≈ [.551, .647] — excludes the coin
+    val skew = run(400, 240)
+    assert(skew._1 == 400L && skew._2 == 240L && skew._3.contains(0.6), skew)
+    val (lo, hi) = (skew._4.get, skew._5.get)
+    assert(lo > 0.55 && lo < 0.56 && hi > 0.64 && hi < 0.65, skew)
+    assert(skew._6.contains(1), skew)
+    // hand Wilson at z = 1.96 reproduced to the rounded digit
+    val (p, n, z) = (0.6, 400.0, 1.96)
+    val c = p + z * z / (2 * n)
+    val m = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    val d = 1 + z * z / n
+    assert(skew._4.contains(math.rint((c - m) / d * 1e6) / 1e6), skew)
+    assert(skew._5.contains(math.rint((c + m) / d * 1e6) / 1e6), skew)
+    // a fair judge: interval straddles 0.5, flag quiet
+    assert(run(400, 200)._6.contains(0), run(400, 200))
+    // empty judging log → NULL reads, not NaN
+    val empty = run(0, 0)
+    assert(empty == ((0L, 0L, None, None, None, None)), empty)
+  }
 }
