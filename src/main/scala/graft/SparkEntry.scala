@@ -1312,10 +1312,12 @@ object SparkEntry {
     // eval-set convention as q_decontam) between near-dup and span stages
     "q_clean_corpus_v4" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // v4's stages ARE the raw prefix's flag set (quality → exact →
+      // SNM → decontam) — it reads the same standing table as v5/v6
       Curation.cleanCorpusV4Stats(
         docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
-        contamN = 3)
+        contamN = 3, prefix = Some(recipePrefixRaw(s, d)))
     }),
     // v5: v4 + the perplexity-percentile gate (drop the worst surprisal
     // quintile of the decontam survivors) before span rewriting — the
@@ -1707,6 +1709,12 @@ object SparkEntry {
       TextAnalysis.calibrationReport(
         TextAnalysis.weakLabels(Tables.documents(s, d)),
         "quality_score", "keep_b")),
+    // the report collapsed to the model-card scalars (ECE/MCE) over
+    // the same bins and the same weak-label frame
+    "q_calibration_error" -> ((s, d) =>
+      TextAnalysis.calibrationError(
+        TextAnalysis.weakLabels(Tables.documents(s, d)),
+        "quality_score", "keep_b")),
     // Gopher/MassiveText structural quality rules: per-rule flags +
     // conjunction, every threshold integer-exact (cross-multiplied)
     "q_gopher_rules" -> ((s, d) =>
@@ -1950,6 +1958,18 @@ object SparkEntry {
           .otherwise(col("winner")).as("second"),
         (col("winner") % 2 === 0).as("first_wins"))
       Preference.positionBias(judged)
+    }),
+    // verbosity-bias audit: synthetic judge prefers the longer answer
+    // 13/20 of the time (winner length rides a residue draw above or
+    // below the constant loser length) — the audit must flag it
+    "q_length_bias" -> ((s, d) => {
+      val judged = btGames(Tables.documents(s, d)).select(
+        col("winner"), col("loser"),
+        when((col("winner") * 17 + col("loser") * 3) % 20 < 13,
+          lit(200) + col("winner") % 40)
+          .otherwise(lit(50) + col("winner") % 30).as("win_len"),
+        lit(120).as("lose_len"))
+      Preference.lengthBias(judged)
     }),
     // unbiased pass@k (Codex §2.1) over synthetic per-problem sample
     // outcomes (problem = doc_id mod 50, pass = residue rule — the
@@ -5149,6 +5169,32 @@ object SparkEntry {
         s"(pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
         s"(1.0 + $z2/nd) < 0.5) AS INT) END AS biased FROM e"
     },
+    // the same Wilson replay on the longer-wins flag (win_len > 120
+    // iff the 13/20 residue draw fires)
+    "q_length_bias" -> {
+      val z = 1.96
+      val z2 = java.lang.Double.toString(z * z)
+      "WITH g AS (SELECT doc_id % 32 AS a, (doc_id * 3 + 1) % 32 AS b, " +
+        "CASE WHEN (doc_id * 13) % 7 < 4 THEN 1 ELSE 0 END AS sw " +
+        "FROM documents WHERE doc_id % 32 <> (doc_id * 3 + 1) % 32), " +
+        "p AS (SELECT CASE WHEN sw = 1 THEN least(a, b) ELSE greatest(a, b) END AS w, " +
+        "CASE WHEN sw = 1 THEN greatest(a, b) ELSE least(a, b) END AS l FROM g), " +
+        "j AS (SELECT CASE WHEN (w * 17 + l * 3) % 20 < 13 THEN 1 ELSE 0 END AS lw FROM p), " +
+        "t AS (SELECT count(*) AS games, " +
+        "CAST(coalesce(sum(lw), 0) AS BIGINT) AS longer_wins FROM j), " +
+        "e AS (SELECT games, longer_wins, CAST(games AS DOUBLE) AS nd, " +
+        "longer_wins/(1.0*games) AS pd FROM t) " +
+        "SELECT games, longer_wins, round(pd, 6) AS rate_longer, " +
+        s"round((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS lo95, " +
+        s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS hi95, " +
+        "CASE WHEN games > 0 THEN CAST(" +
+        s"((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) > 0.5 OR " +
+        s"(pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) < 0.5) AS INT) END AS biased FROM e"
+    },
     // self-consistency: per-(problem, answer) counts, plurality via
     // row_number (count desc, answer asc — the smallest-answer
     // tie-break verbatim)
@@ -6742,6 +6788,16 @@ object SparkEntry {
         "round(avg(CAST(b AS DOUBLE)), 4) AS frac_pos, " +
         "round(avg((s - b) * (s - b)), 4) AS brier " +
         "FROM bb GROUP BY bin"),
+    // per-bin exact sums; ECE's n_b weight cancels to |Σs − Σb|
+    "q_calibration_error" ->
+      (s"WITH ${weakLabelCtes(30.0)}, " +
+        "bb AS (SELECT least(CAST(floor(s * 10) AS INT) + 1, 10) AS bin, s, b FROM l), " +
+        "g AS (SELECT bin, count(*) AS n, sum(s) AS ss, " +
+        "sum(CAST(b AS DOUBLE)) AS sy FROM bb GROUP BY bin) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_bins, " +
+        "round(sum(abs(ss - sy)) / CAST(sum(n) AS DOUBLE), 4) AS ece, " +
+        "round(max(abs(ss / n - sy / n)), 4) AS mce FROM g"),
     // the q_hash_embed CTEs densified over a range(64) grid, then the
     // q_semdedup sign-block/pairwise replay at vec_id = doc_id
     "q_semdedup_text" -> semdedupTextSql(""),

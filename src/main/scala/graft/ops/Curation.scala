@@ -128,9 +128,10 @@ object Curation {
   def cleanCorpusV4Stats(docs: DataFrame, evalSet: DataFrame,
       minTokens: Int = 10, maxNonAlnum: Double = 0.35,
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
-      spanTokens: Int = 20, contamN: Int = 13): DataFrame =
+      spanTokens: Int = 20, contamN: Int = 13,
+      prefix: Option[DataFrame] = None): DataFrame =
     recipeStats(docs, Some((evalSet, contamN)), None, minTokens, maxNonAlnum,
-      maxStopword, snmThreshold, spanTokens)
+      maxStopword, snmThreshold, spanTokens, prefix = prefix)
 
   /** v5 — v4 plus a perplexity-percentile gate between decontamination
     * and span rewriting: unigram surprisal is fitted over the decontam

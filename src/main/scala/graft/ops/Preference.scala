@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Preference-data aggregation beyond pair assembly
@@ -190,22 +190,45 @@ object Preference {
     * the game stream never shuffles more than partials.
     */
   def positionBias(judged: DataFrame, firstWinsCol: String = "first_wins",
-      z: Double = 1.96): DataFrame = {
-    require(z > 0, s"positionBias: z must be > 0, got $z")
-    val agg = judged.agg(count(lit(1)).as("games"),
-      coalesce(sum(col(firstWinsCol).cast("boolean").cast("long")), lit(0L))
-        .as("first_wins"))
+      z: Double = 1.96): DataFrame =
+    coinRateAudit(judged, col(firstWinsCol), "first_wins", "rate_first", z)
+
+  /** Judge verbosity-bias audit — [[positionBias]]'s sibling for the
+    * other famous pairwise-judge artifact: preferring the LONGER
+    * answer regardless of quality. Input is the judged game log with
+    * the winner's and loser's answer lengths; equal-length games carry
+    * no verbosity signal and are excluded from the denominator. Same
+    * Wilson read: rate_longer = P(the longer answer won), `biased` = 1
+    * when the interval excludes the fair coin. (Causal only under
+    * quality-matched or randomized pairing — the positionBias caveat;
+    * a genuinely-better-when-longer corpus also moves this rate.)
+    */
+  def lengthBias(judged: DataFrame, winLenCol: String = "win_len",
+      loseLenCol: String = "lose_len", z: Double = 1.96): DataFrame =
+    coinRateAudit(judged.where(col(winLenCol) =!= col(loseLenCol)),
+      col(winLenCol) > col(loseLenCol), "longer_wins", "rate_longer", z)
+
+  /** Shared one-row fair-coin audit: count the flagged games, Wilson
+    * z-interval on the flag rate (exact integer counts — IEEE sqrt
+    * replays bit-for-bit), `biased` = 1 when 0.5 falls outside it.
+    * games = 0 ⇒ every ratio is 0/0: NULLs, not NaNs (an empty log has
+    * no rate reading).
+    */
+  private def coinRateAudit(games: DataFrame, flag: Column,
+      winsName: String, rateName: String, z: Double): DataFrame = {
+    require(z > 0, s"coinRateAudit: z must be > 0, got $z")
+    val agg = games.agg(count(lit(1)).as("games"),
+      coalesce(sum(flag.cast("boolean").cast("long")), lit(0L))
+        .as(winsName))
     val nD = col("games").cast("double")
-    val p = col("first_wins").cast("double") / nD
+    val p = col(winsName).cast("double") / nD
     val z2 = z * z
     val center = p + lit(z2) / (nD * 2)
     val margin = lit(z) *
       sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))
     val denom = lit(1.0) + lit(z2) / nD
-    // games = 0 ⇒ every ratio is 0/0: report NULLs, not NaNs (an empty
-    // judging log has no slot-rate reading)
-    agg.select(col("games"), col("first_wins"),
-      when(col("games") > 0, round(p, 6)).as("rate_first"),
+    agg.select(col("games"), col(winsName),
+      when(col("games") > 0, round(p, 6)).as(rateName),
       when(col("games") > 0, round((center - margin) / denom, 6)).as("lo95"),
       when(col("games") > 0, round((center + margin) / denom, 6)).as("hi95"),
       when(col("games") > 0,

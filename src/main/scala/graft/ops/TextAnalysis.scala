@@ -2074,6 +2074,34 @@ object TextAnalysis {
           .as("brier"))
   }
 
+  /** Expected / maximum calibration error — [[calibrationReport]]'s
+    * table collapsed to the two scalars a model card quotes: ECE =
+    * Σ_b (n_b/N)·|conf_b − acc_b| and MCE = max_b |conf_b − acc_b|
+    * over the same least(floor(score·nBins)+1, nBins) bins. The
+    * weighted ECE term simplifies to |Σscore_b − Σlabel_b| (the n_b
+    * cancels), so the whole statistic is two bin-dictionary-sized
+    * aggregates over exact per-bin sums — fewer float ops than the
+    * textbook form and the same one-shuffle shape as the report.
+    * Returns one row (n, n_bins — OCCUPIED bins only, the report's
+    * own granularity — ece, mce), rounded 4.
+    */
+  def calibrationError(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"calibrationError: need nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean").cast("int")
+    scored
+      .select(least(floor(s * nBins).cast("int") + 1, lit(nBins)).as("bin"),
+        s.as("_s"), y.as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("_n"), sum("_s").as("_ss"),
+        sum(col("_y").cast("double")).as("_sy"))
+      .agg(sum("_n").as("n"), count(lit(1)).as("n_bins"),
+        round(sum(abs(col("_ss") - col("_sy"))) / sum("_n"), 4).as("ece"),
+        round(max(abs(col("_ss") / col("_n") - col("_sy") / col("_n"))), 4)
+          .as("mce"))
+  }
+
   /** Operating-point sweep for a classifier against a binary label: one
     * row per candidate threshold with the full confusion (tp/fp/fn/tn)
     * and precision/recall/F1 — the table a pipeline reads to PICK the

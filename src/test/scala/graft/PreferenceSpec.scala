@@ -338,4 +338,24 @@ class PreferenceSpec extends SparkSpec {
     val empty = run(0, 0)
     assert(empty == ((0L, 0L, None, None, None, None)), empty)
   }
+
+  test("lengthBias: equal-length games carry no signal, a 65/35 longer " +
+      "skew fires, an all-equal log reads NULLs") {
+    def df(rows: Seq[(Int, Int)]) = rows.toDF("win_len", "lose_len")
+    // 400 unequal games, 260 longer-wins + 50 equal-length games that
+    // must leave the denominator: rate .65, Wilson ≈ [.602, .695]
+    val rows = (0 until 260).map(_ => (200, 120)) ++
+      (0 until 140).map(_ => (80, 120)) ++
+      (0 until 50).map(_ => (120, 120))
+    val got = Preference.lengthBias(df(rows))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Int])].collect().head
+    assert(got._1 == 400L && got._2 == 260L && got._3.contains(0.65), got)
+    assert(got._4.get > 0.6 && got._5.get < 0.7 && got._6.contains(1), got)
+    // all-equal log: zero usable games → NULL reads
+    val empty = Preference.lengthBias(df(Seq((5, 5), (9, 9))))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Int])].collect().head
+    assert(empty == ((0L, 0L, None, None, None, None)), empty)
+  }
 }

@@ -1773,4 +1773,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(standing.as[(String, String, Long)].collect().toSet ==
       TextAnalysis.lmCounts(all).as[(String, String, Long)].collect().toSet)
   }
+
+  test("calibrationError: hand-checked ECE/MCE over occupied bins") {
+    import graft.ops.TextAnalysis
+    // bin 1: (.05,0)x2 → |Σs−Σy| = .1; bin 9: (.85,1),(.85,0) → .7;
+    // bin 10: (.95,1) → .05 ⇒ ECE = .85/5 = .17, MCE = |.85−.5| = .35
+    val scored = Seq((0.05, 0), (0.05, 0), (0.85, 1), (0.85, 0),
+      (0.95, 1)).toDF("s", "y")
+    val got = TextAnalysis.calibrationError(scored, "s", "y")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((5L, 3L, 0.17, 0.35)), got)
+  }
 }
