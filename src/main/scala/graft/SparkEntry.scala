@@ -1904,6 +1904,10 @@ object SparkEntry {
     // substitutions and deletions. Codegen two-row Levenshtein in the
     // scan — zero shuffle; oracle replays the DP via the min-plus
     // prefix identity (the q_rouge recursive-CTE doctrine)
+    // SQuAD-style QA eval over the standing pair fixture: EM on the
+    // shared tokenizer's normal form + token-F1 (= the rougeN n=1 clip)
+    "q_qa_eval" -> ((s, d) =>
+      TextAnalysis.qaEval(evalPairs(s, d), "doc_id", "ref", "cand")),
     "q_ter" -> ((s, d) =>
       TextAnalysis.ter(evalPairs(s, d), "doc_id", "ref", "cand_sub")),
     // greedy-shift TER on sentence-shaped slices (first 32 tokens —
@@ -5590,6 +5594,28 @@ object SparkEntry {
         "CASE WHEN m.matches > 0 THEN round(2.0*(m.matches/(1.0*l.cgr))*(m.matches/(1.0*l.rgr))/" +
         "((m.matches/(1.0*l.cgr))+(m.matches/(1.0*l.rgr))), 6) ELSE 0.0 END AS rouge_f " +
         "FROM lens l JOIN m USING (doc_id)"),
+    // the q_rouge2 unigram clip (grams = the tokens themselves) + list
+    // equality for EM, averaged; gold = ref, pred = cand (every-3rd-
+    // token drop), both replayed from documents.text
+    "q_qa_eval" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, list_filter(rt, (x, i) -> i % 3 <> 0) AS ct FROM tk), " +
+        "cg AS (SELECT doc_id, gg, count(*) AS cc FROM " +
+        "(SELECT doc_id, unnest(ct) AS gg FROM pair) GROUP BY 1, 2), " +
+        "rg AS (SELECT doc_id, gg, count(*) AS cr FROM " +
+        "(SELECT doc_id, unnest(rt) AS gg FROM pair) GROUP BY 1, 2), " +
+        "m AS (SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id, " +
+        "sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS matches " +
+        "FROM cg FULL JOIN rg ON cg.doc_id = rg.doc_id AND cg.gg = rg.gg GROUP BY 1), " +
+        "lens AS (SELECT doc_id, len(ct) AS cgr, len(rt) AS rgr, " +
+        "CASE WHEN ct = rt THEN 1 ELSE 0 END AS em FROM pair " +
+        "WHERE len(ct) > 0 AND len(rt) > 0), " +
+        "per AS (SELECT l.doc_id, l.em, " +
+        "CASE WHEN m.matches > 0 THEN round(2.0*(m.matches/(1.0*l.cgr))*(m.matches/(1.0*l.rgr))/" +
+        "((m.matches/(1.0*l.cgr))+(m.matches/(1.0*l.rgr))), 6) ELSE 0.0 END AS f " +
+        "FROM lens l JOIN m USING (doc_id)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(avg(em), 4) AS exact_match, round(avg(f), 4) AS token_f1 FROM per"),
     // ROUGE-L: the LCS DP replayed as a recursive CTE — row i of the
     // DP table advances per candidate token, and the in-row sequential
     // dependence resolves via the prefix-max identity

@@ -3474,6 +3474,32 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("rouge_f"))
   }
 
+  /** SQuAD-style extractive-QA eval — corpus exact-match and token-F1
+    * over (gold, prediction) pairs, the scorecard every reading-
+    * comprehension benchmark quotes. Token-F1 IS [[rougeN]] at n = 1
+    * (matches = Σ min token counts, F = 2PR/(P+R) — the same clipped
+    * unigram overlap), so the per-pair scores ride the one clip-kernel
+    * definition and cannot drift from the ROUGE family; exact match
+    * compares the shared tokenizer's normal forms (lowercased token
+    * sequences — the library-wide normalization, close kin to SQuAD's
+    * lower+strip). Pairs where either side tokenizes empty are not
+    * scoreable and leave the denominator (the rougeN convention).
+    * Two scans of the pair fixture (kernel pass + EM pass joined on
+    * id) — eval sets are benchmark-sized by contract. Returns one row
+    * (n_pairs, exact_match, token_f1), averages rounded 4.
+    */
+  def qaEval(pairs: DataFrame, idCol: String, goldCol: String,
+      predCol: String): DataFrame = {
+    val per = rougeN(pairs, idCol, refCol = goldCol, candCol = predCol,
+      n = 1).select(col(idCol), col("rouge_f"))
+    val em = pairs.select(col(idCol),
+      (toks(col(goldCol)) === toks(col(predCol))).cast("int").as("_em"))
+    per.join(em, Seq(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("_em"), 4).as("exact_match"),
+        round(avg("rouge_f"), 4).as("token_f1"))
+  }
+
   /** Per-pair ROUGE-L — the recall-oriented reference-overlap eval
     * beside [[bleuScore]]'s precision view (summarization/generation
     * pipelines report both): longest-common-SUBSEQUENCE precision

@@ -456,5 +456,10 @@ class DataSelectionSpec extends SparkSpec {
     assert(got("A") == (("A", 3L, Some(0), Some(1), None)), got("A"))
     // B: the 0.8 tie at n = 2 resolves to the EARLIEST draw (right)
     assert(got("B") == (("B", 2L, Some(1), Some(1), None)), got("B"))
+    // plan fence: the per-n argmaxes share ONE problem-keyed shuffle —
+    // the window's hash partitioning is reused by the aggregate
+    val plan = TextAnalysis.bestOfN(samples, "problem", "draw", "reward",
+      "ok", ns = Seq(1, 2, 4)).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 }

@@ -1784,4 +1784,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().head
     assert(got == ((5L, 3L, 0.17, 0.35)), got)
   }
+
+  test("qaEval: hand EM/F1, unscoreable pairs leave the denominator, " +
+      "per-pair F1 equals rougeN n=1") {
+    import graft.ops.TextAnalysis
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat"),     // EM 1, F1 1
+      (2L, "a b c d", "a b x y"),             // EM 0, F1 2*(2/4)*(2/4)/1 = .5
+      (3L, "only gold", ""),                  // pred empty: not scoreable
+      (4L, "w w z", "w q w")                  // dup clip: m=2, F1 = 2/3
+    ).toDF("doc_id", "gold", "pred")
+    val got = TextAnalysis.qaEval(pairs, "doc_id", "gold", "pred")
+      .as[(Long, Double, Double)].collect().head
+    // n=3 scoreable; EM = 1/3 = .3333; F1 = (1 + .5 + .666667)/3 = .7222
+    assert(got._1 == 3L && got._2 == 0.3333, got)
+    assert(got._3 == math.rint((1.0 + 0.5 + 0.666667) / 3 * 1e4) / 1e4, got)
+  }
 }
