@@ -92,11 +92,38 @@ object Bench {
       catch { case _: Throwable => failed += name }
     }
 
-    // timed round-robin passes; one calibration reading per pass
+    // Baseline accounting: the 2× perf gate is anchored to round 1's
+    // 44-query bench, but the query set grows every round — comparing the
+    // headline total against the round-1 total would flag a phantom
+    // regression once enough NEW queries accumulate (~1.7× by round 4 with
+    // same-query perf flat at 1.03×). So compare like with like: the
+    // subtotal over the queries PRESENT IN BOTH runs, emitted per bench run
+    // as baseline_ratio. See BASELINE.md "Gate evaluation". Parsed BEFORE
+    // the timed passes since round 14: the shared set also decides which
+    // queries get multi-pass timing (below).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    val baseline: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(baselinePath)
+      // the driver wraps the bench JSON line in a log-tail string with
+      // escaped quotes; unescape before scanning for "q_*":secs pairs
+      val txt = try src.mkString.replace("\\\"", "\"") finally src.close()
+      """"(q_\w+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val multiPass: String => Boolean =
+      name => baseline.get(name).exists(_ >= 0)
+
+    // timed round-robin passes; one calibration reading per pass.
+    // Pass 1 times EVERY query; passes 2+ re-time only the baseline-shared
+    // gate set (round-13 verdict #4: the full-suite run grew to 1,139 s and
+    // lives inside the same driver window the oracle compare blew — the 2×
+    // gate is graded on the shared subtotal's median-of-passes, so the
+    // ~235 non-gate queries pay one timed pass, not three; their single
+    // sample still lands in BENCH_LOCAL.json for round-over-round eyes).
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val calib = scala.collection.mutable.ListBuffer[Double]()
-    for (_ <- 1 to passes) {
+    for (pass <- 1 to passes) {
       // drop Dataset-cache entries between passes: queries that persist()
       // an intermediate (q_bm25's matched postings) are keyed by
       // canonicalized plan in the CacheManager, so without this every
@@ -105,7 +132,7 @@ object Bench {
       spark.catalog.clearCache()
       calib += calibrate(spark)
       queries.foreach { case (name, fn) =>
-        if (!failed(name)) {
+        if (!failed(name) && (pass == 1 || multiPass(name))) {
           val t0 = System.nanoTime()
           try {
             exercise(fn(spark, sfDir))
@@ -120,22 +147,6 @@ object Bench {
     }.toMap
 
     val total = results.values.filter(_ >= 0).sum
-    // Baseline accounting: the 2× perf gate is anchored to round 1's
-    // 44-query bench, but the query set grows every round — comparing the
-    // headline total against the round-1 total would flag a phantom
-    // regression once enough NEW queries accumulate (~1.7× by round 4 with
-    // same-query perf flat at 1.03×). So compare like with like: the
-    // subtotal over the queries PRESENT IN BOTH runs, emitted per bench run
-    // as baseline_ratio. See BASELINE.md "Gate evaluation".
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
-    val baseline: Map[String, Double] = try {
-      val src = scala.io.Source.fromFile(baselinePath)
-      // the driver wraps the bench JSON line in a log-tail string with
-      // escaped quotes; unescape before scanning for "q_*":secs pairs
-      val txt = try src.mkString.replace("\\\"", "\"") finally src.close()
-      """"(q_\w+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
     val shared = results.collect {
       case (k, v) if v >= 0 && baseline.get(k).exists(_ >= 0) => (v, baseline(k))
     }

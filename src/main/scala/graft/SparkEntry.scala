@@ -1911,17 +1911,23 @@ object SparkEntry {
     "q_ter" -> ((s, d) =>
       TextAnalysis.ter(evalPairs(s, d), "doc_id", "ref", "cand_sub")),
     // greedy-shift TER on sentence-shaped slices (first 32 tokens —
-    // the terShift contract; real MT evals are sentence-segmented).
-    // Rows-only: the greedy block-shift loop is an iterative argmin
-    // over hypothesis permutations, outside relational replay —
-    // PropertySpec pins the kernel to a sequential reference and
-    // asserts ter_shift ≤ shift-free ter row-wise (q_ter stays the
-    // oracled upper bound)
+    // the terShift contract; real MT evals are sentence-segmented),
+    // with the 32-slice of cand_sub ROTATED left by 8 when it has ≥16
+    // tokens so the block-shift loop actually fires (the sub/drop
+    // degradation alone is order-preserving — zero shifts, a fixture
+    // that never exercises the operator). Oracled since round 14 via
+    // the q_bpe_apply pin discipline: the greedy loop's DECISIONS
+    // (applied shifts at sf0.01) are pinned literals, shift application
+    // + the edit DP replay mechanically in DuckDB — kernel drift makes
+    // the replayed edits diverge and the row goes red rather than
+    // silently drifting from the pin.
     "q_ter_shift" -> ((s, d) => {
+      val ct = slice(Core.tokensUni(col("cand_sub")), 1, 32)
+      val rot = when(size(ct) >= 16,
+        concat(slice(ct, lit(9), size(ct) - 8), slice(ct, 1, 8))).otherwise(ct)
       val sliced = evalPairs(s, d).select(col("doc_id"),
         array_join(slice(Core.tokensUni(col("ref")), 1, 32), " ").as("ref"),
-        array_join(slice(Core.tokensUni(col("cand_sub")), 1, 32), " ")
-          .as("cand_sub"))
+        array_join(rot, " ").as("cand_sub"))
       TextAnalysis.terShift(sliced, "doc_id", "ref", "cand_sub")
     }),
     // TRUE add-k perplexity under the STANDING bigram-count model
@@ -1950,10 +1956,12 @@ object SparkEntry {
     // exact integer counts, IEEE sqrt replays bit-for-bit)
     "q_win_matrix" -> ((s, d) =>
       Preference.winMatrix(btGames(Tables.documents(s, d)))),
-    // judge position-bias audit over the PRESENTED game log: slot
-    // assignment alternates by doc_id parity, the synthetic judge
-    // favors the first slot 60/40 — the audit must flag it (0.5
-    // outside the Wilson interval at sf0.01's ~600 games)
+    // judge position-bias audit over the PRESENTED game log: the first
+    // slot is keyed on WINNER parity (winner % 2 = 0 puts the winner
+    // first), so rate_first measures P(winner is even) — a synthetic
+    // judge favoring the first slot ~50/50-biased by the arms' strength
+    // layout — and the audit must flag it (0.5 outside the Wilson
+    // interval at sf0.01's ~600 games)
     "q_position_bias" -> ((s, d) => {
       val judged = btGames(Tables.documents(s, d)).select(
         when(col("winner") % 2 === 0, col("winner"))
@@ -3212,20 +3220,25 @@ object SparkEntry {
     */
   private def denseRunCtes(dim: Int, k: Int): String = {
     val qToks = TOKS.replace("lower(text)", "lower(query)")
+    // MATERIALIZED on the multiply-referenced stages (ddsv feeds ddids +
+    // dddv, ddn/dqn feed dsc + downstream cand joins, dr feeds u/cand):
+    // DuckDB 1.0 inlines CTEs per reference, re-running the whole
+    // embedding chain each time — the q_clean_corpus_v8 lesson
+    // (SparkEntry recipeV5Sql), applied here for q_mmr/q_rrf/q_dense_topk
     s"ddt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents), " +
       "ddh AS (SELECT doc_id, md5(tok) AS hx FROM ddt), " +
       "ddb AS (SELECT doc_id, " +
       s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
       "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
       "THEN 1.0 ELSE -1.0 END AS sgn FROM ddh), " +
-      "ddsv AS (SELECT doc_id, dim_idx, sum(sgn) AS value FROM ddb " +
+      "ddsv AS MATERIALIZED (SELECT doc_id, dim_idx, sum(sgn) AS value FROM ddb " +
       "GROUP BY doc_id, dim_idx), " +
       "ddids AS (SELECT DISTINCT doc_id FROM ddsv), " +
       s"ddgrid AS (SELECT ddids.doc_id, r.range AS i FROM ddids, range($dim) r), " +
       "dddv AS (SELECT g.doc_id, g.i, coalesce(sv.value, 0.0) AS v FROM ddgrid g " +
       "LEFT JOIN ddsv sv ON sv.doc_id = g.doc_id AND sv.dim_idx = g.i), " +
       "dde AS (SELECT doc_id, list(v ORDER BY i) AS dv FROM dddv GROUP BY doc_id), " +
-      "ddn AS (SELECT doc_id, dv, sqrt(list_dot_product(dv, dv)) AS nd FROM dde " +
+      "ddn AS MATERIALIZED (SELECT doc_id, dv, sqrt(list_dot_product(dv, dv)) AS nd FROM dde " +
       "WHERE sqrt(list_dot_product(dv, dv)) > 0), " +
       s"dqt AS (SELECT query_id, unnest($qToks) AS tok FROM q), " +
       "dqh AS (SELECT query_id, md5(tok) AS hx FROM dqt), " +
@@ -3233,19 +3246,19 @@ object SparkEntry {
       s"CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % $dim AS INT) AS dim_idx, " +
       "CASE WHEN CAST(('0x' || substring(hx, 9, 1)) AS UBIGINT) % 2 = 0 " +
       "THEN 1.0 ELSE -1.0 END AS sgn FROM dqh), " +
-      "dqsv AS (SELECT query_id, dim_idx, sum(sgn) AS value FROM dqb " +
+      "dqsv AS MATERIALIZED (SELECT query_id, dim_idx, sum(sgn) AS value FROM dqb " +
       "GROUP BY query_id, dim_idx), " +
       "dqids AS (SELECT DISTINCT query_id FROM dqsv), " +
       s"dqgrid AS (SELECT dqids.query_id, r.range AS i FROM dqids, range($dim) r), " +
       "dqdv AS (SELECT g.query_id, g.i, coalesce(sv.value, 0.0) AS v FROM dqgrid g " +
       "LEFT JOIN dqsv sv ON sv.query_id = g.query_id AND sv.dim_idx = g.i), " +
       "dqe AS (SELECT query_id, list(v ORDER BY i) AS qv FROM dqdv GROUP BY query_id), " +
-      "dqn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS nq FROM dqe " +
+      "dqn AS MATERIALIZED (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS nq FROM dqe " +
       "WHERE sqrt(list_dot_product(qv, qv)) > 0), " +
       "dsc AS (SELECT dqn.query_id, ddn.doc_id, " +
       "round(list_dot_product(ddn.dv, dqn.qv) / (ddn.nd * dqn.nq), 4) AS score " +
       "FROM ddn, dqn), " +
-      "dr AS (SELECT query_id, doc_id, score, rank FROM " +
+      "dr AS MATERIALIZED (SELECT query_id, doc_id, score, rank FROM " +
       "(SELECT query_id, doc_id, score, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM dsc) " +
       s"WHERE rank <= $k)"
@@ -4176,24 +4189,30 @@ object SparkEntry {
     // boundaries — caught by a real 1e-4 mismatch at first verify
     val lam = s"CAST(${lambda} AS DOUBLE)"
     val lamBar = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    // Every step CTE is MATERIALIZED: sel$t/ms$t reference sel$p/ms$p,
+    // so under DuckDB 1.0's per-reference inlining the unrolled chain
+    // re-expands EXPONENTIALLY in m (each of pick/sel/ms at step t
+    // inlines the step t-1 trio twice) — this single oracle replayed in
+    // 90 s and helped zero the round-13 driver compare. Materialized,
+    // each step runs once over k-row frames.
     val base =
       s"${denseRunCtes(dim, k)}, " +
-        "cand AS (SELECT dr.query_id, dr.doc_id, dr.score AS rel, " +
+        "cand AS MATERIALIZED (SELECT dr.query_id, dr.doc_id, dr.score AS rel, " +
         "ddn.dv, ddn.nd FROM dr JOIN ddn USING (doc_id)), " +
-        "ps AS (SELECT a.query_id, a.doc_id AS ca, b.doc_id AS cb, " +
+        "ps AS MATERIALIZED (SELECT a.query_id, a.doc_id AS ca, b.doc_id AS cb, " +
         "round(list_dot_product(a.dv, b.dv) / (a.nd * b.nd), 4) AS sim " +
         "FROM cand a JOIN cand b ON a.query_id = b.query_id " +
         "AND a.doc_id <> b.doc_id), " +
-        s"sel1 AS (SELECT query_id, doc_id, $lam * rel AS mmr, " +
+        s"sel1 AS MATERIALIZED (SELECT query_id, doc_id, $lam * rel AS mmr, " +
         "CAST(1 AS BIGINT) AS r FROM (SELECT query_id, doc_id, rel, " +
         "row_number() OVER (PARTITION BY query_id " +
         "ORDER BY rel DESC, doc_id) AS rn FROM cand) WHERE rn = 1), " +
-        "ms1 AS (SELECT ps.query_id, ps.ca AS doc_id, max(ps.sim) AS ms " +
+        "ms1 AS MATERIALIZED (SELECT ps.query_id, ps.ca AS doc_id, max(ps.sim) AS ms " +
         "FROM ps JOIN sel1 s ON ps.query_id = s.query_id " +
         "AND ps.cb = s.doc_id GROUP BY 1, 2)"
     val steps = (2 to m).map { t =>
       val p = t - 1
-      s"pick$t AS (SELECT query_id, doc_id, mmr, CAST($t AS BIGINT) AS r " +
+      s"pick$t AS MATERIALIZED (SELECT query_id, doc_id, mmr, CAST($t AS BIGINT) AS r " +
         "FROM (SELECT query_id, doc_id, mmr, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn FROM " +
         s"(SELECT c.query_id, c.doc_id, $lam * c.rel - $lamBar * " +
@@ -4202,8 +4221,8 @@ object SparkEntry {
         s"WHERE NOT EXISTS (SELECT 1 FROM sel$p s " +
         "WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))) " +
         "WHERE rn = 1), " +
-        s"sel$t AS (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t), " +
-        s"ms$t AS (SELECT query_id, doc_id, max(ms) AS ms FROM " +
+        s"sel$t AS MATERIALIZED (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t), " +
+        s"ms$t AS MATERIALIZED (SELECT query_id, doc_id, max(ms) AS ms FROM " +
         s"(SELECT * FROM ms$p UNION ALL SELECT ps.query_id, ps.ca AS doc_id, " +
         s"ps.sim AS ms FROM ps JOIN pick$t p ON ps.query_id = p.query_id " +
         "AND ps.cb = p.doc_id) GROUP BY 1, 2)"
@@ -4255,7 +4274,10 @@ object SparkEntry {
       s"LEFT JOIN sv$sfx s ON s.doc_id = g.doc_id AND s.dim_idx = g.i), " +
       s"e$sfx AS (SELECT doc_id AS vec_id, v, list_transform(v, x -> abs(x)) AS a " +
       s"FROM (SELECT doc_id, list(v ORDER BY i) AS v FROM dv$sfx GROUP BY doc_id)), " +
-      s"b$sfx AS (SELECT vec_id, v, " +
+      // MATERIALIZED: the chain terminal is consumed 2× downstream
+      // (semp join + semdocs join for the "d" chain) and is the whole
+      // embedding cost — same per-reference-inlining guard as recipeV5Sql
+      s"b$sfx AS MATERIALIZED (SELECT vec_id, v, " +
       "CAST(list_position(a, list_max(a)) AS BIGINT) AS block " +
       s"FROM e$sfx WHERE sqrt(list_dot_product(v, v)) > 0)"
 
@@ -4338,11 +4360,11 @@ object SparkEntry {
       s"CAST(length(text) >= $e AS INT)").mkString(" + ")
     val resBlock = resampleK.map { kF =>
       s"spiner AS (SELECT CAST(range AS INT) AS bucket FROM range(${resampleEdges.length + 1})), " +
-        s"rref AS (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS ref_cnt " +
+        s"rref AS MATERIALIZED (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS ref_cnt " +
         s"FROM spiner LEFT JOIN (SELECT $rBex AS bucket, count(*) AS cnt " +
         "FROM t0 GROUP BY 1) rr USING (bucket)), " +
-        "rsv AS (SELECT t0.doc_id, text FROM t0 JOIN ppl USING (doc_id)), " +
-        s"rcur AS (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS cur_cnt " +
+        "rsv AS MATERIALIZED (SELECT t0.doc_id, text FROM t0 JOIN ppl USING (doc_id)), " +
+        s"rcur AS MATERIALIZED (SELECT spiner.bucket, CAST(coalesce(cnt, 0) AS BIGINT) AS cur_cnt " +
         s"FROM spiner LEFT JOIN (SELECT $rBex AS bucket, count(*) AS cnt " +
         "FROM rsv GROUP BY 1) rc USING (bucket)), " +
         "rw AS (SELECT rref.bucket, ((ref_cnt + 0.5) / (rt.rn + 2.5)) / " +
@@ -4353,30 +4375,37 @@ object SparkEntry {
         s"rcl AS (SELECT doc_id, -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
         "AS UBIGINT) + 0.5) / 4294967296.0) / w AS clock " +
         s"FROM (SELECT doc_id, $rBex AS bucket FROM rsv) rb JOIN rw USING (bucket)), " +
-        s"resampled AS (SELECT doc_id FROM rcl ORDER BY clock, doc_id LIMIT $kF), "
+        s"resampled AS MATERIALIZED (SELECT doc_id FROM rcl ORDER BY clock, doc_id LIMIT $kF), "
     }.getOrElse("")
     val resRow = if (resampleK.isDefined)
       s"UNION ALL SELECT 's${spanIdx - 1}_resample', count(*) FROM resampled "
     else ""
-    s"WITH RECURSIVE ${prefixCtes}t0 AS (SELECT doc_id, text, $TOKS AS toks " +
+    // Every multiply-referenced stage CTE is MATERIALIZED (its own stage-
+    // count row + 1-2 downstream consumers): DuckDB 1.0 inlines CTEs per
+    // reference, so the unmaterialized recipe re-ran the whole upstream
+    // chain once per stage row — q_clean_corpus_v7 replayed in 302 s,
+    // v5 in 105 s, v6 in 43 s, and together they blew the driver's ~600 s
+    // compare window (CORRECTNESS_r13 = {}). Same fix as the v8 `dec`
+    // measurement below (302 s-class → seconds).
+    s"WITH RECURSIVE ${prefixCtes}t0 AS MATERIALIZED (SELECT doc_id, text, $TOKS AS toks " +
       s"FROM $docsFrom WHERE doc_id % 97 <> 0), " +
-      "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+      "passed AS MATERIALIZED (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
       s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
       "/ greatest(length(text), 1) <= 0.35 " +
       "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
       "/ greatest(len(toks), 1) <= 0.7), " +
       "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
       "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
-      "exact AS (SELECT doc_id, text, toks FROM passed " +
+      "exact AS MATERIALIZED (SELECT doc_id, text, toks FROM passed " +
       "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
       sortedCtes("exact") + ", " +
-      "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
-      "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+      "prs AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+      "edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prs " +
       "UNION SELECT b_id, a_id FROM prs), " +
       "reach(id, lbl) AS (SELECT src, src FROM edges " +
       "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
       "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
-      "near AS (SELECT doc_id, toks FROM exact " +
+      "near AS MATERIALIZED (SELECT doc_id, toks FROM exact " +
       "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
       s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
       "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
@@ -4384,26 +4413,26 @@ object SparkEntry {
       "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
       "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
       "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
-      // MATERIALIZED when the v8 sem block is present: `dec` is then
-      // referenced from two chains and DuckDB 1.0's default inlining
-      // re-evaluates the whole upstream recipe per reference (measured:
-      // the plain v8 oracle ran minutes; materialized, 4.5 s)
-      s"dec AS ${if (semMinCos.isDefined) "MATERIALIZED " else ""}" +
+      // dec is ALWAYS materialized since round 14: it feeds the surprisal
+      // chain, pdocs, its own stage row, and (v8) semdocs. The original
+      // v8-only guard carried the measurement: the plain v8 oracle ran
+      // minutes; materialized, 4.5 s.
+      "dec AS MATERIALIZED " +
       "(SELECT doc_id, toks FROM near " +
       "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
       semBlock +
-      s"st AS (SELECT doc_id, unnest(toks) AS word FROM $pplSrc), " +
-      "stf AS (SELECT word, count(*) AS cnt FROM st GROUP BY word), " +
+      s"st AS MATERIALIZED (SELECT doc_id, unnest(toks) AS word FROM $pplSrc), " +
+      "stf AS MATERIALIZED (SELECT word, count(*) AS cnt FROM st GROUP BY word), " +
       "sn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM stf), " +
-      "ss AS (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS sc " +
+      "ss AS MATERIALIZED (SELECT doc_id, round(avg(-ln(cnt / n_total)), 4) AS sc " +
       "FROM st JOIN stf USING (word), sn GROUP BY doc_id), " +
-      "scnt AS (SELECT sc, count(*) AS c FROM ss GROUP BY 1), " +
+      "scnt AS MATERIALIZED (SELECT sc, count(*) AS c FROM ss GROUP BY 1), " +
       "sna AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM scnt), " +
       "scum AS (SELECT sc, c, sum(c) OVER (ORDER BY sc " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scnt), " +
       "sb AS (SELECT sc, CAST(floor((cum - c) * 5 / n_all) AS INT) + 1 " +
       "AS bucket FROM scum, sna), " +
-      "ppl AS (SELECT doc_id FROM ss JOIN sb USING (sc) " +
+      "ppl AS MATERIALIZED (SELECT doc_id FROM ss JOIN sb USING (sc) " +
       s"WHERE $pplPredicate), " +
       resBlock +
       s"pdocs AS (SELECT doc_id, toks FROM $pplSrc " +
@@ -4411,7 +4440,7 @@ object SparkEntry {
       s"${if (resampleK.isDefined) "resampled" else "ppl"})), " +
       "sp0 AS (SELECT doc_id, toks, " +
       "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM pdocs), " +
-      "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+      "sp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
       "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
       "own AS (SELECT doc_id, span_idx, " +
       "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
@@ -4513,7 +4542,10 @@ object SparkEntry {
     * larger oracles (the v7 recipe) without CTE-name collisions.
     */
   private def substringScrubCtes(x: String = ""): String =
-    s"t$x AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+    // t$x is MATERIALIZED: gi$x, ti$x, and the caller's `scrubbed` all
+    // reference it — unmaterialized, the tokenizer scan re-ran per
+    // reference (the q_clean_corpus_v7 302 s replay)
+    s"t$x AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM documents), " +
       s"gi$x AS (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i " +
       s"FROM t$x WHERE len(toks) >= 8), " +
       s"g$x AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
@@ -4534,6 +4566,258 @@ object SparkEntry {
       s"WHERE sp$x.doc_id = ti$x.doc_id AND ti$x.i BETWEEN sp$x.s AND sp$x.e)), " +
       s"ag$x AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
       s"string_agg(tok, ' ' ORDER BY i) AS text FROM kept$x GROUP BY doc_id)"
+
+  /** The applied-shift decisions [[graft.functions.ArrayKernels.TerShiftStats]]'s
+    * greedy loop converges to on the sf0.01 q_ter_shift fixture
+    * (rotated degraded 32-slices), PINNED via tools/pin_ter_r14.scala as
+    * `doc_id:step:start:len:ins` tokens (0-indexed start/ins, exactly as
+    * the kernel records them) — the q_bpe_apply pin discipline: the
+    * iterative argmin's DECISIONS are pinned, shift APPLICATION and the
+    * edit-distance DP replay mechanically in DuckDB. If the greedy
+    * loop's choices ever change, the replayed edits diverge from the
+    * kernel's and q_ter_shift goes red rather than silently drifting
+    * (the live query still runs the full loop).
+    */
+  private val TER_SHIFT_PINNED: Seq[(Long, Int, Int, Int, Int)] =
+    ("0:1:18:2:0 0:2:24:1:10 1:1:2:2:12 1:2:14:2:27 2:1:16:2:30 2:2:2:2:12 " +
+      "2:3:0:1:10 3:1:14:2:0 3:2:19:2:6 3:3:19:1:1 4:1:2:2:12 4:2:14:2:27 " +
+      "5:1:14:2:27 5:2:2:2:12 7:1:9:2:21 8:1:16:2:30 8:2:2:2:12 8:3:14:1:27 " +
+      "9:1:2:2:12 10:1:9:2:21 11:1:2:2:12 11:2:14:2:27 12:1:2:2:12 12:2:0:1:10 " +
+      "12:3:25:1:20 13:1:14:2:27 13:2:3:3:14 14:1:14:2:27 14:2:2:2:12 15:1:16:2:30 " +
+      "15:2:22:2:0 15:3:4:2:12 15:4:14:1:27 17:1:14:1:27 18:1:24:2:0 18:2:29:2:6 " +
+      "18:3:18:2:27 18:4:24:1:10 20:1:16:2:30 20:2:14:2:27 20:3:2:2:12 20:4:20:2:0 " +
+      "20:5:4:2:15 21:1:4:1:29 21:2:21:2:0 22:1:24:2:0 22:2:4:2:12 22:3:16:1:27 " +
+      "23:1:16:2:0 24:1:2:2:12 24:2:0:1:10 24:3:14:2:27 24:4:22:2:14 25:1:14:2:27 " +
+      "25:2:22:2:0 25:3:4:2:12 27:1:24:2:0 27:2:29:2:6 28:1:14:2:27 28:2:2:2:12 " +
+      "29:1:20:2:0 29:2:18:2:26 30:1:17:2:0 31:1:24:2:0 31:2:7:1:31 31:3:10:2:21 " +
+      "32:1:4:2:15 33:1:16:2:30 33:2:9:2:21 33:3:2:1:12 34:1:16:2:0 35:1:2:2:12 " +
+      "35:2:14:2:27 37:1:24:2:0 37:2:18:1:1 37:3:30:1:7 38:1:21:2:0 38:2:19:1:2 " +
+      "38:3:26:2:6 39:1:9:2:17 40:1:2:2:12 41:1:4:2:15 41:2:25:1:19 42:1:24:2:0 " +
+      "42:2:6:1:15 42:3:16:2:27 42:4:21:2:17 43:1:15:2:0 43:2:18:1:3 43:3:20:2:6 " +
+      "44:1:9:2:18 44:2:0:1:19 44:3:14:2:6 45:1:16:2:30 45:2:9:2:21 46:1:24:2:0 " +
+      "46:2:27:1:11 47:1:2:2:12 47:2:0:1:10 47:3:14:1:27 48:1:16:2:0 48:2:21:2:6 " +
+      "49:1:24:2:0 50:1:2:2:12 50:2:14:2:27 51:1:24:2:0 51:2:18:2:30 53:1:20:2:0 " +
+      "53:2:18:2:26 53:3:23:2:6 54:1:24:2:0 54:2:29:2:6 54:3:13:2:21 55:1:2:2:12 " +
+      "56:1:24:2:0 56:2:6:1:15 56:3:16:2:27 57:1:9:2:21 58:1:3:3:14 58:2:2:1:12 " +
+      "58:3:3:1:7 59:1:12:2:0 60:1:24:2:0 60:2:18:2:30 61:1:4:2:15 62:1:4:2:15 " +
+      "63:1:0:1:10 64:1:12:2:0 65:1:4:2:14 65:2:6:2:0 66:1:24:2:0 66:2:18:2:30 " +
+      "67:1:2:2:12 68:1:19:2:0 68:2:24:2:6 68:3:24:1:3 69:1:2:3:12 69:2:16:2:30 " +
+      "70:1:2:2:12 70:2:14:2:27 70:3:22:2:0 70:4:4:2:15 71:1:4:2:15 72:1:3:3:14 " +
+      "73:1:24:2:0 73:2:4:2:12 75:1:0:1:28 75:2:3:2:15 76:1:24:2:0 76:2:29:2:6 " +
+      "77:1:12:1:25 78:1:24:2:0 80:1:18:2:0 80:2:18:1:4 80:3:18:2:5 80:4:23:2:6 " +
+      "81:1:2:2:12 81:2:16:2:30 82:1:14:2:27 82:2:9:1:23 84:1:14:2:27 84:2:2:1:19 " +
+      "85:1:17:2:0 85:2:20:1:2 85:3:22:2:6 85:4:21:1:8 86:1:11:2:0 86:2:11:2:17 " +
+      "86:3:14:2:6 87:1:2:2:12 87:2:7:2:17 88:1:9:2:21 88:2:2:2:12 88:3:14:2:30 " +
+      "88:4:22:2:0 88:5:4:2:15 90:1:4:1:2 90:2:9:2:18 91:1:24:2:0 91:2:5:1:13 " +
+      "91:3:16:2:27 92:1:13:2:0 93:1:12:2:0 94:1:9:2:18 95:1:2:1:12 95:2:29:1:18 " +
+      "96:1:24:1:0 97:1:14:2:27 98:1:14:2:27 98:2:22:2:0 99:1:23:2:0 99:2:5:2:13 " +
+      "100:1:24:2:0 101:1:29:2:6 101:2:17:1:30 102:1:9:2:21 102:2:2:2:12 " +
+      "102:3:0:1:10 103:1:4:2:15 103:2:2:2:12 104:1:24:2:0 104:2:27:1:3 " +
+      "105:1:3:3:14 105:2:29:1:20 107:1:9:2:21 107:2:7:1:0 109:1:14:3:27 " +
+      "109:2:2:2:12 111:1:4:2:15 112:1:24:2:0 112:2:16:2:27 113:1:0:1:29 " +
+      "113:2:1:2:12 114:1:21:2:0 114:2:16:2:2 114:3:18:2:27 114:4:24:2:6 " +
+      "115:1:2:2:12 115:2:7:2:18 115:3:15:2:6 117:1:0:1:10 118:1:2:2:12 " +
+      "118:2:14:2:27 120:1:22:2:0 120:2:18:2:28 121:1:16:2:0 122:1:2:2:12 " +
+      "123:1:15:2:0 123:2:21:1:1 124:1:5:1:16 125:1:20:2:0 126:1:24:2:0 " +
+      "126:2:4:2:12 127:1:16:2:30 127:2:9:2:21 128:1:24:2:0 128:2:18:2:30 " +
+      "128:3:12:1:29 129:1:14:3:27 129:2:9:2:21 129:3:4:2:15 129:4:2:2:12 " +
+      "130:1:16:2:0 131:1:9:2:21 132:1:24:2:0 133:1:4:2:15 134:1:2:2:12 " +
+      "134:2:7:2:18 135:1:24:2:0 135:2:4:1:12 136:1:14:2:27 137:1:3:3:14 " +
+      "137:2:13:1:0 138:1:4:2:15 138:2:21:2:28 138:3:22:1:17 139:1:2:3:12 " +
+      "140:1:15:2:0 140:2:21:1:1 141:1:9:2:21 141:2:2:2:12 142:1:24:2:0 " +
+      "142:2:23:1:2 142:3:27:1:3 142:4:29:2:6 143:1:0:1:10 145:1:2:2:12 " +
+      "145:2:14:1:27 146:1:2:1:12 146:2:6:1:17 147:1:2:3:12 147:2:16:2:30 " +
+      "147:3:0:1:10 148:1:22:2:0 149:1:14:2:0 150:1:3:3:14 150:2:17:1:31 " +
+      "151:1:2:2:12 152:1:4:2:15 152:2:0:1:13 153:1:4:2:15 153:2:0:1:10 " +
+      "153:3:30:1:28 154:1:2:2:12 154:2:14:2:27 155:1:24:2:0 159:1:2:2:12 " +
+      "159:2:16:2:30 159:3:20:1:23 160:1:14:2:27 160:2:4:1:25 161:1:24:2:0 " +
+      "161:2:24:1:0 162:1:2:2:12 162:2:14:2:27 163:1:2:2:12 163:2:0:1:10 " +
+      "163:3:16:2:30 164:1:4:2:14 164:2:2:2:12 164:3:0:1:10 164:4:2:1:15 " +
+      "165:1:2:2:12 166:1:4:2:15 167:1:2:2:12 167:2:16:2:30 167:3:14:2:27 " +
+      "168:1:3:3:14 168:2:22:1:27 169:1:2:2:12 169:2:14:2:27 170:1:10:2:0 " +
+      "171:1:16:2:30 171:2:2:2:12 171:3:15:1:28 172:1:8:2:0 172:2:13:2:6 " +
+      "172:3:8:2:14 173:1:24:2:0 174:1:2:2:11 174:2:14:1:27 175:1:16:2:0 " +
+      "176:1:4:2:15 177:1:14:2:27 177:2:2:2:12 178:1:23:2:0 178:2:28:2:6 " +
+      "178:3:28:1:3 178:4:24:1:5 179:1:14:2:27 179:2:9:2:21 179:3:20:1:0 " +
+      "180:1:18:2:0 182:1:2:2:12 183:1:0:1:10 183:2:13:2:6 184:1:2:2:12 " +
+      "185:1:4:2:15 186:1:14:2:27 186:2:3:2:14 187:1:4:2:15 188:1:24:2:0 " +
+      "188:2:21:1:2 188:3:27:1:3 188:4:29:2:6 189:1:22:2:0 189:2:27:2:6 " +
+      "189:3:23:1:10 190:1:16:2:30 191:1:3:1:13 192:1:13:2:0 192:2:11:2:19 " +
+      "193:1:17:2:0 193:2:22:1:2 193:3:21:1:3 194:1:16:2:0 195:1:14:2:27 " +
+      "195:2:9:2:21 195:3:20:1:0 196:1:2:2:12 196:2:14:2:27 196:3:13:3:29 " +
+      "196:4:19:2:0 196:5:4:2:15 197:1:0:1:21 197:2:1:1:8 198:1:14:2:27 " +
+      "198:2:2:2:12 199:1:16:2:0 200:1:24:2:0 200:2:27:1:14 201:1:2:2:12 " +
+      "201:2:15:3:29 202:1:14:3:27 202:2:9:2:21 203:1:17:2:6 204:1:9:2:0 " +
+      "204:2:14:2:6 205:1:21:1:1 206:1:12:2:0 207:1:24:2:0 208:1:7:1:1 " +
+      "208:2:15:2:6 209:1:3:3:14 209:2:30:1:20 210:1:9:2:21 210:2:2:2:12 " +
+      "211:1:14:2:27 212:1:14:3:27 212:2:0:1:22 213:1:24:2:0 215:1:2:2:12 " +
+      "215:2:15:3:29 216:1:15:1:1 217:1:4:2:15 217:2:2:2:12 218:1:4:2:15 " +
+      "218:2:0:1:10 219:1:16:2:0 219:2:19:1:3 219:3:21:2:6 220:1:2:3:12 " +
+      "221:1:16:2:30 222:1:24:2:0 222:2:18:1:2 222:3:27:1:3 222:4:29:2:6 " +
+      "223:1:24:2:0 223:2:4:2:12 224:1:14:2:27 224:2:4:2:15 224:3:0:1:10 " +
+      "225:1:4:1:1 225:2:15:3:29 225:3:9:2:21 226:1:8:2:0 227:1:24:2:0 " +
+      "227:2:29:2:6 228:1:9:2:21 228:2:2:2:12 228:3:20:1:14 229:1:2:2:12 " +
+      "229:2:16:2:30 229:3:14:2:27 229:4:17:1:26 230:1:2:2:12 230:2:30:1:21 " +
+      "231:1:4:2:15 232:1:14:4:27 232:2:9:2:21 232:3:2:2:12 233:1:2:2:12 " +
+      "234:1:9:2:21 234:2:4:2:15 235:1:29:2:6 235:2:18:2:30 237:1:24:2:0 " +
+      "237:2:6:1:27 238:1:24:2:0 238:2:29:2:6 238:3:8:2:15 238:4:9:1:12 " +
+      "238:5:18:2:22 239:1:16:2:0 240:1:9:2:21 240:2:2:2:12 241:1:16:2:30 " +
+      "241:2:4:2:15 242:1:2:2:12 242:2:0:1:10 243:1:19:2:0 244:1:5:1:1 " +
+      "244:2:16:2:30 244:3:15:1:28 244:4:19:1:3 245:1:16:2:30 245:2:2:2:12 " +
+      "245:3:14:1:27 246:1:20:2:0 247:1:3:1:13 247:2:16:1:30 248:1:4:2:15 " +
+      "249:1:14:2:27 249:2:2:2:12 250:1:24:2:0 250:2:18:2:30 251:1:9:2:21 " +
+      "251:2:5:1:16 252:1:2:2:12 253:1:23:2:0 254:1:8:2:0 255:1:15:2:0 " +
+      "255:2:20:1:1 257:1:9:2:0 257:2:14:2:6 258:1:9:2:21 259:1:2:1:21 " +
+      "260:1:13:2:0 261:1:0:1:14 262:1:14:2:27 262:2:22:1:0 263:1:29:2:6 " +
+      "263:2:26:1:9 264:1:9:2:21 265:1:14:2:27 265:2:17:1:2 266:1:4:1:30 " +
+      "267:1:16:2:30 267:2:9:2:21 268:1:24:2:0 268:2:29:2:6 268:3:8:2:15 " +
+      "268:4:20:2:30 269:1:2:2:12 269:2:16:2:30 270:1:4:2:15 270:2:2:1:28 " +
+      "271:1:2:2:9 271:2:16:2:30 271:3:14:2:27 271:4:2:2:15 271:5:7:2:9 " +
+      "272:1:9:2:21 272:2:2:2:12 273:1:15:2:0 274:1:24:2:0 274:2:16:2:27 " +
+      "274:3:25:1:3 276:1:2:2:12 276:2:16:2:30 277:1:18:2:0 277:2:21:1:1 " +
+      "278:1:4:2:15 278:2:5:1:30 278:3:16:1:2 279:1:16:2:30 279:2:2:2:12 " +
+      "280:1:15:3:29 280:2:0:1:10 281:1:16:2:0 281:2:21:1:1 282:1:18:2:0 " +
+      "282:2:23:1:1 283:1:14:2:27 283:2:0:1:10 284:1:16:2:2 284:2:4:2:12 " +
+      "285:1:14:2:27 285:2:4:2:15 286:1:2:2:12 286:2:16:2:22 288:1:18:2:0 " +
+      "289:1:16:2:29 290:1:14:2:27 290:2:22:2:0 291:1:2:2:12 291:2:14:1:27 " +
+      "291:3:20:2:16 292:1:16:2:30 292:2:2:2:12 292:3:14:2:27 293:1:3:3:14 " +
+      "293:2:2:1:12 293:3:3:1:7 295:1:18:2:0 296:1:2:2:12 297:1:2:2:27 " +
+      "298:1:18:2:0 299:1:2:2:12 300:1:16:2:30 301:1:14:2:27 301:2:4:2:15 " +
+      "302:1:9:2:21 303:1:2:2:12 304:1:4:2:15 306:1:14:2:27 306:2:22:2:0 " +
+      "306:3:6:1:15 307:1:24:2:0 307:2:2:1:10 309:1:29:2:6 309:2:11:2:21 " +
+      "311:1:2:2:12 312:1:24:2:0 312:2:29:2:6 312:3:29:1:3 314:1:22:2:0 " +
+      "315:1:24:2:0 315:2:11:2:21 316:1:14:2:27 317:1:3:2:30 317:2:0:1:14 " +
+      "317:3:27:2:19 318:1:24:2:0 318:2:14:1:25 319:1:2:2:12 320:1:14:2:27 " +
+      "320:2:2:2:12 321:1:2:2:12 321:2:15:2:29 322:1:24:2:0 322:2:11:2:21 " +
+      "323:1:4:2:15 324:1:14:2:3 324:2:6:2:15 325:1:14:2:27 326:1:21:2:0 " +
+      "326:2:16:2:3 326:3:26:2:6 327:1:19:2:0 327:2:18:2:25 328:1:16:2:30 " +
+      "328:2:4:2:15 329:1:9:2:21 329:2:29:2:24 330:1:0:1:10 331:1:24:2:0 " +
+      "331:2:18:1:2 331:3:27:1:3 331:4:29:2:6 331:5:27:1:14 332:1:21:2:0 " +
+      "332:2:18:2:27 333:1:18:2:0 333:2:23:1:6 334:1:2:2:12 334:2:14:2:27 " +
+      "335:1:14:1:1 336:1:14:1:21 337:1:2:2:12 337:2:14:2:27 339:1:18:2:0 " +
+      "340:1:24:2:0 340:2:21:1:1 341:1:14:2:27 341:2:2:2:12 342:1:2:2:12 " +
+      "342:2:0:1:10 342:3:7:1:16 343:1:16:2:0 343:2:19:1:2 343:3:21:2:6 " +
+      "344:1:14:2:27 344:2:2:2:12 345:1:2:2:12 345:2:14:2:27 346:1:9:2:21 " +
+      "347:1:24:2:0 347:2:11:2:21 348:1:12:2:0 349:1:9:2:21 349:2:0:1:10 " +
+      "350:1:24:2:0 350:2:4:2:12 350:3:16:2:27 351:1:2:3:12 352:1:14:3:27 " +
+      "352:2:2:2:12 353:1:24:2:0 353:2:11:2:21 354:1:4:1:15 355:1:14:2:27 " +
+      "355:2:0:1:10 356:1:9:2:21 357:1:2:2:12 359:1:16:2:30 359:2:20:1:6 " +
+      "360:1:16:2:30 360:2:9:1:21 361:1:29:2:6 363:1:24:2:0 364:1:29:2:6 " +
+      "364:2:11:1:26 366:1:14:2:27 366:2:4:2:15 366:3:2:1:12 367:1:2:2:12 " +
+      "367:2:16:2:30 369:1:16:1:7 370:1:14:2:27 371:1:2:2:12 371:2:14:2:27 " +
+      "372:1:15:2:0 372:2:21:1:10 373:1:14:2:27 373:2:14:1:0 374:1:17:2:0 " +
+      "376:1:9:2:21 376:2:2:2:12 377:1:3:3:14 378:1:2:2:12 379:1:4:2:15 " +
+      "379:2:2:2:12 380:1:24:2:0 381:1:4:1:23 381:2:8:1:24 381:3:12:2:27 " +
+      "382:1:12:2:0 383:1:24:2:0 383:2:7:1:31 383:3:10:2:21 385:1:2:2:12 " +
+      "386:1:14:2:27 386:2:0:1:10 387:1:9:2:21 387:2:7:1:0 388:1:2:2:12 " +
+      "389:1:15:2:0 389:2:20:1:2 389:3:19:1:3 390:1:13:2:0 390:2:18:2:6 " +
+      "391:1:7:1:25 393:1:2:3:12 393:2:15:2:28 394:1:14:3:27 394:2:9:2:21 " +
+      "394:3:19:2:0 394:4:4:2:12 395:1:24:2:0 396:1:9:2:21 396:2:4:1:15 " +
+      "397:1:24:2:0 397:2:29:2:6 397:3:18:2:27 398:1:2:2:12 398:2:6:2:0 " +
+      "399:1:5:1:29 399:2:2:2:12 399:3:0:1:10 400:1:12:2:0 401:1:9:2:21 " +
+      "401:2:19:1:6 402:1:17:2:0 403:1:14:2:27 404:1:2:2:12 404:2:14:2:27 " +
+      "405:1:9:2:21 406:1:2:2:12 407:1:13:2:6 409:1:16:2:30 409:2:0:1:10 " +
+      "410:1:3:3:14 410:2:11:2:27 410:3:12:3:14 411:1:0:1:28 412:1:24:2:0 " +
+      "412:2:16:2:27 412:3:14:1:25 413:1:16:2:30 413:2:9:2:21 414:1:22:1:9 " +
+      "415:1:15:3:29 415:2:9:2:21 416:1:24:2:0 416:2:29:2:6 416:3:8:2:15 " +
+      "417:1:2:2:12 417:2:14:1:27 418:1:9:2:21 418:2:10:1:20 419:1:8:2:0 " +
+      "420:1:2:3:12 420:2:15:2:28 421:1:2:2:12 422:1:0:1:27 422:2:1:2:12 " +
+      "423:1:16:2:30 423:2:9:2:21 424:1:0:1:10 425:1:12:2:0 426:1:2:3:12 " +
+      "427:1:2:3:12 428:1:2:3:12 428:2:16:2:30 429:1:24:2:0 429:2:23:1:2 " +
+      "429:3:27:1:3 429:4:29:2:6 430:1:2:2:12 430:2:14:1:27 431:1:2:3:12 " +
+      "431:2:16:2:30 432:1:9:2:21 432:2:4:2:15 432:3:0:1:12 433:1:17:2:0 " +
+      "433:2:22:1:1 434:1:14:2:27 434:2:2:2:12 435:1:17:2:0 436:1:14:2:27 " +
+      "436:2:9:2:21 437:1:24:2:0 437:2:9:1:18 438:1:17:2:0 439:1:19:2:0 " +
+      "440:1:24:2:0 440:2:14:1:11 440:3:18:1:12 441:1:9:2:21 441:2:2:2:12 " +
+      "442:1:16:2:30 442:2:9:2:21 442:3:2:2:12 443:1:2:2:12 444:1:16:2:30 " +
+      "446:1:12:2:0 447:1:2:2:12 447:2:14:2:27 447:3:22:2:0 447:4:4:2:15 " +
+      "448:1:0:1:10 448:2:3:2:15 448:3:29:2:6 448:4:14:2:27 449:1:19:2:0 " +
+      "449:2:24:2:6 450:1:12:2:0 451:1:3:3:13 451:2:2:1:12 451:3:0:1:10 " +
+      "451:4:2:1:15 452:1:24:2:0 453:1:9:2:21 453:2:2:2:12 454:1:15:2:0 " +
+      "454:2:20:2:6 456:1:11:2:0 456:2:17:1:1 458:1:2:1:29 458:2:0:1:10 " +
+      "459:1:14:2:27 459:2:4:1:15 460:1:16:2:30 461:1:9:2:21 462:1:2:1:29 " +
+      "462:2:0:1:10 463:1:2:2:12 463:2:14:2:27 464:1:20:2:0 465:1:24:2:0 " +
+      "465:2:27:1:3 465:3:17:1:13 466:1:2:2:12 466:2:16:2:30 466:3:17:1:26 " +
+      "467:1:24:2:0 467:2:21:1:1 467:3:27:1:3 467:4:29:2:6 468:1:9:2:21 " +
+      "470:1:29:2:6 470:2:16:1:27 471:1:24:2:0 471:2:4:2:12 471:3:17:3:29 " +
+      "472:1:23:2:0 472:2:28:1:11 473:1:9:2:21 473:2:2:2:12 473:3:0:1:10 " +
+      "474:1:9:2:21 474:2:2:2:12 477:1:15:2:0 478:1:2:2:12 478:2:14:2:27 " +
+      "479:1:0:1:31 479:2:1:2:12 480:1:14:1:22 482:1:16:2:0 483:1:4:2:15 " +
+      "483:2:17:1:31 484:1:2:2:12 484:2:14:2:27 485:1:11:2:0 485:2:16:2:6 " +
+      "486:1:18:2:0 487:1:0:1:10 487:2:17:1:23 487:3:29:1:25 488:1:21:2:0 " +
+      "488:2:24:1:1 488:3:26:2:6 489:1:2:2:12 489:2:0:1:10 489:3:14:2:27 " +
+      "490:1:14:2:27 490:2:2:2:12 491:1:2:2:12 491:2:14:3:27 493:1:2:3:12 " +
+      "494:1:23:2:0 494:2:18:2:29 495:1:24:2:0 495:2:24:1:2 495:3:27:1:3 " +
+      "495:4:29:2:6 496:1:24:2:0 496:2:16:2:27 497:1:8:2:0 497:2:13:2:6 " +
+      "498:1:2:2:12 499:1:19:2:0 499:2:24:1:6")
+      .trim.split("\\s+").toSeq.map { tok =>
+        val Array(d, st, s, l, p) = tok.split(":").map(_.toLong)
+        (d, st.toInt, s.toInt, l.toInt, p.toInt)
+      }
+
+  /** DuckDB replay of q_ter_shift under [[TER_SHIFT_PINNED]]: rebuild
+    * the fixture (sub/drop degradation, 32-slice, rotate-left-8 when
+    * >= 16 tokens), apply the pinned shifts step by step (unrolled to
+    * the pin's max step count; each step is one slice/concat rewrite
+    * of the hypothesis list), then run the q_ter min-plus-prefix edit
+    * DP on the shifted hypothesis. shifts = the doc's pin count.
+    */
+  private def terShiftSql: String = {
+    val maxStep = TER_SHIFT_PINNED.map(_._2).max
+    val pinVals = TER_SHIFT_PINNED.map { case (d, st, s, l, p) =>
+      s"($d, $st, $s, $l, $p)"
+    }.mkString(", ")
+    // one CTE per pinned step: remove ct[st+1 .. st+bl] (1-indexed),
+    // re-insert at 0-indexed position ip of the remainder; docs without
+    // a pin at this step pass through (LEFT JOIN null guard)
+    val stepCtes = (1 to maxStep).map { k =>
+      val prev = if (k == 1) "pair" else s"h${k - 1}"
+      s"h$k AS MATERIALIZED (SELECT doc_id, rt, " +
+        "CASE WHEN st IS NULL THEN ct " +
+        "ELSE rest[1:ip] || blk || rest[ip+1:] END AS ct FROM " +
+        s"(SELECT h.doc_id, h.rt, h.ct, pin.st, pin.ip, " +
+        "h.ct[pin.st+1:pin.st+pin.bl] AS blk, " +
+        "h.ct[1:pin.st] || h.ct[pin.st+pin.bl+1:] AS rest " +
+        s"FROM $prev h LEFT JOIN pins pin ON pin.pd = h.doc_id " +
+        s"AND pin.step = $k))"
+    }.mkString(", ")
+    val hFin = s"h$maxStep"
+    s"WITH RECURSIVE tk AS (SELECT doc_id, $TOKS AS t FROM documents), " +
+      s"pins(pd, step, st, bl, ip) AS (SELECT * FROM (VALUES $pinVals) " +
+      "v(pd, step, st, bl, ip)), " +
+      // the fixture: rt = full-token 32-slice; ct = degraded list
+      // (sub every 3rd, drop every 5th — 1-based DuckDB lambda indexes,
+      // the q_ter convention), 32-sliced, rotated left by 8 iff >= 16
+      "pair AS MATERIALIZED (SELECT doc_id, rt, CASE WHEN len(ct0) >= 16 " +
+      "THEN ct0[9:] || ct0[1:8] ELSE ct0 END AS ct FROM " +
+      "(SELECT doc_id, t[1:32] AS rt, " +
+      "list_filter(list_transform(t, (x, i) -> CASE WHEN i % 3 = 0 " +
+      "THEN 'xx' ELSE x END), (x, i) -> i % 5 <> 0)[1:32] AS ct0 " +
+      "FROM tk WHERE len(t) > 0)), " +
+      s"$stepCtes, " +
+      // q_ter's min-plus-prefix Levenshtein DP, row source = the
+      // post-shift hypothesis
+      "rec(doc_id, i, dp) AS (" +
+      s"SELECT doc_id, 0, list_transform(range(0, len(rt)+1), x -> x) FROM $hFin " +
+      "UNION ALL " +
+      "SELECT doc_id, i + 1, " +
+      "list_transform(range(0, len(tl)), j -> " +
+      "list_min(list_transform(range(0, j+1), k -> tl[k+1] + (j - k)))) FROM (" +
+      "SELECT r.doc_id, r.i AS i, " +
+      "list_prepend(r.i + 1, list_transform(range(1, len(p.rt)+1), j -> " +
+      s"least(dp[j+1] + 1, dp[j] + CASE WHEN p.ct[r.i+1] = p.rt[j] THEN 0 ELSE 1 END))) AS tl " +
+      s"FROM rec r JOIN $hFin p ON r.doc_id = p.doc_id " +
+      "WHERE r.i < len(p.ct))), " +
+      s"fin AS (SELECT r.doc_id, dp[len(p.rt)+1] AS e, len(p.ct) AS cl, " +
+      s"len(p.rt) AS rl FROM rec r JOIN $hFin p ON r.doc_id = p.doc_id " +
+      "WHERE r.i = len(p.ct)), " +
+      "shc AS (SELECT pd AS doc_id, count(*) AS ns FROM pins GROUP BY pd) " +
+      "SELECT f.doc_id, CAST(coalesce(shc.ns, 0) AS BIGINT) AS shifts, " +
+      "CAST(e AS BIGINT) AS edits, CAST(cl AS BIGINT) AS c_len, " +
+      "CAST(rl AS BIGINT) AS r_len, " +
+      "round((coalesce(shc.ns, 0) + e)/(1.0*rl), 6) AS ter_shift " +
+      "FROM fin f LEFT JOIN shc ON f.doc_id = shc.doc_id"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4770,7 +5054,9 @@ object SparkEntry {
         s"$LANG_PAD AS pad FROM documents), " +
         s"s AS (SELECT *, $LANG_SCORE_COLS FROM t), " +
         s"pred AS (SELECT *, $LANG_PRED_CASE AS pred_lang FROM s), " +
-        "passed AS (SELECT doc_id, lang, source, toks FROM pred " +
+        // MATERIALIZED: passed feeds the keep subquery AND the final
+        // grouped scan — unmaterialized, the lang-scoring chain ran twice
+        "passed AS MATERIALIZED (SELECT doc_id, lang, source, toks FROM pred " +
         "WHERE len(toks) >= CASE WHEN source = 'src0' THEN 60 " +
         "WHEN source = 'src1' THEN 40 ELSE 10 END " +
         "AND CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
@@ -4787,27 +5073,27 @@ object SparkEntry {
     // recursive-CTE components → span ownership; one count per stage
     "q_clean_corpus_v3" ->
       (s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks FROM documents), " +
-        "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+        "passed AS MATERIALIZED (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
         s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
         "/ greatest(length(text), 1) <= 0.35 " +
         "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
         "/ greatest(len(toks), 1) <= 0.7), " +
         "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
         "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
-        "exact AS (SELECT doc_id, text, toks FROM passed " +
+        "exact AS MATERIALIZED (SELECT doc_id, text, toks FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
         sortedCtes("exact") + ", " +
-        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "prs AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prs " +
         "UNION SELECT b_id, a_id FROM prs), " +
         "reach(id, lbl) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
         "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
-        "near AS (SELECT doc_id, toks FROM exact " +
+        "near AS MATERIALIZED (SELECT doc_id, toks FROM exact " +
         "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
         "sp0 AS (SELECT doc_id, toks, " +
         "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM near), " +
-        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "sp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
         "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
         "own AS (SELECT doc_id, span_idx, " +
         "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
@@ -4823,23 +5109,23 @@ object SparkEntry {
     "q_clean_corpus_v4" ->
       (s"WITH RECURSIVE t0 AS (SELECT doc_id, text, $TOKS AS toks " +
         "FROM documents WHERE doc_id % 97 <> 0), " +
-        "passed AS (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
+        "passed AS MATERIALIZED (SELECT doc_id, text, toks FROM t0 WHERE len(toks) >= 10 " +
         s"AND CAST(length(text) - length(regexp_replace(lower(text), '$NON_ALNUM_SQL', '', 'g')) AS DOUBLE) " +
         "/ greatest(length(text), 1) <= 0.35 " +
         "AND CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) " +
         "/ greatest(len(toks), 1) <= 0.7), " +
         "keepw AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
         "md5(array_to_string(toks, ' ')) AS fp FROM passed) GROUP BY fp), " +
-        "exact AS (SELECT doc_id, text, toks FROM passed " +
+        "exact AS MATERIALIZED (SELECT doc_id, text, toks FROM passed " +
         "WHERE doc_id IN (SELECT doc_id FROM keepw)), " +
         sortedCtes("exact") + ", " +
-        "prs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM prs " +
+        "prs AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.9), " +
+        "edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prs " +
         "UNION SELECT b_id, a_id FROM prs), " +
         "reach(id, lbl) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
         "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id), " +
-        "near AS (SELECT doc_id, toks FROM exact " +
+        "near AS MATERIALIZED (SELECT doc_id, toks FROM exact " +
         "WHERE doc_id NOT IN (SELECT id FROM drops)), " +
         s"ev AS (SELECT $TOKS AS toks FROM documents WHERE doc_id % 97 = 0), " +
         "evi AS (SELECT toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM ev), " +
@@ -4847,11 +5133,11 @@ object SparkEntry {
         "ni AS (SELECT doc_id, toks, unnest(range(greatest(len(toks)-2, 0))) AS i FROM near), " +
         "ng AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g FROM ni), " +
         "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)), " +
-        "dec AS (SELECT doc_id, toks FROM near " +
+        "dec AS MATERIALIZED (SELECT doc_id, toks FROM near " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
         "sp0 AS (SELECT doc_id, toks, " +
         "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM dec), " +
-        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "sp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
         "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
         "own AS (SELECT doc_id, span_idx, " +
         "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp) " +
@@ -4952,7 +5238,7 @@ object SparkEntry {
       (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
         "sp0 AS (SELECT doc_id, toks, " +
         "unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS i FROM t), " +
-        "sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+        "sp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
         "array_to_string(toks[i*20+1 : i*20+20], ' ') AS span FROM sp0), " +
         "own AS (SELECT doc_id, span_idx, span, " +
         "row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM sp), " +
@@ -4995,8 +5281,11 @@ object SparkEntry {
     // used) exactly like the Spark partition pass (used>0 guard included:
     // an oversized document keeps its own shard)
     "q_pack_sorted" ->
+      // o is MATERIALIZED: the recursion joins it once PER STEP (one row
+      // per doc), and unmaterialized each step re-ran tokenize+sort of
+      // the whole corpus — 6.3 s replay, the round-14 budget's slowest
       (s"WITH RECURSIVE t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n FROM documents), " +
-        "o AS (SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM t), " +
+        "o AS MATERIALIZED (SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM t), " +
         "g(rn, doc_id, n, shard, used) AS (" +
         "SELECT rn, doc_id, n, CAST(0 AS BIGINT), n FROM o WHERE rn = 1 " +
         "UNION ALL SELECT o.rn, o.doc_id, o.n, " +
@@ -5647,8 +5936,10 @@ object SparkEntry {
     // here the MIN-PLUS identity cur[j] = min_k<=j (t[k] + (j-k)) with
     // t[k] = min(del, sub) candidates off the previous row
     "q_ter" ->
+      // pair is MATERIALIZED: the DP recursion joins it per step, and
+      // unmaterialized each step re-tokenized + re-degraded the corpus
       (s"WITH RECURSIVE tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
-        "pair AS (SELECT doc_id, rt, " +
+        "pair AS MATERIALIZED (SELECT doc_id, rt, " +
         "list_filter(list_transform(rt, (x, i) -> CASE WHEN i % 3 = 0 THEN 'xx' ELSE x END), " +
         "(x, i) -> i % 5 <> 0) AS ct FROM tk WHERE len(rt) > 0), " +
         "rec(doc_id, i, dp) AS (" +
@@ -5667,6 +5958,11 @@ object SparkEntry {
         "WHERE r.i = len(p.ct)) " +
         "SELECT doc_id, CAST(e AS BIGINT) AS edits, CAST(cl AS BIGINT) AS c_len, " +
         "CAST(rl AS BIGINT) AS r_len, round(e/(1.0*rl), 6) AS ter FROM fin"),
+    // greedy-shift TER replay under the PINNED sf0.01 shift decisions
+    // (tools/pin_ter_r14.scala): application + edit DP are mechanical,
+    // the argmin decisions ride as literals — converted from rows-only
+    // in round 14 (the q_bpe_apply precedent)
+    "q_ter_shift" -> terShiftSql,
     // add-k perplexity under the train-split bigram model: V+1 for the
     // OOV bucket, per-term q6 logs, ppl = exp of the ROUNDED ce
     "q_lm_ppl" ->
@@ -7790,9 +8086,5 @@ object SparkEntry {
     // token hashing / HLL++ registers) are not reproducible in DuckDB →
     // rows-only check; accuracy asserted in SketchSpec /
     // DedupSimilaritySpec instead.
-    // q_ter_shift: the greedy block-shift loop is an iterative argmin
-    // over hypothesis permutations (the q_bpe_learn class) → rows-only;
-    // PropertySpec pins the kernel to a sequential reference and
-    // asserts ter_shift ≤ the oracled shift-free q_ter row-wise.
   )
 }

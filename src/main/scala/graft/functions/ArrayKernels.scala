@@ -2341,22 +2341,41 @@ object ArrayKernels {
       GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref),
       maxShiftLen))
 
+  /** Pin extractor for the q_ter_shift oracle (tools/pin_ter_r14.scala):
+    * runs [[TerShiftStats]]'s exact greedy loop with a recorder and
+    * returns (applied shifts as (start, len, ins), shifts, edits) — the
+    * decisions get pinned as oracle literals, application + the edit DP
+    * replay mechanically in DuckDB (the q_bpe_apply discipline).
+    */
+  def terShiftTrace(cand: Seq[String], ref: Seq[String],
+      maxShiftLen: Int = 10): (Seq[(Int, Int, Int)], Long, Long) =
+    TerShiftStats(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      maxShiftLen).appliedShifts(cand, ref)
+
   /** `ter_shift_stats(cand, ref, maxShiftLen)` — greedy-shift TER
     * (Snover et al. 2006) numerator parts: struct (shifts, edits) where
     * `edits` is the word edit distance AFTER the greedy block-shift
     * loop and `shifts` the number of shifts taken (each costs 1, so
-    * TER = (shifts + edits) / ref_len). The loop is the standard
-    * TERcom heuristic, beam-limited: candidate shifts are the blocks
-    * of ≤ `maxShiftLen` tokens that occur VERBATIM somewhere in the
+    * TER = (shifts + edits) / ref_len). The loop is a TER VARIANT,
+    * not TERcom: scores upper-bound TERcom TER and are NOT comparable
+    * to published TER numbers, for two scoring-relevant divergences
+    * beyond the beam limit — (1) only ONE insertion position per
+    * matched block is tried (min(rp, rest.length); TERcom tries every
+    * position), and (2) a shift is taken only when its gain exceeds
+    * the shift's own +1 cost (gain ≥ 2; TERcom accepts any
+    * edit-reducing shift). Candidate shifts are the blocks of
+    * ≤ `maxShiftLen` tokens that occur VERBATIM somewhere in the
     * reference (non-matching blocks can never pay for their shift),
     * each candidate is scored by one [[TokenEditDist]]-shaped DP on the
     * shifted hypothesis, the best strictly-improving shift is applied,
     * and the loop repeats until no shift lowers the distance (each
     * iteration lowers it by ≥ 1, so iterations ≤ the initial edit
     * distance). shifts + edits ≤ the shift-free distance BY
-    * CONSTRUCTION (a shift is only taken when it reduces the DP by
-    * MORE than its own +1 cost), so shift-free TER (= q_ter's WER
-    * form) stays the documented upper bound. O(L²·maxShiftLen·matches)
+    * CONSTRUCTION (rule 2 above), so the ordering
+    * TERcom TER ≤ this ter_shift ≤ shift-free TER (= q_ter's WER form)
+    * holds on every row. O(L²·maxShiftLen·matches)
     * per improving iteration — sentence-shaped inputs by contract
     * (truncate long documents first; the q_ter_shift fixture slices to
     * 32 tokens, real MT evals are sentence-segmented anyway).
@@ -2406,20 +2425,15 @@ object ArrayKernels {
       prev(m)
     }
 
-    def compute(cIn: ArrayData, rIn: ArrayData)
-        : org.apache.spark.sql.catalyst.InternalRow = {
-      def arr(a: ArrayData): Array[UTF8String] = {
-        val out = new Array[UTF8String](a.numElements())
-        var i = 0
-        while (i < out.length) {
-          val s = a.getUTF8String(i)
-          out(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
-          i += 1
-        }
-        out
-      }
-      val r = arr(rIn)
-      var cur = arr(cIn)
+    /** The greedy loop proper. `record` sees each APPLIED shift as
+      * (start, len, ins): remove cur[start, start+len), insert at
+      * position `ins` of the remainder — exactly the replay a pinned
+      * oracle needs (the q_bpe_apply pin discipline: decisions pinned,
+      * application mechanical). Returns (shifts, edits).
+      */
+    private def greedy(cIn: Array[UTF8String], r: Array[UTF8String],
+        record: (Int, Int, Int) => Unit): (Long, Long) = {
+      var cur = cIn
       var best = editDist(cur, r)
       var shifts = 0L
       var improved = best > 1 // a 0/1-distance hypothesis can't pay for a shift
@@ -2427,6 +2441,9 @@ object ArrayKernels {
         improved = false
         var bestGain = 1 // only strictly-improving BEYOND the shift's own cost
         var bestShifted: Array[UTF8String] = null
+        var bestStart = -1
+        var bestLen = -1
+        var bestIns = -1
         var start = 0
         while (start < cur.length) {
           val maxLen = math.min(maxShiftLen, cur.length - start)
@@ -2457,6 +2474,9 @@ object ArrayKernels {
                   if (gain > bestGain) {
                     bestGain = gain
                     bestShifted = shifted
+                    bestStart = start
+                    bestLen = len
+                    bestIns = ins
                   }
                 }
               }
@@ -2467,13 +2487,44 @@ object ArrayKernels {
           start += 1
         }
         if (bestShifted != null) {
+          record(bestStart, bestLen, bestIns)
           cur = bestShifted
           best -= bestGain
           shifts += 1L
           improved = best > 1
         }
       }
-      org.apache.spark.sql.catalyst.InternalRow(shifts, best.toLong)
+      (shifts, best.toLong)
+    }
+
+    /** Pin extractor (tools/pin_ter_r14): the applied-shift sequence for
+      * one (cand, ref) pair, plus the final (shifts, edits) — the same
+      * greedy loop `compute` runs, with the decisions recorded.
+      */
+    private[graft] def appliedShifts(cand: Seq[String], ref: Seq[String])
+        : (Seq[(Int, Int, Int)], Long, Long) = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      val (s, e) = greedy(
+        cand.map(UTF8String.fromString).toArray,
+        ref.map(UTF8String.fromString).toArray,
+        (a, b, c) => { buf += ((a, b, c)); () })
+      (buf.toSeq, s, e)
+    }
+
+    def compute(cIn: ArrayData, rIn: ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      def arr(a: ArrayData): Array[UTF8String] = {
+        val out = new Array[UTF8String](a.numElements())
+        var i = 0
+        while (i < out.length) {
+          val s = a.getUTF8String(i)
+          out(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+          i += 1
+        }
+        out
+      }
+      val (shifts, edits) = greedy(arr(cIn), arr(rIn), (_, _, _) => ())
+      org.apache.spark.sql.catalyst.InternalRow(shifts, edits)
     }
 
     override def nullSafeEval(a: Any, b: Any): Any =

@@ -265,11 +265,19 @@ object Curation {
             "built by recipePrefixSemExtend) must match the semDecontam " +
             "argument — the score column is fitted on the LAST covered " +
             "stage's survivors")
-        val sel = (f: String) => p.where(col(f)).select("doc_id")
+        // the id-sets and fitted scores are CHECKPOINTED here too, not
+        // just in the non-prefix branch: sel(flag)/prefixScored are lazy
+        // views of `p`, so a caller passing an UNMATERIALIZED
+        // recipePrefixDecisions result would otherwise re-execute the
+        // whole gate→dedup→SNM→decontam chain (surprisal fit included —
+        // flagTable doesn't checkpoint it) once per downstream stage
+        // count. For the normal standing-parquet prefix the checkpoint
+        // costs one flag-table scan per stage — decision-sized frames
+        val sel = (f: String) => ids(p.where(col(f)))
         val lastFlag = if (semDecontam.isDefined) "sem" else "dc"
         (sel("q"), sel("ex"), sel("nd"), sel("dc"), sel(lastFlag),
           Some(p.where(col(lastFlag) && col("avg_surprisal").isNotNull)
-            .select(col("doc_id"), col("avg_surprisal"))))
+            .select(col("doc_id"), col("avg_surprisal")).localCheckpoint()))
       case None =>
         val quality = docs.where(TextAnalysis.curationGate(col("text"),
           lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))

@@ -1,19 +1,31 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only1,only2,...]
 
 For each query with an oracleSql entry: run the SQL in DuckDB (tables
 registered as views over <sfDir>/*.parquet), read the Spark result parquet,
 sort columns by name, sort rows, and compare values exactly.
+
+Budget gate (round-14, after CORRECTNESS_r13 zeroed): the driver's compare
+runs inside a ~600 s window, so this local replica enforces a 2x-margin
+budget — any single oracle > PER_QUERY_BUDGET seconds or a total >
+TOTAL_BUDGET seconds FAILS the gate even if every value matches. A slow
+oracle is a broken oracle: a green query nobody can afford to check is not
+a green query. Per-query wall time is printed on every line so a new
+pathological oracle is visible the moment it lands.
 """
 import json
 import sys
+import time
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+PER_QUERY_BUDGET = 10.0   # seconds; worst legitimate oracle ~8 s (v8)
+TOTAL_BUDGET = 300.0      # seconds; half the driver's observed ~600 s window
 
 
 def norm(df):
@@ -22,28 +34,39 @@ def norm(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
+    total_t = 0.0
+    over_budget = []
     for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
         try:
             exp = norm(con.execute(sql).fetchdf())
             got = norm(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            dt = time.monotonic() - t0
+            total_t += dt
+            print(f"FAIL {name} [{dt:.1f}s]: {type(e).__name__}: {e}")
             n_bad += 1
             continue
+        dt = time.monotonic() - t0
+        total_t += dt
+        if dt > PER_QUERY_BUDGET:
+            over_budget.append((name, dt))
         if list(exp.columns) != list(got.columns):
-            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            print(f"FAIL {name} [{dt:.1f}s]: columns exp={list(exp.columns)} got={list(got.columns)}")
             n_bad += 1
             continue
         if len(exp) != len(got):
-            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            print(f"FAIL {name} [{dt:.1f}s]: rows exp={len(exp)} got={len(got)}")
             n_bad += 1
             continue
         diff_cols = []
@@ -58,15 +81,28 @@ def main(sf_dir, out_dir):
                 i = neq.idxmax()
                 diff_cols.append((c, int(neq.sum()), ev[i], gv[i]))
         if diff_cols:
-            print(f"FAIL {name}: value diffs {diff_cols[:3]}")
+            print(f"FAIL {name} [{dt:.1f}s]: value diffs {diff_cols[:3]}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(exp)} rows)")
+            print(f"OK   {name} [{dt:.1f}s] ({len(exp)} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} fail, "
-          f"{len(oracle)} oracled / {len(TABLES)} tables")
-    return 1 if n_bad else 0
+          f"{len(oracle)} oracled / {len(TABLES)} tables, "
+          f"total {total_t:.1f}s")
+    budget_bad = False
+    for name, dt in over_budget:
+        print(f"BUDGET FAIL {name}: {dt:.1f}s > {PER_QUERY_BUDGET:.0f}s per-query budget")
+        budget_bad = True
+    # total budget only meaningful on a full run (no `only` filter)
+    if not only and total_t > TOTAL_BUDGET:
+        print(f"BUDGET FAIL total: {total_t:.1f}s > {TOTAL_BUDGET:.0f}s suite budget")
+        budget_bad = True
+    if budget_bad:
+        print("BUDGET GATE FAILED — materialize the offending oracle's "
+              "multiply-referenced CTEs (see BASELINE.md, oracle-cost discipline)")
+    return 1 if (n_bad or budget_bad) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only_arg = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only_arg))
