@@ -2756,20 +2756,24 @@ object SparkEntry {
         "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS page FROM events), " +
         "tr2 AS (SELECT page AS src, lead(page) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM tr), " +
-        "edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM tr2 " +
+        // edges (od + sh + 2× nodes), sh (per-iteration), nodes, and
+        // every r$i (2 refs per iteration) are MATERIALIZED: the
+        // iteration chain otherwise re-expands ~3× per unrolled step
+        // under DuckDB's per-reference inlining — the q_mmr disease
+        "edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM tr2 " +
         "WHERE dst IS NOT NULL GROUP BY src, dst), " +
         "od AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src), " +
-        "sh AS (SELECT e.src, e.dst, e.w / od.deg AS share FROM edges e JOIN od USING (src)), " +
-        "nodes AS (SELECT DISTINCT src AS node FROM edges " +
+        "sh AS MATERIALIZED (SELECT e.src, e.dst, e.w / od.deg AS share FROM edges e JOIN od USING (src)), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges " +
         "UNION SELECT DISTINCT dst FROM edges), " +
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
-        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"
     val its = (0 until iters).map { i =>
       s"dang$i AS (SELECT coalesce(sum(r), 0) AS m FROM r$i " +
         "WHERE node NOT IN (SELECT src FROM sh)), " +
         s"c$i AS (SELECT sh.dst AS node, sum(r$i.r * sh.share) AS c " +
         s"FROM sh JOIN r$i ON sh.src = r$i.node GROUP BY sh.dst), " +
-        s"r${i + 1} AS (SELECT nodes.node, (1.0 - $d) / nn.n + " +
+        s"r${i + 1} AS MATERIALIZED (SELECT nodes.node, (1.0 - $d) / nn.n + " +
         s"$d * (coalesce(c$i.c, 0) + dang$i.m / nn.n) AS r " +
         s"FROM nodes LEFT JOIN c$i USING (node), nn, dang$i)"
     }.mkString(", ")

@@ -34,7 +34,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val slots = sys.env.getOrElse("SPARK_GRAFT_VERIFY_SLOTS", "4").toInt
+    // per-query deadline: one hung query must cost ONE missing parquet
+    // dir, never the driver's whole fixed dump window (the round-13
+    // lesson, applied to the dump side). 600 s is ~10× the slowest
+    // observed per-query dump; a scheduled cancelJobGroup fires only if
+    // the dump is still running at the deadline.
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "600").toLong
     val pool = Executors.newFixedThreadPool(slots)
+    val watchdog = Executors.newSingleThreadScheduledExecutor()
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val sc = spark.sparkContext
     val dumps = SparkEntry.queries.toSeq
@@ -43,17 +51,29 @@ object Verify {
         Future {
           // failures are PER-QUERY by contract: one broken query must
           // cost one missing parquet dir, never the whole dump
+          val group = s"graft-verify-$name"
+          val cancel = watchdog.schedule(new Runnable {
+            def run(): Unit = {
+              System.err.println(s"[verify] $name exceeded ${deadlineSec}s" +
+                " — cancelling its jobs")
+              sc.cancelJobGroup(group)
+            }
+          }, deadlineSec, java.util.concurrent.TimeUnit.SECONDS)
           try {
-            sc.setJobGroup(s"graft-verify-$name", s"verify dump: $name",
-              interruptOnCancel = false)
+            sc.setJobGroup(group, s"verify dump: $name",
+              interruptOnCancel = true)
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          } finally sc.clearJobGroup()
+          } finally {
+            cancel.cancel(false)
+            sc.clearJobGroup()
+          }
         }
       }
     Await.result(Future.sequence(dumps), Duration.Inf)
+    watchdog.shutdownNow()
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

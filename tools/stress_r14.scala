@@ -19,6 +19,15 @@ def time[T](label: String)(f: => T): T = {
   r
 }
 
+// Bench.exercise's anti-pruning trick: a bare count() lets Catalyst
+// prune projection-only kernels out of the plan entirely — hash every
+// output column so the measured work is the operator's work
+def exercise(df: org.apache.spark.sql.DataFrame): Unit = {
+  df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
+    .agg(expr("bit_xor(h)")).collect()
+  ()
+}
+
 // ---- q_best_of_n: 500k samples over 5k problems (vs sf0.1's 5k/50) --
 val bonSamples = spark.range(500000L).select(
   (col("id") % 5000L).as("problem"),
@@ -28,8 +37,8 @@ val bonSamples = spark.range(500000L).select(
 TextAnalysis.bestOfN(bonSamples, "problem", "draw", "reward", "ok",
   ns = Seq(1, 2, 4, 8)).collect() // warm
 time("best_of_n 500k samples / 5k problems / n=1,2,4,8") {
-  println(TextAnalysis.bestOfN(bonSamples, "problem", "draw", "reward",
-    "ok", ns = Seq(1, 2, 4, 8)).count())
+  exercise(TextAnalysis.bestOfN(bonSamples, "problem", "draw", "reward",
+    "ok", ns = Seq(1, 2, 4, 8)))
 }
 
 // ---- q_position_bias + q_length_bias: 600k games (vs sf0.1's ~6k) --
@@ -79,9 +88,9 @@ val pairs = pairs0.select(col("doc_id"),
     " ").as("cand")).localCheckpoint()
 TextAnalysis.qaEval(pairs.limit(1000), "doc_id", "ref", "cand").collect()
 time("qa_eval 50k pairs x 32 tokens") {
-  println(TextAnalysis.qaEval(pairs, "doc_id", "ref", "cand").count())
+  exercise(TextAnalysis.qaEval(pairs, "doc_id", "ref", "cand"))
 }
 time("ter_shift 50k pairs x 32 tokens (greedy loop live)") {
-  println(TextAnalysis.terShift(pairs, "doc_id", "ref", "cand").count())
+  exercise(TextAnalysis.terShift(pairs, "doc_id", "ref", "cand"))
 }
 System.exit(0)
