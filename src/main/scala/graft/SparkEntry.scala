@@ -2819,7 +2819,8 @@ object SparkEntry {
       "sc AS (SELECT cd.doc_id, sum(cd.c * lr.lr) AS s FROM cd " +
       "JOIN lr ON lr.b = cd.b GROUP BY 1), " +
       s"ds AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens, " +
-      "round(coalesce(sc.s, 0.0), 4) AS dsir_logw " +
+      // + 0.0: -0.0 normalization (see lshPairCtes note)
+      "round(coalesce(sc.s, 0.0), 4) + 0.0 AS dsir_logw " +
       "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
 
   /** WITH-body producing the two ranked runs the run-comparison oracles
@@ -3565,8 +3566,12 @@ object SparkEntry {
       s", pl(pl) AS (SELECT ${lshPlanesSqlLit(64, 8, 42L)}), " +
       s"b AS (SELECT vec_id, e, ${lshBucketFoldSql("e", "pl", 8)} AS bucket " +
       "FROM u, pl), " +
+      // + 0.0 normalizes DuckDB's IEEE-signed round (-1e-9 → -0.0) to
+      // Spark's BigDecimal round (never -0.0): the driver hashes string
+      // reprs, where they differ — latent rows surfaced by the r14
+      // sf0.1 sweep
       "p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id, " +
-      "round(list_dot_product(a.e, b2.e), 4) AS cos " +
+      "round(list_dot_product(a.e, b2.e), 4) + 0.0 AS cos " +
       "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)"
 
   /** The k=16 coarse-quantizer centroids
@@ -5036,7 +5041,7 @@ object SparkEntry {
         "ORDER BY z DESC, doc_id ASC) AS rn, " +
         "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM m) " +
         "SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members, " +
-        "doc_id AS keep_id, round(z, 4) AS keep_z FROM rk WHERE rn = 1"
+        "doc_id AS keep_id, round(z, 4) + 0.0 AS keep_z FROM rk WHERE rn = 1"
     },
     "q_clean_corpus" ->
       (s"WITH passed AS (SELECT doc_id, lang, source, text FROM " +
@@ -6432,7 +6437,7 @@ object SparkEntry {
         "THEN 1.0 ELSE -1.0 END) / sqrt(16.0) AS w FROM range(64) i, range(16) j), " +
         "t AS (SELECT e.vec_id, w.j, sum(e.emb[w.i + 1] * w.w) AS v " +
         "FROM e, w GROUP BY e.vec_id, w.j) " +
-        "SELECT vec_id, CAST(j AS INT) AS dim_idx, round(v, 4) AS value FROM t"),
+        "SELECT vec_id, CAST(j AS INT) AS dim_idx, round(v, 4) + 0.0 AS value FROM t"),
     "q_nn" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
