@@ -45,6 +45,10 @@ object Verify {
     val watchdog = Executors.newSingleThreadScheduledExecutor()
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val sc = spark.sparkContext
+    // per-query dump seconds, reported as a sorted tail so the next
+    // round's dump hot spots are visible BEFORE they eat the driver's
+    // fixed window (the check_oracle.py [N.Ns] discipline, dump side)
+    val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val dumps = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -59,11 +63,13 @@ object Verify {
               sc.cancelJobGroup(group)
             }
           }, deadlineSec, java.util.concurrent.TimeUnit.SECONDS)
+          val t0 = System.nanoTime()
           try {
             sc.setJobGroup(group, s"verify dump: $name",
               interruptOnCancel = true)
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
+            times.put(name, (System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           } finally {
@@ -75,6 +81,14 @@ object Verify {
     Await.result(Future.sequence(dumps), Duration.Inf)
     watchdog.shutdownNow()
     pool.shutdown()
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ts = times.asScala.toSeq.sortBy(-_._2)
+      val slow = ts.take(10).map { case (n, t) => f"$n=$t%.1fs" }
+      System.err.println(f"[verify] dumped ${ts.size} queries, " +
+        f"wall-sum ${ts.map(_._2).sum}%.1fs (concurrent); slowest: " +
+        slow.mkString(", "))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
