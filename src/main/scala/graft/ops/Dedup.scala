@@ -678,13 +678,51 @@ object Dedup {
     var iter = 0
     var done = labels.isEmpty
     while (iter < maxIter && !done) {
-      // step 1: adjacency — take the min label among direct neighbors
-      val nbrMin = edges
+      // step 1: adjacency over REAL edges ∪ BIDIRECTIONAL label-edges
+      // (id↔label) — hash-to-min-style star contraction. Plain adjacency
+      // alone moves the component min ONE hop per iteration across a
+      // local-min plateau (a run of nodes labeled by a node that labels
+      // itself), and pointer jumping can't help there because the
+      // plateau's label self-points — observed on the r14 100×-replica
+      // SNM stress corpus: after 3 iterations the label sum fell by a
+      // CONSTANT per round and 50 iterations weren't enough. With label-
+      // edges, the plateau's anchor hears a better label from any member
+      // whose pointer still targets it, and the plateau collapses through
+      // the jump rounds. Label values are always member ids of the same
+      // component, so the extra edges never cross components and the
+      // fixpoint (all labels = component min) is unchanged; the
+      // label-edge set is ~n rows against the edge set's m, so the join
+      // grows marginally.
+      val lblEdges = labels.where(col("id") =!= col("label"))
+        .select(col("id").as("src"), col("label").as("dst"))
+      val biEdges = edges
+        .union(lblEdges)
+        .union(lblEdges.select(col("dst").as("src"), col("src").as("dst")))
+      val nbrMin = biEdges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
-      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val viaNbr0 = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // step 1b: anchor notify — label-edges alone are NOT enough,
+      // because a member that learns a better label REPOINTS to it
+      // immediately, severing its label-edge to the old anchor before
+      // the anchor ever hears the news; the old plateau then erodes one
+      // adjacency hop per round (observed: a constant ~27-node frontier
+      // crawling one replica per iteration through 100-long SNM replica
+      // chains, mirroring hash-to-min's known failure without the
+      // backward send). So every node whose label just improved tells
+      // its OLD anchor the new label in the SAME iteration; the
+      // remaining plateau members (whose pointers still target that
+      // anchor) then adopt it through the next jump/label-edge round.
+      // Each merge event resolves in O(1) rounds instead of
+      // O(plateau length), restoring logarithmic total iterations.
+      val anchorMin = viaNbr0.where(col("label") < col("old_label"))
+        .groupBy(col("old_label").as("id"))
+        .agg(min(col("label")).as("anchor_min"))
+      val viaNbr = viaNbr0.join(anchorMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("anchor_min"), col("label"))).as("label"))
       // step 2: pointer jumping — follow label→label(label), compressing
       // the remaining propagation distance. One jump per iteration can
       // stall into linear progress when a node's label points at a local

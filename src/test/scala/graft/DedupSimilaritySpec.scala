@@ -117,6 +117,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.length == 20 && got.forall(_._2 == 0L), got.mkString(","))
   }
 
+  test("near-dup clusters: plateau merge converges fast (anchor notify)") {
+    // the r14 500k-stress failure shape, minimized: two 300-node path
+    // chains, bridged at the FAR end of the second — chain B converges
+    // to its own min (301) before the bridge's better label (1) can
+    // cross it, and each member that learns 1 repoints immediately,
+    // severing its label-edge to anchor 301. Without the anchor-notify
+    // step the 1-frontier then erodes the 301-plateau one adjacency hop
+    // per iteration (~300 rounds) and the default 50-iteration fence
+    // throws; with it, the first improved member tells the anchor in
+    // the same round and the plateau collapses through the jump rounds.
+    val chainA = (1L until 300L).map(i => (i, i + 1))
+    val chainB = (301L until 600L).map(i => (i, i + 1))
+    val bridge = Seq((600L, 1L))
+    val pairs = (chainA ++ chainB ++ bridge).toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs, driverFastPathEdges = 0)
+      .as[(Long, Long)].collect()
+    assert(got.length == 600 && got.forall(_._2 == 1L),
+      got.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.0f, 1.0f, 0.0f), 0),
