@@ -54,6 +54,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The MULTI-THREADED twin of [[calibrate]] (round-14 verdict #5): the
+    * same per-core work fanned over every local[N] slot — 200M hash-xor
+    * rows PER THREAD in N single-slice partitions. The single-thread probe
+    * missed parallel-stage contention twice (round-13's 0.56-0.81 ratio
+    * spread at fixed plan state was co-tenant pressure the idle-core probe
+    * never felt); this one runs at the same concurrency the measured
+    * queries do, so a loaded host moves BOTH probes and a contention-only
+    * wobble moves this one. Emitted as calibration_par_sec beside the
+    * serial reading — the driver's drift yardsticks, per BASELINE.md
+    * "Bench protocol".
+    */
+  private def calibratePar(spark: SparkSession, threads: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200L * 1000 * 1000 * threads, 1L, threads)
+      .select(xxhash64(col("id")).as("h")).agg(expr("bit_xor(h)")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
@@ -112,6 +130,16 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val multiPass: String => Boolean =
       name => baseline.get(name).exists(_ >= 0)
+    // the median-of-passes drift protection silently disappears when the
+    // baseline file is missing or unparseable (multiPass false for every
+    // query) — surface it (round-14 advice): a loud stderr line here, and
+    // multi_pass_queries in the JSON so the artifact itself records how
+    // many queries actually got the median treatment
+    val nMultiPass = queries.count { case (n, _) => multiPass(n) }
+    if (passes > 1 && nMultiPass == 0)
+      System.err.println(s"[bench] WARNING: passes=$passes but baseline " +
+        s"'$baselinePath' yielded 0 shared queries — every timing is a " +
+        "single sample (median-of-passes drift protection is OFF)")
 
     // timed round-robin passes; one calibration reading per pass.
     // Pass 1 times EVERY query; passes 2+ re-time only the baseline-shared
@@ -123,6 +151,7 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val calib = scala.collection.mutable.ListBuffer[Double]()
+    val calibPar = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to passes) {
       // drop Dataset-cache entries between passes: queries that persist()
       // an intermediate (q_bm25's matched postings) are keyed by
@@ -131,6 +160,7 @@ object Bench {
       // pass's cached intermediate instead of the query
       spark.catalog.clearCache()
       calib += calibrate(spark)
+      calibPar += calibratePar(spark, cpus.toInt)
       queries.foreach { case (name, fn) =>
         if (!failed(name) && (pass == 1 || multiPass(name))) {
           val t0 = System.nanoTime()
@@ -167,8 +197,11 @@ object Bench {
       s""""queries":${qsJson(results, _.toString)},""" +
       s""""shared_with_baseline":${shared.size},"shared_total":$curShared,""" +
       s""""baseline_shared_total":$baseShared,"baseline_ratio":$ratio,""" +
-      s""""passes":$passes,"calibration_sec":${median(calib.toSeq)},""" +
+      s""""passes":$passes,"multi_pass_queries":$nMultiPass,""" +
+      s""""calibration_sec":${median(calib.toSeq)},""" +
       s""""calibration_runs":${calib.map(f3).mkString("[", ",", "]")},""" +
+      s""""calibration_par_sec":${median(calibPar.toSeq)},""" +
+      s""""calibration_par_runs":${calibPar.map(f3).mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}"""
     val fullPath = "BENCH_LOCAL.json"
     // advertise the file only if THIS run wrote it: the path is committed
@@ -210,7 +243,9 @@ object Bench {
       s""""shared_with_baseline":${shared.size},"shared_total":${f3(curShared)},""" +
       s""""baseline_shared_total":${f3(baseShared)},""" +
       s""""baseline_ratio":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(ratio))},""" +
-      s""""passes":$passes,"calibration_sec":${f3(median(calib.toSeq))},""" +
+      s""""passes":$passes,"multi_pass_queries":$nMultiPass,""" +
+      s""""calibration_sec":${f3(median(calib.toSeq))},""" +
+      s""""calibration_par_sec":${f3(median(calibPar.toSeq))},""" +
       (if (fullWritten) s""""full":"$fullPath",""" else "") +
       s""""sf":"$sfDir"}"""
     println(line)

@@ -1138,6 +1138,24 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) =>
       Similarity.semanticDedupFlags(Tables.embeddings(s, d),
         minCos = 0.3, signDims = 6)),
+    // BOUNDED semdedup under an ADVERSARIAL collapsed-block corpus (the
+    // round-14 verdict #1): 25 exact replicas of each vec_id < 8 are
+    // unioned in, so (a) natural argmax blocks over 650 vectors exceed
+    // maxBlock=16 and get level-2 refinement, and (b) the replica
+    // families stay hot through every level (identical |component|
+    // ranks) and take the O(leaf) anchor arm — all three cost paths of
+    // semanticDedupFlagsBounded exercised and hash-matched by a full
+    // relational DuckDB replay (refine + occupancy + anchor)
+    "q_semdedup_hot" -> ((s, d) => {
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val rep = e0.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(25L))).as("_k"))
+        .select((col("vec_id") + lit(10000L) * col("_k")).as("vec_id"),
+          col("embedding"))
+      Similarity.semanticDedupFlagsBounded(e0.unionByName(rep),
+        minCos = 0.3, maxBlock = 16, levels = 2)
+    }),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
@@ -6478,6 +6496,48 @@ object SparkEntry {
         "SELECT b.vec_id, b.block, m.mx AS max_lower_cos, " +
         "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
         "FROM b LEFT JOIN m ON b.vec_id = m.a_id"),
+    // bounded semdedup: full relational replay of the hierarchical
+    // argmax refine (level-2 key = blk*4096 + argmax of the masked abs
+    // array; masked positions read -1, which no |x| ties), occupancy
+    // split at maxBlock=16, exact lower-pairs on cold leaves, anchor
+    // (min-id) comparison on hot leaves. Blocking reads the RAW
+    // |components| in both engines — no normalization ulp can flip an
+    // argmax tie.
+    "q_semdedup_hot" ->
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "rep AS (SELECT vec_id + 10000 * CAST(r.range AS BIGINT) AS vec_id, v " +
+        "FROM e0, range(1, 26) r WHERE vec_id < 8), " +
+        "c0 AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM rep), " +
+        "u AS (SELECT vec_id, v, list_transform(v, x -> abs(x)) AS a FROM c0 " +
+        "WHERE sqrt(list_dot_product(v, v)) > 0), " +
+        "p1 AS (SELECT vec_id, v, a, list_position(a, list_max(a)) AS p FROM u), " +
+        "b1 AS MATERIALIZED (SELECT vec_id, v, CAST(p AS BIGINT) AS blk, " +
+        "list_concat(list_concat(a[1:p-1], [CAST(-1 AS DOUBLE)]), a[p+1:len(a)]) AS a " +
+        "FROM p1), " +
+        "c1 AS (SELECT blk, count(*) AS c FROM b1 GROUP BY blk), " +
+        "p2 AS (SELECT b1.vec_id, b1.v, b1.blk, c1.c, " +
+        "list_position(b1.a, list_max(b1.a)) AS p FROM b1 JOIN c1 USING (blk)), " +
+        "b2 AS MATERIALIZED (SELECT vec_id, v, CASE WHEN c > 16 " +
+        "THEN blk * 4096 + CAST(p AS BIGINT) ELSE blk END AS block FROM p2), " +
+        "c2 AS (SELECT block, count(*) AS c FROM b2 GROUP BY block), " +
+        "bb AS MATERIALIZED (SELECT b2.vec_id, b2.v, b2.block, " +
+        "CASE WHEN c2.c > 16 THEN 1 ELSE 0 END AS hot FROM b2 JOIN c2 USING (block)), " +
+        "pc AS (SELECT a.vec_id AS a_id, round(list_cosine_similarity(a.v, b.v), 4) AS cc " +
+        "FROM bb a JOIN bb b ON a.block = b.block AND b.vec_id < a.vec_id " +
+        "AND a.hot = 0 AND b.hot = 0), " +
+        "mc AS (SELECT a_id, max(cc) AS mx FROM pc GROUP BY a_id), " +
+        "an AS (SELECT block, min(vec_id) AS aid FROM bb WHERE hot = 1 GROUP BY block), " +
+        "av AS (SELECT an.block, an.aid, bb.v AS ae FROM an " +
+        "JOIN bb ON bb.block = an.block AND bb.vec_id = an.aid), " +
+        "hd AS (SELECT bb.vec_id, bb.block, CASE WHEN bb.vec_id = av.aid THEN NULL " +
+        "ELSE round(list_cosine_similarity(bb.v, av.ae), 4) END AS mx " +
+        "FROM bb JOIN av ON bb.block = av.block WHERE bb.hot = 1) " +
+        "SELECT bb.vec_id, bb.block, CAST(bb.hot AS INT) AS hot, mc.mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(mc.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM bb LEFT JOIN mc ON bb.vec_id = mc.a_id WHERE bb.hot = 0 " +
+        "UNION ALL SELECT vec_id, block, CAST(1 AS INT) AS hot, mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM hd"),
     "q_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0) " +

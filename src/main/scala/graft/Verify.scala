@@ -67,8 +67,19 @@ object Verify {
           try {
             sc.setJobGroup(group, s"verify dump: $name",
               interruptOnCancel = true)
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+            // dump to a per-query temp dir and rename into place only on
+            // success (round-14 advice): a deadline cancellation mid
+            // write.mode("overwrite") would otherwise DELETE the previous
+            // good dump for this query and leave a partial one — a timed-
+            // out re-run must cost a stale artifact, never a broken one
+            val tmp = s"$outDir/.tmp-$name"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val target = Paths.get(s"$outDir/$name")
+            if (Files.exists(target)) {
+              Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.delete(p))
+            }
+            Files.move(Paths.get(tmp), target)
             times.put(name, (System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -78,7 +89,27 @@ object Verify {
           }
         }
       }
-    Await.result(Future.sequence(dumps), Duration.Inf)
+    // oracle_sql.json lands BEFORE the dump wait: the compare needs it for
+    // every query that DID dump, so a straggler-forced early exit (below)
+    // must not cost the whole round's oracle file
+    writeOracleJson(outDir, only)
+    // BOUNDED outer wait (round-14 advice): cancelJobGroup only interrupts
+    // active Spark jobs — a query stuck in driver-side work (planning, a
+    // synchronized index-build monitor) never sees it, and an unbounded
+    // Await would then hang the whole dump past the driver's window. One
+    // hung query costs its own missing dir: wait out the healthy dumps,
+    // then abandon stragglers and finish the artifact. The bound covers
+    // the whole dump: queries queue over `slots`, so wall ≈ serial/slots,
+    // plus one full per-query deadline for a straggler in the last wave.
+    val outerBound = Duration.create(
+      deadlineSec + 60L * math.max(1, dumps.size / slots) + 120L,
+      java.util.concurrent.TimeUnit.SECONDS)
+    try Await.ready(Future.sequence(dumps), outerBound)
+    catch { case _: java.util.concurrent.TimeoutException =>
+      System.err.println(s"[verify] outer deadline $outerBound hit — " +
+        "abandoning stragglers so the dump artifact still lands")
+      pool.shutdownNow()
+    }
     watchdog.shutdownNow()
     pool.shutdown()
     locally {
@@ -89,9 +120,16 @@ object Verify {
         f"wall-sum ${ts.map(_._2).sum}%.1fs (concurrent); slowest: " +
         slow.mkString(", "))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  /** Dump `SparkEntry.oracleSql` (restricted to `only` when non-empty) as
+    * outDir/oracle_sql.json. JSON string escape: backslash, quote, and ALL
+    * control chars (<0x20) — a tab or CR in builder-authored SQL would
+    * otherwise make the driver's json.load fail and silently zero the
+    * round's correctness.
+    */
+  private def writeOracleJson(outDir: String, only: Set[String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -105,6 +143,5 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

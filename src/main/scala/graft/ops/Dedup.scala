@@ -73,9 +73,12 @@ object Dedup {
 
   /** Per-band bucket hashes of a minhash signature (the LSH join keys):
     * band b's rows joined into one 64-bit hash, seeded by b so identical
-    * row-slices in different bands never collide.
+    * row-slices in different bands never collide. Public since round 15:
+    * the q_minhash_lsh pin tool (tools/pin_sketch_r15.scala) reads the
+    * banding off this exact expression, so the pinned band GROUPS can
+    * never drift from the production join keys.
     */
-  private[graft] def bandHashes(sig: Column, numHashes: Int,
+  def bandHashes(sig: Column, numHashes: Int,
       bands: Int): Column = {
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>

@@ -1134,6 +1134,126 @@ object Similarity {
     emb.join(keep, Seq("vec_id"), "left_semi")
   }
 
+  /** Hierarchically-refined argmax blocking — the BOUNDED-cost answer to
+    * the collapsed-block shape [[blockOccupancy]] exists to flag (round-14
+    * stress: 43% of a 100×-replica corpus in ONE argmax block, whose
+    * O(block²) rescoring salting can parallelize but nothing shrinks).
+    * Level 1 blocks on the index of the largest |component| of the RAW
+    * embedding ([[argmaxBlocked]] — computed on the raw array, scale-
+    * invariant, so the oracle replay never divides and cannot disagree on
+    * a normalization ulp). Any block holding more than `maxBlock` rows is
+    * REFINED: its rows append the argmax over the remaining components
+    * (consumed positions masked to −1, which no |x| can tie) to the key —
+    * `block·4096 + nextPos` — and the count-and-refine step repeats up to
+    * `levels` levels. Occupancy counts are block-key aggregates (map-side
+    * combined, ≤ dim^level rows) broadcast back, so the refinement itself
+    * never shuffles the corpus and has no skewed task. Rows whose FINAL
+    * leaf still exceeds `maxBlock` (exact replicas and near-identical
+    * template mass share every argmax by construction) are marked
+    * `hot = 1` for [[semanticDedupFlagsBounded]]'s anchor arm. Returns
+    * (vec_id, block, hot, e) with `e` unit-normalized for downstream dots.
+    *
+    * Deterministic end to end (ties break to the first index in both
+    * engines), so the whole decision is DuckDB-replayable — q_semdedup_hot
+    * hash-matches a full relational replay of refine + anchor.
+    */
+  def boundedBlocked(emb: DataFrame, maxBlock: Int = 1024,
+      levels: Int = 2): DataFrame = {
+    require(maxBlock >= 1 && levels >= 1,
+      s"boundedBlocked: maxBlock=$maxBlock and levels=$levels must be >= 1")
+    // raw-abs base with the unitVecs zero-norm/guarded-division policy:
+    // blocks read the RAW |components| (what the oracle sees bit-for-bit
+    // off parquet); dots read the unit projection
+    val raw = emb.select(col("vec_id"),
+        asDouble(col("embedding")).as("_v"))
+      .withColumn("_n", sqrt(dot(col("_v"), col("_v"))))
+      .where(col("_n") > 0)
+      .select(col("vec_id"),
+        transform(col("_v"),
+          x => when(col("_n") > 0, x / col("_n")).otherwise(lit(0.0))).as("e"),
+        transform(col("_v"), x => abs(x)).as("_a"))
+    // invariant: `_a` has every consumed position masked to -1, so each
+    // level's next argmax is array_position(_a, array_max(_a)) directly
+    def maskAt(a: Column, pos: Column): Column =
+      transform(a, (x, i) => when(i === pos - 1, lit(-1.0)).otherwise(x))
+    val lvl1 = raw
+      .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
+      .select(col("vec_id"), col("e"), col("_p").as("block"),
+        maskAt(col("_a"), col("_p")).as("_a"))
+    val leaf = (2 to levels).foldLeft(lvl1) { (cur0, _) =>
+      // refinement reads `cur` twice (count + join): cut lineage so the
+      // embedding chain is not re-evaluated per consumer (the
+      // dedupFlagsByBlock checkpoint rule)
+      val cur = cur0.localCheckpoint()
+      val hot = cur.groupBy("block").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > maxBlock)
+        .select(col("block"), lit(1).as("_hot"))
+      cur.join(broadcast(hot), Seq("block"), "left")
+        .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
+        .select(col("vec_id"), col("e"),
+          when(col("_hot").isNull, col("block"))
+            .otherwise(col("block") * 4096L + col("_p")).as("block"),
+          when(col("_hot").isNull, col("_a"))
+            .otherwise(maskAt(col("_a"), col("_p"))).as("_a"))
+    }.localCheckpoint()
+    val stillHot = leaf.groupBy("block").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > maxBlock).select(col("block"), lit(1).as("_hot"))
+    leaf.join(broadcast(stillHot), Seq("block"), "left")
+      .select(col("vec_id"), col("block"),
+        coalesce(col("_hot"), lit(0)).as("hot"), col("e"))
+  }
+
+  /** SemDeDup with cost BOUNDED BY CONSTRUCTION on any corpus shape —
+    * the round-14 verdict's #1: [[semanticDedupFlagsArgmax]]'s decision
+    * with two escape hatches for collapsed blocks. Blocks are the
+    * hierarchically-refined argmax leaves of [[boundedBlocked]]; cold
+    * leaves (≤ `maxBlock` rows — all leaves, on healthy corpora) take the
+    * exact keep-lowest lower-pairs decision, so Σ their cost ≤ maxBlock·N.
+    * Leaves that stay hot through every refinement level — exact replicas
+    * and template mass whose |component| RANKING is identical, which no
+    * content-based blocking can split — switch to the ANCHOR rule: each
+    * row compares to its leaf's minimum-id row only, O(leaf) not O(leaf²).
+    * Total candidate work is ≤ maxBlock·N + N on ANY input.
+    *
+    * Semantics trade (documented, not hidden): in hot leaves
+    * `max_lower_cos` is the ANCHOR cosine — a witness, not the max over
+    * all lower blockmates — so a hot row near some blockmate but far from
+    * the anchor is missed (recall), while every flagged dup is exactly
+    * rescored (precision stays exact). On the replica shapes that produce
+    * hot leaves the anchor catches essentially everything: the leaf is hot
+    * precisely because its members agree on every |component| rank. The
+    * anchor row itself (leaf min id) reports NULL/keep, matching the
+    * unbounded rule. `hot` is carried in the output so a pipeline can
+    * route hot survivors to a second pass if it wants the exact decision.
+    *
+    * Returns (vec_id, block, hot, max_lower_cos, is_dup) for every
+    * non-zero-norm input row.
+    */
+  def semanticDedupFlagsBounded(emb: DataFrame, minCos: Double = 0.95,
+      maxBlock: Int = 1024, levels: Int = 2): DataFrame = {
+    val blocked = boundedBlocked(emb, maxBlock, levels).localCheckpoint()
+    val cold = dedupFlagsByBlock(
+        blocked.where(col("hot") === 0)
+          .select(col("vec_id"), col("block"), col("e")), minCos)
+      .select(col("vec_id"), col("block"), lit(0).as("hot"),
+        col("max_lower_cos"), col("is_dup"))
+    val hotRows = blocked.where(col("hot") === 1)
+    // anchor table: one row per hot leaf — broadcast-sized by definition
+    // (≥ maxBlock+1 rows each), so the hot arm is one broadcast-join scan
+    val anchors = hotRows.groupBy("block").agg(min("vec_id").as("_aid"))
+    val anchorVecs = hotRows.join(broadcast(anchors), Seq("block"))
+      .where(col("vec_id") === col("_aid"))
+      .select(col("block"), col("_aid"), col("e").as("_ae"))
+    val hot = hotRows.join(broadcast(anchorVecs), Seq("block"))
+      .select(col("vec_id"), col("block"), lit(1).as("hot"),
+        when(col("vec_id") === col("_aid"), lit(null).cast("double"))
+          .otherwise(round(dot(col("e"), col("_ae")), 4))
+          .as("max_lower_cos"))
+      .withColumn("is_dup",
+        (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int"))
+    cold.unionByName(hot)
+  }
+
   /** True-SemDeDup blocking: the learned IVF cells (k-means regions) as
     * blocks instead of sign bits — semantically tighter neighborhoods at
     * equal block count, so higher recall on clustered corpora. `assigned`

@@ -380,6 +380,72 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 5L))
   }
 
+  test("semanticDedupFlagsBounded: level-2 refine splits a collapsed block; " +
+      "hot leaves take the anchor rule") {
+    // six vectors share the level-1 argmax (dim 1) — over maxBlock=3, so
+    // the level-2 refine must split them by SECOND argmax into two cold
+    // leaves of 3; five identical vectors agree on every |component| rank,
+    // stay hot through the refine, and must take the O(leaf) anchor arm
+    val spread = Seq(
+      (1L, Array(10.0f, 5.0f, 0.1f, 0.2f)),
+      (2L, Array(10.0f, 5.1f, 0.1f, 0.2f)),
+      (3L, Array(10.0f, 5.2f, 0.2f, 0.1f)),
+      (4L, Array(10.0f, 0.1f, 5.0f, 0.2f)),
+      (5L, Array(10.0f, 0.2f, 5.1f, 0.1f)),
+      (6L, Array(10.0f, 0.1f, 5.2f, 0.2f)))
+    val hotFam = (100L to 104L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val emb = (spread ++ hotFam).toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedupFlagsBounded(emb, minCos = 0.95, maxBlock = 3, levels = 2)
+      .as[(Long, Long, Int, Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 11)
+    // refined composite keys: level-1 pos 1, second argmax pos 2 vs pos 3
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).toSet == Set(1L * 4096 + 2))
+    assert(Seq(4L, 5L, 6L).map(got(_)._2).toSet == Set(1L * 4096 + 3))
+    assert((1L to 6L).forall(got(_)._3 == 0)) // both leaves cold after split
+    // keep-lowest inside each cold leaf (near-parallel vectors)
+    assert(got(1L)._5 == 0 && got(2L)._5 == 1 && got(3L)._5 == 1)
+    assert(got(4L)._5 == 0 && got(5L)._5 == 1 && got(6L)._5 == 1)
+    // the identical family: hot, anchor (min id) keeps with NULL, every
+    // other member flagged at exactly the rounded cosine 1.0
+    assert((100L to 104L).forall(got(_)._3 == 1))
+    assert(got(100L)._4.isEmpty && got(100L)._5 == 0)
+    (101L to 104L).foreach { i =>
+      assert(got(i)._4.contains(1.0) && got(i)._5 == 1, got(i))
+    }
+  }
+
+  test("semanticDedupFlagsBounded equals the unbounded argmax decision " +
+      "when no block exceeds maxBlock") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val bounded = Similarity
+      .semanticDedupFlagsBounded(emb, minCos = 0.6, maxBlock = 64, levels = 3)
+    assert(bounded.where($"hot" =!= 0).isEmpty)
+    val b = bounded.drop("hot").as[(Long, Long, Option[Double], Int)]
+      .collect().toSet
+    val u = Similarity.semanticDedupFlagsArgmax(emb, minCos = 0.6)
+      .as[(Long, Long, Option[Double], Int)].collect().toSet
+    assert(b == u)
+  }
+
+  test("semanticDedupFlagsBounded: mask exhaustion past the dimension is " +
+      "deterministic, never throws") {
+    // 2-dim identical vectors with levels=3: level 3 argmaxes an all-masked
+    // array (max -1 → first position) — must stay one hot leaf, no error
+    val emb = (0L until 5L).map(i => (i, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedupFlagsBounded(emb, minCos = 0.95, maxBlock = 2, levels = 3)
+      .as[(Long, Long, Int, Option[Double], Int)].collect()
+    assert(got.length == 5 && got.forall(_._3 == 1))
+    assert(got.map(_._2).toSet.size == 1)
+    assert(got.count(_._5 == 1) == 4) // all but the anchor flagged
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged by content fingerprint") {
     val old = Seq(
       (1L, "stays exactly the same"),
