@@ -777,6 +777,22 @@ object SparkEntry {
           (lit(1.0) - (heur - col("y")) * (heur - col("y"))).as("m_b")),
         "doc_id", "m_a", "m_b")
     }),
+    // paired sign-flip permutation significance over the SAME per-doc
+    // (m_a, m_b) frame as q_sys_compare: deterministic md5-lane coins,
+    // two-sided add-one p — the hypothesis-test complement of the
+    // bootstrap CI
+    "q_perm_test" -> ((s, d) => {
+      val scored = qualityScoredLabeled(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+      val heur = least(lit(1.0), col("n_chars") / 1000.0)
+      TextAnalysis.permTestPaired(
+        scored.select(col("doc_id"),
+          (lit(1.0) - (col("quality_score") - col("y")) *
+            (col("quality_score") - col("y"))).as("m_a"),
+          (lit(1.0) - (heur - col("y")) * (heur - col("y"))).as("m_b")),
+        "doc_id", "m_a", "m_b")
+    }),
     // the fairness cut: exact AUC per source, off the same standing
     // scored table as the rest of the eval family
     "q_auc_group" -> ((s, d) =>
@@ -1890,6 +1906,22 @@ object SparkEntry {
     "q_bleu_source" -> ((s, d) =>
       TextAnalysis.bleuByGroup(evalPairs(s, d),
         "source", "doc_id", "ref", "cand")),
+    // MULTI-REFERENCE corpus BLEU (SacreBLEU convention): ref2 is the
+    // every-3rd-token→"xx" mutation of ref, cand is cand_sub (that same
+    // mutation with every 5th token dropped) — so cand's "xx" grams are
+    // licensed ONLY by ref2 and its clean grams only by ref, exercising
+    // the per-gram max-over-references clip in both directions; the
+    // brevity penalty takes the closest-length (tie: shorter) reference
+    "q_bleu_multiref" -> ((s, d) => {
+      val ep = evalPairs(s, d)
+      val rt = Core.tokensUni(col("ref"))
+      val pairs = ep.select(col("doc_id"), col("ref"),
+        array_join(transform(rt, (x, i) =>
+          when((i + 1) % 3 === 0, lit("xx")).otherwise(x)), " ").as("ref2"),
+        col("cand_sub").as("cand"))
+      TextAnalysis.bleuScoreMulti(pairs, "doc_id", Seq("ref", "ref2"),
+        "cand")
+    }),
     // chrF2 on the q_bleu fixture (ref = the token-joined text, so both
     // sides share the tokenizer's casing): character n-gram F with
     // whitespace removed — pure integer-rational algebra, no logs
@@ -2000,6 +2032,20 @@ object SparkEntry {
           .otherwise(lit(50) + col("winner") % 30).as("win_len"),
         lit(120).as("lose_len"))
       Preference.lengthBias(judged)
+    }),
+    // length-binned win-rate CURVE over the same game log with
+    // gap-VARYING synthetic lengths (both sides residue draws, so gap
+    // buckets 0-2 fill with mixed outcomes): per |len_w − len_l| / 40
+    // bucket, the exact-integer Wilson read — the stratified view that
+    // reveals gap-dependent verbosity bias the one-row audit collapses
+    "q_len_winrate" -> ((s, d) => {
+      val judged = btGames(Tables.documents(s, d)).select(
+        col("winner"), col("loser"),
+        (lit(100) + (col("winner") * 7 + col("loser") * 11) % 120)
+          .as("win_len"),
+        (lit(100) + (col("winner") * 13 + col("loser") * 5) % 120)
+          .as("lose_len"))
+      Preference.lengthBiasCurve(judged, bucketWidth = 40)
     }),
     // unbiased pass@k (Codex §2.1) over synthetic per-problem sample
     // outcomes (problem = doc_id mod 50, pass = residue rule — the
@@ -2281,6 +2327,26 @@ object SparkEntry {
         Retrieval.postingsIndex(docs, name),
         Retrieval.corpusStats(docs, name),
         docs.where(col("doc_id") % 25 === 0), k = 10, queryTokens = 5)
+    }),
+    // nDCG@10 over the same standing index and known-item queries, with
+    // graded qrels: the query doc itself rel 3, its two successor docs
+    // rel 2 and 1 where they exist — deterministic and fully replayable
+    "q_ndcg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = IndexTables.ident("bm25pst1", d, witness(docs))
+      val qd = docs.where(col("doc_id") % 25 === 0)
+      val qrels = qd.select(col("doc_id").as("query_id"))
+        .select(col("query_id"), explode(array(
+          struct(col("query_id").as("doc_id"), lit(3).as("rel")),
+          struct((col("query_id") + 1).as("doc_id"), lit(2).as("rel")),
+          struct((col("query_id") + 2).as("doc_id"), lit(1).as("rel"))))
+          .as("qr"))
+        .select(col("query_id"), col("qr.doc_id").as("doc_id"),
+          col("qr.rel").as("rel"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Retrieval.ndcgAtK(Retrieval.postingsIndex(docs, name),
+        Retrieval.corpusStats(docs, name), qd, qrels,
+        k = 10, queryTokens = 5)
     }),
     // per-label class centroids: element-wise mean pooling of embeddings
     // in long (label, n, dim, m) format — the compare gate hashes scalar
@@ -4346,6 +4412,106 @@ object SparkEntry {
       "CAST(CASE WHEN coalesce(m.mx, -2) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_dup " +
       s"FROM b LEFT JOIN m ON b.vec_id = m.a_id$rowFilter"
 
+  /** The known-item BM25 ranking replay (5-token-prefix queries over the
+    * doc_id % 25 sample, the q_bm25_batch scoring form), ending in
+    * `r(query_id, doc_id, rank)` plus `q`/`t` for downstream metric
+    * tails — ONE definition shared by the q_retrieval_eval and q_ndcg
+    * oracles so ranking semantics cannot drift between them.
+    */
+  private val KNOWN_ITEM_BM25_CTES: String =
+    s"t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
+      "q AS MATERIALIZED (SELECT doc_id AS query_id, toks[1:5] AS qtoks FROM t " +
+      "WHERE doc_id % 25 = 0 AND len(toks) > 0), " +
+      "qt AS (SELECT query_id, unnest(list_distinct(qtoks)) AS token FROM q), " +
+      "stats AS (SELECT count(*) AS n_docs, " +
+      "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+      "terms AS (SELECT DISTINCT token FROM qt), " +
+      "tp2 AS (SELECT doc_id, token, " +
+      "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
+      "CAST(len(toks) AS DOUBLE) AS dl " +
+      "FROM t JOIN terms ON list_contains(toks, token)), " +
+      "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
+      "FROM tp2 GROUP BY token), " +
+      "sc AS (SELECT qt.query_id, tp2.doc_id, " +
+      "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
+      "GROUP BY qt.query_id, tp2.doc_id), " +
+      "r AS MATERIALIZED (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score DESC, doc_id) AS rank FROM sc)"
+
+  /** DuckDB replay of q_minhash_lsh under the [[graft.model.SketchPins]]
+    * sf0.01 literals (round-14 verdict #2, the pin_ter_r14 doctrine):
+    * the multi-doc band GROUPS (singleton buckets generate no candidate
+    * pairs) and the grouped docs' full 32-lane signatures are pinned;
+    * the candidate pair-join, per-lane eq count, est_jaccard = m/32 and
+    * the 0.2 threshold replay mechanically. The live query keeps
+    * computing signatures and banding — any kernel/banding drift changes
+    * its pairs or estimates and the row goes red against the pin.
+    */
+  private def minhashLshSql: String = {
+    val groups = graft.model.SketchPins.minhashGroups.flatMap { t =>
+      val Array(g, ids) = t.split(":")
+      ids.split(",").map(id => s"($g, $id)")
+    }.mkString(", ")
+    val sigs = graft.model.SketchPins.minhashSigs.map { t =>
+      val Array(id, s) = t.split(":")
+      s"($id, [$s]::BIGINT[])"
+    }.mkString(", ")
+    s"WITH gp(gid, doc_id) AS (SELECT * FROM (VALUES $groups)), " +
+      s"sg(doc_id, sig) AS (SELECT * FROM (VALUES $sigs)), " +
+      "pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+      "FROM gp a JOIN gp b ON a.gid = b.gid AND a.doc_id < b.doc_id), " +
+      "eq AS (SELECT a_id, b_id, " +
+      "len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS m " +
+      "FROM pr JOIN sg sa ON sa.doc_id = pr.a_id " +
+      "JOIN sg sb ON sb.doc_id = pr.b_id) " +
+      "SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, " +
+      "m / 32.0 AS est_jaccard FROM eq WHERE m / 32.0 >= 0.2"
+  }
+
+  /** DuckDB side of q_simhash: the full sf0.01 signature pin (there is
+    * no downstream join to replay in that query — the sketch IS the
+    * output). The live query recomputes from scratch; drift flips red.
+    */
+  private def simhashSql: String = {
+    val vals = graft.model.SketchPins.simhash.map { t =>
+      val Array(id, s) = t.split(":"); s"($id, $s)"
+    }.mkString(", ")
+    s"SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+      "CAST(simhash AS BIGINT) AS simhash " +
+      s"FROM (VALUES $vals) AS t(doc_id, simhash)"
+  }
+
+  /** DuckDB replay of the banded-Hamming near-dup join (q_image_dedup /
+    * q_audio_dedup) under pinned 64-bit perceptual hashes: the 4×16-bit
+    * band split, candidate equi-join, exact bit_count(xor) rescore and
+    * the ≤ maxHamming filter all replay mechanically (Spark's min-band
+    * ownership is an exchange-avoidance trick, not semantics — DISTINCT
+    * pairs is the same set). These pins are sf-INDEPENDENT: the synthetic
+    * media derive from pure media_id hashing, so the replay is valid at
+    * every sweep scale. Arithmetic note: DuckDB `>>` is an arithmetic
+    * shift, but `& 65535` keeps only the low 16 bits of the shifted
+    * value, which agree with Spark's shiftrightunsigned for every band.
+    */
+  private def bandedHammingSql(pins: Array[String]): String = {
+    val vals = pins.map { t =>
+      val Array(id, h) = t.split(":"); s"($id, $h)"
+    }.mkString(", ")
+    s"WITH hp AS (SELECT CAST(media_id AS BIGINT) AS media_id, " +
+      "CAST(dh AS BIGINT) AS dh " +
+      s"FROM (VALUES $vals) AS t(media_id, dh)), " +
+      "bd AS (SELECT media_id, dh, r.range AS band, " +
+      "(dh >> CAST(r.range * 16 AS INT)) & 65535 AS bval FROM hp, range(4) r), " +
+      "cand AS (SELECT a.media_id AS a_id, b.media_id AS b_id, " +
+      "a.dh AS a_dh, b.dh AS b_dh FROM bd a JOIN bd b " +
+      "ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id) " +
+      "SELECT DISTINCT a_id, b_id, " +
+      "CAST(bit_count(xor(a_dh, b_dh)) AS INT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(a_dh, b_dh)) <= 3"
+  }
+
   /** DuckDB mirror of Similarity.signBlock over a 1-based list column:
     * Σ 2^(i−1) over non-negative components — shared by the q_semdedup
     * and q_semdedup_text oracles.
@@ -5491,6 +5657,36 @@ object SparkEntry {
     },
     // the same Wilson replay on the longer-wins flag (win_len > 120
     // iff the 13/20 residue draw fires)
+    // the stratified curve: same game rebuild, gap-varying length draws,
+    // bucketed Wilson reads per |gap| // 40 (exact integer counts)
+    "q_len_winrate" -> {
+      val z = 1.96
+      val z2 = java.lang.Double.toString(z * z)
+      "WITH g AS (SELECT doc_id % 32 AS a, (doc_id * 3 + 1) % 32 AS b, " +
+        "CASE WHEN (doc_id * 13) % 7 < 4 THEN 1 ELSE 0 END AS sw " +
+        "FROM documents WHERE doc_id % 32 <> (doc_id * 3 + 1) % 32), " +
+        "p AS (SELECT CASE WHEN sw = 1 THEN least(a, b) ELSE greatest(a, b) END AS w, " +
+        "CASE WHEN sw = 1 THEN greatest(a, b) ELSE least(a, b) END AS l FROM g), " +
+        "j AS (SELECT 100 + (w * 7 + l * 11) % 120 AS wl, " +
+        "100 + (w * 13 + l * 5) % 120 AS ll FROM p), " +
+        "f AS (SELECT CAST(abs(wl - ll) // 40 AS BIGINT) AS gap_bucket, " +
+        "CASE WHEN wl > ll THEN 1 ELSE 0 END AS lw FROM j WHERE wl <> ll), " +
+        "t AS (SELECT gap_bucket, count(*) AS games, " +
+        "CAST(coalesce(sum(lw), 0) AS BIGINT) AS longer_wins FROM f GROUP BY gap_bucket), " +
+        "e AS (SELECT gap_bucket, games, longer_wins, CAST(games AS DOUBLE) AS nd, " +
+        "longer_wins/(1.0*games) AS pd FROM t) " +
+        "SELECT gap_bucket, gap_bucket * 40 AS gap_lo, " +
+        "(gap_bucket + 1) * 40 - 1 AS gap_hi, games, longer_wins, " +
+        "round(pd, 6) AS rate_longer, " +
+        s"round((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS lo95, " +
+        s"round((pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd), 6) AS hi95, " +
+        s"CAST(((pd + $z2/(nd*2) - $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) > 0.5 OR " +
+        s"(pd + $z2/(nd*2) + $z*sqrt(pd*(1.0-pd)/nd + $z2/(nd*nd*4)))/" +
+        s"(1.0 + $z2/nd) < 0.5) AS INT) AS biased FROM e"
+    },
     "q_length_bias" -> {
       val z = 1.96
       val z2 = java.lang.Double.toString(z * z)
@@ -5775,6 +5971,49 @@ object SparkEntry {
         "END AS bleu FROM lens, agg"),
     // per-source BLEU: the q_bleu replay pivoted per (source, n)
     "q_bleu_source" -> bleuSourceSql(4),
+    // multi-reference BLEU: the q_bleu replay with (a) clipped matches
+    // against the per-gram MAX over both references and (b) r_len = Σ of
+    // the per-pair closest-length (tie: shorter) reference length.
+    // 1-based DuckDB lambdas ≡ Spark's 0-based (i+1) residues.
+    "q_bleu_multiref" ->
+      (s"WITH tk AS (SELECT doc_id, $TOKS AS rt FROM documents), " +
+        "pair AS (SELECT doc_id, rt, " +
+        "list_transform(rt, (x, i) -> CASE WHEN i % 3 = 0 THEN 'xx' ELSE x END) AS rt2, " +
+        "list_filter(list_transform(rt, (x, i) -> CASE WHEN i % 3 = 0 THEN 'xx' ELSE x END), " +
+        "(x, i) -> i % 5 <> 0) AS ct FROM tk), " +
+        "lens AS (SELECT count(*) AS np, CAST(coalesce(sum(len(ct)), 0) AS BIGINT) AS cl, " +
+        "CAST(coalesce(sum(CASE WHEN abs(len(rt2) - len(ct)) < abs(len(rt) - len(ct)) " +
+        "OR (abs(len(rt2) - len(ct)) = abs(len(rt) - len(ct)) AND len(rt2) < len(rt)) " +
+        "THEN len(rt2) ELSE len(rt) END), 0) AS BIGINT) AS rl FROM pair), " +
+        "grams AS (SELECT doc_id, n.n AS n, " +
+        "list_transform(range(1, len(ct)-n.n+2), i -> array_to_string(list_slice(ct, i, i+n.n-1), ' ')) AS cg, " +
+        "list_transform(range(1, len(rt)-n.n+2), i -> array_to_string(list_slice(rt, i, i+n.n-1), ' ')) AS rg, " +
+        "list_transform(range(1, len(rt2)-n.n+2), i -> array_to_string(list_slice(rt2, i, i+n.n-1), ' ')) AS rg2 " +
+        "FROM pair, (SELECT unnest(range(1, 5)) AS n) n), " +
+        "cg AS (SELECT doc_id, n, g, count(*) AS cc FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id, n, g, count(*) AS cr FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "rg2 AS (SELECT doc_id, n, g, count(*) AS cr2 FROM " +
+        "(SELECT doc_id, n, unnest(rg2) AS g FROM grams) GROUP BY 1, 2, 3), " +
+        "pern AS (SELECT cg.n, " +
+        "sum(least(cc, greatest(coalesce(cr, 0), coalesce(cr2, 0)))) AS m, " +
+        "sum(cc) AS t FROM cg " +
+        "LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g " +
+        "LEFT JOIN rg2 ON cg.doc_id = rg2.doc_id AND cg.n = rg2.n AND cg.g = rg2.g " +
+        "GROUP BY cg.n), " +
+        "p AS (SELECT n, CASE WHEN t > 0 THEN m/(1.0*t) END AS p FROM pern), " +
+        "agg AS (SELECT sum(CASE WHEN p > 0 THEN round(ln(p), 6) END)/4 AS mlp, " +
+        "min(CASE WHEN p IS NULL OR p = 0 THEN 0 ELSE 1 END) AS ok, count(*) AS k FROM p) " +
+        "SELECT lens.np AS n_pairs, lens.cl AS c_len, lens.rl AS r_len, " +
+        "round((SELECT p FROM p WHERE n = 1), 6) AS p1, " +
+        "round((SELECT p FROM p WHERE n = 2), 6) AS p2, " +
+        "round((SELECT p FROM p WHERE n = 3), 6) AS p3, " +
+        "round((SELECT p FROM p WHERE n = 4), 6) AS p4, " +
+        "CASE WHEN lens.cl = 0 THEN NULL " +
+        "WHEN agg.ok = 0 OR agg.k < 4 THEN 0.0 " +
+        "ELSE round(exp(agg.mlp + least(0.0, 1.0 - lens.rl/(1.0*lens.cl))), 4) " +
+        "END AS bleu FROM lens, agg"),
     // chrF2: character-gram clipped stats (chars of the token-joined,
     // whitespace-removed text), effective-order means, β² = 4 — pure
     // integer-rational algebra
@@ -6012,6 +6251,31 @@ object SparkEntry {
     // paired bootstrap: the q_auc_boot md5-lane draw replay, one shared
     // weight per (doc, replica), delta = Σw(b−a)/Σw q6, nearest-rank CI
     "q_sys_compare" -> sysCompareSql(100),
+    // sign-flip permutation replay on the q_sys_compare (ma, mb) frame:
+    // md5(salt|doc|replica) 4-hex-digit parity coins, q6 replica means,
+    // |Δ_r| ≥ |Δ_obs| counted on the rounded grid, add-one p
+    "q_perm_test" ->
+      (s"WITH $qualityLabeledCtes, " +
+        "m AS (SELECT j.doc_id, " +
+        "1.0 - (j.s - j.y) * (j.s - j.y) AS ma, " +
+        "1.0 - (least(1.0, d.n_chars/1000.0) - j.y) * " +
+        "(least(1.0, d.n_chars/1000.0) - j.y) AS mb " +
+        "FROM j JOIN documents d USING (doc_id)), " +
+        "ob AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(mb - ma) / count(*), 6) AS dobs FROM m), " +
+        "e AS (SELECT m.doc_id, m.ma, m.mb, CAST(r.range AS BIGINT) AS b " +
+        "FROM m, range(200) r), " +
+        "sgn AS (SELECT b, CASE WHEN CAST(('0x' || " +
+        "substring(md5('perm' || '|' || CAST(doc_id AS VARCHAR) || '|' || " +
+        "CAST(b AS VARCHAR)), 1, 4)) AS UBIGINT) % 2 = 0 " +
+        "THEN (mb - ma) ELSE -(mb - ma) END AS sd FROM e), " +
+        "per AS (SELECT b, round(sum(sd) / (SELECT n FROM ob), 6) AS d " +
+        "FROM sgn GROUP BY b) " +
+        "SELECT ob.n AS n_items, CAST(200 AS INT) AS n_replicas, " +
+        "ob.dobs AS delta_obs, " +
+        "CASE WHEN ob.n > 0 THEN round((1 + (SELECT count(*) FROM per " +
+        "WHERE abs(per.d) >= abs(ob.dobs))) / 201.0, 6) END AS p_value " +
+        "FROM ob"),
     // multi-class Cohen: exact integer sums (agree, Σ row_k·col_k)
     // divided once — the fleissKappa arithmetic
     "q_kappa_multi" ->
@@ -7826,26 +8090,7 @@ object SparkEntry {
     // lcm(1..10)-scaled integer sum (double reciprocal sums are
     // summation-order-dependent across engines)
     "q_retrieval_eval" ->
-      (s"WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents), " +
-        "q AS (SELECT doc_id AS query_id, toks[1:5] AS qtoks FROM t " +
-        "WHERE doc_id % 25 = 0 AND len(toks) > 0), " +
-        "qt AS (SELECT query_id, unnest(list_distinct(qtoks)) AS token FROM q), " +
-        "stats AS (SELECT count(*) AS n_docs, " +
-        "avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
-        "terms AS (SELECT DISTINCT token FROM qt), " +
-        "tp2 AS (SELECT doc_id, token, " +
-        "CAST(len(list_filter(toks, x -> x = token)) AS DOUBLE) AS tf, " +
-        "CAST(len(toks) AS DOUBLE) AS dl " +
-        "FROM t JOIN terms ON list_contains(toks, token)), " +
-        "dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df " +
-        "FROM tp2 GROUP BY token), " +
-        "sc AS (SELECT qt.query_id, tp2.doc_id, " +
-        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-        "tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM tp2 JOIN dfs USING (token) JOIN qt USING (token), stats " +
-        "GROUP BY qt.query_id, tp2.doc_id), " +
-        "r AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score DESC, doc_id) AS rank FROM sc), " +
+      (s"WITH $KNOWN_ITEM_BM25_CTES, " +
         "h AS (SELECT query_id, rank FROM r WHERE rank <= 10 AND doc_id = query_id), " +
         "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q), " +
         "s AS (SELECT sum(CAST(2520 / rank AS BIGINT)) AS irr, " +
@@ -7854,6 +8099,30 @@ object SparkEntry {
         "round((coalesce(irr, 0) / 2520.0) / n_queries, 4) AS mrr, " +
         "round(CAST(coalesce(h1, 0) AS DOUBLE) / n_queries, 4) AS recall_1, " +
         "round(CAST(hk AS DOUBLE) / n_queries, 4) AS recall_k FROM nq, s"),
+    // nDCG@10 over the same known-item ranking chain with graded qrels
+    // (query doc rel 3, its two successor docs rel 2/1 where they exist);
+    // each log term q6-rounds as gain / (ln(pos+1)/ln(2)) — the exact
+    // expression the Spark side evaluates (libm-parity class)
+    "q_ndcg" ->
+      (s"WITH $KNOWN_ITEM_BM25_CTES, " +
+        "qr AS (SELECT q.query_id, q.query_id + g.range AS doc_id, " +
+        "CAST(3 - g.range AS BIGINT) AS rel FROM q, range(3) g), " +
+        "qre AS MATERIALIZED (SELECT qr.query_id, qr.doc_id, qr.rel " +
+        "FROM qr JOIN t ON t.doc_id = qr.doc_id), " +
+        "dcg AS (SELECT r.query_id, " +
+        "round(sum(round((power(2, qre.rel) - 1) / " +
+        "(ln(r.rank + 1.0) / ln(2.0)), 6)), 6) AS dcg " +
+        "FROM r JOIN qre ON r.query_id = qre.query_id AND r.doc_id = qre.doc_id " +
+        "WHERE r.rank <= 10 GROUP BY r.query_id), " +
+        "iw AS (SELECT query_id, rel, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rel DESC, doc_id) AS i FROM qre), " +
+        "idcg AS (SELECT query_id, round(sum(round((power(2, rel) - 1) / " +
+        "(ln(i + 1.0) / ln(2.0)), 6)), 6) AS idcg FROM iw WHERE i <= 10 " +
+        "GROUP BY query_id) " +
+        "SELECT q.query_id, coalesce(dcg.dcg, 0.0) AS dcg, idcg.idcg, " +
+        "CASE WHEN idcg.idcg > 0 THEN round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 4) " +
+        "END AS ndcg FROM q LEFT JOIN idcg USING (query_id) " +
+        "LEFT JOIN dcg USING (query_id)"),
     // the q_bm25_batch scoring replay with query docs as their own query
     // strings, minus the fingerprint-identical exclusion set, ranked
     // AFTER exclusion
@@ -8150,10 +8419,17 @@ object SparkEntry {
         "a AS (SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS INT) " +
         "AS cell FROM d) " +
         "SELECT cell, count(*) AS cnt FROM a GROUP BY cell"
-    }
-    // q_minhash_lsh / q_simhash / q_hll: sketch internals (xxhash64
-    // token hashing / HLL++ registers) are not reproducible in DuckDB →
-    // rows-only check; accuracy asserted in SketchSpec /
-    // DedupSimilaritySpec instead.
+    },
+    // xxhash64 sketch families, oracled since round 15 via the pin
+    // doctrine (SketchPins + tools/pin_sketch_r15.scala): downstream
+    // joins replay mechanically, live kernels drift → red. q_minhash_lsh
+    // and q_simhash are sf0.01-pinned (check_oracle.py allowlist);
+    // the media pins are sf-independent (synthetic media_id hashing).
+    "q_minhash_lsh" -> minhashLshSql,
+    "q_simhash" -> simhashSql,
+    "q_image_dedup" -> bandedHammingSql(graft.model.SketchPins.imageDh),
+    "q_audio_dedup" -> bandedHammingSql(graft.model.SketchPins.audioDh)
+    // q_hll: HLL++ register internals are not reproducible in DuckDB →
+    // rows-only check; accuracy asserted in SketchSpec instead.
   )
 }

@@ -208,6 +208,48 @@ object Preference {
     coinRateAudit(judged.where(col(winLenCol) =!= col(loseLenCol)),
       col(winLenCol) > col(loseLenCol), "longer_wins", "rate_longer", z)
 
+  /** [[lengthBias]] stratified into a CURVE (round-14 verdict #8): the
+    * one-row audit collapses verbosity preference across all length
+    * gaps, but a judge's length bias typically GROWS with the gap — the
+    * curve is what reveals it. Games bucket by |win_len − lose_len| /
+    * `bucketWidth` (equal-length games carry no signal and are excluded,
+    * the [[lengthBias]] rule); each bucket gets the same exact-integer
+    * Wilson read: rate_longer = P(longer answer won | gap bucket), with
+    * `biased` = 1 when the interval excludes the fair coin. One
+    * games-pass aggregate (map-side combined, bucket-sized result);
+    * IEEE sqrt replays bit-for-bit, rates/interval round 6. Returns
+    * (gap_bucket, gap_lo, gap_hi, games, longer_wins, rate_longer,
+    * lo95, hi95, biased) ordered by bucket.
+    */
+  def lengthBiasCurve(judged: DataFrame, winLenCol: String = "win_len",
+      loseLenCol: String = "lose_len", bucketWidth: Int = 40,
+      z: Double = 1.96): DataFrame = {
+    require(bucketWidth >= 1, s"lengthBiasCurve: bucketWidth must be >= 1")
+    require(z > 0, s"lengthBiasCurve: z must be > 0, got $z")
+    val agg = judged.where(col(winLenCol) =!= col(loseLenCol))
+      .select((abs(col(winLenCol) - col(loseLenCol)) / bucketWidth)
+        .cast("long").as("gap_bucket"),
+        (col(winLenCol) > col(loseLenCol)).cast("long").as("_lw"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("games"), sum("_lw").as("longer_wins"))
+    val nD = col("games").cast("double")
+    val p = col("longer_wins").cast("double") / nD
+    val z2 = z * z
+    val center = p + lit(z2) / (nD * 2)
+    val margin = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))
+    val denom = lit(1.0) + lit(z2) / nD
+    agg.select(col("gap_bucket"),
+      (col("gap_bucket") * bucketWidth).as("gap_lo"),
+      ((col("gap_bucket") + 1) * bucketWidth - 1).as("gap_hi"),
+      col("games"), col("longer_wins"),
+      round(p, 6).as("rate_longer"),
+      round((center - margin) / denom, 6).as("lo95"),
+      round((center + margin) / denom, 6).as("hi95"),
+      ((center - margin) / denom > 0.5 || (center + margin) / denom < 0.5)
+        .cast("int").as("biased"))
+  }
+
   /** Shared one-row fair-coin audit: count the flagged games, Wilson
     * z-interval on the flag rate (exact integer counts — IEEE sqrt
     * replays bit-for-bit), `biased` = 1 when 0.5 falls outside it.

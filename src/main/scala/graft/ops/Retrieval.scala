@@ -358,6 +358,64 @@ object Retrieval {
           .as("recall_k"))
   }
 
+  /** nDCG@k over GRADED relevance — the standard ranking metric
+    * [[knownItemEval]]'s binary hit view lacks (round-14 verdict #3).
+    * Queries are the known-item form (first `queryTokens` tokens of each
+    * query doc); `qrels` = (query_id, doc_id, rel) with integer grades
+    * ≥ 1 (grade-0 rows are noise — leave them out). Per query:
+    *
+    *   DCG@k  = Σ over ranked qrel docs  (2^rel − 1) / log2(rank + 1)
+    *   IDCG@k = the same sum over the qrel set sorted rel DESC (ties by
+    *            doc_id ASC — deterministic), positions 1..k
+    *   ndcg   = DCG/IDCG
+    *
+    * Arithmetic parity: gains 2^rel − 1 are exact small integers; each
+    * log term is written as `gain / (ln(rank+1) / ln(2))` and q6-rounded
+    * BEFORE the sum on both engines (the tokenDivergence libm policy);
+    * dcg/idcg carry 6 decimals, ndcg rounds 4. Queries whose ranking
+    * surfaces no qrel doc score dcg = 0, ndcg = 0 — they stay rows.
+    *
+    * Scale shape: scoring is the standing-index serving path
+    * ([[bm25TopKAll]] — bucket-pruned postings, broadcast query terms);
+    * the qrels join is hits-sized, the ideal ranking is a window over
+    * qrels (queries × grades rows). Nothing corpus-sized shuffles.
+    */
+  def ndcgAtK(index: DataFrame, stats: DataFrame, queryDocs: DataFrame,
+      qrels: DataFrame, k: Int = 10, queryTokens: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
+        array_join(slice(Core.tokensUni(col("text")), 1, queryTokens), " ")
+          .as("query"))
+      .where(length(col("query")) > 0)
+    val log2Term = (gain: Column, pos: Column) =>
+      round(gain / (log(pos + lit(1.0)) / log(lit(2.0))), 6)
+    val gains = qrels.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      (pow(lit(2.0), col("rel").cast("double")) - 1).as("gain"),
+      col("rel").cast("long").as("rel"))
+    val dcg = bm25TopKAll(index, stats, qt, k, k1, b)
+      .join(gains, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(round(sum(log2Term(col("gain"), col("rank").cast("double"))), 6)
+        .as("dcg"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = gains.withColumn("_i", row_number().over(iw))
+      .where(col("_i") <= k)
+      .groupBy("query_id")
+      .agg(round(sum(log2Term(col("gain"), col("_i").cast("double"))), 6)
+        .as("idcg"))
+    qt.select(col("query_id"))
+      .join(idcg, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4))
+          .otherwise(lit(null).cast("double")).as("ndcg"))
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 

@@ -2473,6 +2473,62 @@ object TextAnalysis {
     out.toDF("n_replicas", "delta_mean", "ci_lo", "ci_hi", "b_win_rate")
   }
 
+  /** Paired SIGN-FLIP permutation test (round-14 verdict #7) — the
+    * significance reading that completes the judge-eval shelf next to
+    * the Wilson intervals and the [[pairedBootstrap]] CI: under H0
+    * (systems exchangeable per item) each per-item difference
+    * d_i = m_b − m_a keeps its magnitude and gets a random sign, so the
+    * observed mean difference is compared against `replicas` sign-flip
+    * resamples. Two-sided p with the add-one convention:
+    * p = (1 + #{|Δ_r| ≥ |Δ_obs|}) / (replicas + 1) — never exactly 0,
+    * honest at small replica counts.
+    *
+    * Signs are DETERMINISTIC md5-lane coins (first 4 hex digits of
+    * md5(salt|id|replica), even → keep) — the [[pairedBootstrap]] draw
+    * discipline, so DuckDB replays every resample bit-for-bit. Replica
+    * means q6-round before the |Δ| comparison (both engines compare on
+    * the same grid). One corpus pass + a replica-count-sized collect.
+    * Returns one row (n_items, n_replicas, delta_obs, p_value); NULL
+    * metrics on an empty frame.
+    */
+  def permTestPaired(scored: DataFrame, idCol: String, aCol: String,
+      bCol: String, replicas: Int = 200, salt: String = "perm"): DataFrame = {
+    require(replicas >= 1 && replicas <= 100000,
+      s"permTestPaired: replicas must be in [1, 100000], got $replicas")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // base feeds the observed aggregate AND the replica explode — cut
+    // lineage so the upstream scoring chain runs once (the
+    // dedupFlagsByBlock checkpoint rule); the frame is (id, double)-sized
+    val base = scored.select(col(idCol).cast("string").as("_id"),
+        col(aCol).cast("double").as("_ma"),
+        col(bCol).cast("double").as("_mb"))
+      .where(col("_ma").isNotNull && col("_mb").isNotNull)
+      .select(col("_id"), (col("_mb") - col("_ma")).as("_d"))
+      .localCheckpoint()
+    val ob = base.agg(count(lit(1)), sum("_d")).head()
+    val n = ob.getLong(0)
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    if (n == 0)
+      return Seq((0L, replicas, Option.empty[Double], Option.empty[Double]))
+        .toDF("n_items", "n_replicas", "delta_obs", "p_value")
+    val dObs = q6(ob.getDouble(1) / n)
+    val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
+      col("_r").cast("string"))
+    val flip = conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 2
+    val deltas = base
+      .select(col("_id"), col("_d"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("_r"))
+      .select(col("_r"),
+        when(flip === 0, col("_d")).otherwise(-col("_d")).as("_sd"))
+      .groupBy("_r").agg(round(sum("_sd") / n, 6).as("_dr"))
+      .select("_dr").as[Double].collect()
+    val ge = deltas.count(d => math.abs(d) >= math.abs(dObs))
+    val p = q6((ge + 1).toDouble / (replicas + 1))
+    Seq((n, replicas, Some(dObs), Some(p)))
+      .toDF("n_items", "n_replicas", "delta_obs", "p_value")
+  }
+
   /** Distinct-score dictionary with DISTRIBUTED strictly-below prefix
     * sums of both class counts ([[PrefixSum.cumulative]]: adaptive
     * approx_percentile range buckets — monotone in the score — a
@@ -3173,6 +3229,82 @@ object TextAnalysis {
     Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
   }
 
+  /** MULTI-REFERENCE corpus BLEU (round-14 verdict #4) — the SacreBLEU
+    * convention [[bleuScore]] lacks: a candidate gram clips against the
+    * per-gram MAXIMUM count over ALL references (a gram any reference
+    * licenses is licensed), and the brevity penalty uses the per-pair
+    * effective reference length — the reference length CLOSEST to the
+    * candidate's, ties to the SHORTER (the original mteval rule).
+    *
+    * Implementation: one extra dictionary-sized step per pair ahead of
+    * GramClipStats — the refs' per-row gram dictionaries max-merge via
+    * `map_zip_with` (dictionary-sized HOF on eval-sized rows; the
+    * corpus-scan kernels are untouched), then the standard clip kernel
+    * runs against the merged dictionary. Everything else is the
+    * [[bleuScore]] shape: ZERO-exchange scan, one one-row aggregate,
+    * exact integer totals, q6 logs, BLEU rounds 4. With a single
+    * reference this reduces EXACTLY to [[bleuScore]] (spec-asserted).
+    * Same unique-id contract as [[bleuScore]].
+    */
+  def bleuScoreMulti(pairs: DataFrame, idCol: String, refCols: Seq[String],
+      candCol: String, maxN: Int = 4): DataFrame = {
+    require(refCols.nonEmpty, "bleuScoreMulti: need at least one reference")
+    require(maxN >= 1 && maxN <= 8, s"bleuScoreMulti: bad maxN $maxN")
+    val K = graft.functions.ArrayKernels
+    val base = pairs.select(
+      col(idCol).as("_id") +: toks(col(candCol)).as("_ct") +:
+        refCols.zipWithIndex.map { case (r, i) => toks(col(r)).as(s"_rt$i") }: _*)
+    val rEff = array_min(array(refCols.indices.map(i =>
+        struct(abs(size(col(s"_rt$i")) - size(col("_ct"))).as("d"),
+          size(col(s"_rt$i")).as("l"))): _*))
+      .getField("l").cast("long")
+    def maxMerge(a: Column, b: Column): Column =
+      map_zip_with(a, b, (_, v1, v2) =>
+        greatest(coalesce(v1, lit(0L)), coalesce(v2, lit(0L))))
+    val statCols = (1 to maxN).map { n =>
+      val merged = refCols.indices
+        .map(i => map_from_entries(K.token_ngram_counts(col(s"_rt$i"), n)))
+        .reduce(maxMerge)
+      val ents = transform(map_entries(merged),
+        e => struct(e.getField("key").as("g"), e.getField("value").as("c")))
+      K.gram_clip_stats(K.token_ngram_counts(col("_ct"), n), ents).as(s"_s$n")
+    }
+    val aggs = Seq(count(lit(1)): Column,
+      coalesce(sum(col("_re")), lit(0L))) ++
+      (1 to maxN).flatMap { n => Seq(
+        coalesce(sum(col(s"_s$n.m")), lit(0L)),
+        coalesce(sum(col(s"_s$n.t")), lit(0L))) }
+    val row = base.select(statCols :+ rEff.as("_re"): _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val nPairs = row.getLong(0)
+    val rLen = row.getLong(1)
+    val mt = (1 to maxN).map(n =>
+      (row.getLong(2 + (n - 1) * 2), row.getLong(3 + (n - 1) * 2)))
+    val cLen = mt.head._2 // 1-gram candidate total = token count
+    import pairs.sparkSession.implicits._
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ps = mt.map { case (m, t) =>
+      if (t == 0L) Option.empty[Double] else Some(m.toDouble / t)
+    }
+    val bleu =
+      if (cLen == 0L) Option.empty[Double]
+      else if (ps.exists(p => p.isEmpty || p.get == 0.0)) Some(0.0)
+      else {
+        val meanLogP = ps.map(p => q6(math.log(p.get))).sum / maxN
+        val bpExp = math.min(0.0, 1.0 - rLen.toDouble / cLen)
+        Some(math.rint(math.exp(meanLogP + bpExp) * 1e4) / 1e4)
+      }
+    val head = Seq(lit(nPairs).as("n_pairs"), lit(cLen).as("c_len"),
+      lit(rLen).as("r_len"))
+    val pCols = ps.zipWithIndex.map { case (p, i) =>
+      p.map(v => lit(q6(v))).getOrElse(lit(null).cast("double"))
+        .as(s"p${i + 1}")
+    }
+    val bleuCol = bleu.map(lit(_)).getOrElse(lit(null).cast("double"))
+      .as("bleu")
+    Seq(1).toDF("_one").select(head ++ pCols :+ bleuCol: _*)
+  }
+
   /** [[chrF]]'s clipped char-gram core: from a (_id, _r, _c) frame of
     * whitespace-stripped STRINGS, the pair count plus per n ∈ 1..maxN
     * corpus totals (clipped matches, candidate grams, reference
@@ -3499,6 +3631,65 @@ object TextAnalysis {
         round(avg("_em"), 4).as("exact_match"),
         round(avg("rouge_f"), 4).as("token_f1"))
   }
+
+  /** The [[qaEval]] sufficient statistic as a standing ONE-ROW
+    * dictionary (round-14 verdict #8 — the passDict merge shape):
+    * per-pair EM and token-F1 are row-local (the rougeN n = 1 clip),
+    * so the corpus scorecard is additive in (n, Σem, Σf1). The F1 sum
+    * is kept as an EXACT integer on the 1e-6 grid (per-pair rouge_f is
+    * already q6-rounded, so ×1e6 rounds to the exact integer) — merges
+    * are then bit-exact regardless of batch split or summation order,
+    * the passDict/voteDict contract.
+    */
+  def qaDict(pairs: DataFrame, idCol: String, goldCol: String,
+      predCol: String): DataFrame = {
+    val per = rougeN(pairs, idCol, refCol = goldCol, candCol = predCol,
+      n = 1).select(col(idCol), col("rouge_f"))
+    val em = pairs.select(col(idCol),
+      (toks(col(goldCol)) === toks(col(predCol))).cast("long").as("_em"))
+    per.join(em, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("_em"), lit(0L)).as("em_sum"),
+        coalesce(sum(round(col("rouge_f") * 1e6).cast("long")), lit(0L))
+          .as("f1_q6_sum"))
+  }
+
+  /** Fold a new pair batch into a standing [[qaDict]]: the three
+    * integer totals sum — exactly equals the dictionary of the
+    * concatenated history (the passDictMerge contract).
+    */
+  def qaDictMerge(dict: DataFrame, newPairs: DataFrame, idCol: String,
+      goldCol: String, predCol: String): DataFrame =
+    dict.unionByName(qaDict(newPairs, idCol, goldCol, predCol))
+      .agg(sum("n").as("n"), sum("em_sum").as("em_sum"),
+        sum("f1_q6_sum").as("f1_q6_sum"))
+
+  /** [[qaEval]]'s scorecard from a standing [[qaDict]] — pure function
+    * of the three totals, so the board recomputes from one row on
+    * demand, never rescanning pair history. NULL metrics at n = 0.
+    */
+  def qaEvalFromDict(dict: DataFrame): DataFrame =
+    dict.select(col("n").as("n_pairs"),
+      when(col("n") > 0,
+        round(col("em_sum").cast("double") / col("n"), 4))
+        .as("exact_match"),
+      when(col("n") > 0,
+        round(col("f1_q6_sum").cast("double") / 1e6 / col("n"), 4))
+        .as("token_f1"))
+
+  /** Streaming [[qaEval]] ingestion — each micro-batch of (gold, pred)
+    * pairs [[qaDictMerge]]s into the standing one-row dictionary (the
+    * passAtKServe read-write pattern); the scorecard recomputes from
+    * the dictionary on demand, not per batch.
+    */
+  def qaEvalServe(pairStream: DataFrame, idCol: String, goldCol: String,
+      predCol: String)(
+      state: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        save(qaDictMerge(state(), batch, idCol, goldCol, predCol))
+    }
 
   /** Per-pair ROUGE-L — the recall-oriented reference-overlap eval
     * beside [[bleuScore]]'s precision view (summarization/generation

@@ -358,4 +358,28 @@ class PreferenceSpec extends SparkSpec {
         Option[Int])].collect().head
     assert(empty == ((0L, 0L, None, None, None, None)), empty)
   }
+
+  test("lengthBiasCurve: gap bucketing by |Δlen| // width, per-bucket " +
+      "Wilson reads, equal-length games excluded, extreme bucket flags") {
+    val rows =
+      // bucket 0 (gap < 40): 3 games, longer wins 2
+      Seq((110, 100), (105, 100), (100, 120)) ++
+      // bucket 1 (40-79): 2 games, longer wins 0
+      Seq((100, 150), (100, 170)) ++
+      // bucket 2 (80-119): 40 games, longer always wins → biased
+      (0 until 40).map(_ => (200, 101)) ++
+      // equal length: excluded entirely
+      Seq((100, 100))
+    val got = Preference.lengthBiasCurve(rows.toDF("win_len", "lose_len"),
+        bucketWidth = 40)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), got.keySet)
+    assert(got(0L)._2 == 0L && got(0L)._3 == 39L, got(0L))
+    assert(got(0L)._4 == 3L && got(0L)._5 == 2L, got(0L))
+    assert(got(1L)._4 == 2L && got(1L)._5 == 0L && got(1L)._6 == 0.0, got(1L))
+    assert(got(2L)._4 == 40L && got(2L)._5 == 40L && got(2L)._6 == 1.0)
+    // 40/40 at gap 80+: the Wilson interval excludes the fair coin
+    assert(got(2L)._9 == 1 && got(0L)._9 == 0, (got(2L), got(0L)))
+  }
 }

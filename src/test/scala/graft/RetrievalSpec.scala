@@ -228,6 +228,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toList == List((4L, 0.875, 0.75, 1.0)), got.toList)
   }
 
+  test("ndcgAtK: hand-computed graded gains, ideal ordering, unranked " +
+      "qrels price recall") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_ndcg_test_postings_b8")
+    IndexTables.drop(spark, "ret_ndcg_test_stats")
+    val corpus = Seq(
+      (1L, "alpha beta gamma one"),
+      (2L, "alpha beta gamma two"),
+      (3L, "zeta eta theta isolated")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, "ret_ndcg_test")
+    val stats = Retrieval.corpusStats(corpus, "ret_ndcg_test")
+    // q1 rel-set {1:3, 2:2} — both rank (shared prefix) in ideal order
+    // → ndcg 1.0; q2 rel-set {2:3, 3:2} — doc 3 shares no term, never
+    // ranks → dcg = 7 alone, idcg = 7 + 3/log2(3)
+    val qrels = Seq((1L, 1L, 3), (1L, 2L, 2), (2L, 2L, 3), (2L, 3L, 2))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.ndcgAtK(idx, stats,
+        corpus.where($"doc_id" < 3), qrels, k = 10, queryTokens = 4)
+      .as[(Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val t2 = q6(3.0 / (math.log(3.0) / math.log(2.0)))
+    val ideal = q6(7.0 + t2)
+    assert(got(1L) == ((1L, ideal, ideal, Some(1.0))), got(1L))
+    val exp2 = math.rint(7.0 / ideal * 1e4) / 1e4
+    assert(got(2L) == ((2L, 7.0, ideal, Some(exp2))), got(2L))
+  }
+
   test("rm3: fbTerms=0 degenerates to plain serving; expansion recalls " +
       "term-disjoint docs") {
     import graft.ops.IndexTables

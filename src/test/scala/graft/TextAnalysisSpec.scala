@@ -1800,4 +1800,108 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._1 == 3L && got._2 == 0.3333, got)
     assert(got._3 == math.rint((1.0 + 0.5 + 0.666667) / 3 * 1e4) / 1e4, got)
   }
+
+  test("qaDict: merge ≡ rebuild, FromDict ≡ qaEval, the serve twin folds " +
+      "micro-batches to the same standing dictionary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(43)
+    val words = Seq("a", "b", "c", "d", "e")
+    val all = (0L until 60L).map { i =>
+      val gold = Seq.fill(3 + rnd.nextInt(3))(words(rnd.nextInt(5)))
+      val pred = if (rnd.nextInt(6) == 0) ""
+        else gold.map(w => if (rnd.nextInt(4) == 0) "zz" else w).mkString(" ")
+      (i, gold.mkString(" "), pred)
+    }
+    val df = all.toDF("doc_id", "gold", "pred")
+    val (a, b) = all.splitAt(35)
+    val merged = TextAnalysis.qaDictMerge(
+      TextAnalysis.qaDict(a.toDF("doc_id", "gold", "pred"),
+        "doc_id", "gold", "pred"),
+      b.toDF("doc_id", "gold", "pred"), "doc_id", "gold", "pred")
+      .localCheckpoint()
+    val full = TextAnalysis.qaDict(df, "doc_id", "gold", "pred")
+      .localCheckpoint()
+    assert(merged.as[(Long, Long, Long)].collect().toSeq ==
+      full.as[(Long, Long, Long)].collect().toSeq)
+    // the dict scorecard agrees with the one-shot qaEval on the fixture
+    val fd = TextAnalysis.qaEvalFromDict(full)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    val qe = TextAnalysis.qaEval(df, "doc_id", "gold", "pred")
+      .as[(Long, Double, Double)].collect().head
+    assert(fd == ((qe._1, Some(qe._2), Some(qe._3))), (fd, qe))
+    // streaming: micro-batches fold to the same standing dictionary
+    var standing = TextAnalysis.qaDict(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "gold", "pred"),
+      "doc_id", "gold", "pred").localCheckpoint()
+    val in = MemoryStream[(Long, String, String)](73, spark, None)
+    val q = TextAnalysis.qaEvalServe(
+      in.toDF().toDF("doc_id", "gold", "pred"), "doc_id", "gold", "pred")(
+      () => standing, f => standing = f.localCheckpoint()).start()
+    try {
+      all.grouped(20).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    assert(standing.as[(Long, Long, Long)].collect().toSeq ==
+      full.as[(Long, Long, Long)].collect().toSeq)
+    // empty dictionary: n = 0 ⇒ NULL metrics, not NaNs
+    val empty = TextAnalysis.qaEvalFromDict(TextAnalysis.qaDict(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "gold", "pred"),
+      "doc_id", "gold", "pred"))
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(empty == ((0L, None, None)), empty)
+  }
+
+  test("bleuScoreMulti: single reference reduces exactly to bleuScore; " +
+      "per-gram max licensing and closest-length BP") {
+    import graft.ops.TextAnalysis
+    val pairs = Seq(
+      (1L, "a b c d", "a b x d", "a b x d"),
+      (2L, "p q r s t", "p q r z t", "p q r s"))
+      .toDF("doc_id", "ref", "ref2", "cand")
+    // single-ref multi ≡ bleuScore, column for column
+    val single = TextAnalysis.bleuScoreMulti(pairs, "doc_id", Seq("ref"),
+      "cand").collect().head
+    val classic = TextAnalysis.bleuScore(pairs, "doc_id", "ref", "cand")
+      .collect().head
+    assert(single == classic, (single, classic))
+    // with ref2: pair 1's cand IS ref2 → every gram licensed; pair 2's
+    // "r z t" grams only ref2 licenses. Both refs same length per pair
+    // → r_len unchanged from the closest-length rule
+    val multi = TextAnalysis.bleuScoreMulti(pairs, "doc_id",
+      Seq("ref", "ref2"), "cand")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(multi._4 == 1.0, multi) // p1: every cand token licensed
+    val classicBleu = classic.getDouble(7)
+    assert(multi._8 > classicBleu, (multi._8, classicBleu))
+    // a cand exactly equal to one full reference scores bleu 1.0
+    val perfect = TextAnalysis.bleuScoreMulti(
+      Seq((1L, "a b c d e", "a b x d e", "a b x d e"))
+        .toDF("doc_id", "ref", "ref2", "cand"),
+      "doc_id", Seq("ref", "ref2"), "cand").collect().head
+    assert(perfect.getDouble(7) == 1.0, perfect)
+  }
+
+  test("permTestPaired: identical systems give p = 1, a dominant system " +
+      "hits the add-one floor, empty frame reports NULLs") {
+    import graft.ops.TextAnalysis
+    val same = (0L until 50L).map(i => (i, 0.5 + i * 0.01, 0.5 + i * 0.01))
+      .toDF("id", "ma", "mb")
+    val g1 = TextAnalysis.permTestPaired(same, "id", "ma", "mb",
+      replicas = 50).as[(Long, Int, Option[Double], Option[Double])]
+      .collect().head
+    assert(g1 == ((50L, 50, Some(0.0), Some(1.0))), g1)
+    // b dominates by 1.0 on every item: no sign-flip mean can reach
+    // |Δ_obs| = 1 (that needs every coin identical), so p = 1/(R+1)
+    val dom = (0L until 100L).map(i => (i, 0.0, 1.0)).toDF("id", "ma", "mb")
+    val g2 = TextAnalysis.permTestPaired(dom, "id", "ma", "mb",
+      replicas = 99).as[(Long, Int, Option[Double], Option[Double])]
+      .collect().head
+    assert(g2 == ((100L, 99, Some(1.0), Some(0.01))), g2)
+    val empty = TextAnalysis.permTestPaired(
+      Seq.empty[(Long, Double, Double)].toDF("id", "ma", "mb"),
+      "id", "ma", "mb", replicas = 10)
+      .as[(Long, Int, Option[Double], Option[Double])].collect().head
+    assert(empty == ((0L, 10, None, None)), empty)
+  }
 }

@@ -42,7 +42,10 @@ TOTAL_BUDGET = 300.0      # seconds; half the driver's observed ~600 s window
 # pinned models: drift flips them red AT THE PIN SCALE). At any other sf
 # the mismatch is the designed scale coupling, not a bug — sweeps skip.
 PINNED_SF001 = {"q_bpe_apply", "q_cluster_sizes", "q_ter_shift",
-                "q_unigram_soft", "q_pq_topk", "q_pq_refined"}
+                "q_unigram_soft", "q_pq_topk", "q_pq_refined",
+                # round-15 sketch pins (SketchPins.scala); q_image_dedup /
+                # q_audio_dedup pins are sf-INDEPENDENT and not listed
+                "q_minhash_lsh", "q_simhash"}
 PIN_SCALE = "sf0.01"
 
 
