@@ -1172,6 +1172,26 @@ object SparkEntry {
       Similarity.semanticDedupFlagsBounded(e0.unionByName(rep),
         minCos = 0.3, maxBlock = 16, levels = 2)
     }),
+    // incremental BOUNDED semdedup: the snapshot is a boundedBlocked
+    // build of the 500 base vectors (maxBlock 16 → some leaves refined);
+    // the increment is 25 replicas of each vec_id < 8 (their leaves
+    // BECOME overfull → anchor arm) plus 10 re-idded singles (land in
+    // cold leaves → exact lower-pairs probe vs snapshot ∪ increment).
+    // Routing replays the snapshot's refinement decisions; the oracle
+    // replays the whole incremental semantics relationally
+    "q_semdedup_hot_incr" -> ((s, d) => {
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val snap = Similarity.boundedBlocked(e0, maxBlock = 16, levels = 2)
+      val rep = e0.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(25L))).as("_k"))
+        .select((col("vec_id") + lit(10000L) * col("_k")).as("vec_id"),
+          col("embedding"))
+      val singles = e0.where(col("vec_id") >= 490)
+        .select((col("vec_id") + lit(20000L)).as("vec_id"), col("embedding"))
+      Similarity.semanticDedupFlagsBoundedApply(snap,
+        rep.unionByName(singles), minCos = 0.3, maxBlock = 16, levels = 2)
+    }),
     "q_ivf_topk" -> ((s, d) => {
       // nprobe = k probes every cell, so IVF must reproduce exact top-10 —
       // the oracle then validates the whole index pipeline end-to-end
@@ -6799,6 +6819,68 @@ object SparkEntry {
         "SELECT bb.vec_id, bb.block, CAST(bb.hot AS INT) AS hot, mc.mx AS max_lower_cos, " +
         "CAST(CASE WHEN coalesce(mc.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
         "FROM bb LEFT JOIN mc ON bb.vec_id = mc.a_id WHERE bb.hot = 0 " +
+        "UNION ALL SELECT vec_id, block, CAST(1 AS INT) AS hot, mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM hd"),
+    // incremental bounded semdedup: snapshot boundedBlocked replay (the
+    // q_semdedup_hot chain minus replicas), then the incremental
+    // semantics — refinement ROUTING from the snapshot's refined set,
+    // combined-occupancy hot split, global-min anchors, cold lower-pairs
+    // probe over snapshot ∪ increment — all relational
+    "q_semdedup_hot_incr" ->
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "u AS (SELECT vec_id, v, list_transform(v, x -> abs(x)) AS a FROM e0 " +
+        "WHERE sqrt(list_dot_product(v, v)) > 0), " +
+        "p1 AS (SELECT vec_id, v, a, list_position(a, list_max(a)) AS p FROM u), " +
+        "b1 AS MATERIALIZED (SELECT vec_id, v, CAST(p AS BIGINT) AS blk, " +
+        "list_concat(list_concat(a[1:p-1], [CAST(-1 AS DOUBLE)]), a[p+1:len(a)]) AS a " +
+        "FROM p1), " +
+        "c1 AS (SELECT blk, count(*) AS c FROM b1 GROUP BY blk), " +
+        "p2 AS (SELECT b1.vec_id, b1.v, b1.blk, c1.c, " +
+        "list_position(b1.a, list_max(b1.a)) AS p FROM b1 JOIN c1 USING (blk)), " +
+        "b2 AS MATERIALIZED (SELECT vec_id, v, CASE WHEN c > 16 " +
+        "THEN blk * 4096 + CAST(p AS BIGINT) ELSE blk END AS block FROM p2), " +
+        "c2 AS (SELECT block, count(*) AS c FROM b2 GROUP BY block), " +
+        "bb AS MATERIALIZED (SELECT b2.vec_id, b2.v, b2.block, " +
+        "CASE WHEN c2.c > 16 THEN 1 ELSE 0 END AS hot FROM b2 JOIN c2 USING (block)), " +
+        "inc0 AS (SELECT vec_id + 10000 * CAST(r.range AS BIGINT) AS vec_id, v " +
+        "FROM e0, range(1, 26) r WHERE vec_id < 8 " +
+        "UNION ALL SELECT vec_id + 20000, v FROM e0 WHERE vec_id >= 490), " +
+        "iu AS (SELECT vec_id, v, list_transform(v, x -> abs(x)) AS a FROM inc0 " +
+        "WHERE sqrt(list_dot_product(v, v)) > 0), " +
+        "ip AS (SELECT vec_id, v, a, list_position(a, list_max(a)) AS p FROM iu), " +
+        "ib AS (SELECT vec_id, v, CAST(p AS BIGINT) AS blk, " +
+        "list_concat(list_concat(a[1:p-1], [CAST(-1 AS DOUBLE)]), a[p+1:len(a)]) AS a " +
+        "FROM ip), " +
+        "ir AS MATERIALIZED (SELECT ib.vec_id, ib.v, " +
+        "CASE WHEN c1.c > 16 THEN ib.blk * 4096 + " +
+        "CAST(list_position(ib.a, list_max(ib.a)) AS BIGINT) ELSE ib.blk END AS block " +
+        "FROM ib LEFT JOIN c1 ON ib.blk = c1.blk), " +
+        "ic AS (SELECT block, count(*) AS icnt, min(vec_id) AS imin FROM ir GROUP BY block), " +
+        "ss AS (SELECT block, count(*) AS sc, min(vec_id) AS smin, max(hot) AS shot " +
+        "FROM bb GROUP BY block), " +
+        "plan AS MATERIALIZED (SELECT ic.block, " +
+        "CASE WHEN coalesce(ss.shot, 0) = 1 OR coalesce(ss.sc, 0) + ic.icnt > 16 " +
+        "THEN 1 ELSE 0 END AS hot, " +
+        "least(coalesce(ss.smin, 9223372036854775807), ic.imin) AS aid " +
+        "FROM ic LEFT JOIN ss USING (block)), " +
+        "allrows AS (SELECT vec_id, v, block FROM bb " +
+        "UNION ALL SELECT vec_id, v, block FROM ir), " +
+        "av AS (SELECT p.block, p.aid, x.v AS ae FROM plan p " +
+        "JOIN allrows x ON x.block = p.block AND x.vec_id = p.aid WHERE p.hot = 1), " +
+        "hd AS (SELECT ir.vec_id, ir.block, CASE WHEN ir.vec_id = av.aid THEN NULL " +
+        "ELSE round(list_cosine_similarity(ir.v, av.ae), 4) END AS mx " +
+        "FROM ir JOIN av ON ir.block = av.block), " +
+        "ci AS MATERIALIZED (SELECT ir.vec_id, ir.v, ir.block FROM ir " +
+        "JOIN plan ON ir.block = plan.block WHERE plan.hot = 0), " +
+        "pc AS (SELECT a.vec_id AS a_id, round(list_cosine_similarity(a.v, x.v), 4) AS cc " +
+        "FROM ci a JOIN (SELECT vec_id, v, block FROM bb " +
+        "UNION ALL SELECT vec_id, v, block FROM ci) x " +
+        "ON x.block = a.block AND x.vec_id < a.vec_id), " +
+        "mc AS (SELECT a_id, max(cc) AS mx FROM pc GROUP BY a_id) " +
+        "SELECT ci.vec_id, ci.block, CAST(0 AS INT) AS hot, mc.mx AS max_lower_cos, " +
+        "CAST(CASE WHEN coalesce(mc.mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
+        "FROM ci LEFT JOIN mc ON ci.vec_id = mc.a_id " +
         "UNION ALL SELECT vec_id, block, CAST(1 AS INT) AS hot, mx AS max_lower_cos, " +
         "CAST(CASE WHEN coalesce(mx, -2) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup " +
         "FROM hd"),

@@ -1003,7 +1003,12 @@ object Similarity {
     * old ids): the keep-lowest local rule then guarantees an increment
     * can never flip an existing survivor (the [[dedupFlagsByBlock]]
     * stability contract). Cost per day: Σ_b inc_b·(snap_b + inc_b) — the
-    * increment sweeps only its own blocks, never the whole corpus.
+    * increment sweeps only its own blocks, never the whole corpus. The
+    * hot-block salting below PARALLELIZES that cost but does not shrink
+    * it; on corpora whose occupancy report flags collapse, build the
+    * index with [[boundedBlocked]] and apply with
+    * [[semanticDedupFlagsBoundedApply]] instead — its anchor arm BOUNDS
+    * the per-row work by construction.
     */
   def semanticDedupFlagsApply(snapshot: DataFrame, increment: DataFrame,
       minCos: Double = 0.95, maxBlock: Int = 1024): DataFrame = {
@@ -1252,6 +1257,144 @@ object Similarity {
       .withColumn("is_dup",
         (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int"))
     cold.unionByName(hot)
+  }
+
+  /** Incremental BOUNDED SemDeDup apply — the daily-ingest half of
+    * [[semanticDedupFlagsBounded]], replacing the salted
+    * [[semanticDedupFlagsApply]] arm whose hot-block cost is
+    * parallelized but NOT bounded (inc_b × snap_b pairs per hot block —
+    * on the 43%-collapsed 500k stress shape that is the run-killer the
+    * round-14 verdict flagged). `snapshotLeaves` is a [[boundedBlocked]]
+    * build of the base corpus — (vec_id, block, hot, e), normally
+    * persisted bucketed by block; `levels`/`maxBlock` MUST match the
+    * build (the bandedIndex parameter discipline).
+    *
+    * Increment rows ROUTE through the snapshot's refinement decisions:
+    * the leaf-key space is ≤ dim + dim² + … + dim^levels keys (a few
+    * thousand at dim 64 — bounded by construction, NEVER corpus-sized),
+    * so the per-level refined-key sets and per-leaf (count, min id,
+    * hot) stats are broadcast tables derived from one tiny aggregate
+    * over the index. A leaf that IS hot in the snapshot or BECOMES
+    * overfull with the increment (snap + inc count > maxBlock) takes
+    * the anchor arm — each increment row scores against the leaf's
+    * global minimum id (snapshot min or increment min, whichever is
+    * lower) — O(inc) per leaf; cold leaves take the exact lower-pairs
+    * probe against snapshot ∪ increment, ≤ maxBlock comparisons per
+    * row. Total increment work ≤ maxBlock·|inc| + |inc| on ANY shape.
+    *
+    * Parity: leaf assignment replays the snapshot's refinement, so the
+    * decision for increment rows EQUALS the full-corpus
+    * [[semanticDedupFlagsBounded]] run whenever the increment does not
+    * flip any refinement decision (refinement-stable increments —
+    * spec-asserted); a leaf newly pushed past maxBlock anchors HERE but
+    * would refine-then-anchor in a batch rebuild, the documented
+    * periodic-rebuild trade of every standing blocking index. Returns
+    * (vec_id, block, hot, max_lower_cos, is_dup) for INCREMENT rows.
+    */
+  def semanticDedupFlagsBoundedApply(snapshotLeaves: DataFrame,
+      increment: DataFrame, minCos: Double = 0.95, maxBlock: Int = 1024,
+      levels: Int = 2): DataFrame = {
+    require(maxBlock >= 1 && levels >= 1,
+      s"boundedApply: maxBlock=$maxBlock and levels=$levels must be >= 1")
+    val spark = snapshotLeaves.sparkSession
+    // leaf stats: ONE aggregate over the (bucketed) index; result is
+    // leaf-key-space-sized (≤ Σ dim^k), collected and broadcast
+    val leafStats = snapshotLeaves.groupBy("block")
+      .agg(count(lit(1)).as("_sc"), min("vec_id").as("_smin"),
+        max("hot").as("_shot"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getInt(2 + 1))))
+      .toMap
+    // per-level refined prefixes, reconstructed from the leaf keys: a
+    // prefix p was refined iff some leaf key sits strictly below it in
+    // the radix-4096 tree
+    val refined: Set[Long] =
+      leafStats.keySet.filter(_ > 4096L)
+        .flatMap(l => Iterator.iterate(l / 4096L)(_ / 4096L)
+          .takeWhile(_ > 0L).toSet)
+    val refinedDf = broadcast(
+      spark.createDataFrame(refined.toSeq.map(Tuple1(_)))
+        .toDF("block").withColumn("_ref", lit(1)))
+    // route the increment through the snapshot's refinement decisions
+    // (the boundedBlocked masking invariant, with membership in the
+    // snapshot's refined set replacing the live occupancy count)
+    val raw = increment.select(col("vec_id"),
+        asDouble(col("embedding")).as("_v"))
+      .withColumn("_n", sqrt(dot(col("_v"), col("_v"))))
+      .where(col("_n") > 0)
+      .select(col("vec_id"),
+        transform(col("_v"),
+          x => when(col("_n") > 0, x / col("_n")).otherwise(lit(0.0))).as("e"),
+        transform(col("_v"), x => abs(x)).as("_a"))
+    def maskAt(a: Column, pos: Column): Column =
+      transform(a, (x, i) => when(i === pos - 1, lit(-1.0)).otherwise(x))
+    val lvl1 = raw
+      .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
+      .select(col("vec_id"), col("e"), col("_p").as("block"),
+        maskAt(col("_a"), col("_p")).as("_a"))
+    val routed = (2 to levels).foldLeft(lvl1) { (cur, _) =>
+      cur.join(refinedDf, Seq("block"), "left")
+        .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
+        .select(col("vec_id"), col("e"),
+          when(col("_ref").isNull, col("block"))
+            .otherwise(col("block") * 4096L + col("_p")).as("block"),
+          when(col("_ref").isNull, col("_a"))
+            .otherwise(maskAt(col("_a"), col("_p"))).as("_a"))
+    }.select(col("vec_id"), col("e"), col("block")).localCheckpoint()
+    // combined occupancy per leaf: increment counts (inc-sized
+    // aggregate) against the broadcast snapshot stats
+    val incStats = routed.groupBy("block")
+      .agg(count(lit(1)).as("_ic"), min("vec_id").as("_imin"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val leafPlan = incStats.map { case (b, (ic, imin)) =>
+      val (sc, smin, shot) = leafStats.getOrElse(b, (0L, Long.MaxValue, 0))
+      val hot = shot == 1 || sc + ic > maxBlock
+      (b, hot, math.min(smin, imin))
+    }.toSeq
+    val hotLeaves = leafPlan.filter(_._2).map(p => (p._1, p._3))
+    val hotDf = broadcast(spark.createDataFrame(hotLeaves)
+      .toDF("block", "_aid"))
+    // anchor embeddings: ≤ one row per hot leaf, fetched from whichever
+    // side holds the minimum id — both fetches are broadcast-joined
+    // lookups, the snapshot side riding its bucketing
+    val anchorVecs = broadcast(
+      snapshotLeaves.join(hotDf, Seq("block"))
+        .where(col("vec_id") === col("_aid"))
+        .select(col("block"), col("_aid"), col("e").as("_ae"))
+        .unionByName(routed.join(hotDf, Seq("block"))
+          .where(col("vec_id") === col("_aid"))
+          .select(col("block"), col("_aid"), col("e").as("_ae")))
+        .localCheckpoint())
+    val hotDec = routed.join(hotDf, Seq("block"))
+      .join(anchorVecs.select(col("block"), col("_ae")), Seq("block"))
+      .select(col("vec_id"), col("block"), lit(1).as("hot"),
+        when(col("vec_id") === col("_aid"), lit(null).cast("double"))
+          .otherwise(round(dot(col("e"), col("_ae")), 4))
+          .as("max_lower_cos"))
+    // cold arm: the two-join probe of semanticDedupFlagsApply, leaf-
+    // keyed — cold means snapshot + increment fit in maxBlock, so the
+    // per-row comparison set is bounded and no salting is ever needed
+    val coldInc = routed.join(hotDf.select("block"), Seq("block"),
+      "left_anti")
+    val l = coldInc.select(col("block"), col("vec_id").as("a_id"),
+      col("e").as("a_e"))
+    def lowerScores(r: DataFrame): DataFrame =
+      l.join(r, Seq("block"))
+        .where(col("b_id") < col("a_id"))
+        .select(col("a_id"), round(dot(col("a_e"), col("b_e")), 4).as("c"))
+    val best = lowerScores(snapshotLeaves.select(col("block"),
+        col("vec_id").as("b_id"), col("e").as("b_e")))
+      .unionByName(lowerScores(coldInc.select(col("block"),
+        col("vec_id").as("b_id"), col("e").as("b_e"))))
+      .groupBy("a_id").agg(max(col("c")).as("max_lower_cos"))
+    val coldDec = coldInc.select(col("vec_id"), col("block"))
+      .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("block"), lit(0).as("hot"),
+        col("max_lower_cos"))
+    coldDec.unionByName(hotDec)
+      .withColumn("is_dup",
+        (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int"))
   }
 
   /** True-SemDeDup blocking: the learned IVF cells (k-means regions) as

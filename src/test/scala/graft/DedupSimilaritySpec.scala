@@ -432,6 +432,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b == u)
   }
 
+  test("semanticDedupFlagsBoundedApply: routes through snapshot refinement, " +
+      "anchors hot and newly-hot leaves, equals the batch decision on a " +
+      "refinement-stable fixture") {
+    val base = Seq(
+      (1L, Array(10.0f, 5.0f, 0.1f, 0.2f)),
+      (2L, Array(10.0f, 5.1f, 0.1f, 0.2f)),
+      (3L, Array(10.0f, 5.2f, 0.2f, 0.1f)),
+      (4L, Array(10.0f, 0.1f, 5.0f, 0.2f)),
+      (5L, Array(10.0f, 0.2f, 5.1f, 0.1f)),
+      (6L, Array(10.0f, 0.1f, 5.2f, 0.2f))) ++
+      (100L to 104L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val inc = Seq(
+      // cold: routes into the refined {1,2,3} leaf (3+1 = 4 ≤ maxBlock),
+      // exact lower-pairs probe against the snapshot
+      (200L, Array(10.0f, 5.05f, 0.1f, 0.2f)),
+      // snapshot-hot leaf (the identical family): anchor = vec 100
+      (210L, Array(1.0f, 2.0f, 3.0f, 4.0f))) ++
+      // a NEW identical family sharing level-1 argmax with the 100s but
+      // splitting at level 2 (masked argmax → first position): its fresh
+      // leaf becomes hot purely from increment mass → anchor = 300
+      (300L to 329L).map(i => (i, Array(0.0f, 0.0f, 0.0f, 9.0f)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val incDf = inc.toDF("vec_id", "embedding")
+    val snap = Similarity.boundedBlocked(baseDf, maxBlock = 4, levels = 2)
+    val got = Similarity.semanticDedupFlagsBoundedApply(snap, incDf,
+        minCos = 0.95, maxBlock = 4, levels = 2)
+      .as[(Long, Long, Int, Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 32)
+    assert(got(200L)._3 == 0 && got(200L)._5 == 1 &&
+      got(200L)._4.get > 0.99, got(200L)) // cold probe found 1/2/3
+    assert(got(210L)._3 == 1 && got(210L)._4.contains(1.0) &&
+      got(210L)._5 == 1, got(210L)) // snapshot-hot anchor 100
+    assert(got(300L)._3 == 1 && got(300L)._4.isEmpty && got(300L)._5 == 0)
+    (301L to 329L).foreach { i =>
+      assert(got(i)._3 == 1 && got(i)._4.contains(1.0) && got(i)._5 == 1)
+    }
+    // batch parity on the DECISIONS (leaf keys may differ for leaves the
+    // increment itself made hot — the batch rebuild refines them one
+    // level further before anchoring; membership and anchors coincide)
+    val batch = Similarity.semanticDedupFlagsBounded(
+        baseDf.unionByName(incDf), minCos = 0.95, maxBlock = 4, levels = 2)
+      .where($"vec_id" >= 200L)
+      .select("vec_id", "max_lower_cos", "is_dup")
+      .as[(Long, Option[Double], Int)].collect().toSet
+    val applied = got.values.map(r => (r._1, r._4, r._5)).toSet
+    assert(applied == batch, s"apply=$applied batch=$batch")
+  }
+
   test("semanticDedupFlagsBounded: mask exhaustion past the dimension is " +
       "deterministic, never throws") {
     // 2-dim identical vectors with levels=3: level 3 argmaxes an all-masked
