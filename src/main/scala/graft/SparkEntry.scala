@@ -533,10 +533,15 @@ object SparkEntry {
     // corpus bits-per-token / bits-per-byte under its own unigram LM —
     // the compression-difficulty dashboard tracked per curation stage
     "q_bpb" -> ((s, d) => TextAnalysis.bitsPerByte(Tables.documents(s, d))),
+    // MinHash-LSH near-dup pairs off the standing banded index. Oracled
+    // since round 15 via SketchPins (band groups + signatures pinned at
+    // sf0.01; pair-join/eq-count/threshold replay mechanically)
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), threshold = 0.2,
         indexName = Some(IndexTables.ident("minhash", d,
           witness(Tables.documents(s, d)))))),
+    // 64-bit SimHash per doc — oracled since round 15 via the full
+    // signature pin (the sketch IS the output; live kernel drift -> red)
     "q_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "q_sorted_dedup" -> ((s, d) =>
       Dedup.sortedNeighborPairs(Tables.documents(s, d), threshold = 0.9)),
@@ -604,7 +609,7 @@ object SparkEntry {
     // (freq-weighted pair argmax per iteration on the distinct-word
     // dictionary). Iterative global argmax — not SQL-expressible; parity
     // is locked by PropertySpec against an independent sequential
-    // reference implementation (rows-only here, the q_minhash_lsh class)
+    // reference implementation (rows-only — the q_unigram_learn class)
     "q_bpe_learn" -> ((s, d) =>
       TextAnalysis.bpeLearn(Tables.documents(s, d), nMerges = 20)),
     // encode the corpus vocabulary under those LEARNED merges (train →
@@ -1074,6 +1079,8 @@ object SparkEntry {
     }),
     // ---- multimodal: binary blobs + stubbed decode + real byte features ----
     "q_media_features" -> ((s, d) => {
+      // oracled since round 15: n_media/avg_width/bin0_total replay
+      // live; only the stub decoder's widths are pinned (exact sums)
       val media = Tables.documents(s, d).select(
         col("doc_id").as("media_id"), col("lang").as("kind"),
         col("text").cast("binary").as("blob"),
@@ -1083,16 +1090,17 @@ object SparkEntry {
     }),
     // perceptual image near-dup: decodable synthetic PPMs (groups of 4,
     // one ~8-byte perturbation per non-first copy) → dHash kernel →
-    // 4-band Hamming join (pigeonhole-exact recall at <= 3). Rows-only:
-    // pixels come from xxhash64, not replayable in DuckDB; the banded
-    // join is parity-locked against brute force in MultimodalSpec
+    // 4-band Hamming join (pigeonhole-exact recall at <= 3). Oracled
+    // since round 15: the dHash values are pinned (sf-independent —
+    // pure media_id hashing) and the whole banded join + bit_count
+    // rescore replays in DuckDB; brute-force parity in MultimodalSpec
     "q_image_dedup" -> ((s, d) =>
       Multimodal.imageNearDup(
         Multimodal.syntheticPpm(s, 500).select(col("media_id"), col("blob")),
         maxHamming = 3)),
     // acoustic near-dup over the same banded core: REAL WAV decode →
     // 64 energy-gradient bits (gain-invariant) → 4-band Hamming join.
-    // Rows-only like q_image_dedup; parity vs brute force in MultimodalSpec
+    // Oracled like q_image_dedup (pinned hashes, mechanical replay)
     "q_audio_dedup" -> ((s, d) =>
       Multimodal.audioNearDup(
         Multimodal.syntheticWav(s, 500).select(col("media_id"), col("blob")),
@@ -8509,6 +8517,23 @@ object SparkEntry {
     // the media pins are sf-independent (synthetic media_id hashing).
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash" -> simhashSql,
+    // media features: n_media / avg_width / bin0_total replay LIVE
+    // (bin 0 of the 16-bin byte histogram = bytes 0x00-0x0F; in UTF-8
+    // a codepoint <= 15 is one byte and no continuation byte is < 0x80,
+    // so the char-class count equals the byte count); only the stub
+    // decoder's xxhash64 widths are pinned — as exact per-lang integer
+    // SUMS (tools note in /tmp/pin_media recorder form), so the avg
+    // division replays bit-for-bit. sf0.01-pinned (allowlisted).
+    "q_media_features" ->
+      ("WITH g AS (SELECT lang AS kind, CAST(count(*) AS BIGINT) AS n_media, " +
+        "avg(CAST(n_chars AS DOUBLE)) AS avg_width, " +
+        "CAST(coalesce(sum(len(regexp_extract_all(text, '[\\x00-\\x0f]'))), 0) AS BIGINT) AS ctl " +
+        "FROM documents GROUP BY lang), " +
+        "dw(kind, sw, n) AS (VALUES ('de', 35165, 70), ('en', 118131, 218), " +
+        "('es', 39471, 73), ('fr', 36951, 64), ('zh', 45695, 75)) " +
+        "SELECT g.kind, g.n_media, g.avg_width, " +
+        "CAST(dw.sw AS DOUBLE) / dw.n AS avg_dec_width, g.ctl AS bin0_total " +
+        "FROM g JOIN dw USING (kind)"),
     "q_image_dedup" -> bandedHammingSql(graft.model.SketchPins.imageDh),
     "q_audio_dedup" -> bandedHammingSql(graft.model.SketchPins.audioDh)
     // q_hll: HLL++ register internals are not reproducible in DuckDB →

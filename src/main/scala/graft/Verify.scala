@@ -99,10 +99,12 @@ object Verify {
     // Await would then hang the whole dump past the driver's window. One
     // hung query costs its own missing dir: wait out the healthy dumps,
     // then abandon stragglers and finish the artifact. The bound covers
-    // the whole dump: queries queue over `slots`, so wall ≈ serial/slots,
-    // plus one full per-query deadline for a straggler in the last wave.
+    // the whole dump (queries queue over `slots`, so wall ≈ serial/slots:
+    // 15 s/query/slot is ~2-3× the observed healthy average — r14 full
+    // dump ran 284 queries / 4 slots in 109 s) plus one full per-query
+    // deadline for a straggler in the last wave
     val outerBound = Duration.create(
-      deadlineSec + 60L * math.max(1, dumps.size / slots) + 120L,
+      deadlineSec + 15L * math.max(1, dumps.size / slots) + 120L,
       java.util.concurrent.TimeUnit.SECONDS)
     try Await.ready(Future.sequence(dumps), outerBound)
     catch { case _: java.util.concurrent.TimeoutException =>

@@ -242,10 +242,11 @@ object Retrieval {
     */
   def bm25TopKAll(index: DataFrame, stats: DataFrame, queryTable: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
-      qidCol: String = "query_id", qCol: String = "query"): DataFrame = {
+      qidCol: String = "query_id", qCol: String = "query",
+      maxDf: Option[Long] = None): DataFrame = {
     require(k > 0, s"bm25TopKAll: k must be positive, got $k")
     val scored = scoredPerQueryTable(index, stats, queryTable, k1, b,
-      idCol, qidCol, qCol)
+      idCol, qidCol, qCol, maxDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -263,12 +264,27 @@ object Retrieval {
     */
   private def scoredPerQueryTable(index: DataFrame, stats: DataFrame,
       queryTable: DataFrame, k1: Double, b: Double, idCol: String,
-      qidCol: String, qCol: String): DataFrame = {
+      qidCol: String, qCol: String, maxDf: Option[Long] = None): DataFrame = {
     val qt = queryTable.select(col(qidCol),
       explode(array_distinct(Core.tokensUni(col(qCol)))).as("token"))
     val terms = qt.select("token").distinct().collect().map(_.getString(0))
-    val tp = index.where(col("token").isin(terms.toIndexedSeq: _*))
-    val dfs = tp.groupBy("token").agg(count(lit(1)).as("df"))
+    val tp0 = index.where(col("token").isin(terms.toIndexedSeq: _*))
+    val dfs = tp0.groupBy("token").agg(count(lit(1)).as("df"))
+    // OPT-IN stopword pruning for batch EVALS at scale: a query term
+    // present in more than maxDf documents contributes near-zero IDF but
+    // a df-sized candidate set — at the 500k replica stress a 1k-query
+    // known-item batch spent ~20 minutes on common-token candidates.
+    // The cap drops such terms BEFORE the candidate join (the df table
+    // is term-count-sized and broadcast; the pushed IN scan is
+    // unchanged). Default None = exact scoring — every oracled query
+    // keeps its plan and decisions; callers that opt in take the
+    // standard recall trade every production IR eval takes.
+    val tp = maxDf match {
+      case None => tp0
+      case Some(cap) =>
+        tp0.join(broadcast(dfs.where(col("df") <= cap).select("token")),
+          Seq("token"), "left_semi")
+    }
     scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
       k1, b, Seq(qidCol, idCol))
   }
@@ -333,14 +349,15 @@ object Retrieval {
     */
   def knownItemEval(index: DataFrame, stats: DataFrame,
       queryDocs: DataFrame, k: Int = 10, queryTokens: Int = 5,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Option[Long] = None): DataFrame = {
     require(k >= 1 && k <= 20, s"knownItemEval: k must be in [1, 20], got $k")
     val scale = (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
     val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
         array_join(slice(Core.tokensUni(col("text")), 1, queryTokens), " ")
           .as("query"))
       .where(length(col("query")) > 0)
-    val hits = bm25TopKAll(index, stats, qt, k, k1, b)
+    val hits = bm25TopKAll(index, stats, qt, k, k1, b, maxDf = maxDf)
       .where(col("query_id") === col("doc_id"))
       .select(col("rank"))
     val nQ = qt.agg(count(lit(1)).as("n_queries"))
@@ -382,7 +399,8 @@ object Retrieval {
     */
   def ndcgAtK(index: DataFrame, stats: DataFrame, queryDocs: DataFrame,
       qrels: DataFrame, k: Int = 10, queryTokens: Int = 5,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
     val qt = queryDocs.select(col("doc_id").cast("long").as("query_id"),
         array_join(slice(Core.tokensUni(col("text")), 1, queryTokens), " ")
@@ -394,7 +412,7 @@ object Retrieval {
       col("doc_id").cast("long").as("doc_id"),
       (pow(lit(2.0), col("rel").cast("double")) - 1).as("gain"),
       col("rel").cast("long").as("rel"))
-    val dcg = bm25TopKAll(index, stats, qt, k, k1, b)
+    val dcg = bm25TopKAll(index, stats, qt, k, k1, b, maxDf = maxDf)
       .join(gains, Seq("query_id", "doc_id"))
       .groupBy("query_id")
       .agg(round(sum(log2Term(col("gain"), col("rank").cast("double"))), 6)

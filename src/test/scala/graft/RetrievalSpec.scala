@@ -228,6 +228,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toList == List((4L, 0.875, 0.75, 1.0)), got.toList)
   }
 
+  test("bm25TopKAll maxDf: common query terms prune before the candidate " +
+      "join; None keeps exact scoring") {
+    import graft.ops.IndexTables
+    IndexTables.drop(spark, "ret_maxdf_test_postings_b8")
+    IndexTables.drop(spark, "ret_maxdf_test_stats")
+    val corpus = Seq(
+      (1L, "unique common filler one"),
+      (2L, "common other words two"),
+      (3L, "common more words three"),
+      (4L, "common again words four")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, "ret_maxdf_test")
+    val stats = Retrieval.corpusStats(corpus, "ret_maxdf_test")
+    val q = Seq((9L, "unique common")).toDF("query_id", "query")
+    val exact = Retrieval.bm25TopKAll(idx, stats, q, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L, 4L), exact) // "common" matches all
+    val capped = Retrieval.bm25TopKAll(idx, stats, q, k = 10,
+        maxDf = Some(3L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L), capped) // df("common") = 4 > 3: pruned
+  }
+
   test("ndcgAtK: hand-computed graded gains, ideal ordering, unranked " +
       "qrels price recall") {
     import graft.ops.IndexTables

@@ -45,7 +45,9 @@ PINNED_SF001 = {"q_bpe_apply", "q_cluster_sizes", "q_ter_shift",
                 "q_unigram_soft", "q_pq_topk", "q_pq_refined",
                 # round-15 sketch pins (SketchPins.scala); q_image_dedup /
                 # q_audio_dedup pins are sf-INDEPENDENT and not listed
-                "q_minhash_lsh", "q_simhash"}
+                "q_minhash_lsh", "q_simhash",
+                # per-lang stub-width sums pinned at sf0.01
+                "q_media_features"}
 PIN_SCALE = "sf0.01"
 
 
