@@ -607,9 +607,10 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     // tokenizer TRAINING: learn 20 BPE merge rules from the corpus itself
     // (freq-weighted pair argmax per iteration on the distinct-word
-    // dictionary). Iterative global argmax — not SQL-expressible; parity
-    // is locked by PropertySpec against an independent sequential
-    // reference implementation (rows-only — the q_unigram_learn class)
+    // dictionary). Iterative global argmax — not SQL-expressible live;
+    // oracled since round 15 via the OutputPins merge-decision pin
+    // (trainer drift flips red); parity also locked by PropertySpec
+    // against an independent sequential reference implementation
     "q_bpe_learn" -> ((s, d) =>
       TextAnalysis.bpeLearn(Tables.documents(s, d), nMerges = 20)),
     // encode the corpus vocabulary under those LEARNED merges (train →
@@ -625,9 +626,10 @@ object SparkEntry {
     }),
     // the OTHER learned tokenizer family: unigram-LM (SentencePiece)
     // training via Viterbi-EM on the distinct-word dictionary. Iterative
-    // global re-estimation — not SQL-expressible; parity locked by
-    // PropertySpec against an independent sequential Viterbi reference
-    // (rows-only, the q_bpe_learn class)
+    // global re-estimation — not SQL-expressible live; oracled since
+    // round 15 via the OutputPins vocabulary pin (trainer drift flips
+    // red); parity also locked by PropertySpec against an independent
+    // sequential Viterbi reference
     "q_unigram_learn" -> ((s, d) =>
       TextAnalysis.unigramLearn(Tables.documents(s, d), vocabSize = 256,
         emIters = 2)),
@@ -816,8 +818,10 @@ object SparkEntry {
       TextAnalysis.normalizeText(injected)
     }),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
-    // DEFLATE is not available in DuckDB SQL → rows-only; accuracy asserted
-    // against known-compressibility fixtures in TextAnalysisSpec
+    // DEFLATE is not available in DuckDB SQL → the 500 per-doc ratios
+    // are OutputPins literals since round 15 (kernel drift flips red);
+    // accuracy asserted against known-compressibility fixtures in
+    // TextAnalysisSpec
     "q_compression" -> ((s, d) => TextAnalysis.compressionScores(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.surprisalScores(Tables.documents(s, d))),
     // fixed-memory surprisal: unigram counts served from a 4×64
@@ -1020,7 +1024,8 @@ object SparkEntry {
     // ---- sketches: mergeable approx aggregates (the 100 TB form of
     // distinct-count / quantiles — fixed-size state, one pass, map-side
     // combinable; SketchSpec asserts accuracy vs the exact aggregates).
-    // Sketch internals aren't bit-reproducible in DuckDB → rows-only.
+    // q_hll oracled since round 15: exact counts replay live, the HLL++
+    // estimates are OutputPins literals (sketch drift flips red).
     "q_hll" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
@@ -4538,6 +4543,74 @@ object SparkEntry {
       "SELECT DISTINCT a_id, b_id, " +
       "CAST(bit_count(xor(a_dh, b_dh)) AS INT) AS hamming " +
       "FROM cand WHERE bit_count(xor(a_dh, b_dh)) <= 3"
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB side of q_bpe_learn under [[graft.model.OutputPins]]: the 20
+    * merge DECISIONS (rank, pair, pair count at merge time) are the pin;
+    * `merged` recomputes as the concatenation. The live query still runs
+    * the full iterative trainer, so any drift in the argmax sequence or
+    * the counted frequencies flips the row red (the q_ter_shift
+    * decisions-pinned doctrine; the APPLY half has been oracled off
+    * BPE_MERGES_PINNED since round 12).
+    */
+  private def bpeLearnSql: String = {
+    val vals = graft.model.OutputPins.bpeLearn.map { t =>
+      val Array(r, l, rt, c) = t.split("\\|", -1)
+      s"($r, ${sqlStr(l)}, ${sqlStr(rt)}, $c)"
+    }.mkString(", ")
+    "SELECT CAST(rank AS INT) AS rank, \"left\", \"right\", " +
+      "\"left\" || \"right\" AS merged, CAST(cnt AS BIGINT) AS cnt " +
+      s"""FROM (VALUES $vals) AS t(rank, "left", "right", cnt)"""
+  }
+
+  /** DuckDB side of q_unigram_learn: the EM-trained vocabulary rows
+    * (rank, piece, count, q6 logp) pinned via Double.toString and
+    * replayed as e0 literals — trainer drift flips the row red; the
+    * soft-encode/sampling APPLY paths have been oracled off
+    * UNIGRAM_PINNED since round 12.
+    */
+  private def unigramLearnSql: String = {
+    val vals = graft.model.OutputPins.unigramLearn.map { t =>
+      val Array(r, p, c, lp) = t.split("\\|", -1)
+      s"($r, ${sqlStr(p)}, $c, ${lp}e0)"
+    }.mkString(", ")
+    "SELECT CAST(rank AS INT) AS rank, piece, CAST(cnt AS BIGINT) AS cnt, " +
+      s"CAST(logp AS DOUBLE) AS logp FROM (VALUES $vals) " +
+      "AS t(rank, piece, cnt, logp)"
+  }
+
+  /** DuckDB side of q_hll: exact per-type counts replay LIVE; only the
+    * HLL++ cardinality estimates are pinned (register layout is engine
+    * internal). A change to Spark's sketch or its default rsd moves the
+    * estimates and flips the row red.
+    */
+  private def hllSql: String = {
+    val vals = graft.model.OutputPins.hll.map { t =>
+      val Array(e, u) = t.split("\\|", -1)
+      s"(${sqlStr(e)}, $u)"
+    }.mkString(", ")
+    "WITH c AS (SELECT event_type, count(*) AS cnt FROM events " +
+      "GROUP BY event_type), " +
+      s"p(event_type, approx_users) AS (VALUES $vals) " +
+      "SELECT p.event_type, CAST(p.approx_users AS BIGINT) AS approx_users, " +
+      "c.cnt FROM p JOIN c USING (event_type)"
+  }
+
+  /** DuckDB side of q_compression: DEFLATE is not available in DuckDB
+    * SQL, so the 500 per-doc ratios are the pin (Double.toString → e0
+    * literals); kernel drift flips the row red. Accuracy against
+    * known-compressibility fixtures stays in TextAnalysisSpec.
+    */
+  private def compressionSql: String = {
+    val vals = graft.model.OutputPins.compression.map { t =>
+      val Array(d, r) = t.split("\\|", -1)
+      s"($d, ${r}e0)"
+    }.mkString(", ")
+    s"SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+      "CAST(deflate_ratio AS DOUBLE) AS deflate_ratio " +
+      s"FROM (VALUES $vals) AS t(doc_id, deflate_ratio)"
   }
 
   /** DuckDB mirror of Similarity.signBlock over a 1-based list column:
@@ -8517,6 +8590,12 @@ object SparkEntry {
     // the media pins are sf-independent (synthetic media_id hashing).
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash" -> simhashSql,
+    // training/sketch OUTPUT pins (OutputPins.scala, round 15): the live
+    // queries keep training/sketching/deflating — drift flips red
+    "q_bpe_learn" -> bpeLearnSql,
+    "q_unigram_learn" -> unigramLearnSql,
+    "q_hll" -> hllSql,
+    "q_compression" -> compressionSql,
     // media features: n_media / avg_width / bin0_total replay LIVE
     // (bin 0 of the 16-bin byte histogram = bytes 0x00-0x0F; in UTF-8
     // a codepoint <= 15 is one byte and no continuation byte is < 0x80,
@@ -8536,7 +8615,9 @@ object SparkEntry {
         "FROM g JOIN dw USING (kind)"),
     "q_image_dedup" -> bandedHammingSql(graft.model.SketchPins.imageDh),
     "q_audio_dedup" -> bandedHammingSql(graft.model.SketchPins.audioDh)
-    // q_hll: HLL++ register internals are not reproducible in DuckDB →
-    // rows-only check; accuracy asserted in SketchSpec instead.
+    // q_pack_shards is the ONE remaining rows-only row: partition-local
+    // shard layout is legitimately cluster-dependent (pinning it would
+    // freeze an arbitrary layout); its parts=1 twin q_pack_sorted IS
+    // oracled and the packing algebra is spec-locked.
   )
 }

@@ -47,7 +47,9 @@ PINNED_SF001 = {"q_bpe_apply", "q_cluster_sizes", "q_ter_shift",
                 # q_audio_dedup pins are sf-INDEPENDENT and not listed
                 "q_minhash_lsh", "q_simhash",
                 # per-lang stub-width sums pinned at sf0.01
-                "q_media_features"}
+                "q_media_features",
+                # OutputPins.scala: training/sketch/deflate output pins
+                "q_bpe_learn", "q_unigram_learn", "q_hll", "q_compression"}
 PIN_SCALE = "sf0.01"
 
 
