@@ -4613,6 +4613,33 @@ object SparkEntry {
       s"FROM (VALUES $vals) AS t(doc_id, deflate_ratio)"
   }
 
+  /** DuckDB side of q_pack_shards — the LAST exemption converted: only
+    * the murmur3 partition routing is pinned (OutputPins.packPid,
+    * verified bit-equal to the runtime TaskContext ids); the greedy
+    * token-budget packing itself — the operator's actual algebra —
+    * replays as the q_pack_sorted recursion PARTITIONED by pid
+    * (set-based recursion advances every partition one rank per step).
+    * shard_id = pid·2^32 + local shard, exactly the Scala fold.
+    */
+  private def packShardsSql: String = {
+    val vals = graft.model.OutputPins.packPid.map { t =>
+      val Array(d, p) = t.split(":"); s"($d, $p)"
+    }.mkString(", ")
+    s"WITH RECURSIVE pid(doc_id, pid) AS (SELECT * FROM (VALUES $vals)), " +
+      s"t AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS n, pid.pid " +
+      "FROM documents d JOIN pid ON d.doc_id = pid.doc_id), " +
+      "o AS MATERIALIZED (SELECT doc_id, n, pid, " +
+      "row_number() OVER (PARTITION BY pid ORDER BY doc_id) AS rn FROM t), " +
+      "g(pid, rn, doc_id, n, shard, used) AS (" +
+      "SELECT pid, rn, doc_id, n, CAST(0 AS BIGINT), n FROM o WHERE rn = 1 " +
+      "UNION ALL SELECT o.pid, o.rn, o.doc_id, o.n, " +
+      "CASE WHEN g.used > 0 AND g.used + o.n > 4096 THEN g.shard + 1 ELSE g.shard END, " +
+      "CASE WHEN g.used > 0 AND g.used + o.n > 4096 THEN o.n ELSE g.used + o.n END " +
+      "FROM g JOIN o ON o.pid = g.pid AND o.rn = g.rn + 1) " +
+      "SELECT doc_id, n AS n_tokens, " +
+      "CAST(pid * 4294967296 + shard AS BIGINT) AS shard_id FROM g"
+  }
+
   /** DuckDB mirror of Similarity.signBlock over a 1-based list column:
     * Σ 2^(i−1) over non-negative components — shared by the q_semdedup
     * and q_semdedup_text oracles.
@@ -8596,6 +8623,7 @@ object SparkEntry {
     "q_unigram_learn" -> unigramLearnSql,
     "q_hll" -> hllSql,
     "q_compression" -> compressionSql,
+    "q_pack_shards" -> packShardsSql,
     // media features: n_media / avg_width / bin0_total replay LIVE
     // (bin 0 of the 16-bin byte histogram = bytes 0x00-0x0F; in UTF-8
     // a codepoint <= 15 is one byte and no continuation byte is < 0x80,

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +27,16 @@ object Packing {
     * Deterministic for fixed `parts`: murmur3 hash repartitioning and the
     * in-partition doc_id sort don't depend on cluster layout or retries.
     * Returns (doc_id, n_tokens, shard_id).
+    *
+    * The shard-id partition half comes from the DATA — `pmod(hash(doc_id),
+    * parts)`, the exact HashPartitioning expression `repartition` routes
+    * by — NOT from `TaskContext.getPartitionId()`. The round-15 oracle
+    * conversion caught the latter as a REAL uniqueness bug: a narrow
+    * downstream `coalesce` (any single-file writer) pipelines several
+    * parent partitions into one task, every parent iterator then reads
+    * the SAME task id, and shard ids silently collide across partitions.
+    * The data-derived pid is constant within a hash partition by
+    * construction and immune to any narrow rearrangement or retry.
     */
   def packByTokenBudget(docs: DataFrame, budget: Long,
       parts: Int = 32): DataFrame = {
@@ -35,15 +44,15 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"),
-        size(Core.tokensUni(col("text"))).cast("long").as("n_tokens"))
+        size(Core.tokensUni(col("text"))).cast("long").as("n_tokens"),
+        pmod(hash(col("doc_id")), lit(parts)).cast("long").as("_pid"))
       .repartition(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+      .as[(Long, Long, Long)]
       .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId().toLong
         var shard = 0L
         var used = 0L
-        it.map { case (id, n) =>
+        it.map { case (id, n, pid) =>
           if (used > 0 && used + n > budget) { shard += 1; used = 0L }
           used += n
           (id, n, (pid << 32) | shard)
@@ -119,9 +128,16 @@ object Packing {
         toksCol.as("toks"))
       .repartition(parts, col("_k"))
       .sortWithinPartitions("_k")
-      .select(col("_id"), col("toks")).as[(Option[Long], Seq[String])]
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId().toLong
+      // pid from the DATA (the HashPartitioning expression itself), not
+      // TaskContext: under a narrow downstream coalesce every pipelined
+      // parent partition reads the same task id and seq_ids collide —
+      // the packByTokenBudget round-15 bug, same fix
+      .select(col("_id"), col("toks"),
+        pmod(hash(col("_k")), lit(parts)).cast("long").as("_pid"))
+      .as[(Option[Long], Seq[String], Long)]
+      .mapPartitions { it0 =>
+        var pid = 0L
+        val it = it0.map { case (id, toks, p) => pid = p; (id, toks) }
         var idx = 0L
         val buf = new scala.collection.mutable.ArrayBuffer[String]()
         var off = 0

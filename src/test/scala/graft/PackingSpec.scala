@@ -313,6 +313,35 @@ class PackingSpec extends SparkSpec {
     assert(r == (("p", 2L, 3L, 17L, 8L, 0.32))) // 8/(8+17)
   }
 
+  test("packByTokenBudget: shard ids keep their hash-route partition half " +
+      "under a narrow downstream coalesce (round-15 oracle-caught bug)") {
+    // pre-fix, TaskContext.getPartitionId() inside a coalesce(1) task
+    // read 0 for EVERY pipelined parent partition, so (pid << 32) | seq
+    // collided across partitions — exactly what any single-file writer
+    // triggers. The pid must be the data-derived hash route.
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill(30)("w").mkString(" "))).toDF("doc_id", "text")
+    val rows = Packing.packByTokenBudget(docs, budget = 100, parts = 4)
+      .coalesce(1)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 200)
+    val pids = rows.map(_._3 >> 32).distinct.sorted.toSeq
+    assert(pids.size > 1, s"fixture must span partitions, got $pids")
+    // every embedded pid equals the row's hash route
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val routes = docs.select($"doc_id",
+        pmod(hash($"doc_id"), lit(4)).cast("long").as("p"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, _, sid) =>
+      assert(sid >> 32 == routes(id), s"doc $id: ${sid >> 32} vs ${routes(id)}")
+    }
+    // budget honored per shard even after the coalesce (no cross-
+    // partition merges): 30-token docs, budget 100 → ≤ 3 docs per shard
+    rows.groupBy(_._3).foreach { case (sid, g) =>
+      assert(g.map(_._2).sum <= 100, s"shard $sid over budget")
+    }
+  }
+
   test("paddingWaste: bucketing strictly beats one catch-all bucket " +
       "on a bimodal corpus") {
     val docs = ((1L to 16L).map(i => (i, "w " * 4)) ++

@@ -48,8 +48,10 @@ PINNED_SF001 = {"q_bpe_apply", "q_cluster_sizes", "q_ter_shift",
                 "q_minhash_lsh", "q_simhash",
                 # per-lang stub-width sums pinned at sf0.01
                 "q_media_features",
-                # OutputPins.scala: training/sketch/deflate output pins
-                "q_bpe_learn", "q_unigram_learn", "q_hll", "q_compression"}
+                # OutputPins.scala: training/sketch/deflate output pins +
+                # the murmur3 partition routing of the packing replay
+                "q_bpe_learn", "q_unigram_learn", "q_hll", "q_compression",
+                "q_pack_shards"}
 PIN_SCALE = "sf0.01"
 
 
