@@ -671,8 +671,8 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           concat_ws(" ", col("pieces")).as("pieces"), col("n_pieces"))),
     // per-document token budget + fertility under the learned unigram
-    // model — stateless scan-stage (streams as-is); rows-only like the
-    // model that feeds it
+    // model — stateless scan-stage (streams as-is); oracled off
+    // UNIGRAM_PINNED like the rest of the apply family
     "q_unigram_stats" -> ((s, d) =>
       TextAnalysis.unigramDocStats(Tables.documents(s, d), unigramModel(s, d))),
     // tokenizer-efficiency by language: corpus fertility (ratio of
@@ -970,8 +970,9 @@ object SparkEntry {
           .select("doc_id"), Seq("doc_id"), "left_anti")
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
     // training-shard assembly: greedy per-partition token-budget packing
-    // (deterministic for fixed parts; shard layout is partition-local so
-    // not SQL-mirrorable → rows-only)
+    // (deterministic for fixed parts). Oracled since round 15: only the
+    // murmur3 partition routing is pinned (OutputPins.packPid); the
+    // greedy packing replays as a pid-partitioned recursive CTE
     "q_pack_shards" -> ((s, d) =>
       Packing.packByTokenBudget(Tables.documents(s, d), budget = 4096, parts = 8)),
     // delivery-manifest summary: range-clustered write + distributed
@@ -1147,9 +1148,9 @@ object SparkEntry {
     }),
     // embedding-cosine near-dup dedup decision: LSH bucket candidates at
     // cos >= 0.99 → connected components → keep lowest id per cluster.
-    // Probes the same persisted LSH index as q_lsh_pairs. Bucket
-    // membership rides seeded gaussian projections → rows-only (the
-    // clustering algebra itself is oracled via q_dedup_clusters).
+    // Probes the same persisted LSH index as q_lsh_pairs; oracled since
+    // round 13 (the seeded hyperplanes are plan literals the oracle
+    // replays with e0-exact doubles, then min-label recursion).
     "q_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val idx = Similarity.lshIndex(emb, dim = 64,
@@ -1159,8 +1160,8 @@ object SparkEntry {
       Dedup.dedupCorpus(emb.select(col("vec_id").as("doc_id")), pairs)
         .agg(count(lit(1)).as("n_kept"))
     }),
-    // SemDeDup with deterministic sign-bit blocking — the ORACLED twin of
-    // q_embed_dedup (whose seeded-gaussian buckets keep it rows-only).
+    // SemDeDup with deterministic sign-bit blocking — the fully
+    // relational twin of q_embed_dedup's seeded-LSH decision.
     // minCos=0.3 because the synthetic embeddings are quasi-orthogonal
     // (median true-NN cos 0.41, NOTES round-3): the production 0.95
     // default flags nothing here, 0.3 exercises both verdicts
