@@ -1291,33 +1291,26 @@ object Similarity {
     * periodic-rebuild trade of every standing blocking index. Returns
     * (vec_id, block, hot, max_lower_cos, is_dup) for INCREMENT rows.
     */
-  def semanticDedupFlagsBoundedApply(snapshotLeaves: DataFrame,
-      increment: DataFrame, minCos: Double = 0.95, maxBlock: Int = 1024,
-      levels: Int = 2): DataFrame = {
-    require(maxBlock >= 1 && levels >= 1,
-      s"boundedApply: maxBlock=$maxBlock and levels=$levels must be >= 1")
+  /** Route an increment into a standing [[boundedBlocked]] index's leaf
+    * space by REPLAYING the snapshot's refinement decisions — the shared
+    * core of [[semanticDedupFlagsBoundedApply]] (decide) and
+    * [[boundedIndexAppend]] (grow). The per-level refined-prefix set
+    * reconstructs from the leaf keys alone (a prefix was refined iff
+    * some leaf key sits strictly below it in the radix-4096 tree) — one
+    * tiny distinct over the index, broadcast back. Returns
+    * (vec_id, e, block), lineage-cut.
+    */
+  private def routeIncrement(snapshotLeaves: DataFrame,
+      increment: DataFrame, levels: Int): DataFrame = {
     val spark = snapshotLeaves.sparkSession
-    // leaf stats: ONE aggregate over the (bucketed) index; result is
-    // leaf-key-space-sized (≤ Σ dim^k), collected and broadcast
-    val leafStats = snapshotLeaves.groupBy("block")
-      .agg(count(lit(1)).as("_sc"), min("vec_id").as("_smin"),
-        max("hot").as("_shot"))
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
-        r.getInt(2 + 1))))
-      .toMap
-    // per-level refined prefixes, reconstructed from the leaf keys: a
-    // prefix p was refined iff some leaf key sits strictly below it in
-    // the radix-4096 tree
     val refined: Set[Long] =
-      leafStats.keySet.filter(_ > 4096L)
-        .flatMap(l => Iterator.iterate(l / 4096L)(_ / 4096L)
+      snapshotLeaves.select("block").distinct()
+        .collect().map(_.getLong(0)).filter(_ > 4096L).toSet
+        .flatMap((l: Long) => Iterator.iterate(l / 4096L)(_ / 4096L)
           .takeWhile(_ > 0L).toSet)
     val refinedDf = broadcast(
       spark.createDataFrame(refined.toSeq.map(Tuple1(_)))
         .toDF("block").withColumn("_ref", lit(1)))
-    // route the increment through the snapshot's refinement decisions
-    // (the boundedBlocked masking invariant, with membership in the
-    // snapshot's refined set replacing the live occupancy count)
     val raw = increment.select(col("vec_id"),
         asDouble(col("embedding")).as("_v"))
       .withColumn("_n", sqrt(dot(col("_v"), col("_v"))))
@@ -1332,7 +1325,7 @@ object Similarity {
       .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
       .select(col("vec_id"), col("e"), col("_p").as("block"),
         maskAt(col("_a"), col("_p")).as("_a"))
-    val routed = (2 to levels).foldLeft(lvl1) { (cur, _) =>
+    (2 to levels).foldLeft(lvl1) { (cur, _) =>
       cur.join(refinedDf, Seq("block"), "left")
         .withColumn("_p", array_position(col("_a"), array_max(col("_a"))))
         .select(col("vec_id"), col("e"),
@@ -1341,6 +1334,23 @@ object Similarity {
           when(col("_ref").isNull, col("_a"))
             .otherwise(maskAt(col("_a"), col("_p"))).as("_a"))
     }.select(col("vec_id"), col("e"), col("block")).localCheckpoint()
+  }
+
+  def semanticDedupFlagsBoundedApply(snapshotLeaves: DataFrame,
+      increment: DataFrame, minCos: Double = 0.95, maxBlock: Int = 1024,
+      levels: Int = 2): DataFrame = {
+    require(maxBlock >= 1 && levels >= 1,
+      s"boundedApply: maxBlock=$maxBlock and levels=$levels must be >= 1")
+    val spark = snapshotLeaves.sparkSession
+    // leaf stats: ONE aggregate over the (bucketed) index; result is
+    // leaf-key-space-sized (≤ Σ dim^k), collected and broadcast
+    val leafStats = snapshotLeaves.groupBy("block")
+      .agg(count(lit(1)).as("_sc"), min("vec_id").as("_smin"),
+        max("hot").as("_shot"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getInt(2 + 1))))
+      .toMap
+    val routed = routeIncrement(snapshotLeaves, increment, levels)
     // combined occupancy per leaf: increment counts (inc-sized
     // aggregate) against the broadcast snapshot stats
     val incStats = routed.groupBy("block")
@@ -1396,6 +1406,53 @@ object Similarity {
       .withColumn("is_dup",
         (coalesce(col("max_lower_cos"), lit(-2.0)) >= minCos).cast("int"))
   }
+
+  /** Grow a standing [[boundedBlocked]] index with a decided increment —
+    * the third quarter of the bounded-dedup lifecycle (build → apply →
+    * APPEND → serve): increment rows keep the leaf keys
+    * [[semanticDedupFlagsBoundedApply]] routed them to (old rows are
+    * never re-refined — the standing-index contract; shapes that drift
+    * far from the build distribution take the periodic-rebuild
+    * doctrine), and per-leaf hot flags recompute from the merged counts
+    * (one leaf-space-sized aggregate, broadcast back). Returns the new
+    * (vec_id, block, hot, e) index, column-compatible with
+    * [[boundedBlocked]], so apply/append chain day after day.
+    */
+  def boundedIndexAppend(snapshotLeaves: DataFrame, increment: DataFrame,
+      maxBlock: Int = 1024, levels: Int = 2): DataFrame = {
+    require(maxBlock >= 1 && levels >= 1,
+      s"boundedIndexAppend: maxBlock=$maxBlock, levels=$levels must be >= 1")
+    val routed = routeIncrement(snapshotLeaves, increment, levels)
+    val all = snapshotLeaves.select(col("vec_id"), col("block"), col("e"))
+      .unionByName(routed.select(col("vec_id"), col("block"), col("e")))
+    val hot = all.groupBy("block").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > maxBlock).select(col("block"), lit(1).as("_hot"))
+    all.join(broadcast(hot), Seq("block"), "left")
+      .select(col("vec_id"), col("block"),
+        coalesce(col("_hot"), lit(0)).as("hot"), col("e"))
+  }
+
+  /** Streaming bounded dedup — the daily-ingest loop as a foreachBatch
+    * twin (the annServe / passAtKServe read-write pattern): each
+    * micro-batch of (vec_id, embedding) rows gets its BOUNDED verdicts
+    * against the standing index ([[semanticDedupFlagsBoundedApply]] →
+    * `sink`), then folds into the index ([[boundedIndexAppend]] →
+    * `save`) so later batches dedup against it. Append-only vec_ids
+    * across batches keep the keep-lowest verdicts stable (the
+    * dedupFlagsByBlock contract).
+    */
+  def semanticDedupBoundedServe(embStream: DataFrame,
+      minCos: Double = 0.95, maxBlock: Int = 1024, levels: Int = 2)(
+      state: () => DataFrame, save: DataFrame => Unit)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val snap = state()
+        sink(semanticDedupFlagsBoundedApply(snap, batch, minCos, maxBlock,
+          levels))
+        save(boundedIndexAppend(snap, batch, maxBlock, levels))
+    }
 
   /** True-SemDeDup blocking: the learned IVF cells (k-means regions) as
     * blocks instead of sign bits — semantically tighter neighborhoods at

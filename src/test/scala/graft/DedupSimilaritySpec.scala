@@ -481,6 +481,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(applied == batch, s"apply=$applied batch=$batch")
   }
 
+  test("boundedIndexAppend + semanticDedupBoundedServe: the index grows " +
+      "per batch, later batches dedup against earlier increments, hot " +
+      "flags recompute from merged counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq(
+      (1L, Array(10.0f, 5.0f, 0.1f, 0.2f)),
+      (2L, Array(0.1f, 8.0f, 0.3f, 0.2f)),
+      (3L, Array(0.2f, 0.1f, 7.0f, 0.4f)))
+    val b1 = Seq((10L, Array(10.0f, 5.0f, 0.1f, 0.2f)), // dup of base 1
+      (11L, Array(0.5f, 0.2f, 0.1f, 6.0f)))             // novel direction
+    val b2 = Seq((20L, Array(0.5f, 0.2f, 0.1f, 6.0f)),  // dup of BATCH-1 11
+      (21L, Array(10.0f, 5.0f, 0.1f, 0.2f)))            // dup of base 1
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    // append: every row lands, base leaf keys unchanged, hot = merged>max
+    val snap0 = Similarity.boundedBlocked(df(base), maxBlock = 2, levels = 2)
+      .localCheckpoint()
+    val grown = Similarity.boundedIndexAppend(snap0, df(b1),
+      maxBlock = 2, levels = 2).localCheckpoint()
+    assert(grown.count() == 5)
+    val baseLeaves = snap0.select("vec_id", "block")
+      .as[(Long, Long)].collect().toMap
+    grown.select("vec_id", "block").as[(Long, Long)].collect()
+      .filter(_._1 <= 3L)
+      .foreach { case (id, b) => assert(b == baseLeaves(id)) }
+    // serve: two micro-batches; batch-2 rows must be flagged against
+    // BOTH the base index and batch-1 rows folded in by the first save
+    var standing = snap0
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val in = MemoryStream[(Long, Array[Float])](74, spark, None)
+    val q = Similarity.semanticDedupBoundedServe(
+      in.toDF().toDF("vec_id", "embedding"),
+      minCos = 0.95, maxBlock = 2, levels = 2)(
+      () => standing, f => standing = f.localCheckpoint())(
+      out => verdicts ++= out.select("vec_id", "is_dup")
+        .as[(Long, Int)].collect()).start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val v = verdicts.toMap
+    assert(v(10L) == 1, v)          // dup of base 1
+    assert(v(11L) == 0, v)          // novel in batch 1
+    assert(v(20L) == 1, v)          // dup of batch-1 11 — the index grew
+    assert(v(21L) == 1, v)          // dup of base 1 still
+    assert(standing.count() == 7)   // 3 base + 2 + 2
+  }
+
   test("semanticDedupFlagsBounded: mask exhaustion past the dimension is " +
       "deterministic, never throws") {
     // 2-dim identical vectors with levels=3: level 3 argmaxes an all-masked
