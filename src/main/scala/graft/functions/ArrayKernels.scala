@@ -2757,6 +2757,91 @@ object ArrayKernels {
       copy(child = newChild)
   }
 
+  def gram_max_merge(a: Column, b: Column): Column =
+    GraftSqlBridge.column(GramMaxMerge(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `gram_max_merge(a, b)` — per-gram MAX union of two (gram → count)
+    * dictionaries (ARRAY<STRUCT<g STRING, c BIGINT>>): the
+    * multi-reference BLEU merge (SacreBLEU — a candidate gram clips
+    * against the highest count ANY reference licenses) as one compiled
+    * HashMap pass. Replaces the interpreted map_from_entries →
+    * map_zip_with → map_entries → transform round-trip, which measured
+    * 2.2× on the q_bleu_multiref scan even with a single reference.
+    * Left-then-new-right insertion order (deterministic; consumers
+    * treat the array as a dictionary, so order never reaches results).
+    * Keys are cloned into owned bytes (the TokenNgramCounts rule — a
+    * view into a reused unsafe buffer must not outlive the row read).
+    */
+  case class GramMaxMerge(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private val entryType = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    override def dataType: DataType =
+      ArrayType(entryType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(l: StructType, _), ArrayType(r: StructType, _))
+          if l.fields.map(f => (f.name, f.dataType)).toSeq ==
+            entryType.fields.map(f => (f.name, f.dataType)).toSeq &&
+            r.fields.map(f => (f.name, f.dataType)).toSeq ==
+              entryType.fields.map(f => (f.name, f.dataType)).toSeq =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"gram_max_merge requires two ARRAY<STRUCT<g STRING, c BIGINT>>, " +
+            s"got ${l.catalogString}, ${r.catalogString}")
+      }
+
+    def compute(aIn: ArrayData, bIn: ArrayData): ArrayData = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val na = aIn.numElements()
+      val nb = bIn.numElements()
+      val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](
+        (na + nb) * 2)
+      var i = 0
+      while (i < na) {
+        val e = aIn.getStruct(i, 2)
+        m.put(e.getUTF8String(0).clone(), java.lang.Long.valueOf(e.getLong(1)))
+        i += 1
+      }
+      i = 0
+      while (i < nb) {
+        val e = bIn.getStruct(i, 2)
+        val g = e.getUTF8String(0)
+        val c = e.getLong(1)
+        val prev = m.get(g)
+        if (prev == null) m.put(g.clone(), java.lang.Long.valueOf(c))
+        // put on an existing key keeps the original (owned) key object
+        else if (c > prev.longValue()) m.put(g, java.lang.Long.valueOf(c))
+        i += 1
+      }
+      val out = new Array[Any](m.size)
+      val it = m.entrySet().iterator()
+      var idx = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+          e.getKey, e.getValue.longValue())
+        idx += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gramMaxMergeKernel", this,
+        classOf[GramMaxMerge].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def gram_clip_stats(cand: Column, ref: Column): Column =
     GraftSqlBridge.column(GramClipStats(
       GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref)))
