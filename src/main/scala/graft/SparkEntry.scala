@@ -4615,8 +4615,9 @@ object SparkEntry {
   }
 
   /** DuckDB side of q_pack_shards — the LAST exemption converted: only
-    * the murmur3 partition routing is pinned (OutputPins.packPid,
-    * verified bit-equal to the runtime TaskContext ids); the greedy
+    * the murmur3 partition routing is pinned (OutputPins.packPid =
+    * `pmod(hash(doc_id), parts)`, the same data-derived route the
+    * runtime stamps into shard ids); the greedy
     * token-budget packing itself — the operator's actual algebra —
     * replays as the q_pack_sorted recursion PARTITIONED by pid
     * (set-based recursion advances every partition one rank per step).
@@ -8644,9 +8645,5 @@ object SparkEntry {
         "FROM g JOIN dw USING (kind)"),
     "q_image_dedup" -> bandedHammingSql(graft.model.SketchPins.imageDh),
     "q_audio_dedup" -> bandedHammingSql(graft.model.SketchPins.audioDh)
-    // q_pack_shards is the ONE remaining rows-only row: partition-local
-    // shard layout is legitimately cluster-dependent (pinning it would
-    // freeze an arbitrary layout); its parts=1 twin q_pack_sorted IS
-    // oracled and the packing algebra is spec-locked.
   )
 }

@@ -71,15 +71,26 @@ object Verify {
             // success (round-14 advice): a deadline cancellation mid
             // write.mode("overwrite") would otherwise DELETE the previous
             // good dump for this query and leave a partial one — a timed-
-            // out re-run must cost a stale artifact, never a broken one
+            // out re-run must cost a stale artifact, never a broken one.
+            // Move-ASIDE, not delete-then-move (round-15 advice): rename
+            // the old dump to .old-$name first, move the new one in, then
+            // delete the aside copy — a crash between the steps leaves a
+            // good artifact under one of the two names instead of none.
             val tmp = s"$outDir/.tmp-$name"
             fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
             val target = Paths.get(s"$outDir/$name")
-            if (Files.exists(target)) {
-              Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => Files.delete(p))
-            }
+            val aside = Paths.get(s"$outDir/.old-$name")
+            def rmTree(p: java.nio.file.Path): Unit =
+              if (Files.exists(p)) {
+                val walk = Files.walk(p)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(q => Files.delete(q))
+                finally walk.close()
+              }
+            rmTree(aside) // leftover from a previous crashed run
+            if (Files.exists(target)) Files.move(target, aside)
             Files.move(Paths.get(tmp), target)
+            rmTree(aside)
             times.put(name, (System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")

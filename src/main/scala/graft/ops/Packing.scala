@@ -136,8 +136,6 @@ object Packing {
         pmod(hash(col("_k")), lit(parts)).cast("long").as("_pid"))
       .as[(Option[Long], Seq[String], Long)]
       .mapPartitions { it0 =>
-        var pid = 0L
-        val it = it0.map { case (id, toks, p) => pid = p; (id, toks) }
         var idx = 0L
         val buf = new scala.collection.mutable.ArrayBuffer[String]()
         var off = 0
@@ -145,8 +143,20 @@ object Packing {
         var consumedAbs = 0L // tokens ever emitted in this partition
         // (absolute start, doc id) of docs not yet emitted into a sequence
         val starts = new scala.collection.mutable.ArrayDeque[(Long, Long)]()
+        // (absolute start, pid) per appended doc: emit stamps the pid of
+        // the doc whose tokens OPEN the sequence (round-15 advice — pid
+        // carried per-row through the fold like packByTokenBudget, not a
+        // side-effecting var whose value depends on iterator pipelining).
+        // Under hash repartitioning every doc in a partition shares one
+        // pid, so today this is equal; if upstream partitioning ever
+        // changes, the stamp stays tied to the data, not to read order.
+        val pids = new scala.collection.mutable.ArrayDeque[(Long, Long)]()
         def emit(n: Int): (Long, Int, String, Seq[Int], Seq[Long]) = {
           val s = buf.slice(off, off + n).mkString(" ")
+          // pid of the doc covering the first token of this sequence:
+          // drop entries fully before consumedAbs (keeping the covering one)
+          while (pids.length > 1 && pids(1)._1 <= consumedAbs) pids.removeHead()
+          val pid = pids.head._2
           val hi = consumedAbs + n
           val b = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
           while (starts.nonEmpty && starts.head._1 < hi) {
@@ -160,9 +170,10 @@ object Packing {
           idx += 1
           r
         }
-        val full = it.flatMap { case (id, toks) =>
+        val full = it0.flatMap { case (id, toks, p) =>
           if (toks.nonEmpty) {
             starts += ((appendedAbs, id.getOrElse(-1L)))
+            pids += ((appendedAbs, p))
             appendedAbs += toks.length
             buf ++= toks
           }

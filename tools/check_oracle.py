@@ -72,7 +72,12 @@ def main(sf_dir, out_dir, only=None):
     n_ok = n_bad = n_skip = 0
     total_t = 0.0
     over_budget = []
-    off_pin_scale = PIN_SCALE not in sf_dir.rstrip("/").split("/")[-1]
+    # EXACT token match, not substring (round-15 advice): 'sf0.015'
+    # contains 'sf0.01' but is NOT the pin scale, and a dir named without
+    # any sfX.YZ token (symlink 'small') cannot be assumed to be it either
+    # — anything other than a basename exactly equal to PIN_SCALE treats
+    # pinned rows as off-scale and skips them.
+    off_pin_scale = sf_dir.rstrip("/").split("/")[-1] != PIN_SCALE
     for name, sql in sorted(oracle.items()):
         if off_pin_scale and name in PINNED_SF001:
             print(f"SKIP {name}: pinned-scale oracle ({PIN_SCALE} literals; "
