@@ -101,13 +101,25 @@ object Bench {
       Set.empty[String] else Set("q_nn")
     val queries = (SparkEntry.queries -- verifierOnly).toSeq.sortBy(_._1)
 
-    // WARMUP pass: untimed; a query that fails here is marked failed and
-    // skipped in the timed passes (-1 in the JSON keeps it visible)
+    // WARMUP pass: a query that fails here is marked failed and skipped in
+    // the timed passes (-1 in the JSON keeps it visible). Since round 16
+    // the warmup is also TIMED (it was free): the warmup sample is a
+    // second, temporally-distant reading for the ~240 non-gate queries
+    // that get exactly one timed pass — round 15's driver artifact
+    // recorded 67 s for a 1.4 s query when host contention landed inside
+    // the single pass, and min(warmup, pass-1) caps that damage at the
+    // other reading. Warmup samples are systematically high (first-plan
+    // codegen, index builds), so the min is normally just pass 1 — it
+    // only bites when pass 1 is the contaminated one.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.Set[String]()
+    val warmSample = scala.collection.mutable.Map[String, Double]()
     queries.foreach { case (name, fn) =>
-      try exercise(fn(spark, sfDir))
-      catch { case _: Throwable => failed += name }
+      val t0 = System.nanoTime()
+      try {
+        exercise(fn(spark, sfDir))
+        warmSample(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => failed += name }
     }
 
     // Baseline accounting: the 2× perf gate is anchored to round 1's
@@ -150,6 +162,12 @@ object Bench {
     // sample still lands in BENCH_LOCAL.json for round-over-round eyes).
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // pass-1 START offset (seconds since bench start) per query — the
+    // post-hoc diagnosability the round-15 verdict asked for: a
+    // contention band shows up as a contiguous time window of inflated
+    // rows, identifiable from these stamps (BENCH_LOCAL.json only).
+    val t1Start = scala.collection.mutable.Map[String, Double]()
+    val benchT0 = System.nanoTime()
     val calib = scala.collection.mutable.ListBuffer[Double]()
     val calibPar = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to passes) {
@@ -164,6 +182,7 @@ object Bench {
       queries.foreach { case (name, fn) =>
         if (!failed(name) && (pass == 1 || multiPass(name))) {
           val t0 = System.nanoTime()
+          if (pass == 1) t1Start(name) = (t0 - benchT0) / 1e9
           try {
             exercise(fn(spark, sfDir))
             samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
@@ -171,9 +190,14 @@ object Bench {
         }
       }
     }
+    // gate (multi-pass) rows: median of passes, the unchanged protocol the
+    // 2× gate is graded on. Single-pass rows: min(warmup, pass 1) — the
+    // round-15 verdict-#2 contamination cap (see the warmup comment).
     val results: Map[String, Double] = queries.map { case (name, _) =>
       val xs = samples(name)
-      name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
+      name -> (if (failed(name) || xs.isEmpty) -1.0
+               else if (xs.length > 1) median(xs)
+               else warmSample.get(name).fold(xs.head)(w => math.min(w, xs.head)))
     }.toMap
 
     val total = results.values.filter(_ >= 0).sum
@@ -191,7 +215,22 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
 
-    // full-precision, all queries — the committed local artifact
+    // contention tripwire (round-15 verdict #7): on this host's quiet
+    // baseline the parallel probe reads ~3.9-4.3× the serial one
+    // (BASELINE.md "Probe reference points"); a materially higher ratio
+    // means the parallel slots are contended while the idle-core serial
+    // probe is not — exactly the co-tenant signature that contaminated
+    // r15's driver pass 1 — so flag it loudly next to the numbers.
+    val parRatio = median(calibPar.toSeq) / math.max(median(calib.toSeq), 1e-9)
+    if (parRatio > 6.0)
+      System.err.println(f"[bench] WARNING: calibration_par/calibration = " +
+        f"$parRatio%.2f (quiet-host reference ~4) — parallel-slot " +
+        "contention detected; treat single-sample rows with suspicion")
+
+    // full-precision, all queries — the committed local artifact.
+    // t1_start: pass-1 start offsets (sec since bench start) for post-hoc
+    // contention-band diagnosis; warmup: the warmup-pass samples feeding
+    // the single-pass min (both round-15 verdict #2).
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${qsJson(results, _.toString)},""" +
@@ -202,6 +241,8 @@ object Bench {
       s""""calibration_runs":${calib.map(f3).mkString("[", ",", "]")},""" +
       s""""calibration_par_sec":${median(calibPar.toSeq)},""" +
       s""""calibration_par_runs":${calibPar.map(f3).mkString("[", ",", "]")},""" +
+      s""""t1_start":${qsJson(t1Start.toMap, f3)},""" +
+      s""""warmup":${qsJson(warmSample.toMap, f3)},""" +
       s""""sf":"$sfDir"}"""
     val fullPath = "BENCH_LOCAL.json"
     // advertise the file only if THIS run wrote it: the path is committed

@@ -295,7 +295,11 @@ object SparkEntry {
     */
   private def evalPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    IndexTables.plain(s, IndexTables.ident("evalpairs_v1", d,
+    // fanOut: the standing pair table is a small single-file parquet read
+    // locally (one-task scan), and every consumer is a row-pure metric
+    // kernel (BLEU/chrF/TER/ROUGE DPs) — the exact shape Par.fanOut exists
+    // for; at scale the probe is a no-op (guide §2.2/§2.6)
+    ops.Par.fanOut(IndexTables.plain(s, IndexTables.ident("evalpairs_v1", d,
       witness(docs))) {
       val t = Core.tokensUni(col("text"))
       val mut = transform(t, (x, i) =>
@@ -305,7 +309,7 @@ object SparkEntry {
         array_join(filter(t, (_, i) => (i + 1) % 3 =!= 0), " ").as("cand"),
         array_join(filter(mut, (_, i) => (i + 1) % 5 =!= 0), " ")
           .as("cand_sub"))
-    }
+    })
   }
 
   /** Deterministic synthetic judge votes for q_bt_ratings: 32
@@ -1640,9 +1644,14 @@ object SparkEntry {
     "q_scd2_incr" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      // the first-half history is the STANDING artifact scd2Apply merges
+      // into — materialize it once (the q_lm_ppl standing-model rule):
+      // scd2Apply references it FIVE times (validate join, current rows
+      // ×2, closed passthrough ×2), and unmaterialized each reference
+      // re-ran the full window chain (plan audit r16: 29 Exchanges → 7)
       History.scd2Apply(
         History.scd2(ev.where(col("ts") < cut), "user_id", "ts",
-          "event_id", "event_type"),
+          "event_id", "event_type").localCheckpoint(),
         ev.where(col("ts") >= cut), "user_id", "ts", "event_id",
         "event_type")
     }),

@@ -232,7 +232,7 @@ object Curation {
       prefix = prefix)
   }
 
-  private def recipeStats(docs: DataFrame,
+  private def recipeStats(docs0: DataFrame,
       decontam: Option[(DataFrame, Int)],
       ppl: Option[Seq[Double]], minTokens: Int,
       maxNonAlnum: Double, maxStopword: Double,
@@ -240,6 +240,15 @@ object Curation {
       semDecontam: Option[(DataFrame, Double)] = None,
       resampleK: Option[Int] = None,
       prefix: Option[DataFrame] = None): DataFrame = {
+    // fan ONCE at entry, but only when the recipe COMPUTES its stages from
+    // the corpus (no prefix): there every stage re-scans `docs` with a
+    // heavy row-pure kernel (gate, fingerprints, SNM tokens, decontam
+    // grams, surprisal) — measured −1.5 s on v3 at sf0.1. With a standing
+    // prefix table the shared stages are flag scans of `p` and `docs` only
+    // feeds bounded joins (spans/resample), where the extra exchange
+    // measured as a net loss (ablation r16) — there the internal op-level
+    // fans (spanFingerprints etc.) cover the heavy passes.
+    val docs = if (prefix.isEmpty) Par.fanOut(docs0) else docs0
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -420,7 +429,7 @@ object Curation {
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       contamN: Int = 13): DataFrame = {
     def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
-    val qualityIds = ids(docs.where(TextAnalysis.curationGate(col("text"),
+    val qualityIds = ids(Par.fanOut(docs).where(TextAnalysis.curationGate(col("text"),
       lit(minTokens), maxNonAlnum, maxStopword, langLabel = None)))
     val exactIds = ids(dedupSurvivors(
       docs.join(qualityIds, Seq("doc_id"), "left_semi")))

@@ -221,7 +221,7 @@ object Decontam {
     val t = col("_t")
     val g = col("_g")
     scrubReconstruct(
-      df
+      Par.fanOut(df)
         .withColumn("_t",
           coalesce(Core.tokensUni(col(textCol)), array().cast("array<string>")))
         .withColumn("_g", ngrams(t, n))

@@ -16,12 +16,12 @@ object Dedup {
     * groupBy on the 16-byte fingerprint — single shuffle of keys.
     */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    Par.fanOut(docs).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-language unique/total counts — the summary form of exact dedup. */
   def exactDedupStats(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    Par.fanOut(docs).select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("lang")
       .agg(countDistinct("fp").as("n_unique"), count(lit(1)).as("n_docs"))
 
@@ -68,7 +68,7 @@ object Dedup {
 
   def minHashSignatures(docs: DataFrame, shingleK: Int = 3,
       numHashes: Int = 32): DataFrame =
-    docs.select(col("doc_id"),
+    Par.fanOut(docs).select(col("doc_id"),
       minhashSigExpr(col("text"), shingleK, numHashes).as("sig"))
 
   /** Per-band bucket hashes of a minhash signature (the LSH join keys):
@@ -252,7 +252,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k=$k and w=$w must be >= 1")
-    docs
+    Par.fanOut(docs)
       .select(col(idCol), winnowHashes(col(textCol), k).as("_h"))
       .where(size(col("_h")) > 0)
       .select(col(idCol), explode(winnowSelect(col("_h"), w)).as("fp"))
@@ -417,7 +417,7 @@ object Dedup {
     // there re-runs the tokenize+ngram+md5 chain per position — the
     // exact 12× regression commit ef2ff1e fixed for winnowFingerprints
     // (and this rewrite briefly reintroduced: 31 s vs 2.4 s at sf0.1)
-    val bound = docs.select(col(idCol),
+    val bound = Par.fanOut(docs).select(col(idCol),
       winnowHashes(col(textCol), kShort).as("_hs"),
       winnowHashes(col(textCol), kLong).as("_hl"))
     // a doc shorter than k tokens has NO k-grams and its winnowSelect
@@ -562,7 +562,7 @@ object Dedup {
     * ±1 votes → sign. One pass, no shuffle.
     */
   def simHash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Par.fanOut(docs).select(col("doc_id"),
       graft.functions.ArrayKernels.simhash64(
         transform(Core.tokensUni(col("text")), tok => xxhash64(tok))).as("simhash"))
 
@@ -790,7 +790,7 @@ object Dedup {
     * 16-byte hashes + ids only — span TEXT never leaves the scan stage.
     */
   def spanFingerprints(docs: DataFrame, spanTokens: Int): DataFrame =
-    docs.select(col("doc_id"), Core.tokensUni(col("text")).as("t"))
+    Par.fanOut(docs).select(col("doc_id"), Core.tokensUni(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(spanIndices(col("t"), spanTokens)).as("span_idx"))
       .select(col("doc_id"), col("span_idx"),
@@ -870,7 +870,7 @@ object Dedup {
     * matrix itself is |sources|²-bounded.
     */
   def sourceDupMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
-    val bySrc = docs
+    val bySrc = Par.fanOut(docs)
       .select(col("source"),
         explode(Decontam.ngrams(Core.tokensUni(col("text")), k)).as("g"))
       .groupBy("g", "source").agg(count(lit(1)).as("n"))
@@ -928,7 +928,7 @@ object Dedup {
     require(k >= 2, s"substringScrub: k=$k must be >= 2")
     // corpus-wide first occurrence per gram hash owns it; every other
     // occurrence covers its k token positions
-    val dupPos = substringGrams(docs, k)
+    val dupPos = substringGrams(Par.fanOut(docs), k)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
       .where(col("_rn") > 1)
@@ -1285,7 +1285,7 @@ object Dedup {
     // nullability: a NULL-text document fingerprints to NULL (md5(NULL)
     // propagates), and reading absence off the fp would mislabel such a
     // row 'added' even when both snapshots contain it
-    val o = TextAnalysis.fingerprints(old)
+    val o = TextAnalysis.fingerprints(Par.fanOut(old))
       .select(col("doc_id"), col("fp").as("_ofp"), lit(true).as("_inOld"))
     val n = TextAnalysis.fingerprints(fresh)
       .select(col("doc_id"), col("fp").as("_nfp"), lit(true).as("_inNew"))
@@ -1333,7 +1333,7 @@ object Dedup {
     * LSH output — never all-pairs). `candidates` must have (a_id, b_id).
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame, shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(shingleK).as("sh"))
+    val sh = Par.fanOut(docs).select(col("doc_id"), shingles(shingleK).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

@@ -70,7 +70,7 @@ object Similarity {
     val maxAbs = array_max(transform(v, x => abs(x)))
     val scale = col("ma") / 127.0
     val recon = transform(col("v"), x => floor(x / col("sc") + lit(0.5)) * col("sc"))
-    emb
+    Par.fanOut(emb)
       .select(col("vec_id"), v.as("v"), maxAbs.as("ma"))
       // NaN sorts above 0 in Spark, so `ma > 0` alone would admit NaN/Inf
       // vectors and report NaN stats; the report excludes them like zeros
@@ -252,7 +252,7 @@ object Similarity {
     */
   def ivfCentroids(emb: DataFrame, k: Int, iters: Int = 5,
       sampleSize: Int = 4096): Array[Array[Double]] = {
-    val sample = unitVecs(emb, "vec_id", "e")
+    val sample = unitVecs(Par.fanOut(emb), "vec_id", "e")
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(sampleSize)
       .select("e").collect()
@@ -464,7 +464,7 @@ object Similarity {
     * never recompute assignments.
     */
   def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val u = unitVecs(emb, "vec_id", "e")
+    val u = unitVecs(Par.fanOut(emb), "vec_id", "e")
     // argmax over k cells via struct-max: (dot, -cell) → best dot, lowest id
     val best = greatest(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dot(col("e"), centroidLit(c)).as("d"), lit(-i).as("neg_cell"))
@@ -772,7 +772,7 @@ object Similarity {
     */
   def lshAssign(emb: DataFrame, dim: Int, numPlanes: Int = 8,
       seed: Long = 42L): DataFrame =
-    unitVecs(emb, "vec_id", "e")
+    unitVecs(Par.fanOut(emb), "vec_id", "e")
       .select(col("vec_id"), col("e"),
         lshBucket(col("e"), dim, numPlanes, seed).as("bucket"))
 
@@ -1540,7 +1540,7 @@ object Similarity {
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 5,
       sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
     require(m >= 1 && k >= 1, s"pqTrain: bad m=$m k=$k")
-    val sample = unitVecs(emb, "vec_id", "e")
+    val sample = unitVecs(Par.fanOut(emb), "vec_id", "e")
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(sampleSize)
       .select("e").collect()
@@ -1608,7 +1608,7 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame =
-    withPqCodes(unitVecs(emb, "vec_id", "_e"), "_e", codebooks, "codes")
+    withPqCodes(unitVecs(Par.fanOut(emb), "vec_id", "_e"), "_e", codebooks, "codes")
       .select(col("vec_id"), col("codes"))
 
   /** Append `as` = the per-subspace argmin-codeword array for `vecCol` —
@@ -1864,7 +1864,7 @@ object Similarity {
     val p = broadcast(unitVecs(probes, "q_id", "q_e"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    unitVecs(corpus, "vec_id", "e")
+    unitVecs(Par.fanOut(corpus), "vec_id", "e")
       .join(p, if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("e"), col("q_e")), 4).as("cos"))
@@ -1909,7 +1909,7 @@ object Similarity {
     // the forward frame is referenced three times (avg, rank-1 row,
     // candidate ids) on a derived key — the join-null-filter recompute
     // trap; candidate-set-sized, so the cut is cheap
-    val fwd = fwd0.getOrElse(knnAllBrute(corpus, probes, k)).localCheckpoint()
+    val fwd = fwd0.getOrElse(knnAllBrute(Par.fanOut(corpus), probes, k)).localCheckpoint()
     val sumFwd = fwd.groupBy(col("q_id"))
       .agg(round(sum(col("cos")), 4).as("s_fwd"))
     // candidate vectors feed the BACKWARD side's broadcast: without the
@@ -2014,7 +2014,7 @@ object Similarity {
     */
   def vectorQualityStats(emb: DataFrame, dim: Int): DataFrame = {
     val e = asDouble(col("embedding"))
-    emb.select(size(col("embedding")).as("_nd"), l2norm(e).as("_nrm"),
+    Par.fanOut(emb).select(size(col("embedding")).as("_nd"), l2norm(e).as("_nrm"),
         exists(e, x => isnan(x)).as("_nan"))
       .where(!col("_nan") && col("_nd") === dim && col("_nrm") > 0)
       .agg(avg("_nrm").as("_mu"), stddev_pop("_nrm").as("_sigma"))
@@ -2049,7 +2049,7 @@ object Similarity {
   def momentSums(emb: DataFrame, dim: Int): DataFrame = {
     require(dim > 0 && dim <= 512,
       s"covariance: dim must be in [1, 512], got $dim")
-    val base = emb.select(asDouble(col("embedding")).as("e"))
+    val base = Par.fanOut(emb).select(asDouble(col("embedding")).as("e"))
       .where(size(col("e")) === dim)
     val arr = concat(
       flatten(transform(col("e"), x => transform(col("e"), y => x * y))),
