@@ -299,7 +299,7 @@ object SparkEntry {
     // locally (one-task scan), and every consumer is a row-pure metric
     // kernel (BLEU/chrF/TER/ROUGE DPs) — the exact shape Par.fanOut exists
     // for; at scale the probe is a no-op (guide §2.2/§2.6)
-    ops.Par.fanOut(IndexTables.plain(s, IndexTables.ident("evalpairs_v1", d,
+    ops.Par.fanOutKernel(IndexTables.plain(s, IndexTables.ident("evalpairs_v1", d,
       witness(docs))) {
       val t = Core.tokensUni(col("text"))
       val mut = transform(t, (x, i) =>

@@ -3163,4 +3163,128 @@ object ArrayKernels {
       unkLogp: Double, seed: Long, alpha: Double): Column =
     GraftSqlBridge.column(UnigramSample(
       GraftSqlBridge.expression(word), pieces, logps, unkLogp, seed, alpha))
+
+  /** `mmr_greedy(cands, sims, m, lambda)` — one query's whole
+    * maximal-marginal-relevance greedy selection as a single expression
+    * over its BOUNDED candidate set (queries × k rows by contract): pick
+    * `m` candidates, each step maximizing λ·rel − (1−λ)·max-sim-to-
+    * selected; step 1 orders by raw rel (its novelty term is zero) and
+    * records λ·rel. Inputs are ORDER-INSENSITIVE (`collect_list` order
+    * varies run to run): the argmax breaks ties by ascending id with
+    * `java.lang.Double.compare` — the same total order Spark's
+    * (desc mmr, asc id) window used when this loop was m dataframe
+    * steps. `cands` = ARRAY<STRUCT<id BIGINT, rel DOUBLE>> (ids unique),
+    * `sims` = ARRAY<STRUCT<a BIGINT, b BIGINT, s DOUBLE>> of pair
+    * cosines (rounded upstream — this kernel does no rounding); entries
+    * naming unknown ids are ignored, missing pairs contribute novelty 0
+    * (the old left-join `coalesce(_ms, 0)`). Interpreted eval, not
+    * codegen: rows here are query-batch-sized, never corpus-sized.
+    */
+  case class MmrGreedy(left: Expression, right: Expression, m: Int,
+      lambda: Double) extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(m > 0, s"mmr_greedy: m must be positive, got $m")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StructType(cf), _), ArrayType(StructType(sf), _))
+            if cf.map(_.dataType).sameElements(
+              Array[DataType](LongType, DoubleType)) &&
+            sf.map(_.dataType).sameElements(
+              Array[DataType](LongType, LongType, DoubleType)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          "mmr_greedy requires ARRAY<STRUCT<BIGINT, DOUBLE>> and " +
+            s"ARRAY<STRUCT<BIGINT, BIGINT, DOUBLE>>, got ${l.catalogString}" +
+            s" and ${r.catalogString}")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      mmrGreedyEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        m, lambda)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def mmrGreedyEval(cands: ArrayData, sims: ArrayData, m: Int,
+      lambda: Double): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val n = cands.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val rels = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 2)
+      ids(i) = r.getLong(0); rels(i) = r.getDouble(1); i += 1
+    }
+    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    // dense pair-sim grid; NaN = no entry (novelty 0 until selected-set
+    // coverage exists, exactly the old left join's null)
+    val sim = Array.fill(n * n)(Double.NaN)
+    val nSims = sims.numElements()
+    i = 0
+    while (i < nSims) {
+      val r = sims.getStruct(i, 3)
+      val ia = idx.get(java.lang.Long.valueOf(r.getLong(0)))
+      val ib = idx.get(java.lang.Long.valueOf(r.getLong(1)))
+      if (ia != null && ib != null) sim(ia * n + ib) = r.getDouble(2)
+      i += 1
+    }
+    // lamBar computed here with the same IEEE subtraction the dataframe
+    // form's lit(1.0 - lambda) did
+    val lamBar = 1.0 - lambda
+    val selected = new Array[Boolean](n)
+    val ms = Array.fill(n)(Double.NaN)
+    val steps = math.min(m, n)
+    val out = new Array[Any](steps)
+    var t = 0
+    while (t < steps) {
+      var best = -1
+      var bestKey = 0.0
+      var bestVal = 0.0
+      var j = 0
+      while (j < n) {
+        if (!selected(j)) {
+          val novelty = if (java.lang.Double.isNaN(ms(j))) 0.0 else ms(j)
+          val v = lambda * rels(j) - lamBar * novelty
+          // step 1 ranks by raw rel (the old (rel desc, id) window);
+          // later steps rank by the mmr value itself
+          val key = if (t == 0) rels(j) else v
+          val cmp = if (best < 0) 1 else java.lang.Double.compare(key, bestKey)
+          if (cmp > 0 || (cmp == 0 && best >= 0 && ids(j) < ids(best))) {
+            best = j; bestKey = key
+            bestVal = if (t == 0) lambda * rels(j) else v
+          }
+        }
+        j += 1
+      }
+      selected(best) = true
+      out(t) = new GenericInternalRow(
+        Array[Any](ids(best), bestVal, (t + 1).toLong))
+      var q = 0
+      while (q < n) {
+        if (!selected(q)) {
+          val s = sim(q * n + best)
+          if (!java.lang.Double.isNaN(s) &&
+            (java.lang.Double.isNaN(ms(q)) ||
+              java.lang.Double.compare(s, ms(q)) > 0)) ms(q) = s
+        }
+        q += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def mmr_greedy(cands: Column, sims: Column, m: Int,
+      lambda: Double): Column =
+    GraftSqlBridge.column(MmrGreedy(
+      GraftSqlBridge.expression(cands), GraftSqlBridge.expression(sims),
+      m, lambda))
 }

@@ -112,46 +112,35 @@ object Contracts {
         round(stddev_samp(d), 4).as(s"std_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // exact path: the per-column dictionary passes are independent job
-    // chains — run them CONCURRENTLY (Spark schedules jobs from
-    // separate threads fine), so wall time is the widest column's
-    // chain, not the sum of per-job latencies across k columns
+    // exact path (round-17): ALL columns' dictionaries come off ONE
+    // long-format pass over the table (explode to (column, value) rows,
+    // one map-side-combined groupBy) instead of k concurrent per-column
+    // chains — same shuffle bytes, one scan instead of k, ~6 jobs
+    // instead of ~8k (guide §2.4/§1.2: remove passes before tuning them)
     val one = if (!exact) wide else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.{Duration, DurationLong}
       val deadline =
         if (exactTimeoutSec > 0L) exactTimeoutSec.seconds else Duration.Inf
-      // each per-column chain runs under one job group so a timeout can
+      // the batched chain runs under one job group so a timeout can
       // CANCEL the still-running Spark jobs — an Await that walks away
-      // while 50 column chains keep burning the cluster is not a bound
+      // while the chain keeps burning the cluster is not a bound
       val sc = df.sparkSession.sparkContext
       val groupId = s"graft-tableProfile-${System.identityHashCode(df)}-" +
         Thread.currentThread().getId
-      // cancelJobGroup only kills RUNNING jobs: a column future still
-      // queued on the pool when the timeout fires would otherwise start
-      // afterwards and run its whole chain under the dead group id — the
-      // volatile flag makes queued futures bail before launching
-      // anything. clearJobGroup in the finally strips the group-id
-      // thread-locals off the shared pool threads so unrelated later
-      // jobs scheduled from them aren't tagged (or cancelled) by stale
-      // group state.
-      @volatile var cancelled = false
       val stats =
         try Await.result(
-          Future.sequence(cols.map(c => Future {
-            if (cancelled) throw new java.util.concurrent.CancellationException(
-              s"tableProfile exact stats cancelled before start: $c")
+          Future {
             try {
-              sc.setJobGroup(groupId, s"tableProfile exact stats: $c",
+              sc.setJobGroup(groupId, "tableProfile exact stats",
                 interruptOnCancel = true)
-              c -> exactColumnStats(df, c, Seq(0.5, 0.95))
+              exactProfileStats(df, cols, Seq(0.5, 0.95))
             } finally sc.clearJobGroup()
-          })),
-          deadline).toMap
+          },
+          deadline)
         catch {
           case e: java.util.concurrent.TimeoutException =>
-            cancelled = true
             sc.cancelJobGroup(groupId)
             throw e
         }
@@ -206,41 +195,110 @@ object Contracts {
     * None when no non-null-cast rows exist).
     */
   private[graft] def exactColumnStats(df: DataFrame, c: String,
-      ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
-    val dict = df.where(col(c).isNotNull)
-      .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
-    val nd = dict.count()
-    // try_cast, not cast: under ANSI a malformed string must drop out
-    // as null (then be excluded), not throw CAST_INVALID_INPUT
-    val dictD = dict.select(expr("try_cast(_v AS DOUBLE)").as("_d"),
-        col("_c"))
-      .where(col("_d").isNotNull)
-      .groupBy("_d").agg(sum("_c").as("_c"))
-      .localCheckpoint()
-    val n = dictD.agg(coalesce(sum("_c"), lit(0L))).head().getLong(0)
-    if (n == 0L) return (nd, ps.map(_ => None))
-    val cum = PrefixSum.cumulative(dictD, "_d", Seq("_c" -> "_cum"))
-    val positions = ps.map(p => p * (n - 1).toDouble)
-    val ranks = positions
-      .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).distinct
-    // the dict row holding 0-indexed order statistic k: cum−cnt ≤ k < cum
-    val rankLits = array(ranks.map(lit(_)): _*)
-    val hits = cum
-      .select(col("_d"), col("_cum"), col("_c"))
-      .withColumn("_k", explode(filter(rankLits,
-        k => col("_cum") > k && (col("_cum") - col("_c")) <= k)))
-      .select(col("_k"), col("_d")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val vals = positions.map { r =>
-      val (kl, kh) = (math.floor(r).toLong, math.ceil(r).toLong)
-      val lo = hits(kl)
-      if (kh == kl) Some(lo)
-      else {
-        val hi = hits(kh)
-        if (hi == lo) Some(lo) else Some((kh - r) * lo + (r - kl) * hi)
-      }
+      ps: Seq[Double]): (Long, Seq[Option[Double]]) =
+    exactProfileStats(df, Seq(c), ps)(c)
+
+  /** The batched form: every column's (n_distinct, exact percentiles) off
+    * TWO concurrent single-scan chains instead of k per-column chains.
+    *
+    * Percentiles: `explode` stacks the profiled columns into
+    * (column-index, value-as-double) rows — `try_cast`, so malformed
+    * strings drop out as null instead of throwing under ANSI — one
+    * map-side-combined groupBy builds ALL value dictionaries in a single
+    * scan+shuffle, and ONE [[PrefixSum.cumulative]] (partitioned by
+    * column via `byCol`) ranks them together.
+    *
+    * n_distinct: when every profiled column's type casts to double
+    * INJECTIVELY (int and narrower, float/double, boolean, decimal with
+    * ≤ 15 digits — all below 2^53), distinct raw values ≡ distinct
+    * dictionary keys and n_distinct reads off the same dictionary for
+    * free. Otherwise (strings, longs, wide decimals) one separate
+    * `count(DISTINCT col)`-per-column aggregate over RAW values runs
+    * concurrently with the dictionary chain; its Expand multiplies rows
+    * only into map-side partial aggregates — it never rides the returned
+    * frame's plan and never joins a percentile buffer (the round-9
+    * q_profile scale killers).
+    */
+  private[graft] def exactProfileStats(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double]): Map[String, (Long, Seq[Option[Double]])] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.types._
+    def injective(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | FloatType | DoubleType |
+           BooleanType => true
+      case d: DecimalType => d.precision <= 15
+      case _ => false
     }
-    (nd, vals)
+    val schemaByName = df.schema.map(f => f.name -> f.dataType).toMap
+    val allInjective = cols.forall(c =>
+      schemaByName.get(c).exists(injective))
+    val ndFut = if (allInjective) None else Some(Future {
+      val row = df.agg(countDistinct(col(cols.head)),
+        cols.tail.map(c => countDistinct(col(c))): _*).head()
+      cols.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    })
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("_i"),
+        expr(s"try_cast(`$c` AS DOUBLE)").as("_d"))
+    }
+    val dictD = df
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e._i").as("_i"), col("e._d").as("_d"))
+      .where(col("_d").isNotNull)
+      .groupBy("_i", "_d").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // one tiny job: per column, the castable row total the percentile
+    // positions index into + the dictionary row count (≡ n_distinct on
+    // the all-injective path)
+    val nRows = dictD.groupBy("_i")
+      .agg(sum("_c").as("_n"), count(lit(1)).as("_rows")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ns = cols.indices.map(i => nRows.get(i).map(_._1).getOrElse(0L))
+    val dictRows = nRows.values.map(_._2).sum
+    val nds = ndFut match {
+      case Some(f) => Await.result(f, Duration.Inf)
+      case None    => cols.indices.map(i =>
+        nRows.get(i).map(_._2).getOrElse(0L))
+    }
+    // per-column 0-indexed order statistics wanted from the shared
+    // cumulative frame (none for all-null/uncastable columns)
+    val ranksOf = cols.indices.map { i =>
+      if (ns(i) == 0L) Seq.empty[Long]
+      else ps.map(p => p * (ns(i) - 1).toDouble)
+        .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong))
+        .distinct
+    }
+    val hits: Map[(Int, Long), Double] =
+      if (ranksOf.forall(_.isEmpty)) Map.empty
+      else {
+        val cum = PrefixSum.cumulative(dictD, "_d", Seq("_c" -> "_cum"),
+          byCol = Some("_i"), dictRows = Some(dictRows))
+        val rankArr = cols.indices.foldLeft(
+          lit(Array.empty[Long])) { (acc, i) =>
+          when(col("_i") === i, lit(ranksOf(i).toArray)).otherwise(acc)
+        }
+        // the dict row holding order statistic k: cum−cnt ≤ k < cum
+        cum.select(col("_i"), col("_d"), col("_cum"), col("_c"))
+          .withColumn("_k", explode(filter(rankArr,
+            k => col("_cum") > k && (col("_cum") - col("_c")) <= k)))
+          .select(col("_i"), col("_k"), col("_d")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      }
+    cols.zipWithIndex.map { case (c, i) =>
+      val vals =
+        if (ns(i) == 0L) ps.map(_ => None)
+        else ps.map(p => p * (ns(i) - 1).toDouble).map { r =>
+          val (kl, kh) = (math.floor(r).toLong, math.ceil(r).toLong)
+          val lo = hits((i, kl))
+          if (kh == kl) Some(lo)
+          else {
+            val hi = hits((i, kh))
+            if (hi == lo) Some(lo) else Some((kh - r) * lo + (r - kl) * hi)
+          }
+        }
+      c -> (nds(i), vals)
+    }.toMap
   }
 }

@@ -248,7 +248,7 @@ object Curation {
     // feeds bounded joins (spans/resample), where the extra exchange
     // measured as a net loss (ablation r16) — there the internal op-level
     // fans (spanFingerprints etc.) cover the heavy passes.
-    val docs = if (prefix.isEmpty) Par.fanOut(docs0) else docs0
+    val docs = if (prefix.isEmpty) Par.fanOutKernel(docs0) else docs0
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span
@@ -274,19 +274,25 @@ object Curation {
             "built by recipePrefixSemExtend) must match the semDecontam " +
             "argument — the score column is fitted on the LAST covered " +
             "stage's survivors")
-        // the id-sets and fitted scores are CHECKPOINTED here too, not
-        // just in the non-prefix branch: sel(flag)/prefixScored are lazy
-        // views of `p`, so a caller passing an UNMATERIALIZED
-        // recipePrefixDecisions result would otherwise re-execute the
-        // whole gate→dedup→SNM→decontam chain (surprisal fit included —
-        // flagTable doesn't checkpoint it) once per downstream stage
-        // count. For the normal standing-parquet prefix the checkpoint
-        // costs one flag-table scan per stage — decision-sized frames
-        val sel = (f: String) => ids(p.where(col(f)))
+        // ONE checkpoint of the whole decision table (round 17), not six:
+        // the per-stage id-sets and the fitted scores are lazy WHERE
+        // views of this single materialized frame — each stage count
+        // then scans a decision-sized in-memory table instead of paying
+        // its own checkpoint job (6 eager jobs → 1 per variant; the
+        // v5–v9 family invokes this five times per snapshot). A caller
+        // passing an UNMATERIALIZED recipePrefixDecisions result now
+        // executes the gate→dedup→SNM→decontam chain exactly once here
+        // (it previously ran once per flag checkpoint).
         val lastFlag = if (semDecontam.isDefined) "sem" else "dc"
+        val pc = p.select(
+          Seq(col("doc_id"), col("q"), col("ex"), col("nd"), col("dc")) ++
+            (if (semDecontam.isDefined) Seq(col("sem")) else Nil) :+
+            col("avg_surprisal"): _*)
+          .localCheckpoint()
+        val sel = (f: String) => pc.where(col(f)).select("doc_id")
         (sel("q"), sel("ex"), sel("nd"), sel("dc"), sel(lastFlag),
-          Some(p.where(col(lastFlag) && col("avg_surprisal").isNotNull)
-            .select(col("doc_id"), col("avg_surprisal")).localCheckpoint()))
+          Some(pc.where(col(lastFlag) && col("avg_surprisal").isNotNull)
+            .select(col("doc_id"), col("avg_surprisal"))))
       case None =>
         val quality = docs.where(TextAnalysis.curationGate(col("text"),
           lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
@@ -429,7 +435,7 @@ object Curation {
       maxStopword: Double = 0.7, snmThreshold: Double = 0.9,
       contamN: Int = 13): DataFrame = {
     def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
-    val qualityIds = ids(Par.fanOut(docs).where(TextAnalysis.curationGate(col("text"),
+    val qualityIds = ids(Par.fanOutKernel(docs).where(TextAnalysis.curationGate(col("text"),
       lit(minTokens), maxNonAlnum, maxStopword, langLabel = None)))
     val exactIds = ids(dedupSurvivors(
       docs.join(qualityIds, Seq("doc_id"), "left_semi")))

@@ -252,7 +252,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k=$k and w=$w must be >= 1")
-    Par.fanOut(docs)
+    Par.fanOutKernel(docs)
       .select(col(idCol), winnowHashes(col(textCol), k).as("_h"))
       .where(size(col("_h")) > 0)
       .select(col(idCol), explode(winnowSelect(col("_h"), w)).as("fp"))
@@ -417,7 +417,7 @@ object Dedup {
     // there re-runs the tokenize+ngram+md5 chain per position — the
     // exact 12× regression commit ef2ff1e fixed for winnowFingerprints
     // (and this rewrite briefly reintroduced: 31 s vs 2.4 s at sf0.1)
-    val bound = Par.fanOut(docs).select(col(idCol),
+    val bound = Par.fanOutKernel(docs).select(col(idCol),
       winnowHashes(col(textCol), kShort).as("_hs"),
       winnowHashes(col(textCol), kLong).as("_hl"))
     // a doc shorter than k tokens has NO k-grams and its winnowSelect
@@ -562,7 +562,7 @@ object Dedup {
     * ±1 votes → sign. One pass, no shuffle.
     */
   def simHash(docs: DataFrame): DataFrame =
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
       graft.functions.ArrayKernels.simhash64(
         transform(Core.tokensUni(col("text")), tok => xxhash64(tok))).as("simhash"))
 
@@ -790,7 +790,7 @@ object Dedup {
     * 16-byte hashes + ids only — span TEXT never leaves the scan stage.
     */
   def spanFingerprints(docs: DataFrame, spanTokens: Int): DataFrame =
-    Par.fanOut(docs).select(col("doc_id"), Core.tokensUni(col("text")).as("t"))
+    Par.fanOutKernel(docs).select(col("doc_id"), Core.tokensUni(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(spanIndices(col("t"), spanTokens)).as("span_idx"))
       .select(col("doc_id"), col("span_idx"),
@@ -870,7 +870,7 @@ object Dedup {
     * matrix itself is |sources|²-bounded.
     */
   def sourceDupMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
-    val bySrc = Par.fanOut(docs)
+    val bySrc = Par.fanOutKernel(docs)
       .select(col("source"),
         explode(Decontam.ngrams(Core.tokensUni(col("text")), k)).as("g"))
       .groupBy("g", "source").agg(count(lit(1)).as("n"))
@@ -928,7 +928,7 @@ object Dedup {
     require(k >= 2, s"substringScrub: k=$k must be >= 2")
     // corpus-wide first occurrence per gram hash owns it; every other
     // occurrence covers its k token positions
-    val dupPos = substringGrams(Par.fanOut(docs), k)
+    val dupPos = substringGrams(Par.fanOutKernel(docs), k)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
       .where(col("_rn") > 1)

@@ -61,24 +61,35 @@ object Graph {
     // localCheckpoint, not persist: every iteration joins this frame and
     // each join derives null-filters on its keys — with live lineage
     // those push below the projections and can re-run the whole edge
-    // derivation per step (the Similarity.dedupFlagsByBlock lesson)
+    // derivation per step (the Similarity.dedupFlagsByBlock lesson).
+    // (A round-17 attempt to pre-partition this frame by src so each
+    // iteration's join reuses one edge shuffle measured WORSE at sf0.1:
+    // localCheckpoint's LogicalRDD reports UnknownPartitioning, so the
+    // extra up-front exchange + sort bought nothing downstream — kept
+    // out; see OPTIMIZATION_r17.md.)
     val e = edges.join(outdeg, "src")
       .select(col("src"), col("dst"),
         (col("weight").cast("double") / col("outdeg")).as("share"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // src-node set hoisted out of the loop (it was re-derived per
+    // iteration inside the dangling-mass anti-join)
+    val srcNodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = nodes.count().toDouble
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // lazy checkpoints throughout (round 17): each still truncates the
+    // plan — iteration N never replays steps 1..N-1 — but materialization
+    // rides the caller's one action instead of one eager job per step
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(false)
     var it = 0
     while (it < iterations) {
       // dangling mass: rank stranded on nodes with no out-edges is
       // redistributed uniformly (the standard correction; dropping it
       // deflates every rank by the stranded fraction per step)
-      val dang = ranks.join(e.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_anti")
+      val dang = ranks.join(srcNodes, Seq("node"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("m"))
       val contrib = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -90,7 +101,7 @@ object Graph {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("m") / n))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))

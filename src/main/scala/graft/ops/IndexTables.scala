@@ -32,6 +32,20 @@ object IndexTables {
   private val baseDir = sys.env.getOrElse("GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft-index")
 
+  /** Wall seconds this JVM spent actually BUILDING index tables (fresh
+    * builds only — re-registration of a completed on-disk index costs a
+    * footer read and is not counted), and how many builds ran. Bench
+    * reports these (`index_build_sec` / `index_builds`) so the
+    * first-run cost of every standing artifact is visible instead of
+    * amortized silently into whichever query happens to build it
+    * (round-16 verdict #4: the standing-index doctrine must keep its
+    * build price on the books).
+    */
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def buildSeconds: Double = buildNanos.get() / 1e9
+  def buildsRun: Int = buildCount.get()
+
   /** Sanitize arbitrary cache-key parts (e.g. a data directory path) into a
     * valid SQL table identifier, stable across runs. A 4-byte content
     * digest is appended so distinct raw keys whose sanitized forms collide
@@ -122,8 +136,13 @@ object IndexTables {
           s"index build of $name appears to be in progress in another " +
             s"process (marker $marker exists); wait for it to finish, or " +
             "delete the marker if that process died")
+        val t0 = System.nanoTime()
         try build
-        finally { f.delete(marker, false); () }
+        finally {
+          buildNanos.addAndGet(System.nanoTime() - t0)
+          buildCount.incrementAndGet()
+          f.delete(marker, false); ()
+        }
       }
     }
     spark.table(name)

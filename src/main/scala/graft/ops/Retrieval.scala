@@ -836,62 +836,43 @@ object Retrieval {
     require(m > 0, s"mmrRerank: m must be positive, got $m")
     require(lambda >= 0 && lambda <= 1,
       s"mmrRerank: lambda must be in [0, 1], got $lambda")
-    val lam = lit(lambda)
-    val lamBar = lit(1.0 - lambda) // same IEEE op the oracle's (1 - λ) does
     val vecs = vectors.select(col("vec_id").as(idCol),
       col("embedding").cast("array<double>").as("_e"))
       .withColumn("_n", Similarity.l2norm(col("_e")))
       .where(col("_n") > 0)
     val cand = run.select(col(qidCol), col(idCol), col(scoreCol).as("_rel"))
       .join(vecs, idCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = cand.select(col(qidCol), col(idCol).as("_a"),
       col("_e").as("_ea"), col("_n").as("_na"))
     val b = cand.select(col(qidCol), col(idCol).as("_b"),
       col("_e").as("_eb"), col("_n").as("_nb"))
-    val ps = a.join(b, qidCol).where(col("_a") =!= col("_b"))
+    val ps = a.join(broadcast(b), qidCol).where(col("_a") =!= col("_b"))
       .select(col(qidCol), col("_a"), col("_b"),
         round(Similarity.dot(col("_ea"), col("_eb")) /
           (col("_na") * col("_nb")), 4).as("_sim"))
-      .localCheckpoint(true)
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(qidCol).orderBy(col("_rel").desc, col(idCol))
-    var sel = cand
-      .withColumn("_rn", row_number().over(w1)).where(col("_rn") === 1)
-      // empty selected set ⇒ novelty term 0: the first pick scores λ·rel,
-      // the same formula every later step uses
-      .select(col(qidCol), col(idCol), (lam * col("_rel")).as("_mmr"),
-        lit(1L).as("mmr_rank"))
-      .localCheckpoint(true)
-    // running max cosine from each candidate to the selected set
-    var maxsim = ps.join(sel.select(col(qidCol), col(idCol).as("_b")),
-        Seq(qidCol, "_b"))
-      .groupBy(col(qidCol), col("_a")).agg(max(col("_sim")).as("_ms"))
-      .localCheckpoint(true)
-    for (t <- 2 to m) {
-      val remaining = cand.join(sel.select(col(qidCol), col(idCol)),
-        Seq(qidCol, idCol), "left_anti")
-      val wT = org.apache.spark.sql.expressions.Window
-        .partitionBy(qidCol).orderBy(col("_mmr").desc, col(idCol))
-      val pick = remaining
-        .join(maxsim.select(col(qidCol), col("_a").as(idCol), col("_ms")),
-          Seq(qidCol, idCol), "left")
-        .select(col(qidCol), col(idCol),
-          (lam * col("_rel") - lamBar * coalesce(col("_ms"), lit(0.0)))
-            .as("_mmr"))
-        .withColumn("_rn", row_number().over(wT)).where(col("_rn") === 1)
-        .select(col(qidCol), col(idCol), col("_mmr"),
-          lit(t.toLong).as("mmr_rank"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
-      val newSim = ps
-        .join(pick.select(col(qidCol), col(idCol).as("_b")), Seq(qidCol, "_b"))
-        .select(col(qidCol), col("_a"), col("_sim").as("_ms"))
-      maxsim = maxsim.unionByName(newSim)
-        .groupBy(col(qidCol), col("_a")).agg(max(col("_ms")).as("_ms"))
-        .localCheckpoint(true)
-    }
-    sel.select(col(qidCol), col(idCol),
-      round(col("_mmr"), 4).as("mmr_score"), col("mmr_rank"))
+    // round 17: the m-step dataframe loop (2 eager localCheckpoints and
+    // ~5 exchanges PER STEP) is now ONE plan — each query's bounded
+    // candidate set and pair-cosine grid collect_list into a single row
+    // and graft.functions.ArrayKernels.mmr_greedy runs the whole greedy
+    // selection per row (order-insensitive; identical λ-algebra and
+    // (mmr desc, id asc) tie order). Two aggregations + one broadcast
+    // join, everything (queries × k)-sized.
+    val candAgg = cand.groupBy(col(qidCol))
+      .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+        col("_rel").cast("double").as("rel"))).as("_cs"))
+    val simAgg = ps.groupBy(col(qidCol))
+      .agg(collect_list(struct(col("_a").cast("long").as("a"),
+        col("_b").cast("long").as("b"), col("_sim").as("s"))).as("_ss"))
+    val emptySims =
+      expr("CAST(array() AS array<struct<a:bigint,b:bigint,s:double>>)")
+    candAgg.join(broadcast(simAgg), Seq(qidCol), "left")
+      .select(col(qidCol),
+        explode(graft.functions.ArrayKernels.mmr_greedy(col("_cs"),
+          coalesce(col("_ss"), emptySims), m, lambda)).as("_r"))
+      .select(col(qidCol), col("_r.id").as(idCol),
+        round(col("_r.mmr"), 4).as("mmr_score"),
+        col("_r.rank").as("mmr_rank"))
   }
 
   def rrfFuse(runs: Seq[DataFrame], topK: Int, kParam: Int = 60,

@@ -1540,7 +1540,7 @@ object Similarity {
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 5,
       sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
     require(m >= 1 && k >= 1, s"pqTrain: bad m=$m k=$k")
-    val sample = unitVecs(Par.fanOut(emb), "vec_id", "e")
+    val sample = unitVecs(Par.fanOutKernel(emb), "vec_id", "e")
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(sampleSize)
       .select("e").collect()
@@ -1608,7 +1608,7 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame =
-    withPqCodes(unitVecs(Par.fanOut(emb), "vec_id", "_e"), "_e", codebooks, "codes")
+    withPqCodes(unitVecs(Par.fanOutKernel(emb), "vec_id", "_e"), "_e", codebooks, "codes")
       .select(col("vec_id"), col("codes"))
 
   /** Append `as` = the per-subspace argmin-codeword array for `vecCol` —
@@ -2049,7 +2049,7 @@ object Similarity {
   def momentSums(emb: DataFrame, dim: Int): DataFrame = {
     require(dim > 0 && dim <= 512,
       s"covariance: dim must be in [1, 512], got $dim")
-    val base = Par.fanOut(emb).select(asDouble(col("embedding")).as("e"))
+    val base = Par.fanOutKernel(emb).select(asDouble(col("embedding")).as("e"))
       .where(size(col("e")) === dim)
     val arr = concat(
       flatten(transform(col("e"), x => transform(col("e"), y => x * y))),

@@ -28,7 +28,7 @@ object TextAnalysis {
     * tokenization per Core.tokens.
     */
   def tokenStats(docs: DataFrame): DataFrame =
-    Par.fanOut(docs).select(col("lang"), size(toks(col("text"))).as("n_tokens"))
+    Par.fanOutKernel(docs).select(col("lang"), size(toks(col("text"))).as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -44,7 +44,7 @@ object TextAnalysis {
     * aggregation.
     */
   def tokenLengthHistogram(docs: DataFrame): DataFrame =
-    Par.fanOut(docs).select(coalesce(size(toks(col("text"))), lit(0)).as("n"))
+    Par.fanOutKernel(docs).select(coalesce(size(toks(col("text"))), lit(0)).as("n"))
       .select(when(col("n") === 0, lit(-1))
         .otherwise(length(bin(col("n").cast("long"))) - 1)
         .cast("int").as("bucket"), col("n"))
@@ -63,7 +63,7 @@ object TextAnalysis {
     */
   def heavyHitters(docs: DataFrame, phi: Double): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
-    val counts = Par.fanOut(docs)
+    val counts = Par.fanOutKernel(docs)
       .select(explode(Core.tokensUni(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     // the total comes from a per-document size() sum — a scan-stage
@@ -89,7 +89,7 @@ object TextAnalysis {
       Seq("the", "a", "of", "and", "to", "in", "is", "on")): DataFrame = {
     val t = toks(col("text"))
     val stops = array(stopwords.map(lit): _*)
-    Par.fanOut(docs).select(
+    Par.fanOutKernel(docs).select(
       col("doc_id"),
       size(t).as("n_tokens"),
       round(
@@ -151,7 +151,7 @@ object TextAnalysis {
       Seq("the", "a", "of", "and", "to", "in", "is", "on")): DataFrame = {
     val keepT = QUALITY_W._6
     val score = sigmoid(qualityLogit(col("text"), stopwords))
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
       round(score, 4).as("quality_score"),
       (score >= keepT).cast("int").as("keep"))
   }
@@ -245,7 +245,7 @@ object TextAnalysis {
   def qualityFitScore(docs: DataFrame, iterations: Int = 3,
       lr: Double = 0.5, labelMinChars: Int = 300): DataFrame = {
     def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
-    val raw = qualityTrainingFrame(Par.fanOut(docs), labelMinChars).localCheckpoint()
+    val raw = qualityTrainingFrame(Par.fanOutKernel(docs), labelMinChars).localCheckpoint()
     val cols = Seq("f0", "f1", "f2", "f3")
     val statAggs = cols.flatMap(c =>
       Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c")))
@@ -314,7 +314,7 @@ object TextAnalysis {
       s"keepFrac must be in (0,1], got $keepFrac")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol)).orderBy(col("_z"))
-    Par.fanOut(docs)
+    Par.fanOutKernel(docs)
       .select(col("doc_id"), col(strataCol),
         qualityLogit(col("text")).as("_z"))
       .withColumn("_cd", cume_dist().over(w))
@@ -464,7 +464,7 @@ object TextAnalysis {
   }
 
   def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    Par.fanOut(docs).select(col("doc_id") +: carry.map(col) :+
+    Par.fanOutKernel(docs).select(col("doc_id") +: carry.map(col) :+
       predLang(col("text")).as("pred_lang"): _*)
 
   /** Language-ID quality report: predicted vs labeled confusion counts —
@@ -1186,7 +1186,7 @@ object TextAnalysis {
     val pieces = transform(bpeTokens(col("text")),
       w => graft.functions.ArrayKernels.unigram_viterbi(
         w, model.map(_._1), model.map(_._2), unkLogp))
-    Par.fanOut(docs).select(col("doc_id"), pieces.as("_p"))
+    Par.fanOutKernel(docs).select(col("doc_id"), pieces.as("_p"))
       .select(col("doc_id"),
         size(col("_p")).as("n_words"),
         coalesce(aggregate(col("_p"), lit(0),
@@ -1211,7 +1211,7 @@ object TextAnalysis {
     // kernel pass (fields ntok/t1c/d3i) — the O(L·distinct)
     // interpreted filter-count lambdas are gone, and the per-doc cost
     // is the kernel's hashed O(L)
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
         graft.functions.ArrayKernels.gopher_rep_stats(
           coalesce(toks(col("text")), emptyS), emptyS, emptyS,
           lite = true).as("_s"))
@@ -1235,7 +1235,7 @@ object TextAnalysis {
     * agree via inner-join semantics).
     */
   def surprisalScores(docs: DataFrame): DataFrame = {
-    val terms = Par.fanOut(docs).select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val terms = Par.fanOutKernel(docs).select(col("doc_id"), explode(toks(col("text"))).as("word"))
     val tf = terms.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum("cnt").cast("double").as("n_total"))
     // tf dictionary join left UNHINTED for the same reason as the tfidf df
@@ -1266,7 +1266,7 @@ object TextAnalysis {
     */
   def surprisalScoresSketch(docs: DataFrame, depth: Int = 4,
       width: Int = 256): DataFrame = {
-    val terms = Par.fanOut(docs).select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val terms = Par.fanOutKernel(docs).select(col("doc_id"), explode(toks(col("text"))).as("word"))
     surprisalApplySketch(docs,
       CountMin.sketch(terms, "word", depth, width),
       terms.agg(count(lit(1)).cast("double").as("n_total")), depth, width)
@@ -1399,7 +1399,7 @@ object TextAnalysis {
     * once per document).
     */
   def compressionScores(docs: DataFrame): DataFrame =
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
       round(graft.functions.ArrayKernels.deflate_ratio(col("text")), 4)
         .as("deflate_ratio"))
 
@@ -1474,7 +1474,7 @@ object TextAnalysis {
     */
   def hashEmbedLong(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
         explode(graft.functions.ArrayKernels.hash_embed_entries(
           toks(col("text")), dim)).as("_e"))
       .select(col("doc_id"), col("_e.dim_idx").as("dim_idx"),
@@ -1491,7 +1491,7 @@ object TextAnalysis {
     */
   def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    Par.fanOut(docs).select(col("doc_id").as("vec_id"), toks(col("text")).as("_t"))
+    Par.fanOutKernel(docs).select(col("doc_id").as("vec_id"), toks(col("text")).as("_t"))
       .where(size(col("_t")) > 0)
       .select(col("vec_id"),
         graft.functions.ArrayKernels.hash_embed_dense(col("_t"), dim)
@@ -1555,7 +1555,7 @@ object TextAnalysis {
     val dim = logRatios.length
     val lrLit = array(logRatios.toIndexedSeq.map(lit): _*)
     val t = toks(col("text"))
-    Par.fanOut(docs).select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+    Par.fanOutKernel(docs).select(col("doc_id"), size(t).cast("long").as("n_tokens"),
       round(aggregate(
         graft.functions.ArrayKernels.hash_count_entries(t, dim), lit(0.0),
         (acc, e) => acc + e.getField("value") *
@@ -1581,7 +1581,7 @@ object TextAnalysis {
       alpha: Double = 1.0): Seq[(String, Double, Array[Double])] = {
     require(dim > 0, s"nbFit: dim must be positive, got $dim")
     require(alpha > 0, s"nbFit: alpha must be positive, got $alpha")
-    val labeled = Par.fanOut(docs).where(col(labelCol).isNotNull)
+    val labeled = Par.fanOutKernel(docs).where(col(labelCol).isNotNull)
     val counts = labeled.select(col(labelCol).as("_y"),
         explode(graft.functions.ArrayKernels.hash_count_entries(
           toks(col("text")), dim)).as("_e"))
@@ -1620,7 +1620,7 @@ object TextAnalysis {
     val dim = model.head._3.length
     require(model.forall(_._3.length == dim), "nbPredict: ragged model")
     val labelsLit = array(model.map(m => lit(m._1)): _*)
-    val withEntries = Par.fanOut(docs).select(col("doc_id") +: carry.map(col) :+
+    val withEntries = Par.fanOutKernel(docs).select(col("doc_id") +: carry.map(col) :+
       graft.functions.ArrayKernels.hash_count_entries(
         toks(col("text")), dim).as("_e"): _*)
     val scores = model.map { case (_, pri, lp) =>
@@ -1695,7 +1695,7 @@ object TextAnalysis {
     val text = coalesce(col("text"), lit(""))
     def classCount(re: String): Column =
       (length(text) - length(regexp_replace(text, re, ""))).cast("long")
-    val a = Par.fanOut(docs).select(col("doc_id"),
+    val a = Par.fanOutKernel(docs).select(col("doc_id"),
       length(text).cast("long").as("_len"),
       classCount("\\p{IsLatin}").as("n_latin"),
       classCount("\\p{IsHan}").as("n_han"),
@@ -2574,7 +2574,7 @@ object TextAnalysis {
         "that", "have", "with")): DataFrame = {
     val ws = filter(split(col("text"), WS_RUN_RE), w => w =!= "")
     val lines = split(col("text"), "\n")
-    val base = Par.fanOut(docs).select(col("doc_id"),
+    val base = Par.fanOutKernel(docs).select(col("doc_id"),
       size(ws).cast("long").as("n_words"),
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("_sumlen"),
       // symbols: '#', the one-char ellipsis, and '...' (each '...' run
@@ -2636,7 +2636,7 @@ object TextAnalysis {
       entropyBits: Double = 3.0): DataFrame = {
     require(minLen >= 4, s"secretScan: minLen must be >= 4, got $minLen")
     val candRe = s"[A-Za-z0-9+/=_\\-]{$minLen,}"
-    Par.fanOut(docs).select(col("doc_id"),
+    Par.fanOutKernel(docs).select(col("doc_id"),
         explode(array_distinct(
           regexp_extract_all(col("text"), lit(candRe), lit(0))))
           .as("candidate"))
@@ -2710,7 +2710,7 @@ object TextAnalysis {
     * fingerprints plus per-task partials shuffle, now keyed by source.
     */
   def dataCard(docs: DataFrame): DataFrame =
-    Par.fanOut(docs).select(col("source"), col("lang"), col("n_chars"),
+    Par.fanOutKernel(docs).select(col("source"), col("lang"), col("n_chars"),
         greatest(size(Core.tokensUni(col("text"))), lit(0)).cast("long").as("_n"),
         fingerprint(col("text")).as("_fp"))
       .groupBy("source")
@@ -2742,7 +2742,7 @@ object TextAnalysis {
   def corpusReport(docs: DataFrame,
       keepThreshold: Double = QUALITY_W._6): DataFrame = {
     val t = toks(col("text"))
-    Par.fanOut(docs).select(
+    Par.fanOutKernel(docs).select(
         greatest(size(t), lit(0)).cast("long").as("_n"),
         fingerprint(col("text")).as("_fp"),
         sigmoid(qualityLogit(col("text"))).as("_q"),
@@ -3133,7 +3133,7 @@ object TextAnalysis {
     // inside interpreted HOF bodies (the spanDedup lesson) — O(len²)
     // tokenization that read 42.8 s at the 50k stress vs ~6 s fixed
     val t = col("_t")
-    val pairs = Par.fanOut(docs).select(toks(col("text")).as("_t"))
+    val pairs = Par.fanOutKernel(docs).select(toks(col("text")).as("_t"))
       .select(explode(filter(
         transform(t, (_, i) =>
           when(i + 2 <= size(t),
@@ -3807,7 +3807,7 @@ object TextAnalysis {
     */
   def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
     require(topN >= 2, s"zipfFit: topN must be >= 2, got $topN")
-    val counts = Par.fanOut(docs).select(explode(toks(col("text"))).as("word"))
+    val counts = Par.fanOutKernel(docs).select(explode(toks(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(topN)
     counts.coalesce(1).sortWithinPartitions(col("c").desc, col("word"))
@@ -3841,7 +3841,7 @@ object TextAnalysis {
     // _t materialized before the lambdas — the pmiCollocations /
     // spanDedup per-element re-tokenization trap
     val t = col("_t")
-    val toked = Par.fanOut(docs).select(col("source"), toks(col("text")).as("_t"))
+    val toked = Par.fanOutKernel(docs).select(col("source"), toks(col("text")).as("_t"))
     ns.map { n =>
       val grams =
         if (n == 1) t
