@@ -273,14 +273,77 @@ object Contracts {
     val hits: Map[(Int, Long), Double] =
       if (ranksOf.forall(_.isEmpty)) Map.empty
       else {
-        val cum = PrefixSum.cumulative(dictD, "_d", Seq("_c" -> "_cum"),
-          byCol = Some("_i"), dictRows = Some(dictRows))
+        // Round 17 (guide §1.2/§2.3): rank-TARGETED order statistics
+        // instead of the full PrefixSum.cumulative — the profiler throws
+        // away all but ~4 rows per column of the global running sum, so
+        // windowing the whole dictionary (583k rows for a near-all-
+        // distinct column at sf0.1) was pure waste. Same bucket algebra:
+        // monotone range buckets from a percentile sketch (bounds only
+        // BALANCE buckets — exactness never depends on them, hence the
+        // lighter accuracy), exact per-bucket mass collected to driver
+        // offsets, then the within-bucket running sum runs ONLY over the
+        // buckets that contain a wanted rank (≤ ranks-per-column buckets
+        // of ~dictRows/parts rows each, instead of the whole dictionary).
+        import org.apache.spark.sql.expressions.Window
+        val nParts = PrefixSum.parts(dictRows)
+        val probs = (1 until nParts).map(_.toDouble / nParts)
+        val accuracy = math.max(1000, nParts * 4)
+        val pct = percentile_approx(col("_d"), lit(probs.toArray),
+          lit(accuracy)).as("b")
+        val perGroup: Map[Int, Array[Double]] =
+          dictD.groupBy(col("_i")).agg(pct).collect().map { r =>
+            r.getInt(0) -> (if (r.isNullAt(1)) Array.empty[Double]
+              else r.getSeq[Double](1).distinct.sorted.toArray)
+          }.toMap
+        val boundsCol = perGroup.foldLeft(lit(Array.empty[Double])) {
+          case (acc, (g, bs)) => when(col("_i") === g, lit(bs)).otherwise(acc)
+        }
+        // bucket(s) = #{bound < s}: monotone in the key, so offset +
+        // within-bucket running sum ≡ the global cumulative sum exactly
+        val parted = dictD.withColumn("_part",
+          size(filter(boundsCol, b => b < col("_d"))))
+        val mass: Map[(Int, Int), Double] = parted
+          .groupBy(col("_i"), col("_part"))
+          .agg(sum(col("_c").cast("double")).as("_t")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        val offsets: Map[(Int, Int), Double] = perGroup.flatMap {
+          case (i, bs) =>
+            var acc = 0.0
+            (0 to bs.length).map { b =>
+              val o = (i, b) -> acc
+              acc += mass.getOrElse((i, b), 0.0)
+              o
+            }
+        }
+        // the one bucket holding order statistic k of column i:
+        // offset ≤ k < offset + mass (exists and is unique since k < nᵢ)
+        val wanted: Set[(Int, Int)] = ranksOf.zipWithIndex.flatMap {
+          case (ks, i) =>
+            val bs = perGroup.getOrElse(i, Array.empty[Double])
+            ks.map { k =>
+              (0 to bs.length).find { b =>
+                offsets((i, b)) <= k.toDouble &&
+                  offsets((i, b)) + mass.getOrElse((i, b), 0.0) > k.toDouble
+              }.map(b => (i, b)).getOrElse((i, 0))
+            }
+        }.toSet
+        val offCol = wanted.foldLeft(lit(0.0)) { case (acc, (i, b)) =>
+          when(col("_i") === i && col("_part") === b,
+            lit(offsets((i, b)))).otherwise(acc)
+        }
+        val inWanted = wanted.foldLeft(lit(false)) { case (acc, (i, b)) =>
+          acc || (col("_i") === i && col("_part") === b)
+        }
         val rankArr = cols.indices.foldLeft(
           lit(Array.empty[Long])) { (acc, i) =>
           when(col("_i") === i, lit(ranksOf(i).toArray)).otherwise(acc)
         }
+        val w = Window.partitionBy(col("_i"), col("_part")).orderBy(col("_d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // the dict row holding order statistic k: cum−cnt ≤ k < cum
-        cum.select(col("_i"), col("_d"), col("_cum"), col("_c"))
+        parted.where(inWanted)
+          .withColumn("_cum",
+            offCol + sum(col("_c").cast("double")).over(w))
           .withColumn("_k", explode(filter(rankArr,
             k => col("_cum") > k && (col("_cum") - col("_c")) <= k)))
           .select(col("_i"), col("_k"), col("_d")).collect()

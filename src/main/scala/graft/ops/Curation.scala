@@ -243,12 +243,17 @@ object Curation {
     // fan ONCE at entry, but only when the recipe COMPUTES its stages from
     // the corpus (no prefix): there every stage re-scans `docs` with a
     // heavy row-pure kernel (gate, fingerprints, SNM tokens, decontam
-    // grams, surprisal) — measured −1.5 s on v3 at sf0.1. With a standing
-    // prefix table the shared stages are flag scans of `p` and `docs` only
-    // feeds bounded joins (spans/resample), where the extra exchange
-    // measured as a net loss (ablation r16) — there the internal op-level
-    // fans (spanFingerprints etc.) cover the heavy passes.
-    val docs = if (prefix.isEmpty) Par.fanOutKernel(docs0) else docs0
+    // grams, surprisal). With a standing prefix table the shared stages
+    // are flag scans of `p` and `docs` only feeds bounded joins
+    // (spans/resample), where the extra exchange measured as a net loss
+    // (ablation r16) — there the internal op-level fans
+    // (spanFingerprints etc.) cover the heavy passes. Round 17: the
+    // FLOORED fan, not the kernel fan — after the one-checkpoint decision
+    // table landed, the r16 "−1.5 s on v3" flipped to +0.73 s under the
+    // 5-pass warm ablation (the six stage scans each pay the 32-way
+    // exchange's task tax on a sub-MB local table); the floor keeps the
+    // fan for a genuinely large starved corpus scan.
+    val docs = if (prefix.isEmpty) Par.fanOut(docs0) else docs0
     // Each stage's DECISION is materialized as an id-only set
     // (localCheckpoint): six stage counts over a lazily-shared plan would
     // otherwise recompute the whole upstream chain per count — the span

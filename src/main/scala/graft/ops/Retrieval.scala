@@ -211,15 +211,24 @@ object Retrieval {
     * row (n_docs, avgdl). Scores aggregate per `keyCols` — (doc) for the
     * single-query paths, (query, doc) for batch serving.
     */
-  private def scoreBm25(tp: DataFrame, dfs: DataFrame, stats: DataFrame,
-      k1: Double, b: Double, keyCols: Seq[String]): DataFrame = {
+  /** The ONE Robertson weight expression every scorer shares: evaluated
+    * over a frame carrying (tf, dl, df, n_docs, avgdl). Kept as a single
+    * definition so per-posting and per-candidate evaluation produce the
+    * identical expression tree ⇒ identical doubles ⇒ identical hashes.
+    */
+  private def bm25Weight(k1: Double, b: Double): Column = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    idf * tfNorm
+  }
+
+  private def scoreBm25(tp: DataFrame, dfs: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, keyCols: Seq[String]): DataFrame = {
     tp.join(broadcast(dfs), "token")
       .crossJoin(broadcast(stats))
-      .select(keyCols.map(col) :+ (idf * tfNorm).as("s"): _*)
+      .select(keyCols.map(col) :+ bm25Weight(k1, b).as("s"): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))
   }
@@ -285,8 +294,19 @@ object Retrieval {
         tp0.join(broadcast(dfs.where(col("df") <= cap).select("token")),
           Seq("token"), "left_semi")
     }
-    scoreBm25(tp.join(broadcast(qt), "token"), dfs, stats,
-      k1, b, Seq(qidCol, idCol))
+    // Round 17 (guide §2.3 — shuffle fewer bytes, compute on the proxy):
+    // the Robertson weight is query-INDEPENDENT, so evaluate it once per
+    // matched POSTING row (≈ Σ df(term) rows) instead of once per
+    // (query, posting) candidate (≈ queries × that — 116k vs 3.6M rows at
+    // sf0.1 for the known-item batch): same [[bm25Weight]] expression
+    // tree over the same inputs ⇒ bit-identical s per candidate, and the
+    // candidate join now carries only (token, qid, id, s).
+    val tpw = tp.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col(idCol), bm25Weight(k1, b).as("s"))
+    tpw.join(broadcast(qt), "token")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))
   }
 
   /** Lexical hard negatives for retriever/embedder training: per query

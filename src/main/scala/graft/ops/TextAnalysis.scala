@@ -857,8 +857,9 @@ object TextAnalysis {
     * (PropertySpec), the q_pii_scrub/q_fim convention.
     */
   def bpeLearn(docs: DataFrame, nMerges: Int, minFreq: Long = 2L,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, batchTopN: Int = 64): DataFrame = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(batchTopN >= 1, s"batchTopN must be >= 1, got $batchTopN")
     val spark = docs.sparkSession
     var dict = docs
       .select(explode(bpeTokens(col("text"))).as("word"))
@@ -871,6 +872,23 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
+    // Round 17 (guide §5, driver round-trips): one pair-count JOB per merge
+    // becomes one job per BATCH of merges. Each job collects the top
+    // `batchTopN` pairs; merges keep being accepted off that snapshot while
+    // provably identical to the sequential argmax. Soundness: merging
+    // p=(l,r)→lr only changes counts of pairs touching {l, r, lr} — old
+    // pairs monotonically DECREASE (a merge consumes adjacencies, and a new
+    // adjacency always involves lr), and every NEW pair (x,lr)/(lr,y) is
+    // bounded by the snapshot count of its parent (x,l)/(r,y), which itself
+    // touches the affected set. So the best listed pair whose symbols are
+    // untouched still has its EXACT snapshot count, and it is the true
+    // global argmax whenever that count strictly exceeds every stale bound:
+    // listed pairs touching the affected set, and the last listed count for
+    // anything unlisted (strict >, because an equal-count unknown could win
+    // the (cnt desc, l asc, r asc) tie-break). The merged pair itself
+    // leaves the board: a left-to-right merge pass leaves no (l,r)
+    // adjacency behind. Parity stays locked by the PropertySpec sequential
+    // reference; the merge list (and each cnt-at-selection) is unchanged.
     while (rank <= nMerges && !done) {
       val top = dict
         .where(size(col("syms")) >= 2)
@@ -881,15 +899,48 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(batchTopN).collect()
       if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((rank, l, r, top(0).getLong(2)))
-        dict = dict.withColumn("syms",
-          graft.functions.ArrayKernels.bpe_merge_pair(col("syms"), l, r))
-        if (rank % checkpointEvery == 0) dict = dict.localCheckpoint()
-        rank += 1
+        // pairs not in the snapshot can never currently exceed this
+        val unlistedBound = if (top.length == batchTopN) top.last.getLong(2) else 0L
+        val affected = scala.collection.mutable.Set.empty[String]
+        val acceptedIdx = scala.collection.mutable.Set.empty[Int]
+        var snapshotLive = true
+        while (snapshotLive && rank <= nMerges && !done) {
+          // best listed pair whose symbols the snapshot still prices exactly
+          var j = 0
+          while (j < top.length && (acceptedIdx(j) ||
+              affected(top(j).getString(0)) || affected(top(j).getString(1))))
+            j += 1
+          if (j >= top.length) snapshotLive = false
+          else {
+            val (l, r, c) =
+              (top(j).getString(0), top(j).getString(1), top(j).getLong(2))
+            // stale upper bound on every pair whose count the snapshot no
+            // longer prices exactly (touches affected, or unlisted)
+            var bound = unlistedBound
+            var k = 0
+            while (k < top.length) {
+              if (!acceptedIdx(k) &&
+                  (affected(top(k).getString(0)) || affected(top(k).getString(1))) &&
+                  top(k).getLong(2) > bound)
+                bound = top(k).getLong(2)
+              k += 1
+            }
+            if (affected.nonEmpty && c <= bound) snapshotLive = false
+            else if (c < minFreq) done = true
+            else {
+              merges += ((rank, l, r, c))
+              acceptedIdx += j
+              affected += l; affected += r; affected += (l + r)
+              dict = dict.withColumn("syms",
+                graft.functions.ArrayKernels.bpe_merge_pair(col("syms"), l, r))
+              if (rank % checkpointEvery == 0) dict = dict.localCheckpoint()
+              rank += 1
+            }
+          }
+        }
       }
     }
     import spark.implicits._
@@ -1489,9 +1540,17 @@ object TextAnalysis {
     * documents emit nothing (they must not enter the similarity stack as
     * all-zero vectors).
     */
-  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+      kernelFan: Boolean = true): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    Par.fanOutKernel(docs).select(col("doc_id").as("vec_id"), toks(col("text")).as("_t"))
+    // kernelFan = false is the INCREMENT-probe shape
+    // ([[semanticDedupTextApply]]): the frame is a fraction of the corpus
+    // that immediately joins the bucketed standing index, where downstream
+    // parallelism comes from that join's exchange and the unguarded fan
+    // measured +0.23 s at sf0.1 (r17 ablation); the floored form still
+    // fans a genuinely large starved increment.
+    val fanned = if (kernelFan) Par.fanOutKernel(docs) else Par.fanOut(docs)
+    fanned.select(col("doc_id").as("vec_id"), toks(col("text")).as("_t"))
       .where(size(col("_t")) > 0)
       .select(col("vec_id"),
         graft.functions.ArrayKernels.hash_embed_dense(col("_t"), dim)
@@ -2677,7 +2736,8 @@ object TextAnalysis {
   def semanticDedupTextApply(incDocs: DataFrame, index: DataFrame,
       dim: Int = 64, minCos: Double = 0.9, maxBlock: Int = 1024): DataFrame =
     Similarity.semanticDedupFlagsApply(index,
-      Similarity.argmaxBlocked(hashEmbed(incDocs, dim)), minCos, maxBlock)
+      Similarity.argmaxBlocked(
+        hashEmbed(incDocs, dim, kernelFan = false)), minCos, maxBlock)
 
   /** Streaming twin of [[semanticDedupTextApply]]: a STREAM of documents
     * is flagged against the standing index, one micro-batch per
