@@ -1371,7 +1371,11 @@ object SparkEntry {
     // so DuckDB replays build + probe exactly)
     "q_cms" -> ((s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      // round 17b: kernel fan — the sketch's md5-per-token bucket family
+      // plus the tokenize ran as ONE 1.19 s task on the unsplit local
+      // scan (1185ms/1t of a 1.51 s query); cell counts are integers, so
+      // the map-side combine is placement-independent
+      val toks = ops.Par.fanOutKernel(Tables.documents(s, d))
         .select(explode(Core.tokensUni(col("text"))).as("token"))
       val sk = CountMin.sketch(toks, "token", depth = 4, width = 64)
       val probes = Seq("the", "a", "table", "spark", "window", "query",

@@ -243,6 +243,13 @@ object Contracts {
       struct(lit(i).as("_i"),
         expr(s"try_cast(`$c` AS DOUBLE)").as("_d"))
     }
+    // round 17b measured-and-rejected (guide §1): fanning this explode
+    // (kernel fan on the pre-projected 4 columns) ablated +0.49 s, and
+    // fanning the wide aggregate too +1.65 s — the 600k-row exchange
+    // (with round-robin's local sort) costs more than the 5-split scan
+    // stage it parallelizes, because the near-all-distinct dictionary
+    // gives the partial aggregate nothing to combine either way. Left on
+    // the scan splits.
     val dictD = df
       .select(explode(array(entries: _*)).as("e"))
       .select(col("e._i").as("_i"), col("e._d").as("_d"))

@@ -547,6 +547,11 @@ object Curation {
     */
   private def cleanedIncrement(docs: DataFrame, lineIndex: DataFrame,
       minDocs: Int): DataFrame =
+    // round 17b measured-and-rejected (guide §1): spreading this
+    // AQE-coalesced checkpoint across cores for its five per-row
+    // consumers ablated +0.38 s on q_ingest_gate / +0.39 s on
+    // q_ingest_report — each consumer re-pays the spread's exchange and
+    // none of the per-row work is heavy enough to amortize it.
     Scrub.scrubPii(Dedup.boilerplateScrubApply(docs, lineIndex, minDocs))
       .localCheckpoint()
 

@@ -92,6 +92,27 @@ object Par {
     */
   def fanOutKernel(df: DataFrame): DataFrame = fan(df, floored = false)
 
+  /** Post-materialization spread (round 17b): a `localCheckpoint`ed
+    * decision-sized frame inherits its parent's FINAL partitioning, which
+    * under AQE's small-data coalescing is often ONE partition locally —
+    * and [[fanOut]]'s plan probe cannot see that (the plan carries a
+    * shuffle, so it is "not starved" in the §2.5 sense; the starvation
+    * only exists in the materialized RDD). When such a frame feeds
+    * row-AMPLIFYING work (a replicas× explode, a per-row kernel grid),
+    * that work runs single-task. This helper reads the materialized
+    * partition count (metadata — the frame is already an RDD, no job)
+    * and spreads only when starved; at scale a checkpointed frame is
+    * already wide and this is the identity. Use ONLY downstream of a
+    * checkpoint and only above row-pure work — same placement caveats
+    * as [[fanOut]].
+    */
+  def spreadCheckpointed(df: DataFrame): DataFrame = {
+    if (!enabled || forceOff) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (cores <= 1) return df
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   private def fan(df: DataFrame, floored: Boolean): DataFrame = {
     if (!enabled || forceOff) return df
     // streaming frames: micro-batch partitioning is the source's business

@@ -304,6 +304,11 @@ object Retrieval {
     val tpw = tp.join(broadcast(dfs), "token")
       .crossJoin(broadcast(stats))
       .select(col("token"), col(idCol), bm25Weight(k1, b).as("s"))
+    // Round 17b measured-and-rejected (guide §1): fanning tpw past the
+    // 8-bucket scan pin (fanOutKernel) ablated +0.31 s on q_bm25_batch,
+    // +0.77 s on q_rm3, +1.7 s family-wide — the round-robin exchange of
+    // the matched postings costs more than the bucket-pinned candidate
+    // stage saves at this scale. Left on the bucket partitioning.
     tpw.join(broadcast(qt), "token")
       .groupBy(col(qidCol), col(idCol))
       .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))

@@ -1357,6 +1357,10 @@ object TextAnalysis {
     */
   private def bigramPairs(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
+    // round 17b measured-and-rejected (guide §1): a kernel fan here
+    // ablated +0.12 s on q_lm_ppl and +0.29 s on q_dsir_mix — the
+    // tokenize + self-zip explode is too cheap per row to pay for the
+    // exchange (the r16 floor lesson).
     docs
       .select(col("doc_id"), t.as("_t"))
       .where(size(col("_t")) >= 2)
@@ -2575,7 +2579,13 @@ object TextAnalysis {
     val key = concat(lit(salt), lit("|"), col("_id"), lit("|"),
       col("_r").cast("string"))
     val flip = conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 2
-    val deltas = base
+    // round 17b: AQE coalesces the checkpoint to ONE partition locally,
+    // so the replicas×n explode + md5 sign coins (the expensive job) ran
+    // single-task (1243ms/1t of a 1.79 s query). Spread the materialized
+    // frame for the REPLICA path only — the observed aggregate stays on
+    // `base`, so delta_obs is bit-identical; per-replica sums q6-round
+    // before the comparison (oracle-gated green at all three SFs).
+    val deltas = Par.spreadCheckpointed(base)
       .select(col("_id"), col("_d"),
         explode(sequence(lit(0), lit(replicas - 1))).as("_r"))
       .select(col("_r"),
@@ -4025,8 +4035,13 @@ object TextAnalysis {
     // pass (GopherRepStats) — the former 15-stage interpreted HOF
     // pipeline (9 per-doc sorts, array_contains probes, O(L·n)
     // coverage lambdas) is gone; the fraction/flag algebra below is
-    // unchanged and reads the kernel's struct fields
-    val a = docs.select(col("doc_id"),
+    // unchanged and reads the kernel's struct fields.
+    // round 17b: kernel fan — the structural half (gopherRules) fanned in
+    // r16 but this half was missed; q_gopher_rep ran its whole
+    // HashMap-gram kernel as ONE 1.57 s task on the unsplit local scan
+    // (job profile: 1567ms/1t of a 1.78 s query). Per-row output, so
+    // row placement is free to change.
+    val a = Par.fanOutKernel(docs).select(col("doc_id"),
       graft.functions.ArrayKernels.gopher_rep_stats(
         coalesce(toks(col("text")), emptyS),
         trimmedParts("\\r?\\n"),
