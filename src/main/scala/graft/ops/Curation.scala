@@ -35,6 +35,10 @@ object Curation {
     */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
       maxNonAlnum: Double = 0.35, maxStopword: Double = 0.7): DataFrame =
+    // round 17b measured-and-rejected (guide §1): a kernel fan before the
+    // gate ablated +0.49 s (v2: +0.47) despite the double evaluation of
+    // `passed` — the gate ladder is still too cheap per row for two
+    // 32-way exchanges of the doc text.
     dedupSurvivors(docs.where(TextAnalysis.curationGate(col("text"),
       lit(minTokens), maxNonAlnum, maxStopword, langLabel = None)))
 

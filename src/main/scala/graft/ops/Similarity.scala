@@ -1864,7 +1864,13 @@ object Similarity {
     val p = broadcast(unitVecs(probes, "q_id", "q_e"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    unitVecs(Par.fanOut(corpus), "vec_id", "e")
+    // round 17b: kernel fan, was the floored fan — each corpus row pays
+    // |probes| dot products (the definition of brute kNN), the heaviest
+    // per-row kernel in the repo, but the floored fan never fired on the
+    // sub-floor local embedding table and the whole sweep ran as ONE task
+    // (q_margin_knn 965ms/1t, q_hubness 787ms/1t). Rounded per-pair cos +
+    // (cos desc, id) rank are placement-independent.
+    unitVecs(Par.fanOutKernel(corpus), "vec_id", "e")
       .join(p, if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("e"), col("q_e")), 4).as("cos"))

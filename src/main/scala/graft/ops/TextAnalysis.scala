@@ -485,6 +485,9 @@ object TextAnalysis {
     * exploded once and never shuffled again.
     */
   def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
+    // round 17b measured-and-rejected (guide §1): a kernel fan here
+    // ablated +0.33 s — tokenize+explode+count is the cheap-per-row class
+    // where the exchange never pays (bigramPairs, curationGate: same).
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
     // N is the full corpus size (docs WITH ZERO TOKENS included — idf must
     // not shift when empty documents exist), as a broadcast one-row
