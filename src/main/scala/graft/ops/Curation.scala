@@ -272,7 +272,8 @@ object Curation {
     // materialized table instead: five recipe variants per snapshot then
     // pay the gate→dedup→SNM→decontam (→sem) chain once, not five times.
     def ids(df: DataFrame): DataFrame = df.select("doc_id").localCheckpoint()
-    val (qualityIds, exactIds, nearIds, lastIds, semIds, prefixScored) =
+    val (qualityIds, exactIds, nearIds, lastIds, semIds, prefixScored,
+      prefixStageRows) =
     prefix match {
       case Some(p) =>
         require(decontam.isDefined,
@@ -299,9 +300,31 @@ object Curation {
             col("avg_surprisal"): _*)
           .localCheckpoint()
         val sel = (f: String) => pc.where(col(f)).select("doc_id")
+        // round 17b: the five/six prefix-covered stage COUNTS come off ONE
+        // aggregate over pc instead of one count job per stage (s1 = pc's
+        // row count — identical to counting `docs` by the prefix contract:
+        // the flag table carries every input document). Integer sums, so
+        // the collapse cannot change any value; v5–v9 drop ~10 AQE jobs
+        // each (34–51 jobs measured, mostly 1-task count stages).
+        val flagNames = Seq("s1_raw" -> None, "s2_quality" -> Some("q"),
+          "s3_exact_dedup" -> Some("ex"), "s4_near_dedup" -> Some("nd"),
+          "s5_decontam" -> Some("dc")) ++
+          (if (semDecontam.isDefined) Seq("s6_sem_decontam" -> Some("sem"))
+           else Nil)
+        val flagAggs = flagNames.zipWithIndex.map {
+          case ((_, None), i)    => count(lit(1)).as(s"c$i")
+          case ((_, Some(f)), i) =>
+            coalesce(sum(col(f).cast("long")), lit(0L)).as(s"c$i")
+        }
+        val stackSql = s"stack(${flagNames.size}, " + flagNames.zipWithIndex
+          .map { case ((nm, _), i) => s"'$nm', c$i" }.mkString(", ") +
+          ") AS (stage, n)"
+        val stageRows = pc.agg(flagAggs.head, flagAggs.tail: _*)
+          .select(expr(stackSql))
         (sel("q"), sel("ex"), sel("nd"), sel("dc"), sel(lastFlag),
           Some(pc.where(col(lastFlag) && col("avg_surprisal").isNotNull)
-            .select(col("doc_id"), col("avg_surprisal"))))
+            .select(col("doc_id"), col("avg_surprisal"))),
+          Some(stageRows))
       case None =>
         val quality = docs.where(TextAnalysis.curationGate(col("text"),
           lit(minTokens), maxNonAlnum, maxStopword, langLabel = None))
@@ -339,7 +362,7 @@ object Curation {
               .where(col("is_contam") === 0)
               .select(col("vec_id").as("doc_id")))
         }
-        (qualityIds, exactIds, nearIds, lastIds, semIds, None)
+        (qualityIds, exactIds, nearIds, lastIds, semIds, None, None)
     }
     // optional perplexity-percentile stage (v5/v6): fit unigram surprisal
     // on the current survivors, keep each quantile bucket at its rate —
@@ -400,18 +423,22 @@ object Curation {
         coalesce(sum(col("n_kept")), lit(0)).cast("long").as("kept"))
       .select(expr(s"stack(2, '${spanPrefix}_spans_total', total, " +
         s"'${spanPrefix}_spans_kept', kept) AS (stage, n)"))
-    val base = stage("s1_raw", docs)
-      .unionByName(stage("s2_quality", qualityIds))
-      .unionByName(stage("s3_exact_dedup", exactIds))
-      .unionByName(stage("s4_near_dedup", nearIds))
-    val withDec =
-      if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
-      else base
     val semIdx = 5 + (if (decontam.isDefined) 1 else 0)
-    val withSem =
+    // prefix path: all covered stage counts ride the ONE pc aggregate
+    // built above; compute-from-corpus path: per-stage counts over the
+    // checkpointed id frames, as before
+    val withSem = prefixStageRows.getOrElse {
+      val base = stage("s1_raw", docs)
+        .unionByName(stage("s2_quality", qualityIds))
+        .unionByName(stage("s3_exact_dedup", exactIds))
+        .unionByName(stage("s4_near_dedup", nearIds))
+      val withDec =
+        if (decontam.isDefined) base.unionByName(stage("s5_decontam", lastIds))
+        else base
       if (semDecontam.isDefined)
         withDec.unionByName(stage(s"s${semIdx}_sem_decontam", semIds))
       else withDec
+    }
     val pplIdx = semIdx + (if (semDecontam.isDefined) 1 else 0)
     val withPpl =
       if (ppl.isDefined)
